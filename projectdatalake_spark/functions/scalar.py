@@ -1,0 +1,102 @@
+"""Scalar & array expression surface.
+
+Reference parity (SURVEY.md §2.5): the reference's entire function surface is
+time-part extraction, an epoch-millis cast, and a monotonically increasing id
+(F1-F11, reference etl.py:92, 124-131, 164-168). This module re-expresses
+those as Catalyst built-ins and adds the array/vector/text expressions the
+scale extensions need. Everything here compiles to JVM-side codegen — no
+Python execution in any of these expressions.
+
+Known deviation (documented, SURVEY.md §2.5 F7): the reference derives the
+fact-table partition year with ``date_format(ts,'YYYY')`` — *week-year* — a
+latent bug around Dec 29-Jan 3 that Spark 3+'s datetime formatter rejects
+outright. We implement calendar ``year()`` (the author's evident intent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+# --- time (F1-F8) ----------------------------------------------------------
+
+
+def epoch_millis_to_ts(col: Column) -> Column:
+    """Epoch milliseconds → timestamp preserving fractional seconds.
+
+    Exactly the reference's ``(ts/1000).cast(TimestampType())`` semantics
+    (F1, reference etl.py:92): division keeps the millisecond fraction.
+    """
+    return F.timestamp_millis(col.cast("long"))
+
+
+def epoch_ms(col: Column) -> Column:
+    """Timestamp → epoch milliseconds (inverse convenience; floor)."""
+    return (col.cast("double") * 1000).cast("long")
+
+
+def weekday_name(col: Column) -> Column:
+    """Full weekday name, 'Monday'... (F2, reference date_format 'EEEE'
+    etl.py:124)."""
+    return F.date_format(col, "EEEE")
+
+
+def calendar_parts(col: Column) -> dict[str, Column]:
+    """hour/day/week/month/year bundle (F3-F8, reference etl.py:125-131,
+    165-168; calendar year per the documented F7 deviation)."""
+    return {
+        "hour": F.hour(col),
+        "day": F.dayofmonth(col),
+        "week": F.weekofyear(col),
+        "month": F.month(col),
+        "year": F.year(col),
+        "weekday": weekday_name(col),
+    }
+
+
+# --- json (engine-added; events.props) -------------------------------------
+
+
+def json_get(col: Column, field: str) -> Column:
+    """Extract a scalar from a JSON-string column (string-typed result)."""
+    return F.get_json_object(col, f"$.{field}")
+
+
+# --- vectors (engine-added; embeddings) ------------------------------------
+# All pure Catalyst higher-order functions: zip_with + aggregate run inside
+# whole-stage codegen, no Python worker. Elements are cast to double BEFORE
+# multiplication so accumulation is double-precision end to end.
+
+
+def vec_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(
+            a.cast("array<double>"),
+            b.cast("array<double>"),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(vec_dot(a, a))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float vectors: dot/(|a||b|)."""
+    return vec_dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+# --- text (engine-added; documents) ----------------------------------------
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of trimmed text → array<string>."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def quality_punct_ratio(col: Column) -> Column:
+    """Fraction of non-word, non-space characters (quality signal)."""
+    return F.length(F.regexp_replace(col, r"[\w\s]", "")) / F.length(col)

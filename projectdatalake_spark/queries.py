@@ -1,0 +1,478 @@
+"""Query registry: the driver contract surface.
+
+Each entry pairs a Spark query (built from the engine's operator modules)
+with an equivalent DuckDB oracle SQL over the same parquet tables. This is
+the per-operator correctness gate described in SURVEY.md §5: one entry per
+inventory row of SURVEY.md §2 plus the engine-added aggregate/window/text/
+vector surface.
+
+Conventions (so the driver's order-insensitive value-hash matches):
+- every computed column is aliased identically on both sides;
+- double aggregates are rounded (2dp money, 4-6dp ratios) on both sides to
+  absorb summation-order nondeterminism;
+- event time: Spark works in timestamp_ntz truncated to microseconds, the
+  oracle casts DuckDB's TIMESTAMP_NS to TIMESTAMP (same truncation);
+- no nondeterministic functions (monotonically_increasing_id is exercised in
+  pytest, not in hash-checked queries — SURVEY.md §2.5 F9).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from projectdatalake_spark.functions import scalar as fx
+from projectdatalake_spark.operators import relational as R
+from projectdatalake_spark.session import prepare
+from projectdatalake_spark.sources.readers import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            prepare(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return wrapped
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# =========================================================================
+# Flagship: TPC-H Q1-shaped pricing summary (scan→filter→agg, the
+# reference's whole soul in one query; SURVEY.md §7 step 1).
+# =========================================================================
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report: filter pushed to scan, partial-agg shuffle on
+    two low-cardinality keys — the canonical scale-safe aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# =========================================================================
+# Projections / filters / derivations (P1-P6)
+# =========================================================================
+
+
+@query(
+    "scan_project",
+    oracle="SELECT l_orderkey, l_partkey, l_quantity FROM lineitem",
+)
+def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P3 column-list projection (reference etl.py:46) — scan reads only
+    the three referenced columns (ReadSchema pruning)."""
+    return R.project(_t(spark, sf_dir, "lineitem"), ["l_orderkey", "l_partkey", "l_quantity"])
+
+
+@query(
+    "project_rename",
+    oracle="""
+    SELECT c_custkey AS customer_id, c_name AS name, c_mktsegment AS segment
+    FROM customer
+    """,
+)
+def project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 projection-with-rename (reference selectExpr etl.py:56-60)."""
+    return R.rename(
+        _t(spark, sf_dir, "customer"),
+        {"c_custkey": "customer_id", "c_name": "name", "c_mktsegment": "segment"},
+    )
+
+
+@query(
+    "filter_events_eq",
+    oracle="""
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def filter_events_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 equality filter (reference page=='NextSong' etl.py:91), pushed to
+    the parquet scan."""
+    ev = _t(spark, sf_dir, "events")
+    return R.filter_rows(ev, F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+
+
+@query(
+    "filter_pred_complex",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE o_orderstatus <> 'O'
+      AND o_totalprice > 100000
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+)
+def filter_pred_complex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate forms of SURVEY.md §2.2: negated equality theta predicate
+    ~(a==b) (reference etl.py:107), conjunction, IN-list."""
+    o = _t(spark, sf_dir, "orders")
+    pred = (
+        (~(F.col("o_orderstatus") == "O"))
+        & (F.col("o_totalprice") > 100000)
+        & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    return R.filter_rows(o, pred).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+
+
+@query(
+    "derive_columns",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount)               AS disc_price,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+           l_quantity > 30                                  AS big_qty
+    FROM lineitem
+    """,
+)
+def derive_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 derived columns (reference withColumn etl.py:92,164-168) via a
+    single withColumns projection.
+
+    Per-row arithmetic is left unrounded: IEEE double ops with matching
+    expression order are bitwise identical across engines (rounding, by
+    contrast, diverges at .xx5 boundaries: Spark HALF_UPs the shortest
+    decimal repr, the oracle rounds the binary double).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    derived = R.derive(
+        li,
+        disc_price=F.col("l_extendedprice") * (1 - F.col("l_discount")),
+        charge=F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")),
+        big_qty=F.col("l_quantity") > 30,
+    )
+    return derived.select("l_orderkey", "l_linenumber", "disc_price", "charge", "big_qty")
+
+
+# =========================================================================
+# Dedup (D1-D4) — including the reference's signature conditional dedup
+# =========================================================================
+
+
+@query(
+    "dedup_distinct_pairs",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def dedup_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2/D3 projection + distinct (reference etl.py:96-102, 124-132)."""
+    ev = _t(spark, sf_dir, "events")
+    return R.dedup_rows(ev.select("user_id", "event_type"))
+
+
+@query(
+    "dedup_full_rows",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def dedup_full_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 drop_duplicates on all columns (reference etl.py:61)."""
+    o = _t(spark, sf_dir, "orders")
+    return R.dedup_rows(o.select("o_orderstatus", "o_orderpriority"))
+
+
+_COND_DEDUP_ORACLE = """
+    WITH u AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT user_id, event_type FROM u
+    WHERE event_type = 'purchase'
+       OR user_id NOT IN (SELECT user_id FROM u WHERE event_type = 'purchase')
+"""
+
+
+@query("dedup_conditional_prefer", oracle=_COND_DEDUP_ORACLE)
+def dedup_conditional_prefer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 conditional key-level dedup, idiomatic single-shuffle window form
+    (semantics of reference etl.py:104-116: keep 'paid'-analog rows iff
+    present, else keep everything for the key)."""
+    ev = _t(spark, sf_dir, "events")
+    u = R.dedup_rows(ev.select("user_id", "event_type"))
+    return R.dedup_prefer(u, ["user_id"], F.col("event_type") == "purchase")
+
+
+@query("dedup_conditional_reference", oracle=_COND_DEDUP_ORACLE)
+def dedup_conditional_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 again, via the reference-faithful theta-join + anti-join dataflow
+    (reference etl.py:106-116) — must hash-match the window form above."""
+    ev = _t(spark, sf_dir, "events")
+    u = R.dedup_rows(ev.select("user_id", "event_type"))
+    return R.dedup_prefer_reference(u, ["user_id"], "event_type", "purchase")
+
+
+# =========================================================================
+# Joins (J1-J4 + native semi/anti)
+# =========================================================================
+
+
+@query(
+    "join_inner_orders_customer",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_inner_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 inner equi-join, dimension side broadcast (reference etl.py:149-151)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = R.join_equi(o, c, F.col("o_custkey") == F.col("c_custkey"), broadcast_right=True)
+    return j.select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+
+
+@query(
+    "join_left_nulls",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_custkey, c.c_name
+    FROM events e
+    LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 0) c
+      ON e.user_id = c.c_custkey
+    """,
+)
+def join_left_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 left outer enrichment keeping unmatched rows with null FKs
+    (reference etl.py:152-155: soft foreign keys in the fact table)."""
+    ev = _t(spark, sf_dir, "events")
+    dim = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    j = R.join_equi(
+        ev, dim, F.col("user_id") == F.col("c_custkey"), how="left", broadcast_right=True
+    )
+    return j.select("event_id", "user_id", "c_custkey", "c_name")
+
+
+@query(
+    "join_semi_customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native left-semi join (EXISTS) — engine-added surface (SURVEY.md §2.3)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return R.join_semi(c, o, F.col("c_custkey") == F.col("o_custkey")).select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti_customers_no_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native left-anti join (NOT EXISTS) — the idiomatic form of the
+    reference's left-join + isNull (J2, reference etl.py:111-116)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return R.join_anti(c, o, F.col("c_custkey") == F.col("o_custkey")).select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_theta_self",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT b.user_id, b.event_type
+    FROM u a JOIN u b
+      ON a.user_id = b.user_id
+     AND NOT (a.event_type = b.event_type)
+     AND a.event_type = 'purchase'
+    """,
+)
+def join_theta_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 inner theta self-join with equi + inequality conjuncts (reference
+    etl.py:106-110): the equi conjunct keeps it a hash join with the
+    inequality as a residual filter."""
+    ev = _t(spark, sf_dir, "events")
+    u = R.dedup_rows(ev.select("user_id", "event_type"))
+    right = u.select(
+        F.col("user_id").alias("user_id_r"), F.col("event_type").alias("event_type_r")
+    )
+    cond = (
+        (~(F.col("event_type") == F.col("event_type_r")))
+        & (F.col("user_id") == F.col("user_id_r"))
+        & (F.col("event_type") == "purchase")
+    )
+    return R.join_theta(u, right, cond).select(
+        F.col("user_id_r").alias("user_id"), F.col("event_type_r").alias("event_type")
+    )
+
+
+# =========================================================================
+# Scalar functions (F1-F11)
+# =========================================================================
+
+
+@query(
+    "time_parts",
+    oracle="""
+    SELECT DISTINCT CAST(ts AS TIMESTAMP) AS start_time,
+           hour(ts)       AS hour,
+           dayofmonth(ts) AS day,
+           weekofyear(ts) AS week,
+           month(ts)      AS month,
+           year(ts)       AS year,
+           dayname(ts)    AS weekday
+    FROM events
+    """,
+)
+def time_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2-F6 calendar-part extraction: the reference's time dimension
+    (reference etl.py:124-132) on the events table."""
+    ev = _t(spark, sf_dir, "events")
+    parts = fx.calendar_parts(F.col("ts"))
+    return R.dedup_rows(
+        ev.select(
+            F.col("ts").alias("start_time"),
+            *[expr.alias(name) for name, expr in parts.items()],
+        )
+    )
+
+
+@query(
+    "epoch_roundtrip",
+    oracle="""
+    SELECT event_id,
+           epoch_ms(CAST(ts AS TIMESTAMP))                 AS ts_ms,
+           make_timestamp(epoch_ms(CAST(ts AS TIMESTAMP)) * 1000) AS ts_restored
+    FROM events
+    """,
+)
+def epoch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 epoch-millis ↔ timestamp conversions (reference ts/1000 cast,
+    etl.py:92), preserving the reference's fractional-second semantics."""
+    ev = _t(spark, sf_dir, "events")
+    ts_ms = F.expr("ts_ns div 1000000")
+    return ev.select(
+        "event_id",
+        ts_ms.alias("ts_ms"),
+        fx.epoch_millis_to_ts(ts_ms).cast("timestamp_ntz").alias("ts_restored"),
+    )
+
+
+@query(
+    "json_extract_props",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k
+    FROM events
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from a string column (engine-added; the
+    reference delegates all JSON work to the reader, SURVEY.md §2.5)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select("event_id", fx.json_get(F.col("props"), "k").cast("int").alias("k"))
+
+
+@query(
+    "string_functions",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name)                       AS name_upper,
+           length(c_name)                      AS name_len,
+           substr(c_name, 1, 4)                AS name_prefix,
+           concat(c_name, '#', c_mktsegment)   AS label
+    FROM customer
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function surface (engine-added; none in the reference —
+    SURVEY.md §2.5 'no string functions')."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 4).alias("name_prefix"),
+        F.concat(F.col("c_name"), F.lit("#"), F.col("c_mktsegment")).alias("label"),
+    )
+
+
+# =========================================================================
+# Multi-join analytics (snowflake traversal, broadcast dims)
+# =========================================================================
+
+
+@query(
+    "multi_join_snowflake",
+    oracle="""
+    SELECT r_name, n_name,
+           round(sum(o_totalprice), 2) AS revenue,
+           count(*)                    AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def multi_join_snowflake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped snowflake rollup: every dimension broadcast, a single
+    shuffle for the final aggregation — the 1000-executor-safe plan."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return j.groupBy("r_name", "n_name").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

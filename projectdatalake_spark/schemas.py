@@ -1,0 +1,165 @@
+"""Explicit source schemas.
+
+The reference infers every schema (``spark.read.json`` with no schema,
+reference etl.py:43, etl.py:87). Inference is a full extra pass over JSON and
+nondeterministic under sampling at scale, so this engine declares schemas for
+every source (SURVEY.md §1.4). Parquet sources are self-describing; these
+StructTypes document the contract and back the JSON/streaming readers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# --- driver corpus (/root/testdata/sf*/; see FIXTURES.md Part A) -----------
+
+REGION = T.StructType(
+    [
+        T.StructField("r_regionkey", T.IntegerType()),
+        T.StructField("r_name", T.StringType()),
+    ]
+)
+
+NATION = T.StructType(
+    [
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType()),
+    ]
+)
+
+CUSTOMER = T.StructType(
+    [
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_name", T.StringType()),
+        T.StructField("c_nationkey", T.IntegerType()),
+        T.StructField("c_acctbal", T.DoubleType()),
+        T.StructField("c_mktsegment", T.StringType()),
+    ]
+)
+
+SUPPLIER = T.StructType(
+    [
+        T.StructField("s_suppkey", T.LongType()),
+        T.StructField("s_name", T.StringType()),
+        T.StructField("s_nationkey", T.IntegerType()),
+        T.StructField("s_acctbal", T.DoubleType()),
+    ]
+)
+
+PART = T.StructType(
+    [
+        T.StructField("p_partkey", T.LongType()),
+        T.StructField("p_name", T.StringType()),
+        T.StructField("p_brand", T.StringType()),
+        T.StructField("p_type", T.StringType()),
+        T.StructField("p_size", T.IntegerType()),
+        T.StructField("p_retailprice", T.DoubleType()),
+    ]
+)
+
+ORDERS = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderdate", T.TimestampNTZType()),
+        T.StructField("o_orderpriority", T.StringType()),
+    ]
+)
+
+LINEITEM = T.StructType(
+    [
+        T.StructField("l_orderkey", T.LongType()),
+        T.StructField("l_partkey", T.LongType()),
+        T.StructField("l_suppkey", T.LongType()),
+        T.StructField("l_linenumber", T.IntegerType()),
+        T.StructField("l_quantity", T.DoubleType()),
+        T.StructField("l_extendedprice", T.DoubleType()),
+        T.StructField("l_discount", T.DoubleType()),
+        T.StructField("l_tax", T.DoubleType()),
+        T.StructField("l_returnflag", T.StringType()),
+        T.StructField("l_linestatus", T.StringType()),
+        T.StructField("l_shipdate", T.TimestampNTZType()),
+    ]
+)
+
+# events.ts is parquet TIMESTAMP(NANOS): read as epoch-nanos long
+# (spark.sql.legacy.parquet.nanosAsLong) and normalized by the reader.
+EVENTS_RAW = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+DOCUMENTS = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+EMBEDDINGS = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]
+)
+
+TESTDATA_SCHEMAS: dict[str, T.StructType] = {
+    "region": REGION,
+    "nation": NATION,
+    "customer": CUSTOMER,
+    "supplier": SUPPLIER,
+    "part": PART,
+    "orders": ORDERS,
+    "lineitem": LINEITEM,
+    "events": EVENTS_RAW,
+    "documents": DOCUMENTS,
+    "embeddings": EMBEDDINGS,
+}
+
+# --- reference-shaped sources (FIXTURES.md Part B) -------------------------
+# Field lists derived from usage in reference etl.py:46, 56-60 (songs) and
+# etl.py:91-92, 96-101, 152-163 (logs).
+
+SONG_DATA = T.StructType(
+    [
+        T.StructField("song_id", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("artist_id", T.StringType()),
+        T.StructField("year", T.LongType()),
+        T.StructField("duration", T.DoubleType()),
+        T.StructField("artist_name", T.StringType()),
+        T.StructField("artist_location", T.StringType()),
+        T.StructField("artist_latitude", T.DoubleType()),
+        T.StructField("artist_longitude", T.DoubleType()),
+    ]
+)
+
+LOG_DATA = T.StructType(
+    [
+        T.StructField("page", T.StringType()),
+        T.StructField("ts", T.LongType()),  # epoch millis (reference etl.py:92)
+        T.StructField("userId", T.StringType()),
+        T.StructField("firstName", T.StringType()),
+        T.StructField("lastName", T.StringType()),
+        T.StructField("gender", T.StringType()),
+        T.StructField("level", T.StringType()),
+        T.StructField("song", T.StringType()),
+        T.StructField("artist", T.StringType()),
+        T.StructField("sessionId", T.LongType()),
+        T.StructField("location", T.StringType()),
+        T.StructField("userAgent", T.StringType()),
+    ]
+)

