@@ -24,10 +24,14 @@ from projectdatalake_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "q1_pricing_summary",
     "multi_join_snowflake",
+    "tpch_q3_shipping",
     "join_inner_orders_customer",
     "dedup_conditional_prefer",
     "time_parts",
     "derive_columns",
+    "agg_cube",
+    "win_topk_per_group",
+    "win_running_sum",
 ]
 REPS = 3
 

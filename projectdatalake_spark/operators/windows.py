@@ -1,0 +1,87 @@
+"""Window-function surface: ranking, running aggregates, offsets, sessions.
+
+None of these exist in the reference (SURVEY.md §2.6: no Window import
+anywhere), but the idiomatic replacement for its conditional dedup is a
+window (D4), and an analytics platform needs top-k/running/sessionization.
+All Catalyst built-ins: a window spec costs one shuffle on its partition
+keys; specs sharing keys reuse the same exchange.
+
+Determinism note: every ordered spec used in oracle-checked queries must
+order by a *unique* key suffix — within-tie row order is engine-dependent.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec, functions as F
+
+
+def spec(partition_by: Sequence[str | Column], order_by: Sequence[Column] | None = None) -> WindowSpec:
+    w = Window.partitionBy(*partition_by)
+    return w.orderBy(*order_by) if order_by else w
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-k rows per group via row_number — the scale-safe form of a
+    correlated LIMIT: one shuffle, no driver involvement."""
+    w = spec(partition_by, order_by)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+
+
+def running(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    **aggs: Column,
+) -> DataFrame:
+    """Running aggregates over rows UNBOUNDED PRECEDING..CURRENT ROW."""
+    w = spec(partition_by, order_by).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumns({name: agg.over(w) for name, agg in aggs.items()})
+
+
+def with_lag(
+    df: DataFrame,
+    col: str,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    offset: int = 1,
+    out: str | None = None,
+) -> DataFrame:
+    w = spec(partition_by, order_by)
+    return df.withColumn(out or f"{col}_lag", F.lag(col, offset).over(w))
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    order_tiebreak: Sequence[Column] = (),
+) -> DataFrame:
+    """Batch sessionization: split a user's event stream where the gap to
+    the previous event exceeds ``gap_seconds`` (lag + running count of
+    session starts). Adds ``session_id`` (0-based per user).
+
+    The streaming equivalent is ``F.session_window`` (streaming/events.py);
+    this batch form backs oracle checks and backfills. One shuffle on
+    ``user_col``; state is O(1) per row — safe at any scale.
+    """
+    order = [F.col(ts_col), *order_tiebreak]
+    w = spec([user_col], order)
+    prev = F.lag(ts_col).over(w)
+    gap = F.col(ts_col).cast("double") - prev.cast("double")
+    is_new = F.when(prev.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    return df.withColumn(
+        "session_id",
+        F.sum(is_new).over(
+            spec([user_col], order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - 1,
+    )

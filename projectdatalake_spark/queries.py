@@ -8,8 +8,13 @@ vector surface.
 
 Conventions (so the driver's order-insensitive value-hash matches):
 - every computed column is aliased identically on both sides;
-- double aggregates are rounded (2dp money, 4-6dp ratios) on both sides to
-  absorb summation-order nondeterminism;
+- money/quantity aggregates accumulate in DECIMAL (exact, order-independent
+  — the data's money columns are true 2-decimal values) and surface as
+  double via an exact decimal→double cast. Never `round()` a double sum:
+  Spark HALF_UPs the shortest decimal repr while DuckDB rounds the binary
+  double, so true sums landing on .xx5 diverge systematically;
+- per-row double arithmetic stays unrounded (IEEE ops with matching
+  expression order are bitwise identical across engines);
 - event time: Spark works in timestamp_ntz truncated to microseconds, the
   oracle casts DuckDB's TIMESTAMP_NS to TIMESTAMP (same truncation);
 - no nondeterministic functions (monotonically_increasing_id is exercised in
@@ -53,6 +58,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def dsum(col: F.Column, scale: int = 2) -> F.Column:
+    """Exact decimal sum of a money expression, surfaced as double.
+
+    Accumulating in DECIMAL makes the sum independent of partition/merge
+    order (doubles are not associative), which both fixes oracle matching
+    and gives the *correct* answer for money at any scale. SQL twin:
+    ``CAST(sum(CAST(expr AS DECIMAL(27,s))) AS DOUBLE)``.
+    """
+    return F.sum(col.cast(f"decimal(27,{scale})")).cast("double")
+
+
 # =========================================================================
 # Flagship: TPC-H Q1-shaped pricing summary (scan→filter→agg, the
 # reference's whole soul in one query; SURVEY.md §7 step 1).
@@ -63,14 +79,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-           round(avg(l_quantity), 4)                                        AS avg_qty,
-           round(avg(l_extendedprice), 4)                                   AS avg_price,
-           round(avg(l_discount), 4)                                        AS avg_disc,
-           count(*)                                                         AS count_order
+           CAST(sum(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE)      AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) AS DOUBLE)
+                                                                       AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,6))) AS DOUBLE)
+                                                                       AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) / count(*)      AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(27,2))) AS DOUBLE) / count(*)      AS avg_disc,
+           count(*)                                                    AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
     GROUP BY l_returnflag, l_linestatus
@@ -78,21 +96,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pricing summary report: filter pushed to scan, partial-agg shuffle on
-    two low-cardinality keys — the canonical scale-safe aggregation."""
+    two low-cardinality keys — the canonical scale-safe aggregation.
+    Money accumulates in DECIMAL (exact, order-independent; see ``dsum``)."""
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price, 4).alias("sum_disc_price"),
+            dsum(charge, 6).alias("sum_charge"),
+            (dsum(F.col("l_quantity")) / n).alias("avg_qty"),
+            (dsum(F.col("l_extendedprice")) / n).alias("avg_price"),
+            (dsum(F.col("l_discount")) / n).alias("avg_disc"),
+            n.alias("count_order"),
         )
     )
 
@@ -451,8 +472,8 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multi_join_snowflake",
     oracle="""
     SELECT r_name, n_name,
-           round(sum(o_totalprice), 2) AS revenue,
-           count(*)                    AS n_orders
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS revenue,
+           count(*)                                                 AS n_orders
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation   ON c_nationkey = n_nationkey
@@ -473,6 +494,391 @@ def multi_join_snowflake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
     )
     return j.groupBy("r_name", "n_name").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        dsum(F.col("o_totalprice")).alias("revenue"),
         F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# =========================================================================
+# Aggregate surface (SURVEY.md §2.4: engine-added first-class aggregates)
+# =========================================================================
+
+
+@query(
+    "agg_stats_by_group",
+    oracle="""
+    SELECT l_returnflag,
+           count(*)                          AS n_rows,
+           count(DISTINCT l_orderkey)        AS n_orders,
+           CAST(sum(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) / count(*)  AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE)        AS sum_price,
+           min(l_shipdate)                   AS first_ship,
+           max(l_shipdate)                   AS last_ship
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count/countDistinct/avg/sum/min/max in one hash aggregate."""
+    from projectdatalake_spark.operators import aggregates as A
+
+    li = _t(spark, sf_dir, "lineitem")
+    return A.aggregate(
+        li,
+        ["l_returnflag"],
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        (dsum(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty"),
+        dsum(F.col("l_extendedprice")).alias("sum_price"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 12
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation predicate (HAVING)."""
+    from projectdatalake_spark.operators import aggregates as A
+
+    o = _t(spark, sf_dir, "orders")
+    return A.aggregate(
+        o,
+        ["o_custkey"],
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("spend"),
+        having=F.col("n_orders") >= 12,
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS revenue,
+           count(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals in one pass (ROLLUP)."""
+    from projectdatalake_spark.operators import aggregates as A
+
+    o = _t(spark, sf_dir, "orders")
+    return A.rollup(
+        o,
+        ["o_orderstatus", "o_orderpriority"],
+        dsum(F.col("o_totalprice")).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS revenue,
+           count(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping combinations in one pass (CUBE)."""
+    from projectdatalake_spark.operators import aggregates as A
+
+    o = _t(spark, sf_dir, "orders")
+    return A.cube(
+        o,
+        ["o_orderstatus", "o_orderpriority"],
+        dsum(F.col("o_totalprice")).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets (Spark 4 DataFrame API)."""
+    from projectdatalake_spark.operators import aggregates as A
+
+    o = _t(spark, sf_dir, "orders")
+    return A.grouping_sets(
+        o,
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        ["o_orderstatus", "o_orderpriority"],
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'view')     AS view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'error')    AS error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide pivot with explicit value list (no pre-scan of distinct values)."""
+    from projectdatalake_spark.operators import aggregates as A
+
+    ev = _t(spark, sf_dir, "events")
+    return A.pivot(
+        ev,
+        "user_id",
+        "event_type",
+        ["click", "view", "purchase", "signup", "error"],
+        F.count(F.lit(1)),
+        fill=0,
+    )
+
+
+@query("agg_approx_distinct")  # approximate → rows-only check (no oracle)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the 100 TB substitute for
+    exact COUNT(DISTINCT) — mergeable sketches, no giant shuffle. Values
+    are approximate, so the driver records a rows-only check."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    )
+
+
+# =========================================================================
+# Window functions (SURVEY.md §2.6)
+# =========================================================================
+
+
+@query(
+    "win_topk_per_group",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           row_number() OVER (PARTITION BY o_orderstatus
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+    QUALIFY rn <= 3
+    """,
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k rows per group: one shuffle, no driver round-trip."""
+    from projectdatalake_spark.operators import windows as W
+
+    o = _t(spark, sf_dir, "orders")
+    out = W.top_k_per_group(
+        o,
+        ["o_orderstatus"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=3,
+    )
+    return out.select("o_orderkey", "o_orderstatus", "o_totalprice", "rn")
+
+
+@query(
+    "win_running_sum",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+           count(*) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)            AS running_orders
+    FROM orders
+    """,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregates over an ordered frame (unique-key tiebreak;
+    decimal accumulation keeps every prefix sum exact)."""
+    from projectdatalake_spark.operators import windows as W
+
+    o = _t(spark, sf_dir, "orders")
+    out = W.running(
+        o,
+        ["o_custkey"],
+        [F.col("o_orderdate"), F.col("o_orderkey")],
+        running_spend=F.sum(F.col("o_totalprice").cast("decimal(27,2)")),
+        running_orders=F.count(F.lit(1)),
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("running_spend").cast("double").alias("running_spend"),
+        "running_orders",
+    )
+
+
+@query(
+    "win_lag_delta",
+    oracle="""
+    SELECT event_id, user_id, value,
+           value - lag(value) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS delta
+    FROM events
+    """,
+)
+def win_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset function (lag) with per-row arithmetic on the result."""
+    from projectdatalake_spark.operators import windows as W
+
+    ev = _t(spark, sf_dir, "events")
+    out = W.with_lag(
+        ev, "value", ["user_id"], [F.col("ts_ns"), F.col("event_id")], out="prev_value"
+    )
+    return out.select(
+        "event_id", "user_id", "value", (F.col("value") - F.col("prev_value")).alias("delta")
+    )
+
+
+@query(
+    "win_rank_dense",
+    oracle="""
+    SELECT p_partkey, p_brand, p_retailprice,
+           rank()       OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_rank,
+           dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_dense,
+           ntile(4)     OVER (PARTITION BY p_brand
+                              ORDER BY p_retailprice DESC, p_partkey)           AS quartile
+    FROM part
+    """,
+)
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family: rank/dense_rank tolerate ties; ntile gets a unique
+    tiebreak (within-tie order is engine-dependent)."""
+    from projectdatalake_spark.operators import windows as W
+
+    p = _t(spark, sf_dir, "part")
+    by_price = W.spec(["p_brand"], [F.col("p_retailprice").desc()])
+    by_price_uniq = W.spec(["p_brand"], [F.col("p_retailprice").desc(), F.col("p_partkey")])
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        "p_retailprice",
+        F.rank().over(by_price).alias("price_rank"),
+        F.dense_rank().over(by_price).alias("price_dense"),
+        F.ntile(4).over(by_price_uniq).alias("quartile"),
+    )
+
+
+# =========================================================================
+# Set operations, sort/limit (SURVEY.md §2.6)
+# =========================================================================
+
+
+@query(
+    "set_union_all",
+    oracle="""
+    SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal > 5000
+    UNION ALL
+    SELECT c_custkey, c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL preserving duplicates (unionByName)."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_acctbal") > 5000).select("c_custkey", "c_nationkey")
+    b = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey", "c_nationkey")
+    return R.union_all(a, b)
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return R.intersect(a, b)
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT l_orderkey FROM lineitem WHERE l_linenumber <= 2
+    EXCEPT ALL
+    SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics: multiplicity-aware difference)."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_linenumber") <= 2).select("l_orderkey")
+    b = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return R.except_all(a, b)
+
+
+@query(
+    "sort_limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: plans TakeOrderedAndProject (per-partition heaps + a
+    k-row merge), never a full sort — the only safe global ORDER BY at
+    100 TB."""
+    o = _t(spark, sf_dir, "orders")
+    return R.top_k(
+        o.select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        10,
+    )
+
+
+@query(
+    "tpch_q3_shipping",
+    oracle="""
+    SELECT o_orderkey, o_orderdate,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY o_orderkey, o_orderdate
+    """,
+)
+def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: selective dim filter broadcast into a fact-fact
+    join, then a grouped rollup — filters reach both scans."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    j = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")).join(
+        li, F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    return j.groupBy("o_orderkey", "o_orderdate").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue")
     )

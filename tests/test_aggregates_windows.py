@@ -1,0 +1,68 @@
+"""Aggregate/window operator semantics + plan-shape assertions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from projectdatalake_spark.operators import aggregates as A, windows as W
+from projectdatalake_spark.plans import physical_plan
+from projectdatalake_spark.sources import load_table
+
+
+def test_rollup_rowcounts(spark):
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 3)], ["k1", "k2", "v"]
+    )
+    out = A.rollup(df, ["k1", "k2"], F.sum("v").alias("s"))
+    # 3 leaf groups + 2 k1 subtotals + 1 grand total
+    assert out.count() == 6
+    grand = out.filter(F.col("k1").isNull() & F.col("k2").isNull()).collect()
+    assert grand[0].s == 6
+
+
+def test_cube_includes_all_combinations(spark):
+    df = spark.createDataFrame([("a", "x", 1), ("b", "y", 2)], ["k1", "k2", "v"])
+    out = A.cube(df, ["k1", "k2"], F.count(F.lit(1)).alias("n"))
+    # 2 leaves + 2 k1 + 2 k2 + 1 grand
+    assert out.count() == 7
+
+
+def test_pivot_fill_zero(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], ["k", "t"])
+    out = A.pivot(df, "k", "t", ["a", "b"], F.count(F.lit(1)), fill=0)
+    rows = {r.k: (r.a, r.b) for r in out.collect()}
+    assert rows == {1: (2, 0), 2: (0, 1)}
+
+
+def test_top_k_per_group_rank_boundary(spark):
+    df = spark.createDataFrame(
+        [("g", i, float(100 - i)) for i in range(10)], ["g", "id", "v"]
+    )
+    out = W.top_k_per_group(df, ["g"], [F.col("v").desc(), F.col("id")], 3)
+    assert [r.id for r in out.orderBy("rn").collect()] == [0, 1, 2]
+
+
+def test_sessionize_gap_split(spark):
+    # user 1: events at t=0,10,1000,1005 with gap 60 → sessions {0,10} {1000,1005}
+    df = spark.createDataFrame(
+        [(1, 0.0), (1, 10.0), (1, 1000.0), (1, 1005.0), (2, 5.0)], ["u", "t"]
+    )
+    out = W.sessionize(df, "u", "t", gap_seconds=60)
+    got = {(r.u, r.t): r.session_id for r in out.collect()}
+    assert got == {(1, 0.0): 0, (1, 10.0): 0, (1, 1000.0): 1, (1, 1005.0): 1, (2, 5.0): 0}
+
+
+def test_snowflake_join_broadcasts_dims(spark, sf_dir):
+    from projectdatalake_spark.queries import QUERIES
+
+    df = QUERIES["multi_join_snowflake"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz")
+    )
+    plan = physical_plan(li.select("l_quantity"))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan, plan
