@@ -1,0 +1,105 @@
+"""As-of (temporal nearest-match) joins.
+
+Not present in the reference (SURVEY.md §2.3 'not present'), but essential
+for its event-log domain (enrich each event with the most recent dimension
+state). Spark has no native ASOF JOIN, so the engine provides two
+implementations with different scale envelopes:
+
+- ``asof_join``: declarative range-join + window pick. Catalyst plans the
+  equi conjunct as a hash join; the range residual multiplies matches, and
+  a per-left-row window keeps the nearest. Right-sized when the per-key
+  match fan-out is modest (dimension history tables).
+- ``asof_join_grouped``: cogrouped Arrow path running ``pandas.merge_asof``
+  per key group — linear in group size after the shuffle, the better plan
+  when fan-out is large. Requires per-key data to fit an executor (salt or
+  time-bucket the key if it cannot).
+
+Both produce identical results (tested); both shuffle each side once on the
+by-key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    by_left: str,
+    by_right: str,
+    left_keys: Sequence[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """For each left row, attach the single right row with the greatest
+    ``right_ts`` <= ``left_ts`` (direction='backward'; 'forward' = smallest
+    >=) within the same by-key. Unmatched left rows survive with nulls
+    (left-outer semantics, like the reference's J4 soft FKs).
+
+    ``left_keys`` must uniquely identify left rows (window partition).
+    Ties on ``right_ts`` break by the right row with the highest sort order
+    of all its columns — callers wanting a specific tiebreak should ensure
+    ``right_ts`` is unique per by-key.
+    """
+    if direction == "backward":
+        range_cond = F.col(right_ts) <= F.col(left_ts)
+        order = [F.col(right_ts).desc_nulls_last()]
+    elif direction == "forward":
+        range_cond = F.col(right_ts) >= F.col(left_ts)
+        order = [F.col(right_ts).asc_nulls_last()]
+    else:
+        raise ValueError(f"unknown direction: {direction}")
+
+    joined = left.join(
+        right, (F.col(by_left) == F.col(by_right)) & range_cond, "left"
+    )
+    w = Window.partitionBy(*[F.col(k) for k in left_keys]).orderBy(*order)
+    return (
+        joined.withColumn("__asof_rn", F.row_number().over(w))
+        .filter(F.col("__asof_rn") == 1)
+        .drop("__asof_rn")
+    )
+
+
+def asof_join_grouped(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    by_left: str,
+    by_right: str,
+    direction: str = "backward",
+) -> DataFrame:
+    """Arrow-vectorized as-of join: cogroup both sides on the by-key and run
+    ``pandas.merge_asof`` per group. One shuffle per side; no row explosion.
+    """
+    import pandas as pd
+
+    left_cols = left.schema
+    right_cols = [f for f in right.schema if f.name != by_right]
+    out_schema = type(left_cols)(list(left_cols) + list(right_cols))
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = lpdf.sort_values(left_ts, kind="mergesort")
+        if rpdf.empty:
+            for f in right_cols:
+                lpdf[f.name] = None
+            return lpdf
+        rpdf = rpdf.drop(columns=[by_right]).sort_values(right_ts, kind="mergesort")
+        return pd.merge_asof(
+            lpdf,
+            rpdf,
+            left_on=left_ts,
+            right_on=right_ts,
+            direction=direction,
+        )
+
+    return (
+        left.groupBy(by_left)
+        .cogroup(right.groupBy(by_right))
+        .applyInPandas(lambda _key, l, r: merge(l, r), schema=out_schema)
+    )

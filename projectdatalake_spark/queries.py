@@ -882,3 +882,130 @@ def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("o_orderkey", "o_orderdate").agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue")
     )
+
+
+# =========================================================================
+# As-of join, sessionization, star-schema fact enrichment
+# =========================================================================
+
+
+@query(
+    "asof_join_events_orders",
+    oracle="""
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+           o_orderkey AS last_orderkey, o_orderdate AS last_orderdate
+    FROM (
+        SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+               row_number() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC
+               ) AS rn
+        FROM events e
+        LEFT JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
+    ) WHERE rn = 1
+    """,
+)
+def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward): each event picks the user's most recent order
+    at event time; o_orderdate made unique per (custkey,date-tie) via the
+    orderkey tiebreak on both sides (SURVEY.md §2.3 'as-of joins' gap)."""
+    from projectdatalake_spark.operators import asof
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    # encode the (date, orderkey) tiebreak into the ordering by sorting on a
+    # composite: use window directly for exact oracle parity
+    joined = ev.join(
+        orders,
+        (F.col("o_custkey") == F.col("user_id")) & (F.col("o_orderdate") <= F.col("ts")),
+        "left",
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc_nulls_last(), F.col("o_orderkey").desc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.col("o_orderdate").alias("last_orderdate"),
+        )
+    )
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, user_id, epoch_ns(ts) / 1e9 AS ts_sec FROM events
+    ), marked AS (
+        SELECT event_id, user_id, ts_sec,
+               CASE WHEN lag(ts_sec) OVER w IS NULL
+                         OR ts_sec - lag(ts_sec) OVER w > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+    )
+    SELECT event_id, user_id,
+           CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                AS BIGINT) AS session_id
+    FROM marked
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min gap): the engine's lag+running-count
+    sessionizer (operators.windows.sessionize); streaming twin is
+    session_window (streaming module)."""
+    from projectdatalake_spark.operators import windows as W
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts_sec", F.col("ts_ns") / F.lit(1e9))
+    out = W.sessionize(
+        ev, "user_id", "ts_sec", gap_seconds=1800, order_tiebreak=[F.col("event_id")]
+    )
+    return out.select("event_id", "user_id", F.col("session_id").cast("long").alias("session_id"))
+
+
+@query(
+    "star_fact_enrich",
+    oracle="""
+    SELECT e.event_id, CAST(e.ts AS TIMESTAMP) AS start_time, e.user_id,
+           c.c_name, n.n_name,
+           year(e.ts)  AS year,
+           month(e.ts) AS month,
+           e.value
+    FROM events e
+    LEFT JOIN (SELECT * FROM customer WHERE c_acctbal >= 0) c ON e.user_id = c.c_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def star_fact_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's fact-build shape end to end (J3 dim⋈dim + J4 left
+    enrichment + F7/F8 partition columns, reference etl.py:141-168) on the
+    events/customer/nation corpus: broadcast dims, soft FKs, calendar
+    partition parts."""
+    ev = _t(spark, sf_dir, "events")
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") >= 0)
+        .join(F.broadcast(_t(spark, sf_dir, "nation")),
+              F.col("c_nationkey") == F.col("n_nationkey"), "left")
+        .select("c_custkey", "c_name", "n_name")
+    )
+    return (
+        ev.join(F.broadcast(dim), F.col("user_id") == F.col("c_custkey"), "left")
+        .select(
+            "event_id",
+            F.col("ts").alias("start_time"),
+            "user_id",
+            "c_name",
+            "n_name",
+            F.year("ts").alias("year"),
+            F.month("ts").alias("month"),
+            "value",
+        )
+    )
