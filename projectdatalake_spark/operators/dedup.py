@@ -1,0 +1,177 @@
+"""Document deduplication at scale: exact, shingle-Jaccard, MinHash-LSH,
+SimHash.
+
+North-star surface (BASELINE.json): the dedup ladder of an LLM-data
+pipeline, ordered by cost:
+
+1. ``exact_groups`` — hash-groupBy on normalized content. One shuffle on
+   the content hash; the only O(n) exact method.
+2. ``jaccard_pairs`` — blocked all-pairs shingle Jaccard. Quadratic within
+   a block; correct but only viable with strong blocking.
+3. ``minhash_lsh_pairs`` — MinHash signatures + LSH banding: candidate
+   generation is linear (explode bands → shuffle on band key), then only
+   candidates pay the exact-Jaccard verification. The 100 TB path.
+4. ``simhash`` (operators.text.simhash64) — 64-bit fingerprints compared
+   by Hamming distance; cheapest, coarsest.
+
+All candidate generation is pure DataFrame ops (no UDFs); the quadratic
+step never materializes outside a block/bucket.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from projectdatalake_spark.operators.text import normalize, shingles, tokens
+
+
+def exact_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-duplicate groups on normalized content: one row per distinct
+    content with the canonical (min) id and multiplicity."""
+    return (
+        df.groupBy(F.md5(normalize(F.col(text_col))).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dupes"),
+        )
+    )
+
+
+def _jaccard(a: Column, b: Column) -> Column:
+    """Set Jaccard of two distinct-element arrays."""
+    return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    block_cols: Sequence[str] = (),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by word-``n``-gram shingle Jaccard.
+
+    All-pairs *within a block* (``block_cols``, e.g. language): the join is
+    quadratic per block, so blocking is the scale control. For unblocked
+    100 TB input use ``minhash_lsh_pairs`` instead.
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        shingles(tokens(F.col(text_col)), n).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    left = sh.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in block_cols],
+        F.col("sh").alias("sh_a"),
+    )
+    right = sh.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in block_cols],
+        F.col("sh").alias("sh_b"),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    for c in block_cols:
+        cond = cond & (F.col(f"{c}_a") == F.col(f"{c}_b"))
+    return (
+        left.join(right, cond)
+        .select("id_a", "id_b", _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """MinHash signatures over word-``n``-gram shingles.
+
+    Hash family: xxhash64(shingle, seed_i) — k independent 64-bit hashes
+    evaluated JVM-side inside one projection. Signature i is the min over
+    the document's shingles. Rows with no shingles are dropped.
+    """
+    toks = tokens(F.col(text_col))
+    sh = shingles(toks, n)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("sh"), lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+    return (
+        df.select(F.col(id_col), sh.alias("sh"))
+        .filter(F.size("sh") > 0)
+        .withColumn("sig", sig)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float,
+    num_hashes: int = 32,
+    bands: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH banding + exact verification.
+
+    Pipeline (all DataFrame ops, linear except within buckets):
+    signatures → split into ``bands`` bands of ``num_hashes/bands`` rows →
+    band-hash → explode → self-join per (band, hash) bucket → distinct
+    candidate pairs → verify with exact shingle Jaccard ≥ ``threshold``.
+
+    With 32 hashes / 8 bands (r=4), P(candidate) = 1-(1-j^4)^8: ~0.04 at
+    j=0.3, ~0.99 at j=0.8 — tuned for high-threshold dedup. Candidates are
+    a superset of true pairs only probabilistically; the verification join
+    removes false positives, while false negatives are the (small,
+    quantified) LSH miss rate.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, num_hashes, text_col, id_col, n)
+    band_keys = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b), *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+            )
+            for b in range(bands)
+        ]
+    )
+    # bucket join on id pairs only — shingle arrays are joined back later so
+    # the band explode/shuffle carries (id, band, bkey), not document bodies
+    banded = sigs.withColumn("band_key", band_keys).select(
+        F.col(id_col), F.posexplode("band_key").alias("band", "bkey")
+    )
+    left = banded.select(
+        F.col("band"), F.col("bkey"), F.col(id_col).alias("id_a")
+    )
+    right = banded.select(
+        F.col("band").alias("band_b"), F.col("bkey").alias("bkey_b"),
+        F.col(id_col).alias("id_b"),
+    )
+    candidates = (
+        left.join(
+            right,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("bkey") == F.col("bkey_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_tbl = sigs.select(F.col(id_col), F.col("sh"))
+    return (
+        candidates.join(
+            sh_tbl.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+        )
+        .join(sh_tbl.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .select("id_a", "id_b", _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

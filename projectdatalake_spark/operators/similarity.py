@@ -1,0 +1,181 @@
+"""Similarity search over embedding columns (array<float>).
+
+North-star surface (BASELINE.json): approximate-nearest-neighbor over
+document embeddings. Two rungs:
+
+- ``topk_neighbors`` — exact brute force: broadcast the (small) query set
+  against the corpus, cosine per pair, window top-k. O(|Q|·n) with no
+  shuffle of the corpus — the correctness baseline, and the right plan
+  whenever |Q| is small.
+- ``topk_neighbors_lsh`` — random-hyperplane LSH: bucket corpus and
+  queries by the sign pattern of ``num_planes`` fixed hyperplane dots
+  (seeded, deterministic), search only matching buckets (multi-probe:
+  Hamming ≤ 1), re-rank candidates exactly. Sub-linear candidate sets at
+  the cost of bounded recall loss — the 100 TB path (bucket table can be
+  precomputed and partitioned by bucket id).
+
+Cosine math uses the engine's higher-order-function expressions
+(functions.scalar.vec_dot) — JVM-side, no Python per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from projectdatalake_spark.functions.scalar import cosine_similarity, vec_dot
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    block_cols: list[str] = [],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine within blocks.
+
+    Quadratic within a block (like dedup.jaccard_pairs); use LSH buckets as
+    the block at scale. Returns (id_a, id_b, cosine), id_a < id_b.
+    """
+    proj = df.select(
+        F.col(id_col), *[F.col(c) for c in block_cols], F.col(vec_col)
+    )
+    left = proj.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in block_cols],
+        F.col(vec_col).alias("v_a"),
+    )
+    right = proj.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in block_cols],
+        F.col(vec_col).alias("v_b"),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    for c in block_cols:
+        cond = cond & (F.col(f"{c}_a") == F.col(f"{c}_b"))
+    return (
+        left.join(right, cond)
+        .select("id_a", "id_b", cosine_similarity(F.col("v_a"), F.col("v_b")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def topk_neighbors(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` is broadcast (must be driver-small); the corpus streams
+    through map-side — the only shuffle is the per-query window on
+    |Q|·n candidate rows, bounded by keeping |Q| small.
+    Output: (query_id, neighbor_id, cosine, rank), self-matches excluded,
+    ties broken by neighbor id.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    scored = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+        .join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _plane_literals(
+    num_tables: int, num_planes: int, dim: int, seed: int
+) -> list[list[list[float]]]:
+    """Deterministic random hyperplanes (seeded; reproducible across runs):
+    one plane set per hash table."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((num_tables, num_planes, dim)).astype("float64").tolist()
+
+
+def bucket_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id: bit p set iff dot(vec, plane_p) > 0."""
+    sig = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        dot = vec_dot(vec, F.array(*[F.lit(x) for x in plane]))
+        sig = sig + F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def topk_neighbors_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    num_tables: int = 8,
+    num_planes: int = 6,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k via multi-table random-hyperplane LSH + Hamming≤1 probe.
+
+    ``num_tables`` independent plane sets: a corpus row indexes into one
+    bucket per table; a query probes, per table, its own bucket plus the
+    ``num_planes`` buckets one bit away. Union of candidates re-ranks by
+    exact cosine. With p = P(same side of one plane) = 1 - θ/π, per-table
+    hit ≈ p^r + r·p^(r-1)(1-p); tables multiply recall: 1-(1-hit)^L — at
+    moderate similarity (cos≈0.4, p≈0.63) this is ~0.9 for L=8, r=6 where
+    a single 8-plane table sits near 0.1. Bucket index is L× the corpus
+    in rows (ids only) — the classic LSH memory/recall trade.
+    """
+    tables = _plane_literals(num_tables, num_planes, dim, seed)
+    c_buckets = F.array(
+        *[
+            # table id in the high bits so buckets never collide across tables
+            bucket_signature(F.col(vec_col), planes) + F.lit(t << 32).cast("long")
+            for t, planes in enumerate(tables)
+        ]
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.explode(c_buckets).alias("bucket"),
+    )
+    probe_cols = []
+    for t, planes in enumerate(tables):
+        base = bucket_signature(F.col(vec_col), planes) + F.lit(t << 32).cast("long")
+        probe_cols.append(base)
+        probe_cols.extend(base.bitwiseXOR(F.lit(1 << p)) for p in range(num_planes))
+    q_probe = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(F.array(*probe_cols)).alias("bucket"),
+    )
+
+    from pyspark.sql import Window
+
+    scored = (
+        c.join(F.broadcast(q_probe), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "q_vec", "c_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,185 @@
+"""Text analysis operators for large-scale document pipelines.
+
+North-star surface (BASELINE.json): language identification, quality
+scoring, token counting, document fingerprinting — the per-document feature
+extraction an LLM training-data pipeline runs over billions of documents.
+
+Everything here is pure Catalyst expressions (split/regexp/array ops inside
+whole-stage codegen): zero Python execution per row, embarrassingly
+parallel, no shuffle — the 100 TB-safe shape for per-doc featurization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tiny per-language function-word lists (public knowledge). Distinct-hit
+# counts over these drive the language-ID heuristic.
+STOPWORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "en": ["the", "and", "of", "to", "in", "is", "a", "that"],
+    "es": ["el", "la", "los", "de", "y", "es", "que", "un"],
+    "fr": ["le", "la", "les", "et", "est", "que", "une", "dans"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (order-sensitive document signature).
+
+    Token *sets* saturate on small vocabularies; shingles are the standard
+    near-dup unit (MinHash literature). Returns empty array for docs with
+    fewer than ``n`` tokens.
+    """
+    starts = F.sequence(F.lit(1), F.size(toks) - (n - 1))  # 1-based
+    grams = F.transform(
+        starts,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+# --- quality features -------------------------------------------------------
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are neither word chars nor whitespace."""
+    return F.length(F.regexp_replace(text, r"[\w\s]", "")) / F.length(text)
+
+
+def digit_ratio(text: Column) -> Column:
+    return F.length(F.regexp_replace(text, r"[^0-9]", "")) / F.length(text)
+
+
+def stopword_hits(toks: Column, lang: str) -> Column:
+    """Distinct stopword hits for one language."""
+    stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.array_intersect(F.array_distinct(toks), stop))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Per-document quality signals (all per-row, deterministic)."""
+    toks = tokens(text)
+    n_toks = F.size(toks)
+    return {
+        "n_chars": F.length(text),
+        "n_tokens": n_toks,
+        "avg_token_len": (F.length(F.regexp_replace(text, r"\s+", "")) / n_toks),
+        "uniq_token_ratio": (F.size(F.array_distinct(toks)) / n_toks),
+        "punct_ratio": punct_ratio(text),
+        "digit_ratio": digit_ratio(text),
+        "stopword_ratio": (
+            F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"]))) / n_toks
+        ),
+    }
+
+
+def langid(text: Column) -> Column:
+    """n-gram-free language-ID heuristic: most distinct function-word hits
+    wins; ties resolve to the alphabetically first language; zero hits →
+    'und' (BCP-47 undetermined)."""
+    toks = tokens(text)
+    hits = {lang: stopword_hits(toks, lang) for lang in sorted(STOPWORDS)}
+    best: Column = F.lit("und")
+    best_score: Column = F.lit(0)
+    # alphabetical chain: earlier language wins ties (strict > afterwards)
+    for lang in sorted(STOPWORDS):
+        cond = hits[lang] > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, hits[lang]).otherwise(best_score)
+    return best
+
+
+# --- fingerprinting ---------------------------------------------------------
+
+
+def normalize(text: Column) -> Column:
+    """Canonical form for hashing: lowercase, collapsed whitespace."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Content hash of the normalized text (exact-dup key)."""
+    return F.md5(normalize(text))
+
+
+def fingerprint_weighted(text: Column) -> Column:
+    """Order-sensitive 64-bit-ish fingerprint: position-weighted sum of a
+    cheap per-token hash (length/first/last char codes). A rolling-hash
+    analog expressible in ANSI SQL (oracle parity) and in one Spark
+    posexplode-free aggregate."""
+    toks = tokens(text)
+    starts = F.sequence(F.lit(1), F.size(toks))
+    terms = F.transform(
+        starts,
+        lambda i: i.cast("long")
+        * (
+            F.length(F.element_at(toks, i)) * 131
+            + F.ascii(F.element_at(toks, i)) * 7
+            + F.ascii(F.reverse(F.element_at(toks, i)))
+        ),
+    )
+    return F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash over token xxhash64 values.
+
+    Per token, each of the 64 bits votes ±1; the fingerprint sets bit b iff
+    the aggregate vote is positive. Near-identical documents differ in few
+    bits (compare with ``hamming64``). Pure higher-order-function
+    expressions — no UDF.
+    """
+    # bit masks as Python-side literals (bit 63 is the sign bit of a long)
+    masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
+    hashes = F.transform(tokens(text), lambda t: F.xxhash64(t))
+
+    def bitsof(h: Column) -> Column:
+        return F.array(
+            *[F.when(h.bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1) for m in masks]
+        )
+
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(acc, bitsof(h), lambda a, b: a + b),
+    )
+    weights = F.array(
+        *[
+            F.when(F.element_at(votes, b + 1) > 0, F.lit(m).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for b, m in enumerate(masks)
+        ]
+    )
+    return F.aggregate(weights, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full feature bundle to a documents DataFrame."""
+    text = F.col(text_col)
+    feats = quality_features(text)
+    return df.withColumns(
+        {
+            **feats,
+            "lang_pred": langid(text),
+            "content_hash": fingerprint_md5(text),
+            "fingerprint": fingerprint_weighted(text),
+            "simhash": simhash64(text),
+        }
+    )

@@ -1009,3 +1009,290 @@ def star_fact_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
+
+
+# =========================================================================
+# Text analysis (north-star: documents table)
+# =========================================================================
+
+
+@query(
+    "text_token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           length(text)                                          AS n_chars,
+           len(string_split_regex(lower(trim(text)), '\s+'))     AS n_tokens,
+           len(list_distinct(string_split_regex(lower(trim(text)), '\s+')))
+                                                                 AS n_uniq_tokens,
+           length(regexp_replace(text, '\s+', '', 'g'))
+             / len(string_split_regex(lower(trim(text)), '\s+')) AS avg_token_len
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (north-star text-analysis surface): whitespace
+    tokenization, distinct-token and average-length stats — all codegen'd
+    expressions, no shuffle."""
+    from projectdatalake_spark.operators import text as TX
+
+    d = _t(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+        (F.length(F.regexp_replace(F.col("text"), r"\s+", "")) / F.size(toks)).alias(
+            "avg_token_len"
+        ),
+    )
+
+
+@query(
+    "text_quality",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, text,
+               string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           length(regexp_replace(text, '[\w\s]', '', 'g'))::DOUBLE / length(text)
+               AS punct_ratio,
+           length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text)
+               AS digit_ratio,
+           len(list_filter(toks, t -> list_contains(
+               ['the','and','of','to','in','is','a','that'], t)))::DOUBLE / len(toks)
+               AS stopword_ratio,
+           len(list_distinct(toks))::DOUBLE / len(toks) AS uniq_token_ratio
+    FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring signals (punctuation/digit/stopword/uniqueness
+    ratios) — the standard cheap filters of a training-data pipeline."""
+    from projectdatalake_spark.operators import text as TX
+
+    d = _t(spark, sf_dir, "documents")
+    feats = TX.quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["digit_ratio"].alias("digit_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["uniq_token_ratio"].alias("uniq_token_ratio"),
+    )
+
+
+@query(
+    "text_langid",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
+        FROM documents
+    ), scored AS (
+        SELECT doc_id,
+               len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','zu'])) AS h_de,
+               len(list_intersect(toks, ['the','and','of','to','in','is','a','that']))       AS h_en,
+               len(list_intersect(toks, ['el','la','los','de','y','es','que','un']))         AS h_es,
+               len(list_intersect(toks, ['le','la','les','et','est','que','une','dans']))    AS h_fr
+        FROM t
+    )
+    SELECT doc_id,
+           CASE
+             WHEN h_de = 0 AND h_en = 0 AND h_es = 0 AND h_fr = 0 THEN 'und'
+             WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+             WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+             WHEN h_es >= h_fr THEN 'es'
+             ELSE 'fr'
+           END AS lang_pred
+    FROM scored
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: most distinct function-word hits wins,
+    alphabetical tiebreak, 'und' when nothing matches."""
+    from projectdatalake_spark.operators import text as TX
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.langid(F.col("text")).alias("lang_pred"))
+
+
+@query(
+    "text_fingerprint",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\s+') AS toks,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash
+        FROM documents
+    ), x AS (
+        SELECT doc_id, content_hash,
+               unnest(toks) AS tok,
+               generate_subscripts(toks, 1) AS pos
+        FROM t
+    )
+    SELECT doc_id,
+           any_value(content_hash) AS content_hash,
+           sum(CAST(pos AS BIGINT) * (length(tok) * 131 + ascii(tok) * 7
+               + ascii(reverse(tok))))::BIGINT AS fingerprint
+    FROM x
+    GROUP BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 content hash of normalized text plus a
+    position-weighted rolling-hash analog (order-sensitive)."""
+    from projectdatalake_spark.operators import text as TX
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.fingerprint_md5(F.col("text")).alias("content_hash"),
+        TX.fingerprint_weighted(F.col("text")).alias("fingerprint"),
+    )
+
+
+@query("text_simhash")  # hash family is Spark-specific → rows-only check
+def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (Hamming-comparable); xxhash64 family is
+    not reproducible in ANSI SQL, so the driver records rows-only."""
+    from projectdatalake_spark.operators import text as TX
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.simhash64(F.col("text")).alias("simhash"))
+
+
+# =========================================================================
+# Deduplication (north-star: exact → jaccard → MinHash-LSH ladder)
+# =========================================================================
+
+
+@query(
+    "dedup_exact_docs",
+    oracle=r"""
+    SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+           min(doc_id) AS canonical_id,
+           count(*)    AS n_dupes
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups on normalized content (hash-groupBy — the O(n)
+    rung of the dedup ladder)."""
+    from projectdatalake_spark.operators import dedup as D
+
+    return D.exact_groups(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_jaccard_pairs",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id, lang,
+               list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                              for i in range(1, len(toks) - 1)]) AS sh
+        FROM t WHERE len(toks) >= 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(list_cat(a.sh, b.sh))) AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id AND a.lang = b.lang
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(list_cat(a.sh, b.sh))) >= 0.5
+    """,
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-trigram shingle Jaccard, blocked by language
+    (quadratic within block — the exact mid-rung; LSH is the scale path)."""
+    from projectdatalake_spark.operators import dedup as D
+
+    return D.jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5, block_cols=["lang"]
+    )
+
+
+@query("dedup_minhash_lsh")  # xxhash64 family not in ANSI SQL → rows-only
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (32 hashes, 8 bands) with exact-Jaccard
+    verification — the linear-time scale path. Recall vs the exact pair
+    query is asserted in pytest; the driver records rows-only."""
+    from projectdatalake_spark.operators import dedup as D
+
+    return D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+# =========================================================================
+# Vector similarity (north-star: embeddings table)
+# =========================================================================
+
+_COS_SQL = (
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+)
+
+
+@query(
+    "neardup_cosine_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_SQL} AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.vec_id < b.vec_id AND a.label = b.label
+    WHERE {_COS_SQL} >= 0.35
+    """,
+)
+def neardup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine ≥ 0.35 — calibrated to this
+    corpus's within-label similarity range) in label blocks —
+    higher-order-function dot products, no UDF (north-star dedup rung)."""
+    from projectdatalake_spark.operators import similarity as S
+
+    return S.cosine_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, block_cols=["label"]
+    )
+
+
+@query(
+    "ann_topk_bruteforce",
+    oracle="""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS cosine
+        FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
+        JOIN embeddings c ON c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for a fixed query set (vec_id < 5):
+    broadcast queries × streamed corpus — the ANN correctness baseline."""
+    from projectdatalake_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.topk_neighbors(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@query("ann_topk_lsh")  # LSH planes are engine-side constants → rows-only
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via random-hyperplane LSH (8 planes, Hamming≤1 probe)
+    with exact re-rank — the sub-linear scale path. Recall vs brute force
+    is asserted in pytest; driver records rows-only."""
+    from projectdatalake_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.topk_neighbors_lsh(emb, emb.filter(F.col("vec_id") < 5), k=10)

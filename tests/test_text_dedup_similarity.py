@@ -1,0 +1,105 @@
+"""Text analysis, dedup ladder, and similarity search semantics —
+including recall of the approximate (LSH) paths against exact baselines."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from projectdatalake_spark.operators import dedup as D, similarity as S, text as TX
+from projectdatalake_spark.sources import load_table
+
+
+def test_langid_on_crafted_texts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "der hund und die katze ist nicht da"),
+            (2, "the cat and the dog is a friend of mine"),
+            (3, "el perro y la casa es que un gato"),
+            (4, "le chat et la maison est dans les arbres"),
+            (5, "xyzzy plugh qwerty"),
+        ],
+        ["id", "text"],
+    )
+    got = {r.id: r.lang for r in df.select("id", TX.langid(F.col("text")).alias("lang")).collect()}
+    assert got == {1: "de", 2: "en", 3: "es", 4: "fr", 5: "und"}
+
+
+def test_simhash_near_texts_low_hamming(spark):
+    base = "spark runs declarative plans through catalyst and tungsten every day"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("every day", "every single day")),  # near-dup
+            (3, "completely different words about cooking pasta tonight"),
+        ],
+        ["id", "text"],
+    )
+    out = df.select("id", TX.simhash64(F.col("text")).alias("sh"))
+    sh = {r.id: r.sh for r in out.collect()}
+    near = df.sparkSession.range(1).select(
+        TX.hamming64(F.lit(sh[1]), F.lit(sh[2])).alias("near"),
+        TX.hamming64(F.lit(sh[1]), F.lit(sh[3])).alias("far"),
+    ).first()
+    assert near.near < near.far
+    assert near.near <= 16
+
+
+def test_exact_groups_counts_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other text")],
+        ["doc_id", "text"],
+    )
+    out = {r.canonical_id: r.n_dupes for r in D.exact_groups(df).collect()}
+    # normalization (lower + collapse whitespace) unifies 1 and 2
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in D.jaccard_pairs(docs, threshold=0.5).collect()  # unblocked
+    }
+    lsh = {(r.id_a, r.id_b) for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert exact, "corpus should contain planted near-duplicates"
+    # no false positives (verification step) and high recall
+    assert lsh <= exact
+    assert len(lsh) / len(exact) >= 0.9, (len(lsh), len(exact))
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.topk_neighbors(emb, queries, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.topk_neighbors_lsh(emb, queries, k=10).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall  # 8-plane, Hamming<=1 probe envelope
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([(1, "one two"), (2, "one two three four")], ["id", "text"])
+    out = df.select("id", TX.shingles(TX.tokens(F.col("text"))).alias("sh"))
+    got = {r.id: r.sh for r in out.collect()}
+    assert got[1] == []
+    assert got[2] == ["one two three", "two three four"]
+
+
+def test_quality_features_ranges(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    feats = TX.with_text_features(docs)
+    row = feats.agg(
+        F.min("punct_ratio").alias("pmin"),
+        F.max("punct_ratio").alias("pmax"),
+        F.min("uniq_token_ratio").alias("umin"),
+        F.max("uniq_token_ratio").alias("umax"),
+        F.countDistinct("simhash").alias("n_sim"),
+    ).first()
+    assert 0 <= row.pmin <= row.pmax <= 1
+    assert 0 < row.umin <= row.umax <= 1
+    assert row.n_sim > 1
