@@ -1296,3 +1296,177 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return S.topk_neighbors_lsh(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+# =========================================================================
+# Structured Streaming (availableNow-driven, batch-equivalent oracles)
+# =========================================================================
+
+
+@query(
+    "stream_tumbling_agg",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS w_start,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An actual Structured Streaming query run to completion: watermarked
+    hourly tumbling windows over the event stream, availableNow trigger,
+    memory sink — output must equal the batch GROUP BY (SURVEY.md §2.7)."""
+    from projectdatalake_spark import streaming as ST
+
+    stream = ST.read_events_stream(spark, sf_dir)
+    return ST.run_available_now(ST.tumbling_window_agg(stream))
+
+
+@query(
+    "stream_sliding_agg",
+    oracle="""
+    WITH offsets AS (SELECT unnest([0, 1]) AS k)
+    SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))
+             - k * INTERVAL 1 HOUR AS w_start,
+           count(*) AS n
+    FROM events, offsets
+    GROUP BY 1
+    """,
+)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding windows (2h width, 1h slide): every event lands in
+    two overlapping windows; oracle mirrors via the two-offset expansion."""
+    from projectdatalake_spark import streaming as ST
+
+    stream = ST.read_events_stream(spark, sf_dir)
+    return ST.run_available_now(ST.sliding_window_agg(stream))
+
+
+@query(
+    "stream_dedup_keys",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates projected to its key set (deterministic),
+    driven to completion — the streaming twin of D2."""
+    from projectdatalake_spark import streaming as ST
+
+    stream = ST.read_events_stream(spark, sf_dir)
+    return ST.run_available_now(
+        ST.dedup_keys_stream(stream, ["user_id", "event_type"]), output_mode="append"
+    )
+
+
+@query(
+    "session_window_agg",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                         OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
+                            > INTERVAL 30 MINUTES
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked
+    )
+    SELECT user_id,
+           min(ts)                       AS session_start,
+           max(ts) + INTERVAL 30 MINUTES AS session_end,
+           count(*)                      AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (30-min gap) — same operator serves batch and
+    streaming; oracle derives sessions independently via lag/cumsum."""
+    from projectdatalake_spark import streaming as ST
+
+    ev = _t(spark, sf_dir, "events")
+    return ST.session_window_agg(ev)
+
+
+# =========================================================================
+# Multimodal binary columns (decode stubbed; plumbing real)
+# =========================================================================
+
+
+@query(
+    "mm_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text)                  AS digest,
+           hex(encode(substr(text, 1, 4))) AS magic
+    FROM documents
+    """,
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary payloads with typed metadata (north-star multimodal
+    plumbing): byte length, content digest, magic-prefix hex."""
+    from projectdatalake_spark.operators import multimodal as MM
+
+    d = _t(spark, sf_dir, "documents")
+    payload = MM.to_binary(F.col("text"))
+    meta = MM.payload_metadata(payload)
+    return d.select(
+        "doc_id",
+        meta["n_bytes"].alias("n_bytes"),
+        meta["digest"].alias("digest"),
+        meta["magic"].alias("magic"),
+    )
+
+
+@query(
+    "mm_chunking",
+    oracle="""
+    SELECT doc_id,
+           CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) AS n_chunks,
+           octet_length(encode(text))
+             - (CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) - 1) * 64
+               AS last_chunk_bytes
+    FROM documents
+    """,
+)
+def mm_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size binary chunking (the distribution unit for large blobs):
+    chunk count and tail-chunk size derived from the real chunk array."""
+    from projectdatalake_spark.operators import multimodal as MM
+
+    d = _t(spark, sf_dir, "documents")
+    chunks = MM.chunk_payload(MM.to_binary(F.col("text")), 64)
+    return d.select(
+        "doc_id",
+        F.size(chunks).alias("n_chunks"),
+        F.octet_length(F.element_at(chunks, -1)).alias("last_chunk_bytes"),
+    )
+
+
+@query(
+    "mm_decode_features",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text))                    AS n_bytes,
+           64 + octet_length(encode(text)) % 192         AS width,
+           64 + (octet_length(encode(text)) * 7) % 192   AS height,
+           (octet_length(encode(text)) % 256) / 255.0    AS mean_luma
+    FROM documents
+    """,
+)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode + feature extraction via mapInPandas (decode
+    kernel is a deterministic stub — container has no codecs — so the
+    oracle can replicate it; the batch/schema/partitioning plumbing is
+    the real thing)."""
+    from projectdatalake_spark.operators import multimodal as MM
+
+    d = _t(spark, sf_dir, "documents")
+    with_payload = d.select("doc_id", MM.to_binary(F.col("text")).alias("payload"))
+    return MM.decode_image_features(with_payload)

@@ -44,13 +44,20 @@ def prepare(spark: SparkSession) -> SparkSession:
 
     Called at the top of every public query entry point so behaviour does not
     depend on who constructed the session (our factory, the verify driver,
-    or a notebook).
+    or a notebook). Also right-sizes shuffle partitions when the session
+    still carries the 200 default — AQE coalesces batch shuffles anyway,
+    but streaming state stores get one instance per partition.
     """
     for key, value in RUNTIME_CONFS.items():
         try:
             spark.conf.set(key, value)
         except Exception:  # pragma: no cover - static conf on some builds
             pass
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+    except Exception:  # pragma: no cover
+        pass
     return spark
 
 

@@ -1,0 +1,123 @@
+"""Structured Streaming over the event pipeline.
+
+The reference is batch-only (SURVEY.md §2.7), but its log data is
+event-shaped; this module provides the streaming twin of the batch
+operators: watermarked tumbling/sliding window aggregation, session
+windows, and streaming dedup. The same logical plan runs continuously
+against a live source (kafka/files) or to completion with an
+``availableNow`` trigger — which is how the batch-equivalence oracle
+checks run it (memory sink, SURVEY.md §7 step 9).
+
+Scale notes: watermarks bound state; window aggregations are partial-agg
+before the stateful shuffle; ``dropDuplicates`` state is bounded by
+watermark when keys include event time (else unbounded — use
+``dropDuplicatesWithinWatermark``).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from projectdatalake_spark import schemas
+from projectdatalake_spark.session import prepare
+from projectdatalake_spark.sources.readers import table_path
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (explicit schema — required
+    by readStream; ts arrives as epoch nanos and is normalized exactly like
+    the batch reader)."""
+    prepare(spark)
+    # file-source streams take a directory; select the one table via glob.
+    # event time stays TimestampType (ltz): watermarks require it — window
+    # bounds are cast to ntz at output (session TZ is pinned UTC).
+    raw = (
+        spark.readStream.schema(schemas.EVENTS_RAW)
+        .option("pathGlobFilter", "events.parquet")
+        .format("parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts_ns", F.col("ts")).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def tumbling_window_agg(
+    stream: DataFrame, width: str = "1 hour", watermark: str = "1 hour"
+) -> DataFrame:
+    """Watermarked tumbling-window counts/sums per event type.
+
+    Money accumulates in DECIMAL (same exactness contract as batch).
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(27,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("w_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window_agg(
+    stream: DataFrame,
+    width: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked sliding-window event counts (each event lands in
+    width/slide overlapping windows)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("timestamp_ntz").alias("w_start"), "n")
+    )
+
+
+def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` of silence.
+
+    Works identically on batch and streaming inputs (F.session_window);
+    on streams add ``withWatermark`` upstream and append output mode.
+    """
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_keys_stream(stream: DataFrame, keys: list[str]) -> DataFrame:
+    """Streaming dedup projected to its keys (deterministic output: which
+    physical row survives is arbitrary, the key set is not)."""
+    return stream.dropDuplicates(keys).select(*keys)
+
+
+def run_available_now(result: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Drive a streaming DataFrame to completion over the currently
+    available input (availableNow trigger → memory sink) and return the
+    final result as a batch DataFrame."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        result.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.table(name)

@@ -1,0 +1,86 @@
+"""Streaming equivalence and multimodal plumbing semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from projectdatalake_spark import streaming as ST
+from projectdatalake_spark.operators import multimodal as MM
+from projectdatalake_spark.sources import load_table
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir):
+    stream = ST.read_events_stream(spark, sf_dir)
+    got = ST.run_available_now(ST.tumbling_window_agg(stream))
+    ev = load_table(spark, sf_dir, "events")
+    want = (
+        ev.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(27,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("w_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_streaming_dedup_keys_matches_distinct(spark, sf_dir):
+    stream = ST.read_events_stream(spark, sf_dir)
+    got = ST.run_available_now(
+        ST.dedup_keys_stream(stream, ["user_id", "event_type"]), output_mode="append"
+    )
+    want = load_table(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_session_window_counts_sum_to_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    sessions = ST.session_window_agg(ev)
+    total = sessions.agg(F.sum("n_events")).first()[0]
+    assert total == ev.count()
+    # sessions are disjoint per user and end >= start
+    bad = sessions.filter(F.col("session_end") <= F.col("session_start"))
+    assert bad.count() == 0
+
+
+def test_chunking_round_trip(spark):
+    df = spark.createDataFrame([(1, "a" * 130), (2, "b" * 64), (3, "c")], ["id", "text"])
+    chunks = MM.chunk_payload(MM.to_binary(F.col("text")), 64)
+    out = df.select(
+        "id",
+        F.size(chunks).alias("n"),
+        # reassembling the chunks must reproduce the payload
+        (F.aggregate(
+            F.transform(chunks, lambda c: c.cast("string")),
+            F.lit(""),
+            lambda acc, c: F.concat(acc, c),
+        ) == F.col("text")).alias("roundtrip"),
+    )
+    got = {r.id: (r.n, r.roundtrip) for r in out.collect()}
+    assert got == {1: (3, True), 2: (1, True), 3: (1, True)}
+
+
+def test_decode_features_deterministic_and_arrow_batched(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    payloads = docs.select("doc_id", MM.to_binary(F.col("text")).alias("payload"))
+    a = sorted(map(tuple, MM.decode_image_features(payloads).collect()))
+    b = sorted(map(tuple, MM.decode_image_features(payloads).collect()))
+    assert a == b
+    assert len(a) == 50
+    # width/height land in the documented envelope
+    assert all(64 <= r[2] < 256 and 64 <= r[3] < 256 for r in a)
+
+
+def test_frame_sampling(spark):
+    df = spark.createDataFrame([(1, "x" * 100)], ["id", "text"])
+    frames = MM.sample_frames(MM.to_binary(F.col("text")), frame_bytes=10, every_n=3)
+    out = df.select(F.size(frames).alias("n")).first()
+    # 10 frames, keep 0,3,6,9 → 4
+    assert out.n == 4
