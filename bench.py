@@ -22,6 +22,7 @@ import __spark_entry__ as entry_mod  # noqa: E402
 from projectdatalake_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
+    # relational / analytic core
     "q1_pricing_summary",
     "multi_join_snowflake",
     "tpch_q3_shipping",
@@ -32,6 +33,17 @@ HEADLINE = [
     "agg_cube",
     "win_topk_per_group",
     "win_running_sum",
+    "asof_join_events_orders",
+    "sessionize_events",
+    # north-star document/vector operators
+    "text_quality",
+    "text_fingerprint",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "neardup_cosine_pairs",
+    "ann_topk_bruteforce",
+    # streaming
+    "stream_tumbling_agg",
 ]
 REPS = 3
 

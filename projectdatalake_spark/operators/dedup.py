@@ -59,10 +59,21 @@ def jaccard_pairs(
     100 TB input use ``minhash_lsh_pairs`` instead.
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
-    sh = df.select(
+    slim = df.select(
+        F.col(id_col), *[F.col(c) for c in block_cols], F.col(text_col)
+    )
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if slim.rdd.getNumPartitions() < target:
+        slim = slim.repartition(target)
+    toked = slim.select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
-        shingles(tokens(F.col(text_col)), n).alias("sh"),
+        tokens(F.col(text_col)).alias("toks"),
+    )
+    sh = toked.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        shingles(F.col("toks"), n).alias("sh"),
     ).filter(F.size("sh") > 0)
     left = sh.select(
         F.col(id_col).alias("id_a"),
@@ -84,6 +95,28 @@ def jaccard_pairs(
     )
 
 
+def shingle_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, sh): shingle sets, spread across the cluster.
+
+    Small document tables often arrive as one or two parquet splits; the
+    per-doc shingle/hash work is CPU-bound, so under-partitioned input
+    serializes it on one core. Repartitioning (id, text) pairs is cheap
+    relative to the work and restores full parallelism — the same logic a
+    100 TB run applies per file-split.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    slim = df.select(F.col(id_col), F.col(text_col))
+    if slim.rdd.getNumPartitions() < target:
+        slim = slim.repartition(target)
+    toked = slim.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+    return toked.select(
+        F.col(id_col), shingles(F.col("toks"), n).alias("sh")
+    ).filter(F.size("sh") > 0)
+
+
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = 32,
@@ -91,24 +124,27 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n: int = 3,
 ) -> DataFrame:
-    """MinHash signatures over word-``n``-gram shingles.
+    """MinHash signatures over word-``n``-gram shingles → one column per
+    hash (h0..h{k-1}) plus the shingle set.
 
-    Hash family: xxhash64(shingle, seed_i) — k independent 64-bit hashes
-    evaluated JVM-side inside one projection. Signature i is the min over
-    the document's shingles. Rows with no shingles are dropped.
+    Hash family: xxhash64(shingle, seed_i). Computed via explode →
+    k min-aggregates: each shingle is hashed exactly k times inside one
+    hash-aggregate (map-side partial), and the aggregation barrier
+    materializes the signature so downstream band expressions reference
+    plain columns — never re-evaluating the MinHash work. (The naive
+    array-of-transforms form re-inlines the whole signature expression
+    into every element_at reference: ~32× the work.)
     """
-    toks = tokens(F.col(text_col))
-    sh = shingles(toks, n)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("sh"), lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
-    )
-    return (
-        df.select(F.col(id_col), sh.alias("sh"))
-        .filter(F.size("sh") > 0)
-        .withColumn("sig", sig)
+    sh_df = shingle_sets(df, text_col, id_col, n)
+    return minhash_from_shingles(sh_df, num_hashes, id_col)
+
+
+def minhash_from_shingles(
+    sh_df: DataFrame, num_hashes: int = 32, id_col: str = "doc_id"
+) -> DataFrame:
+    exploded = sh_df.select(F.col(id_col), F.explode("sh").alias("s"))
+    return exploded.groupBy(id_col).agg(
+        *[F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
     )
 
 
@@ -135,19 +171,27 @@ def minhash_lsh_pairs(
     quantified) LSH miss rate.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, num_hashes, text_col, id_col, n)
+    # the shingle table feeds both signature generation and final
+    # verification, and the banded index is self-joined: persist both so
+    # each is computed once (at warehouse scale these would be materialized
+    # tables between pipeline stages — the reference's own
+    # materialization-barrier pattern, SURVEY.md §2.9 W2)
+    sh_df = shingle_sets(df, text_col, id_col, n).persist()
+    sigs = minhash_from_shingles(sh_df, num_hashes, id_col)
     band_keys = F.array(
         *[
             F.xxhash64(
-                F.lit(b), *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                F.lit(b), *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
             )
             for b in range(bands)
         ]
     )
     # bucket join on id pairs only — shingle arrays are joined back later so
     # the band explode/shuffle carries (id, band, bkey), not document bodies
-    banded = sigs.withColumn("band_key", band_keys).select(
-        F.col(id_col), F.posexplode("band_key").alias("band", "bkey")
+    banded = (
+        sigs.withColumn("band_key", band_keys)
+        .select(F.col(id_col), F.posexplode("band_key").alias("band", "bkey"))
+        .persist()
     )
     left = banded.select(
         F.col("band"), F.col("bkey"), F.col(id_col).alias("id_a")
@@ -166,7 +210,7 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh_tbl = sigs.select(F.col(id_col), F.col("sh"))
+    sh_tbl = sh_df
     return (
         candidates.join(
             sh_tbl.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a"

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from projectdatalake_spark.functions.scalar import cosine_similarity, vec_dot
+from projectdatalake_spark.functions.scalar import vec_dot
 
 
 def cosine_pairs(
@@ -37,25 +37,40 @@ def cosine_pairs(
     Quadratic within a block (like dedup.jaccard_pairs); use LSH buckets as
     the block at scale. Returns (id_a, id_b, cosine), id_a < id_b.
     """
-    proj = df.select(
+    # cast + norm are materialized per ROW before the pair join (O(n)),
+    # so each of the O(n²/blocks) pairs pays only one dot product; the
+    # pair-generation side is repartitioned so the quadratic dot-product
+    # work spreads across all cores even when the table is one file split
+    slim = df.select(
         F.col(id_col), *[F.col(c) for c in block_cols], F.col(vec_col)
     )
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if slim.rdd.getNumPartitions() < target:
+        slim = slim.repartition(target)
+    proj = slim.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("norm", F.sqrt(vec_dot(F.col("v"), F.col("v"))))
     left = proj.select(
         F.col(id_col).alias("id_a"),
         *[F.col(c).alias(f"{c}_a") for c in block_cols],
-        F.col(vec_col).alias("v_a"),
+        F.col("v").alias("v_a"),
+        F.col("norm").alias("norm_a"),
     )
     right = proj.select(
         F.col(id_col).alias("id_b"),
         *[F.col(c).alias(f"{c}_b") for c in block_cols],
-        F.col(vec_col).alias("v_b"),
+        F.col("v").alias("v_b"),
+        F.col("norm").alias("norm_b"),
     )
     cond = F.col("id_a") < F.col("id_b")
     for c in block_cols:
         cond = cond & (F.col(f"{c}_a") == F.col(f"{c}_b"))
+    cos = vec_dot(F.col("v_a"), F.col("v_b")) / (F.col("norm_a") * F.col("norm_b"))
     return (
         left.join(right, cond)
-        .select("id_a", "id_b", cosine_similarity(F.col("v_a"), F.col("v_b")).alias("cosine"))
+        .select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 
@@ -78,16 +93,17 @@ def topk_neighbors(
     from pyspark.sql import Window
 
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    ).withColumn("q_norm", F.sqrt(vec_dot(F.col("q_vec"), F.col("q_vec"))))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+    ).withColumn("c_norm", F.sqrt(vec_dot(F.col("c_vec"), F.col("c_vec"))))
+    cos = vec_dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))
     scored = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
-        .join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_similarity(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
-        )
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -148,34 +164,37 @@ def topk_neighbors_lsh(
             for t, planes in enumerate(tables)
         ]
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        F.explode(c_buckets).alias("bucket"),
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("c_vec"),
+            F.explode(c_buckets).alias("bucket"),
+        )
+        .withColumn("c_norm", F.sqrt(vec_dot(F.col("c_vec"), F.col("c_vec"))))
     )
     probe_cols = []
     for t, planes in enumerate(tables):
         base = bucket_signature(F.col(vec_col), planes) + F.lit(t << 32).cast("long")
         probe_cols.append(base)
         probe_cols.extend(base.bitwiseXOR(F.lit(1 << p)) for p in range(num_planes))
-    q_probe = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.explode(F.array(*probe_cols)).alias("bucket"),
+    q_probe = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("q_vec"),
+            F.explode(F.array(*probe_cols)).alias("bucket"),
+        )
+        .withColumn("q_norm", F.sqrt(vec_dot(F.col("q_vec"), F.col("q_vec"))))
     )
 
     from pyspark.sql import Window
 
+    cos = vec_dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))
     scored = (
         c.join(F.broadcast(q_probe), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "q_vec", "c_vec")
+        .select("query_id", "neighbor_id", "q_vec", "c_vec", "q_norm", "c_norm")
         .dropDuplicates(["query_id", "neighbor_id"])
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_similarity(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
-        )
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

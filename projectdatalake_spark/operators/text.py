@@ -38,15 +38,20 @@ def shingles(toks: Column, n: int = 3) -> Column:
     Token *sets* saturate on small vocabularies; shingles are the standard
     near-dup unit (MinHash literature). Returns empty array for docs with
     fewer than ``n`` tokens.
+
+    Built by zipping ``n`` shifted slices of the token array — ``toks`` is
+    referenced a constant number of times, so even if Catalyst inlines an
+    expensive producer expression (e.g. the regex split) it costs O(n)
+    evaluations per row, not O(tokens) as an element_at-per-position
+    formulation would (that shape re-tokenized the document per shingle).
     """
-    starts = F.sequence(F.lit(1), F.size(toks) - (n - 1))  # 1-based
-    grams = F.transform(
-        starts,
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]),
-    )
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.slice(toks, 1, cnt)
+    for k in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(toks, k + 1, cnt), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.array_distinct(grams)
 
 
 # --- quality features -------------------------------------------------------
@@ -118,16 +123,13 @@ def fingerprint_weighted(text: Column) -> Column:
     cheap per-token hash (length/first/last char codes). A rolling-hash
     analog expressible in ANSI SQL (oracle parity) and in one Spark
     posexplode-free aggregate."""
-    toks = tokens(text)
-    starts = F.sequence(F.lit(1), F.size(toks))
+    # index-aware transform: each token is visited exactly once (an
+    # element_at over the inlined split expression would re-tokenize the
+    # document once per reference — O(tokens²) regex work)
     terms = F.transform(
-        starts,
-        lambda i: i.cast("long")
-        * (
-            F.length(F.element_at(toks, i)) * 131
-            + F.ascii(F.element_at(toks, i)) * 7
-            + F.ascii(F.reverse(F.element_at(toks, i)))
-        ),
+        tokens(text),
+        lambda t, i: (i + 1).cast("long")
+        * (F.length(t) * 131 + F.ascii(t) * 7 + F.ascii(F.reverse(t))),
     )
     return F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
 

@@ -1470,3 +1470,55 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     with_payload = d.select("doc_id", MM.to_binary(F.col("text")).alias("payload"))
     return MM.decode_image_features(with_payload)
+
+
+# =========================================================================
+# SQL front-end (SURVEY.md §3: restore the SQL entry point the reference
+# abandoned — works on the in-memory catalog, no Hive metastore required)
+# =========================================================================
+
+
+@query(
+    "sql_frontend",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(27,2))) AS DOUBLE) AS total_balance
+    FROM customer
+    WHERE c_acctbal > 0
+    GROUP BY c_mktsegment
+    """,
+)
+def sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.sql over registered temp views — the SQL entry point the
+    reference removed after an EMR Hive-metastore failure (reference
+    README.md:44-45); temp views need no metastore, so the failure mode is
+    structurally gone. Catalyst produces the same plan as the DataFrame
+    API."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               count(*) AS n_customers,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(27,2))) AS DOUBLE) AS total_balance
+        FROM customer_v
+        WHERE c_acctbal > 0
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+@query(
+    "from_json_struct",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_int
+    FROM events
+    """,
+)
+def from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-full JSON parsing of the props column (F.from_json → struct
+    field access), complementing the schemaless get_json_object path."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k INT")
+    return ev.select("event_id", parsed.getField("k").alias("k_int"))
