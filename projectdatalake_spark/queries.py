@@ -1522,3 +1522,290 @@ def from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     parsed = F.from_json(F.col("props"), "k INT")
     return ev.select("event_id", parsed.getField("k").alias("k_int"))
+
+
+# =========================================================================
+# Wave 7: wider SQL surface — outer/cross joins, ordered & statistical
+# aggregates, date/string/array functions, unpivot, range frames, Arrow UDF
+# =========================================================================
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT f.o_custkey AS custkey_f, o.o_custkey AS custkey_o,
+           f.n_f, o.n_o
+    FROM (SELECT o_custkey, count(*) AS n_f FROM orders WHERE o_orderstatus = 'F' GROUP BY 1) f
+    FULL OUTER JOIN
+         (SELECT o_custkey, count(*) AS n_o FROM orders WHERE o_orderstatus = 'O' GROUP BY 1) o
+      ON f.o_custkey = o.o_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (engine-added; SURVEY.md §2.3 'not present' gap)."""
+    o = _t(spark, sf_dir, "orders")
+    f = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("custkey_f"))
+        .agg(F.count(F.lit(1)).alias("n_f"))
+    )
+    op = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("custkey_o"))
+        .agg(F.count(F.lit(1)).alias("n_o"))
+    )
+    return R.join_equi(f, op, F.col("custkey_f") == F.col("custkey_o"), how="full_outer")
+
+
+@query(
+    "join_cross_small",
+    oracle="""
+    SELECT r.r_name, s.s_name FROM region r CROSS JOIN supplier s
+    """,
+)
+def join_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join of two dimension tables (bounded: 5×10·sf rows).
+    Catalyst plans broadcast nested loop — fine iff one side is tiny."""
+    r = _t(spark, sf_dir, "region").select("r_name")
+    s = _t(spark, sf_dir, "supplier").select("s_name")
+    return r.crossJoin(s)
+
+
+@query(
+    "agg_ordered_first_last",
+    oracle="""
+    SELECT user_id,
+           arg_min(event_type, ts) AS first_type,
+           arg_max(event_type, ts) AS last_type,
+           min(CAST(ts AS TIMESTAMP)) AS first_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_ordered_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered selection aggregates (min_by/max_by — Spark's arg_min/max).
+    Deterministic because (user_id, ts) is unique in the corpus."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.min_by("event_type", "ts_ns").alias("first_type"),
+        F.max_by("event_type", "ts_ns").alias("last_type"),
+        F.min("ts").alias("first_ts"),
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT n_regionkey, list(n_name ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list with explicit post-sort (raw collect order is partition-
+    dependent; sorting restores determinism)."""
+    n = _t(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.sort_array(F.collect_list("n_name")).alias("nations")
+    )
+
+
+@query(
+    "agg_median_stats",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           (CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(27,4))) AS DOUBLE)
+            - CAST(sum(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE)
+              * CAST(sum(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) / count(*))
+           / (count(*) - 1) AS var_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_median_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median (interpolated) and sample variance. Variance is computed from
+    exact decimal power sums — the one-pass Welford/merge implementations
+    of both engines differ in floating round-off, so the engine surfaces
+    the deterministic sum-of-squares form for oracle-checked outputs."""
+    li = _t(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    sx = dsum(F.col("l_quantity"))
+    sxx = dsum(F.col("l_quantity") * F.col("l_quantity"), 4)
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("median_qty"),
+        ((sxx - sx * sx / n) / (n - F.lit(1))).alias("var_qty"),
+    )
+
+
+@query(
+    "date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           last_day(CAST(o_orderdate AS DATE))            AS month_end,
+           datediff('day', o_orderdate, TIMESTAMP '2002-01-01') AS days_to_2002,
+           CAST(o_orderdate + INTERVAL 90 DAYS AS DATE)   AS due_date,
+           dayofweek(o_orderdate) + 1                     AS dow
+    FROM orders
+    """,
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic surface: truncation, month-end, day differences,
+    interval shift, day-of-week (1=Sunday in both engines)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.datediff(F.lit("2002-01-01").cast("timestamp_ntz"), F.col("o_orderdate")).alias(
+            "days_to_2002"
+        ),
+        F.date_add(F.col("o_orderdate").cast("date"), 90).alias("due_date"),
+        # Spark dayofweek is 1-based (1=Sunday); the oracle aligns DuckDB's
+        # 0-based convention by adding 1
+        F.dayofweek("o_orderdate").alias("dow"),
+    )
+
+
+@query(
+    "string_advanced",
+    oracle="""
+    SELECT c_custkey,
+           regexp_extract(c_name, '([0-9]+)', 1)       AS cust_num,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0')   AS padded,
+           translate(c_mktsegment, 'AEIOU', 'aeiou')   AS seg_tr,
+           replace(c_name, 'Customer', 'C')            AS short_name,
+           split_part(c_name, '#', 2)                  AS after_hash
+    FROM customer
+    """,
+)
+def string_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended string surface: regex extraction, padding, translation,
+    replace, field splitting."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("cust_num"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_tr"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("C")).alias("short_name"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("after_hash"),
+    )
+
+
+@query(
+    "conditional_expressions",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 150000 THEN 'high'
+                WHEN o_totalprice > 50000  THEN 'mid'
+                ELSE 'low' END                    AS price_band,
+           coalesce(nullif(o_orderstatus, 'P'), 'pending') AS status_or_pending,
+           greatest(o_totalprice, 100000.0)      AS floor_price,
+           least(o_custkey, o_orderkey)          AS min_key
+    FROM orders
+    """,
+)
+def conditional_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE/WHEN chains, coalesce, nullif, greatest/least."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 150000, "high")
+        .when(F.col("o_totalprice") > 50000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("P")), F.lit("pending")).alias(
+            "status_or_pending"
+        ),
+        F.greatest("o_totalprice", F.lit(100000.0)).alias("floor_price"),
+        F.least("o_custkey", "o_orderkey").alias("min_key"),
+    )
+
+
+@query(
+    "explode_array",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents WHERE doc_id < 20
+    )
+    SELECT doc_id,
+           CAST(generate_subscripts(toks, 1) - 1 AS INT) AS pos,
+           unnest(toks) AS token
+    FROM t
+    """,
+)
+def explode_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: array → rows with position (the token-level view used by
+    per-token pipelines)."""
+    from projectdatalake_spark.operators import text as TX
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return d.select(
+        "doc_id", F.posexplode(TX.tokens(F.col("text"))).alias("pos", "token")
+    )
+
+
+@query(
+    "unpivot_metrics",
+    oracle="""
+    SELECT c_custkey, metric, value FROM (
+        SELECT c_custkey,
+               unnest(['acctbal', 'nationkey']) AS metric,
+               unnest([c_acctbal, CAST(c_nationkey AS DOUBLE)]) AS value
+        FROM customer
+    )
+    """,
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long): the inverse of pivot, via DataFrame.unpivot."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey", F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    ).unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "value")
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                          RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING)
+               AS n_similar_priced
+    FROM orders
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame (value-based bounds, vs the ROWS frames used
+    elsewhere): peers within ±10000 of each order's price."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_totalprice").rangeBetween(-10000, 10000)
+    return o.select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_similar_priced"),
+    )
+
+
+@query(
+    "pandas_udf_scoring",
+    oracle="""
+    SELECT event_id, value * 1.5 + 2.0 AS score
+    FROM events
+    """,
+)
+def pandas_udf_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized pandas UDF (the sanctioned Python escape hatch —
+    SURVEY.md §2.8): a trivial affine kernel so the oracle can mirror it
+    exactly; real use is models/codecs with no Catalyst equivalent."""
+    from pyspark.sql.functions import pandas_udf
+
+    # explicit returnType form: this module uses `from __future__ import
+    # annotations`, which stringifies type hints and breaks hint inference
+    def _score(v):
+        return v * 1.5 + 2.0
+
+    score = pandas_udf(_score, "double")
+    ev = _t(spark, sf_dir, "events")
+    return ev.select("event_id", score(F.col("value")).alias("score"))
