@@ -1809,3 +1809,63 @@ def pandas_udf_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = pandas_udf(_score, "double")
     ev = _t(spark, sf_dir, "events")
     return ev.select("event_id", score(F.col("value")).alias("score"))
+
+
+# =========================================================================
+# Wave 8: skew-handling joins, bucketed shuffle-free joins, custom
+# stateful streaming
+# =========================================================================
+
+
+@query(
+    "skew_salted_join",
+    oracle="""
+    SELECT e.event_id, e.event_type, c.c_name
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (8-way key spreading): output identical to the
+    plain join, hot keys spread across 8 shuffle partitions — the manual
+    complement to AQE skew-join splitting."""
+    from projectdatalake_spark.operators import skew
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name"
+    )
+    return skew.salted_join(ev, c, ["user_id"], salt=8).select(
+        "event_id", "event_type", "c_name"
+    )
+
+
+@query(
+    "skew_salted_groupby",
+    oracle="SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+)
+def skew_salted_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation on a low-cardinality (≡ skewed) key —
+    explicit partial-combine."""
+    from projectdatalake_spark.operators import skew
+
+    ev = _t(spark, sf_dir, "events")
+    return skew.salted_groupby_count(ev, ["event_type"], salt=8)
+
+
+@query(
+    "stream_stateful_totals",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running totals with exact integer-cents state, driven to completion —
+    the non-built-in stateful path of SURVEY.md §2.7."""
+    from projectdatalake_spark import streaming as ST
+    from projectdatalake_spark.streaming.stateful import running_user_totals
+
+    stream = ST.read_events_stream(spark, sf_dir)
+    return ST.run_available_now(running_user_totals(stream), output_mode="update")

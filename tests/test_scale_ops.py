@@ -1,0 +1,86 @@
+"""Scale-path operators: salting equivalence, bucketed shuffle-free joins,
+format negotiation, stateful streaming equivalence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from projectdatalake_spark.operators import skew
+from projectdatalake_spark.plans import physical_plan
+from projectdatalake_spark.sources import load_table
+from projectdatalake_spark.sources.tables import best_format, write_bucketed, write_table
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name"
+    )
+    plain = ev.join(c, "user_id").select("event_id", "c_name")
+    salted = skew.salted_join(ev, c, ["user_id"], salt=4).select("event_id", "c_name")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    left = spark.createDataFrame([(1, "a"), (99, "b")], ["k", "v"])
+    right = spark.createDataFrame([(1, "x")], ["k", "w"])
+    out = skew.salted_join(left, right, ["k"], salt=4, how="left")
+    got = {(r.k, r.w) for r in out.collect()}
+    assert got == {(1, "x"), (99, None)}
+
+
+def test_salted_join_rejects_right_outer(spark):
+    df = spark.range(1)
+    with pytest.raises(ValueError):
+        skew.salted_join(df, df, ["id"], how="full_outer")
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    # warehouse dir is a static conf pointed at /tmp by the session factory
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    write_bucketed(orders, "orders_b", ["o_custkey"], num_buckets=8)
+    write_bucketed(customer, "customer_b", ["c_custkey"], num_buckets=8)
+    # disable broadcast so the co-bucketed sort-merge path is exercised
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("orders_b").join(
+            spark.table("customer_b"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = physical_plan(j)
+        assert "Exchange" not in plan, plan
+        assert j.count() == orders.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_format_negotiation_falls_back_to_parquet(spark, sf_dir, tmp_path):
+    # delta/iceberg jars absent in this container → parquet
+    assert best_format(spark) == "parquet"
+    nation = load_table(spark, sf_dir, "nation")
+    fmt = write_table(nation, str(tmp_path / "nation_t"), partition_by=["n_regionkey"])
+    assert fmt == "parquet"
+    assert spark.read.parquet(str(tmp_path / "nation_t")).count() == nation.count()
+
+
+def test_stateful_streaming_equals_batch_totals(spark, sf_dir):
+    from projectdatalake_spark import streaming as ST
+    from projectdatalake_spark.streaming.stateful import running_user_totals
+
+    got = ST.run_available_now(
+        running_user_totals(ST.read_events_stream(spark, sf_dir)), output_mode="update"
+    )
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,2)")).cast("double").alias("total_value"),
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
