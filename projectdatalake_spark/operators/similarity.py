@@ -1,18 +1,19 @@
 """Similarity search over embedding columns (array<float>).
 
 North-star surface (BASELINE.json): approximate-nearest-neighbor over
-document embeddings. Two rungs:
+document embeddings. Three rungs:
 
 - ``topk_neighbors`` — exact brute force: broadcast the (small) query set
   against the corpus, cosine per pair, window top-k. O(|Q|·n) with no
   shuffle of the corpus — the correctness baseline, and the right plan
   whenever |Q| is small.
-- ``topk_neighbors_lsh`` — random-hyperplane LSH: bucket corpus and
-  queries by the sign pattern of ``num_planes`` fixed hyperplane dots
-  (seeded, deterministic), search only matching buckets (multi-probe:
-  Hamming ≤ 1), re-rank candidates exactly. Sub-linear candidate sets at
-  the cost of bounded recall loss — the 100 TB path (bucket table can be
-  precomputed and partitioned by bucket id).
+- ``topk_neighbors_lsh`` — multi-table random-hyperplane LSH: bucket
+  corpus and queries by seeded hyperplane sign patterns, search matching
+  buckets (Hamming ≤ 1 multi-probe), re-rank exactly. Sub-linear
+  candidates; bucket index is precomputable and partitionable.
+- ``topk_neighbors_ivf`` — IVF coarse quantization: seeded KMeans cells,
+  queries probe the n_probe nearest cells, exact re-rank. The
+  partition-pruned file layout for 100 TB corpora.
 
 Cosine math uses the engine's higher-order-function expressions
 (functions.scalar.vec_dot) — JVM-side, no Python per row.
@@ -195,6 +196,72 @@ def topk_neighbors_lsh(
         .select("query_id", "neighbor_id", "q_vec", "c_vec", "q_norm", "c_norm")
         .dropDuplicates(["query_id", "neighbor_id"])
         .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def topk_neighbors_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k via IVF (inverted-file) coarse quantization.
+
+    A KMeans coarse quantizer (Spark ML, seeded) partitions the corpus into
+    ``n_cells`` cells; each query searches only its ``n_probe`` nearest
+    cells and re-ranks candidates by exact cosine. Expected candidate
+    fraction ≈ n_probe/n_cells. The cell-assigned corpus is the persistable
+    artifact at scale (write it partitioned by cell id; queries then touch
+    n_probe partitions — classic IVF file layout).
+
+    Queries must be driver-small (they are collected to compute probe
+    cells; the corpus is never collected).
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    feat = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("features", array_to_vector(F.col("v")))
+    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(feat.select("features"))
+    assigned = (
+        model.transform(feat)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("v").alias("c_vec"),
+            F.col(model.getPredictionCol()).alias("cell"),
+        )
+        .withColumn("c_norm", F.sqrt(vec_dot(F.col("c_vec"), F.col("c_vec"))))
+    )
+
+    centers = np.stack([c for c in model.clusterCenters()])
+    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    probe_rows = []
+    for r in q_rows:
+        qv = np.asarray(r[vec_col], dtype="float64")
+        d2 = ((centers - qv) ** 2).sum(axis=1)
+        for cell in np.argsort(d2)[:n_probe]:
+            probe_rows.append((r[id_col], qv.tolist(), int(cell)))
+    spark = corpus.sparkSession
+    q_probe = spark.createDataFrame(
+        probe_rows, schema=f"query_id long, q_vec array<double>, cell int"
+    ).withColumn("q_norm", F.sqrt(vec_dot(F.col("q_vec"), F.col("q_vec"))))
+
+    cos = vec_dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))
+    scored = (
+        assigned.join(F.broadcast(q_probe), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1869,3 +1869,14 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = ST.read_events_stream(spark, sf_dir)
     return ST.run_available_now(running_user_totals(stream), output_mode="update")
+
+
+@query("ann_topk_ivf")  # KMeans quantizer is engine-side → rows-only
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via IVF coarse quantization (seeded KMeans cells,
+    n_probe=4 of 16) with exact re-rank — the partition-pruning ANN
+    layout for 100 TB corpora. Recall vs brute force asserted in pytest."""
+    from projectdatalake_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.topk_neighbors_ivf(emb, emb.filter(F.col("vec_id") < 5), k=10)

@@ -103,3 +103,18 @@ def test_quality_features_ranges(spark, sf_dir):
     assert 0 <= row.pmin <= row.pmax <= 1
     assert 0 < row.umin <= row.umax <= 1
     assert row.n_sim > 1
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.topk_neighbors(emb, queries, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.topk_neighbors_ivf(emb, queries, k=10).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, recall  # 4/16-cell probe envelope on weak clusters
