@@ -1880,3 +1880,121 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return S.topk_neighbors_ivf(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+# =========================================================================
+# Wave 9: deeper analytic shapes — grouped-subquery joins, window-based
+# correlated minima, scalar subqueries, multi-key distinct aggregation
+# =========================================================================
+
+
+@query(
+    "tpch_q18_large_orders",
+    oracle="""
+    SELECT c_name, o_orderkey, o_orderdate,
+           CAST(sum(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_name, o_orderkey, o_orderdate
+    HAVING sum(CAST(l_quantity AS DECIMAL(27,2))) > 100
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: large-quantity orders — group over a two-join
+    chain with a HAVING on the grouped sum."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")).join(
+        li, F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    return (
+        j.groupBy("c_name", "o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(27,2)")).alias("__q"),
+        )
+        .filter(F.col("__q") > 100)
+        .select(
+            "c_name", "o_orderkey", "o_orderdate",
+            F.col("__q").cast("double").alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "correlated_min_price",
+    oracle="""
+    SELECT p_partkey, p_brand, p_retailprice
+    FROM part
+    QUALIFY p_retailprice = min(p_retailprice) OVER (PARTITION BY p_brand)
+    """,
+)
+def correlated_min_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped correlated minimum (cheapest part per brand),
+    decorrelated into a single window pass — no self-join, one shuffle."""
+    from projectdatalake_spark.operators import windows as W
+
+    p = _t(spark, sf_dir, "part")
+    w = W.spec(["p_brand"])
+    return (
+        p.withColumn("__min", F.min("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") == F.col("__min"))
+        .select("p_partkey", "p_brand", "p_retailprice")
+    )
+
+
+@query(
+    "scalar_subquery_above_avg",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (
+        SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) / count(*)
+        FROM orders
+    )
+    """,
+)
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery (orders above the global average) through the SQL
+    front-end — Catalyst plans the subquery as a broadcast scalar. The
+    Spark-side average uses the decimal-exact form so the threshold is
+    bit-identical to the oracle's (a floating sum could straddle a row)."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders_v
+        WHERE o_totalprice > (
+            SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) / count(*)
+            FROM orders_v
+        )
+        """
+    )
+
+
+@query(
+    "distinct_users_daily",
+    oracle="""
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*)                AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users per event type: distinct aggregate alongside a
+    plain count (Catalyst expands to a two-phase distinct aggregation)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+        )
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

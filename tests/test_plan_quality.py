@@ -1,0 +1,65 @@
+"""Plan-quality sweep over the whole query registry.
+
+The engine's scale contract, enforced mechanically: no accidental
+cartesian products, no row-at-a-time Python UDFs in the registry (pandas
+UDFs only), and spot assertions that pushdown/broadcast happen where the
+operator docstrings promise them.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from projectdatalake_spark.plans import physical_plan
+from projectdatalake_spark.sources import load_table
+
+# queries whose *point* is an explicit cross/nested-loop product
+CARTESIAN_OK = {"join_cross_small", "ann_topk_bruteforce"}
+# streaming queries materialize via a sink — explain on the returned batch
+# table says nothing about the streaming plan
+SKIP = {"stream_tumbling_agg", "stream_sliding_agg", "stream_dedup_keys",
+        "stream_stateful_totals"}
+
+
+def test_no_accidental_cartesian_products(spark, sf_dir):
+    for name, fn in entry_mod.queries().items():
+        if name in SKIP or name in CARTESIAN_OK:
+            continue
+        plan = physical_plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_no_row_at_a_time_python_udfs(spark, sf_dir):
+    for name, fn in entry_mod.queries().items():
+        if name in SKIP:
+            continue
+        plan = physical_plan(fn(spark, sf_dir))
+        # BatchEvalPython = pickled row-at-a-time UDF; ArrowEvalPython /
+        # MapInPandas / FlatMapGroupsInPandas are the sanctioned paths
+        assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time UDF"
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    for name in ["join_inner_orders_customer", "tpch_q3_shipping", "star_fact_enrich"]:
+        plan = physical_plan(entry_mod.queries()[name](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join\n{plan}"
+
+
+def test_scan_projection_pruned(spark, sf_dir):
+    df = entry_mod.queries()["scan_project"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "l_extendedprice" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_partition_pruning_after_partitioned_write(spark, sf_dir, tmp_path):
+    # the star-schema layout exists so analysis queries prune partitions:
+    # prove a month filter reads only that month's files
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.dayofmonth("ts"))
+    out = str(tmp_path / "events_by_day")
+    ev.write.mode("overwrite").partitionBy("day").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("day") == 5)
+    plan = physical_plan(back)
+    assert "PartitionFilters: [isnotnull(day" in plan, plan
+    assert back.count() == ev.filter(F.col("day") == 5).count()
