@@ -1998,3 +1998,61 @@ def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+# =========================================================================
+# Wave 10: MERGE/upsert emulation, watermark-bounded streaming dedup
+# =========================================================================
+
+
+@query(
+    "merge_upsert_customers",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY o_custkey
+    ), source AS (
+        SELECT c.c_custkey, c.c_name, c.c_nationkey, s.total AS c_acctbal,
+               c.c_mktsegment
+        FROM customer c JOIN spend s ON c.c_custkey = s.o_custkey
+    )
+    SELECT * FROM customer
+    WHERE c_custkey NOT IN (SELECT c_custkey FROM source)
+    UNION ALL
+    SELECT * FROM source
+    """,
+)
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation (anti-join + union): customers with orders get
+    their account balance replaced by total spend, the rest pass through —
+    the lakehouse upsert path sans Delta (operators.merge)."""
+    from projectdatalake_spark.operators.merge import merge_upsert
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(dsum(F.col("o_totalprice")).alias("total"))
+    source = (
+        c.join(spend, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey", "c_name", "c_nationkey",
+            F.col("total").alias("c_acctbal"), "c_mktsegment",
+        )
+    )
+    return merge_upsert(c, source, ["c_custkey"])
+
+
+@query(
+    "stream_dedup_watermark",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark driven to completion: bounded-state
+    streaming dedup; over a bounded replay it must equal DISTINCT."""
+    from projectdatalake_spark import streaming as ST
+
+    stream = ST.read_events_stream(spark, sf_dir)
+    return ST.run_available_now(
+        ST.dedup_within_watermark_stream(stream, ["user_id", "event_type"]),
+        output_mode="append",
+    )

@@ -2,6 +2,7 @@
 
 from projectdatalake_spark.streaming.events import (  # noqa: F401
     dedup_keys_stream,
+    dedup_within_watermark_stream,
     read_events_stream,
     run_available_now,
     session_window_agg,

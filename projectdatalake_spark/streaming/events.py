@@ -107,6 +107,21 @@ def dedup_keys_stream(stream: DataFrame, keys: list[str]) -> DataFrame:
     return stream.dropDuplicates(keys).select(*keys)
 
 
+def dedup_within_watermark_stream(
+    stream: DataFrame, keys: list[str], watermark: str = "2 hours"
+) -> DataFrame:
+    """dropDuplicatesWithinWatermark: like streaming dropDuplicates but the
+    per-key state expires once the watermark passes it — the bounded-state
+    form for unbounded key spaces (SURVEY.md §2.7). Keys seen again after
+    expiry re-emit, so exact-once output holds only within the watermark
+    horizon; over a bounded replay (availableNow) it equals DISTINCT."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keys)
+        .select(*keys)
+    )
+
+
 def run_available_now(result: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Drive a streaming DataFrame to completion over the currently
     available input (availableNow trigger → memory sink) and return the

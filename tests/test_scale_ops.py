@@ -84,3 +84,37 @@ def test_stateful_streaming_equals_batch_totals(spark, sf_dir):
         )
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_scd2_intervals(spark):
+    import datetime as dt
+
+    from projectdatalake_spark.operators.merge import scd2_apply
+
+    d0 = dt.datetime(2024, 1, 1)
+    d1 = dt.datetime(2024, 2, 1)
+    dim = spark.createDataFrame(
+        [(1, "free", d0), (2, "free", d0)], ["user_id", "level", "effective_from"]
+    )
+    updates = spark.createDataFrame(
+        [(1, "paid", d1)], ["user_id", "level", "effective_from"]
+    )
+    out = {
+        (r.user_id, r.level): (r.effective_to, r.is_current)
+        for r in scd2_apply(dim, updates, ["user_id"]).collect()
+    }
+    assert out[(1, "free")] == (d1, False)
+    assert out[(1, "paid")] == (None, True)
+    assert out[(2, "free")] == (None, True)
+
+
+def test_merge_upsert_idempotent(spark):
+    from projectdatalake_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    source = spark.createDataFrame([(2, "B"), (3, "C")], ["k", "v"])
+    once = merge_upsert(target, source, ["k"])
+    twice = merge_upsert(once, source, ["k"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect())) == [
+        (1, "a"), (2, "B"), (3, "C"),
+    ]
