@@ -381,11 +381,11 @@ def join_theta_self(spark: SparkSession, sf_dir: str) -> DataFrame:
     "time_parts",
     oracle="""
     SELECT DISTINCT CAST(ts AS TIMESTAMP) AS start_time,
-           hour(ts)       AS hour,
-           dayofmonth(ts) AS day,
-           weekofyear(ts) AS week,
-           month(ts)      AS month,
-           year(ts)       AS year,
+           CAST(hour(ts) AS INT)       AS hour,
+           CAST(dayofmonth(ts) AS INT) AS day,
+           CAST(weekofyear(ts) AS INT) AS week,
+           CAST(month(ts) AS INT)      AS month,
+           CAST(year(ts) AS INT)       AS year,
            dayname(ts)    AS weekday
     FROM events
     """,
@@ -444,7 +444,7 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey,
            upper(c_name)                       AS name_upper,
-           length(c_name)                      AS name_len,
+           CAST(length(c_name) AS INT)         AS name_len,
            substr(c_name, 1, 4)                AS name_prefix,
            concat(c_name, '#', c_mktsegment)   AS label
     FROM customer
@@ -675,8 +675,8 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_topk_per_group",
     oracle="""
     SELECT o_orderkey, o_orderstatus, o_totalprice,
-           row_number() OVER (PARTITION BY o_orderstatus
-                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           CAST(row_number() OVER (PARTITION BY o_orderstatus
+                              ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
     FROM orders
     QUALIFY rn <= 3
     """,
@@ -755,10 +755,10 @@ def win_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_rank_dense",
     oracle="""
     SELECT p_partkey, p_brand, p_retailprice,
-           rank()       OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_rank,
-           dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_dense,
-           ntile(4)     OVER (PARTITION BY p_brand
-                              ORDER BY p_retailprice DESC, p_partkey)           AS quartile
+           CAST(rank()       OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS INT) AS price_rank,
+           CAST(dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS INT) AS price_dense,
+           CAST(ntile(4)     OVER (PARTITION BY p_brand
+                              ORDER BY p_retailprice DESC, p_partkey) AS INT)           AS quartile
     FROM part
     """,
 )
@@ -975,8 +975,8 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT e.event_id, CAST(e.ts AS TIMESTAMP) AS start_time, e.user_id,
            c.c_name, n.n_name,
-           year(e.ts)  AS year,
-           month(e.ts) AS month,
+           CAST(year(e.ts) AS INT)  AS year,
+           CAST(month(e.ts) AS INT) AS month,
            e.value
     FROM events e
     LEFT JOIN (SELECT * FROM customer WHERE c_acctbal >= 0) c ON e.user_id = c.c_custkey
@@ -1020,9 +1020,9 @@ def star_fact_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_token_stats",
     oracle=r"""
     SELECT doc_id,
-           length(text)                                          AS n_chars,
-           len(string_split_regex(lower(trim(text)), '\s+'))     AS n_tokens,
-           len(list_distinct(string_split_regex(lower(trim(text)), '\s+')))
+           CAST(length(text) AS INT)                             AS n_chars,
+           CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INT) AS n_tokens,
+           CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS INT)
                                                                  AS n_uniq_tokens,
            length(regexp_replace(text, '\s+', '', 'g'))
              / len(string_split_regex(lower(trim(text)), '\s+')) AS avg_token_len
@@ -1272,8 +1272,8 @@ def neardup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT query_id, neighbor_id, cosine, rank FROM (
         SELECT query_id, neighbor_id, cosine,
-               row_number() OVER (PARTITION BY query_id
-                                  ORDER BY cosine DESC, neighbor_id) AS rank
+               CAST(row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
         FROM scored
     ) WHERE rank <= 10
     """,
@@ -1402,7 +1402,7 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_binary_meta",
     oracle="""
     SELECT doc_id,
-           octet_length(encode(text)) AS n_bytes,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
            md5(text)                  AS digest,
            hex(encode(substr(text, 1, 4))) AS magic
     FROM documents
@@ -1429,9 +1429,9 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) AS n_chunks,
-           octet_length(encode(text))
+           CAST(octet_length(encode(text))
              - (CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) - 1) * 64
-               AS last_chunk_bytes
+               AS INT) AS last_chunk_bytes
     FROM documents
     """,
 )
@@ -1453,9 +1453,9 @@ def mm_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_decode_features",
     oracle="""
     SELECT doc_id,
-           octet_length(encode(text))                    AS n_bytes,
-           64 + octet_length(encode(text)) % 192         AS width,
-           64 + (octet_length(encode(text)) * 7) % 192   AS height,
+           CAST(octet_length(encode(text)) AS INT)             AS n_bytes,
+           CAST(64 + octet_length(encode(text)) % 192 AS INT)  AS width,
+           CAST(64 + (octet_length(encode(text)) * 7) % 192 AS INT) AS height,
            (octet_length(encode(text)) % 256) / 255.0    AS mean_luma
     FROM documents
     """,
@@ -1641,9 +1641,9 @@ def agg_median_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
            last_day(CAST(o_orderdate AS DATE))            AS month_end,
-           datediff('day', o_orderdate, TIMESTAMP '2002-01-01') AS days_to_2002,
+           CAST(datediff('day', o_orderdate, TIMESTAMP '2002-01-01') AS INT) AS days_to_2002,
            CAST(o_orderdate + INTERVAL 90 DAYS AS DATE)   AS due_date,
-           dayofweek(o_orderdate) + 1                     AS dow
+           CAST(dayofweek(o_orderdate) + 1 AS INT)        AS dow
     FROM orders
     """,
 )
