@@ -157,35 +157,63 @@ def topk_neighbors_lsh(
     a single 8-plane table sits near 0.1. Bucket index is L× the corpus
     in rows (ids only) — the classic LSH memory/recall trade.
     """
+    # planes as a broadcast TABLE, not expression literals: inlining
+    # L·r·dim literal nodes into one projection makes a pathological
+    # expression tree (measured ~20 s of codegen/eval at r=6, L=8, d=64);
+    # a cross join against 48 broadcast plane rows + one bit-packing
+    # aggregate keeps every expression tiny and the work linear.
+    import itertools
+
+    spark = corpus.sparkSession
     tables = _plane_literals(num_tables, num_planes, dim, seed)
-    c_buckets = F.array(
-        *[
-            # table id in the high bits so buckets never collide across tables
-            bucket_signature(F.col(vec_col), planes) + F.lit(t << 32).cast("long")
-            for t, planes in enumerate(tables)
-        ]
+    plane_rows = [
+        (t, p, 1 << p, tables[t][p])
+        for t, p in itertools.product(range(num_tables), range(num_planes))
+    ]
+    planes_df = spark.createDataFrame(
+        plane_rows, schema="t int, p int, bit long, w array<double>"
     )
-    c = (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).cast("array<double>").alias("c_vec"),
-            F.explode(c_buckets).alias("bucket"),
+
+    def bucketize(df: DataFrame, out_id: str) -> DataFrame:
+        """(out_id, t, sig): per-table sign-pattern signature via one
+        cross join with the plane table + one bit-packing aggregate."""
+        base = df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).cast("array<double>").alias("v"),
         )
-        .withColumn("c_norm", F.sqrt(vec_dot(F.col("c_vec"), F.col("c_vec"))))
-    )
-    probe_cols = []
-    for t, planes in enumerate(tables):
-        base = bucket_signature(F.col(vec_col), planes) + F.lit(t << 32).cast("long")
-        probe_cols.append(base)
-        probe_cols.extend(base.bitwiseXOR(F.lit(1 << p)) for p in range(num_planes))
-    q_probe = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).cast("array<double>").alias("q_vec"),
-            F.explode(F.array(*probe_cols)).alias("bucket"),
+        target = spark.sparkContext.defaultParallelism
+        if base.rdd.getNumPartitions() < target:
+            base = base.repartition(target)
+        dots = base.crossJoin(F.broadcast(planes_df)).select(
+            out_id, "t", "bit", vec_dot(F.col("v"), F.col("w")).alias("d")
         )
-        .withColumn("q_norm", F.sqrt(vec_dot(F.col("q_vec"), F.col("q_vec"))))
+        return dots.groupBy(out_id, "t").agg(
+            F.sum(F.when(F.col("d") > 0, F.col("bit")).otherwise(F.lit(0).cast("long"))).alias("sig")
+        )
+
+    table_offset = (F.col("t").cast("long") * F.lit(1 << 32).cast("long"))
+    c_sides = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+    ).withColumn("c_norm", F.sqrt(vec_dot(F.col("c_vec"), F.col("c_vec"))))
+    c_buckets = bucketize(corpus, "neighbor_id").select(
+        "neighbor_id", (F.col("sig") + table_offset).alias("bucket")
     )
+    c = c_buckets.join(c_sides, "neighbor_id")
+
+    q_sides = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    ).withColumn("q_norm", F.sqrt(vec_dot(F.col("q_vec"), F.col("q_vec"))))
+    probes = F.array(
+        F.col("sig"), *[F.col("sig").bitwiseXOR(F.lit(1 << p)) for p in range(num_planes)]
+    )
+    q_buckets = (
+        bucketize(queries, "query_id")
+        .select("query_id", "t", F.explode(probes).alias("probe"))
+        .select("query_id", (F.col("probe") + table_offset).alias("bucket"))
+    )
+    q_probe = q_buckets.join(q_sides, "query_id")
 
     from pyspark.sql import Window
 

@@ -172,6 +172,41 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash) for a whole table — the scale path for SimHash.
+
+    Same fingerprint as ``simhash64`` but computed via explode + 64
+    per-bit vote aggregates behind an aggregation barrier: the pure
+    expression form's ``votes`` array gets re-inlined by Catalyst into all
+    64 bit extractions (64× the work — measured 118 s for 5k docs vs ~2 s
+    this way). Rows with no tokens are dropped.
+    """
+    masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    slim = df.select(F.col(id_col), F.col(text_col))
+    if slim.rdd.getNumPartitions() < target:
+        slim = slim.repartition(target)
+    hashes = slim.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).select(F.col(id_col), F.xxhash64("tok").alias("h"))
+    votes = hashes.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b, m in enumerate(masks)
+        ]
+    )
+    sim = None
+    for b, m in enumerate(masks):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(m).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else sim + term
+    return votes.select(F.col(id_col), sim.alias("simhash"))
+
+
 def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full feature bundle to a documents DataFrame."""
     text = F.col(text_col)

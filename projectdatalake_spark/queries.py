@@ -1156,12 +1156,12 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("text_simhash")  # hash family is Spark-specific → rows-only check
 def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprints (Hamming-comparable); xxhash64 family is
-    not reproducible in ANSI SQL, so the driver records rows-only."""
+    """64-bit SimHash fingerprints (Hamming-comparable) via the
+    aggregation-barrier table form; xxhash64 family is not reproducible in
+    ANSI SQL, so the driver records rows-only."""
     from projectdatalake_spark.operators import text as TX
 
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", TX.simhash64(F.col("text")).alias("simhash"))
+    return TX.simhash_table(_t(spark, sf_dir, "documents"))
 
 
 # =========================================================================
@@ -2056,3 +2056,109 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         ST.dedup_within_watermark_stream(stream, ["user_id", "event_type"]),
         output_mode="append",
     )
+
+
+# =========================================================================
+# Wave 11: corpus vocabulary, embedding quantization, table profiling
+# =========================================================================
+
+
+@query(
+    "vocab_token_stats",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        FROM documents
+    )
+    SELECT token,
+           count(*)                 AS total_count,
+           count(DISTINCT doc_id)   AS doc_freq
+    FROM toks
+    GROUP BY token
+    """,
+)
+def vocab_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with term and document frequencies (the
+    vocabulary-building pass of a training-data pipeline): explode →
+    two-level aggregate, map-side partial, shuffle on token."""
+    from projectdatalake_spark.operators import text as TX
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
+    return toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("total_count"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+
+
+@query(
+    "quantize_embeddings",
+    oracle="""
+    WITH m AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS max_abs
+        FROM embeddings
+    )
+    SELECT vec_id, max_abs,
+           list_transform(embedding::DOUBLE[],
+                          x -> CAST(round(x * 127.0 / max_abs) AS TINYINT)) AS q8
+    FROM m
+    """,
+)
+def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of embedding vectors (4× smaller ANN
+    index): per-vector max-abs scale, values in [-127, 127]. Pure
+    higher-order functions; round() on the identical double is exact on
+    both sides because x*127/max_abs is bitwise-deterministic."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    withmax = e.select(
+        "vec_id",
+        v.alias("v"),
+        F.array_max(F.transform(v, lambda x: F.abs(x))).alias("max_abs"),
+    )
+    q8 = F.transform(
+        F.col("v"),
+        lambda x: F.round(x * 127.0 / F.col("max_abs")).cast("byte"),
+    )
+    return withmax.select("vec_id", "max_abs", q8.alias("q8"))
+
+
+@query(
+    "profile_customer",
+    oracle="""
+    SELECT 'c_custkey' AS column_name,
+           count(*) AS n_rows,
+           count(c_custkey) AS n_nonnull,
+           count(DISTINCT c_custkey) AS n_distinct,
+           CAST(min(c_custkey) AS DOUBLE) AS min_val,
+           CAST(max(c_custkey) AS DOUBLE) AS max_val
+    FROM customer
+    UNION ALL
+    SELECT 'c_acctbal', count(*), count(c_acctbal), count(DISTINCT c_acctbal),
+           min(c_acctbal), max(c_acctbal)
+    FROM customer
+    UNION ALL
+    SELECT 'c_nationkey', count(*), count(c_nationkey), count(DISTINCT c_nationkey),
+           CAST(min(c_nationkey) AS DOUBLE), CAST(max(c_nationkey) AS DOUBLE)
+    FROM customer
+    """,
+)
+def profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (ANALYZE-style column statistics): one aggregate
+    pass per numeric column — rows/nulls/distincts/min/max, the stats a
+    lakehouse keeps for data skipping."""
+    c = _t(spark, sf_dir, "customer")
+    parts = []
+    for col in ["c_custkey", "c_acctbal", "c_nationkey"]:
+        parts.append(
+            c.agg(
+                F.lit(col).alias("column_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count(col).alias("n_nonnull"),
+                F.countDistinct(col).alias("n_distinct"),
+                F.min(col).cast("double").alias("min_val"),
+                F.max(col).cast("double").alias("max_val"),
+            )
+        )
+    return R.union_all(*parts)
