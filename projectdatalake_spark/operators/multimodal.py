@@ -120,3 +120,63 @@ def sample_frames(
     return F.when(n_frames > 0, F.transform(
         idx, lambda i: F.substring(payload, i * frame_bytes + 1, frame_bytes)
     )).otherwise(F.array().cast("array<binary>"))
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("scale", T.DoubleType()),
+        T.StructField("thumb_bytes", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    max_side: int = 64,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arrow-batched image resize (STUB kernel, real plumbing).
+
+    The fake decode derives (w, h) from payload size exactly like
+    ``decode_image_features``; the resize math (aspect-preserving clamp to
+    ``max_side``) and the Arrow batch plumbing are the real algorithm —
+    with codecs installed the kernel body swaps to PIL's
+    ``Image.thumbnail`` over the actual pixels.
+    """
+    try:  # pragma: no cover - real codec not in this container
+        import PIL.Image  # noqa: F401
+
+        raise NotImplementedError(
+            "real resize intentionally stubbed: decode payload, call "
+            "Image.thumbnail((max_side, max_side)), re-encode"
+        )
+    except ImportError:
+        pass
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            n = pdf[payload_col].map(len).astype("int64")
+            w = (64 + n % 192).astype("int64")
+            h = (64 + (n * 7) % 192).astype("int64")
+            scale = np.minimum(1.0, max_side / np.maximum(w, h))
+            out_w = np.maximum(1, np.floor(w * scale)).astype("int32")
+            out_h = np.maximum(1, np.floor(h * scale)).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "scale": scale,
+                    # fake thumbnail payload size: 3 bytes/pixel
+                    "thumb_bytes": (out_w.astype("int64") * out_h * 3).astype("int32"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema=_RESIZE_SCHEMA)

@@ -2162,3 +2162,61 @@ def profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return R.union_all(*parts)
+
+
+@query(
+    "mm_resize",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               64 + octet_length(encode(text)) % 192        AS w,
+               64 + (octet_length(encode(text)) * 7) % 192  AS h
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(greatest(1, floor(w * least(1.0, 64.0 / greatest(w, h)))) AS INT) AS out_w,
+           CAST(greatest(1, floor(h * least(1.0, 64.0 / greatest(w, h)))) AS INT) AS out_h,
+           least(1.0, 64.0 / greatest(w, h)) AS scale,
+           CAST(greatest(1, floor(w * least(1.0, 64.0 / greatest(w, h))))
+                * greatest(1, floor(h * least(1.0, 64.0 / greatest(w, h)))) * 3 AS INT)
+               AS thumb_bytes
+    FROM dims
+    """,
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched aspect-preserving resize (kernel stubbed on fake
+    dimensions — no codecs in container; plumbing and math are real and
+    the oracle replicates the arithmetic exactly)."""
+    from projectdatalake_spark.operators import multimodal as MM
+
+    d = _t(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", MM.to_binary(F.col("text")).alias("payload"))
+    return MM.resize_images(payloads, max_side=64)
+
+
+_BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+_BPE_SQL = _BPE_PATTERN.replace("'", "''")  # escape the apostrophe branch
+
+
+@query(
+    "text_bpe_tokens",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS INT)
+               AS n_bpe_tokens,
+           CAST(len(list_distinct(regexp_extract_all(text, '{_BPE_SQL}'))) AS INT)
+               AS n_uniq_bpe_tokens
+    FROM documents
+    """,
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (GPT-2-style pre-tokenizer pattern,
+    lookaheads removed for RE2/Java parity) — the token-budget estimator
+    of a training-data pipeline."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_bpe_tokens"),
+    )
