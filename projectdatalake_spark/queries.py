@@ -2220,3 +2220,65 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_bpe_tokens"),
         F.size(F.array_distinct(toks)).alias("n_uniq_bpe_tokens"),
     )
+
+
+@query(
+    "agg_quantile_array",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qty_quartiles,
+           quantile_cont(l_extendedprice, 0.9)          AS price_p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_quantile_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles, scalar and array-of-probabilities
+    forms (percentile ≡ quantile_cont)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit([0.25, 0.5, 0.75])).alias("qty_quartiles"),
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("price_p90"),
+    )
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+    SELECT l_orderkey FROM lineitem WHERE l_linenumber <= 2
+    INTERSECT ALL
+    SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics, multiplicity = min of the two sides)."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_linenumber") <= 2).select("l_orderkey")
+    b = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return a.intersectAll(b)
+
+
+@query(
+    "map_functions",
+    oracle="""
+    SELECT c_custkey,
+           map(['seg', 'name'], [c_mktsegment, c_name])['seg'][1] AS seg,
+           CAST(cardinality(map(['seg', 'name'], [c_mktsegment, c_name])) AS INT)
+               AS n_keys,
+           map_keys(map(['seg', 'name'], [c_mktsegment, c_name])) AS keys
+    FROM customer
+    """,
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map type surface: construction, lookup, cardinality, key listing
+    (map-typed columns stay internal; outputs are scalars/arrays so the
+    oracle hash is well-defined)."""
+    c = _t(spark, sf_dir, "customer")
+    m = F.create_map(
+        F.lit("seg"), F.col("c_mktsegment"), F.lit("name"), F.col("c_name")
+    )
+    return c.select(
+        "c_custkey",
+        F.element_at(m, "seg").alias("seg"),
+        F.size(m).alias("n_keys"),
+        F.map_keys(m).alias("keys"),
+    )
