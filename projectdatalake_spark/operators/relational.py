@@ -194,3 +194,37 @@ def top_k(df: DataFrame, order_by: Sequence[Column], k: int) -> DataFrame:
     """Global top-k: Spark plans TakeOrderedAndProject — per-partition heaps
     plus a k-row driver merge, never a full sort of the input."""
     return df.orderBy(*order_by).limit(k)
+
+
+def deterministic_id(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[str | Column],
+    out: str = "row_id",
+) -> DataFrame:
+    """Dense, deterministic, run-stable surrogate ids without a global
+    window.
+
+    A single ``row_number() OVER (ORDER BY …)`` funnels every row through
+    one task; ``monotonically_increasing_id`` is distributed but changes
+    across runs (SURVEY.md §2.5 F9). This takes the middle path: number
+    rows within each ``partition_by`` group, then add broadcast cumulative
+    group offsets — two distributed shuffles, no task sees more than one
+    group, and ids are contiguous from 1 in (group, order) order.
+    ``order_by`` should be unique within a group for full determinism.
+    """
+    pcols = list(partition_by)
+    group_w = Window.partitionBy(*pcols).orderBy(*order_by)
+    offsets_w = Window.orderBy(*pcols).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        df.groupBy(*pcols)
+        .count()
+        .withColumn("__offset", F.coalesce(F.sum("count").over(offsets_w), F.lit(0)))
+        .drop("count")
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(group_w))
+        .join(F.broadcast(offsets), pcols)
+        .withColumn(out, F.col("__offset") + F.col("__rn"))
+        .drop("__rn", "__offset")
+    )

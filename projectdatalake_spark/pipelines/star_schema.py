@@ -125,10 +125,23 @@ def build_songplays_fact(
         "location",
         F.col("userAgent").alias("user_agent"),
     )
-    from pyspark.sql import Window
+    # Deterministic surrogate id without a global-window single-partition
+    # bottleneck: per-(year,month)-group numbering + broadcast cumulative
+    # offsets (operators.relational.deterministic_id). The reference's
+    # monotonically_increasing_id is distributed but run-nondeterministic
+    # (SURVEY.md §2.5 F9).
+    from projectdatalake_spark.operators.relational import deterministic_id
 
-    order = Window.orderBy("start_time", "user_id", "session_id")
-    return enriched.withColumn("songplay_id", F.row_number().over(order)).select(
+    keyed = enriched.withColumn("__y", F.year("start_time")).withColumn(
+        "__m", F.month("start_time")
+    )
+    with_id = deterministic_id(
+        keyed,
+        ["__y", "__m"],
+        ["start_time", "user_id", "session_id"],
+        out="songplay_id",
+    ).withColumn("songplay_id", F.col("songplay_id").cast("int"))
+    return with_id.drop("__y", "__m").select(
         "songplay_id",
         "start_time",
         "user_id",

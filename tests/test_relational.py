@@ -86,3 +86,15 @@ def test_top_k_uses_take_ordered(spark):
     plan = out._sc._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "simple")
     assert "TakeOrderedAndProject" in plan
     assert out.count() == 5
+
+
+def test_deterministic_id_dense_and_stable(spark):
+    df = spark.createDataFrame(
+        [(g, i, f"{g}-{i}") for g in range(3) for i in range(10)], ["g", "i", "v"]
+    ).repartition(8)
+    a = R.deterministic_id(df, ["g"], ["i"], out="rid")
+    ids = sorted(r.rid for r in a.collect())
+    assert ids == list(range(1, 31))  # dense 1..N
+    # stable across runs and partitioning
+    b = R.deterministic_id(df.repartition(3), ["g"], ["i"], out="rid")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
