@@ -31,9 +31,44 @@ def entry(spark: SparkSession) -> DataFrame:
     return Q.QUERIES["q1_pricing_summary"](spark, SMOKE_SF_DIR)
 
 
+# Round 1's CORRECTNESS file recorded only the first 50 registrations, so
+# the driver samples a prefix of this dict. Queries verified by the round-1
+# driver run (CORRECTNESS_r01.json, all green or documented rows-only) are
+# listed here and pushed to the back; everything not yet driver-proven —
+# round-1 registrations past the 50th plus queries new in round 2 — comes
+# first so the round-2 file covers them.
+_R1_DRIVER_VERIFIED = frozenset(
+    {
+        "q1_pricing_summary", "scan_project", "project_rename",
+        "filter_events_eq", "filter_pred_complex", "derive_columns",
+        "dedup_distinct_pairs", "dedup_full_rows", "dedup_conditional_prefer",
+        "dedup_conditional_reference", "join_inner_orders_customer",
+        "join_left_nulls", "join_semi_customers_with_orders",
+        "join_anti_customers_no_orders", "join_theta_self", "time_parts",
+        "epoch_roundtrip", "json_extract_props", "string_functions",
+        "multi_join_snowflake", "agg_stats_by_group", "agg_having",
+        "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_pivot",
+        "agg_approx_distinct", "win_topk_per_group", "win_running_sum",
+        "win_lag_delta", "win_rank_dense", "set_union_all", "set_intersect",
+        "set_except_all", "sort_limit_topk", "tpch_q3_shipping",
+        "asof_join_events_orders", "sessionize_events", "star_fact_enrich",
+        "text_token_stats", "text_quality", "text_langid", "text_fingerprint",
+        "text_simhash", "dedup_exact_docs", "dedup_jaccard_pairs",
+        "dedup_minhash_lsh", "neardup_cosine_pairs", "ann_topk_bruteforce",
+        "ann_topk_lsh",
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(Q.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered least-proven-first (see ``_R1_DRIVER_VERIFIED``) so a driver
+    that samples a prefix checks the queries with no prior driver row.
+    """
+    unproven = {n: f for n, f in Q.QUERIES.items() if n not in _R1_DRIVER_VERIFIED}
+    proven = {n: f for n, f in Q.QUERIES.items() if n in _R1_DRIVER_VERIFIED}
+    return {**unproven, **proven}
 
 
 def oracle_sql() -> dict[str, str]:

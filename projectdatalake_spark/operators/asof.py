@@ -73,9 +73,18 @@ def asof_join_grouped(
     by_left: str,
     by_right: str,
     direction: str = "backward",
+    right_tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """Arrow-vectorized as-of join: cogroup both sides on the by-key and run
-    ``pandas.merge_asof`` per group. One shuffle per side; no row explosion.
+    ``pandas.merge_asof`` per group. One shuffle per side; no row explosion —
+    the linear-fan-out plan for power-law by-keys, where the declarative
+    ``asof_join`` range join would explode candidates before its window.
+
+    ``right_tiebreak``: columns that order rows sharing the same
+    ``right_ts`` — the match picks the greatest tiebreak value (matching a
+    ``row_number() OVER (ORDER BY ts DESC, tiebreak DESC) = 1`` pick).
+    Without it, ties resolve by input order (nondeterministic under
+    shuffles).
     """
     import pandas as pd
 
@@ -89,14 +98,25 @@ def asof_join_grouped(
             for f in right_cols:
                 lpdf[f.name] = None
             return lpdf
-        rpdf = rpdf.drop(columns=[by_right]).sort_values(right_ts, kind="mergesort")
-        return pd.merge_asof(
+        # ascending (ts, tiebreak) sort: merge_asof takes the LAST matching
+        # row, i.e. greatest ts then greatest tiebreak — deterministic
+        rpdf = rpdf.drop(columns=[by_right]).sort_values(
+            [right_ts, *right_tiebreak], kind="mergesort"
+        )
+        res = pd.merge_asof(
             lpdf,
             rpdf,
             left_on=left_ts,
             right_on=right_ts,
             direction=direction,
         )
+        # unmatched rows surface as NaN even in integer columns; hand Arrow
+        # explicit Nones so non-float output fields convert cleanly
+        for f in right_cols:
+            col = res[f.name]
+            if col.isna().any():
+                res[f.name] = col.astype("object").where(col.notna(), None)
+        return res
 
     return (
         left.groupBy(by_left)

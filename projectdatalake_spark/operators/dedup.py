@@ -175,7 +175,10 @@ def minhash_lsh_pairs(
     # verification, and the banded index is self-joined: persist both so
     # each is computed once (at warehouse scale these would be materialized
     # tables between pipeline stages — the reference's own
-    # materialization-barrier pattern, SURVEY.md §2.9 W2)
+    # materialization-barrier pattern, SURVEY.md §2.9 W2). The result is
+    # materialized eagerly below so the inputs can be unpersisted before
+    # returning — repeated invocations must not accumulate executor storage.
+    _release_caches()
     sh_df = shingle_sets(df, text_col, id_col, n).persist()
     sigs = minhash_from_shingles(sh_df, num_hashes, id_col)
     band_keys = F.array(
@@ -211,7 +214,7 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     sh_tbl = sh_df
-    return (
+    out = (
         candidates.join(
             sh_tbl.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
         )
@@ -219,3 +222,26 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+    # Materialize the (small: verified near-dup pairs) result while the
+    # intermediates are cached, then release them. Only `out` stays cached —
+    # one bounded entry, freed on the next invocation by _release_caches().
+    out = out.persist()
+    out.count()
+    sh_df.unpersist()
+    banded.unpersist()
+    _LIVE_CACHES.append(out)
+    return out
+
+
+# Persisted result DataFrames from prior minhash_lsh_pairs calls, released
+# lazily on the next call so repeated bench/verify invocations hold at most
+# one invocation's cache (ADVICE: unbounded persist accumulation).
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _release_caches() -> None:
+    while _LIVE_CACHES:
+        try:
+            _LIVE_CACHES.pop().unpersist()
+        except Exception:  # pragma: no cover - session already stopped
+            pass

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from projectdatalake_spark.operators.relational import join_anti
 
@@ -29,6 +29,70 @@ def merge_upsert(
     keys = list(key)
     kept = join_anti(target, source.select(*keys), keys)
     return kept.unionByName(source.select(*target.columns))
+
+
+def touched_partition_filter(
+    source: DataFrame,
+    partition_cols: Sequence[str],
+    max_partitions: int = 10_000,
+) -> tuple[F.Column, list[tuple]]:
+    """Predicate selecting exactly the partitions present in ``source``.
+
+    The distinct partition tuples are collected (driver-small by contract —
+    a MERGE touching more than ``max_partitions`` partitions is a full-table
+    rewrite in disguise and raises instead). The returned column prunes the
+    target scan to touched partitions only.
+    """
+    pcols = list(partition_cols)
+    vals = source.select(*pcols).distinct().limit(max_partitions + 1).collect()
+    if len(vals) > max_partitions:
+        raise ValueError(
+            f"merge source touches more than max_partitions={max_partitions} "
+            "partitions; partition-scoped MERGE no longer helps — use a "
+            "full-table merge_upsert + overwrite instead"
+        )
+    tuples = [tuple(r[c] for c in pcols) for r in vals]
+    if len(pcols) == 1:
+        pred = F.col(pcols[0]).isin([t[0] for t in tuples])
+    else:
+        pred = F.lit(False)
+        for t in tuples:
+            conj = F.lit(True)
+            for c, v in zip(pcols, t):
+                conj = conj & (F.col(c) == F.lit(v))
+            pred = pred | conj
+    return pred, tuples
+
+
+def merge_upsert_partitioned(
+    spark: SparkSession,
+    target_path: str,
+    source: DataFrame,
+    key: Sequence[str],
+    partition_cols: Sequence[str],
+    max_partitions: int = 10_000,
+) -> list[tuple]:
+    """Partition-scoped MERGE INTO against a hive-partitioned parquet table.
+
+    The 100 TB upsert path absent Delta/Iceberg: a 0.1% delta must NOT
+    rewrite the table. Only the partitions present in ``source`` are (a)
+    read — the partition filter prunes the target scan to k partitions —
+    (b) merged via the anti-join + union, and (c) rewritten, via dynamic
+    partition overwrite (sources.writers.write_partitioned), which replaces
+    exactly the partitions in the written frame. Untouched partition files
+    are never opened or rewritten (byte-identical after the merge —
+    asserted in tests/test_merge_partitioned.py).
+
+    ``source`` must carry the partition columns with final values. Returns
+    the touched partition tuples.
+    """
+    from projectdatalake_spark.sources.writers import write_partitioned
+
+    pred, tuples = touched_partition_filter(source, partition_cols, max_partitions)
+    target = spark.read.parquet(target_path).filter(pred)
+    merged = merge_upsert(target, source.select(*target.columns), key)
+    write_partitioned(merged, target_path, list(partition_cols), dynamic=True)
+    return tuples
 
 
 def scd2_apply(

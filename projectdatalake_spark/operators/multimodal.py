@@ -34,15 +34,28 @@ def payload_metadata(payload: Column) -> dict[str, Column]:
 
 def chunk_payload(payload: Column, chunk_bytes: int) -> Column:
     """Split a binary payload into fixed-size chunks (array<binary>) —
-    the shuffle-safe unit for distributing large blobs."""
+    the shuffle-safe unit for distributing large blobs.
+
+    An empty payload yields an empty array (guarded: F.sequence(0, -1)
+    would otherwise count DOWN and fabricate two phantom chunks)."""
     n_chunks = F.ceil(F.octet_length(payload) / F.lit(chunk_bytes)).cast("int")
     starts = F.sequence(F.lit(0), n_chunks - 1)
-    return F.transform(
-        starts, lambda i: F.substring(payload, i * chunk_bytes + 1, chunk_bytes)
-    )
+    return F.when(
+        F.octet_length(payload) > 0,
+        F.transform(
+            starts, lambda i: F.substring(payload, i * chunk_bytes + 1, chunk_bytes)
+        ),
+    ).otherwise(F.array().cast("array<binary>"))
 
 
-# --- decode kernels (Arrow-batched; real codec behind import-try) ----------
+# --- decode kernels (Arrow-batched) ----------------------------------------
+#
+# Real decoders exist for the two uncompressed formats a pure-numpy parser
+# can handle — BMP (24-bit BITMAPINFOHEADER) and PPM (binary P6) — plus a
+# PIL path for every other format when pillow is installed on the cluster.
+# Payloads in none of those categories fall back to a clearly-deterministic
+# fake derived from payload size, so the pipeline never hard-fails on an
+# unknown codec; it degrades to metadata-only features.
 
 _DECODE_SCHEMA = T.StructType(
     [
@@ -55,13 +68,85 @@ _DECODE_SCHEMA = T.StructType(
 )
 
 
-def _fake_decode_features(n_bytes):
-    """Deterministic fake decode: metadata derived from payload size.
+def encode_bmp(width: int, height: int, pixel: int) -> bytes:
+    """Minimal 24-bit uncompressed BMP encoder (pure stdlib): a width×height
+    image with every channel byte set to ``pixel``. The writer is the test
+    fixture for the real decoder — separate code paths, so a decode bug
+    cannot cancel out an encode bug (both would have to invert padding,
+    offsets, and row order identically)."""
+    import struct
 
-    Stands in for a real image decode (PIL/libvips not in this container);
-    keeps every pipeline property — determinism, schema, vectorization —
-    so the plumbing is fully testable.
+    stride = (width * 3 + 3) // 4 * 4
+    data = bytes([pixel]) * (width * 3)
+    pad = b"\x00" * (stride - width * 3)
+    pixels = (data + pad) * height
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    return header + info + pixels
+
+
+def encode_ppm(width: int, height: int, pixel: int) -> bytes:
+    """Minimal binary-P6 PPM encoder (fixture twin of the PPM decoder)."""
+    return f"P6\n{width} {height}\n255\n".encode() + bytes([pixel]) * (width * height * 3)
+
+
+def _decode_real(buf: bytes):
+    """Parse an image payload with real (pure-numpy) codecs.
+
+    Returns (width, height, mean_luma) — mean_luma is the mean of all RGB
+    channel bytes / 255 — or None if the payload is not a supported format.
+    Supported without any library: BMP (24-bit, uncompressed, bottom-up or
+    top-down) and PPM (binary P6, maxval 255). With pillow importable, any
+    PIL-supported format.
     """
+    import re
+    import struct
+
+    import numpy as np
+
+    if buf[:2] == b"BM" and len(buf) >= 54:
+        off, = struct.unpack_from("<I", buf, 10)
+        width, height = struct.unpack_from("<ii", buf, 18)
+        bpp, = struct.unpack_from("<H", buf, 28)
+        comp, = struct.unpack_from("<I", buf, 30)
+        if bpp != 24 or comp != 0 or width <= 0 or height == 0:
+            return None
+        rows = abs(height)
+        stride = (width * 3 + 3) // 4 * 4
+        if len(buf) < off + rows * stride:
+            return None
+        px = np.frombuffer(buf, dtype=np.uint8, count=rows * stride, offset=off)
+        px = px.reshape(rows, stride)[:, : width * 3]
+        return width, rows, float(px.mean()) / 255.0
+    if buf[:2] == b"P6":
+        m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", buf[:64])
+        if not m:
+            return None
+        width, height, maxval = (int(m.group(i)) for i in (1, 2, 3))
+        if maxval != 255:
+            return None
+        off = m.end()
+        n = width * height * 3
+        if len(buf) < off + n:
+            return None
+        px = np.frombuffer(buf, dtype=np.uint8, count=n, offset=off)
+        return width, height, float(px.mean()) / 255.0
+    try:  # pragma: no cover - pillow not in this container
+        import io
+
+        import PIL.Image
+
+        img = PIL.Image.open(io.BytesIO(buf))
+        arr = np.asarray(img.convert("RGB"))
+        return int(img.width), int(img.height), float(arr.mean()) / 255.0
+    except Exception:
+        return None
+
+
+def _fake_decode_features(n_bytes: int):
+    """Deterministic fallback for undecodable payloads: metadata derived
+    from payload size only. Keeps determinism, schema, and vectorization so
+    pipelines over opaque/unsupported media still run end to end."""
     width = 64 + n_bytes % 192
     height = 64 + (n_bytes * 7) % 192
     mean_luma = (n_bytes % 256) / 255.0
@@ -71,37 +156,29 @@ def _fake_decode_features(n_bytes):
 def decode_image_features(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Arrow-batched 'decode' + feature extraction via mapInPandas.
+    """Arrow-batched decode + feature extraction via mapInPandas.
 
     Batches stream through the Python worker as pandas frames (no per-row
-    pickling); output schema is fixed. With a real codec installed, the
-    kernel decodes ``pdf[payload_col]`` bytes instead of the fake.
+    pickling); output schema is fixed. BMP/PPM payloads (and any format PIL
+    can read, when installed) are REALLY decoded; other payloads get the
+    deterministic size-derived fake.
     """
-    try:  # pragma: no cover - real codec not in this container
-        import PIL.Image  # noqa: F401
-
-        raise NotImplementedError(
-            "real image decode intentionally stubbed: wire PIL.Image.open "
-            "over io.BytesIO(payload) here when codecs are available"
-        )
-    except ImportError:
-        pass
 
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            n = pdf[payload_col].map(len).astype("int32")
-            out = pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col],
-                    "n_bytes": n,
-                    "width": (64 + n % 192).astype("int32"),
-                    "height": (64 + (n * 7) % 192).astype("int32"),
-                    "mean_luma": (n % 256) / 255.0,
-                }
+            rows = []
+            for doc_id, buf in zip(pdf[id_col], pdf[payload_col]):
+                buf = bytes(buf)
+                decoded = _decode_real(buf)
+                w, h, luma = decoded if decoded else _fake_decode_features(len(buf))
+                rows.append((doc_id, len(buf), w, h, luma))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_bytes", "width", "height", "mean_luma"]
+            ).astype(
+                {"n_bytes": "int32", "width": "int32", "height": "int32", "mean_luma": "float64"}
             )
-            yield out
 
     return df.select(id_col, payload_col).mapInPandas(kernel, schema=_DECODE_SCHEMA)
 
@@ -143,40 +220,27 @@ def resize_images(
 
     The fake decode derives (w, h) from payload size exactly like
     ``decode_image_features``; the resize math (aspect-preserving clamp to
-    ``max_side``) and the Arrow batch plumbing are the real algorithm —
-    with codecs installed the kernel body swaps to PIL's
-    ``Image.thumbnail`` over the actual pixels.
+    ``max_side``) and the Arrow batch plumbing are the real algorithm.
+    BMP/PPM (or PIL-readable) payloads would resize from their REAL
+    dimensions via ``_decode_real``; size-derived fakes cover the rest —
+    pipelines never hard-fail on an unknown codec.
     """
-    try:  # pragma: no cover - real codec not in this container
-        import PIL.Image  # noqa: F401
-
-        raise NotImplementedError(
-            "real resize intentionally stubbed: decode payload, call "
-            "Image.thumbnail((max_side, max_side)), re-encode"
-        )
-    except ImportError:
-        pass
 
     def kernel(batches):
-        import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            n = pdf[payload_col].map(len).astype("int64")
-            w = (64 + n % 192).astype("int64")
-            h = (64 + (n * 7) % 192).astype("int64")
-            scale = np.minimum(1.0, max_side / np.maximum(w, h))
-            out_w = np.maximum(1, np.floor(w * scale)).astype("int32")
-            out_h = np.maximum(1, np.floor(h * scale)).astype("int32")
+            rows = []
+            for doc_id, buf in zip(pdf[id_col], pdf[payload_col]):
+                buf = bytes(buf)
+                decoded = _decode_real(buf)
+                w, h, _ = decoded if decoded else _fake_decode_features(len(buf))
+                scale = min(1.0, max_side / max(w, h))
+                out_w = max(1, int(w * scale))
+                out_h = max(1, int(h * scale))
+                rows.append((doc_id, out_w, out_h, scale, out_w * out_h * 3))
             yield pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col],
-                    "out_w": out_w,
-                    "out_h": out_h,
-                    "scale": scale,
-                    # fake thumbnail payload size: 3 bytes/pixel
-                    "thumb_bytes": (out_w.astype("int64") * out_h * 3).astype("int32"),
-                }
-            )
+                rows, columns=["doc_id", "out_w", "out_h", "scale", "thumb_bytes"]
+            ).astype({"out_w": "int32", "out_h": "int32", "scale": "float64", "thumb_bytes": "int32"})
 
     return df.select(id_col, payload_col).mapInPandas(kernel, schema=_RESIZE_SCHEMA)

@@ -128,12 +128,17 @@ def dedup_prefer(
     ``key``, no self-join, no driver round-trips. Equivalent to (and
     cheaper than) the reference's theta-join + anti-join pair, which
     shuffles the table three times.
+
+    A NULL ``prefer`` means "not preferred" (matching the anti-join form,
+    where a NULL level simply never equals the preferred value): rows with
+    NULL prefer are kept iff their key group has no preferred row.
     """
+    pref = F.coalesce(prefer, F.lit(False))
     w = Window.partitionBy(*key)
-    flag = F.max(prefer.cast("int")).over(w)
+    flag = F.max(pref.cast("int")).over(w)
     return (
         df.withColumn("__has_pref", flag)
-        .filter((F.col("__has_pref") == 0) | prefer)
+        .filter((F.col("__has_pref") == 0) | pref)
         .drop("__has_pref")
     )
 

@@ -238,6 +238,7 @@ def topk_neighbors_ivf(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """ANN top-k via IVF (inverted-file) coarse quantization.
 
@@ -249,7 +250,10 @@ def topk_neighbors_ivf(
     n_probe partitions — classic IVF file layout).
 
     Queries must be driver-small (they are collected to compute probe
-    cells; the corpus is never collected).
+    cells; the corpus is never collected). ``max_query_rows`` enforces
+    that contract: a query set above the ceiling raises instead of
+    silently OOMing the driver — raise the limit explicitly if the driver
+    truly has the memory.
     """
     import numpy as np
     from pyspark.ml.clustering import KMeans
@@ -272,7 +276,18 @@ def topk_neighbors_ivf(
     )
 
     centers = np.stack([c for c in model.clusterCenters()])
-    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    # limit()+collect() bounds what can ever reach the driver; the count
+    # check turns a contract breach into a loud error instead of an OOM
+    probe_q = queries.select(F.col(id_col), F.col(vec_col))
+    n_queries = probe_q.limit(max_query_rows + 1).count()
+    if n_queries > max_query_rows:
+        raise ValueError(
+            f"topk_neighbors_ivf query set exceeds max_query_rows="
+            f"{max_query_rows}; queries are collected to the driver to "
+            "compute probe cells — pass a larger max_query_rows only if "
+            "the driver can hold them, or pre-sample the query set"
+        )
+    q_rows = probe_q.collect()
     probe_rows = []
     for r in q_rows:
         qv = np.asarray(r[vec_col], dtype="float64")

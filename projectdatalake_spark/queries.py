@@ -1429,15 +1429,18 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) AS n_chunks,
-           CAST(octet_length(encode(text))
-             - (CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) - 1) * 64
-               AS INT) AS last_chunk_bytes
+           CASE WHEN octet_length(encode(text)) = 0 THEN NULL
+                ELSE CAST(octet_length(encode(text))
+                  - (CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) - 1) * 64
+                    AS INT) END AS last_chunk_bytes
     FROM documents
     """,
 )
 def mm_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size binary chunking (the distribution unit for large blobs):
-    chunk count and tail-chunk size derived from the real chunk array."""
+    chunk count and tail-chunk size derived from the real chunk array.
+    Empty payloads chunk to an empty array (NULL tail size on both sides —
+    try_element_at, since ANSI element_at errors on an empty array)."""
     from projectdatalake_spark.operators import multimodal as MM
 
     d = _t(spark, sf_dir, "documents")
@@ -1445,7 +1448,7 @@ def mm_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.size(chunks).alias("n_chunks"),
-        F.octet_length(F.element_at(chunks, -1)).alias("last_chunk_bytes"),
+        F.octet_length(F.try_element_at(chunks, F.lit(-1))).alias("last_chunk_bytes"),
     )
 
 
@@ -2282,3 +2285,257 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(m).alias("n_keys"),
         F.map_keys(m).alias("keys"),
     )
+
+
+# =========================================================================
+# Wave 12 (round 2): cogrouped as-of, SCD2, partition-scoped MERGE,
+# SQL-front-end parity twins, real-codec decode round-trip
+# =========================================================================
+
+
+_ASOF_ORACLE = """
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+           o_orderkey AS last_orderkey, o_orderdate AS last_orderdate
+    FROM (
+        SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+               row_number() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC
+               ) AS rn
+        FROM events e
+        LEFT JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
+    ) WHERE rn = 1
+    """
+
+
+@query("asof_join_grouped", oracle=_ASOF_ORACLE)
+def asof_join_grouped_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LINEAR as-of plan (operators.asof.asof_join_grouped): cogroup on
+    the by-key + pandas.merge_asof per group — no candidate explosion on
+    power-law keys, unlike the range-join form (asof_join_events_orders,
+    which this oracle-matches row for row). The scale-preferred path when
+    per-key fan-out is large."""
+    from projectdatalake_spark.operators import asof
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    out = asof.asof_join_grouped(
+        ev, orders,
+        left_ts="ts", right_ts="o_orderdate",
+        by_left="user_id", by_right="o_custkey",
+        right_tiebreak=["o_orderkey"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_orderdate").alias("last_orderdate"),
+    )
+
+
+@query(
+    "scd2_customer_history",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey, c_acctbal, TIMESTAMP '1990-01-01' AS effective_from
+        FROM customer
+    ), upd AS (
+        SELECT o_custkey AS c_custkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS c_acctbal,
+               max(o_orderdate) AS effective_from
+        FROM orders GROUP BY o_custkey
+    ), allrows AS (
+        SELECT * FROM base UNION ALL SELECT * FROM upd
+    )
+    SELECT c_custkey, c_acctbal, effective_from,
+           lead(effective_from) OVER (
+               PARTITION BY c_custkey ORDER BY effective_from) AS effective_to,
+           lead(effective_from) OVER (
+               PARTITION BY c_custkey ORDER BY effective_from) IS NULL AS is_current
+    FROM allrows
+    """,
+)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type 2 (operators.merge.scd2_apply): the customer dimension gets
+    a new version per update batch; validity intervals and current flags
+    derive from one lead() window per key — a single shuffle."""
+    from projectdatalake_spark.operators.merge import scd2_apply
+
+    c = _t(spark, sf_dir, "customer")
+    dim = c.select(
+        "c_custkey", "c_acctbal",
+        F.lit("1990-01-01").cast("timestamp_ntz").alias("effective_from"),
+    )
+    o = _t(spark, sf_dir, "orders")
+    updates = o.groupBy("o_custkey").agg(
+        dsum(F.col("o_totalprice")).alias("c_acctbal"),
+        F.max("o_orderdate").alias("effective_from"),
+    ).withColumnRenamed("o_custkey", "c_custkey")
+    return scd2_apply(dim, updates, ["c_custkey"])
+
+
+@query(
+    "merge_partition_scoped",
+    oracle="""
+    WITH tgt AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+               o_orderdate,
+               CAST(year(o_orderdate) AS INT) AS o_year
+        FROM orders
+    ), src AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(o_totalprice * 1.1 AS DOUBLE) AS o_totalprice,
+               o_orderdate, o_year
+        FROM tgt WHERE o_year = 1997
+    )
+    SELECT * FROM tgt WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+    UNION ALL
+    SELECT * FROM src
+    """,
+)
+def merge_partition_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped MERGE, end to end through the filesystem: the
+    year-partitioned orders table is written to a scratch dir, a source
+    touching ONLY year=1997 is merged via merge_upsert_partitioned (reads k
+    touched partitions, dynamic-overwrites exactly those), and the table is
+    read back. Untouched partition files stay byte-identical
+    (tests/test_merge_partitioned.py asserts file hashes)."""
+    import tempfile
+
+    from projectdatalake_spark.operators.merge import merge_upsert_partitioned
+    from projectdatalake_spark.sources.writers import write_partitioned
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "o_orderdate",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    )
+    path = tempfile.mkdtemp(prefix="merge_scoped_")
+    write_partitioned(o, path, ["o_year"])
+    source = o.filter(F.col("o_year") == 1997).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    )
+    merge_upsert_partitioned(
+        spark, path, source, key=["o_orderkey"], partition_cols=["o_year"]
+    )
+    merged = spark.read.parquet(path)
+    return merged.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_year")
+
+
+# --- SQL front-end parity twins (SURVEY.md §3): the same logical queries
+# expressed as spark.sql text over temp views, hash-matched against the
+# same DuckDB oracles as their DataFrame twins. A broader sweep (a dozen
+# shared-ANSI oracles run verbatim through spark.sql) lives in
+# tests/test_sql_parity.py.
+
+
+def _sql_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for t in names:
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+@query("sql_pricing_summary", oracle=ORACLES["q1_pricing_summary"])
+def sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship Q1 through the SQL front end — spark.sql over temp views
+    plans identically to the DataFrame twin (q1_pricing_summary)."""
+    _sql_views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE)      AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) AS DOUBLE)
+                                                                           AS sum_disc_price,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,6))) AS DOUBLE)
+                                                                           AS sum_charge,
+               CAST(sum(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) / count(*)      AS avg_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) / count(*) AS avg_price,
+               CAST(sum(CAST(l_discount AS DECIMAL(27,2))) AS DOUBLE) / count(*)      AS avg_disc,
+               count(*)                                                    AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP_NTZ '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+@query("sql_tpch_q3", oracle=ORACLES["tpch_q3_shipping"])
+def sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 through the SQL front end; Catalyst broadcast-joins the
+    filtered customer dim exactly as the DataFrame twin does."""
+    _sql_views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderdate,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) AS DOUBLE)
+                   AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP_NTZ '1998-03-15'
+          AND l_shipdate  > TIMESTAMP_NTZ '1998-03-15'
+        GROUP BY o_orderkey, o_orderdate
+        """
+    )
+
+
+@query("sql_win_rank_dense", oracle=ORACLES["win_rank_dense"])
+def sql_win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window functions through the SQL front end (ANSI window
+    syntax is engine-portable: this text is the DuckDB oracle verbatim)."""
+    _sql_views(spark, sf_dir, "part")
+    return spark.sql(ORACLES["win_rank_dense"])
+
+
+@query(
+    "mm_decode_real",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               8 + doc_id % 13 AS w,
+               4 + doc_id % 7  AS h,
+               doc_id % 256    AS px
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 2 = 0
+                     THEN 54 + ((w * 3 + 3) // 4) * 4 * h
+                     ELSE 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+                          + w * h * 3
+                END AS INT)  AS n_bytes,
+           CAST(w AS INT)    AS width,
+           CAST(h AS INT)    AS height,
+           px / 255.0        AS mean_luma
+    FROM p
+    """,
+)
+def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode round-trip: synthesize one uncompressed image per
+    document (even doc_id → 24-bit BMP, odd → binary PPM; dimensions and
+    fill pixel derived from doc_id), then decode with the pure-numpy
+    BMP/PPM parsers in operators.multimodal._decode_real. The oracle
+    recomputes width/height/mean_luma/file size arithmetically — the
+    decoder must parse headers, strip row padding, and average actual
+    pixel bytes to match. Encoder and decoder are independent code paths."""
+    from projectdatalake_spark.operators import multimodal as MM
+
+    def encode_kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 8 + doc_id % 13
+                h = 4 + doc_id % 7
+                px = doc_id % 256
+                buf = MM.encode_bmp(w, h, px) if doc_id % 2 == 0 else MM.encode_ppm(w, h, px)
+                rows.append((doc_id, buf))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    payloads = d.mapInPandas(encode_kernel, schema="doc_id long, payload binary")
+    return MM.decode_image_features(payloads)
