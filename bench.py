@@ -77,10 +77,52 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": sf,
+                "scale_probe": scale_probe(spark, sf_dir),
             }
         )
     )
     spark.stop()
+
+
+def scale_probe(spark, sf_dir: str) -> dict:
+    """Near-linearity probe for the dedup ladder (the regression class
+    BASELINE.md's history shows this code is prone to): run MinHash-LSH and
+    SimHash over the sf documents table and over a salted 10× copy
+    (sf1-equivalent doc count), and report the per-doc cost ratio — ~1.0
+    means the candidate generation stayed linear; quadratic blowups or
+    Catalyst expression re-inlining show up as ratios ≫ 1."""
+    from pyspark.sql import functions as F
+
+    from projectdatalake_spark.operators.dedup import minhash_lsh_pairs
+    from projectdatalake_spark.operators.text import simhash_table
+    from projectdatalake_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n1 = docs.count()
+    # 10 salted copies: one leading token differs per copy, so clones stay
+    # near-dups (exercising real verification work) without exact-dup
+    # degeneracy
+    big = (
+        docs.crossJoin(spark.range(10).select(F.col("id").alias("k")))
+        .select(
+            (F.col("doc_id") * 10 + F.col("k")).alias("doc_id"),
+            F.concat(F.lit("v"), F.col("k"), F.lit(" "), F.col("text")).alias("text"),
+        )
+    )
+
+    def timed(fn) -> float:
+        t0 = time.perf_counter()
+        fn().write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    out = {"docs_1x": n1, "docs_10x": n1 * 10}
+    out["minhash_1x"] = round(timed(lambda: minhash_lsh_pairs(docs, threshold=0.5)), 3)
+    out["minhash_10x"] = round(timed(lambda: minhash_lsh_pairs(big, threshold=0.5)), 3)
+    out["simhash_1x"] = round(timed(lambda: simhash_table(docs)), 3)
+    out["simhash_10x"] = round(timed(lambda: simhash_table(big)), 3)
+    out["perdoc_ratio_minhash"] = round(out["minhash_10x"] / 10 / out["minhash_1x"], 3)
+    out["perdoc_ratio_simhash"] = round(out["simhash_10x"] / 10 / out["simhash_1x"], 3)
+    return out
 
 
 if __name__ == "__main__":

@@ -660,9 +660,11 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact COUNT(DISTINCT) — mergeable sketches, no giant shuffle. Values
     are approximate, so the driver records a rows-only check."""
     li = _t(spark, sf_dir, "lineitem")
+    # rsd=0.02: relative error gated at ≤5% (≈2.5σ) in
+    # tests/test_accuracy_gates.py; sketch stays KB-sized and mergeable
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
     )
 
 
@@ -1876,9 +1878,10 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ann_topk_ivf")  # KMeans quantizer is engine-side → rows-only
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-10 via IVF coarse quantization (seeded KMeans cells,
-    n_probe=4 of 16) with exact re-rank — the partition-pruning ANN
-    layout for 100 TB corpora. Recall vs brute force asserted in pytest."""
+    """ANN top-10 via IVF coarse quantization (seeded KMeans on L2-unit
+    vectors, n_probe=12 of 32 cells ≈ sqrt(n)) with exact re-rank — the
+    partition-pruning ANN layout for 100 TB corpora. Recall ≥ 0.9 vs
+    brute force asserted in tests/test_accuracy_gates.py."""
     from projectdatalake_spark.operators import similarity as S
 
     emb = _t(spark, sf_dir, "embeddings")

@@ -69,3 +69,47 @@ def test_read_json_explicit_schema(spark, tmp_path):
     df = read_json(spark, str(p), schemas.LOG_DATA)
     assert df.schema == schemas.LOG_DATA
     assert df.filter(F.col("page") == "NextSong").count() == 1
+
+
+def test_file_uri_four_level_glob(spark, tmp_path):
+    """S6 shape (reference etl.py:37): URI-scheme paths + a 4-level glob
+    over a nested JSON layout, then a hive-partitioned overwrite written
+    and read back through the same file:// scheme. Locally file:// stands
+    in for s3a:// — both go through the same Hadoop FileSystem API, so the
+    glob/partition logic is scheme-agnostic."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    base = tmp_path / "songs"
+    rows = []
+    for i in range(8):
+        a, b, c = chr(65 + i % 3), chr(65 + (i // 3) % 3), chr(65 + i % 2)
+        d = base / a / b / c
+        d.mkdir(parents=True, exist_ok=True)
+        rec = {"song_id": f"S{i}", "year": 1990 + i % 4, "duration": 100.0 + i}
+        (d / f"song{i}.json").write_text(_json.dumps(rec))
+        rows.append(rec)
+
+    schema = T.StructType(
+        [
+            T.StructField("song_id", T.StringType()),
+            T.StructField("year", T.IntegerType()),
+            T.StructField("duration", T.DoubleType()),
+        ]
+    )
+    glob_uri = f"file://{base}/*/*/*/*.json"
+    df = read_json(spark, glob_uri, schema)
+    assert df.count() == len(rows)
+    assert {r.song_id for r in df.collect()} == {r["song_id"] for r in rows}
+
+    out_uri = f"file://{tmp_path}/songs_parquet"
+    write_partitioned(df, out_uri, ["year"])
+    back = spark.read.parquet(out_uri)
+    assert back.count() == len(rows)
+    # partition pruning through the URI path
+    y = 1991
+    assert (
+        back.filter(F.col("year") == y).count()
+        == sum(1 for r in rows if r["year"] == y)
+    )
