@@ -142,9 +142,16 @@ def minhash_signatures(
 def minhash_from_shingles(
     sh_df: DataFrame, num_hashes: int = 32, id_col: str = "doc_id"
 ) -> DataFrame:
-    exploded = sh_df.select(F.col(id_col), F.explode("sh").alias("s"))
+    """Hash family: h_i(s) = xxhash64(xxhash64(s), i) — the variable-length
+    shingle STRING is hashed once per row, and the k family members rehash
+    the resulting 8-byte long (k× cheaper than k string hashes; same
+    independence, since xxhash64 seeded by i mixes the base hash fully).
+    Map-side partial min means the shuffle carries k longs per doc."""
+    exploded = sh_df.select(F.col(id_col), F.explode("sh").alias("s")).select(
+        F.col(id_col), F.xxhash64("s").alias("hs")
+    )
     return exploded.groupBy(id_col).agg(
-        *[F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+        *[F.min(F.xxhash64("hs", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
     )
 
 
@@ -175,9 +182,10 @@ def minhash_lsh_pairs(
     # verification, and the banded index is self-joined: persist both so
     # each is computed once (at warehouse scale these would be materialized
     # tables between pipeline stages — the reference's own
-    # materialization-barrier pattern, SURVEY.md §2.9 W2). The result is
-    # materialized eagerly below so the inputs can be unpersisted before
-    # returning — repeated invocations must not accumulate executor storage.
+    # materialization-barrier pattern, SURVEY.md §2.9 W2). Prior
+    # invocations' caches are released here — deferred, so the returned
+    # frame stays lazy — bounding executor storage to one invocation
+    # instead of accumulating for the session lifetime.
     _release_caches()
     sh_df = shingle_sets(df, text_col, id_col, n).persist()
     sigs = minhash_from_shingles(sh_df, num_hashes, id_col)
@@ -214,7 +222,8 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     sh_tbl = sh_df
-    out = (
+    _LIVE_CACHES.extend([sh_df, banded])
+    return (
         candidates.join(
             sh_tbl.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
         )
@@ -222,20 +231,13 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
-    # Materialize the (small: verified near-dup pairs) result while the
-    # intermediates are cached, then release them. Only `out` stays cached —
-    # one bounded entry, freed on the next invocation by _release_caches().
-    out = out.persist()
-    out.count()
-    sh_df.unpersist()
-    banded.unpersist()
-    _LIVE_CACHES.append(out)
-    return out
 
 
-# Persisted result DataFrames from prior minhash_lsh_pairs calls, released
-# lazily on the next call so repeated bench/verify invocations hold at most
-# one invocation's cache (ADVICE: unbounded persist accumulation).
+# Persisted intermediates from the latest minhash_lsh_pairs call, released
+# on the next call so repeated bench/verify invocations hold at most one
+# invocation's cache (ADVICE: unbounded persist accumulation). A frame
+# returned earlier stays CORRECT after its caches are released — Spark
+# recomputes from source lineage — it just loses the reuse speedup.
 _LIVE_CACHES: list[DataFrame] = []
 
 
