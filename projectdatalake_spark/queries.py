@@ -2542,3 +2542,154 @@ def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id")
     payloads = d.mapInPandas(encode_kernel, schema="doc_id long, payload binary")
     return MM.decode_image_features(payloads)
+
+
+# =========================================================================
+# Wave 13 (round 2): training-data pipeline surface — deterministic splits,
+# context-window packing, tf-idf term selection, stream-static enrichment
+# =========================================================================
+
+
+@query(
+    "split_assign_hash",
+    oracle="""
+    SELECT doc_id,
+           CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+                % 100 AS INT) AS bucket,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+                     % 100 < 80 THEN 'train'
+                WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+                     % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def split_assign_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content-stable hash
+    bucket (md5 of the id, first 16 bits, mod 100 → 80/10/10): the split a
+    training pipeline can recompute identically on any engine, any run,
+    any shard order — unlike sample(), which is seed- and partition-
+    dependent. Pure projection: no shuffle, fully pushed down."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 100
+    )
+    return d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )
+
+
+@query(
+    "pack_token_budget",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INT) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(floor((sum(n_tokens) OVER (
+                    PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tokens) / 512.0) AS INT) AS pack_id
+    FROM t
+    """,
+)
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: assign docs to 512-token packs by running
+    token offset within each language shard (pack = floor(start_offset /
+    budget) — offset-quantized packing, deterministic and one window
+    shuffle on the shard key; exact first-fit packing needs a stateful
+    scan — applyInPandas per shard — at the cost of arbitrary-order
+    determinism). The pre-tokenization step every sequence-packing
+    training pipeline runs at corpus scale."""
+    from projectdatalake_spark.operators import text as TX
+
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", F.size(TX.tokens(F.col("text"))).alias("n_tokens"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return t.withColumn("pack_id", F.floor(start / 512.0).cast("int"))
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, token, CAST(count(*) AS INT) AS tf
+        FROM toks GROUP BY doc_id, token
+    ), df AS (
+        SELECT token, CAST(count(*) AS INT) AS df FROM tf GROUP BY token
+    ), n AS (
+        SELECT count(*) AS n_docs FROM documents
+    )
+    SELECT doc_id, token, tf, df, rank FROM (
+        SELECT tf.doc_id, tf.token, tf.tf, df.df,
+               CAST(row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) DESC,
+                            tf.token) AS INT) AS rank
+        FROM tf JOIN df USING (token) CROSS JOIN n
+    ) WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf terms per document (keyword extraction / quality
+    features). The smoothed idf score orders terms but is NOT an output
+    column: ln() differs across engines in the last ulp, while the
+    resulting ORDER survives any sub-gap perturbation (distinct (tf, df)
+    pairs are separated by far more than an ulp; equal pairs tie-break on
+    the token). Plan: two hash aggs + a broadcast df join — the doc-side
+    explode never re-shuffles the corpus."""
+    from projectdatalake_spark.operators import text as TX
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).cast("int").alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("int").alias("df"))
+    n_docs = d.count()  # scalar: one lightweight job, broadcast as literal
+    score = F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0))
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("token"))
+    return (
+        tf.join(F.broadcast(df), "token")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", "tf", "df", "rank")
+    )
+
+
+@query(
+    "stream_join_enrich",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def stream_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join driven to completion: the event stream joins the
+    static customer dimension (broadcast — the static side is planned per
+    micro-batch) and aggregates per segment. The standard streaming
+    enrichment shape; over a bounded replay it must equal the batch join."""
+    from projectdatalake_spark import streaming as ST
+
+    stream = ST.read_events_stream(spark, sf_dir)
+    dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = stream.join(F.broadcast(dim), stream.user_id == dim.c_custkey)
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(27,2)")).cast("double").alias("total_value"),
+    )
+    return ST.run_available_now(agg, output_mode="complete")
