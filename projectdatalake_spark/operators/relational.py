@@ -156,6 +156,12 @@ def dedup_prefer_reference(
     carry the preferred level, then an anti-join removes them. We use the
     native left-anti join instead of left-join + IS NULL (J2) — identical
     output, one less filter pass.
+
+    NULL levels: the inequality is null-SAFE, so a NULL level counts as an
+    ordinary non-preferred value and is dropped when its key has the
+    preferred level — matching ``dedup_prefer``'s NULL-means-not-preferred
+    contract. (Raw SQL three-valued logic would silently exempt NULL rows
+    from dedup: ``'paid' <> NULL`` is NULL, never true.)
     """
     kcols = list(key)
     right = df.select(
@@ -163,18 +169,25 @@ def dedup_prefer_reference(
         F.col(level_col).alias(f"{level_col}__r"),
     ).dropDuplicates()
     cond = (
-        ~(F.col(level_col) == F.col(f"{level_col}__r"))
+        ~F.col(level_col).eqNullSafe(F.col(f"{level_col}__r"))
         & (F.col(level_col) == F.lit(preferred_value))
     )
     for c in kcols:
         cond = cond & (F.col(c) == F.col(f"{c}__r"))
     dupes = (
         df.join(right, cond, "inner")
-        .select(*[F.col(f"{c}__r").alias(c) for c in kcols], F.col(f"{level_col}__r").alias(level_col))
+        .select(
+            *[F.col(f"{c}__r").alias(f"{c}__d") for c in kcols],
+            F.col(f"{level_col}__r").alias(f"{level_col}__d"),
+        )
         .dropDuplicates()
     )
-    # named-key joins surface the key columns first; restore caller order
-    return join_anti(df, dupes, kcols + [level_col]).select(*df.columns)
+    # the removal join must also be null-safe on the level column (a plain
+    # equi-join would never match the NULL rows the dupes table names)
+    anti_cond = F.col(level_col).eqNullSafe(F.col(f"{level_col}__d"))
+    for c in kcols:
+        anti_cond = anti_cond & (F.col(c) == F.col(f"{c}__d"))
+    return join_anti(df, dupes, anti_cond).select(*df.columns)
 
 
 # --- set operations & ordering (SURVEY.md §2.6 — engine-added surface) -----
@@ -217,7 +230,20 @@ def deterministic_id(
     group offsets — two distributed shuffles, no task sees more than one
     group, and ids are contiguous from 1 in (group, order) order.
     ``order_by`` should be unique within a group for full determinism.
+
+    Constraint: the offsets table is one row PER GROUP and its cumulative
+    sum runs in a single task, so ``partition_by`` cardinality must be
+    driver-small (≲ millions — year/month here). For a high-cardinality
+    ``partition_by`` the single-partition window over #groups rows becomes
+    the funnel; use a two-level scheme (group-of-groups offsets) or accept
+    non-contiguous ids via ``monotonically_increasing_id``.
     """
+    if not partition_by:
+        raise ValueError(
+            "deterministic_id requires partition_by; a fully global dense "
+            "id is a single-task sort — use monotonically_increasing_id "
+            "if ids need not be contiguous"
+        )
     pcols = list(partition_by)
     group_w = Window.partitionBy(*pcols).orderBy(*order_by)
     offsets_w = Window.orderBy(*pcols).rowsBetween(Window.unboundedPreceding, -1)

@@ -40,6 +40,31 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    n_buckets: int,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table (hash-partitioned file layout + metastore
+    bucket spec).
+
+    THE co-location tool for repeated big joins at 100 TB: two tables
+    bucketed on the join key with the same bucket count sort-merge-join
+    with NO shuffle exchange on either side (asserted in
+    tests/test_bucketing.py) — the shuffle is paid once at write time and
+    amortized over every subsequent join/aggregation on the key.
+    ``sort_by`` additionally pre-sorts within buckets, eliminating the
+    join-time sort. Read back with ``spark.table(table)``.
+    """
+    writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

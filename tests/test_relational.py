@@ -98,3 +98,27 @@ def test_deterministic_id_dense_and_stable(spark):
     # stable across runs and partitioning
     b = R.deterministic_id(df.repartition(3), ["g"], ["i"], out="rid")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_dedup_prefer_null_matches_reference_form(spark):
+    """ADVICE round 1: a NULL prefer value must mean 'not preferred' in
+    BOTH forms — a key whose rows are all NULL-prefer keeps every row."""
+    from projectdatalake_spark.operators.relational import (
+        dedup_prefer,
+        dedup_prefer_reference,
+    )
+
+    rows = [
+        ("u1", "paid"), ("u1", "free"),       # mixed → paid only
+        ("u2", "free"), ("u2", "free"),       # no preferred → both kept
+        ("u3", None), ("u3", None),           # all-NULL key → BOTH kept
+        ("u4", None), ("u4", "paid"),         # NULL + paid → paid only
+        ("u5", None), ("u5", "free"),         # NULL + free, no paid → both
+    ]
+    df = spark.createDataFrame(rows, "user_id string, level string")
+    fast = dedup_prefer(df, ["user_id"], F.col("level") == "paid")
+    faithful = dedup_prefer_reference(df, ["user_id"], "level", "paid")
+    key = lambda r: (r.user_id, r.level or "")
+    assert sorted(fast.collect(), key=key) == sorted(faithful.collect(), key=key)
+    kept_u3 = [r for r in fast.collect() if r.user_id == "u3"]
+    assert len(kept_u3) == 2, "all-NULL-prefer key must keep its rows"
