@@ -247,3 +247,62 @@ def _release_caches() -> None:
             _LIVE_CACHES.pop().unpersist()
         except Exception:  # pragma: no cover - session already stopped
             pass
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into duplicate CLUSTERS: every node
+    gets ``cluster_id`` = the minimum id reachable through pair edges
+    (singletons map to themselves). The final rung of the dedup ladder —
+    "keep one doc per cluster" needs clusters, not pairs, because near-dup
+    is not transitive at the pair level.
+
+    Algorithm: iterative min-label propagation — each round joins labels
+    across edges and keeps the minimum; converges in O(cluster diameter)
+    rounds (near-dup clusters are shallow). Each round is one shuffle on
+    the edge key; ``localCheckpoint`` truncates lineage so plans stay flat.
+    For graphs with large diameters use the alternating big-star/small-star
+    variant; dedup clusters do not need it.
+    """
+    spark = pairs.sparkSession
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .dropDuplicates()
+        .persist()
+    )
+    labels = nodes.select(F.col(id_col), F.col(id_col).alias("cluster_id"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels[id_col])
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels[id_col] == neighbor_min.src, "left")
+            .select(
+                F.col(id_col),
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), id_col)
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels

@@ -2693,3 +2693,53 @@ def stream_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(27,2)")).cast("double").alias("total_value"),
     )
     return ST.run_available_now(agg, output_mode="complete")
+
+
+_CLUSTER_ORACLE = (
+    "WITH RECURSIVE pairs AS (\n"
+    + ORACLES["dedup_jaccard_pairs"]
+    + """
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+    """
+)
+
+
+@query("dedup_clusters", oracle=_CLUSTER_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS resolved into duplicate CLUSTERS (connected
+    components by iterative min-label propagation; oracle = DuckDB
+    recursive transitive closure): every document maps to the minimum
+    doc_id reachable through near-dup edges — the canonical-per-cluster
+    step 'keep one copy' dedup actually needs, since near-duplication is
+    not transitive at the pair level."""
+    from projectdatalake_spark.operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, threshold=0.5, block_cols=["lang"])
+    return D.connected_components(pairs, docs.select("doc_id"))
+
+
+@query("agg_approx_quantile")  # sketch values are engine-side → rows-only
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style rank sketch): the 100 TB substitute
+    for exact interpolated quantiles (agg_quantile_array) — mergeable,
+    bounded-memory, one pass. Rank error ≤ 1/accuracy is gated against
+    the exact quantiles in tests/test_accuracy_gates.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", F.lit([0.25, 0.5, 0.75]), F.lit(10_000)).alias(
+            "qty_quartiles_approx"
+        ),
+        F.percentile_approx("l_extendedprice", F.lit(0.9), F.lit(10_000)).alias(
+            "price_p90_approx"
+        ),
+    )

@@ -136,3 +136,21 @@ def test_ivf_query_collect_guard(spark):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     with pytest.raises(ValueError, match="max_query_rows"):
         S.topk_neighbors_ivf(emb, emb, k=5, max_query_rows=100)
+
+
+def test_approx_quantile_error(spark):
+    """percentile_approx must land within the exact (p±0.01)-quantile
+    envelope (accuracy=10k → rank error ≤ 1e-4; 0.01 gives 100× margin)."""
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    probs = [0.25, 0.5, 0.75]
+    lo = [p - 0.01 for p in probs]
+    hi = [p + 0.01 for p in probs]
+    rows = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", F.lit(probs), F.lit(10_000)).alias("approx"),
+        F.percentile("l_quantity", F.lit(lo)).alias("exact_lo"),
+        F.percentile("l_quantity", F.lit(hi)).alias("exact_hi"),
+    ).collect()
+    assert rows
+    for r in rows:
+        for a, l, h in zip(r.approx, r.exact_lo, r.exact_hi):
+            assert l <= a <= h, (r.l_returnflag, a, l, h)
