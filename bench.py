@@ -21,6 +21,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entry_mod  # noqa: E402
 from projectdatalake_spark.session import get_spark  # noqa: E402
 
+# Round-2 operators timed once each (reported separately — not part of the
+# headline total, which stays comparable across rounds/BASELINE.md).
+EXTENDED = [
+    "asof_join_grouped",
+    "tfidf_top_terms",
+    "dedup_clusters",
+    "dedup_clusters_lsh",
+    "split_assign_hash",
+    "pack_token_budget",
+    "mm_decode_real",
+    "scd2_customer_history",
+    "merge_partition_scoped",
+    "sql_tpch_q3",
+]
+
 HEADLINE = [
     # relational / analytic core
     "q1_pricing_summary",
@@ -77,11 +92,22 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": sf,
+                "extended": {
+                    n: _timed_once(qs[n], spark, sf_dir)
+                    for n in EXTENDED
+                    if n in qs
+                },
                 "scale_probe": scale_probe(spark, sf_dir),
             }
         )
     )
     spark.stop()
+
+
+def _timed_once(fn, spark, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 3)
 
 
 def scale_probe(spark, sf_dir: str) -> dict:

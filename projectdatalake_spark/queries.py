@@ -2743,3 +2743,18 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_p90_approx"
         ),
     )
+
+
+@query("dedup_clusters_lsh")  # engine-side MinHash edges → rows-only
+def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB cluster composition: connected components over
+    MinHash-LSH candidate edges (linear candidate generation) instead of
+    the exact quadratic-within-block pair join that dedup_clusters uses
+    for oracle parity. Cluster agreement with the exact-edge clustering
+    is gated in tests/test_accuracy_gates.py; the driver records
+    rows-only (edges depend on the engine-side hash family)."""
+    from projectdatalake_spark.operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5)
+    return D.connected_components(pairs, docs.select("doc_id"))

@@ -154,3 +154,21 @@ def test_approx_quantile_error(spark):
     for r in rows:
         for a, l, h in zip(r.approx, r.exact_lo, r.exact_hi):
             assert l <= a <= h, (r.l_returnflag, a, l, h)
+
+
+def test_lsh_cluster_agreement(spark):
+    """Clusters built from LSH candidate edges must agree with clusters
+    built from exact all-pairs edges for ≥90% of true near-dup pairs
+    (the cluster-level consequence of the pair-recall gate)."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    exact_pairs = D.jaccard_pairs(docs, threshold=0.5)
+    lsh_pairs = D.minhash_lsh_pairs(docs, threshold=0.5)
+    nodes = docs.select("doc_id")
+    lsh_clusters = {
+        r.doc_id: r.cluster_id
+        for r in D.connected_components(lsh_pairs, nodes).collect()
+    }
+    pairs = [(r.id_a, r.id_b) for r in exact_pairs.collect()]
+    assert pairs
+    same = sum(1 for a, b in pairs if lsh_clusters[a] == lsh_clusters[b])
+    assert same / len(pairs) >= 0.9, f"only {same}/{len(pairs)} pairs co-clustered"
