@@ -84,3 +84,35 @@ def test_frame_sampling(spark):
     out = df.select(F.size(frames).alias("n")).first()
     # 10 frames, keep 0,3,6,9 → 4
     assert out.n == 4
+
+
+def test_bmp_ppm_codec_round_trip():
+    """Pure-numpy decoder vs independent encoder across stride-padding
+    edges (w*3 % 4 ∈ {0,1,2,3}), plus top-down BMP and garbage fallback."""
+    import struct
+
+    from projectdatalake_spark.operators.multimodal import (
+        _decode_real,
+        _fake_decode_features,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    for w in (1, 8, 9, 10, 11, 20):
+        for h in (1, 7):
+            for px in (0, 128, 255):
+                assert _decode_real(encode_bmp(w, h, px)) == (w, h, px / 255.0)
+                assert _decode_real(encode_ppm(w, h, px)) == (w, h, px / 255.0)
+
+    # top-down BMP: negative height, rows in top-down order — same pixels
+    buf = bytearray(encode_bmp(9, 3, 77))
+    struct.pack_into("<i", buf, 22, -3)
+    assert _decode_real(bytes(buf)) == (9, 3, 77 / 255.0)
+
+    # truncated pixel array → not decodable → caller falls back to fake
+    trunc = encode_bmp(9, 3, 77)[:-5]
+    assert _decode_real(trunc) is None
+    assert _fake_decode_features(len(trunc))[0] == 64 + len(trunc) % 192
+
+    # PPM with non-255 maxval is out of scope for the numpy path
+    assert _decode_real(b"P6\n4 4\n65535\n" + b"\x00" * 96) is None
