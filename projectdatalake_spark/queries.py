@@ -2758,3 +2758,69 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(docs, threshold=0.5)
     return D.connected_components(pairs, docs.select("doc_id"))
+
+
+@query(
+    "null_handling",
+    oracle="""
+    WITH recent AS (
+        SELECT o_custkey, max(o_orderdate) AS last_order,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS spend
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1998-06-01'
+        GROUP BY o_custkey
+    )
+    SELECT c_custkey,
+           coalesce(spend, 0.0)                       AS spend_filled,
+           CASE WHEN last_order IS NULL THEN 'inactive'
+                ELSE 'active' END                     AS activity,
+           nullif(c_mktsegment, 'BUILDING')           AS segment_nullif,
+           (last_order IS NOT NULL)                   AS has_recent_order
+    FROM customer LEFT JOIN recent ON c_custkey = o_custkey
+    """,
+)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling surface over join-produced NULLs: COALESCE fill,
+    CASE-on-NULL bucketing, NULLIF, IS NOT NULL — the cleanup projections
+    every enrichment pipeline runs after a left join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    recent = (
+        o.filter(F.col("o_orderdate") >= F.lit("1998-06-01").cast("timestamp_ntz"))
+        .groupBy("o_custkey")
+        .agg(F.max("o_orderdate").alias("last_order"), dsum(F.col("o_totalprice")).alias("spend"))
+    )
+    j = c.join(F.broadcast(recent), F.col("c_custkey") == F.col("o_custkey"), "left")
+    return j.select(
+        "c_custkey",
+        F.coalesce(F.col("spend"), F.lit(0.0)).alias("spend_filled"),
+        F.when(F.col("last_order").isNull(), "inactive").otherwise("active").alias("activity"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("segment_nullif"),
+        F.col("last_order").isNotNull().alias("has_recent_order"),
+    )
+
+
+@query(
+    "win_distribution",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           percent_rank() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal, c_custkey) AS pct_rank,
+           cume_dist()    OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal, c_custkey) AS cume,
+           CAST(ntile(10) OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal, c_custkey) AS INT) AS decile
+    FROM customer
+    """,
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank/cume_dist/ntile) with a
+    unique tiebreak so every engine ranks identically — the
+    quantile-bucketing pass of feature pipelines."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey", "c_mktsegment", "c_acctbal",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(10).over(w).alias("decile"),
+    )
