@@ -2649,8 +2649,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     column: ln() differs across engines in the last ulp, while the
     resulting ORDER survives any sub-gap perturbation (distinct (tf, df)
     pairs are separated by far more than an ulp; equal pairs tie-break on
-    the token). Plan: two hash aggs + a broadcast df join — the doc-side
-    explode never re-shuffles the corpus."""
+    the token). Plan: two hash aggs + a broadcast df join, and Spark's
+    WindowGroupLimit pushes the top-3 below the final shuffle. Known
+    trade: the tf aggregate is evaluated twice (once per branch — Catalyst
+    has no DataFrame-level CTE reuse); a 100 TB run materializes tf
+    between stages (the engine's W2 barrier pattern) instead."""
     from projectdatalake_spark.operators import text as TX
 
     d = _t(spark, sf_dir, "documents")
@@ -2823,4 +2826,33 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
         F.ntile(10).over(w).alias("decile"),
+    )
+
+
+@query(
+    "agg_filter_clause",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*)                                         AS n_orders,
+           count(*) FILTER (WHERE o_orderpriority = '1-URGENT')   AS n_urgent,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2)))
+                FILTER (WHERE o_orderdate >= TIMESTAMP '1997-01-01') AS DOUBLE)
+                                                            AS recent_spend
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI FILTER-clause aggregates (conditional aggregation without
+    self-joins): expressed as when()-guarded aggregates, which is exactly
+    what Catalyst compiles SQL FILTER clauses to — one pass, map-side
+    partials intact."""
+    o = _t(spark, sf_dir, "orders")
+    recent = F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias("n_urgent"),
+        F.sum(F.when(recent, F.col("o_totalprice").cast("decimal(27,2)")))
+        .cast("double")
+        .alias("recent_spend"),
     )
