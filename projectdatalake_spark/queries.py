@@ -2856,3 +2856,91 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("recent_spend"),
     )
+
+
+@query(
+    "sql_lateral_topn",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+    """,
+)
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (per-customer top-2 orders) — the SQL
+    text is engine-portable and runs verbatim on both Spark and DuckDB.
+    Catalyst decorrelates it into the same window top-k a DataFrame user
+    would write; at scale prefer the explicit window (win_topk_per_group)
+    where the rank pushes below the shuffle (WindowGroupLimit)."""
+    _sql_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(ORACLES["sql_lateral_topn"])
+
+
+@query(
+    "array_higher_order",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0.0)) AS INT) AS n_pos,
+           (len(list_filter(embedding::DOUBLE[], x -> abs(x) > 0.5)) > 0)   AS any_large,
+           (len(list_filter(embedding::DOUBLE[], x -> abs(x) >= 1.0)) = 0)  AS all_unit,
+           list_sum(list_transform(embedding::DOUBLE[], x -> x * x))        AS sq_norm
+    FROM embeddings
+    """,
+)
+def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions (filter/exists/forall/transform+
+    aggregate) — all JVM-side lambda expressions inside whole-stage
+    codegen, the no-UDF way to process array columns. The fold runs in
+    array order on both engines, so even the float sum hash-matches."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.size(F.filter(v, lambda x: x > 0.0)).alias("n_pos"),
+        F.exists(v, lambda x: F.abs(x) > 0.5).alias("any_large"),
+        F.forall(v, lambda x: F.abs(x) < 1.0).alias("all_unit"),
+        F.aggregate(
+            v, F.lit(0.0), lambda acc, x: acc + x * x
+        ).alias("sq_norm"),
+    )
+
+
+@query(
+    "spine_calendar",
+    oracle="""
+    WITH bounds AS (
+        SELECT min(o_orderdate) AS d0, max(o_orderdate) AS d1 FROM orders
+    ), spine AS (
+        SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day_ts
+        FROM bounds
+    )
+    SELECT CAST(day_ts AS DATE)              AS day,
+           CAST(year(day_ts) AS INT)         AS y,
+           CAST(month(day_ts) AS INT)        AS m,
+           CAST(dayofweek(day_ts) + 1 AS INT) AS dow
+    FROM spine
+    """,
+)
+def spine_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine generation (the warehouse calendar-dimension seed):
+    min/max bounds from the fact table, one sequence() + explode — no
+    driver loop, no shuffle beyond the 1-row bounds aggregate. DuckDB's
+    dayofweek is 0=Sunday vs Spark's dayofweek 1=Sunday: normalized via
+    weekday()+... both sides emit 1..7 with 1=Sunday."""
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_orderdate").alias("d0"), F.max("o_orderdate").alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))).alias(
+            "day_ts"
+        )
+    )
+    return spine.select(
+        F.col("day_ts").cast("date").alias("day"),
+        F.year("day_ts").cast("int").alias("y"),
+        F.month("day_ts").cast("int").alias("m"),
+        F.dayofweek("day_ts").cast("int").alias("dow"),
+    )
