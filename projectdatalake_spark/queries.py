@@ -2944,3 +2944,58 @@ def spine_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("day_ts").cast("int").alias("m"),
         F.dayofweek("day_ts").cast("int").alias("dow"),
     )
+
+
+@query(
+    "validate_rules",
+    oracle="""
+    SELECT 'positive_price'  AS rule,
+           count(*) FILTER (WHERE NOT (o_totalprice > 0))         AS n_violations,
+           count(*)                                               AS n_rows
+    FROM orders
+    UNION ALL
+    SELECT 'valid_status', count(*) FILTER (WHERE NOT (o_orderstatus IN ('O','F','P'))), count(*)
+    FROM orders
+    UNION ALL
+    SELECT 'date_in_range',
+           count(*) FILTER (WHERE NOT (o_orderdate BETWEEN TIMESTAMP '1990-01-01'
+                                       AND TIMESTAMP '1999-12-31')), count(*)
+    FROM orders
+    UNION ALL
+    SELECT 'custkey_not_null', count(*) FILTER (WHERE NOT (o_custkey IS NOT NULL)), count(*)
+    FROM orders
+    """,
+)
+def validate_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate: per-rule violation counts in ONE scan — every
+    rule is a when()-guarded count in the same aggregate (not one pass per
+    rule, which at 100 TB multiplies scan cost by the rule count), then
+    unpivoted to (rule, n_violations, n_rows). The quarantine split
+    (valid/invalid frames) reuses the same predicates with filter()."""
+    o = _t(spark, sf_dir, "orders")
+    rules = {
+        "positive_price": F.col("o_totalprice") > 0,
+        "valid_status": F.col("o_orderstatus").isin("O", "F", "P"),
+        "date_in_range": F.col("o_orderdate").between(
+            F.lit("1990-01-01").cast("timestamp_ntz"),
+            F.lit("1999-12-31").cast("timestamp_ntz"),
+        ),
+        "custkey_not_null": F.col("o_custkey").isNotNull(),
+    }
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.count(F.when(~F.coalesce(pred, F.lit(False)), 1)).alias(f"v_{name}")
+            for name, pred in rules.items()
+        ],
+    )
+    stacked = agg.select(
+        F.expr(
+            "stack({n}, {args}) as (rule, n_violations)".format(
+                n=len(rules),
+                args=", ".join(f"'{name}', v_{name}" for name in rules),
+            )
+        ),
+        "n_rows",
+    )
+    return stacked.select("rule", "n_violations", "n_rows")

@@ -113,3 +113,37 @@ def test_file_uri_four_level_glob(spark, tmp_path):
         back.filter(F.col("year") == y).count()
         == sum(1 for r in rows if r["year"] == y)
     )
+
+
+def test_compact_parquet_reduces_files(spark, sf_dir, tmp_path):
+    from projectdatalake_spark.sources.writers import compact_parquet
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "fragmented")
+    # simulate incremental-write fragmentation: 16 tiny files
+    orders.repartition(16).write.parquet(out)
+    before_rows = orders.count()
+    n_before, n_after = compact_parquet(spark, out, target_file_mb=256)
+    assert n_before == 16
+    assert n_after == 1  # tiny table packs into one target-size file
+    back = spark.read.parquet(out)
+    assert back.count() == before_rows
+    assert sorted(back.columns) == sorted(orders.columns)
+
+
+def test_schema_evolution_merge_read(spark, sf_dir, tmp_path):
+    """Additive schema evolution on a plain-parquet table: old files keep
+    the old schema, new files add a column; mergeSchema reads the union
+    with NULLs for pre-evolution rows (the lakehouse-format behavior,
+    minus transactionality)."""
+    out = str(tmp_path / "evolving")
+    nation = load_table(spark, sf_dir, "nation")
+    nation.select("n_nationkey", "n_name").write.parquet(out)
+    nation.select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).write.mode("append").parquet(out)
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {"n_nationkey", "n_name", "n_regionkey"}
+    assert merged.count() == nation.count() * 2
+    # pre-evolution rows surface NULL for the added column
+    assert merged.filter(F.col("n_regionkey").isNull()).count() == nation.count()
