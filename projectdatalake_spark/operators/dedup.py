@@ -52,12 +52,143 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
 ) -> DataFrame:
-    """Near-duplicate pairs by word-``n``-gram shingle Jaccard.
+    """EXACT near-duplicate pairs by word-``n``-gram shingle Jaccard, via a
+    prefix-filtered set-similarity join (AllPairs/PPJoin family).
 
-    All-pairs *within a block* (``block_cols``, e.g. language): the join is
-    quadratic per block, so blocking is the scale control. For unblocked
-    100 TB input use ``minhash_lsh_pairs`` instead.
+    Candidate generation is an inverted-index join, not all-pairs: each
+    shingle set is sorted by global token rarity (ascending document
+    frequency), and only its *prefix* — the first
+    ``|X| - ceil(t·|X|) + 1`` tokens — is indexed. Soundness: for a pair
+    with J ≥ t, the required overlap is ``o ≥ α = ceil(t/(1+t)·(|A|+|B|))``;
+    take w = the globally smallest common token. Every common token sorts
+    at or after w in BOTH sets, so ``o ≤ 1 + min(|A|-1-pos_A(w),
+    |B|-1-pos_B(w))`` — which forces ``pos_X(w) ≤ |X| - α ≤ |X| -
+    ceil(t·|X|)`` (since ``α ≥ t·max(|A|,|B|)``). Hence w lands in both
+    prefixes, and the same inequality doubles as an exact PPJoin-style
+    *positional filter* on the join: a shared token at positions (pa, pb)
+    can only witness a qualifying pair if ``1 + min(|A|-1-pa, |B|-1-pb) ≥
+    t/(1+t)·(|A|+|B|)``. A size-ratio bound (``t·|A| ≤ |B| ≤ |A|/t``)
+    prunes further, and exact Jaccard verification on the candidates
+    removes false positives — output is IDENTICAL to the naive quadratic
+    form (``jaccard_pairs_allpairs``, equality-tested), but candidate cost
+    follows shared-rare-token collisions instead of |block|².
+
+    Rarity ordering is what makes the prefix index sparse: hot shingles
+    (boilerplate phrases) sort to the suffix and are never indexed, so the
+    per-token bucket sizes stay small — the property that keeps this join
+    near-linear at 100 TB. ``block_cols`` (e.g. language) further restrict
+    pairs as before and remain part of the output semantics.
     Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    t_frac = threshold / (1.0 + threshold)
+    _release_caches()
+    sh = _blocked_shingles(df, block_cols, text_col, id_col, n)
+    ex = sh.select(
+        F.col(id_col), *[F.col(c) for c in block_cols], F.explode("sh").alias("tok")
+    )
+    tok_freq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_df"))
+    # re-collect each set sorted by (rarity, token): a deterministic total
+    # order shared by all sets, as the prefix theorem requires
+    ordered = (
+        ex.join(tok_freq, "tok")
+        .groupBy(id_col, *block_cols)
+        .agg(F.array_sort(F.collect_list(F.struct("tok_df", "tok"))).alias("ord"))
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in block_cols],
+            F.transform("ord", lambda s: s["tok"]).alias("sh"),
+            F.size("ord").alias("sz"),
+        )
+        .persist()
+    )
+    _LIVE_CACHES.append(ordered)
+    # epsilon guards float rounding toward MORE candidates, never fewer
+    p_len = (
+        F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9)) + 1
+    ).cast("int")
+    pref = ordered.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        F.col("sz"),
+        F.posexplode(F.slice("sh", 1, p_len)).alias("pos", "tok"),
+    )
+    left = pref.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in block_cols],
+        F.col("sz").alias("sz_a"),
+        F.col("pos").alias("pos_a"),
+        "tok",
+    )
+    right = pref.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in block_cols],
+        F.col("sz").alias("sz_b"),
+        F.col("pos").alias("pos_b"),
+        F.col("tok").alias("tok_b"),
+    )
+    cond = (
+        (F.col("tok") == F.col("tok_b"))
+        & (F.col("id_a") < F.col("id_b"))
+        & (F.col("sz_b") >= F.lit(threshold) * F.col("sz_a") - F.lit(1e-9))
+        & (F.col("sz_a") >= F.lit(threshold) * F.col("sz_b") - F.lit(1e-9))
+        # positional filter: remaining-suffix overlap must still reach α
+        & (
+            F.lit(1)
+            + F.least(
+                F.col("sz_a") - 1 - F.col("pos_a"), F.col("sz_b") - 1 - F.col("pos_b")
+            )
+            >= F.lit(t_frac) * (F.col("sz_a") + F.col("sz_b")) - F.lit(1e-9)
+        )
+    )
+    for c in block_cols:
+        cond = cond & (F.col(f"{c}_a") == F.col(f"{c}_b"))
+    candidates = left.join(right, cond).select("id_a", "id_b").dropDuplicates()
+    return (
+        candidates.join(
+            ordered.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+        )
+        .join(ordered.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .select("id_a", "id_b", _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _blocked_shingles(
+    df: DataFrame,
+    block_cols: Sequence[str],
+    text_col: str,
+    id_col: str,
+    n: int,
+) -> DataFrame:
+    """(id, *blocks, sh): non-empty shingle sets, spread for parallelism."""
+    slim = df.select(F.col(id_col), *[F.col(c) for c in block_cols], F.col(text_col))
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if slim.rdd.getNumPartitions() < target:
+        slim = slim.repartition(target)
+    toked = slim.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        tokens(F.col(text_col)).alias("toks"),
+    )
+    return toked.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        shingles(F.col("toks"), n).alias("sh"),
+    ).filter(F.size("sh") > 0)
+
+
+def jaccard_pairs_allpairs(
+    df: DataFrame,
+    threshold: float,
+    block_cols: Sequence[str] = (),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Naive blocked all-pairs shingle Jaccard — the quadratic-within-block
+    reference form ``jaccard_pairs`` is equality-tested against
+    (tests/test_text_dedup_similarity.py). Only viable with strong
+    blocking; kept as the semantic oracle for the prefix-filtered join.
     """
     slim = df.select(
         F.col(id_col), *[F.col(c) for c in block_cols], F.col(text_col)
@@ -284,25 +415,24 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        new_labels = (
+        # the convergence flag rides along in the checkpointed frame: a
+        # label changed iff some neighbor's label beat it, so `chg` is
+        # known at update time — no second labels-vs-labels join per round
+        stepped = (
             labels.join(neighbor_min, labels[id_col] == neighbor_min.src, "left")
             .select(
                 F.col(id_col),
                 F.least(
                     F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
                 ).alias("cluster_id"),
+                F.coalesce(
+                    F.col("nbr_min") < F.col("cluster_id"), F.lit(False)
+                ).alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), id_col)
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = stepped.drop("chg")
+        if stepped.filter("chg").limit(1).count() == 0:
             break
     edges.unpersist()
     return labels

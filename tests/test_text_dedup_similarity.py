@@ -54,6 +54,23 @@ def test_exact_groups_counts_duplicates(spark):
     assert out == {1: 2, 3: 1}
 
 
+def test_jaccard_prefix_filter_equals_allpairs(spark):
+    """The prefix-filtered set-similarity join is EXACT: identical output
+    to the naive quadratic form, at every threshold, blocked or not."""
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    for threshold, blocks in ((0.3, ["lang"]), (0.5, ["lang"]), (0.5, []), (0.8, ["lang"])):
+        fast = {
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in D.jaccard_pairs(docs, threshold, block_cols=blocks).collect()
+        }
+        naive = {
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in D.jaccard_pairs_allpairs(docs, threshold, block_cols=blocks).collect()
+        }
+        assert fast == naive, (threshold, blocks, fast ^ naive)
+    assert naive, "corpus should contain near-duplicate pairs"
+
+
 def test_minhash_lsh_recall_vs_exact(spark):
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
     exact = {
