@@ -6,8 +6,11 @@ pipeline, ordered by cost:
 
 1. ``exact_groups`` — hash-groupBy on normalized content. One shuffle on
    the content hash; the only O(n) exact method.
-2. ``jaccard_pairs`` — blocked all-pairs shingle Jaccard. Quadratic within
-   a block; correct but only viable with strong blocking.
+2. ``jaccard_pairs`` — EXACT shingle-Jaccard pairs via a prefix-filtered
+   set-similarity join (AllPairs/PPJoin family): inverted index on
+   rarity-ordered prefixes + size/positional filters + exact verification.
+   Near-linear candidate generation; ``jaccard_pairs_allpairs`` keeps the
+   naive quadratic form as its equality-tested semantic oracle.
 3. ``minhash_lsh_pairs`` — MinHash signatures + LSH banding: candidate
    generation is linear (explode bands → shuffle on band key), then only
    candidates pay the exact-Jaccard verification. The 100 TB path.
@@ -329,11 +332,12 @@ def minhash_lsh_pairs(
         ]
     )
     # bucket join on id pairs only — shingle arrays are joined back later so
-    # the band explode/shuffle carries (id, band, bkey), not document bodies
-    banded = (
-        sigs.withColumn("band_key", band_keys)
-        .select(F.col(id_col), F.posexplode("band_key").alias("band", "bkey"))
-        .persist()
+    # the band explode/shuffle carries (id, band, bkey), not document bodies.
+    # NOT persisted: both sides of the self-join share the signature
+    # aggregation's exchange, which Spark reuses (ReusedExchange) — a cache
+    # here just replaces that reuse with two cache scans and blocks AQE.
+    banded = sigs.withColumn("band_key", band_keys).select(
+        F.col(id_col), F.posexplode("band_key").alias("band", "bkey")
     )
     left = banded.select(
         F.col("band"), F.col("bkey"), F.col(id_col).alias("id_a")
@@ -353,7 +357,7 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     sh_tbl = sh_df
-    _LIVE_CACHES.extend([sh_df, banded])
+    _LIVE_CACHES.append(sh_df)
     return (
         candidates.join(
             sh_tbl.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
