@@ -67,6 +67,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     that samples a prefix checks the queries with no prior driver row.
     """
     def rank(name: str) -> int:
+        # the transactional-format queries are round 2's headline addition:
+        # pin them inside the driver's sampling window
+        if name.startswith("txlog_"):
+            return -1
         if name not in _R1_DRIVER_VERIFIED:
             # hash-checkable unproven queries first — a rows-only entry
             # gains little from a driver row (pytest accuracy-gates it)

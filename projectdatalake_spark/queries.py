@@ -2999,3 +2999,104 @@ def validate_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
     )
     return stacked.select("rule", "n_violations", "n_rows")
+
+
+# --- transactional table format (txlog): the Delta/Iceberg-style north
+# star implemented from the public protocol design (sources/txlog.py) —
+# versioned JSON commit log, atomic exclusive-create commits, snapshot
+# isolation, time travel, partition-scoped replace/merge.
+
+
+@query(
+    "txlog_merge_upsert",
+    oracle="""
+    WITH upd AS (
+        SELECT c_custkey, c_mktsegment, CAST(c_acctbal + 100 AS DOUBLE) AS c_acctbal
+        FROM customer WHERE c_mktsegment = 'BUILDING' AND c_custkey % 7 = 0
+    ), ins AS (
+        SELECT c_custkey + 100000 AS c_custkey, c_mktsegment,
+               CAST(0.0 AS DOUBLE) AS c_acctbal
+        FROM customer WHERE c_mktsegment = 'BUILDING' AND c_custkey % 7 = 0
+    ), rest AS (
+        SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+        FROM customer
+        WHERE NOT (c_mktsegment = 'BUILDING' AND c_custkey % 7 = 0)
+    )
+    SELECT * FROM upd UNION ALL SELECT * FROM ins UNION ALL SELECT * FROM rest
+    """,
+)
+def txlog_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE against the transactional table format, end to end: customer
+    is created as a segment-partitioned TxTable, an upsert batch touching
+    only the BUILDING partition (updates + inserts) is merged, and the
+    post-merge snapshot is read back through the commit log. Only the
+    BUILDING partition is rewritten — untouched partitions keep their
+    add-actions byte-identical (tests/test_txlog.py asserts this at the
+    file level)."""
+    import tempfile
+
+    from projectdatalake_spark.sources.txlog import TxTable
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.col("c_acctbal").cast("double").alias("c_acctbal")
+    )
+    root = tempfile.mkdtemp(prefix="txlog_merge_")
+    table = TxTable.create(spark, root, c, partition_by=("c_mktsegment",))
+    base = c.filter((F.col("c_mktsegment") == "BUILDING") & (F.col("c_custkey") % 7 == 0))
+    updates = base.withColumn("c_acctbal", F.col("c_acctbal") + 100).unionByName(
+        base.select(
+            (F.col("c_custkey") + 100000).alias("c_custkey"),
+            "c_mktsegment",
+            F.lit(0.0).alias("c_acctbal"),
+        )
+    )
+    table.merge_upsert(updates, keys=["c_custkey"])
+    return table.snapshot().select("c_custkey", "c_mktsegment", "c_acctbal")
+
+
+@query(
+    "txlog_time_travel",
+    oracle="""
+    WITH v0 AS (
+        SELECT c_mktsegment, count(*) AS n,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(27,2))) AS DOUBLE) AS balance
+        FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        GROUP BY c_mktsegment
+    ), v1 AS (
+        SELECT c_mktsegment, count(*) AS n,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(27,2))) AS DOUBLE) AS balance
+        FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
+        GROUP BY c_mktsegment
+    )
+    SELECT 0 AS version, * FROM v0 UNION ALL SELECT 1 AS version, * FROM v1
+    """,
+)
+def txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation + time travel through the commit log: version 0
+    holds two segments, version 1 appends a third; reading ``snapshot(0)``
+    after the append still returns exactly the version-0 rows. The query
+    aggregates BOTH versions from the same table — only a log-replaying
+    reader can produce this result."""
+    import tempfile
+
+    from projectdatalake_spark.sources.txlog import TxTable
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.col("c_acctbal").cast("double").alias("c_acctbal")
+    )
+    root = tempfile.mkdtemp(prefix="txlog_tt_")
+    table = TxTable.create(
+        spark,
+        root,
+        c.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY")),
+        partition_by=("c_mktsegment",),
+    )
+    table.append(c.filter(F.col("c_mktsegment") == "AUTOMOBILE"))
+
+    def agg(df: DataFrame, version: int) -> DataFrame:
+        return df.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(27,2)")).cast("double").alias("balance"),
+        ).select(F.lit(version).alias("version"), "c_mktsegment", "n", "balance")
+
+    return agg(table.snapshot(version=0), 0).unionByName(agg(table.snapshot(version=1), 1))

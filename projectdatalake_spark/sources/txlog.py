@@ -1,0 +1,352 @@
+"""Minimal transactional table format: a JSON commit log over Parquet.
+
+The north-star table format (BASELINE.json ``spark_approach`` names
+Delta/Iceberg) needs jars this container doesn't ship, so this module
+implements the essential protocol from first principles — the same
+public design Delta Lake's log documents (versioned JSON commits listing
+add/remove file actions, mutual exclusion on the commit file, readers
+replaying the log into a snapshot):
+
+- ``_txlog/{version:08d}.json`` — one commit per version; each lists
+  ``adds`` (relative path + partition values + size) and ``removes``.
+- Commits are published with **exclusive create** (Hadoop
+  ``FileSystem.create(path, overwrite=False)``): two writers racing to
+  version N — one wins, the loser re-reads the log and retries against
+  the new snapshot. Atomic on file:// and HDFS; on S3 a real deployment
+  pins a coordinating LogStore, exactly as Delta documents.
+- Data files keep the **hive layout** (``year=2024/month=3/part-*.parquet``)
+  in the table root, so partition-column inference, partition pruning, and
+  plain directory readers all still work; snapshot readers pass the log's
+  explicit file list with ``basePath`` so removed/orphan files are
+  invisible to them.
+- Crash safety: writers stage Spark output under ``_staging/{uuid}`` and
+  move files in before committing; files that never make it into a commit
+  are ignored by snapshot readers and reaped by ``vacuum``.
+
+Everything goes through the Hadoop FileSystem API (same code path for
+file://, hdfs://, s3a://), not ``os`` — the JVM filesystem the Spark job
+itself writes through.
+
+Scale note: log replay and file-list planning are driver-side and O(files),
+the same contract as Delta's scan planning; snapshot reads hand Spark an
+explicit split list, so executor-side cost is unchanged. Checkpoint
+compaction (Delta's ``_last_checkpoint``) is the natural extension once
+version counts reach thousands; ``history()`` is already the replay core.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOG_DIR = "_txlog"
+_STAGING = "_staging"
+
+
+class CommitConflict(Exception):
+    """Another writer published this version first (exclusive-create lost)."""
+
+
+class TxTable:
+    """A transactional Parquet table rooted at ``root``.
+
+    Construct with :meth:`create` for a new table or directly for an
+    existing one. All mutations append a numbered commit; readers replay
+    commits into an immutable snapshot (optionally as of an older version).
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self._jvm = spark.sparkContext._jvm
+        self._hconf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    # --- filesystem plumbing (Hadoop FS: scheme-agnostic) -----------------
+
+    def _path(self, p: str):
+        return self._jvm.org.apache.hadoop.fs.Path(p)
+
+    def _fs(self):
+        return self._path(self.root).getFileSystem(self._hconf)
+
+    def _read_text(self, p: str) -> str:
+        fs = self._fs()
+        stream = fs.open(self._path(p))
+        try:
+            return self._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+
+    def _write_text_exclusive(self, p: str, text: str) -> None:
+        """Create-if-absent write — the commit protocol's mutual exclusion."""
+        fs = self._fs()
+        try:
+            out = fs.create(self._path(p), False)
+        except Exception as exc:  # py4j-wrapped FileAlreadyExistsException
+            raise CommitConflict(p) from exc
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    # --- log replay -------------------------------------------------------
+
+    def history(self) -> list[dict]:
+        """All commits, version-ascending. Empty list = table absent."""
+        fs = self._fs()
+        log_dir = self._path(f"{self.root}/{_LOG_DIR}")
+        if not fs.exists(log_dir):
+            return []
+        versions = []
+        for status in fs.listStatus(log_dir):
+            name = status.getPath().getName()
+            if name.endswith(".json"):
+                versions.append(int(name[:-5]))
+        commits = []
+        for v in sorted(versions):
+            commits.append(
+                json.loads(self._read_text(f"{self.root}/{_LOG_DIR}/{v:08d}.json"))
+            )
+        return commits
+
+    def latest_version(self) -> int:
+        commits = self.history()
+        return commits[-1]["version"] if commits else -1
+
+    def _active_files(self, version: int | None = None) -> list[dict]:
+        """Replay add/remove actions up to ``version`` (default: latest)."""
+        active: dict[str, dict] = {}
+        for commit in self.history():
+            if version is not None and commit["version"] > version:
+                break
+            for rel in commit.get("removes", []):
+                active.pop(rel, None)
+            for add in commit.get("adds", []):
+                active[add["path"]] = add
+        return list(active.values())
+
+    # --- reads ------------------------------------------------------------
+
+    def snapshot(self, version: int | None = None) -> DataFrame:
+        """The table as of ``version`` (default latest). Explicit file list
+        + ``basePath`` keeps partition inference while hiding uncommitted,
+        removed, and orphan files; ``mergeSchema`` honors additive
+        evolution across commits."""
+        adds = self._active_files(version)
+        if not adds:
+            raise ValueError(f"txlog table at {self.root} has no data at version {version}")
+        paths = [f"{self.root}/{a['path']}" for a in adds]
+        return (
+            self.spark.read.option("basePath", self.root)
+            .option("mergeSchema", "true")
+            .parquet(*paths)
+        )
+
+    # --- writes -----------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        df: DataFrame,
+        partition_by: tuple[str, ...] = (),
+    ) -> "TxTable":
+        """Create the table with ``df`` as version 0."""
+        table = cls(spark, root)
+        if table.history():
+            raise ValueError(f"txlog table already exists at {root}")
+        table._commit_write(df, op="create", partition_by=partition_by, removes=[])
+        return table
+
+    def _partition_by(self) -> tuple[str, ...]:
+        commits = self.history()
+        if not commits:
+            raise ValueError(f"no txlog table at {self.root}")
+        return tuple(commits[0].get("partition_by", ()))
+
+    def _stage(self, df: DataFrame, partition_by: tuple[str, ...]) -> list[dict]:
+        """Write ``df`` under _staging/{uuid} and move the parquet files into
+        the table root (hive layout preserved). Returns add-actions; nothing
+        is visible to snapshot readers until the commit publishes."""
+        stage_id = uuid.uuid4().hex
+        stage_dir = f"{self.root}/{_STAGING}/{stage_id}"
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(stage_dir)
+        fs = self._fs()
+        stage_path = self._path(stage_dir)
+        adds: list[dict] = []
+        it = fs.listFiles(stage_path, True)
+        staged = []
+        while it.hasNext():
+            status = it.next()
+            p = status.getPath()
+            if p.getName().endswith(".parquet"):
+                staged.append((p, status.getLen()))
+        stage_uri = stage_path.toUri().getPath()
+        for p, size in staged:
+            rel = p.toUri().getPath()[len(stage_uri) :].lstrip("/")
+            partition = {
+                seg.split("=", 1)[0]: seg.split("=", 1)[1]
+                for seg in rel.split("/")[:-1]
+                if "=" in seg
+            }
+            dest = self._path(f"{self.root}/{rel}")
+            fs.mkdirs(dest.getParent())
+            if not fs.rename(p, dest):
+                raise IOError(f"failed to move staged file {p} -> {dest}")
+            adds.append({"path": rel, "partition": partition, "size": size})
+        fs.delete(stage_path, True)
+        return adds
+
+    def _publish(self, op: str, adds: list[dict], removes: list[str], **extra) -> int:
+        """Retry loop around the exclusive-create commit."""
+        while True:
+            version = self.latest_version() + 1
+            commit = {
+                "version": version,
+                "op": op,
+                "ts": time.time(),
+                "adds": adds,
+                "removes": removes,
+                **extra,
+            }
+            try:
+                self._write_text_exclusive(
+                    f"{self.root}/{_LOG_DIR}/{version:08d}.json",
+                    json.dumps(commit, indent=1),
+                )
+                return version
+            except CommitConflict:
+                # lost the race: recompute against the new log tip. Appends
+                # commute; overwrite/replace recompute their removes.
+                if op == "append":
+                    continue
+                removes = self._recompute_removes(op, extra)
+
+    def _recompute_removes(self, op: str, extra: dict) -> list[str]:
+        if op in ("create", "overwrite"):
+            return [a["path"] for a in self._active_files()]
+        if op == "replace_where":
+            values = {k: set(v) for k, v in extra["predicate"].items()}
+            return [
+                a["path"]
+                for a in self._active_files()
+                if all(a["partition"].get(k) in v for k, v in values.items())
+            ]
+        return []
+
+    def _commit_write(
+        self, df: DataFrame, op: str, partition_by: tuple[str, ...], removes: list[str], **extra
+    ) -> int:
+        adds = self._stage(df, partition_by)
+        return self._publish(op, adds, removes, partition_by=list(partition_by), **extra)
+
+    def append(self, df: DataFrame) -> int:
+        """Add rows; existing files untouched. Additive schema changes OK."""
+        return self._commit_write(df, "append", self._partition_by(), removes=[])
+
+    def overwrite(self, df: DataFrame) -> int:
+        """Replace the whole table in one atomic commit."""
+        removes = [a["path"] for a in self._active_files()]
+        return self._commit_write(df, "overwrite", self._partition_by(), removes=removes)
+
+    def replace_where(self, df: DataFrame, partition_values: dict) -> int:
+        """Atomic partition-scoped overwrite (Delta ``replaceWhere``):
+        replace exactly the partitions matching ``partition_values``
+        ({col: iterable-of-values}, hive string form). Rows in ``df``
+        outside those partitions are rejected — the guard that keeps the
+        remove-set honest."""
+        pcols = self._partition_by()
+        if not partition_values:
+            raise ValueError("replace_where needs at least one partition predicate; use overwrite()")
+        for col in partition_values:
+            if col not in pcols:
+                raise ValueError(f"{col} is not a partition column of {pcols}")
+        values = {k: {str(x) for x in v} for k, v in partition_values.items()}
+        cond = None
+        for col, vals in values.items():
+            c = df[col].cast("string").isin(*vals)
+            cond = c if cond is None else cond & c
+        n_outside = df.filter(~cond).limit(1).count() if cond is not None else 0
+        if n_outside:
+            raise ValueError("replace_where data contains rows outside the target partitions")
+        removes = [
+            a["path"]
+            for a in self._active_files()
+            if all(a["partition"].get(k) in v for k, v in values.items())
+        ]
+        return self._commit_write(
+            df, "replace_where", pcols, removes=removes,
+            predicate={k: sorted(v) for k, v in values.items()},
+        )
+
+    def merge_upsert(self, updates: DataFrame, keys: list[str], max_partitions: int = 10_000) -> int:
+        """Partition-scoped MERGE: only partitions containing updated keys
+        are rewritten; every other partition's files are untouched (their
+        add-actions survive the commit byte-identical). The touched
+        partition list is collected driver-side — bounded and guarded,
+        like every table format's merge planning."""
+        pcols = self._partition_by()
+        if not pcols:
+            merged = updates.unionByName(
+                self.snapshot().join(updates.select(*keys), keys, "left_anti"),
+                allowMissingColumns=True,
+            )
+            return self.overwrite(merged)
+        touched_rows = (
+            updates.select(*[updates[c].cast("string").alias(c) for c in pcols])
+            .distinct()
+            .limit(max_partitions + 1)
+            .collect()
+        )
+        if len(touched_rows) > max_partitions:
+            raise ValueError(
+                f"merge touches more than {max_partitions} partitions; "
+                "raise max_partitions or fall back to overwrite()"
+            )
+        values = {c: {str(r[c]) for r in touched_rows} for c in pcols}
+        current = self.snapshot()
+        scoped = None
+        for col, vals in values.items():
+            c = current[col].cast("string").isin(*vals)
+            scoped = c if scoped is None else scoped & c
+        merged = updates.unionByName(
+            current.filter(scoped).join(updates.select(*keys), keys, "left_anti"),
+            allowMissingColumns=True,
+        )
+        return self.replace_where(merged, values)
+
+    # --- maintenance ------------------------------------------------------
+
+    def vacuum(self, retain_versions: int = 0) -> list[str]:
+        """Delete data files unreachable from the last ``retain_versions+1``
+        snapshots — staged-but-never-committed orphans and removed files
+        past the time-travel horizon. Returns deleted relative paths."""
+        fs = self._fs()
+        latest = self.latest_version()
+        keep: set[str] = set()
+        for v in range(max(0, latest - retain_versions), latest + 1):
+            keep.update(a["path"] for a in self._active_files(v))
+        root_path = self._path(self.root)
+        root_uri = root_path.toUri().getPath()
+        deleted = []
+        it = fs.listFiles(root_path, True)
+        doomed = []
+        while it.hasNext():
+            p = it.next().getPath()
+            rel = p.toUri().getPath()[len(root_uri) :].lstrip("/")
+            top = rel.split("/", 1)[0]
+            if top in (_LOG_DIR, _STAGING):
+                continue
+            if rel.endswith(".parquet") and rel not in keep:
+                doomed.append((p, rel))
+        for p, rel in doomed:
+            fs.delete(p, False)
+            deleted.append(rel)
+        return deleted

@@ -1,0 +1,130 @@
+"""Protocol tests for the minimal transactional table format (txlog)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from projectdatalake_spark.sources.txlog import CommitConflict, TxTable
+
+
+def _mkdf(spark, rows):
+    return spark.createDataFrame(rows, ["id", "seg", "val"])
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    df = _mkdf(spark, [(1, "A", 10), (2, "A", 20), (3, "B", 30)])
+    t = TxTable.create(spark, str(tmp_path / "tbl"), df, partition_by=("seg",))
+    return t
+
+
+def test_create_and_snapshot(table):
+    got = {(r.id, r.seg, r.val) for r in table.snapshot().collect()}
+    assert got == {(1, "A", 10), (2, "A", 20), (3, "B", 30)}
+    assert table.latest_version() == 0
+
+
+def test_append_and_time_travel(spark, table):
+    table.append(_mkdf(spark, [(4, "B", 40)]))
+    assert table.latest_version() == 1
+    assert table.snapshot().count() == 4
+    # time travel: version 0 unchanged
+    assert table.snapshot(version=0).count() == 3
+
+
+def test_overwrite_replaces_everything(spark, table):
+    table.overwrite(_mkdf(spark, [(9, "C", 90)]))
+    got = [(r.id, r.seg, r.val) for r in table.snapshot().collect()]
+    assert got == [(9, "C", 90)]
+    assert table.snapshot(version=0).count() == 3
+
+
+def test_replace_where_rewrites_only_target_partition(spark, table):
+    before = {
+        a["path"]: a["size"] for a in table._active_files() if a["partition"]["seg"] == "B"
+    }
+    table.replace_where(_mkdf(spark, [(1, "A", 11), (2, "A", 22)]), {"seg": ["A"]})
+    after = {
+        a["path"]: a["size"] for a in table._active_files() if a["partition"]["seg"] == "B"
+    }
+    # untouched partition: same files, same bytes (not rewritten)
+    assert before == after
+    got = {(r.id, r.val) for r in table.snapshot().collect()}
+    assert got == {(1, 11), (2, 22), (3, 30)}
+
+
+def test_replace_where_rejects_out_of_scope_rows(spark, table):
+    with pytest.raises(ValueError, match="outside the target partitions"):
+        table.replace_where(_mkdf(spark, [(1, "A", 11), (3, "B", 33)]), {"seg": ["A"]})
+
+
+def test_merge_upsert_partition_scoped(spark, table):
+    b_files_before = {
+        a["path"] for a in table._active_files() if a["partition"]["seg"] == "B"
+    }
+    # update id=1, insert id=5 — both land in partition A
+    table.merge_upsert(_mkdf(spark, [(1, "A", 111), (5, "A", 50)]), keys=["id"])
+    got = {(r.id, r.seg, r.val) for r in table.snapshot().collect()}
+    assert got == {(1, "A", 111), (2, "A", 20), (5, "A", 50), (3, "B", 30)}
+    b_files_after = {
+        a["path"] for a in table._active_files() if a["partition"]["seg"] == "B"
+    }
+    assert b_files_before == b_files_after
+
+
+def test_commit_conflict_retries_to_next_version(spark, table):
+    # simulate a concurrent writer owning version 1
+    log_dir = os.path.join(table.root, "_txlog")
+    rival = {"version": 1, "op": "append", "ts": 0, "adds": [], "removes": []}
+    with open(os.path.join(log_dir, "00000001.json"), "w") as fh:
+        json.dump(rival, fh)
+    v = table.append(_mkdf(spark, [(6, "B", 60)]))
+    assert v == 2  # lost the race for v1, landed at v2
+    assert table.snapshot().count() == 4
+
+
+def test_orphan_files_invisible_and_vacuumed(spark, table):
+    # a crashed writer left a parquet file in the table dir, uncommitted
+    orphan_dir = os.path.join(table.root, "seg=A")
+    _mkdf(spark, [(99, "A", 990)]).drop("seg").write.mode("append").parquet(orphan_dir)
+    orphans = [
+        f for f in os.listdir(orphan_dir)
+        if f.endswith(".parquet")
+        and f"seg=A/{f}" not in {a["path"] for a in table._active_files()}
+    ]
+    assert orphans, "fixture should have created an uncommitted file"
+    assert table.snapshot().count() == 3  # snapshot readers never see it
+    deleted = table.vacuum()
+    assert any(p.endswith(o) for o in orphans for p in deleted)
+    assert table.snapshot().count() == 3
+
+
+def test_vacuum_retains_time_travel_window(spark, table):
+    table.overwrite(_mkdf(spark, [(9, "C", 90)]))
+    # retain one historical version: v0's files survive
+    deleted = table.vacuum(retain_versions=1)
+    assert deleted == []
+    assert table.snapshot(version=0).count() == 3
+    # drop history: v0's files go, latest still reads
+    table.vacuum(retain_versions=0)
+    assert table.snapshot().count() == 1
+
+
+def test_append_schema_evolution(spark, table):
+    evolved = spark.createDataFrame([(7, "B", 70, "extra")], ["id", "seg", "val", "note"])
+    table.append(evolved)
+    snap = table.snapshot()
+    assert "note" in snap.columns
+    got = {(r.id, r.note) for r in snap.collect()}
+    assert (7, "extra") in got
+    assert all(r.note is None for r in snap.filter(F.col("id") != 7).collect())
+
+
+def test_history_records_operations(spark, table):
+    table.append(_mkdf(spark, [(4, "B", 40)]))
+    table.replace_where(_mkdf(spark, [(4, "B", 44), (3, "B", 33)]), {"seg": ["B"]})
+    ops = [c["op"] for c in table.history()]
+    assert ops == ["create", "append", "replace_where"]
+    assert table.history()[2]["predicate"] == {"seg": ["B"]}
