@@ -3230,3 +3230,36 @@ def tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         (F.lit(100.0) * F.col("promo") / F.col("total")).alias("promo_pct")
     )
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id,
+           CAST(c.ts AS TIMESTAMP) AS click_ts,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           p.value AS purchase_value
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase'
+     AND CAST(p.ts AS TIMESTAMP) >  CAST(c.ts AS TIMESTAMP)
+     AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click'
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join driven to completion: clicks and
+    purchases (two watermarked streams over the same event source) joined
+    per user within a 1-hour attribution horizon. Over a bounded replay
+    the result must equal the batch interval join — the oracle. The
+    double-sided watermark + interval condition is what bounds join state
+    at 100 TB/day stream rates."""
+    from projectdatalake_spark import streaming as ST
+
+    stream = ST.read_events_stream(spark, sf_dir)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    joined = ST.stream_stream_interval_join(clicks, purchases)
+    return ST.run_available_now(joined, output_mode="append")

@@ -7,5 +7,6 @@ from projectdatalake_spark.streaming.events import (  # noqa: F401
     run_available_now,
     session_window_agg,
     sliding_window_agg,
+    stream_stream_interval_join,
     tumbling_window_agg,
 )

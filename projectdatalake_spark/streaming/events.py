@@ -136,3 +136,48 @@ def run_available_now(result: DataFrame, output_mode: str = "complete") -> DataF
     )
     q.awaitTermination()
     return result.sparkSession.table(name)
+
+
+def stream_stream_interval_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join on user within a time interval: each click
+    matches the same user's purchases landing in (click_ts, click_ts +
+    ``horizon``]. BOTH sides carry watermarks and the join condition
+    time-bounds both event times — the two facts Structured Streaming
+    needs to know when a buffered row can never match again and evict it;
+    without them the join state grows forever. State per side ≈ rows
+    inside (watermark + horizon), independent of stream length."""
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        "purchase_value",
+    )
