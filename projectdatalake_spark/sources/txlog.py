@@ -204,9 +204,17 @@ class TxTable:
         fs.delete(stage_path, True)
         return adds
 
-    def _publish(self, op: str, adds: list[dict], removes: list[str], **extra) -> int:
-        """Retry loop around the exclusive-create commit."""
+    def _publish(
+        self, op: str, adds: list[dict], removes: list[str], precondition=None, **extra
+    ) -> int | None:
+        """Retry loop around the exclusive-create commit. ``precondition``
+        (if given) is re-evaluated against the log tip on every attempt —
+        returning False abandons the commit (returns None); this is how a
+        replayed idempotent append stays a no-op even when it loses a
+        version race to the original."""
         while True:
+            if precondition is not None and not precondition():
+                return None
             version = self.latest_version() + 1
             commit = {
                 "version": version,
@@ -250,6 +258,30 @@ class TxTable:
     def append(self, df: DataFrame) -> int:
         """Add rows; existing files untouched. Additive schema changes OK."""
         return self._commit_write(df, "append", self._partition_by(), removes=[])
+
+    def append_once(self, df: DataFrame, app_id: str, batch_id: int) -> int | None:
+        """Idempotent append: the commit records ``(app_id, batch_id)``, and
+        a replay whose batch id the log has already seen is a no-op — the
+        txn mechanism Delta documents as ``txnAppId``/``txnVersion``, and
+        what makes an at-least-once foreachBatch sink exactly-once.
+        Returns the committed version, or None if skipped as a replay."""
+        def unseen() -> bool:
+            return not any(
+                c.get("txn", {}).get("app") == app_id
+                and c.get("txn", {}).get("batch") >= batch_id
+                for c in self.history()
+                if c.get("txn")
+            )
+
+        if not unseen():
+            return None
+        adds = self._stage(df, self._partition_by())
+        return self._publish(
+            "append", adds, removes=[],
+            precondition=unseen,
+            partition_by=list(self._partition_by()),
+            txn={"app": app_id, "batch": batch_id},
+        )
 
     def overwrite(self, df: DataFrame) -> int:
         """Replace the whole table in one atomic commit."""
@@ -350,3 +382,33 @@ class TxTable:
             fs.delete(p, False)
             deleted.append(rel)
         return deleted
+
+
+def append_stream(
+    stream_df: DataFrame,
+    table: TxTable,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Exactly-once streaming sink into a TxTable via ``foreachBatch``.
+
+    Structured Streaming's foreachBatch is at-least-once: after a crash
+    between sink write and checkpoint commit, the same ``batch_id`` is
+    replayed. Idempotence comes from the commit log itself — every commit
+    records its (checkpoint, batch_id), and a replayed batch that finds
+    its id already in the log is skipped. This is the same txn mechanism
+    Delta's idempotent ``txnAppId``/``txnVersion`` writes document.
+
+    Returns the StreamingQuery (caller awaits termination for availableNow).
+    """
+    app_id = checkpoint_dir  # one logical writer per checkpoint
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        table.append_once(batch_df, app_id, batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(commit_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

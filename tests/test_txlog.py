@@ -128,3 +128,35 @@ def test_history_records_operations(spark, table):
     ops = [c["op"] for c in table.history()]
     assert ops == ["create", "append", "replace_where"]
     assert table.history()[2]["predicate"] == {"seg": ["B"]}
+
+
+def test_append_once_is_idempotent(spark, table):
+    v = table.append_once(_mkdf(spark, [(4, "B", 40)]), app_id="ckpt-1", batch_id=0)
+    assert v is not None
+    assert table.append_once(_mkdf(spark, [(4, "B", 40)]), "ckpt-1", 0) is None
+    assert table.snapshot().count() == 4  # replay added nothing
+    # a later batch from the same writer commits
+    assert table.append_once(_mkdf(spark, [(5, "A", 50)]), "ckpt-1", 1) is not None
+    # ...and an older/equal batch id after it is still a no-op
+    assert table.append_once(_mkdf(spark, [(6, "B", 60)]), "ckpt-1", 1) is None
+    assert table.snapshot().count() == 5
+
+
+def test_append_stream_exactly_once(spark, table, tmp_path):
+    from projectdatalake_spark.sources.txlog import append_stream
+
+    src = str(tmp_path / "src")
+    _mkdf(spark, [(10, "A", 100), (11, "B", 110)]).write.parquet(src)
+    stream = spark.readStream.schema(_mkdf(spark, [(0, "x", 0)]).schema).parquet(src)
+    ckpt = str(tmp_path / "ckpt")
+    q = append_stream(stream, table, ckpt)
+    q.awaitTermination(120)
+    assert table.snapshot().count() == 5
+    # restart from the same checkpoint: no new input -> no new commits
+    before = table.latest_version()
+    q2 = append_stream(stream, table, ckpt)
+    q2.awaitTermination(120)
+    assert table.latest_version() == before
+    assert table.snapshot().count() == 5
+    txns = [c["txn"] for c in table.history() if c.get("txn")]
+    assert txns == [{"app": ckpt, "batch": 0}]
