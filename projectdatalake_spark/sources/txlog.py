@@ -232,8 +232,11 @@ class TxTable:
                 return version
             except CommitConflict:
                 # lost the race: recompute against the new log tip. Appends
-                # commute; overwrite/replace recompute their removes.
-                if op == "append":
+                # commute; precondition-guarded commits (idempotent append,
+                # optimize) keep their planned removes — the precondition
+                # decides whether they are still valid; overwrite/replace
+                # recompute their removes.
+                if op == "append" or precondition is not None:
                     continue
                 removes = self._recompute_removes(op, extra)
 
@@ -355,6 +358,49 @@ class TxTable:
         return self.replace_where(merged, values)
 
     # --- maintenance ------------------------------------------------------
+
+    def optimize(self, min_files: int = 2) -> int | None:
+        """Transactional small-file compaction (OPTIMIZE): partitions
+        holding ≥ ``min_files`` files are rewritten into one file each and
+        swapped in a single commit — readers see either the old files or
+        the new, never a mix, which plain-directory compaction
+        (writers.compact_parquet) cannot promise. Pure metadata+layout
+        change: the snapshot's rows are identical before and after, and
+        time travel to pre-optimize versions still resolves the old files
+        (until ``vacuum`` reaps them).
+
+        Concurrency: the commit carries a precondition that the compacted
+        partitions' file sets are unchanged at publish time — losing a
+        race to ANY concurrent write of those partitions abandons the
+        compaction (returns None) rather than resurrecting replaced data.
+        """
+        pcols = self._partition_by()
+        by_part: dict[tuple, list[dict]] = {}
+        for a in self._active_files():
+            key = tuple(sorted(a["partition"].items()))
+            by_part.setdefault(key, []).append(a)
+        doomed = {k: v for k, v in by_part.items() if len(v) >= min_files}
+        if not doomed:
+            return None
+        removes = sorted(a["path"] for files in doomed.values() for a in files)
+        paths = [f"{self.root}/{p}" for p in removes]
+        scoped = (
+            self.spark.read.option("basePath", self.root)
+            .option("mergeSchema", "true")
+            .parquet(*paths)
+        )
+        # one task (= one output file) per hive partition
+        compacted = scoped.repartition(*[scoped[c] for c in pcols]) if pcols else scoped.coalesce(1)
+        adds = self._stage(compacted, pcols)
+
+        def unchanged() -> bool:
+            current = {a["path"] for a in self._active_files()}
+            return all(p in current for p in removes)
+
+        return self._publish(
+            "optimize", adds, removes=removes, precondition=unchanged,
+            partition_by=list(pcols),
+        )
 
     def vacuum(self, retain_versions: int = 0) -> list[str]:
         """Delete data files unreachable from the last ``retain_versions+1``

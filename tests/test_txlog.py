@@ -160,3 +160,45 @@ def test_append_stream_exactly_once(spark, table, tmp_path):
     assert table.snapshot().count() == 5
     txns = [c["txn"] for c in table.history() if c.get("txn")]
     assert txns == [{"app": ckpt, "batch": 0}]
+
+
+def test_optimize_compacts_transactionally(spark, table):
+    # three more appends -> partition A holds 4 files
+    for i in range(3):
+        table.append(_mkdf(spark, [(20 + i, "A", i)]))
+    pre_version = table.latest_version()
+    before = {(r.id, r.seg, r.val) for r in table.snapshot().collect()}
+    a_files = [a for a in table._active_files() if a["partition"]["seg"] == "A"]
+    assert len(a_files) >= 4
+    v = table.optimize()
+    assert v == pre_version + 1
+    after = {(r.id, r.seg, r.val) for r in table.snapshot().collect()}
+    assert after == before  # pure layout change
+    a_after = [a for a in table._active_files() if a["partition"]["seg"] == "A"]
+    assert len(a_after) == 1
+    # time travel to pre-optimize still resolves the old files
+    assert {(r.id, r.seg, r.val) for r in table.snapshot(pre_version).collect()} == before
+    # nothing left to compact
+    assert table.optimize() is None
+
+
+def test_optimize_abandons_on_concurrent_partition_change(spark, table):
+    table.append(_mkdf(spark, [(21, "A", 1)]))
+    # plan an optimize, then yank one of its inputs before publish
+    import projectdatalake_spark.sources.txlog as TL
+
+    original = TL.TxTable._publish
+
+    def racing_publish(self, op, adds, removes, precondition=None, **extra):
+        if op == "optimize" and not getattr(self, "_raced", False):
+            self._raced = True
+            self.replace_where(_mkdf(spark, [(1, "A", -1)]), {"seg": ["A"]})
+        return original(self, op, adds, removes, precondition=precondition, **extra)
+
+    TL.TxTable._publish = racing_publish
+    try:
+        assert table.optimize() is None  # abandoned, not resurrected
+    finally:
+        TL.TxTable._publish = original
+    got = {(r.id, r.val) for r in table.snapshot().collect()}
+    assert got == {(1, -1), (3, 30)}  # the racing replace won; no stale rows
