@@ -50,6 +50,39 @@ class CommitConflict(Exception):
     """Another writer published this version first (exclusive-create lost)."""
 
 
+def _stats_value(v):
+    """JSON-safe, order-preserving form of a min/max bound. ISO timestamp
+    strings compare lexicographically in chronological order, so interval
+    overlap tests stay correct after serialization."""
+    import datetime
+    import decimal
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, (int, float, str, bool)) or v is None:
+        return v
+    return None  # unsupported type: no stats, file conservatively kept
+
+
+def _stats_may_match(add: dict, where: dict) -> bool:
+    """Can a file's [min, max] ranges intersect every predicate interval?
+    Missing stats/columns answer yes (never skip on ignorance)."""
+    stats = add.get("stats") or {}
+    for col, (lo, hi) in where.items():
+        s = stats.get(col)
+        if not s:
+            continue
+        smin, smax = s.get("min"), s.get("max")
+        lo_n, hi_n = _stats_value(lo), _stats_value(hi)
+        if lo_n is not None and smax is not None and smax < lo_n:
+            return False
+        if hi_n is not None and smin is not None and smin > hi_n:
+            return False
+    return True
+
+
 class TxTable:
     """A transactional Parquet table rooted at ``root``.
 
@@ -130,20 +163,42 @@ class TxTable:
 
     # --- reads ------------------------------------------------------------
 
-    def snapshot(self, version: int | None = None) -> DataFrame:
+    def snapshot(
+        self, version: int | None = None, where: dict | None = None
+    ) -> DataFrame:
         """The table as of ``version`` (default latest). Explicit file list
         + ``basePath`` keeps partition inference while hiding uncommitted,
         removed, and orphan files; ``mergeSchema`` honors additive
-        evolution across commits."""
+        evolution across commits.
+
+        ``where`` enables **stats-based data skipping**: ``{col: (lo, hi)}``
+        interval predicates (None = unbounded side) drop every file whose
+        logged min/max range cannot overlap — before Spark ever sees it.
+        Files without stats for a column are conservatively kept, and the
+        residual filter is still applied row-level, so the result equals
+        ``snapshot().filter(...)`` exactly; only the I/O shrinks. This is
+        file-level pruning on top of the partition pruning the hive layout
+        already gives — the min/max skipping table formats are built on."""
         adds = self._active_files(version)
         if not adds:
             raise ValueError(f"txlog table at {self.root} has no data at version {version}")
+        if where:
+            adds = [a for a in adds if _stats_may_match(a, where)]
+            if not adds:
+                return self.snapshot(version).filter("1=0")
         paths = [f"{self.root}/{a['path']}" for a in adds]
-        return (
+        df = (
             self.spark.read.option("basePath", self.root)
             .option("mergeSchema", "true")
             .parquet(*paths)
         )
+        if where:
+            for col, (lo, hi) in where.items():
+                if lo is not None:
+                    df = df.filter(df[col] >= lo)
+                if hi is not None:
+                    df = df.filter(df[col] <= hi)
+        return df
 
     # --- writes -----------------------------------------------------------
 
@@ -202,7 +257,51 @@ class TxTable:
                 raise IOError(f"failed to move staged file {p} -> {dest}")
             adds.append({"path": rel, "partition": partition, "size": size})
         fs.delete(stage_path, True)
+        self._attach_stats(adds)
         return adds
+
+    def _attach_stats(self, adds: list[dict]) -> None:
+        """Per-file min/max column stats in ONE Spark pass over the files
+        just written (write-time stats, the table-format way — never a
+        per-file job). Feeds snapshot(where=...) data skipping."""
+        if not adds:
+            return
+        from pyspark.sql import functions as F
+
+        paths = [f"{self.root}/{a['path']}" for a in adds]
+        df = self.spark.read.option("basePath", self.root).parquet(*paths)
+        pcols = set().union(*(a["partition"].keys() for a in adds))
+        cols = [
+            f.name
+            for f in df.schema.fields
+            if f.name not in pcols and f.dataType.typeName() not in ("binary", "array", "map", "struct")
+        ]
+        if not cols:
+            return
+        aggs = []
+        for c in cols:
+            aggs.append(F.min(c).alias(f"min__{c}"))
+            aggs.append(F.max(c).alias(f"max__{c}"))
+        rows = (
+            df.withColumn("__file", F.input_file_name())
+            .groupBy("__file")
+            .agg(*aggs)
+            .collect()
+        )
+        by_name: dict[str, dict] = {}
+        for r in rows:
+            d = r.asDict()
+            fname = d.pop("__file").rsplit("/", 1)[-1]
+            stats = {}
+            for c in cols:
+                mn, mx = _stats_value(d[f"min__{c}"]), _stats_value(d[f"max__{c}"])
+                if mn is not None or mx is not None:
+                    stats[c] = {"min": mn, "max": mx}
+            by_name[fname] = stats
+        for a in adds:
+            stats = by_name.get(a["path"].rsplit("/", 1)[-1])
+            if stats:
+                a["stats"] = stats
 
     def _publish(
         self, op: str, adds: list[dict], removes: list[str], precondition=None, **extra

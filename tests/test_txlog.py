@@ -202,3 +202,29 @@ def test_optimize_abandons_on_concurrent_partition_change(spark, table):
         TL.TxTable._publish = original
     got = {(r.id, r.val) for r in table.snapshot().collect()}
     assert got == {(1, -1), (3, 30)}  # the racing replace won; no stale rows
+
+
+def test_write_time_stats_recorded(spark, table):
+    for a in table._active_files():
+        assert "stats" in a
+        assert set(a["stats"]) == {"id", "val"}  # partition col excluded
+        assert a["stats"]["id"]["min"] <= a["stats"]["id"]["max"]
+
+
+def test_snapshot_where_skips_files_and_matches_filter(spark, table):
+    # three more commits with disjoint val ranges -> separate files
+    table.append(_mkdf(spark, [(4, "A", 100), (5, "B", 110)]))
+    table.append(_mkdf(spark, [(6, "A", 200), (7, "B", 210)]))
+    table.append(_mkdf(spark, [(8, "A", 300), (9, "B", 310)]))
+    full = table.snapshot()
+    pruned = table.snapshot(where={"val": (200, 210)})
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    want = {(r.id, r.val) for r in full.filter("val between 200 and 210").collect()}
+    got = {(r.id, r.val) for r in pruned.collect()}
+    assert got == want == {(6, 200), (7, 210)}
+    # one-sided + unbounded intervals
+    assert {r.id for r in table.snapshot(where={"val": (300, None)}).collect()} == {8, 9}
+    assert table.snapshot(where={"val": (None, 30)}).count() == 3
+    # empty overlap -> empty result, schema intact
+    none = table.snapshot(where={"val": (9999, None)})
+    assert none.count() == 0 and set(none.columns) == {"id", "seg", "val"}
