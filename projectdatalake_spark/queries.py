@@ -3263,3 +3263,69 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = stream.filter(F.col("event_type") == "purchase")
     joined = ST.stream_stream_interval_join(clicks, purchases)
     return ST.run_available_now(joined, output_mode="append")
+
+
+@query(
+    "tpch_q6_forecast",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(27,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: the pure scan-efficiency query — every predicate pushes
+    into the parquet scan (row-group skipping does the work at scale), one
+    decimal aggregate, no joins, no shuffle beyond the final reduce."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"))
+
+
+@query(
+    "txlog_data_skipping",
+    oracle="""
+    SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           o_orderdate
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+      AND o_orderdate <= TIMESTAMP '1998-06-30'
+    """,
+)
+def txlog_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-based file skipping through the transactional format: orders
+    is committed to a TxTable in year-ranged batches (each commit's files
+    carry write-time min/max stats), then read back with an interval
+    predicate via snapshot(where=...) — the log prunes non-overlapping
+    files before Spark plans the scan, and the residual filter makes the
+    result exactly equal the plain filtered scan (the oracle)."""
+    import tempfile
+
+    from projectdatalake_spark.sources.txlog import TxTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "o_orderdate",
+    )
+    import datetime
+
+    root = tempfile.mkdtemp(prefix="txlog_skip_")
+    table = TxTable.create(spark, root, o.filter(F.year("o_orderdate") <= 1996))
+    for yr in (1997, 1998, 1999):
+        batch = o.filter(
+            F.year("o_orderdate") == yr if yr < 1999 else F.year("o_orderdate") >= 1999
+        )
+        table.append(batch)
+    pruned = table.snapshot(
+        where={"o_orderdate": (datetime.datetime(1998, 1, 1), datetime.datetime(1998, 6, 30))}
+    )
+    return pruned.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
