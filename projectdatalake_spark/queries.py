@@ -3329,3 +3329,59 @@ def txlog_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         where={"o_orderdate": (datetime.datetime(1998, 1, 1), datetime.datetime(1998, 6, 30))}
     )
     return pruned.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+
+
+@query(
+    "range_join_bucketed",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           s.event_id AS signup_id,
+           CAST(s.ts AS TIMESTAMP) AS window_start
+    FROM events p
+    JOIN events s
+      ON s.user_id = p.user_id
+     AND s.event_type = 'signup'
+     AND CAST(s.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+     AND CAST(p.ts AS TIMESTAMP) <= CAST(s.ts AS TIMESTAMP) + INTERVAL 1 DAY
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized range join (operators/rangejoin.py): purchase events
+    joined to every same-user signup whose 1-day window contains them.
+    Interval discretization turns the non-equi time condition into an
+    equi-join on (user, bucket) with the exact bounds as residual — a
+    plain hash join instead of a per-key nested loop; the oracle is the
+    naive non-equi join, so the rewrite's exactness is hash-checked."""
+    from projectdatalake_spark.operators.rangejoin import interval_point_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+    )
+    points = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    intervals = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            "user_id",
+            F.col("ts").alias("window_start"),
+            (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("window_end"),
+        )
+    )
+    joined = interval_point_join(
+        intervals, points,
+        start_col="window_start", end_col="window_end", ts_col="purchase_ts",
+        on=["user_id"], bucket_width="1 day",
+    )
+    return joined.select(
+        "purchase_id", "user_id", "purchase_ts", "signup_id", "window_start"
+    )

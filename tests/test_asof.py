@@ -54,3 +54,60 @@ def test_asof_left_rowcount_preserved(spark, sf_dir):
     )
     out = asof.asof_join(ev, orders, "ts", "o_orderdate", "user_id", "o_custkey", ["event_id"])
     assert out.count() == ev.count()
+
+
+def test_interval_point_join_equals_naive(spark):
+    from projectdatalake_spark.operators.rangejoin import interval_point_join
+    from projectdatalake_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "event_type", F.col("ts").cast("timestamp_ntz").alias("ts")
+    )
+    points = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("pts")
+    )
+    intervals = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("sid"),
+        F.col("user_id").alias("s_user"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("w_end"),
+    )
+    naive = {
+        (r.pid, r.sid)
+        for r in points.join(
+            intervals,
+            (F.col("user_id") == F.col("s_user"))
+            & (F.col("w_start") <= F.col("pts"))
+            & (F.col("pts") <= F.col("w_end")),
+        ).collect()
+    }
+    assert naive, "fixture should produce matches"
+    # exact at any bucket width (width only changes replication factor)
+    for width in ("6 hours", "1 day", "7 days"):
+        iv = intervals.withColumnRenamed("s_user", "user_id")
+        fast = {
+            (r.pid, r.sid)
+            for r in interval_point_join(
+                iv, points, "w_start", "w_end", "pts",
+                on=["user_id"], bucket_width=width,
+            ).collect()
+        }
+        assert fast == naive, width
+
+
+def test_interval_point_join_left_keeps_unmatched(spark):
+    from projectdatalake_spark.operators.rangejoin import interval_point_join
+
+    intervals = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "2024-01-02 00:00:00")], ["iid", "lo", "hi"]
+    ).select("iid", F.col("lo").cast("timestamp_ntz"), F.col("hi").cast("timestamp_ntz"))
+    intervals = intervals.toDF("iid", "lo", "hi")
+    points = spark.createDataFrame(
+        [(10, "2024-01-01 12:00:00"), (11, "2024-03-01 00:00:00")], ["pid", "pts"]
+    ).select("pid", F.col("pts").cast("timestamp_ntz").alias("pts"))
+    out = interval_point_join(
+        intervals, points, "lo", "hi", "pts", bucket_width="1 day", how="left"
+    )
+    got = {(r.pid, r.iid) for r in out.collect()}
+    assert got == {(10, 1), (11, None)}
