@@ -34,6 +34,14 @@ EXTENDED = [
     "scd2_customer_history",
     "merge_partition_scoped",
     "sql_tpch_q3",
+    "tpch_q5_local_volume",
+    "tpch_q6_forecast",
+    "tpch_q10_returned",
+    "tpch_q14_promo",
+    "range_join_bucketed",
+    "stream_stream_join",
+    "txlog_merge_upsert",
+    "txlog_data_skipping",
 ]
 
 HEADLINE = [
