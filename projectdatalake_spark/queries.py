@@ -3385,3 +3385,48 @@ def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "purchase_id", "user_id", "purchase_ts", "signup_id", "window_start"
     )
+
+
+@query(
+    "txlog_changes",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+           'insert' AS _change_type, 1 AS _commit_version
+    FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE),
+           'delete', 2
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, CAST(c_acctbal * 0.9 AS DOUBLE),
+           'insert', 2
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def txlog_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed through the transactional format: the table is
+    created (v0), a segment is appended (v1), another is rewritten with a
+    10% discount via replace_where (v2), and changes(0) returns exactly
+    the rows each commit inserted/deleted, version-tagged — what an
+    incremental consumer reads instead of re-scanning the table."""
+    import tempfile
+
+    from projectdatalake_spark.sources.txlog import TxTable
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.col("c_acctbal").cast("double").alias("c_acctbal")
+    )
+    root = tempfile.mkdtemp(prefix="txlog_cdc_")
+    table = TxTable.create(
+        spark, root,
+        c.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY")),
+        partition_by=("c_mktsegment",),
+    )
+    table.append(c.filter(F.col("c_mktsegment") == "AUTOMOBILE"))
+    discounted = c.filter(F.col("c_mktsegment") == "BUILDING").withColumn(
+        "c_acctbal", F.col("c_acctbal") * 0.9
+    )
+    table.replace_where(discounted, {"c_mktsegment": ["BUILDING"]})
+    return table.changes(0).select(
+        "c_custkey", "c_mktsegment", "c_acctbal", "_change_type", "_commit_version"
+    )

@@ -200,6 +200,51 @@ class TxTable:
                     df = df.filter(df[col] <= hi)
         return df
 
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Change data feed: every row added or removed by the commits in
+        ``(from_version, to_version]``, tagged with ``_change_type``
+        ('insert' / 'delete') and ``_commit_version`` — the incremental-
+        consumer contract (downstream jobs poll ``latest_version()`` and
+        read only the delta instead of re-scanning the table).
+
+        File-level capture: append → inserts; overwrite / replace_where →
+        deletes of the replaced files' rows plus inserts of the new.
+        ``optimize`` commits are data-neutral (same rows, new layout) and
+        are skipped entirely. Removed files must still exist — i.e. lie
+        inside the vacuum retention horizon."""
+        from pyspark.sql import functions as F
+
+        to_version = self.latest_version() if to_version is None else to_version
+        frames = []
+        for commit in self.history():
+            v = commit["version"]
+            if v <= from_version or v > to_version or commit["op"] == "optimize":
+                continue
+            for kind, rels in (
+                ("insert", [a["path"] for a in commit.get("adds", [])]),
+                ("delete", commit.get("removes", [])),
+            ):
+                if not rels:
+                    continue
+                df = (
+                    self.spark.read.option("basePath", self.root)
+                    .option("mergeSchema", "true")
+                    .parquet(*[f"{self.root}/{p}" for p in rels])
+                )
+                frames.append(
+                    df.withColumn("_change_type", F.lit(kind)).withColumn(
+                        "_commit_version", F.lit(v)
+                    )
+                )
+        if not frames:
+            return self.snapshot().filter("1=0").withColumn(
+                "_change_type", F.lit("")
+            ).withColumn("_commit_version", F.lit(0))
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out
+
     # --- writes -----------------------------------------------------------
 
     @classmethod

@@ -228,3 +228,25 @@ def test_snapshot_where_skips_files_and_matches_filter(spark, table):
     # empty overlap -> empty result, schema intact
     none = table.snapshot(where={"val": (9999, None)})
     assert none.count() == 0 and set(none.columns) == {"id", "seg", "val"}
+
+
+def test_changes_feed(spark, table):
+    table.append(_mkdf(spark, [(4, "B", 40)]))                       # v1: insert
+    table.replace_where(_mkdf(spark, [(1, "A", 99)]), {"seg": ["A"]})  # v2: delete A + insert
+    # v3: optimize is data-neutral and must not appear in the feed
+    table.append(_mkdf(spark, [(7, "A", 70)]))                       # v3
+    assert table.optimize() is not None                              # v4
+    ch = table.changes(0)
+    got = {(r.id, r.seg, r.val, r._change_type, r._commit_version) for r in ch.collect()}
+    assert (4, "B", 40, "insert", 1) in got
+    assert (1, "A", 99, "insert", 2) in got
+    assert (1, "A", 10, "delete", 2) in got and (2, "A", 20, "delete", 2) in got
+    assert (7, "A", 70, "insert", 3) in got
+    assert not any(v == 4 for (_, _, _, _, v) in got), "optimize leaked into CDC"
+    # incremental window: only v3
+    ch3 = table.changes(2, 3)
+    assert {(r.id, r._change_type) for r in ch3.collect()} == {(7, "insert")}
+    # empty window keeps schema
+    empty = table.changes(table.latest_version())
+    assert empty.count() == 0
+    assert "_change_type" in empty.columns
