@@ -399,8 +399,91 @@ class TxTable:
     def _commit_write(
         self, df: DataFrame, op: str, partition_by: tuple[str, ...], removes: list[str], **extra
     ) -> int:
+        if op != "create":
+            self._validate_write(df)
         adds = self._stage(df, partition_by)
-        return self._publish(op, adds, removes, partition_by=list(partition_by), **extra)
+        schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        return self._publish(
+            op, adds, removes, partition_by=list(partition_by), schema=schema, **extra
+        )
+
+    # --- schema enforcement & constraints ---------------------------------
+
+    def table_schema(self) -> dict[str, str]:
+        """Live logical schema: the union of every commit's column→type
+        map (additive evolution keeps old columns; types never change)."""
+        merged: dict[str, str] = {}
+        for commit in self.history():
+            merged.update(commit.get("schema", {}))
+        return merged
+
+    def active_constraints(self) -> dict[str, str]:
+        """CHECK constraints in force: replay of add/drop commits."""
+        cons: dict[str, str] = {}
+        for commit in self.history():
+            if commit["op"] == "add_constraint":
+                cons[commit["constraint"]["name"]] = commit["constraint"]["check"]
+            elif commit["op"] == "drop_constraint":
+                cons.pop(commit["constraint"]["name"], None)
+        return cons
+
+    def _validate_write(self, df: DataFrame) -> None:
+        """Write-time enforcement, BEFORE any data lands: incoming columns
+        that exist must keep their type (new columns = allowed additive
+        evolution); every active CHECK constraint must hold on the batch.
+        Catching this at the writer is the point of a table format —
+        plain-directory writes surface type conflicts as read-time
+        mergeSchema failures long after the bad data is in."""
+        from pyspark.sql import functions as F
+
+        known = self.table_schema()
+        for f in df.schema.fields:
+            want = known.get(f.name)
+            have = f.dataType.simpleString()
+            if want is not None and want != have:
+                raise ValueError(
+                    f"schema enforcement: column {f.name!r} is {want} in the "
+                    f"table but {have} in the incoming batch"
+                )
+        cons = self.active_constraints()
+        if cons:
+            # SQL CHECK semantics: only a FALSE predicate violates (NULL passes)
+            checks = df.agg(
+                *[
+                    F.count(F.when(F.expr(check) == F.lit(False), 1)).alias(name)
+                    for name, check in cons.items()
+                ]
+            ).first()
+            for name, check in cons.items():
+                if checks[name]:
+                    raise ValueError(
+                        f"CHECK constraint {name!r} ({check}) violated by "
+                        f"{checks[name]} incoming row(s)"
+                    )
+
+    def add_constraint(self, name: str, check: str) -> int:
+        """Install a CHECK constraint (SQL predicate). Existing data is
+        validated first — a constraint the table already violates is
+        rejected, as Delta documents for ADD CONSTRAINT."""
+        from pyspark.sql import functions as F
+
+        bad = (
+            self.snapshot()
+            .filter(F.expr(check) == F.lit(False))
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise ValueError(f"existing rows violate CHECK {name!r} ({check})")
+        return self._publish(
+            "add_constraint", adds=[], removes=[],
+            constraint={"name": name, "check": check},
+        )
+
+    def drop_constraint(self, name: str) -> int:
+        return self._publish(
+            "drop_constraint", adds=[], removes=[], constraint={"name": name}
+        )
 
     def append(self, df: DataFrame) -> int:
         """Add rows; existing files untouched. Additive schema changes OK."""

@@ -250,3 +250,32 @@ def test_changes_feed(spark, table):
     empty = table.changes(table.latest_version())
     assert empty.count() == 0
     assert "_change_type" in empty.columns
+
+
+def test_schema_enforcement_rejects_type_change(spark, table):
+    bad = spark.createDataFrame([(4, "B", "not-an-int")], ["id", "seg", "val"])
+    with pytest.raises(ValueError, match="schema enforcement.*val"):
+        table.append(bad)
+    assert table.snapshot().count() == 3  # nothing landed
+    # additive new column still allowed
+    table.append(spark.createDataFrame([(4, "B", 40, 1.5)], ["id", "seg", "val", "score"]))
+    assert table.snapshot().count() == 4
+
+
+def test_check_constraints_enforced_at_write(spark, table):
+    table.add_constraint("positive_val", "val > 0")
+    with pytest.raises(ValueError, match="positive_val.*violated by 1"):
+        table.append(_mkdf(spark, [(4, "B", -5)]))
+    table.append(_mkdf(spark, [(4, "B", 5)]))  # satisfying batch lands
+    assert table.snapshot().count() == 4
+    # NULL predicate passes (SQL CHECK semantics)
+    evolved = spark.createDataFrame([(5, "A", None)], "id long, seg string, val long")
+    table.append(evolved)
+    assert table.snapshot().count() == 5
+    # installing a constraint the table already violates is rejected
+    with pytest.raises(ValueError, match="existing rows violate"):
+        table.add_constraint("small_id", "id < 3")
+    # dropped constraint stops enforcing
+    table.drop_constraint("positive_val")
+    table.append(_mkdf(spark, [(6, "B", -1)]))
+    assert table.active_constraints() == {}
