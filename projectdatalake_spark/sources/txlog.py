@@ -50,6 +50,64 @@ class CommitConflict(Exception):
     """Another writer published this version first (exclusive-create lost)."""
 
 
+def _parse_transform(spec: str) -> tuple[str, int | None, str]:
+    """Parse a partition spec: ``col`` (identity), ``days(col)``,
+    ``truncate(width, col)``, ``bucket(n, col)`` → (kind, param, col).
+    Hidden partitioning, the Iceberg idea: the table partitions on a
+    DERIVED value, writers never add the column by hand, and readers
+    filter on the SOURCE column — the format maps predicates to
+    partitions itself."""
+    spec = spec.strip()
+    if "(" not in spec:
+        return ("identity", None, spec)
+    kind, rest = spec.split("(", 1)
+    args = [a.strip() for a in rest.rstrip(")").split(",")]
+    kind = kind.strip().lower()
+    if kind == "days" and len(args) == 1:
+        return ("days", None, args[0])
+    if kind in ("truncate", "bucket") and len(args) == 2:
+        return (kind, int(args[0]), args[1])
+    raise ValueError(f"unsupported partition transform: {spec!r}")
+
+
+def _transform_col(kind: str, param: int | None, col: str):
+    from pyspark.sql import functions as F
+
+    if kind == "identity":
+        return F.col(col)
+    if kind == "days":
+        # ISO date string: lexicographic order == chronological order
+        return F.date_format(F.col(col), "yyyy-MM-dd")
+    if kind == "truncate":
+        return F.substring(F.col(col).cast("string"), 1, param)
+    if kind == "bucket":
+        return F.pmod(F.xxhash64(F.col(col)), F.lit(param)).cast("int")
+    raise ValueError(kind)
+
+
+def _hidden_name(kind: str, param: int | None, col: str) -> str:
+    return col if kind == "identity" else f"_p_{kind}_{col}"
+
+
+def _transform_bound(kind: str, param: int | None, v):
+    """Map a source-column predicate bound through a monotone transform so
+    it can be compared against hive partition-value strings. Returns None
+    when the transform cannot prune intervals (bucket)."""
+    import datetime
+
+    if v is None:
+        return None
+    if kind == "days":
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat()[:10]
+        return str(v)[:10]
+    if kind == "truncate":
+        return str(v)[:param]
+    if kind == "identity":
+        return str(v)
+    return None
+
+
 def _stats_value(v):
     """JSON-safe, order-preserving form of a min/max bound. ISO timestamp
     strings compare lexicographically in chronological order, so interval
@@ -64,6 +122,40 @@ def _stats_value(v):
     if isinstance(v, (int, float, str, bool)) or v is None:
         return v
     return None  # unsupported type: no stats, file conservatively kept
+
+
+def _partition_may_match(add: dict, where: dict, fields: list) -> bool:
+    """Hidden-partition pruning: map each source-column interval through
+    its monotone transforms (days, truncate, identity) and compare against
+    the file's hive partition values. Bucket cannot prune intervals and
+    always answers yes."""
+    part = add.get("partition") or {}
+    for col, (lo, hi) in where.items():
+        for kind, param, src, name in fields:
+            if src != col or name not in part:
+                continue
+            pval = part[name]
+            lo_t = _transform_bound(kind, param, lo)
+            hi_t = _transform_bound(kind, param, hi)
+            if kind == "identity":
+                # hive values are strings; compare numerically when the
+                # bound is numeric (string order would mis-prune numbers)
+                try:
+                    pnum = float(pval)
+                    lo_t = None if lo is None else float(lo)
+                    hi_t = None if hi is None else float(hi)
+                    if lo_t is not None and pnum < lo_t:
+                        return False
+                    if hi_t is not None and pnum > hi_t:
+                        return False
+                    continue
+                except (TypeError, ValueError):
+                    pass
+            if lo_t is not None and pval < lo_t:
+                return False
+            if hi_t is not None and pval > hi_t:
+                return False
+    return True
 
 
 def _stats_may_match(add: dict, where: dict) -> bool:
@@ -182,8 +274,13 @@ class TxTable:
         adds = self._active_files(version)
         if not adds:
             raise ValueError(f"txlog table at {self.root} has no data at version {version}")
+        fields = self._partition_fields()
         if where:
-            adds = [a for a in adds if _stats_may_match(a, where)]
+            adds = [
+                a
+                for a in adds
+                if _stats_may_match(a, where) and _partition_may_match(a, where, fields)
+            ]
             if not adds:
                 return self.snapshot(version).filter("1=0")
         paths = [f"{self.root}/{a['path']}" for a in adds]
@@ -192,6 +289,9 @@ class TxTable:
             .option("mergeSchema", "true")
             .parquet(*paths)
         )
+        hidden = [name for kind, _, _, name in fields if kind != "identity"]
+        if hidden:
+            df = df.drop(*hidden)
         if where:
             for col, (lo, hi) in where.items():
                 if lo is not None:
@@ -268,15 +368,35 @@ class TxTable:
             raise ValueError(f"no txlog table at {self.root}")
         return tuple(commits[0].get("partition_by", ()))
 
+    def _partition_fields(self) -> list[tuple[str, int | None, str, str]]:
+        """Parsed partition spec: (kind, param, source_col, stored_name)."""
+        out = []
+        for spec in self._partition_by():
+            kind, param, col = _parse_transform(spec)
+            out.append((kind, param, col, _hidden_name(kind, param, col)))
+        return out
+
+    def _partition_expr(self, kind: str, param: int | None, col: str, df: DataFrame):
+        return _transform_col(kind, param, col)
+
     def _stage(self, df: DataFrame, partition_by: tuple[str, ...]) -> list[dict]:
         """Write ``df`` under _staging/{uuid} and move the parquet files into
         the table root (hive layout preserved). Returns add-actions; nothing
         is visible to snapshot readers until the commit publishes."""
         stage_id = uuid.uuid4().hex
         stage_dir = f"{self.root}/{_STAGING}/{stage_id}"
+        # hidden partitioning: derive transform columns at write time; the
+        # caller's frame never carries them (the Iceberg contract)
+        part_names = []
+        for spec in partition_by:
+            kind, param, col = _parse_transform(spec)
+            name = _hidden_name(kind, param, col)
+            if kind != "identity":
+                df = df.withColumn(name, _transform_col(kind, param, col))
+            part_names.append(name)
         writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
+        if part_names:
+            writer = writer.partitionBy(*part_names)
         writer.parquet(stage_dir)
         fs = self._fs()
         stage_path = self._path(stage_dir)
@@ -524,16 +644,21 @@ class TxTable:
         ({col: iterable-of-values}, hive string form). Rows in ``df``
         outside those partitions are rejected — the guard that keeps the
         remove-set honest."""
+        from pyspark.sql import functions as F
+
         pcols = self._partition_by()
         if not partition_values:
             raise ValueError("replace_where needs at least one partition predicate; use overwrite()")
+        by_name = {name: (kind, param, src) for kind, param, src, name in self._partition_fields()}
         for col in partition_values:
-            if col not in pcols:
+            if col not in by_name:
                 raise ValueError(f"{col} is not a partition column of {pcols}")
         values = {k: {str(x) for x in v} for k, v in partition_values.items()}
         cond = None
         for col, vals in values.items():
-            c = df[col].cast("string").isin(*vals)
+            kind, param, src = by_name[col]
+            expr = F.col(src) if kind == "identity" else _transform_col(kind, param, src)
+            c = expr.cast("string").isin(*vals)
             cond = c if cond is None else cond & c
         n_outside = df.filter(~cond).limit(1).count() if cond is not None else 0
         if n_outside:
@@ -554,15 +679,24 @@ class TxTable:
         add-actions survive the commit byte-identical). The touched
         partition list is collected driver-side — bounded and guarded,
         like every table format's merge planning."""
-        pcols = self._partition_by()
-        if not pcols:
+        from pyspark.sql import functions as F
+
+        fields = self._partition_fields()
+        if not fields:
             merged = updates.unionByName(
                 self.snapshot().join(updates.select(*keys), keys, "left_anti"),
                 allowMissingColumns=True,
             )
             return self.overwrite(merged)
+
+        def part_expr(kind, param, src):
+            e = F.col(src) if kind == "identity" else _transform_col(kind, param, src)
+            return e.cast("string")
+
         touched_rows = (
-            updates.select(*[updates[c].cast("string").alias(c) for c in pcols])
+            updates.select(
+                *[part_expr(k, p, s).alias(n) for k, p, s, n in fields]
+            )
             .distinct()
             .limit(max_partitions + 1)
             .collect()
@@ -572,11 +706,11 @@ class TxTable:
                 f"merge touches more than {max_partitions} partitions; "
                 "raise max_partitions or fall back to overwrite()"
             )
-        values = {c: {str(r[c]) for r in touched_rows} for c in pcols}
+        values = {n: {str(r[n]) for r in touched_rows} for _, _, _, n in fields}
         current = self.snapshot()
         scoped = None
-        for col, vals in values.items():
-            c = current[col].cast("string").isin(*vals)
+        for kind, param, src, name in fields:
+            c = part_expr(kind, param, src).isin(*values[name])
             scoped = c if scoped is None else scoped & c
         merged = updates.unionByName(
             current.filter(scoped).join(updates.select(*keys), keys, "left_anti"),

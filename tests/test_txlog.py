@@ -279,3 +279,59 @@ def test_check_constraints_enforced_at_write(spark, table):
     table.drop_constraint("positive_val")
     table.append(_mkdf(spark, [(6, "B", -1)]))
     assert table.active_constraints() == {}
+
+
+def test_hidden_partitioning_days(spark, tmp_path):
+    import datetime
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 10.0),
+        (2, "2024-01-01 18:00:00", 20.0),
+        (3, "2024-01-02 09:00:00", 30.0),
+        (4, "2024-01-03 09:00:00", 40.0),
+    ]
+    df = spark.createDataFrame(rows, ["id", "ts", "v"]).select(
+        "id", F.col("ts").cast("timestamp_ntz").alias("ts"), "v"
+    )
+    t = TxTable.create(spark, str(tmp_path / "hp"), df, partition_by=("days(ts)",))
+    # the hidden column exists on disk but never in the user's frame
+    assert "_p_days_ts" not in t.snapshot().columns
+    assert {a["partition"]["_p_days_ts"] for a in t._active_files()} == {
+        "2024-01-01", "2024-01-02", "2024-01-03",
+    }
+    # source-column predicate prunes whole day-partitions
+    full = t.snapshot()
+    pruned = t.snapshot(
+        where={"ts": (datetime.datetime(2024, 1, 2), datetime.datetime(2024, 1, 2, 23))}
+    )
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    assert {r.id for r in pruned.collect()} == {3}
+    # merge through the transform rewrites only the touched day
+    d3_before = {a["path"] for a in t._active_files() if a["partition"]["_p_days_ts"] == "2024-01-03"}
+    upd = spark.createDataFrame(
+        [(3, "2024-01-02 09:00:00", 99.0)], ["id", "ts", "v"]
+    ).select("id", F.col("ts").cast("timestamp_ntz").alias("ts"), "v")
+    t.merge_upsert(upd, keys=["id"])
+    assert {(r.id, r.v) for r in t.snapshot().collect()} == {
+        (1, 10.0), (2, 20.0), (3, 99.0), (4, 40.0)
+    }
+    d3_after = {a["path"] for a in t._active_files() if a["partition"]["_p_days_ts"] == "2024-01-03"}
+    assert d3_before == d3_after
+
+
+def test_hidden_partitioning_bucket_and_truncate(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, f"name-{i:03d}", i * 1.0) for i in range(20)], ["id", "name", "v"]
+    )
+    t = TxTable.create(
+        spark, str(tmp_path / "bt"), df, partition_by=("bucket(4, id)", "truncate(6, name)")
+    )
+    snap = t.snapshot()
+    assert set(snap.columns) == {"id", "name", "v"}
+    assert snap.count() == 20
+    buckets = {a["partition"]["_p_bucket_id"] for a in t._active_files()}
+    assert buckets <= {"0", "1", "2", "3"} and len(buckets) > 1
+    # truncate transform prunes on the string prefix
+    pruned = t.snapshot(where={"name": ("name-01", "name-019")})
+    got = {r.id for r in pruned.collect()}
+    assert got == set(range(10, 20))
