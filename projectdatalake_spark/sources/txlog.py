@@ -228,7 +228,7 @@ class TxTable:
         versions = []
         for status in fs.listStatus(log_dir):
             name = status.getPath().getName()
-            if name.endswith(".json"):
+            if name.endswith(".json") and name[:-5].isdigit():
                 versions.append(int(name[:-5]))
         commits = []
         for v in sorted(versions):
@@ -241,10 +241,60 @@ class TxTable:
         commits = self.history()
         return commits[-1]["version"] if commits else -1
 
+    def _read_checkpoint(self) -> dict | None:
+        """The newest log checkpoint at or below no particular version —
+        ``_last_checkpoint`` names it, mirroring Delta's discovery file."""
+        fs = self._fs()
+        marker = self._path(f"{self.root}/{_LOG_DIR}/_last_checkpoint")
+        if not fs.exists(marker):
+            return None
+        try:
+            v = int(json.loads(self._read_text(str(marker)))["version"])
+            return json.loads(
+                self._read_text(f"{self.root}/{_LOG_DIR}/{v:08d}.checkpoint.json")
+            )
+        except Exception:
+            return None  # torn/missing checkpoint: fall back to full replay
+
+    def checkpoint(self) -> int:
+        """Consolidate the log tip into one snapshot file: the active file
+        set (plus merged schema) as of the latest version, so readers
+        replay O(commits-since-checkpoint) instead of O(all-versions).
+        Commit JSONs are NOT deleted — history()/changes()/time travel
+        still read them; a log-retention job may prune them past its
+        horizon. The ``_last_checkpoint`` marker is the only overwritten
+        file, and a torn write degrades to full replay, never to a wrong
+        snapshot."""
+        v = self.latest_version()
+        body = {
+            "version": v,
+            "active": self._active_files(v),
+            "partition_by": list(self._partition_by()),
+            "schema": self.table_schema(),
+        }
+        fs = self._fs()
+        ck = f"{self.root}/{_LOG_DIR}/{v:08d}.checkpoint.json"
+        if not fs.exists(self._path(ck)):
+            self._write_text_exclusive(ck, json.dumps(body, indent=1))
+        out = fs.create(self._path(f"{self.root}/{_LOG_DIR}/_last_checkpoint"), True)
+        try:
+            out.write(bytearray(json.dumps({"version": v}).encode("utf-8")))
+        finally:
+            out.close()
+        return v
+
     def _active_files(self, version: int | None = None) -> list[dict]:
-        """Replay add/remove actions up to ``version`` (default: latest)."""
+        """Replay add/remove actions up to ``version`` (default: latest),
+        starting from the newest usable checkpoint when one exists."""
         active: dict[str, dict] = {}
+        start_after = -1
+        ck = self._read_checkpoint()
+        if ck is not None and (version is None or ck["version"] <= version):
+            active = {a["path"]: a for a in ck["active"]}
+            start_after = ck["version"]
         for commit in self.history():
+            if commit["version"] <= start_after:
+                continue
             if version is not None and commit["version"] > version:
                 break
             for rel in commit.get("removes", []):
@@ -493,6 +543,11 @@ class TxTable:
                     f"{self.root}/{_LOG_DIR}/{version:08d}.json",
                     json.dumps(commit, indent=1),
                 )
+                if version > 0 and version % 10 == 0:
+                    try:  # best-effort: a failed checkpoint costs replay, not data
+                        self.checkpoint()
+                    except Exception:
+                        pass
                 return version
             except CommitConflict:
                 # lost the race: recompute against the new log tip. Appends

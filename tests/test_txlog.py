@@ -335,3 +335,22 @@ def test_hidden_partitioning_bucket_and_truncate(spark, tmp_path):
     pruned = t.snapshot(where={"name": ("name-01", "name-019")})
     got = {r.id for r in pruned.collect()}
     assert got == set(range(10, 20))
+
+
+def test_checkpoint_consolidates_log(spark, table):
+    for i in range(11):  # crosses the auto-checkpoint threshold at v10
+        table.append(_mkdf(spark, [(100 + i, "A", i)]))
+    assert table._read_checkpoint() is not None
+    assert table._read_checkpoint()["version"] == 10
+    want = {(r.id, r.val) for r in table.snapshot().collect()}
+    # simulate log retention pruning the pre-checkpoint commit files:
+    # snapshot planning must come from the checkpoint alone
+    import glob as _glob
+    import os
+    for p in sorted(_glob.glob(os.path.join(table.root, "_txlog", "0000000[0-5].json"))):
+        os.remove(p)
+    got = {(r.id, r.val) for r in table.snapshot().collect()}
+    assert got == want
+    # and new commits still replay on top of the checkpoint
+    table.append(_mkdf(spark, [(999, "B", 9)]))
+    assert (999, 9) in {(r.id, r.val) for r in table.snapshot().collect()}
