@@ -244,3 +244,101 @@ def resize_images(
             ).astype({"out_w": "int32", "out_h": "int32", "scale": "float64", "thumb_bytes": "int32"})
 
     return df.select(id_col, payload_col).mapInPandas(kernel, schema=_RESIZE_SCHEMA)
+
+
+# --- audio (WAV/PCM): the uncompressed audio twin of the BMP/PPM path ----
+
+_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("rms_amplitude", T.IntegerType()),
+    ]
+)
+
+
+def encode_wav(n_samples: int, sample_rate: int, n_channels: int, amplitude: int) -> bytes:
+    """Minimal 16-bit PCM WAV encoder (pure stdlib) — the fixture twin of
+    the real parser below. Samples are a ±amplitude square wave (same
+    value on every channel), so RMS == amplitude exactly in integer
+    arithmetic and the decode oracle needs no float tolerance."""
+    import struct
+
+    frames = []
+    for i in range(n_samples):
+        v = amplitude if i % 2 == 0 else -amplitude
+        frames.append(struct.pack("<h", v) * n_channels)
+    data = b"".join(frames)
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, n_channels, sample_rate,
+        sample_rate * n_channels * 2, n_channels * 2, 16,
+    )
+    header = struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+    return header + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
+def _parse_wav(buf: bytes):
+    """REAL RIFF/WAVE parse (pure numpy): walk the chunk list, read the
+    fmt block, and compute sample count + RMS from the actual PCM bytes.
+    Returns (sample_rate, n_channels, n_samples, rms) or None."""
+    import struct
+
+    import numpy as np
+
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        return None
+    pos, rate, channels, bits = 12, None, None, None
+    while pos + 8 <= len(buf):
+        cid, size = struct.unpack_from("<4sI", buf, pos)
+        body = pos + 8
+        if cid == b"fmt " and size >= 16:
+            fmt_tag, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", buf, body)
+            if fmt_tag != 1 or bits != 16:
+                return None
+        elif cid == b"data" and rate:
+            count = min(size, len(buf) - body) // 2
+            px = np.frombuffer(buf, dtype="<i2", count=count, offset=body)
+            n_samples = count // channels
+            rms = float(np.sqrt(np.mean(px.astype(np.float64) ** 2))) if count else 0.0
+            return rate, channels, n_samples, rms
+        pos = body + size + (size & 1)  # RIFF chunks are 2-byte aligned
+    return None
+
+
+def decode_audio_meta(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched WAV metadata extraction via mapInPandas: sample rate,
+    channel count, per-channel sample count, integer duration, and RMS
+    amplitude — parsed from the real bytes, not trusted metadata. Rows
+    that are not parseable WAV yield NULL fields (schema stays fixed)."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf[id_col], pdf[payload_col]):
+                buf = bytes(buf)
+                meta = _parse_wav(buf)
+                if meta is None:
+                    rows.append((doc_id, len(buf), None, None, None, None, None))
+                else:
+                    rate, channels, n_samples, rms = meta
+                    rows.append(
+                        (doc_id, len(buf), rate, channels, n_samples,
+                         n_samples * 1000 // rate, int(round(rms)))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_bytes", "sample_rate", "n_channels",
+                    "n_samples", "duration_ms", "rms_amplitude",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema=_AUDIO_SCHEMA)

@@ -3531,3 +3531,62 @@ def tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.agg(
         (dsum(F.col("l_extendedprice"), 2) / F.lit(7.0)).alias("avg_yearly")
     )
+
+
+@query(
+    "mm_audio_meta",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               100 + doc_id % 900          AS n,
+               8000 + (doc_id % 5) * 4000  AS rate,
+               1 + doc_id % 2              AS ch,
+               1000 + doc_id % 20000       AS amp
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(44 + n * ch * 2 AS INT)     AS n_bytes,
+           CAST(rate AS INT)                AS sample_rate,
+           CAST(ch AS INT)                  AS n_channels,
+           CAST(n AS INT)                   AS n_samples,
+           CAST(n * 1000 // rate AS INT)    AS duration_ms,
+           CAST(amp AS INT)                 AS rms_amplitude
+    FROM p
+    """,
+)
+def mm_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode round-trip: one 16-bit PCM WAV per document
+    (length/rate/channels/amplitude derived from doc_id), parsed back by
+    walking the actual RIFF chunk list and computing RMS from the PCM
+    bytes (operators.multimodal._parse_wav). The ±amplitude square-wave
+    fixture makes RMS == amplitude exactly, so the oracle is pure integer
+    arithmetic — the parser must get chunk offsets, channel interleave,
+    and sample width right to match. Encoder and parser are independent
+    code paths."""
+    from projectdatalake_spark.operators import multimodal as MM
+
+    def encode_kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                buf = MM.encode_wav(
+                    n_samples=100 + doc_id % 900,
+                    sample_rate=8000 + (doc_id % 5) * 4000,
+                    n_channels=1 + doc_id % 2,
+                    amplitude=1000 + doc_id % 20000,
+                )
+                rows.append((doc_id, buf))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    import pandas as pd  # noqa: F401 (kernel import surface)
+    from pyspark.sql import types as T
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    payload_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    payloads = d.mapInPandas(encode_kernel, schema=payload_schema)
+    return MM.decode_audio_meta(payloads)

@@ -116,3 +116,24 @@ def test_bmp_ppm_codec_round_trip():
 
     # PPM with non-255 maxval is out of scope for the numpy path
     assert _decode_real(b"P6\n4 4\n65535\n" + b"\x00" * 96) is None
+
+
+def test_wav_parser_edges(spark):
+    import struct
+
+    from projectdatalake_spark.operators import multimodal as MM
+
+    buf = MM.encode_wav(n_samples=10, sample_rate=8000, n_channels=2, amplitude=5000)
+    assert MM._parse_wav(buf) == (8000, 2, 10, 5000.0)
+    # extra chunk between fmt and data: the walker must skip it
+    fmt_end = 12 + 8 + 16
+    junk = struct.pack("<4sI", b"LIST", 5) + b"junk!" + b"\x00"  # odd size, padded
+    spliced = buf[:fmt_end] + junk + buf[fmt_end:]
+    assert MM._parse_wav(spliced) == (8000, 2, 10, 5000.0)
+    # not-a-wav and truncated payloads refuse instead of mis-parsing
+    assert MM._parse_wav(b"RIFFxxxxWAVE") is None
+    assert MM._parse_wav(b"\x00" * 40) is None
+    # unparseable payloads surface as NULL metadata through the kernel
+    df = spark.createDataFrame([(1, bytearray(b"not audio"))], ["doc_id", "payload"])
+    row = MM.decode_audio_meta(df).first()
+    assert row.n_bytes == 9 and row.sample_rate is None and row.rms_amplitude is None
