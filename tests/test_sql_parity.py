@@ -50,6 +50,14 @@ SHARED_ANSI = [
     "scalar_subquery_above_avg",
     "string_functions",
     "win_rank_dense",
+    "tpch_q5_local_volume",
+    "tpch_q6_forecast",
+    "tpch_q10_returned",
+    "tpch_q13_custdist",
+    "tpch_q14_promo",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty",
+    "null_handling",
 ]
 
 
