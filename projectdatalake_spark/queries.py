@@ -3590,3 +3590,37 @@ def mm_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     payloads = d.mapInPandas(encode_kernel, schema=payload_schema)
     return MM.decode_audio_meta(payloads)
+
+
+@query(
+    "txlog_stream_sink",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def txlog_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming into the transactional format, end to end: the event
+    stream lands in a TxTable through the exactly-once foreachBatch sink
+    (each micro-batch is one idempotent commit), and the post-stream
+    snapshot must aggregate to exactly the batch answer — replayed
+    batches would double-count and break the hash."""
+    import tempfile
+
+    from projectdatalake_spark import streaming as ST
+    from projectdatalake_spark.sources.txlog import TxTable, append_stream
+
+    stream = ST.read_events_stream(spark, sf_dir).select(
+        "event_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+    root = tempfile.mkdtemp(prefix="txlog_sink_")
+    seed = spark.createDataFrame([], stream.schema)
+    table = TxTable.create(spark, root, seed)
+    ckpt = tempfile.mkdtemp(prefix="txlog_sink_ckpt_")
+    q = append_stream(stream, table, ckpt)
+    q.awaitTermination(300)
+    return table.snapshot().groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(27,2)")).cast("double").alias("total_value"),
+    )
