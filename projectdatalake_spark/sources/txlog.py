@@ -775,7 +775,12 @@ class TxTable:
 
     # --- maintenance ------------------------------------------------------
 
-    def optimize(self, min_files: int = 2) -> int | None:
+    def optimize(
+        self,
+        min_files: int = 2,
+        sort_by: tuple[str, ...] = (),
+        target_files: int = 4,
+    ) -> int | None:
         """Transactional small-file compaction (OPTIMIZE): partitions
         holding ≥ ``min_files`` files are rewritten into one file each and
         swapped in a single commit — readers see either the old files or
@@ -784,6 +789,13 @@ class TxTable:
         change: the snapshot's rows are identical before and after, and
         time travel to pre-optimize versions still resolves the old files
         (until ``vacuum`` reaps them).
+
+        ``sort_by`` switches compaction to data CLUSTERING: rows are
+        range-partitioned into ``target_files`` output tasks on the sort
+        columns, so each rewritten file covers a narrow, disjoint range
+        and the write-time min/max stats become tight —
+        ``snapshot(where=...)`` then skips most files. The row-layout
+        half of what Z-ordering buys, without changing results.
 
         Concurrency: the commit carries a precondition that the compacted
         partitions' file sets are unchanged at publish time — losing a
@@ -805,8 +817,17 @@ class TxTable:
             .option("mergeSchema", "true")
             .parquet(*paths)
         )
-        # one task (= one output file) per hive partition
-        compacted = scoped.repartition(*[scoped[c] for c in pcols]) if pcols else scoped.coalesce(1)
+        if sort_by:
+            # range partitioning gives each output task a disjoint slice of
+            # the sort key; every emitted file's [min, max] is narrow
+            compacted = scoped.repartitionByRange(
+                target_files, *sort_by
+            ).sortWithinPartitions(*sort_by)
+        elif pcols:
+            # one task (= one output file) per hive partition
+            compacted = scoped.repartition(*[scoped[c] for c in pcols])
+        else:
+            compacted = scoped.coalesce(1)
         adds = self._stage(compacted, pcols)
 
         def unchanged() -> bool:

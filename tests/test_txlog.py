@@ -354,3 +354,30 @@ def test_checkpoint_consolidates_log(spark, table):
     # and new commits still replay on top of the checkpoint
     table.append(_mkdf(spark, [(999, "B", 9)]))
     assert (999, 9) in {(r.id, r.val) for r in table.snapshot().collect()}
+
+
+def test_optimize_sort_clustering_tightens_stats(spark, tmp_path):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(0, 10_000)) for i in range(4000)]
+    df = spark.createDataFrame(rows, ["id", "v"]).repartition(8)
+    t = TxTable.create(spark, str(tmp_path / "cl"), df)
+    # interleaved writes: every file spans ~the full v range -> no skipping
+    widths = [
+        a["stats"]["v"]["max"] - a["stats"]["v"]["min"] for a in t._active_files()
+    ]
+    assert min(widths) > 5_000
+    assert len(t.snapshot(where={"v": (100, 200)}).inputFiles()) == len(t._active_files())
+    before = {(r.id, r.v) for r in t.snapshot().collect()}
+    t.optimize(sort_by=("v",), target_files=8)
+    after_files = t._active_files()
+    # disjoint narrow ranges -> the same interval now touches few files
+    widths = [a["stats"]["v"]["max"] - a["stats"]["v"]["min"] for a in after_files]
+    assert sum(widths) <= 11_000  # ranges partition the domain, not cover it 8x
+    pruned = t.snapshot(where={"v": (100, 200)})
+    assert len(pruned.inputFiles()) <= 2
+    assert {(r.id, r.v) for r in t.snapshot().collect()} == before
+    assert {(r.id, r.v) for r in pruned.collect()} == {
+        (i, v) for i, v in rows if 100 <= v <= 200
+    }
