@@ -440,3 +440,76 @@ def connected_components(
             break
     edges.unpersist()
     return labels
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float,
+    block_cols: Sequence[str] = (),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """EXACT asymmetric containment pairs: ``|A∩B| / |A| ≥ t`` — "document
+    A is mostly contained in B" (quote/near-subset detection, the dedup
+    case Jaccard misses when a short doc is embedded in a long one).
+
+    Same inverted-index machinery as ``jaccard_pairs`` but asymmetric:
+    the CONTAINED side indexes only its rarity-ordered prefix of length
+    ``|A| - ceil(t·|A|) + 1`` (a qualifying pair shares ≥ ceil(t·|A|)
+    tokens, more than fit in A's suffix alone), while the CONTAINER side
+    indexes every token (no size bound constrains B from below relative
+    to overlap position). Exact overlap verification on candidates;
+    returns (id_a, id_b, containment) where id_a is the contained doc —
+    both orientations of every pair are examined, and self-pairs are
+    excluded. Output equality with the naive quadratic form is tested.
+    """
+    _release_caches()
+    sh = _blocked_shingles(df, block_cols, text_col, id_col, n)
+    ex = sh.select(
+        F.col(id_col), *[F.col(c) for c in block_cols], F.explode("sh").alias("tok")
+    )
+    tok_freq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_df"))
+    ordered = (
+        ex.join(tok_freq, "tok")
+        .groupBy(id_col, *block_cols)
+        .agg(F.array_sort(F.collect_list(F.struct("tok_df", "tok"))).alias("ord"))
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in block_cols],
+            F.transform("ord", lambda s: s["tok"]).alias("sh"),
+            F.size("ord").alias("sz"),
+        )
+        .persist()
+    )
+    _LIVE_CACHES.append(ordered)
+    p_len = (
+        F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9)) + 1
+    ).cast("int")
+    contained = ordered.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in block_cols],
+        F.col("sz").alias("sz_a"),
+        F.explode(F.slice("sh", 1, p_len)).alias("tok"),
+    )
+    container = ordered.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in block_cols],
+        F.explode("sh").alias("tok_b"),
+    )
+    cond = (F.col("tok") == F.col("tok_b")) & (F.col("id_a") != F.col("id_b"))
+    for c in block_cols:
+        cond = cond & (F.col(f"{c}_a") == F.col(f"{c}_b"))
+    candidates = contained.join(container, cond).select("id_a", "id_b").dropDuplicates()
+    return (
+        candidates.join(
+            ordered.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+        )
+        .join(ordered.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.size(F.array_intersect("sh_a", "sh_b")) / F.size("sh_a")).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

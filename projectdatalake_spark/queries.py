@@ -3624,3 +3624,36 @@ def txlog_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(27,2)")).cast("double").alias("total_value"),
     )
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id, lang,
+               list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                              for i in range(1, len(toks) - 1)]) AS sh
+        FROM t WHERE len(toks) >= 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh) AS containment
+    FROM s a JOIN s b ON a.doc_id <> b.doc_id AND a.lang = b.lang
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh) >= 0.6
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment detection (|A∩B|/|A| ≥ 0.6): the quote /
+    near-subset case Jaccard misses when a short document is embedded in
+    a long one — size-ratio bounds don't apply, so the contained side
+    indexes its rarity prefix and the container side its full token list
+    (operators/dedup.py containment_pairs). Exact: verified overlap on
+    candidates; oracle is the naive quadratic SQL."""
+    from projectdatalake_spark.operators import dedup as D
+
+    return D.containment_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.6, block_cols=["lang"]
+    )

@@ -135,3 +135,43 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.4, recall  # 4/16-cell probe envelope on weak clusters
+
+
+def test_containment_prefix_filter_exact(spark):
+    """The asymmetric prefix-filtered containment join equals the naive
+    quadratic computation, including the short-doc-in-long-doc case the
+    symmetric Jaccard size bound would prune away."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),                           # short doc
+        (2, base + " lambda mu nu xi omicron pi rho sigma tau upsilon"
+            " phi chi psi omega one two three four five six"),  # contains doc 1
+        (3, "totally different words with no shared trigrams at all here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b, round(r.containment, 9))
+        for r in D.containment_pairs(df, threshold=0.9).collect()
+    }
+    # doc1's 8 trigrams all appear in doc2 -> containment 1.0; reverse is low
+    assert (1, 2, 1.0) in got
+    assert not any(a == 2 and b == 1 for a, b, _ in got)
+    # differential vs naive on the corpus
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    fast = {
+        (r.id_a, r.id_b, round(r.containment, 9))
+        for r in D.containment_pairs(docs, 0.5, block_cols=["lang"]).collect()
+    }
+    sh = D._blocked_shingles(docs, ["lang"], "text", "doc_id", 3)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b"), F.col("sh").alias("sh_b"))
+    naive_df = (
+        a.join(b, (F.col("id_a") != F.col("id_b")) & (F.col("lang_a") == F.col("lang_b")))
+        .select(
+            "id_a", "id_b",
+            (F.size(F.array_intersect("sh_a", "sh_b")) / F.size("sh_a")).alias("containment"),
+        )
+        .filter(F.col("containment") >= 0.5)
+    )
+    naive = {(r.id_a, r.id_b, round(r.containment, 9)) for r in naive_df.collect()}
+    assert fast == naive and naive
