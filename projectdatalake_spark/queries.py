@@ -3657,3 +3657,29 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.containment_pairs(
         _t(spark, sf_dir, "documents"), threshold=0.6, block_cols=["lang"]
     )
+
+
+@query(
+    "agg_corr_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)       AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+           round(stddev_samp(l_quantity), 6)                 AS qty_stddev
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics surface: Pearson correlation, sample
+    covariance, and sample stddev per group — single-pass streaming
+    aggregates in both engines. Outputs are rounded (6dp/2dp) on BOTH
+    sides because the one-pass moment updates differ in summation order
+    across engines/partitions; the statistics agree far beyond the
+    rounded precision."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+    )
