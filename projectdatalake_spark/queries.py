@@ -3683,3 +3683,72 @@ def agg_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
         F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
     )
+
+
+@query(
+    "agg_histogram_bins",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS price_bin,
+           count(*) AS n,
+           CAST(min(o_totalprice) AS DOUBLE) AS bin_min,
+           CAST(max(o_totalprice) AS DOUBLE) AS bin_max
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram by arithmetic binning — one hash aggregate on
+    a derived key; the distributed histogram primitive (no sort, no
+    per-bin scan), with per-bin min/max as the bin-edge sanity check."""
+    o = _t(spark, sf_dir, "orders")
+    bin_col = F.floor(F.col("o_totalprice") / 50000).cast("bigint")
+    return o.groupBy(bin_col.alias("price_bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").cast("double").alias("bin_min"),
+        F.max("o_totalprice").cast("double").alias("bin_max"),
+    )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS first_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), p AS (
+        SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS first_purchase
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > v.first_view
+        GROUP BY e.user_id
+    )
+    SELECT count(*) AS viewers,
+           count(first_purchase) AS converted,
+           CAST(count(first_purchase) AS DOUBLE) / count(*) AS conversion_rate
+    FROM v LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel (view → later purchase): per-user first-touch
+    timestamps from two grouped mins and a left join — the funnel shape
+    that scales (no per-user event sorting; each step is one map-side-
+    combinable aggregate). The rate is an exact int/int division, so the
+    double matches the oracle bit-for-bit."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp_ntz").alias("ts")
+    )
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("first_view")
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v.withColumnRenamed("user_id", "v_user"), F.col("user_id") == F.col("v_user"))
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    j = v.join(p.withColumnRenamed("user_id", "p_user"), v.user_id == F.col("p_user"), "left")
+    return j.agg(
+        F.count(F.lit(1)).alias("viewers"),
+        F.count("first_purchase").alias("converted"),
+        (F.count("first_purchase").cast("double") / F.count(F.lit(1))).alias("conversion_rate"),
+    )
