@@ -3752,3 +3752,37 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("first_purchase").alias("converted"),
         (F.count("first_purchase").cast("double") / F.count(F.lit(1))).alias("conversion_rate"),
     )
+
+
+@query(
+    "sql_txlog_snapshot",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(27,2))) AS DOUBLE) AS balance
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def sql_txlog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end over the transactional format: the TxTable snapshot
+    registers as a temp view and the query is a plain spark.sql string —
+    the two round-2 entry points composed (log-replay reader feeding the
+    restored SQL surface)."""
+    import tempfile
+
+    from projectdatalake_spark.sources.txlog import TxTable
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.col("c_acctbal").cast("double").alias("c_acctbal")
+    )
+    root = tempfile.mkdtemp(prefix="txlog_sql_")
+    table = TxTable.create(spark, root, c, partition_by=("c_mktsegment",))
+    table.snapshot().createOrReplaceTempView("txlog_customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, count(*) AS n,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(27,2))) AS DOUBLE) AS balance
+        FROM txlog_customer
+        GROUP BY c_mktsegment
+        """
+    )
