@@ -3786,3 +3786,54 @@ def sql_txlog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_mktsegment
         """
     )
+
+
+@query(
+    "txlog_incremental_agg",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def txlog_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance over the change data feed: a
+    materialized per-priority aggregate is built from the base snapshot,
+    a new batch lands in the table, and the aggregate is updated by
+    merging ONLY the delta read from changes() — never re-scanning the
+    base. DECIMAL partials merge exactly, so the incrementally maintained
+    result hash-matches the full recompute (the oracle). This is the
+    pattern that keeps 100 TB rollups O(delta) instead of O(table)."""
+    import tempfile
+
+    from projectdatalake_spark.sources.txlog import TxTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    )
+    root = tempfile.mkdtemp(prefix="txlog_inc_")
+    table = TxTable.create(
+        spark, root, o.filter(F.col("o_year") <= 1997), partition_by=("o_year",)
+    )
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,2)")).alias("rev_partial"),
+        )
+
+    materialized = agg(table.snapshot())
+    base_version = table.latest_version()
+    table.append(o.filter(F.col("o_year") >= 1998))
+    delta = table.changes(base_version).filter(F.col("_change_type") == "insert")
+    merged = (
+        materialized.unionByName(agg(delta.drop("_change_type", "_commit_version")))
+        .groupBy("o_orderpriority")
+        .agg(F.sum("n").alias("n"), F.sum("rev_partial").alias("rev_partial"))
+    )
+    return merged.select(
+        "o_orderpriority", "n", F.col("rev_partial").cast("double").alias("revenue")
+    )

@@ -773,6 +773,51 @@ class TxTable:
         )
         return self.replace_where(merged, values)
 
+    def delete_where(self, condition: str, max_partitions: int = 10_000) -> int | None:
+        """Row-level DELETE, partition-scoped: only partitions that
+        actually contain matching rows are rewritten (without their
+        matches); every other partition's files survive untouched. Returns
+        the commit version, or None when nothing matched. Unpartitioned
+        tables fall back to a full rewrite — the honest cost without
+        deletion vectors, which are the round-3 extension."""
+        from pyspark.sql import functions as F
+
+        snap = self.snapshot()
+        fields = self._partition_fields()
+        if not fields:
+            if snap.filter(condition).limit(1).count() == 0:
+                return None
+            # SQL DELETE: only a TRUE predicate deletes; NULL rows survive
+            return self.overwrite(snap.filter(~F.coalesce(F.expr(condition), F.lit(False))))
+
+        def part_expr(kind, param, src):
+            e = F.col(src) if kind == "identity" else _transform_col(kind, param, src)
+            return e.cast("string")
+
+        touched_rows = (
+            snap.filter(condition)
+            .select(*[part_expr(k, p, s).alias(n) for k, p, s, n in fields])
+            .distinct()
+            .limit(max_partitions + 1)
+            .collect()
+        )
+        if not touched_rows:
+            return None
+        if len(touched_rows) > max_partitions:
+            raise ValueError(
+                f"delete touches more than {max_partitions} partitions; "
+                "raise max_partitions or use overwrite()"
+            )
+        values = {n: {str(r[n]) for r in touched_rows} for _, _, _, n in fields}
+        scoped = None
+        for kind, param, src, name in fields:
+            c = part_expr(kind, param, src).isin(*values[name])
+            scoped = c if scoped is None else scoped & c
+        survivors = snap.filter(scoped).filter(
+            ~F.coalesce(F.expr(condition), F.lit(False))
+        )
+        return self.replace_where(survivors, values)
+
     # --- maintenance ------------------------------------------------------
 
     def optimize(

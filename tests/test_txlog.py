@@ -381,3 +381,21 @@ def test_optimize_sort_clustering_tightens_stats(spark, tmp_path):
     assert {(r.id, r.v) for r in pruned.collect()} == {
         (i, v) for i, v in rows if 100 <= v <= 200
     }
+
+
+def test_delete_where_partition_scoped(spark, table):
+    b_before = {a["path"] for a in table._active_files() if a["partition"]["seg"] == "B"}
+    v = table.delete_where("seg = 'A' AND val >= 20")
+    assert v is not None
+    assert {(r.id, r.val) for r in table.snapshot().collect()} == {(1, 10), (3, 30)}
+    # partition B untouched; time travel still sees the deleted row
+    b_after = {a["path"] for a in table._active_files() if a["partition"]["seg"] == "B"}
+    assert b_before == b_after
+    assert table.snapshot(version=0).count() == 3
+    # no matches -> no commit
+    assert table.delete_where("val > 10000") is None
+    # NULL predicate rows survive (SQL DELETE semantics)
+    evolved = spark.createDataFrame([(9, "B", None)], "id long, seg string, val long")
+    table.append(evolved)
+    table.delete_where("val < 100")
+    assert {r.id for r in table.snapshot().collect()} == {9}  # NULL-val row kept
