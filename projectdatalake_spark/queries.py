@@ -4267,3 +4267,85 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         dsum(F.col("c_acctbal")).alias("totacctbal"),
     )
+
+
+@query(
+    "txlog_delete_dv",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 1000.0)
+    GROUP BY o_orderpriority
+    """,
+)
+def txlog_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE via a deletion vector: the matching rows'
+    (file, row-position) pairs land in one small ``_dv/`` parquet and
+    every reader applies the mask — zero data files rewritten (asserted
+    in tests/test_txlog.py::test_delete_dv_no_file_rewrite). O(deleted
+    rows) instead of O(partition): the sparse-delete path (GDPR row
+    erasure) a 100 TB table needs; ``optimize`` later materializes the
+    vector into clean files. The aggregate here reads through the mask
+    and must equal the oracle's NOT-filter over the base table."""
+    import tempfile
+
+    from projectdatalake_spark.sources.txlog import TxTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    )
+    root = tempfile.mkdtemp(prefix="txlog_dv_")
+    table = TxTable.create(spark, root, o, partition_by=("o_year",))
+    table.delete_where_dv("o_orderstatus = 'F' AND o_totalprice < 1000.0")
+    return (
+        table.snapshot()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "txlog_rename_column",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(27,2))) AS DOUBLE) AS balance
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def txlog_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column mapping: rename c_acctbal → balance with a metadata-only
+    commit (no file rewritten — the logical→physical map rewires reads
+    and writes; tests assert byte-identical files). Half the rows are
+    appended AFTER the rename under the new logical name, proving writes
+    translate back to the physical name so old and new files merge."""
+    import tempfile
+
+    from projectdatalake_spark.sources.txlog import TxTable
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.col("c_acctbal").cast("double").alias("c_acctbal")
+    )
+    root = tempfile.mkdtemp(prefix="txlog_ren_")
+    table = TxTable.create(
+        spark, root, c.filter(F.col("c_custkey") % 2 == 0), partition_by=("c_mktsegment",)
+    )
+    table.rename_column("c_acctbal", "balance")
+    table.append(
+        c.filter(F.col("c_custkey") % 2 == 1).withColumnRenamed("c_acctbal", "balance")
+    )
+    return (
+        table.snapshot()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("balance")).alias("balance_sum"),
+        )
+        .select("c_mktsegment", "n", F.col("balance_sum").alias("balance"))
+    )

@@ -44,6 +44,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 _LOG_DIR = "_txlog"
 _STAGING = "_staging"
+_DV_DIR = "_dv"
+# above this many deleted rows the read-side mask joins as a shuffle
+# anti-join instead of a broadcast (DVs are delta-sized by design, but the
+# format must not OOM the driver when they are not)
+_DV_BROADCAST_ROWS = 5_000_000
 
 
 class CommitConflict(Exception):
@@ -303,6 +308,103 @@ class TxTable:
                 active[add["path"]] = add
         return list(active.values())
 
+    def _active_dvs(self, version: int | None = None) -> list[dict]:
+        """Deletion vectors in force at ``version``: every ``delete_dv``
+        commit whose target data files are still active. A DV dies with
+        its files — once optimize/replace/merge rewrites them (reading
+        through the mask, so deletions are materialized into the new
+        files), the vector is inert and vacuum may reap it."""
+        active = {a["path"] for a in self._active_files(version)}
+        dvs = []
+        for commit in self.history():
+            if version is not None and commit["version"] > version:
+                break
+            if commit["op"] == "delete_dv":
+                dv = commit["dv"]
+                if any(f in active for f in dv["files"]):
+                    dvs.append(dv)
+        return dvs
+
+    def _apply_dv_mask(self, df: DataFrame, dvs: list[dict]) -> DataFrame:
+        """Drop masked rows: anti-join on (file, row-position) using the
+        ``_metadata`` columns Spark derives for free at scan time — the
+        Spark-native equivalent of a reader-side position bitmap. ``df``
+        must be the raw scan (before any transformation detaches
+        ``_metadata``)."""
+        from pyspark.sql import functions as F
+
+        mask = (
+            self.spark.read.parquet(*[f"{self.root}/{dv['path']}" for dv in dvs])
+            .select("file_path", "row_index")
+            .dropDuplicates()
+        )
+        if sum(dv.get("rows", 0) for dv in dvs) <= _DV_BROADCAST_ROWS:
+            mask = F.broadcast(mask)
+        tagged = df.withColumn("__fp", F.col("_metadata.file_path")).withColumn(
+            "__ri", F.col("_metadata.row_index")
+        )
+        return tagged.join(
+            mask,
+            (tagged["__fp"] == mask["file_path"]) & (tagged["__ri"] == mask["row_index"]),
+            "left_anti",
+        ).drop("__fp", "__ri")
+
+    # --- column mapping (zero-rewrite renames) -----------------------------
+
+    def column_mapping(self) -> dict[str, str]:
+        """logical name → physical (on-disk parquet) name. Data files
+        always store physical names; ``rename_column`` only rewires this
+        map — no file is touched (Delta's column-mapping design). The map
+        is identity until a rename happens."""
+        mapping: dict[str, str] = {}
+        for commit in self.history():
+            for col in commit.get("schema", {}):
+                if col not in mapping.values():
+                    mapping.setdefault(col, col)
+            if commit["op"] == "rename_column":
+                ren = commit["rename"]
+                mapping[ren["new"]] = mapping.pop(ren["old"])
+        return mapping
+
+    def logical_schema(self) -> dict[str, str]:
+        """The schema callers see: logical names over the merged types."""
+        phys = self.table_schema()
+        return {logical: phys[p] for logical, p in self.column_mapping().items() if p in phys}
+
+    def _to_physical(self, df: DataFrame) -> DataFrame:
+        for logical, phys in self.column_mapping().items():
+            if logical != phys and logical in df.columns:
+                df = df.withColumnRenamed(logical, phys)
+        return df
+
+    def _to_logical(self, df: DataFrame) -> DataFrame:
+        for logical, phys in self.column_mapping().items():
+            if logical != phys and phys in df.columns:
+                df = df.withColumnRenamed(phys, logical)
+        return df
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Rename a column without rewriting a single data file: a
+        metadata-only commit updates the logical→physical map. Guards:
+        partition source columns and columns referenced by an active
+        CHECK constraint cannot be renamed (same restrictions Delta
+        documents), and the new name must be free."""
+        mapping = self.column_mapping()
+        if old not in mapping:
+            raise ValueError(f"no such column: {old!r}")
+        if new in mapping:
+            raise ValueError(f"column {new!r} already exists")
+        if old in {src for _, _, src, _ in self._partition_fields()}:
+            raise ValueError(f"cannot rename partition source column {old!r}")
+        for name, check in self.active_constraints().items():
+            if old in check:
+                raise ValueError(
+                    f"cannot rename {old!r}: referenced by CHECK constraint {name!r}"
+                )
+        return self._publish(
+            "rename_column", adds=[], removes=[], rename={"old": old, "new": new}
+        )
+
     # --- reads ------------------------------------------------------------
 
     def snapshot(
@@ -325,7 +427,9 @@ class TxTable:
         if not adds:
             raise ValueError(f"txlog table at {self.root} has no data at version {version}")
         fields = self._partition_fields()
-        if where:
+        mapping = self.column_mapping()
+        if where:  # caller filters on logical names; stats/files store physical
+            where = {mapping.get(c, c): v for c, v in where.items()}
             adds = [
                 a
                 for a in adds
@@ -339,6 +443,9 @@ class TxTable:
             .option("mergeSchema", "true")
             .parquet(*paths)
         )
+        dvs = self._active_dvs(version)
+        if dvs:
+            df = self._apply_dv_mask(df, dvs)
         hidden = [name for kind, _, _, name in fields if kind != "identity"]
         if hidden:
             df = df.drop(*hidden)
@@ -348,7 +455,7 @@ class TxTable:
                     df = df.filter(df[col] >= lo)
                 if hi is not None:
                     df = df.filter(df[col] <= hi)
-        return df
+        return self._to_logical(df)
 
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Change data feed: every row added or removed by the commits in
@@ -369,6 +476,30 @@ class TxTable:
         for commit in self.history():
             v = commit["version"]
             if v <= from_version or v > to_version or commit["op"] == "optimize":
+                continue
+            if commit["op"] == "delete_dv":
+                # position-level capture: the masked rows of the target files
+                dv = commit["dv"]
+                mask = self.spark.read.parquet(f"{self.root}/{dv['path']}").select(
+                    "file_path", "row_index"
+                )
+                data = (
+                    self.spark.read.option("basePath", self.root)
+                    .option("mergeSchema", "true")
+                    .parquet(*[f"{self.root}/{p}" for p in dv["files"]])
+                    .withColumn("__fp", F.col("_metadata.file_path"))
+                    .withColumn("__ri", F.col("_metadata.row_index"))
+                )
+                deleted = data.join(
+                    F.broadcast(mask),
+                    (data["__fp"] == mask["file_path"]) & (data["__ri"] == mask["row_index"]),
+                    "left_semi",
+                ).drop("__fp", "__ri")
+                frames.append(
+                    deleted.withColumn("_change_type", F.lit("delete")).withColumn(
+                        "_commit_version", F.lit(v)
+                    )
+                )
                 continue
             for kind, rels in (
                 ("insert", [a["path"] for a in commit.get("adds", [])]),
@@ -393,7 +524,7 @@ class TxTable:
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f, allowMissingColumns=True)
-        return out
+        return self._to_logical(out)
 
     # --- writes -----------------------------------------------------------
 
@@ -576,6 +707,7 @@ class TxTable:
     ) -> int:
         if op != "create":
             self._validate_write(df)
+            df = self._to_physical(df)  # files always store physical names
         adds = self._stage(df, partition_by)
         schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
         return self._publish(
@@ -611,9 +743,10 @@ class TxTable:
         mergeSchema failures long after the bad data is in."""
         from pyspark.sql import functions as F
 
-        known = self.table_schema()
-        for f in df.schema.fields:
-            want = known.get(f.name)
+        known = self.table_schema()  # physical names
+        mapping = self.column_mapping()
+        for f in df.schema.fields:  # incoming frames use logical names
+            want = known.get(mapping.get(f.name, f.name))
             have = f.dataType.simpleString()
             if want is not None and want != have:
                 raise ValueError(
@@ -818,6 +951,90 @@ class TxTable:
         )
         return self.replace_where(survivors, values)
 
+    def delete_where_dv(self, condition: str) -> int | None:
+        """Row-level DELETE via a deletion vector: NO data file is touched.
+        The matching rows' (file, row-position) pairs are written as one
+        small parquet under ``_dv/`` and the commit records which data
+        files it masks; every snapshot/changes/rewrite reader applies the
+        mask. Cost is O(deleted rows), not O(partition) — the right tool
+        when deletes are sparse (GDPR row erasure on a 100 TB table);
+        ``delete_where`` (partition rewrite) stays the right tool when
+        deletes are dense, and ``optimize`` materializes pending vectors
+        into clean files either way.
+
+        Returns the commit version, None when nothing matched (or when a
+        concurrent rewrite of a masked file invalidated the positions —
+        the caller may re-issue against the new snapshot)."""
+        from pyspark.sql import functions as F
+
+        adds = self._active_files()
+        if not adds:
+            raise ValueError(f"txlog table at {self.root} has no data")
+        paths = [f"{self.root}/{a['path']}" for a in adds]
+        raw = (
+            self.spark.read.option("basePath", self.root)
+            .option("mergeSchema", "true")
+            .parquet(*paths)
+        )
+        tagged = raw.withColumn("__fp", F.col("_metadata.file_path")).withColumn(
+            "__ri", F.col("_metadata.row_index")
+        )
+        dvs = self._active_dvs()
+        if dvs:  # already-deleted rows must not re-match
+            mask = (
+                self.spark.read.parquet(*[f"{self.root}/{dv['path']}" for dv in dvs])
+                .select("file_path", "row_index")
+                .dropDuplicates()
+            )
+            tagged = tagged.join(
+                F.broadcast(mask),
+                (tagged["__fp"] == mask["file_path"])
+                & (tagged["__ri"] == mask["row_index"]),
+                "left_anti",
+            )
+        logical = self._to_logical(tagged)
+        hits = logical.filter(condition).select(
+            F.col("__fp").alias("file_path"), F.col("__ri").alias("row_index")
+        )
+        # stage the vector, then inspect it (one pass over the data)
+        stage_id = uuid.uuid4().hex
+        stage_dir = f"{self.root}/{_STAGING}/{stage_id}"
+        hits.coalesce(1).write.mode("overwrite").parquet(stage_dir)
+        fs = self._fs()
+        staged = self.spark.read.parquet(stage_dir)
+        n = staged.count()
+        if n == 0:
+            fs.delete(self._path(stage_dir), True)
+            return None
+        touched_abs = [r.file_path for r in staged.select("file_path").distinct().collect()]
+        by_base = {a["path"].rsplit("/", 1)[-1]: a["path"] for a in adds}
+        touched_rel = sorted(by_base[p.rsplit("/", 1)[-1]] for p in touched_abs)
+        dv_rel = f"{_DV_DIR}/{stage_id}.parquet"
+        it = fs.listFiles(self._path(stage_dir), True)
+        moved = False
+        while it.hasNext():
+            p = it.next().getPath()
+            if p.getName().endswith(".parquet"):
+                dest = self._path(f"{self.root}/{dv_rel}")
+                fs.mkdirs(dest.getParent())
+                if not fs.rename(p, dest):
+                    raise IOError(f"failed to move deletion vector to {dest}")
+                moved = True
+                break
+        fs.delete(self._path(stage_dir), True)
+        if not moved:
+            raise IOError("deletion vector staging produced no parquet file")
+
+        def positions_still_valid() -> bool:
+            current = {a["path"] for a in self._active_files()}
+            return all(p in current for p in touched_rel)
+
+        return self._publish(
+            "delete_dv", adds=[], removes=[],
+            precondition=positions_still_valid,
+            dv={"path": dv_rel, "files": touched_rel, "rows": n},
+        )
+
     # --- maintenance ------------------------------------------------------
 
     def optimize(
@@ -862,6 +1079,15 @@ class TxTable:
             .option("mergeSchema", "true")
             .parquet(*paths)
         )
+        # pending deletion vectors must be materialized into the rewrite,
+        # or the compacted files would resurrect the masked rows
+        removed_set = set(removes)
+        dvs = [
+            dv for dv in self._active_dvs() if any(f in removed_set for f in dv["files"])
+        ]
+        planned_dvs = {dv["path"] for dv in dvs}
+        if dvs:
+            scoped = self._apply_dv_mask(scoped, dvs)
         if sort_by:
             # range partitioning gives each output task a disjoint slice of
             # the sort key; every emitted file's [min, max] is narrow
@@ -877,7 +1103,16 @@ class TxTable:
 
         def unchanged() -> bool:
             current = {a["path"] for a in self._active_files()}
-            return all(p in current for p in removes)
+            if not all(p in current for p in removes):
+                return False
+            # a deletion vector that landed on these files after planning
+            # would be silently dropped by the rewrite — abandon instead
+            now_dvs = {
+                dv["path"]
+                for dv in self._active_dvs()
+                if any(f in removed_set for f in dv["files"])
+            }
+            return now_dvs == planned_dvs
 
         return self._publish(
             "optimize", adds, removes=removes, precondition=unchanged,
@@ -893,6 +1128,7 @@ class TxTable:
         keep: set[str] = set()
         for v in range(max(0, latest - retain_versions), latest + 1):
             keep.update(a["path"] for a in self._active_files(v))
+            keep.update(dv["path"] for dv in self._active_dvs(v))
         root_path = self._path(self.root)
         root_uri = root_path.toUri().getPath()
         deleted = []

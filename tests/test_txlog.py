@@ -399,3 +399,73 @@ def test_delete_where_partition_scoped(spark, table):
     table.append(evolved)
     table.delete_where("val < 100")
     assert {r.id for r in table.snapshot().collect()} == {9}  # NULL-val row kept
+
+
+# --- deletion vectors ------------------------------------------------------
+
+
+def test_delete_dv_no_file_rewrite(spark, table):
+    before = {a["path"]: a["size"] for a in table._active_files()}
+    v = table.delete_where_dv("val = 20")
+    assert v == 1
+    after = {a["path"]: a["size"] for a in table._active_files()}
+    assert before == after  # zero data files touched
+    assert {(r.id, r.val) for r in table.snapshot().collect()} == {(1, 10), (3, 30)}
+    # time travel to pre-delete still sees the row
+    assert table.snapshot(version=0).count() == 3
+    # nothing matched -> no commit
+    assert table.delete_where_dv("val = 999") is None
+    # a second vector stacks; already-masked rows do not rematch
+    assert table.delete_where_dv("val <= 10") == 2
+    assert {r.id for r in table.snapshot().collect()} == {3}
+
+
+def test_delete_dv_changes_feed(spark, table):
+    table.delete_where_dv("id = 1")
+    ch = table.changes(0).collect()
+    assert [(r.id, r._change_type, r._commit_version) for r in ch] == [(1, "delete", 1)]
+
+
+def test_optimize_materializes_deletion_vectors(spark, table):
+    table.append(_mkdf(spark, [(4, "A", 40)]))
+    table.delete_where_dv("id = 1")
+    assert table._active_dvs() != []
+    assert table.optimize(min_files=2) is not None
+    assert table._active_dvs() == []  # vector died with its files
+    assert {r.id for r in table.snapshot().collect()} == {2, 3, 4}
+
+
+def test_vacuum_retains_active_dv(spark, table):
+    table.delete_where_dv("id = 1")
+    deleted = table.vacuum()
+    assert all(not p.startswith("_dv/") for p in deleted)
+    assert {r.id for r in table.snapshot().collect()} == {2, 3}
+
+
+# --- column mapping --------------------------------------------------------
+
+
+def test_rename_column_zero_rewrite(spark, table):
+    before = {a["path"]: a["size"] for a in table._active_files()}
+    assert table.rename_column("val", "amount") == 1
+    assert before == {a["path"]: a["size"] for a in table._active_files()}
+    cols = table.snapshot().columns
+    assert "amount" in cols and "val" not in cols
+    # writes use the logical name; files keep storing the physical one
+    table.append(spark.createDataFrame([(5, "B", 50)], ["id", "seg", "amount"]))
+    got = {(r.id, r.amount) for r in table.snapshot().collect()}
+    assert got == {(1, 10), (2, 20), (3, 30), (5, 50)}
+    assert table.logical_schema()["amount"] == "bigint"
+    # logical filters and DV deletes work on the renamed column
+    assert table.delete_where_dv("amount = 50") is not None
+    assert {r.amount for r in table.snapshot().collect()} == {10, 20, 30}
+
+
+def test_rename_column_guards(spark, table):
+    with pytest.raises(ValueError, match="partition source"):
+        table.rename_column("seg", "segment")
+    with pytest.raises(ValueError, match="already exists"):
+        table.rename_column("val", "id")
+    table.add_constraint("val_pos", "val >= 0")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        table.rename_column("val", "amount")
