@@ -1323,7 +1323,7 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projectdatalake_spark import streaming as ST
 
     stream = ST.read_events_stream(spark, sf_dir)
-    return ST.run_available_now(ST.tumbling_window_agg(stream))
+    return ST.run_available_now(ST.tumbling_window_agg(stream), state_partitions=8)
 
 
 @query(
@@ -1343,7 +1343,7 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projectdatalake_spark import streaming as ST
 
     stream = ST.read_events_stream(spark, sf_dir)
-    return ST.run_available_now(ST.sliding_window_agg(stream))
+    return ST.run_available_now(ST.sliding_window_agg(stream), state_partitions=8)
 
 
 @query(
@@ -1357,7 +1357,9 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = ST.read_events_stream(spark, sf_dir)
     return ST.run_available_now(
-        ST.dedup_keys_stream(stream, ["user_id", "event_type"]), output_mode="append"
+        ST.dedup_keys_stream(stream, ["user_id", "event_type"]),
+        output_mode="append",
+        state_partitions=8,
     )
 
 
@@ -1873,7 +1875,9 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projectdatalake_spark.streaming.stateful import running_user_totals
 
     stream = ST.read_events_stream(spark, sf_dir)
-    return ST.run_available_now(running_user_totals(stream), output_mode="update")
+    return ST.run_available_now(
+        running_user_totals(stream), output_mode="update", state_partitions=8
+    )
 
 
 @query("ann_topk_ivf")  # KMeans quantizer is engine-side → rows-only
@@ -2061,6 +2065,7 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.run_available_now(
         ST.dedup_within_watermark_stream(stream, ["user_id", "event_type"]),
         output_mode="append",
+        state_partitions=8,
     )
 
 
@@ -2695,7 +2700,7 @@ def stream_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(27,2)")).cast("double").alias("total_value"),
     )
-    return ST.run_available_now(agg, output_mode="complete")
+    return ST.run_available_now(agg, output_mode="complete", state_partitions=8)
 
 
 _CLUSTER_ORACLE = (
@@ -3262,7 +3267,11 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = stream.filter(F.col("event_type") == "click")
     purchases = stream.filter(F.col("event_type") == "purchase")
     joined = ST.stream_stream_interval_join(clicks, purchases)
-    return ST.run_available_now(joined, output_mode="append")
+    # bounded replay: 8 state partitions (a stream-stream join keeps 4
+    # state stores per partition; 32 would mean 128 stores of delta-file
+    # I/O for a ~100k-row backlog). Live high-rate streams keep the
+    # cluster default — see run_available_now.
+    return ST.run_available_now(joined, output_mode="append", state_partitions=8)
 
 
 @query(

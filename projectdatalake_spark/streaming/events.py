@@ -122,20 +122,44 @@ def dedup_within_watermark_stream(
     )
 
 
-def run_available_now(result: DataFrame, output_mode: str = "complete") -> DataFrame:
+def run_available_now(
+    result: DataFrame,
+    output_mode: str = "complete",
+    state_partitions: int | None = None,
+) -> DataFrame:
     """Drive a streaming DataFrame to completion over the currently
     available input (availableNow trigger → memory sink) and return the
-    final result as a batch DataFrame."""
+    final result as a batch DataFrame.
+
+    ``state_partitions`` scopes ``spark.sql.shuffle.partitions`` around
+    the stream start: a stateful query creates one state store per
+    shuffle partition per stateful operator (a stream-stream join keeps
+    FOUR per partition), each paying per-micro-batch delta-file I/O, so
+    a bounded replay of a modest backlog wants far fewer partitions than
+    a batch shuffle. The partition count is locked into the checkpoint
+    at query start; the session conf is restored right after, so batch
+    plans are unaffected. Leave None (cluster default) for live
+    high-rate streams — there the state I/O amortizes and parallelism
+    wins."""
+    spark = result.sparkSession
     name = f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
-        result.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return result.sparkSession.table(name)
+    prev = None
+    if state_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            result.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 def stream_stream_interval_join(
