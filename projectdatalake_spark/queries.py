@@ -4358,3 +4358,75 @@ def txlog_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("c_mktsegment", "n", F.col("balance_sum").alias("balance"))
     )
+
+
+@query(
+    "txlog_restore",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def txlog_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TO VERSION: the table is wrecked by an overwrite that
+    drops most rows, then restored to the pre-wreck version with one
+    metadata commit (no data copied — the old files are re-pointed).
+    The post-restore aggregate must equal the original table, which is
+    the oracle; history above the restore stays time-travelable
+    (asserted in tests/test_txlog.py)."""
+    import tempfile
+
+    from projectdatalake_spark.sources.txlog import TxTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    )
+    root = tempfile.mkdtemp(prefix="txlog_restore_")
+    table = TxTable.create(spark, root, o, partition_by=("o_year",))
+    table.overwrite(o.filter(F.col("o_orderpriority") == "1-URGENT"))  # the mistake
+    table.restore(0)  # roll it back
+    return (
+        table.snapshot()
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("revenue"))
+    )
+
+
+@query(
+    "txlog_shallow_clone",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(27,2))) AS DOUBLE) AS balance
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def txlog_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow clone: a zero-copy dev/test fork — the clone's version-0
+    commit references the source's files (with stats and DVs) by base
+    pointer; the missing half of the rows is then appended to the CLONE
+    only. The clone's aggregate must equal the full customer table (the
+    oracle) while the source still holds only its half (asserted in
+    tests/test_txlog.py::test_clone_is_zero_copy_and_isolated)."""
+    import tempfile
+
+    from projectdatalake_spark.sources.txlog import TxTable
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.col("c_acctbal").cast("double").alias("c_acctbal")
+    )
+    root = tempfile.mkdtemp(prefix="txlog_clone_src_")
+    table = TxTable.create(
+        spark, root, c.filter(F.col("c_custkey") % 2 == 0), partition_by=("c_mktsegment",)
+    )
+    clone = table.clone_to(tempfile.mkdtemp(prefix="txlog_clone_dst_") + "/t")
+    clone.append(c.filter(F.col("c_custkey") % 2 == 1))
+    return (
+        clone.snapshot()
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("c_acctbal")).alias("balance"))
+    )

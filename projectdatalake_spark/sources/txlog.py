@@ -308,22 +308,35 @@ class TxTable:
                 active[add["path"]] = add
         return list(active.values())
 
+    def _data_path(self, add: dict) -> str:
+        """Absolute location of an add-action's file. Cloned tables carry
+        a ``base`` pointing at the source table's root (shallow clone =
+        zero-copy references); everything else is relative to our root."""
+        return f"{add.get('base', self.root)}/{add['path']}"
+
+    def _resolve(self, p: str) -> str:
+        """Absolute form of a possibly-relative auxiliary path (DV files)."""
+        return p if ("://" in p or p.startswith("/")) else f"{self.root}/{p}"
+
     def _active_dvs(self, version: int | None = None) -> list[dict]:
         """Deletion vectors in force at ``version``: every ``delete_dv``
         commit whose target data files are still active. A DV dies with
         its files — once optimize/replace/merge rewrites them (reading
         through the mask, so deletions are materialized into the new
-        files), the vector is inert and vacuum may reap it."""
+        files), the vector is inert and vacuum may reap it. ``restore``
+        and ``clone`` commits carry the exact DV set of their target
+        state, replacing the replayed list (post-target deletions must
+        not leak through a restore)."""
         active = {a["path"] for a in self._active_files(version)}
-        dvs = []
+        entries: list[dict] = []
         for commit in self.history():
             if version is not None and commit["version"] > version:
                 break
             if commit["op"] == "delete_dv":
-                dv = commit["dv"]
-                if any(f in active for f in dv["files"]):
-                    dvs.append(dv)
-        return dvs
+                entries.append(commit["dv"])
+            elif commit["op"] in ("restore", "clone"):
+                entries = list(commit.get("dvs_active", []))
+        return [dv for dv in entries if any(f in active for f in dv["files"])]
 
     def _apply_dv_mask(self, df: DataFrame, dvs: list[dict]) -> DataFrame:
         """Drop masked rows: anti-join on (file, row-position) using the
@@ -334,7 +347,7 @@ class TxTable:
         from pyspark.sql import functions as F
 
         mask = (
-            self.spark.read.parquet(*[f"{self.root}/{dv['path']}" for dv in dvs])
+            self.spark.read.parquet(*[self._resolve(dv["path"]) for dv in dvs])
             .select("file_path", "row_index")
             .dropDuplicates()
         )
@@ -358,6 +371,9 @@ class TxTable:
         is identity until a rename happens."""
         mapping: dict[str, str] = {}
         for commit in self.history():
+            if commit["op"] == "clone":
+                mapping = dict(commit.get("column_mapping", {}))
+                continue
             for col in commit.get("schema", {}):
                 if col not in mapping.values():
                     mapping.setdefault(col, col)
@@ -437,12 +453,22 @@ class TxTable:
             ]
             if not adds:
                 return self.snapshot(version).filter("1=0")
-        paths = [f"{self.root}/{a['path']}" for a in adds]
-        df = (
-            self.spark.read.option("basePath", self.root)
-            .option("mergeSchema", "true")
-            .parquet(*paths)
-        )
+        # group by base root (shallow clones reference source-table files):
+        # each group reads with ITS basePath so hive partition inference
+        # resolves against the right directory layout
+        by_base: dict[str, list[dict]] = {}
+        for a in adds:
+            by_base.setdefault(a.get("base", self.root), []).append(a)
+        frames = []
+        for base, group in by_base.items():
+            frames.append(
+                self.spark.read.option("basePath", base)
+                .option("mergeSchema", "true")
+                .parquet(*[f"{base}/{a['path']}" for a in group])
+            )
+        df = frames[0]
+        for f in frames[1:]:
+            df = df.unionByName(f, allowMissingColumns=True)
         dvs = self._active_dvs(version)
         if dvs:
             df = self._apply_dv_mask(df, dvs)
@@ -472,6 +498,28 @@ class TxTable:
         from pyspark.sql import functions as F
 
         to_version = self.latest_version() if to_version is None else to_version
+        # rel path → base root, across the whole log (removes are plain
+        # strings; their base is wherever the add that introduced them
+        # pointed — our root, or a clone's source root)
+        base_of: dict[str, str] = {}
+        for commit in self.history():
+            for add in commit.get("adds", []):
+                base_of[add["path"]] = add.get("base", self.root)
+
+        def read_rels(rels: list[str]) -> DataFrame:
+            groups: dict[str, list[str]] = {}
+            for p in rels:
+                groups.setdefault(base_of.get(p, self.root), []).append(p)
+            out = None
+            for base, ps in groups.items():
+                df = (
+                    self.spark.read.option("basePath", base)
+                    .option("mergeSchema", "true")
+                    .parquet(*[f"{base}/{p}" for p in ps])
+                )
+                out = df if out is None else out.unionByName(df, allowMissingColumns=True)
+            return out
+
         frames = []
         for commit in self.history():
             v = commit["version"]
@@ -480,13 +528,11 @@ class TxTable:
             if commit["op"] == "delete_dv":
                 # position-level capture: the masked rows of the target files
                 dv = commit["dv"]
-                mask = self.spark.read.parquet(f"{self.root}/{dv['path']}").select(
+                mask = self.spark.read.parquet(self._resolve(dv["path"])).select(
                     "file_path", "row_index"
                 )
                 data = (
-                    self.spark.read.option("basePath", self.root)
-                    .option("mergeSchema", "true")
-                    .parquet(*[f"{self.root}/{p}" for p in dv["files"]])
+                    read_rels(dv["files"])
                     .withColumn("__fp", F.col("_metadata.file_path"))
                     .withColumn("__ri", F.col("_metadata.row_index"))
                 )
@@ -507,15 +553,10 @@ class TxTable:
             ):
                 if not rels:
                     continue
-                df = (
-                    self.spark.read.option("basePath", self.root)
-                    .option("mergeSchema", "true")
-                    .parquet(*[f"{self.root}/{p}" for p in rels])
-                )
                 frames.append(
-                    df.withColumn("_change_type", F.lit(kind)).withColumn(
-                        "_commit_version", F.lit(v)
-                    )
+                    read_rels(rels)
+                    .withColumn("_change_type", F.lit(kind))
+                    .withColumn("_commit_version", F.lit(v))
                 )
         if not frames:
             return self.snapshot().filter("1=0").withColumn(
@@ -970,19 +1011,24 @@ class TxTable:
         adds = self._active_files()
         if not adds:
             raise ValueError(f"txlog table at {self.root} has no data")
-        paths = [f"{self.root}/{a['path']}" for a in adds]
-        raw = (
-            self.spark.read.option("basePath", self.root)
-            .option("mergeSchema", "true")
-            .parquet(*paths)
-        )
+        groups: dict[str, list[dict]] = {}
+        for a in adds:
+            groups.setdefault(a.get("base", self.root), []).append(a)
+        raw = None
+        for base, group in groups.items():
+            df = (
+                self.spark.read.option("basePath", base)
+                .option("mergeSchema", "true")
+                .parquet(*[f"{base}/{a['path']}" for a in group])
+            )
+            raw = df if raw is None else raw.unionByName(df, allowMissingColumns=True)
         tagged = raw.withColumn("__fp", F.col("_metadata.file_path")).withColumn(
             "__ri", F.col("_metadata.row_index")
         )
         dvs = self._active_dvs()
         if dvs:  # already-deleted rows must not re-match
             mask = (
-                self.spark.read.parquet(*[f"{self.root}/{dv['path']}" for dv in dvs])
+                self.spark.read.parquet(*[self._resolve(dv["path"]) for dv in dvs])
                 .select("file_path", "row_index")
                 .dropDuplicates()
             )
@@ -1035,6 +1081,76 @@ class TxTable:
             dv={"path": dv_rel, "files": touched_rel, "rows": n},
         )
 
+    def restore(self, version: int) -> int | None:
+        """RESTORE TABLE TO VERSION AS OF: one commit whose net effect
+        makes the latest snapshot equal ``snapshot(version)``. No data is
+        copied — the commit re-points add/remove actions at the old files
+        (they must still exist, i.e. lie inside the vacuum retention
+        horizon; a reaped file fails loudly here, not at read time).
+        History is preserved: the restore is itself a commit, so time
+        travel ABOVE it still sees the pre-restore states, and the commit
+        records the exact deletion-vector set of the target version so
+        post-target row deletes cannot leak through. Column renames are
+        metadata, not data, and are NOT rolled back (Delta RESTORE
+        semantics for protocol-level metadata). Returns the commit
+        version, or None if a concurrent commit interfered (re-issue
+        against the new log tip)."""
+        target = {a["path"]: a for a in self._active_files(version)}
+        if not target:
+            raise ValueError(f"version {version} has no data to restore")
+        current = {a["path"] for a in self._active_files()}
+        fs = self._fs()
+        for p, a in target.items():
+            if p not in current and not fs.exists(self._path(self._data_path(a))):
+                raise ValueError(
+                    f"cannot restore to version {version}: {p} was vacuumed"
+                )
+        adds = [a for p, a in target.items() if p not in current]
+        removes = sorted(p for p in current if p not in target)
+
+        def no_interference() -> bool:
+            # a concurrent commit invalidates the planned add/remove sets;
+            # abandon (None) rather than restore to a mixed state
+            return {a["path"] for a in self._active_files()} == current
+
+        return self._publish(
+            "restore", adds=adds, removes=removes,
+            precondition=no_interference,
+            to=version, dvs_active=self._active_dvs(version),
+        )
+
+    def clone_to(self, dest_root: str) -> "TxTable":
+        """Shallow clone (zero-copy): a new table whose version-0 commit
+        references this table's active files — with their stats and any
+        deletion vectors — via a ``base`` pointer; not one data byte is
+        copied. Writes to the clone land under its own root and never
+        touch the source; rewrites (optimize / merge / replace)
+        materialize the referenced rows locally, gradually un-sharing.
+        The documented Delta SHALLOW CLONE caveat applies: vacuum on the
+        SOURCE can break the clone (the clone's vacuum never deletes
+        foreign files — it only walks its own root). The dev/test pattern
+        for 100 TB tables: clone, experiment transactionally, drop."""
+        dest = TxTable(self.spark, dest_root)
+        if dest.history():
+            raise ValueError(f"txlog table already exists at {dest_root}")
+        adds = []
+        for a in self._active_files():
+            a = dict(a)
+            a.setdefault("base", self.root)
+            adds.append(a)
+        dvs = [
+            {**dv, "path": self._resolve(dv["path"])} for dv in self._active_dvs()
+        ]
+        dest._publish(
+            "clone", adds=adds, removes=[],
+            source=self.root,
+            partition_by=list(self._partition_by()),
+            schema=self.table_schema(),
+            column_mapping=self.column_mapping(),
+            dvs_active=dvs,
+        )
+        return dest
+
     # --- maintenance ------------------------------------------------------
 
     def optimize(
@@ -1072,13 +1188,19 @@ class TxTable:
         doomed = {k: v for k, v in by_part.items() if len(v) >= min_files}
         if not doomed:
             return None
-        removes = sorted(a["path"] for files in doomed.values() for a in files)
-        paths = [f"{self.root}/{p}" for p in removes]
-        scoped = (
-            self.spark.read.option("basePath", self.root)
-            .option("mergeSchema", "true")
-            .parquet(*paths)
-        )
+        doomed_adds = [a for files in doomed.values() for a in files]
+        removes = sorted(a["path"] for a in doomed_adds)
+        groups: dict[str, list[dict]] = {}
+        for a in doomed_adds:
+            groups.setdefault(a.get("base", self.root), []).append(a)
+        scoped = None
+        for base, group in groups.items():
+            df = (
+                self.spark.read.option("basePath", base)
+                .option("mergeSchema", "true")
+                .parquet(*[f"{base}/{a['path']}" for a in group])
+            )
+            scoped = df if scoped is None else scoped.unionByName(df, allowMissingColumns=True)
         # pending deletion vectors must be materialized into the rewrite,
         # or the compacted files would resurrect the masked rows
         removed_set = set(removes)

@@ -469,3 +469,70 @@ def test_rename_column_guards(spark, table):
     table.add_constraint("val_pos", "val >= 0")
     with pytest.raises(ValueError, match="CHECK constraint"):
         table.rename_column("val", "amount")
+
+
+# --- restore ---------------------------------------------------------------
+
+
+def test_restore_rolls_back_data(spark, table):
+    table.append(_mkdf(spark, [(4, "B", 40)]))          # v1
+    table.overwrite(_mkdf(spark, [(9, "C", 90)]))       # v2
+    v = table.restore(1)                                # back to v1 state
+    assert v == 3
+    got = {(r.id, r.seg, r.val) for r in table.snapshot().collect()}
+    assert got == {(1, "A", 10), (2, "A", 20), (3, "B", 30), (4, "B", 40)}
+    # history preserved: time travel above the restore still works
+    assert {r.id for r in table.snapshot(version=2).collect()} == {9}
+
+
+def test_restore_does_not_resurrect_later_dv_deletes(spark, table):
+    table.append(_mkdf(spark, [(4, "B", 40)]))          # v1
+    table.delete_where_dv("id = 1")                     # v2 (mask on v0 file)
+    table.restore(1)                                    # v3: restore PRE-delete
+    # the v2 deletion vector must not leak through the restore
+    assert {r.id for r in table.snapshot().collect()} == {1, 2, 3, 4}
+    # and restoring to a post-delete version keeps the mask
+    table.restore(2)
+    assert {r.id for r in table.snapshot().collect()} == {2, 3, 4}
+
+
+def test_restore_refuses_vacuumed_target(spark, table):
+    table.overwrite(_mkdf(spark, [(9, "C", 90)]))       # v1: v0 files removed
+    table.vacuum(retain_versions=0)                     # reap v0 files
+    with pytest.raises(ValueError, match="vacuumed"):
+        table.restore(0)
+
+
+# --- shallow clone ---------------------------------------------------------
+
+
+def test_clone_is_zero_copy_and_isolated(spark, table, tmp_path):
+    clone = table.clone_to(str(tmp_path / "clone"))
+    # zero-copy: the clone root holds no data files, only its log
+    import os
+    clone_files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(str(tmp_path / "clone"))
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert clone_files == []
+    assert {(r.id, r.val) for r in clone.snapshot().collect()} == {(1, 10), (2, 20), (3, 30)}
+    # writes to the clone never touch the source
+    clone.append(_mkdf(spark, [(4, "B", 40)]))
+    clone.delete_where("id = 1")
+    assert {r.id for r in clone.snapshot().collect()} == {2, 3, 4}
+    assert {r.id for r in table.snapshot().collect()} == {1, 2, 3}
+    # stats-based skipping still works through the clone's foreign refs
+    assert {r.id for r in clone.snapshot(where={"val": (25, None)}).collect()} == {3, 4}
+
+
+def test_clone_carries_dv_and_rename(spark, table, tmp_path):
+    table.delete_where_dv("id = 2")
+    table.rename_column("val", "amount")
+    clone = table.clone_to(str(tmp_path / "clone2"))
+    got = {(r.id, r.amount) for r in clone.snapshot().collect()}
+    assert got == {(1, 10), (3, 30)}
+    # the clone's own vacuum must not delete the source's files
+    clone.vacuum(retain_versions=0)
+    assert {r.id for r in table.snapshot().collect()} == {1, 3}
