@@ -58,6 +58,15 @@ SHARED_ANSI = [
     "tpch_q15_top_supplier",
     "tpch_q17_small_qty",
     "null_handling",
+    "tpch_q4_priority",
+    "tpch_q7_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_profit",
+    "tpch_q12_shipmode",
+    "tpch_q16_supplier_cnt",
+    "tpch_q19_disjunctive",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_idle_customers",
 ]
 
 
