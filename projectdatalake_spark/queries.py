@@ -4430,3 +4430,44 @@ def txlog_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("c_acctbal")).alias("balance"))
     )
+
+
+@query(
+    "txlog_zorder_skipping",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) AS total_price
+    FROM lineitem
+    WHERE l_quantity >= 1 AND l_quantity <= 10 AND l_returnflag = 'R'
+    GROUP BY l_returnflag
+    """,
+)
+def txlog_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering + composed file skipping: the table is
+    rewritten with optimize(zorder_by=(l_quantity, l_extendedprice)) —
+    quantile-binned, bit-interleaved, range-partitioned — then read with
+    an interval predicate on l_quantity AND a dictionary equality probe
+    on l_returnflag, both resolved to a file subset BEFORE Spark plans
+    the scan. The result must equal the oracle's plain filter; the
+    skipping effectiveness itself is asserted in tests/test_txlog.py
+    (zorder: both-column pruning; dict: interleaved-value pruning)."""
+    import tempfile
+
+    from projectdatalake_spark.sources.txlog import TxTable
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+        F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
+        "l_returnflag",
+    )
+    root = tempfile.mkdtemp(prefix="txlog_zo_")
+    table = TxTable.create(spark, root, li.repartition(8))
+    table.optimize(zorder_by=("l_quantity", "l_extendedprice"), target_files=16)
+    pruned = table.snapshot(
+        where={"l_quantity": (1.0, 10.0)}, where_eq={"l_returnflag": "R"}
+    )
+    return pruned.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("l_extendedprice")).alias("total_price"),
+    )

@@ -163,6 +163,19 @@ def _partition_may_match(add: dict, where: dict, fields: list) -> bool:
     return True
 
 
+def _dict_may_match(add: dict, where_eq: dict) -> bool:
+    """Exact equality skipping via the per-file value dictionary (captured
+    at write for columns with ≤ 64 distinct values per file): a file whose
+    dictionary lacks the probed value cannot contain it. Files without a
+    dictionary for the column answer yes."""
+    dicts = add.get("dict") or {}
+    for col, v in where_eq.items():
+        vals = dicts.get(col)
+        if vals is not None and _stats_value(v) not in vals:
+            return False
+    return True
+
+
 def _stats_may_match(add: dict, where: dict) -> bool:
     """Can a file's [min, max] ranges intersect every predicate interval?
     Missing stats/columns answer yes (never skip on ignorance)."""
@@ -424,7 +437,10 @@ class TxTable:
     # --- reads ------------------------------------------------------------
 
     def snapshot(
-        self, version: int | None = None, where: dict | None = None
+        self,
+        version: int | None = None,
+        where: dict | None = None,
+        where_eq: dict | None = None,
     ) -> DataFrame:
         """The table as of ``version`` (default latest). Explicit file list
         + ``basePath`` keeps partition inference while hiding uncommitted,
@@ -438,7 +454,14 @@ class TxTable:
         residual filter is still applied row-level, so the result equals
         ``snapshot().filter(...)`` exactly; only the I/O shrinks. This is
         file-level pruning on top of the partition pruning the hive layout
-        already gives — the min/max skipping table formats are built on."""
+        already gives — the min/max skipping table formats are built on.
+
+        ``where_eq`` ({col: value}) adds **dictionary-based equality
+        skipping**: point predicates also probe the per-file value
+        dictionary (captured at write for low-cardinality columns), which
+        prunes exactly where min/max is useless — values interleaving
+        across the whole range. Same exactness contract: residual filter
+        applied, only I/O shrinks."""
         adds = self._active_files(version)
         if not adds:
             raise ValueError(f"txlog table at {self.root} has no data at version {version}")
@@ -446,10 +469,21 @@ class TxTable:
         mapping = self.column_mapping()
         if where:  # caller filters on logical names; stats/files store physical
             where = {mapping.get(c, c): v for c, v in where.items()}
+        if where_eq:
+            where_eq = {mapping.get(c, c): v for c, v in where_eq.items()}
+            # a point predicate is also a degenerate interval: reuse the
+            # min/max and partition pruning before the dictionary probe
+            prune = dict(where or {})
+            prune.update({c: (v, v) for c, v in where_eq.items()})
+        else:
+            prune = where
+        if prune:
             adds = [
                 a
                 for a in adds
-                if _stats_may_match(a, where) and _partition_may_match(a, where, fields)
+                if _stats_may_match(a, prune)
+                and _partition_may_match(a, prune, fields)
+                and (not where_eq or _dict_may_match(a, where_eq))
             ]
             if not adds:
                 return self.snapshot(version).filter("1=0")
@@ -481,6 +515,9 @@ class TxTable:
                     df = df.filter(df[col] >= lo)
                 if hi is not None:
                     df = df.filter(df[col] <= hi)
+        if where_eq:
+            for col, v in where_eq.items():
+                df = df.filter(df[col] == v)
         return self._to_logical(df)
 
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
@@ -665,10 +702,24 @@ class TxTable:
         ]
         if not cols:
             return
+        # low-cardinality columns also get a per-file value dictionary
+        # (capped at 64 distinct): exact equality skipping where min/max
+        # intervals are too loose — e.g. a status column whose values
+        # interleave across the whole range
+        dict_types = {"string", "integer", "long", "short", "byte", "boolean"}
+        dict_cols = [
+            f.name
+            for f in df.schema.fields
+            if f.name in set(cols) and f.dataType.typeName() in dict_types
+        ]
         aggs = []
         for c in cols:
             aggs.append(F.min(c).alias(f"min__{c}"))
             aggs.append(F.max(c).alias(f"max__{c}"))
+        for c in dict_cols:
+            aggs.append(
+                F.slice(F.sort_array(F.collect_set(c)), 1, 65).alias(f"dict__{c}")
+            )
         rows = (
             df.withColumn("__file", F.input_file_name())
             .groupBy("__file")
@@ -676,6 +727,7 @@ class TxTable:
             .collect()
         )
         by_name: dict[str, dict] = {}
+        dicts_by_name: dict[str, dict] = {}
         for r in rows:
             d = r.asDict()
             fname = d.pop("__file").rsplit("/", 1)[-1]
@@ -685,10 +737,20 @@ class TxTable:
                 if mn is not None or mx is not None:
                     stats[c] = {"min": mn, "max": mx}
             by_name[fname] = stats
+            dicts = {}
+            for c in dict_cols:
+                vals = d.get(f"dict__{c}")
+                if vals is not None and 0 < len(vals) <= 64:
+                    dicts[c] = [_stats_value(v) for v in vals]
+            dicts_by_name[fname] = dicts
         for a in adds:
-            stats = by_name.get(a["path"].rsplit("/", 1)[-1])
+            base = a["path"].rsplit("/", 1)[-1]
+            stats = by_name.get(base)
             if stats:
                 a["stats"] = stats
+            dicts = dicts_by_name.get(base)
+            if dicts:
+                a["dict"] = dicts
 
     def _publish(
         self, op: str, adds: list[dict], removes: list[str], precondition=None, **extra
@@ -1153,11 +1215,46 @@ class TxTable:
 
     # --- maintenance ------------------------------------------------------
 
+    def _zorder_column(self, df: DataFrame, cols: tuple[str, ...], bits: int = 8):
+        """Interleaved-bit Z-value over ``cols`` for multi-dimensional
+        clustering. Each column is quantile-binned into 2^bits ranks
+        (boundaries from one driver-side ``approxQuantile`` pass — no
+        global sort, no single-partition window), then the rank bits are
+        interleaved so range-partitioning on the Z-value gives every
+        output file a small hyper-rectangle of the key space: min/max
+        stats become tight on EVERY clustered column at once, which is
+        what lets ``snapshot(where=...)`` skip files for predicates on
+        any of them — the public Z-ordering design Delta/Iceberg
+        document."""
+        from pyspark.sql import functions as F
+
+        n_bins = (1 << bits) - 1
+        probs = [i / n_bins for i in range(1, n_bins)]
+        rank_cols = []
+        for i, c in enumerate(cols):
+            dbl = F.col(c).cast("double")
+            qs = df.select(dbl.alias("v")).na.drop().approxQuantile("v", probs, 0.01)
+            # strictly increasing boundary list (ties collapse bins)
+            bounds = sorted(set(qs))
+            if not bounds:  # empty / all-NULL column: single bin
+                rank_cols.append(F.lit(0).cast("bigint"))
+                continue
+            blit = F.array(*[F.lit(float(b)) for b in bounds])
+            rank = F.size(F.filter(blit, lambda b: b <= dbl))
+            rank_cols.append(F.coalesce(rank, F.lit(0)).cast("bigint"))
+        z = F.lit(0).cast("bigint")
+        for bit in range(bits):
+            for i, rank in enumerate(rank_cols):
+                pos = bit * len(rank_cols) + i
+                z = z + F.shiftleft(F.shiftright(rank, bit).bitwiseAND(F.lit(1)), pos)
+        return z
+
     def optimize(
         self,
         min_files: int = 2,
         sort_by: tuple[str, ...] = (),
         target_files: int = 4,
+        zorder_by: tuple[str, ...] = (),
     ) -> int | None:
         """Transactional small-file compaction (OPTIMIZE): partitions
         holding ≥ ``min_files`` files are rewritten into one file each and
@@ -1210,7 +1307,17 @@ class TxTable:
         planned_dvs = {dv["path"] for dv in dvs}
         if dvs:
             scoped = self._apply_dv_mask(scoped, dvs)
-        if sort_by:
+        if zorder_by:
+            if sort_by:
+                raise ValueError("pass sort_by OR zorder_by, not both")
+            z = self._zorder_column(scoped, tuple(zorder_by))
+            compacted = (
+                scoped.withColumn("__z", z)
+                .repartitionByRange(target_files, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        elif sort_by:
             # range partitioning gives each output task a disjoint slice of
             # the sort key; every emitted file's [min, max] is narrow
             compacted = scoped.repartitionByRange(

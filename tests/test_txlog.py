@@ -536,3 +536,60 @@ def test_clone_carries_dv_and_rename(spark, table, tmp_path):
     # the clone's own vacuum must not delete the source's files
     clone.vacuum(retain_versions=0)
     assert {r.id for r in table.snapshot().collect()} == {1, 3}
+
+
+def test_optimize_zorder_skips_on_both_columns(spark, tmp_path):
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, rng.randrange(0, 1000), rng.randrange(0, 1000)) for i in range(4000)]
+    df = spark.createDataFrame(rows, ["id", "a", "b"]).repartition(8)
+    t = TxTable.create(spark, str(tmp_path / "zo"), df)
+    n_files = len(t._active_files())
+    # interleaved writes: no predicate skips anything
+    assert len(t.snapshot(where={"a": (0, 99)}).inputFiles()) == n_files
+    before = {(r.id, r.a, r.b) for r in t.snapshot().collect()}
+    t.optimize(zorder_by=("a", "b"), target_files=16)
+    files = t._active_files()
+    # Z-clustering: predicates on EITHER column now skip most files
+    # (a single-column sort would only serve one of them)
+    pruned_a = t.snapshot(where={"a": (0, 99)})
+    pruned_b = t.snapshot(where={"b": (0, 99)})
+    assert len(pruned_a.inputFiles()) <= len(files) // 2
+    assert len(pruned_b.inputFiles()) <= len(files) // 2
+    # results are exact, not approximate
+    assert {(r.id, r.a, r.b) for r in t.snapshot().collect()} == before
+    assert {(r.id, r.a, r.b) for r in pruned_a.collect()} == {
+        (i, a, b) for i, a, b in rows if a <= 99
+    }
+    assert {(r.id, r.a, r.b) for r in pruned_b.collect()} == {
+        (i, a, b) for i, a, b in rows if b <= 99
+    }
+    with pytest.raises(ValueError, match="not both"):
+        t.optimize(sort_by=("a",), zorder_by=("b",))
+
+
+def test_where_eq_dictionary_skipping(spark, tmp_path):
+    # each file holds 2 labels that INTERLEAVE alphabetically, so min/max
+    # ranges overlap almost everything and only the dictionary can prune
+    def batch(i):
+        rows = [(i * 200 + j, lab, j) for lab in (f"g{i}", f"g{i+4}") for j in range(100)]
+        return spark.createDataFrame(rows, ["id", "lab", "v"]).coalesce(1)
+
+    t = TxTable.create(spark, str(tmp_path / "dict"), batch(0))
+    for i in range(1, 4):
+        t.append(batch(i))
+    files = t._active_files()
+    assert len(files) == 4
+    # dictionaries recorded for the low-cardinality column, not the id
+    assert all(sorted(a["dict"]["lab"]) == sorted([f"g{i}", f"g{i+4}"])
+               for i, a in enumerate(files))
+    assert all("id" not in a.get("dict", {}) for a in files)
+    # min/max alone cannot prune g2 (g0..g4 ranges overlap it); dict can
+    pruned = t.snapshot(where_eq={"lab": "g2"})
+    assert len(pruned.inputFiles()) == 1
+    assert pruned.count() == 100
+    assert {r.lab for r in pruned.collect()} == {"g2"}
+    # equality + interval compose
+    both = t.snapshot(where={"v": (0, 9)}, where_eq={"lab": "g2"})
+    assert both.count() == 10
