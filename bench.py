@@ -42,6 +42,10 @@ EXTENDED = [
     "stream_stream_join",
     "txlog_merge_upsert",
     "txlog_data_skipping",
+    "txlog_delete_dv",
+    "txlog_zorder_skipping",
+    "tpch_q8_market_share",
+    "tpch_q21_waiting_supplier",
 ]
 
 HEADLINE = [
