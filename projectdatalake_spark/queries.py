@@ -4471,3 +4471,192 @@ def txlog_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dsum(F.col("l_extendedprice")).alias("total_price"),
     )
+
+
+# =========================================================================
+# Wave 11: LLM-pipeline data hygiene — benchmark decontamination, PII
+# redaction, repetition-based quality signals (the C4/Gopher family).
+# =========================================================================
+
+
+@query(
+    "decontam_ngram_overlap",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 4),
+                    i -> array_to_string(toks[i:i+4], ' '))) AS gram
+      FROM t
+    )
+    SELECT c.doc_id AS corpus_doc, b.doc_id AS bench_doc,
+           count(*) AS shared_grams
+    FROM g c JOIN g b ON c.gram = b.gram
+    WHERE b.doc_id % 7 = 0 AND c.doc_id % 7 <> 0
+    GROUP BY 1, 2
+    HAVING count(*) >= 3
+    """,
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: find corpus documents sharing ≥3 word
+    5-grams with a held-out benchmark set (doc_id % 7 — a stand-in for
+    the eval suite). The canonical pre-training hygiene pass: training
+    docs contaminated with test material are flagged by exact n-gram
+    collision, not fuzzy similarity. Plan shape for 100 TB: distinct
+    5-grams per doc (map-side), shuffle on gram; the benchmark side is
+    eval-suite-sized → broadcast, so the corpus never self-joins."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    grams_expr = F.when(
+        F.size(toks) >= 5,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 4),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select("doc_id", F.explode(grams_expr).alias("gram"))
+    bench = g.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("bench_doc"), "gram"
+    )
+    corpus = g.filter(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("corpus_doc"), "gram"
+    )
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("corpus_doc", "bench_doc")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+        .filter(F.col("shared_grams") >= 3)
+    )
+
+
+@query(
+    "text_pii_redact",
+    oracle="""
+    WITH salted AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or call 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || '-1234.' AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(text, '[0-9]{3}-[0-9]{4}-[0-9]{4}')) AS n_phones,
+           length(regexp_replace(regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '[0-9]{3}-[0-9]{4}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_len
+    FROM salted
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: regex scrubbing of emails and phone numbers with
+    counts per document — the compliance pass every training corpus
+    runs. The synthetic corpus carries no PII, so a deterministic
+    salting step injects one email + one phone per doc first (both
+    engines salt identically, so the oracle still binds). Pure Catalyst
+    regexp expressions: zero shuffle, whole-stage codegen, linear scan —
+    the ideal 100 TB operator. Patterns stay in the RE2∩Java-regex
+    common subset (no backrefs, no \\b) for engine parity."""
+    email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+    phone = "[0-9]{3}-[0-9]{4}-[0-9]{4}"
+    docs = _t(spark, sf_dir, "documents")
+    salted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit("-1234."),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(salted, email, "<EMAIL>"), phone, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(salted, F.lit(email)).cast("bigint").alias("n_emails"),
+        F.regexp_count(salted, F.lit(phone)).cast("bigint").alias("n_phones"),
+        F.length(red).cast("bigint").alias("redacted_len"),
+    )
+
+
+@query(
+    "text_repetition_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, unnest(toks) AS token FROM t
+    ),
+    freq AS (
+      SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2
+    ),
+    uni AS (
+      SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct, max(c) AS top_c
+      FROM freq GROUP BY 1
+    ),
+    big AS (
+      SELECT doc_id,
+             len(list_transform(generate_series(1, len(toks) - 1),
+                 i -> array_to_string(toks[i:i+1], ' '))) AS n_bigrams,
+             len(list_distinct(list_transform(generate_series(1, len(toks) - 1),
+                 i -> array_to_string(toks[i:i+1], ' ')))) AS n_distinct_bigrams
+      FROM t
+    )
+    SELECT uni.doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS distinct_ratio,
+           CAST(top_c AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_token_frac,
+           1.0 - CAST(n_distinct_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+             AS dup_bigram_frac
+    FROM uni JOIN big ON uni.doc_id = big.doc_id
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/C4 filter family):
+    distinct-token ratio, top-token fraction, duplicate-bigram fraction
+    per document. High repetition → boilerplate / spam / degenerate
+    text. Token frequencies go through one explode + (doc, token)
+    partial aggregate — map-side combine does the heavy lifting;
+    bigram distinctness stays inside array expressions (no shuffle)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    per_doc_arrays = docs.select(
+        "doc_id",
+        F.size(bigrams).cast("bigint").alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).cast("bigint").alias("n_distinct_bigrams"),
+    )
+    freq = (
+        docs.select("doc_id", F.explode(toks).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    uni = freq.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+    return uni.join(per_doc_arrays, "doc_id").select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        (F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "distinct_ratio"
+        ),
+        (F.col("top_c").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "top_token_frac"
+        ),
+        (
+            F.lit(1.0)
+            - F.col("n_distinct_bigrams").cast("double")
+            / F.col("n_bigrams").cast("double")
+        ).alias("dup_bigram_frac"),
+    )
