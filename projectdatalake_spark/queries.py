@@ -4660,3 +4660,44 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_bigrams").cast("double")
         ).alias("dup_bigram_frac"),
     )
+
+
+@query(
+    "txlog_partition_evolution",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE NOT (o_orderstatus = 'P')
+    GROUP BY o_orderpriority
+    """,
+)
+def txlog_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition spec evolution (the Iceberg capability): the table starts
+    partitioned by o_year, evolves to o_orderpriority with a metadata-only
+    commit (zero files rewritten), new data lands under the new layout,
+    and a row-level DELETE then migrates the old-layout files it touches.
+    Reads union both layout eras (each era's partition columns are the
+    other's data columns) and the aggregate must equal the oracle's plain
+    filter over the base table."""
+    import tempfile
+
+    from projectdatalake_spark.sources.txlog import TxTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    )
+    root = tempfile.mkdtemp(prefix="txlog_evo_")
+    table = TxTable.create(
+        spark, root, o.filter(F.col("o_year") <= 1997), partition_by=("o_year",)
+    )
+    table.set_partition_spec(("o_orderpriority",))
+    table.append(o.filter(F.col("o_year") >= 1998))  # new-era layout
+    table.delete_where("o_orderstatus = 'P'")  # migrates touched old-era files
+    return (
+        table.snapshot()
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("revenue"))
+    )

@@ -465,7 +465,9 @@ class TxTable:
         adds = self._active_files(version)
         if not adds:
             raise ValueError(f"txlog table at {self.root} has no data at version {version}")
-        fields = self._partition_fields()
+        # prune against EVERY spec era: each file carries the keys of the
+        # spec it was written under (partition evolution)
+        fields = self._all_partition_fields()
         mapping = self.column_mapping()
         if where:  # caller filters on logical names; stats/files store physical
             where = {mapping.get(c, c): v for c, v in where.items()}
@@ -487,14 +489,41 @@ class TxTable:
             ]
             if not adds:
                 return self.snapshot(version).filter("1=0")
-        # group by base root (shallow clones reference source-table files):
-        # each group reads with ITS basePath so hive partition inference
-        # resolves against the right directory layout
-        by_base: dict[str, list[dict]] = {}
+        df = self._snapshot_of(adds, version)
+        if where:
+            for col, (lo, hi) in where.items():
+                if lo is not None:
+                    df = df.filter(df[col] >= lo)
+                if hi is not None:
+                    df = df.filter(df[col] <= hi)
+        if where_eq:
+            for col, v in where_eq.items():
+                df = df.filter(df[col] == v)
+        return self._to_logical(df)
+
+    def _snapshot_of(self, adds: list[dict], version: int | None = None) -> DataFrame:
+        """The masked PHYSICAL frame over an explicit add list: base-grouped
+        read (shallow-clone refs keep their own basePath), deletion-vector
+        mask, hidden partition columns dropped. Callers that rewrite a file
+        subset (merge/delete under partition evolution) read through this
+        so masks and layout eras are honored; ``snapshot`` adds pruning,
+        residual filters, and the logical rename on top.
+
+        Files group by (base, partition-key set): partition evolution
+        leaves files with DIFFERENT hive layouts in one table, and
+        Spark's partition inference requires one consistent layout per
+        read — each era reads separately and unions by name (an era's
+        partition columns are the other era's data columns, so no column
+        goes missing)."""
+        by_era: dict[tuple, list[dict]] = {}
         for a in adds:
-            by_base.setdefault(a.get("base", self.root), []).append(a)
+            key = (
+                a.get("base", self.root),
+                frozenset((a.get("partition") or {}).keys()),
+            )
+            by_era.setdefault(key, []).append(a)
         frames = []
-        for base, group in by_base.items():
+        for (base, _), group in by_era.items():
             frames.append(
                 self.spark.read.option("basePath", base)
                 .option("mergeSchema", "true")
@@ -506,19 +535,13 @@ class TxTable:
         dvs = self._active_dvs(version)
         if dvs:
             df = self._apply_dv_mask(df, dvs)
-        hidden = [name for kind, _, _, name in fields if kind != "identity"]
+        hidden = [
+            name for kind, _, _, name in self._all_partition_fields() if kind != "identity"
+        ]
+        hidden = [h for h in hidden if h in df.columns]
         if hidden:
             df = df.drop(*hidden)
-        if where:
-            for col, (lo, hi) in where.items():
-                if lo is not None:
-                    df = df.filter(df[col] >= lo)
-                if hi is not None:
-                    df = df.filter(df[col] <= hi)
-        if where_eq:
-            for col, v in where_eq.items():
-                df = df.filter(df[col] == v)
-        return self._to_logical(df)
+        return df
 
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Change data feed: every row added or removed by the commits in
@@ -622,18 +645,65 @@ class TxTable:
         return table
 
     def _partition_by(self) -> tuple[str, ...]:
+        """The CURRENT partition spec: the creation spec unless a later
+        ``set_partition_spec`` commit evolved it. New writes use this."""
         commits = self.history()
         if not commits:
             raise ValueError(f"no txlog table at {self.root}")
-        return tuple(commits[0].get("partition_by", ()))
+        spec = tuple(commits[0].get("partition_by", ()))
+        for c in commits:
+            if c["op"] == "set_partition_spec":
+                spec = tuple(c["partition_by"])
+        return spec
+
+    def _all_partition_specs(self) -> list[tuple[str, ...]]:
+        """Every spec any active-era file may have been written under —
+        the creation spec plus each evolution step. Pruning consults all
+        of them: a file prunes by whichever spec's keys its hive path
+        carries (Iceberg's per-file spec-id, path-encoded)."""
+        commits = self.history()
+        specs = [tuple(commits[0].get("partition_by", ()))]
+        for c in commits:
+            if c["op"] == "set_partition_spec":
+                s = tuple(c["partition_by"])
+                if s not in specs:
+                    specs.append(s)
+        return specs
+
+    def set_partition_spec(self, partition_by: tuple[str, ...]) -> int:
+        """Evolve the partition spec (Iceberg partition evolution): a
+        metadata-only commit — NO existing file is rewritten. Files
+        already on disk keep their old hive layout and still prune under
+        the old spec; new writes land under the new spec; merge/delete
+        touching old-layout files migrate them as a side effect.
+        ``replace_where`` on the new spec refuses while old-layout files
+        could hold matching rows (use merge/delete/overwrite, which
+        migrate); after full migration it works again."""
+        for spec in partition_by:
+            _parse_transform(spec)  # validate eagerly
+        return self._publish(
+            "set_partition_spec", adds=[], removes=[],
+            partition_by=list(partition_by),
+        )
 
     def _partition_fields(self) -> list[tuple[str, int | None, str, str]]:
-        """Parsed partition spec: (kind, param, source_col, stored_name)."""
+        """Parsed CURRENT partition spec: (kind, param, source_col,
+        stored_name)."""
         out = []
         for spec in self._partition_by():
             kind, param, col = _parse_transform(spec)
             out.append((kind, param, col, _hidden_name(kind, param, col)))
         return out
+
+    def _all_partition_fields(self) -> list[tuple[str, int | None, str, str]]:
+        seen = []
+        for spec_set in self._all_partition_specs():
+            for spec in spec_set:
+                kind, param, col = _parse_transform(spec)
+                f = (kind, param, col, _hidden_name(kind, param, col))
+                if f not in seen:
+                    seen.append(f)
+        return seen
 
     def _partition_expr(self, kind: str, param: int | None, col: str, df: DataFrame):
         return _transform_col(kind, param, col)
@@ -798,11 +868,14 @@ class TxTable:
             return [a["path"] for a in self._active_files()]
         if op == "replace_where":
             values = {k: set(v) for k, v in extra["predicate"].items()}
-            return [
+            out = [
                 a["path"]
                 for a in self._active_files()
                 if all(a["partition"].get(k) in v for k, v in values.items())
             ]
+            if extra.get("include_stale"):  # evolution migration commit
+                out.extend(a["path"] for a in self._stale_spec_files())
+            return sorted(set(out))
         return []
 
     def _commit_write(
@@ -954,6 +1027,12 @@ class TxTable:
         n_outside = df.filter(~cond).limit(1).count() if cond is not None else 0
         if n_outside:
             raise ValueError("replace_where data contains rows outside the target partitions")
+        if self._stale_spec_files():
+            raise ValueError(
+                "partition spec evolved and old-layout files remain; "
+                "replace_where cannot bound its remove set — use "
+                "merge_upsert/delete_where/overwrite (they migrate old files)"
+            )
         removes = [
             a["path"]
             for a in self._active_files()
@@ -963,6 +1042,17 @@ class TxTable:
             df, "replace_where", pcols, removes=removes,
             predicate={k: sorted(v) for k, v in values.items()},
         )
+
+    def _stale_spec_files(self) -> list[dict]:
+        """Active files written under a PREVIOUS partition spec (their
+        hive path lacks at least one current-spec key). Empty unless
+        ``set_partition_spec`` evolved the layout."""
+        names = {name for _, _, _, name in self._partition_fields()}
+        return [
+            a
+            for a in self._active_files()
+            if any(n not in (a.get("partition") or {}) for n in names)
+        ]
 
     def merge_upsert(self, updates: DataFrame, keys: list[str], max_partitions: int = 10_000) -> int:
         """Partition-scoped MERGE: only partitions containing updated keys
@@ -998,16 +1088,43 @@ class TxTable:
                 "raise max_partitions or fall back to overwrite()"
             )
         values = {n: {str(r[n]) for r in touched_rows} for _, _, _, n in fields}
-        current = self.snapshot()
         scoped = None
         for kind, param, src, name in fields:
             c = part_expr(kind, param, src).isin(*values[name])
             scoped = c if scoped is None else scoped & c
+        stale = self._stale_spec_files()
+        if not stale:
+            current = self.snapshot()
+            merged = updates.unionByName(
+                current.filter(scoped).join(updates.select(*keys), keys, "left_anti"),
+                allowMissingColumns=True,
+            )
+            return self.replace_where(merged, values)
+        # partition evolution migration path: old-layout files may hold
+        # matching rows anywhere, so they join the rewrite wholesale and
+        # land under the CURRENT spec (each merge shrinks the stale set;
+        # replace_where unlocks at zero). Because every doomed row is
+        # rewritten anyway, the key anti-join applies to ALL of them —
+        # which also upserts keys whose partition value changed, a case
+        # the partition-pruned fast path cannot see by design
+        names = {n for _, _, _, n in fields}
+        doomed = stale + [
+            a
+            for a in self._active_files()
+            if all(n in (a.get("partition") or {}) for n in names)
+            and all(a["partition"].get(k) in v for k, v in values.items())
+        ]
+        scoped_df = self._to_logical(self._snapshot_of(doomed))
         merged = updates.unionByName(
-            current.filter(scoped).join(updates.select(*keys), keys, "left_anti"),
+            scoped_df.join(updates.select(*keys), keys, "left_anti"),
             allowMissingColumns=True,
         )
-        return self.replace_where(merged, values)
+        return self._commit_write(
+            merged, "replace_where", self._partition_by(),
+            removes=sorted(a["path"] for a in doomed),
+            predicate={k: sorted(v) for k, v in values.items()},
+            include_stale=True,
+        )
 
     def delete_where(self, condition: str, max_partitions: int = 10_000) -> int | None:
         """Row-level DELETE, partition-scoped: only partitions that
@@ -1049,10 +1166,32 @@ class TxTable:
         for kind, param, src, name in fields:
             c = part_expr(kind, param, src).isin(*values[name])
             scoped = c if scoped is None else scoped & c
-        survivors = snap.filter(scoped).filter(
-            ~F.coalesce(F.expr(condition), F.lit(False))
+        stale = self._stale_spec_files()
+        if not stale:
+            survivors = snap.filter(scoped).filter(
+                ~F.coalesce(F.expr(condition), F.lit(False))
+            )
+            return self.replace_where(survivors, values)
+        # evolution migration: old-layout files can't be partition-bounded,
+        # so they are rewritten wholesale (minus deleted rows) under the
+        # current spec alongside the matched partitions
+        names = {n for _, _, _, n in fields}
+        doomed = stale + [
+            a
+            for a in self._active_files()
+            if all(n in (a.get("partition") or {}) for n in names)
+            and all(a["partition"].get(k) in v for k, v in values.items())
+        ]
+        survivors = (
+            self._to_logical(self._snapshot_of(doomed))
+            .filter(~F.coalesce(F.expr(condition), F.lit(False)))
         )
-        return self.replace_where(survivors, values)
+        return self._commit_write(
+            survivors, "replace_where", self._partition_by(),
+            removes=sorted(a["path"] for a in doomed),
+            predicate={k: sorted(v) for k, v in values.items()},
+            include_stale=True,
+        )
 
     def delete_where_dv(self, condition: str) -> int | None:
         """Row-level DELETE via a deletion vector: NO data file is touched.
@@ -1324,8 +1463,14 @@ class TxTable:
                 target_files, *sort_by
             ).sortWithinPartitions(*sort_by)
         elif pcols:
-            # one task (= one output file) per hive partition
-            compacted = scoped.repartition(*[scoped[c] for c in pcols])
+            # one task (= one output file) per hive partition (transform
+            # specs repartition on the DERIVED expression, not the name)
+            compacted = scoped.repartition(
+                *[
+                    _transform_col(kind, param, src)
+                    for kind, param, src, _ in self._partition_fields()
+                ]
+            )
         else:
             compacted = scoped.coalesce(1)
         adds = self._stage(compacted, pcols)

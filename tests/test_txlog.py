@@ -593,3 +593,48 @@ def test_where_eq_dictionary_skipping(spark, tmp_path):
     # equality + interval compose
     both = t.snapshot(where={"v": (0, 9)}, where_eq={"lab": "g2"})
     assert both.count() == 10
+
+
+# --- partition evolution ---------------------------------------------------
+
+
+def test_partition_evolution_append_and_prune(spark, table):
+    # evolve seg -> val identity partitioning; nothing is rewritten
+    before = {a["path"]: a["size"] for a in table._active_files()}
+    table.set_partition_spec(("val",))
+    assert before == {a["path"]: a["size"] for a in table._active_files()}
+    # new writes land under the NEW spec
+    table.append(_mkdf(spark, [(4, "B", 40)]))
+    new = [a for a in table._active_files() if a["path"] not in before]
+    assert all("val=40" in a["path"] for a in new)
+    # reads see both eras; pruning works per era
+    assert {r.id for r in table.snapshot().collect()} == {1, 2, 3, 4}
+    pruned = table.snapshot(where={"val": (35, None)})
+    # old-era files prune by stats; the new-era file by its val= path
+    assert {r.id for r in pruned.collect()} == {4}
+
+
+def test_partition_evolution_delete_migrates_stale_files(spark, table):
+    table.set_partition_spec(("val",))
+    table.append(_mkdf(spark, [(4, "B", 40)]))
+    assert len(table._stale_spec_files()) > 0
+    table.delete_where("id = 2")
+    # the delete rewrote old-layout files under the new spec
+    assert table._stale_spec_files() == []
+    assert {(r.id, r.val) for r in table.snapshot().collect()} == {
+        (1, 10), (3, 30), (4, 40)
+    }
+    # with migration complete, replace_where unlocks
+    table.replace_where(_mkdf(spark, [(5, "C", 10)]), {"val": ["10"]})
+    assert {r.id for r in table.snapshot().collect()} == {3, 4, 5}
+
+
+def test_partition_evolution_merge_and_replace_guard(spark, table):
+    table.set_partition_spec(("val",))
+    with pytest.raises(ValueError, match="spec evolved"):
+        table.replace_where(_mkdf(spark, [(9, "A", 10)]), {"val": ["10"]})
+    updates = _mkdf(spark, [(2, "A", 21), (9, "C", 90)])
+    table.merge_upsert(updates, keys=["id"])
+    got = {(r.id, r.seg, r.val) for r in table.snapshot().collect()}
+    assert got == {(1, "A", 10), (2, "A", 21), (3, "B", 30), (9, "C", 90)}
+    assert table._stale_spec_files() == []
