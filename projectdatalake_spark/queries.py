@@ -4701,3 +4701,41 @@ def txlog_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("revenue"))
     )
+
+
+@query(
+    "mixture_balanced_sample",
+    oracle="""
+    WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+    m AS (SELECT min(n) AS mn FROM counts),
+    r AS (SELECT lang, CAST(mn AS DOUBLE) / CAST(n AS DOUBLE) AS rate
+          FROM counts, m)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN r ON d.lang = r.lang
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+          < rate * 65536.0
+    """,
+)
+def mixture_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum / mixture sampling: downsample every language shard to
+    the size of the smallest by a content-stable hash threshold —
+    the deterministic way to hit a target source mixture (here: balanced
+    languages) that any engine, any run, any shard order reproduces
+    exactly; ``sample()`` can promise none of that. Rates come from one
+    tiny aggregate (broadcast back); the keep-decision is a pure
+    projection — no shuffle of the corpus itself. Swap the rate formula
+    for any target mixture (by source, quality tier, dedup cluster)."""
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    mn = counts.agg(F.min("n").alias("mn"))
+    rates = counts.join(F.broadcast(mn)).select(
+        "lang", (F.col("mn").cast("double") / F.col("n").cast("double")).alias("rate")
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(bucket < F.col("rate") * 65536.0)
+        .select("doc_id", "lang", "source")
+    )
