@@ -4320,6 +4320,88 @@ def txlog_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "txlog_update",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n,
+           CAST(sum(CAST(
+               CASE WHEN c_mktsegment = 'BUILDING' AND c_acctbal < 5000.0
+                    THEN c_acctbal * 1.1 + 10.0 ELSE c_acctbal END
+               AS DECIMAL(27,4))) AS DOUBLE) AS balance
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def txlog_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write ``UPDATE ... SET``, partition-scoped: the assignment
+    touches only the BUILDING partition, so only that partition's files
+    are rewritten — every other segment's add-actions survive the commit
+    byte-identical (asserted in tests/test_txlog.py). Right-hand sides
+    evaluate against the pre-update row and cast back to the column's
+    type, so the oracle is a plain CASE WHEN over the base table."""
+    import tempfile
+
+    from projectdatalake_spark.sources.txlog import TxTable
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.col("c_acctbal").cast("double").alias("c_acctbal")
+    )
+    root = tempfile.mkdtemp(prefix="txlog_upd_")
+    table = TxTable.create(spark, root, c, partition_by=("c_mktsegment",))
+    table.update_where(
+        "c_mktsegment = 'BUILDING' AND c_acctbal < 5000.0",
+        {"c_acctbal": "c_acctbal * 1.1 + 10.0"},
+    )
+    return (
+        table.snapshot()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(27,4)")).cast("double").alias("balance"),
+        )
+    )
+
+
+@query(
+    "txlog_time_travel_ts",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n
+    FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    GROUP BY c_mktsegment
+    """,
+)
+def txlog_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel by TIMESTAMP (Delta's ``TIMESTAMP AS OF``): capture a
+    wall-clock instant after version 0 commits, append more data, then
+    resolve that instant back to a version via the commit log's recorded
+    timestamps. The read must see exactly the version-0 rows even though
+    the table tip has moved — only timestamp→version resolution over the
+    log can produce this."""
+    import tempfile
+    import time as _time
+
+    from projectdatalake_spark.sources.txlog import TxTable
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.col("c_acctbal").cast("double").alias("c_acctbal")
+    )
+    root = tempfile.mkdtemp(prefix="txlog_tts_")
+    table = TxTable.create(
+        spark,
+        root,
+        c.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY")),
+        partition_by=("c_mktsegment",),
+    )
+    as_of = _time.time()
+    table.append(c.filter(F.col("c_mktsegment") == "AUTOMOBILE"))
+    v = table.version_at(as_of)
+    return (
+        table.snapshot(version=v)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
     "txlog_rename_column",
     oracle="""
     SELECT c_mktsegment, count(*) AS n,

@@ -259,6 +259,22 @@ class TxTable:
         commits = self.history()
         return commits[-1]["version"] if commits else -1
 
+    def version_at(self, ts: float) -> int:
+        """Time travel by timestamp (Delta's ``TIMESTAMP AS OF``): the
+        latest version whose commit timestamp is <= ``ts`` (epoch
+        seconds). Commit timestamps are writer-clock ascending in
+        practice; replay order is by version, so ties resolve to the
+        highest qualifying version. Raises if ``ts`` predates the table."""
+        best = -1
+        for c in self.history():
+            if c["ts"] <= ts and c["version"] > best:
+                best = c["version"]
+        if best < 0:
+            raise ValueError(
+                f"timestamp {ts} predates the first commit of {self.root}"
+            )
+        return best
+
     def _read_checkpoint(self) -> dict | None:
         """The newest log checkpoint at or below no particular version —
         ``_last_checkpoint`` names it, mirroring Delta's discovery file."""
@@ -1188,6 +1204,101 @@ class TxTable:
         )
         return self._commit_write(
             survivors, "replace_where", self._partition_by(),
+            removes=sorted(a["path"] for a in doomed),
+            predicate={k: sorted(v) for k, v in values.items()},
+            include_stale=True,
+        )
+
+    def update_where(
+        self,
+        condition: str,
+        set_exprs: dict[str, str],
+        max_partitions: int = 10_000,
+    ) -> int | None:
+        """Row-level ``UPDATE ... SET``, copy-on-write and partition-scoped:
+        only partitions containing matching rows are rewritten (with the
+        assignments applied); every other partition's files survive
+        untouched. SQL semantics throughout: only rows where ``condition``
+        is TRUE update (NULL keeps the row as-is), every right-hand side is
+        evaluated against the PRE-update row (``SET a=b, b=a`` swaps), and
+        each assignment is cast back to the column's existing type so the
+        table schema is stable. Returns the commit version, or None when
+        nothing matched.
+
+        Updates that target a partition source column can move rows across
+        partitions, so the remove-set cannot be bounded — those (and
+        unpartitioned tables) fall back to a full atomic overwrite, the
+        honest cost. At 100 TB the scoped path is the one that matters:
+        a 0.1%-of-rows update confined to k partitions rewrites k
+        partitions, not the table."""
+        from pyspark.sql import functions as F
+
+        snap = self.snapshot()
+        unknown = sorted(set(set_exprs) - set(snap.columns))
+        if unknown:
+            raise ValueError(f"UPDATE SET targets unknown columns: {unknown}")
+        cond = F.coalesce(F.expr(condition), F.lit(False))
+
+        def rewrite(df: DataFrame) -> DataFrame:
+            dtypes = dict(df.dtypes)
+            cols = []
+            for c in df.columns:
+                if c in set_exprs:
+                    cols.append(
+                        F.when(cond, F.expr(set_exprs[c]).cast(dtypes[c]))
+                        .otherwise(F.col(c))
+                        .alias(c)
+                    )
+                else:
+                    cols.append(F.col(c))
+            return df.select(*cols)
+
+        fields = self._partition_fields()
+        part_srcs = {src for _, _, src, _ in fields}
+        if not fields or part_srcs & set(set_exprs):
+            if snap.filter(cond).limit(1).count() == 0:
+                return None
+            return self.overwrite(rewrite(snap))
+
+        def part_expr(kind, param, src):
+            e = F.col(src) if kind == "identity" else _transform_col(kind, param, src)
+            return e.cast("string")
+
+        touched_rows = (
+            snap.filter(cond)
+            .select(*[part_expr(k, p, s).alias(n) for k, p, s, n in fields])
+            .distinct()
+            .limit(max_partitions + 1)
+            .collect()
+        )
+        if not touched_rows:
+            return None
+        if len(touched_rows) > max_partitions:
+            raise ValueError(
+                f"update touches more than {max_partitions} partitions; "
+                "raise max_partitions or use overwrite()"
+            )
+        values = {n: {str(r[n]) for r in touched_rows} for _, _, _, n in fields}
+        scoped = None
+        for kind, param, src, name in fields:
+            c = part_expr(kind, param, src).isin(*values[name])
+            scoped = c if scoped is None else scoped & c
+        stale = self._stale_spec_files()
+        if not stale:
+            return self.replace_where(rewrite(snap.filter(scoped)), values)
+        # evolution migration: old-layout files can't be partition-bounded,
+        # so they are rewritten wholesale (with assignments applied) under
+        # the current spec alongside the matched partitions
+        names = {n for _, _, _, n in fields}
+        doomed = stale + [
+            a
+            for a in self._active_files()
+            if all(n in (a.get("partition") or {}) for n in names)
+            and all(a["partition"].get(k) in v for k, v in values.items())
+        ]
+        updated = rewrite(self._to_logical(self._snapshot_of(doomed)))
+        return self._commit_write(
+            updated, "replace_where", self._partition_by(),
             removes=sorted(a["path"] for a in doomed),
             predicate={k: sorted(v) for k, v in values.items()},
             include_stale=True,

@@ -638,3 +638,72 @@ def test_partition_evolution_merge_and_replace_guard(spark, table):
     got = {(r.id, r.seg, r.val) for r in table.snapshot().collect()}
     assert got == {(1, "A", 10), (2, "A", 21), (3, "B", 30), (9, "C", 90)}
     assert table._stale_spec_files() == []
+
+
+# --- UPDATE ... SET (copy-on-write) ---------------------------------------
+
+
+def test_update_where_partition_scoped(spark, table):
+    b_before = {
+        a["path"]: a["size"] for a in table._active_files() if a["partition"]["seg"] == "B"
+    }
+    v = table.update_where("seg = 'A' AND val >= 20", {"val": "val + 5"})
+    assert v is not None
+    got = {(r.id, r.val) for r in table.snapshot().collect()}
+    assert got == {(1, 10), (2, 25), (3, 30)}
+    # partition B untouched — same files, same bytes
+    b_after = {
+        a["path"]: a["size"] for a in table._active_files() if a["partition"]["seg"] == "B"
+    }
+    assert b_before == b_after
+    # time travel still sees the pre-update value
+    assert {(r.id, r.val) for r in table.snapshot(version=0).collect()} == {
+        (1, 10), (2, 20), (3, 30)
+    }
+    # no matches -> no commit
+    assert table.update_where("val > 10000", {"val": "0"}) is None
+
+
+def test_update_where_sql_semantics(spark, table):
+    # NULL condition keeps the row as-is; RHS sees the PRE-update row
+    evolved = spark.createDataFrame([(9, "B", None)], "id long, seg string, val long")
+    table.append(evolved)
+    table.update_where("val < 100", {"val": "val * 10", "id": "id + val"})
+    got = {(r.id, r.val) for r in table.snapshot().collect()}
+    # id computed from the ORIGINAL val (simultaneous assignment), NULL row kept
+    assert got == {(11, 100), (22, 200), (33, 300), (9, None)}
+
+
+def test_update_where_partition_column_falls_back_to_overwrite(spark, table):
+    v = table.update_where("id = 3", {"seg": "'A'"})
+    assert v is not None
+    assert table.history()[-1]["op"] == "overwrite"
+    got = {(r.id, r.seg, r.val) for r in table.snapshot().collect()}
+    assert got == {(1, "A", 10), (2, "A", 20), (3, "A", 30)}
+
+
+def test_update_where_rejects_unknown_column(spark, table):
+    with pytest.raises(ValueError, match="unknown columns"):
+        table.update_where("id = 1", {"nope": "1"})
+
+
+def test_update_where_migrates_stale_files(spark, table):
+    table.set_partition_spec(("val",))
+    table.append(_mkdf(spark, [(4, "B", 40)]))
+    assert len(table._stale_spec_files()) > 0
+    table.update_where("id = 2", {"val": "val + 1"})
+    assert table._stale_spec_files() == []
+    assert {(r.id, r.val) for r in table.snapshot().collect()} == {
+        (1, 10), (2, 21), (3, 30), (4, 40)
+    }
+
+
+def test_version_at_resolves_timestamps(spark, table):
+    import time
+
+    t0 = time.time()
+    table.append(_mkdf(spark, [(4, "B", 40)]))
+    assert table.version_at(t0) == 0
+    assert table.version_at(time.time()) == 1
+    with pytest.raises(ValueError, match="predates"):
+        table.version_at(0.0)
