@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from projectdatalake_spark.operators.text import normalize, shingles, tokens
 
@@ -513,3 +513,45 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 20,
+) -> DataFrame:
+    """Sub-document (paragraph-level) exact dedup: split each document
+    into fixed ``chunk_words``-token chunks and keep only each chunk's
+    FIRST occurrence corpus-wide (ordered by id, then position — the
+    deterministic survivor policy). Returns one row per chunk:
+    (id, chunk_idx, chunk_text, keep).
+
+    This is the boilerplate-stripping pass LLM corpora need (repeated
+    headers/footers/license blocks survive document-level dedup); real
+    corpora chunk on structural delimiters, the fixed token window is the
+    delimiter-free equivalent over this testdata.
+
+    Scale: tokenize once per document (the token array is materialized as
+    a column, so the per-chunk slices reference it instead of re-splitting
+    — the Catalyst re-inline trap documented in BASELINE.md), then ONE
+    hash shuffle on chunk_text for the first-occurrence window. Chunks
+    per doc = O(len/chunk_words); no quadratic stage anywhere.
+    """
+    # split("") yields [""] — drop empty tokens so an empty/whitespace
+    # document produces zero chunks, not one phantom empty chunk
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    n_chunks = F.ceil(F.size("__toks") / F.lit(chunk_words)).cast("int")
+    chunks = F.when(
+        F.size("__toks") > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(
+                F.slice(F.col("__toks"), i * chunk_words + 1, chunk_words), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = base.select(id_col, F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+    w = Window.partitionBy("chunk_text").orderBy(id_col, "chunk_idx")
+    return ex.withColumn("keep", F.row_number().over(w) == 1)

@@ -220,3 +220,32 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             "simhash": simhash64(text),
         }
     )
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram language model — the cheap stand-in for the perplexity-based
+    quality filters LLM pipelines run (a doc full of rare tokens scores
+    low; repetitive common-token spam scores high). Two passes: (1) token
+    frequencies via one hash aggregate, (2) score = avg ln(count/total)
+    per document. Returns (id, logprob rounded 4dp, n_tokens).
+
+    Scale: the frequency table is vocabulary-sized, broadcast here; at
+    web scale (vocab >> broadcast threshold) swap the broadcast for a
+    shuffle hash join on token — the plan is otherwise unchanged. The
+    scalar total rides a 1-row broadcast cross join, never the driver.
+    """
+    toks = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("__n"))
+    return (
+        toks.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg(F.log(F.col("cnt") / F.col("__n"))), 4).alias("logprob"),
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        )
+    )

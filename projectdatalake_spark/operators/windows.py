@@ -85,3 +85,23 @@ def sessionize(
         )
         - 1,
     )
+
+
+def forward_fill(
+    df: DataFrame,
+    col: str,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    out: str | None = None,
+) -> DataFrame:
+    """Last-observation-carried-forward gap fill: within each partition,
+    NULLs in ``col`` take the most recent non-NULL value in ``order_by``
+    order (``last(..., ignorenulls=True)`` over UNBOUNDED
+    PRECEDING..CURRENT ROW — ANSI ``LAST_VALUE ... IGNORE NULLS``).
+
+    Scale: one shuffle on the partition keys, state is a single value per
+    partition during the sort-based window scan — the canonical time-series
+    densification primitive (pair with a spine join for fixed-grid output).
+    """
+    w = spec(partition_by, order_by).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(out or col, F.last(col, ignorenulls=True).over(w))

@@ -4667,6 +4667,97 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "paragraph_dedup",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    chunks AS (
+      SELECT doc_id, CAST(t.i AS INT) AS chunk_idx,
+             array_to_string(list_slice(ts, t.i*20+1, t.i*20+20), ' ') AS chunk_text
+      FROM toks, unnest(range(CAST(ceil(len(ts)/20.0) AS BIGINT))) AS t(i)
+    ),
+    ranked AS (
+      SELECT doc_id, chunk_idx,
+             row_number() OVER (PARTITION BY chunk_text ORDER BY doc_id, chunk_idx) AS rn
+      FROM chunks
+    )
+    SELECT doc_id, CAST(count(*) AS INT) AS n_chunks,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup (operators.dedup.chunk_dedup): fixed 20-token
+    chunks deduped corpus-wide by first occurrence — the boilerplate/
+    license-block stripping pass that document-level dedup misses. One
+    tokenize, one hash shuffle on chunk text; per-doc survivor counts."""
+    from projectdatalake_spark.operators import dedup as D
+
+    d = _t(spark, sf_dir, "documents")
+    chunks = D.chunk_dedup(d, "text", "doc_id", chunk_words=20)
+    return chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_chunks"),
+        F.sum(F.col("keep").cast("int")).cast("int").alias("n_kept"),
+    )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+    total AS (SELECT sum(cnt) AS n FROM freq)
+    SELECT doc_id, round(avg(ln(cnt / n)), 4) AS logprob,
+           CAST(count(*) AS INT) AS n_tokens
+    FROM toks JOIN freq USING (tok), total
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score (operators.text.unigram_logprob):
+    mean log-probability of each document under the corpus unigram model —
+    two hash aggregates and a broadcast join, the cheap stand-in for the
+    model-based quality filters LLM pipelines run."""
+    from projectdatalake_spark.operators import text as TX
+
+    return TX.unigram_logprob(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "win_gapfill_locf",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_ns(ts) AS ts_ns,
+             CASE WHEN event_type = 'purchase' THEN value END AS pv
+      FROM events
+    )
+    SELECT event_id, user_id,
+           last_value(pv IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts_ns, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+    FROM e
+    """,
+)
+def win_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill / LOCF time-series densification
+    (operators.windows.forward_fill): each event carries the user's most
+    recent purchase value — LAST_VALUE IGNORE NULLS over an ordered
+    running frame, one shuffle on user_id."""
+    from projectdatalake_spark.operators import windows as W
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts_ns",
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("pv"),
+    )
+    out = W.forward_fill(
+        e, "pv", ["user_id"], [F.col("ts_ns"), F.col("event_id")],
+        out="last_purchase_value",
+    )
+    return out.select("event_id", "user_id", "last_purchase_value")
+
+
+@query(
     "text_repetition_stats",
     oracle="""
     WITH t AS (

@@ -66,3 +66,23 @@ def test_q1_filter_pushed_to_scan(spark, sf_dir):
     )
     plan = physical_plan(li.select("l_quantity"))
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan, plan
+
+
+def test_forward_fill_locf(spark):
+    from pyspark.sql import functions as F
+
+    from projectdatalake_spark.operators import windows as W
+
+    df = spark.createDataFrame(
+        [
+            ("u1", 1, None), ("u1", 2, 10.0), ("u1", 3, None), ("u1", 4, 20.0),
+            ("u2", 1, None), ("u2", 2, None),
+        ],
+        "user string, t int, v double",
+    )
+    out = W.forward_fill(df, "v", ["user"], [F.col("t")], out="filled")
+    got = {(r.user, r.t): r.filled for r in out.collect()}
+    assert got == {
+        ("u1", 1): None, ("u1", 2): 10.0, ("u1", 3): 10.0, ("u1", 4): 20.0,
+        ("u2", 1): None, ("u2", 2): None,
+    }

@@ -175,3 +175,41 @@ def test_containment_prefix_filter_exact(spark):
     )
     naive = {(r.id_a, r.id_b, round(r.containment, 9)) for r in naive_df.collect()}
     assert fast == naive and naive
+
+
+def test_chunk_dedup_first_occurrence(spark):
+    from projectdatalake_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),   # chunks (size 3): "a b c", "d e f"
+            (2, "a b c x y z"),   # "a b c" duplicates doc 1's first chunk
+            (3, ""),              # empty text -> no chunks
+        ],
+        ["doc_id", "text"],
+    )
+    out = D.chunk_dedup(docs, "text", "doc_id", chunk_words=3).collect()
+    rows = {(r.doc_id, r.chunk_idx): (r.chunk_text, r.keep) for r in out}
+    assert rows[(1, 0)] == ("a b c", True)
+    assert rows[(1, 1)] == ("d e f", True)
+    assert rows[(2, 0)] == ("a b c", False)  # later occurrence dropped
+    assert rows[(2, 1)] == ("x y z", True)
+    assert not any(r.doc_id == 3 for r in out)  # empty doc yields no chunks
+    # short tail chunk is kept as its own (shorter) chunk
+    tail = D.chunk_dedup(
+        spark.createDataFrame([(9, "p q r s")], ["doc_id", "text"]), chunk_words=3
+    ).collect()
+    assert {(r.chunk_idx, r.chunk_text) for r in tail} == {(0, "p q r"), (1, "s")}
+
+
+def test_unigram_logprob_uniform_corpus(spark):
+    import math
+
+    from projectdatalake_spark.operators import text as TX
+
+    # 4 distinct tokens, each appearing exactly once -> every token has
+    # p = 1/4, so every doc's mean logprob is ln(0.25)
+    docs = spark.createDataFrame([(1, "a b"), (2, "c d")], ["doc_id", "text"])
+    out = {r.doc_id: (r.logprob, r.n_tokens) for r in TX.unigram_logprob(docs).collect()}
+    expect = round(math.log(0.25), 4)
+    assert out == {1: (expect, 2), 2: (expect, 2)}
