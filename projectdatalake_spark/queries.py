@@ -4362,6 +4362,50 @@ def txlog_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "txlog_update_dv",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(
+               CASE WHEN o_orderstatus = 'F' AND o_totalprice < 1000.0
+                    THEN o_totalprice * 0.5 ELSE o_totalprice END
+               AS DECIMAL(27,4))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def txlog_update_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse UPDATE via deletion vector + append (merge-on-read): matched
+    rows are masked by a position vector and their updated images appended
+    in the SAME commit — no data file rewritten (asserted in
+    tests/test_txlog.py::test_update_dv_no_file_rewrite), cost O(changed
+    rows). The aggregate reads through mask + new images and must equal
+    the oracle's CASE WHEN over the base table."""
+    import tempfile
+
+    from projectdatalake_spark.sources.txlog import TxTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    )
+    root = tempfile.mkdtemp(prefix="txlog_udv_")
+    table = TxTable.create(spark, root, o, partition_by=("o_year",))
+    table.update_where_dv(
+        "o_orderstatus = 'F' AND o_totalprice < 1000.0",
+        {"o_totalprice": "o_totalprice * 0.5"},
+    )
+    return (
+        table.snapshot()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,4)")).cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
     "txlog_time_travel_ts",
     oracle="""
     SELECT c_mktsegment, count(*) AS n

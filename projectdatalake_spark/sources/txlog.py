@@ -361,7 +361,7 @@ class TxTable:
         for commit in self.history():
             if version is not None and commit["version"] > version:
                 break
-            if commit["op"] == "delete_dv":
+            if "dv" in commit:  # delete_dv / update_dv commits
                 entries.append(commit["dv"])
             elif commit["op"] in ("restore", "clone"):
                 entries = list(commit.get("dvs_active", []))
@@ -601,8 +601,10 @@ class TxTable:
             v = commit["version"]
             if v <= from_version or v > to_version or commit["op"] == "optimize":
                 continue
-            if commit["op"] == "delete_dv":
-                # position-level capture: the masked rows of the target files
+            if "dv" in commit:  # delete_dv / update_dv
+                # position-level capture: the masked rows of the target
+                # files are the deletes; an update_dv commit's adds (the
+                # new row images) fall through to the insert branch below
                 dv = commit["dv"]
                 mask = self.spark.read.parquet(self._resolve(dv["path"])).select(
                     "file_path", "row_index"
@@ -622,7 +624,6 @@ class TxTable:
                         "_commit_version", F.lit(v)
                     )
                 )
-                continue
             for kind, rels in (
                 ("insert", [a["path"] for a in commit.get("adds", [])]),
                 ("delete", commit.get("removes", [])),
@@ -1320,6 +1321,32 @@ class TxTable:
         the caller may re-issue against the new snapshot)."""
         from pyspark.sql import functions as F
 
+        logical = self._masked_tagged_logical()
+        hits = logical.filter(condition).select(
+            F.col("__fp").alias("file_path"), F.col("__ri").alias("row_index")
+        )
+        staged = self._stage_dv(hits)
+        if staged is None:
+            return None
+        dv_rel, touched_rel, n = staged
+
+        def positions_still_valid() -> bool:
+            current = {a["path"] for a in self._active_files()}
+            return all(p in current for p in touched_rel)
+
+        return self._publish(
+            "delete_dv", adds=[], removes=[],
+            precondition=positions_still_valid,
+            dv={"path": dv_rel, "files": touched_rel, "rows": n},
+        )
+
+    def _masked_tagged_logical(self) -> DataFrame:
+        """The current table with ``__fp``/``__ri`` file-position columns
+        attached and every active deletion vector already applied — the
+        frame DV writers (delete_where_dv / update_where_dv) compute their
+        position hits from (already-masked rows must not re-match)."""
+        from pyspark.sql import functions as F
+
         adds = self._active_files()
         if not adds:
             raise ValueError(f"txlog table at {self.root} has no data")
@@ -1338,7 +1365,7 @@ class TxTable:
             "__ri", F.col("_metadata.row_index")
         )
         dvs = self._active_dvs()
-        if dvs:  # already-deleted rows must not re-match
+        if dvs:
             mask = (
                 self.spark.read.parquet(*[self._resolve(dv["path"]) for dv in dvs])
                 .select("file_path", "row_index")
@@ -1350,11 +1377,12 @@ class TxTable:
                 & (tagged["__ri"] == mask["row_index"]),
                 "left_anti",
             )
-        logical = self._to_logical(tagged)
-        hits = logical.filter(condition).select(
-            F.col("__fp").alias("file_path"), F.col("__ri").alias("row_index")
-        )
-        # stage the vector, then inspect it (one pass over the data)
+        return self._to_logical(tagged)
+
+    def _stage_dv(self, hits: DataFrame) -> tuple[str, list[str], int] | None:
+        """Write ``hits`` (file_path, row_index) as one parquet under
+        ``_dv/`` via the staging dir. Returns (dv_rel, touched_rel_files,
+        n_rows), or None when there are no hits (staging cleaned up)."""
         stage_id = uuid.uuid4().hex
         stage_dir = f"{self.root}/{_STAGING}/{stage_id}"
         hits.coalesce(1).write.mode("overwrite").parquet(stage_dir)
@@ -1365,7 +1393,7 @@ class TxTable:
             fs.delete(self._path(stage_dir), True)
             return None
         touched_abs = [r.file_path for r in staged.select("file_path").distinct().collect()]
-        by_base = {a["path"].rsplit("/", 1)[-1]: a["path"] for a in adds}
+        by_base = {a["path"].rsplit("/", 1)[-1]: a["path"] for a in self._active_files()}
         touched_rel = sorted(by_base[p.rsplit("/", 1)[-1]] for p in touched_abs)
         dv_rel = f"{_DV_DIR}/{stage_id}.parquet"
         it = fs.listFiles(self._path(stage_dir), True)
@@ -1382,16 +1410,68 @@ class TxTable:
         fs.delete(self._path(stage_dir), True)
         if not moved:
             raise IOError("deletion vector staging produced no parquet file")
+        return dv_rel, touched_rel, n
+
+    def update_where_dv(self, condition: str, set_exprs: dict[str, str]) -> int | None:
+        """Sparse ``UPDATE ... SET`` via deletion vector + append
+        (merge-on-read): the matched rows are masked out of their files by
+        a position vector and their updated images are appended as new
+        files — ONE atomic commit carrying both, so readers see either the
+        old rows or the new, never neither. Cost is O(changed rows), not
+        O(partition): the update path a 100 TB table wants when the delta
+        is sparse; ``update_where`` (copy-on-write) stays the right tool
+        when it is dense, and ``optimize`` folds mask + images into clean
+        files either way. Unlike the copy-on-write path, assignments to
+        partition source columns need no full rewrite — the new images
+        simply land in their new partitions.
+
+        Same SQL semantics as ``update_where`` (TRUE-only matching,
+        right-hand sides against the pre-update row, casts back to the
+        column's type). Returns the commit version, or None when nothing
+        matched / a concurrent rewrite invalidated the positions."""
+        from pyspark.sql import functions as F
+
+        logical = self._masked_tagged_logical()
+        data_cols = [c for c in logical.columns if c not in ("__fp", "__ri")]
+        unknown = sorted(set(set_exprs) - set(data_cols))
+        if unknown:
+            raise ValueError(f"UPDATE SET targets unknown columns: {unknown}")
+        cond = F.coalesce(F.expr(condition), F.lit(False))
+        # one heavy pass: stage the full matched rows, then derive both the
+        # vector and the updated images from the (small) staged copy
+        stage_id = uuid.uuid4().hex
+        stage_dir = f"{self.root}/{_STAGING}/{stage_id}"
+        logical.filter(cond).write.mode("overwrite").parquet(stage_dir)
+        fs = self._fs()
+        matches = self.spark.read.parquet(stage_dir)
+        if matches.limit(1).count() == 0:
+            fs.delete(self._path(stage_dir), True)
+            return None
+        staged = self._stage_dv(
+            matches.select(
+                F.col("__fp").alias("file_path"), F.col("__ri").alias("row_index")
+            )
+        )
+        dv_rel, touched_rel, n = staged
+        dtypes = dict(matches.dtypes)
+        updated = matches.select(
+            *[
+                F.expr(set_exprs[c]).cast(dtypes[c]).alias(c) if c in set_exprs else F.col(c)
+                for c in data_cols
+            ]
+        )
 
         def positions_still_valid() -> bool:
             current = {a["path"] for a in self._active_files()}
             return all(p in current for p in touched_rel)
 
-        return self._publish(
-            "delete_dv", adds=[], removes=[],
-            precondition=positions_still_valid,
+        version = self._commit_write(
+            updated, "update_dv", self._partition_by(), removes=[],
             dv={"path": dv_rel, "files": touched_rel, "rows": n},
+            precondition=positions_still_valid,
         )
+        fs.delete(self._path(stage_dir), True)
+        return version
 
     def restore(self, version: int) -> int | None:
         """RESTORE TABLE TO VERSION AS OF: one commit whose net effect

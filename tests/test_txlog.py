@@ -707,3 +707,65 @@ def test_version_at_resolves_timestamps(spark, table):
     assert table.version_at(time.time()) == 1
     with pytest.raises(ValueError, match="predates"):
         table.version_at(0.0)
+
+
+# --- UPDATE via deletion vector (merge-on-read) ---------------------------
+
+
+def test_update_dv_no_file_rewrite(spark, table):
+    before = {a["path"]: a["size"] for a in table._active_files()}
+    v = table.update_where_dv("val >= 20", {"val": "val + 1"})
+    assert v == 1
+    # every pre-existing data file survives byte-identical; the updated
+    # images are NEW files on top
+    after = {a["path"]: a["size"] for a in table._active_files()}
+    assert all(after[p] == s for p, s in before.items())
+    assert len(after) > len(before)
+    got = {(r.id, r.val) for r in table.snapshot().collect()}
+    assert got == {(1, 10), (2, 21), (3, 31)}
+    # time travel still sees the pre-update values
+    assert {r.val for r in table.snapshot(version=0).collect()} == {10, 20, 30}
+    # nothing matched -> no commit
+    assert table.update_where_dv("val = 999", {"val": "0"}) is None
+    # updated images are live rows: a second update re-matches them
+    assert table.update_where_dv("val = 21", {"val": "val * 10"}) == 2
+    assert {(r.id, r.val) for r in table.snapshot().collect()} == {
+        (1, 10), (2, 210), (3, 31)
+    }
+
+
+def test_update_dv_sql_semantics(spark, table):
+    # NULL condition rows are untouched; RHS sees the pre-update row
+    table.append(spark.createDataFrame([(9, "B", None)], "id long, seg string, val long"))
+    table.update_where_dv("val < 100", {"val": "val * 10", "id": "id + val"})
+    got = {(r.id, r.val) for r in table.snapshot().collect()}
+    assert got == {(11, 100), (22, 200), (33, 300), (9, None)}
+
+
+def test_update_dv_moves_rows_across_partitions(spark, table):
+    # partition-column assignment needs no rewrite in merge-on-read: the
+    # new image lands in its new partition, the old row is masked
+    before = {a["path"]: a["size"] for a in table._active_files()}
+    table.update_where_dv("id = 3", {"seg": "'C'"})
+    after = {a["path"]: a["size"] for a in table._active_files()}
+    assert all(after[p] == s for p, s in before.items())
+    assert any(a["partition"]["seg"] == "C" for a in table._active_files())
+    got = {(r.id, r.seg) for r in table.snapshot().collect()}
+    assert got == {(1, "A"), (2, "A"), (3, "C")}
+
+
+def test_update_dv_changes_feed(spark, table):
+    table.update_where_dv("id = 2", {"val": "99"})
+    ch = table.changes(0).collect()
+    got = {(r.id, r.val, r._change_type, r._commit_version) for r in ch}
+    assert got == {(2, 20, "delete", 1), (2, 99, "insert", 1)}
+
+
+def test_optimize_materializes_update_dv(spark, table):
+    table.update_where_dv("id = 1", {"val": "11"})
+    assert table._active_dvs() != []
+    assert table.optimize(min_files=2) is not None
+    assert table._active_dvs() == []
+    assert {(r.id, r.val) for r in table.snapshot().collect()} == {
+        (1, 11), (2, 20), (3, 30)
+    }
