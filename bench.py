@@ -46,6 +46,10 @@ EXTENDED = [
     "txlog_zorder_skipping",
     "tpch_q8_market_share",
     "tpch_q21_waiting_supplier",
+    "txlog_update_dv",
+    "paragraph_dedup",
+    "text_unigram_logprob",
+    "win_gapfill_locf",
 ]
 
 HEADLINE = [
