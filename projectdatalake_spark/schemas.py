@@ -85,12 +85,26 @@ LINEITEM = T.StructType(
     ]
 )
 
-# events.ts is parquet TIMESTAMP(NANOS): read as epoch-nanos long
-# (spark.sql.legacy.parquet.nanosAsLong) and normalized by the reader.
+# events.ts arrives either as parquet TIMESTAMP(NANOS) — read as epoch-nanos
+# long via spark.sql.legacy.parquet.nanosAsLong — or (current corpus) as
+# TIMESTAMP(MICROS). The readers normalize both to the same working columns
+# (ts timestamp + ts_ns epoch-nanos); streaming probes the footer to pick
+# the matching explicit schema (readStream cannot infer).
 EVENTS_RAW = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
         T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+EVENTS_RAW_TS = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),

@@ -68,7 +68,14 @@ def normalize_events(df: DataFrame) -> DataFrame:
     1000 → timestamp, reference etl.py:92) at nanosecond granularity.
     """
     if dict(df.dtypes).get("ts") != "bigint":
-        return df  # already timestamp-typed (e.g. future corpus change)
+        # Timestamp-typed corpus (µs precision): derive epoch-nanos so the
+        # ts_ns-consuming operators see the same column either way. Session
+        # TZ is pinned UTC (session.RUNTIME_CONFS), so the ntz→ltz cast is
+        # the identity mapping and unix_micros is deterministic.
+        return df.withColumn(
+            "ts_ns",
+            F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000),
+        )
     return df.withColumn("ts_ns", F.col("ts")).withColumn(
         "ts",
         F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),

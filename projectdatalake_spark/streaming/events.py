@@ -33,14 +33,31 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # file-source streams take a directory; select the one table via glob.
     # event time stays TimestampType (ltz): watermarks require it — window
     # bounds are cast to ntz at output (session TZ is pinned UTC).
+    # readStream needs an explicit schema, so probe the parquet footer with
+    # a batch read to learn which corpus flavor this is (TIMESTAMP(NANOS)
+    # read as long, or TIMESTAMP(MICROS) read as timestamp_ntz).
+    ts_type = dict(
+        spark.read.parquet(table_path(sf_dir, "events")).dtypes
+    ).get("ts")
+    if ts_type == "bigint":
+        raw = (
+            spark.readStream.schema(schemas.EVENTS_RAW)
+            .option("pathGlobFilter", "events.parquet")
+            .format("parquet")
+            .load(sf_dir)
+        )
+        return raw.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
     raw = (
-        spark.readStream.schema(schemas.EVENTS_RAW)
+        spark.readStream.schema(schemas.EVENTS_RAW_TS)
         .option("pathGlobFilter", "events.parquet")
         .format("parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts_ns", F.col("ts")).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    ltz = F.col("ts").cast("timestamp")
+    return raw.withColumn("ts_ns", F.unix_micros(ltz) * F.lit(1000)).withColumn(
+        "ts", ltz
     )
 
 
