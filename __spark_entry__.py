@@ -94,7 +94,7 @@ _R3_PINNED = frozenset(
         "tpch_q20_part_promotion", "txlog_optimize_compact",
         "txlog_vacuum_reclaim", "txlog_checkpoint_read",
         "agg_regression_stats", "orc_roundtrip",
-        "agg_collect_sorted", "quantize_embeddings",
+        "agg_collect_sorted", "quantize_embeddings", "llm_corpus_pipeline",
     }
 )
 

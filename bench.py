@@ -50,6 +50,14 @@ EXTENDED = [
     "paragraph_dedup",
     "text_unigram_logprob",
     "win_gapfill_locf",
+    # round 3
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q20_part_promotion",
+    "txlog_optimize_compact",
+    "agg_regression_stats",
+    "orc_roundtrip",
+    "llm_corpus_pipeline",
 ]
 
 HEADLINE = [

@@ -5360,3 +5360,69 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+@query(
+    "llm_corpus_pipeline",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             string_split_regex(lower(trim(text)), '\s+') AS toks,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+               % 100 AS bucket
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, lang, toks, content_hash, bucket,
+             CAST(len(toks) AS INT) AS n_tokens
+      FROM t
+      WHERE len(toks) >= 10
+        AND len(list_distinct(toks))::DOUBLE / len(toks) >= 0.3
+    ),
+    canon AS (
+      SELECT * FROM q
+      QUALIFY doc_id = min(doc_id) OVER (PARTITION BY content_hash)
+    ),
+    grams AS (
+      SELECT doc_id, bucket,
+             unnest(list_distinct(list_transform(generate_series(1, len(toks) - 4),
+                    i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+      FROM canon WHERE len(toks) >= 5
+    ),
+    contaminated AS (
+      SELECT DISTINCT c.doc_id
+      FROM grams c
+      JOIN (SELECT DISTINCT gram FROM grams WHERE bucket >= 97) h USING (gram)
+      WHERE c.bucket < 97
+    ),
+    final AS (
+      SELECT doc_id, lang,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             n_tokens
+      FROM canon
+      WHERE bucket < 97
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT doc_id, lang, split, n_tokens,
+           CAST(floor((sum(n_tokens) OVER (
+                    PARTITION BY split, lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tokens) / 512.0) AS INT) AS pack_id
+    FROM final
+    """,
+)
+def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composition (pipelines/llm_corpus.py): the end-to-end
+    training-corpus curation run — quality filter → exact dedup →
+    benchmark decontamination → deterministic 80/10/10 split →
+    context-window packing — as ONE oracle-checked dataflow. Each stage
+    is an already-proven operator; proving the composition end-to-end is
+    what certifies the pipeline a user would actually deploy. Analogous
+    in role to the reference's two-phase ETL composition
+    (reference etl.py:176-190), re-expressed for the LLM-data domain."""
+    from projectdatalake_spark.pipelines import llm_corpus
+
+    return llm_corpus.curate(_t(spark, sf_dir, "documents"))
