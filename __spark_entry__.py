@@ -95,6 +95,9 @@ _R3_PINNED = frozenset(
         "txlog_vacuum_reclaim", "txlog_checkpoint_read",
         "agg_regression_stats", "orc_roundtrip",
         "agg_collect_sorted", "quantize_embeddings", "llm_corpus_pipeline",
+        "join_bucketed_colocated", "csv_roundtrip",
+        # semantics strengthened in round 3 (was trivially empty) — re-prove
+        "join_anti_customers_no_orders",
     }
 )
 

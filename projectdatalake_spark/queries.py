@@ -329,14 +329,24 @@ def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFra
     "join_anti_customers_no_orders",
     oracle="""
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2001-01-01'
+    )
     """,
 )
 def join_anti_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native left-anti join (NOT EXISTS) — the idiomatic form of the
-    reference's left-join + isNull (J2, reference etl.py:111-116)."""
+    reference's left-join + isNull (J2, reference etl.py:111-116). The
+    anti side is date-restricted ('no orders this year') so the result
+    is non-trivial in this corpus, where every customer has SOME order —
+    and so the build side is a fraction of the fact, the shape an
+    at-scale anti join should take anyway."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp_ntz")
+    )
     return R.join_anti(c, o, F.col("c_custkey") == F.col("o_custkey")).select(
         "c_custkey", "c_name"
     )
@@ -5426,3 +5436,78 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projectdatalake_spark.pipelines import llm_corpus
 
     return llm_corpus.curate(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_lines,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-once/shuffle-never: orders and lineitem persisted as
+    co-bucketed (+sorted) managed tables on the join key, then joined —
+    Spark plans a SortMergeJoin with ZERO Exchange on either side (the
+    physical no-shuffle property is asserted in tests/test_bucketing.py;
+    this query proves the values through the bucketed path). At 100 TB
+    this moves the fact-fact shuffle to write time, once, instead of
+    every query; the aggregate afterwards reuses the join's output
+    partitioning. Unique table names per run keep the in-memory catalog
+    clean under re-execution."""
+    import uuid
+
+    from projectdatalake_spark.sources.writers import write_bucketed
+
+    tag = uuid.uuid4().hex[:8]
+    t_o, t_l = f"b_orders_{tag}", f"b_lineitem_{tag}"
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    write_bucketed(o, t_o, ["o_orderkey"], 8, sort_by=["o_orderkey"])
+    write_bucketed(li, t_l, ["l_orderkey"], 8, sort_by=["l_orderkey"])
+    try:
+        joined = (
+            spark.table(t_o)
+            .join(spark.table(t_l), F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                dsum(F.col("l_extendedprice")).alias("revenue"),
+            )
+        )
+        out = joined.localCheckpoint(eager=True)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_l}")
+    return out
+
+
+@query(
+    "csv_roundtrip",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text interchange format: orders written to headered CSV and read
+    back with an EXPLICIT schema (no inference pass — schema inference
+    is a full extra scan at 100 TB and is banned engine-wide), then
+    aggregated; must equal the oracle over the parquet source.
+    Timestamps round-trip via the default ISO format; doubles print
+    losslessly (Spark emits shortest-roundtrip representations)."""
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.col("o_totalprice").cast("double")
+    )
+    path = tempfile.mkdtemp(prefix="csv_rt_") + "/orders_csv"
+    o.write.mode("overwrite").option("header", "true").csv(path)
+    back = spark.read.schema(o.schema).option("header", "true").csv(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total")
+    )
