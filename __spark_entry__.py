@@ -95,7 +95,7 @@ _R3_PINNED = frozenset(
         "txlog_vacuum_reclaim", "txlog_checkpoint_read",
         "agg_regression_stats", "orc_roundtrip",
         "agg_collect_sorted", "quantize_embeddings", "llm_corpus_pipeline",
-        "join_bucketed_colocated", "csv_roundtrip",
+        "join_bucketed_colocated", "csv_roundtrip", "resample_gapfill_hourly",
         # semantics strengthened in round 3 (was trivially empty) — re-prove
         "join_anti_customers_no_orders",
     }

@@ -5511,3 +5511,64 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total")
     )
+
+
+@query(
+    "resample_gapfill_hourly",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             CAST(count(value) AS BIGINT) AS n,
+             CAST(sum(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS sv
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT user_id, min(h) AS mn, max(h) AS mx FROM per GROUP BY 1),
+    spine AS (
+      SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+      FROM b
+    )
+    SELECT s.user_id, s.h AS hour,
+           COALESCE(p.n, 0) AS n_events,
+           last_value(p.sv / p.n IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+    FROM spine s LEFT JOIN per p ON s.user_id = p.user_id AND s.h = p.h
+    """,
+)
+def resample_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup: raw events → dense hourly grid per user.
+    Three stages — (1) hourly pre-aggregate (map-side combined; decimal
+    sums), (2) per-user spine generated from each user's own [min, max]
+    hour (sequence+explode: no driver loop, no global calendar blow-up),
+    (3) LOCF fill over the grid. The pre-aggregate means the window in
+    stage 3 runs over O(users × hours) rows, not O(events) — at 100 TB
+    the grid is ~5 orders of magnitude smaller than the fact. The time-
+    series densification every metrics/feature store runs."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.count("value").alias("n"),
+        dsum(F.col("value"), 4).alias("sv"),
+    )
+    bounds = per.groupBy("user_id").agg(
+        F.min("h").alias("mn"), F.max("h").alias("mx")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    joined = spine.join(per, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.col("h").alias("hour"),
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        F.last(F.col("sv") / F.col("n"), ignorenulls=True).over(w).alias("value_locf"),
+    )
