@@ -100,6 +100,12 @@ def curate(
         .filter(F.col("doc_id") == F.col("keep_id"))
         .drop("keep_id")
     )
+    # canon feeds three consumers (holdout grams, contamination probe,
+    # survivor set); persist so the scan→featurize→filter→dedup prefix runs
+    # once, not three times. At full scale the equivalent move is
+    # materializing the curated stage to the lake (a two-phase DAG, like
+    # pipelines/star_schema.py) — persist() is the in-session form.
+    canon = canon.persist()
 
     # 3) benchmark decontamination — any 5-gram shared with the held-out
     #    set disqualifies the training doc

@@ -67,6 +67,17 @@ SHARED_ANSI = [
     "tpch_q19_disjunctive",
     "tpch_q21_waiting_supplier",
     "tpch_q22_idle_customers",
+    # round 3
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q20_part_promotion",
+    "agg_regression_stats",
+    "csv_roundtrip",
+    "orc_roundtrip",
+    "join_bucketed_colocated",
+    "txlog_optimize_compact",
+    "txlog_vacuum_reclaim",
+    "txlog_checkpoint_read",
 ]
 
 
