@@ -172,6 +172,27 @@ def scale_probe(spark, sf_dir: str) -> dict:
     out["simhash_10x"] = round(timed(lambda: simhash_table(big)), 3)
     out["perdoc_ratio_minhash"] = round(out["minhash_10x"] / 10 / out["minhash_1x"], 3)
     out["perdoc_ratio_simhash"] = round(out["simhash_10x"] / 10 / out["simhash_1x"], 3)
+
+    # composed curation pipeline (quality→dedup→decontam→split→pack):
+    # near-linear per-doc cost means every stage stayed shuffle-bounded
+    from projectdatalake_spark.pipelines.llm_corpus import curate
+
+    docs_l = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    big_l = (
+        docs_l.crossJoin(spark.range(10).select(F.col("id").alias("k")))
+        .select(
+            (F.col("doc_id") * 10 + F.col("k")).alias("doc_id"),
+            F.concat(F.lit("v"), F.col("k"), F.lit(" "), F.col("text")).alias("text"),
+            "lang",
+        )
+    )
+    out["pipeline_1x"] = round(timed(lambda: curate(docs_l)), 3)
+    spark.catalog.clearCache()
+    out["pipeline_10x"] = round(timed(lambda: curate(big_l)), 3)
+    spark.catalog.clearCache()
+    out["perdoc_ratio_pipeline"] = round(
+        out["pipeline_10x"] / 10 / out["pipeline_1x"], 3
+    )
     return out
 
 

@@ -5572,3 +5572,43 @@ def resample_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
         F.last(F.col("sv") / F.col("n"), ignorenulls=True).over(w).alias("value_locf"),
     )
+
+
+@query(
+    "dedup_fuzzy_name_pairs",
+    oracle="""
+    SELECT a.c_nationkey AS nationkey,
+           a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_dist
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def dedup_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution rung of the dedup ladder: candidate duplicate
+    pairs by edit distance (levenshtein ≤ 2) within a blocking key
+    (nation). Blocked all-pairs — quadratic strictly WITHIN each block,
+    like dedup_jaccard_pairs; at 100 TB the blocking key is whatever
+    bounds the block (zip code, sorted-neighborhood window, LSH bucket)
+    and this exact-verify step runs on candidates only. Both engines
+    implement classic Levenshtein, so the predicate is portable."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_custkey").alias("custkey_a"),
+        F.col("c_name").alias("name_a"),
+    )
+    b = c.select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_custkey").alias("custkey_b"),
+        F.col("c_name").alias("name_b"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "nationkey")
+        .filter(F.col("custkey_a") < F.col("custkey_b"))
+        .filter(dist <= 2)
+        .select("nationkey", "custkey_a", "custkey_b", dist.cast("int").alias("edit_dist"))
+    )

@@ -1,0 +1,126 @@
+"""Streaming fault tolerance: a checkpointed query killed mid-backlog and
+restarted must resume from the checkpoint (not reprocess) and converge to
+exactly the batch answer. This is the recovery contract a production
+stream relies on; run_available_now's memory-sink path never restarts, so
+this test drives writeStream directly with a durable checkpoint + file
+sink."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from projectdatalake_spark.sources.readers import load_table
+from projectdatalake_spark.streaming.events import tumbling_window_agg
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def split_events_dir(spark, tmp_path):
+    """The corpus as 4 CHRONOLOGICAL files (quartiles of event time,
+    written oldest-first) so the file stream replays an ordered backlog —
+    with time-shuffled files the watermark would race ahead on file 1 and
+    correctly drop everything else as late, which is watermark semantics,
+    not the recovery property under test."""
+    import time as _time
+
+    from pyspark.sql import Window
+
+    src = str(tmp_path / "events_split")
+    ev = load_table(spark, SF_SMOKE, "events").withColumn(
+        "q", F.ntile(4).over(Window.orderBy("ts"))
+    )
+    for i in range(1, 5):
+        ev.filter(F.col("q") == i).drop("q").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _time.sleep(0.05)  # distinct mtimes → deterministic file order
+    return src
+
+
+def _stream(spark, src):
+    raw = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    # watermarks need TimestampType (ltz); session TZ is pinned UTC so the
+    # ntz→ltz cast is identity (same normalization as read_events_stream)
+    return tumbling_window_agg(raw.withColumn("ts", F.col("ts").cast("timestamp")))
+
+
+def test_restart_from_checkpoint_matches_batch(spark, tmp_path, split_events_dir):
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        # phase 1: process exactly 2 of the 4 files, then stop (the "crash")
+        q = (
+            _stream(spark, split_events_dir)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        import time
+
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if len(q.recentProgress) >= 2:
+                break
+            time.sleep(0.3)
+        q.stop()
+        q.awaitTermination()
+
+        # phase 2: restart from the same checkpoint; availableNow drains the
+        # remaining backlog and flushes closed windows
+        q2 = (
+            _stream(spark, split_events_dir)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    streamed = spark.read.parquet(out)
+    # batch twin: same aggregation, minus the windows append mode holds back
+    # (watermark never passes the final window in a bounded replay)
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(27,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("w_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    # exactly-once across the restart: no window emitted twice
+    dupes = streamed.groupBy("w_start", "event_type").count().filter("count > 1")
+    assert dupes.count() == 0
+    # every emitted row is value-correct (a reprocessed partial batch would
+    # produce a row batch doesn't contain)
+    assert streamed.exceptAll(batch).count() == 0
+    # completeness: append mode holds back only windows the final watermark
+    # (max event time − 1h) hasn't passed; everything clearly older than
+    # 3h before the last window must have been flushed
+    from datetime import timedelta
+
+    max_start = batch.agg(F.max("w_start")).collect()[0][0]
+    cutoff = max_start - timedelta(hours=3)
+    must_emit = batch.filter(F.col("w_start") <= F.lit(cutoff))
+    assert must_emit.exceptAll(streamed).count() == 0
+    assert streamed.count() >= must_emit.count() > 0
