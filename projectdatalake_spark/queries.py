@@ -5612,3 +5612,41 @@ def dedup_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= 2)
         .select("nationkey", "custkey_a", "custkey_b", dist.cast("int").alias("edit_dist"))
     )
+
+
+@query(
+    "pyds_custom_source",
+    oracle="""
+    SELECT category, count(*) AS n,
+           CAST(sum(CAST(score AS DECIMAL(27,2))) AS DOUBLE) AS total_score
+    FROM (
+      SELECT 'c' || CAST(CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 4))
+                             AS INTEGER) % 100 % 5 AS VARCHAR) AS category,
+             (CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 4)) AS INTEGER)
+               % 100) / 100.0 AS score
+      FROM generate_series(0, 9999) t(i)
+    )
+    GROUP BY category
+    """,
+)
+def pyds_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector through the Python Data Source API
+    (sources/pydatasource.py): a partition-parallel DataSource planned as
+    a regular scan and driven from spark.read.format(). The source is a
+    deterministic md5-derived generator, so DuckDB recomputes the same
+    rows from generate_series and the driver gate proves the connector's
+    VALUES end-to-end — the extension path a user takes for any feed
+    Spark lacks a built-in reader for."""
+    from projectdatalake_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    rows = (
+        spark.read.format("synthetic_rows")
+        .option("rows", "10000")
+        .option("numPartitions", "8")
+        .load()
+    )
+    return rows.groupBy("category").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("score")).alias("total_score"),
+    )
