@@ -5650,3 +5650,35 @@ def pyds_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dsum(F.col("score")).alias("total_score"),
     )
+
+
+@query(
+    "txlog_bloom_skipping",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders WHERE o_orderkey = 42
+    """,
+)
+def txlog_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter file skipping: orders hash-scattered across 8 files on
+    o_orderkey (min/max spans everything, the 64-entry dictionary never
+    forms — the high-cardinality regime), read back by point predicate
+    through the per-file blooms. ~87% of files prune before Spark plans
+    the scan (1 true file + ~2% FPR × 7); result must equal the oracle's
+    plain filter — blooms cost I/O on false positives, never correctness.
+    The id-point-lookup story (order tracking, GDPR subject access) a
+    100 TB unclustered table needs. Pruning counts asserted in
+    tests/test_txlog.py::test_bloom_skipping_high_cardinality."""
+    import tempfile
+
+    from projectdatalake_spark.sources.txlog import TxTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.col("o_totalprice").cast("double")
+    )
+    root = tempfile.mkdtemp(prefix="txlog_bloom_")
+    table = TxTable.create(
+        spark, root, o.repartition(8, "o_orderkey"), bloom_by=("o_orderkey",)
+    )
+    return table.snapshot(where_eq={"o_orderkey": 42})

@@ -40,7 +40,7 @@ import json
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 _LOG_DIR = "_txlog"
 _STAGING = "_staging"
@@ -160,6 +160,32 @@ def _partition_may_match(add: dict, where: dict, fields: list) -> bool:
                 return False
             if hi_t is not None and pval > hi_t:
                 return False
+    return True
+
+
+# Bloom sizing: 8192 bits / 2 hash functions → FPR ≈ (1-e^(-2n/8192))²,
+# ~2% at n=500 distinct values per file, ~15% at n=2000 — the equality-
+# skipping regime the 64-entry dictionary can't reach. 1 KiB per (file,
+# column) in the log; checkpointing folds it.
+_BLOOM_M = 8192
+_BLOOM_SEEDS = (0xB100, 0xB101)
+
+
+def _bloom_may_match(add: dict, probes: dict[str, list[int]]) -> bool:
+    """Bloom-filter equality skipping for high-cardinality columns: a file
+    whose bloom lacks any probed bit cannot contain the value. Files
+    without a bloom for the column answer yes (never skip on ignorance).
+    ``probes`` maps physical column → the k bit positions of the probed
+    value, computed ONCE per snapshot call with the same Spark xxhash64
+    the writer used (a 1-row local job — hash parity by construction)."""
+    blooms = add.get("bloom") or {}
+    for col, positions in probes.items():
+        hexmap = blooms.get(col)
+        if not hexmap:
+            continue
+        bits = int(hexmap, 16)
+        if any(not (bits >> p) & 1 for p in positions):
+            return False
     return True
 
 
@@ -476,8 +502,12 @@ class TxTable:
         skipping**: point predicates also probe the per-file value
         dictionary (captured at write for low-cardinality columns), which
         prunes exactly where min/max is useless — values interleaving
-        across the whole range. Same exactness contract: residual filter
-        applied, only I/O shrinks."""
+        across the whole range. Columns opted in via ``bloom_by`` also
+        probe a per-file BLOOM filter — the high-cardinality regime the
+        64-entry dictionary can't cover (point lookups on ids scattered
+        across files). Same exactness contract throughout: residual filter
+        applied, only I/O shrinks; bloom false positives cost I/O, never
+        correctness."""
         adds = self._active_files(version)
         if not adds:
             raise ValueError(f"txlog table at {self.root} has no data at version {version}")
@@ -487,12 +517,15 @@ class TxTable:
         mapping = self.column_mapping()
         if where:  # caller filters on logical names; stats/files store physical
             where = {mapping.get(c, c): v for c, v in where.items()}
+        probes: dict[str, list[int]] = {}
         if where_eq:
             where_eq = {mapping.get(c, c): v for c, v in where_eq.items()}
             # a point predicate is also a degenerate interval: reuse the
             # min/max and partition pruning before the dictionary probe
             prune = dict(where or {})
             prune.update({c: (v, v) for c, v in where_eq.items()})
+            # bloom probe positions: one tiny local job, shared by all files
+            probes = self._bloom_probes(where_eq)
         else:
             prune = where
         if prune:
@@ -502,6 +535,7 @@ class TxTable:
                 if _stats_may_match(a, prune)
                 and _partition_may_match(a, prune, fields)
                 and (not where_eq or _dict_may_match(a, where_eq))
+                and (not probes or _bloom_may_match(a, probes))
             ]
             if not adds:
                 return self.snapshot(version).filter("1=0")
@@ -653,12 +687,21 @@ class TxTable:
         root: str,
         df: DataFrame,
         partition_by: tuple[str, ...] = (),
+        bloom_by: tuple[str, ...] = (),
     ) -> "TxTable":
-        """Create the table with ``df`` as version 0."""
+        """Create the table with ``df`` as version 0. ``bloom_by`` opts
+        columns into per-file bloom filters (high-cardinality equality
+        skipping; see _bloom_may_match)."""
         table = cls(spark, root)
         if table.history():
             raise ValueError(f"txlog table already exists at {root}")
-        table._commit_write(df, op="create", partition_by=partition_by, removes=[])
+        # stats attach runs while staging version 0, before any commit
+        # exists to read the setting back from — seed it on the instance
+        table._pending_bloom = tuple(bloom_by)
+        table._commit_write(
+            df, op="create", partition_by=partition_by, removes=[],
+            bloom_by=list(bloom_by),
+        )
         return table
 
     def _partition_by(self) -> tuple[str, ...]:
@@ -702,6 +745,54 @@ class TxTable:
             "set_partition_spec", adds=[], removes=[],
             partition_by=list(partition_by),
         )
+
+    def _bloom_by(self) -> tuple[str, ...]:
+        """Columns (physical names) carrying per-file bloom filters: the
+        creation setting unless a later ``set_bloom_columns`` commit
+        changed it. Already-written files keep (or lack) their blooms —
+        readers never skip on a missing bloom, so the change is safe
+        retroactively; OPTIMIZE rewrites backfill them."""
+        commits = self.history()
+        if not commits:
+            return tuple(getattr(self, "_pending_bloom", ()))
+        cols = tuple(commits[0].get("bloom_by", ()))
+        for c in commits:
+            if c["op"] == "set_bloom_columns":
+                cols = tuple(c["bloom_by"])
+        return cols
+
+    def set_bloom_columns(self, cols: tuple[str, ...]) -> int:
+        """Metadata-only commit switching which columns future writes
+        bloom-index (Delta's bloom filter index DDL analog)."""
+        mapping = self.column_mapping()
+        return self._publish(
+            "set_bloom_columns", adds=[], removes=[],
+            bloom_by=[mapping.get(c, c) for c in cols],
+        )
+
+    def _bloom_probes(self, where_eq: dict) -> dict[str, list[int]]:
+        """Bit positions of each probed value, via the SAME Spark xxhash64
+        expression the writer aggregated — a 1-row local job per snapshot
+        call, not per file. Values are cast to the column's stored type
+        first (xxhash64 is type-sensitive: hashing 5 as INT ≠ as BIGINT)."""
+        cols = [c for c in where_eq if c in set(self._bloom_by())]
+        if not cols:
+            return {}
+        schema = self.table_schema()
+        exprs = []
+        for c in cols:
+            typ = schema.get(c, "string")
+            for i, seed in enumerate(_BLOOM_SEEDS):
+                exprs.append(
+                    F.pmod(
+                        F.xxhash64(F.lit(where_eq[c]).cast(typ), F.lit(seed)),
+                        F.lit(_BLOOM_M),
+                    ).alias(f"p{i}__{c}")
+                )
+        row = self.spark.range(1).select(*exprs).collect()[0].asDict()
+        return {
+            c: [row[f"p{i}__{c}"] for i in range(len(_BLOOM_SEEDS))] for c in cols
+        }
 
     def _partition_fields(self) -> list[tuple[str, int | None, str, str]]:
         """Parsed CURRENT partition spec: (kind, param, source_col,
@@ -799,6 +890,11 @@ class TxTable:
             for f in df.schema.fields
             if f.name in set(cols) and f.dataType.typeName() in dict_types
         ]
+        # opted-in high-cardinality columns get a per-file bloom filter:
+        # equality skipping beyond the dictionary's 64-distinct cap (e.g.
+        # point lookups on an id hash-scattered across files, where min/max
+        # spans everything and the dictionary overflowed)
+        bloom_cols = [c for c in self._bloom_by() if c in set(cols)]
         aggs = []
         for c in cols:
             aggs.append(F.min(c).alias(f"min__{c}"))
@@ -807,6 +903,13 @@ class TxTable:
             aggs.append(
                 F.slice(F.sort_array(F.collect_set(c)), 1, 65).alias(f"dict__{c}")
             )
+        for c in bloom_cols:
+            for i, seed in enumerate(_BLOOM_SEEDS):
+                aggs.append(
+                    F.collect_set(
+                        F.pmod(F.xxhash64(F.col(c), F.lit(seed)), F.lit(_BLOOM_M))
+                    ).alias(f"bloom{i}__{c}")
+                )
         rows = (
             df.withColumn("__file", F.input_file_name())
             .groupBy("__file")
@@ -815,6 +918,7 @@ class TxTable:
         )
         by_name: dict[str, dict] = {}
         dicts_by_name: dict[str, dict] = {}
+        blooms_by_name: dict[str, dict] = {}
         for r in rows:
             d = r.asDict()
             fname = d.pop("__file").rsplit("/", 1)[-1]
@@ -830,6 +934,15 @@ class TxTable:
                 if vals is not None and 0 < len(vals) <= 64:
                     dicts[c] = [_stats_value(v) for v in vals]
             dicts_by_name[fname] = dicts
+            blooms = {}
+            for c in bloom_cols:
+                bits = 0
+                for i in range(len(_BLOOM_SEEDS)):
+                    for p in d.get(f"bloom{i}__{c}") or []:
+                        bits |= 1 << p
+                if bits:
+                    blooms[c] = f"{bits:x}"
+            blooms_by_name[fname] = blooms
         for a in adds:
             base = a["path"].rsplit("/", 1)[-1]
             stats = by_name.get(base)
@@ -838,6 +951,9 @@ class TxTable:
             dicts = dicts_by_name.get(base)
             if dicts:
                 a["dict"] = dicts
+            blooms = blooms_by_name.get(base)
+            if blooms:
+                a["bloom"] = blooms
 
     def _publish(
         self, op: str, adds: list[dict], removes: list[str], precondition=None, **extra

@@ -769,3 +769,66 @@ def test_optimize_materializes_update_dv(spark, table):
     assert {(r.id, r.val) for r in table.snapshot().collect()} == {
         (1, 11), (2, 20), (3, 30)
     }
+
+
+def test_bloom_skipping_high_cardinality(spark, tmp_path):
+    from projectdatalake_spark.sources.readers import load_table
+    from projectdatalake_spark.sources.txlog import _bloom_may_match
+    from tests.conftest import SF_SMOKE
+
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderpriority", F.col("o_totalprice").cast("double")
+    )
+    # hash-scatter the key across 8 files: min/max spans everything and the
+    # dictionary (>64 distinct per file) never forms — bloom territory
+    t = TxTable.create(
+        spark,
+        str(tmp_path / "bloomed"),
+        o.repartition(8, "o_orderkey"),
+        bloom_by=("o_orderkey",),
+    )
+    adds = t._active_files()
+    assert len(adds) == 8
+    assert all(a.get("bloom", {}).get("o_orderkey") for a in adds)
+    assert not any(a.get("dict", {}).get("o_orderkey") for a in adds)
+
+    some_key = o.limit(1).collect()[0]["o_orderkey"]
+    # present key: exact result through the bloom path
+    got = t.snapshot(where_eq={"o_orderkey": some_key})
+    want = t.snapshot().filter(F.col("o_orderkey") == some_key)
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    assert got.count() >= 1
+
+    # present key lives in exactly one hash partition: the other 7 files
+    # must be bloom-prunable up to the (small) false-positive rate
+    probes = t._bloom_probes({"o_orderkey": some_key})
+    surviving = [a for a in adds if _bloom_may_match(a, probes)]
+    assert len(surviving) <= 4
+
+    # absent key: empty result, and most files pruned before the scan
+    absent = -99999
+    assert t.snapshot(where_eq={"o_orderkey": absent}).count() == 0
+    probes = t._bloom_probes({"o_orderkey": absent})
+    surviving = [a for a in adds if _bloom_may_match(a, probes)]
+    assert len(surviving) <= 4
+
+
+def test_bloom_survives_optimize_and_retro_setting(spark, tmp_path):
+    from projectdatalake_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    c = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    t = TxTable.create(spark, str(tmp_path / "retro"), c.repartition(4))
+    # no blooms yet: probing is a safe no-op (files kept)
+    key = c.limit(1).collect()[0]["c_custkey"]
+    assert t.snapshot(where_eq={"c_custkey": key}).count() == 1
+    # opt in retroactively; OPTIMIZE rewrite backfills blooms
+    t.set_bloom_columns(("c_custkey",))
+    t.append(c.limit(0))  # no-op data, proves setting persists in log
+    t.optimize(min_files=2, target_files=2)
+    adds = t._active_files()
+    assert all(a.get("bloom", {}).get("c_custkey") for a in adds)
+    got = t.snapshot(where_eq={"c_custkey": key})
+    assert got.count() == 1
