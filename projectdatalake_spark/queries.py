@@ -5682,3 +5682,65 @@ def txlog_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, root, o.repartition(8, "o_orderkey"), bloom_by=("o_orderkey",)
     )
     return table.snapshot(where_eq={"o_orderkey": 42})
+
+
+@query(
+    "explode_ordinality",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id, pos, token FROM (
+      SELECT doc_id,
+             unnest(list_transform(toks,
+                    (x, i) -> {'pos': CAST(i - 1 AS INT), 'token': x}),
+                    recursive := true)
+      FROM t
+    )
+    """,
+)
+def explode_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (LATERAL VIEW POSEXPLODE ≡ UNNEST WITH
+    ORDINALITY): token streams that keep their offsets — what any
+    sequence-labeling or span-extraction prep needs. Zero-based on the
+    Spark side; the oracle aligns DuckDB's 1-based ordinality."""
+    from projectdatalake_spark.operators import text as TX
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id", F.posexplode(TX.tokens(F.col("text"))).alias("pos", "token")
+    )
+
+
+@query(
+    "win_nth_boundaries",
+    oracle="""
+    SELECT event_id, user_id,
+           first_value(event_type) OVER w AS first_type,
+           nth_value(event_type, 3) OVER w AS third_type,
+           last_value(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS final_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_nth_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-value window functions (first_value / nth_value /
+    last_value over an unbounded frame): the journey-analysis trio —
+    entry event, third touch, eventual outcome per user. One shuffle on
+    user_id serves all three (same partitioning, two frames)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("event_type").over(run).alias("first_type"),
+        F.nth_value("event_type", 3).over(run).alias("third_type"),
+        F.last("event_type").over(full).alias("final_type"),
+    )
