@@ -97,7 +97,7 @@ _R3_PINNED = frozenset(
         "agg_collect_sorted", "quantize_embeddings", "llm_corpus_pipeline",
         "join_bucketed_colocated", "csv_roundtrip", "resample_gapfill_hourly",
         "dedup_fuzzy_name_pairs", "pyds_custom_source", "txlog_bloom_skipping",
-        "explode_ordinality", "win_nth_boundaries",
+        "explode_ordinality", "win_nth_boundaries", "txlog_cdf_stream_source",
         # semantics strengthened in round 3 (was trivially empty) — re-prove
         "join_anti_customers_no_orders",
     }

@@ -58,6 +58,12 @@ EXTENDED = [
     "agg_regression_stats",
     "orc_roundtrip",
     "llm_corpus_pipeline",
+    "txlog_bloom_skipping",
+    "txlog_cdf_stream_source",
+    "pyds_custom_source",
+    "dedup_fuzzy_name_pairs",
+    "resample_gapfill_hourly",
+    "join_bucketed_colocated",
 ]
 
 HEADLINE = [

@@ -5744,3 +5744,68 @@ def win_nth_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("event_type", 3).over(run).alias("third_type"),
         F.last("event_type").over(full).alias("final_type"),
     )
+
+
+@query(
+    "txlog_cdf_stream_source",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+           'insert' AS _change_type, 1 AS _commit_version
+    FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE),
+           'delete', 2
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, CAST(c_acctbal * 0.9 AS DOUBLE),
+           'insert', 2
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def txlog_cdf_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The txlog change feed consumed as a STREAM (sources/txlog_stream.py:
+    custom streaming source, commit-version offsets): same commit history
+    as txlog_changes — create / append / replace_where-with-discount —
+    but the CDF rows arrive through readStream + availableNow replay
+    instead of the batch changes() call, and must hash-match the same
+    oracle. Proves the streaming consumer sees byte-identical deltas to
+    the batch API: the contract that lets an incremental job switch
+    between catch-up batch reads and live streaming without
+    reconciliation."""
+    import tempfile
+    import uuid
+
+    from projectdatalake_spark.sources import txlog_stream
+    from projectdatalake_spark.sources.txlog import TxTable
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.col("c_acctbal").cast("double").alias("c_acctbal")
+    )
+    root = tempfile.mkdtemp(prefix="txlog_cdfs_")
+    table = TxTable.create(
+        spark, root,
+        c.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY")),
+        partition_by=("c_mktsegment",),
+    )
+    table.append(c.filter(F.col("c_mktsegment") == "AUTOMOBILE"))
+    discounted = c.filter(F.col("c_mktsegment") == "BUILDING").withColumn(
+        "c_acctbal", F.col("c_acctbal") * 0.9
+    )
+    table.replace_where(discounted, {"c_mktsegment": ["BUILDING"]})
+
+    txlog_stream.register(spark)
+    name = "cdf_stream_" + uuid.uuid4().hex[:8]
+    q = (
+        spark.readStream.format("txlog_changes")
+        .option("path", root)
+        .option("startingVersion", "0")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "c_custkey", "c_mktsegment", "c_acctbal", "_change_type", "_commit_version"
+    )
