@@ -3432,7 +3432,7 @@ def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "txlog_changes",
     oracle="""
     SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS c_acctbal,
-           'insert' AS _change_type, 1 AS _commit_version
+           'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
     FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
     UNION ALL
     SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE),
@@ -3933,7 +3933,7 @@ def tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CAST(volume AS DECIMAL(27,4))) AS DOUBLE) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-             year(l_shipdate) AS l_year,
+             CAST(year(l_shipdate) AS INT) AS l_year,
              l_extendedprice * (1 - l_discount) AS volume
       FROM supplier
       JOIN lineitem ON s_suppkey = l_suppkey
@@ -3989,7 +3989,7 @@ def tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                          ELSE CAST(0 AS DECIMAL(27,4)) END) AS DOUBLE)
            / CAST(sum(CAST(volume AS DECIMAL(27,4))) AS DOUBLE) AS mkt_share
     FROM (
-      SELECT year(o_orderdate) AS o_year,
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
              l_extendedprice * (1 - l_discount) AS volume,
              n2.n_name AS supp_nation
       FROM part
@@ -4059,7 +4059,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT nation, o_year,
            CAST(sum(CAST(amount AS DECIMAL(27,4))) AS DOUBLE) AS sum_profit
     FROM (
-      SELECT n_name AS nation, year(o_orderdate) AS o_year,
+      SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
              l_extendedprice * (1 - l_discount) AS amount
       FROM part
       JOIN lineitem ON p_partkey = l_partkey
@@ -5754,7 +5754,7 @@ def win_nth_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     "txlog_cdf_stream_source",
     oracle="""
     SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS c_acctbal,
-           'insert' AS _change_type, 1 AS _commit_version
+           'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
     FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
     UNION ALL
     SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE),
@@ -5847,4 +5847,53 @@ def variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").cast("bigint").alias("sum_k"),
             F.max("k").alias("max_k"),
         )
+    )
+
+
+@query(
+    "agg_bitwise",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(bit_and(l_linenumber) AS BIGINT) AS and_ln,
+           CAST(bit_or(l_linenumber)  AS BIGINT) AS or_ln,
+           CAST(bit_xor(l_linenumber) AS BIGINT) AS xor_ln
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (bit_and/or/xor): flag-mask consolidation —
+    e.g. folding per-row feature bitmaps into a per-group capability
+    mask. Exact, order-independent, map-side combinable: the cheapest
+    aggregate family there is."""
+    li = _t(spark, sf_dir, "lineitem")
+    ln = F.col("l_linenumber")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and(ln).cast("bigint").alias("and_ln"),
+        F.bit_or(ln).cast("bigint").alias("or_ln"),
+        F.bit_xor(ln).cast("bigint").alias("xor_ln"),
+    )
+
+
+@query(
+    "safe_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice / NULLIF(o_custkey % 3, 0) AS price_per_bucket,
+           o_totalprice + 1000 AS bumped
+    FROM orders
+    """,
+)
+def safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-on-error arithmetic (try_divide/try_add): under ANSI SQL mode
+    (Spark 4's default) a single divide-by-zero KILLS a 100 TB job at
+    hour nine — the try_* family turns poison rows into NULLs that flow
+    to quarantine instead. Oracle expresses the identical semantics with
+    NULLIF/CASE guards."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 3).alias(
+            "price_per_bucket"
+        ),
+        F.try_add(F.col("o_totalprice"), F.lit(1000)).alias("bumped"),
     )

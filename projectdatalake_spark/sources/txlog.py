@@ -655,7 +655,7 @@ class TxTable:
                 ).drop("__fp", "__ri")
                 frames.append(
                     deleted.withColumn("_change_type", F.lit("delete")).withColumn(
-                        "_commit_version", F.lit(v)
+                        "_commit_version", F.lit(v).cast("bigint")
                     )
                 )
             for kind, rels in (
@@ -667,12 +667,12 @@ class TxTable:
                 frames.append(
                     read_rels(rels)
                     .withColumn("_change_type", F.lit(kind))
-                    .withColumn("_commit_version", F.lit(v))
+                    .withColumn("_commit_version", F.lit(v).cast("bigint"))
                 )
         if not frames:
             return self.snapshot().filter("1=0").withColumn(
                 "_change_type", F.lit("")
-            ).withColumn("_commit_version", F.lit(0))
+            ).withColumn("_commit_version", F.lit(0).cast("bigint"))
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f, allowMissingColumns=True)
