@@ -98,7 +98,7 @@ _R3_PINNED = frozenset(
         "join_bucketed_colocated", "csv_roundtrip", "resample_gapfill_hourly",
         "dedup_fuzzy_name_pairs", "pyds_custom_source", "txlog_bloom_skipping",
         "explode_ordinality", "win_nth_boundaries", "txlog_cdf_stream_source",
-        "variant_semistructured",
+        "variant_semistructured", "agg_bitwise", "safe_arithmetic",
         # semantics strengthened in round 3 (was trivially empty) — re-prove
         "join_anti_customers_no_orders",
     }
