@@ -5897,3 +5897,33 @@ def safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.try_add(F.col("o_totalprice"), F.lit(1000)).alias("bumped"),
     )
+
+
+@query(
+    "scan_provenance",
+    oracle="""
+    SELECT 'documents.parquet' AS file_name,
+           count(*) AS n_rows,
+           CAST(min(doc_id) AS BIGINT) AS min_id,
+           CAST(max(doc_id) AS BIGINT) AS max_id
+    FROM documents
+    """,
+)
+def scan_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest provenance via the hidden ``_metadata`` struct: every scan
+    row carries its source file, surfaced here as per-file audit stats
+    (rows + id range per physical file) — the lineage record an ingest
+    pipeline logs to reconcile against upstream manifests (and how the
+    reference's partial-write incident, reference README.md:47-50, would
+    have been DETECTED). Zero extra I/O: the column is scan metadata,
+    not data. The corpus ships one file per table, so the oracle pins the
+    invariant name and checks the per-file stats exactly (DuckDB's
+    filename=true sees the same basename, but the driver's oracle runs on
+    pre-registered views, which hide it)."""
+    d = _t(spark, sf_dir, "documents")
+    fname = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+    return d.select(fname.alias("file_name"), "doc_id").groupBy("file_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("doc_id").cast("bigint").alias("min_id"),
+        F.max("doc_id").cast("bigint").alias("max_id"),
+    )
