@@ -99,7 +99,7 @@ _R3_PINNED = frozenset(
         "dedup_fuzzy_name_pairs", "pyds_custom_source", "txlog_bloom_skipping",
         "explode_ordinality", "win_nth_boundaries", "txlog_cdf_stream_source",
         "variant_semistructured", "agg_bitwise", "safe_arithmetic",
-        "scan_provenance",
+        "scan_provenance", "interval_overlap_join",
         # semantics strengthened in round 3 (was trivially empty) — re-prove
         "join_anti_customers_no_orders",
     }

@@ -5927,3 +5927,67 @@ def scan_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("min_id"),
         F.max("doc_id").cast("bigint").alias("max_id"),
     )
+
+
+@query(
+    "interval_overlap_join",
+    oracle="""
+    WITH w AS (
+      SELECT o_orderkey, o_custkey,
+             o_orderdate AS s, o_orderdate + INTERVAL 30 DAY AS e
+      FROM orders
+    )
+    SELECT a.o_custkey AS custkey,
+           a.o_orderkey AS orderkey_a, b.o_orderkey AS orderkey_b,
+           CAST(greatest(a.s, b.s) AS TIMESTAMP) AS overlap_start,
+           CAST(least(a.e, b.e)   AS TIMESTAMP) AS overlap_end
+    FROM w a JOIN w b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND a.s < b.e AND b.s < a.e
+    """,
+)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-interval OVERLAP join (distinct from the point-in-interval
+    range join): each order opens a 30-day fulfillment window; pairs of
+    the same customer's windows that overlap are concurrent-shipment
+    candidates, with the overlap span computed. The equality key
+    (customer) bounds the quadratic strictly within ~10-order blocks —
+    the same blocked-verify shape as the dedup ladder; for overlap joins
+    with NO equality key, discretize intervals into epoch buckets and
+    equi-join on bucket (the range_join_bucketed construction) before
+    the exact overlap verify."""
+    o = _t(spark, sf_dir, "orders")
+    w = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").alias("s"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("e"),
+    )
+    a = w.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey_a"),
+        F.col("s").alias("sa"),
+        F.col("e").alias("ea"),
+    )
+    b = w.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey_b"),
+        F.col("s").alias("sb"),
+        F.col("e").alias("eb"),
+    )
+    return (
+        a.join(b, "custkey")
+        .filter(
+            (F.col("orderkey_a") < F.col("orderkey_b"))
+            & (F.col("sa") < F.col("eb"))
+            & (F.col("sb") < F.col("ea"))
+        )
+        .select(
+            "custkey",
+            "orderkey_a",
+            "orderkey_b",
+            F.greatest("sa", "sb").cast("timestamp_ntz").alias("overlap_start"),
+            F.least("ea", "eb").cast("timestamp_ntz").alias("overlap_end"),
+        )
+    )
