@@ -78,6 +78,10 @@ SHARED_ANSI = [
     "txlog_optimize_compact",
     "txlog_vacuum_reclaim",
     "txlog_checkpoint_read",
+    "agg_bitwise",
+    "safe_arithmetic",
+    "scan_provenance",
+    "interval_overlap_join",
 ]
 
 
