@@ -5991,3 +5991,45 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("ea", "eb").cast("timestamp_ntz").alias("overlap_end"),
         )
     )
+
+
+@query(
+    "text_sentences",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[.!?]+'),
+                         x -> length(trim(x)) > 0) AS sents
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(sents) AS INT) AS n_sentences,
+           CAST(list_max(list_transform(sents, x -> length(trim(x)))) AS INT)
+             AS max_sentence_chars,
+           CAST(list_sum(list_transform(sents, x -> length(trim(x)))) AS BIGINT)
+             AS total_sentence_chars
+    FROM s
+    """,
+)
+def text_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation stats (regex terminator split, trimmed,
+    empties dropped): sentence count / longest / total chars per doc —
+    the chunking granularity long-context training prep works at (split
+    on sentences, pack to budget), and a quality signal (avg sentence
+    length flags boilerplate). Pure per-row array expressions — no
+    shuffle, fused into the scan. The [.!?]+ pattern parses identically
+    in Java regex and RE2."""
+    d = _t(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.split(F.col("text"), r"[.!?]+"),
+        lambda x: F.length(F.trim(x)) > 0,
+    )
+    lens = F.transform(sents, lambda x: F.length(F.trim(x)))
+    return d.select(
+        "doc_id",
+        F.size(sents).alias("n_sentences"),
+        F.array_max(lens).cast("int").alias("max_sentence_chars"),
+        F.aggregate(lens, F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+            "total_sentence_chars"
+        ),
+    )

@@ -70,3 +70,14 @@ def test_exact_dupes_removed(spark):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     assert joined.filter(F.col("n") > 1).count() == 0
+
+
+def test_partitioning_invariance(spark):
+    """The pipeline's core claim: identical output for ANY physical
+    layout of the input — content-stable hashes and explicit orderings
+    everywhere, no sample()/monotonic-id/partition-dependent ops."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    base = llm_corpus.curate(docs)
+    shuffled = llm_corpus.curate(docs.repartition(7, "lang"))
+    assert base.exceptAll(shuffled).count() == 0
+    assert shuffled.exceptAll(base).count() == 0
