@@ -172,3 +172,27 @@ def test_lsh_cluster_agreement(spark):
     assert pairs
     same = sum(1 for a, b in pairs if lsh_clusters[a] == lsh_clusters[b])
     assert same / len(pairs) >= 0.9, f"only {same}/{len(pairs)} pairs co-clustered"
+
+
+def test_hll_sketch_merge_across_partials(spark):
+    """Mergeability is WHY sketches matter at 100 TB: per-shard partial
+    sketches (here: per event-day) union into the global estimate
+    without revisiting rows — the two-level aggregation every
+    distributed distinct-count runs. Gate: the merged estimate is
+    within 5% of the exact global distinct count AND equals the
+    single-pass sketch estimate exactly (same binary sketch algebra)."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    exact = ev.select("user_id").distinct().count()
+    merged = (
+        ev.groupBy(F.to_date("ts").alias("d"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]["est"]
+    )
+    single = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+    ).collect()[0]["est"]
+    assert merged == single, (merged, single)
+    assert abs(merged - exact) / exact <= 0.05, (merged, exact)
