@@ -64,6 +64,12 @@ EXTENDED = [
     "dedup_fuzzy_name_pairs",
     "resample_gapfill_hourly",
     "join_bucketed_colocated",
+    "variant_semistructured",
+    "interval_overlap_join",
+    "text_sentences",
+    "agg_bitwise",
+    "safe_arithmetic",
+    "scan_provenance",
 ]
 
 HEADLINE = [
