@@ -83,27 +83,42 @@ _R2_DRIVER_VERIFIED = frozenset(
     }
 )
 
-_DRIVER_VERIFIED = _R1_DRIVER_VERIFIED | _R2_DRIVER_VERIFIED
-
-# Round 3's new surface (and the two repaired array-boundary queries):
-# pinned to the front of the sampling window so this round's CORRECTNESS
-# file carries driver evidence for them.
-_R3_PINNED = frozenset(
+# Hash-green in CORRECTNESS_r03.json (all 50 rows green, including the
+# re-proven join_anti_customers_no_orders which also sits in the r1 set).
+_R3_DRIVER_VERIFIED = frozenset(
     {
-        "tpch_q2_min_cost_supplier", "tpch_q11_important_stock",
-        "tpch_q20_part_promotion", "txlog_optimize_compact",
-        "txlog_vacuum_reclaim", "txlog_checkpoint_read",
-        "agg_regression_stats", "orc_roundtrip",
-        "agg_collect_sorted", "quantize_embeddings", "llm_corpus_pipeline",
-        "join_bucketed_colocated", "csv_roundtrip", "resample_gapfill_hourly",
-        "dedup_fuzzy_name_pairs", "pyds_custom_source", "txlog_bloom_skipping",
-        "explode_ordinality", "win_nth_boundaries", "txlog_cdf_stream_source",
+        "join_anti_customers_no_orders", "agg_collect_sorted",
+        "quantize_embeddings", "tpch_q2_min_cost_supplier",
+        "tpch_q11_important_stock", "tpch_q20_part_promotion",
+        "txlog_optimize_compact", "txlog_vacuum_reclaim",
+        "txlog_checkpoint_read", "agg_regression_stats", "orc_roundtrip",
+        "llm_corpus_pipeline", "join_bucketed_colocated", "csv_roundtrip",
+        "resample_gapfill_hourly", "dedup_fuzzy_name_pairs",
+        "pyds_custom_source", "txlog_bloom_skipping", "explode_ordinality",
+        "win_nth_boundaries", "txlog_cdf_stream_source",
         "variant_semistructured", "agg_bitwise", "safe_arithmetic",
-        "scan_provenance", "interval_overlap_join",
-        # semantics strengthened in round 3 (was trivially empty) — re-prove
-        "join_anti_customers_no_orders",
+        "scan_provenance", "interval_overlap_join", "agg_quantile_array",
+        "set_intersect_all", "map_functions", "asof_join_grouped",
+        "scd2_customer_history", "merge_partition_scoped",
+        "sql_pricing_summary", "sql_tpch_q3", "sql_win_rank_dense",
+        "mm_decode_real", "split_assign_hash", "pack_token_budget",
+        "tfidf_top_terms", "stream_join_enrich", "dedup_clusters",
+        "null_handling", "win_distribution", "agg_filter_clause",
+        "sql_lateral_topn", "array_higher_order", "spine_calendar",
+        "validate_rules", "tpch_q5_local_volume", "tpch_q10_returned",
     }
 )
+
+_DRIVER_VERIFIED = (
+    _R1_DRIVER_VERIFIED | _R2_DRIVER_VERIFIED | _R3_DRIVER_VERIFIED
+)
+
+# Round 4's new surface: pinned to the front of the sampling window so this
+# round's CORRECTNESS file carries driver evidence for it. The 30 oracle
+# queries never yet driver-sampled (tpch_q4/6/7/8/9/12..22, the text-hygiene
+# wave, stream_stream_join, …) rank right behind and fill the rest of the
+# 50-query window.
+_R4_PINNED = frozenset()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -113,7 +128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     that samples a prefix checks the queries with no prior driver row.
     """
     def rank(name: str) -> int:
-        if name in _R3_PINNED:
+        if name in _R4_PINNED:
             return -1
         if name not in _DRIVER_VERIFIED:
             # hash-checkable unproven queries first — a rows-only entry
