@@ -5775,7 +5775,11 @@ def txlog_cdf_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle. Proves the streaming consumer sees byte-identical deltas to
     the batch API: the contract that lets an incremental job switch
     between catch-up batch reads and live streaming without
-    reconciliation."""
+    reconciliation. The source is a partition-planning
+    DataSourceStreamReader (one InputPartition per changed file per
+    commit, rows decoded executor-side — the driver touches only commit
+    JSON and parquet footers); startingVersion is INCLUSIVE per Delta's
+    convention, so 1 = everything after the create."""
     import tempfile
     import uuid
 
@@ -5802,7 +5806,7 @@ def txlog_cdf_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (
         spark.readStream.format("txlog_changes")
         .option("path", root)
-        .option("startingVersion", "0")
+        .option("startingVersion", "1")
         .load()
         .writeStream.format("memory")
         .queryName(name)

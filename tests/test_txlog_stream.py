@@ -116,6 +116,84 @@ def test_cdf_stream_restart_resumes_from_offset(spark, table, tmp_path):
     assert ids == [1, 2, 4, 5]
 
 
+def test_cdf_backlog_plans_multiple_input_partitions(spark, table, tmp_path):
+    """The scale contract: a multi-commit backlog fans out to one
+    InputPartition per changed file per commit (executor-side decode),
+    not a single driver-side replay."""
+    table.append(_mkdf(spark, [(3, "A", 30)]))
+    table.append(_mkdf(spark, [(4, "B", 40)]))
+    reader = txlog_stream.TxLogChangesStreamReader({"path": table.root})
+    latest = reader.latestOffset()
+    parts = reader.partitions({"version": -1}, latest)
+    assert len(parts) > 1  # create + two appends → ≥3 files
+    assert all(isinstance(p, txlog_stream.ChangeFilePartition) for p in parts)
+    # executor read of all partitions reproduces the batch changes() feed
+    rows = [r for p in parts for r in reader.read(p)]
+    assert len(rows) == table.changes(-1).count()
+
+
+def test_cdf_starting_version_is_inclusive(spark, table, tmp_path):
+    """startingVersion=N delivers commit N itself (Delta's convention)."""
+    table.append(_mkdf(spark, [(3, "A", 30)]))  # version 1
+    txlog_stream.register(spark)
+    stream = (
+        spark.readStream.format("txlog_changes")
+        .option("path", table.root)
+        .option("startingVersion", "1")
+        .load()
+    )
+    got = _run_until(
+        spark, stream, "cdf_sink_incl", str(tmp_path / "ck_incl"),
+        lambda df: df.count() >= 1,
+    )
+    ids = sorted(r["id"] for r in got.select("id").collect())
+    assert ids == [3]  # version 1 included, version 0's create excluded
+
+
+def test_cdf_partition_values_typed_from_path(spark, tmp_path):
+    """Hive path segments of a non-string-partitioned table come back
+    with the declared type, matching batch changes()."""
+    df = spark.createDataFrame([(1, 10, "x"), (2, 20, "y")], ["id", "bucket_no", "s"])
+    t = TxTable.create(
+        spark, str(tmp_path / "int_part"), df, partition_by=("bucket_no",)
+    )
+    t.append(spark.createDataFrame([(3, 10, "z")], ["id", "bucket_no", "s"]))
+    txlog_stream.register(spark)
+    stream = (
+        spark.readStream.format("txlog_changes")
+        .option("path", t.root)
+        .load()
+    )
+    got = _run_until(
+        spark, stream, "cdf_sink_typed", str(tmp_path / "ck_typed"),
+        lambda d: d.count() >= 3,
+    )
+    assert dict(got.dtypes)["bucket_no"] == "bigint"
+    assert sorted(r["bucket_no"] for r in got.select("bucket_no").collect()) == [10, 10, 20]
+    expected = t.changes(-1).select("id", "bucket_no", "s", "_change_type")
+    assert got.select("id", "bucket_no", "s", "_change_type").exceptAll(expected).count() == 0
+
+
+def test_cdf_simple_fallback_matches_partition_reader(spark, table, tmp_path):
+    """txlog_changes_simple (driver-side tiny-feed variant) delivers the
+    identical feed."""
+    table.append(_mkdf(spark, [(3, "A", 30)]))
+    table.delete_where("seg = 'B'")
+    txlog_stream.register(spark)
+    stream = (
+        spark.readStream.format("txlog_changes_simple")
+        .option("path", table.root)
+        .load()
+    )
+    expected = table.changes(-1)
+    got = _run_until(
+        spark, stream, "cdf_sink_simple", str(tmp_path / "ck_simple"),
+        lambda df: df.count() >= expected.count(),
+    )
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+
+
 def test_cdf_stream_batch_cap_raises(spark, table, tmp_path):
     txlog_stream.register(spark)
     stream = (
