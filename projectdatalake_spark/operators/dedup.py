@@ -515,6 +515,275 @@ def containment_pairs(
     )
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    k: int = 2,
+    block_cols: Sequence[str] = (),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    q: int = 3,
+) -> DataFrame:
+    """EXACT edit-distance pairs (``levenshtein ≤ k``) via an Ed-Join-style
+    prefix-filtered q-gram join (Xiao/Wang/Lin, VLDB'08) — the
+    entity-resolution candidate generator that stays near-linear when the
+    corpus shares long constant prefixes (where naive first-chars or
+    segment blocking collapses to one quadratic block).
+
+    Candidate lemma: order each string's positional q-grams by global
+    rarity ``(freq, gram, pos)``; if ``ed(a, b) ≤ k`` then the two
+    ``k·q+1``-length prefixes share a gram occurrence whose positions
+    differ by ≤ k (each edit destroys ≤ q grams, so the rarest common
+    surviving occurrence sits within both prefixes; its position shifts
+    by at most the net indels). Candidates therefore join on
+    ``(block, gram)`` with the ±k position band and the |len| ≤ k length
+    filter, and only candidates pay the bounded-levenshtein verification
+    — which early-exits once the distance must exceed ``k``.
+
+    Strings shorter than ``q + k`` additionally carry a sentinel gram so
+    sub-q-length strings still pair (any partner within distance k is
+    itself shorter than ``q + k``). Output: one row per unordered pair
+    (``id_a < id_b``) with the exact distance; equality with the naive
+    blocked quadratic form (``edit_distance_pairs_allpairs``) is tested.
+    """
+    prefix_len = k * q + 1
+    base = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_txt"),
+        F.length(text_col).alias("_len"),
+    )
+    grams = F.when(
+        F.col("_len") >= q,
+        F.transform(
+            F.sequence(F.lit(0), F.col("_len") - q),
+            lambda i: F.struct(
+                F.col("_txt").substr(i + 1, F.lit(q)).alias("g"),
+                i.cast("int").alias("pos"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<g:string,pos:int>>"))
+    sentinel = F.when(
+        F.col("_len") < q + k,
+        F.array(F.struct(F.lit("").alias("g"), F.lit(0).alias("pos"))),
+    ).otherwise(F.array().cast("array<struct<g:string,pos:int>>"))
+    ex = base.select(
+        *[F.col(c) for c in block_cols],
+        "_id",
+        "_txt",
+        "_len",
+        F.explode(F.concat(grams, sentinel)).alias("gp"),
+    )
+    freq = ex.groupBy(F.col("gp.g").alias("g")).agg(F.count(F.lit(1)).alias("gf"))
+    prefixes = (
+        ex.join(freq, ex["gp.g"] == freq["g"], "inner")
+        .groupBy("_id", *block_cols)
+        .agg(
+            F.first("_txt").alias("_txt"),
+            F.first("_len").alias("_len"),
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct("gf", F.col("gp.g").alias("g"), F.col("gp.pos").alias("pos")))
+                ),
+                1,
+                prefix_len,
+            ).alias("pref"),
+        )
+        .select(
+            *[F.col(c) for c in block_cols],
+            "_id",
+            "_txt",
+            "_len",
+            F.explode("pref").alias("gp"),
+        )
+    )
+    a = prefixes.select(
+        *[F.col(c).alias(f"{c}_a") for c in block_cols],
+        F.col("_id").alias("id_a"),
+        F.col("_txt").alias("txt_a"),
+        F.col("_len").alias("len_a"),
+        F.col("gp.g").alias("g_a"),
+        F.col("gp.pos").alias("pos_a"),
+    )
+    b = prefixes.select(
+        *[F.col(c).alias(f"{c}_b") for c in block_cols],
+        F.col("_id").alias("id_b"),
+        F.col("_txt").alias("txt_b"),
+        F.col("_len").alias("len_b"),
+        F.col("gp.g").alias("g_b"),
+        F.col("gp.pos").alias("pos_b"),
+    )
+    cond = (
+        (F.col("g_a") == F.col("g_b"))
+        & (F.col("id_a") < F.col("id_b"))
+        & (F.abs(F.col("pos_a") - F.col("pos_b")) <= k)
+        & (F.abs(F.col("len_a") - F.col("len_b")) <= k)
+    )
+    for c in block_cols:
+        cond = cond & (F.col(f"{c}_a") == F.col(f"{c}_b"))
+    dist = F.levenshtein("txt_a", "txt_b", k)
+    return (
+        a.join(b, cond)
+        .dropDuplicates(["id_a", "id_b", *[f"{c}_a" for c in block_cols]])
+        .filter(dist >= 0)
+        .select(
+            *[F.col(f"{c}_a").alias(c) for c in block_cols],
+            "id_a",
+            "id_b",
+            dist.cast("int").alias("edit_dist"),
+        )
+    )
+
+
+def edit_distance_pairs_deletion(
+    df: DataFrame,
+    k: int = 2,
+    block_cols: Sequence[str] = (),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT edit-distance pairs (``levenshtein ≤ k``, k ∈ {1, 2}) via
+    deletion neighborhoods (FastSS family) — the scale path for SHORT
+    strings (names, titles, SKUs: entity resolution keys).
+
+    Lemma: take an optimal alignment of a and b with d deletions, i
+    insertions, s substitutions, d+i+s ≤ k. Deleting from ``a`` its d
+    deleted + s substituted characters and from ``b`` its i inserted + s
+    substituted characters yields the SAME string — so every qualifying
+    pair shares a member of the two ≤k-deletion neighborhoods, and the
+    candidate join is a plain equi-join on the variant (hashed to 64
+    bits; collisions only add candidates, the bounded-levenshtein verify
+    removes them). Deletion variants of near-full string length are
+    almost unique, so bucket sizes track TRUE duplicates — immune to the
+    corpus-constant prefixes that degenerate gram-prefix schemes
+    (q-gram rarity picks corpus-wide-constant grams when per-string gram
+    entropy is low, collapsing Ed-Join's candidates to all-pairs; see
+    ``edit_distance_pairs``, the complementary LONG-string path — its
+    per-string cost is O(L) where this one's is O(C(L, k))).
+
+    Output: one row per unordered pair (``id_a < id_b``) with the exact
+    distance; equality with the naive blocked quadratic form and with
+    the Ed-Join form is pytest-pinned.
+    """
+    if k not in (1, 2):
+        raise ValueError(
+            f"deletion-neighborhood join supports k in {{1, 2}}, got {k}; "
+            "variant count C(L, k) is impractical beyond — use "
+            "edit_distance_pairs (gram-prefix) for larger thresholds"
+        )
+    # the variant explode multiplies CPU ~C(L,k)-fold per row; spread the
+    # source rows across the cluster FIRST (a small-table scan is often one
+    # file → one partition, which would serialize the whole expansion).
+    # Explicit partition count: AQE would coalesce a column-only
+    # repartition back to 1 because the PRE-explode map output is tiny.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    base = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_txt"),
+        F.length(text_col).alias("_len"),
+    ).repartition(n_parts, F.col("_id"))
+    t, L = F.col("_txt"), F.col("_len")
+    empty = F.array().cast("array<string>")
+    d0 = F.array(t)
+    d1 = F.when(
+        L >= 1,
+        F.transform(
+            F.sequence(F.lit(0), L - 1),
+            lambda i: F.concat(t.substr(F.lit(1), i), t.substr(i + 2, L)),
+        ),
+    ).otherwise(empty)
+    variants = F.concat(d0, d1)
+    if k == 2:
+        d2 = F.when(
+            L >= 2,
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), L - 2),
+                    lambda i: F.transform(
+                        F.sequence(i + 1, L - 1),
+                        lambda j: F.concat(
+                            t.substr(F.lit(1), i),
+                            t.substr(i + 2, j - i - 1),
+                            t.substr(j + 2, L),
+                        ),
+                    ),
+                )
+            ),
+        ).otherwise(empty)
+        variants = F.concat(variants, d2)
+    ex = base.select(
+        *[F.col(c) for c in block_cols],
+        "_id",
+        "_txt",
+        "_len",
+        F.explode(F.array_distinct(variants)).alias("v"),
+    ).withColumn("vh", F.xxhash64("v")).drop("v")
+    a = ex.select(
+        *[F.col(c).alias(f"{c}_a") for c in block_cols],
+        F.col("_id").alias("id_a"),
+        F.col("_txt").alias("txt_a"),
+        F.col("_len").alias("len_a"),
+        "vh",
+    )
+    b = ex.select(
+        *[F.col(c).alias(f"{c}_b") for c in block_cols],
+        F.col("_id").alias("id_b"),
+        F.col("_txt").alias("txt_b"),
+        F.col("_len").alias("len_b"),
+        F.col("vh").alias("vh_b"),
+    )
+    cond = (
+        (F.col("vh") == F.col("vh_b"))
+        & (F.col("id_a") < F.col("id_b"))
+        & (F.abs(F.col("len_a") - F.col("len_b")) <= k)
+    )
+    for c in block_cols:
+        cond = cond & (F.col(f"{c}_a") == F.col(f"{c}_b"))
+    dist = F.levenshtein("txt_a", "txt_b", k)
+    return (
+        a.join(b, cond)
+        .dropDuplicates(["id_a", "id_b", *[f"{c}_a" for c in block_cols]])
+        .filter(dist >= 0)
+        .select(
+            *[F.col(f"{c}_a").alias(c) for c in block_cols],
+            "id_a",
+            "id_b",
+            dist.cast("int").alias("edit_dist"),
+        )
+    )
+
+
+def edit_distance_pairs_allpairs(
+    df: DataFrame,
+    k: int = 2,
+    block_cols: Sequence[str] = (),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Naive blocked quadratic form of ``edit_distance_pairs`` — its
+    equality-tested semantic oracle (same role jaccard_pairs_allpairs
+    plays for the prefix-filtered Jaccard join)."""
+    a = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("txt_a"),
+    )
+    b = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("txt_b"),
+    )
+    dist = F.levenshtein("txt_a", "txt_b", k)
+    return (
+        a.join(b, list(block_cols)) if block_cols else a.crossJoin(b)
+    ).filter(F.col("id_a") < F.col("id_b")).filter(dist >= 0).select(
+        *[F.col(c) for c in block_cols],
+        "id_a",
+        "id_b",
+        dist.cast("int").alias("edit_dist"),
+    )
+
+
 def chunk_dedup(
     df: DataFrame,
     text_col: str = "text",

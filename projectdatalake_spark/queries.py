@@ -5588,33 +5588,32 @@ def resample_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution rung of the dedup ladder: candidate duplicate
-    pairs by edit distance (levenshtein ≤ 2) within a blocking key
-    (nation). Blocked all-pairs — quadratic strictly WITHIN each block,
-    like dedup_jaccard_pairs; at 100 TB the blocking key is whatever
-    bounds the block (zip code, sorted-neighborhood window, LSH bucket)
-    and this exact-verify step runs on candidates only. Both engines
-    implement classic Levenshtein, so the predicate is portable. The
-    Spark side uses the bounded form (threshold arg, Spark 3.5+): the DP
-    early-exits once the distance must exceed 2, ~2× faster per pair
-    (17.5 s → 7.9 s at sf0.1); its result equals the exact distance
-    whenever that is ≤ the threshold, so the oracle needs no change."""
-    c = _t(spark, sf_dir, "customer")
-    a = c.select(
-        F.col("c_nationkey").alias("nationkey"),
-        F.col("c_custkey").alias("custkey_a"),
-        F.col("c_name").alias("name_a"),
+    pairs by edit distance (levenshtein ≤ 2), via the deletion-
+    neighborhood join (operators/dedup.py:edit_distance_pairs_deletion,
+    FastSS family): every qualifying pair shares a ≤2-deletion variant,
+    so candidates come from an equi-join on hashed variants whose bucket
+    sizes track TRUE duplicates — not from nation-blocked all-pairs (the
+    old form was quadratic within each of only 25 nation blocks:
+    O(n²/25), ~10,000× the work at 100× rows; this one is ~linear in
+    rows × C(L,2) variants). The nation key stays a join conjunct for
+    the oracle's same-nation semantics. Only candidates pay the bounded
+    levenshtein verify (threshold arg: the DP early-exits past 2; equals
+    the exact distance whenever ≤ threshold, so the oracle is
+    unchanged). Equality with both the naive blocked form and the
+    Ed-Join gram-prefix form is pytest-pinned
+    (tests/test_text_dedup_similarity.py). sf0.1: 8.4 s → 3.1 s warm."""
+    from projectdatalake_spark.operators.dedup import edit_distance_pairs_deletion
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), "c_custkey", "c_name"
     )
-    b = c.select(
-        F.col("c_nationkey").alias("nationkey"),
-        F.col("c_custkey").alias("custkey_b"),
-        F.col("c_name").alias("name_b"),
-    )
-    dist = F.levenshtein("name_a", "name_b", 2)
-    return (
-        a.join(b, "nationkey")
-        .filter(F.col("custkey_a") < F.col("custkey_b"))
-        .filter(dist >= 0)
-        .select("nationkey", "custkey_a", "custkey_b", dist.cast("int").alias("edit_dist"))
+    return edit_distance_pairs_deletion(
+        c, k=2, block_cols=("nationkey",), text_col="c_name", id_col="c_custkey"
+    ).select(
+        "nationkey",
+        F.col("id_a").alias("custkey_a"),
+        F.col("id_b").alias("custkey_b"),
+        "edit_dist",
     )
 
 

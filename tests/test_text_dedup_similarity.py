@@ -71,6 +71,60 @@ def test_jaccard_prefix_filter_equals_allpairs(spark):
     assert naive, "corpus should contain near-duplicate pairs"
 
 
+def test_edit_distance_prefix_filter_equals_allpairs(spark):
+    """The Ed-Join q-gram prefix filter is EXACT: identical pairs to the
+    naive blocked quadratic form, at k=1 and k=2, blocked and unblocked —
+    on the adversarial shared-prefix corpus (TPC-H customer names)."""
+    cust = load_table(spark, "/root/testdata/sf0.001", "customer").select(
+        F.col("c_nationkey").alias("nk"), "c_custkey", "c_name"
+    )
+    for k, blocks in ((2, ["nk"]), (1, ["nk"]), (2, [])):
+        fast = {
+            tuple(r)
+            for r in D.edit_distance_pairs(
+                cust, k=k, block_cols=blocks, text_col="c_name", id_col="c_custkey"
+            ).collect()
+        }
+        deletion = {
+            tuple(r)
+            for r in D.edit_distance_pairs_deletion(
+                cust, k=k, block_cols=blocks, text_col="c_name", id_col="c_custkey"
+            ).collect()
+        }
+        naive = {
+            tuple(r)
+            for r in D.edit_distance_pairs_allpairs(
+                cust, k=k, block_cols=blocks, text_col="c_name", id_col="c_custkey"
+            ).collect()
+        }
+        assert fast == naive, (k, blocks, len(fast), len(naive))
+        assert deletion == naive, (k, blocks, len(deletion), len(naive))
+    assert naive, "corpus should contain edit-distance pairs"
+
+
+def test_edit_distance_pairs_short_strings(spark):
+    """Sentinel path: strings shorter than q still pair correctly."""
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, "ac"), (3, "abcdef"), (4, "abcdxf"), (5, "zzzzzzzz")],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.id_a, r.id_b, r.edit_dist)
+        for r in D.edit_distance_pairs(df, k=2).collect()
+    }
+    deletion = {
+        (r.id_a, r.id_b, r.edit_dist)
+        for r in D.edit_distance_pairs_deletion(df, k=2).collect()
+    }
+    naive = {
+        (r.id_a, r.id_b, r.edit_dist)
+        for r in D.edit_distance_pairs_allpairs(df, k=2).collect()
+    }
+    assert got == naive
+    assert deletion == naive
+    assert (1, 2, 1) in got and (3, 4, 1) in got
+
+
 def test_minhash_lsh_recall_vs_exact(spark):
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
     exact = {
