@@ -118,7 +118,11 @@ _DRIVER_VERIFIED = (
 # queries never yet driver-sampled (tpch_q4/6/7/8/9/12..22, the text-hygiene
 # wave, stream_stream_join, …) rank right behind and fill the rest of the
 # 50-query window.
-_R4_PINNED = frozenset()
+_R4_PINNED = frozenset(
+    {
+        "txlog_widen_schema",
+    }
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -4519,6 +4519,68 @@ def txlog_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "txlog_widen_schema",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n,
+           CAST(sum(ck) AS BIGINT) AS sum_ck,
+           CAST(sum(CAST(bal AS DECIMAL(27,2))) AS DOUBLE) AS bal
+    FROM (
+      SELECT c_mktsegment, CAST(CAST(c_custkey AS INTEGER) AS BIGINT) AS ck,
+             CAST(CAST(c_acctbal AS REAL) AS DOUBLE) AS bal
+      FROM customer WHERE c_custkey % 2 = 0
+      UNION ALL
+      SELECT c_mktsegment, CAST(c_custkey + 5000000000 AS BIGINT) AS ck,
+             CAST(c_acctbal AS DOUBLE) AS bal
+      FROM customer WHERE c_custkey % 2 = 1
+    )
+    GROUP BY c_mktsegment
+    """,
+)
+def txlog_widen_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-widening schema evolution (Delta's type-widening feature,
+    sources/txlog.py:widen_column): the table is created with NARROW
+    types (int key, float balance), widened with two metadata-only
+    commits (int→bigint, float→double — no file rewritten), then
+    appended with wide-typed rows that need the headroom (keys past
+    2^31, double balances). The snapshot reads old int32/float32 pages
+    and new int64/float64 pages in ONE scan by declaring the wide
+    schema explicitly — Spark 4's parquet readers promote narrow pages
+    natively, so no mergeSchema (which refuses int vs bigint) and no
+    backfill. The oracle recomputes both eras with explicit casts; the
+    float-era balances go through REAL so both engines see identical
+    float32-rounded values."""
+    import tempfile
+
+    from projectdatalake_spark.sources.txlog import TxTable
+
+    c = _t(spark, sf_dir, "customer")
+    narrow = c.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").cast("int").alias("ck"),
+        "c_mktsegment",
+        F.col("c_acctbal").cast("float").alias("bal"),
+    )
+    root = tempfile.mkdtemp(prefix="txlog_widen_")
+    table = TxTable.create(spark, root, narrow, partition_by=("c_mktsegment",))
+    table.widen_column("ck", "bigint")
+    table.widen_column("bal", "double")
+    wide = c.filter(F.col("c_custkey") % 2 == 1).select(
+        (F.col("c_custkey") + F.lit(5000000000)).cast("bigint").alias("ck"),
+        "c_mktsegment",
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    table.append(wide)
+    return (
+        table.snapshot()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("ck").alias("sum_ck"),
+            dsum(F.col("bal")).alias("bal"),
+        )
+    )
+
+
+@query(
     "txlog_restore",
     oracle="""
     SELECT o_orderpriority, count(*) AS n,

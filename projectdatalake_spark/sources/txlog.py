@@ -163,6 +163,32 @@ def _partition_may_match(add: dict, where: dict, fields: list) -> bool:
     return True
 
 
+# Type widening (Delta's type-widening table feature, narrowed to the
+# conversions Spark's parquet readers promote natively): old files keep
+# their narrow physical type; the table schema records the wide one and
+# every read declares it explicitly, so int32 pages decode straight into
+# long vectors with no rewrite. Widening is the ONLY legal type change;
+# the max-width fold in table_schema() makes commit order irrelevant.
+_WIDEN_FAMILIES = (
+    ("tinyint", "smallint", "int", "bigint"),
+    ("float", "double"),
+)
+
+
+def _widen_rank(t: str) -> tuple[int, int] | None:
+    for fi, fam in enumerate(_WIDEN_FAMILIES):
+        if t in fam:
+            return (fi, fam.index(t))
+    return None
+
+
+def _widens_to(frm: str, to: str) -> bool:
+    """True when a value/file of type ``frm`` may be read/written where
+    ``to`` is declared (same family, equal or wider)."""
+    a, b = _widen_rank(frm), _widen_rank(to)
+    return a is not None and b is not None and a[0] == b[0] and a[1] <= b[1]
+
+
 # Bloom sizing: 8192 bits / 2 hash functions → FPR ≈ (1-e^(-2n/8192))²,
 # ~2% at n=500 distinct values per file, ~15% at n=2000 — the equality-
 # skipping regime the 64-entry dictionary can't reach. 1 KiB per (file,
@@ -575,9 +601,7 @@ class TxTable:
         frames = []
         for (base, _), group in by_era.items():
             frames.append(
-                self.spark.read.option("basePath", base)
-                .option("mergeSchema", "true")
-                .parquet(*[f"{base}/{a['path']}" for a in group])
+                self._read_group(base, [a["path"] for a in group], version)
             )
         df = frames[0]
         for f in frames[1:]:
@@ -622,11 +646,7 @@ class TxTable:
                 groups.setdefault(base_of.get(p, self.root), []).append(p)
             out = None
             for base, ps in groups.items():
-                df = (
-                    self.spark.read.option("basePath", base)
-                    .option("mergeSchema", "true")
-                    .parquet(*[f"{base}/{p}" for p in ps])
-                )
+                df = self._read_group(base, ps)
                 out = df if out is None else out.unionByName(df, allowMissingColumns=True)
             return out
 
@@ -1025,13 +1045,75 @@ class TxTable:
 
     # --- schema enforcement & constraints ---------------------------------
 
-    def table_schema(self) -> dict[str, str]:
-        """Live logical schema: the union of every commit's column→type
-        map (additive evolution keeps old columns; types never change)."""
+    def table_schema(self, version: int | None = None) -> dict[str, str]:
+        """Physical schema as of ``version`` (default: latest): the union
+        of every commit's column→type map, with a MAX-WIDTH fold inside
+        each widening family — a ``widen_column`` commit pins the wide
+        type, and later narrow-typed batches (legal writes) can never
+        narrow it back. Non-family type changes keep last-write-wins
+        (the legacy additive behavior)."""
         merged: dict[str, str] = {}
+
+        def put(col: str, typ: str) -> None:
+            cur = merged.get(col)
+            if cur is None or cur == typ:
+                merged[col] = typ
+            elif _widens_to(typ, cur):
+                pass  # narrower member of the same family: keep wide
+            else:
+                merged[col] = typ  # wider, or non-family change
+
         for commit in self.history():
-            merged.update(commit.get("schema", {}))
+            if version is not None and commit["version"] > version:
+                break
+            for col, typ in commit.get("schema", {}).items():
+                put(col, typ)
+            if commit["op"] == "widen_column":
+                w = commit["widen"]
+                put(w["col"], w["to"])
         return merged
+
+    def widen_column(self, column: str, to_type: str) -> int:
+        """Widen a column's declared type (int family upward, or
+        float→double) WITHOUT rewriting any file — Delta's type-widening
+        feature. Existing files keep the narrow physical type; every
+        read declares the wide schema and Spark's parquet readers
+        promote the pages natively. Narrow-typed batches remain legal
+        writes after widening (they store narrow, read wide)."""
+        mapping = self.column_mapping()
+        phys = mapping.get(column, column)
+        cur = self.table_schema().get(phys)
+        if cur is None:
+            raise ValueError(f"widen_column: unknown column {column!r}")
+        if cur == to_type:
+            raise ValueError(f"widen_column: {column!r} is already {to_type}")
+        if not _widens_to(cur, to_type):
+            raise ValueError(
+                f"widen_column: {cur} → {to_type} is not a supported "
+                f"widening (families: {_WIDEN_FAMILIES})"
+            )
+        return self._publish(
+            "widen_column", adds=[], removes=[],
+            widen={"col": phys, "from": cur, "to": to_type},
+        )
+
+    def _physical_read_schema(self, version: int | None = None) -> str:
+        """Explicit schema for parquet reads: every physical column at
+        its WIDENED type. Declaring it (instead of mergeSchema) is what
+        lets narrow old files and wide new files coexist in one scan —
+        parquet merge would refuse int vs bigint."""
+        return ", ".join(
+            f"`{c}` {t}" for c, t in self.table_schema(version).items()
+        )
+
+    def _read_group(
+        self, base: str, rel_paths: list[str], version: int | None = None
+    ) -> DataFrame:
+        return (
+            self.spark.read.option("basePath", base)
+            .schema(self._physical_read_schema(version))
+            .parquet(*[f"{base}/{p}" for p in rel_paths])
+        )
 
     def active_constraints(self) -> dict[str, str]:
         """CHECK constraints in force: replay of add/drop commits."""
@@ -1057,7 +1139,9 @@ class TxTable:
         for f in df.schema.fields:  # incoming frames use logical names
             want = known.get(mapping.get(f.name, f.name))
             have = f.dataType.simpleString()
-            if want is not None and want != have:
+            # a narrower member of the same widening family is a legal
+            # write after widen_column: it stores narrow, reads wide
+            if want is not None and want != have and not _widens_to(have, want):
                 raise ValueError(
                     f"schema enforcement: column {f.name!r} is {want} in the "
                     f"table but {have} in the incoming batch"
@@ -1471,11 +1555,7 @@ class TxTable:
             groups.setdefault(a.get("base", self.root), []).append(a)
         raw = None
         for base, group in groups.items():
-            df = (
-                self.spark.read.option("basePath", base)
-                .option("mergeSchema", "true")
-                .parquet(*[f"{base}/{a['path']}" for a in group])
-            )
+            df = self._read_group(base, [a["path"] for a in group])
             raw = df if raw is None else raw.unionByName(df, allowMissingColumns=True)
         tagged = raw.withColumn("__fp", F.col("_metadata.file_path")).withColumn(
             "__ri", F.col("_metadata.row_index")
@@ -1738,11 +1818,7 @@ class TxTable:
             groups.setdefault(a.get("base", self.root), []).append(a)
         scoped = None
         for base, group in groups.items():
-            df = (
-                self.spark.read.option("basePath", base)
-                .option("mergeSchema", "true")
-                .parquet(*[f"{base}/{a['path']}" for a in group])
-            )
+            df = self._read_group(base, [a["path"] for a in group])
             scoped = df if scoped is None else scoped.unionByName(df, allowMissingColumns=True)
         # pending deletion vectors must be materialized into the rewrite,
         # or the compacted files would resurrect the masked rows

@@ -78,16 +78,40 @@ def _latest_version(root: str) -> int:
         return json.load(fh)["version"]
 
 
+_WIDEN_FAMILIES = (("tinyint", "smallint", "int", "bigint"), ("float", "double"))
+
+
+def _widen_rank(t: str):
+    for fi, fam in enumerate(_WIDEN_FAMILIES):
+        if t in fam:
+            return (fi, fam.index(t))
+    return None
+
+
+def _widens_to(frm: str, to: str) -> bool:
+    a, b = _widen_rank(frm), _widen_rank(to)
+    return a is not None and b is not None and a[0] == b[0] and a[1] <= b[1]
+
+
 def _schema_walk(commits: list[dict]) -> tuple[dict[str, str], dict[str, str]]:
     """(physical→type, physical→logical): fold each commit's physical
-    schema in order, then apply rename_column rewires — same walk as
-    TxTable.column_mapping/logical_schema, sans Spark."""
+    schema in order (max-width inside a widening family, honoring
+    widen_column commits), then apply rename_column rewires — same walk
+    as TxTable.column_mapping/table_schema, sans Spark."""
     phys: dict[str, str] = {}
     logical_of: dict[str, str] = {}
+
+    def put(col: str, typ: str) -> None:
+        cur = phys.get(col)
+        if cur is None or (cur != typ and not _widens_to(typ, cur)):
+            phys[col] = typ
+
     for c in commits:
         for col, typ in (c.get("schema") or {}).items():
-            phys.setdefault(col, typ)
+            put(col, typ)
             logical_of.setdefault(col, col)
+        if c.get("op") == "widen_column":
+            put(c["widen"]["col"], c["widen"]["to"])
         if c.get("op") == "rename_column":
             ren = c["rename"]
             for p, l in list(logical_of.items()):

@@ -832,3 +832,88 @@ def test_bloom_survives_optimize_and_retro_setting(spark, tmp_path):
     assert all(a.get("bloom", {}).get("c_custkey") for a in adds)
     got = t.snapshot(where_eq={"c_custkey": key})
     assert got.count() == 1
+
+
+# --- type widening ---------------------------------------------------------
+
+
+def _ints(spark, rows):
+    return spark.createDataFrame(rows, "id int, seg string, val int")
+
+
+def test_widen_int_to_bigint_reads_old_and_new_files(spark, tmp_path):
+    t = TxTable.create(spark, str(tmp_path / "w1"), _ints(spark, [(1, "A", 10)]))
+    t.widen_column("val", "bigint")
+    big = 2**40
+    t.append(spark.createDataFrame([(2, "B", big)], "id int, seg string, val bigint"))
+    snap = t.snapshot()
+    assert dict(snap.dtypes)["val"] == "bigint"
+    got = {(r.id, r.val) for r in snap.collect()}
+    assert got == {(1, 10), (2, big)}
+
+
+def test_widen_allows_narrow_batches_after(spark, tmp_path):
+    t = TxTable.create(spark, str(tmp_path / "w2"), _ints(spark, [(1, "A", 10)]))
+    t.widen_column("val", "bigint")
+    # an int-typed batch is still a legal write (stores narrow, reads wide)
+    t.append(_ints(spark, [(2, "B", 20)]))
+    snap = t.snapshot()
+    assert dict(snap.dtypes)["val"] == "bigint"
+    assert snap.count() == 2
+
+
+def test_widen_rejects_narrowing_and_unknown(spark, tmp_path):
+    t = TxTable.create(spark, str(tmp_path / "w3"), _ints(spark, [(1, "A", 10)]))
+    t.widen_column("val", "bigint")
+    with pytest.raises(ValueError, match="not a supported widening"):
+        t.widen_column("val", "int")  # narrowing back
+    with pytest.raises(ValueError, match="unknown column"):
+        t.widen_column("nope", "bigint")
+    with pytest.raises(ValueError, match="not a supported widening"):
+        t.widen_column("seg", "bigint")  # cross-family
+    # a too-wide batch without widen_column is still rejected
+    with pytest.raises(ValueError, match="schema enforcement"):
+        t.append(spark.createDataFrame([(2, "B", 1.5)], "id int, seg string, val double"))
+
+
+def test_widen_float_to_double(spark, tmp_path):
+    df = spark.createDataFrame([(1, 1.5)], "id int, x float")
+    t = TxTable.create(spark, str(tmp_path / "w4"), df)
+    t.widen_column("x", "double")
+    t.append(spark.createDataFrame([(2, 2.25)], "id int, x double"))
+    snap = t.snapshot()
+    assert dict(snap.dtypes)["x"] == "double"
+    assert {(r.id, r.x) for r in snap.collect()} == {(1, 1.5), (2, 2.25)}
+
+
+def test_widen_time_travel_keeps_era_schema(spark, tmp_path):
+    t = TxTable.create(spark, str(tmp_path / "w5"), _ints(spark, [(1, "A", 10)]))
+    t.widen_column("val", "bigint")  # version 1
+    t.append(spark.createDataFrame([(2, "B", 2**40)], "id int, seg string, val bigint"))
+    assert dict(t.snapshot(version=0).dtypes)["val"] == "int"
+    assert dict(t.snapshot(version=2).dtypes)["val"] == "bigint"
+
+
+def test_widen_check_constraint_interaction(spark, tmp_path):
+    t = TxTable.create(spark, str(tmp_path / "w6"), _ints(spark, [(1, "A", 10)]))
+    t.add_constraint("val_small", "val < 1000000")
+    t.widen_column("val", "bigint")
+    # the constraint survives the widen and rejects a wide violator
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        t.append(
+            spark.createDataFrame([(2, "B", 2**40)], "id int, seg string, val bigint")
+        )
+    t.append(
+        spark.createDataFrame([(3, "B", 999)], "id int, seg string, val bigint")
+    )
+    assert t.snapshot().count() == 2
+
+
+def test_widen_changes_feed_uses_wide_schema(spark, tmp_path):
+    t = TxTable.create(spark, str(tmp_path / "w7"), _ints(spark, [(1, "A", 10)]))
+    t.widen_column("val", "bigint")
+    t.append(spark.createDataFrame([(2, "B", 2**40)], "id int, seg string, val bigint"))
+    cdf = t.changes(-1)
+    assert dict(cdf.dtypes)["val"] == "bigint"
+    got = {(r.val, r._change_type) for r in cdf.collect()}
+    assert got == {(10, "insert"), (2**40, "insert")}

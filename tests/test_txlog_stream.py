@@ -174,6 +174,30 @@ def test_cdf_partition_values_typed_from_path(spark, tmp_path):
     assert got.select("id", "bucket_no", "s", "_change_type").exceptAll(expected).count() == 0
 
 
+def test_cdf_stream_after_widen_uses_wide_schema(spark, tmp_path):
+    """widen_column commits fold into the stream schema: narrow-file rows
+    arrive as the wide type, matching batch changes()."""
+    t = TxTable.create(
+        spark,
+        str(tmp_path / "widen_tbl"),
+        spark.createDataFrame([(1, "A", 10)], "id int, seg string, val int"),
+    )
+    t.widen_column("val", "bigint")
+    t.append(spark.createDataFrame([(2, "B", 2**40)], "id int, seg string, val bigint"))
+    txlog_stream.register(spark)
+    stream = (
+        spark.readStream.format("txlog_changes")
+        .option("path", t.root)
+        .load()
+    )
+    got = _run_until(
+        spark, stream, "cdf_sink_widen", str(tmp_path / "ck_widen"),
+        lambda d: d.count() >= 2,
+    )
+    assert dict(got.dtypes)["val"] == "bigint"
+    assert {r["val"] for r in got.select("val").collect()} == {10, 2**40}
+
+
 def test_cdf_simple_fallback_matches_partition_reader(spark, table, tmp_path):
     """txlog_changes_simple (driver-side tiny-feed variant) delivers the
     identical feed."""
