@@ -40,6 +40,19 @@ TRAIN_HI = 80
 VAL_HI = 90
 
 
+#: Frames persisted by curate() that have not been released. curate()
+#: drains this on entry, so steady-state session cost is ONE cached
+#: prefix regardless of how many times the pipeline runs; callers that
+#: want the memory back sooner call release_cache() after their action.
+_live_cache: list[DataFrame] = []
+
+
+def release_cache() -> None:
+    """Unpersist every curation prefix still cached by :func:`curate`."""
+    while _live_cache:
+        _live_cache.pop().unpersist()
+
+
 def _bucket(id_col: Column) -> Column:
     """Content-stable 0-99 bucket from the doc id (same formula as
     queries.split_assign_hash — recomputable anywhere)."""
@@ -104,8 +117,13 @@ def curate(
     # survivor set); persist so the scan→featurize→filter→dedup prefix runs
     # once, not three times. At full scale the equivalent move is
     # materializing the curated stage to the lake (a two-phase DAG, like
-    # pipelines/star_schema.py) — persist() is the in-session form.
+    # pipelines/star_schema.py) — persist() is the in-session form. The
+    # previous invocation's prefix (if any) is released first so repeated
+    # runs never accumulate cached partitions; release_cache() hands the
+    # memory back entirely.
+    release_cache()
     canon = canon.persist()
+    _live_cache.append(canon)
 
     # 3) benchmark decontamination — any 5-gram shared with the held-out
     #    set disqualifies the training doc
