@@ -121,6 +121,7 @@ _DRIVER_VERIFIED = (
 _R4_PINNED = frozenset(
     {
         "txlog_widen_schema",
+        "txlog_clustered_write",
     }
 )
 

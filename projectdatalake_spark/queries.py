@@ -6098,3 +6098,48 @@ def text_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_sentence_chars"
         ),
     )
+
+
+@query(
+    "txlog_clustered_write",
+    oracle="""
+    SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    WHERE o_custkey BETWEEN 101 AND 400
+    """,
+)
+def txlog_clustered_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-clustered SINK (txlog.py _stage): the table is created with
+    cluster_by=(o_custkey, o_orderkey), so every write composes
+    repartitionByRange (disjoint key slices per task) + in-partition sort
+    + maxRecordsPerFile (record-count splits that INHERIT the sort's
+    tight ranges) — write-side layout that makes the logged min/max stats
+    surgically selective. The append proves the setting is a table
+    property, not a one-shot writer option; the interval read via
+    snapshot(where=...) then plans only overlapping files
+    (effectiveness asserted in tests/test_txlog.py::
+    test_clustered_write_skipping) and the residual filter keeps the
+    result exactly equal to the oracle's plain filter.
+
+    100 TB: clustering costs one range shuffle per write batch — the
+    same shuffle an OPTIMIZE ZORDER pays LATER plus a full rewrite;
+    paying it at ingest keeps every downstream key-range scan pruned
+    from the first commit. Reference parity: the reference's sink
+    (etl.py:176-190) writes partition-pruned parquet only; file-level
+    clustered stats are the engine-added half of the skipping story."""
+    import tempfile
+
+    from projectdatalake_spark.sources.txlog import TxTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    root = tempfile.mkdtemp(prefix="txlog_cw_")
+    table = TxTable.create(
+        spark, root, o.filter(F.col("o_orderkey") % 2 == 0),
+        cluster_by=("o_custkey", "o_orderkey"),
+        cluster_target_files=8, cluster_max_rows=2000,
+    )
+    table.append(o.filter(F.col("o_orderkey") % 2 == 1))
+    return table.snapshot(where={"o_custkey": (101, 400)})

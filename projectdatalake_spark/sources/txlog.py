@@ -708,19 +708,32 @@ class TxTable:
         df: DataFrame,
         partition_by: tuple[str, ...] = (),
         bloom_by: tuple[str, ...] = (),
+        cluster_by: tuple[str, ...] = (),
+        cluster_target_files: int = 48,
+        cluster_max_rows: int | None = None,
     ) -> "TxTable":
         """Create the table with ``df`` as version 0. ``bloom_by`` opts
         columns into per-file bloom filters (high-cardinality equality
-        skipping; see _bloom_may_match)."""
+        skipping; see _bloom_may_match). ``cluster_by`` turns on the
+        stats-clustered sink: every append/overwrite range-shuffles on
+        the key and splits files by ``cluster_max_rows``, so logged
+        min/max stats carve the key space into disjoint slices (see
+        _stage)."""
         table = cls(spark, root)
         if table.history():
             raise ValueError(f"txlog table already exists at {root}")
+        cluster = None
+        if cluster_by:
+            cluster = {"by": list(cluster_by), "files": int(cluster_target_files)}
+            if cluster_max_rows:
+                cluster["max_rows"] = int(cluster_max_rows)
         # stats attach runs while staging version 0, before any commit
-        # exists to read the setting back from — seed it on the instance
+        # exists to read the settings back from — seed them on the instance
         table._pending_bloom = tuple(bloom_by)
+        table._pending_cluster = cluster
         table._commit_write(
             df, op="create", partition_by=partition_by, removes=[],
-            bloom_by=list(bloom_by),
+            bloom_by=list(bloom_by), cluster=cluster,
         )
         return table
 
@@ -790,6 +803,42 @@ class TxTable:
             bloom_by=[mapping.get(c, c) for c in cols],
         )
 
+    def _cluster_spec(self) -> dict | None:
+        """Write-time stats-clustering setting (physical column names):
+        ``{"by": [cols...], "files": N, "max_rows": M?}`` — the creation
+        setting unless a later ``set_clustering`` commit changed it.
+        Applied by append/overwrite (not partition-scoped rewrites, whose
+        batches are too small to range-shuffle profitably)."""
+        commits = self.history()
+        if not commits:
+            return getattr(self, "_pending_cluster", None)
+        spec = commits[0].get("cluster")
+        for c in commits:
+            if c["op"] == "set_clustering":
+                spec = c["cluster"]
+        return spec or None
+
+    def set_clustering(
+        self,
+        cols: tuple[str, ...],
+        target_files: int = 48,
+        max_rows_per_file: int | None = None,
+    ) -> int:
+        """Metadata-only commit switching the write-time clustering key
+        (Delta liquid-clustering ``CLUSTER BY`` DDL analog). Empty
+        ``cols`` turns clustering off; already-written files keep their
+        layout — stats skipping degrades gracefully, never breaks."""
+        mapping = self.column_mapping()
+        spec = None
+        if cols:
+            spec = {
+                "by": [mapping.get(c, c) for c in cols],
+                "files": int(target_files),
+            }
+            if max_rows_per_file:
+                spec["max_rows"] = int(max_rows_per_file)
+        return self._publish("set_clustering", adds=[], removes=[], cluster=spec)
+
     def _bloom_probes(self, where_eq: dict) -> dict[str, list[int]]:
         """Bit positions of each probed value, via the SAME Spark xxhash64
         expression the writer aggregated — a 1-row local job per snapshot
@@ -836,10 +885,23 @@ class TxTable:
     def _partition_expr(self, kind: str, param: int | None, col: str, df: DataFrame):
         return _transform_col(kind, param, col)
 
-    def _stage(self, df: DataFrame, partition_by: tuple[str, ...]) -> list[dict]:
+    def _stage(
+        self,
+        df: DataFrame,
+        partition_by: tuple[str, ...],
+        cluster: dict | None = None,
+    ) -> list[dict]:
         """Write ``df`` under _staging/{uuid} and move the parquet files into
         the table root (hive layout preserved). Returns add-actions; nothing
-        is visible to snapshot readers until the commit publishes."""
+        is visible to snapshot readers until the commit publishes.
+
+        ``cluster`` composes the stats-clustered sink: a range shuffle on
+        the cluster key (``repartitionByRange`` — disjoint key intervals
+        per task) + an in-partition sort + ``maxRecordsPerFile``. Because
+        rows leave each task in key order, the record-count file splits
+        inherit tight DISJOINT min/max intervals, which is exactly what
+        ``_attach_stats`` logs and ``snapshot(where=...)`` prunes on —
+        write-side skipping to match the read side."""
         stage_id = uuid.uuid4().hex
         stage_dir = f"{self.root}/{_STAGING}/{stage_id}"
         # hidden partitioning: derive transform columns at write time; the
@@ -851,7 +913,15 @@ class TxTable:
             if kind != "identity":
                 df = df.withColumn(name, _transform_col(kind, param, col))
             part_names.append(name)
+        if cluster:
+            ccols = [c for c in cluster.get("by", ()) if c in df.columns]
+            if ccols:
+                df = df.repartitionByRange(
+                    int(cluster.get("files", 48)), *ccols
+                ).sortWithinPartitions(*ccols)
         writer = df.write.mode("overwrite")
+        if cluster and cluster.get("max_rows"):
+            writer = writer.option("maxRecordsPerFile", int(cluster["max_rows"]))
         if part_names:
             writer = writer.partitionBy(*part_names)
         writer.parquet(stage_dir)
@@ -1032,12 +1102,21 @@ class TxTable:
         return []
 
     def _commit_write(
-        self, df: DataFrame, op: str, partition_by: tuple[str, ...], removes: list[str], **extra
+        self,
+        df: DataFrame,
+        op: str,
+        partition_by: tuple[str, ...],
+        removes: list[str],
+        apply_cluster: bool = False,
+        **extra,
     ) -> int:
         if op != "create":
             self._validate_write(df)
             df = self._to_physical(df)  # files always store physical names
-        adds = self._stage(df, partition_by)
+        cluster = (
+            self._cluster_spec() if (apply_cluster or op == "create") else None
+        )
+        adds = self._stage(df, partition_by, cluster=cluster)
         schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
         return self._publish(
             op, adds, removes, partition_by=list(partition_by), schema=schema, **extra
@@ -1188,7 +1267,9 @@ class TxTable:
 
     def append(self, df: DataFrame) -> int:
         """Add rows; existing files untouched. Additive schema changes OK."""
-        return self._commit_write(df, "append", self._partition_by(), removes=[])
+        return self._commit_write(
+            df, "append", self._partition_by(), removes=[], apply_cluster=True
+        )
 
     def append_once(self, df: DataFrame, app_id: str, batch_id: int) -> int | None:
         """Idempotent append: the commit records ``(app_id, batch_id)``, and
@@ -1206,7 +1287,7 @@ class TxTable:
 
         if not unseen():
             return None
-        adds = self._stage(df, self._partition_by())
+        adds = self._stage(df, self._partition_by(), cluster=self._cluster_spec())
         return self._publish(
             "append", adds, removes=[],
             precondition=unseen,
@@ -1217,7 +1298,10 @@ class TxTable:
     def overwrite(self, df: DataFrame) -> int:
         """Replace the whole table in one atomic commit."""
         removes = [a["path"] for a in self._active_files()]
-        return self._commit_write(df, "overwrite", self._partition_by(), removes=removes)
+        return self._commit_write(
+            df, "overwrite", self._partition_by(), removes=removes,
+            apply_cluster=True,
+        )
 
     def replace_where(self, df: DataFrame, partition_values: dict) -> int:
         """Atomic partition-scoped overwrite (Delta ``replaceWhere``):

@@ -383,6 +383,46 @@ def test_optimize_sort_clustering_tightens_stats(spark, tmp_path):
     }
 
 
+def test_clustered_write_skipping(spark, tmp_path):
+    """Stats-clustered sink: cluster_by at create makes every write
+    range-shuffle + sort + split by maxRecordsPerFile, so files carve the
+    key domain into tight disjoint slices and interval reads skip."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, rng.randrange(0, 10_000)) for i in range(4000)]
+    df = spark.createDataFrame(rows, ["id", "v"]).repartition(8)
+    t = TxTable.create(
+        spark, str(tmp_path / "cw"), df,
+        cluster_by=("v",), cluster_target_files=8, cluster_max_rows=300,
+    )
+    files = t._active_files()
+    # maxRecordsPerFile splits the 8 ranges further (4000/300 ≈ 14 files)
+    assert len(files) >= 12
+    widths = [a["stats"]["v"]["max"] - a["stats"]["v"]["min"] for a in files]
+    # disjoint slices PARTITION the domain (an unclustered 14-file write
+    # would sum to ~14 × full-range; see the sibling interleaved test)
+    assert sum(widths) <= 11_000
+    pruned = t.snapshot(where={"v": (100, 200)})
+    assert len(pruned.inputFiles()) <= 2
+    assert {(r.id, r.v) for r in pruned.collect()} == {
+        (i, v) for i, v in rows if 100 <= v <= 200
+    }
+    # append INHERITS the table's clustering setting
+    rows2 = [(10_000 + i, rng.randrange(0, 10_000)) for i in range(2000)]
+    t.append(spark.createDataFrame(rows2, ["id", "v"]).repartition(8))
+    old = {a["path"] for a in files}
+    new = [a for a in t._active_files() if a["path"] not in old]
+    assert sum(a["stats"]["v"]["max"] - a["stats"]["v"]["min"] for a in new) <= 11_000
+    # full-table read still exact
+    assert {(r.id, r.v) for r in t.snapshot().collect()} == set(rows) | set(rows2)
+    # metadata commit turns clustering off; later writes are unclustered
+    t.set_clustering(())
+    assert t._cluster_spec() is None
+    t.append(spark.createDataFrame(rows, ["id", "v"]).repartition(6))
+    assert t.snapshot().count() == 10_000
+
+
 def test_delete_where_partition_scoped(spark, table):
     b_before = {a["path"] for a in table._active_files() if a["partition"]["seg"] == "B"}
     v = table.delete_where("seg = 'A' AND val >= 20")
