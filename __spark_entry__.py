@@ -122,6 +122,11 @@ _R4_PINNED = frozenset(
     {
         "txlog_widen_schema",
         "txlog_clustered_write",
+        "retention_cohorts",
+        "event_transitions",
+        "pareto_frontier",
+        "weighted_sample_priority",
+        "mm_frame_sample",
     }
 )
 

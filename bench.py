@@ -70,6 +70,14 @@ EXTENDED = [
     "agg_bitwise",
     "safe_arithmetic",
     "scan_provenance",
+    # round 4
+    "txlog_clustered_write",
+    "txlog_widen_schema",
+    "retention_cohorts",
+    "event_transitions",
+    "pareto_frontier",
+    "weighted_sample_priority",
+    "mm_frame_sample",
 ]
 
 HEADLINE = [

@@ -80,12 +80,23 @@ def curate(
     token_budget: int = 512,
     min_tokens: int = 10,
     min_uniq_ratio: float = 0.3,
+    through: str = "pack",
 ) -> DataFrame:
     """Run the full curation pipeline over a documents table.
 
     Returns one row per surviving document:
     (doc_id, lang, split, n_tokens, pack_id).
+
+    ``through`` truncates the composition after a stage prefix —
+    ``"quality"`` / ``"dedup"`` / ``"decontam"`` / ``"pack"`` (full, the
+    default) — returning that stage's frame with its working columns.
+    This is the per-stage accounting seam the scale probes time marginal
+    stage cost through (tools/probe_pipeline.py); production callers use
+    the default. Early prefixes drop the grams column so Catalyst prunes
+    n-gram construction out of stages that never consume it.
     """
+    if through not in ("quality", "dedup", "decontam", "pack"):
+        raise ValueError(f"unknown stage {through!r}")
     toks = TX.tokens(F.col("text"))
     base = docs.select(
         "doc_id",
@@ -105,6 +116,8 @@ def curate(
     quality = base.filter(
         (F.col("n_tokens") >= min_tokens) & (F.col("uniq_ratio") >= min_uniq_ratio)
     )
+    if through == "quality":
+        return quality.drop("grams")
 
     # 2) exact dedup — canonical doc = min id per normalized content
     w_hash = Window.partitionBy("content_hash")
@@ -113,6 +126,8 @@ def curate(
         .filter(F.col("doc_id") == F.col("keep_id"))
         .drop("keep_id")
     )
+    if through == "dedup":
+        return canon.drop("grams")
     # canon feeds three consumers (holdout grams, contamination probe,
     # survivor set); persist so the scan→featurize→filter→dedup prefix runs
     # once, not three times. At full scale the equivalent move is
@@ -140,6 +155,8 @@ def curate(
         .distinct()
     )
     clean = corpus.join(contaminated, "doc_id", "left_anti")
+    if through == "decontam":
+        return clean.drop("grams")
 
     # 4) deterministic split + 5) context-window packing per shard
     split = (

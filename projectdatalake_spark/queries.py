@@ -6143,3 +6143,238 @@ def txlog_clustered_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table.append(o.filter(F.col("o_orderkey") % 2 == 1))
     return table.snapshot(where={"o_custkey": (101, 400)})
+
+
+# =========================================================================
+# Wave 12 (round 4): product analytics + sampling + frontier + multimodal
+# frame sampling — engine-added surface past SURVEY §2 (the reference's
+# single pipeline has no analytics layer; these are the queries its users
+# run downstream of the star schema it builds, reference etl.py:176-190).
+# =========================================================================
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS act_day
+      FROM events
+    )
+    SELECT f.cohort_day, CAST(datediff('day', f.cohort_day, a.act_day) AS INT)
+             AS day_offset,
+           count(*) AS n_active
+    FROM firsts f JOIN activity a USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity day,
+    counted on every later day they return — the canonical product-
+    analytics rollup (daily grain because the corpus spans 30 days; the
+    month form is the same plan). 100 TB: both inputs hash-shuffle on
+    user_id (one exchange each, then a co-partitioned join — AQE reuses
+    the partitioning), and the output is |cohorts|×|offsets| tiny. No
+    windows, no sort: first-touch is a min() aggregate, not a
+    row_number() over a per-user sort."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.col("ts")).alias("act_day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("act_day").alias("cohort_day"))
+    activity = ev.distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("act_day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+@query(
+    "event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over per-user event streams
+    (lead window, deterministic (ts, event_id) tie-break) — the building
+    block for journey mining and next-event models. 100 TB: one shuffle
+    on user_id for the window, then the transition matrix aggregate is
+    |event_types|² tiny; partial aggregation absorbs it map-side."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = _t(spark, sf_dir, "events").select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "pareto_frontier",
+    oracle="""
+    SELECT p_partkey, p_retailprice, p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice < p.p_retailprice AND q.p_size > p.p_size
+    )
+    """,
+)
+def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier (minimize price, maximize size): keep
+    every part no other part strictly beats on both axes. The oracle is
+    the O(n²) NOT EXISTS; the engine is the DISTRIBUTED sort-free form:
+    bucket prices (floor/width), per-(bucket, price) max-size aggregate,
+    a parallel per-bucket cumulative max over strictly-smaller prices,
+    and a TINY single-partition window only over the ~dozens of bucket
+    maxima — a row is dominated iff some strictly-cheaper price reached
+    a strictly-larger size. 100 TB: two key-shuffles + one broadcast;
+    the only global window runs on |buckets| rows, never on the data.
+    Bucket-boundary strictness: a row in bucket b-1 has price < b·width
+    ≤ any bucket-b price, so cross-bucket dominance is always strict."""
+    width = 10.0
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size",
+        F.floor(F.col("p_retailprice") / width).alias("bucket"),
+    )
+    by_price = p.groupBy("bucket", "p_retailprice").agg(
+        F.max("p_size").alias("best")
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bucket_max = by_price.groupBy("bucket").agg(F.max("best").alias("bmax"))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bucket_prev = bucket_max.withColumn("prev_bmax", F.max("bmax").over(w_b))
+    thresh = (
+        by_price.withColumn("in_prev", F.max("best").over(w_in))
+        .join(F.broadcast(bucket_prev.select("bucket", "prev_bmax")), "bucket")
+        .select(
+            "p_retailprice",
+            F.greatest(
+                F.coalesce(F.col("in_prev"), F.lit(-1)),
+                F.coalesce(F.col("prev_bmax"), F.lit(-1)),
+            ).alias("dom_max"),
+        )
+    )
+    return (
+        p.join(thresh, "p_retailprice")
+        .filter(F.col("dom_max") <= F.col("p_size"))
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
+
+
+@query(
+    "weighted_sample_priority",
+    oracle="""
+    WITH pri AS (
+      SELECT o_orderkey, o_totalprice,
+             o_totalprice /
+               ((1 + CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                          AS BIGINT)) / 4294967296.0) AS priority
+      FROM orders
+    )
+    SELECT o_orderkey, o_totalprice, priority
+    FROM pri ORDER BY priority DESC, o_orderkey LIMIT 100
+    """,
+)
+def weighted_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement — priority
+    sampling (Duffield, Lund & Thorup, JACM 2007): each row gets priority
+    w/u with u a content-stable uniform in (0, 1], and the sample is the
+    top-k by priority. Because u derives from md5(key) (not a seeded
+    RNG), ANY engine recomputes the identical sample — the property
+    mixture/split assignment already relies on (split_assign_hash), here
+    extended to weighted selection for mixture re-balancing. Arithmetic
+    is cross-engine exact: (1+int(8 hex chars))/2^32 is a power-of-two
+    division and w/u a single IEEE op — no transcendentals, no rounding.
+    100 TB: orderBy+limit plans as TakeOrdered (per-partition top-k then
+    a k·partitions merge), never a global sort."""
+    o = _t(spark, sf_dir, "orders")
+    u = (
+        1
+        + F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+    ) / F.lit(4294967296.0)
+    return (
+        o.select(
+            "o_orderkey", "o_totalprice",
+            (F.col("o_totalprice") / u).alias("priority"),
+        )
+        .orderBy(F.desc("priority"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             CAST(floor(octet_length(encode(text)) / 32.0) AS INT) AS n_frames
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, h,
+             CASE WHEN n_frames > 0
+                  THEN list_filter(generate_series(0, n_frames - 1), i -> i % 3 = 0)
+                  ELSE CAST([] AS BIGINT[]) END AS idx
+      FROM b
+    )
+    SELECT doc_id,
+           CAST(len(idx) AS INT) AS n_sampled,
+           CAST(len(idx) * 32 AS INT) AS sampled_bytes,
+           md5(array_to_string(
+                 list_transform(idx, i -> substring(h, CAST(i * 64 + 1 AS INT), 64)),
+                 '')) AS digest
+    FROM s
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over an opaque binary column
+    (operators/multimodal.py sample_frames): the payload is treated as
+    fixed-stride frames (real demuxing would replace the stride walk —
+    the Spark-side contract is what's under test) and every 3rd frame is
+    kept as array<binary>. The digest folds the ACTUAL sampled bytes
+    (hex-concatenated, since DuckDB's md5 is VARCHAR-only), so the
+    oracle catches any off-by-one in slicing, not just counts. All
+    expression-level (substring on binary is byte-wise) — no UDF, no
+    shuffle; at 100 TB frame extraction fuses into the scan and the
+    array chunks are the shuffle-safe unit downstream repartitions."""
+    from projectdatalake_spark.operators import multimodal as MM
+
+    d = _t(spark, sf_dir, "documents")
+    frames = MM.sample_frames(MM.to_binary(F.col("text")), frame_bytes=32, every_n=3)
+    return d.select(
+        "doc_id",
+        F.size(frames).alias("n_sampled"),
+        F.aggregate(
+            frames, F.lit(0), lambda a, x: a + F.octet_length(x)
+        ).alias("sampled_bytes"),
+        F.md5(
+            F.concat_ws("", F.transform(frames, lambda x: F.hex(x)))
+        ).alias("digest"),
+    )
