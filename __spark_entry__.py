@@ -127,6 +127,7 @@ _R4_PINNED = frozenset(
         "pareto_frontier",
         "weighted_sample_priority",
         "mm_frame_sample",
+        "graph_triangle_counts",
     }
 )
 

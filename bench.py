@@ -78,6 +78,7 @@ EXTENDED = [
     "pareto_frontier",
     "weighted_sample_priority",
     "mm_frame_sample",
+    "graph_triangle_counts",
 ]
 
 HEADLINE = [
