@@ -6462,3 +6462,13 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("part")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+# NOTE: streaming/stateful.py also implements user_profile_stats on Spark
+# 4's transformWithStateInPandas (named composite state: MapState +
+# ValueStates). It is NOT registered as a driver query because the API's
+# Python worker protocol requires google.protobuf, which this container
+# lacks (and installs are off-limits) — tests/test_streaming_stateful
+# gates it behind importorskip so it lights up on any cluster with
+# protobuf present. applyInPandasWithState (stream_stateful_totals)
+# remains the driver-proven custom-stateful path.

@@ -143,6 +143,7 @@ def run_available_now(
     result: DataFrame,
     output_mode: str = "complete",
     state_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
 ) -> DataFrame:
     """Drive a streaming DataFrame to completion over the currently
     available input (availableNow trigger → memory sink) and return the
@@ -161,6 +162,10 @@ def run_available_now(
     spark = result.sparkSession
     name = f"mem_{uuid.uuid4().hex[:12]}"
     prev = None
+    saved: dict[str, str | None] = {}
+    for k, v in (extra_confs or {}).items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
     if state_partitions is not None:
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
@@ -176,6 +181,11 @@ def run_available_now(
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     return spark.table(name)
 
 
