@@ -128,6 +128,7 @@ _R4_PINNED = frozenset(
         "weighted_sample_priority",
         "mm_frame_sample",
         "graph_triangle_counts",
+        "arrow_embed_features",
     }
 )
 

@@ -323,3 +323,68 @@ def topk_neighbors_ivf(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embed_features_arrow(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector features via ``mapInArrow`` — the pure-Arrow UDF path
+    (no pandas conversion at all): kernels operate on the ListArray's
+    flat values buffer with SEGMENTED numpy reductions (reduceat over
+    the offsets), so cost is one vectorized pass per batch regardless of
+    row count — the shape a 100 TB embedding scan needs from Python when
+    an expression can't say it. Returns (id, dim, n_positive,
+    argmax_pos[1-based first-occurrence], max_val).
+
+    Everything emitted is exact (counts and SELECTIONS — no float
+    arithmetic), so the output is oracle-hash-checkable cross-engine,
+    unlike norms/means whose accumulation order differs per engine.
+    """
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+
+    out_schema = (
+        f"{id_col} long, dim int, n_positive int, argmax_pos int, max_val double"
+    )
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import numpy as np
+
+        for batch in batches:
+            ids = batch.column(id_col)
+            la = batch.column(vec_col)
+            if isinstance(la, pa.ChunkedArray):  # pragma: no cover - defensive
+                la = la.combine_chunks()
+            offsets = np.asarray(la.offsets, dtype=np.int64)
+            vals = np.asarray(la.values, dtype=np.float32)
+            starts = offsets[:-1]
+            dims = (offsets[1:] - starts).astype(np.int32)
+            if (dims == 0).any():
+                raise ValueError("embed_features_arrow: empty vector")
+            seg_max = np.maximum.reduceat(vals, starts)
+            n_pos = np.add.reduceat(
+                (vals > 0).astype(np.int64), starts
+            ).astype(np.int32)
+            # first index of the max within each segment: positions of
+            # non-hits are poisoned to +inf, then a segmented min
+            idx = np.arange(len(vals), dtype=np.int64)
+            rel = idx - np.repeat(starts, dims)
+            hit_pos = np.where(
+                vals == np.repeat(seg_max, dims), rel, np.iinfo(np.int64).max
+            )
+            argmax_pos = (
+                np.minimum.reduceat(hit_pos, starts) + 1
+            ).astype(np.int32)  # 1-based, DuckDB list_position convention
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(dims, type=pa.int32()),
+                    pa.array(n_pos, type=pa.int32()),
+                    pa.array(argmax_pos, type=pa.int32()),
+                    pa.array(seg_max.astype(np.float64), type=pa.float64()),
+                ],
+                names=[id_col, "dim", "n_positive", "argmax_pos", "max_val"],
+            )
+
+    return df.select(id_col, vec_col).mapInArrow(kernel, schema=out_schema)

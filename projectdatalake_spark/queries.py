@@ -6464,6 +6464,30 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "arrow_embed_features",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive,
+           CAST(list_position(embedding, list_max(embedding)) AS INT) AS argmax_pos,
+           CAST(list_max(embedding) AS DOUBLE) AS max_val
+    FROM embeddings
+    """,
+)
+def arrow_embed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-Arrow UDF path (mapInArrow — no pandas materialization):
+    per-vector dim / positive-count / 1-based argmax / max, computed with
+    segmented numpy reductions directly over the ListArray values buffer
+    (operators/similarity.py embed_features_arrow). Emits only counts and
+    selections — no float arithmetic — so the oracle hash-matches
+    exactly; the complement to pandas_udf_scoring, covering the third
+    Python-interop tier (row UDF < pandas UDF < arrow batch)."""
+    from projectdatalake_spark.operators.similarity import embed_features_arrow
+
+    return embed_features_arrow(_t(spark, sf_dir, "embeddings"))
+
+
 # NOTE: streaming/stateful.py also implements user_profile_stats on Spark
 # 4's transformWithStateInPandas (named composite state: MapState +
 # ValueStates). It is NOT registered as a driver query because the API's
