@@ -139,6 +139,17 @@ def curate(
     release_cache()
     canon = canon.persist()
     _live_cache.append(canon)
+    # EAGER materialization, and not an optimization nicety: the grams
+    # expression is a higher-order transform(), which Spark evaluates
+    # INTERPRETED (no codegen), and Spark runs broadcast subqueries —
+    # here the holdout-gram build — BEFORE the main plan. Left lazy, the
+    # broadcast build re-derives scan→tokenize→grams cold, and AQE can
+    # coalesce the post-dedup exchange to ONE partition, serializing
+    # minutes of interpreted expression work onto a single core (caught
+    # by the 100× probe, tools/probe_pipeline.py). One count() populates
+    # the cache at scan parallelism; every consumer then reads columns,
+    # not expressions.
+    canon.count()
 
     # 3) benchmark decontamination — any 5-gram shared with the held-out
     #    set disqualifies the training doc
