@@ -129,6 +129,7 @@ _R4_PINNED = frozenset(
         "mm_frame_sample",
         "graph_triangle_counts",
         "arrow_embed_features",
+        "udtf_chunk_windows",
     }
 )
 

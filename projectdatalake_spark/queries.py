@@ -6488,6 +6488,59 @@ def arrow_embed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embed_features_arrow(_t(spark, sf_dir, "embeddings"))
 
 
+@query(
+    "udtf_chunk_windows",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ),
+    s AS (SELECT doc_id, toks, len(toks) AS n FROM t)
+    SELECT doc_id,
+           CAST((start // 32) + 1 AS INT) AS chunk_id,
+           CAST(start AS INT) AS start_tok,
+           CAST(least(64, n - start) AS INT) AS n_toks,
+           array_to_string(toks[start + 1 : start + 64], ' ') AS chunk
+    FROM s, UNNEST(generate_series(0, CAST(n AS BIGINT) - 1, 32)) AS g(start)
+    """,
+)
+def udtf_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4, SURVEY §2.8's third Python tier): a LATERAL
+    table function emitting overlapping 64-token windows at stride 32 —
+    the sliding-window chunking long-context training prep runs (overlap
+    preserves cross-boundary context). Arrow-optimized (useArrow=True →
+    ArrowEvalPythonUDTF: batched Arrow transfer, not pickled rows — the
+    plan-quality sweep would reject BatchEvalPython). Tokenization
+    matches the engine-wide convention (operators/text.py tokens:
+    lower → trim → split \s+), so the DuckDB oracle recomputes chunks
+    byte-identically via list slicing. 100 TB: embarrassingly parallel
+    per-doc; the UDTF fuses into the scan stage, no shuffle."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="chunk_id int, start_tok int, n_toks int, chunk string",
+        useArrow=True,
+    )
+    class ChunkWindows:
+        def eval(self, text: str):
+            import re
+
+            toks = re.split(r"\s+", (text or "").strip().lower())
+            n = len(toks)
+            for start in range(0, n, 32):
+                piece = toks[start : start + 64]
+                yield (start // 32) + 1, start, len(piece), " ".join(piece)
+
+    spark.udtf.register("chunk_windows", ChunkWindows)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("docs_for_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.chunk_id, t.start_tok, t.n_toks, t.chunk
+        FROM docs_for_udtf d, LATERAL chunk_windows(d.text) t
+        """
+    )
+
+
 # NOTE: streaming/stateful.py also implements user_profile_stats on Spark
 # 4's transformWithStateInPandas (named composite state: MapState +
 # ValueStates). It is NOT registered as a driver query because the API's
