@@ -98,9 +98,16 @@ def curate(
     if through not in ("quality", "dedup", "decontam", "pack"):
         raise ValueError(f"unknown stage {through!r}")
     toks = TX.tokens(F.col("text"))
+    # text is carried (not grams): the 5-gram construction is a
+    # higher-order transform(), which Spark evaluates INTERPRETED, and
+    # Catalyst freely defers expensive projections past shuffles — so
+    # grams are built in an explicit projection placed AFTER the
+    # width-pinned repartition below, never in whatever single coalesced
+    # partition AQE leaves behind a byte-small exchange.
     base = docs.select(
         "doc_id",
         "lang",
+        "text",
         F.size(toks).alias("n_tokens"),
         (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
             "uniq_ratio"
@@ -109,7 +116,6 @@ def curate(
         F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")).alias(
             "content_hash"
         ),
-        _grams5(toks).alias("grams"),
     )
 
     # 1) quality gate — cheap ratio filters, fused into the scan
@@ -117,7 +123,7 @@ def curate(
         (F.col("n_tokens") >= min_tokens) & (F.col("uniq_ratio") >= min_uniq_ratio)
     )
     if through == "quality":
-        return quality.drop("grams")
+        return quality.drop("text")
 
     # 2) exact dedup — canonical doc = min id per normalized content
     w_hash = Window.partitionBy("content_hash")
@@ -127,7 +133,7 @@ def curate(
         .drop("keep_id")
     )
     if through == "dedup":
-        return canon.drop("grams")
+        return canon.drop("text")
     # canon feeds three consumers (holdout grams, contamination probe,
     # survivor set); persist so the scan→featurize→filter→dedup prefix runs
     # once, not three times. At full scale the equivalent move is
@@ -137,18 +143,29 @@ def curate(
     # runs never accumulate cached partitions; release_cache() hands the
     # memory back entirely.
     release_cache()
-    canon = canon.persist()
+    # Three scale guards, all caught by the 100× probe
+    # (tools/probe_pipeline.py), all rooted in the same fact: grams are
+    # a higher-order transform(), which Spark evaluates INTERPRETED (no
+    # codegen), and AQE sizes partitions by BYTES — it cannot see
+    # expression cost, so a byte-small exchange upstream of an expensive
+    # projection coalesces to ONE partition and serializes minutes of
+    # per-row work onto a single core.
+    # 1) repartition(defaultParallelism): a width AQE won't coalesce
+    #    (user-pinned). On a cluster this is the executor-core count.
+    # 2) grams built in an explicit projection ABOVE that repartition
+    #    (base carries text), so the interpreted work runs at exactly
+    #    that width — never wherever Catalyst defers it.
+    # 3) eager count(): Spark runs broadcast subqueries (the
+    #    holdout-gram build) BEFORE the main plan — materializing the
+    #    cache first means they read cached gram COLUMNS instead of
+    #    re-deriving scan→tokenize→grams cold.
+    canon = (
+        canon.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        .withColumn("grams", _grams5(TX.tokens(F.col("text"))))
+        .drop("text")
+        .persist()
+    )
     _live_cache.append(canon)
-    # EAGER materialization, and not an optimization nicety: the grams
-    # expression is a higher-order transform(), which Spark evaluates
-    # INTERPRETED (no codegen), and Spark runs broadcast subqueries —
-    # here the holdout-gram build — BEFORE the main plan. Left lazy, the
-    # broadcast build re-derives scan→tokenize→grams cold, and AQE can
-    # coalesce the post-dedup exchange to ONE partition, serializing
-    # minutes of interpreted expression work onto a single core (caught
-    # by the 100× probe, tools/probe_pipeline.py). One count() populates
-    # the cache at scan parallelism; every consumer then reads columns,
-    # not expressions.
     canon.count()
 
     # 3) benchmark decontamination — any 5-gram shared with the held-out
