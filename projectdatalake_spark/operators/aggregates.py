@@ -60,3 +60,79 @@ def pivot(
     if fill is not None:
         out = out.na.fill(fill, subset=list(values))
     return out
+
+
+# --- count-min sketch (mergeable item-frequency estimation) ---------------
+
+#: Default CMS geometry: depth-4 / width-256 ⇒ ε = e/256 ≈ 1.1% of the
+#: stream length (overestimate bound), failure prob e⁻⁴ ≈ 1.8%.
+CMS_SEEDS = (17, 291, 1373, 77)
+
+
+def cms_sketch(
+    df: DataFrame, item_col: str, width: int = 256, seeds=CMS_SEEDS
+) -> DataFrame:
+    """Count-min sketch as a PLAIN AGGREGATE: (row, bucket) → count for
+    depth hash rows of ``width`` buckets (Cormode & Muthukrishnan '05).
+
+    Building the sketch as a DataFrame (not an opaque binary blob) makes
+    mergeability STRUCTURAL: partial sketches from any sharding merge by
+    summing counts on (row, bucket) — the same two-level aggregation
+    pattern as the HLL partials — and the estimate is itself a join, so
+    the whole path stays JVM-side. Size is depth×width rows regardless
+    of stream length: the 100 TB frequency-tracking shape."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        df.select(
+            F.lit(i).alias("cms_row"),
+            F.pmod(F.xxhash64(F.col(item_col), F.lit(seed)), F.lit(width)).alias(
+                "cms_bucket"
+            ),
+        )
+        for i, seed in enumerate(seeds)
+    ]
+    all_rows = rows[0]
+    for r in rows[1:]:
+        all_rows = all_rows.unionAll(r)
+    return all_rows.groupBy("cms_row", "cms_bucket").agg(
+        F.count(F.lit(1)).alias("cms_count")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    width: int = 256,
+    seeds=CMS_SEEDS,
+) -> DataFrame:
+    """Point-frequency estimates for ``items`` against a sketch: probe
+    each hash row's bucket and take the min (the CM estimator). The
+    sketch side is depth×width tiny — broadcast; never ≥ 1 shuffle of
+    the item set."""
+    from pyspark.sql import functions as F
+
+    probes = items.select(
+        item_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("cms_row"),
+                        F.pmod(
+                            F.xxhash64(F.col(item_col), F.lit(seed)), F.lit(width)
+                        ).alias("cms_bucket"),
+                    )
+                    for i, seed in enumerate(seeds)
+                ]
+            )
+        ).alias("p"),
+    ).select(item_col, "p.cms_row", "p.cms_bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["cms_row", "cms_bucket"], "left")
+        .groupBy(item_col)
+        .agg(
+            F.min(F.coalesce(F.col("cms_count"), F.lit(0))).alias("est_count")
+        )
+    )

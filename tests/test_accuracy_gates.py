@@ -196,3 +196,53 @@ def test_hll_sketch_merge_across_partials(spark):
     ).collect()[0]["est"]
     assert merged == single, (merged, single)
     assert abs(merged - exact) / exact <= 0.05, (merged, exact)
+
+
+def test_cms_heavy_hitters_merge(spark):
+    """Count-min sketch gate (operators/aggregates.py cms_sketch): the
+    estimator NEVER undercounts, overestimates by at most εN (ε = e/width)
+    on the heavy hitters, and — the property that matters at 100 TB —
+    per-shard partial sketches merged by summing (row, bucket) counts
+    equal the single-pass sketch EXACTLY (count algebra is associative)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from projectdatalake_spark.operators.aggregates import cms_estimate, cms_sketch
+    from projectdatalake_spark.operators.text import tokens
+
+    toks = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    )
+    n_total = toks.count()
+
+    single = cms_sketch(toks, "tok")
+    # per-shard partial sketches, merged by summing on (row, bucket)
+    partials = [
+        cms_sketch(toks.filter(F.pmod(F.col("doc_id"), F.lit(8)) == s), "tok")
+        for s in range(8)
+    ]
+    u = partials[0]
+    for p in partials[1:]:
+        u = u.unionAll(p)
+    merged_sketch = u.groupBy("cms_row", "cms_bucket").agg(
+        F.sum("cms_count").alias("cms_count")
+    )
+    sm = {(r.cms_row, r.cms_bucket): r.cms_count for r in single.collect()}
+    mm = {(r.cms_row, r.cms_bucket): r.cms_count for r in merged_sketch.collect()}
+    assert sm == mm  # exact mergeability
+
+    true_top = (
+        toks.groupBy("tok").count().orderBy(F.desc("count"), "tok").limit(20)
+    )
+    est = cms_estimate(single, true_top.select("tok"), "tok")
+    joined = {
+        r.tok: (r.est_count,)
+        for r in est.collect()
+    }
+    eps_n = math.e / 256 * n_total
+    for r in true_top.collect():
+        (e,) = joined[r.tok]
+        assert e >= r["count"], (r.tok, e, r["count"])
+        assert e <= r["count"] + eps_n, (r.tok, e, r["count"], eps_n)

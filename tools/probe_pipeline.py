@@ -58,9 +58,11 @@ def main() -> None:
     spark = get_spark("probe-pipeline")
     base = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
 
-    def timed(df) -> float:
+    def timed(mk) -> float:
+        # mk is a THUNK: curate() eagerly materializes its cache (the
+        # count() inside), so construction must happen inside the timer
         t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
+        mk().write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 3)
 
     # warm JVM + parquet footers
@@ -73,7 +75,7 @@ def main() -> None:
         entry: dict = {"docs": frame.count()}
         for stage in STAGES:
             entry[f"wall_{stage}"] = timed(
-                llm_corpus.curate(frame, through=stage)
+                lambda stage=stage: llm_corpus.curate(frame, through=stage)
             )
             llm_corpus.release_cache()
         # survivor accounting (untimed; cached prefix reused inside one pass)
