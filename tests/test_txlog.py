@@ -383,6 +383,30 @@ def test_optimize_sort_clustering_tightens_stats(spark, tmp_path):
     }
 
 
+def test_dynamic_partition_pruning_through_snapshot(spark, tmp_path):
+    """Joins against a filtered dim prune txlog partitions at RUNTIME
+    (Spark DPP): snapshot() keeps hive-style partition inference (explicit
+    file list + basePath), so the scan carries PartitionFilters and the
+    planner injects the dynamicpruning subquery — scan-side file pruning
+    driven by the dim filter, the join-shaped complement to the log's own
+    static where= pruning. At 100 TB this is the difference between
+    scanning one partition and all of them for every star join."""
+    import pyspark.sql.functions as F
+
+    rows = [(i, 1995 + i % 4) for i in range(400)]
+    df = spark.createDataFrame(rows, ["id", "yr"])
+    t = TxTable.create(spark, str(tmp_path / "dpp"), df, partition_by=("yr",))
+    dim = spark.createDataFrame(
+        [(1995, "keep"), (1996, "drop"), (1997, "drop"), (1998, "drop")],
+        ["yr", "tag"],
+    ).filter(F.col("tag") == "keep")
+    j = t.snapshot().join(dim, "yr")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    assert "PartitionFilters" in plan, plan
+    assert j.count() == 100
+
+
 def test_clustered_write_skipping(spark, tmp_path):
     """Stats-clustered sink: cluster_by at create makes every write
     range-shuffle + sort + split by maxRecordsPerFile, so files carve the
