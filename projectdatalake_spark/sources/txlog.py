@@ -342,21 +342,113 @@ class TxTable:
         except Exception:
             return None  # torn/missing checkpoint: fall back to full replay
 
+    @staticmethod
+    def _empty_state() -> dict:
+        return {
+            "partition_by": None,  # None = never seen (distinct from [])
+            "specs_seen": [],
+            "bloom_by": [],
+            "cluster": None,
+            "mapping": {},
+            "constraints": {},
+            "schema": {},
+        }
+
+    @staticmethod
+    def _fold_state(state: dict, commits, version: int | None) -> dict:
+        """Fold metadata actions into ``state`` (mutates + returns it).
+        ONE replay covers everything history-derived — partition spec(s),
+        bloom/cluster settings, column mapping, constraints, widened
+        schema — so a checkpoint can carry the complete fold and survive
+        log-retention pruning of the commits that produced it."""
+
+        def put_schema(col: str, typ: str) -> None:
+            cur = state["schema"].get(col)
+            if cur is None or cur == typ:
+                state["schema"][col] = typ
+            elif _widens_to(typ, cur):
+                pass  # narrower member of the same family: keep wide
+            else:
+                state["schema"][col] = typ
+
+        for c in commits:
+            if version is not None and c["version"] > version:
+                break
+            op = c["op"]
+            if "partition_by" in c:
+                spec = list(c["partition_by"])
+                state["partition_by"] = spec
+                if tuple(spec) not in {tuple(s) for s in state["specs_seen"]}:
+                    state["specs_seen"].append(spec)
+            if "bloom_by" in c:
+                state["bloom_by"] = list(c["bloom_by"])
+            if "cluster" in c:
+                state["cluster"] = c["cluster"] or None
+            if op == "clone":
+                state["mapping"] = dict(c.get("column_mapping", {}))
+            for col, typ in c.get("schema", {}).items():
+                if col not in state["mapping"].values():
+                    state["mapping"].setdefault(col, col)
+                put_schema(col, typ)
+            if op == "rename_column":
+                ren = c["rename"]
+                state["mapping"][ren["new"]] = state["mapping"].pop(ren["old"])
+            if op == "widen_column":
+                w = c["widen"]
+                put_schema(w["col"], w["to"])
+            if op == "add_constraint":
+                state["constraints"][c["constraint"]["name"]] = c["constraint"]["check"]
+            elif op == "drop_constraint":
+                state["constraints"].pop(c["constraint"]["name"], None)
+        return state
+
+    def _state(self, version: int | None = None) -> dict:
+        """Complete metadata state at ``version`` (default latest):
+        checkpoint base + post-checkpoint commits when a state-carrying
+        checkpoint is usable, else a full-history fold (also the
+        fallback for pre-state checkpoints). This is what makes every
+        setting SURVIVE log-retention pruning — without the checkpoint
+        base, a pruned creation commit would silently drop bloom/cluster
+        settings, renames, and constraints."""
+        ck = self._read_checkpoint()
+        if (
+            ck is not None
+            and "state" in ck
+            and (version is None or version >= ck["version"])
+        ):
+            state = {k: v for k, v in ck["state"].items()}
+            # deep-ish copy of the mutable members
+            state["specs_seen"] = [list(s) for s in state["specs_seen"]]
+            state["mapping"] = dict(state["mapping"])
+            state["constraints"] = dict(state["constraints"])
+            state["schema"] = dict(state["schema"])
+            commits = [
+                c for c in self.history() if c["version"] > ck["version"]
+            ]
+            return self._fold_state(state, commits, version)
+        return self._fold_state(self._empty_state(), self.history(), version)
+
     def checkpoint(self) -> int:
         """Consolidate the log tip into one snapshot file: the active file
-        set (plus merged schema) as of the latest version, so readers
-        replay O(commits-since-checkpoint) instead of O(all-versions).
-        Commit JSONs are NOT deleted — history()/changes()/time travel
-        still read them; a log-retention job may prune them past its
-        horizon. The ``_last_checkpoint`` marker is the only overwritten
-        file, and a torn write degrades to full replay, never to a wrong
-        snapshot."""
+        set, merged schema, AND the full metadata state (partition specs,
+        bloom/cluster settings, column mapping, constraints) as of the
+        latest version, so readers replay O(commits-since-checkpoint)
+        instead of O(all-versions) — and so table state survives a
+        log-retention job pruning pre-checkpoint commit JSONs (Delta's
+        checkpoints consolidate metadata actions for the same reason).
+        Commit JSONs are NOT deleted here; history()/changes()/time
+        travel past the horizon degrade explicitly, never silently. The
+        ``_last_checkpoint`` marker is the only overwritten file, and a
+        torn write degrades to full replay, never to a wrong snapshot."""
         v = self.latest_version()
         body = {
             "version": v,
             "active": self._active_files(v),
             "partition_by": list(self._partition_by()),
             "schema": self.table_schema(),
+            # via _state (not a raw fold): a re-checkpoint after earlier
+            # pruning must build on the previous checkpoint's base
+            "state": self._state(v),
         }
         fs = self._fs()
         ck = f"{self.root}/{_LOG_DIR}/{v:08d}.checkpoint.json"
@@ -449,19 +541,9 @@ class TxTable:
         """logical name → physical (on-disk parquet) name. Data files
         always store physical names; ``rename_column`` only rewires this
         map — no file is touched (Delta's column-mapping design). The map
-        is identity until a rename happens."""
-        mapping: dict[str, str] = {}
-        for commit in self.history():
-            if commit["op"] == "clone":
-                mapping = dict(commit.get("column_mapping", {}))
-                continue
-            for col in commit.get("schema", {}):
-                if col not in mapping.values():
-                    mapping.setdefault(col, col)
-            if commit["op"] == "rename_column":
-                ren = commit["rename"]
-                mapping[ren["new"]] = mapping.pop(ren["old"])
-        return mapping
+        is identity until a rename happens. Reads through the checkpoint
+        state fold, so renames survive log-retention pruning."""
+        return self._state()["mapping"]
 
     def logical_schema(self) -> dict[str, str]:
         """The schema callers see: logical names over the merged types."""
@@ -739,29 +821,20 @@ class TxTable:
 
     def _partition_by(self) -> tuple[str, ...]:
         """The CURRENT partition spec: the creation spec unless a later
-        ``set_partition_spec`` commit evolved it. New writes use this."""
-        commits = self.history()
-        if not commits:
+        ``set_partition_spec`` commit evolved it. New writes use this.
+        Reads through the checkpoint state fold (survives pruning)."""
+        if not self.history():
             raise ValueError(f"no txlog table at {self.root}")
-        spec = tuple(commits[0].get("partition_by", ()))
-        for c in commits:
-            if c["op"] == "set_partition_spec":
-                spec = tuple(c["partition_by"])
-        return spec
+        spec = self._state()["partition_by"]
+        return tuple(spec or ())
 
     def _all_partition_specs(self) -> list[tuple[str, ...]]:
         """Every spec any active-era file may have been written under —
         the creation spec plus each evolution step. Pruning consults all
         of them: a file prunes by whichever spec's keys its hive path
         carries (Iceberg's per-file spec-id, path-encoded)."""
-        commits = self.history()
-        specs = [tuple(commits[0].get("partition_by", ()))]
-        for c in commits:
-            if c["op"] == "set_partition_spec":
-                s = tuple(c["partition_by"])
-                if s not in specs:
-                    specs.append(s)
-        return specs
+        specs = [tuple(s) for s in self._state()["specs_seen"]]
+        return specs or [()]
 
     def set_partition_spec(self, partition_by: tuple[str, ...]) -> int:
         """Evolve the partition spec (Iceberg partition evolution): a
@@ -784,15 +857,11 @@ class TxTable:
         creation setting unless a later ``set_bloom_columns`` commit
         changed it. Already-written files keep (or lack) their blooms —
         readers never skip on a missing bloom, so the change is safe
-        retroactively; OPTIMIZE rewrites backfill them."""
-        commits = self.history()
-        if not commits:
+        retroactively; OPTIMIZE rewrites backfill them. Reads through the
+        checkpoint state fold (survives log-retention pruning)."""
+        if not self.history():
             return tuple(getattr(self, "_pending_bloom", ()))
-        cols = tuple(commits[0].get("bloom_by", ()))
-        for c in commits:
-            if c["op"] == "set_bloom_columns":
-                cols = tuple(c["bloom_by"])
-        return cols
+        return tuple(self._state()["bloom_by"])
 
     def set_bloom_columns(self, cols: tuple[str, ...]) -> int:
         """Metadata-only commit switching which columns future writes
@@ -808,15 +877,11 @@ class TxTable:
         ``{"by": [cols...], "files": N, "max_rows": M?}`` — the creation
         setting unless a later ``set_clustering`` commit changed it.
         Applied by append/overwrite (not partition-scoped rewrites, whose
-        batches are too small to range-shuffle profitably)."""
-        commits = self.history()
-        if not commits:
+        batches are too small to range-shuffle profitably). Reads through
+        the checkpoint state fold (survives log-retention pruning)."""
+        if not self.history():
             return getattr(self, "_pending_cluster", None)
-        spec = commits[0].get("cluster")
-        for c in commits:
-            if c["op"] == "set_clustering":
-                spec = c["cluster"]
-        return spec or None
+        return self._state()["cluster"]
 
     def set_clustering(
         self,
@@ -1130,27 +1195,10 @@ class TxTable:
         each widening family — a ``widen_column`` commit pins the wide
         type, and later narrow-typed batches (legal writes) can never
         narrow it back. Non-family type changes keep last-write-wins
-        (the legacy additive behavior)."""
-        merged: dict[str, str] = {}
-
-        def put(col: str, typ: str) -> None:
-            cur = merged.get(col)
-            if cur is None or cur == typ:
-                merged[col] = typ
-            elif _widens_to(typ, cur):
-                pass  # narrower member of the same family: keep wide
-            else:
-                merged[col] = typ  # wider, or non-family change
-
-        for commit in self.history():
-            if version is not None and commit["version"] > version:
-                break
-            for col, typ in commit.get("schema", {}).items():
-                put(col, typ)
-            if commit["op"] == "widen_column":
-                w = commit["widen"]
-                put(w["col"], w["to"])
-        return merged
+        (the legacy additive behavior). Reads through the checkpoint
+        state fold for the latest version (survives pruning); explicit
+        time travel below the checkpoint folds the full history."""
+        return self._state(version)["schema"]
 
     def widen_column(self, column: str, to_type: str) -> int:
         """Widen a column's declared type (int family upward, or
@@ -1195,14 +1243,9 @@ class TxTable:
         )
 
     def active_constraints(self) -> dict[str, str]:
-        """CHECK constraints in force: replay of add/drop commits."""
-        cons: dict[str, str] = {}
-        for commit in self.history():
-            if commit["op"] == "add_constraint":
-                cons[commit["constraint"]["name"]] = commit["constraint"]["check"]
-            elif commit["op"] == "drop_constraint":
-                cons.pop(commit["constraint"]["name"], None)
-        return cons
+        """CHECK constraints in force: replay of add/drop commits through
+        the checkpoint state fold (survives log-retention pruning)."""
+        return self._state()["constraints"]
 
     def _validate_write(self, df: DataFrame) -> None:
         """Write-time enforcement, BEFORE any data lands: incoming columns

@@ -383,6 +383,62 @@ def test_optimize_sort_clustering_tightens_stats(spark, tmp_path):
     }
 
 
+def test_checkpoint_state_survives_log_pruning(spark, tmp_path):
+    """The checkpoint consolidates ALL metadata state — partition specs,
+    bloom/cluster settings, column mapping, constraints, widened schema —
+    so a log-retention job pruning pre-checkpoint commits loses nothing
+    (Delta checkpoints consolidate metadata actions for the same reason).
+    Before this, every history-walking helper silently reverted to
+    defaults once commit 0 vanished."""
+    import glob as _glob
+    import os
+
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(i, "A" if i % 2 else "B", i * 10) for i in range(1, 5)],
+        "id int, seg string, val int",
+    )
+    t = TxTable.create(
+        spark, str(tmp_path / "st"), df, partition_by=("seg",),
+        bloom_by=("id",), cluster_by=("val",), cluster_target_files=2,
+    )
+    t.rename_column("val", "amount")
+    t.add_constraint("pos", "amount IS NULL OR amount >= 0")
+    t.widen_column("id", "bigint")
+    t.checkpoint()
+    ck_v = t.latest_version()
+    for p in sorted(_glob.glob(os.path.join(t.root, "_txlog", "*.json"))):
+        name = os.path.basename(p)
+        if name.endswith(".checkpoint.json"):
+            continue
+        if int(name[:-5]) < ck_v:
+            os.remove(p)
+
+    t2 = TxTable(spark, t.root)  # fresh instance, no warm caches
+    assert t2._partition_by() == ("seg",)
+    assert ("seg",) in t2._all_partition_specs()
+    assert t2._bloom_by() == ("id",)
+    assert (t2._cluster_spec() or {}).get("by") == ["val"]
+    assert t2.column_mapping()["amount"] == "val"
+    assert t2.active_constraints() == {"pos": "amount IS NULL OR amount >= 0"}
+    assert t2.table_schema()["id"] == "bigint"
+    # behavior, not just metadata: renamed-column read; constraint still
+    # enforced; append inherits clustering and the widened type
+    assert {r.amount for r in t2.snapshot().collect()} == {10, 20, 30, 40}
+    with pytest.raises(ValueError, match="pos"):
+        t2.append(
+            spark.createDataFrame([(9, "A", -5)], "id long, seg string, amount int")
+        )
+    t2.append(
+        spark.createDataFrame([(9, "A", 90)], "id long, seg string, amount int")
+    )
+    assert t2.snapshot().filter(F.col("amount") == 90).count() == 1
+    # re-checkpoint after pruning builds on the previous base
+    t2.checkpoint()
+    assert t2._read_checkpoint()["state"]["mapping"]["amount"] == "val"
+
+
 def test_dynamic_partition_pruning_through_snapshot(spark, tmp_path):
     """Joins against a filtered dim prune txlog partitions at RUNTIME
     (Spark DPP): snapshot() keeps hive-style partition inference (explicit
