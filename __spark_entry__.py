@@ -130,6 +130,7 @@ _R4_PINNED = frozenset(
         "graph_triangle_counts",
         "arrow_embed_features",
         "udtf_chunk_windows",
+        "txlog_stream_upsert_sink",
     }
 )
 

@@ -3668,6 +3668,59 @@ def txlog_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "txlog_stream_upsert_sink",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CASE WHEN c_mktsegment = 'BUILDING'
+                THEN CAST(c_acctbal AS DOUBLE) * 0.9
+                ELSE CAST(c_acctbal AS DOUBLE) END AS c_acctbal
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
+    """,
+)
+def txlog_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE into the transactional format — the CDC-apply
+    pattern (sources/txlog.upsert_stream): a change stream of inserts
+    (AUTOMOBILE customers) and updates (BUILDING balances × 0.9) upserts
+    by key into a mktsegment-partitioned TxTable via exactly-once
+    foreachBatch merge; the commit records (checkpoint, batch_id) and a
+    replayed batch is skipped before any rewrite is planned. The final
+    snapshot must equal the oracle's merged state — a double-applied
+    update (0.9² ≠ 0.9) or duplicated insert breaks the hash. 100 TB:
+    per-batch cost is merge's — only partitions containing changed keys
+    rewrite; untouched partitions' files survive byte-identical."""
+    import tempfile
+
+    from projectdatalake_spark.sources.txlog import TxTable, upsert_stream
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+    )
+    root = tempfile.mkdtemp(prefix="txlog_upsink_")
+    table = TxTable.create(
+        spark, root,
+        c.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY")),
+        partition_by=("c_mktsegment",),
+    )
+    updates_dir = tempfile.mkdtemp(prefix="txlog_upsink_src_")
+    (
+        c.filter(F.col("c_mktsegment") == "AUTOMOBILE")
+        .unionByName(
+            c.filter(F.col("c_mktsegment") == "BUILDING").withColumn(
+                "c_acctbal", F.col("c_acctbal") * 0.9
+            )
+        )
+        .write.mode("overwrite").parquet(updates_dir)
+    )
+    stream = spark.readStream.schema(c.schema).parquet(updates_dir)
+    ckpt = tempfile.mkdtemp(prefix="txlog_upsink_ckpt_")
+    q = upsert_stream(stream, table, ["c_custkey"], ckpt)
+    q.awaitTermination(300)
+    return table.snapshot().select("c_custkey", "c_mktsegment", "c_acctbal")
+
+
+@query(
     "dedup_containment_pairs",
     oracle=r"""
     WITH t AS (

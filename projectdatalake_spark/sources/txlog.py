@@ -426,7 +426,14 @@ class TxTable:
                 c for c in self.history() if c["version"] > ck["version"]
             ]
             return self._fold_state(state, commits, version)
-        return self._fold_state(self._empty_state(), self.history(), version)
+        commits = self.history()
+        if commits and commits[0]["version"] > 0:
+            raise ValueError(
+                f"metadata at version {version} predates the log-retention "
+                "horizon — the commits were pruned and no covering "
+                "checkpoint exists"
+            )
+        return self._fold_state(self._empty_state(), commits, version)
 
     def checkpoint(self) -> int:
         """Consolidate the log tip into one snapshot file: the active file
@@ -470,6 +477,15 @@ class TxTable:
         if ck is not None and (version is None or ck["version"] <= version):
             active = {a["path"]: a for a in ck["active"]}
             start_after = ck["version"]
+        else:
+            commits = self.history()
+            if commits and commits[0]["version"] > 0:
+                raise ValueError(
+                    f"version {version} predates the log-retention horizon "
+                    f"(oldest commit {commits[0]['version']}, checkpoint "
+                    f"{ck['version'] if ck else 'absent'}) — time travel "
+                    "below a pruned log is unavailable"
+                )
         for commit in self.history():
             if commit["version"] <= start_after:
                 continue
@@ -1175,6 +1191,9 @@ class TxTable:
         apply_cluster: bool = False,
         **extra,
     ) -> int:
+        # with_txn-armed idempotence metadata rides whichever write path
+        # the operation takes (append/overwrite/replace_where/merge)
+        extra = {**self.__dict__.pop("_txn_extra_pending", {}), **extra}
         if op != "create":
             self._validate_write(df)
             df = self._to_physical(df)  # files always store physical names
@@ -1321,12 +1340,7 @@ class TxTable:
         what makes an at-least-once foreachBatch sink exactly-once.
         Returns the committed version, or None if skipped as a replay."""
         def unseen() -> bool:
-            return not any(
-                c.get("txn", {}).get("app") == app_id
-                and c.get("txn", {}).get("batch") >= batch_id
-                for c in self.history()
-                if c.get("txn")
-            )
+            return not self._txn_seen(app_id, batch_id)
 
         if not unseen():
             return None
@@ -1344,6 +1358,30 @@ class TxTable:
         return self._commit_write(
             df, "overwrite", self._partition_by(), removes=removes,
             apply_cluster=True,
+        )
+
+    def with_txn(self, app_id: str, batch_id: int) -> "TxTable":
+        """Arm the NEXT write on this instance with idempotence metadata
+        (Delta's txnAppId/txnVersion): the commit records (app, batch)
+        and re-checks it as a publish precondition, so a replayed batch
+        that already committed is a no-op. Used by the streaming sinks;
+        cleared after the next _commit_write."""
+
+        def unseen() -> bool:
+            return not self._txn_seen(app_id, batch_id)
+
+        self._txn_extra_pending = {
+            "txn": {"app": app_id, "batch": batch_id},
+            "precondition": unseen,
+        }
+        return self
+
+    def _txn_seen(self, app_id: str, batch_id: int) -> bool:
+        return any(
+            c.get("txn", {}).get("app") == app_id
+            and c.get("txn", {}).get("batch") >= batch_id
+            for c in self.history()
+            if c.get("txn")
         )
 
     def replace_where(self, df: DataFrame, partition_values: dict) -> int:
@@ -2031,6 +2069,37 @@ class TxTable:
             deleted.append(rel)
         return deleted
 
+    def prune_log(self, retain_versions: int = 0) -> list[str]:
+        """Log retention: delete commit JSONs older than the last
+        ``retain_versions+1`` versions — the companion to ``vacuum``
+        (which reaps data files). REFUSES unless a state-carrying
+        checkpoint covers the pruned range, because snapshot planning and
+        every metadata fold (settings, renames, constraints) must come
+        from the checkpoint once the commits are gone. History, CDF, and
+        time travel below the new horizon become explicitly unavailable
+        (readers raise), never silently wrong. Checkpoint files are kept.
+        Returns the deleted log filenames."""
+        latest = self.latest_version()
+        cutoff = latest - retain_versions  # prune versions < cutoff
+        ck = self._read_checkpoint()
+        if ck is None or "state" not in ck:
+            raise ValueError(
+                "prune_log needs a state-carrying checkpoint — call "
+                "checkpoint() first"
+            )
+        # never prune past the checkpoint: replay starts there
+        cutoff = min(cutoff, ck["version"] + 1)
+        fs = self._fs()
+        deleted = []
+        for c in self.history():
+            v = c["version"]
+            if v >= cutoff:
+                break
+            name = f"{v:08d}.json"
+            fs.delete(self._path(f"{self.root}/{_LOG_DIR}/{name}"), False)
+            deleted.append(name)
+        return deleted
+
 
 def append_stream(
     stream_df: DataFrame,
@@ -2053,6 +2122,44 @@ def append_stream(
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         table.append_once(batch_df, app_id, batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(commit_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def upsert_stream(
+    stream_df: DataFrame,
+    table: TxTable,
+    keys: list[str],
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Exactly-once streaming MERGE sink (the CDC-apply pattern): each
+    micro-batch upserts into the TxTable by key via partition-scoped
+    merge, with the same txn idempotence contract as ``append_stream`` —
+    the merge commit records (checkpoint, batch_id) and a crash-replayed
+    batch that finds its id in the log is skipped before any rewrite is
+    planned (and re-checked as a publish precondition, so losing a
+    version race to the original still abandons cleanly). Late batches
+    de-duplicate per key inside the batch first (last arrival wins by
+    key ordering is the CALLER's contract — pre-aggregate upstream if
+    arrival order matters).
+
+    Returns the StreamingQuery (caller awaits for availableNow)."""
+    app_id = checkpoint_dir
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if table._txn_seen(app_id, batch_id):
+            return
+        if batch_df.isEmpty():
+            return
+        table.with_txn(app_id, batch_id).merge_upsert(
+            batch_df.dropDuplicates(keys), keys
+        )
 
     writer = stream_df.writeStream.foreachBatch(commit_batch).option(
         "checkpointLocation", checkpoint_dir

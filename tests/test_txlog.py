@@ -439,6 +439,64 @@ def test_checkpoint_state_survives_log_pruning(spark, tmp_path):
     assert t2._read_checkpoint()["state"]["mapping"]["amount"] == "val"
 
 
+def test_prune_log_retention(spark, table):
+    """prune_log deletes commit JSONs below the horizon, refuses without
+    a state checkpoint, never prunes past the checkpoint, and reads
+    below the new horizon raise instead of going silently wrong."""
+    import os
+
+    with pytest.raises(ValueError, match="checkpoint"):
+        table.prune_log()
+    for i in range(11):  # crosses the auto-checkpoint at v10
+        table.append(_mkdf(spark, [(100 + i, "A", i)]))
+    want = {(r.id, r.val) for r in table.snapshot().collect()}
+    deleted = table.prune_log(retain_versions=1)
+    # latest=11, retain 1 → cutoff 10 (also the checkpoint version bound)
+    assert deleted == [f"{v:08d}.json" for v in range(10)]
+    assert not os.path.exists(os.path.join(table.root, "_txlog", "00000003.json"))
+    t2 = TxTable(table.spark, table.root)
+    assert {(r.id, r.val) for r in t2.snapshot().collect()} == want
+    # time travel AT the checkpoint still works (one append shy of tip)
+    assert {(r.id, r.val) for r in t2.snapshot(version=10).collect()} == want - {
+        (110, 10)
+    }
+    with pytest.raises(ValueError, match="horizon"):
+        t2.snapshot(version=5)
+    # writes continue on the pruned log
+    t2.append(_mkdf(spark, [(999, "B", 9)]))
+    assert (999, 9) in {(r.id, r.val) for r in t2.snapshot().collect()}
+
+
+def test_upsert_stream_exactly_once(spark, table, tmp_path):
+    from projectdatalake_spark.sources.txlog import upsert_stream
+
+    src = str(tmp_path / "updates")
+    # update id=1 (stays in A), move id=3 B→A, insert id=7
+    _mkdf(spark, [(1, "A", 111), (3, "A", 333), (7, "B", 70)]).write.parquet(src)
+    stream = spark.readStream.schema(_mkdf(spark, [(0, "x", 0)]).schema).parquet(src)
+    ckpt = str(tmp_path / "ck")
+    q = upsert_stream(stream, table, ["id"], ckpt)
+    q.awaitTermination(120)
+    got = {(r.id, r.seg, r.val) for r in table.snapshot().collect()}
+    assert got == {(1, "A", 111), (2, "A", 20), (3, "A", 333), (7, "B", 70)}
+    # restart from the same checkpoint: no new input → no new commits
+    before = table.latest_version()
+    q2 = upsert_stream(stream, table, ["id"], ckpt)
+    q2.awaitTermination(120)
+    assert table.latest_version() == before
+    # crash-replay simulation: same (app, batch) is a no-op
+    assert table._txn_seen(ckpt, 0)
+    table.with_txn(ckpt, 0)
+    assert (
+        table.merge_upsert(_mkdf(spark, [(1, "A", 999)]), ["id"]) is None
+    )
+    assert {(r.id, r.val) for r in table.snapshot().collect()} == {
+        (1, 111), (2, 20), (3, 333), (7, 70)
+    }
+    txns = [c["txn"] for c in table.history() if c.get("txn")]
+    assert txns == [{"app": ckpt, "batch": 0}]
+
+
 def test_dynamic_partition_pruning_through_snapshot(spark, tmp_path):
     """Joins against a filtered dim prune txlog partitions at RUNTIME
     (Spark DPP): snapshot() keeps hive-style partition inference (explicit
