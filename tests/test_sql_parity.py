@@ -82,6 +82,12 @@ SHARED_ANSI = [
     "safe_arithmetic",
     "scan_provenance",
     "interval_overlap_join",
+    # round 4 (shared-ANSI: lead window; correlated NOT EXISTS; 3-way
+    # self-join — excluded: retention_cohorts (DuckDB 3-arg datediff),
+    # weighted_sample_priority ('0x'||hex CAST), list_*-based oracles)
+    "event_transitions",
+    "pareto_frontier",
+    "graph_triangle_counts",
 ]
 
 
