@@ -131,6 +131,7 @@ _R4_PINNED = frozenset(
         "arrow_embed_features",
         "udtf_chunk_windows",
         "txlog_stream_upsert_sink",
+        "txlog_apply_changes",
     }
 )
 

@@ -3721,6 +3721,61 @@ def txlog_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "txlog_apply_changes",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CASE WHEN c_mktsegment = 'BUILDING'
+                THEN CAST(c_acctbal AS DOUBLE) * 0.9
+                ELSE CAST(c_acctbal AS DOUBLE) END AS c_acctbal
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
+      AND NOT (c_mktsegment = 'MACHINERY' AND c_custkey % 3 = 0)
+    """,
+)
+def txlog_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CDC apply (txlog.apply_changes): ONE atomic commit carrying
+    updates (BUILDING balances × 0.9), inserts (AUTOMOBILE customers),
+    and key DELETES (every third MACHINERY customer) — the MERGE form
+    with a WHEN MATCHED THEN DELETE clause. Two-commit compositions
+    expose an intermediate state; here snapshot isolation holds across
+    all three change kinds, and the result must equal the oracle's
+    set-algebra. Partition-scoped: only segments containing changed keys
+    rewrite."""
+    import tempfile
+
+    from projectdatalake_spark.sources.txlog import TxTable
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+    )
+    root = tempfile.mkdtemp(prefix="txlog_cdc_")
+    table = TxTable.create(
+        spark, root,
+        c.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY")),
+        partition_by=("c_mktsegment",),
+    )
+    changes = (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .withColumn("c_acctbal", F.col("c_acctbal") * 0.9)
+        .withColumn("_deleted", F.lit(False))
+        .unionByName(
+            c.filter(F.col("c_mktsegment") == "AUTOMOBILE").withColumn(
+                "_deleted", F.lit(False)
+            )
+        )
+        .unionByName(
+            c.filter(
+                (F.col("c_mktsegment") == "MACHINERY")
+                & (F.col("c_custkey") % 3 == 0)
+            ).withColumn("_deleted", F.lit(True))
+        )
+    )
+    table.apply_changes(changes, ["c_custkey"])
+    return table.snapshot().select("c_custkey", "c_mktsegment", "c_acctbal")
+
+
+@query(
     "dedup_containment_pairs",
     oracle=r"""
     WITH t AS (

@@ -1508,6 +1508,86 @@ class TxTable:
             include_stale=True,
         )
 
+    def apply_changes(
+        self,
+        changes: DataFrame,
+        keys: list[str],
+        delete_col: str = "_deleted",
+        max_partitions: int = 10_000,
+    ) -> int:
+        """Full CDC apply in ONE atomic commit (the MERGE form with a
+        WHEN MATCHED … THEN DELETE clause): rows with ``delete_col``
+        true remove their key, every other row upserts. All change rows
+        — deletes included — must carry the partition columns, which is
+        what scopes the rewrite to touched partitions only (a CDC feed
+        that can't name the partition can't be partition-pruned by any
+        format). Composing merge + delete as two commits would expose an
+        intermediate state; this is one replace_where.
+
+        100 TB: identical cost shape to merge_upsert — only partitions
+        containing changed keys rewrite."""
+        from pyspark.sql import functions as F
+
+        is_del = F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
+        ups = changes.filter(~is_del).drop(delete_col)
+        all_keys = changes.select(*keys)
+        fields = self._partition_fields()
+        if not fields:
+            merged = ups.unionByName(
+                self.snapshot().join(all_keys, keys, "left_anti"),
+                allowMissingColumns=True,
+            )
+            return self.overwrite(merged)
+
+        def part_expr(kind, param, src):
+            e = F.col(src) if kind == "identity" else _transform_col(kind, param, src)
+            return e.cast("string")
+
+        touched_rows = (
+            changes.select(
+                *[part_expr(k, p, s).alias(n) for k, p, s, n in fields]
+            )
+            .distinct()
+            .limit(max_partitions + 1)
+            .collect()
+        )
+        if len(touched_rows) > max_partitions:
+            raise ValueError(
+                f"apply_changes touches more than {max_partitions} "
+                "partitions; raise max_partitions or fall back to overwrite()"
+            )
+        values = {n: {str(r[n]) for r in touched_rows} for _, _, _, n in fields}
+        scoped = None
+        for kind, param, src, name in fields:
+            c = part_expr(kind, param, src).isin(*values[name])
+            scoped = c if scoped is None else scoped & c
+        if self._stale_spec_files():
+            # mirror merge_upsert's migration path: old-layout files join
+            # the rewrite wholesale under the current spec
+            names = {n for _, _, _, n in fields}
+            doomed = self._stale_spec_files() + [
+                a
+                for a in self._active_files()
+                if all(n in (a.get("partition") or {}) for n in names)
+                and all(a["partition"].get(k) in v for k, v in values.items())
+            ]
+            scoped_df = self._to_logical(self._snapshot_of(doomed))
+            merged = ups.unionByName(
+                scoped_df.join(all_keys, keys, "left_anti"),
+                allowMissingColumns=True,
+            )
+            return self._commit_write(
+                merged, "replace_where", self._partition_by(),
+                removes=sorted(a["path"] for a in doomed),
+                predicate={k: sorted(v) for k, v in values.items()},
+                include_stale=True,
+            )
+        merged = ups.unionByName(
+            self.snapshot().filter(scoped).join(all_keys, keys, "left_anti"),
+            allowMissingColumns=True,
+        )
+        return self.replace_where(merged, values)
+
     def delete_where(self, condition: str, max_partitions: int = 10_000) -> int | None:
         """Row-level DELETE, partition-scoped: only partitions that
         actually contain matching rows are rewritten (without their
@@ -2137,6 +2217,7 @@ def upsert_stream(
     keys: list[str],
     checkpoint_dir: str,
     available_now: bool = True,
+    delete_col: str | None = None,
 ):
     """Exactly-once streaming MERGE sink (the CDC-apply pattern): each
     micro-batch upserts into the TxTable by key via partition-scoped
@@ -2147,7 +2228,9 @@ def upsert_stream(
     version race to the original still abandons cleanly). Late batches
     de-duplicate per key inside the batch first (last arrival wins by
     key ordering is the CALLER's contract — pre-aggregate upstream if
-    arrival order matters).
+    arrival order matters). With ``delete_col``, rows flagged true
+    DELETE their key instead (full CDC apply via apply_changes, one
+    atomic commit per batch).
 
     Returns the StreamingQuery (caller awaits for availableNow)."""
     app_id = checkpoint_dir
@@ -2157,9 +2240,12 @@ def upsert_stream(
             return
         if batch_df.isEmpty():
             return
-        table.with_txn(app_id, batch_id).merge_upsert(
-            batch_df.dropDuplicates(keys), keys
-        )
+        armed = table.with_txn(app_id, batch_id)
+        deduped = batch_df.dropDuplicates(keys)
+        if delete_col is None:
+            armed.merge_upsert(deduped, keys)
+        else:
+            armed.apply_changes(deduped, keys, delete_col=delete_col)
 
     writer = stream_df.writeStream.foreachBatch(commit_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -497,6 +497,56 @@ def test_upsert_stream_exactly_once(spark, table, tmp_path):
     assert txns == [{"app": ckpt, "batch": 0}]
 
 
+def test_apply_changes_cdc(spark, table):
+    """apply_changes: one atomic commit carrying updates, inserts, AND
+    key deletes; untouched partitions survive byte-identical."""
+    changes = spark.createDataFrame(
+        [
+            (1, "A", 111, False),   # update in A
+            (5, "A", 50, False),    # insert into A
+            (2, "A", 0, True),      # delete from A (carries partition)
+        ],
+        ["id", "seg", "val", "_deleted"],
+    )
+    b_before = {
+        a["path"]: a["size"] for a in table._active_files()
+        if a["partition"]["seg"] == "B"
+    }
+    v = table.apply_changes(changes, ["id"])
+    assert v == 1
+    got = {(r.id, r.seg, r.val) for r in table.snapshot().collect()}
+    assert got == {(1, "A", 111), (5, "A", 50), (3, "B", 30)}
+    b_after = {
+        a["path"]: a["size"] for a in table._active_files()
+        if a["partition"]["seg"] == "B"
+    }
+    assert b_before == b_after  # B never rewritten
+    assert table.snapshot(version=0).count() == 3  # time travel intact
+
+
+def test_upsert_stream_with_deletes(spark, table, tmp_path):
+    from projectdatalake_spark.sources.txlog import upsert_stream
+
+    src = str(tmp_path / "cdc")
+    spark.createDataFrame(
+        [(1, "A", 111, False), (3, "B", 0, True), (7, "B", 70, False)],
+        ["id", "seg", "val", "_deleted"],
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "id long, seg string, val long, _deleted boolean"
+    ).parquet(src)
+    ckpt = str(tmp_path / "ck2")
+    q = upsert_stream(stream, table, ["id"], ckpt, delete_col="_deleted")
+    q.awaitTermination(120)
+    got = {(r.id, r.seg, r.val) for r in table.snapshot().collect()}
+    assert got == {(1, "A", 111), (2, "A", 20), (7, "B", 70)}
+    # replay from the same checkpoint: no-op
+    before = table.latest_version()
+    q2 = upsert_stream(stream, table, ["id"], ckpt, delete_col="_deleted")
+    q2.awaitTermination(120)
+    assert table.latest_version() == before
+
+
 def test_dynamic_partition_pruning_through_snapshot(spark, tmp_path):
     """Joins against a filtered dim prune txlog partitions at RUNTIME
     (Spark DPP): snapshot() keeps hive-style partition inference (explicit
