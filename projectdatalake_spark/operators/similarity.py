@@ -388,3 +388,78 @@ def embed_features_arrow(
             )
 
     return df.select(id_col, vec_col).mapInArrow(kernel, schema=out_schema)
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    pool: int = 50,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98): from each query's top-``pool`` cosine candidates, greedily
+    pick k maximizing λ·sim(q, d) − (1−λ)·max over picked p of
+    sim(d, p) — relevance minus redundancy, the standard diversity
+    re-rank between retrieval and a context window.
+
+    Scale shape: candidate generation is the existing distributed top-k
+    (swap in the LSH/IVF rung at scale); the GREEDY part is inherently
+    sequential but group-LOCAL — each query's pool is a few dozen rows —
+    so it runs inside applyInPandas per query key: thousands of queries
+    re-rank in parallel, nothing iterates on the driver. Ties break by
+    candidate id (deterministic).
+
+    Output: (query_id, neighbor_id, mmr_rank, cosine, mmr_score).
+    """
+    import pandas as pd
+
+    cand = topk_neighbors(corpus, queries, k=pool, id_col=id_col, vec_col=vec_col)
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("n_vec"),
+    )
+    pool_df = cand.join(vecs, "neighbor_id").select(
+        "query_id", "neighbor_id", "cosine", "n_vec"
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(["cosine", "neighbor_id"], ascending=[False, True])
+        ids = pdf["neighbor_id"].to_numpy()
+        rel = pdf["cosine"].to_numpy()
+        mat = np.stack(pdf["n_vec"].to_numpy())
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        sims = unit @ unit.T  # pool×pool pairwise cosine, tiny
+        picked: list[int] = []
+        out = []
+        avail = np.ones(len(ids), dtype=bool)
+        for rank in range(1, min(k, len(ids)) + 1):
+            red = sims[:, picked].max(axis=1) if picked else np.zeros(len(ids))
+            score = lam * rel - (1.0 - lam) * red
+            # deterministic: best score, then smallest id
+            masked = np.where(avail, score, -np.inf)
+            best = masked.max()
+            cand_idx = np.flatnonzero(avail & (masked == best))
+            j = cand_idx[np.argmin(ids[cand_idx])]
+            picked.append(j)
+            avail[j] = False
+            out.append(
+                (pdf["query_id"].iloc[0], int(ids[j]), rank,
+                 float(rel[j]), float(score[j]))
+            )
+        return pd.DataFrame(
+            out,
+            columns=["query_id", "neighbor_id", "mmr_rank", "cosine", "mmr_score"],
+        )
+
+    return pool_df.groupBy("query_id").applyInPandas(
+        greedy,
+        schema="query_id long, neighbor_id long, mmr_rank int, "
+               "cosine double, mmr_score double",
+    )

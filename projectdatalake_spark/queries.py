@@ -1892,6 +1892,21 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_mmr_rerank")  # greedy selection is engine-side → rows-only
+def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-rank (operators/similarity.py mmr_rerank,
+    Carbonell-Goldstein λ=0.7): top-50 cosine pool per query, greedy
+    k=10 relevance-minus-redundancy picks — the re-rank between
+    retrieval and a context window. Greedy is group-LOCAL inside
+    applyInPandas (pools are tiny; queries re-rank in parallel — no
+    driver iteration). Exact-reference gate:
+    tests/test_accuracy_gates.py::test_mmr_matches_reference."""
+    from projectdatalake_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.mmr_rerank(emb, emb.filter(F.col("vec_id") < 5), k=10, pool=50)
+
+
 @query("ann_topk_ivf")  # KMeans quantizer is engine-side → rows-only
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 via IVF coarse quantization (seeded KMeans on L2-unit

@@ -246,3 +246,46 @@ def test_cms_heavy_hitters_merge(spark):
         (e,) = joined[r.tok]
         assert e >= r["count"], (r.tok, e, r["count"])
         assert e <= r["count"] + eps_n, (r.tok, e, r["count"], eps_n)
+
+
+def test_mmr_matches_reference(spark):
+    """MMR re-rank gate: the distributed applyInPandas greedy must equal
+    an INDEPENDENT single-machine reference implementation exactly —
+    same pools, same λ-tradeoff, same deterministic tie-breaks."""
+    import numpy as np
+
+    from projectdatalake_spark.operators.similarity import mmr_rerank
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    got = {
+        (r.query_id, r.mmr_rank): r.neighbor_id
+        for r in mmr_rerank(
+            emb, emb.filter(emb.vec_id < 3), k=8, pool=30, lam=0.7
+        ).collect()
+    }
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    want = {}
+    for q in ids[ids < 3]:
+        qv = unit[ids == q][0]
+        cos = unit @ qv
+        mask = ids != q
+        # pool: top-30 by (cosine desc, id asc)
+        order = sorted(np.flatnonzero(mask), key=lambda i: (-cos[i], ids[i]))[:30]
+        picked = []
+        for rank in range(1, 9):
+            best, best_key = None, None
+            for i in order:
+                if i in picked:
+                    continue
+                red = max((float(unit[i] @ unit[j]) for j in picked), default=0.0)
+                score = 0.7 * float(cos[i]) - 0.3 * red
+                key = (-score, ids[i])
+                if best_key is None or key < best_key:
+                    best, best_key = i, key
+            picked.append(best)
+            want[(int(q), rank)] = int(ids[best])
+    assert got == want
