@@ -63,3 +63,45 @@ def test_partition_pruning_after_partitioned_write(spark, sf_dir, tmp_path):
     plan = physical_plan(back)
     assert "PartitionFilters: [isnotnull(day" in plan, plan
     assert back.count() == ev.filter(F.col("day") == 5).count()
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE's runtime skew handling must actually fire: a join whose
+    shuffle has one dominant key (90% of rows) re-plans mid-query into
+    SortMergeJoin(skew=true) with a split-and-replicated AQEShuffleRead
+    — the no-salting-needed half of the skew story (operators/skew.py
+    salting is the WRITE-side half for aggregations). Inspecting the
+    SAME QueryExecution after the action matters: AQE finalizes the
+    plan during execution."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "512k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 300_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("r")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 300_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert "skewed" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
