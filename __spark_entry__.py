@@ -132,6 +132,7 @@ _R4_PINNED = frozenset(
         "udtf_chunk_windows",
         "txlog_stream_upsert_sink",
         "txlog_apply_changes",
+        "txlog_incremental_agg_cdc",
     }
 )
 

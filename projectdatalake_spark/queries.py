@@ -3736,6 +3736,91 @@ def txlog_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "txlog_incremental_agg_cdc",
+    oracle="""
+    WITH final AS (
+      SELECT CASE WHEN year(o_orderdate) = 1996 THEN '9-MOVED'
+                  ELSE o_orderpriority END AS o_orderpriority,
+             CAST(o_totalprice AS DOUBLE) AS p
+      FROM orders
+      WHERE NOT (year(o_orderdate) = 1995 AND o_orderkey % 5 = 0)
+    )
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(p AS DECIMAL(27,2))) AS DOUBLE) AS revenue
+    FROM final GROUP BY o_orderpriority
+    """,
+)
+def txlog_incremental_agg_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERAL incremental view maintenance over the change feed —
+    txlog_incremental_agg's insert-only pattern extended to the full CDC
+    mix: one apply_changes commit carries updates that MOVE rows between
+    groups (1996 orders re-prioritized), key deletes (every 5th 1995
+    order), and inserts (1998+); the materialized per-priority aggregate
+    is then repaired with SIGNED deltas (+1 per insert image, −1 per
+    delete image) read from changes() — never re-scanning the base.
+    Updates need no special case: the CDF emits them as delete+insert
+    image pairs, and unchanged rows of rewritten files cancel to zero
+    under the signs. DECIMAL partials make the merge exact, so the
+    maintained view hash-matches the oracle's full recompute. 100 TB:
+    O(delta) per refresh; file-granular CDF makes the delta the touched
+    partitions — the DV delete path emits row-granular deltas where
+    that matters."""
+    import tempfile
+
+    from projectdatalake_spark.sources.txlog import TxTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    )
+    root = tempfile.mkdtemp(prefix="txlog_inc_cdc_")
+    table = TxTable.create(
+        spark, root, o.filter(F.col("o_year") <= 1997), partition_by=("o_year",)
+    )
+
+    def agg(df: DataFrame, sign=None) -> DataFrame:
+        s = F.lit(1) if sign is None else sign
+        return df.groupBy("o_orderpriority").agg(
+            F.sum(s).alias("n"),
+            F.sum(
+                s * F.col("o_totalprice").cast("decimal(27,2)")
+            ).alias("rev_partial"),
+        )
+
+    materialized = agg(table.snapshot())
+    base_version = table.latest_version()
+    changes = (
+        o.filter(F.col("o_year") == 1996)
+        .withColumn("o_orderpriority", F.lit("9-MOVED"))
+        .withColumn("_deleted", F.lit(False))
+        .unionByName(
+            o.filter(
+                (F.col("o_year") == 1995) & (F.col("o_orderkey") % 5 == 0)
+            ).withColumn("_deleted", F.lit(True))
+        )
+        .unionByName(
+            o.filter(F.col("o_year") >= 1998).withColumn("_deleted", F.lit(False))
+        )
+    )
+    table.apply_changes(changes, ["o_orderkey"])
+    delta = table.changes(base_version)
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    merged = (
+        materialized.unionByName(
+            agg(delta.drop("_commit_version"), sign=sign)
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.sum("n").alias("n"), F.sum("rev_partial").alias("rev_partial"))
+        .filter(F.col("n") > 0)
+    )
+    return merged.select(
+        "o_orderpriority", "n",
+        F.col("rev_partial").cast("double").alias("revenue"),
+    )
+
+
+@query(
     "txlog_apply_changes",
     oracle="""
     SELECT c_custkey, c_mktsegment,
