@@ -105,3 +105,45 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_cbo_reorders_joins_from_stats(spark):
+    """Cost-based join reordering: with ANALYZE'd column stats and CBO
+    on, a query WRITTEN in a bad order (fact ⋈ mid-size first, 10-row
+    dim last) must be reordered so the tiny dim joins the fact FIRST —
+    the smallest intermediate. This is the catalog-stats half of join
+    planning (AQE handles the runtime half); at 100 TB, table/column
+    stats are what let Catalyst pick build sides and orders before a
+    single byte moves."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    try:
+        for t in ("cbo_big", "cbo_mid", "cbo_tiny"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.range(0, 200_000).select(
+            F.col("id").alias("k"), (F.col("id") % 100).alias("m")
+        ).write.mode("overwrite").saveAsTable("cbo_big")
+        spark.range(0, 5_000).select(
+            F.col("id").alias("m2"), (F.col("id") % 10).alias("t")
+        ).write.mode("overwrite").saveAsTable("cbo_mid")
+        spark.range(0, 10).select(F.col("id").alias("t2")).write.mode(
+            "overwrite"
+        ).saveAsTable("cbo_tiny")
+        for t in ("cbo_big", "cbo_mid", "cbo_tiny"):
+            spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR ALL COLUMNS")
+        # deliberately bad source order: big ⋈ mid (100× fan-out) … ⋈ tiny
+        q = spark.sql(
+            "SELECT count(*) AS n FROM cbo_big "
+            "JOIN cbo_mid ON cbo_mid.m2 = cbo_big.m "
+            "JOIN cbo_tiny ON cbo_big.m = cbo_tiny.t2"
+        )
+        plan = q._jdf.queryExecution().optimizedPlan().toString()
+        i_tiny, i_mid = plan.index(".cbo_tiny["), plan.index(".cbo_mid[")
+        assert i_tiny < i_mid, f"CBO did not reorder tiny before mid:\n{plan}"
+    finally:
+        for t in ("cbo_big", "cbo_mid", "cbo_tiny"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
