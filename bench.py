@@ -79,6 +79,12 @@ EXTENDED = [
     "weighted_sample_priority",
     "mm_frame_sample",
     "graph_triangle_counts",
+    "arrow_embed_features",
+    "udtf_chunk_windows",
+    "txlog_stream_upsert_sink",
+    "txlog_apply_changes",
+    "txlog_incremental_agg_cdc",
+    "ann_mmr_rerank",
 ]
 
 HEADLINE = [
