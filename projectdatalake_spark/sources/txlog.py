@@ -258,6 +258,14 @@ class TxTable:
         self.root = root.rstrip("/")
         self._jvm = spark.sparkContext._jvm
         self._hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        # commit-JSON memo: commits are IMMUTABLE once published
+        # (exclusive create), so a version read once never re-reads; the
+        # directory is still listed on every history() call, which is
+        # what keeps concurrent writers and prune_log visible. Planning
+        # paths (snapshot → mapping + specs + schema + stats) otherwise
+        # re-parse the whole log several times per operation.
+        self._commit_memo: dict[int, dict] = {}
+        self._checkpoint_memo: dict[int, dict] = {}
 
     # --- filesystem plumbing (Hadoop FS: scheme-agnostic) -----------------
 
@@ -300,11 +308,18 @@ class TxTable:
             name = status.getPath().getName()
             if name.endswith(".json") and name[:-5].isdigit():
                 versions.append(int(name[:-5]))
+        present = set(versions)
+        for gone in set(self._commit_memo) - present:  # prune_log ran
+            del self._commit_memo[gone]
         commits = []
         for v in sorted(versions):
-            commits.append(
-                json.loads(self._read_text(f"{self.root}/{_LOG_DIR}/{v:08d}.json"))
-            )
+            c = self._commit_memo.get(v)
+            if c is None:
+                c = json.loads(
+                    self._read_text(f"{self.root}/{_LOG_DIR}/{v:08d}.json")
+                )
+                self._commit_memo[v] = c
+            commits.append(c)
         return commits
 
     def latest_version(self) -> int:
@@ -336,9 +351,15 @@ class TxTable:
             return None
         try:
             v = int(json.loads(self._read_text(str(marker)))["version"])
-            return json.loads(
-                self._read_text(f"{self.root}/{_LOG_DIR}/{v:08d}.checkpoint.json")
-            )
+            body = self._checkpoint_memo.get(v)
+            if body is None:  # checkpoint files are immutable per version
+                body = json.loads(
+                    self._read_text(
+                        f"{self.root}/{_LOG_DIR}/{v:08d}.checkpoint.json"
+                    )
+                )
+                self._checkpoint_memo[v] = body
+            return body
         except Exception:
             return None  # torn/missing checkpoint: fall back to full replay
 
