@@ -1,0 +1,123 @@
+"""Graph analytics over co-occurrence edge sets.
+
+The reference has no graph layer (its one pipeline is a star-schema ETL,
+reference etl.py:176-190); this is engine-added surface for the
+relationship-shaped questions a lakehouse gets asked (co-purchase
+affinity, fraud rings via the connected-components ladder in
+operators/dedup.py, triangle-based clustering coefficients).
+
+Two rungs, the engine's usual ladder shape:
+- ``triangle_counts`` — EXACT, degree-oriented (Suri & Vassilvitskii
+  WWW'11 / Schank-Wagner): every edge points from its lower-(degree, id)
+  endpoint to the higher, bounding wedge generation by Σ min-degree²
+  instead of Σ degree² — hub nodes never emit |hub|² wedges. Each
+  triangle has exactly one vertex owning both out-edges, so it is found
+  once.
+- ``triangle_count_estimate`` — DOULION (Tsourakakis et al., KDD'09):
+  keep each edge with probability p via a DETERMINISTIC hash coin
+  (reproducible across runs/engines), exact-count the sparsified graph,
+  scale by 1/p³. Unbiased; relative error shrinks with triangle count.
+  The 100 TB rung: p² fewer wedges for a p-fraction edge pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """Undirected distinct edge set (u < v): parts sharing an order are
+    adjacent. One self-join on the order key (bounded per-order fan-out)
+    + one distinct shuffle."""
+    li = lineitem.select("l_orderkey", "l_partkey")
+    return (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+
+
+def _oriented(edges: DataFrame) -> DataFrame:
+    """Degree orientation: src = lower-(degree, id) endpoint."""
+    deg = (
+        edges.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return (
+        edges.join(
+            deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u"
+        )
+        .join(
+            deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v"
+        )
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("src"), F.col("v").alias("dst")),
+            )
+            .otherwise(F.struct(F.col("v").alias("src"), F.col("u").alias("dst")))
+            .alias("o")
+        )
+        .select("o.src", "o.dst")
+    )
+
+
+def triangles(edges: DataFrame) -> DataFrame:
+    """Every triangle exactly once as (a, b, c) with b < c: oriented
+    wedges self-joined on the source, closed by a semi join against the
+    canonically-keyed undirected edge set."""
+    oriented = _oriented(edges)
+    wedges = (
+        oriented.alias("x")
+        .join(oriented.alias("y"), "src")
+        .filter(F.col("x.dst") < F.col("y.dst"))
+        .select(
+            F.col("src").alias("a"),
+            F.col("x.dst").alias("b"),
+            F.col("y.dst").alias("c"),
+        )
+    )
+    return wedges.join(
+        edges, (F.col("b") == F.col("u")) & (F.col("c") == F.col("v")), "left_semi"
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts (node, n_triangles)."""
+    return (
+        triangles(edges)
+        .select(F.explode(F.array("a", "b", "c")).alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+def triangle_count_estimate(
+    edges: DataFrame, p: float = 0.5, seed: int = 41
+) -> DataFrame:
+    """DOULION global triangle-count estimate: deterministic hash-coin
+    edge sparsification (keep iff xxhash64(u, v, seed) mod M < p·M) +
+    exact count of the survivor graph, scaled by 1/p³. One row:
+    (n_edges_kept, triangles_sampled, est_triangles). Accuracy gate:
+    tests/test_accuracy_gates.py::test_doulion_triangle_estimate."""
+    m = 1_000_000
+    kept = edges.filter(
+        F.pmod(F.xxhash64(F.col("u"), F.col("v"), F.lit(seed)), F.lit(m))
+        < int(p * m)
+    )
+    return (
+        triangles(kept)
+        .agg(F.count(F.lit(1)).alias("triangles_sampled"))
+        .crossJoin(kept.agg(F.count(F.lit(1)).alias("n_edges_kept")))
+        .select(
+            "n_edges_kept",
+            "triangles_sampled",
+            (F.col("triangles_sampled") / F.lit(p**3)).alias("est_triangles"),
+        )
+    )

@@ -6623,53 +6623,24 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     check is a semi join against the undirected edge set keyed
     canonically. 100 TB: three hash shuffles on node keys, no global
     structure, skew bounded by orientation."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    e = (
-        li.alias("a")
-        .join(li.alias("b"), "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
-    )
-    deg = (
-        e.select(F.explode(F.array("u", "v")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    oriented = (
-        e.join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
-        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
-        .select(
-            F.when(
-                (F.col("du") < F.col("dv"))
-                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
-                F.struct(F.col("u").alias("src"), F.col("v").alias("dst")),
-            )
-            .otherwise(F.struct(F.col("v").alias("src"), F.col("u").alias("dst")))
-            .alias("o")
-        )
-        .select("o.src", "o.dst")
-    )
-    wedges = (
-        oriented.alias("x")
-        .join(oriented.alias("y"), "src")
-        .filter(F.col("x.dst") < F.col("y.dst"))
-        .select(
-            F.col("src").alias("a"),
-            F.col("x.dst").alias("b"),
-            F.col("y.dst").alias("c"),
-        )
-    )
-    triangles = wedges.join(
-        e, (F.col("b") == F.col("u")) & (F.col("c") == F.col("v")), "left_semi"
-    )
-    return (
-        triangles.select(F.explode(F.array("a", "b", "c")).alias("part"))
-        .groupBy("part")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
+    from projectdatalake_spark.operators import graph as G
+
+    li = _t(spark, sf_dir, "lineitem")
+    return G.triangle_counts(G.copurchase_edges(li))
+
+
+@query("graph_triangle_estimate")  # hash-coin sampling is engine-side → rows-only
+def graph_triangle_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION sampled triangle counting (operators/graph.py,
+    Tsourakakis KDD'09): deterministic hash-coin edge sparsification at
+    p=0.5, exact count of the survivor graph, ×1/p³ — the approximate
+    rung above graph_triangle_counts (its exact sibling/oracle), paying
+    p² fewer wedges. Accuracy gated within 15% of exact in
+    tests/test_accuracy_gates.py::test_doulion_triangle_estimate."""
+    from projectdatalake_spark.operators import graph as G
+
+    li = _t(spark, sf_dir, "lineitem")
+    return G.triangle_count_estimate(G.copurchase_edges(li), p=0.5)
 
 
 @query(

@@ -289,3 +289,21 @@ def test_mmr_matches_reference(spark):
             picked.append(best)
             want[(int(q), rank)] = int(ids[best])
     assert got == want
+
+
+def test_doulion_triangle_estimate(spark):
+    """DOULION gate: the p=0.5 hash-coin sparsified estimate must land
+    within 15% of the exact triangle count (estimator is unbiased;
+    variance shrinks with triangle count — the smoke graph has
+    thousands). Also pins determinism: same seed → same estimate."""
+    from projectdatalake_spark.operators import graph as G
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    edges = G.copurchase_edges(li)
+    exact = G.triangles(edges).count()
+    assert exact > 100, "smoke graph too sparse; gate would be vacuous"
+    est1 = G.triangle_count_estimate(edges, p=0.5).collect()[0]
+    est2 = G.triangle_count_estimate(edges, p=0.5).collect()[0]
+    assert est1 == est2  # deterministic coin
+    rel = abs(est1.est_triangles - exact) / exact
+    assert rel <= 0.15, (est1.est_triangles, exact, rel)
