@@ -133,6 +133,7 @@ _R4_PINNED = frozenset(
         "txlog_stream_upsert_sink",
         "txlog_apply_changes",
         "txlog_incremental_agg_cdc",
+        "graph_clustering_coefficient",
     }
 )
 

@@ -121,3 +121,30 @@ def triangle_count_estimate(
             (F.col("triangles_sampled") / F.lit(p**3)).alias("est_triangles"),
         )
     )
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient per node: 2·Δ(v) / (deg(v)·(deg(v)−1))
+    for deg ≥ 2 — how close each node's neighborhood is to a clique, the
+    community-structure signal triangle counts exist to feed. Reuses the
+    exact triangle pass; one extra degree aggregate + join."""
+    deg = (
+        edges.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tri = triangle_counts(edges).withColumnRenamed("part", "node")
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+            (
+                2.0
+                * F.coalesce(F.col("n_triangles"), F.lit(0))
+                / (F.col("deg") * (F.col("deg") - 1))
+            ).alias("coefficient"),
+        )
+    )

@@ -6629,6 +6629,52 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.triangle_counts(G.copurchase_edges(li))
 
 
+@query(
+    "graph_clustering_coefficient",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    t AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.u AND e1.v < e2.v
+      JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+    ),
+    tc AS (
+      SELECT node, count(*) AS n_triangles
+      FROM (SELECT a AS node FROM t
+            UNION ALL SELECT b FROM t
+            UNION ALL SELECT c FROM t)
+      GROUP BY node
+    ),
+    deg AS (
+      SELECT node, count(*) AS deg
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+      GROUP BY node
+    )
+    SELECT d.node, d.deg,
+           COALESCE(tc.n_triangles, 0) AS n_triangles,
+           2.0 * COALESCE(tc.n_triangles, 0) / (d.deg * (d.deg - 1))
+             AS coefficient
+    FROM deg d LEFT JOIN tc USING (node)
+    WHERE d.deg >= 2
+    """,
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node (2Δ/deg(deg−1), deg ≥ 2) —
+    the community-structure signal over the co-purchase graph, reusing
+    the degree-oriented exact triangle pass (operators/graph.py). The
+    coefficient is one integer-exact division, so values hash-match the
+    O(n²)-triple oracle exactly."""
+    from projectdatalake_spark.operators import graph as G
+
+    li = _t(spark, sf_dir, "lineitem")
+    return G.clustering_coefficients(G.copurchase_edges(li))
+
+
 @query("graph_triangle_estimate")  # hash-coin sampling is engine-side → rows-only
 def graph_triangle_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOULION sampled triangle counting (operators/graph.py,
