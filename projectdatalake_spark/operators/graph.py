@@ -148,3 +148,52 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
             ).alias("coefficient"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame, damping: float = 0.85, iterations: int = 10
+) -> DataFrame:
+    """PageRank over the undirected graph (each edge walks both ways),
+    uniform teleport, fixed iteration count — returns (node, rank).
+
+    Scale shape: the link table (src, dst, outdeg) is static — built
+    once, persisted, and re-joined each round; every iteration is ONE
+    hash join + ONE aggregate on the node key (co-partitioned after the
+    first round, AQE reuses the exchange). Lineage is truncated with an
+    eager localCheckpoint every third round — the same guard the
+    connected-components loop uses against plan blowup. No dangling-node
+    term: an undirected graph has outdeg ≥ 1 everywhere.
+
+    Accuracy gate: tests/test_accuracy_gates.py::test_pagerank_matches_
+    power_iteration (exact-formula numpy reference).
+    """
+    directed = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    outdeg = directed.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    links = directed.join(outdeg, "src").persist()
+    n = outdeg.count()  # scalar cardinality, not data, on the driver
+    ranks = outdeg.select(
+        F.col("src").alias("node"), F.lit(1.0 / n).alias("rank")
+    )
+    for i in range(iterations):
+        contribs = links.join(
+            ranks.withColumnRenamed("node", "src"), "src"
+        ).select(
+            F.col("dst").alias("node"),
+            (F.col("rank") / F.col("outdeg")).alias("c"),
+        )
+        ranks = (
+            contribs.groupBy("node")
+            .agg(F.sum("c").alias("m"))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n) + F.lit(damping) * F.col("m")
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % 3 == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    links.unpersist()
+    return ranks

@@ -6675,6 +6675,21 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.clustering_coefficients(G.copurchase_edges(li))
 
 
+@query("graph_pagerank")  # iterative fixpoint → rows-only; numpy-gated
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the co-purchase graph (operators/graph.py): 10
+    damped power-iteration rounds as one hash join + one aggregate each,
+    static persisted link table, localCheckpoint lineage truncation —
+    the iterative-algorithm pattern beside connected components. Not
+    SQL-expressible (fixpoint), so rows-only; exact-formula agreement
+    with an independent numpy power iteration is gated in
+    tests/test_accuracy_gates.py::test_pagerank_matches_power_iteration."""
+    from projectdatalake_spark.operators import graph as G
+
+    li = _t(spark, sf_dir, "lineitem")
+    return G.pagerank(G.copurchase_edges(li))
+
+
 @query("graph_triangle_estimate")  # hash-coin sampling is engine-side → rows-only
 def graph_triangle_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOULION sampled triangle counting (operators/graph.py,

@@ -307,3 +307,38 @@ def test_doulion_triangle_estimate(spark):
     assert est1 == est2  # deterministic coin
     rel = abs(est1.est_triangles - exact) / exact
     assert rel <= 0.15, (est1.est_triangles, exact, rel)
+
+
+def test_pagerank_matches_power_iteration(spark):
+    """PageRank gate: the iterative DataFrame computation must match an
+    independent numpy power iteration (same damping, same fixed 10
+    rounds, same uniform init) within float accumulation noise, and
+    agree on the top-20 ordering."""
+    import numpy as np
+
+    from projectdatalake_spark.operators import graph as G
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    edges = G.copurchase_edges(li)
+    got = {r.node: r.rank for r in G.pagerank(edges, 0.85, 10).collect()}
+
+    pairs = [(r.u, r.v) for r in edges.collect()]
+    nodes = sorted({x for p in pairs for x in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    adj = np.zeros((n, n))
+    for u, v in pairs:
+        adj[idx[u], idx[v]] = 1.0
+        adj[idx[v], idx[u]] = 1.0
+    outdeg = adj.sum(axis=1)
+    ranks = np.full(n, 1.0 / n)
+    for _ in range(10):
+        contribs = adj.T @ (ranks / outdeg)
+        ranks = (1.0 - 0.85) / n + 0.85 * contribs
+    want = {v: ranks[idx[v]] for v in nodes}
+    assert set(got) == set(want)
+    max_rel = max(abs(got[v] - want[v]) / want[v] for v in nodes)
+    assert max_rel <= 1e-6, max_rel
+    top_got = sorted(got, key=lambda v: (-got[v], v))[:20]
+    top_want = sorted(want, key=lambda v: (-want[v], v))[:20]
+    assert top_got == top_want
