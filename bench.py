@@ -85,6 +85,7 @@ EXTENDED = [
     "txlog_apply_changes",
     "txlog_incremental_agg_cdc",
     "ann_mmr_rerank",
+    "graph_triangle_estimate",
 ]
 
 HEADLINE = [
