@@ -134,6 +134,7 @@ _R4_PINNED = frozenset(
         "txlog_apply_changes",
         "txlog_incremental_agg_cdc",
         "graph_clustering_coefficient",
+        "txlog_retention_lifecycle",
     }
 )
 

@@ -5525,6 +5525,56 @@ def txlog_vacuum_reclaim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "txlog_retention_lifecycle",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(27,2))) AS DOUBLE) AS total_bal
+    FROM customer
+    WHERE c_acctbal > 0 OR c_mktsegment = 'MACHINERY'
+    GROUP BY c_mktsegment
+    """,
+)
+def txlog_retention_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL retention lifecycle a long-lived table runs on a cron:
+    segmented writes → a rewrite (negative-balance purge sparing one
+    segment) → checkpoint() (full-state consolidation) →
+    prune_log(retain_versions=1) (commit JSONs below the horizon gone)
+    → vacuum (data files of dead versions reaped) → and the surviving
+    snapshot still answers EXACTLY through the checkpoint base. This is
+    the composition that bounds both the log replay and the storage
+    bill of a 100 TB table over years; every piece is individually
+    protocol-tested, here the chain is oracle-proven end to end."""
+    import tempfile
+
+    from projectdatalake_spark.sources.txlog import TxTable
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+    )
+    root = tempfile.mkdtemp(prefix="txlog_life_")
+    segs = [r[0] for r in c.select("c_mktsegment").distinct().collect()]
+    table = TxTable.create(
+        spark, root, c.filter(F.col("c_mktsegment") == segs[0]),
+        partition_by=("c_mktsegment",),
+    )
+    for s in segs[1:]:
+        table.append(c.filter(F.col("c_mktsegment") == s))
+    table.overwrite(
+        c.filter((F.col("c_acctbal") > 0) | (F.col("c_mktsegment") == "MACHINERY"))
+    )
+    table.checkpoint()
+    table.prune_log(retain_versions=1)
+    table.vacuum(retain_versions=0)
+    return table.snapshot().groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("c_acctbal").cast("decimal(27,2)")).cast("double").alias(
+            "total_bal"
+        ),
+    )
+
+
+@query(
     "txlog_checkpoint_read",
     oracle="""
     SELECT n_regionkey, count(*) AS n
