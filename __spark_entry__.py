@@ -135,6 +135,7 @@ _R4_PINNED = frozenset(
         "txlog_incremental_agg_cdc",
         "graph_clustering_coefficient",
         "txlog_retention_lifecycle",
+        "pyds_jsonl_writer_roundtrip",
     }
 )
 

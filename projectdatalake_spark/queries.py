@@ -5525,6 +5525,38 @@ def txlog_vacuum_reclaim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pyds_jsonl_writer_roundtrip",
+    oracle="""
+    SELECT event_id, user_id, value
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def pyds_jsonl_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE half of the Python Data Source API
+    (sources/pydatasource.py JsonlWriter): purchases written through the
+    custom transactional JSON-lines sink (tasks stage, driver commit
+    publishes + manifests, abort leaves nothing visible), then read back
+    with an explicit schema and hash-matched against the direct scan —
+    the connector's written VALUES are driver-proven, completing the
+    reader/stream-reader/writer trio."""
+    import tempfile
+
+    from projectdatalake_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    out = tempfile.mkdtemp(prefix="pyds_jsonl_")
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("event_id", "user_id", "value")
+    ev.write.format("jsonl_sink").option("path", out).mode("overwrite").save()
+    return (
+        spark.read.schema("event_id long, user_id long, value double")
+        .option("pathGlobFilter", "part-*.jsonl")
+        .json(out)
+    )
+
+
+@query(
     "txlog_retention_lifecycle",
     oracle="""
     SELECT c_mktsegment, count(*) AS n,

@@ -28,8 +28,10 @@ import hashlib
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 SCHEMA = "id BIGINT, category STRING, score DOUBLE"
@@ -105,6 +107,88 @@ class SyntheticRowsSource(DataSource):
         return SyntheticRowsStreamReader(self.options)
 
 
+class _Staged(WriterCommitMessage):
+    """One task's staged output: its temp file + row count."""
+
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class JsonlWriter(DataSourceWriter):
+    """Transactional JSON-lines sink — the WRITE half of the Python Data
+    Source API, with the same two-phase contract every table format uses:
+    tasks write to ``_staging`` and return commit messages; ONLY the
+    driver's ``commit`` moves files into place and publishes a manifest,
+    so a job that dies mid-write leaves nothing visible (``abort``
+    removes the stage). Readers glob ``part-*.jsonl`` and never see
+    staging. A speculative/retried task stages a second file, but only
+    the messages Spark hands to commit() are published — the exactness
+    contract the API documents.
+
+    Scale: one file per task, no driver data plane (commit touches file
+    NAMES only). A real deployment points this at object storage; the
+    local-FS rename is the sandbox stand-in for PUT-after-multipart."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import json as _json
+        import os
+        import uuid as _uuid
+
+        os.makedirs(f"{self.path}/_staging", exist_ok=True)
+        tmp = f"{self.path}/_staging/part-{_uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(tmp, "w") as fh:
+            for row in iterator:
+                fh.write(_json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _Staged(tmp, n)
+
+    def commit(self, messages):
+        import json as _json
+        import os
+
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.endswith(".jsonl"):
+                    os.remove(os.path.join(self.path, f))
+        names = []
+        for m in messages:
+            dest = os.path.join(self.path, os.path.basename(m.path))
+            os.replace(m.path, dest)
+            names.append(os.path.basename(dest))
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+            _json.dump(
+                {"files": sorted(names), "rows": sum(m.rows for m in messages)},
+                fh,
+            )
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.path)
+            except OSError:
+                pass
+
+
+class JsonlSinkSource(DataSource):
+    """df.write.format("jsonl_sink").option("path", dir).save()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite: bool) -> JsonlWriter:
+        return JsonlWriter(self.options, overwrite)
+
+
 def register(spark) -> None:
     """Idempotent registration (re-registering the same name is fine)."""
     spark.dataSource.register(SyntheticRowsSource)
+    spark.dataSource.register(JsonlSinkSource)
