@@ -547,6 +547,45 @@ def test_upsert_stream_with_deletes(spark, table, tmp_path):
     assert table.latest_version() == before
 
 
+def test_concurrent_writers_stress(spark, table):
+    """Optimistic-concurrency stress: 8 writer threads, each its own
+    TxTable instance, racing 3 appends apiece against the same log.
+    Every append must land (the retry loop absorbs CommitConflict),
+    versions must be gap-free, and the final snapshot must hold every
+    row exactly once — the serializability contract exclusive-create
+    commits are supposed to buy."""
+    import threading
+
+    n_writers, n_batches = 8, 3
+    errors: list[Exception] = []
+
+    def writer(w: int) -> None:
+        try:
+            t = TxTable(table.spark, table.root)  # independent instance
+            for b in range(n_batches):
+                t.append(
+                    _mkdf(table.spark, [(1000 + w * 10 + b, "A", w * 100 + b)])
+                )
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(n_writers)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    versions = [c["version"] for c in table.history()]
+    assert versions == list(range(n_writers * n_batches + 1))  # gap-free
+    got = {(r.id, r.val) for r in table.snapshot().collect()}
+    want = {(1, 10), (2, 20), (3, 30)} | {
+        (1000 + w * 10 + b, w * 100 + b)
+        for w in range(n_writers)
+        for b in range(n_batches)
+    }
+    assert got == want
+
+
 def test_dynamic_partition_pruning_through_snapshot(spark, tmp_path):
     """Joins against a filtered dim prune txlog partitions at RUNTIME
     (Spark DPP): snapshot() keeps hive-style partition inference (explicit
