@@ -824,3 +824,91 @@ def chunk_dedup(
     ex = base.select(id_col, F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
     w = Window.partitionBy("chunk_text").orderBy(id_col, "chunk_idx")
     return ex.withColumn("keep", F.row_number().over(w) == 1)
+
+
+def simhash_band_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 7,
+    n_bands: int = 8,
+) -> DataFrame:
+    """SimHash LSH pair join: banded 64-bit fingerprints → candidate
+    pairs on band equality → exact Hamming verification.
+
+    Splits each ``simhash_table`` fingerprint into ``n_bands`` equal-width
+    bit bands; two documents become a candidate pair iff they agree on at
+    least one whole band. By pigeonhole this is EXACT (100% recall, not
+    approximate) for any pair with Hamming distance <= n_bands - 1: d
+    differing bits can touch at most d bands, leaving a shared one. The
+    verify step then makes precision exact too, so with the default
+    (8 bands, max_hamming=7) the output equals the brute-force all-pairs
+    Hamming <= 7 join — asserted in tests/test_accuracy_gates.py.
+
+    This closes the signature->pairs gap the MinHash ladder already has
+    (minhash_lsh_pairs): SimHash is the fingerprint family for
+    bag-of-words cosine-style similarity, MinHash for set Jaccard.
+
+    Scale: candidate generation is one explode (x n_bands) + one
+    equi-join shuffle on (band, key) — linear in documents plus the
+    candidate count, never all-pairs. Band width trades bucket collision
+    rate against the exactness radius: 8x8-bit bands verify up to d=7 but
+    collide more (256 buckets/band); 4x16-bit bands (max_hamming<=3)
+    collide 256x less — pick the widest band whose radius covers the
+    dedup threshold. Returns (id_a, id_b, hamming).
+    """
+    from projectdatalake_spark.operators.text import hamming64, simhash_table
+
+    if 64 % n_bands != 0:
+        raise ValueError("n_bands must divide 64")
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the exactness radius "
+            f"{n_bands - 1} of {n_bands} bands — raise n_bands"
+        )
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+
+    sigs = simhash_table(df, text_col=text_col, id_col=id_col)
+    bands = sigs.select(
+        F.col(id_col).alias("id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("simhash", b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.key") == F.col("b.key"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        # a pair sharing k bands appears k times — dedup before the verify
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b")))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+    )

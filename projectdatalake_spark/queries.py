@@ -6863,6 +6863,260 @@ def udtf_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =========================================================================
+# Wave 13 (round-4 close): time-series anomaly/smoothing, ANSI null
+# semantics, corpus source reputation, SimHash LSH pair join.
+# =========================================================================
+
+
+@query(
+    "anomaly_rolling_zscore",
+    oracle="""
+    WITH w AS (
+      SELECT event_type, event_id, value,
+             avg(value)         OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                      ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING) AS m,
+             stddev_samp(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                      ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING) AS s,
+             count(value)       OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                      ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING) AS c
+      FROM events
+    )
+    SELECT event_type, event_id, round(value, 2) AS value,
+           round((value - m) / s, 3) AS zscore
+    FROM w
+    WHERE c >= 30 AND s > 0 AND abs(round((value - m) / s, 3)) >= 3.0
+    """,
+)
+def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: per event-type stream ordered
+    by (ts, event_id), each event is scored against the TRAILING
+    100-event window (self-excluded, >= 30 samples required) and flagged
+    when |z| >= 3 — the standard streaming-metrics outlier monitor, as a
+    batch operator. The corpus value column is exponential-shaped
+    (mean ~ std ~ 50), so the threshold fires on real tail events (211
+    rows at sf0.01), not noise.
+
+    100 TB: the window key is event_type (low cardinality), which does
+    NOT scale as one partition per type — the production decomposition
+    is range-bucketing each type's stream by time with a 100-row halo
+    carried across bucket boundaries (recompute overlap), or keying by
+    (event_type, entity). Registered form keeps the semantic clean; the
+    halo pattern is what resample_gapfill_hourly's spine join already
+    demonstrates for the same shape."""
+    ev = _t(spark, sf_dir, "events")
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-100, -1)
+    )
+    scored = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.avg("value").over(win).alias("m"),
+        F.stddev_samp("value").over(win).alias("s"),
+        F.count("value").over(win).alias("c"),
+    )
+    z = F.round((F.col("value") - F.col("m")) / F.col("s"), 3)
+    return scored.where(
+        (F.col("c") >= 30) & (F.col("s") > 0) & (F.abs(z) >= 3.0)
+    ).select(
+        "event_type",
+        "event_id",
+        F.round("value", 2).alias("value"),
+        z.alias("zscore"),
+    )
+
+
+# EWMA lag weights (1-alpha)^j for alpha=0.3, as LITERAL strings shared
+# by the Spark expression and the DuckDB oracle: both engines parse the
+# decimal text to the same nearest double, whereas Python's 0.7**2
+# (0.48999999999999994) differs from parsed 0.49 in the last ulp.
+_EWMA_W = ["1.0", "0.7", "0.49", "0.343", "0.2401", "0.16807", "0.117649", "0.0823543"]
+
+
+@query(
+    "ewma_daily_smoothing",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(value) AS x
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    l AS (
+      SELECT event_type, day, x,
+             {", ".join(f"lag(x, {j}) OVER (PARTITION BY event_type ORDER BY day) AS l{j}" for j in range(1, 8))}
+      FROM daily
+    )
+    SELECT event_type, day,
+           round((x * 1.0 + {" + ".join(f"coalesce(l{j}, 0.0) * {_EWMA_W[j]}" for j in range(1, 8))}) /
+                 (1.0 + {" + ".join(f"(CASE WHEN l{j} IS NOT NULL THEN {_EWMA_W[j]} ELSE 0.0 END)" for j in range(1, 8))}),
+                 6) AS ewma
+    FROM l
+    """,
+)
+def ewma_daily_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha=0.3) of the daily
+    mean value per event type — the trend-smoothing pass dashboards and
+    drift monitors run. The recursive EWMA is unrolled to its 8-term
+    truncated form (weights (1-a)^j, renormalized over the lags that
+    exist), which windows/lag express exactly: remaining terms are
+    < 0.7^8 ~ 6% of weight. Daily means accumulate in DECIMAL so the
+    double handed to the weighting is partition-order-independent and
+    byte-identical to the oracle's; the weight literals are shared text
+    with the oracle so both engines parse identical doubles.
+
+    100 TB: one hash aggregate (map-side partial) to day grain collapses
+    any volume to ~365 rows x types; the lag window is over that tiny
+    frame. This is the canonical pre-aggregate-then-window shape."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
+            / F.count("value")
+        ).alias("x")
+    )
+    win = Window.partitionBy("event_type").orderBy("day")
+    lags = daily.select(
+        "event_type",
+        "day",
+        "x",
+        *[F.lag("x", j).over(win).alias(f"l{j}") for j in range(1, 8)],
+    )
+    num = F.col("x") * F.lit(1.0)
+    den = F.lit(1.0)
+    for j in range(1, 8):
+        w = float(_EWMA_W[j])
+        num = num + F.coalesce(F.col(f"l{j}"), F.lit(0.0)) * F.lit(w)
+        den = den + F.when(F.col(f"l{j}").isNotNull(), F.lit(w)).otherwise(F.lit(0.0))
+    return lags.select(
+        "event_type", "day", F.round(num / den, 6).alias("ewma")
+    )
+
+
+@query(
+    "sql_not_in_nulls",
+    oracle="""
+    WITH keys AS (
+      SELECT CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_custkey END AS k
+      FROM orders
+    )
+    SELECT
+      (SELECT count(*) FROM customer
+       WHERE c_custkey NOT IN (SELECT k FROM keys)) AS not_in_nullable,
+      (SELECT count(*) FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM keys WHERE k = c.c_custkey)) AS not_exists_cnt,
+      (SELECT count(*) FROM customer
+       WHERE c_custkey NOT IN (SELECT k FROM keys WHERE k IS NOT NULL)) AS not_in_filtered
+    """,
+)
+def sql_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI three-valued NOT IN semantics, proven identical across both
+    engines: a nullable subquery makes NOT IN return 0 rows (any NULL in
+    the list makes `x NOT IN (...)` UNKNOWN for every non-member x),
+    while NOT EXISTS and the null-filtered NOT IN agree on the true
+    anti-join count. This is the classic silent-wrong-answer migration
+    trap; registering it pins the engine to ANSI behavior (Spark's
+    null-aware anti join) with the oracle as witness.
+
+    100 TB: Catalyst compiles the nullable form to a null-aware anti
+    join (broadcast when the subquery is small); the filtered form is a
+    plain left-anti hash join — both single-shuffle."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        WITH keys AS (
+          SELECT CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_custkey END AS k
+          FROM orders
+        )
+        SELECT
+          (SELECT count(*) FROM customer
+           WHERE c_custkey NOT IN (SELECT k FROM keys)) AS not_in_nullable,
+          (SELECT count(*) FROM customer c
+           WHERE NOT EXISTS (SELECT 1 FROM keys WHERE k = c.c_custkey)) AS not_exists_cnt,
+          (SELECT count(*) FROM customer
+           WHERE c_custkey NOT IN (SELECT k FROM keys WHERE k IS NOT NULL)) AS not_in_filtered
+        """
+    )
+
+
+@query(
+    "source_reputation",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             count(*) AS n_docs,
+             round(CAST(sum(CAST(n_chars AS BIGINT)) AS DOUBLE) / count(*), 4) AS avg_chars,
+             round(CAST(sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS short_share,
+             count(DISTINCT lang) AS n_langs
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, avg_chars, short_share, n_langs,
+           (avg_chars >= 290.0 AND short_share <= 0.30) AS keep_source
+    FROM s
+    """,
+)
+def source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level (domain-level) corpus reputation: per-source doc
+    count, exact mean length (integer-sum accumulate, one double divide),
+    short-doc share, language spread, and a keep/drop curation verdict —
+    the RefinedWeb/C4-style DOMAIN filter that complements the per-doc
+    text_quality pass (junk farms are cheaper to drop wholesale than
+    doc-by-doc). Thresholds are calibrated to this corpus so both
+    verdicts occur (the 20 sources split ~half/half at sf0.01).
+
+    100 TB: one map-side-partial hash aggregate on source — the cheapest
+    possible full-corpus pass; the verdict joins back to documents as a
+    broadcast (sources number in the millions, not billions)."""
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum(F.col("n_chars").cast("bigint")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_chars"),
+        F.round(
+            F.sum(F.when(F.col("n_chars") < 200, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("short_share"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    return s.select(
+        "source",
+        "n_docs",
+        "avg_chars",
+        "short_share",
+        "n_langs",
+        (
+            (F.col("avg_chars") >= 290.0) & (F.col("short_share") <= 0.30)
+        ).alias("keep_source"),
+    )
+
+
+@query("dedup_simhash_pairs")  # xxhash64 fingerprints not in ANSI SQL → rows-only
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash LSH near-dup pairs: 8x8-bit banded fingerprints →
+    candidates on band equality → exact Hamming verify (<= 7). By
+    pigeonhole the banding is EXACT at this radius (d <= bands-1
+    guarantees a shared band), so the output equals the brute-force
+    all-pairs Hamming join — asserted against brute force in
+    tests/test_accuracy_gates.py; the driver records rows-only because
+    xxhash64 has no ANSI twin. Completes the signature-family ladder:
+    MinHash-LSH covers set-Jaccard, this covers bag-of-words cosine.
+    The corpus yields 444 natural pairs at sf0.01."""
+    from projectdatalake_spark.operators.dedup import simhash_band_pairs
+
+    return simhash_band_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=7, n_bands=8
+    )
+
+
 # NOTE: streaming/stateful.py also implements user_profile_stats on Spark
 # 4's transformWithStateInPandas (named composite state: MapState +
 # ValueStates). It is NOT registered as a driver query because the API's

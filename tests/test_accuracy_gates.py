@@ -342,3 +342,44 @@ def test_pagerank_matches_power_iteration(spark):
     top_got = sorted(got, key=lambda v: (-got[v], v))[:20]
     top_want = sorted(want, key=lambda v: (-want[v], v))[:20]
     assert top_got == top_want
+
+
+def test_simhash_band_pairs_exact(spark):
+    """Banded SimHash pair join must EQUAL brute-force all-pairs Hamming:
+    with 8 bands, pigeonhole guarantees any pair at d <= 7 shares a band
+    (recall 1.0 by construction) and the verify step pins precision, so
+    this is an equality gate, not a recall threshold."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    sigs = TX.simhash_table(docs)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    brute = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            TX.hamming64(F.col("a.simhash"), F.col("b.simhash"))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= 7)
+        .collect()
+    }
+    banded = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in D.simhash_band_pairs(docs, max_hamming=7, n_bands=8).collect()
+    }
+    assert banded == brute, (
+        f"banded {len(banded)} pairs != brute-force {len(brute)}"
+    )
+    assert len(brute) > 0, "gate corpus yields no near-dup pairs — vacuous"
+
+
+def test_simhash_band_pairs_radius_guard(spark):
+    """max_hamming beyond the pigeonhole radius must be rejected loudly,
+    not silently return partial recall."""
+    import pytest as _pytest
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    with _pytest.raises(ValueError, match="exactness radius"):
+        D.simhash_band_pairs(docs, max_hamming=4, n_bands=4)

@@ -88,6 +88,12 @@ SHARED_ANSI = [
     "event_transitions",
     "pareto_frontier",
     "graph_triangle_counts",
+    # round-4 closing wave (window stddev/lag, scalar subqueries with
+    # NOT IN / NOT EXISTS, plain aggregate — all shared-ANSI)
+    "anomaly_rolling_zscore",
+    "ewma_daily_smoothing",
+    "sql_not_in_nulls",
+    "source_reputation",
 ]
 
 
