@@ -12,7 +12,7 @@ order by a *unique* key suffix — within-tie row order is engine-dependent.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, WindowSpec, functions as F
 
@@ -105,3 +105,83 @@ def forward_fill(
     """
     w = spec(partition_by, order_by).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn(out or col, F.last(col, ignorenulls=True).over(w))
+
+
+def rolling_with_halo(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    bucket: Column,
+    frame_rows: int,
+    aggs: dict[str, Callable[[WindowSpec], Column]],
+) -> DataFrame:
+    """Trailing ROWS-frame window decomposed into parallel buckets with a
+    halo — the 100 TB execution of a global per-stream rolling window.
+
+    A spec like ``PARTITION BY event_type ORDER BY ts ROWS BETWEEN n
+    PRECEDING AND 1 PRECEDING`` puts each type's entire history in ONE
+    task — correct, but a single straggler partition at scale. This
+    operator computes the identical result embarrassingly parallel:
+
+    1. assign each row a coarse ``bucket`` (e.g. day/week number);
+    2. within (partition, bucket), the LAST ``frame_rows`` rows are
+       replicated into the NEXT populated bucket as halo rows (context
+       only — they emit no output);
+    3. the trailing frame runs within (partition, bucket) — tasks
+       parallel across buckets — and halo rows supply the cross-boundary
+       context the global form would have seen.
+
+    EXACT under one precondition: every populated bucket (except a
+    partition's first) holds >= ``frame_rows`` rows, so one bucket's
+    tail is the complete trailing context (equality property-tested in
+    tests/test_properties.py). Sparse/empty buckets are handled — the
+    halo targets the next POPULATED bucket via a dense bucket sequence
+    (distinct (partition, bucket) pairs are window-ranked; that frame is
+    one row per bucket, metadata-sized). Pick buckets coarse enough for
+    the precondition; if a stream is so sparse that no such bucket
+    exists, it is small enough for the single-task global form.
+
+    ``aggs`` maps output column name -> (WindowSpec -> Column), e.g.
+    ``{"m": lambda w: F.avg("value").over(w)}``; the frame is
+    ``rowsBetween(-frame_rows, -1)`` (self-excluded trailing window).
+    Cost: one tiny shuffle for the bucket sequence, one hash shuffle of
+    data + halo replicas on (partition, bucket) — vs the global form's
+    one shuffle on partition alone; the halo duplicates only
+    frame_rows x n_buckets rows.
+    """
+    b = df.withColumn("__bucket", bucket.cast("long"))
+    pcols = [F.col(c) for c in partition_by]
+
+    # dense bucket sequence per partition (tiny frame: one row per
+    # populated bucket) so halos skip over empty buckets
+    seq_w = Window.partitionBy(*partition_by).orderBy("__bucket")
+    seq = (
+        b.select(*partition_by, "__bucket")
+        .distinct()
+        .withColumn("__seq", F.row_number().over(seq_w))
+    )
+    b = b.join(F.broadcast(seq), on=[*partition_by, "__bucket"])
+
+    rev_w = (
+        Window.partitionBy(*partition_by, "__seq")
+        .orderBy(*[F.col(c).desc() for c in order_by])
+    )
+    tail = (
+        b.withColumn("__rev", F.row_number().over(rev_w))
+        .where(F.col("__rev") <= frame_rows)
+        .drop("__rev")
+        .withColumn("__seq", F.col("__seq") + 1)
+        .withColumn("__halo", F.lit(True))
+    )
+    body = b.withColumn("__halo", F.lit(False))
+    u = body.unionByName(tail)
+
+    win = (
+        Window.partitionBy(*partition_by, "__seq")
+        .orderBy(*order_by)
+        .rowsBetween(-frame_rows, -1)
+    )
+    out = u.select(
+        "*", *[fn(win).alias(name) for name, fn in aggs.items()]
+    )
+    return out.where(~F.col("__halo")).drop("__bucket", "__seq", "__halo")

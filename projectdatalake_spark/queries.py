@@ -6929,6 +6929,64 @@ def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "anomaly_zscore_bucketed",
+    oracle="""
+    WITH w AS (
+      SELECT event_type, event_id, value,
+             avg(value)         OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                      ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING) AS m,
+             stddev_samp(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                      ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING) AS s,
+             count(value)       OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                      ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING) AS c
+      FROM events
+    )
+    SELECT event_type, event_id, round(value, 2) AS value,
+           round((value - m) / s, 3) AS zscore
+    FROM w
+    WHERE c >= 30 AND s > 0 AND abs(round((value - m) / s, 3)) >= 3.0
+    """,
+)
+def anomaly_zscore_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME rolling z-score semantic as anomaly_rolling_zscore, but
+    executed through operators/windows.rolling_with_halo: the per-type
+    stream is split into 5-day buckets, each bucket's last 100 rows are
+    replicated into the next populated bucket as halo context, and the
+    trailing frame runs parallel ACROSS buckets instead of one task per
+    event type. The oracle is the global-window form — the driver hash
+    proves the scale decomposition is EXACT, not approximately right
+    (equality also property-tested in tests/test_aggregates_windows.py).
+
+    100 TB: this is the registered answer to the single-partition-per-key
+    window bottleneck — task parallelism = buckets x types, halo overhead
+    = frame_rows x buckets rows, result byte-identical."""
+    from projectdatalake_spark.operators.windows import rolling_with_halo
+
+    ev = _t(spark, sf_dir, "events")
+    scored = rolling_with_halo(
+        ev.select("event_type", "event_id", "ts", "value"),
+        partition_by=["event_type"],
+        order_by=["ts", "event_id"],
+        bucket=F.floor(F.datediff(F.col("ts"), F.lit("2024-01-01")) / 5),
+        frame_rows=100,
+        aggs={
+            "m": lambda w: F.avg("value").over(w),
+            "s": lambda w: F.stddev_samp("value").over(w),
+            "c": lambda w: F.count("value").over(w),
+        },
+    )
+    z = F.round((F.col("value") - F.col("m")) / F.col("s"), 3)
+    return scored.where(
+        (F.col("c") >= 30) & (F.col("s") > 0) & (F.abs(z) >= 3.0)
+    ).select(
+        "event_type",
+        "event_id",
+        F.round("value", 2).alias("value"),
+        z.alias("zscore"),
+    )
+
+
 # EWMA lag weights (1-alpha)^j for alpha=0.3, as LITERAL strings shared
 # by the Spark expression and the DuckDB oracle: both engines parse the
 # decimal text to the same nearest double, whereas Python's 0.7**2

@@ -86,3 +86,60 @@ def test_forward_fill_locf(spark):
         ("u1", 1): None, ("u1", 2): 10.0, ("u1", 3): 10.0, ("u1", 4): 20.0,
         ("u2", 1): None, ("u2", 2): None,
     }
+
+
+def test_rolling_with_halo_equals_global_window(spark):
+    """The bucketed+halo decomposition (the 100 TB execution of a
+    trailing per-stream rolling window) must EQUAL the single-task
+    global-window form row for row — avg, stddev and count over the
+    trailing 100-event frame, on the real events corpus with 5-day
+    buckets (each populated (type, bucket) holds ~330 rows >= the
+    frame, satisfying the operator's stated precondition)."""
+    from pyspark.sql import Window
+    from tests.conftest import SF_ORACLE
+
+    ev = load_table(spark, SF_ORACLE, "events").select(
+        "event_type", "event_id", "ts", "value"
+    )
+    gwin = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-100, -1)
+    )
+
+    def key(r):
+        return (
+            r.event_type,
+            r.event_id,
+            None if r.m is None else f"{r.m:.9g}",
+            None if r.s is None else f"{r.s:.9g}",
+            r.c,
+        )
+
+    global_rows = {
+        key(r)
+        for r in ev.select(
+            "event_type",
+            "event_id",
+            F.avg("value").over(gwin).alias("m"),
+            F.stddev_samp("value").over(gwin).alias("s"),
+            F.count("value").over(gwin).alias("c"),
+        ).collect()
+    }
+    halo_rows = {
+        key(r)
+        for r in W.rolling_with_halo(
+            ev,
+            partition_by=["event_type"],
+            order_by=["ts", "event_id"],
+            bucket=F.floor(F.datediff(F.col("ts"), F.lit("2024-01-01")) / 5),
+            frame_rows=100,
+            aggs={
+                "m": lambda w: F.avg("value").over(w),
+                "s": lambda w: F.stddev_samp("value").over(w),
+                "c": lambda w: F.count("value").over(w),
+            },
+        ).select("event_type", "event_id", "m", "s", "c").collect()
+    }
+    assert halo_rows == global_rows
+    assert len(halo_rows) == ev.count()
