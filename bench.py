@@ -86,6 +86,13 @@ EXTENDED = [
     "txlog_incremental_agg_cdc",
     "ann_mmr_rerank",
     "graph_triangle_estimate",
+    # round-4 closing wave
+    "anomaly_rolling_zscore",
+    "anomaly_zscore_bucketed",
+    "ewma_daily_smoothing",
+    "sql_not_in_nulls",
+    "source_reputation",
+    "dedup_simhash_pairs",
 ]
 
 HEADLINE = [

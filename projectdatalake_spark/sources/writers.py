@@ -136,3 +136,41 @@ def write_partitioned(
         writer.parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", previous)
+
+
+def write_parquet_audited(
+    df: DataFrame,
+    path: str,
+    audit_cols: dict[str, "Column"] | None = None,
+    mode: str = "overwrite",
+    max_records_per_file: int | None = 5_000_000,
+) -> dict:
+    """Flat sink with a SINGLE-PASS write audit via ``Observation``.
+
+    The write-audit-publish pattern needs row counts / null counts /
+    value bounds for the batch just written; recomputing them is a second
+    full scan of data you just paid to shuffle and encode. ``df.observe``
+    attaches aggregate accumulators to the write job itself — metrics are
+    collected per-task DURING the sink action and merged on the driver,
+    costing one map-side aggregation, zero extra scans (and, unlike a
+    cached recount, they describe exactly the rows the job wrote, even if
+    the input is nondeterministic upstream).
+
+    ``audit_cols`` maps metric name -> aggregate Column (default: row
+    count). Returns the observed metrics dict. At 100 TB this is the
+    difference between an audit that is free and one that doubles the
+    pipeline's read volume.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.observation import Observation
+
+    aggs = dict(audit_cols) if audit_cols else {}
+    if "n_rows" not in aggs:
+        aggs["n_rows"] = F.count(F.lit(1))
+    obs = Observation("write_audit")
+    observed = df.observe(obs, *[c.alias(n) for n, c in aggs.items()])
+    writer = observed.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)
+    return dict(obs.get)

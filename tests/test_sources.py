@@ -147,3 +147,31 @@ def test_schema_evolution_merge_read(spark, sf_dir, tmp_path):
     assert merged.count() == nation.count() * 2
     # pre-evolution rows surface NULL for the added column
     assert merged.filter(F.col("n_regionkey").isNull()).count() == nation.count()
+
+
+def test_write_parquet_audited_single_pass(spark, tmp_path):
+    """Observation metrics must describe exactly the written batch —
+    counts/nulls/bounds match an independent re-read — and cost no
+    second scan (the metrics come from the write job's own tasks)."""
+    from pyspark.sql import functions as F
+
+    from projectdatalake_spark.sources.writers import write_parquet_audited
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id") * 2).alias("v"),
+    )
+    out = str(tmp_path / "audited")
+    metrics = write_parquet_audited(
+        df,
+        out,
+        audit_cols={
+            "n_rows": F.count(F.lit(1)),
+            "null_v": F.count(F.when(F.col("v").isNull(), 1)),
+            "max_id": F.max("id"),
+        },
+    )
+    back = spark.read.parquet(out)
+    assert metrics["n_rows"] == 1000 == back.count()
+    assert metrics["null_v"] == 100 == back.where(F.col("v").isNull()).count()
+    assert metrics["max_id"] == 999
