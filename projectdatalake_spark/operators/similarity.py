@@ -229,49 +229,36 @@ def topk_neighbors_lsh(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def topk_neighbors_ivf(
+def ivf_index(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int,
     n_cells: int = 32,
-    n_probe: int = 12,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_query_rows: int = 100_000,
-) -> DataFrame:
-    """ANN top-k via IVF (inverted-file) coarse quantization.
+):
+    """Build the IVF coarse index: returns ``(assigned, centers)`` where
+    ``assigned`` is the cell-assigned corpus DataFrame (the PERSISTABLE
+    artifact — write it partitioned by ``cell`` and every later query
+    batch touches only its n_probe partitions, the classic IVF file
+    layout) and ``centers`` is the (n_cells, dim) numpy array of cell
+    centroids (KB-sized metadata — ship it with the table).
 
-    A KMeans coarse quantizer (Spark ML, seeded) partitions the corpus into
-    ``n_cells`` cells; each query searches only its ``n_probe`` nearest
-    cells and re-ranks candidates by exact cosine. Expected candidate
-    fraction ≈ n_probe/n_cells. The cell-assigned corpus is the persistable
-    artifact at scale (write it partitioned by cell id; queries then touch
-    n_probe partitions — classic IVF file layout).
+    Building is the one-off indexing cost (KMeans over the corpus);
+    searching amortizes it across every subsequent query batch — the
+    split matters, which is why this is a separate function (measured in
+    BASELINE.md's round-4 ANN probe: build dominates a cold one-shot
+    call, search is the recurring cost).
 
-    Size ``n_cells`` ≈ sqrt(corpus size) (the classic IVF rule): finer
-    quantization concentrates true neighbors into fewer cells, so recall
-    per scanned fraction rises with more cells — measured on the test
-    corpus (500 vecs): 32 cells/12 probes = 0.94 recall@10 scanning 38%,
-    vs 16/6 = 0.72 at the same fraction. Defaults fit the test corpus;
-    recall is gated in tests/test_accuracy_gates.py.
-
-    Queries must be driver-small (they are collected to compute probe
-    cells; the corpus is never collected). ``max_query_rows`` enforces
-    that contract: a query set above the ceiling raises instead of
-    silently OOMing the driver — raise the limit explicitly if the driver
-    truly has the memory.
+    The quantizer trains on L2-NORMALIZED vectors: ranking is by cosine,
+    and on the unit sphere euclidean distance is monotone in cosine —
+    un-normalized KMeans cells split by magnitude and cost ~20 recall
+    points on this corpus. Exact re-rank still uses raw vectors (cosine
+    is scale-invariant).
     """
     import numpy as np
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
-    from pyspark.sql import Window
 
-    # The quantizer trains on L2-NORMALIZED vectors: ranking is by cosine,
-    # and on the unit sphere euclidean distance is monotone in cosine —
-    # un-normalized KMeans cells split by magnitude and cost ~20 recall
-    # points on this corpus. Exact re-rank still uses raw vectors (cosine
-    # is scale-invariant).
     norm = F.sqrt(vec_dot(F.col("v"), F.col("v")))
     unit = F.transform(F.col("v"), lambda x: x / norm)
     feat = corpus.select(
@@ -288,15 +275,41 @@ def topk_neighbors_ivf(
         )
         .withColumn("c_norm", F.sqrt(vec_dot(F.col("c_vec"), F.col("c_vec"))))
     )
-
     centers = np.stack([c for c in model.clusterCenters()])
+    return assigned, centers
+
+
+def ivf_search(
+    assigned: DataFrame,
+    centers,
+    queries: DataFrame,
+    k: int,
+    n_probe: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_query_rows: int = 100_000,
+) -> DataFrame:
+    """Search an ``ivf_index``: each query probes its ``n_probe`` nearest
+    cells and re-ranks candidates by exact cosine. Expected candidate
+    fraction ≈ n_probe/n_cells of the corpus — the recurring per-batch
+    cost the index build amortizes into.
+
+    Queries must be driver-small (they are collected to compute probe
+    cells; the corpus is never collected). ``max_query_rows`` enforces
+    that contract: a query set above the ceiling raises instead of
+    silently OOMing the driver — raise the limit explicitly if the driver
+    truly has the memory.
+    """
+    import numpy as np
+    from pyspark.sql import Window
+
     # limit()+collect() bounds what can ever reach the driver; the count
     # check turns a contract breach into a loud error instead of an OOM
     probe_q = queries.select(F.col(id_col), F.col(vec_col))
     n_queries = probe_q.limit(max_query_rows + 1).count()
     if n_queries > max_query_rows:
         raise ValueError(
-            f"topk_neighbors_ivf query set exceeds max_query_rows="
+            f"ivf_search query set exceeds max_query_rows="
             f"{max_query_rows}; queries are collected to the driver to "
             "compute probe cells — pass a larger max_query_rows only if "
             "the driver can hold them, or pre-sample the query set"
@@ -309,7 +322,7 @@ def topk_neighbors_ivf(
         d2 = ((centers - qv / (qn if qn > 0 else 1.0)) ** 2).sum(axis=1)
         for cell in np.argsort(d2)[:n_probe]:
             probe_rows.append((r[id_col], qv.tolist(), int(cell)))
-    spark = corpus.sparkSession
+    spark = assigned.sparkSession
     q_probe = spark.createDataFrame(
         probe_rows, schema=f"query_id long, q_vec array<double>, cell int"
     ).withColumn("q_norm", F.sqrt(vec_dot(F.col("q_vec"), F.col("q_vec"))))
@@ -323,6 +336,43 @@ def topk_neighbors_ivf(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def topk_neighbors_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_cells: int = 32,
+    n_probe: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_query_rows: int = 100_000,
+) -> DataFrame:
+    """ANN top-k via IVF coarse quantization: ``ivf_index`` +
+    ``ivf_search`` in one call (one-shot convenience; at scale build the
+    index once and reuse it per query batch — see both docstrings).
+
+    Size ``n_cells`` ≈ sqrt(corpus size) (the classic IVF rule): finer
+    quantization concentrates true neighbors into fewer cells, so recall
+    per scanned fraction rises with more cells — measured on the test
+    corpus (500 vecs): 32 cells/12 probes = 0.94 recall@10 scanning 38%,
+    vs 16/6 = 0.72 at the same fraction. Defaults fit the test corpus;
+    recall is gated in tests/test_accuracy_gates.py.
+    """
+    assigned, centers = ivf_index(
+        corpus, n_cells=n_cells, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    return ivf_search(
+        assigned,
+        centers,
+        queries,
+        k,
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_query_rows=max_query_rows,
+    )
 
 
 def embed_features_arrow(

@@ -6,7 +6,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from projectdatalake_spark.operators import dedup as D, similarity as S, text as TX
+from projectdatalake_spark.plans import physical_plan
 from projectdatalake_spark.sources import load_table
+from tests.conftest import SF_SMOKE
 
 
 def test_langid_on_crafted_texts(spark):
@@ -267,3 +269,52 @@ def test_unigram_logprob_uniform_corpus(spark):
     out = {r.doc_id: (r.logprob, r.n_tokens) for r in TX.unigram_logprob(docs).collect()}
     expect = round(math.log(0.25), 4)
     assert out == {1: (expect, 2), 2: (expect, 2)}
+
+
+def test_ivf_partitioned_layout_prunes_to_probed_cells(spark, tmp_path):
+    """The IVF docstring's 100 TB claim made physical: persist the
+    cell-assigned corpus partitioned BY CELL, and a query batch's search
+    scan must partition-prune to exactly its probed cells (n_probe of
+    n_cells directories — the corpus fraction that ever leaves disk),
+    while returning the same top-k as the in-memory search."""
+    import numpy as np
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    assigned, centers = S.ivf_index(emb, n_cells=16)
+    out = str(tmp_path / "ivf_layout")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(out)
+    on_disk = spark.read.parquet(out)
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    n_probe = 4
+    # probe-cell assignment mirrors ivf_search's driver-side step
+    probe_cells = set()
+    for r in queries.select("vec_id", "embedding").collect():
+        qv = np.asarray(r.embedding, dtype="float64")
+        qv = qv / np.linalg.norm(qv)
+        d2 = ((centers - qv) ** 2).sum(axis=1)
+        probe_cells.update(int(c) for c in np.argsort(d2)[:n_probe])
+
+    pruned = on_disk.filter(F.col("cell").isin(sorted(probe_cells)))
+    plan = physical_plan(pruned)
+    assert "PartitionFilters" in plan and "cell" in plan, plan
+    # the pruned scan reads only the probed directories
+    files = {
+        r.fp.rsplit("/", 2)[-2]
+        for r in pruned.select(
+            F.col("_metadata.file_path").alias("fp")
+        ).distinct().collect()
+    }
+    assert files <= {f"cell={c}" for c in probe_cells}, files
+    assert 0 < len(files) <= len(probe_cells)
+
+    # and the search over the pruned layout matches the in-memory search
+    mem = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_search(assigned, centers, queries, k=5, n_probe=n_probe).collect()
+    }
+    disk = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_search(on_disk, centers, queries, k=5, n_probe=n_probe).collect()
+    }
+    assert disk == mem
