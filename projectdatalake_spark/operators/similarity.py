@@ -235,6 +235,7 @@ def ivf_index(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_fraction: float | None = None,
 ):
     """Build the IVF coarse index: returns ``(assigned, centers)`` where
     ``assigned`` is the cell-assigned corpus DataFrame (the PERSISTABLE
@@ -248,6 +249,16 @@ def ivf_index(
     split matters, which is why this is a separate function (measured in
     BASELINE.md's round-4 ANN probe: build dominates a cold one-shot
     call, search is the recurring cost).
+
+    ``train_fraction`` bounds that build cost the way real ANN systems
+    do: the quantizer trains on a seeded sample (KMeans only needs
+    enough points to place centroids — hundreds per cell suffice) while
+    cell ASSIGNMENT still covers every corpus row. With k=sqrt(n) cells,
+    full-corpus training is O(n^1.5·iters) (the probe's 192 s at 100k);
+    a fixed sample per cell makes it O(n_cells·sample·iters) — the term
+    that keeps indexing linear-ish at 100 TB. None = train on
+    everything (right at test scale; recall impact at 0.5 sampling is
+    gated in tests/test_accuracy_gates.py).
 
     The quantizer trains on L2-NORMALIZED vectors: ranking is by cosine,
     and on the unit sphere euclidean distance is monotone in cosine —
@@ -265,7 +276,10 @@ def ivf_index(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("v"),
     ).withColumn("features", array_to_vector(unit))
-    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(feat.select("features"))
+    train = feat.select("features")
+    if train_fraction is not None:
+        train = train.sample(fraction=train_fraction, seed=seed)
+    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train)
     assigned = (
         model.transform(feat)
         .select(

@@ -383,3 +383,20 @@ def test_simhash_band_pairs_radius_guard(spark):
     docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
     with _pytest.raises(ValueError, match="exactness radius"):
         D.simhash_band_pairs(docs, max_hamming=4, n_bands=4)
+
+
+def test_ann_ivf_sample_trained_recall(spark):
+    """Training the coarse quantizer on a 50% sample (the build-cost
+    bound real ANN systems use — assignment still covers every row) must
+    stay within a few recall points of the full-trained gate. This
+    fixture is the worst case for sampling: 500 near-uniform vectors /
+    32 cells = ~8 training points per cell (real deployments sample
+    hundreds per cell, where the quantizers converge); measured 0.84
+    here vs 0.94 full-trained at the same 38% scanned."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = S.topk_neighbors(emb, queries, k=K)
+    assigned, centers = S.ivf_index(emb, n_cells=32, train_fraction=0.5)
+    approx = S.ivf_search(assigned, centers, queries, k=K, n_probe=12)
+    recall = _recall_at_k(approx, exact)
+    assert recall >= 0.8, f"sample-trained IVF recall@{K} degraded to {recall:.2f}"
