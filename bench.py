@@ -92,6 +92,7 @@ EXTENDED = [
     "ewma_daily_smoothing",
     "sql_not_in_nulls",
     "source_reputation",
+    "docs_reputable_sources",
     "dedup_simhash_pairs",
 ]
 

@@ -7157,6 +7157,51 @@ def source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "docs_reputable_sources",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             round(CAST(sum(CAST(n_chars AS BIGINT)) AS DOUBLE) / count(*), 4) AS avg_chars,
+             round(CAST(sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS short_share
+      FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source, d.lang, d.n_chars
+    FROM documents d JOIN s ON d.source = s.source
+    WHERE s.avg_chars >= 290.0 AND s.short_share <= 0.30
+    """,
+)
+def docs_reputable_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The source_reputation verdict APPLIED: documents surviving the
+    domain-level filter (keep only docs from sources passing the
+    reputation thresholds) — the second half of the RefinedWeb-style
+    wholesale-domain-drop, as the broadcast-join shape the reputation
+    docstring promises.
+
+    100 TB: the reputation aggregate is source-cardinality-sized →
+    broadcast; the documents scan joins against it with zero fact-side
+    shuffle (only the map-side partial of the reputation agg shuffles)."""
+    docs = _t(spark, sf_dir, "documents")
+    rep = docs.groupBy("source").agg(
+        F.round(
+            F.sum(F.col("n_chars").cast("bigint")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_chars"),
+        F.round(
+            F.sum(F.when(F.col("n_chars") < 200, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("short_share"),
+    )
+    keep = rep.where(
+        (F.col("avg_chars") >= 290.0) & (F.col("short_share") <= 0.30)
+    ).select("source")
+    return docs.join(F.broadcast(keep), "source").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+
 @query("dedup_simhash_pairs")  # xxhash64 fingerprints not in ANSI SQL → rows-only
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash LSH near-dup pairs: 8x8-bit banded fingerprints →

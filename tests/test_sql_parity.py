@@ -94,6 +94,7 @@ SHARED_ANSI = [
     "ewma_daily_smoothing",
     "sql_not_in_nulls",
     "source_reputation",
+    "docs_reputable_sources",
 ]
 
 
