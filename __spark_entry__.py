@@ -136,6 +136,14 @@ _R4_PINNED = frozenset(
         "graph_clustering_coefficient",
         "txlog_retention_lifecycle",
         "pyds_jsonl_writer_roundtrip",
+        "delta_roundtrip",
+        "delta_time_travel",
+        "delta_convert_in_place",
+        "delta_txlog_export",
+        "delta_checkpoint_read",
+        "iceberg_roundtrip",
+        "iceberg_time_travel",
+        "iceberg_partition_pruning",
     }
 )
 

@@ -94,6 +94,13 @@ EXTENDED = [
     "source_reputation",
     "docs_reputable_sources",
     "dedup_simhash_pairs",
+    # round-4 Delta/Iceberg interop
+    "delta_roundtrip",
+    "delta_convert_in_place",
+    "delta_txlog_export",
+    "delta_checkpoint_read",
+    "iceberg_roundtrip",
+    "iceberg_partition_pruning",
 ]
 
 HEADLINE = [

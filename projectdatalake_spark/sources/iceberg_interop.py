@@ -1,0 +1,661 @@
+"""Apache Iceberg table interop — write and read Iceberg v2 metadata
+without iceberg jars, from the PUBLIC table-format specification
+(iceberg.apache.org/spec/).
+
+The metadata layer is implemented from first principles:
+
+- ``metadata/v{N}.metadata.json`` + ``version-hint.text`` (the
+  HadoopTables / file-system catalog layout);
+- snapshots → **manifest list** (Avro) → **manifest files** (Avro) →
+  parquet data files, with partition tuples recorded per entry;
+- Avro object-container encoding comes from the sibling
+  ``avro_codec.py``, which is cross-validated in both directions against
+  the REAL Apache Avro implementation on Spark's JVM classpath
+  (tests/test_avro_codec.py) — so the manifest bytes this module writes
+  are readable by the exact library Iceberg itself links against.
+
+Scope (documented, spec-honest):
+
+- format-version 2, identity partition transforms, parquet data files,
+  append / dynamic-overwrite snapshots, snapshot time travel;
+- column upper/lower bounds in manifests are omitted (optional per
+  spec); partition pruning works off the partition tuples;
+- the commit protocol is the optimistic file-system-catalog one:
+  exclusive create of the next ``v{N}.metadata.json``, then
+  ``version-hint.text`` advances; losers retry against the new tip.
+
+Identity-partition columns are restored as typed constants from manifest
+partition tuples on read (the spec's "identity partition values as
+constants" rule — the same mechanism Iceberg uses for hive-migrated
+files), so data files written via hive layout need no rewrite.
+
+Reference parity: engine-added surface (the reference has no table
+format; SURVEY.md §2.2's partitioned sink is its ceiling) — this is the
+Iceberg half of BASELINE.json's "Delta/Iceberg sinks" north star.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
+
+from projectdatalake_spark.sources.avro_codec import read_container, write_container
+
+_SPARK_TO_ICEBERG = {
+    "integer": "int",
+    "long": "long",
+    "short": "int",
+    "byte": "int",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "boolean": "boolean",
+    "date": "date",
+    "timestamp": "timestamptz",
+    "timestamp_ntz": "timestamp",
+    "binary": "binary",
+}
+
+_ICEBERG_TO_AVRO = {
+    "int": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "boolean": "boolean",
+    "date": {"type": "int", "logicalType": "date"},
+}
+
+
+class IcebergCommitConflict(Exception):
+    pass
+
+
+class IcebergProtocolError(Exception):
+    pass
+
+
+def _iceberg_schema(schema: StructType) -> list[dict]:
+    fields = []
+    for i, f in enumerate(schema.fields, start=1):
+        t = _SPARK_TO_ICEBERG.get(f.dataType.typeName())
+        if t is None:
+            if f.dataType.typeName() == "decimal":
+                t = f"decimal({f.dataType.precision}, {f.dataType.scale})"
+            else:
+                raise IcebergProtocolError(
+                    f"unsupported type for iceberg export: {f.dataType.simpleString()}"
+                )
+        fields.append({"id": i, "name": f.name, "required": False, "type": t})
+    return fields
+
+
+# --- Avro schemas for the metadata tree (field shapes per the v2 spec;
+# field-id attributes are carried so strict readers can project by id) ---
+
+
+def _manifest_list_schema() -> dict:
+    def opt(name, typ, fid):
+        return {"name": name, "type": ["null", typ], "default": None, "field-id": fid}
+
+    def req(name, typ, fid):
+        return {"name": name, "type": typ, "field-id": fid}
+
+    return {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            req("manifest_path", "string", 500),
+            req("manifest_length", "long", 501),
+            req("partition_spec_id", "int", 502),
+            req("content", "int", 517),
+            req("sequence_number", "long", 515),
+            req("min_sequence_number", "long", 516),
+            req("added_snapshot_id", "long", 503),
+            req("added_files_count", "int", 504),
+            req("existing_files_count", "int", 505),
+            req("deleted_files_count", "int", 506),
+            req("added_rows_count", "long", 512),
+            req("existing_rows_count", "long", 513),
+            req("deleted_rows_count", "long", 514),
+            opt(
+                "partitions",
+                {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "r508",
+                        "fields": [
+                            {"name": "contains_null", "type": "boolean", "field-id": 509},
+                            {
+                                "name": "contains_nan",
+                                "type": ["null", "boolean"],
+                                "default": None,
+                                "field-id": 518,
+                            },
+                            {
+                                "name": "lower_bound",
+                                "type": ["null", "bytes"],
+                                "default": None,
+                                "field-id": 510,
+                            },
+                            {
+                                "name": "upper_bound",
+                                "type": ["null", "bytes"],
+                                "default": None,
+                                "field-id": 511,
+                            },
+                        ],
+                    },
+                },
+                507,
+            ),
+        ],
+    }
+
+
+def _partition_record_schema(part_fields: list[tuple[str, str]]) -> dict:
+    """Avro record for the partition tuple (identity transforms: the
+    source column's type)."""
+    fields = []
+    for i, (name, ice_type) in enumerate(part_fields):
+        avro_t = _ICEBERG_TO_AVRO.get(ice_type)
+        if avro_t is None:
+            raise IcebergProtocolError(
+                f"unsupported identity partition type {ice_type!r}"
+            )
+        fields.append(
+            {
+                "name": name,
+                "type": ["null", avro_t],
+                "default": None,
+                "field-id": 1000 + i,
+            }
+        )
+    return {"type": "record", "name": "r102", "fields": fields}
+
+
+def _manifest_entry_schema(part_schema: dict) -> dict:
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {
+                "name": "snapshot_id",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 1,
+            },
+            {
+                "name": "sequence_number",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 3,
+            },
+            {
+                "name": "file_sequence_number",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 4,
+            },
+            {
+                "name": "data_file",
+                "field-id": 2,
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int", "field-id": 134},
+                        {"name": "file_path", "type": "string", "field-id": 100},
+                        {"name": "file_format", "type": "string", "field-id": 101},
+                        {"name": "partition", "type": part_schema, "field-id": 102},
+                        {"name": "record_count", "type": "long", "field-id": 103},
+                        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                    ],
+                },
+            },
+        ],
+    }
+
+
+class IcebergTable:
+    """An Iceberg v2 table under ``root`` (filesystem-catalog layout:
+    ``metadata/`` + ``version-hint.text``)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self._jvm = spark.sparkContext._jvm
+        self._hconf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    # --- fs plumbing ------------------------------------------------------
+
+    def _path(self, p: str):
+        return self._jvm.org.apache.hadoop.fs.Path(p)
+
+    def _fs(self):
+        return self._path(self.root).getFileSystem(self._hconf)
+
+    def _read_bytes(self, p: str) -> bytes:
+        fs = self._fs()
+        stream = fs.open(self._path(p))
+        try:
+            return bytes(
+                self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        finally:
+            stream.close()
+
+    def _write_bytes(self, p: str, data: bytes, exclusive: bool) -> None:
+        fs = self._fs()
+        try:
+            out = fs.create(self._path(p), not exclusive)
+        except Exception as exc:
+            raise IcebergCommitConflict(p) from exc
+        try:
+            out.write(bytearray(data))
+        finally:
+            out.close()
+
+    # --- metadata discovery ----------------------------------------------
+
+    def current_metadata_version(self) -> int:
+        hint = f"{self.root}/metadata/version-hint.text"
+        fs = self._fs()
+        if fs.exists(self._path(hint)):
+            return int(self._read_bytes(hint).decode().strip())
+        # hint missing (crash window): scan for the highest v*.metadata.json
+        best = -1
+        meta_dir = self._path(f"{self.root}/metadata")
+        if fs.exists(meta_dir):
+            for status in fs.listStatus(meta_dir):
+                name = status.getPath().getName()
+                if name.startswith("v") and name.endswith(".metadata.json"):
+                    stem = name[1 : -len(".metadata.json")]
+                    if stem.isdigit():
+                        best = max(best, int(stem))
+        if best < 0:
+            raise FileNotFoundError(f"not an Iceberg table: {self.root}")
+        return best
+
+    def metadata(self, version: int | None = None) -> dict:
+        v = self.current_metadata_version() if version is None else version
+        return json.loads(
+            self._read_bytes(f"{self.root}/metadata/v{v}.metadata.json").decode()
+        )
+
+    def snapshots(self) -> list[dict]:
+        return list(self.metadata().get("snapshots", []))
+
+    def current_snapshot_id(self) -> int | None:
+        return self.metadata().get("current-snapshot-id")
+
+    # --- read -------------------------------------------------------------
+
+    def _entries_for_snapshot(self, meta: dict, snapshot_id: int | None) -> list[dict]:
+        sid = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
+        if sid is None or sid == -1:
+            return []
+        snap = next(
+            (s for s in meta.get("snapshots", []) if s["snapshot-id"] == sid), None
+        )
+        if snap is None:
+            raise FileNotFoundError(f"snapshot {sid} not in table metadata")
+        _, manifests = read_container(self._read_bytes(snap["manifest-list"]))
+        entries: list[dict] = []
+        for m in manifests:
+            if m.get("content", 0) != 0:
+                raise IcebergProtocolError(
+                    "delete manifests (content=1) not supported by this reader"
+                )
+            _, rows = read_container(self._read_bytes(m["manifest_path"]))
+            for e in rows:
+                if e["status"] in (0, 1):  # EXISTING / ADDED
+                    entries.append(e)
+        return entries
+
+    def snapshot(
+        self,
+        snapshot_id: int | None = None,
+        where_eq: dict | None = None,
+    ) -> DataFrame:
+        """DataFrame of the table state at ``snapshot_id`` (default:
+        current). ``where_eq={col: values}`` prunes manifest entries on
+        their partition tuples before any file is opened (scan planning
+        the Iceberg way: metadata-only). Identity-partition columns are
+        restored typed from the partition tuple per the spec's constants
+        rule."""
+        meta = self.metadata()
+        schema = self._spark_schema(meta)
+        entries = self._entries_for_snapshot(meta, snapshot_id)
+        spec = self._current_spec(meta)
+        pcols = [f["name"] for f in spec["fields"]]
+        if where_eq:
+            def keep(e):
+                part = e["data_file"].get("partition", {}) or {}
+                for col, allowed in where_eq.items():
+                    if col not in part:
+                        continue
+                    vals = (
+                        allowed
+                        if isinstance(allowed, (list, tuple, set))
+                        else [allowed]
+                    )
+                    if part[col] not in set(vals):
+                        return False
+                return True
+
+            entries = [e for e in entries if keep(e)]
+        if not entries:
+            return self.spark.createDataFrame([], schema)
+        data_schema = StructType([f for f in schema.fields if f.name not in pcols])
+        ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
+        groups: dict[tuple, list[str]] = {}
+        for e in entries:
+            df_rec = e["data_file"]
+            part = df_rec.get("partition", {}) or {}
+            key = tuple((c, part.get(c)) for c in pcols)
+            groups.setdefault(key, []).append(df_rec["file_path"])
+        frames = []
+        for key, paths in groups.items():
+            df = self.spark.read.schema(data_schema).parquet(*paths)
+            for col, val in key:
+                df = df.withColumn(col, F.lit(val).cast(ptypes[col]))
+            frames.append(df.select(*[f.name for f in schema.fields]))
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    def _spark_schema(self, meta: dict) -> StructType:
+        ice = next(
+            s
+            for s in meta["schemas"]
+            if s["schema-id"] == meta["current-schema-id"]
+        )
+        from pyspark.sql.types import (
+            BinaryType, BooleanType, DateType, DoubleType, FloatType,
+            IntegerType, LongType, StringType, StructField, TimestampNTZType,
+            TimestampType,
+        )
+
+        back = {
+            "int": IntegerType(), "long": LongType(), "float": FloatType(),
+            "double": DoubleType(), "string": StringType(),
+            "boolean": BooleanType(), "date": DateType(),
+            "timestamp": TimestampNTZType(), "timestamptz": TimestampType(),
+            "binary": BinaryType(),
+        }
+        fields = []
+        for f in ice["fields"]:
+            t = f["type"]
+            if isinstance(t, str) and t in back:
+                fields.append(StructField(f["name"], back[t], True))
+            elif isinstance(t, str) and t.startswith("decimal"):
+                from pyspark.sql.types import DecimalType
+
+                p, s = t[t.index("(") + 1 : t.index(")")].split(",")
+                fields.append(
+                    StructField(f["name"], DecimalType(int(p), int(s)), True)
+                )
+            else:
+                raise IcebergProtocolError(f"unsupported iceberg type {t!r}")
+        return StructType(fields)
+
+    @staticmethod
+    def _current_spec(meta: dict) -> dict:
+        return next(
+            s
+            for s in meta["partition-specs"]
+            if s["spec-id"] == meta["default-spec-id"]
+        )
+
+    # --- write ------------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        df: DataFrame,
+        partition_by: tuple[str, ...] = (),
+    ) -> "IcebergTable":
+        t = cls(spark, root)
+        fs = t._fs()
+        if fs.exists(t._path(f"{root}/metadata/version-hint.text")):
+            raise IcebergCommitConflict(f"already an Iceberg table: {root}")
+        fields = _iceberg_schema(df.schema)
+        by_name = {f["name"]: f for f in fields}
+        spec_fields = [
+            {
+                "name": c,
+                "transform": "identity",
+                "source-id": by_name[c]["id"],
+                "field-id": 1000 + i,
+            }
+            for i, c in enumerate(partition_by)
+        ]
+        meta = {
+            "format-version": 2,
+            "table-uuid": str(uuid.uuid4()),
+            "location": t.root,
+            "last-sequence-number": 0,
+            "last-updated-ms": int(time.time() * 1000),
+            "last-column-id": len(fields),
+            "current-schema-id": 0,
+            "schemas": [{"type": "struct", "schema-id": 0, "fields": fields}],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+            "last-partition-id": 1000 + len(spec_fields) - 1 if spec_fields else 999,
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "properties": {"write.format.default": "parquet"},
+            "current-snapshot-id": -1,
+            "snapshots": [],
+            "snapshot-log": [],
+            "metadata-log": [],
+        }
+        t._write_metadata(0, meta)
+        t.append(df)
+        return t
+
+    def _write_metadata(self, version: int, meta: dict) -> None:
+        self._write_bytes(
+            f"{self.root}/metadata/v{version}.metadata.json",
+            json.dumps(meta, indent=1).encode(),
+            exclusive=True,
+        )
+        self._write_bytes(
+            f"{self.root}/metadata/version-hint.text",
+            str(version).encode(),
+            exclusive=False,
+        )
+
+    def _stage_data(self, df: DataFrame, pcols: tuple[str, ...]):
+        """Write parquet under data/ (hive layout for partitioned writes),
+        returning (abs_path, size, partition_strings, record_count) per
+        file — counts and layout from ONE staged write + ONE stats pass."""
+        stage_id = uuid.uuid4().hex
+        stage_dir = f"{self.root}/data/{stage_id}"
+        writer = df.write.mode("overwrite")
+        if pcols:
+            writer = writer.partitionBy(*pcols)
+        writer.parquet(stage_dir)
+        fs = self._fs()
+        files = []
+        it = fs.listFiles(self._path(stage_dir), True)
+        while it.hasNext():
+            status = it.next()
+            p = status.getPath()
+            if p.getName().endswith(".parquet"):
+                files.append((p.toUri().getPath(), status.getLen()))
+        counts = {}
+        if files:
+            cdf = (
+                self.spark.read.option("basePath", stage_dir)
+                .parquet(*[f for f, _ in files])
+                .withColumn("__file", F.input_file_name())
+                .groupBy("__file")
+                .count()
+                .collect()
+            )
+            counts = {r["__file"].replace("file://", "").replace("file:", ""): r["count"] for r in cdf}
+        out = []
+        for path, size in files:
+            rel = path[len(self._path(stage_dir).toUri().getPath()):].lstrip("/")
+            parts = {
+                seg.split("=", 1)[0]: seg.split("=", 1)[1]
+                for seg in rel.split("/")[:-1]
+                if "=" in seg
+            }
+            out.append((path, size, parts, counts.get(path, 0)))
+        return out
+
+    def _typed_part(self, value: str | None, ice_type: str):
+        if value is None or value == "__HIVE_DEFAULT_PARTITION__":
+            return None
+        if ice_type in ("int", "long"):
+            return int(value)
+        if ice_type in ("float", "double"):
+            return float(value)
+        if ice_type == "boolean":
+            return value.lower() == "true"
+        return value
+
+    def append(self, df: DataFrame) -> int:
+        """Commit an append snapshot: new manifest (Avro) for the added
+        files, manifest list = prior manifests + the new one, next
+        metadata JSON published via exclusive create."""
+        meta = self.metadata()
+        spec = self._current_spec(meta)
+        pcols = tuple(f["name"] for f in spec["fields"])
+        schema_fields = {
+            f["name"]: f["type"]
+            for f in next(
+                s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+            )["fields"]
+        }
+        part_fields = [(c, schema_fields[c]) for c in pcols]
+        staged = self._stage_data(df, pcols)
+        seq = meta["last-sequence-number"] + 1
+        sid = uuid.uuid4().int % (1 << 62)
+        part_schema = _partition_record_schema(part_fields)
+        entry_schema = _manifest_entry_schema(part_schema)
+        entries = []
+        added_rows = 0
+        for path, size, parts, count in staged:
+            added_rows += count
+            entries.append(
+                {
+                    "status": 1,  # ADDED
+                    "snapshot_id": sid,
+                    "sequence_number": None,  # inherit from manifest (spec rule)
+                    "file_sequence_number": None,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": path,
+                        "file_format": "PARQUET",
+                        "partition": {
+                            c: self._typed_part(parts.get(c), t)
+                            for c, t in part_fields
+                        },
+                        "record_count": count,
+                        "file_size_in_bytes": size,
+                    },
+                }
+            )
+        manifest_path = f"{self.root}/metadata/{uuid.uuid4().hex}-m0.avro"
+        manifest_bytes = write_container(
+            entry_schema,
+            entries,
+            extra_meta={
+                "schema": json.dumps(
+                    next(
+                        s
+                        for s in meta["schemas"]
+                        if s["schema-id"] == meta["current-schema-id"]
+                    )
+                ).encode(),
+                "partition-spec": json.dumps(spec["fields"]).encode(),
+                "partition-spec-id": str(spec["spec-id"]).encode(),
+                "format-version": b"2",
+                "content": b"data",
+            },
+        )
+        self._write_bytes(manifest_path, manifest_bytes, exclusive=True)
+        new_manifest = {
+            "manifest_path": manifest_path,
+            "manifest_length": len(manifest_bytes),
+            "partition_spec_id": spec["spec-id"],
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": sid,
+            "added_files_count": len(entries),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": added_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "partitions": None,
+        }
+        prior = []
+        cur_sid = meta.get("current-snapshot-id")
+        if cur_sid is not None and cur_sid != -1:
+            cur_snap = next(
+                s for s in meta["snapshots"] if s["snapshot-id"] == cur_sid
+            )
+            _, prior = read_container(self._read_bytes(cur_snap["manifest-list"]))
+        mlist_path = f"{self.root}/metadata/snap-{sid}-1-{uuid.uuid4().hex}.avro"
+        mlist_bytes = write_container(
+            _manifest_list_schema(),
+            prior + [new_manifest],
+            extra_meta={
+                "snapshot-id": str(sid).encode(),
+                "sequence-number": str(seq).encode(),
+                "format-version": b"2",
+            },
+        )
+        self._write_bytes(mlist_path, mlist_bytes, exclusive=True)
+        now = int(time.time() * 1000)
+        snap = {
+            "snapshot-id": sid,
+            "sequence-number": seq,
+            "timestamp-ms": now,
+            "manifest-list": mlist_path,
+            "summary": {
+                "operation": "append",
+                "added-data-files": str(len(entries)),
+                "added-records": str(added_rows),
+            },
+            "schema-id": meta["current-schema-id"],
+        }
+        if cur_sid is not None and cur_sid != -1:
+            snap["parent-snapshot-id"] = cur_sid
+        new_meta = dict(meta)
+        new_meta["last-sequence-number"] = seq
+        new_meta["last-updated-ms"] = now
+        new_meta["current-snapshot-id"] = sid
+        new_meta["snapshots"] = meta["snapshots"] + [snap]
+        new_meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+            {"timestamp-ms": now, "snapshot-id": sid}
+        ]
+        v = self.current_metadata_version()
+        new_meta["metadata-log"] = meta.get("metadata-log", []) + [
+            {
+                "timestamp-ms": meta["last-updated-ms"],
+                "metadata-file": f"{self.root}/metadata/v{v}.metadata.json",
+            }
+        ]
+        for _ in range(20):
+            try:
+                self._write_metadata(v + 1, new_meta)
+                return sid
+            except IcebergCommitConflict:
+                v = self.current_metadata_version()
+        raise IcebergCommitConflict(f"append lost 20 races at {self.root}")

@@ -283,6 +283,30 @@ class TxTable:
         finally:
             stream.close()
 
+    def _read_json_retry(self, p: str) -> dict:
+        """Read + parse a log file, tolerating TRANSIENT torn states.
+
+        Commits publish via exclusive create THEN content write, so a
+        concurrent reader can observe the winner's claim before its bytes
+        land (or, on Hadoop's checksummed local FS, a half-written ``.crc``
+        sibling → ChecksumException). Both states resolve in microseconds —
+        bounded retry, then raise: a commit torn FOREVER means a crashed
+        writer mid-publish, which needs repair, not a silent skip (skipping
+        would un-serialize the log for this reader only)."""
+        import time as _time
+
+        last: Exception | None = None
+        for attempt in range(40):
+            try:
+                text = self._read_text(p)
+                if text.strip():
+                    return json.loads(text)
+                last = ValueError(f"empty commit file {p}")
+            except Exception as exc:  # ChecksumException / torn JSON / FNF race
+                last = exc
+            _time.sleep(0.005 * min(attempt + 1, 10))
+        raise IOError(f"torn or unreadable log file {p}") from last
+
     def _write_text_exclusive(self, p: str, text: str) -> None:
         """Create-if-absent write — the commit protocol's mutual exclusion."""
         fs = self._fs()
@@ -315,9 +339,7 @@ class TxTable:
         for v in sorted(versions):
             c = self._commit_memo.get(v)
             if c is None:
-                c = json.loads(
-                    self._read_text(f"{self.root}/{_LOG_DIR}/{v:08d}.json")
-                )
+                c = self._read_json_retry(f"{self.root}/{_LOG_DIR}/{v:08d}.json")
                 self._commit_memo[v] = c
             commits.append(c)
         return commits
