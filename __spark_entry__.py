@@ -144,6 +144,7 @@ _R4_PINNED = frozenset(
         "iceberg_roundtrip",
         "iceberg_time_travel",
         "iceberg_partition_pruning",
+        "delta_delete_dv",
     }
 )
 

@@ -101,6 +101,7 @@ EXTENDED = [
     "delta_checkpoint_read",
     "iceberg_roundtrip",
     "iceberg_partition_pruning",
+    "delta_delete_dv",
 ]
 
 HEADLINE = [

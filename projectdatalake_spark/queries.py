@@ -7582,3 +7582,41 @@ def iceberg_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("c_acctbal")).alias("balance"))
     )
+
+
+@query(
+    "delta_delete_dv",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE NOT (o_orderkey % 10 = 7)
+    GROUP BY o_orderstatus
+    """,
+)
+def delta_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE on a REAL Delta table via deletion vectors:
+    matching rows become roaring bitmaps of row indices (serialization
+    byte-identical to org.roaringbitmap, the library delta-spark links —
+    tests/test_roaring.py), ZERO data files rewritten, protocol upgraded
+    to (3,7)+deletionVectors. The DV-masked read — parquet metadata
+    row_index anti-join — must match SQL with the predicate inverted.
+    O(deleted rows) write cost: the 100 TB DELETE that doesn't rewrite
+    the table."""
+    import tempfile
+
+    from projectdatalake_spark.sources.delta_interop import DeltaTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    root = tempfile.mkdtemp(prefix="delta_dv_")
+    t = DeltaTable.create(spark, root, o.repartition(4))
+    t.delete_where_dv("o_orderkey % 10 = 7")
+    return (
+        t.snapshot()
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
+    )

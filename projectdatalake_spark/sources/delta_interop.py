@@ -54,7 +54,9 @@ _LAST_CHECKPOINT = "_last_checkpoint"
 
 # Reader features we genuinely implement. A table demanding anything else
 # is refused loudly (the protocol's forward-compat contract).
-_SUPPORTED_READER_FEATURES = {"timestampNtz"}
+# deletionVectors: roaring-bitmap DVs (sources/roaring.py — serialization
+# cross-validated against org.roaringbitmap, the library delta-spark uses).
+_SUPPORTED_READER_FEATURES = {"timestampNtz", "deletionVectors"}
 
 _SIMPLE_TYPES = {
     "byte", "short", "integer", "long", "float", "double", "boolean",
@@ -289,11 +291,12 @@ class DeltaTable:
         elif mrv > 3:
             raise DeltaProtocolError(f"minReaderVersion {mrv} not supported")
         for add in state["adds"].values():
-            if add.get("deletionVector"):
+            dv = add.get("deletionVector")
+            if dv and dv.get("storageType") not in ("i", "p", "u"):
                 raise DeltaProtocolError(
-                    "table has active deletion vectors — refusing to read "
-                    "(rows would be resurrected); OPTIMIZE the table with a "
-                    "DV-aware writer first"
+                    f"unknown deletion-vector storage type "
+                    f"{dv.get('storageType')!r} — refusing to read (rows "
+                    f"would be resurrected)"
                 )
 
     # --- schema -----------------------------------------------------------
@@ -383,14 +386,18 @@ class DeltaTable:
         ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
         if not adds:
             return self.spark.createDataFrame([], schema)
-        groups: dict[tuple, list[str]] = {}
+        groups: dict[tuple, list[dict]] = {}
         for a in adds:
             pv = a.get("partitionValues", {})
             key = tuple((c, pv.get(c)) for c in pcols)
-            groups.setdefault(key, []).append(self._abs_data_path(a["path"]))
+            groups.setdefault(key, []).append(a)
         frames = []
-        for key, paths in groups.items():
+        for key, group in groups.items():
+            paths = [self._abs_data_path(a["path"]) for a in group]
             df = self.spark.read.schema(data_schema).parquet(*paths)
+            dv_adds = [a for a in group if a.get("deletionVector")]
+            if dv_adds:
+                df = self._apply_dvs(df, dv_adds)
             for col, sval in key:
                 df = df.withColumn(col, _partition_literal(sval, ptypes[col]))
             frames.append(df.select(*[f.name for f in schema.fields]))
@@ -404,6 +411,78 @@ class DeltaTable:
         if "://" in p or p.startswith("/"):
             return p  # spec: absolute URI escape hatch (shallow clones)
         return f"{self.root}/{p}"
+
+    # --- deletion vectors -------------------------------------------------
+
+    def _read_bytes(self, p: str) -> bytes:
+        fs = self._fs()
+        stream = fs.open(self._path(p))
+        try:
+            return bytes(
+                self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        finally:
+            stream.close()
+
+    def _dv_deleted_rows(self, dv: dict) -> set[int]:
+        """Decode a deletion-vector descriptor → set of deleted row
+        indices. Supports the spec's three storage types: inline z85
+        ("i"), absolute path ("p"), and z85-prefixed-uuid relative path
+        ("u")."""
+        import struct as _struct
+        import uuid as _uuid
+
+        from projectdatalake_spark.sources.roaring import (
+            MAGIC, deserialize_rba, z85_decode,
+        )
+
+        st = dv["storageType"]
+        size = int(dv["sizeInBytes"])
+        if st == "i":
+            data = z85_decode(dv["pathOrInlineDv"])[:size]
+        else:
+            if st == "p":
+                path = dv["pathOrInlineDv"]
+            else:  # "u": z85([prefix bytes…] + 16-byte uuid)
+                raw = z85_decode(dv["pathOrInlineDv"])
+                # the uuid is always the LAST 16 decoded bytes; any prefix
+                # characters name a subdirectory (spec: random prefix)
+                n_prefix = len(dv["pathOrInlineDv"]) // 5 * 4 - 16
+                raw = raw[: n_prefix + 16]
+                prefix, uid = raw[:n_prefix], _uuid.UUID(bytes=raw[n_prefix:])
+                sub = prefix.decode("ascii") + "/" if prefix else ""
+                path = f"{self.root}/{sub}deletion_vector_{uid}.bin"
+            blob = self._read_bytes(path)
+            off = int(dv.get("offset", 1))
+            (stored_size,) = _struct.unpack_from(">i", blob, off)
+            if stored_size != size:
+                raise DeltaProtocolError(
+                    f"DV size mismatch at {path}:{off}: {stored_size} != {size}"
+                )
+            data = blob[off + 4 : off + 4 + size]
+        (magic,) = _struct.unpack_from("<i", data, 0)
+        if magic != MAGIC:
+            raise DeltaProtocolError(f"bad DV magic {magic}")
+        return deserialize_rba(data[4:])
+
+    def _apply_dvs(self, df: DataFrame, dv_adds: list[dict]) -> DataFrame:
+        """Filter DV-masked rows: anti-join on (file, row_index) using the
+        parquet metadata columns — O(deleted rows) state, executed as a
+        distributed join (the merge-on-read read path)."""
+        pairs = []
+        for a in dv_adds:
+            path = self._abs_data_path(a["path"])
+            for ri in self._dv_deleted_rows(a["deletionVector"]):
+                pairs.append((path, ri))
+        df = df.withColumn(
+            "__fp", F.regexp_replace(F.col("_metadata.file_path"), "^file:", "")
+        ).withColumn("__ri", F.col("_metadata.row_index"))
+        if pairs:
+            deleted = self.spark.createDataFrame(pairs, "__fp string, __ri long")
+            df = df.join(
+                F.broadcast(deleted), on=["__fp", "__ri"], how="left_anti"
+            )
+        return df.drop("__fp", "__ri")
 
     def num_files(self, version: int | None = None) -> int:
         return len(self._state(version)["adds"])
@@ -606,6 +685,136 @@ class DeltaTable:
         none) — the reader side of exactly-once sinks."""
         return self._state()["txns"].get(app_id, -1)
 
+    def delete_where_dv(self, condition: str) -> int | None:
+        """Merge-on-read DELETE via deletion vectors: matching rows are
+        recorded as roaring bitmaps of row indices — O(deleted rows), ZERO
+        data files rewritten. Each touched add is re-emitted with a
+        ``deletionVector`` descriptor (inline z85 when small, a versioned
+        ``.bin`` DV file otherwise) and the protocol upgrades to
+        (3, 7) + deletionVectors features, exactly as delta-spark does on
+        first DV write. Returns the committed version, or None if nothing
+        matched."""
+        import struct as _struct
+        import zlib
+
+        from projectdatalake_spark.sources.roaring import (
+            MAGIC, serialize_rba, z85_encode,
+        )
+
+        state = self._state()
+        self._check_readable(state)
+        meta = state["metaData"]
+        schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        pcols = list(meta.get("partitionColumns", []))
+        data_schema = StructType([f for f in schema.fields if f.name not in pcols])
+        ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
+        adds = list(state["adds"].values())
+        by_abs = {self._abs_data_path(a["path"]): a for a in adds}
+        # one pass over candidate files: matching (file, row_index) pairs
+        groups: dict[tuple, list[dict]] = {}
+        for a in adds:
+            pv = a.get("partitionValues", {})
+            groups.setdefault(tuple((c, pv.get(c)) for c in pcols), []).append(a)
+        hit_rows: list = []
+        for key, group in groups.items():
+            paths = [self._abs_data_path(a["path"]) for a in group]
+            df = self.spark.read.schema(data_schema).parquet(*paths)
+            for col, sval in key:
+                df = df.withColumn(col, _partition_literal(sval, ptypes[col]))
+            hit_rows.extend(
+                df.filter(condition)
+                .select(
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:", ""
+                    ).alias("fp"),
+                    F.col("_metadata.row_index").alias("ri"),
+                )
+                .collect()
+            )
+        if not hit_rows:
+            return None
+        new_by_file: dict[str, set[int]] = {}
+        for r in hit_rows:
+            new_by_file.setdefault(r["fp"], set()).add(r["ri"])
+        now = int(time.time() * 1000)
+        actions: list[dict] = [
+            {"commitInfo": self._commit_info("DELETE", {"predicate": condition})}
+        ]
+        proto = state["protocol"] or {}
+        feats = set(proto.get("readerFeatures") or [])
+        if proto.get("minReaderVersion", 1) < 3 or "deletionVectors" not in feats:
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": sorted(feats | {"deletionVectors"}),
+                        "writerFeatures": sorted(
+                            set(proto.get("writerFeatures") or [])
+                            | {"deletionVectors"}
+                        ),
+                    }
+                }
+            )
+        # DV file shared by all large bitmaps of this commit (spec layout:
+        # version byte, then per DV: int32 BE size | data | int32 BE crc32)
+        dv_rel = f"deletion_vector_{uuid.uuid4()}.bin"
+        blob = bytearray(b"\x01")
+        descriptors: dict[str, dict] = {}
+        for fp, rows in new_by_file.items():
+            add = by_abs[fp]
+            prior = add.get("deletionVector")
+            if prior:
+                rows = rows | self._dv_deleted_rows(prior)
+            data = _struct.pack("<i", MAGIC) + serialize_rba(rows)
+            if len(data) <= 256:
+                descriptors[fp] = {
+                    "storageType": "i",
+                    "pathOrInlineDv": z85_encode(data),
+                    "sizeInBytes": len(data),
+                    "cardinality": len(rows),
+                }
+            else:
+                off = len(blob)
+                blob += _struct.pack(">i", len(data))
+                blob += data
+                blob += _struct.pack(">i", zlib.crc32(data) & 0x7FFFFFFF)
+                descriptors[fp] = {
+                    "storageType": "p",
+                    "pathOrInlineDv": f"{self.root}/{dv_rel}",
+                    "offset": off,
+                    "sizeInBytes": len(data),
+                    "cardinality": len(rows),
+                }
+        if len(blob) > 1:
+            self._write_bytes(f"{self.root}/{dv_rel}", bytes(blob), exclusive=True)
+        for fp, desc in descriptors.items():
+            add = by_abs[fp]
+            actions.append(
+                {
+                    "remove": {
+                        "path": add["path"],
+                        "deletionTimestamp": now,
+                        "dataChange": True,
+                    }
+                }
+            )
+            actions.append({"add": {**add, "deletionVector": desc}})
+        v = state["version"] + 1
+        self._publish(v, actions)
+        return v
+
+    def _write_bytes(self, p: str, data: bytes, exclusive: bool) -> None:
+        fs = self._fs()
+        try:
+            out = fs.create(self._path(p), not exclusive)
+        except Exception as exc:
+            raise DeltaCommitConflict(p) from exc
+        try:
+            out.write(bytearray(data))
+        finally:
+            out.close()
+
     # --- checkpoint -------------------------------------------------------
 
     def checkpoint(self) -> int:
@@ -623,7 +832,9 @@ class DeltaTable:
             rows.append({"txn": {"appId": app, "version": tv}})
         add_t = (
             "struct<path:string,partitionValues:map<string,string>,size:bigint,"
-            "modificationTime:bigint,dataChange:boolean,stats:string>"
+            "modificationTime:bigint,dataChange:boolean,stats:string,"
+            "deletionVector:struct<storageType:string,pathOrInlineDv:string,"
+            "offset:int,sizeInBytes:int,cardinality:bigint>>"
         )
         meta_t = (
             "struct<id:string,name:string,description:string,"

@@ -1,0 +1,191 @@
+"""Roaring bitmap serialization + Z85, pure Python, from public specs.
+
+Backs Delta Lake deletion vectors (sources/delta_interop.py). Three
+public formats are implemented from their specifications:
+
+- the 32-bit Roaring **portable serialization** (RoaringFormatSpec,
+  github.com/RoaringBitmap/RoaringFormatSpec): both cookies, array /
+  bitmap / run containers on read; array/bitmap write (no-run cookie).
+  Cross-validated byte-for-byte against ``org.roaringbitmap`` — the
+  exact library delta-spark links — which ships on Spark's classpath
+  (RoaringBitmap-1.3.0.jar; tests/test_roaring.py);
+- the 64-bit **RoaringBitmapArray** "portable" layout Delta's protocol
+  documents for DVs: int64 LE bitmap count, then per high-32 key an
+  int32 LE key + a 32-bit portable roaring bitmap;
+- **Z85** (the ZeroMQ RFC alphabet) for inline DV descriptors.
+
+Scale note: DV bitmaps are per-file metadata proportional to deleted
+rows, parsed driver-side exactly where Delta's own planning parses them;
+the anti-join that applies them runs on executors.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_SERIAL_COOKIE_NO_RUN = 12346
+_SERIAL_COOKIE = 12347
+_NO_OFFSET_THRESHOLD = 4
+
+
+# --- 32-bit portable roaring ------------------------------------------------
+
+
+def serialize_roaring32(values) -> bytes:
+    """Portable serialization of a 32-bit roaring bitmap (no-run cookie:
+    array containers ≤4096 cardinality, bitmap containers above)."""
+    containers: dict[int, list[int]] = {}
+    for v in sorted(set(values)):
+        if not 0 <= v < (1 << 32):
+            raise ValueError(f"not a uint32: {v}")
+        containers.setdefault(v >> 16, []).append(v & 0xFFFF)
+    keys = sorted(containers)
+    n = len(keys)
+    out = bytearray()
+    out += struct.pack("<ii", _SERIAL_COOKIE_NO_RUN, n)
+    for k in keys:
+        out += struct.pack("<HH", k, len(containers[k]) - 1)
+    # offset header (mandatory with the no-run cookie)
+    offset = 4 + 4 + 4 * n + 4 * n
+    body = bytearray()
+    offsets = []
+    for k in keys:
+        offsets.append(offset + len(body))
+        vals = containers[k]
+        if len(vals) <= 4096:
+            body += struct.pack(f"<{len(vals)}H", *vals)
+        else:
+            bits = bytearray(8192)
+            for lo in vals:
+                bits[lo >> 3] |= 1 << (lo & 7)
+            body += bits
+    for o in offsets:
+        out += struct.pack("<I", o)
+    out += body
+    return bytes(out)
+
+
+def deserialize_roaring32(data: bytes, base: int = 0) -> tuple[set[int], int]:
+    """Parse a portable 32-bit roaring bitmap starting at ``base``.
+    Returns (values, bytes consumed). Handles both cookies and all three
+    container types."""
+    (cookie16,) = struct.unpack_from("<H", data, base)
+    pos = base
+    run_flags = b""
+    if cookie16 == _SERIAL_COOKIE:
+        (word,) = struct.unpack_from("<i", data, pos)
+        n = (word >> 16) + 1
+        pos += 4
+        n_flag_bytes = (n + 7) // 8
+        run_flags = data[pos : pos + n_flag_bytes]
+        pos += n_flag_bytes
+    else:
+        cookie, n = struct.unpack_from("<ii", data, pos)
+        if cookie != _SERIAL_COOKIE_NO_RUN:
+            raise ValueError(f"bad roaring cookie {cookie}")
+        pos += 8
+    headers = []
+    for i in range(n):
+        k, c = struct.unpack_from("<HH", data, pos)
+        headers.append((k, c + 1))
+        pos += 4
+    has_offsets = cookie16 != _SERIAL_COOKIE or n >= _NO_OFFSET_THRESHOLD
+    if has_offsets:
+        pos += 4 * n  # offset header (positions are sequential anyway)
+    out: set[int] = set()
+    for i, (k, card) in enumerate(headers):
+        is_run = bool(run_flags and (run_flags[i >> 3] & (1 << (i & 7))))
+        hi = k << 16
+        if is_run:
+            (n_runs,) = struct.unpack_from("<H", data, pos)
+            pos += 2
+            for _ in range(n_runs):
+                start, length = struct.unpack_from("<HH", data, pos)
+                pos += 4
+                out.update(hi | v for v in range(start, start + length + 1))
+        elif card <= 4096:
+            vals = struct.unpack_from(f"<{card}H", data, pos)
+            pos += 2 * card
+            out.update(hi | v for v in vals)
+        else:
+            bits = data[pos : pos + 8192]
+            pos += 8192
+            for byte_i, b in enumerate(bits):
+                while b:
+                    low = b & (-b)
+                    out.add(hi | (byte_i << 3) | low.bit_length() - 1)
+                    b ^= low
+    return out, pos - base
+
+
+# --- 64-bit RoaringBitmapArray (Delta DV payload) ---------------------------
+
+MAGIC = 1681511377  # Delta's DV blob magic (precedes the bitmap array)
+
+
+def serialize_rba(values) -> bytes:
+    """Delta's portable RoaringBitmapArray: int64 LE count of 32-bit
+    bitmaps, then per ascending high-32 key: int32 LE key + portable
+    32-bit roaring bitmap."""
+    groups: dict[int, list[int]] = {}
+    for v in sorted(set(values)):
+        if v < 0:
+            raise ValueError(f"negative row index: {v}")
+        groups.setdefault(v >> 32, []).append(v & 0xFFFFFFFF)
+    out = bytearray()
+    out += struct.pack("<q", len(groups))
+    for key in sorted(groups):
+        out += struct.pack("<i", key)
+        out += serialize_roaring32(groups[key])
+    return bytes(out)
+
+
+def deserialize_rba(data: bytes) -> set[int]:
+    (n,) = struct.unpack_from("<q", data, 0)
+    pos = 8
+    out: set[int] = set()
+    for _ in range(n):
+        (key,) = struct.unpack_from("<i", data, pos)
+        pos += 4
+        vals, used = deserialize_roaring32(data, pos)
+        pos += used
+        out.update((key << 32) | v for v in vals)
+    return out
+
+
+# --- Z85 (ZeroMQ spec 32/Z85) ----------------------------------------------
+
+_Z85_CHARS = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_INDEX = {c: i for i, c in enumerate(_Z85_CHARS)}
+
+
+def z85_encode(data: bytes) -> str:
+    """Z85 of ``data`` padded to a 4-byte multiple with zeros (callers
+    carry the true length out-of-band — Delta descriptors do via
+    sizeInBytes)."""
+    pad = (-len(data)) % 4
+    data = data + b"\x00" * pad
+    out = []
+    for i in range(0, len(data), 4):
+        (word,) = struct.unpack_from(">I", data, i)
+        chunk = []
+        for _ in range(5):
+            chunk.append(_Z85_CHARS[word % 85])
+            word //= 85
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def z85_decode(text: str) -> bytes:
+    if len(text) % 5:
+        raise ValueError("z85 length must be a multiple of 5")
+    out = bytearray()
+    for i in range(0, len(text), 5):
+        word = 0
+        for c in text[i : i + 5]:
+            word = word * 85 + _Z85_INDEX[c]
+        out += struct.pack(">I", word)
+    return bytes(out)

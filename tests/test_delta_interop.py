@@ -161,10 +161,6 @@ def test_protocol_refusals(spark, root):
                 + "\n"
             )
 
-    write_v0({"minReaderVersion": 3, "readerFeatures": ["deletionVectors"]})
-    with pytest.raises(DeltaProtocolError, match="deletionVectors"):
-        DeltaTable(spark, root).snapshot()
-
     write_v0(
         {"minReaderVersion": 2, "minWriterVersion": 5},
         {"delta.columnMapping.mode": "name"},
@@ -176,7 +172,12 @@ def test_protocol_refusals(spark, root):
     write_v0({"minReaderVersion": 3, "readerFeatures": ["timestampNtz"]})
     assert DeltaTable(spark, root).snapshot().count() == 0
 
-    # an add carrying a deletionVector is refused even at protocol 1
+    # deletionVectors IS supported now — but an UNKNOWN storage type is
+    # still refused (rows would be resurrected)
+    write_v0({"minReaderVersion": 3, "readerFeatures": ["futureFeature"]})
+    with pytest.raises(DeltaProtocolError, match="futureFeature"):
+        DeltaTable(spark, root).snapshot()
+
     with open(f"{root}/_delta_log/{0:020d}.json", "w") as f:
         f.write(json.dumps({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}) + "\n")
         f.write(
@@ -202,13 +203,13 @@ def test_protocol_refusals(spark, root):
                         "size": 1,
                         "modificationTime": 0,
                         "dataChange": True,
-                        "deletionVector": {"storageType": "u", "pathOrInlineDv": "a"},
+                        "deletionVector": {"storageType": "x", "pathOrInlineDv": "a"},
                     }
                 }
             )
             + "\n"
         )
-    with pytest.raises(DeltaProtocolError, match="deletion vectors"):
+    with pytest.raises(DeltaProtocolError, match="storage type"):
         DeltaTable(spark, root).snapshot()
 
 
@@ -295,3 +296,88 @@ def test_txlog_export_materializes_with_dv(spark, root):
     # the deleted row), and the deleted row stays deleted
     assert dt.snapshot().filter("id = 7").count() == 0
     assert dt.snapshot().count() == 59
+
+
+# --- deletion vectors -------------------------------------------------------
+
+
+def test_dv_delete_merge_on_read(spark, root):
+    t = DeltaTable.create(
+        spark, root, _df(spark, 0, 500), partition_by=("seg",)
+    )
+    files_before = {a["path"] for a in t.files()}
+    v = t.delete_where_dv("id % 10 = 7")
+    assert v == 1
+    # ZERO files rewritten: same data files, now DV-masked
+    assert {a["path"] for a in t.files()} == files_before
+    assert t.snapshot().count() == 450
+    assert t.snapshot().filter("id % 10 = 7").count() == 0
+    # protocol upgraded to (3,7)+deletionVectors, exactly once
+    proto = DeltaTable(spark, root)._state()["protocol"]
+    assert proto["minReaderVersion"] == 3
+    assert "deletionVectors" in proto["readerFeatures"]
+    # second delete merges with existing DVs
+    t.delete_where_dv("id % 10 = 3")
+    assert t.snapshot().count() == 400
+    assert DeltaTable(spark, root).snapshot().count() == 400
+
+
+def test_dv_survives_checkpoint(spark, root):
+    t = DeltaTable.create(spark, root, _df(spark, 0, 300))
+    t.delete_where_dv("id < 100")
+    t.checkpoint()
+    t.prune_log()
+    fresh = DeltaTable(spark, root)
+    assert fresh.snapshot().count() == 200
+    assert fresh.snapshot().filter("id < 100").count() == 0
+
+
+def test_dv_file_storage_large_bitmap(spark, root):
+    # one big file, scattered deletes → bitmap too large for inline z85
+    df = spark.range(0, 200_000).withColumn("val", F.col("id") * 1.0).coalesce(1)
+    t = DeltaTable.create(spark, root, df)
+    t.delete_where_dv("id % 2 = 1")
+    dvs = [a["deletionVector"] for a in t.files() if a.get("deletionVector")]
+    assert dvs and dvs[0]["storageType"] == "p"
+    assert dvs[0]["cardinality"] == 100_000
+    assert os.path.getsize(dvs[0]["pathOrInlineDv"]) > 256
+    assert t.snapshot().count() == 100_000
+    assert t.snapshot().filter("id % 2 = 1").count() == 0
+
+
+def test_dv_uuid_storage_type_read(spark, root):
+    """Craft a spec-shaped storageType='u' descriptor by hand and prove
+    the reader resolves <root>/deletion_vector_<uuid>.bin from the
+    z85-encoded uuid."""
+    import struct
+    import uuid as uuid_mod
+    import zlib
+
+    from projectdatalake_spark.sources.roaring import (
+        MAGIC, serialize_rba, z85_encode,
+    )
+
+    t = DeltaTable.create(spark, root, _df(spark, 0, 50).coalesce(1))
+    add = t.files()[0]
+    # rows 0 and 1 of the single data file get masked
+    data = struct.pack("<i", MAGIC) + serialize_rba({0, 1})
+    uid = uuid_mod.uuid4()
+    blob = b"\x01" + struct.pack(">i", len(data)) + data + struct.pack(
+        ">i", zlib.crc32(data) & 0x7FFFFFFF
+    )
+    with open(os.path.join(root, f"deletion_vector_{uid}.bin"), "wb") as f:
+        f.write(blob)
+    desc = {
+        "storageType": "u",
+        "pathOrInlineDv": z85_encode(uid.bytes),
+        "offset": 1,
+        "sizeInBytes": len(data),
+        "cardinality": 2,
+    }
+    state = t._state()
+    actions = [
+        {"remove": {"path": add["path"], "deletionTimestamp": 0, "dataChange": True}},
+        {"add": {**add, "deletionVector": desc}},
+    ]
+    t._publish(state["version"] + 1, actions)
+    assert DeltaTable(spark, root).snapshot().count() == 48
