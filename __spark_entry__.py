@@ -145,6 +145,7 @@ _R4_PINNED = frozenset(
         "iceberg_time_travel",
         "iceberg_partition_pruning",
         "delta_delete_dv",
+        "iceberg_position_delete",
     }
 )
 

@@ -102,6 +102,7 @@ EXTENDED = [
     "iceberg_roundtrip",
     "iceberg_partition_pruning",
     "delta_delete_dv",
+    "iceberg_position_delete",
 ]
 
 HEADLINE = [

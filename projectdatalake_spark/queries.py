@@ -7620,3 +7620,39 @@ def delta_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
     )
+
+
+@query(
+    "iceberg_position_delete",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE NOT (o_orderkey % 10 = 7)
+    GROUP BY o_orderstatus
+    """,
+)
+def iceberg_position_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE on an Iceberg v2 table via POSITION DELETE
+    files: matching rows become (file_path, pos) parquet pairs — computed
+    and written entirely on executors, never driver-collected — joined to
+    the manifest list as a content=1 delete manifest. Zero data files
+    rewritten; the read applies deletes as a distributed anti-join on the
+    parquet row index. The Iceberg twin of delta_delete_dv."""
+    import tempfile
+
+    from projectdatalake_spark.sources.iceberg_interop import IcebergTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_pd_")
+    t = IcebergTable.create(spark, root, o.repartition(4))
+    t.delete_where("o_orderkey % 10 = 7")
+    return (
+        t.snapshot()
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
+    )

@@ -297,27 +297,34 @@ class IcebergTable:
 
     # --- read -------------------------------------------------------------
 
-    def _entries_for_snapshot(self, meta: dict, snapshot_id: int | None) -> list[dict]:
+    def _entries_for_snapshot(
+        self, meta: dict, snapshot_id: int | None
+    ) -> tuple[list[dict], list[dict]]:
+        """(data entries, position-delete entries) alive at the snapshot.
+        Manifest content 0 = data, 1 = deletes (v2); anything else is a
+        future format → refuse loudly."""
         sid = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
         if sid is None or sid == -1:
-            return []
+            return [], []
         snap = next(
             (s for s in meta.get("snapshots", []) if s["snapshot-id"] == sid), None
         )
         if snap is None:
             raise FileNotFoundError(f"snapshot {sid} not in table metadata")
         _, manifests = read_container(self._read_bytes(snap["manifest-list"]))
-        entries: list[dict] = []
+        data: list[dict] = []
+        deletes: list[dict] = []
         for m in manifests:
-            if m.get("content", 0) != 0:
+            content = m.get("content", 0)
+            if content not in (0, 1):
                 raise IcebergProtocolError(
-                    "delete manifests (content=1) not supported by this reader"
+                    f"manifest content {content} not supported by this reader"
                 )
             _, rows = read_container(self._read_bytes(m["manifest_path"]))
             for e in rows:
                 if e["status"] in (0, 1):  # EXISTING / ADDED
-                    entries.append(e)
-        return entries
+                    (deletes if content == 1 else data).append(e)
+        return data, deletes
 
     def snapshot(
         self,
@@ -332,7 +339,7 @@ class IcebergTable:
         rule."""
         meta = self.metadata()
         schema = self._spark_schema(meta)
-        entries = self._entries_for_snapshot(meta, snapshot_id)
+        entries, delete_entries = self._entries_for_snapshot(meta, snapshot_id)
         spec = self._current_spec(meta)
         pcols = [f["name"] for f in spec["fields"]]
         if where_eq:
@@ -361,9 +368,38 @@ class IcebergTable:
             part = df_rec.get("partition", {}) or {}
             key = tuple((c, part.get(c)) for c in pcols)
             groups.setdefault(key, []).append(df_rec["file_path"])
+        deletes_df = None
+        if delete_entries:
+            if any(e["data_file"].get("content") == 2 for e in delete_entries):
+                raise IcebergProtocolError(
+                    "equality deletes (content=2) not supported by this "
+                    "reader — rows would be resurrected"
+                )
+            # v2 position deletes: parquet files of (file_path, pos) pairs,
+            # applied as a distributed anti-join on the parquet metadata
+            # row index — merge-on-read, no data rewritten, executor-side
+            del_paths = [e["data_file"]["file_path"] for e in delete_entries]
+            deletes_df = (
+                self.spark.read.schema("file_path string, pos long")
+                .parquet(*del_paths)
+                .select(
+                    F.regexp_replace("file_path", "^file:", "").alias("__fp"),
+                    F.col("pos").alias("__ri"),
+                )
+            )
         frames = []
         for key, paths in groups.items():
             df = self.spark.read.schema(data_schema).parquet(*paths)
+            if deletes_df is not None:
+                df = (
+                    df.withColumn(
+                        "__fp",
+                        F.regexp_replace(F.col("_metadata.file_path"), "^file:", ""),
+                    )
+                    .withColumn("__ri", F.col("_metadata.row_index"))
+                    .join(deletes_df, on=["__fp", "__ri"], how="left_anti")
+                    .drop("__fp", "__ri")
+                )
             for col, val in key:
                 df = df.withColumn(col, F.lit(val).cast(ptypes[col]))
             frames.append(df.select(*[f.name for f in schema.fields]))
@@ -659,3 +695,167 @@ class IcebergTable:
             except IcebergCommitConflict:
                 v = self.current_metadata_version()
         raise IcebergCommitConflict(f"append lost 20 races at {self.root}")
+
+    def delete_where(self, condition: str) -> int | None:
+        """Merge-on-read DELETE via v2 POSITION DELETE files: matching rows
+        are written as (file_path, pos) parquet pairs — computed and
+        written entirely on executors, no driver materialization — and a
+        content=1 delete manifest joins the manifest list. Zero data files
+        rewritten; readers apply the deletes as an anti-join. Returns the
+        new snapshot id, or None when nothing matched."""
+        meta = self.metadata()
+        schema = self._spark_schema(meta)
+        spec = self._current_spec(meta)
+        pcols = [f["name"] for f in spec["fields"]]
+        data_schema = StructType([f for f in schema.fields if f.name not in pcols])
+        ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
+        entries, _ = self._entries_for_snapshot(meta, None)
+        if not entries:
+            return None
+        groups: dict[tuple, list[str]] = {}
+        for e in entries:
+            part = e["data_file"].get("partition", {}) or {}
+            key = tuple((c, part.get(c)) for c in pcols)
+            groups.setdefault(key, []).append(e["data_file"]["file_path"])
+        pair_frames = []
+        for key, paths in groups.items():
+            df = self.spark.read.schema(data_schema).parquet(*paths)
+            for col, val in key:
+                df = df.withColumn(col, F.lit(val).cast(ptypes[col]))
+            pair_frames.append(
+                df.filter(condition).select(
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:", ""
+                    ).alias("file_path"),
+                    F.col("_metadata.row_index").alias("pos"),
+                )
+            )
+        pairs = pair_frames[0]
+        for f in pair_frames[1:]:
+            pairs = pairs.unionByName(f)
+        # spec: position deletes sorted by (file_path, pos) for merge reads
+        stage = f"{self.root}/data/{uuid.uuid4().hex}-deletes"
+        pairs.repartition(1).sortWithinPartitions("file_path", "pos").write.mode(
+            "overwrite"
+        ).parquet(stage)
+        fs = self._fs()
+        del_files = []
+        it = fs.listFiles(self._path(stage), True)
+        while it.hasNext():
+            status = it.next()
+            p = status.getPath()
+            if p.getName().endswith(".parquet"):
+                del_files.append((p.toUri().getPath(), status.getLen()))
+        counts = {
+            r["__file"].replace("file://", "").replace("file:", ""): r["count"]
+            for r in self.spark.read.parquet(*[f for f, _ in del_files])
+            .withColumn("__file", F.input_file_name())
+            .groupBy("__file")
+            .count()
+            .collect()
+        }
+        n_deleted = sum(counts.values())
+        if n_deleted == 0:
+            fs.delete(self._path(stage), True)
+            return None
+        schema_fields = {
+            f["name"]: f["type"]
+            for f in next(
+                s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+            )["fields"]
+        }
+        part_fields = [(c, schema_fields[c]) for c in pcols]
+        part_schema = _partition_record_schema(part_fields)
+        entry_schema = _manifest_entry_schema(part_schema)
+        seq = meta["last-sequence-number"] + 1
+        sid = uuid.uuid4().int % (1 << 62)
+        del_entries = [
+            {
+                "status": 1,
+                "snapshot_id": sid,
+                "sequence_number": None,
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 1,  # POSITION_DELETES
+                    "file_path": path,
+                    "file_format": "PARQUET",
+                    "partition": {c: None for c, _ in part_fields},
+                    "record_count": counts.get(path, 0),
+                    "file_size_in_bytes": size,
+                },
+            }
+            for path, size in del_files
+            if counts.get(path, 0) > 0
+        ]
+        manifest_path = f"{self.root}/metadata/{uuid.uuid4().hex}-m1.avro"
+        manifest_bytes = write_container(
+            entry_schema,
+            del_entries,
+            extra_meta={
+                "partition-spec": json.dumps(spec["fields"]).encode(),
+                "partition-spec-id": str(spec["spec-id"]).encode(),
+                "format-version": b"2",
+                "content": b"deletes",
+            },
+        )
+        self._write_bytes(manifest_path, manifest_bytes, exclusive=True)
+        delete_manifest = {
+            "manifest_path": manifest_path,
+            "manifest_length": len(manifest_bytes),
+            "partition_spec_id": spec["spec-id"],
+            "content": 1,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": sid,
+            "added_files_count": len(del_entries),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": n_deleted,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "partitions": None,
+        }
+        cur_sid = meta.get("current-snapshot-id")
+        cur_snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == cur_sid)
+        _, prior = read_container(self._read_bytes(cur_snap["manifest-list"]))
+        mlist_path = f"{self.root}/metadata/snap-{sid}-1-{uuid.uuid4().hex}.avro"
+        mlist_bytes = write_container(
+            _manifest_list_schema(),
+            prior + [delete_manifest],
+            extra_meta={
+                "snapshot-id": str(sid).encode(),
+                "sequence-number": str(seq).encode(),
+                "format-version": b"2",
+            },
+        )
+        self._write_bytes(mlist_path, mlist_bytes, exclusive=True)
+        now = int(time.time() * 1000)
+        snap = {
+            "snapshot-id": sid,
+            "parent-snapshot-id": cur_sid,
+            "sequence-number": seq,
+            "timestamp-ms": now,
+            "manifest-list": mlist_path,
+            "summary": {
+                "operation": "delete",
+                "added-position-delete-files": str(len(del_entries)),
+                "added-position-deletes": str(n_deleted),
+            },
+            "schema-id": meta["current-schema-id"],
+        }
+        new_meta = dict(meta)
+        new_meta["last-sequence-number"] = seq
+        new_meta["last-updated-ms"] = now
+        new_meta["current-snapshot-id"] = sid
+        new_meta["snapshots"] = meta["snapshots"] + [snap]
+        new_meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+            {"timestamp-ms": now, "snapshot-id": sid}
+        ]
+        v = self.current_metadata_version()
+        for _ in range(20):
+            try:
+                self._write_metadata(v + 1, new_meta)
+                return sid
+            except IcebergCommitConflict:
+                v = self.current_metadata_version()
+        raise IcebergCommitConflict(f"delete lost 20 races at {self.root}")

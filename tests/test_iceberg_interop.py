@@ -143,12 +143,12 @@ def test_create_refuses_existing(spark, root):
         IcebergTable.create(spark, root, _df(spark, 0, 10))
 
 
-def test_delete_manifests_refused(spark, root):
+def test_unknown_manifest_content_refused(spark, root):
     t = IcebergTable.create(spark, root, _df(spark, 0, 10))
     meta = t.metadata()
     snap = meta["snapshots"][0]
     _, manifests = read_container(t._read_bytes(snap["manifest-list"]))
-    manifests[0]["content"] = 1  # pose as a delete manifest
+    manifests[0]["content"] = 2  # a future manifest kind
     from projectdatalake_spark.sources.avro_codec import write_container
     from projectdatalake_spark.sources.iceberg_interop import _manifest_list_schema
 
@@ -160,5 +160,99 @@ def test_delete_manifests_refused(spark, root):
     )
     if os.path.exists(crc):
         os.remove(crc)
-    with pytest.raises(IcebergProtocolError, match="delete manifests"):
+    with pytest.raises(IcebergProtocolError, match="manifest content"):
+        IcebergTable(spark, root).snapshot().count()
+
+
+# --- v2 position deletes ----------------------------------------------------
+
+
+def test_position_delete_merge_on_read(spark, root):
+    t = IcebergTable.create(
+        spark, root, _df(spark, 0, 500), partition_by=("seg",)
+    )
+    data_before = sorted(
+        e["data_file"]["file_path"]
+        for e in t._entries_for_snapshot(t.metadata(), None)[0]
+    )
+    sid = t.delete_where("id % 10 = 7")
+    assert sid is not None
+    # zero data files rewritten — only a content=1 delete manifest added
+    data_after = sorted(
+        e["data_file"]["file_path"]
+        for e in t._entries_for_snapshot(t.metadata(), None)[0]
+    )
+    assert data_before == data_after
+    assert t.snapshot().count() == 450
+    assert t.snapshot().filter("id % 10 = 7").count() == 0
+    dels = t._entries_for_snapshot(t.metadata(), None)[1]
+    assert dels and all(e["data_file"]["content"] == 1 for e in dels)
+    assert sum(e["data_file"]["record_count"] for e in dels) == 50
+    # snapshot summary records the delete operation
+    assert t.snapshots()[-1]["summary"]["operation"] == "delete"
+
+
+def test_position_delete_composes_and_travels(spark, root):
+    t = IcebergTable.create(spark, root, _df(spark, 0, 300))
+    sid0 = t.current_snapshot_id()
+    t.delete_where("id < 100")
+    t.delete_where("id >= 250")
+    assert t.snapshot().count() == 150
+    assert t.snapshot(snapshot_id=sid0).count() == 300  # pre-delete travel
+    # appends after a delete are NOT retro-masked (deletes are path-scoped)
+    t.append(
+        spark.range(0, 20)
+        .withColumn("seg", F.lit(9).cast("int"))
+        .withColumn("val", F.lit(0.0))
+    )
+    assert t.snapshot().count() == 170
+    assert t.snapshot().filter("seg = 9").count() == 20
+    # fresh reader agrees
+    assert IcebergTable(spark, root).snapshot().count() == 170
+
+
+def test_position_delete_no_match_is_noop(spark, root):
+    t = IcebergTable.create(spark, root, _df(spark, 0, 50))
+    v_before = t.current_metadata_version()
+    assert t.delete_where("id = 123456") is None
+    assert t.current_metadata_version() == v_before
+
+
+def test_delete_file_layout(spark, root):
+    """The delete file itself is spec-shaped: parquet of (file_path, pos),
+    sorted, readable standalone."""
+    t = IcebergTable.create(spark, root, _df(spark, 0, 100))
+    t.delete_where("id % 2 = 0")
+    dels = t._entries_for_snapshot(t.metadata(), None)[1]
+    df = spark.read.parquet(dels[0]["data_file"]["file_path"])
+    assert df.columns == ["file_path", "pos"]
+    rows = df.collect()
+    assert len(rows) == 50
+    assert all(r["file_path"].endswith(".parquet") for r in rows[:5])
+
+
+def test_equality_deletes_refused(spark, root):
+    t = IcebergTable.create(spark, root, _df(spark, 0, 10))
+    t.delete_where("id = 1")
+    meta = t.metadata()
+    snap = meta["snapshots"][-1]
+    _, manifests = read_container(t._read_bytes(snap["manifest-list"]))
+    dm = next(m for m in manifests if m["content"] == 1)
+    _, entries = read_container(t._read_bytes(dm["manifest_path"]))
+    entries[0]["data_file"]["content"] = 2  # pose as an equality delete
+    from projectdatalake_spark.sources.avro_codec import write_container
+    from projectdatalake_spark.sources.iceberg_interop import (
+        _manifest_entry_schema, _partition_record_schema,
+    )
+
+    schema = _manifest_entry_schema(_partition_record_schema([]))
+    with open(dm["manifest_path"], "wb") as f:
+        f.write(write_container(schema, entries))
+    crc = os.path.join(
+        os.path.dirname(dm["manifest_path"]),
+        "." + os.path.basename(dm["manifest_path"]) + ".crc",
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    with pytest.raises(IcebergProtocolError, match="equality deletes"):
         IcebergTable(spark, root).snapshot().count()
