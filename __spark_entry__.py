@@ -146,6 +146,7 @@ _R4_PINNED = frozenset(
         "iceberg_partition_pruning",
         "delta_delete_dv",
         "iceberg_position_delete",
+        "delta_optimize_lifecycle",
     }
 )
 

@@ -103,6 +103,7 @@ EXTENDED = [
     "iceberg_partition_pruning",
     "delta_delete_dv",
     "iceberg_position_delete",
+    "delta_optimize_lifecycle",
 ]
 
 HEADLINE = [

@@ -7656,3 +7656,41 @@ def iceberg_position_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
     )
+
+
+@query(
+    "delta_optimize_lifecycle",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE NOT (o_orderkey % 10 = 7)
+    GROUP BY o_orderstatus
+    """,
+)
+def delta_optimize_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Delta merge-on-read lifecycle in one query: DV DELETE
+    (O(deleted rows), zero rewrites) → OPTIMIZE (re-read through the DVs,
+    compact, dataChange=false) → read. The post-optimize aggregate must
+    equal the post-delete one — materialization changes layout, never
+    data. This is the maintenance pattern that keeps the read-side DV
+    anti-join amortized at 100 TB."""
+    import tempfile
+
+    from projectdatalake_spark.sources.delta_interop import DeltaTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    root = tempfile.mkdtemp(prefix="delta_optl_")
+    t = DeltaTable.create(spark, root, o.repartition(4))
+    t.delete_where_dv("o_orderkey % 10 = 7")
+    t.optimize()
+    assert not any(a.get("deletionVector") for a in t.files())
+    return (
+        t.snapshot()
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
+    )

@@ -815,6 +815,66 @@ class DeltaTable:
         finally:
             out.close()
 
+    def optimize(self, target_files_per_partition: int = 1) -> int | None:
+        """Compaction + DV materialization: partitions holding DV-masked
+        or fragmented files are re-read THROUGH their deletion vectors and
+        rewritten as clean compacted files in one commit (remove old adds
+        + add new, dataChange=false — the rewrite changes layout, not
+        data, so downstream incremental readers skip it per the spec).
+        Completes the merge-on-read lifecycle: DV deletes stay O(deleted
+        rows) at write time, optimize amortizes the read-side join away.
+        Returns the committed version, or None if nothing to do."""
+        state = self._state()
+        self._check_readable(state)
+        meta = state["metaData"]
+        schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        pcols = list(meta.get("partitionColumns", []))
+        data_schema = StructType([f for f in schema.fields if f.name not in pcols])
+        ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
+        groups: dict[tuple, list[dict]] = {}
+        for a in state["adds"].values():
+            pv = a.get("partitionValues", {})
+            key = tuple((c, pv.get(c)) for c in pcols)
+            groups.setdefault(key, []).append(a)
+        todo = {
+            key: group
+            for key, group in groups.items()
+            if any(a.get("deletionVector") for a in group)
+            or len(group) > target_files_per_partition
+        }
+        if not todo:
+            return None
+        now = int(time.time() * 1000)
+        actions: list[dict] = [
+            {"commitInfo": self._commit_info("OPTIMIZE")}
+        ]
+        for key, group in todo.items():
+            paths = [self._abs_data_path(a["path"]) for a in group]
+            df = self.spark.read.schema(data_schema).parquet(*paths)
+            dv_adds = [a for a in group if a.get("deletionVector")]
+            if dv_adds:
+                df = self._apply_dvs(df, dv_adds)
+            for col, sval in key:
+                df = df.withColumn(col, _partition_literal(sval, ptypes[col]))
+            new_adds = self._stage(
+                df.coalesce(target_files_per_partition), tuple(pcols)
+            )
+            for a in group:
+                actions.append(
+                    {
+                        "remove": {
+                            "path": a["path"],
+                            "deletionTimestamp": now,
+                            "dataChange": False,
+                        }
+                    }
+                )
+            for a in new_adds:
+                actions.append({"add": {**a, "dataChange": False}})
+        v = state["version"] + 1
+        self._publish(v, actions)
+        return v
+
     # --- checkpoint -------------------------------------------------------
 
     def checkpoint(self) -> int:

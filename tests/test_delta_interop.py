@@ -381,3 +381,32 @@ def test_dv_uuid_storage_type_read(spark, root):
     ]
     t._publish(state["version"] + 1, actions)
     assert DeltaTable(spark, root).snapshot().count() == 48
+
+
+def test_optimize_materializes_dvs_and_compacts(spark, root):
+    t = DeltaTable.create(
+        spark, root, _df(spark, 0, 500), partition_by=("seg",)
+    )
+    t.delete_where_dv("id % 10 = 7")
+    assert any(a.get("deletionVector") for a in t.files())
+    files_before = t.num_files()
+    v = t.optimize()
+    assert v == 2
+    assert t.num_files() < files_before
+    assert not any(a.get("deletionVector") for a in t.files())
+    assert t.snapshot().count() == 450
+    assert t.snapshot().filter("id % 10 = 7").count() == 0
+    # the rewrite is dataChange=false (layout change, not data change)
+    lines = [
+        json.loads(x)
+        for x in open(f"{root}/_delta_log/{v:020d}.json")
+        if x.strip()
+    ]
+    adds = [a["add"] for a in lines if "add" in a]
+    removes = [a["remove"] for a in lines if "remove" in a]
+    assert adds and all(a["dataChange"] is False for a in adds)
+    assert removes and all(r["dataChange"] is False for r in removes)
+    # pre-optimize version still reads through its DVs (time travel)
+    assert DeltaTable(spark, root).snapshot(version=1).count() == 450
+    # nothing left to do
+    assert t.optimize(target_files_per_partition=999) is None
