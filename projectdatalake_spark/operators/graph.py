@@ -71,8 +71,17 @@ def _oriented(edges: DataFrame) -> DataFrame:
 def triangles(edges: DataFrame) -> DataFrame:
     """Every triangle exactly once as (a, b, c) with b < c: oriented
     wedges self-joined on the source, closed by a semi join against the
-    canonically-keyed undirected edge set."""
-    oriented = _oriented(edges)
+    canonically-keyed undirected edge set.
+
+    The edge set and its orientation are MATERIALIZED once
+    (``localCheckpoint``) before the self-join: the plan references each
+    three times (wedge x, wedge y, closure), and without the pin Catalyst
+    re-executes the whole edge-derivation subtree (often a join+distinct
+    itself) per reference — measured 2× wall on the sf0.1 co-purchase
+    graph. Same lineage-truncation pattern as the connected-components
+    loop (operators/dedup.py)."""
+    edges = edges.localCheckpoint(eager=True)
+    oriented = _oriented(edges).localCheckpoint(eager=True)
     wedges = (
         oriented.alias("x")
         .join(oriented.alias("y"), "src")
@@ -128,6 +137,7 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
     for deg ≥ 2 — how close each node's neighborhood is to a clique, the
     community-structure signal triangle counts exist to feed. Reuses the
     exact triangle pass; one extra degree aggregate + join."""
+    edges = edges.localCheckpoint(eager=True)  # shared by deg + triangles
     deg = (
         edges.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
