@@ -147,6 +147,7 @@ _R4_PINNED = frozenset(
         "delta_delete_dv",
         "iceberg_position_delete",
         "delta_optimize_lifecycle",
+        "iceberg_schema_evolution",
     }
 )
 

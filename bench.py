@@ -104,6 +104,7 @@ EXTENDED = [
     "delta_delete_dv",
     "iceberg_position_delete",
     "delta_optimize_lifecycle",
+    "iceberg_schema_evolution",
 ]
 
 HEADLINE = [

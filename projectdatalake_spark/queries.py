@@ -7694,3 +7694,60 @@ def delta_optimize_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
     )
+
+
+@query(
+    "iceberg_schema_evolution",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_all, count(origin) AS n_tagged,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(27,2))) AS DOUBLE) AS balance
+    FROM (
+        SELECT c_mktsegment, c_acctbal, NULL AS origin
+        FROM customer WHERE c_custkey % 2 = 0
+        UNION ALL
+        SELECT c_mktsegment, c_acctbal, 'late' AS origin
+        FROM customer WHERE c_custkey % 2 = 1
+    )
+    GROUP BY c_mktsegment
+    """,
+)
+def iceberg_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg's marquee behavior — ID-BASED schema evolution, all
+    metadata-only: create with half the customers, RENAME the balance
+    column (old files resolve the new name via parquet field ids — zero
+    rewrites), ADD an origin column (fresh field id, old files read null),
+    then append the other half carrying the new shape. The final
+    aggregate must equal SQL that replays the same evolution."""
+    import tempfile
+
+    from projectdatalake_spark.sources.iceberg_interop import IcebergTable
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("double").alias("bal_v1"),
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_evo_")
+    t = IcebergTable.create(
+        spark,
+        root,
+        c.filter(F.col("c_custkey") % 2 == 0).repartition(4),
+        partition_by=("c_mktsegment",),
+    )
+    t.rename_column("bal_v1", "c_acctbal")
+    t.add_column("origin", "string")
+    t.append(
+        c.filter(F.col("c_custkey") % 2 == 1)
+        .withColumnRenamed("bal_v1", "c_acctbal")
+        .withColumn("origin", F.lit("late"))
+        .repartition(4)
+    )
+    return (
+        t.snapshot()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_all"),
+            F.count("origin").alias("n_tagged"),
+            dsum(F.col("c_acctbal")).alias("balance"),
+        )
+    )

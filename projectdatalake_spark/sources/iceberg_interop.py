@@ -232,6 +232,13 @@ class IcebergTable:
         self.root = root.rstrip("/")
         self._jvm = spark.sparkContext._jvm
         self._hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        # Iceberg resolves columns by FIELD ID, not name — that is what
+        # makes its schema evolution (rename/add/drop) metadata-only.
+        # Spark's parquet reader/writer support exactly this: ids travel
+        # in the parquet schema and reads match on them when the read
+        # schema carries parquet.field.id metadata.
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
 
     # --- fs plumbing ------------------------------------------------------
 
@@ -430,14 +437,15 @@ class IcebergTable:
         fields = []
         for f in ice["fields"]:
             t = f["type"]
+            meta = {"parquet.field.id": f["id"]}  # id-based resolution
             if isinstance(t, str) and t in back:
-                fields.append(StructField(f["name"], back[t], True))
+                fields.append(StructField(f["name"], back[t], True, meta))
             elif isinstance(t, str) and t.startswith("decimal"):
                 from pyspark.sql.types import DecimalType
 
                 p, s = t[t.index("(") + 1 : t.index(")")].split(",")
                 fields.append(
-                    StructField(f["name"], DecimalType(int(p), int(s)), True)
+                    StructField(f["name"], DecimalType(int(p), int(s)), True, meta)
                 )
             else:
                 raise IcebergProtocolError(f"unsupported iceberg type {t!r}")
@@ -552,6 +560,97 @@ class IcebergTable:
             out.append((path, size, parts, counts.get(path, 0)))
         return out
 
+    def _with_field_ids(self, df: DataFrame, meta: dict) -> DataFrame:
+        """Project ``df`` onto the CURRENT schema with parquet field-id
+        metadata attached (ids end up in the parquet files — the hook
+        id-based schema evolution resolves against). Schema columns the
+        frame lacks (post-add_column appends of old-shape data) are
+        backfilled as typed nulls."""
+        spark_schema = self._spark_schema(meta)
+        ice = next(
+            s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+        )
+        unknown = [c for c in df.columns if c not in {f["name"] for f in ice["fields"]}]
+        if unknown:
+            raise IcebergProtocolError(
+                f"columns not in table schema: {unknown} (evolve the schema "
+                f"first — add_column/rename_column)"
+            )
+        cols = []
+        for f, sf in zip(ice["fields"], spark_schema.fields):
+            src = (
+                F.col(f["name"])
+                if f["name"] in df.columns
+                else F.lit(None).cast(sf.dataType)
+            )
+            cols.append(src.alias(f["name"], metadata={"parquet.field.id": f["id"]}))
+        return df.select(*cols)
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Metadata-only rename: a new schema version keeps every FIELD ID
+        and changes only the name — existing data files (which carry the
+        ids in their parquet schemas) resolve under the new name with zero
+        rewrites, exactly Iceberg's id-based-evolution contract. Partition
+        source columns are refused (the spec evolves specs separately)."""
+        meta = self.metadata()
+        spec = self._current_spec(meta)
+        if old in {f["name"] for f in spec["fields"]}:
+            raise IcebergProtocolError(
+                f"{old!r} is a partition source column — partition spec "
+                f"evolution is a separate operation"
+            )
+        ice = next(
+            s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+        )
+        names = {f["name"] for f in ice["fields"]}
+        if old not in names:
+            raise KeyError(old)
+        if new in names:
+            raise IcebergProtocolError(f"column {new!r} already exists")
+        new_fields = [
+            {**f, "name": new} if f["name"] == old else dict(f)
+            for f in ice["fields"]
+        ]
+        return self._commit_schema(meta, new_fields)
+
+    def add_column(self, name: str, ice_type: str) -> int:
+        """Additive evolution: the new column gets a FRESH field id
+        (last-column-id + 1 — ids are never reused, so late-arriving data
+        can't alias a dropped column's bytes); existing files read it as
+        null."""
+        meta = self.metadata()
+        ice = next(
+            s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+        )
+        if name in {f["name"] for f in ice["fields"]}:
+            raise IcebergProtocolError(f"column {name!r} already exists")
+        fid = meta["last-column-id"] + 1
+        new_fields = list(ice["fields"]) + [
+            {"id": fid, "name": name, "required": False, "type": ice_type}
+        ]
+        return self._commit_schema(meta, new_fields, last_column_id=fid)
+
+    def _commit_schema(
+        self, meta: dict, new_fields: list[dict], last_column_id: int | None = None
+    ) -> int:
+        new_sid = max(s["schema-id"] for s in meta["schemas"]) + 1
+        new_meta = dict(meta)
+        new_meta["schemas"] = meta["schemas"] + [
+            {"type": "struct", "schema-id": new_sid, "fields": new_fields}
+        ]
+        new_meta["current-schema-id"] = new_sid
+        if last_column_id is not None:
+            new_meta["last-column-id"] = last_column_id
+        new_meta["last-updated-ms"] = int(time.time() * 1000)
+        v = self.current_metadata_version()
+        for _ in range(20):
+            try:
+                self._write_metadata(v + 1, new_meta)
+                return new_sid
+            except IcebergCommitConflict:
+                v = self.current_metadata_version()
+        raise IcebergCommitConflict(f"schema commit lost 20 races at {self.root}")
+
     def _typed_part(self, value: str | None, ice_type: str):
         if value is None or value == "__HIVE_DEFAULT_PARTITION__":
             return None
@@ -577,6 +676,7 @@ class IcebergTable:
             )["fields"]
         }
         part_fields = [(c, schema_fields[c]) for c in pcols]
+        df = self._with_field_ids(df, meta)
         staged = self._stage_data(df, pcols)
         seq = meta["last-sequence-number"] + 1
         sid = uuid.uuid4().int % (1 << 62)

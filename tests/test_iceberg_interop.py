@@ -256,3 +256,63 @@ def test_equality_deletes_refused(spark, root):
         os.remove(crc)
     with pytest.raises(IcebergProtocolError, match="equality deletes"):
         IcebergTable(spark, root).snapshot().count()
+
+
+# --- id-based schema evolution ----------------------------------------------
+
+
+def test_rename_column_metadata_only(spark, root):
+    t = IcebergTable.create(spark, root, _df(spark, 0, 100), partition_by=("seg",))
+    files_before = sorted(
+        e["data_file"]["file_path"]
+        for e in t._entries_for_snapshot(t.metadata(), None)[0]
+    )
+    t.rename_column("val", "amount")
+    files_after = sorted(
+        e["data_file"]["file_path"]
+        for e in t._entries_for_snapshot(t.metadata(), None)[0]
+    )
+    assert files_before == files_after  # zero rewrites
+    s = t.snapshot()
+    assert s.columns == ["id", "seg", "amount"]
+    # old files resolve the renamed column BY FIELD ID
+    assert s.agg(F.sum("amount")).collect()[0][0] == sum(i * 2.5 for i in range(100))
+    # ids are stable across the evolution
+    metas = t.metadata()["schemas"]
+    old = {f["name"]: f["id"] for f in metas[0]["fields"]}
+    new = {f["name"]: f["id"] for f in metas[-1]["fields"]}
+    assert new["amount"] == old["val"]
+
+
+def test_add_column_fresh_id_and_backfill(spark, root):
+    t = IcebergTable.create(spark, root, _df(spark, 0, 50))
+    t.add_column("note", "string")
+    meta = t.metadata()
+    ice = next(s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"])
+    assert ice["fields"][-1]["id"] == meta["last-column-id"] == 4
+    assert t.snapshot().filter("note IS NULL").count() == 50
+    # old-shape append (no note) backfills typed nulls; new-shape carries it
+    t.append(
+        spark.range(100, 110)
+        .withColumn("seg", F.lit(5).cast("int"))
+        .withColumn("val", F.lit(1.0))
+    )
+    t.append(
+        spark.range(110, 120)
+        .withColumn("seg", F.lit(6).cast("int"))
+        .withColumn("val", F.lit(2.0))
+        .withColumn("note", F.lit("x"))
+    )
+    s = t.snapshot()
+    assert s.count() == 70
+    assert s.filter("note = 'x'").count() == 10
+
+
+def test_evolution_refusals(spark, root):
+    t = IcebergTable.create(spark, root, _df(spark, 0, 10), partition_by=("seg",))
+    with pytest.raises(IcebergProtocolError, match="partition"):
+        t.rename_column("seg", "zone")
+    with pytest.raises(IcebergProtocolError, match="already exists"):
+        t.add_column("val", "double")
+    with pytest.raises(IcebergProtocolError, match="not in table schema"):
+        t.append(spark.range(5).withColumn("bogus", F.lit(1)))
