@@ -148,6 +148,7 @@ _R4_PINNED = frozenset(
         "iceberg_position_delete",
         "delta_optimize_lifecycle",
         "iceberg_schema_evolution",
+        "delta_cdf_changes",
     }
 )
 

@@ -105,6 +105,7 @@ EXTENDED = [
     "iceberg_position_delete",
     "delta_optimize_lifecycle",
     "iceberg_schema_evolution",
+    "delta_cdf_changes",
 ]
 
 HEADLINE = [

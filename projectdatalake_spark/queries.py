@@ -7751,3 +7751,50 @@ def iceberg_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("c_acctbal")).alias("balance"),
         )
     )
+
+
+@query(
+    "delta_cdf_changes",
+    oracle="""
+    WITH v0 AS (
+        SELECT 0 AS _commit_version, 'insert' AS _change_type,
+               count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total
+        FROM orders WHERE o_orderkey % 2 = 0
+    ), v1 AS (
+        SELECT 1, 'insert', count(*),
+               CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
+        FROM orders WHERE o_orderkey % 2 = 1
+    ), v2 AS (
+        SELECT 2, 'delete', count(*),
+               CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
+        FROM orders WHERE o_orderkey % 10 = 7
+    )
+    SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2
+    """,
+)
+def delta_cdf_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed over the Delta log, synthesized from commit diffs
+    (delta-spark's own mechanism for commits without change files):
+    create (inserts) → append (inserts) → DV delete (row-exact deletes
+    from the deletion vector's newly-masked indices). The per-version
+    change-type aggregates must equal SQL replaying the same history.
+    OPTIMIZE commits (dataChange=false) are proven silent in pytest."""
+    import tempfile
+
+    from projectdatalake_spark.sources.delta_interop import DeltaTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    root = tempfile.mkdtemp(prefix="delta_cdf_")
+    t = DeltaTable.create(spark, root, o.filter(F.col("o_orderkey") % 2 == 0).repartition(4))
+    t.append(o.filter(F.col("o_orderkey") % 2 == 1).repartition(4))
+    t.delete_where_dv("o_orderkey % 10 = 7")
+    return (
+        t.changes(0)
+        .groupBy("_commit_version", "_change_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
+    )

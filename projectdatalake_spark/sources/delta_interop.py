@@ -487,6 +487,125 @@ class DeltaTable:
     def num_files(self, version: int | None = None) -> int:
         return len(self._state(version)["adds"])
 
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Change data feed synthesized from commit diffs — the same
+        mechanism delta-spark uses for add/remove-only commits when no
+        explicit change files exist. INCLUSIVE of ``from_version`` (the
+        Delta startingVersion convention). Emits the table schema plus
+        ``_change_type`` ('insert' | 'delete') and ``_commit_version``.
+
+        Per version: dataChange adds → inserts (masked by any same-commit
+        DV); dataChange removes → deletes of the file's pre-remove visible
+        rows; a grown deletion vector on a surviving file → deletes of
+        exactly the newly-masked row indices. dataChange=false rewrites
+        (OPTIMIZE) emit nothing — layout is not data."""
+        tip = self.latest_version() if to_version is None else to_version
+        base = self._state(from_version - 1) if from_version > 0 else self._empty_state()
+        self._check_readable(self._state(tip))
+        meta = self._state(tip)["metaData"]
+        schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        pcols = list(meta.get("partitionColumns", []))
+        data_schema = StructType([f for f in schema.fields if f.name not in pcols])
+        ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
+        out_cols = [f.name for f in schema.fields] + ["_change_type", "_commit_version"]
+
+        def read_add(add: dict) -> DataFrame:
+            df = self.spark.read.schema(data_schema).parquet(
+                self._abs_data_path(add["path"])
+            )
+            pv = add.get("partitionValues", {})
+            for c in pcols:
+                df = df.withColumn(c, _partition_literal(pv.get(c), ptypes[c]))
+            return df
+
+        def rows_at(add: dict, indices: set[int]) -> DataFrame:
+            pairs = self.spark.createDataFrame(
+                [(i,) for i in indices], "__ri long"
+            )
+            return (
+                read_add(add)
+                .withColumn("__ri", F.col("_metadata.row_index"))
+                .join(F.broadcast(pairs), "__ri")
+                .drop("__ri")
+            )
+
+        def visible(add: dict) -> DataFrame:
+            df = read_add(add)
+            if add.get("deletionVector"):
+                df = self._apply_dvs(df, [add])
+            return df
+
+        frames: list[DataFrame] = []
+        state = base
+        adds_before = dict(state["adds"])
+        for v in range(from_version, tip + 1):
+            actions = self._commit_actions(v)
+            state = self._fold(state, actions)
+            adds_after = dict(state["adds"])
+            removed_dc = {
+                a["remove"]["path"]
+                for a in actions
+                if "remove" in a and a["remove"].get("dataChange", True)
+            }
+            added_dc = {
+                a["add"]["path"]
+                for a in actions
+                if "add" in a and a["add"].get("dataChange", True)
+            }
+            for p in added_dc:
+                if p in adds_before:
+                    continue  # DV re-emit of a surviving file, handled below
+                frames.append(
+                    visible(adds_after[p]).select(
+                        *[f.name for f in schema.fields],
+                        F.lit("insert").alias("_change_type"),
+                        F.lit(v).alias("_commit_version"),
+                    )
+                )
+            for p in removed_dc:
+                if p in adds_after:
+                    continue  # remove+add of same path = DV transition
+                if p not in adds_before:
+                    continue
+                frames.append(
+                    visible(adds_before[p]).select(
+                        *[f.name for f in schema.fields],
+                        F.lit("delete").alias("_change_type"),
+                        F.lit(v).alias("_commit_version"),
+                    )
+                )
+            # DV transitions: same path present before AND after
+            for p in added_dc & set(adds_before):
+                old_dv = adds_before[p].get("deletionVector")
+                new_dv = adds_after[p].get("deletionVector")
+                old_rows = self._dv_deleted_rows(old_dv) if old_dv else set()
+                new_rows = self._dv_deleted_rows(new_dv) if new_dv else set()
+                grown = new_rows - old_rows
+                if grown:
+                    frames.append(
+                        rows_at(adds_after[p], grown).select(
+                            *[f.name for f in schema.fields],
+                            F.lit("delete").alias("_change_type"),
+                            F.lit(v).alias("_commit_version"),
+                        )
+                    )
+            adds_before = adds_after
+        if not frames:
+            from pyspark.sql.types import LongType, StringType, StructField
+
+            empty = StructType(
+                list(schema.fields)
+                + [
+                    StructField("_change_type", StringType()),
+                    StructField("_commit_version", LongType()),
+                ]
+            )
+            return self.spark.createDataFrame([], empty)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out.select(*out_cols)
+
     def files(self, version: int | None = None) -> list[dict]:
         return list(self._state(version)["adds"].values())
 

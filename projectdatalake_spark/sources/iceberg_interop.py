@@ -630,6 +630,28 @@ class IcebergTable:
         ]
         return self._commit_schema(meta, new_fields, last_column_id=fid)
 
+    def drop_column(self, name: str) -> int:
+        """Metadata-only drop: the field leaves the current schema (its id
+        is retired, never reused — meta["last-column-id"] only grows), data
+        files keep the bytes but no read schema references them. Partition
+        source columns are refused."""
+        meta = self.metadata()
+        spec = self._current_spec(meta)
+        if name in {f["name"] for f in spec["fields"]}:
+            raise IcebergProtocolError(
+                f"{name!r} is a partition source column — evolve the "
+                f"partition spec first"
+            )
+        ice = next(
+            s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+        )
+        if name not in {f["name"] for f in ice["fields"]}:
+            raise KeyError(name)
+        new_fields = [dict(f) for f in ice["fields"] if f["name"] != name]
+        if not new_fields:
+            raise IcebergProtocolError("cannot drop the last column")
+        return self._commit_schema(meta, new_fields)
+
     def _commit_schema(
         self, meta: dict, new_fields: list[dict], last_column_id: int | None = None
     ) -> int:

@@ -410,3 +410,39 @@ def test_optimize_materializes_dvs_and_compacts(spark, root):
     assert DeltaTable(spark, root).snapshot(version=1).count() == 450
     # nothing left to do
     assert t.optimize(target_files_per_partition=999) is None
+
+
+def test_changes_cdf_by_version_diff(spark, root):
+    t = DeltaTable.create(spark, root, _df(spark, 0, 100), partition_by=("seg",))
+    t.append(
+        spark.range(100, 120)
+        .withColumn("seg", F.lit(5).cast("int"))
+        .withColumn("val", F.lit(0.0))
+    )
+    t.delete_where_dv("id % 10 = 7")
+    t.optimize()
+    t.overwrite(
+        spark.range(0, 5)
+        .withColumn("seg", F.lit(0).cast("int"))
+        .withColumn("val", F.lit(9.0))
+    )
+    got = {
+        (r["_commit_version"], r["_change_type"]): r["count"]
+        for r in t.changes(0)
+        .groupBy("_commit_version", "_change_type")
+        .count()
+        .collect()
+    }
+    assert got == {
+        (0, "insert"): 100,
+        (1, "insert"): 20,
+        (2, "delete"): 12,      # ids ≡7 (mod 10) in 0..119
+        # v3 OPTIMIZE: dataChange=false → NO change rows
+        (4, "delete"): 108,     # overwrite removes the 108 survivors
+        (4, "insert"): 5,
+    }
+    # windowed read: only the delete commit
+    assert t.changes(2, 2).count() == 12
+    # the DV delete emits the exact masked rows
+    deleted = {r["id"] for r in t.changes(2, 2).collect()}
+    assert deleted == {i for i in range(120) if i % 10 == 7}

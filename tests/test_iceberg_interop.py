@@ -316,3 +316,21 @@ def test_evolution_refusals(spark, root):
         t.add_column("val", "double")
     with pytest.raises(IcebergProtocolError, match="not in table schema"):
         t.append(spark.range(5).withColumn("bogus", F.lit(1)))
+
+
+def test_drop_column_and_id_retirement(spark, root):
+    t = IcebergTable.create(spark, root, _df(spark, 0, 50), partition_by=("seg",))
+    t.drop_column("val")
+    assert t.snapshot().columns == ["id", "seg"]
+    assert t.snapshot().count() == 50
+    # a new column after the drop gets a FRESH id, never val's old one
+    t.add_column("val2", "double")
+    meta = t.metadata()
+    ice = next(
+        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+    )
+    assert ice["fields"][-1]["id"] == 4  # val was 3; 3 is retired
+    # old files do NOT leak the dropped column's bytes into the new one
+    assert t.snapshot().filter("val2 IS NOT NULL").count() == 0
+    with pytest.raises(IcebergProtocolError, match="partition"):
+        t.drop_column("seg")
