@@ -149,6 +149,7 @@ _R4_PINNED = frozenset(
         "delta_optimize_lifecycle",
         "iceberg_schema_evolution",
         "delta_cdf_changes",
+        "delta_stream_cdf",
     }
 )
 

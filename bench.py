@@ -106,6 +106,7 @@ EXTENDED = [
     "delta_optimize_lifecycle",
     "iceberg_schema_evolution",
     "delta_cdf_changes",
+    "delta_stream_cdf",
 ]
 
 HEADLINE = [

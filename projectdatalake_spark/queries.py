@@ -7798,3 +7798,69 @@ def delta_cdf_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("_commit_version", "_change_type")
         .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
     )
+
+
+@query(
+    "delta_stream_cdf",
+    oracle="""
+    WITH v0 AS (
+        SELECT 0 AS _commit_version, 'insert' AS _change_type,
+               count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total
+        FROM orders WHERE o_orderkey % 2 = 0
+    ), v1 AS (
+        SELECT 1, 'insert', count(*),
+               CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
+        FROM orders WHERE o_orderkey % 2 = 1
+    ), v2 AS (
+        SELECT 2, 'delete', count(*),
+               CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
+        FROM orders WHERE o_orderkey % 10 = 7
+    )
+    SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2
+    """,
+)
+def delta_stream_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta as a STREAMING source (sources/delta_stream.py): the same
+    commit history as delta_cdf_changes — create, append, DV delete —
+    consumed through readStream + availableNow with commit-version
+    offsets, and it must hash-match the same SQL oracle the batch
+    changes() matches. Partition-planning reader: the driver touches only
+    log JSON and parquet footers; every row (including roaring-DV decode)
+    happens in executor tasks, one InputPartition per changed file per
+    commit."""
+    import tempfile
+    import uuid
+
+    from projectdatalake_spark.sources import delta_stream
+    from projectdatalake_spark.sources.delta_interop import DeltaTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    root = tempfile.mkdtemp(prefix="delta_scdf_")
+    t = DeltaTable.create(
+        spark, root, o.filter(F.col("o_orderkey") % 2 == 0).repartition(4)
+    )
+    t.append(o.filter(F.col("o_orderkey") % 2 == 1).repartition(4))
+    t.delete_where_dv("o_orderkey % 10 = 7")
+
+    delta_stream.register(spark)
+    name = "delta_cdf_" + uuid.uuid4().hex[:8]
+    q = (
+        spark.readStream.format("delta_changes")
+        .option("path", root)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("_commit_version", "_change_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
+    )
