@@ -56,7 +56,8 @@ _LAST_CHECKPOINT = "_last_checkpoint"
 # is refused loudly (the protocol's forward-compat contract).
 # deletionVectors: roaring-bitmap DVs (sources/roaring.py — serialization
 # cross-validated against org.roaringbitmap, the library delta-spark uses).
-_SUPPORTED_READER_FEATURES = {"timestampNtz", "deletionVectors"}
+# columnMapping: name/id-mode reads (physical-name resolution + rename).
+_SUPPORTED_READER_FEATURES = {"timestampNtz", "deletionVectors", "columnMapping"}
 
 _SIMPLE_TYPES = {
     "byte", "short", "integer", "long", "float", "double", "boolean",
@@ -277,7 +278,7 @@ class DeltaTable:
             mode = (state["metaData"] or {}).get("configuration", {}).get(
                 "delta.columnMapping.mode", "none"
             )
-            if mode not in (None, "none"):
+            if mode not in (None, "none", "name", "id"):
                 raise DeltaProtocolError(
                     f"column mapping mode {mode!r} not supported by this reader"
                 )
@@ -309,6 +310,23 @@ class DeltaTable:
         return list(self._state(version)["metaData"].get("partitionColumns", []))
 
     # --- file skipping ----------------------------------------------------
+
+    @staticmethod
+    def _column_mapping(meta: dict) -> dict[str, str]:
+        """logical name → physical name from the schemaString field
+        metadata (``delta.columnMapping.physicalName``). Identity (empty)
+        when the table has no mapping. StructField.metadata survives the
+        StructType JSON round-trip, so this reads the raw schemaString."""
+        try:
+            fields = json.loads(meta["schemaString"])["fields"]
+        except (KeyError, ValueError, TypeError):
+            return {}
+        out = {}
+        for f in fields:
+            phys = (f.get("metadata") or {}).get("delta.columnMapping.physicalName")
+            if phys:
+                out[f["name"]] = phys
+        return out
 
     @staticmethod
     def _parse_stats(add: dict) -> dict | None:
@@ -377,19 +395,45 @@ class DeltaTable:
         meta = state["metaData"]
         schema = StructType.fromJson(json.loads(meta["schemaString"]))
         pcols = list(meta.get("partitionColumns", []))
+        phys_of = self._column_mapping(meta)  # logical → physical (or identity)
         adds = list(state["adds"].values())
         if where_eq:
-            adds = [a for a in adds if self._partition_may_match(a, where_eq)]
+            # partitionValues are keyed by PHYSICAL names under column mapping
+            where_eq_phys = {phys_of.get(c, c): v for c, v in where_eq.items()}
+            adds = [a for a in adds if self._partition_may_match(a, where_eq_phys)]
         if where:
-            adds = [a for a in adds if self._stats_may_match(a, where)]
-        data_schema = StructType([f for f in schema.fields if f.name not in pcols])
-        ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
+            where_phys = {phys_of.get(c, c): v for c, v in where.items()}
+            adds = [a for a in adds if self._stats_may_match(a, where_phys)]
         if not adds:
             return self.spark.createDataFrame([], schema)
+        from pyspark.sql.types import StructField
+
+        # physical read schema: data files store PHYSICAL column names; in
+        # id mode resolution is by parquet field id (ids stamped in files),
+        # in name mode strictly by physical name (files carry no ids)
+        cm_mode = (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+        data_fields = []
+        for f in schema.fields:
+            if f.name in pcols:
+                continue
+            m = {}
+            if cm_mode == "id":
+                fid = (f.metadata or {}).get("delta.columnMapping.id")
+                if fid is not None:
+                    m = {"parquet.field.id": int(fid)}
+            data_fields.append(
+                StructField(phys_of.get(f.name, f.name), f.dataType, True, m)
+            )
+        data_schema = StructType(data_fields)
+        if cm_mode == "id":
+            self.spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
         groups: dict[tuple, list[dict]] = {}
         for a in adds:
             pv = a.get("partitionValues", {})
-            key = tuple((c, pv.get(c)) for c in pcols)
+            key = tuple((c, pv.get(phys_of.get(c, c))) for c in pcols)
             groups.setdefault(key, []).append(a)
         frames = []
         for key, group in groups.items():
@@ -398,6 +442,10 @@ class DeltaTable:
             dv_adds = [a for a in group if a.get("deletionVector")]
             if dv_adds:
                 df = self._apply_dvs(df, dv_adds)
+            # physical → logical rename
+            for f in schema.fields:
+                if f.name not in pcols and phys_of.get(f.name, f.name) != f.name:
+                    df = df.withColumnRenamed(phys_of[f.name], f.name)
             for col, sval in key:
                 df = df.withColumn(col, _partition_literal(sval, ptypes[col]))
             frames.append(df.select(*[f.name for f in schema.fields]))
@@ -503,6 +551,7 @@ class DeltaTable:
         base = self._state(from_version - 1) if from_version > 0 else self._empty_state()
         self._check_readable(self._state(tip))
         meta = self._state(tip)["metaData"]
+        self._refuse_mapped(meta, "changes")
         schema = StructType.fromJson(json.loads(meta["schemaString"]))
         pcols = list(meta.get("partitionColumns", []))
         data_schema = StructType([f for f in schema.fields if f.name not in pcols])
@@ -758,12 +807,21 @@ class DeltaTable:
             f"{self.root}/{_LOG}/{version:020d}.json", text, exclusive=True
         )
 
+    def _refuse_mapped(self, meta: dict, op: str) -> None:
+        if self._column_mapping(meta):
+            raise DeltaProtocolError(
+                f"{op} on a column-mapped table is not supported by this "
+                f"writer (reads are; writes would need physical-name "
+                f"staging)"
+            )
+
     def append(self, df: DataFrame, txn: tuple[str, int] | None = None) -> int:
         """Blind append — conflict-free by definition, so a lost race just
         retries against the new log tip (Delta's append concurrency rule).
         ``txn=(appId, version)`` records a setTransaction action for
         exactly-once streaming sinks."""
         state = self._state()
+        self._refuse_mapped(state["metaData"], "append")
         pcols = tuple(state["metaData"].get("partitionColumns", []))
         if txn is not None and state["txns"].get(txn[0], -1) >= txn[1]:
             return -1  # already applied (idempotent replay)
@@ -784,6 +842,7 @@ class DeltaTable:
 
     def overwrite(self, df: DataFrame) -> int:
         state = self._state()
+        self._refuse_mapped(state["metaData"], "overwrite")
         pcols = tuple(state["metaData"].get("partitionColumns", []))
         adds = self._stage(df, pcols)
         now = int(time.time() * 1000)
@@ -823,6 +882,7 @@ class DeltaTable:
         state = self._state()
         self._check_readable(state)
         meta = state["metaData"]
+        self._refuse_mapped(meta, "delete_where_dv")
         schema = StructType.fromJson(json.loads(meta["schemaString"]))
         pcols = list(meta.get("partitionColumns", []))
         data_schema = StructType([f for f in schema.fields if f.name not in pcols])
@@ -946,6 +1006,7 @@ class DeltaTable:
         state = self._state()
         self._check_readable(state)
         meta = state["metaData"]
+        self._refuse_mapped(meta, "optimize")
         schema = StructType.fromJson(json.loads(meta["schemaString"]))
         pcols = list(meta.get("partitionColumns", []))
         data_schema = StructType([f for f in schema.fields if f.name not in pcols])

@@ -161,9 +161,10 @@ def test_protocol_refusals(spark, root):
                 + "\n"
             )
 
+    # name/id mapping modes are supported now; an UNKNOWN mode still refuses
     write_v0(
         {"minReaderVersion": 2, "minWriterVersion": 5},
-        {"delta.columnMapping.mode": "name"},
+        {"delta.columnMapping.mode": "futureMode"},
     )
     with pytest.raises(DeltaProtocolError, match="column mapping"):
         DeltaTable(spark, root).snapshot()
@@ -446,3 +447,66 @@ def test_changes_cdf_by_version_diff(spark, root):
     # the DV delete emits the exact masked rows
     deleted = {r["id"] for r in t.changes(2, 2).collect()}
     assert deleted == {i for i in range(120) if i % 10 == 7}
+
+
+def test_column_mapping_name_mode_read(spark, root):
+    """A column-mapped table (mode=name, the delta-spark default once
+    mapping is enabled): data files carry PHYSICAL names, partitionValues
+    are keyed physically, the schemaString maps logical names. Reads
+    resolve and rename; writes are refused (read-only support)."""
+    phys_part = "col-p1"
+    df = spark.range(0, 60).select(
+        F.col("id").alias("col-a1"),
+        (F.col("id") * 2.0).alias("col-b2"),
+        (F.col("id") % 2).cast("int").alias(phys_part),
+    )
+    df.repartition(2).write.partitionBy(phys_part).mode("overwrite").parquet(root)
+    files = [
+        os.path.relpath(os.path.join(dp, f), root)
+        for dp, _, fs in os.walk(root)
+        for f in fs
+        if f.endswith(".parquet") and "_delta_log" not in dp
+    ]
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-a1"}},
+            {"name": "val", "type": "double", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-b2"}},
+            {"name": "seg", "type": "integer", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 3,
+                          "delta.columnMapping.physicalName": phys_part}},
+        ],
+    }
+    os.makedirs(f"{root}/_delta_log")
+    with open(f"{root}/_delta_log/{0:020d}.json", "w") as fh:
+        fh.write(json.dumps(
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+        fh.write(json.dumps({"metaData": {
+            "id": "m", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": ["seg"],
+            "configuration": {"delta.columnMapping.mode": "name"},
+        }}) + "\n")
+        for rel in files:
+            seg = rel.split("=")[1].split("/")[0]
+            fh.write(json.dumps({"add": {
+                "path": rel, "partitionValues": {phys_part: seg},
+                "size": 1, "modificationTime": 0, "dataChange": True}}) + "\n")
+
+    t = DeltaTable(spark, root)
+    s = t.snapshot()
+    assert s.columns == ["id", "val", "seg"]  # LOGICAL names
+    assert dict(s.dtypes)["seg"] == "int"
+    assert s.count() == 60
+    assert s.agg(F.sum("val")).collect()[0][0] == sum(i * 2.0 for i in range(60))
+    # partition pruning accepts the LOGICAL name, maps to physical keys
+    assert t.snapshot(where_eq={"seg": [1]}).count() == 30
+    # writes on mapped tables are refused loudly
+    with pytest.raises(DeltaProtocolError, match="column-mapped"):
+        t.append(df)
+    with pytest.raises(DeltaProtocolError, match="column-mapped"):
+        t.delete_where_dv("id = 1")
