@@ -150,6 +150,7 @@ _R4_PINNED = frozenset(
         "iceberg_schema_evolution",
         "delta_cdf_changes",
         "delta_stream_cdf",
+        "iceberg_stats_skipping",
     }
 )
 

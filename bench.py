@@ -107,6 +107,7 @@ EXTENDED = [
     "iceberg_schema_evolution",
     "delta_cdf_changes",
     "delta_stream_cdf",
+    "iceberg_stats_skipping",
 ]
 
 HEADLINE = [

@@ -7864,3 +7864,37 @@ def delta_stream_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("_commit_version", "_change_type")
         .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
     )
+
+
+@query(
+    "iceberg_stats_skipping",
+    oracle="""
+    SELECT count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderkey >= 5000000
+    """,
+)
+def iceberg_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg metadata-only scan planning on COLUMN BOUNDS: the manifest
+    carries per-file lower/upper bounds (spec single-value binary, keyed
+    by field id) collected in the same one-pass stats aggregation as the
+    write; a range predicate prunes files before any parquet footer is
+    opened. Range-clustered write → tight disjoint bounds → most files
+    skip. The pruned read + residual filter must equal plain SQL."""
+    import tempfile
+
+    from projectdatalake_spark.sources.iceberg_interop import IcebergTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_skip_")
+    t = IcebergTable.create(spark, root, o.repartitionByRange(12, "o_orderkey"))
+    cut = 5_000_000
+    pruned = t.snapshot(where={"o_orderkey": (cut, None)})
+    return (
+        pruned.filter(F.col("o_orderkey") >= cut)
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
+    )

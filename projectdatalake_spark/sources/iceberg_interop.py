@@ -216,11 +216,93 @@ def _manifest_entry_schema(part_schema: dict) -> dict:
                         {"name": "partition", "type": part_schema, "field-id": 102},
                         {"name": "record_count", "type": "long", "field-id": 103},
                         {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                        {
+                            "name": "lower_bounds",
+                            "type": ["null", _bounds_map_schema("k126_v127", 126, 127)],
+                            "default": None,
+                            "field-id": 125,
+                        },
+                        {
+                            "name": "upper_bounds",
+                            "type": ["null", _bounds_map_schema("k129_v130", 129, 130)],
+                            "default": None,
+                            "field-id": 128,
+                        },
                     ],
                 },
             },
         ],
     }
+
+
+def _bounds_map_schema(rec_name: str, key_id: int, value_id: int) -> dict:
+    """Iceberg's map<int, binary> bounds columns: Avro's non-string-key
+    map convention — an array of key/value records with logicalType map."""
+    return {
+        "type": "array",
+        "logicalType": "map",
+        "items": {
+            "type": "record",
+            "name": rec_name,
+            "fields": [
+                {"name": "key", "type": "int", "field-id": key_id},
+                {"name": "value", "type": "bytes", "field-id": value_id},
+            ],
+        },
+    }
+
+
+def _encode_bound(value, ice_type: str) -> bytes | None:
+    """Iceberg single-value binary serialization (spec Appendix D):
+    little-endian fixed-width numerics, UTF-8 strings, date as LE int
+    days. Types outside this set return None (bound omitted)."""
+    import datetime
+    import struct as _struct
+
+    if value is None:
+        return None
+    if ice_type == "int":
+        return _struct.pack("<i", int(value))
+    if ice_type == "long":
+        return _struct.pack("<q", int(value))
+    if ice_type == "float":
+        return _struct.pack("<f", float(value))
+    if ice_type == "double":
+        return _struct.pack("<d", float(value))
+    if ice_type == "boolean":
+        return b"\x01" if value else b"\x00"
+    if ice_type == "string":
+        return str(value).encode("utf-8")
+    if ice_type == "date":
+        if isinstance(value, datetime.date):
+            return _struct.pack("<i", (value - datetime.date(1970, 1, 1)).days)
+    if ice_type in ("timestamp", "timestamptz"):
+        if isinstance(value, datetime.datetime):
+            epoch = datetime.datetime(
+                1970, 1, 1, tzinfo=value.tzinfo if value.tzinfo else None
+            )
+            return _struct.pack("<q", int((value - epoch).total_seconds() * 1_000_000))
+    return None
+
+
+def _decode_bound(data: bytes, ice_type: str):
+    import struct as _struct
+
+    if data is None:
+        return None
+    if ice_type == "int":
+        return _struct.unpack("<i", data)[0]
+    if ice_type == "long":
+        return _struct.unpack("<q", data)[0]
+    if ice_type == "float":
+        return _struct.unpack("<f", data)[0]
+    if ice_type == "double":
+        return _struct.unpack("<d", data)[0]
+    if ice_type == "boolean":
+        return data == b"\x01"
+    if ice_type == "string":
+        return data.decode("utf-8")
+    return None
 
 
 class IcebergTable:
@@ -337,13 +419,16 @@ class IcebergTable:
         self,
         snapshot_id: int | None = None,
         where_eq: dict | None = None,
+        where: dict | None = None,
     ) -> DataFrame:
         """DataFrame of the table state at ``snapshot_id`` (default:
         current). ``where_eq={col: values}`` prunes manifest entries on
-        their partition tuples before any file is opened (scan planning
-        the Iceberg way: metadata-only). Identity-partition columns are
-        restored typed from the partition tuple per the spec's constants
-        rule."""
+        their partition tuples; ``where={col: (lo, hi)}`` prunes on the
+        manifests' per-file lower/upper bounds (Iceberg single-value
+        binary, keyed by field id) — both are metadata-only scan planning:
+        files are skipped before any parquet footer is opened.
+        Identity-partition columns are restored typed from the partition
+        tuple per the spec's constants rule."""
         meta = self.metadata()
         schema = self._spark_schema(meta)
         entries, delete_entries = self._entries_for_snapshot(meta, snapshot_id)
@@ -365,6 +450,38 @@ class IcebergTable:
                 return True
 
             entries = [e for e in entries if keep(e)]
+        if where:
+            ice_fields = next(
+                s
+                for s in meta["schemas"]
+                if s["schema-id"] == meta["current-schema-id"]
+            )["fields"]
+            fid_of = {f["name"]: f["id"] for f in ice_fields}
+            type_of = {f["name"]: f["type"] for f in ice_fields}
+
+            def in_range(e):
+                df_rec = e["data_file"]
+                lowers = {
+                    kv["key"]: kv["value"] for kv in (df_rec.get("lower_bounds") or [])
+                }
+                uppers = {
+                    kv["key"]: kv["value"] for kv in (df_rec.get("upper_bounds") or [])
+                }
+                for col, (lo, hi) in where.items():
+                    fid = fid_of.get(col)
+                    t = type_of.get(col)
+                    if fid is None or not isinstance(t, str):
+                        continue
+                    mn = _decode_bound(lowers.get(fid), t) if fid in lowers else None
+                    mx = _decode_bound(uppers.get(fid), t) if fid in uppers else None
+                    # files lacking bounds are conservatively kept
+                    if lo is not None and mx is not None and mx < lo:
+                        return False
+                    if hi is not None and mn is not None and mn > hi:
+                        return False
+                return True
+
+            entries = [e for e in entries if in_range(e)]
         if not entries:
             return self.spark.createDataFrame([], schema)
         data_schema = StructType([f for f in schema.fields if f.name not in pcols])
@@ -520,10 +637,18 @@ class IcebergTable:
             exclusive=False,
         )
 
-    def _stage_data(self, df: DataFrame, pcols: tuple[str, ...]):
+    def _stage_data(
+        self,
+        df: DataFrame,
+        pcols: tuple[str, ...],
+        bound_types: dict[str, str] | None = None,
+    ):
         """Write parquet under data/ (hive layout for partitioned writes),
-        returning (abs_path, size, partition_strings, record_count) per
-        file — counts and layout from ONE staged write + ONE stats pass."""
+        returning (abs_path, size, partition_strings, record_count,
+        bounds) per file — counts, layout, AND per-file column min/max in
+        ONE staged write + ONE grouped stats pass (never a per-file
+        job). ``bound_types`` maps column → iceberg type for the columns
+        whose bounds the manifest should carry."""
         stage_id = uuid.uuid4().hex
         stage_dir = f"{self.root}/data/{stage_id}"
         writer = df.write.mode("overwrite")
@@ -538,17 +663,31 @@ class IcebergTable:
             p = status.getPath()
             if p.getName().endswith(".parquet"):
                 files.append((p.toUri().getPath(), status.getLen()))
-        counts = {}
+        counts: dict = {}
+        bounds_by_file: dict[str, dict] = {}
+        bcols = [
+            c for c in (bound_types or {}) if c not in pcols and c in df.columns
+        ]
         if files:
-            cdf = (
+            aggs = [F.count(F.lit(1)).alias("__n")]
+            for c in bcols:
+                aggs.append(F.min(c).alias(f"min__{c}"))
+                aggs.append(F.max(c).alias(f"max__{c}"))
+            rows = (
                 self.spark.read.option("basePath", stage_dir)
                 .parquet(*[f for f, _ in files])
                 .withColumn("__file", F.input_file_name())
                 .groupBy("__file")
-                .count()
+                .agg(*aggs)
                 .collect()
             )
-            counts = {r["__file"].replace("file://", "").replace("file:", ""): r["count"] for r in cdf}
+            for r in rows:
+                d = r.asDict()
+                key = d["__file"].replace("file://", "").replace("file:", "")
+                counts[key] = d["__n"]
+                bounds_by_file[key] = {
+                    c: (d[f"min__{c}"], d[f"max__{c}"]) for c in bcols
+                }
         out = []
         for path, size in files:
             rel = path[len(self._path(stage_dir).toUri().getPath()):].lstrip("/")
@@ -557,7 +696,9 @@ class IcebergTable:
                 for seg in rel.split("/")[:-1]
                 if "=" in seg
             }
-            out.append((path, size, parts, counts.get(path, 0)))
+            out.append(
+                (path, size, parts, counts.get(path, 0), bounds_by_file.get(path, {}))
+            )
         return out
 
     def _with_field_ids(self, df: DataFrame, meta: dict) -> DataFrame:
@@ -698,16 +839,39 @@ class IcebergTable:
             )["fields"]
         }
         part_fields = [(c, schema_fields[c]) for c in pcols]
+        ice_fields = next(
+            s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+        )["fields"]
+        fid_of = {f["name"]: f["id"] for f in ice_fields}
+        boundable = {
+            "int", "long", "float", "double", "string", "boolean",
+            "date", "timestamp", "timestamptz",
+        }
+        bound_types = {
+            f["name"]: f["type"]
+            for f in ice_fields
+            if isinstance(f["type"], str)
+            and f["name"] not in pcols
+            and f["type"] in boundable
+        }
         df = self._with_field_ids(df, meta)
-        staged = self._stage_data(df, pcols)
+        staged = self._stage_data(df, pcols, bound_types)
         seq = meta["last-sequence-number"] + 1
         sid = uuid.uuid4().int % (1 << 62)
         part_schema = _partition_record_schema(part_fields)
         entry_schema = _manifest_entry_schema(part_schema)
         entries = []
         added_rows = 0
-        for path, size, parts, count in staged:
+        for path, size, parts, count, bounds in staged:
             added_rows += count
+            lower, upper = [], []
+            for c, (mn, mx) in bounds.items():
+                lo_b = _encode_bound(mn, bound_types[c])
+                hi_b = _encode_bound(mx, bound_types[c])
+                if lo_b is not None:
+                    lower.append({"key": fid_of[c], "value": lo_b})
+                if hi_b is not None:
+                    upper.append({"key": fid_of[c], "value": hi_b})
             entries.append(
                 {
                     "status": 1,  # ADDED
@@ -724,6 +888,8 @@ class IcebergTable:
                         },
                         "record_count": count,
                         "file_size_in_bytes": size,
+                        "lower_bounds": lower or None,
+                        "upper_bounds": upper or None,
                     },
                 }
             )

@@ -334,3 +334,26 @@ def test_drop_column_and_id_retirement(spark, root):
     assert t.snapshot().filter("val2 IS NOT NULL").count() == 0
     with pytest.raises(IcebergProtocolError, match="partition"):
         t.drop_column("seg")
+
+
+def test_manifest_bounds_and_range_skipping(spark, root):
+    df = spark.range(0, 1000).withColumn("val", F.col("id") * 1.0)
+    t = IcebergTable.create(spark, root, df.repartitionByRange(10, "id"))
+    meta = t.metadata()
+    snap = meta["snapshots"][0]
+    _, manifests = read_container(t._read_bytes(snap["manifest-list"]))
+    _, entries = read_container(t._read_bytes(manifests[0]["manifest_path"]))
+    e0 = entries[0]["data_file"]
+    # iceberg single-value binary bounds keyed by FIELD ID
+    assert e0["lower_bounds"] and e0["upper_bounds"]
+    import struct
+
+    lo = {kv["key"]: kv["value"] for kv in e0["lower_bounds"]}
+    hi = {kv["key"]: kv["value"] for kv in e0["upper_bounds"]}
+    assert struct.unpack("<q", lo[1])[0] <= struct.unpack("<q", hi[1])[0]
+    # range pruning skips files before any footer is opened
+    pruned = t.snapshot(where={"id": (950, None)})
+    assert pruned.count() < 1000          # files skipped
+    assert pruned.filter("id >= 950").count() == 50  # rows intact
+    # files lacking bounds are conservatively kept (probe an unknown col)
+    assert t.snapshot(where={"nope": (0, 1)}).count() == 1000
