@@ -151,6 +151,7 @@ _R4_PINNED = frozenset(
         "delta_cdf_changes",
         "delta_stream_cdf",
         "iceberg_stats_skipping",
+        "format_convert_loop",
     }
 )
 

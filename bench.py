@@ -108,6 +108,7 @@ EXTENDED = [
     "delta_cdf_changes",
     "delta_stream_cdf",
     "iceberg_stats_skipping",
+    "format_convert_loop",
 ]
 
 HEADLINE = [

@@ -7898,3 +7898,44 @@ def iceberg_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         pruned.filter(F.col("o_orderkey") >= cut)
         .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
     )
+
+
+@query(
+    "format_convert_loop",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(27,2))) AS DOUBLE) AS balance
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def format_convert_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZERO-COPY format freedom: customer → Delta (partitioned) →
+    converted to Iceberg → converted BACK to Delta, all three tables
+    referencing the SAME parquet files (absolute-path metadata only, no
+    byte of data moves — sources/format_convert.py). The final read
+    through the twice-converted metadata must equal plain SQL over the
+    source. At 100 TB this is the migration that costs O(#files), not
+    O(bytes)."""
+    import tempfile
+
+    from projectdatalake_spark.sources.delta_interop import DeltaTable
+    from projectdatalake_spark.sources.format_convert import (
+        convert_delta_to_iceberg,
+        convert_iceberg_to_delta,
+    )
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+    )
+    droot = tempfile.mkdtemp(prefix="fmtloop_d_")
+    dt = DeltaTable.create(spark, droot, c.repartition(4), partition_by=("c_mktsegment",))
+    ice = convert_delta_to_iceberg(dt, tempfile.mkdtemp(prefix="fmtloop_i_") + "/t")
+    back = convert_iceberg_to_delta(ice, tempfile.mkdtemp(prefix="fmtloop_b_") + "/t")
+    return (
+        back.snapshot()
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("c_acctbal")).alias("balance"))
+    )

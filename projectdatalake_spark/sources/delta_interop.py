@@ -776,10 +776,20 @@ class DeltaTable:
             .agg(*aggs)
             .collect()
         )
-        by_name = {}
+        # keyed by FULL PATH, never basename: partitioned writes reuse
+        # part-file basenames across partition dirs, and basename keying
+        # attributes one file's stats to its same-named siblings → WRONG
+        # min/max skipping (dropped rows, not conservatism)
+        def _norm(p: str) -> str:
+            if p.startswith("file://"):
+                p = p[7:]
+            elif p.startswith("file:"):
+                p = p[5:]
+            return p
+        by_path = {}
         for r in rows:
             d = r.asDict()
-            fname = d.pop("__file").rsplit("/", 1)[-1]
+            fpath = _norm(d.pop("__file"))
             stats = {
                 "numRecords": d["__n"],
                 "minValues": {},
@@ -793,11 +803,11 @@ class DeltaTable:
                 if mx is not None:
                     stats["maxValues"][c] = _stats_scalar(mx)
                 stats["nullCount"][c] = d[f"nulls__{c}"] or 0
-            by_name[fname] = stats
+            by_path[fpath] = stats
         for a in adds:
-            base = _unquote_path(a["path"]).rsplit("/", 1)[-1]
-            if base in by_name:
-                a["stats"] = json.dumps(by_name[base], separators=(",", ":"))
+            abs_p = _norm(self._abs_data_path(a["path"]))
+            if abs_p in by_path:
+                a["stats"] = json.dumps(by_path[abs_p], separators=(",", ":"))
 
     def _publish(self, version: int, actions: list[dict]) -> None:
         text = "\n".join(json.dumps(a, separators=(",", ":")) for a in actions) + "\n"
@@ -856,6 +866,63 @@ class DeltaTable:
         ]
         v = state["version"] + 1
         self._publish(v, actions)  # overwrite does NOT auto-retry: true conflict
+        return v
+
+    def replace_where(self, df: DataFrame, partition_values: dict) -> int:
+        """Atomic partition-scoped overwrite (Delta's ``replaceWhere`` on
+        partition columns): removes exactly the adds whose partitionValues
+        match, stages the replacement, publishes both in ONE commit — the
+        idempotent-rerun primitive (a failed job re-runs without doubling
+        rows, untouched partitions keep their add actions byte-identical).
+        ``partition_values`` maps partition column → allowed value(s)."""
+        state = self._state()
+        self._refuse_mapped(state["metaData"], "replace_where")
+        meta = state["metaData"]
+        pcols = tuple(meta.get("partitionColumns", []))
+        bad = [c for c in partition_values if c not in pcols]
+        if bad:
+            raise DeltaProtocolError(
+                f"replace_where keys must be partition columns; {bad} are not"
+            )
+        allowed = {
+            c: {str(v) for v in (vs if isinstance(vs, (list, tuple, set)) else [vs])}
+            for c, vs in partition_values.items()
+        }
+        # refuse rows outside the replaced scope (the replaceWhere contract)
+        scope = None
+        for c, vals in partition_values.items():
+            vs = vals if isinstance(vals, (list, tuple, set)) else [vals]
+            cond = F.col(c).isin(list(vs))
+            scope = cond if scope is None else (scope & cond)
+        if scope is not None and df.filter(~scope).limit(1).count() > 0:
+            raise DeltaProtocolError(
+                "replacement rows fall outside the replaced partitions"
+            )
+        victims = [
+            p
+            for p, a in state["adds"].items()
+            if all(
+                a.get("partitionValues", {}).get(c) in vs
+                for c, vs in allowed.items()
+            )
+        ]
+        adds = self._stage(df, pcols)
+        now = int(time.time() * 1000)
+        actions = [
+            {
+                "commitInfo": self._commit_info(
+                    "WRITE",
+                    {"mode": "Overwrite", "predicate": json.dumps(partition_values)},
+                )
+            },
+            *(
+                {"remove": {"path": p, "deletionTimestamp": now, "dataChange": True}}
+                for p in victims
+            ),
+            *({"add": a} for a in adds),
+        ]
+        v = state["version"] + 1
+        self._publish(v, actions)
         return v
 
     def txn_version(self, app_id: str) -> int:

@@ -1,0 +1,195 @@
+"""Zero-copy table-format conversion: Delta ⇄ Iceberg.
+
+Both formats are, at rest, parquet files + a metadata layer. Conversion
+therefore never has to touch data: it reads one format's metadata and
+writes the other's, referencing the SAME parquet files by absolute path
+— O(#files) metadata work for a table of any size. This is the
+escape-hatch a 100 TB lakehouse needs when the table format loses the
+argument but the data shouldn't move.
+
+Honesty rules (checked, not assumed):
+- Delta → Iceberg refuses while deletion vectors are active (Iceberg
+  readers would resurrect masked rows) — run ``DeltaTable.optimize()``
+  first to materialize them; column-mapped tables are refused (physical
+  names in files would leak).
+- Iceberg → Delta refuses while position deletes are active (Delta adds
+  cannot carry them) and for non-identity partition transforms.
+- Record counts come from existing metadata (Delta add.stats numRecords,
+  Iceberg manifest record_count); only when a foreign Delta table lacks
+  stats does the converter fall back to a parquet-footer read per file.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+
+from pyspark.sql.types import StructType
+
+from projectdatalake_spark.sources.delta_interop import (
+    DeltaCommitConflict,
+    DeltaProtocolError,
+    DeltaTable,
+    _quote_path,
+)
+from projectdatalake_spark.sources.iceberg_interop import (
+    IcebergProtocolError,
+    IcebergTable,
+    _encode_bound,
+)
+
+
+def convert_delta_to_iceberg(delta: DeltaTable, dest_root: str) -> IcebergTable:
+    """Publish an Iceberg v2 table whose single snapshot references the
+    Delta table's CURRENT data files in place (absolute paths)."""
+    state = delta._state()
+    delta._check_readable(state)
+    meta = state["metaData"]
+    if delta._column_mapping(meta):
+        raise DeltaProtocolError(
+            "cannot convert a column-mapped Delta table zero-copy "
+            "(data files carry physical names)"
+        )
+    if any(a.get("deletionVector") for a in state["adds"].values()):
+        raise DeltaProtocolError(
+            "active deletion vectors — run optimize() to materialize them "
+            "before converting (Iceberg would resurrect masked rows)"
+        )
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    pcols = tuple(meta.get("partitionColumns", []))
+    # foreign (Delta-written) files carry no parquet field ids → the
+    # Iceberg reads must resolve by NAME (and rename/drop are refused)
+    t = IcebergTable.create_empty(
+        delta.spark,
+        dest_root,
+        schema,
+        pcols,
+        properties={"projectdatalake.fieldIdsInFiles": "false"},
+    )
+    ice_meta = t.metadata()
+    ice_fields = next(
+        s for s in ice_meta["schemas"] if s["schema-id"] == ice_meta["current-schema-id"]
+    )["fields"]
+    type_of = {f["name"]: f["type"] for f in ice_fields}
+    fid_of = {f["name"]: f["id"] for f in ice_fields}
+    files = []
+    for add in state["adds"].values():
+        stats = DeltaTable._parse_stats(add)
+        if stats and "numRecords" in stats:
+            count = stats["numRecords"]
+        else:  # foreign table without stats: one footer read
+            import pyarrow.parquet as pq
+
+            count = pq.ParquetFile(delta._abs_data_path(add["path"])).metadata.num_rows
+        pv = add.get("partitionValues", {})
+        partition = {
+            c: t._typed_part(pv.get(c), type_of[c]) for c in pcols
+        }
+        lower, upper = [], []
+        for c in (stats or {}).get("minValues", {}):
+            ice_t = type_of.get(c)
+            if not isinstance(ice_t, str):
+                continue
+            lo_b = _encode_bound(stats["minValues"][c], ice_t)
+            if lo_b is not None:
+                lower.append({"key": fid_of[c], "value": lo_b})
+        for c in (stats or {}).get("maxValues", {}):
+            ice_t = type_of.get(c)
+            if not isinstance(ice_t, str):
+                continue
+            hi_b = _encode_bound(stats["maxValues"][c], ice_t)
+            if hi_b is not None:
+                upper.append({"key": fid_of[c], "value": hi_b})
+        files.append(
+            {
+                "path": delta._abs_data_path(add["path"]),
+                "size": add.get("size", 0),
+                "partition": partition,
+                "record_count": count,
+                "lower_bounds": lower or None,
+                "upper_bounds": upper or None,
+            }
+        )
+    t.append_files(files)
+    return t
+
+
+def convert_iceberg_to_delta(ice: IcebergTable, dest_root: str) -> DeltaTable:
+    """Publish a Delta table (protocol (1,2)) whose version 0 references
+    the Iceberg table's CURRENT data files in place (absolute-path adds —
+    the spec mechanism shallow clones use)."""
+    meta = ice.metadata()
+    entries, delete_entries = ice._entries_for_snapshot(meta, None)
+    if delete_entries:
+        raise IcebergProtocolError(
+            "active position deletes — compact them away before converting "
+            "(Delta adds cannot carry Iceberg delete files)"
+        )
+    spec = ice._current_spec(meta)
+    if any(f["transform"] != "identity" for f in spec["fields"]):
+        raise IcebergProtocolError(
+            "non-identity partition transforms cannot map to Delta "
+            "partitionValues"
+        )
+    schema = ice._spark_schema(meta)
+    # strip field-id metadata: Delta resolves by name
+    plain_schema = StructType.fromJson(
+        json.loads(
+            json.dumps(
+                {
+                    "type": "struct",
+                    "fields": [
+                        {
+                            "name": f.name,
+                            "type": json.loads(f.dataType.json()),
+                            "nullable": True,
+                            "metadata": {},
+                        }
+                        for f in schema.fields
+                    ],
+                }
+            )
+        )
+    )
+    pcols = [f["name"] for f in spec["fields"]]
+    t = DeltaTable(ice.spark, dest_root)
+    if t.exists():
+        raise DeltaCommitConflict(f"already a Delta table: {dest_root}")
+    now = int(time.time() * 1000)
+    adds = []
+    for e in entries:
+        df_rec = e["data_file"]
+        part = df_rec.get("partition", {}) or {}
+        pv = {
+            c: (None if part.get(c) is None else str(part[c])) for c in pcols
+        }
+        adds.append(
+            {
+                "path": _quote_path(df_rec["file_path"]),
+                "partitionValues": pv,
+                "size": df_rec.get("file_size_in_bytes", 0),
+                "modificationTime": now,
+                "dataChange": True,
+                "stats": json.dumps(
+                    {"numRecords": df_rec.get("record_count", 0)},
+                    separators=(",", ":"),
+                ),
+            }
+        )
+    dmeta = {
+        "id": str(uuid.uuid4()),
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": plain_schema.json(),
+        "partitionColumns": pcols,
+        "configuration": {"projectdatalake.sourceFormat": "iceberg"},
+        "createdTime": now,
+    }
+    actions = [
+        {"commitInfo": t._commit_info("CONVERT", {"source": ice.root})},
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": dmeta},
+        *({"add": a} for a in adds),
+    ]
+    t._publish(0, actions)
+    return t

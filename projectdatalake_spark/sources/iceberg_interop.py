@@ -551,18 +551,23 @@ class IcebergTable:
             "timestamp": TimestampNTZType(), "timestamptz": TimestampType(),
             "binary": BinaryType(),
         }
+        ids_ok = (meta.get("properties") or {}).get(
+            "projectdatalake.fieldIdsInFiles", "true"
+        ) != "false"
         fields = []
         for f in ice["fields"]:
             t = f["type"]
-            meta = {"parquet.field.id": f["id"]}  # id-based resolution
+            # id-based resolution only when the data files carry ids;
+            # converted tables (foreign files) resolve by name
+            meta_f = {"parquet.field.id": f["id"]} if ids_ok else {}
             if isinstance(t, str) and t in back:
-                fields.append(StructField(f["name"], back[t], True, meta))
+                fields.append(StructField(f["name"], back[t], True, meta_f))
             elif isinstance(t, str) and t.startswith("decimal"):
                 from pyspark.sql.types import DecimalType
 
                 p, s = t[t.index("(") + 1 : t.index(")")].split(",")
                 fields.append(
-                    StructField(f["name"], DecimalType(int(p), int(s)), True, meta)
+                    StructField(f["name"], DecimalType(int(p), int(s)), True, meta_f)
                 )
             else:
                 raise IcebergProtocolError(f"unsupported iceberg type {t!r}")
@@ -586,11 +591,32 @@ class IcebergTable:
         df: DataFrame,
         partition_by: tuple[str, ...] = (),
     ) -> "IcebergTable":
+        t = cls.create_empty(spark, root, df.schema, partition_by)
+        t.append(df)
+        return t
+
+    @classmethod
+    def create_empty(
+        cls,
+        spark: SparkSession,
+        root: str,
+        spark_schema: StructType,
+        partition_by: tuple[str, ...] = (),
+        properties: dict | None = None,
+    ) -> "IcebergTable":
+        """Metadata-only table creation (v0, no snapshot) — the base for
+        zero-copy converts (``append_files``) and empty-table DDL.
+
+        ``projectdatalake.fieldIdsInFiles`` property: "true" (default —
+        our staged writes stamp parquet field ids, enabling id-based
+        evolution) or "false" (zero-copy converts referencing foreign
+        files without ids → reads resolve by NAME, and rename/drop are
+        refused because old files could not serve the renamed column)."""
         t = cls(spark, root)
         fs = t._fs()
         if fs.exists(t._path(f"{root}/metadata/version-hint.text")):
             raise IcebergCommitConflict(f"already an Iceberg table: {root}")
-        fields = _iceberg_schema(df.schema)
+        fields = _iceberg_schema(spark_schema)
         by_name = {f["name"]: f for f in fields}
         spec_fields = [
             {
@@ -615,14 +641,17 @@ class IcebergTable:
             "last-partition-id": 1000 + len(spec_fields) - 1 if spec_fields else 999,
             "default-sort-order-id": 0,
             "sort-orders": [{"order-id": 0, "fields": []}],
-            "properties": {"write.format.default": "parquet"},
+            "properties": {
+                "write.format.default": "parquet",
+                "projectdatalake.fieldIdsInFiles": "true",
+                **(properties or {}),
+            },
             "current-snapshot-id": -1,
             "snapshots": [],
             "snapshot-log": [],
             "metadata-log": [],
         }
         t._write_metadata(0, meta)
-        t.append(df)
         return t
 
     def _write_metadata(self, version: int, meta: dict) -> None:
@@ -740,6 +769,14 @@ class IcebergTable:
                 f"{old!r} is a partition source column — partition spec "
                 f"evolution is a separate operation"
             )
+        if (meta.get("properties") or {}).get(
+            "projectdatalake.fieldIdsInFiles", "true"
+        ) == "false":
+            raise IcebergProtocolError(
+                "rename on a name-resolved table (converted zero-copy, data "
+                "files without field ids) — old files could not serve the "
+                "new name"
+            )
         ice = next(
             s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
         )
@@ -856,14 +893,8 @@ class IcebergTable:
         }
         df = self._with_field_ids(df, meta)
         staged = self._stage_data(df, pcols, bound_types)
-        seq = meta["last-sequence-number"] + 1
-        sid = uuid.uuid4().int % (1 << 62)
-        part_schema = _partition_record_schema(part_fields)
-        entry_schema = _manifest_entry_schema(part_schema)
-        entries = []
-        added_rows = 0
+        files = []
         for path, size, parts, count, bounds in staged:
-            added_rows += count
             lower, upper = [], []
             for c, (mn, mx) in bounds.items():
                 lo_b = _encode_bound(mn, bound_types[c])
@@ -872,6 +903,45 @@ class IcebergTable:
                     lower.append({"key": fid_of[c], "value": lo_b})
                 if hi_b is not None:
                     upper.append({"key": fid_of[c], "value": hi_b})
+            files.append(
+                {
+                    "path": path,
+                    "size": size,
+                    "partition": {
+                        c: self._typed_part(parts.get(c), t) for c, t in part_fields
+                    },
+                    "record_count": count,
+                    "lower_bounds": lower or None,
+                    "upper_bounds": upper or None,
+                }
+            )
+        return self.append_files(files, meta=meta)
+
+    def append_files(self, files: list[dict], meta: dict | None = None) -> int:
+        """Commit an append snapshot over PRE-EXISTING parquet files — the
+        zero-copy path (cross-format converts, in-place migration). Each
+        descriptor: {path (absolute), size, partition (TYPED values per
+        the current spec), record_count, lower_bounds?, upper_bounds?}.
+        No data moves; only manifests + metadata are written."""
+        if meta is None:
+            meta = self.metadata()
+        spec = self._current_spec(meta)
+        pcols = tuple(f["name"] for f in spec["fields"])
+        schema_fields = {
+            f["name"]: f["type"]
+            for f in next(
+                s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+            )["fields"]
+        }
+        part_fields = [(c, schema_fields[c]) for c in pcols]
+        seq = meta["last-sequence-number"] + 1
+        sid = uuid.uuid4().int % (1 << 62)
+        part_schema = _partition_record_schema(part_fields)
+        entry_schema = _manifest_entry_schema(part_schema)
+        entries = []
+        added_rows = 0
+        for f in files:
+            added_rows += f["record_count"]
             entries.append(
                 {
                     "status": 1,  # ADDED
@@ -880,16 +950,15 @@ class IcebergTable:
                     "file_sequence_number": None,
                     "data_file": {
                         "content": 0,
-                        "file_path": path,
+                        "file_path": f["path"],
                         "file_format": "PARQUET",
                         "partition": {
-                            c: self._typed_part(parts.get(c), t)
-                            for c, t in part_fields
+                            c: f.get("partition", {}).get(c) for c, _t in part_fields
                         },
-                        "record_count": count,
-                        "file_size_in_bytes": size,
-                        "lower_bounds": lower or None,
-                        "upper_bounds": upper or None,
+                        "record_count": f["record_count"],
+                        "file_size_in_bytes": f["size"],
+                        "lower_bounds": f.get("lower_bounds"),
+                        "upper_bounds": f.get("upper_bounds"),
                     },
                 }
             )

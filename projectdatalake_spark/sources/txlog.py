@@ -1130,24 +1130,36 @@ class TxTable:
             .agg(*aggs)
             .collect()
         )
-        by_name: dict[str, dict] = {}
-        dicts_by_name: dict[str, dict] = {}
-        blooms_by_name: dict[str, dict] = {}
+        # Key by FULL PATH, never basename: Spark's partitioned writes
+        # reuse part-file basenames ACROSS partition directories
+        # (seg=0/part-00000-… and seg=1/part-00000-… coexist), and a
+        # basename-keyed map silently attributes one file's stats to all
+        # of its same-named siblings — which makes min/max skipping drop
+        # the wrong files (data loss, not conservatism).
+        def _norm(p: str) -> str:
+            if p.startswith("file://"):
+                p = p[7:]
+            elif p.startswith("file:"):
+                p = p[5:]
+            return p
+        by_path: dict[str, dict] = {}
+        dicts_by_path: dict[str, dict] = {}
+        blooms_by_path: dict[str, dict] = {}
         for r in rows:
             d = r.asDict()
-            fname = d.pop("__file").rsplit("/", 1)[-1]
+            fpath = _norm(d.pop("__file"))
             stats = {}
             for c in cols:
                 mn, mx = _stats_value(d[f"min__{c}"]), _stats_value(d[f"max__{c}"])
                 if mn is not None or mx is not None:
                     stats[c] = {"min": mn, "max": mx}
-            by_name[fname] = stats
+            by_path[fpath] = stats
             dicts = {}
             for c in dict_cols:
                 vals = d.get(f"dict__{c}")
                 if vals is not None and 0 < len(vals) <= 64:
                     dicts[c] = [_stats_value(v) for v in vals]
-            dicts_by_name[fname] = dicts
+            dicts_by_path[fpath] = dicts
             blooms = {}
             for c in bloom_cols:
                 bits = 0
@@ -1156,16 +1168,16 @@ class TxTable:
                         bits |= 1 << p
                 if bits:
                     blooms[c] = f"{bits:x}"
-            blooms_by_name[fname] = blooms
+            blooms_by_path[fpath] = blooms
         for a in adds:
-            base = a["path"].rsplit("/", 1)[-1]
-            stats = by_name.get(base)
+            abs_p = _norm(self._data_path(a))
+            stats = by_path.get(abs_p)
             if stats:
                 a["stats"] = stats
-            dicts = dicts_by_name.get(base)
+            dicts = dicts_by_path.get(abs_p)
             if dicts:
                 a["dict"] = dicts
-            blooms = blooms_by_name.get(base)
+            blooms = blooms_by_path.get(abs_p)
             if blooms:
                 a["bloom"] = blooms
 
@@ -1877,8 +1889,21 @@ class TxTable:
             fs.delete(self._path(stage_dir), True)
             return None
         touched_abs = [r.file_path for r in staged.select("file_path").distinct().collect()]
-        by_base = {a["path"].rsplit("/", 1)[-1]: a["path"] for a in self._active_files()}
-        touched_rel = sorted(by_base[p.rsplit("/", 1)[-1]] for p in touched_abs)
+
+        # map by FULL path, never basename — partitioned writes reuse part
+        # file basenames across partition dirs, and a basename map would
+        # mark the wrong sibling as touched
+        def _norm(p: str) -> str:
+            if p.startswith("file://"):
+                return p[7:]
+            if p.startswith("file:"):
+                return p[5:]
+            return p
+
+        by_abs = {
+            _norm(self._data_path(a)): a["path"] for a in self._active_files()
+        }
+        touched_rel = sorted(by_abs[_norm(p)] for p in touched_abs)
         dv_rel = f"{_DV_DIR}/{stage_id}.parquet"
         it = fs.listFiles(self._path(stage_dir), True)
         moved = False

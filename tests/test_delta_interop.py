@@ -510,3 +510,65 @@ def test_column_mapping_name_mode_read(spark, root):
         t.append(df)
     with pytest.raises(DeltaProtocolError, match="column-mapped"):
         t.delete_where_dv("id = 1")
+
+
+def test_replace_where_partition_scoped(spark, root):
+    t = DeltaTable.create(spark, root, _df(spark, 0, 90), partition_by=("seg",))
+    untouched_before = {
+        a["path"] for a in t.files() if a["partitionValues"]["seg"] != "1"
+    }
+    repl = (
+        spark.range(1000, 1010)
+        .withColumn("seg", F.lit(1).cast("int"))
+        .withColumn("val", F.lit(-1.0))
+    )
+    v = t.replace_where(repl, {"seg": [1]})
+    assert v == 1
+    s = t.snapshot()
+    assert s.filter("seg = 1").count() == 10      # replaced
+    assert s.filter("seg != 1").count() == 60     # untouched rows
+    # untouched partitions keep their add actions byte-identical
+    untouched_after = {
+        a["path"] for a in t.files() if a["partitionValues"]["seg"] != "1"
+    }
+    assert untouched_before == untouched_after
+    # rerun idempotence: same replace again → same final state
+    t.replace_where(repl, {"seg": [1]})
+    assert t.snapshot().filter("seg = 1").count() == 10
+    # out-of-scope rows are refused
+    with pytest.raises(DeltaProtocolError, match="outside"):
+        t.replace_where(
+            spark.range(5)
+            .withColumn("seg", F.lit(2).cast("int"))
+            .withColumn("val", F.lit(0.0)),
+            {"seg": [1]},
+        )
+    with pytest.raises(DeltaProtocolError, match="partition columns"):
+        t.replace_where(repl, {"val": [1.0]})
+
+
+def test_stats_keyed_by_full_path_not_basename(spark, root):
+    """Partitioned writes reuse part-file basenames across partition dirs
+    (seg=0/part-00000-… and seg=1/part-00000-…). Stats must be keyed by
+    FULL path — a basename-keyed map attributes one file's stats to its
+    same-named siblings, and min/max skipping then silently DROPS rows.
+    Regression for exactly that bug."""
+    df = (
+        spark.range(0, 300)
+        .withColumn("seg", (F.col("id") % 3).cast("int"))
+        .withColumn("val", F.col("id") * 1.0)
+        .repartition(4)
+    )
+    t = DeltaTable.create(spark, root, df, partition_by=("seg",))
+    # same basenames exist across partitions (the collision precondition)
+    bases = [a["path"].rsplit("/", 1)[-1] for a in t.files()]
+    assert len(bases) != len(set(bases))
+    # per-file stats must describe THEIR file: the skipping read loses no rows
+    for lo in (0, 100, 250):
+        got = t.snapshot(where={"id": (lo, None)}).filter(F.col("id") >= lo).count()
+        assert got == 300 - lo
+    # per-add numRecords sums to the table count (each file described once)
+    total = sum(
+        json.loads(a["stats"])["numRecords"] for a in t.files() if a.get("stats")
+    )
+    assert total == 300

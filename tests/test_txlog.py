@@ -1184,3 +1184,28 @@ def test_widen_changes_feed_uses_wide_schema(spark, tmp_path):
     assert dict(cdf.dtypes)["val"] == "bigint"
     got = {(r.val, r._change_type) for r in cdf.collect()}
     assert got == {(10, "insert"), (2**40, "insert")}
+
+
+def test_stats_keyed_by_full_path_not_basename(spark, tmp_path):
+    """Same regression as the delta twin: partitioned staged writes reuse
+    part-file basenames across partition dirs; stats keyed by basename
+    attribute one file's min/max to its siblings and skipping then drops
+    rows. Partitioned table + same-basename collision + range skip."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(0, 300)
+        .withColumn("seg", (F.col("id") % 3).cast("int"))
+        .withColumn("amount", F.col("id").cast("double"))
+        .repartition(4)
+    )
+    t = TxTable.create(spark, str(tmp_path / "pstats"), df, partition_by=("seg",))
+    bases = [a["path"].rsplit("/", 1)[-1] for a in t._active_files()]
+    assert len(bases) != len(set(bases))  # the collision precondition
+    for lo in (0.0, 100.0, 250.0):
+        got = (
+            t.snapshot(where={"amount": (lo, None)})
+            .filter(F.col("amount") >= lo)
+            .count()
+        )
+        assert got == 300 - int(lo)
