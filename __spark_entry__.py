@@ -152,6 +152,7 @@ _R4_PINNED = frozenset(
         "delta_stream_cdf",
         "iceberg_stats_skipping",
         "format_convert_loop",
+        "delta_vacuum_lifecycle",
     }
 )
 

@@ -109,6 +109,7 @@ EXTENDED = [
     "delta_stream_cdf",
     "iceberg_stats_skipping",
     "format_convert_loop",
+    "delta_vacuum_lifecycle",
 ]
 
 HEADLINE = [

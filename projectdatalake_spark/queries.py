@@ -7939,3 +7939,42 @@ def format_convert_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("c_acctbal")).alias("balance"))
     )
+
+
+@query(
+    "delta_vacuum_lifecycle",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE NOT (o_orderkey % 10 = 7)
+    GROUP BY o_orderstatus
+    """,
+)
+def delta_vacuum_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete Delta maintenance lifecycle: DV DELETE (O(deleted
+    rows)) → OPTIMIZE (materialize + compact) → VACUUM (reclaim the
+    now-unreferenced pre-optimize files and DV blobs past the travel
+    horizon) → read. The post-vacuum aggregate must equal the SQL oracle
+    — reclaim changes storage, never data. The 100 TB steady-state loop
+    every lakehouse table runs nightly."""
+    import tempfile
+
+    from projectdatalake_spark.sources.delta_interop import DeltaTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    root = tempfile.mkdtemp(prefix="delta_vac_")
+    t = DeltaTable.create(spark, root, o.repartition(4))
+    t.delete_where_dv("o_orderkey % 10 = 7")
+    t.optimize()
+    n = t.vacuum(retain_versions=1)
+    assert n > 0  # something was actually reclaimed
+    return (
+        t.snapshot()
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
+    )

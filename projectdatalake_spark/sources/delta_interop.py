@@ -1186,6 +1186,46 @@ class DeltaTable:
         )
         return v
 
+    def vacuum(self, retain_versions: int = 1) -> int:
+        """Delete data files (and DV blobs) no longer referenced by any of
+        the newest ``retain_versions`` versions — the storage-reclaim half
+        of the maintenance lifecycle (optimize leaves the old files behind
+        for time travel; vacuum retires them past the travel horizon).
+        Time travel below the horizon afterwards fails loudly at read time
+        (missing file), exactly Delta's documented trade-off. Returns the
+        number of files deleted."""
+        tip = self.latest_version()
+        horizon = max(0, tip - max(1, retain_versions) + 1)
+        keep: set[str] = set()
+        dv_keep: set[str] = set()
+        for v in range(horizon, tip + 1):
+            state = self._state(v)
+            for a in state["adds"].values():
+                keep.add(self._abs_data_path(a["path"]))
+                dv = a.get("deletionVector")
+                if dv and dv.get("storageType") in ("p", "u"):
+                    dv_keep.add(dv["pathOrInlineDv"])
+        fs = self._fs()
+        root_uri = self._path(self.root).toUri().getPath()
+        deleted = 0
+        it = fs.listFiles(self._path(self.root), True)
+        victims = []
+        while it.hasNext():
+            status = it.next()
+            p = status.getPath()
+            rel = p.toUri().getPath()[len(root_uri):].lstrip("/")
+            if rel.startswith((_LOG, "_staging")) or rel.startswith("."):
+                continue
+            abs_p = p.toUri().getPath()
+            if rel.endswith(".parquet") and abs_p not in keep:
+                victims.append(p)
+            elif ".bin" in rel and "deletion_vector" in rel and abs_p not in dv_keep:
+                victims.append(p)
+        for p in victims:
+            if fs.delete(p, False):
+                deleted += 1
+        return deleted
+
     def prune_log(self) -> int:
         """Delete JSON commits at or before the newest checkpoint (log
         retention). Time travel to pre-checkpoint versions becomes

@@ -572,3 +572,32 @@ def test_stats_keyed_by_full_path_not_basename(spark, root):
         json.loads(a["stats"])["numRecords"] for a in t.files() if a.get("stats")
     )
     assert total == 300
+
+
+def test_vacuum_reclaims_unreferenced_files(spark, root):
+    t = DeltaTable.create(spark, root, _df(spark, 0, 300), partition_by=("seg",))
+    t.delete_where_dv("id % 10 = 7")
+    t.optimize()  # old files + DV blob now unreferenced by the tip
+    before = sum(
+        1
+        for dp, _, fs in os.walk(root)
+        if "_delta_log" not in dp
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n = t.vacuum(retain_versions=1)
+    assert n > 0
+    after = sum(
+        1
+        for dp, _, fs in os.walk(root)
+        if "_delta_log" not in dp
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    assert after == before - n == t.num_files()
+    # current snapshot intact
+    assert t.snapshot().count() == 270
+    assert t.snapshot().filter("id % 10 = 7").count() == 0
+    # pre-vacuum time travel now fails LOUDLY (missing file), not silently
+    with pytest.raises(Exception):
+        DeltaTable(spark, root).snapshot(version=0).count()
