@@ -153,6 +153,7 @@ _R4_PINNED = frozenset(
         "iceberg_stats_skipping",
         "format_convert_loop",
         "delta_vacuum_lifecycle",
+        "iceberg_expire_lifecycle",
     }
 )
 

@@ -110,6 +110,7 @@ EXTENDED = [
     "iceberg_stats_skipping",
     "format_convert_loop",
     "delta_vacuum_lifecycle",
+    "iceberg_expire_lifecycle",
 ]
 
 HEADLINE = [

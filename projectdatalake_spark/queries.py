@@ -7978,3 +7978,40 @@ def delta_vacuum_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
     )
+
+
+@query(
+    "iceberg_expire_lifecycle",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE NOT (o_orderkey % 10 = 7)
+    GROUP BY o_orderstatus
+    """,
+)
+def iceberg_expire_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg maintenance lifecycle: position-delete → expire_snapshots
+    (retire old snapshots, delete the manifests/manifest-lists/data files
+    only they referenced — Iceberg's expireSnapshots + orphan cleanup) →
+    read. The post-expiry aggregate must equal the SQL oracle: reclaim
+    changes storage, never data. Twin of delta_vacuum_lifecycle."""
+    import tempfile
+
+    from projectdatalake_spark.sources.iceberg_interop import IcebergTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_exp_")
+    t = IcebergTable.create(spark, root, o.repartition(4))
+    t.delete_where("o_orderkey % 10 = 7")
+    out = t.expire_snapshots(retain=1)
+    assert out["snapshots"] >= 1
+    return (
+        t.snapshot()
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
+    )

@@ -1053,6 +1053,69 @@ class IcebergTable:
                 v = self.current_metadata_version()
         raise IcebergCommitConflict(f"append lost 20 races at {self.root}")
 
+    def expire_snapshots(self, retain: int = 1) -> dict:
+        """Retire all but the newest ``retain`` snapshots and delete the
+        files only they referenced (data files, manifests, manifest
+        lists) — Iceberg's expireSnapshots + orphan cleanup, the storage
+        half of table maintenance. Time travel to an expired snapshot id
+        then raises at metadata lookup, never silently misreads. Returns
+        {"snapshots": n_expired, "files": n_deleted}."""
+        meta = self.metadata()
+        snaps = meta.get("snapshots", [])
+        if len(snaps) <= retain:
+            return {"snapshots": 0, "files": 0}
+        keep_snaps = snaps[-retain:]
+        expired = snaps[:-retain]
+        keep_data: set[str] = set()
+        keep_meta: set[str] = set()
+        for s in keep_snaps:
+            keep_meta.add(s["manifest-list"])
+            _, manifests = read_container(self._read_bytes(s["manifest-list"]))
+            for m in manifests:
+                keep_meta.add(m["manifest_path"])
+                _, rows = read_container(self._read_bytes(m["manifest_path"]))
+                for e in rows:
+                    keep_data.add(e["data_file"]["file_path"])
+        victims: set[str] = set()
+        for s in expired:
+            if s["manifest-list"] in keep_meta:
+                continue
+            victims.add(s["manifest-list"])
+            _, manifests = read_container(self._read_bytes(s["manifest-list"]))
+            for m in manifests:
+                if m["manifest_path"] not in keep_meta:
+                    victims.add(m["manifest_path"])
+                _, rows = read_container(self._read_bytes(m["manifest_path"]))
+                for e in rows:
+                    p = e["data_file"]["file_path"]
+                    if p not in keep_data:
+                        victims.add(p)
+        fs = self._fs()
+        deleted = 0
+        for p in victims:
+            try:
+                if fs.delete(self._path(p), False):
+                    deleted += 1
+            except Exception:
+                pass  # already gone
+        now = int(time.time() * 1000)
+        new_meta = dict(meta)
+        new_meta["snapshots"] = keep_snaps
+        new_meta["snapshot-log"] = [
+            e
+            for e in meta.get("snapshot-log", [])
+            if e["snapshot-id"] in {s["snapshot-id"] for s in keep_snaps}
+        ]
+        new_meta["last-updated-ms"] = now
+        v = self.current_metadata_version()
+        for _ in range(20):
+            try:
+                self._write_metadata(v + 1, new_meta)
+                return {"snapshots": len(expired), "files": deleted}
+            except IcebergCommitConflict:
+                v = self.current_metadata_version()
+        raise IcebergCommitConflict(f"expire lost 20 races at {self.root}")
+
     def delete_where(self, condition: str) -> int | None:
         """Merge-on-read DELETE via v2 POSITION DELETE files: matching rows
         are written as (file_path, pos) parquet pairs — computed and

@@ -357,3 +357,28 @@ def test_manifest_bounds_and_range_skipping(spark, root):
     assert pruned.filter("id >= 950").count() == 50  # rows intact
     # files lacking bounds are conservatively kept (probe an unknown col)
     assert t.snapshot(where={"nope": (0, 1)}).count() == 1000
+
+
+def test_expire_snapshots_reclaims(spark, root):
+    t = IcebergTable.create(spark, root, _df(spark, 0, 100), partition_by=("seg",))
+    sid0 = t.current_snapshot_id()
+    t.append(
+        spark.range(100, 120)
+        .withColumn("seg", F.lit(5).cast("int"))
+        .withColumn("val", F.lit(0.0))
+    )
+    # overwrite-free history: snapshot 0's files are all still referenced
+    out = t.expire_snapshots(retain=1)
+    assert out["snapshots"] == 1
+    # current snapshot intact and complete (shared files survived)
+    assert t.snapshot().count() == 120
+    # expired snapshot id no longer resolvable — loud, not silent
+    with pytest.raises(FileNotFoundError):
+        t.snapshot(snapshot_id=sid0).count()
+    # a delete-then-expire retires the delete-only metadata cleanly
+    t.delete_where("id < 10")
+    assert t.snapshot().count() == 110
+    out2 = t.expire_snapshots(retain=1)
+    assert out2["snapshots"] == 1
+    assert t.snapshot().count() == 110
+    assert IcebergTable(spark, root).snapshot().count() == 110
