@@ -154,6 +154,7 @@ _R4_PINNED = frozenset(
         "format_convert_loop",
         "delta_vacuum_lifecycle",
         "iceberg_expire_lifecycle",
+        "iceberg_stream_cdf",
     }
 )
 

@@ -111,6 +111,7 @@ EXTENDED = [
     "format_convert_loop",
     "delta_vacuum_lifecycle",
     "iceberg_expire_lifecycle",
+    "iceberg_stream_cdf",
 ]
 
 HEADLINE = [

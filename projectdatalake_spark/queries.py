@@ -8015,3 +8015,58 @@ def iceberg_expire_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
     )
+
+
+@query(
+    "iceberg_stream_cdf",
+    oracle="""
+    WITH s1 AS (
+        SELECT 1 AS _commit_seq, 'insert' AS _change_type, count(*) AS n
+        FROM orders WHERE o_orderkey % 2 = 0
+    ), s2 AS (
+        SELECT 2, 'insert', count(*) FROM orders WHERE o_orderkey % 2 = 1
+    ), s3 AS (
+        SELECT 3, 'delete', count(*) FROM orders WHERE o_orderkey % 10 = 7
+    )
+    SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+    """,
+)
+def iceberg_stream_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg as a STREAMING source (sources/iceberg_stream.py):
+    sequence-number offsets over the immutable snapshot history — two
+    append snapshots as inserts, a position-delete snapshot as row-exact
+    deletes — consumed via readStream + availableNow and aggregated; must
+    match SQL replaying the same history. Driver plans from metadata JSON
+    + Avro manifests only; rows decode in executor tasks (one partition
+    per added data file / per delete file)."""
+    import tempfile
+    import uuid
+
+    from projectdatalake_spark.sources import iceberg_stream
+    from projectdatalake_spark.sources.iceberg_interop import IcebergTable
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    root = tempfile.mkdtemp(prefix="iceberg_scdf_")
+    t = IcebergTable.create(
+        spark, root, o.filter(F.col("o_orderkey") % 2 == 0).repartition(4)
+    )
+    t.append(o.filter(F.col("o_orderkey") % 2 == 1).repartition(4))
+    t.delete_where("o_orderkey % 10 = 7")
+
+    iceberg_stream.register(spark)
+    name = "ice_cdf_" + uuid.uuid4().hex[:8]
+    q = (
+        spark.readStream.format("iceberg_changes")
+        .option("path", root)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("_commit_seq", "_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
