@@ -155,6 +155,7 @@ _R4_PINNED = frozenset(
         "delta_vacuum_lifecycle",
         "iceberg_expire_lifecycle",
         "iceberg_stream_cdf",
+        "delta_schema_merge",
     }
 )
 

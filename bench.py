@@ -112,6 +112,7 @@ EXTENDED = [
     "delta_vacuum_lifecycle",
     "iceberg_expire_lifecycle",
     "iceberg_stream_cdf",
+    "delta_schema_merge",
 ]
 
 HEADLINE = [

@@ -8070,3 +8070,46 @@ def iceberg_stream_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("_commit_seq", "_change_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "delta_schema_merge",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n_all, count(origin) AS n_tagged
+    FROM (
+        SELECT o_orderstatus, NULL AS origin FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderstatus, 'late' AS origin FROM orders WHERE o_orderkey % 2 = 1
+    )
+    GROUP BY o_orderstatus
+    """,
+)
+def delta_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta additive schema evolution (mergeSchema) + timestampAsOf in
+    one proof: half the orders land at v0, the other half appends with a
+    NEW origin column (the commit's metaData carries the appended
+    schemaString; old files read it as typed null), and version_at
+    resolves commit timestamps. The aggregate over the evolved table must
+    equal SQL replaying the same evolution."""
+    import tempfile
+    import time as _time
+
+    from projectdatalake_spark.sources.delta_interop import DeltaTable
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    root = tempfile.mkdtemp(prefix="delta_merge_")
+    t = DeltaTable.create(
+        spark, root, o.filter(F.col("o_orderkey") % 2 == 0).repartition(4)
+    )
+    t.append(
+        o.filter(F.col("o_orderkey") % 2 == 1)
+        .withColumn("origin", F.lit("late"))
+        .repartition(4),
+        merge_schema=True,
+    )
+    assert t.version_at(int(_time.time() * 1000)) == 1  # timestampAsOf tip
+    return (
+        t.snapshot()
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_all"), F.count("origin").alias("n_tagged"))
+    )

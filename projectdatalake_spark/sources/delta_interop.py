@@ -269,6 +269,27 @@ class DeltaTable:
             out.append({"version": v, **info})
         return out
 
+    def version_at(self, ts_millis: int) -> int:
+        """Newest version committed at or before ``ts_millis`` — Delta's
+        ``timestampAsOf`` resolution (commitInfo timestamps; file mtime
+        fallback when a foreign writer omitted commitInfo). Raises if the
+        timestamp predates the table."""
+        best = None
+        for h in self.history():
+            t = h.get("timestamp")
+            if t is None:
+                fs = self._fs()
+                t = fs.getFileStatus(
+                    self._path(f"{self.root}/{_LOG}/{h['version']:020d}.json")
+                ).getModificationTime()
+            if t <= ts_millis:
+                best = h["version"]
+        if best is None:
+            raise ValueError(
+                f"timestamp {ts_millis} predates the table's first commit"
+            )
+        return best
+
     # --- protocol gate ----------------------------------------------------
 
     def _check_readable(self, state: dict) -> None:
@@ -825,18 +846,43 @@ class DeltaTable:
                 f"staging)"
             )
 
-    def append(self, df: DataFrame, txn: tuple[str, int] | None = None) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        txn: tuple[str, int] | None = None,
+        merge_schema: bool = False,
+    ) -> int:
         """Blind append — conflict-free by definition, so a lost race just
         retries against the new log tip (Delta's append concurrency rule).
         ``txn=(appId, version)`` records a setTransaction action for
-        exactly-once streaming sinks."""
+        exactly-once streaming sinks. ``merge_schema=True`` accepts NEW
+        nullable columns (Delta's mergeSchema): the commit carries an
+        updated metaData whose schemaString appends them; old files read
+        the additions as null. Without it, unknown columns are refused."""
         state = self._state()
         self._refuse_mapped(state["metaData"], "append")
+        meta = state["metaData"]
+        cur_schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        known = {f.name for f in cur_schema.fields}
+        new_fields = [f for f in df.schema.fields if f.name not in known]
+        new_meta_action = None
+        if new_fields:
+            if not merge_schema:
+                raise DeltaProtocolError(
+                    f"columns {[f.name for f in new_fields]} not in the table "
+                    f"schema — pass merge_schema=True for additive evolution"
+                )
+            merged = StructType(list(cur_schema.fields) + list(new_fields))
+            new_meta_action = {
+                "metaData": {**meta, "schemaString": merged.json()}
+            }
         pcols = tuple(state["metaData"].get("partitionColumns", []))
         if txn is not None and state["txns"].get(txn[0], -1) >= txn[1]:
             return -1  # already applied (idempotent replay)
         adds = self._stage(df, pcols)
         actions: list[dict] = [{"commitInfo": self._commit_info("WRITE", {"mode": "Append"})}]
+        if new_meta_action is not None:
+            actions.append(new_meta_action)
         if txn is not None:
             actions.append({"txn": {"appId": txn[0], "version": txn[1],
                                     "lastUpdated": int(time.time() * 1000)}})

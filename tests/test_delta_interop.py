@@ -601,3 +601,39 @@ def test_vacuum_reclaims_unreferenced_files(spark, root):
     # pre-vacuum time travel now fails LOUDLY (missing file), not silently
     with pytest.raises(Exception):
         DeltaTable(spark, root).snapshot(version=0).count()
+
+
+def test_timestamp_as_of(spark, root):
+    import time as _time
+
+    t = DeltaTable.create(spark, root, _df(spark, 0, 50))
+    _time.sleep(0.8)
+    mid = int(_time.time() * 1000)
+    _time.sleep(0.8)
+    t.append(_df(spark, 100, 120))
+    assert t.version_at(mid) == 0
+    assert t.version_at(int(_time.time() * 1000)) == 1
+    assert t.snapshot(version=t.version_at(mid)).count() == 50
+    with pytest.raises(ValueError, match="predates"):
+        t.version_at(1)
+
+
+def test_merge_schema_append(spark, root):
+    t = DeltaTable.create(spark, root, _df(spark, 0, 50))
+    extra = (
+        spark.range(100, 110)
+        .withColumn("seg", F.lit(9).cast("int"))
+        .withColumn("val", F.lit(0.0))
+        .withColumn("note", F.lit("x"))
+    )
+    # refused without the flag
+    with pytest.raises(DeltaProtocolError, match="merge_schema"):
+        t.append(extra)
+    t.append(extra, merge_schema=True)
+    s = t.snapshot()
+    assert s.columns == ["id", "seg", "val", "note"]
+    assert s.count() == 60
+    assert s.filter("note = 'x'").count() == 10
+    assert s.filter("note IS NULL").count() == 50  # old files: typed null
+    # fresh reader sees the evolved schema from the log
+    assert DeltaTable(spark, root).snapshot().columns == ["id", "seg", "val", "note"]
