@@ -406,10 +406,13 @@ class DeltaTable:
 
         Partition columns are restored TYPED from partitionValues via the
         table schema (Delta stores them as strings and omits them from the
-        data files), through one scan per partition-value group unioned by
-        name — a metadata-only operation; at high partition counts the
-        groups collapse into few distinct value tuples per query after
-        pruning.
+        data files). Scale shape: when every surviving add is a plain
+        relative hive-layout path and carries no DV, the read is ONE
+        parquet scan (explicit full schema + basePath — partition columns
+        resolve from the directories with the schema's types, no
+        per-partition plan branches); otherwise (absolute-path clones,
+        column mapping, DV masks) it falls back to one scan per
+        partition-value group unioned by name.
         """
         state = self._state(version)
         self._check_readable(state)
@@ -451,6 +454,28 @@ class DeltaTable:
         if cm_mode == "id":
             self.spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
+        # hive fast path: one scan for the whole (pruned) file set
+        def _hive_rel(a: dict) -> bool:
+            p = _unquote_path(a["path"])
+            if "://" in p or p.startswith("/"):
+                return False
+            segs = p.split("/")
+            return len(segs) == len(pcols) + 1 and all(
+                seg.startswith(f"{c}=") for seg, c in zip(segs, pcols)
+            )
+
+        if (
+            cm_mode in (None, "none")
+            and not any(a.get("deletionVector") for a in adds)
+            and all(_hive_rel(a) for a in adds)
+        ):
+            paths = [self._abs_data_path(a["path"]) for a in adds]
+            df = (
+                self.spark.read.schema(schema)
+                .option("basePath", self.root)
+                .parquet(*paths)
+            )
+            return df.select(*[f.name for f in schema.fields])
         groups: dict[tuple, list[dict]] = {}
         for a in adds:
             pv = a.get("partitionValues", {})
