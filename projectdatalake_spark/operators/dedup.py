@@ -869,7 +869,15 @@ def simhash_band_pairs(
     width = 64 // n_bands
     mask = (1 << width) - 1
 
-    sigs = simhash_table(df, text_col=text_col, id_col=id_col)
+    # Both sides of the self-join hang off the signature table, and the
+    # 64-vote aggregate behind it is the expensive part; without a
+    # materialization barrier Catalyst plans it TWICE (no ReusedExchange —
+    # the two sides' exchanges differ past the id< pushdown). Persist the
+    # (id, simhash) frame — 16 bytes/doc, the thing you'd checkpoint at
+    # 100 TB anyway — so the aggregation runs once.
+    sigs = simhash_table(df, text_col=text_col, id_col=id_col).persist()
+    _release_caches()
+    _LIVE_CACHES.append(sigs)
     bands = sigs.select(
         F.col(id_col).alias("id"),
         F.col("simhash"),
