@@ -156,6 +156,8 @@ _R4_PINNED = frozenset(
         "iceberg_expire_lifecycle",
         "iceberg_stream_cdf",
         "delta_schema_merge",
+        "iceberg_bucket_transform",
+        "iceberg_month_transform",
     }
 )
 

@@ -8113,3 +8113,101 @@ def delta_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n_all"), F.count("origin").alias("n_tagged"))
     )
+
+
+@query(
+    "iceberg_bucket_transform",
+    oracle="""
+    WITH probe AS (SELECT min(o_custkey) AS k FROM orders)
+    SELECT count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total
+    FROM orders, probe
+    WHERE o_custkey = probe.k
+    """,
+)
+def iceberg_bucket_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg ``bucket[8]`` partition transform end-to-end: orders are
+    written bucketed on murmur3(o_custkey) per spec Appendix B (vector-
+    tested in functions/murmur3.py; hashing runs as a numpy-vectorized
+    Arrow batch, not per-row Python), and a point lookup plans ONLY the
+    probe key's bucket — 1/N of the files — before any footer opens.
+    The pruned read + residual filter must equal plain SQL.
+
+    100 TB: bucketing is THE transform for high-cardinality point-lookup
+    keys — identity would make one directory per key (millions of tiny
+    dirs), while bucket[N] caps layout width at N and still prunes
+    equality predicates exactly. Planning is metadata-only; the probe
+    key is derived from the data (min), never a corpus-fragile literal."""
+    import tempfile
+
+    from projectdatalake_spark.sources.iceberg_interop import IcebergTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_bucket_")
+    t = IcebergTable.create(
+        spark, root, o.repartition(8), partition_by=("bucket(8, o_custkey)",)
+    )
+    probe = o.agg(F.min("o_custkey")).collect()[0][0]  # scalar, data-derived
+    planned = t.snapshot(where_eq={"o_custkey": probe})
+    return (
+        planned.filter(F.col("o_custkey") == probe)
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
+    )
+
+
+@query(
+    "iceberg_month_transform",
+    oracle="""
+    SELECT CAST((EXTRACT(year FROM o_orderdate) - 1970) * 12
+                + EXTRACT(month FROM o_orderdate) - 1 AS INTEGER) AS mon,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-01-01'
+    GROUP BY mon ORDER BY mon
+    """,
+)
+def iceberg_month_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg ``month`` date transform: orders partition on
+    months-since-1970-01 (spec result space), and a one-year read plans
+    only that year's 12 partition values from manifest tuples —
+    metadata-only pruning in TRANSFORMED space, no date parsing of paths.
+    Must equal SQL over the same date range grouped the same way.
+
+    100 TB: date transforms keep time-partitioned layouts coarse enough
+    to bound directory counts (months, not raw timestamps) while still
+    pruning range scans to the touched span — the standard fact-table
+    layout for append-mostly event data."""
+    import tempfile
+
+    from projectdatalake_spark.sources.iceberg_interop import IcebergTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_month_")
+    t = IcebergTable.create(
+        spark, root, o.repartition(8), partition_by=("month(o_orderdate)",)
+    )
+    months_1995 = [(1995 - 1970) * 12 + m for m in range(12)]
+    planned = t.snapshot(where_eq={"o_orderdate_month": months_1995})
+    return (
+        planned.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
+        )
+        .groupBy(
+            ((F.year("o_orderdate") - 1970) * 12 + F.month("o_orderdate") - 1)
+            .cast("int")
+            .alias("mon")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
+        .orderBy("mon")
+    )

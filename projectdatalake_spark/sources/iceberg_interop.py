@@ -16,8 +16,13 @@ The metadata layer is implemented from first principles:
 
 Scope (documented, spec-honest):
 
-- format-version 2, identity partition transforms, parquet data files,
-  append / dynamic-overwrite snapshots, snapshot time travel;
+- format-version 2, parquet data files, append / dynamic-overwrite
+  snapshots, snapshot time travel;
+- partition transforms: identity, ``bucket[N]`` (murmur3 per spec
+  Appendix B, vector-tested), ``truncate[W]`` (int/long/string), and
+  ``year``/``month``/``day``/``hour`` — non-identity source columns stay
+  in the data files (the spec's storage contract) and equality
+  predicates prune through the transform at planning time;
 - column upper/lower bounds in manifests are omitted (optional per
   spec); partition pruning works off the partition tuples;
 - the commit protocol is the optimistic file-system-catalog one:
@@ -305,6 +310,241 @@ def _decode_bound(data: bytes, ice_type: str):
     return None
 
 
+# --- partition transforms (spec "Partition Transforms"; bucket hashing
+# per Appendix B, spec-vector-tested in functions/murmur3.py) ---
+
+_DATE_TRANSFORMS = ("year", "month", "day", "hour")
+
+
+def _parse_partition_by(
+    entries: tuple[str, ...], by_name: dict[str, dict]
+) -> list[dict]:
+    """Spec fields from DDL-ish ``partition_by`` entries: a bare column
+    name = identity; ``bucket(N, col)`` / ``truncate(W, col)`` /
+    ``year(col)`` / ``month(col)`` / ``day(col)`` / ``hour(col)`` = the
+    spec's non-identity transforms. Partition field names follow the
+    Java implementation's convention (``col_bucket``, ``col_trunc``,
+    ``col_year``, ...)."""
+    import re
+
+    out = []
+    for i, raw in enumerate(entries):
+        e = raw.strip()
+        m = re.fullmatch(r"(bucket|truncate)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)", e)
+        d = re.fullmatch(r"(year|month|day|hour)\s*\(\s*(\w+)\s*\)", e)
+        if m:
+            kind, param, col = m.group(1), int(m.group(2)), m.group(3)
+            if param <= 0:
+                raise IcebergProtocolError(f"{kind} parameter must be > 0: {raw!r}")
+            transform = f"{kind}[{param}]"
+            pname = f"{col}_{'bucket' if kind == 'bucket' else 'trunc'}"
+        elif d:
+            kind, col = d.group(1), d.group(2)
+            transform, pname = kind, f"{col}_{kind}"
+        else:
+            if not re.fullmatch(r"\w+", e):
+                raise IcebergProtocolError(f"unsupported partition transform: {raw!r}")
+            transform, col, pname = "identity", e, e
+        if col not in by_name:
+            raise IcebergProtocolError(f"partition source column not in schema: {col!r}")
+        src_type = by_name[col]["type"]
+        _result_type(transform, src_type, raw)  # validates the combination
+        out.append(
+            {
+                "name": pname,
+                "transform": transform,
+                "source-id": by_name[col]["id"],
+                "field-id": 1000 + i,
+            }
+        )
+    return out
+
+
+def _result_type(transform: str, src_type: str, label: str = "") -> str:
+    """Transform result type per the spec's transform table. Raises for
+    source types a transform does not accept (never silently hashes an
+    unsupported representation)."""
+    if transform == "identity":
+        return src_type
+    if transform.startswith("bucket["):
+        if src_type in ("int", "long", "date", "timestamp", "timestamptz", "string"):
+            return "int"
+        raise IcebergProtocolError(
+            f"bucket over {src_type!r} not supported ({label or transform})"
+        )
+    if transform.startswith("truncate["):
+        if src_type in ("int", "long", "string"):
+            return src_type
+        raise IcebergProtocolError(
+            f"truncate over {src_type!r} not supported ({label or transform})"
+        )
+    if transform in _DATE_TRANSFORMS:
+        ok = ("date", "timestamp", "timestamptz")
+        if transform == "hour":
+            ok = ("timestamp", "timestamptz")
+        if src_type in ok:
+            return "int"
+        raise IcebergProtocolError(
+            f"{transform} over {src_type!r} not supported ({label or transform})"
+        )
+    raise IcebergProtocolError(f"unknown partition transform {transform!r}")
+
+
+def _spec_part_fields(meta: dict, spec: dict) -> list[dict]:
+    """Resolved view of the current spec: each field as {pname, source,
+    transform, src_type, result_type} with the source column looked up
+    by SOURCE-ID (names are mutable; ids are not)."""
+    ice_fields = next(
+        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+    )["fields"]
+    by_id = {f["id"]: f for f in ice_fields}
+    out = []
+    for f in spec["fields"]:
+        src = by_id.get(f["source-id"])
+        if src is None:
+            raise IcebergProtocolError(
+                f"partition source id {f['source-id']} not in current schema"
+            )
+        out.append(
+            {
+                "pname": f["name"],
+                "source": src["name"],
+                "transform": f.get("transform", "identity"),
+                "src_type": src["type"],
+                "result_type": _result_type(f.get("transform", "identity"), src["type"]),
+            }
+        )
+    return out
+
+
+def _transform_expr(transform: str, source: str, src_type: str):
+    """Spark Column computing ``transform(source)`` — expression-only for
+    everything except bucket, which is an Arrow-batched pandas UDF over
+    the numpy-vectorized murmur3 (per-batch column math, no per-row
+    Python)."""
+    col = F.col(source)
+    if transform == "identity":
+        return col
+    if transform.startswith("truncate["):
+        w = int(transform[len("truncate[") : -1])
+        if src_type == "string":
+            return F.substring(col, 1, w)
+        # floor-to-multiple for ints: v - (((v % W) + W) % W), via pmod
+        return (col - F.pmod(col, F.lit(w))).cast(
+            "int" if src_type == "int" else "long"
+        )
+    if transform == "year":
+        return (F.year(col) - F.lit(1970)).cast("int")
+    if transform == "month":
+        return ((F.year(col) - F.lit(1970)) * 12 + F.month(col) - 1).cast("int")
+    if transform == "day":
+        return F.datediff(F.to_date(col), F.lit("1970-01-01").cast("date")).cast("int")
+    if transform == "hour":
+        return (
+            F.datediff(F.to_date(col), F.lit("1970-01-01").cast("date")) * 24
+            + F.hour(col)
+        ).cast("int")
+    if transform.startswith("bucket["):
+        n = int(transform[len("bucket[") : -1])
+        if src_type == "string":
+            return _bucket_udf_string(n)(col)
+        if src_type == "date":
+            as_long = F.datediff(col, F.lit("1970-01-01").cast("date")).cast("long")
+        elif src_type in ("timestamp", "timestamptz"):
+            as_long = F.unix_micros(col.cast("timestamp"))
+        else:  # int / long hash as their LONG value per spec
+            as_long = col.cast("long")
+        return _bucket_udf_long(n)(as_long)
+    raise IcebergProtocolError(f"unknown partition transform {transform!r}")
+
+
+def _bucket_udf_long(n: int):
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _bucket(s):
+        import numpy as np
+
+        from projectdatalake_spark.functions.murmur3 import mmh3_long_np
+
+        mask = s.isna()
+        vals = s.fillna(0).to_numpy(dtype="int64")
+        h = mmh3_long_np(vals).astype(np.int64)
+        out = pd.Series((h & 0x7FFFFFFF) % n, dtype="Int32")
+        out[mask.to_numpy()] = None
+        return out
+
+    # real annotation objects (the module's `from __future__ import
+    # annotations` would stringify inline hints beyond pyspark's resolver)
+    _bucket.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_bucket, "int")
+
+
+def _bucket_udf_string(n: int):
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _bucket(s):
+        from projectdatalake_spark.functions.murmur3 import bucket_of_bytes
+
+        return pd.Series(
+            [
+                None if v is None else bucket_of_bytes(str(v).encode("utf-8"), n)
+                for v in s
+            ],
+            dtype="Int32",
+        )
+
+    _bucket.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_bucket, "int")
+
+
+def _transform_py(transform: str, value, src_type: str):
+    """Driver-side twin of ``_transform_expr`` for metadata pruning:
+    maps a PREDICATE value on the source column to partition-tuple
+    space. Accepts datetime.date/datetime for temporal sources."""
+    import datetime
+
+    from projectdatalake_spark.functions.murmur3 import (
+        bucket_of_bytes,
+        bucket_of_long,
+    )
+
+    if value is None:
+        return None
+    if transform == "identity":
+        return value
+    if transform.startswith("truncate["):
+        w = int(transform[len("truncate[") : -1])
+        if src_type == "string":
+            return str(value)[:w]
+        v = int(value)
+        return v - v % w  # Python % is floor-mod, matching the spec's floor
+    if transform in _DATE_TRANSFORMS:
+        d = value
+        if transform == "year":
+            return d.year - 1970
+        if transform == "month":
+            return (d.year - 1970) * 12 + d.month - 1
+        if transform == "day":
+            base = d.date() if isinstance(d, datetime.datetime) else d
+            return (base - datetime.date(1970, 1, 1)).days
+        # hour: naive datetimes are session-UTC by convention
+        ts = d if d.tzinfo else d.replace(tzinfo=datetime.timezone.utc)
+        return int(ts.timestamp()) // 3600
+    if transform.startswith("bucket["):
+        n = int(transform[len("bucket[") : -1])
+        if src_type == "string":
+            return bucket_of_bytes(str(value).encode("utf-8"), n)
+        if src_type == "date":
+            return bucket_of_long((value - datetime.date(1970, 1, 1)).days, n)
+        if src_type in ("timestamp", "timestamptz"):
+            ts = value if value.tzinfo else value.replace(tzinfo=datetime.timezone.utc)
+            return bucket_of_long(int(ts.timestamp() * 1_000_000), n)
+        return bucket_of_long(int(value), n)
+    raise IcebergProtocolError(f"unknown partition transform {transform!r}")
+
+
 class IcebergTable:
     """An Iceberg v2 table under ``root`` (filesystem-catalog layout:
     ``metadata/`` + ``version-hint.text``)."""
@@ -423,29 +663,58 @@ class IcebergTable:
     ) -> DataFrame:
         """DataFrame of the table state at ``snapshot_id`` (default:
         current). ``where_eq={col: values}`` prunes manifest entries on
-        their partition tuples; ``where={col: (lo, hi)}`` prunes on the
-        manifests' per-file lower/upper bounds (Iceberg single-value
-        binary, keyed by field id) — both are metadata-only scan planning:
-        files are skipped before any parquet footer is opened.
+        their partition tuples — keys may be source columns (values are
+        mapped through the field's transform: bucket/truncate/date
+        transforms prune equality predicates exactly) or partition field
+        names (pre-transformed values); ``where={col: (lo, hi)}`` prunes
+        on the manifests' per-file lower/upper bounds (Iceberg
+        single-value binary, keyed by field id) — both are metadata-only
+        scan planning: files are skipped before any parquet footer is
+        opened. Pruning is planning-only, never filtering: surviving
+        files can hold non-matching rows (a bucket holds many keys), so
+        callers apply the residual predicate, as Iceberg engines do.
         Identity-partition columns are restored typed from the partition
-        tuple per the spec's constants rule."""
+        tuple per the spec's constants rule; non-identity source columns
+        are read from the data files themselves."""
         meta = self.metadata()
         schema = self._spark_schema(meta)
         entries, delete_entries = self._entries_for_snapshot(meta, snapshot_id)
         spec = self._current_spec(meta)
-        pcols = [f["name"] for f in spec["fields"]]
+        pf = _spec_part_fields(meta, spec)
+        id_fields = [p for p in pf if p["transform"] == "identity"]
+        pcols = [p["pname"] for p in id_fields]
         if where_eq:
+            # Predicate keys may be SOURCE columns (values are transformed
+            # into partition space — bucket/truncate/date transforms prune
+            # equality predicates exactly) or partition FIELD names
+            # (pre-transformed values compared directly).
+            tuple_preds: list[tuple[str, set]] = []
+            for col, allowed in where_eq.items():
+                vals = (
+                    list(allowed)
+                    if isinstance(allowed, (list, tuple, set))
+                    else [allowed]
+                )
+                for p in pf:
+                    if p["pname"] == col:
+                        tuple_preds.append((p["pname"], set(vals)))
+                    elif p["source"] == col:
+                        tuple_preds.append(
+                            (
+                                p["pname"],
+                                {
+                                    _transform_py(p["transform"], v, p["src_type"])
+                                    for v in vals
+                                },
+                            )
+                        )
+
             def keep(e):
                 part = e["data_file"].get("partition", {}) or {}
-                for col, allowed in where_eq.items():
-                    if col not in part:
+                for pname, allowed_set in tuple_preds:
+                    if pname not in part:
                         continue
-                    vals = (
-                        allowed
-                        if isinstance(allowed, (list, tuple, set))
-                        else [allowed]
-                    )
-                    if part[col] not in set(vals):
+                    if part[pname] not in allowed_set:
                         return False
                 return True
 
@@ -618,15 +887,7 @@ class IcebergTable:
             raise IcebergCommitConflict(f"already an Iceberg table: {root}")
         fields = _iceberg_schema(spark_schema)
         by_name = {f["name"]: f for f in fields}
-        spec_fields = [
-            {
-                "name": c,
-                "transform": "identity",
-                "source-id": by_name[c]["id"],
-                "field-id": 1000 + i,
-            }
-            for i, c in enumerate(partition_by)
-        ]
+        spec_fields = _parse_partition_by(partition_by, by_name)
         meta = {
             "format-version": 2,
             "table-uuid": str(uuid.uuid4()),
@@ -764,7 +1025,7 @@ class IcebergTable:
         source columns are refused (the spec evolves specs separately)."""
         meta = self.metadata()
         spec = self._current_spec(meta)
-        if old in {f["name"] for f in spec["fields"]}:
+        if old in {p["source"] for p in _spec_part_fields(meta, spec)}:
             raise IcebergProtocolError(
                 f"{old!r} is a partition source column — partition spec "
                 f"evolution is a separate operation"
@@ -815,7 +1076,7 @@ class IcebergTable:
         source columns are refused."""
         meta = self.metadata()
         spec = self._current_spec(meta)
-        if name in {f["name"] for f in spec["fields"]}:
+        if name in {p["source"] for p in _spec_part_fields(meta, spec)}:
             raise IcebergProtocolError(
                 f"{name!r} is a partition source column — evolve the "
                 f"partition spec first"
@@ -868,14 +1129,14 @@ class IcebergTable:
         metadata JSON published via exclusive create."""
         meta = self.metadata()
         spec = self._current_spec(meta)
-        pcols = tuple(f["name"] for f in spec["fields"])
-        schema_fields = {
-            f["name"]: f["type"]
-            for f in next(
-                s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
-            )["fields"]
-        }
-        part_fields = [(c, schema_fields[c]) for c in pcols]
+        pf = _spec_part_fields(meta, spec)
+        pcols = tuple(p["pname"] for p in pf)
+        part_fields = [(p["pname"], p["result_type"]) for p in pf]
+        # identity partitioning removes the source column from data files
+        # (restored as a constant on read); non-identity transforms keep
+        # the source column IN the files — only the derived value is a
+        # directory, exactly the spec's storage contract
+        identity_sources = {p["source"] for p in pf if p["transform"] == "identity"}
         ice_fields = next(
             s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
         )["fields"]
@@ -888,10 +1149,16 @@ class IcebergTable:
             f["name"]: f["type"]
             for f in ice_fields
             if isinstance(f["type"], str)
-            and f["name"] not in pcols
+            and f["name"] not in identity_sources
             and f["type"] in boundable
         }
         df = self._with_field_ids(df, meta)
+        for p in pf:
+            if p["transform"] != "identity":
+                df = df.withColumn(
+                    p["pname"],
+                    _transform_expr(p["transform"], p["source"], p["src_type"]),
+                )
         staged = self._stage_data(df, pcols, bound_types)
         files = []
         for path, size, parts, count, bounds in staged:
@@ -926,14 +1193,9 @@ class IcebergTable:
         if meta is None:
             meta = self.metadata()
         spec = self._current_spec(meta)
-        pcols = tuple(f["name"] for f in spec["fields"])
-        schema_fields = {
-            f["name"]: f["type"]
-            for f in next(
-                s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
-            )["fields"]
-        }
-        part_fields = [(c, schema_fields[c]) for c in pcols]
+        part_fields = [
+            (p["pname"], p["result_type"]) for p in _spec_part_fields(meta, spec)
+        ]
         seq = meta["last-sequence-number"] + 1
         sid = uuid.uuid4().int % (1 << 62)
         part_schema = _partition_record_schema(part_fields)
@@ -1126,7 +1388,8 @@ class IcebergTable:
         meta = self.metadata()
         schema = self._spark_schema(meta)
         spec = self._current_spec(meta)
-        pcols = [f["name"] for f in spec["fields"]]
+        pf = _spec_part_fields(meta, spec)
+        pcols = [p["pname"] for p in pf if p["transform"] == "identity"]
         data_schema = StructType([f for f in schema.fields if f.name not in pcols])
         ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
         entries, _ = self._entries_for_snapshot(meta, None)
@@ -1178,13 +1441,7 @@ class IcebergTable:
         if n_deleted == 0:
             fs.delete(self._path(stage), True)
             return None
-        schema_fields = {
-            f["name"]: f["type"]
-            for f in next(
-                s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
-            )["fields"]
-        }
-        part_fields = [(c, schema_fields[c]) for c in pcols]
+        part_fields = [(p["pname"], p["result_type"]) for p in pf]
         part_schema = _partition_record_schema(part_fields)
         entry_schema = _manifest_entry_schema(part_schema)
         seq = meta["last-sequence-number"] + 1

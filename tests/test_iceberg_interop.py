@@ -382,3 +382,155 @@ def test_expire_snapshots_reclaims(spark, root):
     assert out2["snapshots"] == 1
     assert t.snapshot().count() == 110
     assert IcebergTable(spark, root).snapshot().count() == 110
+
+
+# --- partition transforms (spec "Partition Transforms" + Appendix B) ---
+
+
+def test_murmur3_spec_vectors():
+    """The exact hash vectors the Iceberg spec publishes for the bucket
+    transform (Appendix B) — scalar and vectorized paths must agree."""
+    import datetime
+
+    import numpy as np
+
+    from projectdatalake_spark.functions.murmur3 import (
+        mmh3_long_np,
+        murmur3_32,
+    )
+
+    def h_long(v):
+        return murmur3_32(int(v).to_bytes(8, "little", signed=True))
+
+    assert h_long(34) == 2017239379                       # int + long agree
+    assert murmur3_32(b"iceberg") == 1210000089           # string
+    days = (datetime.date(2017, 11, 16) - datetime.date(1970, 1, 1)).days
+    assert h_long(days) == -653330422                     # date
+    micros = int(
+        datetime.datetime(
+            2017, 11, 16, 22, 31, 8, tzinfo=datetime.timezone.utc
+        ).timestamp()
+    ) * 1_000_000
+    assert h_long(micros) == -2047944441                  # timestamp micros
+    vec = mmh3_long_np(np.array([34, days, micros], dtype=np.int64))
+    assert list(vec) == [2017239379, -653330422, -2047944441]
+
+
+def test_bucket_transform_roundtrip_and_pruning(spark, root):
+    t = IcebergTable.create(
+        spark, root, _df(spark, 0, 1000, seg_mod=5), partition_by=("bucket(4, id)",)
+    )
+    back = t.snapshot()
+    # non-identity source column comes back from DATA FILES, not constants
+    assert set(back.columns) == {"id", "seg", "val"}
+    assert back.count() == 1000
+    assert back.exceptAll(_df(spark, 0, 1000, seg_mod=5)).count() == 0
+    # the spec JSON records the transform
+    meta = t.metadata()
+    f = meta["partition-specs"][0]["fields"][0]
+    assert f["transform"] == "bucket[4]" and f["name"] == "id_bucket"
+    # manifest partition tuples carry the spec's murmur3 bucket ids
+    from projectdatalake_spark.functions.murmur3 import bucket_of_long
+
+    entries, _ = t._entries_for_snapshot(meta, None)
+    for e in entries:
+        assert e["data_file"]["partition"]["id_bucket"] in range(4)
+    # equality pruning through the transform: planning keeps only the
+    # predicate key's bucket, and rows survive the residual filter
+    probe = 777
+    n_all = len(entries)
+    pruned_entries = [
+        e
+        for e in entries
+        if e["data_file"]["partition"]["id_bucket"] == bucket_of_long(probe, 4)
+    ]
+    assert 0 < len(pruned_entries) < n_all
+    got = t.snapshot(where_eq={"id": probe}).filter(F.col("id") == probe)
+    assert got.count() == 1
+
+
+def test_bucket_string_and_nulls(spark, root):
+    from projectdatalake_spark.functions.murmur3 import bucket_of_bytes
+
+    df = spark.createDataFrame(
+        [(1, "iceberg"), (2, "parquet"), (3, None)], "id long, name string"
+    )
+    t = IcebergTable.create(spark, root, df, partition_by=("bucket(16, name)",))
+    back = t.snapshot()
+    assert back.count() == 3
+    assert back.filter("name IS NULL").count() == 1
+    meta = t.metadata()
+    entries, _ = t._entries_for_snapshot(meta, None)
+    buckets = {e["data_file"]["partition"]["name_bucket"] for e in entries}
+    # spec vector: hash("iceberg") = 1210000089 → bucket 1210000089 % 16
+    assert (1210000089 & 0x7FFFFFFF) % 16 in buckets
+    assert bucket_of_bytes(b"iceberg", 16) == (1210000089 & 0x7FFFFFFF) % 16
+    assert None in buckets  # null partition survives the hive layout
+
+
+def test_truncate_and_date_transforms(spark, root):
+    import datetime
+
+    df = spark.createDataFrame(
+        [
+            (-7, "1-URGENT", datetime.date(1995, 3, 5)),
+            (-8, "3-MEDIUM", datetime.date(1995, 11, 30)),
+            (9, "5-LOW", datetime.date(1997, 1, 1)),
+        ],
+        "v int, prio string, d date",
+    )
+    t = IcebergTable.create(
+        spark,
+        root,
+        df,
+        partition_by=("truncate(4, v)", "truncate(1, prio)", "month(d)"),
+    )
+    meta = t.metadata()
+    fields = meta["partition-specs"][0]["fields"]
+    assert [f["transform"] for f in fields] == ["truncate[4]", "truncate[1]", "month"]
+    entries, _ = t._entries_for_snapshot(meta, None)
+    tuples = {
+        (
+            e["data_file"]["partition"]["v_trunc"],
+            e["data_file"]["partition"]["prio_trunc"],
+            e["data_file"]["partition"]["d_month"],
+        )
+        for e in entries
+    }
+    # floor semantics for negatives (-7 → -8), month = months-from-1970-01
+    assert (-8, "1", (1995 - 1970) * 12 + 2) in tuples
+    assert (-8, "3", (1995 - 1970) * 12 + 10) in tuples
+    assert (8, "5", (1997 - 1970) * 12 + 0) in tuples
+    back = t.snapshot()
+    assert back.exceptAll(df).count() == 0 and back.count() == 3
+    # source-column equality predicate prunes through month()
+    pr = t.snapshot(where_eq={"d": datetime.date(1995, 3, 20)})
+    assert pr.count() == 1  # only the 1995-03 file planned
+
+
+def test_transform_source_columns_protected(spark, root):
+    t = IcebergTable.create(
+        spark, root, _df(spark, 0, 50), partition_by=("bucket(4, id)",)
+    )
+    with pytest.raises(IcebergProtocolError):
+        t.rename_column("id", "id2")
+    with pytest.raises(IcebergProtocolError):
+        t.drop_column("id")
+    # non-source columns still evolve, and the table stays readable
+    t.rename_column("val", "amount")
+    assert "amount" in t.snapshot().columns
+    # deletes work on transformed tables (tuple schema uses result types)
+    t.delete_where("id % 10 = 3")
+    assert t.snapshot().count() == 45
+
+
+def test_unsupported_transforms_refused(spark, root):
+    df = _df(spark, 0, 10)
+    with pytest.raises(IcebergProtocolError):
+        IcebergTable.create(spark, root, df, partition_by=("bucket(0, id)",))
+    with pytest.raises(IcebergProtocolError):
+        IcebergTable.create(spark, root, df, partition_by=("truncate(2, val)",))
+    with pytest.raises(IcebergProtocolError):
+        IcebergTable.create(spark, root, df, partition_by=("hour(id)",))
+    with pytest.raises(IcebergProtocolError):
+        IcebergTable.create(spark, root, df, partition_by=("sha1(id)",))
