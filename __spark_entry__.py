@@ -158,6 +158,7 @@ _R4_PINNED = frozenset(
         "delta_schema_merge",
         "iceberg_bucket_transform",
         "iceberg_month_transform",
+        "iceberg_equality_delete",
     }
 )
 

@@ -8211,3 +8211,52 @@ def iceberg_month_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
         .orderBy("mon")
     )
+
+
+@query(
+    "iceberg_equality_delete",
+    oracle="""
+    WITH alive AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE NOT (o_orderkey % 10 = 3)
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 20 = 3
+    )
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total
+    FROM alive GROUP BY o_orderstatus
+    """,
+)
+def iceberg_equality_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 EQUALITY DELETES (content=2) with the spec's sequence
+    ordering: "delete these keys" writes only the distinct key tuples +
+    an equality_ids manifest — O(keys), no scan to find the rows — and a
+    later append RE-INSERTS half the keys, which survive because
+    equality deletes apply only to data files with strictly smaller
+    sequence numbers. The read (broadcast null-safe anti-join per
+    equality-id group) must equal SQL replaying delete-then-reinsert.
+
+    100 TB: this is the CDC-ingest primitive — upserts land as
+    (equality-delete, append) pairs without locating old rows, deferring
+    the match to read/compaction, which is how Flink writes Iceberg."""
+    import tempfile
+
+    from projectdatalake_spark.sources.iceberg_interop import IcebergTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_eqdel_")
+    t = IcebergTable.create(spark, root, o.repartition(8))
+    t.delete_equality(
+        o.filter(F.col("o_orderkey") % 10 == 3).select("o_orderkey")
+    )
+    t.append(o.filter(F.col("o_orderkey") % 20 == 3).repartition(2))
+    return (
+        t.snapshot()
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
+    )

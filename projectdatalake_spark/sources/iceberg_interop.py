@@ -46,7 +46,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 from projectdatalake_spark.sources.avro_codec import read_container, write_container
 
@@ -232,6 +232,15 @@ def _manifest_entry_schema(part_schema: dict) -> dict:
                             "type": ["null", _bounds_map_schema("k129_v130", 129, 130)],
                             "default": None,
                             "field-id": 128,
+                        },
+                        {
+                            "name": "equality_ids",
+                            "type": [
+                                "null",
+                                {"type": "array", "items": "int", "element-id": 136},
+                            ],
+                            "default": None,
+                            "field-id": 135,
                         },
                     ],
                 },
@@ -652,6 +661,14 @@ class IcebergTable:
             _, rows = read_container(self._read_bytes(m["manifest_path"]))
             for e in rows:
                 if e["status"] in (0, 1):  # EXISTING / ADDED
+                    # effective DATA sequence number (spec inheritance:
+                    # a null entry seq inherits the manifest's) — the
+                    # ordering equality deletes are applied by
+                    e["_seq"] = (
+                        e.get("sequence_number")
+                        if e.get("sequence_number") is not None
+                        else m["sequence_number"]
+                    )
                     (deletes if content == 1 else data).append(e)
         return data, deletes
 
@@ -755,23 +772,36 @@ class IcebergTable:
             return self.spark.createDataFrame([], schema)
         data_schema = StructType([f for f in schema.fields if f.name not in pcols])
         ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
+        pos_entries = [
+            e for e in delete_entries if e["data_file"].get("content") != 2
+        ]
+        eq_entries = [
+            e for e in delete_entries if e["data_file"].get("content") == 2
+        ]
+        for e in eq_entries:
+            if not e["data_file"].get("equality_ids"):
+                raise IcebergProtocolError(
+                    "equality delete file without equality_ids — cannot "
+                    "apply, rows would be resurrected"
+                )
+        # equality deletes apply to data files with STRICTLY SMALLER data
+        # sequence numbers, so when any exist the scan groups by (partition,
+        # seq) to carry each file's effective sequence through the plan
         groups: dict[tuple, list[str]] = {}
         for e in entries:
             df_rec = e["data_file"]
             part = df_rec.get("partition", {}) or {}
-            key = tuple((c, part.get(c)) for c in pcols)
+            key = (
+                tuple((c, part.get(c)) for c in pcols),
+                e["_seq"] if eq_entries else None,
+            )
             groups.setdefault(key, []).append(df_rec["file_path"])
         deletes_df = None
-        if delete_entries:
-            if any(e["data_file"].get("content") == 2 for e in delete_entries):
-                raise IcebergProtocolError(
-                    "equality deletes (content=2) not supported by this "
-                    "reader — rows would be resurrected"
-                )
+        if pos_entries:
             # v2 position deletes: parquet files of (file_path, pos) pairs,
             # applied as a distributed anti-join on the parquet metadata
             # row index — merge-on-read, no data rewritten, executor-side
-            del_paths = [e["data_file"]["file_path"] for e in delete_entries]
+            del_paths = [e["data_file"]["file_path"] for e in pos_entries]
             deletes_df = (
                 self.spark.read.schema("file_path string, pos long")
                 .parquet(*del_paths)
@@ -781,7 +811,7 @@ class IcebergTable:
                 )
             )
         frames = []
-        for key, paths in groups.items():
+        for (key, seq), paths in groups.items():
             df = self.spark.read.schema(data_schema).parquet(*paths)
             if deletes_df is not None:
                 df = (
@@ -793,12 +823,66 @@ class IcebergTable:
                     .join(deletes_df, on=["__fp", "__ri"], how="left_anti")
                     .drop("__fp", "__ri")
                 )
+            if eq_entries:
+                df = df.withColumn("__seq", F.lit(seq).cast("long"))
             for col, val in key:
                 df = df.withColumn(col, F.lit(val).cast(ptypes[col]))
-            frames.append(df.select(*[f.name for f in schema.fields]))
+            frames.append(
+                df.select(
+                    *[f.name for f in schema.fields],
+                    *(["__seq"] if eq_entries else []),
+                )
+            )
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f)
+        if eq_entries:
+            # group delete files by their equality-id tuple; each group is
+            # one broadcast anti-join on null-safe key equality plus the
+            # sequence ordering (data_seq < delete_seq): rows re-appended
+            # AFTER the delete keep their higher seq and survive
+            fields_by_id = {
+                f["id"]: f
+                for f in next(
+                    s
+                    for s in meta["schemas"]
+                    if s["schema-id"] == meta["current-schema-id"]
+                )["fields"]
+            }
+            spark_type = {f.name: f.dataType for f in schema.fields}
+            by_ids: dict[tuple, list] = {}
+            for e in eq_entries:
+                by_ids.setdefault(
+                    tuple(sorted(e["data_file"]["equality_ids"])), []
+                ).append(e)
+            for ids_key, ents in by_ids.items():
+                unknown = [i for i in ids_key if i not in fields_by_id]
+                if unknown:
+                    raise IcebergProtocolError(
+                        f"equality_ids {unknown} not in current schema — "
+                        f"cannot apply equality deletes"
+                    )
+                cols = [fields_by_id[i]["name"] for i in ids_key]
+                key_schema = StructType(
+                    [
+                        StructField(c, spark_type[c], True)
+                        for c in cols
+                    ]
+                )
+                kf = None
+                for e in ents:
+                    one = self.spark.read.schema(key_schema).parquet(
+                        e["data_file"]["file_path"]
+                    ).withColumn("__del_seq", F.lit(e["_seq"]).cast("long"))
+                    kf = one if kf is None else kf.unionByName(one)
+                kf = kf.select(
+                    *[F.col(c).alias(f"__eq_{c}") for c in cols], "__del_seq"
+                )
+                cond = F.col("__seq") < F.col("__del_seq")
+                for c in cols:
+                    cond = cond & F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
+                out = out.join(F.broadcast(kf), on=cond, how="left_anti")
+            out = out.drop("__seq")
         return out
 
     def _spark_schema(self, meta: dict) -> StructType:
@@ -1442,6 +1526,131 @@ class IcebergTable:
             fs.delete(self._path(stage), True)
             return None
         part_fields = [(p["pname"], p["result_type"]) for p in pf]
+        return self._commit_delete_snapshot(
+            meta,
+            spec,
+            part_fields,
+            files=[
+                {
+                    "content": 1,  # POSITION_DELETES
+                    "file_path": path,
+                    "file_format": "PARQUET",
+                    "partition": {c: None for c, _ in part_fields},
+                    "record_count": counts.get(path, 0),
+                    "file_size_in_bytes": size,
+                }
+                for path, size in del_files
+                if counts.get(path, 0) > 0
+            ],
+            n_deleted=n_deleted,
+            summary={
+                "operation": "delete",
+                "added-position-delete-files": str(
+                    sum(1 for p, _ in del_files if counts.get(p, 0) > 0)
+                ),
+                "added-position-deletes": str(n_deleted),
+            },
+        )
+
+    def delete_equality(
+        self, keys: DataFrame, cols: list[str] | None = None
+    ) -> int | None:
+        """Merge-on-read DELETE via v2 EQUALITY DELETE files (content=2):
+        the distinct key tuples are written as a parquet delete file whose
+        manifest entry carries ``equality_ids`` (the field ids the values
+        match on), and readers drop every data row whose key equals a
+        delete row AND whose data sequence number is STRICTLY LESS than
+        the delete's — so rows re-appended later with the same key
+        survive, the spec's upsert-friendly semantics. O(keys) write cost
+        regardless of table size: the 100 TB "delete these ids" that
+        touches no data file and doesn't even need to FIND the rows at
+        write time (position deletes must scan; equality deletes defer
+        matching to read/compaction). Returns the new snapshot id, or
+        None for an empty key set."""
+        meta = self.metadata()
+        spec = self._current_spec(meta)
+        pf = _spec_part_fields(meta, spec)
+        part_fields = [(p["pname"], p["result_type"]) for p in pf]
+        ice_fields = next(
+            s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+        )["fields"]
+        by_name = {f["name"]: f for f in ice_fields}
+        cols = list(cols or keys.columns)
+        missing = [c for c in cols if c not in by_name]
+        if missing:
+            raise IcebergProtocolError(
+                f"equality delete columns not in table schema: {missing}"
+            )
+        eq_ids = [by_name[c]["id"] for c in cols]
+        # delete files carry the equality columns (with their field ids)
+        distinct = keys.select(
+            *[
+                F.col(c).alias(c, metadata={"parquet.field.id": by_name[c]["id"]})
+                for c in cols
+            ]
+        ).distinct()
+        stage = f"{self.root}/data/{uuid.uuid4().hex}-eqdel"
+        distinct.repartition(1).write.mode("overwrite").parquet(stage)
+        fs = self._fs()
+        del_files = []
+        it = fs.listFiles(self._path(stage), True)
+        while it.hasNext():
+            status = it.next()
+            p = status.getPath()
+            if p.getName().endswith(".parquet"):
+                del_files.append((p.toUri().getPath(), status.getLen()))
+        counts = {
+            r["__file"].replace("file://", "").replace("file:", ""): r["count"]
+            for r in self.spark.read.parquet(*[f for f, _ in del_files])
+            .withColumn("__file", F.input_file_name())
+            .groupBy("__file")
+            .count()
+            .collect()
+        }
+        n_keys = sum(counts.values())
+        if n_keys == 0:
+            fs.delete(self._path(stage), True)
+            return None
+        return self._commit_delete_snapshot(
+            meta,
+            spec,
+            part_fields,
+            files=[
+                {
+                    "content": 2,  # EQUALITY_DELETES
+                    "file_path": path,
+                    "file_format": "PARQUET",
+                    "partition": {c: None for c, _ in part_fields},
+                    "record_count": counts.get(path, 0),
+                    "file_size_in_bytes": size,
+                    "equality_ids": eq_ids,
+                }
+                for path, size in del_files
+                if counts.get(path, 0) > 0
+            ],
+            n_deleted=n_keys,
+            summary={
+                "operation": "delete",
+                "added-equality-delete-files": str(
+                    sum(1 for p, _ in del_files if counts.get(p, 0) > 0)
+                ),
+                "added-equality-deletes": str(n_keys),
+            },
+        )
+
+    def _commit_delete_snapshot(
+        self,
+        meta: dict,
+        spec: dict,
+        part_fields: list[tuple[str, str]],
+        files: list[dict],
+        n_deleted: int,
+        summary: dict,
+    ) -> int:
+        """Shared commit tail for position- and equality-delete snapshots:
+        content=1 delete manifest, manifest list = prior + delete
+        manifest, metadata advanced via the optimistic exclusive-create
+        protocol."""
         part_schema = _partition_record_schema(part_fields)
         entry_schema = _manifest_entry_schema(part_schema)
         seq = meta["last-sequence-number"] + 1
@@ -1452,17 +1661,9 @@ class IcebergTable:
                 "snapshot_id": sid,
                 "sequence_number": None,
                 "file_sequence_number": None,
-                "data_file": {
-                    "content": 1,  # POSITION_DELETES
-                    "file_path": path,
-                    "file_format": "PARQUET",
-                    "partition": {c: None for c, _ in part_fields},
-                    "record_count": counts.get(path, 0),
-                    "file_size_in_bytes": size,
-                },
+                "data_file": f,
             }
-            for path, size in del_files
-            if counts.get(path, 0) > 0
+            for f in files
         ]
         manifest_path = f"{self.root}/metadata/{uuid.uuid4().hex}-m1.avro"
         manifest_bytes = write_container(
@@ -1513,11 +1714,7 @@ class IcebergTable:
             "sequence-number": seq,
             "timestamp-ms": now,
             "manifest-list": mlist_path,
-            "summary": {
-                "operation": "delete",
-                "added-position-delete-files": str(len(del_entries)),
-                "added-position-deletes": str(n_deleted),
-            },
+            "summary": summary,
             "schema-id": meta["current-schema-id"],
         }
         new_meta = dict(meta)

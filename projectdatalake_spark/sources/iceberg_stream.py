@@ -148,7 +148,14 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
                                 dict(df_rec.get("partition") or {}),
                             )
                         )
-                    else:  # position-delete manifest
+                    else:  # delete manifest
+                        if df_rec.get("content") == 2:
+                            raise ValueError(
+                                "equality deletes (content=2) are not "
+                                "row-exact in a CDF stream without replaying "
+                                "matching state — read the table with "
+                                "IcebergTable.snapshot() instead"
+                            )
                         parts.append(
                             IcebergChangePartition(
                                 "delete", df_rec["file_path"], seq, cols, {},

@@ -254,7 +254,10 @@ def test_equality_deletes_refused(spark, root):
     )
     if os.path.exists(crc):
         os.remove(crc)
-    with pytest.raises(IcebergProtocolError, match="equality deletes"):
+    # a posed content=2 entry WITHOUT equality_ids is malformed — the
+    # reader refuses rather than resurrecting rows (well-formed equality
+    # deletes are supported; see the equality-delete tests below)
+    with pytest.raises(IcebergProtocolError, match="equality delete"):
         IcebergTable(spark, root).snapshot().count()
 
 
@@ -534,3 +537,87 @@ def test_unsupported_transforms_refused(spark, root):
         IcebergTable.create(spark, root, df, partition_by=("hour(id)",))
     with pytest.raises(IcebergProtocolError):
         IcebergTable.create(spark, root, df, partition_by=("sha1(id)",))
+
+
+# --- equality deletes (content=2) -------------------------------------------
+
+
+def test_equality_delete_applies_and_manifests(spark, root):
+    t = IcebergTable.create(spark, root, _df(spark, 0, 100), partition_by=("seg",))
+    sid = t.delete_equality(spark.range(10, 20).select("id"))
+    assert sid is not None
+    assert t.snapshot().count() == 90
+    assert t.snapshot().filter("id = 15").count() == 0
+    meta = t.metadata()
+    snap = meta["snapshots"][-1]
+    assert snap["summary"]["added-equality-deletes"] == "10"
+    # manifest entry carries content=2 + the equality field ids
+    _, manifests = read_container(t._read_bytes(snap["manifest-list"]))
+    dm = next(m for m in manifests if m["content"] == 1)
+    _, entries = read_container(t._read_bytes(dm["manifest_path"]))
+    rec = entries[0]["data_file"]
+    assert rec["content"] == 2
+    id_fid = next(
+        f["id"]
+        for f in meta["schemas"][meta["current-schema-id"]]["fields"]
+        if f["name"] == "id"
+    )
+    assert rec["equality_ids"] == [id_fid]
+    # empty key set commits nothing
+    assert t.delete_equality(spark.range(0, 0).select("id")) is None
+
+
+def test_equality_delete_reinsert_survives(spark, root):
+    """The spec's sequence-number rule: an equality delete applies only to
+    data files with STRICTLY SMALLER data sequence numbers, so the same
+    key appended after the delete is alive — upsert semantics."""
+    t = IcebergTable.create(spark, root, _df(spark, 0, 50))
+    t.delete_equality(spark.createDataFrame([(7,), (8,)], "id long"))
+    assert t.snapshot().count() == 48
+    t.append(_df(spark, 7, 9))  # ids 7, 8 come back at a higher seq
+    back = t.snapshot()
+    assert back.count() == 50
+    assert back.filter("id IN (7, 8)").count() == 2
+    # a LATER delete removes the re-inserted generation too
+    t.delete_equality(spark.createDataFrame([(7,)], "id long"))
+    assert t.snapshot().count() == 49
+    # time travel BEFORE the second delete still sees both
+    prior = t.metadata()["snapshots"][-2]["snapshot-id"]
+    assert t.snapshot(snapshot_id=prior).filter("id = 7").count() == 1
+
+
+def test_equality_delete_multi_column_and_nulls(spark, root):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "b")], "id long, tag string"
+    )
+    t = IcebergTable.create(spark, root, df)
+    # (2,'b') matches one row; (3, NULL) must match the NULL row
+    # (null-safe equality, the spec's delete-row semantics)
+    t.delete_equality(
+        spark.createDataFrame([(2, "b"), (3, None)], "id long, tag string"),
+        cols=["id", "tag"],
+    )
+    back = t.snapshot()
+    assert {r["id"] for r in back.collect()} == {1, 4}
+    # unknown column refused loudly
+    with pytest.raises(IcebergProtocolError, match="not in table schema"):
+        t.delete_equality(spark.createDataFrame([(1,)], "nope long"))
+
+
+def test_equality_delete_stream_refused(spark, root):
+    from projectdatalake_spark.sources import iceberg_stream
+
+    iceberg_stream.register(spark)
+    t = IcebergTable.create(spark, root, _df(spark, 0, 20))
+    t.delete_equality(spark.createDataFrame([(3,)], "id long"))
+    q = (
+        spark.readStream.format("iceberg_changes")
+        .option("path", root)
+        .load()
+        .writeStream.format("memory")
+        .queryName("eq_refuse")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="equality deletes"):
+        q.awaitTermination()
