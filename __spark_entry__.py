@@ -159,6 +159,7 @@ _R4_PINNED = frozenset(
         "iceberg_bucket_transform",
         "iceberg_month_transform",
         "iceberg_equality_delete",
+        "iceberg_compaction",
     }
 )
 

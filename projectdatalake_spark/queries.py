@@ -8260,3 +8260,49 @@ def iceberg_equality_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
     )
+
+
+@query(
+    "iceberg_compaction",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE NOT (o_orderkey % 10 = 7) AND NOT (o_orderkey % 10 = 3)
+    GROUP BY o_orderstatus
+    """,
+)
+def iceberg_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rewrite_data_files: a position delete AND an equality delete pile
+    merge-on-read cost onto every scan; the compaction REPLACE snapshot
+    folds both into fresh data files — the post-compaction snapshot read
+    is a plain scan (no anti-joins, delete files out of the live set) and
+    must equal SQL with both predicates applied. Asserts the delete
+    entries are gone before returning.
+
+    100 TB: MOR ingest absorbs deletes in O(keys); scheduled compaction
+    amortizes their read cost once — the write/read balance every
+    delete-heavy lakehouse runs on."""
+    import tempfile
+
+    from projectdatalake_spark.sources.iceberg_interop import IcebergTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_compact_")
+    t = IcebergTable.create(spark, root, o.repartition(8))
+    t.delete_where("o_orderkey % 10 = 7")                       # position
+    t.delete_equality(                                           # equality
+        o.filter(F.col("o_orderkey") % 10 == 3).select("o_orderkey")
+    )
+    t.rewrite_data_files()
+    _, dels = t._entries_for_snapshot(t.metadata(), None)
+    assert dels == [], "compaction must retire delete files"
+    return (
+        t.snapshot()
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
+    )

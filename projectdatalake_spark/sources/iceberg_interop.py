@@ -1212,6 +1212,33 @@ class IcebergTable:
         files, manifest list = prior manifests + the new one, next
         metadata JSON published via exclusive create."""
         meta = self.metadata()
+        return self.append_files(self._prepare_files(df, meta), meta=meta)
+
+    def rewrite_data_files(self) -> int | None:
+        """Copy-on-write COMPACTION (Iceberg's rewrite_data_files): the
+        current merge-on-read state — position AND equality deletes
+        applied — is materialized into fresh data files and committed as
+        a REPLACE snapshot whose manifest list holds ONLY the new data
+        manifest. Reads after compaction are plain scans again (no
+        anti-joins); prior snapshots still time travel to the old file
+        set until ``expire_snapshots`` reclaims it. This is the
+        read-amplification release valve for the delete-heavy ingest
+        pattern: MOR absorbs deletes in O(keys), compaction amortizes
+        their read cost across one rewrite. Returns the new snapshot id,
+        or None for an empty table."""
+        meta = self.metadata()
+        entries, _ = self._entries_for_snapshot(meta, None)
+        if not entries:
+            return None
+        files = self._prepare_files(self.snapshot(), meta)
+        return self.append_files(
+            files, meta=meta, replace=True, operation="replace"
+        )
+
+    def _prepare_files(self, df: DataFrame, meta: dict) -> list[dict]:
+        """Stage ``df`` as data files under the current spec and return
+        append_files-shaped descriptors (path, size, TYPED partition
+        tuple, record count, column bounds)."""
         spec = self._current_spec(meta)
         pf = _spec_part_fields(meta, spec)
         pcols = tuple(p["pname"] for p in pf)
@@ -1266,14 +1293,23 @@ class IcebergTable:
                     "upper_bounds": upper or None,
                 }
             )
-        return self.append_files(files, meta=meta)
+        return files
 
-    def append_files(self, files: list[dict], meta: dict | None = None) -> int:
+    def append_files(
+        self,
+        files: list[dict],
+        meta: dict | None = None,
+        replace: bool = False,
+        operation: str = "append",
+    ) -> int:
         """Commit an append snapshot over PRE-EXISTING parquet files — the
         zero-copy path (cross-format converts, in-place migration). Each
         descriptor: {path (absolute), size, partition (TYPED values per
         the current spec), record_count, lower_bounds?, upper_bounds?}.
-        No data moves; only manifests + metadata are written."""
+        No data moves; only manifests + metadata are written.
+        ``replace=True`` commits the new manifest as the ENTIRE file set
+        (prior manifests dropped from the manifest list — the compaction
+        / overwrite commit shape)."""
         if meta is None:
             meta = self.metadata()
         spec = self._current_spec(meta)
@@ -1345,7 +1381,7 @@ class IcebergTable:
         }
         prior = []
         cur_sid = meta.get("current-snapshot-id")
-        if cur_sid is not None and cur_sid != -1:
+        if cur_sid is not None and cur_sid != -1 and not replace:
             cur_snap = next(
                 s for s in meta["snapshots"] if s["snapshot-id"] == cur_sid
             )
@@ -1368,7 +1404,7 @@ class IcebergTable:
             "timestamp-ms": now,
             "manifest-list": mlist_path,
             "summary": {
-                "operation": "append",
+                "operation": operation,
                 "added-data-files": str(len(entries)),
                 "added-records": str(added_rows),
             },

@@ -621,3 +621,38 @@ def test_equality_delete_stream_refused(spark, root):
     )
     with pytest.raises(Exception, match="equality deletes"):
         q.awaitTermination()
+
+
+def test_rewrite_data_files_folds_deletes(spark, root):
+    """Copy-on-write compaction: MOR delete files (position + equality)
+    are folded into fresh data files; reads become plain scans, prior
+    snapshots still time travel, expire reclaims the old generation."""
+    t = IcebergTable.create(
+        spark, root, _df(spark, 0, 200), partition_by=("seg",)
+    )
+    t.delete_where("id % 10 = 7")
+    t.delete_equality(spark.range(0, 5).select("id"))
+    before = t.snapshot()
+    n = before.count()
+    assert n == 175  # 200 - 20 (pos) - 5 (eq, ids 0..4 none end in 7)
+    sid_prior = t.current_snapshot_id()
+    assert t.rewrite_data_files() is not None
+    meta = t.metadata()
+    entries, dels = t._entries_for_snapshot(meta, None)
+    assert dels == []                       # delete files left the live set
+    after = t.snapshot()
+    assert after.count() == n
+    assert after.exceptAll(before).count() == 0
+    assert meta["snapshots"][-1]["summary"]["operation"] == "replace"
+    # partition tuples survive compaction (spec-typed, prunable)
+    assert {e["data_file"]["partition"]["seg"] for e in entries} == {0, 1, 2}
+    assert t.snapshot(where_eq={"seg": [1]}).count() < n
+    # prior snapshot untouched; expire retires it and the table still reads
+    assert t.snapshot(snapshot_id=sid_prior).count() == n
+    t.expire_snapshots(retain=1)
+    assert IcebergTable(spark, root).snapshot().count() == n
+    # empty table: nothing to rewrite
+    e = IcebergTable.create_empty(
+        spark, root + "_e", _df(spark, 0, 1).schema
+    )
+    assert e.rewrite_data_files() is None
