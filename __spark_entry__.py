@@ -160,6 +160,7 @@ _R4_PINNED = frozenset(
         "iceberg_month_transform",
         "iceberg_equality_delete",
         "iceberg_compaction",
+        "semantic_dedup_survivors",
     }
 )
 

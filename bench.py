@@ -113,6 +113,11 @@ EXTENDED = [
     "iceberg_expire_lifecycle",
     "iceberg_stream_cdf",
     "delta_schema_merge",
+    "iceberg_bucket_transform",
+    "iceberg_month_transform",
+    "iceberg_equality_delete",
+    "iceberg_compaction",
+    "semantic_dedup_survivors",
 ]
 
 HEADLINE = [

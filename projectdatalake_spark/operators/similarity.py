@@ -527,3 +527,104 @@ def mmr_rerank(
         schema="query_id long, neighbor_id long, mmr_rank int, "
                "cosine double, mmr_score double",
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.6,
+    n_cells: int = 16,
+    n_assign: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: KMeans cells over the
+    embedding space (soft-assigned to the ``n_assign`` nearest cells),
+    exact cosine pairs WITHIN each cell, then the deterministic survivor
+    rule — a row is dropped iff some cell-sharing row with a smaller id
+    is cosine-similar above ``threshold``. Returns the surviving rows of
+    ``embeddings`` (original schema).
+
+    This is the embedding rung of the dedup ladder (exact → MinHash →
+    SimHash → cosine): near-duplicate MEANING, not near-duplicate bytes
+    — the training-corpus pass that text fingerprints cannot do
+    (Abbas et al. 2023, "SemDeDup", arXiv:2303.09540, describes the
+    recipe: k-means clusters, pairwise cosine within cluster, keep one
+    per duplicate set).
+
+    Approximation is the clustering itself: cross-cell near-dups are
+    missed (gated vs unblocked brute force in
+    tests/test_accuracy_gates.py). Precision is exact — every drop is
+    backed by a real above-threshold pair.
+
+    Scale: the quadratic pair join is confined to cells (n²/k per cell,
+    k≈√n cells → O(n^1.5) total, vs n² unblocked); cell assignment is
+    one KMeans transform; the survivor rule is one left_anti join on the
+    pair list. The cell-assigned frame is the persistable artifact —
+    at 100 TB write it partitioned by cell and dedup incrementally per
+    cell.
+    """
+    _, centers = ivf_index(
+        embeddings,
+        n_cells=n_cells,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    multi = assign_cells_multi(
+        embeddings, centers, n_assign=n_assign, id_col=id_col, vec_col=vec_col
+    )
+    # soft assignment: each row sits in its n_assign nearest cells, so a
+    # near-dup pair straddling one boundary still shares a cell; a pair
+    # sharing several cells is generated once per shared cell and
+    # collapsed by the distinct() below
+    pairs = cosine_pairs(
+        multi,
+        threshold=threshold,
+        block_cols=["cell"],
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return embeddings.join(dropped, on=id_col, how="left_anti")
+
+
+def assign_cells_multi(
+    df: DataFrame,
+    centers,
+    n_assign: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Explode each row into its ``n_assign`` nearest KMeans cells —
+    soft IVF assignment, the standard recall lever for cell-blocked
+    similarity work. The centroid matrix is KB-sized metadata carried in
+    the UDF closure (broadcast with the task, never shuffled); each
+    Arrow batch computes one (batch × cells) distance matrix in numpy —
+    no per-row Python. Rows are L2-normalized for the distance (cosine
+    ranking on the unit sphere), matching ``ivf_index`` training.
+    Returns (id, vec, cell) with n_assign rows per input row."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.asarray(centers, dtype="float64")
+    m = min(n_assign, len(c))
+
+    def _cells(s):
+        mat = np.stack(
+            [np.asarray(v, dtype="float64") for v in s]
+        )  # (batch, dim)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        unit = mat / np.where(norms == 0, 1.0, norms)
+        d2 = ((unit[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        top = np.argsort(d2, axis=1)[:, :m]
+        return pd.Series([row.astype("int32").tolist() for row in top])
+
+    _cells.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    udf = pandas_udf(_cells, "array<int>")
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(udf(F.col(vec_col))).alias("cell"),
+    )

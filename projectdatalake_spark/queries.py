@@ -8306,3 +8306,30 @@ def iceberg_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
     )
+
+
+@query("semantic_dedup_survivors")  # KMeans cells not SQL-expressible → rows-only
+def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-space deduplication —
+    KMeans cells soft-assigned to the 3 nearest centroids, EXACT cosine
+    pairs within each cell, drop every row with a smaller-id cell-mate
+    above the threshold. The embedding rung of the dedup ladder: catches
+    near-duplicate MEANING that byte-level fingerprints (MinHash,
+    SimHash) cannot. Precision is exact by construction; recall >= 0.9
+    vs unblocked brute force is gated in tests/test_accuracy_gates.py
+    (this corpus's near-dups are weak, cosine ~0.35 — the hard case the
+    soft assignment exists for). Driver records rows-only.
+
+    100 TB: the pair join is confined to cells (O(n^1.5) with sqrt(n)
+    cells vs n² unblocked); assignment is one Arrow-batched numpy matmul
+    against KB-sized centroids; survivors come from one left_anti join.
+    Persist the cell-assigned frame partitioned by cell and the pass
+    becomes per-cell incremental."""
+    from projectdatalake_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        S.semantic_dedup(emb, threshold=0.35, n_cells=8, n_assign=3)
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )

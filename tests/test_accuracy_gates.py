@@ -400,3 +400,34 @@ def test_ann_ivf_sample_trained_recall(spark):
     approx = S.ivf_search(assigned, centers, queries, k=K, n_probe=12)
     recall = _recall_at_k(approx, exact)
     assert recall >= 0.8, f"sample-trained IVF recall@{K} degraded to {recall:.2f}"
+
+
+def test_semantic_dedup_gate(spark):
+    """SemDeDup (cells + soft assignment + within-cell cosine): every
+    drop must be backed by a real above-threshold pair (precision is
+    EXACT by construction) and the cell blocking must find >= 0.9 of
+    the drops brute force makes. This corpus is the hard case — its
+    near-dups sit at cosine ~0.35 (weak structure, pairs straddle cell
+    boundaries), which is exactly what the n_assign soft-assignment
+    lever exists for (measured here: 1-assign = 0.48 recall, 3-assign
+    = 1.0)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    brute_dropped = {
+        r.id_b
+        for r in S.cosine_pairs(emb, threshold=0.35, block_cols=[])
+        .select("id_b")
+        .distinct()
+        .collect()
+    }
+    surv = S.semantic_dedup(emb, threshold=0.35, n_cells=8, n_assign=3)
+    got_dropped = {
+        r.vec_id
+        for r in emb.select("vec_id")
+        .exceptAll(surv.select("vec_id"))
+        .collect()
+    }
+    assert got_dropped <= brute_dropped, "a drop without a real pair"
+    recall = len(got_dropped & brute_dropped) / len(brute_dropped)
+    assert recall >= 0.9, f"semantic dedup recall degraded to {recall:.2f}"
+    # survivors + dropped partition the corpus
+    assert surv.count() + len(got_dropped) == emb.count()
