@@ -161,6 +161,7 @@ _R4_PINNED = frozenset(
         "iceberg_equality_delete",
         "iceberg_compaction",
         "semantic_dedup_survivors",
+        "delta_rename_mapping",
     }
 )
 

@@ -118,6 +118,7 @@ EXTENDED = [
     "iceberg_equality_delete",
     "iceberg_compaction",
     "semantic_dedup_survivors",
+    "delta_rename_mapping",
 ]
 
 HEADLINE = [

@@ -8333,3 +8333,50 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label")
         .orderBy("vec_id")
     )
+
+
+@query(
+    "delta_rename_mapping",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS price_total
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def delta_rename_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta RENAME COLUMN through column mapping: half the orders land
+    at v0, the first rename upgrades the table to name-mode mapping
+    (mapping ids + physicalNames frozen to the original names, protocol
+    (2,5)) with ZERO files rewritten, and the second half appends
+    THROUGH the mapping (logical→physical staging), so pre- and
+    post-rename files resolve under one rule. The aggregate over the
+    renamed column must equal SQL over the original.
+
+    100 TB: renames on petabyte tables must be O(metadata) — column
+    mapping is exactly Delta's mechanism for that, and the physical
+    staging keeps later ingest append-only."""
+    import tempfile
+
+    from projectdatalake_spark.sources.delta_interop import DeltaTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    root = tempfile.mkdtemp(prefix="delta_rename_")
+    t = DeltaTable.create(
+        spark, root, o.filter(F.col("o_orderkey") % 2 == 0).repartition(4)
+    )
+    t.rename_column("o_totalprice", "price")
+    t.append(
+        o.filter(F.col("o_orderkey") % 2 == 1)
+        .withColumnRenamed("o_totalprice", "price")
+        .repartition(4)
+    )
+    return (
+        t.snapshot()
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("price")).alias("price_total"))
+    )

@@ -871,6 +871,69 @@ class DeltaTable:
                 f"staging)"
             )
 
+    def rename_column(self, old: str, new: str) -> int:
+        """Metadata-only RENAME via COLUMN MAPPING (name mode): the first
+        rename upgrades the table — every field gets a
+        ``delta.columnMapping.id`` and a ``physicalName`` equal to its
+        current name, so every existing data file keeps resolving with
+        ZERO rewrites, and the protocol advances to (2, 5) per the
+        spec's columnMapping requirement. The rename itself then only
+        changes the LOGICAL name; the physical name is frozen for the
+        column's lifetime. Partition columns are refused (their physical
+        names are baked into the hive directory layout)."""
+        state = self._state()
+        meta = state["metaData"]
+        schema_json = json.loads(meta["schemaString"])
+        names = [f["name"] for f in schema_json["fields"]]
+        if old not in names:
+            raise KeyError(old)
+        if new in names:
+            raise DeltaProtocolError(f"column {new!r} already exists")
+        if old in (meta.get("partitionColumns") or []):
+            raise DeltaProtocolError(
+                f"{old!r} is a partition column — its physical name is the "
+                f"hive directory layout; rename is refused"
+            )
+        cfg = dict(meta.get("configuration") or {})
+        actions: list[dict] = [
+            {"commitInfo": self._commit_info(
+                "RENAME COLUMN", {"from": old, "to": new}
+            )}
+        ]
+        if cfg.get("delta.columnMapping.mode", "none") in (None, "none"):
+            max_id = 0
+            for f in schema_json["fields"]:
+                max_id += 1
+                md = dict(f.get("metadata") or {})
+                md.setdefault("delta.columnMapping.id", max_id)
+                md.setdefault("delta.columnMapping.physicalName", f["name"])
+                f["metadata"] = md
+            cfg["delta.columnMapping.mode"] = "name"
+            cfg["delta.columnMapping.maxColumnId"] = str(max_id)
+            actions.append(
+                {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
+            )
+        for f in schema_json["fields"]:
+            if f["name"] == old:
+                f["name"] = new
+        actions.append(
+            {
+                "metaData": {
+                    **meta,
+                    "schemaString": json.dumps(schema_json),
+                    "configuration": cfg,
+                }
+            }
+        )
+        for _ in range(20):
+            v = self.latest_version() + 1
+            try:
+                self._publish(v, actions)
+                return v
+            except DeltaCommitConflict:
+                continue
+        raise DeltaCommitConflict(f"rename lost 20 races at {self.root}")
+
     def append(
         self,
         df: DataFrame,
@@ -883,15 +946,31 @@ class DeltaTable:
         exactly-once streaming sinks. ``merge_schema=True`` accepts NEW
         nullable columns (Delta's mergeSchema): the commit carries an
         updated metaData whose schemaString appends them; old files read
-        the additions as null. Without it, unknown columns are refused."""
+        the additions as null. Without it, unknown columns are refused.
+
+        NAME-mapped tables append through PHYSICAL staging: the frame's
+        logical columns are renamed to their frozen physical names before
+        the write, so new files sit next to pre-rename files under one
+        resolution rule. (Schema merge on mapped tables would need fresh
+        mapping ids — still refused; id-mode tables likewise.)"""
         state = self._state()
-        self._refuse_mapped(state["metaData"], "append")
         meta = state["metaData"]
+        phys_of = self._column_mapping(meta)
+        cm_mode = (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+        if phys_of and cm_mode != "name":
+            self._refuse_mapped(meta, "append")
         cur_schema = StructType.fromJson(json.loads(meta["schemaString"]))
         known = {f.name for f in cur_schema.fields}
         new_fields = [f for f in df.schema.fields if f.name not in known]
         new_meta_action = None
         if new_fields:
+            if phys_of:
+                raise DeltaProtocolError(
+                    "mergeSchema on a column-mapped table needs fresh "
+                    "mapping ids — not supported by this writer"
+                )
             if not merge_schema:
                 raise DeltaProtocolError(
                     f"columns {[f.name for f in new_fields]} not in the table "
@@ -904,7 +983,16 @@ class DeltaTable:
         pcols = tuple(state["metaData"].get("partitionColumns", []))
         if txn is not None and state["txns"].get(txn[0], -1) >= txn[1]:
             return -1  # already applied (idempotent replay)
-        adds = self._stage(df, pcols)
+        stage_df = df
+        if phys_of:
+            stage_df = df.select(
+                *[
+                    F.col(f.name).alias(phys_of.get(f.name, f.name))
+                    for f in cur_schema.fields
+                    if f.name in df.columns
+                ]
+            )
+        adds = self._stage(stage_df, pcols)
         actions: list[dict] = [{"commitInfo": self._commit_info("WRITE", {"mode": "Append"})}]
         if new_meta_action is not None:
             actions.append(new_meta_action)

@@ -637,3 +637,65 @@ def test_merge_schema_append(spark, root):
     assert s.filter("note IS NULL").count() == 50  # old files: typed null
     # fresh reader sees the evolved schema from the log
     assert DeltaTable(spark, root).snapshot().columns == ["id", "seg", "val", "note"]
+
+
+def test_rename_column_via_column_mapping(spark, root):
+    """First rename upgrades to columnMapping name mode — ids +
+    physicalNames frozen to the pre-rename names, protocol (2,5) — and
+    is METADATA-ONLY: zero data files rewritten, old files resolve
+    under the new logical name."""
+    import json as _json
+
+    df = _df(spark, 0, 100)
+    t = DeltaTable.create(spark, root, df, partition_by=("seg",))
+    files_before = sorted(a["path"] for a in t.files())
+    t.rename_column("val", "amount")
+    assert sorted(a["path"] for a in t.files()) == files_before  # no rewrite
+    back = t.snapshot()
+    assert set(back.columns) == {"id", "seg", "amount"}
+    assert (
+        back.agg(F.sum("amount")).collect()[0][0]
+        == df.agg(F.sum("val")).collect()[0][0]
+    )
+    meta = t._state()["metaData"]
+    cfg = meta["configuration"]
+    assert cfg["delta.columnMapping.mode"] == "name"
+    fields = {f["name"]: f for f in _json.loads(meta["schemaString"])["fields"]}
+    # physical name frozen to the ORIGINAL name; mapping ids assigned
+    assert fields["amount"]["metadata"]["delta.columnMapping.physicalName"] == "val"
+    assert fields["amount"]["metadata"]["delta.columnMapping.id"] >= 1
+    proto = t._state()["protocol"]
+    assert proto["minReaderVersion"] == 2 and proto["minWriterVersion"] == 5
+    # time travel BEFORE the rename still shows the old logical name
+    assert "val" in t.snapshot(version=0).columns
+    # partition column rename refused (physical name = directory layout)
+    with pytest.raises(DeltaProtocolError, match="partition column"):
+        t.rename_column("seg", "bucket")
+
+
+def test_append_after_rename_physical_staging(spark, root):
+    t = DeltaTable.create(spark, root, _df(spark, 0, 50), partition_by=("seg",))
+    t.rename_column("val", "amount")
+    t.append(
+        spark.range(50, 70)
+        .withColumn("seg", (F.col("id") % 3).cast("int"))
+        .withColumn("amount", F.col("id") * 2.5)
+    )
+    back = t.snapshot()
+    assert back.count() == 70
+    # old and new files agree under one resolution rule
+    assert back.filter("id >= 50").agg(F.sum("amount")).collect()[0][0] == sum(
+        i * 2.5 for i in range(50, 70)
+    )
+    # a second rename reuses the frozen physical names (no re-upgrade)
+    t.rename_column("amount", "price")
+    assert t.snapshot().filter("price IS NOT NULL").count() == 70
+    # mergeSchema on a mapped table needs fresh ids — refused
+    with pytest.raises(DeltaProtocolError, match="mapping ids"):
+        t.append(
+            spark.range(0, 1)
+            .withColumn("seg", F.lit(0).cast("int"))
+            .withColumn("price", F.lit(0.0))
+            .withColumn("extra", F.lit(1)),
+            merge_schema=True,
+        )
