@@ -162,6 +162,7 @@ _R4_PINNED = frozenset(
         "iceberg_compaction",
         "semantic_dedup_survivors",
         "delta_rename_mapping",
+        "iceberg_spec_evolution",
     }
 )
 

@@ -119,6 +119,7 @@ EXTENDED = [
     "iceberg_compaction",
     "semantic_dedup_survivors",
     "delta_rename_mapping",
+    "iceberg_spec_evolution",
 ]
 
 HEADLINE = [

@@ -537,6 +537,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    train_fraction: float | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: KMeans cells over the
     embedding space (soft-assigned to the ``n_assign`` nearest cells),
@@ -570,6 +571,7 @@ def semantic_dedup(
         seed=seed,
         id_col=id_col,
         vec_col=vec_col,
+        train_fraction=train_fraction,
     )
     multi = assign_cells_multi(
         embeddings, centers, n_assign=n_assign, id_col=id_col, vec_col=vec_col

@@ -8193,8 +8193,12 @@ def iceberg_month_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("double").alias("o_totalprice"),
     )
     root = tempfile.mkdtemp(prefix="iceberg_month_")
+    # cluster the write by the transform value: random partitioning would
+    # emit (tasks × months) tiny files — every writer task touching every
+    # hive dir — while hashing on the month keeps it to ~1 file per month
+    mon = (F.year("o_orderdate") - 1970) * 12 + F.month("o_orderdate") - 1
     t = IcebergTable.create(
-        spark, root, o.repartition(8), partition_by=("month(o_orderdate)",)
+        spark, root, o.repartition(16, mon), partition_by=("month(o_orderdate)",)
     )
     months_1995 = [(1995 - 1970) * 12 + m for m in range(12)]
     planned = t.snapshot(where_eq={"o_orderdate_month": months_1995})
@@ -8329,7 +8333,9 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return (
-        S.semantic_dedup(emb, threshold=0.35, n_cells=8, n_assign=3)
+        S.semantic_dedup(
+            emb, threshold=0.35, n_cells=8, n_assign=3, train_fraction=0.3
+        )
         .select("vec_id", "label")
         .orderBy("vec_id")
     )
@@ -8379,4 +8385,56 @@ def delta_rename_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.snapshot()
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("price")).alias("price_total"))
+    )
+
+
+@query(
+    "iceberg_spec_evolution",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def iceberg_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION SPEC EVOLUTION: the pre-1997 orders land identity-
+    partitioned on priority (era 0), ``update_spec`` switches the table
+    to bucket[8] on custkey as an O(metadata) commit — zero files
+    touched — and the 1997+ tail appends under the NEW spec. The read
+    spans both eras: era-0 files restore priority as a typed constant
+    from their tuples, era-1 files carry it in the data and prune on
+    custkey buckets. The cross-era aggregate must equal plain SQL.
+
+    100 TB: this is why Iceberg exists vs hive layouts — repartitioning
+    a petabyte table is a metadata commit, with rewrite_data_files as
+    the optional physical migration."""
+    import tempfile
+
+    from projectdatalake_spark.sources.iceberg_interop import IcebergTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    cut = F.lit("1997-01-01").cast("timestamp_ntz")
+    dated = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").alias("_d")
+    )
+    o_dated = o.join(dated, "o_orderkey")
+    root = tempfile.mkdtemp(prefix="iceberg_evo_")
+    t = IcebergTable.create(
+        spark,
+        root,
+        o_dated.filter(F.col("_d") < cut).drop("_d").repartition(4),
+        partition_by=("o_orderpriority",),
+    )
+    t.update_spec(("bucket(8, o_custkey)",))
+    t.append(o_dated.filter(F.col("_d") >= cut).drop("_d").repartition(4))
+    return (
+        t.snapshot()
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
     )

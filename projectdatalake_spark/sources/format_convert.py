@@ -132,6 +132,16 @@ def convert_iceberg_to_delta(ice: IcebergTable, dest_root: str) -> DeltaTable:
             "non-identity partition transforms cannot map to Delta "
             "partitionValues"
         )
+    # spec-evolved tables mix partition-tuple shapes across file eras;
+    # Delta has one partitionColumns list — compact to the current spec
+    # first so every live file shares it
+    eras = {e.get("_spec_id", 0) for e in entries}
+    if eras - {spec["spec-id"]}:
+        raise IcebergProtocolError(
+            "live files span historical partition specs — run "
+            "rewrite_data_files() to migrate them to the current spec "
+            "before converting to Delta"
+        )
     schema = ice._spark_schema(meta)
     # strip field-id metadata: Delta resolves by name
     plain_schema = StructType.fromJson(

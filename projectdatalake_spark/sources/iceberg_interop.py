@@ -669,6 +669,10 @@ class IcebergTable:
                         if e.get("sequence_number") is not None
                         else m["sequence_number"]
                     )
+                    # the spec ERA this file was written under (manifests
+                    # pin their spec id; partition tuples only make sense
+                    # against it after spec evolution)
+                    e["_spec_id"] = m.get("partition_spec_id", 0)
                     (deletes if content == 1 else data).append(e)
         return data, deletes
 
@@ -696,39 +700,47 @@ class IcebergTable:
         meta = self.metadata()
         schema = self._spark_schema(meta)
         entries, delete_entries = self._entries_for_snapshot(meta, snapshot_id)
-        spec = self._current_spec(meta)
-        pf = _spec_part_fields(meta, spec)
-        id_fields = [p for p in pf if p["transform"] == "identity"]
-        pcols = [p["pname"] for p in id_fields]
+        # spec ERAS: after partition-spec evolution, files from different
+        # eras coexist in one snapshot; each entry's partition tuple is
+        # interpreted under ITS manifest's spec id
+        pf_by_spec = {
+            s["spec-id"]: _spec_part_fields(meta, s)
+            for s in meta["partition-specs"]
+        }
         if where_eq:
             # Predicate keys may be SOURCE columns (values are transformed
             # into partition space — bucket/truncate/date transforms prune
             # equality predicates exactly) or partition FIELD names
-            # (pre-transformed values compared directly).
-            tuple_preds: list[tuple[str, set]] = []
-            for col, allowed in where_eq.items():
-                vals = (
-                    list(allowed)
-                    if isinstance(allowed, (list, tuple, set))
-                    else [allowed]
-                )
-                for p in pf:
-                    if p["pname"] == col:
-                        tuple_preds.append((p["pname"], set(vals)))
-                    elif p["source"] == col:
-                        tuple_preds.append(
-                            (
-                                p["pname"],
-                                {
-                                    _transform_py(p["transform"], v, p["src_type"])
-                                    for v in vals
-                                },
+            # (pre-transformed values compared directly). Computed per
+            # spec era: a file is prunable only by the fields ITS spec
+            # actually partitioned on.
+            preds_by_spec: dict[int, list[tuple[str, set]]] = {}
+            for spec_id, era_pf in pf_by_spec.items():
+                tuple_preds: list[tuple[str, set]] = []
+                for col, allowed in where_eq.items():
+                    vals = (
+                        list(allowed)
+                        if isinstance(allowed, (list, tuple, set))
+                        else [allowed]
+                    )
+                    for p in era_pf:
+                        if p["pname"] == col:
+                            tuple_preds.append((p["pname"], set(vals)))
+                        elif p["source"] == col:
+                            tuple_preds.append(
+                                (
+                                    p["pname"],
+                                    {
+                                        _transform_py(p["transform"], v, p["src_type"])
+                                        for v in vals
+                                    },
+                                )
                             )
-                        )
+                preds_by_spec[spec_id] = tuple_preds
 
             def keep(e):
                 part = e["data_file"].get("partition", {}) or {}
-                for pname, allowed_set in tuple_preds:
+                for pname, allowed_set in preds_by_spec.get(e["_spec_id"], []):
                     if pname not in part:
                         continue
                     if part[pname] not in allowed_set:
@@ -770,8 +782,12 @@ class IcebergTable:
             entries = [e for e in entries if in_range(e)]
         if not entries:
             return self.spark.createDataFrame([], schema)
-        data_schema = StructType([f for f in schema.fields if f.name not in pcols])
-        ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
+        # identity fields (restore-as-constant set) per spec era
+        idcols_by_spec = {
+            sid: [p["pname"] for p in era if p["transform"] == "identity"]
+            for sid, era in pf_by_spec.items()
+        }
+        ptypes = {f.name: f.dataType for f in schema.fields}
         pos_entries = [
             e for e in delete_entries if e["data_file"].get("content") != 2
         ]
@@ -785,14 +801,17 @@ class IcebergTable:
                     "apply, rows would be resurrected"
                 )
         # equality deletes apply to data files with STRICTLY SMALLER data
-        # sequence numbers, so when any exist the scan groups by (partition,
-        # seq) to carry each file's effective sequence through the plan
+        # sequence numbers, so when any exist the scan groups by (spec era,
+        # partition, seq) to carry each file's effective sequence through
+        # the plan; the spec era picks which columns come back as constants
         groups: dict[tuple, list[str]] = {}
         for e in entries:
             df_rec = e["data_file"]
             part = df_rec.get("partition", {}) or {}
+            era_cols = idcols_by_spec.get(e["_spec_id"], [])
             key = (
-                tuple((c, part.get(c)) for c in pcols),
+                e["_spec_id"],
+                tuple((c, part.get(c)) for c in era_cols),
                 e["_seq"] if eq_entries else None,
             )
             groups.setdefault(key, []).append(df_rec["file_path"])
@@ -811,7 +830,11 @@ class IcebergTable:
                 )
             )
         frames = []
-        for (key, seq), paths in groups.items():
+        for (spec_id, key, seq), paths in groups.items():
+            era_cols = set(idcols_by_spec.get(spec_id, []))
+            data_schema = StructType(
+                [f for f in schema.fields if f.name not in era_cols]
+            )
             df = self.spark.read.schema(data_schema).parquet(*paths)
             if deletes_df is not None:
                 df = (
@@ -1047,9 +1070,14 @@ class IcebergTable:
             for c in bcols:
                 aggs.append(F.min(c).alias(f"min__{c}"))
                 aggs.append(F.max(c).alias(f"max__{c}"))
+            # read the stage DIRECTORY, not N explicit paths: an explicit
+            # path list is validated path-by-path on the driver (~60 ms
+            # each — 5+ s for an 80-file hive write), while the directory
+            # is one recursive listing; the stage dir contains exactly the
+            # files just written, so the scans are identical
             rows = (
                 self.spark.read.option("basePath", stage_dir)
-                .parquet(*[f for f, _ in files])
+                .parquet(stage_dir)
                 .withColumn("__file", F.input_file_name())
                 .groupBy("__file")
                 .agg(*aggs)
@@ -1100,6 +1128,60 @@ class IcebergTable:
             )
             cols.append(src.alias(f["name"], metadata={"parquet.field.id": f["id"]}))
         return df.select(*cols)
+
+    def update_spec(self, partition_by: tuple[str, ...]) -> int:
+        """PARTITION SPEC EVOLUTION — metadata only. The new spec (same
+        DDL-ish syntax as ``create``: bare columns, ``bucket(N, col)``,
+        ``truncate(W, col)``, ``year/month/day/hour(col)``) becomes the
+        default for FUTURE writes; every existing data file stays put
+        under its original spec era — manifests pin their spec id, and
+        the reader interprets each file's partition tuple (pruning AND
+        identity-constant restoration) under the spec it was written
+        with. This is the Iceberg feature that makes repartitioning a
+        100 TB table O(metadata) instead of a rewrite; run
+        ``rewrite_data_files`` afterwards if physical relayout under the
+        new spec is actually wanted. Partition FIELD IDS are table-wide
+        and never reused: a field matching an existing (source-id,
+        transform) pair keeps its id across specs, new fields get fresh
+        ids. Returns the new spec id."""
+        meta = self.metadata()
+        ice_fields = next(
+            s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+        )["fields"]
+        parsed = _parse_partition_by(
+            partition_by, {f["name"]: f for f in ice_fields}
+        )
+        known: dict[tuple, int] = {}
+        last_pid = meta.get("last-partition-id", 999)
+        for s in meta["partition-specs"]:
+            for f in s["fields"]:
+                known[(f["source-id"], f["transform"])] = f["field-id"]
+                last_pid = max(last_pid, f["field-id"])
+        new_fields = []
+        for f in parsed:
+            k = (f["source-id"], f["transform"])
+            if k in known:
+                fid = known[k]
+            else:
+                last_pid += 1
+                fid = last_pid
+            new_fields.append({**f, "field-id": fid})
+        new_spec_id = max(s["spec-id"] for s in meta["partition-specs"]) + 1
+        new_meta = dict(meta)
+        new_meta["partition-specs"] = meta["partition-specs"] + [
+            {"spec-id": new_spec_id, "fields": new_fields}
+        ]
+        new_meta["default-spec-id"] = new_spec_id
+        new_meta["last-partition-id"] = last_pid
+        new_meta["last-updated-ms"] = int(time.time() * 1000)
+        v = self.current_metadata_version()
+        for _ in range(20):
+            try:
+                self._write_metadata(v + 1, new_meta)
+                return new_spec_id
+            except IcebergCommitConflict:
+                v = self.current_metadata_version()
+        raise IcebergCommitConflict(f"spec evolution lost 20 races at {self.root}")
 
     def rename_column(self, old: str, new: str) -> int:
         """Metadata-only rename: a new schema version keeps every FIELD ID
@@ -1159,11 +1241,16 @@ class IcebergTable:
         files keep the bytes but no read schema references them. Partition
         source columns are refused."""
         meta = self.metadata()
-        spec = self._current_spec(meta)
-        if name in {p["source"] for p in _spec_part_fields(meta, spec)}:
+        # guard across ALL spec eras: a column sourced by ANY spec still
+        # interprets that era's partition tuples (ids never die)
+        era_sources = set()
+        for s in meta["partition-specs"]:
+            for p in _spec_part_fields(meta, s):
+                era_sources.add(p["source"])
+        if name in era_sources:
             raise IcebergProtocolError(
-                f"{name!r} is a partition source column — evolve the "
-                f"partition spec first"
+                f"{name!r} is a partition source column (in a current or "
+                f"historical spec) — evolve the partition spec first"
             )
         ice = next(
             s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
@@ -1509,19 +1596,33 @@ class IcebergTable:
         schema = self._spark_schema(meta)
         spec = self._current_spec(meta)
         pf = _spec_part_fields(meta, spec)
-        pcols = [p["pname"] for p in pf if p["transform"] == "identity"]
-        data_schema = StructType([f for f in schema.fields if f.name not in pcols])
-        ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
+        idcols_by_spec = {
+            s["spec-id"]: [
+                p["pname"]
+                for p in _spec_part_fields(meta, s)
+                if p["transform"] == "identity"
+            ]
+            for s in meta["partition-specs"]
+        }
+        ptypes = {f.name: f.dataType for f in schema.fields}
         entries, _ = self._entries_for_snapshot(meta, None)
         if not entries:
             return None
         groups: dict[tuple, list[str]] = {}
         for e in entries:
             part = e["data_file"].get("partition", {}) or {}
-            key = tuple((c, part.get(c)) for c in pcols)
+            era_cols = idcols_by_spec.get(e["_spec_id"], [])
+            key = (
+                e["_spec_id"],
+                tuple((c, part.get(c)) for c in era_cols),
+            )
             groups.setdefault(key, []).append(e["data_file"]["file_path"])
         pair_frames = []
-        for key, paths in groups.items():
+        for (spec_id, key), paths in groups.items():
+            era_cols = set(idcols_by_spec.get(spec_id, []))
+            data_schema = StructType(
+                [f for f in schema.fields if f.name not in era_cols]
+            )
             df = self.spark.read.schema(data_schema).parquet(*paths)
             for col, val in key:
                 df = df.withColumn(col, F.lit(val).cast(ptypes[col]))

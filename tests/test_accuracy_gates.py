@@ -419,7 +419,11 @@ def test_semantic_dedup_gate(spark):
         .distinct()
         .collect()
     }
-    surv = S.semantic_dedup(emb, threshold=0.35, n_cells=8, n_assign=3)
+    # the REGISTERED configuration (sample-trained quantizer — the cost
+    # bound real SemDeDup runs use) must hold the same gates
+    surv = S.semantic_dedup(
+        emb, threshold=0.35, n_cells=8, n_assign=3, train_fraction=0.3
+    )
     got_dropped = {
         r.vec_id
         for r in emb.select("vec_id")

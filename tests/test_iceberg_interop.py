@@ -656,3 +656,63 @@ def test_rewrite_data_files_folds_deletes(spark, root):
         spark, root + "_e", _df(spark, 0, 1).schema
     )
     assert e.rewrite_data_files() is None
+
+
+def test_partition_spec_evolution(spark, root):
+    """update_spec: O(metadata) repartitioning — old files stay under
+    their spec era, reads interpret each file's tuple under ITS spec
+    (pruning + identity restore), writes use the new spec, and
+    rewrite_data_files migrates the physical layout on demand."""
+    t = IcebergTable.create(
+        spark, root, _df(spark, 0, 100), partition_by=("seg",)
+    )
+    files_before = sorted(
+        e["data_file"]["file_path"]
+        for e in t._entries_for_snapshot(t.metadata(), None)[0]
+    )
+    new_spec = t.update_spec(("bucket(4, id)",))
+    # metadata only: no files touched, spec list grew, default advanced
+    meta = t.metadata()
+    assert meta["default-spec-id"] == new_spec
+    assert len(meta["partition-specs"]) == 2
+    assert sorted(
+        e["data_file"]["file_path"]
+        for e in t._entries_for_snapshot(meta, None)[0]
+    ) == files_before
+    t.append(_df(spark, 100, 150))
+    entries, _ = t._entries_for_snapshot(t.metadata(), None)
+    assert {e["_spec_id"] for e in entries} == {0, 1}
+    back = t.snapshot()
+    assert back.count() == 150
+    want = _df(spark, 0, 100).unionByName(_df(spark, 100, 150))
+    assert back.exceptAll(want).count() == 0
+    # era-scoped pruning: a seg predicate prunes only era-0 files (era-1
+    # files are kept — their spec never partitioned on seg) ...
+    pr = t.snapshot(where_eq={"seg": [1]})
+    assert pr.filter("id >= 100").count() == 50
+    assert pr.filter("id < 100").select("seg").distinct().collect() == [
+        pytest.approx(1)
+    ] or {r.seg for r in pr.filter("id < 100").select("seg").distinct().collect()} == {1}
+    # ... and an id predicate prunes only era-1 files
+    pr2 = t.snapshot(where_eq={"id": 120})
+    assert pr2.filter("id = 120").count() == 1
+    assert pr2.filter("id < 100").count() == 100
+    # field ids are table-wide: re-adding identity(seg) reuses its id
+    t.update_spec(("seg", "bucket(4, id)"))
+    specs = t.metadata()["partition-specs"]
+    fid_of = {
+        (f["source-id"], f["transform"]): f["field-id"]
+        for f in specs[0]["fields"] + specs[1]["fields"]
+    }
+    for f in specs[2]["fields"]:
+        assert f["field-id"] == fid_of[(f["source-id"], f["transform"])]
+    # deletes work across eras; compaction migrates to the current spec
+    t.delete_where("id % 10 = 7")
+    assert t.snapshot().count() == 135
+    t.rewrite_data_files()
+    entries2, dels2 = t._entries_for_snapshot(t.metadata(), None)
+    assert {e["_spec_id"] for e in entries2} == {2} and dels2 == []
+    assert t.snapshot().count() == 135
+    # dropping a column sourced by a HISTORICAL spec is refused
+    with pytest.raises(IcebergProtocolError, match="historical"):
+        t.drop_column("seg")
