@@ -163,6 +163,7 @@ _R4_PINNED = frozenset(
         "semantic_dedup_survivors",
         "delta_rename_mapping",
         "iceberg_spec_evolution",
+        "iceberg_dynamic_overwrite",
     }
 )
 

@@ -120,6 +120,7 @@ EXTENDED = [
     "semantic_dedup_survivors",
     "delta_rename_mapping",
     "iceberg_spec_evolution",
+    "iceberg_dynamic_overwrite",
 ]
 
 HEADLINE = [

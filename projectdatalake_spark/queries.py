@@ -8438,3 +8438,57 @@ def iceberg_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
     )
+
+
+@query(
+    "iceberg_dynamic_overwrite",
+    oracle="""
+    WITH corrected AS (
+        SELECT o_orderkey, '1-URGENT' AS o_orderpriority,
+               CAST(0.0 AS DOUBLE) AS o_totalprice
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+    ), final AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        FROM orders WHERE o_orderpriority <> '1-URGENT'
+        UNION ALL SELECT * FROM corrected
+    )
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total
+    FROM final GROUP BY o_orderpriority
+    """,
+)
+def iceberg_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC PARTITION OVERWRITE: the idempotent-backfill primitive —
+    "recompute partition X" replaces exactly X's files in one atomic
+    snapshot while every other partition's files are CARRIED as
+    EXISTING manifest entries (original sequence numbers pinned). Here
+    the 1-URGENT partition is rewritten with zeroed prices; the
+    aggregate must equal SQL replaying the same correction, and the
+    other four priorities' files are untouched on disk.
+
+    100 TB: backfills touch O(changed partition) data + O(all files)
+    metadata, never other partitions' bytes — and reruns of the same
+    backfill converge (same partitions replaced again)."""
+    import tempfile
+
+    from projectdatalake_spark.sources.iceberg_interop import IcebergTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_dynovw_")
+    t = IcebergTable.create(
+        spark, root, o.repartition(4), partition_by=("o_orderpriority",)
+    )
+    corrected = o.filter(F.col("o_orderpriority") == "1-URGENT").withColumn(
+        "o_totalprice", F.lit(0.0)
+    )
+    t.overwrite_partitions(corrected.repartition(2))
+    return (
+        t.snapshot()
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
+    )

@@ -1322,6 +1322,57 @@ class IcebergTable:
             files, meta=meta, replace=True, operation="replace"
         )
 
+    def overwrite_partitions(self, df: DataFrame) -> int:
+        """DYNAMIC PARTITION OVERWRITE: replace exactly the partitions
+        the incoming frame touches, atomically, in one snapshot — the
+        idempotent-backfill primitive ("recompute day X" never disturbs
+        day Y). Files in untouched partitions are CARRIED into the new
+        manifest as EXISTING entries pinning their original sequence
+        numbers (equality-delete ordering survives); delete manifests
+        ride along, so position deletes on the replaced files become
+        no-ops and live deletes elsewhere keep applying. On an
+        unpartitioned table this is a full overwrite (the one partition
+        is the table). Spec-evolved tables must compact first — an old
+        era's tuple can't be compared against current-spec partitions."""
+        meta = self.metadata()
+        spec = self._current_spec(meta)
+        entries, _ = self._entries_for_snapshot(meta, None)
+        eras = {e["_spec_id"] for e in entries}
+        if eras - {spec["spec-id"]}:
+            raise IcebergProtocolError(
+                "live files span historical partition specs — run "
+                "rewrite_data_files() before a dynamic overwrite"
+            )
+        files = self._prepare_files(df, meta)
+        touched = {
+            tuple(sorted((f.get("partition") or {}).items())) for f in files
+        }
+        carried = []
+        for e in entries:
+            d = e["data_file"]
+            part = dict(d.get("partition") or {})
+            if tuple(sorted(part.items())) in touched:
+                continue
+            carried.append(
+                {
+                    "path": d["file_path"],
+                    "size": d["file_size_in_bytes"],
+                    "partition": part,
+                    "record_count": d["record_count"],
+                    "lower_bounds": d.get("lower_bounds"),
+                    "upper_bounds": d.get("upper_bounds"),
+                    "status": 0,
+                    "sequence_number": e["_seq"],
+                }
+            )
+        return self.append_files(
+            carried + files,
+            meta=meta,
+            replace=True,
+            operation="overwrite",
+            carry_deletes=True,
+        )
+
     def _prepare_files(self, df: DataFrame, meta: dict) -> list[dict]:
         """Stage ``df`` as data files under the current spec and return
         append_files-shaped descriptors (path, size, TYPED partition
@@ -1388,6 +1439,7 @@ class IcebergTable:
         meta: dict | None = None,
         replace: bool = False,
         operation: str = "append",
+        carry_deletes: bool = False,
     ) -> int:
         """Commit an append snapshot over PRE-EXISTING parquet files — the
         zero-copy path (cross-format converts, in-place migration). Each
@@ -1409,13 +1461,23 @@ class IcebergTable:
         entry_schema = _manifest_entry_schema(part_schema)
         entries = []
         added_rows = 0
+        n_added = n_existing = existing_rows = 0
         for f in files:
-            added_rows += f["record_count"]
+            status = f.get("status", 1)  # 1 ADDED; 0 EXISTING (carried over)
+            if status == 1:
+                added_rows += f["record_count"]
+                n_added += 1
+            else:
+                existing_rows += f["record_count"]
+                n_existing += 1
             entries.append(
                 {
-                    "status": 1,  # ADDED
+                    "status": status,
                     "snapshot_id": sid,
-                    "sequence_number": None,  # inherit from manifest (spec rule)
+                    # ADDED entries inherit the manifest's seq (spec rule);
+                    # EXISTING entries pin their ORIGINAL data seq so
+                    # equality-delete ordering survives the carry-over
+                    "sequence_number": f.get("sequence_number"),
                     "file_sequence_number": None,
                     "data_file": {
                         "content": 0,
@@ -1458,21 +1520,27 @@ class IcebergTable:
             "sequence_number": seq,
             "min_sequence_number": seq,
             "added_snapshot_id": sid,
-            "added_files_count": len(entries),
-            "existing_files_count": 0,
+            "added_files_count": n_added,
+            "existing_files_count": n_existing,
             "deleted_files_count": 0,
             "added_rows_count": added_rows,
-            "existing_rows_count": 0,
+            "existing_rows_count": existing_rows,
             "deleted_rows_count": 0,
             "partitions": None,
         }
         prior = []
         cur_sid = meta.get("current-snapshot-id")
-        if cur_sid is not None and cur_sid != -1 and not replace:
+        if cur_sid is not None and cur_sid != -1 and (not replace or carry_deletes):
             cur_snap = next(
                 s for s in meta["snapshots"] if s["snapshot-id"] == cur_sid
             )
             _, prior = read_container(self._read_bytes(cur_snap["manifest-list"]))
+            if replace:
+                # dynamic overwrite: data manifests are replaced by the
+                # new one (survivors carried as EXISTING), delete
+                # manifests ride along — position deletes on overwritten
+                # files become no-ops, equality deletes keep their seq
+                prior = [m for m in prior if m.get("content", 0) == 1]
         mlist_path = f"{self.root}/metadata/snap-{sid}-1-{uuid.uuid4().hex}.avro"
         mlist_bytes = write_container(
             _manifest_list_schema(),

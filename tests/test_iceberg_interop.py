@@ -716,3 +716,49 @@ def test_partition_spec_evolution(spark, root):
     # dropping a column sourced by a HISTORICAL spec is refused
     with pytest.raises(IcebergProtocolError, match="historical"):
         t.drop_column("seg")
+
+
+def test_dynamic_partition_overwrite(spark, root):
+    """overwrite_partitions replaces exactly the touched partitions in
+    one atomic snapshot: untouched files carry over as EXISTING entries
+    pinning their original sequence numbers, delete manifests ride
+    along, prior snapshots time travel."""
+    t = IcebergTable.create(
+        spark, root, _df(spark, 0, 90), partition_by=("seg",)
+    )
+    t.delete_equality(spark.range(0, 10).select("id"))
+    n_before = t.snapshot().count()  # 80
+    fix = (
+        spark.range(1000, 1010)
+        .withColumn("seg", F.lit(1).cast("int"))
+        .withColumn("val", F.lit(-1.0))
+    )
+    t.overwrite_partitions(fix.repartition(1))
+    back = t.snapshot()
+    # seg=1 fully replaced; other partitions untouched; eq deletes still
+    # apply to the carried files (original seqs preserved)
+    assert back.filter("seg = 1").count() == 10
+    assert back.filter("seg = 1 AND val = -1.0").count() == 10
+    assert back.filter("seg != 1 AND id < 10").count() == 0
+    assert back.filter("seg != 1").count() == 53  # 60 carried - 7 eq-deleted
+    assert t.snapshots()[-1]["summary"]["operation"] == "overwrite"
+    # carried entries are EXISTING with pinned seqs (manifest-level check)
+    entries, dels = t._entries_for_snapshot(t.metadata(), None)
+    assert dels  # delete manifests carried
+    carried = [e for e in entries if e["status"] == 0]
+    assert carried and all(e["sequence_number"] is not None for e in carried)
+    # prior snapshot intact
+    prior = t.metadata()["snapshots"][-2]["snapshot-id"]
+    assert t.snapshot(snapshot_id=prior).count() == n_before
+    # unpartitioned table: dynamic overwrite = full overwrite
+    t2 = IcebergTable.create(spark, root + "_u", _df(spark, 0, 50))
+    t2.overwrite_partitions(fix)
+    assert t2.snapshot().count() == 10
+    # spec-evolved live set refused (tuples not comparable across eras)
+    t3 = IcebergTable.create(
+        spark, root + "_e", _df(spark, 0, 30), partition_by=("seg",)
+    )
+    t3.update_spec(("bucket(4, id)",))
+    t3.append(_df(spark, 30, 60))
+    with pytest.raises(IcebergProtocolError, match="historical partition specs"):
+        t3.overwrite_partitions(fix)
