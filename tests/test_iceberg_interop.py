@@ -762,3 +762,25 @@ def test_dynamic_partition_overwrite(spark, root):
     t3.append(_df(spark, 30, 60))
     with pytest.raises(IcebergProtocolError, match="historical partition specs"):
         t3.overwrite_partitions(fix)
+
+
+def test_jvm_avro_parses_equality_delete_manifest(spark, root):
+    """The equality-delete manifest (content=2 entries + the optional
+    equality_ids int-array field) must stay parseable by the REAL Apache
+    Avro library on Spark's classpath — the schema-evolution risk of
+    adding a field to the entry record."""
+    t = IcebergTable.create(spark, root, _df(spark, 0, 30))
+    t.delete_equality(spark.range(0, 3).select("id"))
+    meta = t.metadata()
+    snap = meta["snapshots"][-1]
+    _, manifests = read_container(t._read_bytes(snap["manifest-list"]))
+    dm = next(m for m in manifests if m["content"] == 1)
+    jvm = spark.sparkContext._jvm
+    reader = jvm.org.apache.avro.generic.GenericDatumReader()
+    dfr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(dm["manifest_path"]), reader
+    )
+    first = str(dfr.next())
+    dfr.close()
+    assert '"content": 2' in first
+    assert '"equality_ids": [1]' in first  # id field's iceberg id
