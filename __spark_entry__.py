@@ -164,6 +164,7 @@ _R4_PINNED = frozenset(
         "delta_rename_mapping",
         "iceberg_spec_evolution",
         "iceberg_dynamic_overwrite",
+        "iceberg_wap_publish",
     }
 )
 

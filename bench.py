@@ -121,6 +121,7 @@ EXTENDED = [
     "delta_rename_mapping",
     "iceberg_spec_evolution",
     "iceberg_dynamic_overwrite",
+    "iceberg_wap_publish",
 ]
 
 HEADLINE = [

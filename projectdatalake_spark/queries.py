@@ -8492,3 +8492,56 @@ def iceberg_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
     )
+
+
+@query(
+    "iceberg_wap_publish",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def iceberg_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH on Iceberg branch refs: half the orders land
+    on main, the other half is STAGED on an ``audit`` branch (two
+    commits; main's head and snapshot log untouched — asserted), an
+    audit gate validates the branch (row-conservation check plays the
+    auditor), and ``fast_forward`` publishes the audited head to main as
+    ONE atomic metadata commit. The published aggregate must equal SQL
+    over all orders. A pre-ingest tag keeps the rollback point pinned
+    through expiry.
+
+    100 TB: WAP is how production lakehouses gate bad data — the staged
+    commits carry full-size data files, yet nothing is visible (or
+    double-written) until one O(metadata) publish; rollback = don't
+    publish."""
+    import tempfile
+
+    from projectdatalake_spark.sources.iceberg_interop import IcebergTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_wap_")
+    t = IcebergTable.create(
+        spark, root, o.filter(F.col("o_orderkey") % 2 == 0).repartition(4)
+    )
+    t.create_tag("pre_ingest")
+    t.create_branch("audit")
+    half = o.filter(F.col("o_orderkey") % 2 == 1)
+    t.append(half.filter(F.col("o_orderkey") % 4 == 1).repartition(2), branch="audit")
+    t.append(half.filter(F.col("o_orderkey") % 4 == 3).repartition(2), branch="audit")
+    n_main_before = t.snapshot().count()
+    n_audit = t.snapshot(ref="audit").count()
+    assert n_audit == o.count(), "audit gate: staged rows must conserve"
+    assert n_main_before < n_audit, "staging leaked onto main"
+    t.fast_forward("main", "audit")
+    return (
+        t.snapshot()
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
+    )

@@ -676,11 +676,134 @@ class IcebergTable:
                     (deletes if content == 1 else data).append(e)
         return data, deletes
 
+    # --- refs: branches + tags (spec "References") ------------------------
+
+    def refs(self) -> dict:
+        return dict(self.metadata().get("refs", {}))
+
+    def _resolve_ref(self, meta: dict, name: str) -> int:
+        r = (meta.get("refs") or {}).get(name)
+        if r is None:
+            raise FileNotFoundError(f"ref {name!r} not in table metadata")
+        return r["snapshot-id"]
+
+    def _commit_refs(self, mutate) -> None:
+        """Commit a refs mutation via the optimistic metadata protocol;
+        ``mutate(meta)`` edits the dict in place."""
+        v = self.current_metadata_version()
+        for _ in range(20):
+            meta = self.metadata(version=v)
+            new_meta = dict(meta)
+            new_meta["refs"] = dict(meta.get("refs") or {})
+            mutate(new_meta)
+            new_meta["last-updated-ms"] = int(time.time() * 1000)
+            try:
+                self._write_metadata(v + 1, new_meta)
+                return
+            except IcebergCommitConflict:
+                v = self.current_metadata_version()
+        raise IcebergCommitConflict(f"ref commit lost 20 races at {self.root}")
+
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> None:
+        """A BRANCH ref: an independently-advancing head (the
+        write-audit-publish staging lane). Forks from ``snapshot_id``
+        (default: the current main head)."""
+        def mutate(meta):
+            if name in meta["refs"]:
+                raise IcebergProtocolError(f"ref {name!r} already exists")
+            sid = snapshot_id
+            if sid is None:
+                sid = meta.get("current-snapshot-id")
+            if sid is None or sid == -1:
+                raise IcebergProtocolError("cannot branch an empty table")
+            if not any(s["snapshot-id"] == sid for s in meta["snapshots"]):
+                raise FileNotFoundError(f"snapshot {sid} not in table metadata")
+            meta["refs"][name] = {"snapshot-id": sid, "type": "branch"}
+
+        self._commit_refs(mutate)
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
+        """A TAG ref: an immutable named snapshot (release pinning)."""
+        def mutate(meta):
+            if name in meta["refs"]:
+                raise IcebergProtocolError(f"ref {name!r} already exists")
+            sid = snapshot_id
+            if sid is None:
+                sid = meta.get("current-snapshot-id")
+            if not any(s["snapshot-id"] == sid for s in meta["snapshots"]):
+                raise FileNotFoundError(f"snapshot {sid} not in table metadata")
+            meta["refs"][name] = {"snapshot-id": sid, "type": "tag"}
+
+        self._commit_refs(mutate)
+
+    def drop_ref(self, name: str) -> None:
+        def mutate(meta):
+            if name == "main":
+                raise IcebergProtocolError("cannot drop the main branch")
+            if name not in meta["refs"]:
+                raise FileNotFoundError(f"ref {name!r} not in table metadata")
+            del meta["refs"][name]
+
+        self._commit_refs(mutate)
+
+    def fast_forward(self, target: str, source: str) -> int:
+        """Advance branch ``target`` to branch ``source``'s head — the
+        PUBLISH half of write-audit-publish: stage commits on an audit
+        branch, validate them, then main adopts the audited head as one
+        atomic metadata commit (no data moves, no rewrite). Refused
+        unless target's head is an ANCESTOR of source's head (a true
+        fast-forward; anything else would silently drop commits)."""
+        out: dict = {}
+
+        def mutate(meta):
+            refs = meta["refs"]
+            src = self._resolve_ref(meta, source)
+            if target == "main" or target in refs:
+                tgt = (
+                    meta.get("current-snapshot-id")
+                    if target == "main" and target not in refs
+                    else refs[target]["snapshot-id"]
+                )
+            else:
+                raise FileNotFoundError(f"ref {target!r} not in table metadata")
+            if (refs.get(target) or {}).get("type") == "tag":
+                raise IcebergProtocolError("cannot fast-forward a tag")
+            parents = {
+                s["snapshot-id"]: s.get("parent-snapshot-id")
+                for s in meta["snapshots"]
+            }
+            cur = src
+            seen = False
+            while cur is not None:
+                if cur == tgt:
+                    seen = True
+                    break
+                cur = parents.get(cur)
+            if not seen:
+                raise IcebergProtocolError(
+                    f"{target!r} head is not an ancestor of {source!r} head "
+                    f"— not a fast-forward"
+                )
+            refs[target] = {"snapshot-id": src, "type": "branch"}
+            if target == "main":
+                meta["current-snapshot-id"] = src
+                meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+                    {
+                        "timestamp-ms": int(time.time() * 1000),
+                        "snapshot-id": src,
+                    }
+                ]
+            out["sid"] = src
+
+        self._commit_refs(mutate)
+        return out["sid"]
+
     def snapshot(
         self,
         snapshot_id: int | None = None,
         where_eq: dict | None = None,
         where: dict | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
         """DataFrame of the table state at ``snapshot_id`` (default:
         current). ``where_eq={col: values}`` prunes manifest entries on
@@ -699,6 +822,10 @@ class IcebergTable:
         are read from the data files themselves."""
         meta = self.metadata()
         schema = self._spark_schema(meta)
+        if ref is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id or ref, not both")
+            snapshot_id = self._resolve_ref(meta, ref)
         entries, delete_entries = self._entries_for_snapshot(meta, snapshot_id)
         # spec ERAS: after partition-spec evolution, files from different
         # eras coexist in one snapshot; each entry's partition tuple is
@@ -1294,12 +1421,16 @@ class IcebergTable:
             return value.lower() == "true"
         return value
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, branch: str | None = None) -> int:
         """Commit an append snapshot: new manifest (Avro) for the added
         files, manifest list = prior manifests + the new one, next
-        metadata JSON published via exclusive create."""
+        metadata JSON published via exclusive create. ``branch`` stages
+        the commit on that ref instead of main (create_branch first;
+        publish via fast_forward) — the write half of WAP."""
         meta = self.metadata()
-        return self.append_files(self._prepare_files(df, meta), meta=meta)
+        return self.append_files(
+            self._prepare_files(df, meta), meta=meta, branch=branch
+        )
 
     def rewrite_data_files(self) -> int | None:
         """Copy-on-write COMPACTION (Iceberg's rewrite_data_files): the
@@ -1440,6 +1571,7 @@ class IcebergTable:
         replace: bool = False,
         operation: str = "append",
         carry_deletes: bool = False,
+        branch: str | None = None,
     ) -> int:
         """Commit an append snapshot over PRE-EXISTING parquet files — the
         zero-copy path (cross-format converts, in-place migration). Each
@@ -1530,6 +1662,12 @@ class IcebergTable:
         }
         prior = []
         cur_sid = meta.get("current-snapshot-id")
+        if branch is not None:
+            r = (meta.get("refs") or {}).get(branch)
+            if r is not None:
+                if r.get("type") == "tag":
+                    raise IcebergProtocolError(f"cannot write to tag {branch!r}")
+                cur_sid = r["snapshot-id"]  # branch head is the parent
         if cur_sid is not None and cur_sid != -1 and (not replace or carry_deletes):
             cur_snap = next(
                 s for s in meta["snapshots"] if s["snapshot-id"] == cur_sid
@@ -1570,11 +1708,19 @@ class IcebergTable:
         new_meta = dict(meta)
         new_meta["last-sequence-number"] = seq
         new_meta["last-updated-ms"] = now
-        new_meta["current-snapshot-id"] = sid
         new_meta["snapshots"] = meta["snapshots"] + [snap]
-        new_meta["snapshot-log"] = meta.get("snapshot-log", []) + [
-            {"timestamp-ms": now, "snapshot-id": sid}
-        ]
+        refs = dict(meta.get("refs") or {})
+        if branch is not None:
+            # branch commit: only the ref advances — main's head and its
+            # snapshot log are untouched (the WAP staging contract)
+            refs[branch] = {"snapshot-id": sid, "type": "branch"}
+        else:
+            new_meta["current-snapshot-id"] = sid
+            refs["main"] = {"snapshot-id": sid, "type": "branch"}
+            new_meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+                {"timestamp-ms": now, "snapshot-id": sid}
+            ]
+        new_meta["refs"] = refs
         v = self.current_metadata_version()
         new_meta["metadata-log"] = meta.get("metadata-log", []) + [
             {
@@ -1601,8 +1747,17 @@ class IcebergTable:
         snaps = meta.get("snapshots", [])
         if len(snaps) <= retain:
             return {"snapshots": 0, "files": 0}
-        keep_snaps = snaps[-retain:]
-        expired = snaps[:-retain]
+        # every ref target (branch head / tag) survives regardless of age
+        ref_ids = {
+            r["snapshot-id"] for r in (meta.get("refs") or {}).values()
+        }
+        keep_snaps = [
+            s
+            for s in snaps
+            if s in snaps[-retain:] or s["snapshot-id"] in ref_ids
+        ]
+        keep_ids = {s["snapshot-id"] for s in keep_snaps}
+        expired = [s for s in snaps if s["snapshot-id"] not in keep_ids]
         keep_data: set[str] = set()
         keep_meta: set[str] = set()
         for s in keep_snaps:
@@ -1926,6 +2081,10 @@ class IcebergTable:
         new_meta["last-sequence-number"] = seq
         new_meta["last-updated-ms"] = now
         new_meta["current-snapshot-id"] = sid
+        new_meta["refs"] = {
+            **(meta.get("refs") or {}),
+            "main": {"snapshot-id": sid, "type": "branch"},
+        }
         new_meta["snapshots"] = meta["snapshots"] + [snap]
         new_meta["snapshot-log"] = meta.get("snapshot-log", []) + [
             {"timestamp-ms": now, "snapshot-id": sid}

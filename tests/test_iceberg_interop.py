@@ -784,3 +784,46 @@ def test_jvm_avro_parses_equality_delete_manifest(spark, root):
     dfr.close()
     assert '"content": 2' in first
     assert '"equality_ids": [1]' in first  # id field's iceberg id
+
+
+def test_branches_tags_and_wap(spark, root):
+    """Refs: tags pin snapshots immutably, branches advance
+    independently of main, fast_forward publishes an audited branch
+    atomically (refused unless a true fast-forward), and expire keeps
+    every ref target alive."""
+    t = IcebergTable.create(spark, root, _df(spark, 0, 60))
+    t.create_tag("v1")
+    t.create_branch("audit")
+    t.append(_df(spark, 60, 80), branch="audit")
+    t.append(_df(spark, 80, 90), branch="audit")
+    # staging is invisible on main; visible on the branch; tag pinned
+    assert t.snapshot().count() == 60
+    assert t.snapshot(ref="audit").count() == 90
+    assert t.snapshot(ref="v1").count() == 60
+    sid = t.fast_forward("main", "audit")
+    assert t.snapshot().count() == 90
+    assert t.current_snapshot_id() == sid
+    assert t.snapshot(ref="v1").count() == 60
+    # stale branch (forked pre-publish, then diverged) cannot publish
+    t.create_branch("stale", snapshot_id=t._resolve_ref(t.metadata(), "v1"))
+    t.append(_df(spark, 90, 95), branch="stale")
+    with pytest.raises(IcebergProtocolError, match="not a fast-forward"):
+        t.fast_forward("main", "stale")
+    # tags are immutable: no writes, no fast-forward, no duplicate refs
+    with pytest.raises(IcebergProtocolError, match="tag"):
+        t.append(_df(spark, 0, 1), branch="v1")
+    with pytest.raises(IcebergProtocolError, match="already exists"):
+        t.create_tag("v1")
+    with pytest.raises(IcebergProtocolError, match="main"):
+        t.drop_ref("main")
+    # expire keeps every ref target even past the retain horizon
+    t.expire_snapshots(retain=1)
+    fresh = IcebergTable(spark, root)
+    assert fresh.snapshot(ref="v1").count() == 60
+    assert fresh.snapshot(ref="stale").count() == 65
+    assert fresh.snapshot().count() == 90
+    # dropping the stale branch releases its pin; next expire reclaims
+    t.drop_ref("stale")
+    t.expire_snapshots(retain=1)
+    with pytest.raises(FileNotFoundError):
+        IcebergTable(spark, root).snapshot(ref="stale").count()
