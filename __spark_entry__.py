@@ -165,6 +165,7 @@ _R4_PINNED = frozenset(
         "iceberg_spec_evolution",
         "iceberg_dynamic_overwrite",
         "iceberg_wap_publish",
+        "delta_check_constraint",
     }
 )
 

@@ -122,6 +122,7 @@ EXTENDED = [
     "iceberg_spec_evolution",
     "iceberg_dynamic_overwrite",
     "iceberg_wap_publish",
+    "delta_check_constraint",
 ]
 
 HEADLINE = [

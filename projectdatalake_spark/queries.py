@@ -8545,3 +8545,55 @@ def iceberg_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
     )
+
+
+@query(
+    "delta_check_constraint",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_totalprice > 0
+    GROUP BY o_orderstatus
+    """,
+)
+def delta_check_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta CHECK constraints (protocol checkConstraints, writer
+    version 3): the table is created from positive-price orders, a
+    ``price_positive`` constraint is added, a conforming append lands,
+    and a POISONED append (negative prices) is REFUSED atomically —
+    nothing leaks, proven because the final aggregate must equal SQL
+    over exactly the positive-price rows.
+
+    100 TB: constraints are the ingest firewall — enforcement is one
+    short-circuiting limit(1) probe per constraint on the incoming
+    frame (O(first violation), not O(table)), and the guarantee is
+    recorded in the protocol so every compliant writer enforces it."""
+    import tempfile
+
+    from projectdatalake_spark.sources.delta_interop import (
+        DeltaProtocolError,
+        DeltaTable,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    ).filter(F.col("o_totalprice") > 0)
+    root = tempfile.mkdtemp(prefix="delta_ck_")
+    t = DeltaTable.create(
+        spark, root, o.filter(F.col("o_orderkey") % 2 == 0).repartition(4)
+    )
+    t.add_constraint("price_positive", "o_totalprice > 0")
+    t.append(o.filter(F.col("o_orderkey") % 2 == 1).repartition(4))
+    try:
+        t.append(o.limit(100).withColumn("o_totalprice", F.lit(-1.0)))
+        raise AssertionError("poisoned append must be refused")
+    except DeltaProtocolError:
+        pass
+    return (
+        t.snapshot()
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
+    )

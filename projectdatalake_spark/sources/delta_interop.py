@@ -871,6 +871,92 @@ class DeltaTable:
                 f"staging)"
             )
 
+    def add_constraint(self, name: str, expr: str) -> int:
+        """CHECK constraint (Delta protocol ``checkConstraints`` writer
+        feature): stored as ``delta.constraints.<name>`` in the table
+        configuration, protocol advances to minWriterVersion 3, and this
+        writer REJECTS any append/overwrite containing a violating row
+        from then on (readers are unaffected — minReaderVersion is
+        untouched, per spec). The expression must already hold on the
+        current snapshot."""
+        state = self._state()
+        meta = state["metaData"]
+        key = f"delta.constraints.{name}"
+        if key in (meta.get("configuration") or {}):
+            raise DeltaProtocolError(f"constraint {name!r} already exists")
+        n_bad = self.snapshot().filter(f"NOT ({expr})").limit(1).count()
+        if n_bad:
+            raise DeltaProtocolError(
+                f"existing rows violate CHECK ({expr}) — constraint refused"
+            )
+        cfg = {**(meta.get("configuration") or {}), key: expr}
+        proto = state["protocol"] or {"minReaderVersion": 1, "minWriterVersion": 2}
+        actions = [
+            {"commitInfo": self._commit_info(
+                "ADD CONSTRAINT", {"name": name, "expr": expr}
+            )},
+        ]
+        if proto.get("minWriterVersion", 2) < 3:
+            actions.append(
+                {"protocol": {**proto, "minWriterVersion": 3}}
+            )
+        actions.append({"metaData": {**meta, "configuration": cfg}})
+        for _ in range(20):
+            v = self.latest_version() + 1
+            try:
+                self._publish(v, actions)
+                return v
+            except DeltaCommitConflict:
+                continue
+        raise DeltaCommitConflict(f"constraint lost 20 races at {self.root}")
+
+    def drop_constraint(self, name: str) -> int:
+        state = self._state()
+        meta = state["metaData"]
+        key = f"delta.constraints.{name}"
+        if key not in (meta.get("configuration") or {}):
+            raise KeyError(name)
+        cfg = {
+            k: v2
+            for k, v2 in meta["configuration"].items()
+            if k != key
+        }
+        actions = [
+            {"commitInfo": self._commit_info("DROP CONSTRAINT", {"name": name})},
+            {"metaData": {**meta, "configuration": cfg}},
+        ]
+        for _ in range(20):
+            v = self.latest_version() + 1
+            try:
+                self._publish(v, actions)
+                return v
+            except DeltaCommitConflict:
+                continue
+        raise DeltaCommitConflict(f"constraint lost 20 races at {self.root}")
+
+    def _enforce_constraints(self, df: DataFrame, meta: dict) -> None:
+        """Writer-side CHECK enforcement (the protocol's contract for
+        minWriterVersion >= 3 tables): one filtered limit(1) probe per
+        constraint — short-circuits on the first violation, never scans
+        past it."""
+        cfg = meta.get("configuration") or {}
+        for k, expr in cfg.items():
+            if not k.startswith("delta.constraints."):
+                continue
+            cols = set(df.columns)
+            probe = df
+            # appends of a schema-subset frame: missing columns read as
+            # null downstream; validate with nulls substituted
+            schema = StructType.fromJson(json.loads(meta["schemaString"]))
+            for f in schema.fields:
+                if f.name not in cols:
+                    probe = probe.withColumn(f.name, F.lit(None).cast(f.dataType))
+            if probe.filter(f"NOT ({expr})").limit(1).count():
+                raise DeltaProtocolError(
+                    f"rows violate CHECK constraint "
+                    f"{k[len('delta.constraints.'):]!r} ({expr}) — write refused"
+                )
+
     def rename_column(self, old: str, new: str) -> int:
         """Metadata-only RENAME via COLUMN MAPPING (name mode): the first
         rename upgrades the table — every field gets a
@@ -983,6 +1069,7 @@ class DeltaTable:
         pcols = tuple(state["metaData"].get("partitionColumns", []))
         if txn is not None and state["txns"].get(txn[0], -1) >= txn[1]:
             return -1  # already applied (idempotent replay)
+        self._enforce_constraints(df, meta)
         stage_df = df
         if phys_of:
             stage_df = df.select(
@@ -1012,6 +1099,7 @@ class DeltaTable:
     def overwrite(self, df: DataFrame) -> int:
         state = self._state()
         self._refuse_mapped(state["metaData"], "overwrite")
+        self._enforce_constraints(df, state["metaData"])
         pcols = tuple(state["metaData"].get("partitionColumns", []))
         adds = self._stage(df, pcols)
         now = int(time.time() * 1000)

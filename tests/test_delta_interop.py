@@ -699,3 +699,47 @@ def test_append_after_rename_physical_staging(spark, root):
             .withColumn("extra", F.lit(1)),
             merge_schema=True,
         )
+
+
+def test_check_constraints(spark, root):
+    """Protocol checkConstraints: delta.constraints.<name> in the table
+    config, minWriterVersion 3, writer-enforced on append/overwrite
+    (SQL CHECK semantics — NULL passes, FALSE refuses), refused if the
+    current snapshot already violates."""
+    t = DeltaTable.create(spark, root, _df(spark, 0, 50))
+    t.add_constraint("val_nonneg", "val >= 0")
+    st = t._state()
+    assert st["protocol"]["minWriterVersion"] == 3
+    assert st["metaData"]["configuration"]["delta.constraints.val_nonneg"] == "val >= 0"
+    t.append(_df(spark, 50, 60))
+    assert t.snapshot().count() == 60
+    bad = (
+        spark.range(60, 61)
+        .withColumn("seg", F.lit(0).cast("int"))
+        .withColumn("val", F.lit(-5.0))
+    )
+    with pytest.raises(DeltaProtocolError, match="CHECK constraint"):
+        t.append(bad)
+    with pytest.raises(DeltaProtocolError, match="CHECK constraint"):
+        t.overwrite(bad)
+    assert t.snapshot().count() == 60  # nothing leaked
+    # a constraint the current rows violate is refused at creation
+    with pytest.raises(DeltaProtocolError, match="existing rows"):
+        t.add_constraint("val_big", "val >= 10")
+    with pytest.raises(DeltaProtocolError, match="already exists"):
+        t.add_constraint("val_nonneg", "val >= 0")
+    # NULL passes (SQL CHECK semantics): merge_schema append whose new
+    # column is absent from the constraint's inputs stays writable
+    t.add_constraint("seg_small", "seg < 100")
+    t.append(
+        spark.range(70, 72)
+        .withColumn("seg", F.lit(1).cast("int"))
+        .withColumn("val", F.lit(1.0))
+        .withColumn("origin", F.lit("late")),
+        merge_schema=True,
+    )
+    assert t.snapshot().count() == 62
+    # drop releases enforcement
+    t.drop_constraint("val_nonneg")
+    t.append(bad.withColumn("origin", F.lit(None).cast("string")))
+    assert t.snapshot().count() == 63
