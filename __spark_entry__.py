@@ -166,6 +166,7 @@ _R4_PINNED = frozenset(
         "iceberg_dynamic_overwrite",
         "iceberg_wap_publish",
         "delta_check_constraint",
+        "iceberg_stream_sink",
     }
 )
 

@@ -123,6 +123,7 @@ EXTENDED = [
     "iceberg_dynamic_overwrite",
     "iceberg_wap_publish",
     "delta_check_constraint",
+    "iceberg_stream_sink",
 ]
 
 HEADLINE = [

@@ -8597,3 +8597,50 @@ def delta_check_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
     )
+
+
+@query(
+    "iceberg_stream_sink",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def iceberg_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming into a REAL Iceberg table, exactly-once: the event
+    stream lands through foreachBatch + ``append_once`` — each
+    micro-batch is one snapshot whose summary records (app-id,
+    batch-id), so a crash-replayed batch is skipped before any file is
+    staged. The post-stream snapshot must aggregate to exactly the
+    batch answer (a replayed batch would double-count and break the
+    hash). Completes the Iceberg streaming story: source (CDF by
+    sequence number) AND sink.
+
+    100 TB: the idempotence ledger is the snapshot history itself — no
+    side-channel state; retention just has to exceed the replay horizon
+    (one batch)."""
+    import tempfile
+
+    from projectdatalake_spark import streaming as ST
+    from projectdatalake_spark.sources.iceberg_interop import (
+        IcebergTable,
+        append_stream,
+    )
+
+    stream = ST.read_events_stream(spark, sf_dir).select(
+        "event_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_sink_")
+    t = IcebergTable.create_empty(spark, root, stream.schema)
+    ckpt = tempfile.mkdtemp(prefix="iceberg_sink_ckpt_")
+    q = append_stream(stream, t, ckpt)
+    q.awaitTermination(300)
+    return (
+        t.snapshot()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+    )

@@ -1302,13 +1302,16 @@ class IcebergTable:
         new_meta["last-partition-id"] = last_pid
         new_meta["last-updated-ms"] = int(time.time() * 1000)
         v = self.current_metadata_version()
-        for _ in range(20):
-            try:
-                self._write_metadata(v + 1, new_meta)
-                return new_spec_id
-            except IcebergCommitConflict:
-                v = self.current_metadata_version()
-        raise IcebergCommitConflict(f"spec evolution lost 20 races at {self.root}")
+        try:
+            self._write_metadata(v + 1, new_meta)
+            return new_spec_id
+        except IcebergCommitConflict:
+            # built from a now-stale tip — a blind retry would clobber the
+            # racer's commit; recompute (field-id reuse map, spec list)
+            raise IcebergCommitConflict(
+                f"spec evolution raced another commit at {self.root} — "
+                f"call update_spec again"
+            )
 
     def rename_column(self, old: str, new: str) -> int:
         """Metadata-only rename: a new schema version keeps every FIELD ID
@@ -1402,13 +1405,15 @@ class IcebergTable:
             new_meta["last-column-id"] = last_column_id
         new_meta["last-updated-ms"] = int(time.time() * 1000)
         v = self.current_metadata_version()
-        for _ in range(20):
-            try:
-                self._write_metadata(v + 1, new_meta)
-                return new_sid
-            except IcebergCommitConflict:
-                v = self.current_metadata_version()
-        raise IcebergCommitConflict(f"schema commit lost 20 races at {self.root}")
+        try:
+            self._write_metadata(v + 1, new_meta)
+            return new_sid
+        except IcebergCommitConflict:
+            raise IcebergCommitConflict(
+                f"schema evolution raced another commit at {self.root} — "
+                f"retry the operation (a stale-state retry would drop the "
+                f"racer's commit)"
+            )
 
     def _typed_part(self, value: str | None, ice_type: str):
         if value is None or value == "__HIVE_DEFAULT_PARTITION__":
@@ -1430,6 +1435,26 @@ class IcebergTable:
         meta = self.metadata()
         return self.append_files(
             self._prepare_files(df, meta), meta=meta, branch=branch
+        )
+
+    def append_once(self, df: DataFrame, app_id: str, batch_id: int) -> int | None:
+        """Idempotent append: the commit's snapshot summary records
+        (app-id, batch-id); a replay that finds its id already in the
+        snapshot history is SKIPPED — the exactly-once contract
+        foreachBatch sinks need (Structured Streaming replays a batch
+        after a crash between sink write and checkpoint commit).
+        Retention caveat: expire_snapshots forgets expired batch ids, so
+        snapshot retention must exceed the replay horizon (one batch).
+        Returns the snapshot id, or None when skipped."""
+        meta = self.metadata()
+        for s in meta.get("snapshots", []):
+            sm = s.get("summary") or {}
+            if sm.get("app-id") == app_id and sm.get("batch-id") == str(batch_id):
+                return None
+        return self.append_files(
+            self._prepare_files(df, meta),
+            meta=meta,
+            summary_props={"app-id": app_id, "batch-id": batch_id},
         )
 
     def rewrite_data_files(self) -> int | None:
@@ -1572,6 +1597,7 @@ class IcebergTable:
         operation: str = "append",
         carry_deletes: bool = False,
         branch: str | None = None,
+        summary_props: dict | None = None,
     ) -> int:
         """Commit an append snapshot over PRE-EXISTING parquet files — the
         zero-copy path (cross-format converts, in-place migration). Each
@@ -1644,96 +1670,134 @@ class IcebergTable:
             },
         )
         self._write_bytes(manifest_path, manifest_bytes, exclusive=True)
-        new_manifest = {
-            "manifest_path": manifest_path,
-            "manifest_length": len(manifest_bytes),
-            "partition_spec_id": spec["spec-id"],
-            "content": 0,
-            "sequence_number": seq,
-            "min_sequence_number": seq,
-            "added_snapshot_id": sid,
-            "added_files_count": n_added,
-            "existing_files_count": n_existing,
-            "deleted_files_count": 0,
-            "added_rows_count": added_rows,
-            "existing_rows_count": existing_rows,
-            "deleted_rows_count": 0,
-            "partitions": None,
-        }
-        prior = []
-        cur_sid = meta.get("current-snapshot-id")
-        if branch is not None:
-            r = (meta.get("refs") or {}).get(branch)
-            if r is not None:
-                if r.get("type") == "tag":
-                    raise IcebergProtocolError(f"cannot write to tag {branch!r}")
-                cur_sid = r["snapshot-id"]  # branch head is the parent
-        if cur_sid is not None and cur_sid != -1 and (not replace or carry_deletes):
-            cur_snap = next(
-                s for s in meta["snapshots"] if s["snapshot-id"] == cur_sid
-            )
-            _, prior = read_container(self._read_bytes(cur_snap["manifest-list"]))
-            if replace:
-                # dynamic overwrite: data manifests are replaced by the
-                # new one (survivors carried as EXISTING), delete
-                # manifests ride along — position deletes on overwritten
-                # files become no-ops, equality deletes keep their seq
-                prior = [m for m in prior if m.get("content", 0) == 1]
-        mlist_path = f"{self.root}/metadata/snap-{sid}-1-{uuid.uuid4().hex}.avro"
-        mlist_bytes = write_container(
-            _manifest_list_schema(),
-            prior + [new_manifest],
-            extra_meta={
-                "snapshot-id": str(sid).encode(),
-                "sequence-number": str(seq).encode(),
-                "format-version": b"2",
-            },
-        )
-        self._write_bytes(mlist_path, mlist_bytes, exclusive=True)
-        now = int(time.time() * 1000)
-        snap = {
-            "snapshot-id": sid,
-            "sequence-number": seq,
-            "timestamp-ms": now,
-            "manifest-list": mlist_path,
-            "summary": {
-                "operation": operation,
-                "added-data-files": str(len(entries)),
-                "added-records": str(added_rows),
-            },
-            "schema-id": meta["current-schema-id"],
-        }
-        if cur_sid is not None and cur_sid != -1:
-            snap["parent-snapshot-id"] = cur_sid
-        new_meta = dict(meta)
-        new_meta["last-sequence-number"] = seq
-        new_meta["last-updated-ms"] = now
-        new_meta["snapshots"] = meta["snapshots"] + [snap]
-        refs = dict(meta.get("refs") or {})
-        if branch is not None:
-            # branch commit: only the ref advances — main's head and its
-            # snapshot log are untouched (the WAP staging contract)
-            refs[branch] = {"snapshot-id": sid, "type": "branch"}
-        else:
-            new_meta["current-snapshot-id"] = sid
-            refs["main"] = {"snapshot-id": sid, "type": "branch"}
-            new_meta["snapshot-log"] = meta.get("snapshot-log", []) + [
-                {"timestamp-ms": now, "snapshot-id": sid}
-            ]
-        new_meta["refs"] = refs
-        v = self.current_metadata_version()
-        new_meta["metadata-log"] = meta.get("metadata-log", []) + [
-            {
-                "timestamp-ms": meta["last-updated-ms"],
-                "metadata-file": f"{self.root}/metadata/v{v}.metadata.json",
-            }
-        ]
+        # OPTIMISTIC COMMIT: the data manifest above is immutable (entry
+        # seqs are null/pinned, so it is sequence-independent), but
+        # everything derived from the table tip — sequence number,
+        # parent, prior manifests, manifest list, metadata JSON — is
+        # rebuilt from a CONSISTENT (version, metadata) pair read inside
+        # every attempt, and the write targets exactly version+1 of that
+        # pair. Reading the version and metadata separately (or reusing
+        # stale metadata after a conflict) loses a racer's snapshot: the
+        # loser lands on a later version number without ever conflicting.
+        base_schema_id = meta["current-schema-id"]
+        base_spec_id = spec["spec-id"]
         for _ in range(20):
+            v = self.current_metadata_version()
+            meta = self.metadata(version=v)
+            if (
+                meta["current-schema-id"] != base_schema_id
+                or meta["default-spec-id"] != base_spec_id
+            ):
+                raise IcebergCommitConflict(
+                    f"schema/spec evolved under this commit at {self.root} "
+                    f"— restage against the new metadata"
+                )
+            seq = meta["last-sequence-number"] + 1
+            new_manifest = {
+                "manifest_path": manifest_path,
+                "manifest_length": len(manifest_bytes),
+                "partition_spec_id": spec["spec-id"],
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": sid,
+                "added_files_count": n_added,
+                "existing_files_count": n_existing,
+                "deleted_files_count": 0,
+                "added_rows_count": added_rows,
+                "existing_rows_count": existing_rows,
+                "deleted_rows_count": 0,
+                "partitions": None,
+            }
+            prior = []
+            cur_sid = meta.get("current-snapshot-id")
+            if branch is not None:
+                r = (meta.get("refs") or {}).get(branch)
+                if r is not None:
+                    if r.get("type") == "tag":
+                        raise IcebergProtocolError(
+                            f"cannot write to tag {branch!r}"
+                        )
+                    cur_sid = r["snapshot-id"]  # branch head is the parent
+            if cur_sid is not None and cur_sid != -1 and (
+                not replace or carry_deletes
+            ):
+                cur_snap = next(
+                    s for s in meta["snapshots"] if s["snapshot-id"] == cur_sid
+                )
+                _, prior = read_container(
+                    self._read_bytes(cur_snap["manifest-list"])
+                )
+                if replace:
+                    # dynamic overwrite: data manifests are replaced by the
+                    # new one (survivors carried as EXISTING), delete
+                    # manifests ride along — position deletes on overwritten
+                    # files become no-ops, equality deletes keep their seq
+                    prior = [m for m in prior if m.get("content", 0) == 1]
+            mlist_path = (
+                f"{self.root}/metadata/snap-{sid}-1-{uuid.uuid4().hex}.avro"
+            )
+            mlist_bytes = write_container(
+                _manifest_list_schema(),
+                prior + [new_manifest],
+                extra_meta={
+                    "snapshot-id": str(sid).encode(),
+                    "sequence-number": str(seq).encode(),
+                    "format-version": b"2",
+                },
+            )
+            self._write_bytes(mlist_path, mlist_bytes, exclusive=True)
+            now = int(time.time() * 1000)
+            snap = {
+                "snapshot-id": sid,
+                "sequence-number": seq,
+                "timestamp-ms": now,
+                "manifest-list": mlist_path,
+                "summary": {
+                    "operation": operation,
+                    "added-data-files": str(len(entries)),
+                    "added-records": str(added_rows),
+                    **{str(k): str(v2) for k, v2 in (summary_props or {}).items()},
+                },
+                "schema-id": meta["current-schema-id"],
+            }
+            if cur_sid is not None and cur_sid != -1:
+                snap["parent-snapshot-id"] = cur_sid
+            new_meta = dict(meta)
+            new_meta["last-sequence-number"] = seq
+            new_meta["last-updated-ms"] = now
+            new_meta["snapshots"] = meta["snapshots"] + [snap]
+            refs = dict(meta.get("refs") or {})
+            if branch is not None:
+                # branch commit: only the ref advances — main's head and
+                # its snapshot log are untouched (the WAP staging contract)
+                refs[branch] = {"snapshot-id": sid, "type": "branch"}
+            else:
+                new_meta["current-snapshot-id"] = sid
+                refs["main"] = {"snapshot-id": sid, "type": "branch"}
+                new_meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+                    {"timestamp-ms": now, "snapshot-id": sid}
+                ]
+            new_meta["refs"] = refs
+            new_meta["metadata-log"] = meta.get("metadata-log", []) + [
+                {
+                    "timestamp-ms": meta["last-updated-ms"],
+                    "metadata-file": f"{self.root}/metadata/v{v}.metadata.json",
+                }
+            ]
             try:
                 self._write_metadata(v + 1, new_meta)
                 return sid
             except IcebergCommitConflict:
-                v = self.current_metadata_version()
+                if replace:
+                    # a replace's carried file set was computed against
+                    # the pre-race tip — blind retry could resurrect or
+                    # drop the racer's files; the caller must recompute
+                    raise IcebergCommitConflict(
+                        f"replace commit lost a race at {self.root} — "
+                        f"recompute against the new tip and retry"
+                    )
+                continue  # next attempt re-reads the (version, meta) pair
         raise IcebergCommitConflict(f"append lost 20 races at {self.root}")
 
     def expire_snapshots(self, retain: int = 1) -> dict:
@@ -1800,13 +1864,15 @@ class IcebergTable:
         ]
         new_meta["last-updated-ms"] = now
         v = self.current_metadata_version()
-        for _ in range(20):
-            try:
-                self._write_metadata(v + 1, new_meta)
-                return {"snapshots": len(expired), "files": deleted}
-            except IcebergCommitConflict:
-                v = self.current_metadata_version()
-        raise IcebergCommitConflict(f"expire lost 20 races at {self.root}")
+        try:
+            self._write_metadata(v + 1, new_meta)
+            return {"snapshots": len(expired), "files": deleted}
+        except IcebergCommitConflict:
+            raise IcebergCommitConflict(
+                f"expire raced another commit at {self.root} — data files "
+                f"were already reclaimed against the old tip; re-run "
+                f"expire_snapshots to reconcile metadata"
+            )
 
     def delete_where(self, condition: str) -> int | None:
         """Merge-on-read DELETE via v2 POSITION DELETE files: matching rows
@@ -2013,7 +2079,6 @@ class IcebergTable:
         protocol."""
         part_schema = _partition_record_schema(part_fields)
         entry_schema = _manifest_entry_schema(part_schema)
-        seq = meta["last-sequence-number"] + 1
         sid = uuid.uuid4().int % (1 << 62)
         del_entries = [
             {
@@ -2037,63 +2102,116 @@ class IcebergTable:
             },
         )
         self._write_bytes(manifest_path, manifest_bytes, exclusive=True)
-        delete_manifest = {
-            "manifest_path": manifest_path,
-            "manifest_length": len(manifest_bytes),
-            "partition_spec_id": spec["spec-id"],
-            "content": 1,
-            "sequence_number": seq,
-            "min_sequence_number": seq,
-            "added_snapshot_id": sid,
-            "added_files_count": len(del_entries),
-            "existing_files_count": 0,
-            "deleted_files_count": 0,
-            "added_rows_count": n_deleted,
-            "existing_rows_count": 0,
-            "deleted_rows_count": 0,
-            "partitions": None,
-        }
-        cur_sid = meta.get("current-snapshot-id")
-        cur_snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == cur_sid)
-        _, prior = read_container(self._read_bytes(cur_snap["manifest-list"]))
-        mlist_path = f"{self.root}/metadata/snap-{sid}-1-{uuid.uuid4().hex}.avro"
-        mlist_bytes = write_container(
-            _manifest_list_schema(),
-            prior + [delete_manifest],
-            extra_meta={
-                "snapshot-id": str(sid).encode(),
-                "sequence-number": str(seq).encode(),
-                "format-version": b"2",
-            },
-        )
-        self._write_bytes(mlist_path, mlist_bytes, exclusive=True)
-        now = int(time.time() * 1000)
-        snap = {
-            "snapshot-id": sid,
-            "parent-snapshot-id": cur_sid,
-            "sequence-number": seq,
-            "timestamp-ms": now,
-            "manifest-list": mlist_path,
-            "summary": summary,
-            "schema-id": meta["current-schema-id"],
-        }
-        new_meta = dict(meta)
-        new_meta["last-sequence-number"] = seq
-        new_meta["last-updated-ms"] = now
-        new_meta["current-snapshot-id"] = sid
-        new_meta["refs"] = {
-            **(meta.get("refs") or {}),
-            "main": {"snapshot-id": sid, "type": "branch"},
-        }
-        new_meta["snapshots"] = meta["snapshots"] + [snap]
-        new_meta["snapshot-log"] = meta.get("snapshot-log", []) + [
-            {"timestamp-ms": now, "snapshot-id": sid}
-        ]
-        v = self.current_metadata_version()
+        base_sid = meta.get("current-snapshot-id")
+        # optimistic commit over a consistent (version, metadata) pair
+        # per attempt (see append_files — separate reads lose races);
+        # a racer that rewrote data files (replace / overwrite / another
+        # delete) invalidates our computed targets — refuse instead of
+        # silently mis-deleting
         for _ in range(20):
+            v = self.current_metadata_version()
+            meta = self.metadata(version=v)
+            seq = meta["last-sequence-number"] + 1
+            delete_manifest = {
+                "manifest_path": manifest_path,
+                "manifest_length": len(manifest_bytes),
+                "partition_spec_id": spec["spec-id"],
+                "content": 1,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": sid,
+                "added_files_count": len(del_entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": n_deleted,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "partitions": None,
+            }
+            cur_sid = meta.get("current-snapshot-id")
+            if cur_sid != base_sid:
+                # walk the racer commits between our base and the new tip:
+                # plain appends cannot invalidate file-scoped delete
+                # targets; anything that rewrote or deleted data can
+                by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+                ops_since = set()
+                walk = cur_sid
+                while walk is not None and walk != base_sid:
+                    s = by_id.get(walk)
+                    if s is None:
+                        break
+                    ops_since.add(s["summary"].get("operation"))
+                    walk = s.get("parent-snapshot-id")
+                if ops_since - {"append"}:
+                    raise IcebergCommitConflict(
+                        f"delete raced {sorted(ops_since)} commit(s) at "
+                        f"{self.root} — targets stale, recompute and retry"
+                    )
+            cur_snap = next(
+                s for s in meta["snapshots"] if s["snapshot-id"] == cur_sid
+            )
+            _, prior = read_container(self._read_bytes(cur_snap["manifest-list"]))
+            mlist_path = f"{self.root}/metadata/snap-{sid}-1-{uuid.uuid4().hex}.avro"
+            mlist_bytes = write_container(
+                _manifest_list_schema(),
+                prior + [delete_manifest],
+                extra_meta={
+                    "snapshot-id": str(sid).encode(),
+                    "sequence-number": str(seq).encode(),
+                    "format-version": b"2",
+                },
+            )
+            self._write_bytes(mlist_path, mlist_bytes, exclusive=True)
+            now = int(time.time() * 1000)
+            snap = {
+                "snapshot-id": sid,
+                "parent-snapshot-id": cur_sid,
+                "sequence-number": seq,
+                "timestamp-ms": now,
+                "manifest-list": mlist_path,
+                "summary": summary,
+                "schema-id": meta["current-schema-id"],
+            }
+            new_meta = dict(meta)
+            new_meta["last-sequence-number"] = seq
+            new_meta["last-updated-ms"] = now
+            new_meta["current-snapshot-id"] = sid
+            new_meta["refs"] = {
+                **(meta.get("refs") or {}),
+                "main": {"snapshot-id": sid, "type": "branch"},
+            }
+            new_meta["snapshots"] = meta["snapshots"] + [snap]
+            new_meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+                {"timestamp-ms": now, "snapshot-id": sid}
+            ]
             try:
                 self._write_metadata(v + 1, new_meta)
                 return sid
             except IcebergCommitConflict:
-                v = self.current_metadata_version()
+                continue  # next attempt re-reads the (version, meta) pair
         raise IcebergCommitConflict(f"delete lost 20 races at {self.root}")
+
+
+def append_stream(
+    stream_df: DataFrame,
+    table: IcebergTable,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Exactly-once streaming sink into an Iceberg table via
+    ``foreachBatch`` + ``append_once``: each micro-batch is one
+    idempotent snapshot commit whose summary carries (app-id, batch-id),
+    so a crash-replayed batch is skipped before any file is staged —
+    the same txn mechanism as the txlog/Delta sinks, expressed through
+    Iceberg's snapshot summary. Returns the StreamingQuery."""
+    app_id = checkpoint_dir  # one logical writer per checkpoint
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        table.append_once(batch_df, app_id, batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(commit_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

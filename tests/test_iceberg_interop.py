@@ -827,3 +827,69 @@ def test_branches_tags_and_wap(spark, root):
     t.expire_snapshots(retain=1)
     with pytest.raises(FileNotFoundError):
         IcebergTable(spark, root).snapshot(ref="stale").count()
+
+
+def test_concurrent_appends_no_lost_snapshots(spark, root):
+    """Optimistic-commit correctness under racing writers: every commit
+    must rebuild against a CONSISTENT (version, metadata) pair — a
+    writer that pairs a fresh version number with stale metadata lands
+    without conflict and silently drops the racer's snapshot (the bug
+    this test pins). Six threads, all commits must survive."""
+    import threading
+
+    t = IcebergTable.create(spark, root, _df(spark, 0, 10))
+    errs = []
+
+    def go(lo):
+        try:
+            IcebergTable(spark, root).append(_df(spark, lo, lo + 10))
+        except Exception as e:  # pragma: no cover - failure path
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=go, args=(100 * (i + 1),)) for i in range(6)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == []
+    fresh = IcebergTable(spark, root)
+    assert len(fresh.metadata()["snapshots"]) == 7
+    assert fresh.snapshot().count() == 70
+    # versions are gap-free and every snapshot has a live parent chain
+    parents = {
+        s["snapshot-id"]: s.get("parent-snapshot-id")
+        for s in fresh.metadata()["snapshots"]
+    }
+    head = fresh.current_snapshot_id()
+    depth = 0
+    while head is not None:
+        head = parents.get(head)
+        depth += 1
+    assert depth == 7
+
+
+def test_stream_sink_exactly_once(spark, root):
+    """foreachBatch sink: each micro-batch is one idempotent snapshot
+    (summary carries app-id/batch-id); a replayed batch is skipped."""
+    import tempfile
+
+    from projectdatalake_spark.sources.iceberg_interop import append_stream
+    from projectdatalake_spark import streaming as ST
+
+    sf = "/root/testdata/sf0.001"
+    stream = ST.read_events_stream(spark, sf).select(
+        "event_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+    t = IcebergTable.create_empty(spark, root, stream.schema)
+    ckpt = tempfile.mkdtemp(prefix="ice_sink_ckpt_")
+    q = append_stream(stream, t, ckpt)
+    q.awaitTermination(300)
+    n = t.snapshot().count()
+    assert n == spark.read.parquet(f"{sf}/events.parquet").count()
+    sm = t.metadata()["snapshots"][-1]["summary"]
+    assert "app-id" in sm and "batch-id" in sm
+    # crash-replay of the same batch id: skipped before any staging
+    assert t.append_once(t.snapshot().limit(5), sm["app-id"], int(sm["batch-id"])) is None
+    assert t.snapshot().count() == n
