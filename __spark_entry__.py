@@ -167,6 +167,7 @@ _R4_PINNED = frozenset(
         "iceberg_wap_publish",
         "delta_check_constraint",
         "iceberg_stream_sink",
+        "iceberg_rollback",
     }
 )
 

@@ -124,6 +124,7 @@ EXTENDED = [
     "iceberg_wap_publish",
     "delta_check_constraint",
     "iceberg_stream_sink",
+    "iceberg_rollback",
 ]
 
 HEADLINE = [

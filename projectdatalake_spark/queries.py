@@ -8644,3 +8644,52 @@ def iceberg_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("value")).alias("total_value"),
         )
     )
+
+
+@query(
+    "iceberg_rollback",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY o_orderstatus
+    """,
+)
+def iceberg_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLBACK after a bad publish: the good pre-1997 orders commit,
+    a poisoned batch (zeroed prices) lands on main, the ``snapshots``
+    metadata table identifies the bad commit — O(metadata), no data
+    read — and ``rollback_to`` moves main back to its ancestor in one
+    metadata commit. The post-rollback aggregate must equal SQL over
+    the good rows only; any poisoned remnant breaks the hash.
+
+    100 TB: undo is a pointer move — files stay put, the abandoned tail
+    keeps time-travelling for forensics until expire reclaims it."""
+    import tempfile
+
+    from projectdatalake_spark.sources.iceberg_interop import IcebergTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_orderdate").alias("_d"),
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    cut = F.lit("1997-01-01").cast("timestamp_ntz")
+    good = o.filter(F.col("_d") < cut).drop("_d")
+    bad = o.filter(F.col("_d") >= cut).drop("_d").withColumn(
+        "o_totalprice", F.lit(0.0)
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_rb_")
+    t = IcebergTable.create(spark, root, good.repartition(4))
+    good_sid = t.current_snapshot_id()
+    t.append(bad.repartition(2))  # the bad publish
+    snaps = t.inspect("snapshots")
+    assert snaps.count() == 2, "history must show the bad commit"
+    t.rollback_to(good_sid)
+    return (
+        t.snapshot()
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
+    )

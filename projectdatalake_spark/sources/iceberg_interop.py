@@ -798,6 +798,132 @@ class IcebergTable:
         self._commit_refs(mutate)
         return out["sid"]
 
+    def rollback_to(self, snapshot_id: int) -> int:
+        """ROLLBACK: main's head moves back to an ancestor snapshot as
+        one metadata commit (Iceberg's rollback-to-snapshot) — the
+        bad-publish undo. The target must be an ancestor of the current
+        head (rolling "back" to an unrelated snapshot would silently
+        re-parent history); files stay on disk, so rolling forward again
+        is another metadata commit, and expire eventually reclaims the
+        abandoned tail."""
+        def mutate(meta):
+            cur = meta.get("current-snapshot-id")
+            parents = {
+                s["snapshot-id"]: s.get("parent-snapshot-id")
+                for s in meta["snapshots"]
+            }
+            if snapshot_id not in parents:
+                raise FileNotFoundError(
+                    f"snapshot {snapshot_id} not in table metadata"
+                )
+            walk = cur
+            while walk is not None and walk != snapshot_id:
+                walk = parents.get(walk)
+            if walk != snapshot_id:
+                raise IcebergProtocolError(
+                    f"snapshot {snapshot_id} is not an ancestor of the "
+                    f"current head — not a rollback"
+                )
+            meta["current-snapshot-id"] = snapshot_id
+            meta["refs"]["main"] = {
+                "snapshot-id": snapshot_id,
+                "type": "branch",
+            }
+            meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+                {
+                    "timestamp-ms": int(time.time() * 1000),
+                    "snapshot-id": snapshot_id,
+                }
+            ]
+
+        self._commit_refs(mutate)
+        return snapshot_id
+
+    def inspect(self, kind: str) -> DataFrame:
+        """Metadata TABLES (Iceberg's ``table$files`` family) — the
+        table's own metadata as queryable DataFrames, no data files
+        opened: ``files`` (live data files + partition/size/rows/era),
+        ``delete_files``, ``snapshots``, ``history`` (main's snapshot
+        log), ``refs``, ``partitions`` (per-partition file/row rollup,
+        current spec era). O(metadata) — this is how a 100 TB table is
+        audited (small-file ratios, partition skew, snapshot bloat)
+        without touching a byte of data."""
+        meta = self.metadata()
+        spark = self.spark
+        if kind in ("files", "delete_files"):
+            entries, dels = self._entries_for_snapshot(meta, None)
+            rows = [
+                (
+                    e["data_file"]["file_path"],
+                    int(e["data_file"].get("content", 0)),
+                    json.dumps(e["data_file"].get("partition") or {}),
+                    int(e["data_file"]["record_count"]),
+                    int(e["data_file"]["file_size_in_bytes"]),
+                    int(e["_seq"]),
+                    int(e["_spec_id"]),
+                )
+                for e in (entries if kind == "files" else dels)
+            ]
+            return spark.createDataFrame(
+                rows,
+                "file_path string, content int, partition string, "
+                "record_count long, file_size_in_bytes long, "
+                "sequence_number long, spec_id int",
+            )
+        if kind == "snapshots":
+            rows = [
+                (
+                    int(s["snapshot-id"]),
+                    s.get("parent-snapshot-id"),
+                    int(s["sequence-number"]),
+                    int(s["timestamp-ms"]),
+                    s["summary"].get("operation"),
+                )
+                for s in meta.get("snapshots", [])
+            ]
+            return spark.createDataFrame(
+                rows,
+                "snapshot_id long, parent_id long, sequence_number long, "
+                "committed_at_ms long, operation string",
+            )
+        if kind == "history":
+            rows = [
+                (int(e["timestamp-ms"]), int(e["snapshot-id"]))
+                for e in meta.get("snapshot-log", [])
+            ]
+            return spark.createDataFrame(
+                rows, "made_current_at_ms long, snapshot_id long"
+            )
+        if kind == "refs":
+            rows = [
+                (name, r["type"], int(r["snapshot-id"]))
+                for name, r in (meta.get("refs") or {}).items()
+            ]
+            return spark.createDataFrame(
+                rows, "name string, type string, snapshot_id long"
+            )
+        if kind == "partitions":
+            entries, _ = self._entries_for_snapshot(meta, None)
+            agg: dict[str, list[int]] = {}
+            for e in entries:
+                key = json.dumps(
+                    e["data_file"].get("partition") or {}, sort_keys=True
+                )
+                a = agg.setdefault(key, [0, 0, 0])
+                a[0] += 1
+                a[1] += e["data_file"]["record_count"]
+                a[2] += e["data_file"]["file_size_in_bytes"]
+            rows = [(k, a[0], a[1], a[2]) for k, a in agg.items()]
+            return spark.createDataFrame(
+                rows,
+                "partition string, file_count long, record_count long, "
+                "total_size_bytes long",
+            )
+        raise ValueError(
+            f"unknown metadata table {kind!r} — one of files, "
+            f"delete_files, snapshots, history, refs, partitions"
+        )
+
     def snapshot(
         self,
         snapshot_id: int | None = None,
