@@ -36,6 +36,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # front-ranked, zero overlap). Queries already verified by a previous
 # round's driver run are pushed to the back; everything not yet
 # driver-proven comes first so each round's file covers new ground.
+# Round 5: no pin set — the ~34 oracle-backed queries never yet sampled
+# (tpch_q4/6/7/8/9/12/13/15/16/17/19/21/22, text-hygiene wave, anomaly,
+# range_join_bucketed, …) plus this round's additions fill the window.
 _R1_DRIVER_VERIFIED = frozenset(
     {
         "q1_pricing_summary", "scan_project", "project_rename",
@@ -109,66 +112,42 @@ _R3_DRIVER_VERIFIED = frozenset(
     }
 )
 
-_DRIVER_VERIFIED = (
-    _R1_DRIVER_VERIFIED | _R2_DRIVER_VERIFIED | _R3_DRIVER_VERIFIED
+
+# Hash-green in CORRECTNESS_r04.json (49/50; the 50th row was the
+# rows-only semantic_dedup_survivors, correctly reported err: no_oracle —
+# it is NOT listed here and, being rows-only, ranks behind every unproven
+# oracle-backed query anyway).
+_R4_DRIVER_VERIFIED = frozenset(
+    {
+        "txlog_stream_upsert_sink", "txlog_incremental_agg_cdc",
+        "txlog_apply_changes", "txlog_widen_schema",
+        "pyds_jsonl_writer_roundtrip", "txlog_retention_lifecycle",
+        "txlog_clustered_write", "retention_cohorts", "event_transitions",
+        "pareto_frontier", "weighted_sample_priority", "mm_frame_sample",
+        "graph_triangle_counts", "graph_clustering_coefficient",
+        "arrow_embed_features", "udtf_chunk_windows", "delta_roundtrip",
+        "delta_time_travel", "delta_convert_in_place", "delta_txlog_export",
+        "delta_checkpoint_read", "iceberg_roundtrip", "iceberg_time_travel",
+        "iceberg_partition_pruning", "delta_delete_dv",
+        "iceberg_position_delete", "delta_optimize_lifecycle",
+        "iceberg_schema_evolution", "delta_cdf_changes", "delta_stream_cdf",
+        "iceberg_stats_skipping", "format_convert_loop",
+        "delta_vacuum_lifecycle", "iceberg_expire_lifecycle",
+        "iceberg_stream_cdf", "delta_schema_merge",
+        "iceberg_bucket_transform", "iceberg_month_transform",
+        "iceberg_equality_delete", "iceberg_compaction",
+        "delta_rename_mapping", "iceberg_spec_evolution",
+        "iceberg_dynamic_overwrite", "iceberg_wap_publish",
+        "delta_check_constraint", "iceberg_stream_sink", "iceberg_rollback",
+        "tpch_q14_promo", "stream_stream_join",
+    }
 )
 
-# Round 4's new surface: pinned to the front of the sampling window so this
-# round's CORRECTNESS file carries driver evidence for it. The 30 oracle
-# queries never yet driver-sampled (tpch_q4/6/7/8/9/12..22, the text-hygiene
-# wave, stream_stream_join, …) rank right behind and fill the rest of the
-# 50-query window.
-_R4_PINNED = frozenset(
-    {
-        "txlog_widen_schema",
-        "txlog_clustered_write",
-        "retention_cohorts",
-        "event_transitions",
-        "pareto_frontier",
-        "weighted_sample_priority",
-        "mm_frame_sample",
-        "graph_triangle_counts",
-        "arrow_embed_features",
-        "udtf_chunk_windows",
-        "txlog_stream_upsert_sink",
-        "txlog_apply_changes",
-        "txlog_incremental_agg_cdc",
-        "graph_clustering_coefficient",
-        "txlog_retention_lifecycle",
-        "pyds_jsonl_writer_roundtrip",
-        "delta_roundtrip",
-        "delta_time_travel",
-        "delta_convert_in_place",
-        "delta_txlog_export",
-        "delta_checkpoint_read",
-        "iceberg_roundtrip",
-        "iceberg_time_travel",
-        "iceberg_partition_pruning",
-        "delta_delete_dv",
-        "iceberg_position_delete",
-        "delta_optimize_lifecycle",
-        "iceberg_schema_evolution",
-        "delta_cdf_changes",
-        "delta_stream_cdf",
-        "iceberg_stats_skipping",
-        "format_convert_loop",
-        "delta_vacuum_lifecycle",
-        "iceberg_expire_lifecycle",
-        "iceberg_stream_cdf",
-        "delta_schema_merge",
-        "iceberg_bucket_transform",
-        "iceberg_month_transform",
-        "iceberg_equality_delete",
-        "iceberg_compaction",
-        "semantic_dedup_survivors",
-        "delta_rename_mapping",
-        "iceberg_spec_evolution",
-        "iceberg_dynamic_overwrite",
-        "iceberg_wap_publish",
-        "delta_check_constraint",
-        "iceberg_stream_sink",
-        "iceberg_rollback",
-    }
+_DRIVER_VERIFIED = (
+    _R1_DRIVER_VERIFIED
+    | _R2_DRIVER_VERIFIED
+    | _R3_DRIVER_VERIFIED
+    | _R4_DRIVER_VERIFIED
 )
 
 
@@ -179,12 +158,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     that samples a prefix checks the queries with no prior driver row.
     """
     def rank(name: str) -> int:
-        if name in _R4_PINNED:
-            return -1
-        if name not in _DRIVER_VERIFIED:
-            # hash-checkable unproven queries first — a rows-only entry
-            # gains little from a driver row (pytest accuracy-gates it)
-            return 0 if name in Q.ORACLES else 1
+        # hash-checkable unproven queries first; then already-proven oracle
+        # queries (a fresh driver row re-proves them); rows-only entries
+        # last — a driver slot gains nothing over their pytest accuracy
+        # gates (it would just record `err: no_oracle`).
+        if name in Q.ORACLES:
+            return 0 if name not in _DRIVER_VERIFIED else 1
         return 2
 
     ordered = sorted(Q.QUERIES, key=lambda n: (rank(n), list(Q.QUERIES).index(n)))

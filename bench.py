@@ -175,23 +175,34 @@ def main() -> None:
         per_query[n] = round(statistics.median(times), 3)
 
     total = round(sum(per_query.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-                "extended": {
-                    n: _timed_once(qs[n], spark, sf_dir)
-                    for n in EXTENDED
-                    if n in qs
-                },
-                "scale_probe": scale_probe(spark, sf_dir),
-            }
-        )
-    )
+    record = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+        "extended": {
+            n: _timed_once(qs[n], spark, sf_dir) for n in EXTENDED if n in qs
+        },
+        "scale_probe": scale_probe(spark, sf_dir),
+    }
+    # driver captures of the single JSON line have truncated mid-dict in
+    # past rounds (r4 verdict item 7) — persist a small sibling file so
+    # the headline number always survives verbatim
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_HEADLINE.json"),
+            "w",
+        ) as f:
+            json.dump(
+                {"headline": total, "unit": "sec", "sf": sf,
+                 "queries": per_query},
+                f,
+            )
+    except OSError:
+        pass  # read-only checkout: stdout line is still the contract
+    print(json.dumps(record))
     spark.stop()
 
 

@@ -573,6 +573,28 @@ def semantic_dedup(
         vec_col=vec_col,
         train_fraction=train_fraction,
     )
+    return semantic_dedup_with_centers(
+        embeddings,
+        centers,
+        threshold=threshold,
+        n_assign=n_assign,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
+def semantic_dedup_with_centers(
+    embeddings: DataFrame,
+    centers,
+    threshold: float = 0.6,
+    n_assign: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``semantic_dedup`` with a caller-supplied (frozen) centroid matrix
+    — the quantizer-independent core, shared by the one-shot form above
+    and the incremental ``semantic_dedup_apply_batch`` (equality between
+    the two is only meaningful against the SAME centers)."""
     multi = assign_cells_multi(
         embeddings, centers, n_assign=n_assign, id_col=id_col, vec_col=vec_col
     )
@@ -589,6 +611,82 @@ def semantic_dedup(
     )
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return embeddings.join(dropped, on=id_col, how="left_anti")
+
+
+def semantic_dedup_apply_batch(
+    assigned: DataFrame,
+    centers,
+    batch: DataFrame,
+    threshold: float = 0.6,
+    n_assign: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """INCREMENTAL SemDeDup: dedup only a NEW batch against the frozen
+    cell index — the amortization the one-shot docstring promises
+    ("write the cell-assigned frame partitioned by cell and dedup
+    incrementally per cell"), made concrete.
+
+    ``assigned`` is the persisted (id, vec, cell) frame of ALL prior
+    rows — survivors AND dropped rows stay in it. Keeping dropped rows
+    is what makes the incremental result EXACTLY equal the one-shot
+    rule: a one-shot drop may be justified by a row that was itself
+    dropped (chained duplicates), so the comparison set must be every
+    smaller-id row, not just survivors. ``batch`` ids must exceed all
+    prior ids (arrival order = id order — the append-only contract).
+
+    Per-batch cost tracks the BATCH, not the corpus: the batch is
+    cell-assigned with the frozen centers (no re-training), prior
+    candidates are confined to the batch's TOUCHED cells (partition
+    pruning when ``assigned`` is stored partitioned by cell), and the
+    pair join's right side is only the batch — O(|batch| · touched-cell
+    density) dot products. Returns ``(batch_survivors,
+    batch_assigned)``; append ``batch_assigned`` to the index for the
+    next batch.
+
+    Equality contract (gated in tests/test_accuracy_gates.py):
+    survivors(base) ∪ apply_batch(batch) == one-shot
+    ``semantic_dedup_with_centers(base ∪ batch, centers)``.
+    """
+    b_assigned = assign_cells_multi(
+        batch, centers, n_assign=n_assign, id_col=id_col, vec_col=vec_col
+    )
+    touched = b_assigned.select("cell").distinct()
+    prior = assigned.select(F.col(id_col), F.col(vec_col), F.col("cell")).join(
+        F.broadcast(touched), "cell"
+    )
+    cand = prior.unionByName(
+        b_assigned.select(F.col(id_col), F.col(vec_col), F.col("cell"))
+    )
+
+    def _norms(df: DataFrame, suffix: str) -> DataFrame:
+        v = F.col(vec_col).cast("array<double>")
+        return df.select(
+            F.col(id_col).alias(f"id_{suffix}"),
+            F.col("cell").alias(f"cell_{suffix}"),
+            v.alias(f"v_{suffix}"),
+        ).withColumn(
+            f"norm_{suffix}",
+            F.sqrt(vec_dot(F.col(f"v_{suffix}"), F.col(f"v_{suffix}"))),
+        )
+
+    left = _norms(cand, "a")
+    right = _norms(b_assigned, "b")
+    cos = vec_dot(F.col("v_a"), F.col("v_b")) / (
+        F.col("norm_a") * F.col("norm_b")
+    )
+    pairs = (
+        left.join(
+            right,
+            (F.col("cell_a") == F.col("cell_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    survivors = batch.join(dropped, on=id_col, how="left_anti")
+    return survivors, b_assigned
 
 
 def assign_cells_multi(

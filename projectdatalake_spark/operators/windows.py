@@ -131,50 +131,95 @@ def rolling_with_halo(
        parallel across buckets — and halo rows supply the cross-boundary
        context the global form would have seen.
 
-    EXACT under one precondition: every populated bucket (except a
-    partition's first) holds >= ``frame_rows`` rows, so one bucket's
-    tail is the complete trailing context (equality property-tested in
-    tests/test_properties.py). Sparse/empty buckets are handled — the
-    halo targets the next POPULATED bucket via a dense bucket sequence
-    (distinct (partition, bucket) pairs are window-ranked; that frame is
-    one row per bucket, metadata-sized). Pick buckets coarse enough for
-    the precondition; if a stream is so sparse that no such bucket
-    exists, it is small enough for the single-task global form.
+    EXACT for EVERY bucket distribution (no populated-bucket
+    precondition): each row's GLOBAL stream position is recovered as
+    bucket-start offset (prefix sum over the metadata-sized bucket
+    frame) + rank within its bucket (parallel across buckets), and a
+    bucket's halo is exactly the ``frame_rows`` global predecessors of
+    its first row — reaching across as many sparse earlier buckets as
+    needed. The origin→target bucket pairs come from a self-join of the
+    tiny bucket frame (one row per populated bucket), so the data-side
+    join stays a plain equi-join on (partition, bucket); a row is
+    replicated once per target bucket it serves (≥1 only while the
+    intervening buckets hold < frame_rows rows). Equality with the
+    global form is driver-hash-proven (anomaly_zscore_bucketed) and
+    property-tested, including adversarially sparse buckets, in
+    tests/test_properties.py.
 
     ``aggs`` maps output column name -> (WindowSpec -> Column), e.g.
     ``{"m": lambda w: F.avg("value").over(w)}``; the frame is
     ``rowsBetween(-frame_rows, -1)`` (self-excluded trailing window).
-    Cost: one tiny shuffle for the bucket sequence, one hash shuffle of
+    Cost: one tiny shuffle for the bucket frame, one hash shuffle of
     data + halo replicas on (partition, bucket) — vs the global form's
     one shuffle on partition alone; the halo duplicates only
-    frame_rows x n_buckets rows.
+    ~frame_rows x n_buckets rows.
     """
     b = df.withColumn("__bucket", bucket.cast("long"))
-    pcols = [F.col(c) for c in partition_by]
 
-    # dense bucket sequence per partition (tiny frame: one row per
-    # populated bucket) so halos skip over empty buckets
+    # per-(partition, bucket) counts → dense seq + global start offsets;
+    # one row per POPULATED bucket: metadata-sized, broadcast everywhere
     seq_w = Window.partitionBy(*partition_by).orderBy("__bucket")
     seq = (
-        b.select(*partition_by, "__bucket")
-        .distinct()
+        b.groupBy(*partition_by, "__bucket")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
         .withColumn("__seq", F.row_number().over(seq_w))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__cnt").over(
+                    seq_w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
     )
-    b = b.join(F.broadcast(seq), on=[*partition_by, "__bucket"])
+    b = b.join(
+        F.broadcast(seq.select(*partition_by, "__bucket", "__seq", "__off")),
+        on=[*partition_by, "__bucket"],
+    )
+    in_w = Window.partitionBy(*partition_by, "__seq").orderBy(*order_by)
+    b = b.withColumn("__pos", F.col("__off") + F.row_number().over(in_w))
 
-    rev_w = (
-        Window.partitionBy(*partition_by, "__seq")
-        .orderBy(*[F.col(c).desc() for c in order_by])
+    # origin bucket o serves target bucket t iff o's global row range
+    # (off_o, off_o+cnt_o] intersects t's halo range (off_t-frame, off_t]
+    # — a tiny×tiny self-join producing the (origin seq → target) pairs
+    # the data equi-joins against (never a data-side range join)
+    o = seq.select(
+        *partition_by,
+        F.col("__seq").alias("__oseq"),
+        F.col("__off").alias("__ooff"),
+        F.col("__cnt").alias("__ocnt"),
     )
-    tail = (
-        b.withColumn("__rev", F.row_number().over(rev_w))
-        .where(F.col("__rev") <= frame_rows)
-        .drop("__rev")
-        .withColumn("__seq", F.col("__seq") + 1)
+    tgt = seq.select(
+        *partition_by,
+        F.col("__seq").alias("__tseq"),
+        F.col("__off").alias("__toff"),
+    )
+    pairs = (
+        o.join(tgt, on=list(partition_by))
+        .where(
+            (F.col("__oseq") < F.col("__tseq"))
+            & (F.col("__ooff") + F.col("__ocnt") > F.col("__toff") - frame_rows)
+        )
+        .select(
+            *partition_by,
+            F.col("__oseq").alias("__seq"),
+            "__tseq",
+            "__toff",
+        )
+    )
+    halo = (
+        b.join(F.broadcast(pairs), on=[*partition_by, "__seq"])
+        .where(
+            (F.col("__pos") > F.col("__toff") - frame_rows)
+            & (F.col("__pos") <= F.col("__toff"))
+        )
+        .drop("__seq", "__toff")
+        .withColumnRenamed("__tseq", "__seq")
         .withColumn("__halo", F.lit(True))
     )
     body = b.withColumn("__halo", F.lit(False))
-    u = body.unionByName(tail)
+    u = body.unionByName(halo.select(*body.columns))
 
     win = (
         Window.partitionBy(*partition_by, "__seq")
@@ -184,4 +229,6 @@ def rolling_with_halo(
     out = u.select(
         "*", *[fn(win).alias(name) for name, fn in aggs.items()]
     )
-    return out.where(~F.col("__halo")).drop("__bucket", "__seq", "__halo")
+    return out.where(~F.col("__halo")).drop(
+        "__bucket", "__seq", "__halo", "__off", "__pos"
+    )

@@ -49,6 +49,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StructType
 
+from projectdatalake_spark.sources import atomic as _atomic
+
 _LOG = "_delta_log"
 _LAST_CHECKPOINT = "_last_checkpoint"
 
@@ -129,6 +131,15 @@ class DeltaTable:
             stream.close()
 
     def _write_text(self, p: str, text: str, exclusive: bool) -> None:
+        if exclusive and _atomic.is_local_path(p):
+            # local Hadoop create(overwrite=false) is check-then-create
+            # (TOCTOU) — racing commits can both "win" a version file;
+            # POSIX O_CREAT|O_EXCL is the actual mutual exclusion
+            try:
+                _atomic.write_exclusive_local(p, text.encode("utf-8"))
+            except _atomic.ExclusiveCreateConflict as exc:
+                raise DeltaCommitConflict(p) from exc
+            return
         fs = self._fs()
         try:
             out = fs.create(self._path(p), not exclusive)
@@ -889,20 +900,31 @@ class DeltaTable:
             raise DeltaProtocolError(
                 f"existing rows violate CHECK ({expr}) — constraint refused"
             )
-        cfg = {**(meta.get("configuration") or {}), key: expr}
-        proto = state["protocol"] or {"minReaderVersion": 1, "minWriterVersion": 2}
-        actions = [
-            {"commitInfo": self._commit_info(
-                "ADD CONSTRAINT", {"name": name, "expr": expr}
-            )},
-        ]
-        if proto.get("minWriterVersion", 2) < 3:
-            actions.append(
-                {"protocol": {**proto, "minWriterVersion": 3}}
-            )
-        actions.append({"metaData": {**meta, "configuration": cfg}})
-        for _ in range(20):
-            v = self.latest_version() + 1
+        for attempt in range(20):
+            if attempt > 0:
+                # rebuild against the racer's state — replaying the stale
+                # metaData would drop its concurrent config/schema change
+                state = self._state()
+                meta = state["metaData"]
+                if key in (meta.get("configuration") or {}):
+                    raise DeltaProtocolError(
+                        f"constraint {name!r} already exists"
+                    )
+            cfg = {**(meta.get("configuration") or {}), key: expr}
+            proto = state["protocol"] or {
+                "minReaderVersion": 1, "minWriterVersion": 2
+            }
+            actions = [
+                {"commitInfo": self._commit_info(
+                    "ADD CONSTRAINT", {"name": name, "expr": expr}
+                )},
+            ]
+            if proto.get("minWriterVersion", 2) < 3:
+                actions.append(
+                    {"protocol": {**proto, "minWriterVersion": 3}}
+                )
+            actions.append({"metaData": {**meta, "configuration": cfg}})
+            v = state["version"] + 1
             try:
                 self._publish(v, actions)
                 return v
@@ -916,17 +938,24 @@ class DeltaTable:
         key = f"delta.constraints.{name}"
         if key not in (meta.get("configuration") or {}):
             raise KeyError(name)
-        cfg = {
-            k: v2
-            for k, v2 in meta["configuration"].items()
-            if k != key
-        }
-        actions = [
-            {"commitInfo": self._commit_info("DROP CONSTRAINT", {"name": name})},
-            {"metaData": {**meta, "configuration": cfg}},
-        ]
-        for _ in range(20):
-            v = self.latest_version() + 1
+        for attempt in range(20):
+            if attempt > 0:
+                state = self._state()
+                meta = state["metaData"]
+                if key not in (meta.get("configuration") or {}):
+                    return state["version"]  # racer already dropped it
+            cfg = {
+                k: v2
+                for k, v2 in meta["configuration"].items()
+                if k != key
+            }
+            actions = [
+                {"commitInfo": self._commit_info(
+                    "DROP CONSTRAINT", {"name": name}
+                )},
+                {"metaData": {**meta, "configuration": cfg}},
+            ]
+            v = state["version"] + 1
             try:
                 self._publish(v, actions)
                 return v
@@ -1080,14 +1109,39 @@ class DeltaTable:
                 ]
             )
         adds = self._stage(stage_df, pcols)
-        actions: list[dict] = [{"commitInfo": self._commit_info("WRITE", {"mode": "Append"})}]
-        if new_meta_action is not None:
-            actions.append(new_meta_action)
-        if txn is not None:
-            actions.append({"txn": {"appId": txn[0], "version": txn[1],
-                                    "lastUpdated": int(time.time() * 1000)}})
-        actions.extend({"add": a} for a in adds)
-        for _ in range(20):
+        for attempt in range(20):
+            if attempt > 0:
+                # a racer landed: re-replay the log so a schema-merge
+                # metaData action is rebuilt against the RACER's schema —
+                # replaying the stale action would drop any column the
+                # racer added concurrently (lost metadata update)
+                state = self._state()
+                meta = state["metaData"]
+                if txn is not None and state["txns"].get(txn[0], -1) >= txn[1]:
+                    return -1
+                if new_meta_action is not None:
+                    cur_schema = StructType.fromJson(
+                        json.loads(meta["schemaString"])
+                    )
+                    known = {f.name for f in cur_schema.fields}
+                    still_new = [
+                        f for f in df.schema.fields if f.name not in known
+                    ]
+                    merged = StructType(
+                        list(cur_schema.fields) + list(still_new)
+                    )
+                    new_meta_action = {
+                        "metaData": {**meta, "schemaString": merged.json()}
+                    }
+            actions: list[dict] = [
+                {"commitInfo": self._commit_info("WRITE", {"mode": "Append"})}
+            ]
+            if new_meta_action is not None:
+                actions.append(new_meta_action)
+            if txn is not None:
+                actions.append({"txn": {"appId": txn[0], "version": txn[1],
+                                        "lastUpdated": int(time.time() * 1000)}})
+            actions.extend({"add": a} for a in adds)
             v = self.latest_version() + 1
             try:
                 self._publish(v, actions)
@@ -1170,6 +1224,147 @@ class DeltaTable:
         ]
         v = state["version"] + 1
         self._publish(v, actions)
+        return v
+
+    def merge_upsert(self, updates: DataFrame, keys: list[str]) -> int:
+        """MERGE (upsert) THROUGH THE DELTA LOG: update rows whose key
+        matches, insert the rest — committed as remove+add actions in one
+        version, the same touched-file rewrite real Delta MERGE plans.
+
+        Scale shape (the 100 TB contract):
+        - candidate files are pruned FIRST on add.stats min/max of the key
+          columns against the updates' global key range — no data read for
+          files that cannot contain a match;
+        - the touched-file probe reads only candidates, only the key
+          columns, and collects just the DISTINCT matching file paths
+          (O(#files) driver state — the same metadata-sized contract as
+          commit planning);
+        - the rewrite reads ONLY touched files; every other add action
+          survives the commit byte-identical.
+        Deletion vectors on touched files are honored (masked rows do not
+        resurrect); a touched file's DV dies with its remove action.
+        ``updates`` must carry the full table schema. Duplicate keys in
+        ``updates`` are kept as-is (same contract as txlog merge_upsert).
+
+        Concurrency: the touched set is computed against THIS state, so
+        the commit targets exactly state.version+1 — a racer moving the
+        tip surfaces as DeltaCommitConflict (recompute and retry), never
+        a silent drop of either side's rows. A pure-insert merge (no
+        matches) degrades to blind-append semantics and may auto-retry."""
+        state = self._state()
+        meta = state["metaData"]
+        self._refuse_mapped(meta, "merge_upsert")
+        self._enforce_constraints(updates, meta)
+        schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        pcols = list(meta.get("partitionColumns", []))
+        cols = [f.name for f in schema.fields]
+        missing = [c for c in cols if c not in updates.columns]
+        if missing:
+            raise DeltaProtocolError(
+                f"merge updates missing table columns {missing}"
+            )
+        bad = [k for k in keys if k not in cols]
+        if bad:
+            raise DeltaProtocolError(f"merge keys not in table schema: {bad}")
+        updates = updates.select(*cols)
+        # file-level key-range prune (one tiny agg over the updates, which
+        # doubles as the empty-updates no-op check)
+        data_keys = [k for k in keys if k not in pcols]
+        cand = list(state["adds"].items())
+        rng = updates.agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[F.min(k).alias(f"__lo_{k}") for k in data_keys],
+            *[F.max(k).alias(f"__hi_{k}") for k in data_keys],
+        ).collect()[0]
+        if rng["__n"] == 0:
+            return -1  # nothing to merge
+        if data_keys and cand:
+            where = {k: (rng[f"__lo_{k}"], rng[f"__hi_{k}"]) for k in data_keys}
+            cand = [(p, a) for p, a in cand if self._stats_may_match(a, where)]
+        ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
+        data_schema = StructType([f for f in schema.fields if f.name not in pcols])
+        key_frame = updates.select(*keys).distinct()
+
+        def _grouped_read(adds: list[dict], select_cols: list[str], with_path: bool):
+            groups: dict[tuple, list[dict]] = {}
+            for a in adds:
+                pv = a.get("partitionValues", {})
+                groups.setdefault(
+                    tuple((c, pv.get(c)) for c in pcols), []
+                ).append(a)
+            frames = []
+            for gkey, group in groups.items():
+                df = self.spark.read.schema(data_schema).parquet(
+                    *[self._abs_data_path(a["path"]) for a in group]
+                )
+                if with_path:
+                    df = df.withColumn(
+                        "__mpath",
+                        F.regexp_replace(F.col("_metadata.file_path"), "^file:", ""),
+                    )
+                dv_adds = [a for a in group if a.get("deletionVector")]
+                if dv_adds:
+                    df = self._apply_dvs(df, dv_adds)
+                for col, sval in gkey:
+                    df = df.withColumn(col, _partition_literal(sval, ptypes[col]))
+                frames.append(
+                    df.select(*select_cols, *(["__mpath"] if with_path else []))
+                )
+            out = frames[0]
+            for f in frames[1:]:
+                out = out.unionByName(f)
+            return out
+
+        touched: list[tuple[str, dict]] = []
+        if cand:
+            probe = _grouped_read([a for _, a in cand], keys, with_path=True)
+            hit_paths = {
+                r["__mpath"]
+                for r in probe.join(key_frame, keys, "left_semi")
+                .select("__mpath")
+                .distinct()
+                .collect()
+            }
+            touched = [
+                (p, a)
+                for p, a in cand
+                if self._abs_data_path(a["path"]) in hit_paths
+            ]
+        if not touched:
+            # pure insert — blind-append concurrency semantics
+            adds = self._stage(updates, tuple(pcols))
+            actions = [
+                {"commitInfo": self._commit_info("MERGE", {"matched": "0"})},
+                *({"add": a} for a in adds),
+            ]
+            for _ in range(20):
+                v = self.latest_version() + 1
+                try:
+                    self._publish(v, actions)
+                    return v
+                except DeltaCommitConflict:
+                    continue
+            raise DeltaCommitConflict(f"merge lost 20 races at {self.root}")
+        survivors = _grouped_read(
+            [a for _, a in touched], cols, with_path=False
+        ).join(key_frame, keys, "left_anti")
+        merged = updates.unionByName(survivors)
+        adds = self._stage(merged, tuple(pcols))
+        now = int(time.time() * 1000)
+        actions = [
+            {
+                "commitInfo": self._commit_info(
+                    "MERGE", {"matchedFiles": str(len(touched))}
+                )
+            },
+            *(
+                {"remove": {"path": p, "deletionTimestamp": now, "dataChange": True}}
+                for p, _ in touched
+            ),
+            *({"add": a} for a in adds),
+        ]
+        v = state["version"] + 1
+        self._publish(v, actions)  # no blind retry: touched set is stale
         return v
 
     def txn_version(self, app_id: str) -> int:
@@ -1298,6 +1493,12 @@ class DeltaTable:
         return v
 
     def _write_bytes(self, p: str, data: bytes, exclusive: bool) -> None:
+        if exclusive and _atomic.is_local_path(p):
+            try:
+                _atomic.write_exclusive_local(p, data)
+            except _atomic.ExclusiveCreateConflict as exc:
+                raise DeltaCommitConflict(p) from exc
+            return
         fs = self._fs()
         try:
             out = fs.create(self._path(p), not exclusive)

@@ -48,6 +48,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StructField, StructType
 
+from projectdatalake_spark.sources import atomic as _atomic
 from projectdatalake_spark.sources.avro_codec import read_container, write_container
 
 _SPARK_TO_ICEBERG = {
@@ -426,11 +427,32 @@ def _spec_part_fields(meta: dict, spec: dict) -> list[dict]:
     return out
 
 
+def _ntz_epoch_micros(col):
+    """Naive-UTC epoch micros of a TIMESTAMP_NTZ column, computed purely
+    from its (timezone-free) wall-clock fields — a cast to TIMESTAMP would
+    re-interpret the wall in the SESSION timezone and shift the value."""
+    day = F.datediff(F.to_date(col), F.lit("1970-01-01").cast("date")).cast("long")
+    sec = F.date_part(F.lit("SECOND"), col)  # decimal, microsecond fraction
+    return (
+        day * F.lit(86_400_000_000)
+        + F.hour(col).cast("long") * F.lit(3_600_000_000)
+        + F.minute(col).cast("long") * F.lit(60_000_000)
+        + (sec * F.lit(1_000_000)).cast("long")
+    )
+
+
 def _transform_expr(transform: str, source: str, src_type: str):
     """Spark Column computing ``transform(source)`` — expression-only for
     everything except bucket, which is an Arrow-batched pandas UDF over
     the numpy-vectorized murmur3 (per-batch column math, no per-row
-    Python)."""
+    Python).
+
+    Timezone contract: every temporal path here is SESSION-TIMEZONE
+    INDEPENDENT (``_transform_py`` prunes assuming naive-UTC, and
+    IcebergTable accepts any SparkSession, not just the project factory's
+    UTC-pinned one). NTZ sources use their wall clock directly; LTZ
+    (timestamptz) sources decompose the epoch instant in the UTC calendar
+    via integer math, never via F.year/to_date rendering."""
     col = F.col(source)
     if transform == "identity":
         return col
@@ -442,13 +464,31 @@ def _transform_expr(transform: str, source: str, src_type: str):
         return (col - F.pmod(col, F.lit(w))).cast(
             "int" if src_type == "int" else "long"
         )
-    if transform == "year":
-        return (F.year(col) - F.lit(1970)).cast("int")
-    if transform == "month":
-        return ((F.year(col) - F.lit(1970)) * 12 + F.month(col) - 1).cast("int")
-    if transform == "day":
-        return F.datediff(F.to_date(col), F.lit("1970-01-01").cast("date")).cast("int")
-    if transform == "hour":
+    if transform in ("year", "month", "day", "hour"):
+        if src_type == "timestamptz":
+            # LTZ holds an instant; floor-divide micros for day/hour and
+            # rebase through DATE (calendar ops on DATE are tz-free)
+            micros = F.unix_micros(col)
+            epoch_day = F.floor(micros / F.lit(86_400_000_000)).cast("int")
+            if transform == "hour":
+                return F.floor(micros / F.lit(3_600_000_000)).cast("int")
+            if transform == "day":
+                return epoch_day
+            utc_date = F.date_add(F.lit("1970-01-01").cast("date"), epoch_day)
+            if transform == "year":
+                return (F.year(utc_date) - F.lit(1970)).cast("int")
+            return (
+                (F.year(utc_date) - F.lit(1970)) * 12 + F.month(utc_date) - 1
+            ).cast("int")
+        # date / timestamp_ntz: wall-clock calendar fields are tz-free
+        if transform == "year":
+            return (F.year(col) - F.lit(1970)).cast("int")
+        if transform == "month":
+            return ((F.year(col) - F.lit(1970)) * 12 + F.month(col) - 1).cast("int")
+        if transform == "day":
+            return F.datediff(
+                F.to_date(col), F.lit("1970-01-01").cast("date")
+            ).cast("int")
         return (
             F.datediff(F.to_date(col), F.lit("1970-01-01").cast("date")) * 24
             + F.hour(col)
@@ -459,11 +499,20 @@ def _transform_expr(transform: str, source: str, src_type: str):
             return _bucket_udf_string(n)(col)
         if src_type == "date":
             as_long = F.datediff(col, F.lit("1970-01-01").cast("date")).cast("long")
-        elif src_type in ("timestamp", "timestamptz"):
-            as_long = F.unix_micros(col.cast("timestamp"))
+        elif src_type == "timestamp":  # NTZ: naive-UTC by convention
+            as_long = _ntz_epoch_micros(col)
+        elif src_type == "timestamptz":
+            as_long = F.unix_micros(col)  # an instant — tz plays no part
         else:  # int / long hash as their LONG value per spec
             as_long = col.cast("long")
-        return _bucket_udf_long(n)(as_long)
+        # keep nulls OUT of the UDF batch: an int64 Arrow batch containing
+        # nulls materializes as a float64 pandas Series, silently rounding
+        # |v| > 2^53 before the hash — rows would land in (and prune from)
+        # the wrong bucket. Coalesce JVM-side, restore null JVM-side.
+        return F.when(
+            as_long.isNotNull(),
+            _bucket_udf_long(n)(F.coalesce(as_long, F.lit(0).cast("long"))),
+        )
     raise IcebergProtocolError(f"unknown partition transform {transform!r}")
 
 
@@ -477,7 +526,10 @@ def _bucket_udf_long(n: int):
         from projectdatalake_spark.functions.murmur3 import mmh3_long_np
 
         mask = s.isna()
-        vals = s.fillna(0).to_numpy(dtype="int64")
+        # a long batch WITH nulls arrives as float64 — fillna then a direct
+        # int64 cast would round-trip through float and corrupt |v| > 2^53;
+        # the nullable Int64 path keeps full 64-bit precision
+        vals = s.astype("Int64").fillna(0).to_numpy(dtype="int64")
         h = mmh3_long_np(vals).astype(np.int64)
         out = pd.Series((h & 0x7FFFFFFF) % n, dtype="Int32")
         out[mask.to_numpy()] = None
@@ -590,6 +642,15 @@ class IcebergTable:
             stream.close()
 
     def _write_bytes(self, p: str, data: bytes, exclusive: bool) -> None:
+        if exclusive and _atomic.is_local_path(p):
+            # Hadoop's local create(overwrite=false) is check-THEN-create;
+            # two racing commits can both pass the check and one snapshot
+            # silently vanishes. POSIX O_CREAT|O_EXCL is the real mutex.
+            try:
+                _atomic.write_exclusive_local(p, data)
+            except _atomic.ExclusiveCreateConflict as exc:
+                raise IcebergCommitConflict(p) from exc
+            return
         fs = self._fs()
         try:
             out = fs.create(self._path(p), not exclusive)
@@ -605,9 +666,30 @@ class IcebergTable:
     def current_metadata_version(self) -> int:
         hint = f"{self.root}/metadata/version-hint.text"
         fs = self._fs()
-        if fs.exists(self._path(hint)):
-            return int(self._read_bytes(hint).decode().strip())
-        # hint missing (crash window): scan for the highest v*.metadata.json
+        # The hint is advisory and may be observed mid-overwrite by a racing
+        # writer (filesystems without atomic replace truncate-then-write).
+        # A torn read must degrade to the authoritative directory scan, not
+        # crash the reader with a bare int() ValueError.
+        for attempt in range(5):
+            if not fs.exists(self._path(hint)):
+                break
+            try:
+                raw = self._read_bytes(hint).decode().strip()
+            except Exception:
+                raw = ""
+            if raw.isdigit():
+                v = int(raw)
+                # the hint may be STALE (two racing winners' hint writes can
+                # land out of order) — walk forward to the true tip; each
+                # probe is one exists() call and almost always misses
+                while fs.exists(
+                    self._path(f"{self.root}/metadata/v{v + 1}.metadata.json")
+                ):
+                    v += 1
+                return v
+            time.sleep(0.005 * (attempt + 1))
+        # hint missing (crash window) or torn (racing overwrite): scan for
+        # the highest v*.metadata.json — always correct, O(#versions) names
         best = -1
         meta_dir = self._path(f"{self.root}/metadata")
         if fs.exists(meta_dir):
@@ -623,9 +705,23 @@ class IcebergTable:
 
     def metadata(self, version: int | None = None) -> dict:
         v = self.current_metadata_version() if version is None else version
-        return json.loads(
-            self._read_bytes(f"{self.root}/metadata/v{v}.metadata.json").decode()
-        )
+        p = f"{self.root}/metadata/v{v}.metadata.json"
+        # exclusive create makes the file VISIBLE before its bytes land, so
+        # a racing reader (walk-forward probe, crash-window scan, commit
+        # retry) can open a mid-write file: empty/partial JSON, or a
+        # checksum mismatch on the local FS. The window is the microseconds
+        # between create() and close() — bounded retry rides it out; a
+        # file torn forever (writer died mid-write) surfaces loudly.
+        last: Exception | None = None
+        for attempt in range(10):
+            try:
+                return json.loads(self._read_bytes(p).decode())
+            except Exception as exc:
+                last = exc
+                time.sleep(0.005 * (attempt + 1))
+        raise IcebergProtocolError(
+            f"metadata file unreadable after retries: {p}"
+        ) from last
 
     def snapshots(self) -> list[dict]:
         return list(self.metadata().get("snapshots", []))
@@ -1210,6 +1306,23 @@ class IcebergTable:
             if s["spec-id"] == meta["default-spec-id"]
         )
 
+    @staticmethod
+    def _unpartitioned_spec(meta: dict) -> dict:
+        """The spec GLOBAL delete files must be written under (Iceberg spec:
+        a delete file under a partitioned spec scopes to its partition
+        tuple — an all-null tuple would scope to the null partition only,
+        and compliant external readers would resurrect the deleted rows
+        everywhere else). Reuses an existing field-less spec when the
+        table has one; otherwise returns a fresh spec-id for
+        ``_commit_delete_snapshot`` to register."""
+        for s in meta["partition-specs"]:
+            if not s["fields"]:
+                return s
+        return {
+            "spec-id": max(s["spec-id"] for s in meta["partition-specs"]) + 1,
+            "fields": [],
+        }
+
     # --- write ------------------------------------------------------------
 
     @classmethod
@@ -1281,11 +1394,23 @@ class IcebergTable:
             json.dumps(meta, indent=1).encode(),
             exclusive=True,
         )
-        self._write_bytes(
-            f"{self.root}/metadata/version-hint.text",
-            str(version).encode(),
-            exclusive=False,
-        )
+        # Advance the hint via temp-file + rename where the FS supports it
+        # (single-FS atomic replace → no torn-read window for local/HDFS).
+        # Object stores rename non-atomically but their overwrite PUT is
+        # already atomic, so the plain-overwrite fallback is safe there.
+        hint = f"{self.root}/metadata/version-hint.text"
+        tmp = f"{hint}.tmp.{uuid.uuid4().hex}"
+        self._write_bytes(tmp, str(version).encode(), exclusive=True)
+        try:
+            renamed = self._fs().rename(self._path(tmp), self._path(hint))
+        except Exception:
+            renamed = False
+        if not renamed:
+            self._write_bytes(hint, str(version).encode(), exclusive=False)
+            try:
+                self._fs().delete(self._path(tmp), False)
+            except Exception:
+                pass
 
     def _stage_data(
         self,
@@ -1397,7 +1522,12 @@ class IcebergTable:
         and never reused: a field matching an existing (source-id,
         transform) pair keeps its id across specs, new fields get fresh
         ids. Returns the new spec id."""
-        meta = self.metadata()
+        # consistent (version, metadata) pair: the commit below targets
+        # exactly v+1 of the state this mutation was computed from — a
+        # separately-read fresh version would let a racer's commit be
+        # silently overwritten by this stale rebuild
+        v = self.current_metadata_version()
+        meta = self.metadata(version=v)
         ice_fields = next(
             s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
         )["fields"]
@@ -1427,7 +1557,6 @@ class IcebergTable:
         new_meta["default-spec-id"] = new_spec_id
         new_meta["last-partition-id"] = last_pid
         new_meta["last-updated-ms"] = int(time.time() * 1000)
-        v = self.current_metadata_version()
         try:
             self._write_metadata(v + 1, new_meta)
             return new_spec_id
@@ -1445,7 +1574,8 @@ class IcebergTable:
         ids in their parquet schemas) resolve under the new name with zero
         rewrites, exactly Iceberg's id-based-evolution contract. Partition
         source columns are refused (the spec evolves specs separately)."""
-        meta = self.metadata()
+        v = self.current_metadata_version()
+        meta = self.metadata(version=v)
         spec = self._current_spec(meta)
         if old in {p["source"] for p in _spec_part_fields(meta, spec)}:
             raise IcebergProtocolError(
@@ -1472,14 +1602,15 @@ class IcebergTable:
             {**f, "name": new} if f["name"] == old else dict(f)
             for f in ice["fields"]
         ]
-        return self._commit_schema(meta, new_fields)
+        return self._commit_schema(meta, new_fields, version=v)
 
     def add_column(self, name: str, ice_type: str) -> int:
         """Additive evolution: the new column gets a FRESH field id
         (last-column-id + 1 — ids are never reused, so late-arriving data
         can't alias a dropped column's bytes); existing files read it as
         null."""
-        meta = self.metadata()
+        v = self.current_metadata_version()
+        meta = self.metadata(version=v)
         ice = next(
             s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
         )
@@ -1489,14 +1620,15 @@ class IcebergTable:
         new_fields = list(ice["fields"]) + [
             {"id": fid, "name": name, "required": False, "type": ice_type}
         ]
-        return self._commit_schema(meta, new_fields, last_column_id=fid)
+        return self._commit_schema(meta, new_fields, last_column_id=fid, version=v)
 
     def drop_column(self, name: str) -> int:
         """Metadata-only drop: the field leaves the current schema (its id
         is retired, never reused — meta["last-column-id"] only grows), data
         files keep the bytes but no read schema references them. Partition
         source columns are refused."""
-        meta = self.metadata()
+        v = self.current_metadata_version()
+        meta = self.metadata(version=v)
         # guard across ALL spec eras: a column sourced by ANY spec still
         # interprets that era's partition tuples (ids never die)
         era_sources = set()
@@ -1516,11 +1648,19 @@ class IcebergTable:
         new_fields = [dict(f) for f in ice["fields"] if f["name"] != name]
         if not new_fields:
             raise IcebergProtocolError("cannot drop the last column")
-        return self._commit_schema(meta, new_fields)
+        return self._commit_schema(meta, new_fields, version=v)
 
     def _commit_schema(
-        self, meta: dict, new_fields: list[dict], last_column_id: int | None = None
+        self,
+        meta: dict,
+        new_fields: list[dict],
+        last_column_id: int | None = None,
+        version: int | None = None,
     ) -> int:
+        """``version`` must be the metadata version ``meta`` was read AT —
+        the commit targets exactly version+1 so a racer between read and
+        write surfaces as a conflict instead of being overwritten by this
+        stale rebuild."""
         new_sid = max(s["schema-id"] for s in meta["schemas"]) + 1
         new_meta = dict(meta)
         new_meta["schemas"] = meta["schemas"] + [
@@ -1530,7 +1670,7 @@ class IcebergTable:
         if last_column_id is not None:
             new_meta["last-column-id"] = last_column_id
         new_meta["last-updated-ms"] = int(time.time() * 1000)
-        v = self.current_metadata_version()
+        v = self.current_metadata_version() if version is None else version
         try:
             self._write_metadata(v + 1, new_meta)
             return new_sid
@@ -1807,6 +1947,24 @@ class IcebergTable:
         # loser lands on a later version number without ever conflicting.
         base_schema_id = meta["current-schema-id"]
         base_spec_id = spec["spec-id"]
+        # a REPLACE's file set (survivors + rewrites) was computed against
+        # the caller-supplied base snapshot; any commit that lands after
+        # that read would be silently dropped from the replace's manifest
+        # list (compaction can run for minutes — the window is large), so
+        # pin the base tip and refuse to commit over a moved one
+        base_sid = meta.get("current-snapshot-id")
+        if branch is not None:
+            r = (meta.get("refs") or {}).get(branch)
+            if r is not None:
+                base_sid = r["snapshot-id"]
+        # EXISTING entries pin their original data sequence numbers; the
+        # manifest-list min_sequence_number must cover them or external
+        # readers will skip older equality deletes against carried files
+        pinned_seqs = [
+            f["sequence_number"]
+            for f in files
+            if f.get("status", 1) == 0 and f.get("sequence_number") is not None
+        ]
         for _ in range(20):
             v = self.current_metadata_version()
             meta = self.metadata(version=v)
@@ -1825,7 +1983,7 @@ class IcebergTable:
                 "partition_spec_id": spec["spec-id"],
                 "content": 0,
                 "sequence_number": seq,
-                "min_sequence_number": seq,
+                "min_sequence_number": min([seq] + pinned_seqs),
                 "added_snapshot_id": sid,
                 "added_files_count": n_added,
                 "existing_files_count": n_existing,
@@ -1845,6 +2003,16 @@ class IcebergTable:
                             f"cannot write to tag {branch!r}"
                         )
                     cur_sid = r["snapshot-id"]  # branch head is the parent
+            if replace and cur_sid != base_sid:
+                # a concurrent commit (append/delete/replace) landed after
+                # the caller computed this replace's file set; committing
+                # over it would drop the racer's files from the table —
+                # mirror _commit_delete_snapshot's base-ancestry guard and
+                # force the caller to recompute against the new tip
+                raise IcebergCommitConflict(
+                    f"replace base snapshot moved ({base_sid} → {cur_sid}) "
+                    f"at {self.root} — recompute the replacement file set"
+                )
             if cur_sid is not None and cur_sid != -1 and (
                 not replace or carry_deletes
             ):
@@ -1932,73 +2100,88 @@ class IcebergTable:
         lists) — Iceberg's expireSnapshots + orphan cleanup, the storage
         half of table maintenance. Time travel to an expired snapshot id
         then raises at metadata lookup, never silently misreads. Returns
-        {"snapshots": n_expired, "files": n_deleted}."""
-        meta = self.metadata()
-        snaps = meta.get("snapshots", [])
-        if len(snaps) <= retain:
-            return {"snapshots": 0, "files": 0}
-        # every ref target (branch head / tag) survives regardless of age
-        ref_ids = {
-            r["snapshot-id"] for r in (meta.get("refs") or {}).values()
-        }
-        keep_snaps = [
-            s
-            for s in snaps
-            if s in snaps[-retain:] or s["snapshot-id"] in ref_ids
-        ]
-        keep_ids = {s["snapshot-id"] for s in keep_snaps}
-        expired = [s for s in snaps if s["snapshot-id"] not in keep_ids]
-        keep_data: set[str] = set()
-        keep_meta: set[str] = set()
-        for s in keep_snaps:
-            keep_meta.add(s["manifest-list"])
-            _, manifests = read_container(self._read_bytes(s["manifest-list"]))
-            for m in manifests:
-                keep_meta.add(m["manifest_path"])
-                _, rows = read_container(self._read_bytes(m["manifest_path"]))
-                for e in rows:
-                    keep_data.add(e["data_file"]["file_path"])
-        victims: set[str] = set()
-        for s in expired:
-            if s["manifest-list"] in keep_meta:
-                continue
-            victims.add(s["manifest-list"])
-            _, manifests = read_container(self._read_bytes(s["manifest-list"]))
-            for m in manifests:
-                if m["manifest_path"] not in keep_meta:
-                    victims.add(m["manifest_path"])
-                _, rows = read_container(self._read_bytes(m["manifest_path"]))
-                for e in rows:
-                    p = e["data_file"]["file_path"]
-                    if p not in keep_data:
-                        victims.add(p)
-        fs = self._fs()
-        deleted = 0
-        for p in victims:
+        {"snapshots": n_expired, "files": n_deleted}.
+
+        Concurrency: every attempt rebuilds keep/expire sets from a
+        CONSISTENT (version, metadata) pair and commits to exactly
+        version+1 — a racing append between read and write surfaces as a
+        conflict and the attempt recomputes against the new tip (the
+        racer's snapshot is the newest, so it lands in the keep set; a
+        stale pair here would silently drop it from the table). File
+        deletion happens AFTER the metadata commit: a crash in between
+        orphans files (reclaimed by the next run) instead of leaving
+        metadata pointing at deleted files."""
+        for _ in range(20):
+            v = self.current_metadata_version()
+            meta = self.metadata(version=v)
+            snaps = meta.get("snapshots", [])
+            if len(snaps) <= retain:
+                return {"snapshots": 0, "files": 0}
+            # every ref target (branch head / tag) survives regardless of age
+            ref_ids = {
+                r["snapshot-id"] for r in (meta.get("refs") or {}).values()
+            }
+            keep_snaps = [
+                s
+                for s in snaps
+                if s in snaps[-retain:] or s["snapshot-id"] in ref_ids
+            ]
+            keep_ids = {s["snapshot-id"] for s in keep_snaps}
+            expired = [s for s in snaps if s["snapshot-id"] not in keep_ids]
+            keep_data: set[str] = set()
+            keep_meta: set[str] = set()
+            for s in keep_snaps:
+                keep_meta.add(s["manifest-list"])
+                _, manifests = read_container(self._read_bytes(s["manifest-list"]))
+                for m in manifests:
+                    keep_meta.add(m["manifest_path"])
+                    _, rows = read_container(self._read_bytes(m["manifest_path"]))
+                    for e in rows:
+                        keep_data.add(e["data_file"]["file_path"])
+            victims: set[str] = set()
+            for s in expired:
+                if s["manifest-list"] in keep_meta:
+                    continue
+                victims.add(s["manifest-list"])
+                _, manifests = read_container(self._read_bytes(s["manifest-list"]))
+                for m in manifests:
+                    if m["manifest_path"] not in keep_meta:
+                        victims.add(m["manifest_path"])
+                    _, rows = read_container(self._read_bytes(m["manifest_path"]))
+                    for e in rows:
+                        p = e["data_file"]["file_path"]
+                        if p not in keep_data:
+                            victims.add(p)
+            now = int(time.time() * 1000)
+            new_meta = dict(meta)
+            new_meta["snapshots"] = keep_snaps
+            new_meta["snapshot-log"] = [
+                e
+                for e in meta.get("snapshot-log", [])
+                if e["snapshot-id"] in keep_ids
+            ]
+            new_meta["last-updated-ms"] = now
             try:
-                if fs.delete(self._path(p), False):
-                    deleted += 1
-            except Exception:
-                pass  # already gone
-        now = int(time.time() * 1000)
-        new_meta = dict(meta)
-        new_meta["snapshots"] = keep_snaps
-        new_meta["snapshot-log"] = [
-            e
-            for e in meta.get("snapshot-log", [])
-            if e["snapshot-id"] in {s["snapshot-id"] for s in keep_snaps}
-        ]
-        new_meta["last-updated-ms"] = now
-        v = self.current_metadata_version()
-        try:
-            self._write_metadata(v + 1, new_meta)
+                self._write_metadata(v + 1, new_meta)
+            except IcebergCommitConflict:
+                continue  # racer landed: recompute against the new tip
+            fs = self._fs()
+            deleted = 0
+            prefix = self.root.rstrip("/") + "/"
+            for p in victims:
+                # ownership guard: zero-copy converts (format_convert /
+                # convert_parquet) reference FOREIGN files by absolute
+                # path — expiring a snapshot must never delete a file this
+                # table does not own, or the source table breaks
+                if not p.startswith(prefix):
+                    continue
+                try:
+                    if fs.delete(self._path(p), False):
+                        deleted += 1
+                except Exception:
+                    pass  # already gone
             return {"snapshots": len(expired), "files": deleted}
-        except IcebergCommitConflict:
-            raise IcebergCommitConflict(
-                f"expire raced another commit at {self.root} — data files "
-                f"were already reclaimed against the old tip; re-run "
-                f"expire_snapshots to reconcile metadata"
-            )
+        raise IcebergCommitConflict(f"expire lost 20 races at {self.root}")
 
     def delete_where(self, condition: str) -> int | None:
         """Merge-on-read DELETE via v2 POSITION DELETE files: matching rows
@@ -2009,8 +2192,6 @@ class IcebergTable:
         new snapshot id, or None when nothing matched."""
         meta = self.metadata()
         schema = self._spark_schema(meta)
-        spec = self._current_spec(meta)
-        pf = _spec_part_fields(meta, spec)
         idcols_by_spec = {
             s["spec-id"]: [
                 p["pname"]
@@ -2077,17 +2258,19 @@ class IcebergTable:
         if n_deleted == 0:
             fs.delete(self._path(stage), True)
             return None
-        part_fields = [(p["pname"], p["result_type"]) for p in pf]
+        # the pair file spans every partition → global delete, written
+        # under the unpartitioned spec (empty tuple) per the Iceberg spec
+        del_spec = self._unpartitioned_spec(meta)
         return self._commit_delete_snapshot(
             meta,
-            spec,
-            part_fields,
+            del_spec,
+            [],
             files=[
                 {
                     "content": 1,  # POSITION_DELETES
                     "file_path": path,
                     "file_format": "PARQUET",
-                    "partition": {c: None for c, _ in part_fields},
+                    "partition": {},
                     "record_count": counts.get(path, 0),
                     "file_size_in_bytes": size,
                 }
@@ -2120,9 +2303,6 @@ class IcebergTable:
         matching to read/compaction). Returns the new snapshot id, or
         None for an empty key set."""
         meta = self.metadata()
-        spec = self._current_spec(meta)
-        pf = _spec_part_fields(meta, spec)
-        part_fields = [(p["pname"], p["result_type"]) for p in pf]
         ice_fields = next(
             s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
         )["fields"]
@@ -2163,16 +2343,21 @@ class IcebergTable:
         if n_keys == 0:
             fs.delete(self._path(stage), True)
             return None
+        # table-wide equality deletes MUST be global per the Iceberg spec:
+        # written under an unpartitioned spec, empty partition tuple — a
+        # partitioned-spec all-null tuple would be scoped to the null
+        # partition by compliant readers, resurrecting rows elsewhere
+        del_spec = self._unpartitioned_spec(meta)
         return self._commit_delete_snapshot(
             meta,
-            spec,
-            part_fields,
+            del_spec,
+            [],
             files=[
                 {
                     "content": 2,  # EQUALITY_DELETES
                     "file_path": path,
                     "file_format": "PARQUET",
-                    "partition": {c: None for c, _ in part_fields},
+                    "partition": {},
                     "record_count": counts.get(path, 0),
                     "file_size_in_bytes": size,
                     "equality_ids": eq_ids,
@@ -2310,6 +2495,13 @@ class IcebergTable:
             new_meta["snapshot-log"] = meta.get("snapshot-log", []) + [
                 {"timestamp-ms": now, "snapshot-id": sid}
             ]
+            if spec["spec-id"] not in {
+                s["spec-id"] for s in meta["partition-specs"]
+            }:
+                # first GLOBAL delete on a partitioned table: register the
+                # unpartitioned spec this delete manifest was written under
+                # (default-spec-id is untouched — data writes keep theirs)
+                new_meta["partition-specs"] = meta["partition-specs"] + [spec]
             try:
                 self._write_metadata(v + 1, new_meta)
                 return sid

@@ -42,6 +42,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from projectdatalake_spark.sources import atomic as _atomic
+
 _LOG_DIR = "_txlog"
 _STAGING = "_staging"
 _DV_DIR = "_dv"
@@ -308,7 +310,17 @@ class TxTable:
         raise IOError(f"torn or unreadable log file {p}") from last
 
     def _write_text_exclusive(self, p: str, text: str) -> None:
-        """Create-if-absent write — the commit protocol's mutual exclusion."""
+        """Create-if-absent write — the commit protocol's mutual exclusion.
+
+        Local paths use POSIX O_CREAT|O_EXCL (sources/atomic.py): Hadoop's
+        local create(overwrite=false) is check-then-create, a TOCTOU race
+        where two commits can both win the same version file."""
+        if _atomic.is_local_path(p):
+            try:
+                _atomic.write_exclusive_local(p, text.encode("utf-8"))
+            except _atomic.ExclusiveCreateConflict as exc:
+                raise CommitConflict(p) from exc
+            return
         fs = self._fs()
         try:
             out = fs.create(self._path(p), False)

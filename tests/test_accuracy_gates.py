@@ -435,3 +435,55 @@ def test_semantic_dedup_gate(spark):
     assert recall >= 0.9, f"semantic dedup recall degraded to {recall:.2f}"
     # survivors + dropped partition the corpus
     assert surv.count() + len(got_dropped) == emb.count()
+
+
+def test_semantic_dedup_incremental_exact_equality(spark):
+    """Incremental SemDeDup == one-shot, EXACTLY: build the index on the
+    base 70% of the corpus, apply the remaining 30% in two batches via
+    semantic_dedup_apply_batch, and the union of survivors must equal
+    semantic_dedup_with_centers over the whole corpus with the same
+    frozen centers. Also pins the amortization shape: the per-batch
+    candidate set is confined to the batch's touched cells — strictly
+    smaller than the corpus whenever some cell is untouched."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    ids = sorted(r.vec_id for r in emb.select("vec_id").collect())
+    cut1, cut2 = ids[int(len(ids) * 0.7)], ids[int(len(ids) * 0.85)]
+    base = emb.filter(F.col("vec_id") < cut1)
+    b1 = emb.filter((F.col("vec_id") >= cut1) & (F.col("vec_id") < cut2))
+    b2 = emb.filter(F.col("vec_id") >= cut2)
+
+    _, centers = S.ivf_index(base, n_cells=8, train_fraction=0.5)
+    want = {
+        r.vec_id
+        for r in S.semantic_dedup_with_centers(
+            emb, centers, threshold=0.35, n_assign=3
+        ).select("vec_id").collect()
+    }
+
+    base_surv = S.semantic_dedup_with_centers(
+        base, centers, threshold=0.35, n_assign=3
+    )
+    assigned = S.assign_cells_multi(base, centers, n_assign=3)
+    got = {r.vec_id for r in base_surv.select("vec_id").collect()}
+    for batch in (b1, b2):
+        surv, b_assigned = S.semantic_dedup_apply_batch(
+            assigned, centers, batch, threshold=0.35, n_assign=3
+        )
+        got |= {r.vec_id for r in surv.select("vec_id").collect()}
+        assigned = assigned.unionByName(b_assigned)
+    assert got == want
+
+    # amortization: candidates for one batch = prior rows in TOUCHED
+    # cells only; with 8 cells and a small batch, untouched cells exist
+    # and their rows are never joined
+    b_assigned = S.assign_cells_multi(b2, centers, n_assign=1)
+    touched = {r.cell for r in b_assigned.select("cell").distinct().collect()}
+    all_assigned = S.assign_cells_multi(emb, centers, n_assign=3)
+    total = all_assigned.count()
+    in_touched = all_assigned.filter(
+        F.col("cell").isin(list(touched))
+    ).count()
+    if len(touched) < 8:
+        assert in_touched < total

@@ -93,8 +93,7 @@ def test_rolling_with_halo_equals_global_window(spark):
     trailing per-stream rolling window) must EQUAL the single-task
     global-window form row for row — avg, stddev and count over the
     trailing 100-event frame, on the real events corpus with 5-day
-    buckets (each populated (type, bucket) holds ~330 rows >= the
-    frame, satisfying the operator's stated precondition)."""
+    buckets."""
     from pyspark.sql import Window
     from tests.conftest import SF_ORACLE
 
@@ -143,3 +142,47 @@ def test_rolling_with_halo_equals_global_window(spark):
     }
     assert halo_rows == global_rows
     assert len(halo_rows) == ev.count()
+
+
+def test_rolling_with_halo_sparse_buckets_exact(spark):
+    """Adversarially SPARSE buckets: every bucket holds fewer rows than
+    the frame, so a bucket's trailing context spans MANY earlier buckets
+    (the case the one-bucket-back halo used to get wrong — round-4
+    verdict carry-over #8). The decomposition must still equal the
+    global window exactly, for every frame size probed."""
+    from pyspark.sql import Window
+
+    rows = []
+    # key A: 2 rows in each of 12 buckets; key B: 1 row per bucket,
+    # with gaps (empty buckets) thrown in
+    for bkt in range(12):
+        rows.append(("A", bkt * 10 + 1, float(bkt * 2)))
+        rows.append(("A", bkt * 10 + 2, float(bkt * 2 + 1)))
+        if bkt % 3 != 2:  # holes in B's bucket sequence
+            rows.append(("B", bkt * 10 + 5, float(100 + bkt)))
+    df = spark.createDataFrame(rows, "k string, t long, value double")
+    for frame in (1, 3, 7, 50):
+        gwin = Window.partitionBy("k").orderBy("t").rowsBetween(-frame, -1)
+        want = {
+            (r.k, r.t, r.c, None if r.m is None else round(r.m, 9))
+            for r in df.select(
+                "k", "t",
+                F.count("value").over(gwin).alias("c"),
+                F.avg("value").over(gwin).alias("m"),
+            ).collect()
+        }
+        got = {
+            (r.k, r.t, r.c, None if r.m is None else round(r.m, 9))
+            for r in W.rolling_with_halo(
+                df,
+                partition_by=["k"],
+                order_by=["t"],
+                bucket=F.floor(F.col("t") / 10),
+                frame_rows=frame,
+                aggs={
+                    "c": lambda w: F.count("value").over(w),
+                    "m": lambda w: F.avg("value").over(w),
+                },
+            ).select("k", "t", "c", "m").collect()
+        }
+        assert got == want, f"frame={frame}"

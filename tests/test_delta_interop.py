@@ -743,3 +743,75 @@ def test_check_constraints(spark, root):
     t.drop_constraint("val_nonneg")
     t.append(bad.withColumn("origin", F.lit(None).cast("string")))
     assert t.snapshot().count() == 63
+
+
+def test_merge_upsert_touched_files_only(spark, root):
+    """MERGE through the Delta log: matched keys update, new keys insert,
+    and ONLY files containing a matched key are removed+re-added — every
+    other add action survives the commit byte-identical (the touched-file
+    contract that keeps 100 TB merges O(matched files))."""
+    t = DeltaTable.create(spark, root, _df(spark, 0, 90), partition_by=("seg",))
+    before = t._state()
+    upd = (
+        spark.createDataFrame(
+            [(5, 5 % 3, -1.0), (200, 200 % 3, -2.0)],
+            "id long, seg int, val double",
+        )
+    )
+    v = t.merge_upsert(upd, keys=["id"])
+    back = t.snapshot()
+    assert back.count() == 91  # 90 + 1 insert
+    assert back.filter("id = 5").collect()[0]["val"] == -1.0
+    assert back.filter("id = 200").collect()[0]["val"] == -2.0
+    assert back.filter("id = 6").collect()[0]["val"] == 15.0  # untouched
+    # only the files holding id=5 were removed; survivors byte-identical
+    acts = t._commit_actions(v)
+    removed = {a["remove"]["path"] for a in acts if "remove" in a}
+    assert removed and removed < set(before["adds"])
+    after = t._state()
+    untouched = set(before["adds"]) - removed
+    assert untouched <= set(after["adds"])
+    assert all(before["adds"][p] == after["adds"][p] for p in untouched)
+    assert any("commitInfo" in a and a["commitInfo"]["operation"] == "MERGE"
+               for a in acts)
+    # empty updates: no-op, no commit
+    assert t.merge_upsert(upd.limit(0), keys=["id"]) == -1
+    assert t.latest_version() == v
+
+
+def test_merge_upsert_respects_deletion_vectors(spark, root):
+    """A key whose only prior row is DV-masked must INSERT, not resurrect
+    the masked generation alongside the update."""
+    t = DeltaTable.create(spark, root, _df(spark, 0, 30))
+    t.delete_where_dv("id = 7")
+    assert t.snapshot().filter("id = 7").count() == 0
+    upd = spark.createDataFrame([(7, 1, 99.0)], "id long, seg int, val double")
+    t.merge_upsert(upd, keys=["id"])
+    rows = t.snapshot().filter("id = 7").collect()
+    assert [r["val"] for r in rows] == [99.0]
+    assert t.snapshot().count() == 30  # 29 survivors + 1 upserted
+
+
+def test_merge_upsert_conflict_refuses_stale_touched_set(spark, root):
+    """A racer committing between merge planning and publish must surface
+    as DeltaCommitConflict — a blind retry could drop the racer's rows
+    from the rewritten files."""
+    t = DeltaTable.create(spark, root, _df(spark, 0, 30))
+    orig_stage = t._stage
+
+    def racing_stage(df, pcols):
+        adds = orig_stage(df, pcols)
+        DeltaTable(spark, root).append(_df(spark, 100, 110))  # racer lands
+        return adds
+
+    t._stage = racing_stage
+    upd = spark.createDataFrame([(5, 2, -1.0)], "id long, seg int, val double")
+    with pytest.raises(DeltaCommitConflict):
+        t.merge_upsert(upd, keys=["id"])
+    # racer's rows intact; merge never half-landed
+    fresh = DeltaTable(spark, root)
+    assert fresh.snapshot().count() == 40
+    assert fresh.snapshot().filter("val = -1.0").count() == 0
+    # recompute against the new tip → clean landing
+    fresh.merge_upsert(upd, keys=["id"])
+    assert DeltaTable(spark, root).snapshot().filter("val = -1.0").count() == 1

@@ -100,3 +100,60 @@ def test_round_trip_delta_iceberg_delta(spark):
     got = sorted(back.snapshot().select("id", "seg", "val").collect())
     want = sorted(dt.snapshot().select("id", "seg", "val").collect())
     assert got == want  # the loop is lossless, three tables, ONE copy of the data
+
+
+def test_lifecycle_after_delta_to_iceberg_convert(spark):
+    """Conversion + maintenance COMPOSE (round-5 verdict item 6): a
+    zero-copy converted Iceberg table survives the full maintenance
+    lifecycle — append, equality delete, compaction, expire — and expire
+    must NEVER delete the foreign (Delta-owned) files it references,
+    or the source table breaks."""
+    droot = tempfile.mkdtemp(prefix="fc_lc_d_")
+    dt = DeltaTable.create(spark, droot, _df(spark), partition_by=("seg",))
+    iroot = tempfile.mkdtemp(prefix="fc_lc_i_") + "/t"
+    ice = convert_delta_to_iceberg(dt, iroot)
+    # lifecycle on the CONVERTED table
+    extra = (
+        spark.range(1000, 1030)
+        .withColumn("seg", (F.col("id") % 3).cast("int"))
+        .withColumn("val", F.col("id") * 1.5)
+    )
+    ice.append(extra)
+    ice.delete_equality(spark.range(0, 10).select("id"))
+    assert ice.snapshot().count() == 90 + 30 - 10
+    ice.rewrite_data_files()  # materializes the MOR state into owned files
+    res = ice.expire_snapshots(retain=1)
+    assert res["snapshots"] >= 3
+    # converted table still correct end-to-end
+    assert ice.snapshot().count() == 110
+    assert ice.snapshot().filter("id < 10").count() == 0
+    # ownership guard: every Delta-owned data file survived expire, and
+    # the SOURCE table still reads perfectly
+    assert DeltaTable(spark, droot).snapshot().count() == 90
+
+
+def test_lifecycle_after_iceberg_to_delta_convert(spark):
+    """The other direction: converted Delta table runs append, DV
+    delete, optimize, checkpoint and vacuum; vacuum reclaims only files
+    under ITS root, so the foreign Iceberg-owned files survive and the
+    source table keeps reading."""
+    iroot = tempfile.mkdtemp(prefix="fc_lc_i2_") + "/t"
+    ice = IcebergTable.create(spark, iroot, _df(spark), partition_by=("seg",))
+    droot = tempfile.mkdtemp(prefix="fc_lc_d2_") + "/t"
+    dt = convert_iceberg_to_delta(ice, droot)
+    extra = (
+        spark.range(1000, 1030)
+        .withColumn("seg", (F.col("id") % 3).cast("int"))
+        .withColumn("val", F.col("id") * 1.5)
+    )
+    dt.append(extra)
+    dt.delete_where_dv("id < 10")
+    assert dt.snapshot().count() == 90 + 30 - 10
+    dt.optimize()          # materializes DVs into owned compacted files
+    dt.checkpoint()
+    dt.vacuum(retain_versions=1)
+    fresh = DeltaTable(spark, droot)
+    assert fresh.snapshot().count() == 110
+    assert fresh.snapshot().filter("id < 10").count() == 0
+    # source Iceberg table untouched by the Delta-side lifecycle
+    assert IcebergTable(spark, iroot).snapshot().count() == 90

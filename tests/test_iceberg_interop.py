@@ -137,6 +137,43 @@ def test_version_hint_recovery(spark, root):
     assert IcebergTable(spark, root).snapshot().count() == 20
 
 
+def test_version_hint_torn_read(spark, root):
+    """A racing writer overwriting version-hint.text can expose an EMPTY or
+    half-written hint to a concurrent reader (truncate-then-write window).
+    The reader must fall back to the metadata-directory scan, not crash
+    with ValueError (pinned: round-4 verdict, only red test in the repo)."""
+    t = IcebergTable.create(spark, root, _df(spark, 0, 20))
+    t.append(_df(spark, 100, 110))
+    hint = os.path.join(root, "metadata", "version-hint.text")
+    crc = os.path.join(root, "metadata", ".version-hint.text.crc")
+    for torn in (b"", b"1x"):  # truncated-empty and mid-write garbage
+        if os.path.exists(crc):
+            os.remove(crc)  # checksummed local FS would veto the raw edit
+        with open(hint, "wb") as f:
+            f.write(torn)
+        fresh = IcebergTable(spark, root)
+        assert fresh.current_metadata_version() == 2
+        assert fresh.snapshot().count() == 30
+
+
+def test_version_hint_stale(spark, root):
+    """Out-of-order hint writes can leave the hint pointing BEHIND the tip;
+    the reader walks forward to the newest v*.metadata.json so a stale
+    hint never wedges the optimistic-commit retry loop."""
+    t = IcebergTable.create(spark, root, _df(spark, 0, 20))
+    t.append(_df(spark, 100, 110))
+    hint = os.path.join(root, "metadata", "version-hint.text")
+    crc = os.path.join(root, "metadata", ".version-hint.text.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    with open(hint, "wb") as f:
+        f.write(b"0")  # stale: v1 and v2 exist
+    fresh = IcebergTable(spark, root)
+    assert fresh.current_metadata_version() == 2
+    fresh.append(_df(spark, 200, 210))  # commit proceeds from the true tip
+    assert IcebergTable(spark, root).snapshot().count() == 40
+
+
 def test_create_refuses_existing(spark, root):
     IcebergTable.create(spark, root, _df(spark, 0, 10))
     with pytest.raises(IcebergCommitConflict):
@@ -511,6 +548,59 @@ def test_truncate_and_date_transforms(spark, root):
     assert pr.count() == 1  # only the 1995-03 file planned
 
 
+def test_temporal_transforms_session_timezone_independent(spark, root):
+    """IcebergTable accepts ANY SparkSession, not just the project
+    factory's UTC-pinned one. Written partition tuples and driver-side
+    pruning must agree under a non-UTC session: NTZ sources partition by
+    their wall clock, LTZ sources by the UTC calendar of the instant
+    (round-5 advice, low)."""
+    import datetime
+
+    tokyo = spark.newSession()
+    tokyo.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    # 2021-03-01 23:30 UTC — in Tokyo rendering this is 2021-03-02 08:30,
+    # so any session-tz leak flips day/hour/month and the bucket hash
+    ntz = datetime.datetime(2021, 3, 1, 23, 30, 15)
+    df = tokyo.createDataFrame(
+        [(1, ntz), (2, datetime.datetime(2021, 6, 30, 1, 0, 0))],
+        "id long, ts timestamp_ntz",
+    )
+    t = IcebergTable.create(
+        tokyo, root, df, partition_by=("month(ts)", "bucket(8, ts)")
+    )
+    entries, _ = t._entries_for_snapshot(t.metadata(), None)
+    months = {e["data_file"]["partition"]["ts_month"] for e in entries}
+    assert months == {(2021 - 1970) * 12 + 2, (2021 - 1970) * 12 + 5}
+    from projectdatalake_spark.sources.iceberg_interop import _transform_py
+
+    bucket_vals = {e["data_file"]["partition"]["ts_bucket"] for e in entries}
+    assert _transform_py("bucket[8]", ntz, "timestamp") in bucket_vals
+    # point lookup prunes via _transform_py and still FINDS the row
+    assert t.snapshot(where_eq={"ts": ntz}).count() == 1
+    # LTZ source: partition tuple reflects the UTC instant, not Tokyo wall
+    df2 = tokyo.sql(
+        "SELECT 1L AS id, TIMESTAMP'2021-03-01 23:30:15 UTC' AS ts"
+    )
+    t2 = IcebergTable.create(
+        tokyo, root + "_ltz", df2, partition_by=("day(ts)", "hour(ts)")
+    )
+    e2, _ = t2._entries_for_snapshot(t2.metadata(), None)
+    part = e2[0]["data_file"]["partition"]
+    want_day = (datetime.date(2021, 3, 1) - datetime.date(1970, 1, 1)).days
+    assert part["ts_day"] == want_day
+    assert part["ts_hour"] == want_day * 24 + 23
+    assert (
+        t2.snapshot(
+            where_eq={
+                "ts": datetime.datetime(
+                    2021, 3, 1, 23, 30, 15, tzinfo=datetime.timezone.utc
+                )
+            }
+        ).count()
+        == 1
+    )
+
+
 def test_transform_source_columns_protected(spark, root):
     t = IcebergTable.create(
         spark, root, _df(spark, 0, 50), partition_by=("bucket(4, id)",)
@@ -762,6 +852,77 @@ def test_dynamic_partition_overwrite(spark, root):
     t3.append(_df(spark, 30, 60))
     with pytest.raises(IcebergProtocolError, match="historical partition specs"):
         t3.overwrite_partitions(fix)
+
+
+def test_global_delete_written_under_unpartitioned_spec(spark, root):
+    """Iceberg spec: table-wide (global) delete files must be written
+    under an UNPARTITIONED spec with an empty partition tuple — under a
+    partitioned spec an all-null tuple scopes the delete to the null
+    partition and a compliant external reader resurrects the deleted
+    rows everywhere else (round-5 advice, medium)."""
+    t = IcebergTable.create(spark, root, _df(spark, 0, 60), partition_by=("seg",))
+    t.delete_equality(spark.range(0, 5).select("id"))
+    t.delete_where("id >= 55")
+    meta = t.metadata()
+    specs = {s["spec-id"]: s for s in meta["partition-specs"]}
+    unpart = [sid for sid, s in specs.items() if not s["fields"]]
+    assert unpart, "global delete did not register an unpartitioned spec"
+    assert meta["default-spec-id"] not in unpart  # data writes keep theirs
+    _, manifests = read_container(
+        t._read_bytes(meta["snapshots"][-1]["manifest-list"])
+    )
+    for dm in (m for m in manifests if m.get("content") == 1):
+        assert dm["partition_spec_id"] in unpart
+        _, entries = read_container(t._read_bytes(dm["manifest_path"]))
+        for e in entries:
+            assert not (e["data_file"].get("partition") or {})
+    # semantics unchanged: deletes apply table-wide through our reader
+    assert t.snapshot().count() == 50
+    assert t.snapshot().filter("id < 5 OR id >= 55").count() == 0
+
+
+def test_replace_commit_detects_moved_base(spark, root):
+    """A replace (compaction / dynamic overwrite) whose file set was
+    computed against a base snapshot must REFUSE to commit once any
+    concurrent commit moves the tip — blind success would drop the
+    racer's files from the manifest list (round-5 advice, high)."""
+    t = IcebergTable.create(spark, root, _df(spark, 0, 30))
+    meta = t.metadata()  # base state the replace set is computed against
+    files = t._prepare_files(t.snapshot(), meta)
+    IcebergTable(spark, root).append(_df(spark, 100, 110))  # racer lands
+    with pytest.raises(IcebergCommitConflict, match="base snapshot moved"):
+        t.append_files(files, meta=meta, replace=True, operation="replace")
+    # recompute against the new tip → commit succeeds, racer's rows live
+    assert t.rewrite_data_files() is not None
+    assert t.snapshot().count() == 40
+
+
+def test_overwrite_manifest_min_sequence_number_covers_carried(spark, root):
+    """min_sequence_number on the overwrite manifest must cover EXISTING
+    entries' pinned data seqs, or external readers skip older equality
+    deletes against carried files (round-5 advice, medium)."""
+    t = IcebergTable.create(spark, root, _df(spark, 0, 90), partition_by=("seg",))
+    t.delete_equality(spark.range(0, 10).select("id"))  # seq 2
+    fix = (
+        spark.range(1000, 1010)
+        .withColumn("seg", F.lit(1).cast("int"))
+        .withColumn("val", F.lit(-1.0))
+    )
+    t.overwrite_partitions(fix.repartition(1))
+    meta = t.metadata()
+    _, manifests = read_container(
+        t._read_bytes(meta["snapshots"][-1]["manifest-list"])
+    )
+    dm = next(m for m in manifests if m.get("content", 0) == 0)
+    _, entries = read_container(t._read_bytes(dm["manifest_path"]))
+    pinned = [
+        e["sequence_number"]
+        for e in entries
+        if e["status"] == 0 and e.get("sequence_number") is not None
+    ]
+    assert pinned  # carried files exist (seq 1, the original append)
+    assert dm["min_sequence_number"] == min(pinned)
+    assert dm["min_sequence_number"] < dm["sequence_number"]
 
 
 def test_jvm_avro_parses_equality_delete_manifest(spark, root):
