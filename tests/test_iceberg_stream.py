@@ -119,3 +119,40 @@ def test_checkpoint_resume_exactly_once(spark):
     rows = spark.read.parquet(sink).collect()
     assert len(rows) == 142  # only the new snapshot arrived
     assert sum(1 for r in rows if r["_commit_seq"] == 4) == 10
+
+
+def test_upsert_stream_exactly_once_and_last_wins(spark):
+    """Streaming upsert sink: each micro-batch is one merge snapshot
+    (equality delete + data, same seq); a replayed batch is skipped via
+    the summary's (app-id, batch-id); re-running the SAME stream against
+    the same checkpoint commits nothing new."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from projectdatalake_spark.sources.iceberg_interop import (
+        IcebergTable, upsert_stream,
+    )
+
+    base = spark.range(0, 20).select(
+        F.col("id").alias("k"), F.lit(1.0).alias("v")
+    )
+    root = tempfile.mkdtemp(prefix="ice_ups_t_") + "/t"
+    t = IcebergTable.create(spark, root, base)
+    src = tempfile.mkdtemp(prefix="ice_ups_src_")
+    spark.range(10, 30).select(
+        F.col("id").alias("k"), F.lit(2.0).alias("v")
+    ).write.mode("overwrite").parquet(src)
+    ckpt = tempfile.mkdtemp(prefix="ice_ups_ckpt_")
+    stream = spark.readStream.schema("k long, v double").parquet(src)
+    upsert_stream(stream, t, ["k"], ckpt).awaitTermination(300)
+    snap = t.snapshot()
+    assert snap.count() == 30
+    assert snap.filter("k < 10 AND v = 1.0").count() == 10   # untouched
+    assert snap.filter("k >= 10 AND v = 2.0").count() == 20  # upserted
+    n_snaps = len(t.metadata()["snapshots"])
+    # replay: same checkpoint, same source → zero new snapshots
+    stream2 = spark.readStream.schema("k long, v double").parquet(src)
+    upsert_stream(stream2, t, ["k"], ckpt).awaitTermination(300)
+    assert len(t.metadata()["snapshots"]) == n_snaps
+    assert t.snapshot().count() == 30
