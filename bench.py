@@ -130,6 +130,8 @@ EXTENDED = [
     "iceberg_merge_upsert",
     "iceberg_stream_upsert_sink",
     "semantic_dedup_incremental",
+    "delta_stream_sink",
+    "delta_stream_upsert_sink",
 ]
 
 HEADLINE = [

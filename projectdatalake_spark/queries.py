@@ -8415,6 +8415,102 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_stream_sink",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def delta_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming sink into a REAL Delta table
+    (sources/delta_interop.append_stream): each micro-batch is one
+    commit carrying a setTransaction (appId, batchId) action — the
+    protocol's own idempotence ledger, the same mechanism delta-spark's
+    sink uses — so a crash-replayed batch is skipped before any file is
+    staged. The final snapshot must equal a batch aggregate of the
+    source (a double-applied batch doubles a count and breaks the
+    hash). Completes the Delta streaming story: CDF source
+    (delta_stream_cdf) + this sink."""
+    import tempfile
+
+    from projectdatalake_spark.sources.delta_interop import (
+        DeltaTable, append_stream,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    src = tempfile.mkdtemp(prefix="delta_sink_src_")
+    o.write.mode("overwrite").parquet(src)
+    root = tempfile.mkdtemp(prefix="delta_sink_") + "/t"
+    t = DeltaTable.create(spark, root, o.limit(0))
+    ckpt = tempfile.mkdtemp(prefix="delta_sink_ckpt_")
+    stream = spark.readStream.schema(o.schema).parquet(src)
+    q = append_stream(stream, t, ckpt)
+    q.awaitTermination(300)
+    return (
+        t.snapshot()
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
+    )
+
+
+@query(
+    "delta_stream_upsert_sink",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CASE WHEN c_mktsegment = 'BUILDING'
+                THEN CAST(c_acctbal AS DOUBLE) * 0.9
+                ELSE CAST(c_acctbal AS DOUBLE) END AS c_acctbal
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
+    """,
+)
+def delta_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE into a real Delta table
+    (sources/delta_interop.upsert_stream): inserts (AUTOMOBILE) and
+    updates (BUILDING × 0.9) upsert by key, one MERGE commit per
+    micro-batch with a setTransaction action making replays no-ops.
+    Same oracle as the txlog and Iceberg upsert sinks — three formats,
+    three physical merge strategies (partition rewrite / touched-file
+    rewrite / merge-on-read), one hash-proven semantic."""
+    import tempfile
+
+    from projectdatalake_spark.sources.delta_interop import (
+        DeltaTable, upsert_stream,
+    )
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+    )
+    root = tempfile.mkdtemp(prefix="delta_upsink_") + "/t"
+    table = DeltaTable.create(
+        spark, root,
+        c.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY")),
+        partition_by=("c_mktsegment",),
+    )
+    updates_dir = tempfile.mkdtemp(prefix="delta_upsink_src_")
+    (
+        c.filter(F.col("c_mktsegment") == "AUTOMOBILE")
+        .unionByName(
+            c.filter(F.col("c_mktsegment") == "BUILDING").withColumn(
+                "c_acctbal", F.col("c_acctbal") * 0.9
+            )
+        )
+        .write.mode("overwrite").parquet(updates_dir)
+    )
+    stream = spark.readStream.schema(c.schema).parquet(updates_dir)
+    ckpt = tempfile.mkdtemp(prefix="delta_upsink_ckpt_")
+    q = upsert_stream(stream, table, ["c_custkey"], ckpt)
+    q.awaitTermination(300)
+    return table.snapshot().select("c_custkey", "c_mktsegment", "c_acctbal")
+
+
+@query(
     "iceberg_stream_upsert_sink",
     oracle="""
     SELECT c_custkey, c_mktsegment,

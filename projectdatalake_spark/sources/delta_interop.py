@@ -1226,7 +1226,12 @@ class DeltaTable:
         self._publish(v, actions)
         return v
 
-    def merge_upsert(self, updates: DataFrame, keys: list[str]) -> int:
+    def merge_upsert(
+        self,
+        updates: DataFrame,
+        keys: list[str],
+        txn: tuple[str, int] | None = None,
+    ) -> int:
         """MERGE (upsert) THROUGH THE DELTA LOG: update rows whose key
         matches, insert the rest — committed as remove+add actions in one
         version, the same touched-file rewrite real Delta MERGE plans.
@@ -1254,6 +1259,8 @@ class DeltaTable:
         state = self._state()
         meta = state["metaData"]
         self._refuse_mapped(meta, "merge_upsert")
+        if txn is not None and state["txns"].get(txn[0], -1) >= txn[1]:
+            return -1  # already applied (idempotent replay)
         self._enforce_constraints(updates, meta)
         schema = StructType.fromJson(json.loads(meta["schemaString"]))
         pcols = list(meta.get("partitionColumns", []))
@@ -1330,14 +1337,25 @@ class DeltaTable:
                 for p, a in cand
                 if self._abs_data_path(a["path"]) in hit_paths
             ]
+        txn_actions = (
+            []
+            if txn is None
+            else [{"txn": {"appId": txn[0], "version": txn[1],
+                           "lastUpdated": int(time.time() * 1000)}}]
+        )
         if not touched:
             # pure insert — blind-append concurrency semantics
             adds = self._stage(updates, tuple(pcols))
             actions = [
                 {"commitInfo": self._commit_info("MERGE", {"matched": "0"})},
+                *txn_actions,
                 *({"add": a} for a in adds),
             ]
             for _ in range(20):
+                if txn is not None and self._state()["txns"].get(
+                    txn[0], -1
+                ) >= txn[1]:
+                    return -1  # racer (a replay twin) already applied it
                 v = self.latest_version() + 1
                 try:
                     self._publish(v, actions)
@@ -1357,6 +1375,7 @@ class DeltaTable:
                     "MERGE", {"matchedFiles": str(len(touched))}
                 )
             },
+            *txn_actions,
             *(
                 {"remove": {"path": p, "deletionTimestamp": now, "dataChange": True}}
                 for p, _ in touched
@@ -1693,6 +1712,58 @@ class DeltaTable:
 
 
 # --- conversions ----------------------------------------------------------
+
+
+def append_stream(
+    stream_df: DataFrame,
+    table: DeltaTable,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Exactly-once streaming sink into a Delta table via ``foreachBatch``
+    + ``append(txn=...)``: each micro-batch commits one version carrying a
+    setTransaction (appId, version) action — the protocol's idempotence
+    ledger — so a crash-replayed batch is skipped before any file is
+    staged (the same mechanism delta-spark's streaming sink uses).
+    Returns the StreamingQuery."""
+    app_id = checkpoint_dir  # one logical writer per checkpoint
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        table.append(batch_df, txn=(app_id, batch_id))
+
+    writer = stream_df.writeStream.foreachBatch(commit_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def upsert_stream(
+    stream_df: DataFrame,
+    table: DeltaTable,
+    keys: list[str],
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Exactly-once streaming UPSERT sink: each micro-batch lands as ONE
+    MERGE version (``merge_upsert`` — touched-file rewrite, DV-aware)
+    whose setTransaction action makes replays no-ops. The table converges
+    to last-write-wins per key across batches; the physical cost per
+    batch is the merge's (only files containing matched keys rewrite) —
+    the Delta twin of iceberg_interop.upsert_stream's merge-on-read
+    shape. Returns the StreamingQuery."""
+    app_id = checkpoint_dir
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        table.merge_upsert(batch_df, keys, txn=(app_id, batch_id))
+
+    writer = stream_df.writeStream.foreachBatch(commit_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def convert_parquet_to_delta(

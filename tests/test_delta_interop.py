@@ -815,3 +815,30 @@ def test_merge_upsert_conflict_refuses_stale_touched_set(spark, root):
     # recompute against the new tip → clean landing
     fresh.merge_upsert(upd, keys=["id"])
     assert DeltaTable(spark, root).snapshot().filter("val = -1.0").count() == 1
+
+
+def test_merge_upsert_stats_prune_bounds_probe(spark, root):
+    """Merge candidate pruning: with range-clustered files, an update
+    batch touching a narrow key range must REWRITE only the files whose
+    stats overlap it — the property that keeps a 100 TB merge O(matched
+    files). Asserted on commit actions (counts, not timings)."""
+    df = (
+        spark.range(0, 4000)
+        .withColumn("seg", F.lit(0).cast("int"))
+        .withColumn("val", F.col("id") * 1.0)
+        .repartitionByRange(8, "id")  # contiguous id range per file
+    )
+    t = DeltaTable.create(spark, root, df)
+    n_files = len(t._state()["adds"])
+    assert n_files >= 8
+    upd = spark.createDataFrame(
+        [(100, 0, -1.0), (101, 0, -2.0)], "id long, seg int, val double"
+    )
+    v = t.merge_upsert(upd, keys=["id"])
+    removed = [
+        a for a in t._commit_actions(v) if "remove" in a
+    ]
+    # ids 100-101 live in ONE range file; everything else untouched
+    assert len(removed) == 1, (len(removed), n_files)
+    assert t.snapshot().count() == 4000
+    assert t.snapshot().filter("val = -1.0").count() == 1

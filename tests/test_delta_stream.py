@@ -129,3 +129,45 @@ def test_checkpoint_resume_no_duplicates(spark):
     # exactly-once: the second drain delivered ONLY the new commit
     assert len(rows) == 142
     assert sum(1 for r in rows if r["_commit_version"] == 4) == 10
+
+
+def test_delta_upsert_stream_exactly_once(spark):
+    """Delta streaming upsert sink: one MERGE commit per micro-batch
+    with a setTransaction action; replaying the same stream against the
+    same checkpoint commits nothing new (and never double-applies)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from projectdatalake_spark.sources.delta_interop import (
+        DeltaTable, upsert_stream,
+    )
+
+    base = spark.range(0, 20).select(
+        F.col("id").alias("k"), F.lit(1.0).alias("v")
+    )
+    root = tempfile.mkdtemp(prefix="delta_ups_t_") + "/t"
+    t = DeltaTable.create(spark, root, base)
+    src = tempfile.mkdtemp(prefix="delta_ups_src_")
+    spark.range(10, 30).select(
+        F.col("id").alias("k"), F.lit(2.0).alias("v")
+    ).write.mode("overwrite").parquet(src)
+    ckpt = tempfile.mkdtemp(prefix="delta_ups_ckpt_")
+    stream = spark.readStream.schema("k long, v double").parquet(src)
+    upsert_stream(stream, t, ["k"], ckpt).awaitTermination(300)
+    snap = t.snapshot()
+    assert snap.count() == 30
+    assert snap.filter("k < 10 AND v = 1.0").count() == 10
+    assert snap.filter("k >= 10 AND v = 2.0").count() == 20
+    tip = t.latest_version()
+    # direct replay of the same (appId, batchId): skipped up front
+    assert t.merge_upsert(
+        spark.createDataFrame([(10, 9.0)], "k long, v double"),
+        ["k"],
+        txn=(ckpt, 0),
+    ) == -1
+    # full stream replay: same checkpoint → zero new versions
+    stream2 = spark.readStream.schema("k long, v double").parquet(src)
+    upsert_stream(stream2, t, ["k"], ckpt).awaitTermination(300)
+    assert t.latest_version() == tip
+    assert t.snapshot().count() == 30
