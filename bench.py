@@ -132,6 +132,8 @@ EXTENDED = [
     "semantic_dedup_incremental",
     "delta_stream_sink",
     "delta_stream_upsert_sink",
+    "delta_restore",
+    "delta_shallow_clone",
 ]
 
 HEADLINE = [

@@ -8415,6 +8415,89 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_restore",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE ... TO VERSION AS OF through the Delta log: after an
+    append and a DV delete muddy the table, ``restore(0)`` resets the
+    live file set to version 0's as ONE forward commit (removes the
+    late adds, re-adds what the DV delete re-wrote) — history moves
+    forward, the bad interval stays time-travelable, and the snapshot
+    must hash-equal plain SQL over the version-0 rows. O(#files)
+    metadata, zero data copied — the bad-deploy undo."""
+    import tempfile
+
+    from projectdatalake_spark.sources.delta_interop import DeltaTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "o_orderdate",
+    )
+    cut = F.lit("1997-01-01").cast("timestamp_ntz")
+    root = tempfile.mkdtemp(prefix="delta_restore_") + "/t"
+    t = DeltaTable.create(
+        spark, root, o.filter(F.col("o_orderdate") < cut).repartition(4)
+    )
+    t.append(o.filter(F.col("o_orderdate") >= cut).repartition(4))  # v1
+    t.delete_where_dv("o_orderkey % 7 = 0")                         # v2
+    t.restore(0)                                                    # v3
+    return (
+        t.snapshot()
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
+    )
+
+
+@query(
+    "delta_shallow_clone",
+    oracle="""
+    WITH allrows AS (
+        SELECT o_orderstatus, CAST(o_totalprice AS DOUBLE) AS p
+        FROM orders
+        UNION ALL
+        SELECT o_orderstatus, CAST(o_totalprice AS DOUBLE)
+        FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(p AS DECIMAL(27,2))) AS DOUBLE) AS total
+    FROM allrows GROUP BY o_orderstatus
+    """,
+)
+def delta_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE through the Delta log: the clone's version 0
+    references the source's data files by ABSOLUTE path (the spec's
+    escape hatch — zero bytes copied, O(#files) metadata), then evolves
+    independently: appending the 'F' orders to the CLONE leaves the
+    source untouched while the clone reads source files + its own. The
+    aggregate over the clone must equal the doubled-'F' oracle."""
+    import tempfile
+
+    from projectdatalake_spark.sources.delta_interop import DeltaTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    src_root = tempfile.mkdtemp(prefix="delta_clone_src_") + "/t"
+    src = DeltaTable.create(spark, src_root, o.repartition(4))
+    clone = src.shallow_clone(tempfile.mkdtemp(prefix="delta_clone_") + "/t")
+    clone.append(o.filter(F.col("o_orderstatus") == "F").repartition(2))
+    assert src.latest_version() == 0  # source untouched by the clone's life
+    return (
+        clone.snapshot()
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
+    )
+
+
+@query(
     "delta_stream_sink",
     oracle="""
     SELECT o_orderstatus, count(*) AS n,

@@ -1391,6 +1391,105 @@ class DeltaTable:
         none) — the reader side of exactly-once sinks."""
         return self._state()["txns"].get(app_id, -1)
 
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE ... TO VERSION AS OF: reset the live file set to
+        an earlier version's, as ONE forward commit — remove adds that
+        arrived after it, re-add files it referenced that have since been
+        removed (Delta's documented RESTORE mechanics: history moves
+        FORWARD, the bad interval stays time-travelable until vacuum).
+        Metadata (schema/configuration) is restored too. Fails loudly if
+        a needed file was already vacuumed. Returns the new version."""
+        state = self._state()
+        old = self._state(version)
+        self._refuse_mapped(state["metaData"], "restore")
+        fs = self._fs()
+        for p, a in old["adds"].items():
+            if p not in state["adds"] and not fs.exists(
+                self._path(self._abs_data_path(a["path"]))
+            ):
+                raise DeltaProtocolError(
+                    f"cannot restore to version {version}: data file "
+                    f"{a['path']} was vacuumed"
+                )
+        now = int(time.time() * 1000)
+        actions: list[dict] = [
+            {
+                "commitInfo": self._commit_info(
+                    "RESTORE", {"version": str(version)}
+                )
+            }
+        ]
+        if old["metaData"] != state["metaData"]:
+            actions.append({"metaData": old["metaData"]})
+        actions.extend(
+            {"remove": {"path": p, "deletionTimestamp": now, "dataChange": True}}
+            for p in state["adds"]
+            if p not in old["adds"]
+        )
+        actions.extend(
+            {"add": a}
+            for p, a in old["adds"].items()
+            if p not in state["adds"] or state["adds"][p] != a
+        )
+        v = state["version"] + 1
+        self._publish(v, actions)  # conflict = racer moved the tip: re-plan
+        return v
+
+    def shallow_clone(self, dest_root: str) -> "DeltaTable":
+        """SHALLOW CLONE: a new Delta table whose version-0 adds reference
+        THIS table's current data files by absolute path (the spec's
+        absolute-path escape hatch) — zero data copied, O(#files)
+        metadata. The clone then evolves independently; vacuuming the
+        SOURCE can break it (Delta's documented shallow-clone caveat).
+        DV-carrying files clone as-is (the DV descriptor's absolute-path
+        storage type travels with the add)."""
+        state = self._state()
+        meta = state["metaData"]
+        self._refuse_mapped(meta, "shallow_clone")
+        clone = DeltaTable(self.spark, dest_root)
+        if clone.exists():
+            raise DeltaCommitConflict(f"Delta table already exists at {dest_root}")
+        new_meta = {
+            **meta,
+            "id": str(uuid.uuid4()),
+            "createdTime": int(time.time() * 1000),
+        }
+        adds = []
+        for a in state["adds"].values():
+            a2 = dict(a)
+            a2["path"] = _quote_path(self._abs_data_path(a["path"]))
+            dv = a.get("deletionVector")
+            if dv and dv.get("storageType") == "u":
+                # relative-uuid DVs resolve against the SOURCE root —
+                # rewrite the descriptor to absolute-path storage
+                raw = self._dv_abs_path(dv)
+                a2["deletionVector"] = {**dv, "storageType": "p",
+                                        "pathOrInlineDv": raw,
+                                        "offset": dv.get("offset", 1)}
+            adds.append(a2)
+        actions = [
+            {"commitInfo": clone._commit_info("CLONE", {"source": self.root})},
+            {"protocol": state["protocol"]
+             or {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": new_meta},
+            *({"add": a} for a in adds),
+        ]
+        clone._publish(0, actions)
+        return clone
+
+    def _dv_abs_path(self, dv: dict) -> str:
+        """Absolute .bin path of a relative-uuid ('u') DV descriptor."""
+        import uuid as _uuid
+
+        from projectdatalake_spark.sources.roaring import z85_decode
+
+        raw = z85_decode(dv["pathOrInlineDv"])
+        n_prefix = len(dv["pathOrInlineDv"]) // 5 * 4 - 16
+        raw = raw[: n_prefix + 16]
+        prefix, uid = raw[:n_prefix], _uuid.UUID(bytes=raw[n_prefix:])
+        sub = prefix.decode("ascii") + "/" if prefix else ""
+        return f"{self.root}/{sub}deletion_vector_{uid}.bin"
+
     def delete_where_dv(self, condition: str) -> int | None:
         """Merge-on-read DELETE via deletion vectors: matching rows are
         recorded as roaring bitmaps of row indices — O(deleted rows), ZERO

@@ -842,3 +842,57 @@ def test_merge_upsert_stats_prune_bounds_probe(spark, root):
     assert len(removed) == 1, (len(removed), n_files)
     assert t.snapshot().count() == 4000
     assert t.snapshot().filter("val = -1.0").count() == 1
+
+
+def test_restore_to_version(spark, root):
+    """RESTORE resets the live file set to an old version's as a FORWARD
+    commit: late adds removed, DV-rewritten files re-added with their
+    original descriptors; the undone interval stays time-travelable."""
+    t = DeltaTable.create(spark, root, _df(spark, 0, 60))
+    t.append(_df(spark, 100, 120))          # v1
+    t.delete_where_dv("id < 5")             # v2 (DV on v0 files)
+    assert t.snapshot().count() == 75
+    v = t.restore(0)                        # v3
+    assert v == 3 and t.latest_version() == 3
+    got = sorted(r.id for r in t.snapshot().select("id").collect())
+    assert got == list(range(60))           # exactly version 0 again
+    # the undone interval still time travels
+    assert t.snapshot(version=2).count() == 75
+    assert t.snapshot(version=1).count() == 80
+    # restore FORWARD works too (back to the muddied state)
+    t.restore(2)
+    assert t.snapshot().count() == 75
+    # drop the v1 files from the tip again, vacuum them away → restoring
+    # into the reclaimed interval refuses loudly
+    t.restore(0)
+    t.vacuum(retain_versions=1)
+    with pytest.raises(DeltaProtocolError, match="vacuumed"):
+        t.restore(1)
+
+
+def test_shallow_clone_independent_evolution(spark, root):
+    """A shallow clone references the source's files absolutely (zero
+    copy), then evolves independently — including cloning a DV-masked
+    file whose deletion vector keeps applying in the clone."""
+    t = DeltaTable.create(spark, root, _df(spark, 0, 50))
+    t.delete_where_dv("id = 7")
+    dest = root + "_clone"
+    c = t.shallow_clone(dest)
+    assert c.snapshot().count() == 49
+    assert c.snapshot().filter("id = 7").count() == 0  # DV traveled
+    # no data bytes under the clone root
+    import os
+    data_files = [
+        f for dp, _, fs in os.walk(dest) for f in fs
+        if f.endswith(".parquet") and "_delta_log" not in dp
+    ]
+    assert data_files == []
+    # clone evolves; source untouched
+    c.append(_df(spark, 100, 110))
+    assert c.snapshot().count() == 59
+    assert DeltaTable(spark, root).snapshot().count() == 49
+    assert DeltaTable(spark, root).latest_version() == 1
+    # deleting in the clone never rewrites SOURCE files
+    c.delete_where_dv("id = 8")
+    assert c.snapshot().count() == 58
+    assert DeltaTable(spark, root).snapshot().filter("id = 8").count() == 1
