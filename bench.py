@@ -134,6 +134,9 @@ EXTENDED = [
     "delta_stream_upsert_sink",
     "delta_restore",
     "delta_shallow_clone",
+    "format_convert_chain",
+    "iceberg_sorted_compaction",
+    "delta_optimize_zorder",
 ]
 
 HEADLINE = [

@@ -8015,6 +8015,144 @@ def format_convert_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_optimize_zorder",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
+               o_orderkey % 199 AS x, (o_orderkey * 7919) % 211 AS y
+        FROM orders
+    )
+    SELECT
+      (SELECT count(*) FROM base WHERE x BETWEEN 10 AND 20) AS n_x,
+      (SELECT CAST(sum(CAST(price AS DECIMAL(27,2))) AS DOUBLE)
+       FROM base WHERE x BETWEEN 10 AND 20) AS total_x,
+      (SELECT count(*) FROM base WHERE y BETWEEN 10 AND 20) AS n_y,
+      (SELECT CAST(sum(CAST(price AS DECIMAL(27,2))) AS DOUBLE)
+       FROM base WHERE y BETWEEN 10 AND 20) AS total_y
+    """,
+)
+def delta_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER BY through the Delta log: live files rewritten
+    range-partitioned on an interleaved-bit Z-value over (x, y) — one
+    layout makes add.stats tight on BOTH columns, so stats-pruned reads
+    on EITHER dimension plan a small file subset (the multi-column
+    skipping single-column sorting can't give; asserted file-level in
+    tests/test_delta_interop.py). dataChange=false: the rewrite is
+    invisible to CDF readers. The Delta face of the shared Z-order
+    expression (functions/clustering.py) txlog's OPTIMIZE already
+    drives."""
+    import tempfile
+
+    from projectdatalake_spark.sources.delta_interop import DeltaTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+        (F.col("o_orderkey") % 199).alias("x"),
+        ((F.col("o_orderkey") * 7919) % 211).alias("y"),
+    )
+    root = tempfile.mkdtemp(prefix="delta_zorder_") + "/t"
+    t = DeltaTable.create(spark, root, o.repartition(8))
+    t.optimize(zorder_by=("x", "y"), target_files=16)
+
+    def agg(col: str, suffix: str):
+        pruned = t.snapshot(where={col: (10, 20)}).filter(
+            (F.col(col) >= 10) & (F.col(col) <= 20)
+        )
+        return pruned.agg(
+            F.count(F.lit(1)).alias(f"n_{suffix}"),
+            dsum(F.col("price")).alias(f"total_{suffix}"),
+        )
+
+    return agg("x", "x").crossJoin(agg("y", "y"))
+
+
+@query(
+    "iceberg_sorted_compaction",
+    oracle="""
+    SELECT count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey BETWEEN 1000 AND 2000
+    """,
+)
+def iceberg_sorted_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg SORT ORDERS (spec "Sort Orders") + clustered compaction:
+    three interleaved appends fragment the key space, ``set_sort_order``
+    declares o_orderkey as the cluster key (metadata commit,
+    default-sort-order-id advances), and ``rewrite_data_files``
+    range-partitions + sorts the rewrite so each compacted file carries
+    tight DISJOINT o_orderkey bounds — the narrow-range read then plans
+    only the overlapping files via manifest column bounds (asserted at
+    the metadata level in tests/test_iceberg_interop.py). The Iceberg
+    twin of txlog's cluster_by sink: write-side completion of the
+    stats-skipping ladder."""
+    import tempfile
+
+    from projectdatalake_spark.sources.iceberg_interop import IcebergTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    root = tempfile.mkdtemp(prefix="ice_sorted_") + "/t"
+    t = IcebergTable.create(spark, root, o.filter(F.col("o_orderkey") % 3 == 0))
+    t.append(o.filter(F.col("o_orderkey") % 3 == 1))
+    t.append(o.filter(F.col("o_orderkey") % 3 == 2))
+    t.set_sort_order(("o_orderkey",))
+    t.rewrite_data_files(target_files=8)
+    pruned = t.snapshot(where={"o_orderkey": (1000, 2000)})
+    return pruned.filter(
+        (F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") <= 2000)
+    ).agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total")
+    )
+
+
+@query(
+    "format_convert_chain",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(27,2))) AS DOUBLE) AS balance
+    FROM customer WHERE c_acctbal > 0
+    GROUP BY c_mktsegment
+    """,
+)
+def format_convert_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL THREE formats in one zero-copy chain: customer → txlog table
+    → exported to Delta (convert_txlog_to_delta, absolute-path adds) →
+    converted to Iceberg (convert_delta_to_iceberg) — txlog, Delta and
+    Iceberg metadata all referencing the SAME parquet files, not one
+    byte moved. The read through the end of the chain (Iceberg, two
+    conversions deep) must equal plain SQL over the source — stats
+    survive each hop (txlog file stats → Delta add.stats → Iceberg
+    column bounds), so range skipping works at every rung."""
+    import tempfile
+
+    from projectdatalake_spark.sources.delta_interop import convert_txlog_to_delta
+    from projectdatalake_spark.sources.format_convert import convert_delta_to_iceberg
+    from projectdatalake_spark.sources.txlog import TxTable
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+    ).filter(F.col("c_acctbal") > 0)
+    troot = tempfile.mkdtemp(prefix="fmtchain_t_")
+    tx = TxTable.create(spark, troot, c.repartition(4))
+    dt = convert_txlog_to_delta(
+        tx, tempfile.mkdtemp(prefix="fmtchain_d_") + "/t"
+    )
+    ice = convert_delta_to_iceberg(
+        dt, tempfile.mkdtemp(prefix="fmtchain_i_") + "/t"
+    )
+    return (
+        ice.snapshot()
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("c_acctbal")).alias("balance"))
+    )
+
+
+@query(
     "delta_vacuum_lifecycle",
     oracle="""
     SELECT o_orderstatus, count(*) AS n,

@@ -1627,7 +1627,12 @@ class DeltaTable:
         finally:
             out.close()
 
-    def optimize(self, target_files_per_partition: int = 1) -> int | None:
+    def optimize(
+        self,
+        target_files_per_partition: int = 1,
+        zorder_by: tuple[str, ...] = (),
+        target_files: int = 4,
+    ) -> int | None:
         """Compaction + DV materialization: partitions holding DV-masked
         or fragmented files are re-read THROUGH their deletion vectors and
         rewritten as clean compacted files in one commit (remove old adds
@@ -1635,7 +1640,16 @@ class DeltaTable:
         data, so downstream incremental readers skip it per the spec).
         Completes the merge-on-read lifecycle: DV deletes stay O(deleted
         rows) at write time, optimize amortizes the read-side join away.
-        Returns the committed version, or None if nothing to do."""
+        Returns the committed version, or None if nothing to do.
+
+        ``zorder_by`` is OPTIMIZE ZORDER BY: ALL live files are rewritten
+        range-partitioned on an interleaved-bit Z-value over the given
+        columns (functions/clustering.py — the same expression txlog's
+        OPTIMIZE uses), so every output file covers a small
+        hyper-rectangle and add.stats min/max become tight on EVERY
+        clustered column at once — multi-column file skipping from one
+        layout. ``target_files`` bounds the rewrite's output count per
+        partition group."""
         state = self._state()
         self._check_readable(state)
         meta = state["metaData"]
@@ -1644,6 +1658,12 @@ class DeltaTable:
         pcols = list(meta.get("partitionColumns", []))
         data_schema = StructType([f for f in schema.fields if f.name not in pcols])
         ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
+        bad = [c for c in zorder_by if c in pcols or c not in
+               {f.name for f in schema.fields}]
+        if bad:
+            raise DeltaProtocolError(
+                f"zorder_by columns must be non-partition data columns: {bad}"
+            )
         groups: dict[tuple, list[dict]] = {}
         for a in state["adds"].values():
             pv = a.get("partitionValues", {})
@@ -1652,14 +1672,16 @@ class DeltaTable:
         todo = {
             key: group
             for key, group in groups.items()
-            if any(a.get("deletionVector") for a in group)
+            if zorder_by  # ZORDER rewrites everything: layout IS the goal
+            or any(a.get("deletionVector") for a in group)
             or len(group) > target_files_per_partition
         }
         if not todo:
             return None
         now = int(time.time() * 1000)
+        op_params = {"zOrderBy": json.dumps(list(zorder_by))} if zorder_by else None
         actions: list[dict] = [
-            {"commitInfo": self._commit_info("OPTIMIZE")}
+            {"commitInfo": self._commit_info("OPTIMIZE", op_params)}
         ]
         for key, group in todo.items():
             paths = [self._abs_data_path(a["path"]) for a in group]
@@ -1669,9 +1691,21 @@ class DeltaTable:
                 df = self._apply_dvs(df, dv_adds)
             for col, sval in key:
                 df = df.withColumn(col, _partition_literal(sval, ptypes[col]))
-            new_adds = self._stage(
-                df.coalesce(target_files_per_partition), tuple(pcols)
-            )
+            if zorder_by:
+                from projectdatalake_spark.functions.clustering import (
+                    zorder_column,
+                )
+
+                z = zorder_column(df, tuple(zorder_by))
+                compacted = (
+                    df.withColumn("__z", z)
+                    .repartitionByRange(target_files, "__z")
+                    .sortWithinPartitions("__z")
+                    .drop("__z")
+                )
+            else:
+                compacted = df.coalesce(target_files_per_partition)
+            new_adds = self._stage(compacted, tuple(pcols))
             for a in group:
                 actions.append(
                     {

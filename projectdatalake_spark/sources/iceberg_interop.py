@@ -1723,7 +1723,68 @@ class IcebergTable:
             summary_props={"app-id": app_id, "batch-id": batch_id},
         )
 
-    def rewrite_data_files(self) -> int | None:
+    def set_sort_order(self, cols: tuple[str, ...]) -> int:
+        """Declare the table SORT ORDER (spec "Sort Orders"): a new
+        sort-order entry (identity transforms, asc, nulls-first) becomes
+        the default — metadata-only; ``rewrite_data_files`` then
+        range-clusters on these columns so compacted files carry tight
+        DISJOINT min/max bounds and ``snapshot(where=...)`` plans only
+        the overlapping files. The Iceberg twin of txlog's ``cluster_by``
+        table setting (the liquid-clustering analog). Returns the new
+        order id."""
+        v = self.current_metadata_version()
+        meta = self.metadata(version=v)
+        ice_fields = next(
+            s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+        )["fields"]
+        by_name = {f["name"]: f for f in ice_fields}
+        missing = [c for c in cols if c not in by_name]
+        if missing:
+            raise IcebergProtocolError(
+                f"sort order columns not in table schema: {missing}"
+            )
+        orders = meta.get("sort-orders") or [{"order-id": 0, "fields": []}]
+        order = {
+            "order-id": max(o["order-id"] for o in orders) + 1,
+            "fields": [
+                {
+                    "transform": "identity",
+                    "source-id": by_name[c]["id"],
+                    "direction": "asc",
+                    "null-order": "nulls-first",
+                }
+                for c in cols
+            ],
+        }
+        new_meta = dict(meta)
+        new_meta["sort-orders"] = orders + [order]
+        new_meta["default-sort-order-id"] = order["order-id"]
+        new_meta["last-updated-ms"] = int(time.time() * 1000)
+        try:
+            self._write_metadata(v + 1, new_meta)
+            return order["order-id"]
+        except IcebergCommitConflict:
+            raise IcebergCommitConflict(
+                f"sort-order commit raced another at {self.root} — retry"
+            )
+
+    def _default_sort_cols(self, meta: dict) -> list[str]:
+        oid = meta.get("default-sort-order-id", 0)
+        order = next(
+            (o for o in (meta.get("sort-orders") or []) if o["order-id"] == oid),
+            None,
+        )
+        if not order or not order["fields"]:
+            return []
+        name_of = {
+            f["id"]: f["name"]
+            for s in meta["schemas"]
+            if s["schema-id"] == meta["current-schema-id"]
+            for f in s["fields"]
+        }
+        return [name_of[f["source-id"]] for f in order["fields"]]
+
+    def rewrite_data_files(self, target_files: int | None = None) -> int | None:
         """Copy-on-write COMPACTION (Iceberg's rewrite_data_files): the
         current merge-on-read state — position AND equality deletes
         applied — is materialized into fresh data files and committed as
@@ -1734,12 +1795,25 @@ class IcebergTable:
         read-amplification release valve for the delete-heavy ingest
         pattern: MOR absorbs deletes in O(keys), compaction amortizes
         their read cost across one rewrite. Returns the new snapshot id,
-        or None for an empty table."""
+        or None for an empty table.
+
+        When the table carries a default SORT ORDER (``set_sort_order``),
+        the rewrite range-partitions + sorts on those columns into
+        ``target_files`` files (default: the session's parallelism), so
+        each compacted file has tight disjoint bounds — write-side
+        completion of the column-bounds skipping ladder."""
         meta = self.metadata()
         entries, _ = self._entries_for_snapshot(meta, None)
         if not entries:
             return None
-        files = self._prepare_files(self.snapshot(), meta)
+        df = self.snapshot()
+        sort_cols = self._default_sort_cols(meta)
+        if sort_cols:
+            n_out = target_files or self.spark.sparkContext.defaultParallelism
+            df = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(
+                *sort_cols
+            )
+        files = self._prepare_files(df, meta)
         return self.append_files(
             files, meta=meta, replace=True, operation="replace"
         )

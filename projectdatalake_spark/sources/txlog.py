@@ -2068,37 +2068,11 @@ class TxTable:
 
     def _zorder_column(self, df: DataFrame, cols: tuple[str, ...], bits: int = 8):
         """Interleaved-bit Z-value over ``cols`` for multi-dimensional
-        clustering. Each column is quantile-binned into 2^bits ranks
-        (boundaries from one driver-side ``approxQuantile`` pass — no
-        global sort, no single-partition window), then the rank bits are
-        interleaved so range-partitioning on the Z-value gives every
-        output file a small hyper-rectangle of the key space: min/max
-        stats become tight on EVERY clustered column at once, which is
-        what lets ``snapshot(where=...)`` skip files for predicates on
-        any of them — the public Z-ordering design Delta/Iceberg
-        document."""
-        from pyspark.sql import functions as F
+        clustering — shared across the table formats, see
+        functions/clustering.py for the design notes."""
+        from projectdatalake_spark.functions.clustering import zorder_column
 
-        n_bins = (1 << bits) - 1
-        probs = [i / n_bins for i in range(1, n_bins)]
-        rank_cols = []
-        for i, c in enumerate(cols):
-            dbl = F.col(c).cast("double")
-            qs = df.select(dbl.alias("v")).na.drop().approxQuantile("v", probs, 0.01)
-            # strictly increasing boundary list (ties collapse bins)
-            bounds = sorted(set(qs))
-            if not bounds:  # empty / all-NULL column: single bin
-                rank_cols.append(F.lit(0).cast("bigint"))
-                continue
-            blit = F.array(*[F.lit(float(b)) for b in bounds])
-            rank = F.size(F.filter(blit, lambda b: b <= dbl))
-            rank_cols.append(F.coalesce(rank, F.lit(0)).cast("bigint"))
-        z = F.lit(0).cast("bigint")
-        for bit in range(bits):
-            for i, rank in enumerate(rank_cols):
-                pos = bit * len(rank_cols) + i
-                z = z + F.shiftleft(F.shiftright(rank, bit).bitwiseAND(F.lit(1)), pos)
-        return z
+        return zorder_column(df, cols, bits)
 
     def optimize(
         self,

@@ -896,3 +896,43 @@ def test_shallow_clone_independent_evolution(spark, root):
     c.delete_where_dv("id = 8")
     assert c.snapshot().count() == 58
     assert DeltaTable(spark, root).snapshot().filter("id = 8").count() == 1
+
+
+def test_optimize_zorder_multi_column_skipping(spark, root):
+    """OPTIMIZE ZORDER BY: after Z-clustering on (x, y), file-level
+    stats prune narrow predicates on EITHER column — the multi-column
+    skipping single-column sorting cannot give — and the rows are
+    byte-identical before/after (dataChange=false layout change)."""
+    df = (
+        spark.range(0, 20_000)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 199).cast("long").alias("x"),
+            ((F.col("id") * 7919) % 211).cast("long").alias("y"),
+        )
+        .repartition(8)
+    )
+    t = DeltaTable.create(spark, root, df)
+    before = t.snapshot().count()
+    v = t.optimize(zorder_by=("x", "y"), target_files=16)
+    assert v is not None
+    assert t.snapshot().count() == before
+    adds = list(t._state()["adds"].values())
+    assert len(adds) == 16
+
+    def overlap(col, lo, hi):
+        n = 0
+        for a in adds:
+            s = DeltaTable._parse_stats(a)
+            mn, mx = s["minValues"][col], s["maxValues"][col]
+            if not (mx < lo or mn > hi):
+                n += 1
+        return n
+
+    # a narrow range on EACH clustered column prunes most files
+    assert overlap("x", 10, 20) <= len(adds) // 2
+    assert overlap("y", 10, 20) <= len(adds) // 2
+    # the commit is layout-only: CDF emits nothing for it
+    assert t.changes(v, v).count() == 0
+    with pytest.raises(DeltaProtocolError, match="zorder_by"):
+        t.optimize(zorder_by=("nope",))

@@ -1234,3 +1234,52 @@ def test_maintenance_under_racing_appends(spark, root):
         seen += 1
         head = parents.get(head)
     assert seen == len(meta["snapshots"]) or head not in parents
+
+
+def test_sort_order_clustered_compaction(spark, root):
+    """set_sort_order + rewrite_data_files: compacted files are
+    range-clustered on the sort columns with tight DISJOINT bounds, so
+    a narrow range read plans a small subset of files; the sort order
+    lives in metadata per the spec (default-sort-order-id advances)."""
+    t = IcebergTable.create(spark, root, _df(spark, 0, 2000))
+    for k in range(3):  # fragment: interleaved id ranges across appends
+        t.append(_df(spark, 2000 + k, 8000 + k, seg_mod=3).filter(
+            (F.col("id") % 3).cast("int") == k % 3
+        ))
+    oid = t.set_sort_order(("id",))
+    meta = t.metadata()
+    assert meta["default-sort-order-id"] == oid
+    order = next(o for o in meta["sort-orders"] if o["order-id"] == oid)
+    assert [f["source-id"] for f in order["fields"]] == [1]  # id's field id
+    n_before = t.snapshot().count()
+    t.rewrite_data_files(target_files=8)
+    assert t.snapshot().count() == n_before
+    meta = t.metadata()
+    entries, _ = t._entries_for_snapshot(meta, None)
+    assert len(entries) == 8
+    # where= is FILE-level pruning (caller applies the row filter — the
+    # documented contract): the pruned scan plus the filter is exact
+    narrow = t.snapshot(where={"id": (100, 120)})
+    assert (
+        narrow.filter("id >= 100 AND id <= 120").count()
+        == t.snapshot().filter("id >= 100 AND id <= 120").count()
+    )
+    # and the pruned scan reads FAR less than the table (bounds disjoint)
+    assert narrow.count() < t.snapshot().count() / 3
+    # metadata-level check: count files whose bounds overlap the range
+    from projectdatalake_spark.sources.iceberg_interop import _decode_bound
+
+    def bounds(e, fid=1):
+        lo = next((b["value"] for b in e["data_file"]["lower_bounds"] or []
+                   if b["key"] == fid), None)
+        hi = next((b["value"] for b in e["data_file"]["upper_bounds"] or []
+                   if b["key"] == fid), None)
+        return (_decode_bound(lo, "long"), _decode_bound(hi, "long"))
+
+    overlapping = [
+        e for e in entries
+        if not (bounds(e)[1] < 100 or bounds(e)[0] > 120)
+    ]
+    assert len(overlapping) <= 2, [bounds(e) for e in entries]
+    with pytest.raises(IcebergProtocolError, match="sort order columns"):
+        t.set_sort_order(("nope",))
