@@ -137,6 +137,8 @@ EXTENDED = [
     "format_convert_chain",
     "iceberg_sorted_compaction",
     "delta_optimize_zorder",
+    "pca_embeddings",
+    "stratified_split_exact",
 ]
 
 HEADLINE = [

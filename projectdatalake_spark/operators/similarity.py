@@ -689,6 +689,98 @@ def semantic_dedup_apply_batch(
     return survivors, b_assigned
 
 
+def pca_fit(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+):
+    """Distributed PCA fit: ONE pass over the corpus computes the exact
+    d×d second-moment matrix and mean via per-Arrow-batch numpy partials
+    (each batch emits one flattened (n, Σx, ΣxxT) row — executors do the
+    O(n·d²) work, the driver reduces #batches rows and runs a d×d
+    ``eigh``). d is the embedding width (small); n never matters to the
+    driver. Returns ``(components, mean, explained_variance)`` — numpy
+    arrays, KB-sized model state to broadcast with ``pca_project``.
+
+    This is the scale shape for 100 TB: covariance assembly is a
+    map-side-combined aggregation (no shuffle of vectors), and the only
+    driver-side linear algebra is d×d."""
+    import numpy as np
+    import pandas as pd
+
+    d = len(df.select(vec_col).first()[0])
+
+    def partials(batches):
+        for pdf in batches:
+            mat = np.stack(
+                [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
+            )
+            yield pd.DataFrame(
+                {
+                    "n": [float(mat.shape[0])],
+                    "s": [mat.sum(axis=0).tolist()],
+                    "ss": [(mat.T @ mat).ravel().tolist()],
+                }
+            )
+
+    rows = (
+        df.select(vec_col)
+        .mapInPandas(partials, schema="n double, s array<double>, ss array<double>")
+        .groupBy()
+        .agg(
+            F.sum("n").alias("n"),
+            *[
+                F.sum(F.element_at("s", i + 1)).alias(f"s{i}")
+                for i in range(d)
+            ],
+            *[
+                F.sum(F.element_at("ss", i + 1)).alias(f"ss{i}")
+                for i in range(d * d)
+            ],
+        )
+        .collect()[0]
+    )
+    n = rows["n"]
+    mean = np.array([rows[f"s{i}"] for i in range(d)]) / n
+    second = np.array([rows[f"ss{i}"] for i in range(d * d)]).reshape(d, d)
+    cov = second / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    components = evecs[:, order].T  # (k, d)
+    # deterministic sign convention: largest-|coord| entry positive
+    for row in components:
+        j = int(np.argmax(np.abs(row)))
+        if row[j] < 0:
+            row *= -1
+    return components, mean, evals[order]
+
+
+def pca_project(
+    df: DataFrame,
+    components,
+    mean,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project vectors onto fitted PCA components — an Arrow-batched
+    numpy matmul against the KB-sized (k, d) component matrix carried in
+    the UDF closure; O(n·k·d) executor work, nothing driver-side."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    comp = np.asarray(components, dtype="float64")
+    mu = np.asarray(mean, dtype="float64")
+
+    def _proj(s):
+        mat = np.stack([np.asarray(v, dtype="float64") for v in s])
+        out = (mat - mu) @ comp.T
+        return pd.Series([row.tolist() for row in out])
+
+    _proj.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return df.withColumn(out_col, pandas_udf(_proj, "array<double>")(F.col(vec_col)))
+
+
 def assign_cells_multi(
     df: DataFrame,
     centers,

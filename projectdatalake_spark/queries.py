@@ -2635,6 +2635,59 @@ def split_assign_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stratified_split_exact",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN rn <= CAST(floor(n * 0.8) AS BIGINT) THEN 'train'
+                WHEN rn <= CAST(floor(n * 0.9) AS BIGINT) THEN 'val'
+                ELSE 'test' END AS split
+    FROM ranked
+    """,
+)
+def stratified_split_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED exact-fraction split: within each stratum (lang), rows
+    are ranked by a content-stable md5 of their id (deterministic
+    pseudo-shuffle, identical on any engine/run/shard order) and the
+    first ⌊0.8n⌋ go to train, next ⌊0.1n⌋ to val, rest to test — EXACT
+    per-stratum proportions, unlike hash-bucket assignment
+    (split_assign_hash) whose per-stratum fractions only converge in
+    expectation. One shuffle on the stratum key; the rank window is
+    per-stratum, never global. The pair covers both split disciplines a
+    training pipeline needs: hash (stable under corpus growth) and
+    exact-stratified (fixed evaluation budgets)."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    wn = Window.partitionBy("lang")
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("rn") <= F.floor(F.col("n") * 0.8).cast("bigint"), "train"
+        )
+        .when(F.col("rn") <= F.floor(F.col("n") * 0.9).cast("bigint"), "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@query(
     "pack_token_budget",
     oracle=r"""
     WITH t AS (
@@ -8850,6 +8903,36 @@ def iceberg_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.snapshot()
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("bal")).alias("balance"))
+    )
+
+
+@query("pca_embeddings")  # eigendecomposition has no SQL twin → rows-only
+def pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA over the embedding corpus
+    (operators/similarity.pca_fit/pca_project): ONE aggregation pass
+    assembles the exact d×d second-moment matrix from per-Arrow-batch
+    numpy partials (executors do the O(n·d²) work, no vector shuffle),
+    the driver runs a d×d eigh (KB-sized model), and projection is an
+    Arrow-batched matmul. Exactness is gated against straight numpy PCA
+    on the collected corpus (tests/test_accuracy_gates.py — explained
+    variances equal, components sign-pinned equal, projections equal to
+    1e-9). The dimensionality-reduction rung of the embedding toolbox
+    (dedup → ANN → semantic dedup → PCA): at 100 TB the fit is one
+    map-side-combined agg and the transform is embarrassingly parallel.
+    Driver records rows-only."""
+    from projectdatalake_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    comp, mean, _ev = S.pca_fit(emb, k=8)
+    return (
+        S.pca_project(emb, comp, mean)
+        .select(
+            "vec_id",
+            "label",
+            F.round(F.element_at("pca", 1), 6).alias("pc1"),
+            F.round(F.element_at("pca", 2), 6).alias("pc2"),
+        )
+        .orderBy("vec_id")
     )
 
 

@@ -487,3 +487,41 @@ def test_semantic_dedup_incremental_exact_equality(spark):
     ).count()
     if len(touched) < 8:
         assert in_touched < total
+
+
+def test_pca_matches_numpy_exactly(spark):
+    """Distributed PCA (one-pass moments + driver d×d eigh) must match
+    a straight numpy PCA on the collected corpus: same explained
+    variances, and each component aligned up to sign (pinned by the
+    deterministic sign convention); projection = (x - mean) @ comp.T."""
+    import numpy as np
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    comp, mean, ev = S.pca_fit(emb, k=8)
+    X = np.stack([
+        np.asarray(r.embedding, dtype="float64")
+        for r in emb.select("embedding").collect()
+    ])
+    mu = X.mean(axis=0)
+    cov = (X - mu).T @ (X - mu) / X.shape[0]
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:8]
+    ref_ev = evals[order]
+    ref_comp = evecs[:, order].T
+    assert np.allclose(mean, mu, atol=1e-9)
+    assert np.allclose(ev, ref_ev, rtol=1e-8)
+    for got, want in zip(comp, ref_comp):
+        # eigenvectors defined up to sign; our convention fixes it
+        assert min(
+            np.abs(got - want).max(), np.abs(got + want).max()
+        ) < 1e-6
+    # projection round trip: distributed projection equals numpy's
+    proj = S.pca_project(emb, comp, mean).select("vec_id", "pca").collect()
+    by_id = {r.vec_id: np.asarray(r.pca) for r in proj}
+    ids = [r.vec_id for r in emb.select("vec_id").collect()]
+    ref_proj = (X - mu) @ comp.T
+    for i, vid in enumerate(ids):
+        assert np.allclose(by_id[vid], ref_proj[i], atol=1e-9)
+    # variance actually concentrates (sanity: top-8 ≥ uniform share)
+    total_var = evals.sum()
+    assert ev.sum() > 8 / 64 * total_var
