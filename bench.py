@@ -139,6 +139,7 @@ EXTENDED = [
     "delta_optimize_zorder",
     "pca_embeddings",
     "stratified_split_exact",
+    "iceberg_orphan_cleanup",
 ]
 
 HEADLINE = [

@@ -8121,6 +8121,46 @@ def delta_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "iceberg_orphan_cleanup",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def iceberg_orphan_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """remove_orphan_files: a crashed writer's staged-but-uncommitted
+    parquet leaks under data/ forever (expire_snapshots can't reach it —
+    it only walks files that were once REFERENCED); orphan cleanup
+    deletes exactly the unreferenced set, guarded by an
+    in-flight-writer age horizon and scoped strictly to the table's own
+    data/ (zero-copy-referenced foreign files untouched). The
+    post-cleanup snapshot must hash-equal the oracle — nothing
+    referenced was touched. Completes the storage-reclaim triple:
+    expire (history), vacuum-equivalents (past-horizon files), orphans
+    (never-committed files)."""
+    import tempfile
+
+    from projectdatalake_spark.sources.iceberg_interop import IcebergTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    root = tempfile.mkdtemp(prefix="ice_orphan_") + "/t"
+    t = IcebergTable.create(spark, root, o.repartition(4))
+    # a crashed writer: data staged, commit never happened
+    t._stage_data(o.limit(100), (), None)
+    assert t.remove_orphan_files(older_than_ms=None) > 0
+    return (
+        t.snapshot()
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
+    )
+
+
+@query(
     "iceberg_sorted_compaction",
     oracle="""
     SELECT count(*) AS n,

@@ -2301,6 +2301,54 @@ class IcebergTable:
             return {"snapshots": len(expired), "files": deleted}
         raise IcebergCommitConflict(f"expire lost 20 races at {self.root}")
 
+    def remove_orphan_files(self, older_than_ms: int | None = 3_600_000) -> int:
+        """Delete files under ``data/`` that NO snapshot references —
+        the leaked output of writers that crashed between staging and
+        commit (expire_snapshots can never reach them: it only walks
+        files that were once referenced). Iceberg's remove_orphan_files.
+
+        ``older_than_ms`` is the in-flight-writer guard: files younger
+        than the horizon are kept (a concurrent writer has staged them
+        but not yet committed — deleting them would corrupt its commit).
+        Default 1 h, the same defensive posture as the real procedure;
+        pass None only when no writer can be active. Scope is strictly
+        ``self.root/data`` — foreign files a zero-copy convert references
+        live outside it and are never touched. Returns files deleted."""
+        meta = self.metadata()
+        referenced: set[str] = set()
+        for s in meta.get("snapshots", []):
+            _, manifests = read_container(self._read_bytes(s["manifest-list"]))
+            for m in manifests:
+                _, rows = read_container(self._read_bytes(m["manifest_path"]))
+                for e in rows:
+                    referenced.add(e["data_file"]["file_path"])
+        fs = self._fs()
+        data_dir = self._path(f"{self.root}/data")
+        if not fs.exists(data_dir):
+            return 0
+        now = int(time.time() * 1000)
+        deleted = 0
+        it = fs.listFiles(data_dir, True)
+        victims = []
+        while it.hasNext():
+            st = it.next()
+            p = st.getPath().toUri().getPath()
+            if p in referenced:
+                continue
+            if (
+                older_than_ms is not None
+                and st.getModificationTime() > now - older_than_ms
+            ):
+                continue
+            victims.append(p)
+        for p in victims:
+            try:
+                if fs.delete(self._path(p), False):
+                    deleted += 1
+            except Exception:
+                pass  # already gone
+        return deleted
+
     def delete_where(self, condition: str) -> int | None:
         """Merge-on-read DELETE via v2 POSITION DELETE files: matching rows
         are written as (file_path, pos) parquet pairs — computed and

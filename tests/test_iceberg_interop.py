@@ -1283,3 +1283,29 @@ def test_sort_order_clustered_compaction(spark, root):
     assert len(overlapping) <= 2, [bounds(e) for e in entries]
     with pytest.raises(IcebergProtocolError, match="sort order columns"):
         t.set_sort_order(("nope",))
+
+
+def test_remove_orphan_files(spark, root):
+    """Orphan cleanup: files a crashed writer staged but never committed
+    are reclaimed; everything ANY snapshot references (current or
+    time-travelable) survives; young files survive the in-flight-writer
+    horizon; the table reads identically afterwards."""
+    import os
+
+    t = IcebergTable.create(spark, root, _df(spark, 0, 50))
+    t.append(_df(spark, 100, 120))
+    # simulate a crashed writer: staged data, no commit
+    t._stage_data(_df(spark, 900, 950), (), None)
+    n_before = sum(len(fs) for _, _, fs in os.walk(os.path.join(root, "data")))
+    # young orphans survive the default horizon
+    assert t.remove_orphan_files() == 0
+    deleted = t.remove_orphan_files(older_than_ms=None)
+    assert deleted > 0
+    n_after = sum(len(fs) for _, _, fs in os.walk(os.path.join(root, "data")))
+    assert n_after < n_before
+    # table intact, including time travel to the first snapshot
+    assert t.snapshot().count() == 70
+    first = t.metadata()["snapshots"][0]["snapshot-id"]
+    assert t.snapshot(snapshot_id=first).count() == 50
+    # idempotent
+    assert t.remove_orphan_files(older_than_ms=None) == 0
