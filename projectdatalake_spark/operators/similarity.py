@@ -711,38 +711,40 @@ def pca_fit(
     d = len(df.select(vec_col).first()[0])
 
     def partials(batches):
+        # ONE partial row per PARTITION (accumulate across the
+        # partition's Arrow batches): the collected frame is
+        # #partitions × (d² + d + 1) doubles — metadata-sized at any
+        # corpus scale, and no wide Spark aggregation (thousands of
+        # per-element sum exprs would blow up codegen/compile time)
+        n_acc = 0.0
+        s_acc = np.zeros(d)
+        ss_acc = np.zeros((d, d))
         for pdf in batches:
             mat = np.stack(
                 [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
             )
+            n_acc += mat.shape[0]
+            s_acc += mat.sum(axis=0)
+            ss_acc += mat.T @ mat
+        if n_acc:
             yield pd.DataFrame(
                 {
-                    "n": [float(mat.shape[0])],
-                    "s": [mat.sum(axis=0).tolist()],
-                    "ss": [(mat.T @ mat).ravel().tolist()],
+                    "n": [n_acc],
+                    "s": [s_acc.tolist()],
+                    "ss": [ss_acc.ravel().tolist()],
                 }
             )
 
-    rows = (
+    parts = (
         df.select(vec_col)
         .mapInPandas(partials, schema="n double, s array<double>, ss array<double>")
-        .groupBy()
-        .agg(
-            F.sum("n").alias("n"),
-            *[
-                F.sum(F.element_at("s", i + 1)).alias(f"s{i}")
-                for i in range(d)
-            ],
-            *[
-                F.sum(F.element_at("ss", i + 1)).alias(f"ss{i}")
-                for i in range(d * d)
-            ],
-        )
-        .collect()[0]
+        .collect()
     )
-    n = rows["n"]
-    mean = np.array([rows[f"s{i}"] for i in range(d)]) / n
-    second = np.array([rows[f"ss{i}"] for i in range(d * d)]).reshape(d, d)
+    n = sum(r["n"] for r in parts)
+    mean = np.sum([np.asarray(r["s"]) for r in parts], axis=0) / n
+    second = np.sum(
+        [np.asarray(r["ss"]).reshape(d, d) for r in parts], axis=0
+    )
     cov = second / n - np.outer(mean, mean)
     evals, evecs = np.linalg.eigh(cov)  # ascending
     order = np.argsort(evals)[::-1][:k]
