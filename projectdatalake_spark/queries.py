@@ -7584,6 +7584,70 @@ def delta_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "delta_merge_bloom",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS price
+        FROM orders
+    ), upd AS (
+        SELECT o_orderkey, o_orderstatus, CAST(-o_totalprice AS DOUBLE) AS price
+        FROM orders WHERE o_orderkey % 211 = 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, 'B', CAST(1.0 AS DOUBLE)
+        FROM orders WHERE o_orderkey % 223 = 0
+    ), merged AS (
+        SELECT * FROM upd
+        UNION ALL
+        SELECT * FROM base
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+    )
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(price AS DECIMAL(27,2))) AS DOUBLE) AS total
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def delta_merge_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE through the Delta log on a bloom-indexed table
+    (DeltaTable.create(bloom_by=...) + _bloom_prune_merge): keys are
+    HASH-SCATTERED across files (every file's o_orderkey min/max spans
+    the whole range, so stats pruning alone keeps every candidate), and
+    the per-file blooms carried in add.tags bound the touched-file probe
+    to the files that may actually hold an update key — the trickle-CDC
+    merge shape at 100 TB. Bloom effectiveness (probe strictly smaller
+    than the stats-surviving set) is asserted in
+    tests/test_delta_interop.py::test_merge_bloom_prune_bounds_probe;
+    this query proves end-to-end result correctness through that path."""
+    import tempfile
+
+    from projectdatalake_spark.sources.delta_interop import DeltaTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    root = tempfile.mkdtemp(prefix="delta_mergebloom_")
+    t = DeltaTable.create(
+        spark, root, o.repartition(8), bloom_by=("o_orderkey",)
+    )
+    upd = o.filter(F.col("o_orderkey") % 211 == 0).withColumn(
+        "price", -F.col("price")
+    ).unionByName(
+        o.filter(F.col("o_orderkey") % 223 == 0).select(
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            F.lit("B").alias("o_orderstatus"),
+            F.lit(1.0).alias("price"),
+        )
+    )
+    t.merge_upsert(upd, keys=["o_orderkey"])
+    return (
+        t.snapshot()
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("price")).alias("total"))
+    )
+
+
 # --- Apache Iceberg interop (sources/iceberg_interop.py): the v2
 # metadata tree — version-hinted metadata JSON, Avro manifest lists,
 # Avro manifests — written and read from the public spec, with the Avro

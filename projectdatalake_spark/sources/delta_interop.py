@@ -75,6 +75,18 @@ class DeltaCommitConflict(Exception):
     """Another writer published the target version first."""
 
 
+# Optional per-file bloom filters for high-cardinality equality skipping,
+# carried in add.tags (spec: a free-form map<string,string> external readers
+# ignore — protocol-safe). Same bit layout/hashing as txlog's blooms so the
+# two formats share one probe machinery.
+_BLOOM_CONF_KEY = "graft.bloomFilterColumns"
+_BLOOM_TAG_PREFIX = "graft.bloom."
+# merge prune collects each bloom key column's distinct update values
+# driver-side; beyond this the column's bloom test is skipped (the trickle-
+# CDC case the bloom exists for has far fewer keys than this)
+_MERGE_BLOOM_KEY_CEILING = 20_000
+
+
 def _quote_path(rel: str) -> str:
     # spec: add.path is a URL-encoded relative path (or absolute URI)
     return urllib.parse.quote(rel, safe="/=")
@@ -91,6 +103,66 @@ def _stats_scalar(v):
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else v.isoformat()
     return v
+
+
+def _bloom_prune_merge(spark, cand, key_frame, bcols, schema):
+    """Bloom-augmented merge candidate pruning: for each bloom-backed key
+    column, collect the updates' distinct values (bounded by
+    _MERGE_BLOOM_KEY_CEILING — skip the column's test beyond it, never
+    guess) and drop candidate files whose per-file bloom proves NO update
+    value can be present. Files without a bloom tag always survive.
+
+    This bounds the touched-file probe for the trickle-CDC shape: a small
+    update batch against a table whose file key ranges overlap (no
+    clustering) otherwise stats-survives every file and the probe reads
+    the key column of the whole table. Bit positions are computed with the
+    SAME Spark xxhash64 expression the writer aggregated (hash parity by
+    construction); the per-file test is numpy over the unpacked bit array
+    — O(#candidates × #keys), both driver-bounded."""
+    import numpy as np
+
+    from .txlog import _BLOOM_M, _BLOOM_SEEDS
+
+    types = {f.name: f.dataType.simpleString() for f in schema.fields}
+    for c in bcols:
+        pos_rows = (
+            key_frame.select(c)
+            .where(F.col(c).isNotNull())
+            .distinct()
+            .limit(_MERGE_BLOOM_KEY_CEILING + 1)
+            .select(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.col(c).cast(types[c]), F.lit(seed)),
+                        F.lit(_BLOOM_M),
+                    ).alias(f"p{i}")
+                    for i, seed in enumerate(_BLOOM_SEEDS)
+                ]
+            )
+            .collect()
+        )
+        if not pos_rows or len(pos_rows) > _MERGE_BLOOM_KEY_CEILING:
+            continue
+        pos_matrix = np.array(
+            [[r[f"p{i}"] for i in range(len(_BLOOM_SEEDS))] for r in pos_rows]
+        )
+        kept = []
+        for p, a in cand:
+            hexmap = (a.get("tags") or {}).get(f"{_BLOOM_TAG_PREFIX}{c}")
+            if not hexmap:
+                kept.append((p, a))
+                continue
+            bits = int(hexmap, 16)
+            arr = np.frombuffer(
+                bits.to_bytes(_BLOOM_M // 8, "little"), dtype=np.uint8
+            )
+            bitsarr = np.unpackbits(arr, bitorder="little").astype(bool)
+            if np.all(bitsarr[pos_matrix], axis=1).any():
+                kept.append((p, a))
+        cand = kept
+        if not cand:
+            break
+    return cand
 
 
 def _partition_literal(value: str | None, dtype):
@@ -726,17 +798,22 @@ class DeltaTable:
         partition_by: tuple[str, ...] = (),
         configuration: dict | None = None,
         name: str | None = None,
+        bloom_by: tuple[str, ...] = (),
     ) -> "DeltaTable":
         t = cls(spark, root)
         if t.exists():
             raise DeltaCommitConflict(f"Delta table already exists at {root}")
+        cfg = dict(configuration or {})
+        if bloom_by:
+            cfg[_BLOOM_CONF_KEY] = ",".join(bloom_by)
+        t._pending_bloom = tuple(bloom_by)
         adds = t._stage(df, tuple(partition_by))
         meta = {
             "id": str(uuid.uuid4()),
             "format": {"provider": "parquet", "options": {}},
             "schemaString": df.schema.json(),
             "partitionColumns": list(partition_by),
-            "configuration": dict(configuration or {}),
+            "configuration": cfg,
             "createdTime": int(time.time() * 1000),
         }
         if name:
@@ -809,12 +886,29 @@ class DeltaTable:
         self._attach_stats(adds, set(partition_by))
         return adds
 
+    @staticmethod
+    def _bloom_cols_of(meta: dict) -> tuple[str, ...]:
+        raw = (meta.get("configuration") or {}).get(_BLOOM_CONF_KEY, "")
+        return tuple(c for c in raw.split(",") if c)
+
+    def _bloom_cols(self) -> tuple[str, ...]:
+        """Columns opted into per-file bloom filters: the creation setting
+        (``_pending_bloom`` while version 0 is being staged) or the live
+        table configuration afterwards."""
+        if not self.exists():
+            return tuple(getattr(self, "_pending_bloom", ()))
+        return self._bloom_cols_of(self._state()["metaData"])
+
     def _attach_stats(self, adds: list[dict], pcols: set) -> None:
         """Delta-format per-file stats (numRecords / minValues / maxValues /
         nullCount) in one grouped aggregation over input_file_name — never a
-        per-file job (the write-time-stats pattern shared with txlog.py)."""
+        per-file job (the write-time-stats pattern shared with txlog.py).
+        Columns opted in via ``bloom_by`` additionally get a per-file bloom
+        filter hex in add.tags (txlog's bit layout, see _BLOOM_TAG_PREFIX)."""
         if not adds:
             return
+        from .txlog import _BLOOM_M, _BLOOM_SEEDS
+
         paths = [self._abs_data_path(a["path"]) for a in adds]
         df = self.spark.read.option("basePath", self.root).parquet(*paths)
         cols = [
@@ -822,11 +916,19 @@ class DeltaTable:
             for f in df.schema.fields
             if f.name not in pcols and f.dataType.typeName() in _SIMPLE_TYPES
         ]
+        bloom_cols = [c for c in self._bloom_cols() if c in set(cols)]
         aggs = [F.count(F.lit(1)).alias("__n")]
         for c in cols:
             aggs.append(F.min(c).alias(f"min__{c}"))
             aggs.append(F.max(c).alias(f"max__{c}"))
             aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nulls__{c}"))
+        for c in bloom_cols:
+            for i, seed in enumerate(_BLOOM_SEEDS):
+                aggs.append(
+                    F.collect_set(
+                        F.pmod(F.xxhash64(F.col(c), F.lit(seed)), F.lit(_BLOOM_M))
+                    ).alias(f"bloom{i}__{c}")
+                )
         rows = (
             df.withColumn("__file", F.input_file_name())
             .groupBy("__file")
@@ -844,6 +946,7 @@ class DeltaTable:
                 p = p[5:]
             return p
         by_path = {}
+        blooms_by_path: dict[str, dict] = {}
         for r in rows:
             d = r.asDict()
             fpath = _norm(d.pop("__file"))
@@ -861,10 +964,24 @@ class DeltaTable:
                     stats["maxValues"][c] = _stats_scalar(mx)
                 stats["nullCount"][c] = d[f"nulls__{c}"] or 0
             by_path[fpath] = stats
+            blooms = {}
+            for c in bloom_cols:
+                bits = 0
+                for i in range(len(_BLOOM_SEEDS)):
+                    for p in d.get(f"bloom{i}__{c}") or []:
+                        bits |= 1 << p
+                if bits:
+                    blooms[c] = f"{bits:x}"
+            blooms_by_path[fpath] = blooms
         for a in adds:
             abs_p = _norm(self._abs_data_path(a["path"]))
             if abs_p in by_path:
                 a["stats"] = json.dumps(by_path[abs_p], separators=(",", ":"))
+            blooms = blooms_by_path.get(abs_p)
+            if blooms:
+                a.setdefault("tags", {}).update(
+                    {f"{_BLOOM_TAG_PREFIX}{c}": h for c, h in blooms.items()}
+                )
 
     def _publish(self, version: int, actions: list[dict]) -> None:
         text = "\n".join(json.dumps(a, separators=(",", ":")) for a in actions) + "\n"
@@ -1291,6 +1408,13 @@ class DeltaTable:
         ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
         data_schema = StructType([f for f in schema.fields if f.name not in pcols])
         key_frame = updates.select(*keys).distinct()
+        # bloom-augmented candidate prune (bounds the probe's key-column
+        # scan when file key ranges overlap; see _bloom_prune_merge)
+        bcols = [k for k in data_keys if k in self._bloom_cols_of(meta)]
+        if bcols and cand:
+            cand = _bloom_prune_merge(self.spark, cand, key_frame, bcols, schema)
+        # observable for tests/probes: how many files the touch probe reads
+        self._last_merge_probe_files = len(cand)
 
         def _grouped_read(adds: list[dict], select_cols: list[str], with_path: bool):
             groups: dict[tuple, list[dict]] = {}
@@ -1740,6 +1864,7 @@ class DeltaTable:
         add_t = (
             "struct<path:string,partitionValues:map<string,string>,size:bigint,"
             "modificationTime:bigint,dataChange:boolean,stats:string,"
+            "tags:map<string,string>,"
             "deletionVector:struct<storageType:string,pathOrInlineDv:string,"
             "offset:int,sizeInBytes:int,cardinality:bigint>>"
         )

@@ -77,19 +77,40 @@ def _parse_transform(spec: str) -> tuple[str, int | None, str]:
     raise ValueError(f"unsupported partition transform: {spec!r}")
 
 
-def _transform_col(kind: str, param: int | None, col: str):
+def _transform_col(kind: str, param: int | None, col: str, dtype: str | None = None):
     from pyspark.sql import functions as F
 
     if kind == "identity":
         return F.col(col)
     if kind == "days":
-        # ISO date string: lexicographic order == chronological order
+        # ISO date string: lexicographic order == chronological order.
+        # Session-timezone contract: a TIMESTAMP (LTZ) column holds an
+        # instant — decompose it in the UTC calendar via integer math
+        # (unix_micros → epoch day → DATE), never via date_format on the
+        # raw timestamp, which renders in the SESSION timezone and would
+        # route the same instant to different partitions under different
+        # sessions. DATE / TIMESTAMP_NTZ / STRING wall values are
+        # timezone-free already and keep the direct rendering.
+        if dtype == "timestamp":
+            micros = F.unix_micros(F.col(col))
+            epoch_day = F.floor(micros / F.lit(86_400_000_000)).cast("int")
+            # DATE→STRING cast is a pure calendar rendering (tz-free)
+            return F.date_add(F.lit("1970-01-01").cast("date"), epoch_day).cast(
+                "string"
+            )
         return F.date_format(F.col(col), "yyyy-MM-dd")
     if kind == "truncate":
         return F.substring(F.col(col).cast("string"), 1, param)
     if kind == "bucket":
         return F.pmod(F.xxhash64(F.col(col)), F.lit(param)).cast("int")
     raise ValueError(kind)
+
+
+def _transform_col_for(kind: str, param: int | None, col: str, df: "DataFrame"):
+    """dtype-aware ``_transform_col``: resolve the source column's Spark
+    type from ``df`` so temporal transforms take the session-timezone-
+    independent path for TIMESTAMP (LTZ) sources."""
+    return _transform_col(kind, param, col, dict(df.dtypes).get(col))
 
 
 def _hidden_name(kind: str, param: int | None, col: str) -> str:
@@ -105,8 +126,15 @@ def _transform_bound(kind: str, param: int | None, v):
     if v is None:
         return None
     if kind == "days":
-        if isinstance(v, (datetime.datetime, datetime.date)):
+        if isinstance(v, datetime.datetime):
+            # partition values are UTC-calendar days; rebase aware bounds
+            # (naive datetimes are UTC wall by contract, matching how
+            # Spark collects TIMESTAMP values under a UTC session)
+            if v.tzinfo is not None:
+                v = v.astimezone(datetime.timezone.utc)
             return v.isoformat()[:10]
+        if isinstance(v, datetime.date):
+            return v.isoformat()
         return str(v)[:10]
     if kind == "truncate":
         return str(v)[:param]
@@ -1019,7 +1047,7 @@ class TxTable:
         return seen
 
     def _partition_expr(self, kind: str, param: int | None, col: str, df: DataFrame):
-        return _transform_col(kind, param, col)
+        return _transform_col_for(kind, param, col, df)
 
     def _stage(
         self,
@@ -1047,7 +1075,7 @@ class TxTable:
             kind, param, col = _parse_transform(spec)
             name = _hidden_name(kind, param, col)
             if kind != "identity":
-                df = df.withColumn(name, _transform_col(kind, param, col))
+                df = df.withColumn(name, _transform_col_for(kind, param, col, df))
             part_names.append(name)
         if cluster:
             ccols = [c for c in cluster.get("by", ()) if c in df.columns]
@@ -1470,7 +1498,7 @@ class TxTable:
         cond = None
         for col, vals in values.items():
             kind, param, src = by_name[col]
-            expr = F.col(src) if kind == "identity" else _transform_col(kind, param, src)
+            expr = F.col(src) if kind == "identity" else _transform_col_for(kind, param, src, df)
             c = expr.cast("string").isin(*vals)
             cond = c if cond is None else cond & c
         n_outside = df.filter(~cond).limit(1).count() if cond is not None else 0
@@ -1520,7 +1548,7 @@ class TxTable:
             return self.overwrite(merged)
 
         def part_expr(kind, param, src):
-            e = F.col(src) if kind == "identity" else _transform_col(kind, param, src)
+            e = F.col(src) if kind == "identity" else _transform_col_for(kind, param, src, updates)
             return e.cast("string")
 
         touched_rows = (
@@ -1607,7 +1635,7 @@ class TxTable:
             return self.overwrite(merged)
 
         def part_expr(kind, param, src):
-            e = F.col(src) if kind == "identity" else _transform_col(kind, param, src)
+            e = F.col(src) if kind == "identity" else _transform_col_for(kind, param, src, changes)
             return e.cast("string")
 
         touched_rows = (
@@ -1673,7 +1701,7 @@ class TxTable:
             return self.overwrite(snap.filter(~F.coalesce(F.expr(condition), F.lit(False))))
 
         def part_expr(kind, param, src):
-            e = F.col(src) if kind == "identity" else _transform_col(kind, param, src)
+            e = F.col(src) if kind == "identity" else _transform_col_for(kind, param, src, snap)
             return e.cast("string")
 
         touched_rows = (
@@ -1774,7 +1802,7 @@ class TxTable:
             return self.overwrite(rewrite(snap))
 
         def part_expr(kind, param, src):
-            e = F.col(src) if kind == "identity" else _transform_col(kind, param, src)
+            e = F.col(src) if kind == "identity" else _transform_col_for(kind, param, src, snap)
             return e.cast("string")
 
         touched_rows = (
@@ -2149,7 +2177,7 @@ class TxTable:
             # specs repartition on the DERIVED expression, not the name)
             compacted = scoped.repartition(
                 *[
-                    _transform_col(kind, param, src)
+                    _transform_col_for(kind, param, src, scoped)
                     for kind, param, src, _ in self._partition_fields()
                 ]
             )

@@ -844,6 +844,58 @@ def test_merge_upsert_stats_prune_bounds_probe(spark, root):
     assert t.snapshot().filter("val = -1.0").count() == 1
 
 
+def test_merge_bloom_prune_bounds_probe(spark, root):
+    """Bloom-augmented merge probe: with HASH-SCATTERED keys (every file's
+    min/max spans the whole range, so stats pruning keeps everything), a
+    table opted into bloom_by on the merge key must probe only the files
+    whose bloom may contain an update key — the bound that keeps a
+    trickle-CDC merge from scanning every file's key column. Blooms live
+    in add.tags (protocol-safe; external readers ignore them) and must
+    survive a checkpoint round-trip."""
+    df = (
+        spark.range(0, 4000)
+        .withColumn("seg", F.lit(0).cast("int"))
+        .withColumn("val", F.col("id") * 1.0)
+        .repartition(8)  # round-robin: overlapping id ranges per file
+    )
+    t = DeltaTable.create(spark, root, df, bloom_by=("id",))
+    state = t._state()
+    n_files = len(state["adds"])
+    assert n_files >= 8
+    assert all("graft.bloom.id" in (a.get("tags") or {}) for a in state["adds"].values())
+    upd = spark.createDataFrame(
+        [(100, 0, -1.0), (101, 0, -2.0), (9999, 0, -3.0)],
+        "id long, seg int, val double",
+    )
+    v = t.merge_upsert(upd, keys=["id"])
+    # stats keep all files; blooms must cut the probe well below that
+    assert t._last_merge_probe_files < n_files, (
+        t._last_merge_probe_files, n_files,
+    )
+    removed = [a for a in t._commit_actions(v) if "remove" in a]
+    assert 1 <= len(removed) <= t._last_merge_probe_files
+    snap = t.snapshot()
+    assert snap.count() == 4001  # 4000 + the id=9999 insert
+    assert snap.filter("val = -1.0").count() == 1
+    assert snap.filter("id = 9999").collect()[0]["val"] == -3.0
+    assert snap.filter("id = 102").collect()[0]["val"] == 102.0
+    # blooms survive checkpoint replay, and the rewritten file got a fresh
+    # one (0-row part files carry neither stats nor bloom — same contract)
+    t.checkpoint()
+    t2 = DeltaTable(spark, root)
+    adds2 = t2._state()["adds"]
+    def _has_rows(a):
+        return json.loads(a.get("stats") or '{"numRecords":0}')["numRecords"] > 0
+    assert all(
+        "graft.bloom.id" in (a.get("tags") or {})
+        for a in adds2.values() if _has_rows(a)
+    )
+    upd2 = spark.createDataFrame([(200, 0, -9.0)], "id long, seg int, val double")
+    t2.merge_upsert(upd2, keys=["id"])
+    assert t2._last_merge_probe_files < len(adds2)
+    assert DeltaTable(spark, root).snapshot().filter("val = -9.0").count() == 1
+
+
 def test_restore_to_version(spark, root):
     """RESTORE resets the live file set to an old version's as a FORWARD
     commit: late adds removed, DV-rewritten files re-added with their

@@ -319,6 +319,61 @@ def test_hidden_partitioning_days(spark, tmp_path):
     assert d3_before == d3_after
 
 
+def test_days_partitioning_session_tz_independent(spark, tmp_path):
+    """days(ts) over a TIMESTAMP (LTZ) column routes rows by the
+    instant's UTC calendar day regardless of spark.sql.session.timeZone.
+    Regression: the transform used date_format on the raw timestamp,
+    which renders in the session timezone — the same instant would land
+    in different partitions under different sessions, and pruning
+    (which assumes UTC days) would silently miss rows."""
+    import datetime
+
+    utc = datetime.timezone.utc
+    rows = [
+        # 2024-01-02 02:00 UTC == 2024-01-01 18:00 PST: a session-tz
+        # rendering under PST would misfile this row into Jan 1
+        (1, datetime.datetime(2024, 1, 2, 2, 0, tzinfo=utc), 1.0),
+        (2, datetime.datetime(2024, 1, 1, 12, 0, tzinfo=utc), 2.0),
+        (3, datetime.datetime(2024, 1, 3, 23, 30, tzinfo=utc), 3.0),
+    ]
+    base_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        df = spark.createDataFrame(rows, ["id", "ts", "v"]).select(
+            "id", F.col("ts").cast("timestamp").alias("ts"), "v"
+        )
+        t = TxTable.create(
+            spark, str(tmp_path / "tzdays"), df, partition_by=("days(ts)",)
+        )
+        assert {a["partition"]["_p_days_ts"] for a in t._active_files()} == {
+            "2024-01-01", "2024-01-02", "2024-01-03",
+        }
+        # prune with an aware bound: Jan 2 UTC holds exactly row 1
+        pruned = t.snapshot(
+            where={
+                "ts": (
+                    datetime.datetime(2024, 1, 2, tzinfo=utc),
+                    datetime.datetime(2024, 1, 2, 23, 59, tzinfo=utc),
+                )
+            }
+        )
+        assert {r.id for r in pruned.collect()} == {1}
+        assert len(pruned.inputFiles()) < len(t.snapshot().inputFiles())
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", base_tz)
+    # written under PST, read under UTC: same partitions, same answer
+    t2 = TxTable(spark, str(tmp_path / "tzdays"))
+    pruned2 = t2.snapshot(
+        where={
+            "ts": (
+                datetime.datetime(2024, 1, 2, tzinfo=utc),
+                datetime.datetime(2024, 1, 2, 23, 59, tzinfo=utc),
+            )
+        }
+    )
+    assert {r.id for r in pruned2.collect()} == {1}
+
+
 def test_hidden_partitioning_bucket_and_truncate(spark, tmp_path):
     df = spark.createDataFrame(
         [(i, f"name-{i:03d}", i * 1.0) for i in range(20)], ["id", "name", "v"]
