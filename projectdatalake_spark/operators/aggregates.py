@@ -136,3 +136,78 @@ def cms_estimate(
             F.min(F.coalesce(F.col("cms_count"), F.lit(0))).alias("est_count")
         )
     )
+
+
+# --- exact distributed top-k heavy hitters (candidate / verify) ------------
+
+
+def heavy_hitters_exact(
+    df: DataFrame,
+    col: str,
+    k: int,
+    capacity: int = 4096,
+) -> DataFrame:
+    """EXACT top-k most frequent values of ``col`` without a global
+    GROUP BY over every distinct value — the two-pass candidate/verify
+    pattern that survives 100 TB vocabularies:
+
+    Pass 1 (candidates): each partition counts its own values exactly
+    (a Counter per Arrow batch run, mapInPandas) and emits only its top
+    ``capacity`` — plus one null-keyed row carrying the partition's row
+    count. A value absent from EVERY partition's top-``capacity`` has
+    per-partition count ≤ n_p/capacity (it is below the partition's
+    capacity-th counter), so its GLOBAL count is ≤ N/capacity — the
+    pigeonhole bound that makes the candidate set provably complete
+    whenever the true k-th count exceeds N/capacity.
+
+    Pass 2 (verify): exact recount of candidates only — a broadcast
+    semi-join against the (≤ partitions × capacity)-row candidate set,
+    then one small hash aggregate. The result carries every candidate's
+    EXACT global count.
+
+    The runtime guarantee check (k-th exact count > N/capacity) and the
+    loud fallback to a full global aggregate live in the query wrapper
+    (queries.text_heavy_hitters) — this operator returns the candidate
+    recount frame plus the threshold inputs, never a silently-maybe-
+    wrong answer.
+
+    Returns ``(recount_df[value, cnt], total_rows, partials_df)``; the
+    partials frame is evaluated once (persisted — it is ≤ partitions ×
+    capacity rows); callers unpersist it after materializing recount.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def partials(batches):
+        from collections import Counter
+
+        c: Counter = Counter()
+        n = 0
+        for pdf in batches:
+            vals = pdf[col]
+            c.update(vals[vals.notna()].tolist())
+            n += len(pdf)
+        top = c.most_common(capacity)
+        yield pd.DataFrame(
+            {
+                "value": [t for t, _ in top] + [None],
+                "cnt": [int(v) for _, v in top] + [n],
+            }
+        )
+
+    parts = (
+        df.select(F.col(col).alias(col))
+        .mapInPandas(partials, schema=f"value string, cnt long")
+        .persist()
+    )
+    total = parts.filter(F.col("value").isNull()).agg(
+        F.sum("cnt").alias("n")
+    ).collect()[0]["n"] or 0
+    cand = parts.filter(F.col("value").isNotNull()).select("value").distinct()
+    recount = (
+        df.select(F.col(col).alias("value"))
+        .join(F.broadcast(cand), "value", "inner")
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return recount, total, parts

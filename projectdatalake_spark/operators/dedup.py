@@ -42,6 +42,35 @@ def exact_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def incremental_exact(
+    incoming: DataFrame,
+    base_hashes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup: survivors of a NEW batch against an
+    already-deduped corpus, given only the corpus's content-hash index
+    (``base_hashes``: one ``content_hash`` column — at 100 TB this is the
+    persisted artifact a snapshot dedup maintains, never the corpus
+    itself). Within-batch dupes collapse to the min-id canonical first
+    (one hash aggregate over the BATCH), then one left-anti join against
+    the index drops everything the corpus already has. Cost tracks the
+    batch size plus a hash-key shuffle of the index — never a re-dedup of
+    the corpus. Returns (content_hash, doc_id, n_batch)."""
+    batch = (
+        incoming.groupBy(
+            F.md5(normalize(F.col(text_col))).alias("content_hash")
+        )
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_batch"),
+        )
+    )
+    return batch.join(
+        base_hashes.select("content_hash"), "content_hash", "left_anti"
+    )
+
+
 def _jaccard(a: Column, b: Column) -> Column:
     """Set Jaccard of two distinct-element arrays."""
     return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))

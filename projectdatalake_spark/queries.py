@@ -1200,6 +1200,43 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_incremental_exact",
+    oracle=r"""
+    WITH h AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash
+        FROM documents
+    ), base AS (
+        SELECT DISTINCT content_hash FROM h WHERE doc_id % 3 != 0
+    ), inc AS (
+        SELECT content_hash, min(doc_id) AS doc_id, count(*) AS n_batch
+        FROM h WHERE doc_id % 3 = 0 GROUP BY 1
+    )
+    SELECT content_hash, doc_id, n_batch FROM inc
+    WHERE content_hash NOT IN (SELECT content_hash FROM base)
+    """,
+)
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup (operators/dedup.incremental_exact): a new
+    batch (doc_id % 3 == 0) dedups against the EXISTING corpus's
+    content-hash index, not the corpus itself — within-batch dupes
+    collapse to the min-id canonical, then one left-anti join against the
+    index. The snapshot-over-snapshot ingestion shape: per-batch cost
+    tracks the batch, never a full-corpus re-dedup."""
+    from projectdatalake_spark.operators import dedup as D
+    from projectdatalake_spark.operators.text import fingerprint_md5
+
+    d = _t(spark, sf_dir, "documents")
+    base_hashes = (
+        d.filter(F.col("doc_id") % 3 != 0)
+        .select(fingerprint_md5(F.col("text")).alias("content_hash"))
+        .distinct()
+    )
+    incoming = d.filter(F.col("doc_id") % 3 == 0)
+    return D.incremental_exact(incoming, base_hashes)
+
+
+@query(
     "dedup_jaccard_pairs",
     oracle=r"""
     WITH t AS (
@@ -2773,6 +2810,174 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= 3)
         .select("doc_id", "token", "tf", "df", "rank")
+    )
+
+
+@query(
+    "text_heavy_hitters",
+    oracle=r"""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        FROM documents
+    ), cnt AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY token
+    )
+    SELECT token, cnt FROM cnt ORDER BY cnt DESC, token LIMIT 20
+    """,
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT top-20 corpus tokens WITHOUT a global GROUP BY over the
+    whole vocabulary (operators/aggregates.heavy_hitters_exact): each
+    partition emits only its local top-``capacity`` counts (pigeonhole:
+    anything missed globally counts ≤ N/capacity), then ONE broadcast
+    semi-join recounts just the candidates exactly. At 100 TB the full
+    token vocabulary is billions of distinct shuffle keys; the candidate
+    set is ≤ partitions × capacity rows. The guarantee is CHECKED at
+    runtime (k-th count vs N/capacity) with a loud exact fallback, so
+    the answer is exact at any scale/capacity — which is what the DuckDB
+    oracle asserts."""
+    from projectdatalake_spark.operators import text as TX
+    from projectdatalake_spark.operators.aggregates import heavy_hitters_exact
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+    recount, total, parts = heavy_hitters_exact(toks, "token", k=20, capacity=2048)
+    topk = (
+        recount.select(F.col("value").alias("token"), "cnt")
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(20)
+        .collect()
+    )
+    parts.unpersist()
+    if len(topk) == 20 and topk[-1]["cnt"] <= total / 2048:
+        # guarantee violated (vocabulary too flat for the capacity):
+        # loud exact fallback — one full global aggregate
+        topk = (
+            toks.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "token")
+            .limit(20)
+            .collect()
+        )
+    return spark.createDataFrame(topk, schema="token string, cnt long")
+
+
+@query(
+    "agg_winsorized_stats",
+    oracle="""
+    WITH b AS (
+        SELECT o_orderpriority,
+               quantile_cont(CAST(o_totalprice AS DOUBLE), 0.05) AS lo,
+               quantile_cont(CAST(o_totalprice AS DOUBLE), 0.95) AS hi
+        FROM orders GROUP BY o_orderpriority
+    ), w AS (
+        SELECT o.o_orderpriority,
+               least(greatest(CAST(o.o_totalprice AS DOUBLE), b.lo), b.hi) AS wv
+        FROM orders o JOIN b USING (o_orderpriority)
+    )
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(wv AS DECIMAL(27,6))) AS DOUBLE) / count(*), 2)
+             AS wmean
+    FROM w GROUP BY o_orderpriority
+    """,
+)
+def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorized mean (robust stats): clip each order's price
+    to its group's exact [p05, p95] interval, then average — the outlier-
+    resistant aggregate a data-quality monitor runs per slice. Two hash
+    aggregates + one broadcast join of the per-group bounds (groups are
+    metadata-sized); the clipped sum accumulates in DECIMAL so the answer
+    is partition-order independent (the dsum contract). Exact
+    interpolated percentiles on both engines (Spark percentile ==
+    DuckDB quantile_cont); at 100 TB the exact-percentile sort-per-group
+    would swap to approx_percentile with a documented tolerance."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.col("o_totalprice").cast("double").alias("price")
+    )
+    b = o.groupBy("o_orderpriority").agg(
+        F.percentile("price", 0.05).alias("lo"),
+        F.percentile("price", 0.95).alias("hi"),
+    )
+    w = o.join(F.broadcast(b), "o_orderpriority").withColumn(
+        "wv", F.least(F.greatest(F.col("price"), F.col("lo")), F.col("hi"))
+    )
+    return w.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("wv").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1)),
+            2,
+        ).alias("wmean"),
+    )
+
+
+@query(
+    "text_kl_divergence",
+    oracle=r"""
+    WITH toks AS (
+        SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        FROM documents
+    ), gc AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY token
+    ), ngc AS (
+        SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM gc
+    ), st AS (
+        SELECT source, token, CAST(count(*) AS BIGINT) AS cs
+        FROM toks GROUP BY source, token
+    ), grid AS (
+        SELECT s.source, g.token, g.c
+        FROM (SELECT DISTINCT source FROM documents) s CROSS JOIN gc g
+    ), j AS (
+        SELECT grid.source, grid.token, grid.c, COALESCE(st.cs, 0) AS cs
+        FROM grid LEFT JOIN st
+          ON st.source = grid.source AND st.token = grid.token
+    ), tot AS (
+        SELECT source, CAST(sum(cs) AS BIGINT) AS n_tokens FROM j GROUP BY source
+    )
+    SELECT j.source, tot.n_tokens,
+           round(sum(
+               ((j.cs + 1.0) / (tot.n_tokens + ngc.v))
+               * ln( ((j.cs + 1.0) / (tot.n_tokens + ngc.v))
+                     / ((j.c + 1.0) / (ngc.n + ngc.v)) )
+           ), 4) AS kl
+    FROM j JOIN tot USING (source) CROSS JOIN ngc
+    GROUP BY j.source, tot.n_tokens
+    """,
+)
+def text_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence of the token distribution against the
+    whole corpus (add-one smoothed over the shared vocabulary) — the
+    mixture-drift monitor of a training-data pipeline: a source whose
+    distribution diverges from the corpus is over/under-sampled or
+    contaminated. Plan: two hash aggregates (token, source×token), a
+    vocab × sources grid (broadcast-sized: the smoothing support), one
+    left join, one final aggregate. At 100 TB the grid is capped to the
+    head vocabulary (a min-count floor — KL mass concentrates in the
+    head); at test scale the synthetic vocab is 31 tokens, so the floor
+    is 1 and the computation is exact."""
+    from projectdatalake_spark.operators import text as TX
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(TX.tokens(F.col("text"))).alias("token")
+    )
+    glob = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    nglob = glob.agg(
+        F.sum("c").cast("double").alias("n"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    st = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("cs"))
+    grid = d.select("source").distinct().crossJoin(F.broadcast(glob))
+    j = grid.join(st, ["source", "token"], "left").withColumn(
+        "cs", F.coalesce(F.col("cs"), F.lit(0))
+    )
+    tot = j.groupBy("source").agg(F.sum("cs").alias("n_tokens"))
+    jj = j.join(tot, "source").crossJoin(F.broadcast(nglob))
+    p = (F.col("cs") + 1.0) / (F.col("n_tokens") + F.col("v"))
+    q = (F.col("c") + 1.0) / (F.col("n") + F.col("v"))
+    return (
+        jj.groupBy("source", "n_tokens")
+        .agg(F.round(F.sum(p * F.log(p / q)), 4).alias("kl"))
     )
 
 

@@ -186,3 +186,40 @@ def test_rolling_with_halo_sparse_buckets_exact(spark):
             ).select("k", "t", "c", "m").collect()
         }
         assert got == want, f"frame={frame}"
+
+
+def test_heavy_hitters_exact_candidates_and_counts(spark):
+    """Two-pass exact heavy hitters: on a Zipf-ish stream split across
+    partitions, the candidate/verify result must EQUAL the full global
+    aggregate for every value above the N/capacity pigeonhole bound, and
+    the returned counts must be exact (pass 2 recounts, never sums
+    truncated partials)."""
+    # value i appears (50 - i) times, i in 0..49, shuffled across 8 parts
+    rows = [(f"v{i:02d}",) for i in range(50) for _ in range(50 - i)]
+    df = spark.createDataFrame(rows, ["t"]).repartition(8)
+    recount, total, parts = A.heavy_hitters_exact(df, "t", k=5, capacity=10)
+    got = {r["value"]: r["cnt"] for r in recount.collect()}
+    parts.unpersist()
+    assert total == sum(50 - i for i in range(50))
+    exact = {f"v{i:02d}": 50 - i for i in range(50)}
+    # every candidate's count is exact
+    assert all(got[v] == exact[v] for v in got)
+    # completeness above the bound: anything with count > N/capacity is in
+    bound = total / 10
+    assert all(v in got for v, c in exact.items() if c > bound)
+    # the top-5 specifically are present and correctly ordered
+    top5 = sorted(got.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [v for v, _ in top5] == ["v00", "v01", "v02", "v03", "v04"]
+
+
+def test_heavy_hitters_nulls_ignored(spark):
+    """Null values never become candidates (they carry the partition-size
+    sentinel rows) and don't corrupt the total."""
+    df = spark.createDataFrame(
+        [("a",), ("a",), (None,), ("b",), (None,)], "t string"
+    ).repartition(3)
+    recount, total, parts = A.heavy_hitters_exact(df, "t", k=2, capacity=4)
+    got = {r["value"]: r["cnt"] for r in recount.collect()}
+    parts.unpersist()
+    assert got == {"a": 2, "b": 1}
+    assert total == 5  # sentinel counts rows, including nulls
