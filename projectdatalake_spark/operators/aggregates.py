@@ -211,3 +211,61 @@ def heavy_hitters_exact(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return recount, total, parts
+
+
+# --- KMV (k-minimum-values) distinct sketch ---------------------------------
+
+
+def kmv_sketches(
+    df: DataFrame,
+    key_col: str,
+    hash_col: str,
+    k: int = 128,
+) -> DataFrame:
+    """Per-key KMV distinct sketch: the ``k`` smallest DISTINCT values of
+    ``hash_col`` (a uniform integer hash of the element) per key.
+
+    Mergeable-partial shape, same as heavy_hitters_exact: each partition
+    reduces its own rows to ≤ k distinct minima per key (mapInPandas,
+    numpy unique — bounded state, no unbounded collect_set), then ONE
+    small hash aggregate merges the ≤ partitions × k survivors per key.
+    That is exactly how a sketch aggregates at 100 TB: bounded per-task
+    state, tiny mergeable partials, never a shuffle of the distinct
+    element universe.
+
+    Returns one row per key: (key, sketch array<long> ascending, n_seen
+    = number of sketch entries, ≤ k). The KMV estimator and any
+    union/intersection combine run on this driver-sized frame.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def partials(batches):
+        acc: dict = {}
+        for pdf in batches:
+            for kk, grp in pdf.groupby(key_col, sort=False)[hash_col]:
+                u = grp.unique()
+                prev = acc.get(kk)
+                arr = u if prev is None else np.concatenate([prev, u])
+                arr = np.unique(arr)  # sorts ascending
+                acc[kk] = arr[:k]
+        if acc:
+            yield pd.DataFrame(
+                {
+                    key_col: np.repeat(
+                        list(acc.keys()), [len(v) for v in acc.values()]
+                    ),
+                    hash_col: np.concatenate(list(acc.values())),
+                }
+            )
+
+    parts = df.select(key_col, hash_col).mapInPandas(
+        partials, schema=f"{key_col} string, {hash_col} long"
+    )
+    return parts.groupBy(key_col).agg(
+        F.slice(F.array_sort(F.collect_set(hash_col)), 1, k).alias("sketch"),
+        F.least(
+            F.size(F.array_sort(F.collect_set(hash_col))), F.lit(k)
+        ).alias("n_seen"),
+    )

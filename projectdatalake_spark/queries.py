@@ -9635,3 +9635,173 @@ def iceberg_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
     )
+
+
+_RECURSIVE_ROLLUP_SQL = """
+WITH RECURSIVE anc AS (
+    SELECT c_custkey AS custkey, c_custkey AS anc_key,
+           CAST(c_acctbal AS DOUBLE) AS bal
+    FROM customer
+  UNION ALL
+    SELECT custkey, CAST(floor(anc_key / 10.0) AS BIGINT) AS anc_key, bal
+    FROM anc WHERE anc_key >= 10
+)
+SELECT anc_key AS custkey,
+       CAST(count(*) AS BIGINT) AS subtree_size,
+       CAST(sum(CAST(bal AS DECIMAL(27,2))) AS DOUBLE) AS subtree_bal
+FROM anc
+GROUP BY anc_key
+"""
+
+
+@query("sql_recursive_rollup", oracle=_RECURSIVE_ROLLUP_SQL)
+def sql_recursive_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtree rollup via WITH RECURSIVE (Spark 4 recursive
+    CTE): customers form a decimal forest (parent = floor(custkey/10));
+    the recursion enumerates every (node, ancestor) pair, then one hash
+    aggregate rolls account balances up to every subtree root. The SQL
+    text is engine-portable and runs verbatim on both Spark and DuckDB.
+    Scale posture: each recursive step is an ordinary self-join Catalyst
+    plans like any other (depth = tree height ~ log10 n, so sub-10
+    iterations even at 100 TB; rows materialized = n x depth, linear).
+    The DataFrame twin for unbounded-depth graphs is dedup_clusters'
+    min-label propagation; recursion here is the SQL-frontend surface,
+    bounded by spark.sql.cteRecursionLevelLimit."""
+    _sql_views(spark, sf_dir, "customer")
+    return spark.sql(_RECURSIVE_ROLLUP_SQL)
+
+
+@query(
+    "agg_kmv_sketch",
+    oracle="""
+    WITH els AS (
+        SELECT DISTINCT event_type,
+               ((user_id * 512 + dayofyear(ts)) * 48271) % 2147483647 AS h
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ), rk AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM els
+    ), sk AS (SELECT event_type, h FROM rk WHERE rn <= 128),
+    ns AS (
+        SELECT event_type, count(*) AS n_seen, max(h) AS hk
+        FROM sk GROUP BY event_type
+    ), ab AS (
+        SELECT
+          (SELECT n_seen FROM ns WHERE event_type = 'click')    AS n_a,
+          (SELECT n_seen FROM ns WHERE event_type = 'purchase') AS n_b,
+          (SELECT CASE WHEN n_seen < 128 THEN CAST(n_seen AS DOUBLE)
+                       ELSE 127.0 * 2147483646.0 / CAST(hk AS DOUBLE) END
+           FROM ns WHERE event_type = 'click')    AS est_a,
+          (SELECT CASE WHEN n_seen < 128 THEN CAST(n_seen AS DOUBLE)
+                       ELSE 127.0 * 2147483646.0 / CAST(hk AS DOUBLE) END
+           FROM ns WHERE event_type = 'purchase') AS est_b
+    ), mg AS (SELECT DISTINCT h FROM sk),
+    mgrk AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM mg),
+    kp AS (
+        SELECT CASE WHEN max(rn) < 128 THEN max(rn) ELSE 128 END AS kp,
+               max(rn) AS ku_total
+        FROM mgrk
+    ), usk AS (SELECT h FROM mgrk, kp WHERE rn <= kp.kp),
+    uth AS (SELECT max(h) AS hku FROM usk),
+    rho AS (
+        SELECT count(*) AS rho FROM usk
+        WHERE h IN (SELECT h FROM sk WHERE event_type = 'click')
+          AND h IN (SELECT h FROM sk WHERE event_type = 'purchase')
+    ), eu AS (
+        SELECT CASE WHEN ab.n_a < 128 AND ab.n_b < 128
+                    THEN CAST(kp.ku_total AS DOUBLE)
+                    ELSE (CAST(kp.kp AS DOUBLE) - 1.0) * 2147483646.0
+                         / CAST(uth.hku AS DOUBLE) END AS est_union
+        FROM ab, kp, uth
+    ), sk_int AS (
+        SELECT count(*) AS ski FROM
+          (SELECT h FROM sk WHERE event_type = 'click') a
+          JOIN (SELECT h FROM sk WHERE event_type = 'purchase') b USING (h)
+    ), exact_int AS (
+        SELECT CAST(count(*) AS BIGINT) AS xi FROM
+          (SELECT h FROM els WHERE event_type = 'click') a
+          JOIN (SELECT h FROM els WHERE event_type = 'purchase') b USING (h)
+    )
+    SELECT 'click' AS type_a, 'purchase' AS type_b,
+           CAST(ab.n_a AS BIGINT) AS n_a, CAST(ab.n_b AS BIGINT) AS n_b,
+           ab.est_a, ab.est_b, eu.est_union,
+           CASE WHEN ab.n_a < 128 AND ab.n_b < 128
+                THEN CAST(sk_int.ski AS DOUBLE)
+                ELSE CAST(rho.rho AS DOUBLE) / CAST(kp.kp AS DOUBLE)
+                     * eu.est_union END AS est_intersection,
+           exact_int.xi AS exact_intersection
+    FROM ab, kp, rho, eu, sk_int, exact_int
+    """,
+)
+def agg_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketch with union/intersection
+    combine (operators/aggregates.kmv_sketches): per event type, the 128
+    smallest distinct values of a uniform hash of (user, day-of-year)
+    elements. est_distinct = (k-1)/u_k; union sketch = k-min of merged
+    sketches; intersection via the inclusion ratio rho/k x est_union.
+    The sketch aggregates as bounded-state mergeable partials (per
+    partition k-min via mapInPandas, one tiny merge agg) — the 100 TB
+    shape: no shuffle of the distinct-element universe, and sketches for
+    disjoint data slices combine without re-reading data. The hash is
+    MINSTD (x*48271 mod 2^31-1) — pure integer arithmetic, bitwise
+    identical on DuckDB, so estimates hash-match the oracle unrounded;
+    production would swap in xxhash64. exact_intersection (ground truth)
+    is carried alongside to show the sketch's error honestly. When a
+    side's sketch is under-full (n < k) it IS the exact distinct set and
+    both engines switch to the exact branch."""
+    from projectdatalake_spark.operators.aggregates import kmv_sketches
+
+    K, M = 128, 2147483646.0
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    els = ev.select(
+        "event_type",
+        (
+            (F.col("user_id") * 512 + F.dayofyear("ts")) * 48271
+            % F.lit(2147483647).cast("long")
+        ).alias("h"),
+    )
+    rows = {
+        r["event_type"]: r
+        for r in kmv_sketches(els, "event_type", "h", K).collect()
+    }
+    a, b = rows["click"], rows["purchase"]
+    sa, sb = set(a["sketch"]), set(b["sketch"])
+    n_a, n_b = a["n_seen"], b["n_seen"]
+    est_a = float(n_a) if n_a < K else 127.0 * M / float(max(sa))
+    est_b = float(n_b) if n_b < K else 127.0 * M / float(max(sb))
+    merged = sorted(sa | sb)
+    ku_total = len(merged)
+    kp = ku_total if ku_total < K else K
+    usk = set(merged[:kp])
+    hku = merged[kp - 1]
+    exact_branch = n_a < K and n_b < K
+    est_union = (
+        float(ku_total) if exact_branch
+        else (float(kp) - 1.0) * M / float(hku)
+    )
+    rho = len(usk & sa & sb)
+    est_int = (
+        float(len(sa & sb)) if exact_branch
+        else float(rho) / float(kp) * est_union
+    )
+    exact_int = (
+        els.filter(F.col("event_type") == "click").select("h").distinct()
+        .join(
+            els.filter(F.col("event_type") == "purchase")
+            .select("h").distinct(),
+            "h",
+        )
+        .count()
+    )
+    return spark.createDataFrame(
+        [("click", "purchase", n_a, n_b, est_a, est_b, est_union, est_int,
+          exact_int)],
+        schema=(
+            "type_a string, type_b string, n_a long, n_b long, "
+            "est_a double, est_b double, est_union double, "
+            "est_intersection double, exact_intersection long"
+        ),
+    )

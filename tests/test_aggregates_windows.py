@@ -223,3 +223,26 @@ def test_heavy_hitters_nulls_ignored(spark):
     parts.unpersist()
     assert got == {"a": 2, "b": 1}
     assert total == 5  # sentinel counts rows, including nulls
+
+
+def test_kmv_sketch_partition_invariant_and_accurate(spark):
+    """The KMV sketch is a pure function of the SET of hashes — the
+    k smallest distinct values — so it must be identical under any
+    partitioning (the mergeability contract), and (k-1)/u_k must land
+    within the ~1/sqrt(k) band of the true distinct count."""
+    import random
+
+    rnd = random.Random(7)
+    # ~2000 distinct elements, duplicated, well-mixed hash values
+    els = [(("g"), (x * 48271) % 2147483647)
+           for x in rnd.sample(range(1, 3_000_000), 2000) for _ in (0, 1)]
+    df = spark.createDataFrame(els, "k string, h long")
+    outs = []
+    for nparts in (1, 7, 32):
+        row = A.kmv_sketches(df.repartition(nparts), "k", "h", 128).collect()[0]
+        outs.append((row["n_seen"], tuple(row["sketch"])))
+    assert outs[0] == outs[1] == outs[2]
+    n_seen, sketch = outs[0]
+    assert n_seen == 128 and list(sketch) == sorted(sketch)
+    est = 127.0 * 2147483646.0 / sketch[-1]
+    assert abs(est - 2000) / 2000 < 0.30  # 3.4 sigma at k=128
