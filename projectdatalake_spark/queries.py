@@ -5159,6 +5159,55 @@ def txlog_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "txlog_hilbert_skipping",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) AS total_price
+    FROM lineitem
+    WHERE l_quantity >= 1 AND l_quantity <= 10 AND l_returnflag = 'R'
+    GROUP BY l_returnflag
+    """,
+)
+def txlog_hilbert_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering (functions/clustering.attach_hilbert_
+    column): same quantile binning as Z-order, but bin ranks map to a
+    CONTIGUOUS space-filling curve — consecutive curve positions are
+    always grid neighbours, so equal range slices cover tighter
+    hyper-rectangles and per-file min/max stats prune harder than Z at
+    the same bit budget (the design behind Delta's liquid clustering).
+    The recurrence is unrolled as per-level projections (withColumns),
+    never one nested Column — the naive expression doubles per bit and
+    OOMs the driver in analysis. Same read path as the Z twin: interval
+    + dictionary predicates prune files before Spark plans the scan;
+    results must equal the oracle's plain filter. Pruning tightness is
+    asserted in tests/test_txlog.py."""
+    import tempfile
+
+    from projectdatalake_spark.sources.txlog import TxTable
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+        F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
+        "l_returnflag",
+    )
+    root = tempfile.mkdtemp(prefix="txlog_hb_")
+    table = TxTable.create(spark, root, li.repartition(8))
+    table.optimize(
+        zorder_by=("l_quantity", "l_extendedprice"),
+        curve="hilbert",
+        target_files=16,
+    )
+    pruned = table.snapshot(
+        where={"l_quantity": (1.0, 10.0)}, where_eq={"l_returnflag": "R"}
+    )
+    return pruned.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("l_extendedprice")).alias("total_price"),
+    )
+
+
 # =========================================================================
 # Wave 11: LLM-pipeline data hygiene — benchmark decontamination, PII
 # redaction, repetition-based quality signals (the C4/Gopher family).

@@ -2108,6 +2108,7 @@ class TxTable:
         sort_by: tuple[str, ...] = (),
         target_files: int = 4,
         zorder_by: tuple[str, ...] = (),
+        curve: str = "z",
     ) -> int | None:
         """Transactional small-file compaction (OPTIMIZE): partitions
         holding ≥ ``min_files`` files are rewritten into one file each and
@@ -2159,10 +2160,21 @@ class TxTable:
         if zorder_by:
             if sort_by:
                 raise ValueError("pass sort_by OR zorder_by, not both")
-            z = self._zorder_column(scoped, tuple(zorder_by))
+            if curve == "hilbert":
+                # contiguous space-filling curve: tighter per-file
+                # hyper-rectangles than Z at the same bit budget (2-D)
+                from projectdatalake_spark.functions.clustering import (
+                    attach_hilbert_column,
+                )
+
+                staged = attach_hilbert_column(scoped, tuple(zorder_by), "__z")
+            elif curve == "z":
+                z = self._zorder_column(scoped, tuple(zorder_by))
+                staged = scoped.withColumn("__z", z)
+            else:
+                raise ValueError(f"unknown clustering curve: {curve!r}")
             compacted = (
-                scoped.withColumn("__z", z)
-                .repartitionByRange(target_files, "__z")
+                staged.repartitionByRange(target_files, "__z")
                 .sortWithinPartitions("__z")
                 .drop("__z")
             )
