@@ -1756,6 +1756,7 @@ class DeltaTable:
         target_files_per_partition: int = 1,
         zorder_by: tuple[str, ...] = (),
         target_files: int = 4,
+        curve: str = "z",
     ) -> int | None:
         """Compaction + DV materialization: partitions holding DV-masked
         or fragmented files are re-read THROUGH their deletion vectors and
@@ -1804,6 +1805,8 @@ class DeltaTable:
             return None
         now = int(time.time() * 1000)
         op_params = {"zOrderBy": json.dumps(list(zorder_by))} if zorder_by else None
+        if zorder_by and curve != "z":
+            op_params["clusteringCurve"] = curve  # our extension, ignored by others
         actions: list[dict] = [
             {"commitInfo": self._commit_info("OPTIMIZE", op_params)}
         ]
@@ -1817,13 +1820,22 @@ class DeltaTable:
                 df = df.withColumn(col, _partition_literal(sval, ptypes[col]))
             if zorder_by:
                 from projectdatalake_spark.functions.clustering import (
+                    attach_hilbert_column,
                     zorder_column,
                 )
 
-                z = zorder_column(df, tuple(zorder_by))
+                if curve == "hilbert":
+                    # the liquid-clustering curve: contiguous, so range
+                    # slices cover tighter rectangles than Z (2-D only)
+                    staged = attach_hilbert_column(df, tuple(zorder_by), "__z")
+                elif curve == "z":
+                    staged = df.withColumn(
+                        "__z", zorder_column(df, tuple(zorder_by))
+                    )
+                else:
+                    raise ValueError(f"unknown clustering curve: {curve!r}")
                 compacted = (
-                    df.withColumn("__z", z)
-                    .repartitionByRange(target_files, "__z")
+                    staged.repartitionByRange(target_files, "__z")
                     .sortWithinPartitions("__z")
                     .drop("__z")
                 )

@@ -988,3 +988,41 @@ def test_optimize_zorder_multi_column_skipping(spark, root):
     assert t.changes(v, v).count() == 0
     with pytest.raises(DeltaProtocolError, match="zorder_by"):
         t.optimize(zorder_by=("nope",))
+
+
+def test_optimize_hilbert_curve_skipping(spark, root):
+    """optimize(curve='hilbert'): the liquid-clustering curve through the
+    same OPTIMIZE path — file stats prune on either clustered column,
+    rows unchanged, commitInfo records the non-default curve."""
+    df = (
+        spark.range(0, 20_000)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 199).cast("long").alias("x"),
+            ((F.col("id") * 7919) % 211).cast("long").alias("y"),
+        )
+        .repartition(8)
+    )
+    t = DeltaTable.create(spark, root, df)
+    before = t.snapshot().count()
+    v = t.optimize(zorder_by=("x", "y"), curve="hilbert", target_files=16)
+    assert v is not None
+    assert t.snapshot().count() == before
+    adds = list(t._state()["adds"].values())
+    assert len(adds) == 16
+
+    def overlap(col, lo, hi):
+        n = 0
+        for a in adds:
+            s = DeltaTable._parse_stats(a)
+            mn, mx = s["minValues"][col], s["maxValues"][col]
+            if not (mx < lo or mn > hi):
+                n += 1
+        return n
+
+    assert overlap("x", 10, 20) <= len(adds) // 2
+    assert overlap("y", 10, 20) <= len(adds) // 2
+    info = next(h for h in t.history() if h["version"] == v)
+    assert info["operationParameters"]["clusteringCurve"] == "hilbert"
+    with pytest.raises(ValueError, match="unknown clustering curve"):
+        t.optimize(zorder_by=("x", "y"), curve="peano")
