@@ -140,6 +140,16 @@ EXTENDED = [
     "pca_embeddings",
     "stratified_split_exact",
     "iceberg_orphan_cleanup",
+    # round-5 late wave
+    "dedup_incremental_exact",
+    "text_heavy_hitters",
+    "agg_winsorized_stats",
+    "text_kl_divergence",
+    "sql_recursive_rollup",
+    "agg_kmv_sketch",
+    "txlog_hilbert_skipping",
+    "scd2_point_in_time_join",
+    "text_char_entropy",
 ]
 
 HEADLINE = [

@@ -9854,3 +9854,136 @@ def agg_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_intersection double, exact_intersection long"
         ),
     )
+
+
+@query(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey, c_acctbal, TIMESTAMP '1990-01-01' AS effective_from
+        FROM customer
+    ), upd AS (
+        SELECT o_custkey AS c_custkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS c_acctbal,
+               max(o_orderdate) AS effective_from
+        FROM orders GROUP BY o_custkey
+    ), allrows AS (
+        SELECT * FROM base UNION ALL SELECT * FROM upd
+    ), dim AS (
+        SELECT c_custkey, c_acctbal, effective_from,
+               lead(effective_from) OVER (
+                   PARTITION BY c_custkey ORDER BY effective_from) AS effective_to
+        FROM allrows
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+           d.c_acctbal AS bal_at_order, d.effective_from AS valid_from
+    FROM orders o JOIN dim d
+      ON d.c_custkey = o.o_custkey
+     AND d.effective_from <= CAST(o.o_orderdate AS TIMESTAMP)
+     AND (d.effective_to IS NULL OR CAST(o.o_orderdate AS TIMESTAMP) < d.effective_to)
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join against an SCD2 dimension: every
+    order is enriched with the dimension version that was VALID at the
+    order's date — effective_from <= ts < effective_to, open interval
+    when null — the join every warehouse fact pipeline needs against a
+    versioned dimension, and the one a plain equi-join silently gets
+    wrong (it would fan out to all versions or pick the current one).
+    Plan: broadcast the dimension (dims are small next to facts) with
+    the interval predicate folded into the join condition — each fact
+    matches exactly one version, so output rows == fact rows. At 100 TB
+    with an over-broadcast dimension: sort-merge on the key and
+    post-filter — per-key fan-out is bounded by versions-per-key, not
+    data size."""
+    from projectdatalake_spark.operators.merge import scd2_apply
+
+    c = _t(spark, sf_dir, "customer")
+    dim = c.select(
+        "c_custkey", "c_acctbal",
+        F.lit("1990-01-01").cast("timestamp_ntz").alias("effective_from"),
+    )
+    o = _t(spark, sf_dir, "orders")
+    updates = o.groupBy("o_custkey").agg(
+        dsum(F.col("o_totalprice")).alias("c_acctbal"),
+        F.max("o_orderdate").alias("effective_from"),
+    ).withColumnRenamed("o_custkey", "c_custkey")
+    hist = scd2_apply(dim, updates, ["c_custkey"])
+    f = o.select("o_orderkey", "o_custkey", "o_orderdate")
+    od = F.col("o_orderdate").cast("timestamp_ntz")
+    return f.join(
+        F.broadcast(hist),
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (F.col("effective_from") <= od)
+        & (F.col("effective_to").isNull() | (od < F.col("effective_to"))),
+    ).select(
+        "o_orderkey", "o_custkey", "o_orderdate",
+        F.col("c_acctbal").alias("bal_at_order"),
+        F.col("effective_from").alias("valid_from"),
+    )
+
+
+@query(
+    "text_char_entropy",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, length(text) + 1),
+                                     i -> substr(text, i, 1))) AS ch
+        FROM documents
+    ), cc AS (
+        SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c
+        FROM chars GROUP BY doc_id, ch
+    ), pd AS (
+        SELECT doc_id,
+               list_sort(list({'ch': ch, 'c': c})) AS arr,
+               CAST(sum(c) AS DOUBLE) AS n
+        FROM cc GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+           CAST(len(arr) AS INT) AS n_distinct,
+           round(0.0 - list_reduce(
+               list_prepend(
+                   CAST(0.0 AS DOUBLE),
+                   list_transform(arr, s -> (s.c / n) * ln(s.c / n))),
+               (acc, x) -> acc + x), 4) AS entropy
+    FROM pd
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon character entropy — the cheap randomness /
+    boilerplate / encoding-junk quality signal (low entropy = repeated
+    filler, high = binary-ish noise; both are curation drop candidates).
+    Float discipline: the entropy terms are folded in SORTED char order
+    on BOTH engines (array_sort + aggregate here, list_sort +
+    list_reduce with a prepended 0.0 init there), so the double sum is
+    order-pinned; the residual difference is libm-vs-Math.log's last
+    ulp in ln itself (measured ~1e-15), absorbed by the 4dp round. Everything
+    is JVM-side expression work (sequence/substring explode, two hash
+    aggs, higher-order fold): linear, shuffle keyed by (doc, char) then
+    doc, safe at any corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")
+        ).alias("ch"),
+    )
+    cc = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    pd_ = cc.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("ch", "c"))).alias("arr"),
+        F.sum("c").alias("n"),
+    )
+    terms = F.transform(
+        F.col("arr"), lambda s: (s["c"] / F.col("n")) * F.log(s["c"] / F.col("n"))
+    )
+    return pd_.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_chars"),
+        F.size("arr").alias("n_distinct"),
+        F.round(
+            F.lit(0.0) - F.aggregate(terms, F.lit(0.0), lambda a, x: a + x), 4
+        ).alias("entropy"),
+    )
