@@ -150,6 +150,7 @@ EXTENDED = [
     "txlog_hilbert_skipping",
     "scd2_point_in_time_join",
     "text_char_entropy",
+    "iceberg_zorder_rewrite",
 ]
 
 HEADLINE = [

@@ -9987,3 +9987,60 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0) - F.aggregate(terms, F.lit(0.0), lambda a, x: a + x), 4
         ).alias("entropy"),
     )
+
+
+@query(
+    "iceberg_zorder_rewrite",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) AS total_price
+    FROM lineitem
+    WHERE l_quantity >= 1 AND l_quantity <= 10
+      AND l_extendedprice >= 1000 AND l_extendedprice <= 20000
+    GROUP BY l_returnflag
+    """,
+)
+def iceberg_zorder_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional clustering through Iceberg rewrite_data_files
+    (zorder_by=..., curve='hilbert'): mirrors Iceberg's real
+    RewriteDataFiles zOrder strategy — a rewrite-call option, NOT table
+    metadata (set_sort_order declares identity orders only, per spec).
+    After the clustered REPLACE commit, per-file lower/upper bounds are
+    tight on BOTH clustered columns, so the 2-D box predicate prunes
+    manifest entries before any parquet footer is opened; the pruned
+    read + residual filter must equal plain SQL. Completes clustering
+    parity across the three table formats (txlog OPTIMIZE, Delta
+    OPTIMIZE ZORDER, Iceberg rewrite), all sharing one clustering
+    expression (functions/clustering.py)."""
+    import tempfile
+
+    from projectdatalake_spark.sources.iceberg_interop import IcebergTable
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+        F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
+        "l_returnflag",
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_zo_")
+    t = IcebergTable.create(spark, root, li.repartition(8))
+    t.rewrite_data_files(
+        target_files=16,
+        zorder_by=("l_quantity", "l_extendedprice"),
+        curve="hilbert",
+    )
+    pruned = t.snapshot(
+        where={"l_quantity": (1.0, 10.0), "l_extendedprice": (1000.0, 20000.0)}
+    )
+    return (
+        pruned.filter(
+            (F.col("l_quantity") >= 1.0) & (F.col("l_quantity") <= 10.0)
+            & (F.col("l_extendedprice") >= 1000.0)
+            & (F.col("l_extendedprice") <= 20000.0)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("l_extendedprice")).alias("total_price"),
+        )
+    )

@@ -1784,7 +1784,12 @@ class IcebergTable:
         }
         return [name_of[f["source-id"]] for f in order["fields"]]
 
-    def rewrite_data_files(self, target_files: int | None = None) -> int | None:
+    def rewrite_data_files(
+        self,
+        target_files: int | None = None,
+        zorder_by: tuple[str, ...] = (),
+        curve: str = "z",
+    ) -> int | None:
         """Copy-on-write COMPACTION (Iceberg's rewrite_data_files): the
         current merge-on-read state — position AND equality deletes
         applied — is materialized into fresh data files and committed as
@@ -1808,7 +1813,28 @@ class IcebergTable:
             return None
         df = self.snapshot()
         sort_cols = self._default_sort_cols(meta)
-        if sort_cols:
+        if zorder_by:
+            # multi-dimensional clustering at rewrite time — Iceberg's
+            # actual shape too (RewriteDataFiles zOrder is a rewrite-call
+            # strategy, not table metadata, unlike set_sort_order)
+            from projectdatalake_spark.functions.clustering import (
+                attach_hilbert_column,
+                zorder_column,
+            )
+
+            n_out = target_files or self.spark.sparkContext.defaultParallelism
+            if curve == "hilbert":
+                staged = attach_hilbert_column(df, tuple(zorder_by), "__z")
+            elif curve == "z":
+                staged = df.withColumn("__z", zorder_column(df, tuple(zorder_by)))
+            else:
+                raise ValueError(f"unknown clustering curve: {curve!r}")
+            df = (
+                staged.repartitionByRange(n_out, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        elif sort_cols:
             n_out = target_files or self.spark.sparkContext.defaultParallelism
             df = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(
                 *sort_cols

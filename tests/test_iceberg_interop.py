@@ -1309,3 +1309,32 @@ def test_remove_orphan_files(spark, root):
     assert t.snapshot(snapshot_id=first).count() == 50
     # idempotent
     assert t.remove_orphan_files(older_than_ms=None) == 0
+
+
+def test_rewrite_zorder_clusters_and_prunes_both_columns(spark, root):
+    """rewrite_data_files(zorder_by=..., curve=...): after the clustered
+    REPLACE, per-file bounds prune narrow predicates on EITHER clustered
+    column; rows are unchanged; bad curve names are refused."""
+    import random
+
+    rng = random.Random(23)
+    rows = [(i, rng.randrange(0, 1000), rng.randrange(0, 1000)) for i in range(6000)]
+    df = spark.createDataFrame(rows, ["id", "a", "b"]).repartition(8)
+    t = IcebergTable.create(spark, root, df)
+    before = t.snapshot().count()
+    for curve in ("z", "hilbert"):
+        sid = t.rewrite_data_files(
+            target_files=16, zorder_by=("a", "b"), curve=curve
+        )
+        assert sid is not None
+        entries, _ = t._entries_for_snapshot(t.metadata(), None)
+        assert len(entries) == 16
+        assert t.snapshot().count() == before
+        # either-column pruning: narrow slices plan a strict file subset
+        assert t.snapshot(where={"a": (0, 99)}).count() < before
+        assert t.snapshot(where={"b": (0, 99)}).count() < before
+        # exactness survives the residual filter
+        got = t.snapshot(where={"a": (0, 99)}).filter("a <= 99").count()
+        assert got == sum(1 for _, a, _b in rows if a <= 99)
+    with pytest.raises(ValueError, match="unknown clustering curve"):
+        t.rewrite_data_files(zorder_by=("a", "b"), curve="peano")
