@@ -151,6 +151,7 @@ EXTENDED = [
     "scd2_point_in_time_join",
     "text_char_entropy",
     "iceberg_zorder_rewrite",
+    "text_bm25_topk",
 ]
 
 HEADLINE = [

@@ -10044,3 +10044,116 @@ def iceberg_zorder_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_extendedprice")).alias("total_price"),
         )
     )
+
+
+@query(
+    "text_bm25_topk",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        FROM toks GROUP BY doc_id, term
+    ), dl AS (
+        SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl
+    ), dft AS (
+        SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ), q(query_id, term) AS (
+        VALUES (1, 'spark'), (1, 'query'),
+               (2, 'hash'), (2, 'join'), (2, 'fast'),
+               (3, 'dup'), (3, 'vector')
+    ), contrib AS (
+        SELECT q.query_id, tf.doc_id, q.term,
+               ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS c
+        FROM q JOIN tf ON tf.term = q.term
+             JOIN dft ON dft.term = q.term
+             JOIN dl ON dl.doc_id = tf.doc_id
+             CROSS JOIN stats
+    ), scored AS (
+        SELECT query_id, doc_id,
+               list_reduce(
+                   list_prepend(
+                       CAST(0.0 AS DOUBLE),
+                       list_transform(list_sort(list({'t': term, 'c': c})),
+                                      s -> s.c)),
+                   (acc, x) -> acc + x) AS score
+        FROM contrib GROUP BY query_id, doc_id
+    ), ranked AS (
+        SELECT query_id, doc_id, score,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, doc_id, CAST(rnk AS INT) AS rank, round(score, 4) AS score
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (k1=1.2, b=0.75) — the inverted-index search
+    op a corpus engine owes its users, distinct from the similarity
+    ladder: term-at-a-time scoring as a JOIN against the postings (tf)
+    table. Plan shape at 100 TB: the query set and per-term df are
+    broadcast; the postings join shuffles on term (the inverted-index
+    partitioning); doc-length normalization joins on doc_id; top-k per
+    query is a WindowGroupLimit window (rank pushes below the shuffle).
+    Float discipline: per-(query,doc) score terms are folded in sorted
+    term order on both engines, and all tf/df/dl inputs are
+    integer-valued doubles, so the only cross-engine wobble is ln's last
+    ulp — absorbed by the 4dp round; ranking ties break on doc_id."""
+    from projectdatalake_spark.operators import text as TX
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dl = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    qdf = spark.createDataFrame(
+        [(1, "spark"), (1, "query"), (2, "hash"), (2, "join"), (2, "fast"),
+         (3, "dup"), (3, "vector")],
+        "query_id int, term string",
+    )
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    contrib = (
+        tf.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id", "doc_id", "term",
+            (
+                idf * (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("c"),
+        )
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("term").alias("t"), "c"))),
+                lambda s: s["c"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "doc_id", "rank", F.round("score", 4).alias("score"))
+    )
