@@ -152,6 +152,7 @@ EXTENDED = [
     "text_char_entropy",
     "iceberg_zorder_rewrite",
     "text_bm25_topk",
+    "ts_holt_forecast",
 ]
 
 HEADLINE = [

@@ -10157,3 +10157,85 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", "doc_id", "rank", F.round("score", 4).alias("score"))
     )
+
+
+@query(
+    "ts_holt_forecast",
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(count(*) AS DOUBLE) AS x
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), seq AS (
+        SELECT event_type, x,
+               row_number() OVER (PARTITION BY event_type ORDER BY d) AS i
+        FROM daily
+    ), rec AS (
+        SELECT a.event_type, CAST(1 AS BIGINT) AS i,
+               a.x AS l, b2.x - a.x AS b
+        FROM seq a JOIN seq b2
+          ON b2.event_type = a.event_type AND b2.i = 2
+        WHERE a.i = 1
+      UNION ALL
+        SELECT r.event_type, r.i + 1,
+               0.5 * s.x + 0.5 * (r.l + r.b) AS l,
+               0.25 * ((0.5 * s.x + 0.5 * (r.l + r.b)) - r.l) + 0.75 * r.b AS b
+        FROM rec r JOIN seq s
+          ON s.event_type = r.event_type AND s.i = r.i + 1
+    ), last AS (
+        SELECT r.event_type, r.l, r.b
+        FROM rec r JOIN (
+            SELECT event_type, max(i) AS mi FROM rec GROUP BY event_type
+        ) m ON r.event_type = m.event_type AND r.i = m.mi
+    )
+    SELECT event_type, CAST(h AS INT) AS h,
+           l + CAST(h AS DOUBLE) * b AS forecast
+    FROM last CROSS JOIN (VALUES (1), (2), (3), (4), (5), (6), (7)) hs(h)
+    """,
+)
+def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing over per-type daily
+    event counts, forecasting 7 days ahead — the capacity-planning /
+    drift-alarm primitive EWMA (level-only) cannot give. alpha=0.5,
+    beta=0.25: POWER-OF-TWO constants, so every smoothing step is exact
+    IEEE arithmetic and the whole recurrence is bitwise identical across
+    engines — the oracle replays it as a DuckDB RECURSIVE CTE (one row
+    per key per step) and hash-matches UNROUNDED. Spark side: the
+    recurrence is sequential per key but keys are independent —
+    applyInPandas runs the tight loop group-locally, parallel across
+    keys; series length is days-per-key (bounded), never corpus size.
+    Init: l1 = x1, b1 = x2 - x1 (classic); keys with < 2 observations
+    are excluded on both sides."""
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("d")
+    )
+    daily = ev.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d")
+        xs = pdf["x"].to_numpy()
+        if len(xs) < 2:
+            return pd.DataFrame(columns=["event_type", "h", "forecast"])
+        l = float(xs[0])
+        b = float(xs[1]) - float(xs[0])
+        for t in range(1, len(xs)):
+            x = float(xs[t])
+            l_new = 0.5 * x + 0.5 * (l + b)
+            b = 0.25 * (l_new - l) + 0.75 * b
+            l = l_new
+        key = pdf["event_type"].iloc[0]
+        return pd.DataFrame(
+            {
+                "event_type": [key] * 7,
+                "h": list(range(1, 8)),
+                "forecast": [l + float(h) * b for h in range(1, 8)],
+            }
+        )
+
+    return daily.groupBy("event_type").applyInPandas(
+        holt, schema="event_type string, h int, forecast double"
+    )
