@@ -153,6 +153,8 @@ EXTENDED = [
     "iceberg_zorder_rewrite",
     "text_bm25_topk",
     "ts_holt_forecast",
+    "aqp_sampled_aggregate",
+    "txlog_incremental_join_cdc",
 ]
 
 HEADLINE = [

@@ -10239,3 +10239,130 @@ def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.groupBy("event_type").applyInPandas(
         holt, schema="event_type string, h int, forecast double"
     )
+
+
+@query(
+    "aqp_sampled_aggregate",
+    oracle="""
+    WITH tagged AS (
+        SELECT o_orderpriority, o_totalprice,
+               ((o_orderkey * 48271) % 2147483647) % 100 AS bucket
+        FROM orders
+    ), est AS (
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_sample,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) / 0.1
+                 AS est_total
+        FROM tagged WHERE bucket < 10 GROUP BY o_orderpriority
+    ), exact AS (
+        SELECT o_orderpriority,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
+                 AS exact_total
+        FROM tagged GROUP BY o_orderpriority
+    )
+    SELECT e.o_orderpriority, e.n_sample, e.est_total, x.exact_total,
+           round(abs(e.est_total - x.exact_total) / x.exact_total, 6)
+             AS rel_err
+    FROM est e JOIN exact x USING (o_orderpriority)
+    """,
+)
+def aqp_sampled_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing by DETERMINISTIC hash sampling: a 10%
+    sample selected by a pure-arithmetic hash of the key (never rand() —
+    reproducible across engines, runs, and retries), aggregated and
+    scaled by 1/p, with the exact answer and realized relative error
+    alongside. This is the interactive-dashboard pattern at 100 TB: the
+    sample predicate pushes to the scan, the estimate costs p of the
+    full query, and hash-sampling composes with joins (sample the SAME
+    key buckets on both sides = a correlated join sample, unlike row
+    Bernoulli). DECIMAL-accumulated sums keep both the estimate and the
+    truth partition-order independent."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice",
+        (((F.col("o_orderkey") * 48271) % F.lit(2147483647).cast("long")) % 100)
+        .alias("bucket"),
+    )
+    est = (
+        o.filter(F.col("bucket") < 10)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_sample"),
+            (dsum(F.col("o_totalprice")) / 0.1).alias("est_total"),
+        )
+    )
+    exact = o.groupBy("o_orderpriority").agg(
+        dsum(F.col("o_totalprice")).alias("exact_total")
+    )
+    return est.join(exact, "o_orderpriority").select(
+        "o_orderpriority", "n_sample", "est_total", "exact_total",
+        F.round(
+            F.abs(F.col("est_total") - F.col("exact_total"))
+            / F.col("exact_total"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
+@query(
+    "txlog_incremental_join_cdc",
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS n,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS revenue
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def txlog_incremental_join_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a materialized JOIN view from two
+    change feeds — the delta-join algebra: with appends dO, dC landing
+    on base states O0, C0,
+
+        V1 = V0 ∪ (dO ⋈ C1) ∪ (O0 ⋈ dC)          (C1 = C0 ∪ dC)
+
+    — each new-rows-times-one-full-side, never O1 ⋈ C1 recomputed. Both
+    sides are txlog tables: the deltas come from changes() after the
+    append commits, and O0 comes from a TIME-TRAVEL read of the orders
+    table at its pre-append version (the old state needs no separate
+    bookkeeping — the table format IS the bookkeeping). The maintained
+    view then aggregates per segment and must hash-match the oracle's
+    full-recompute join. 100 TB: refresh cost is O(dO x match + dC x
+    match) with both delta joins broadcastable when batches are small;
+    deletes would carry signs through the same algebra (the aggregate
+    twin is txlog_incremental_agg_cdc)."""
+    import tempfile
+
+    from projectdatalake_spark.sources.txlog import TxTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    ot = TxTable.create(
+        spark, tempfile.mkdtemp(prefix="ivm_o_") + "/t",
+        o.filter(F.col("o_year") <= 1996),
+    )
+    ct = TxTable.create(
+        spark, tempfile.mkdtemp(prefix="ivm_c_") + "/t",
+        c.filter(F.col("c_custkey") % 10 != 0),
+    )
+    join_cols = ["o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment"]
+
+    def j(lhs: DataFrame, rhs: DataFrame) -> DataFrame:
+        return lhs.join(
+            rhs, F.col("o_custkey") == F.col("c_custkey")
+        ).select(*join_cols)
+
+    v0 = j(ot.snapshot(), ct.snapshot())
+    vo, vc = ot.latest_version(), ct.latest_version()
+    ot.append(o.filter(F.col("o_year") >= 1997))
+    ct.append(c.filter(F.col("c_custkey") % 10 == 0))
+    d_o = ot.changes(vo).drop("_commit_version", "_change_type")
+    d_c = ct.changes(vc).drop("_commit_version", "_change_type")
+    o_old = ot.snapshot(version=vo)  # time travel: the pre-append state
+    v1 = v0.unionByName(j(d_o, ct.snapshot())).unionByName(j(o_old, d_c))
+    return v1.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("o_totalprice")).alias("revenue"),
+    )
