@@ -758,6 +758,62 @@ class TxTable:
                 df = df.filter(df[col] == v)
         return self._to_logical(df)
 
+    def stats_agg(
+        self, cols: tuple[str, ...] = (), version: int | None = None
+    ) -> dict:
+        """METADATA-ONLY aggregates: exact ``count(*)`` plus global
+        min/max for ``cols``, answered from the commit log's per-file
+        stats (``numRecords`` + min/max bounds) without opening one data
+        file — the O(#files) fast path real Delta uses for SELECT
+        COUNT(*). At 100 TB this is milliseconds vs a full scan.
+
+        Correctness rules (refuse rather than approximate):
+        - every active file must carry ``numRecords`` (tables written
+          before stats, or files whose stats pass failed, raise);
+        - with live deletion vectors, the count subtracts the EXACT
+          masked-row count by reading the DV parquets (metadata-sized,
+          distinct (file, row) — overlapping DVs don't double-count),
+          but min/max are REFUSED: a masked row may have held the
+          extremum, so file bounds are no longer tight.
+        Returns {"count": int, "min": {col: v}, "max": {col: v}}.
+        """
+        adds = self._active_files(version)
+        missing = [a["path"] for a in adds if "numRecords" not in a]
+        if missing:
+            raise ValueError(
+                f"metadata-only agg unavailable: {len(missing)} active "
+                f"file(s) lack numRecords (e.g. {missing[0]}) — run a "
+                "rewrite (optimize) to refresh stats, or scan"
+            )
+        n = sum(int(a["numRecords"]) for a in adds)
+        dvs = self._active_dvs(version)
+        if dvs:
+            paths = [self._resolve(dv["path"]) for dv in dvs]
+            masked = (
+                self.spark.read.parquet(*paths)
+                .select("file_path", "row_index")
+                .distinct()
+                .count()
+            )
+            n -= masked
+        out: dict = {"count": n, "min": {}, "max": {}}
+        for c in cols:
+            if dvs:
+                raise ValueError(
+                    "metadata-only min/max unavailable under live deletion "
+                    "vectors (a masked row may hold the extremum) — "
+                    "optimize first or scan"
+                )
+            per_file = [(a.get("stats") or {}).get(c) for a in adds]
+            if any(s is None or s.get("min") is None for s in per_file):
+                raise ValueError(
+                    f"metadata-only min/max unavailable: no bounds for "
+                    f"{c!r} on every active file"
+                )
+            out["min"][c] = min(s["min"] for s in per_file)
+            out["max"][c] = max(s["max"] for s in per_file)
+        return out
+
     def _snapshot_of(self, adds: list[dict], version: int | None = None) -> DataFrame:
         """The masked PHYSICAL frame over an explicit add list: base-grouped
         read (shallow-clone refs keep their own basePath), deletion-vector
@@ -1149,7 +1205,7 @@ class TxTable:
         # point lookups on an id hash-scattered across files, where min/max
         # spans everything and the dictionary overflowed)
         bloom_cols = [c for c in self._bloom_by() if c in set(cols)]
-        aggs = []
+        aggs = [F.count(F.lit(1)).alias("__nrec")]
         for c in cols:
             aggs.append(F.min(c).alias(f"min__{c}"))
             aggs.append(F.max(c).alias(f"max__{c}"))
@@ -1185,9 +1241,11 @@ class TxTable:
         by_path: dict[str, dict] = {}
         dicts_by_path: dict[str, dict] = {}
         blooms_by_path: dict[str, dict] = {}
+        nrec_by_path: dict[str, int] = {}
         for r in rows:
             d = r.asDict()
             fpath = _norm(d.pop("__file"))
+            nrec_by_path[fpath] = int(d.pop("__nrec"))
             stats = {}
             for c in cols:
                 mn, mx = _stats_value(d[f"min__{c}"]), _stats_value(d[f"max__{c}"])
@@ -1211,6 +1269,8 @@ class TxTable:
             blooms_by_path[fpath] = blooms
         for a in adds:
             abs_p = _norm(self._data_path(a))
+            if abs_p in nrec_by_path:
+                a["numRecords"] = nrec_by_path[abs_p]
             stats = by_path.get(abs_p)
             if stats:
                 a["stats"] = stats
