@@ -36,9 +36,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # front-ranked, zero overlap). Queries already verified by a previous
 # round's driver run are pushed to the back; everything not yet
 # driver-proven comes first so each round's file covers new ground.
-# Round 5: no pin set — the ~34 oracle-backed queries never yet sampled
-# (tpch_q4/6/7/8/9/12/13/15/16/17/19/21/22, text-hygiene wave, anomaly,
-# range_join_bucketed, …) plus this round's additions fill the window.
+# Round 6: no pin set — the 11 oracle-backed queries never yet sampled
+# (iceberg merge/stream-upsert/zorder, recursive rollup, KMV, SCD2 PIT,
+# char entropy, BM25, Holt, AQP, CDC join-view) front-rank, followed by
+# this round's additions; the rest of the window re-proves backlist rows.
 _R1_DRIVER_VERIFIED = frozenset(
     {
         "q1_pricing_summary", "scan_project", "project_rename",
@@ -143,11 +144,38 @@ _R4_DRIVER_VERIFIED = frozenset(
     }
 )
 
+# Hash-green in CORRECTNESS_r05.json (50/50 fully green, zero err).
+_R5_DRIVER_VERIFIED = frozenset(
+    {
+        "agg_corr_stats", "agg_histogram_bins", "agg_winsorized_stats",
+        "anomaly_rolling_zscore", "anomaly_zscore_bucketed",
+        "decontam_ngram_overlap", "dedup_containment_pairs",
+        "dedup_incremental_exact", "delta_merge_bloom", "delta_merge_upsert",
+        "delta_optimize_zorder", "delta_restore", "delta_shallow_clone",
+        "delta_stream_sink", "delta_stream_upsert_sink",
+        "docs_reputable_sources", "ewma_daily_smoothing",
+        "format_convert_chain", "funnel_conversion", "iceberg_orphan_cleanup",
+        "iceberg_sorted_compaction", "mixture_balanced_sample",
+        "mm_audio_meta", "paragraph_dedup", "range_join_bucketed",
+        "source_reputation", "sql_not_in_nulls", "sql_txlog_snapshot",
+        "stratified_split_exact", "text_heavy_hitters", "text_kl_divergence",
+        "text_pii_redact", "text_repetition_stats", "text_sentences",
+        "text_unigram_logprob", "tpch_q12_shipmode", "tpch_q13_custdist",
+        "tpch_q15_top_supplier", "tpch_q16_supplier_cnt",
+        "tpch_q17_small_qty", "tpch_q19_disjunctive",
+        "tpch_q21_waiting_supplier", "tpch_q22_idle_customers",
+        "tpch_q4_priority", "tpch_q6_forecast", "tpch_q7_volume",
+        "tpch_q8_market_share", "tpch_q9_profit", "txlog_hilbert_skipping",
+        "win_gapfill_locf",
+    }
+)
+
 _DRIVER_VERIFIED = (
     _R1_DRIVER_VERIFIED
     | _R2_DRIVER_VERIFIED
     | _R3_DRIVER_VERIFIED
     | _R4_DRIVER_VERIFIED
+    | _R5_DRIVER_VERIFIED
 )
 
 

@@ -389,6 +389,94 @@ def topk_neighbors_ivf(
     )
 
 
+def topk_neighbors_ivf_seeded(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_cells: int = 8,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search with SEED-INITIALIZED centers (KMeans init iteration 0:
+    the ``n_cells`` lowest-id corpus vectors), fully declarative — every
+    step (cell argmax, probe selection, candidate join, exact re-rank) is
+    a Catalyst expression over literal center arrays, which makes this
+    the one ANN rung a SQL oracle can replay value-for-value (the KMeans
+    rungs are rows-only because the quantizer isn't SQL-expressible).
+
+    Semantics match ``ivf_search``: each corpus row lands in its single
+    nearest cell by cosine (ties → lowest cell id), each query probes its
+    ``n_probe`` nearest cells, candidates re-rank by exact cosine with
+    (cosine DESC, neighbor_id) ordering, self-matches excluded.
+
+    100 TB: the physical plan is the IVF plan — the per-row cell argmax
+    is a scan-stage expression (no shuffle), the probe side broadcasts,
+    and the only shuffle is the per-query top-k window. Swapping the
+    literal seeds for trained KMeans centers changes ONLY the center
+    constants, so this rung doubles as the plan-shape proof for the
+    trained rungs."""
+    from pyspark.sql import Window
+
+    seeds = (
+        corpus.orderBy(id_col).limit(n_cells).select(id_col, vec_col).collect()
+    )
+    centers = [[float(x) for x in r[vec_col]] for r in seeds]
+    c_lits = [F.array(*[F.lit(x) for x in c]) for c in centers]
+    v = F.col(vec_col).cast("array<double>")
+
+    def cell_scores() -> Column:
+        # (cosine-to-center, -cell, cell) structs: array_sort ascending
+        # puts the best cell LAST, ties resolved toward the lowest cell
+        # id by the -cell component — mirrored exactly in the SQL oracle
+        # as ORDER BY score DESC, cell ASC
+        return F.array(
+            *[
+                F.struct(
+                    (vec_dot(v, c) / F.sqrt(vec_dot(c, c))).alias("s"),
+                    F.lit(-i).alias("neg"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, c in enumerate(c_lits)
+            ]
+        )
+
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        v.alias("c_vec"),
+        F.element_at(F.array_sort(cell_scores()), -1)["cell"].alias("cell"),
+    ).withColumn("c_norm", F.sqrt(vec_dot(F.col("c_vec"), F.col("c_vec"))))
+
+    probes = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            v.alias("q_vec"),
+            F.slice(F.array_sort(cell_scores()), -n_probe, n_probe).alias("p"),
+        )
+        .select(
+            "query_id",
+            "q_vec",
+            F.explode(F.transform(F.col("p"), lambda s: s["cell"])).alias("cell"),
+        )
+        .withColumn("q_norm", F.sqrt(vec_dot(F.col("q_vec"), F.col("q_vec"))))
+    )
+
+    cos = vec_dot(F.col("q_vec"), F.col("c_vec")) / (
+        F.col("q_norm") * F.col("c_norm")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def embed_features_arrow(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -26,10 +26,51 @@ tolerates (and retries) checksum mismatches from non-atomic overwrites.
 from __future__ import annotations
 
 import os
+import random
+import threading
+import time
 
 
 class ExclusiveCreateConflict(FileExistsError):
     """Another writer created the path first."""
+
+
+# --- jittered retry backoff ------------------------------------------------
+#
+# The bounded metadata/hint read retries (txlog commit files, Delta commit
+# JSON, Iceberg version-hint + metadata JSON) ride out the visible-before-
+# written window of exclusive create. Linear lockstep sleeps re-collide
+# when several threads observe the same torn file at the same instant —
+# "full jitter" (sleep uniform in [floor, min(cap, base·2^attempt)])
+# decorrelates them, so contention drains in O(log n) rounds instead of
+# repeatedly thundering. RETRY_STATS records the worst attempt depth so
+# stress tests can assert the budget is never close to exhausted.
+
+_RETRY_BASE = 0.005
+_RETRY_CAP = 0.1
+_retry_lock = threading.Lock()
+RETRY_STATS = {"sleeps": 0, "max_attempt": 0}
+
+
+def reset_retry_stats() -> None:
+    with _retry_lock:
+        RETRY_STATS["sleeps"] = 0
+        RETRY_STATS["max_attempt"] = 0
+
+
+def backoff_sleep(attempt: int) -> float:
+    """Sleep with full-jitter exponential backoff; returns the delay.
+
+    ``attempt`` is 0-based. The floor (base/2) guarantees forward progress
+    past sub-millisecond torn-write windows even when the jitter draw is
+    low; the cap bounds tail latency of a deep retry."""
+    hi = min(_RETRY_CAP, _RETRY_BASE * (2 ** attempt))
+    d = random.uniform(_RETRY_BASE / 2, max(_RETRY_BASE / 2, hi))
+    with _retry_lock:
+        RETRY_STATS["sleeps"] += 1
+        RETRY_STATS["max_attempt"] = max(RETRY_STATS["max_attempt"], attempt + 1)
+    time.sleep(d)
+    return d
 
 
 def is_local_path(p: str) -> bool:

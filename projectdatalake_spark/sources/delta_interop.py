@@ -275,7 +275,7 @@ class DeltaTable:
                     last = ValueError(f"empty commit file {p}")
                 except Exception as exc:
                     last = exc
-                time.sleep(0.005 * min(attempt + 1, 10))
+                _atomic.backoff_sleep(attempt)
             else:
                 raise IOError(f"torn or unreadable commit {p}") from last
         return self._commit_memo[version]

@@ -687,7 +687,7 @@ class IcebergTable:
                 ):
                     v += 1
                 return v
-            time.sleep(0.005 * (attempt + 1))
+            _atomic.backoff_sleep(attempt)
         # hint missing (crash window) or torn (racing overwrite): scan for
         # the highest v*.metadata.json — always correct, O(#versions) names
         best = -1
@@ -718,7 +718,7 @@ class IcebergTable:
                 return json.loads(self._read_bytes(p).decode())
             except Exception as exc:
                 last = exc
-                time.sleep(0.005 * (attempt + 1))
+                _atomic.backoff_sleep(attempt)
         raise IcebergProtocolError(
             f"metadata file unreadable after retries: {p}"
         ) from last

@@ -334,7 +334,7 @@ class TxTable:
                 last = ValueError(f"empty commit file {p}")
             except Exception as exc:  # ChecksumException / torn JSON / FNF race
                 last = exc
-            _time.sleep(0.005 * min(attempt + 1, 10))
+            _atomic.backoff_sleep(attempt)
         raise IOError(f"torn or unreadable log file {p}") from last
 
     def _write_text_exclusive(self, p: str, text: str) -> None:

@@ -489,6 +489,32 @@ def test_semantic_dedup_incremental_exact_equality(spark):
         assert in_touched < total
 
 
+def test_semantic_dedup_apply_only_equality(spark):
+    """The apply-only rung (queries.semantic_dedup_apply_only, fit-once
+    cached index) must equal the one-shot pass with the SAME centers
+    restricted to its batch id range — i.e. splitting the fit out of the
+    bench entry changed WHAT IS TIMED, not what is computed. Also checks
+    the cache actually memoizes (second call reuses the frozen index)."""
+    from projectdatalake_spark import queries as Q
+
+    got = {r.vec_id for r in Q.semantic_dedup_apply_only(spark, SF_SMOKE).collect()}
+    centers, _assigned, lo, hi = Q._semdedup_frozen_index(spark, SF_SMOKE)
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    want = {
+        r.vec_id
+        for r in S.semantic_dedup_with_centers(
+            emb, centers, threshold=0.35, n_assign=3
+        )
+        .filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        .select("vec_id")
+        .collect()
+    }
+    assert got == want
+    assert (id(spark), SF_SMOKE) in Q._SEMDEDUP_INDEX_CACHE
+    again = {r.vec_id for r in Q.semantic_dedup_apply_only(spark, SF_SMOKE).collect()}
+    assert again == got
+
+
 def test_pca_matches_numpy_exactly(spark):
     """Distributed PCA (one-pass moments + driver d×d eigh) must match
     a straight numpy PCA on the collected corpus: same explained

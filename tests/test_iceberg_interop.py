@@ -998,6 +998,9 @@ def test_concurrent_appends_no_lost_snapshots(spark, root):
     this test pins). Six threads, all commits must survive."""
     import threading
 
+    from projectdatalake_spark.sources import atomic as _atomic
+
+    _atomic.reset_retry_stats()
     t = IcebergTable.create(spark, root, _df(spark, 0, 10))
     errs = []
 
@@ -1038,6 +1041,13 @@ def test_concurrent_appends_no_lost_snapshots(spark, root):
         head = parents.get(head)
         depth += 1
     assert depth == committed
+    # retry budget: the torn-read retries (hint budget 5, metadata budget
+    # 10) must never come CLOSE to exhausting at this writer count — the
+    # jittered backoff exists so contention drains early, and exhaustion
+    # would surface as IcebergProtocolError above. Assert headroom so a
+    # future regression (e.g. a longer torn window) fails loudly here
+    # instead of flaking in production-shaped runs.
+    assert _atomic.RETRY_STATS["max_attempt"] <= 4, _atomic.RETRY_STATS
 
 
 def test_stream_sink_exactly_once(spark, root):
