@@ -249,3 +249,111 @@ def unigram_logprob(
             F.count(F.lit(1)).cast("int").alias("n_tokens"),
         )
     )
+
+
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon character entropy (see queries.text_char_entropy
+    for the float-discipline contract: terms folded in SORTED char order so
+    the double sum is order-pinned and replayable by a SQL oracle).
+
+    Returns (id, n_chars, n_distinct, entropy rounded 4dp). Linear:
+    sequence/substring explode + two hash aggregates keyed (doc, char)
+    then doc — shuffle-bounded at any corpus size."""
+    chars = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length({text_col})),"
+                f" i -> substring({text_col}, i, 1))"
+            )
+        ).alias("ch"),
+    )
+    cc = chars.groupBy(id_col, "ch").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    pd_ = cc.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("ch", "c"))).alias("arr"),
+        F.sum("c").alias("n"),
+    )
+    terms = F.transform(
+        F.col("arr"), lambda s: (s["c"] / F.col("n")) * F.log(s["c"] / F.col("n"))
+    )
+    return pd_.select(
+        F.col(id_col),
+        F.col("n").cast("long").alias("n_chars"),
+        F.size("arr").alias("n_distinct"),
+        F.round(
+            F.lit(0.0) - F.aggregate(terms, F.lit(0.0), lambda a, x: a + x), 4
+        ).alias("entropy"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k retrieval as an inverted-index join (see
+    queries.text_bm25_topk for the plan-shape and float contracts).
+    ``queries`` is a driver-small (query_id, term) table, broadcast.
+
+    Returns (query_id, doc_id, rank, score rounded 4dp). The postings
+    join shuffles on term (the inverted-index partitioning); per-query
+    top-k is a WindowGroupLimit window."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dl = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    contrib = (
+        tf.join(F.broadcast(queries), "term")
+        .join(F.broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id", "doc_id", "term",
+            (
+                idf * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * ((1.0 - b) + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("c"),
+        )
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("term").alias("t"), "c"))
+                ),
+                lambda s: s["c"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank", F.round("score", 4).alias("score"))
+    )

@@ -232,3 +232,47 @@ def rolling_with_halo(
     return out.where(~F.col("__halo")).drop(
         "__bucket", "__seq", "__halo", "__off", "__pos"
     )
+
+
+def holt_forecast(
+    daily: DataFrame,
+    key_col: str = "event_type",
+    time_col: str = "d",
+    val_col: str = "x",
+    horizon: int = 7,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+) -> DataFrame:
+    """Holt's linear-trend smoothing per key, forecasting ``horizon``
+    steps ahead (see queries.ts_holt_forecast for the exactness
+    contract: power-of-two alpha/beta make the recurrence bitwise
+    replayable by a recursive-CTE oracle). The recurrence is sequential
+    per key but keys are independent — applyInPandas runs the tight
+    loop group-locally; series length is steps-per-key, never corpus
+    size. Keys with < 2 observations are excluded."""
+    import pandas as pd
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(time_col)
+        xs = pdf[val_col].to_numpy()
+        if len(xs) < 2:
+            return pd.DataFrame(columns=[key_col, "h", "forecast"])
+        l = float(xs[0])
+        b = float(xs[1]) - float(xs[0])
+        for t in range(1, len(xs)):
+            x = float(xs[t])
+            l_new = alpha * x + (1.0 - alpha) * (l + b)
+            b = beta * (l_new - l) + (1.0 - beta) * b
+            l = l_new
+        key = pdf[key_col].iloc[0]
+        return pd.DataFrame(
+            {
+                key_col: [key] * horizon,
+                "h": list(range(1, horizon + 1)),
+                "forecast": [l + float(h) * b for h in range(1, horizon + 1)],
+            }
+        )
+
+    return daily.groupBy(key_col).applyInPandas(
+        holt, schema=f"{key_col} string, h int, forecast double"
+    )

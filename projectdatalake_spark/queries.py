@@ -10103,31 +10103,9 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     is JVM-side expression work (sequence/substring explode, two hash
     aggs, higher-order fold): linear, shuffle keyed by (doc, char) then
     doc, safe at any corpus size."""
-    d = _t(spark, sf_dir, "documents")
-    chars = d.select(
-        "doc_id",
-        F.explode(
-            F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")
-        ).alias("ch"),
-    )
-    cc = chars.groupBy("doc_id", "ch").agg(
-        F.count(F.lit(1)).cast("double").alias("c")
-    )
-    pd_ = cc.groupBy("doc_id").agg(
-        F.array_sort(F.collect_list(F.struct("ch", "c"))).alias("arr"),
-        F.sum("c").alias("n"),
-    )
-    terms = F.transform(
-        F.col("arr"), lambda s: (s["c"] / F.col("n")) * F.log(s["c"] / F.col("n"))
-    )
-    return pd_.select(
-        "doc_id",
-        F.col("n").cast("long").alias("n_chars"),
-        F.size("arr").alias("n_distinct"),
-        F.round(
-            F.lit(0.0) - F.aggregate(terms, F.lit(0.0), lambda a, x: a + x), 4
-        ).alias("entropy"),
-    )
+    from projectdatalake_spark.operators import text as TX
+
+    return TX.char_entropy(_t(spark, sf_dir, "documents"))
 
 
 @query(
@@ -10248,56 +10226,12 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ulp — absorbed by the 4dp round; ranking ties break on doc_id."""
     from projectdatalake_spark.operators import text as TX
 
-    d = _t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("double").alias("tf")
-    )
-    dl = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("double").alias("dl")
-    )
-    stats = dl.agg(
-        F.count(F.lit(1)).cast("double").alias("n"), F.avg("dl").alias("avgdl")
-    )
-    dft = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
     qdf = spark.createDataFrame(
         [(1, "spark"), (1, "query"), (2, "hash"), (2, "join"), (2, "fast"),
          (3, "dup"), (3, "vector")],
         "query_id int, term string",
     )
-    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-    contrib = (
-        tf.join(F.broadcast(qdf), "term")
-        .join(F.broadcast(dft), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "query_id", "doc_id", "term",
-            (
-                idf * (F.col("tf") * 2.2)
-                / (
-                    F.col("tf")
-                    + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
-                )
-            ).alias("c"),
-        )
-    )
-    scored = contrib.groupBy("query_id", "doc_id").agg(
-        F.aggregate(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct(F.col("term").alias("t"), "c"))),
-                lambda s: s["c"],
-            ),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        ).alias("score")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select("query_id", "doc_id", "rank", F.round("score", 4).alias("score"))
-    )
+    return TX.bm25_topk(_t(spark, sf_dir, "documents"), qdf, k=3)
 
 
 @query(
@@ -10347,7 +10281,7 @@ def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys; series length is days-per-key (bounded), never corpus size.
     Init: l1 = x1, b1 = x2 - x1 (classic); keys with < 2 observations
     are excluded on both sides."""
-    import pandas as pd
+    from projectdatalake_spark.operators import windows as W
 
     ev = _t(spark, sf_dir, "events").select(
         "event_type", F.to_date("ts").alias("d")
@@ -10355,31 +10289,7 @@ def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy("event_type", "d").agg(
         F.count(F.lit(1)).cast("double").alias("x")
     )
-
-    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("d")
-        xs = pdf["x"].to_numpy()
-        if len(xs) < 2:
-            return pd.DataFrame(columns=["event_type", "h", "forecast"])
-        l = float(xs[0])
-        b = float(xs[1]) - float(xs[0])
-        for t in range(1, len(xs)):
-            x = float(xs[t])
-            l_new = 0.5 * x + 0.5 * (l + b)
-            b = 0.25 * (l_new - l) + 0.75 * b
-            l = l_new
-        key = pdf["event_type"].iloc[0]
-        return pd.DataFrame(
-            {
-                "event_type": [key] * 7,
-                "h": list(range(1, 8)),
-                "forecast": [l + float(h) * b for h in range(1, 8)],
-            }
-        )
-
-    return daily.groupBy("event_type").applyInPandas(
-        holt, schema="event_type string, h int, forecast double"
-    )
+    return W.holt_forecast(daily, horizon=7, alpha=0.5, beta=0.25)
 
 
 @query(
@@ -10506,4 +10416,278 @@ def txlog_incremental_join_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v1.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n"),
         dsum(F.col("o_totalprice")).alias("revenue"),
+    )
+
+
+# =========================================================================
+# Round-6 Wave A: training-corpus operators — corpus-wide duplicate
+# n-grams, bigram LM scoring, temperature-balanced mixture sampling,
+# curriculum phasing, cumulative-distinct growth accounting.
+# =========================================================================
+
+
+@query(
+    "corpus_dup_ngrams",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 4),
+                    i -> array_to_string(toks[i:i+4], ' '))) AS gram
+      FROM t
+    ),
+    gc AS (
+      SELECT gram, count(*) AS n_docs FROM g GROUP BY gram
+    )
+    SELECT g.doc_id, count(*) AS n_grams,
+           CAST(sum(CASE WHEN gc.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_grams,
+           round(CAST(sum(CASE WHEN gc.n_docs > 1 THEN 1 ELSE 0 END)
+                 AS DOUBLE) / count(*), 4) AS dup_frac
+    FROM g JOIN gc USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def corpus_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-n-gram accounting (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): for
+    each document, the fraction of its DISTINCT word 5-grams that occur
+    in at least one OTHER document — the memorization-risk signal that
+    drives exact-substring dedup decisions, distinct from whole-doc and
+    near-dup detection (a doc can be 0% whole-dup yet 90% boilerplate
+    5-grams). Plan shape at 100 TB: distinct grams per doc map-side,
+    ONE shuffle keyed on gram for the frequency table, ONE shuffle join
+    back on gram, ONE aggregate on doc — all linear in corpus grams; no
+    self-join, no pair explosion. The gram-frequency table is
+    corpus-sized so it is NOT broadcast (contrast decontam_ngram_overlap
+    where the bench side is eval-suite-sized)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    grams_expr = F.when(
+        F.size(toks) >= 5,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 4),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select("doc_id", F.explode(grams_expr).alias("gram"))
+    gc = g.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    dup = F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+    return (
+        g.join(gc, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            dup.cast("long").alias("dup_grams"),
+            F.round(
+                dup.cast("double") / F.count(F.lit(1)), 4
+            ).alias("dup_frac"),
+        )
+    )
+
+
+@query(
+    "text_bigram_logprob",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1])) AS bg
+      FROM t
+    ),
+    freq AS (SELECT bg, count(*) AS cnt FROM b GROUP BY bg),
+    tot AS (SELECT sum(cnt) AS n FROM freq)
+    SELECT b.doc_id,
+           round(avg(ln(CAST(freq.cnt AS DOUBLE) / tot.n)), 4) AS logprob,
+           CAST(count(*) AS INT) AS n_bigrams
+    FROM b JOIN freq USING (bg) CROSS JOIN tot
+    GROUP BY b.doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean BIGRAM log-probability under the corpus's own
+    bigram model — one rung up the perplexity-filter ladder from
+    text_unigram_logprob (bigrams punish scrambled/boilerplate token
+    salads that unigram stats score as normal). Same plan as the
+    unigram form with the vocabulary axis squared: bigram explode, one
+    hash aggregate for frequencies, join back, per-doc mean. The bigram
+    table grows with corpus token count, so it joins by SHUFFLE on the
+    bigram key (broadcast only fits the unigram vocab); the scalar
+    total rides a 1-row broadcast. Same 4dp rounding discipline as the
+    unigram query (avg over doubles)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    b = docs.select("doc_id", F.explode(bigrams).alias("bg"))
+    freq = b.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("n"))
+    return (
+        b.join(freq, "bg")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(F.log(F.col("cnt").cast("double") / F.col("n"))), 4
+            ).alias("logprob"),
+            F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+        )
+    )
+
+
+@query(
+    "mixture_temperature_sample",
+    oracle="""
+    WITH s AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_chars) AS DOUBLE) AS w
+      FROM documents GROUP BY source
+    ),
+    z AS (SELECT sum(sqrt(w)) AS zsum, sum(n_docs) AS n_total FROM s),
+    r AS (
+      SELECT s.source, s.n_docs,
+             least(1.0, (sqrt(s.w) / z.zsum) * (z.n_total * 0.5) / s.n_docs)
+               AS rate
+      FROM s CROSS JOIN z
+    )
+    SELECT d.source, any_value(r.n_docs) AS n_docs,
+           CAST(count(*) FILTER (
+             WHERE ((d.doc_id * 48271) % 2147483647) % 1000000
+                   < floor(r.rate * 1000000)
+           ) AS BIGINT) AS kept,
+           round(any_value(r.rate), 6) AS rate
+    FROM documents d JOIN r USING (source)
+    GROUP BY d.source
+    """,
+)
+def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-balanced mixture sampling (T=2): target share per
+    source ∝ sqrt(source weight) — the standard multiplicative
+    flattening (Conneau & Lample's alpha-sampling) that up-weights
+    small sources without letting any source dominate. Weight = total
+    chars per source; the overall budget is half the corpus; per-source
+    keep rate = min(1, target/n). Selection is the engine's
+    DETERMINISTIC arithmetic hash (never rand()): reproducible across
+    engines/retries, and the float threshold crosses engines safely
+    because sqrt and the division chain are IEEE-identical in the same
+    order, then floor()ed once on both sides. 100 TB: rates are
+    per-source scalars (broadcast); selection is a scan-stage
+    predicate — the sample never shuffles."""
+    d = _t(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("double").alias("w"),
+    )
+    z = s.agg(
+        F.sum(F.sqrt(F.col("w"))).alias("zsum"),
+        F.sum("n_docs").alias("n_total"),
+    )
+    r = s.crossJoin(F.broadcast(z)).select(
+        "source", "n_docs",
+        F.least(
+            F.lit(1.0),
+            (F.sqrt(F.col("w")) / F.col("zsum"))
+            * (F.col("n_total") * 0.5)
+            / F.col("n_docs"),
+        ).alias("rate"),
+    )
+    hash_mod = (
+        (F.col("doc_id") * 48271) % F.lit(2147483647).cast("long")
+    ) % 1000000
+    return (
+        d.join(F.broadcast(r), "source")
+        .groupBy("source")
+        .agg(
+            F.any_value("n_docs").alias("n_docs"),
+            F.sum(
+                F.when(hash_mod < F.floor(F.col("rate") * 1000000), 1)
+                .otherwise(0)
+            ).cast("long").alias("kept"),
+            F.round(F.any_value("rate"), 6).alias("rate"),
+        )
+    )
+
+
+@query(
+    "curriculum_quality_phases",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, n_chars,
+             ntile(4) OVER (ORDER BY n_chars DESC, doc_id) AS phase
+      FROM documents
+    )
+    SELECT phase, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM scored GROUP BY phase
+    """,
+)
+def curriculum_quality_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum phasing: rank the corpus by a quality proxy (here
+    n_chars — longer docs first, the common long-document-first curriculum)
+    and cut it into 4 equal-size training phases with NTILE — the
+    deterministic (score, doc_id) tie-break makes phase assignment
+    reproducible run-to-run, which curriculum schedules require (a doc
+    hopping phases between epochs breaks resumability). Output is the
+    per-phase profile. 100 TB caveat, stated honestly: a single global
+    NTILE is one total sort — fine for a one-off schedule build; for
+    recurring assignment swap in percentile thresholds from a sampled
+    sketch (approx_percentile) so the cut points broadcast and the scan
+    assigns phases without a global sort."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.orderBy(F.col("n_chars").desc(), "doc_id")
+    scored = d.select("doc_id", "n_chars", F.ntile(4).over(w).alias("phase"))
+    return scored.groupBy("phase").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+@query(
+    "win_cumulative_distinct",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d
+      FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT d, count(*) AS new_users FROM firsts GROUP BY d
+    )
+    SELECT d, CAST(new_users AS BIGINT) AS new_users,
+           CAST(sum(new_users) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_users
+    FROM daily
+    """,
+)
+def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative DISTINCT users by day — the corpus/user growth curve.
+    COUNT(DISTINCT) OVER a growing frame is unsupported (and would be
+    quadratic anyway); the linear rewrite is first-occurrence
+    attribution: each user contributes once at min(day), then a running
+    sum over the daily new-user counts. Two hash aggregates + one
+    window over a days-sized frame — the window input is CALENDAR-sized
+    regardless of corpus scale, so the single-partition window is
+    metadata work. The same rewrite backs any \"cumulative unique\"
+    metric at 100 TB."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("d").alias("d"))
+    daily = firsts.groupBy("d").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "d",
+        F.col("new_users").cast("long").alias("new_users"),
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
     )
