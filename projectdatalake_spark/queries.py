@@ -10691,3 +10691,231 @@ def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_users").cast("long").alias("new_users"),
         F.sum("new_users").over(w).cast("long").alias("cum_users"),
     )
+
+
+# =========================================================================
+# Round-6 Wave B: analytic shapes — gaps-and-islands streaks, last-touch
+# attribution, weighted median, rolling correlation.
+# =========================================================================
+
+
+@query(
+    "streaks_gaps_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+      FROM events
+    ),
+    nums AS (
+      SELECT user_id, d,
+             row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+      FROM days
+    ),
+    isl AS (
+      SELECT user_id, d - rn * INTERVAL 1 DAY AS grp, count(*) AS len
+      FROM nums GROUP BY user_id, grp
+    )
+    SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+           CAST(max(len) AS BIGINT) AS best_streak
+    FROM isl GROUP BY user_id
+    """,
+)
+def streaks_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands rewrite: distinct active days, row_number per user,
+    (day − rn) is constant exactly within a consecutive run, so one
+    GROUP BY on that derived key measures every island in ONE pass. No
+    self-join, no recursive walk — the island key turns a sequential
+    problem into two hash aggregates and one bounded per-user window.
+    100 TB: the window partitions by user (millions of independent
+    partitions), days-per-user is calendar-bounded, and everything
+    downstream is hash-partitioned on user — linear and skew-safe."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    nums = ev.withColumn("rn", F.row_number().over(w))
+    isl = nums.groupBy(
+        "user_id", F.date_sub("d", F.col("rn")).alias("grp")
+    ).agg(F.count(F.lit(1)).alias("len"))
+    return isl.groupBy("user_id").agg(
+        F.sum("len").cast("long").alias("n_active_days"),
+        F.max("len").cast("long").alias("best_streak"),
+    )
+
+
+@query(
+    "attribution_last_touch",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS prev_type
+      FROM events
+    )
+    SELECT coalesce(prev_type, '(none)') AS prev_event_type,
+           CAST(count(*) AS BIGINT) AS n_purchases
+    FROM ordered WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: for every purchase, the event type the
+    same user performed immediately before it (LAG over the user's
+    deterministic (ts, event_id) timeline), aggregated into an
+    attribution mix. One window partitioned by user + one hash
+    aggregate — the window never sees more than one user's history per
+    partition, so it scales with users, not events-per-shuffle.
+    The '(none)' bucket counts first-touch purchases honestly instead
+    of dropping them."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    return (
+        ordered.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce(F.col("prev_type"), F.lit("(none)")).alias(
+                "prev_event_type"
+            )
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_purchases"))
+    )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH cum AS (
+      SELECT l_returnflag, l_extendedprice,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_extendedprice
+                                   RANGE BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cw,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(min(l_extendedprice) FILTER (WHERE 2 * cw >= tw) AS DOUBLE)
+             AS w_median_price,
+           CAST(any_value(tw) AS DOUBLE) AS total_qty
+    FROM cum GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median price per return flag (weights = quantities) —
+    the robust-statistics sibling of agg_median_stats: the smallest
+    price whose cumulative weight reaches half the total. The RANGE
+    frame (not ROWS) makes the cumulative weight a function of the
+    VALUE, so equal prices share one cumulative total and the answer is
+    order-deterministic; `2*cw >= tw` keeps the half-total comparison
+    in exact DECIMAL (halving a decimal would round). One partitioned
+    window + one aggregate, both keyed on the group — at 100 TB this is
+    a per-group sort the same shape as any windowed quantile; for a
+    fast approximate cut use the percentile-sketch path instead."""
+    li = _t(spark, sf_dir, "lineitem")
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag", "l_extendedprice",
+        F.sum("l_quantity").over(wc).alias("cw"),
+        F.sum("l_quantity").over(wt).alias("tw"),
+    )
+    return cum.groupBy("l_returnflag").agg(
+        F.min(
+            F.when(F.lit(2) * F.col("cw") >= F.col("tw"), F.col("l_extendedprice"))
+        ).cast("double").alias("w_median_price"),
+        F.any_value("tw").cast("double").alias("total_qty"),
+    )
+
+
+@query(
+    "rolling_corr_pairs",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY event_type, d
+    ),
+    tot AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY d
+    ),
+    j AS (SELECT * FROM daily JOIN tot USING (d)),
+    s AS (
+      SELECT event_type, d,
+             count(*) OVER w AS n,
+             sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+             sum(x * y) OVER w AS sxy,
+             sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy
+      FROM j
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, d,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN round(
+                  (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                     * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                  6)
+           END AS corr7
+    FROM s
+    """,
+)
+def rolling_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling Pearson correlation between each event type's daily
+    volume and total daily volume — the co-movement / drift monitor.
+    Float discipline: the six window accumulators (n, Σx, Σy, Σxy, Σx²,
+    Σy²) are all INTEGER sums (exact, order-independent); doubles enter
+    only in the final closed-form corr expression, identical on both
+    engines, so the 6dp round absorbs nothing but ln... nothing at all.
+    Degenerate frames (constant series) yield NULL via the variance
+    guard on BOTH sides, not NaN. One shuffle to daily grain, one
+    broadcast join on day, one bounded window per type."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("d")
+    )
+    daily = ev.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    tot = ev.groupBy("d").agg(F.count(F.lit(1)).alias("y"))
+    j = daily.join(F.broadcast(tot), "d")
+    w = (
+        Window.partitionBy("event_type").orderBy("d").rowsBetween(-6, 0)
+    )
+    s = j.select(
+        "event_type", "d",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+    )
+    num = F.col("n").cast("double") * F.col("sxy") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy")
+    vx = F.col("n").cast("double") * F.col("sxx") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx")
+    vy = F.col("n").cast("double") * F.col("syy") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy")
+    guard = (
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+        & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+    )
+    return s.select(
+        "event_type", "d",
+        F.when(guard, F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6)).alias(
+            "corr7"
+        ),
+    )
