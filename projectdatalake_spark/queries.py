@@ -10919,3 +10919,174 @@ def rolling_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "corr7"
         ),
     )
+
+
+# =========================================================================
+# Round-6 Wave C: format-parity depth — txlog CHECK constraints,
+# Iceberg branch/tag reads, Delta generated columns.
+# =========================================================================
+
+
+@query(
+    "txlog_check_constraint",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_totalprice > 0
+    GROUP BY o_orderstatus
+    """,
+)
+def txlog_check_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """txlog CHECK constraints — the native format's half of the
+    delta_check_constraint parity pair (same lifecycle, same oracle):
+    create from positive-price orders, add ``price_positive``, land a
+    conforming append, REFUSE a poisoned append atomically. Both formats
+    share the enforcement shape (short-circuit limit(1) probe per
+    constraint, recorded in table metadata so every writer enforces it);
+    proving them against one oracle pins that the two metadata layers
+    carry the same guarantee."""
+    import tempfile
+
+    from projectdatalake_spark.sources.txlog import TxTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    ).filter(F.col("o_totalprice") > 0)
+    root = tempfile.mkdtemp(prefix="tx_ck_") + "/t"
+    t = TxTable.create(
+        spark, root, o.filter(F.col("o_orderkey") % 2 == 0).repartition(4)
+    )
+    t.add_constraint("price_positive", "o_totalprice > 0")
+    t.append(o.filter(F.col("o_orderkey") % 2 == 1).repartition(4))
+    try:
+        t.append(o.limit(100).withColumn("o_totalprice", F.lit(-1.0)))
+        raise AssertionError("poisoned append must be refused")
+    except ValueError:
+        pass
+    return (
+        t.snapshot()
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
+    )
+
+
+@query(
+    "iceberg_branch_tag",
+    oracle="""
+    WITH base AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+         mainadd AS (SELECT * FROM orders WHERE o_orderkey % 3 = 1),
+         branchadd AS (SELECT * FROM orders WHERE o_orderkey % 3 = 2)
+    SELECT 'tag' AS scope, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total
+    FROM base
+    UNION ALL
+    SELECT 'main', count(*),
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
+    FROM (SELECT * FROM base UNION ALL SELECT * FROM mainadd)
+    UNION ALL
+    SELECT 'branch', count(*),
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
+    FROM (SELECT * FROM base UNION ALL SELECT * FROM branchadd)
+    """,
+)
+def iceberg_branch_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg SNAPSHOT REFS as first-class readable lanes (spec
+    "References"): a TAG pins the release snapshot immutably, a BRANCH
+    forks an independently-advancing head, and MAIN keeps moving — three
+    read scopes over ONE table, zero data copied. Lifecycle: create from
+    base rows → tag 'release-1' → append to main → branch 'experiment'
+    from the TAGGED snapshot → append to the branch. The three scoped
+    aggregates must equal plain SQL over the corresponding row sets —
+    proving branch isolation (main's append is invisible on the branch)
+    and tag immutability (the tag still reads the creation state) in one
+    hash. 100 TB: refs are metadata pointers — branching a petabyte
+    table costs one JSON commit, the WAP workflow's foundation."""
+    import tempfile
+
+    from projectdatalake_spark.sources.iceberg_interop import IcebergTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    root = tempfile.mkdtemp(prefix="ice_refs_")
+    t = IcebergTable.create(
+        spark, root, o.filter(F.col("o_orderkey") % 3 == 0).repartition(4)
+    )
+    tagged = t.current_snapshot_id()
+    t.create_tag("release-1", tagged)
+    t.append(o.filter(F.col("o_orderkey") % 3 == 1).repartition(4))
+    t.create_branch("experiment", snapshot_id=tagged)
+    t.append(
+        o.filter(F.col("o_orderkey") % 3 == 2).repartition(4),
+        branch="experiment",
+    )
+
+    def agg(df: DataFrame, scope: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("o_totalprice")).alias("total"),
+        ).select(F.lit(scope).alias("scope"), "n", "total")
+
+    return (
+        agg(t.snapshot(ref="release-1"), "tag")
+        .unionByName(agg(t.snapshot(), "main"))
+        .unionByName(agg(t.snapshot(ref="experiment"), "branch"))
+    )
+
+
+@query(
+    "delta_generated_column",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def delta_generated_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta GENERATED COLUMNS (protocol ``delta.generationExpression``,
+    minWriterVersion 4): the table declares o_year = year(o_orderdate);
+    the CREATE frame and the first append OMIT the column (the writer
+    computes and MATERIALIZES it — readers never re-derive), and a
+    poisoned append carrying a WRONG o_year is REFUSED by the
+    validation probe (a writer breaking the invariant would corrupt
+    e.g. partition pruning on the generated column). The final per-year
+    aggregate must equal SQL deriving the year directly.
+
+    100 TB: generated partition/cluster keys are how petabyte tables
+    get date-partitioning without trusting every ingest job to compute
+    it — declare once, every compliant writer materializes it."""
+    import tempfile
+
+    from projectdatalake_spark.sources.delta_interop import (
+        DeltaProtocolError,
+        DeltaTable,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    root = tempfile.mkdtemp(prefix="delta_gen_")
+    t = DeltaTable.create(
+        spark, root,
+        o.filter(F.col("o_orderkey") % 2 == 0).repartition(4),
+        generated={"o_year": "year(o_orderdate)"},
+    )
+    t.append(o.filter(F.col("o_orderkey") % 2 == 1).repartition(4))
+    try:
+        t.append(
+            o.limit(50).withColumn("o_year", F.lit(1900)),
+        )
+        raise AssertionError("wrong generated values must be refused")
+    except DeltaProtocolError:
+        pass
+    return (
+        t.snapshot()
+        .groupBy(F.col("o_year").cast("int").alias("o_year"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
+    )

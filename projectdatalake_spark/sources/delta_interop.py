@@ -799,7 +799,17 @@ class DeltaTable:
         configuration: dict | None = None,
         name: str | None = None,
         bloom_by: tuple[str, ...] = (),
+        generated: dict[str, str] | None = None,
     ) -> "DeltaTable":
+        """``generated={col: sql_expr}`` declares GENERATED columns
+        (protocol "Generated Columns": the expression is stored as
+        ``delta.generationExpression`` in the field's schema metadata and
+        the table requires minWriterVersion 4). The incoming frame omits
+        the generated columns — they are computed here, MATERIALIZED into
+        the data files (Delta stores generated values physically; readers
+        never re-derive), and every later append either recomputes them
+        or has its caller-supplied values validated against the
+        expression (writer contract)."""
         t = cls(spark, root)
         if t.exists():
             raise DeltaCommitConflict(f"Delta table already exists at {root}")
@@ -807,25 +817,79 @@ class DeltaTable:
         if bloom_by:
             cfg[_BLOOM_CONF_KEY] = ",".join(bloom_by)
         t._pending_bloom = tuple(bloom_by)
+        gen = dict(generated or {})
+        for col, expr in gen.items():
+            if col in df.columns:
+                raise DeltaProtocolError(
+                    f"generated column {col!r} must not be in the CREATE "
+                    f"frame — it is computed from ({expr})"
+                )
+            df = df.withColumn(col, F.expr(expr))
+        schema_json = json.loads(df.schema.json())
+        for f in schema_json["fields"]:
+            if f["name"] in gen:
+                f.setdefault("metadata", {})
+                f["metadata"]["delta.generationExpression"] = gen[f["name"]]
         adds = t._stage(df, tuple(partition_by))
         meta = {
             "id": str(uuid.uuid4()),
             "format": {"provider": "parquet", "options": {}},
-            "schemaString": df.schema.json(),
+            "schemaString": json.dumps(schema_json),
             "partitionColumns": list(partition_by),
             "configuration": cfg,
             "createdTime": int(time.time() * 1000),
         }
         if name:
             meta["name"] = name
+        writer_v = 4 if gen else 2
         actions = [
             {"commitInfo": t._commit_info("CREATE TABLE AS SELECT")},
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": writer_v}},
             {"metaData": meta},
             *({"add": a} for a in adds),
         ]
         t._publish(0, actions)
         return t
+
+    @staticmethod
+    def _generated_of(meta: dict) -> dict[str, str]:
+        """{column: generation expression} from the schema's field
+        metadata (protocol key ``delta.generationExpression``)."""
+        out: dict[str, str] = {}
+        for f in json.loads(meta["schemaString"]).get("fields", []):
+            expr = (f.get("metadata") or {}).get("delta.generationExpression")
+            if expr is not None:
+                out[f["name"]] = expr
+        return out
+
+    def generated_columns(self) -> dict[str, str]:
+        return self._generated_of(self._state()["metaData"])
+
+    def _apply_generated(self, df: DataFrame, meta: dict) -> DataFrame:
+        """Writer-side generated-column contract: absent columns are
+        COMPUTED (cast to the declared type); present columns are
+        VALIDATED against the expression with a short-circuit limit(1)
+        probe (a writer supplying wrong values would corrupt every
+        reader that trusts the invariant, e.g. partition pruning on a
+        generated partition column)."""
+        gen = self._generated_of(meta)
+        if not gen:
+            return df
+        schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        typ = {f.name: f.dataType for f in schema.fields}
+        for col, expr in gen.items():
+            if col not in df.columns:
+                df = df.withColumn(col, F.expr(expr).cast(typ[col]))
+            elif (
+                df.filter(f"NOT ({col} <=> CAST(({expr}) AS {typ[col].simpleString()}))")
+                .limit(1)
+                .count()
+            ):
+                raise DeltaProtocolError(
+                    f"rows contradict generated column {col!r} = ({expr}) "
+                    f"— write refused"
+                )
+        return df
 
     def _commit_info(self, op: str, params: dict | None = None) -> dict:
         return {
@@ -1193,6 +1257,7 @@ class DeltaTable:
         )
         if phys_of and cm_mode != "name":
             self._refuse_mapped(meta, "append")
+        df = self._apply_generated(df, meta)
         cur_schema = StructType.fromJson(json.loads(meta["schemaString"]))
         known = {f.name for f in cur_schema.fields}
         new_fields = [f for f in df.schema.fields if f.name not in known]

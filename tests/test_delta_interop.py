@@ -1026,3 +1026,67 @@ def test_optimize_hilbert_curve_skipping(spark, root):
     assert info["operationParameters"]["clusteringCurve"] == "hilbert"
     with pytest.raises(ValueError, match="unknown clustering curve"):
         t.optimize(zorder_by=("x", "y"), curve="peano")
+
+
+def test_generated_columns_lifecycle(spark, root):
+    """Generated columns (protocol delta.generationExpression): computed
+    and MATERIALIZED at create, recomputed on appends that omit them,
+    validated (and refused) on appends that contradict them, declared in
+    schema metadata with minWriterVersion 4."""
+    base = _df(spark, 0, 40)
+    t = DeltaTable.create(
+        spark, root, base, generated={"dbl": "val * 2.0", "par": "id % 4"}
+    )
+    assert t.generated_columns() == {"dbl": "val * 2.0", "par": "id % 4"}
+    # protocol gate recorded
+    with open(os.path.join(root, "_delta_log",
+                           "00000000000000000000.json")) as f:
+        actions = [json.loads(l) for l in f if l.strip()]
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert proto["minWriterVersion"] == 4
+    meta = next(a["metaData"] for a in actions if "metaData" in a)
+    fields = {f["name"]: f for f in json.loads(meta["schemaString"])["fields"]}
+    assert fields["dbl"]["metadata"]["delta.generationExpression"] == "val * 2.0"
+
+    # append WITHOUT the generated columns: computed by the writer
+    t.append(_df(spark, 40, 60))
+    got = {r.id: (r.dbl, r.par) for r in t.snapshot().collect()}
+    assert len(got) == 60
+    assert all(got[i] == (i * 2.5 * 2.0, i % 4) for i in got)
+
+    # append WITH correct caller-supplied values: accepted
+    ok = _df(spark, 60, 70).withColumn("dbl", F.col("val") * 2.0).withColumn(
+        "par", F.col("id") % 4
+    )
+    t.append(ok)
+    assert t.snapshot().count() == 70
+
+    # append contradicting the expression: refused atomically
+    bad = _df(spark, 70, 80).withColumn("dbl", F.lit(-1.0)).withColumn(
+        "par", F.col("id") % 4
+    )
+    with pytest.raises(DeltaProtocolError, match="generated column"):
+        t.append(bad)
+    assert t.snapshot().count() == 70
+
+    # a CREATE frame carrying the generated column is a contract breach
+    with pytest.raises(DeltaProtocolError, match="must not be in the CREATE"):
+        DeltaTable.create(
+            spark, root + "_x",
+            _df(spark).withColumn("dbl", F.lit(0.0)),
+            generated={"dbl": "val * 2.0"},
+        )
+
+
+def test_generated_column_values_materialized(spark, root):
+    """Generated values live IN the data files (spec: readers never
+    re-derive) — prove it by reading a data file raw, bypassing the
+    Delta layer entirely."""
+    t = DeltaTable.create(
+        spark, root, _df(spark, 0, 20), generated={"dbl": "val * 2.0"}
+    )
+    add = t.files()[0]
+    raw = spark.read.parquet(os.path.join(root, add["path"]))
+    assert "dbl" in raw.columns
+    r = raw.select("id", "dbl").first()
+    assert r.dbl == r.id * 2.5 * 2.0
