@@ -157,12 +157,26 @@ EXTENDED = [
     "txlog_incremental_join_cdc",
     # round 6
     "semantic_dedup_apply_only",
+    "dedup_minhash_apply",
+    "ann_topk_ivf_seeded",
+    "corpus_dup_ngrams",
+    "text_bigram_logprob",
+    "mixture_temperature_sample",
+    "curriculum_quality_phases",
+    "win_cumulative_distinct",
+    "streaks_gaps_islands",
+    "attribution_last_touch",
+    "agg_weighted_median",
+    "rolling_corr_pairs",
+    "txlog_check_constraint",
+    "iceberg_branch_tag",
+    "delta_generated_column",
 ]
 
 # Apply-only rungs measure STEADY-STATE cost: their fit-once index builds
 # (untimed) on a warm call first, so the timed number is the recurring
 # per-batch cost the 100 TB amortization claim is about — not the fit.
-WARM_FIRST = {"semantic_dedup_apply_only"}
+WARM_FIRST = {"semantic_dedup_apply_only", "dedup_minhash_apply"}
 
 HEADLINE = [
     # relational / analytic core

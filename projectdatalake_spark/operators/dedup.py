@@ -405,6 +405,109 @@ def minhash_lsh_pairs(
 _LIVE_CACHES: list[DataFrame] = []
 
 
+def minhash_band_index(
+    df: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """The PERSISTABLE MinHash-LSH index: ``(banded, shingles)`` where
+    ``banded`` is (id, band, bkey) — one row per doc per band — and
+    ``shingles`` is (id, sh) for exact verification. Banding is a pure
+    per-doc function (xxhash family, no corpus statistics), so index
+    rows never change once written: store ``banded`` partitioned by
+    band / bucketed by bkey and ``shingles`` bucketed by id, and
+    incremental batches (``minhash_lsh_apply_batch``) touch only their
+    own buckets. This is the dedup-ladder twin of the SemDeDup frozen
+    cell index and the ivf_index/ivf_search split: build once, amortize
+    across every future ingest batch."""
+    rows_per_band = num_hashes // bands
+    sh_df = shingle_sets(df, text_col, id_col, n)
+    sigs = minhash_from_shingles(sh_df, num_hashes, id_col)
+    band_keys = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.withColumn("band_key", band_keys).select(
+        F.col(id_col), F.posexplode("band_key").alias("band", "bkey")
+    )
+    return banded, sh_df
+
+
+def minhash_lsh_apply_batch(
+    index_banded: DataFrame,
+    index_shingles: DataFrame,
+    batch: DataFrame,
+    threshold: float,
+    num_hashes: int = 32,
+    bands: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """INCREMENTAL MinHash-LSH: near-dup pairs involving ONLY the new
+    batch, against a frozen band index — per-batch cost tracks the
+    batch (its band rows join the index's matching buckets), never the
+    corpus. Batch ids must exceed all indexed ids (append-only
+    contract, same as semantic_dedup_apply_batch).
+
+    Exactness: banding is deterministic per doc, so
+    ``pairs(base) ∪ apply(batch).pairs == pairs(base ∪ batch)`` EXACTLY
+    — gated in tests/test_accuracy_gates.py. Returns ``(pairs,
+    batch_banded, batch_shingles)``; append the latter two to the index
+    for the next batch.
+
+    100 TB: the candidate join's right side is the BATCH's band rows;
+    with the index stored bucketed by (band, bkey) the join prunes to
+    touched buckets, and verification joins batch shingles (small)
+    against only candidate ids from the index."""
+    b_banded, b_sh = minhash_band_index(
+        batch, num_hashes, bands, text_col, id_col, n
+    )
+    all_banded = index_banded.unionByName(b_banded)
+    right = b_banded.select(
+        F.col("band").alias("band_b"),
+        F.col("bkey").alias("bkey_b"),
+        F.col(id_col).alias("id_b"),
+    )
+    candidates = (
+        all_banded.select(
+            "band", "bkey", F.col(id_col).alias("id_a")
+        )
+        .join(
+            right,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("bkey") == F.col("bkey_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    all_sh = index_shingles.unionByName(b_sh)
+    pairs = (
+        candidates.join(
+            all_sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            b_sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+        .select(
+            "id_a", "id_b", _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return pairs, b_banded, b_sh
+
+
 def _release_caches() -> None:
     while _LIVE_CACHES:
         try:

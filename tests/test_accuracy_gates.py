@@ -551,3 +551,33 @@ def test_pca_matches_numpy_exactly(spark):
     # variance actually concentrates (sanity: top-8 ≥ uniform share)
     total_var = evals.sum()
     assert ev.sum() > 8 / 64 * total_var
+
+
+def test_minhash_incremental_exact_equality(spark):
+    """Incremental MinHash-LSH == one-shot, EXACTLY: banding is a pure
+    per-doc hash function, so the one-shot pair set over base ∪ batch
+    must equal base-only pairs ∪ apply_batch(batch) pairs — no
+    approximation is introduced by going incremental (unlike the LSH
+    miss rate itself, which both forms share identically)."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cut = ids[int(len(ids) * 0.85)]
+    base = docs.filter(F.col("doc_id") < cut)
+    batch = docs.filter(F.col("doc_id") >= cut)
+
+    want = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    base_pairs = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(base, threshold=0.5).collect()
+    }
+    banded, sh = D.minhash_band_index(base)
+    pairs, b_banded, b_sh = D.minhash_lsh_apply_batch(
+        banded, sh, batch, threshold=0.5
+    )
+    got = base_pairs | {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == want
+    # the apply side introduces no prior-prior pairs (id_b is batch-only)
+    assert all(b >= cut for _, b in got - base_pairs)
