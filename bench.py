@@ -171,6 +171,11 @@ EXTENDED = [
     "txlog_check_constraint",
     "iceberg_branch_tag",
     "delta_generated_column",
+    "iceberg_partitions_meta",
+    "customer_rfm_segments",
+    "intervals_merge_overlaps",
+    "join_null_safe",
+    "graph_degree_histogram",
 ]
 
 # Apply-only rungs measure STEADY-STATE cost: their fit-once index builds

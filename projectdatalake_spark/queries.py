@@ -11145,3 +11145,272 @@ def dedup_minhash_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "iceberg_partitions_meta",
+    oracle="""
+    SELECT o_orderpriority, 1 AS file_count,
+           CAST(count(*) AS BIGINT) AS record_count
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def iceberg_partitions_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg METADATA TABLES (``inspect('partitions')``, the
+    ``table$partitions`` family): per-partition file/row rollups read
+    from the MANIFESTS alone — zero data files opened. The query
+    hash-matching SQL over the data proves the manifests' record_count
+    bookkeeping is truthful, which is the foundation every metadata-only
+    answer (COUNT(*) pushdown, partition skew audits, small-file
+    detection) stands on. The create repartitions by the partition
+    column into one task each, so file_count is deterministically 1 per
+    partition. 100 TB: this is HOW a petabyte table is audited — O(
+    manifest entries), never O(data)."""
+    import tempfile
+
+    from projectdatalake_spark.sources.iceberg_interop import IcebergTable
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    root = tempfile.mkdtemp(prefix="ice_meta_")
+    t = IcebergTable.create(
+        spark, root,
+        o.repartition(1),
+        partition_by=("o_orderpriority",),
+    )
+    p = t.inspect("partitions")
+    return p.select(
+        F.get_json_object("partition", "$.o_orderpriority").alias(
+            "o_orderpriority"
+        ),
+        F.col("file_count").cast("int").alias("file_count"),
+        "record_count",
+    )
+
+
+# =========================================================================
+# Round-6 Wave D: RFM segmentation, interval overlap-merge, null-safe
+# joins, degree distributions.
+# =========================================================================
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS frequency,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey,
+             ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r,
+             ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+             ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m
+      FROM rfm
+    )
+    SELECT r, f, m, CAST(count(*) AS BIGINT) AS n_customers
+    FROM scored GROUP BY r, f, m
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — recency/frequency/monetary quartiles per
+    customer, the canonical marketing-analytics cube: one aggregate to
+    customer grain, three independent NTILE windows (each with a
+    deterministic id tie-break so segment assignment is reproducible),
+    one rollup of segment sizes. 100 TB: the windows run over the
+    CUSTOMER-grain frame (orders of magnitude smaller than the fact
+    table); for true web-scale customer counts swap NTILE for
+    approx-percentile cut points, same as the curriculum query notes."""
+    o = _t(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum(F.col("o_totalprice")).alias("monetary"),
+    )
+    scored = rfm.select(
+        "o_custkey",
+        F.ntile(4).over(
+            Window.orderBy(F.col("last_order").desc(), "o_custkey")
+        ).alias("r"),
+        F.ntile(4).over(
+            Window.orderBy(F.col("frequency").desc(), "o_custkey")
+        ).alias("f"),
+        F.ntile(4).over(
+            Window.orderBy(F.col("monetary").desc(), "o_custkey")
+        ).alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@query(
+    "intervals_merge_overlaps",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS s,
+             CAST(ts AS TIMESTAMP) + INTERVAL 10 MINUTE AS e,
+             event_id
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, s, e, event_id,
+             CASE WHEN s > max(e) OVER (
+                    PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  OR max(e) OVER (
+                    PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM iv
+    ),
+    grp AS (
+      SELECT user_id, s, e,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY s, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      FROM marked
+    )
+    SELECT user_id, CAST(count(DISTINCT g) AS BIGINT) AS n_merged,
+           CAST(sum(epoch_us(span_e) - epoch_us(span_s)) AS BIGINT)
+             AS covered_micros
+    FROM (
+      SELECT user_id, g, min(s) AS span_s, max(e) AS span_e
+      FROM grp GROUP BY user_id, g
+    ) spans
+    GROUP BY user_id
+    """,
+)
+def intervals_merge_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL OVERLAP-MERGE (the union-of-intervals problem): each
+    event opens a 10-minute interval; overlapping intervals per user
+    coalesce into spans, reporting span count and total covered time —
+    the gaps-and-islands sibling for RANGES (device uptime, ad
+    exposure, incident windows). The rewrite is the classic sweep: an
+    interval starts a NEW span iff its start exceeds the running max of
+    all previous ends (window max with a 1-PRECEDING frame), then a
+    running sum of those flags names the span. Two windows + two
+    aggregates, all partitioned by user — no self-join, no interval
+    pair explosion, linear at any scale."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = ev.withColumn("prev_max_e", F.max("e").over(w_prev)).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")), 1
+        ).otherwise(0),
+    )
+    w_grp = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grp = marked.withColumn("g", F.sum("is_new").over(w_grp))
+    spans = grp.groupBy("user_id", "g").agg(
+        F.min("s").alias("span_s"), F.max("e").alias("span_e")
+    )
+    return spans.groupBy("user_id").agg(
+        F.countDistinct("g").alias("n_merged"),
+        F.sum(
+            F.unix_micros(F.col("span_e").cast("timestamp"))
+            - F.unix_micros(F.col("span_s").cast("timestamp"))
+        ).alias("covered_micros"),
+    )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH l AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE o_orderkey % 5 END AS k
+      FROM orders
+    ),
+    r AS (
+      SELECT CASE WHEN n % 3 = 0 THEN NULL ELSE n % 5 END AS k,
+             n AS tag
+      FROM (SELECT unnest(generate_series(0, 8)) AS n)
+    )
+    SELECT coalesce(CAST(l.k AS VARCHAR), '(null)') AS k,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    GROUP BY 1
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-SAFE equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other, unlike plain '=' which silently drops every
+    null-keyed row from an inner join — the semantics dimension-key
+    joins with 'unknown' buckets need (sql_not_in_nulls' sibling
+    witness). The plan still hash-partitions on the key (null-safe
+    equality is hashable: NULL gets its own bucket), so the join stays
+    a shuffle join, not a cartesian — Catalyst handles <=> as an
+    equi-join predicate, which is exactly why this form beats the
+    coalesce-to-sentinel workaround that risks sentinel collisions."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+            F.col("o_orderkey") % 5
+        ).alias("k"),
+    )
+    r = spark.range(9).select(
+        F.when(F.col("id") % 3 == 0, F.lit(None)).otherwise(
+            F.col("id") % 5
+        ).alias("k"),
+        F.col("id").alias("tag"),
+    )
+    j = o.join(r, o["k"].eqNullSafe(r["k"]))
+    return j.groupBy(
+        F.coalesce(o["k"].cast("string"), F.lit("(null)")).alias("k")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@query(
+    "graph_degree_histogram",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+             greatest(a.l_partkey, b.l_partkey) AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+      GROUP BY node
+    )
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph — the first question
+    asked of any large graph (skew! a power-law tail is why the
+    triangle counter degree-orients and why joins on raw adjacency
+    salt). Edge derivation matches operators/graph.copurchase_edges
+    (parts co-occurring in an order, deduped, small-id-first); degrees
+    are one hash aggregate over the doubled edge list, the histogram a
+    second. Both shuffles are on integer keys — linear, and the
+    histogram output is degree-bounded regardless of graph size."""
+    from projectdatalake_spark.operators import graph as G
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e = G.copurchase_edges(li)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))

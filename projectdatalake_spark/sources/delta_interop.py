@@ -96,6 +96,22 @@ def _unquote_path(p: str) -> str:
     return urllib.parse.unquote(p)
 
 
+def _file_path_raw(col):
+    """``_metadata.file_path`` as a RAW filesystem path (executor-side
+    expression): strip the scheme, then percent-decode — the URI form is
+    percent-encoded (space-valued hive partitions arrive as %20) while
+    add actions resolve to raw paths; comparing the two forms silently
+    unmatches every file under such a partition (DV masks not applied,
+    merge touch detection missing files → duplicate keys). ``url_decode``
+    is form-decoding ('+' → space), so literal '+' is protected to %2B
+    first (URI path encoding never emits a bare '+' for a space)."""
+    return F.url_decode(
+        F.regexp_replace(
+            F.regexp_replace(col, "^file:", ""), r"\+", "%2B"
+        )
+    )
+
+
 def _stats_scalar(v):
     """JSON-encodable stats value (Delta stats are plain JSON)."""
     import datetime
@@ -652,7 +668,7 @@ class DeltaTable:
             for ri in self._dv_deleted_rows(a["deletionVector"]):
                 pairs.append((path, ri))
         df = df.withColumn(
-            "__fp", F.regexp_replace(F.col("_metadata.file_path"), "^file:", "")
+            "__fp", _file_path_raw(F.col("_metadata.file_path"))
         ).withColumn("__ri", F.col("_metadata.row_index"))
         if pairs:
             deleted = self.spark.createDataFrame(pairs, "__fp string, __ri long")
@@ -1003,17 +1019,15 @@ class DeltaTable:
         # part-file basenames across partition dirs, and basename keying
         # attributes one file's stats to its same-named siblings → WRONG
         # min/max skipping (dropped rows, not conservatism)
-        def _norm(p: str) -> str:
-            if p.startswith("file://"):
-                p = p[7:]
-            elif p.startswith("file:"):
-                p = p[5:]
-            return p
+        # decode the input_file_name URI side ONLY (percent-encoded
+        # partition values would never match raw listing paths — stats
+        # silently lost for e.g. 'priority=4-NOT SPECIFIED' dirs); the
+        # filesystem side gets a plain scheme strip, never a decode
         by_path = {}
         blooms_by_path: dict[str, dict] = {}
         for r in rows:
             d = r.asDict()
-            fpath = _norm(d.pop("__file"))
+            fpath = _atomic.uri_to_path(d.pop("__file"))
             stats = {
                 "numRecords": d["__n"],
                 "minValues": {},
@@ -1038,7 +1052,7 @@ class DeltaTable:
                     blooms[c] = f"{bits:x}"
             blooms_by_path[fpath] = blooms
         for a in adds:
-            abs_p = _norm(self._abs_data_path(a["path"]))
+            abs_p = _atomic.strip_file_scheme(self._abs_data_path(a["path"]))
             if abs_p in by_path:
                 a["stats"] = json.dumps(by_path[abs_p], separators=(",", ":"))
             blooms = blooms_by_path.get(abs_p)
@@ -1495,8 +1509,7 @@ class DeltaTable:
                 )
                 if with_path:
                     df = df.withColumn(
-                        "__mpath",
-                        F.regexp_replace(F.col("_metadata.file_path"), "^file:", ""),
+                        "__mpath", _file_path_raw(F.col("_metadata.file_path"))
                     )
                 dv_adds = [a for a in group if a.get("deletionVector")]
                 if dv_adds:
@@ -1730,7 +1743,11 @@ class DeltaTable:
             return None
         new_by_file: dict[str, set[int]] = {}
         for r in hit_rows:
-            new_by_file.setdefault(r["fp"], set()).add(r["ri"])
+            # _metadata.file_path is a percent-encoded URI; by_abs keys
+            # are raw paths — decode or space-valued partitions KeyError
+            new_by_file.setdefault(_atomic.uri_to_path(r["fp"]), set()).add(
+                r["ri"]
+            )
         now = int(time.time() * 1000)
         actions: list[dict] = [
             {"commitInfo": self._commit_info("DELETE", {"predicate": condition})}

@@ -427,6 +427,22 @@ def _spec_part_fields(meta: dict, spec: dict) -> list[dict]:
     return out
 
 
+def _file_path_raw(col):
+    """``_metadata.file_path`` as a RAW filesystem path (executor-side):
+    strip the scheme, then percent-decode — the URI form is
+    percent-encoded (space-valued hive partitions arrive as %20) while
+    manifests record raw paths, and the spec requires position-delete
+    file_path values to EQUAL the manifest form. ``url_decode`` is
+    form-decoding ('+' → space), so literal '+' is protected to %2B
+    first (URI path encoding never emits a bare '+' for a space)."""
+    c = col if not isinstance(col, str) else F.col(col)
+    return F.url_decode(
+        F.regexp_replace(
+            F.regexp_replace(c, "^file:", ""), r"\+", "%2B"
+        )
+    )
+
+
 def _ntz_epoch_micros(col):
     """Naive-UTC epoch micros of a TIMESTAMP_NTZ column, computed purely
     from its (timezone-free) wall-clock fields — a cast to TIMESTAMP would
@@ -1170,11 +1186,13 @@ class IcebergTable:
             # applied as a distributed anti-join on the parquet metadata
             # row index — merge-on-read, no data rewritten, executor-side
             del_paths = [e["data_file"]["file_path"] for e in pos_entries]
+            # delete files record RAW manifest-form paths (spec); older
+            # encoded-form rows decode to the same raw path either way
             deletes_df = (
                 self.spark.read.schema("file_path string, pos long")
                 .parquet(*del_paths)
                 .select(
-                    F.regexp_replace("file_path", "^file:", "").alias("__fp"),
+                    _file_path_raw("file_path").alias("__fp"),
                     F.col("pos").alias("__ri"),
                 )
             )
@@ -1188,8 +1206,7 @@ class IcebergTable:
             if deletes_df is not None:
                 df = (
                     df.withColumn(
-                        "__fp",
-                        F.regexp_replace(F.col("_metadata.file_path"), "^file:", ""),
+                        "__fp", _file_path_raw(F.col("_metadata.file_path"))
                     )
                     .withColumn("__ri", F.col("_metadata.row_index"))
                     .join(deletes_df, on=["__fp", "__ri"], how="left_anti")
@@ -1463,7 +1480,10 @@ class IcebergTable:
             )
             for r in rows:
                 d = r.asDict()
-                key = d["__file"].replace("file://", "").replace("file:", "")
+                # decode the input_file_name URI: partition values with
+                # spaces arrive percent-encoded and would never match the
+                # raw listing paths (record_count 0, bounds lost)
+                key = _atomic.uri_to_path(d["__file"])
                 counts[key] = d["__n"]
                 bounds_by_file[key] = {
                     c: (d[f"min__{c}"], d[f"max__{c}"]) for c in bcols
@@ -2416,9 +2436,10 @@ class IcebergTable:
                 df = df.withColumn(col, F.lit(val).cast(ptypes[col]))
             pair_frames.append(
                 df.filter(condition).select(
-                    F.regexp_replace(
-                        F.col("_metadata.file_path"), "^file:", ""
-                    ).alias("file_path"),
+                    # spec: file_path must equal the manifest's raw form
+                    _file_path_raw(F.col("_metadata.file_path")).alias(
+                        "file_path"
+                    ),
                     F.col("_metadata.row_index").alias("pos"),
                 )
             )
@@ -2439,7 +2460,7 @@ class IcebergTable:
             if p.getName().endswith(".parquet"):
                 del_files.append((p.toUri().getPath(), status.getLen()))
         counts = {
-            r["__file"].replace("file://", "").replace("file:", ""): r["count"]
+            _atomic.uri_to_path(r["__file"]): r["count"]
             for r in self.spark.read.parquet(*[f for f, _ in del_files])
             .withColumn("__file", F.input_file_name())
             .groupBy("__file")
@@ -2585,7 +2606,7 @@ class IcebergTable:
             if p.getName().endswith(".parquet"):
                 del_files.append((p.toUri().getPath(), status.getLen()))
         counts = {
-            r["__file"].replace("file://", "").replace("file:", ""): r["count"]
+            _atomic.uri_to_path(r["__file"]): r["count"]
             for r in self.spark.read.parquet(*[f for f, _ in del_files])
             .withColumn("__file", F.input_file_name())
             .groupBy("__file")

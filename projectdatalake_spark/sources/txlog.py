@@ -1232,19 +1232,18 @@ class TxTable:
         # basename-keyed map silently attributes one file's stats to all
         # of its same-named siblings — which makes min/max skipping drop
         # the wrong files (data loss, not conservatism).
-        def _norm(p: str) -> str:
-            if p.startswith("file://"):
-                p = p[7:]
-            elif p.startswith("file:"):
-                p = p[5:]
-            return p
+        # decode the input_file_name URI side ONLY (percent-encoded
+        # partition values would never match raw listing paths — stats
+        # silently lost for e.g. 'priority=4-NOT SPECIFIED' dirs); the
+        # filesystem side gets a plain scheme strip, never a decode (a
+        # raw path can legitimately contain %XX from hive escaping)
         by_path: dict[str, dict] = {}
         dicts_by_path: dict[str, dict] = {}
         blooms_by_path: dict[str, dict] = {}
         nrec_by_path: dict[str, int] = {}
         for r in rows:
             d = r.asDict()
-            fpath = _norm(d.pop("__file"))
+            fpath = _atomic.uri_to_path(d.pop("__file"))
             nrec_by_path[fpath] = int(d.pop("__nrec"))
             stats = {}
             for c in cols:
@@ -1268,7 +1267,7 @@ class TxTable:
                     blooms[c] = f"{bits:x}"
             blooms_by_path[fpath] = blooms
         for a in adds:
-            abs_p = _norm(self._data_path(a))
+            abs_p = _atomic.strip_file_scheme(self._data_path(a))
             if abs_p in nrec_by_path:
                 a["numRecords"] = nrec_by_path[abs_p]
             stats = by_path.get(abs_p)
@@ -1992,18 +1991,17 @@ class TxTable:
 
         # map by FULL path, never basename — partitioned writes reuse part
         # file basenames across partition dirs, and a basename map would
-        # mark the wrong sibling as touched
-        def _norm(p: str) -> str:
-            if p.startswith("file://"):
-                return p[7:]
-            if p.startswith("file:"):
-                return p[5:]
-            return p
-
+        # mark the wrong sibling as touched. The hit paths come from
+        # _metadata.file_path (a percent-encoded URI) while _data_path
+        # yields raw filesystem paths: decode the URI side only, or
+        # space-valued partitions KeyError here.
         by_abs = {
-            _norm(self._data_path(a)): a["path"] for a in self._active_files()
+            _atomic.strip_file_scheme(self._data_path(a)): a["path"]
+            for a in self._active_files()
         }
-        touched_rel = sorted(by_abs[_norm(p)] for p in touched_abs)
+        touched_rel = sorted(
+            by_abs[_atomic.uri_to_path(p)] for p in touched_abs
+        )
         dv_rel = f"{_DV_DIR}/{stage_id}.parquet"
         it = fs.listFiles(self._path(stage_dir), True)
         moved = False

@@ -133,11 +133,19 @@ def _schema_fields(commits: list[dict]) -> list[tuple[str, str]]:
 def _norm_path(p: str) -> str:
     """Normalize a possibly-URI file path to a resolved absolute path so
     deletion-vector masks match by EQUALITY, not suffix — two clone roots
-    with identical basenames can never cross-attribute masked rows."""
+    with identical basenames can never cross-attribute masked rows.
+
+    DV parquet rows record ``_metadata.file_path`` URIs, which are
+    PERCENT-ENCODED (a space-valued hive partition arrives as %20) —
+    decode before resolving, or the mask comparison silently fails and
+    the reader drops the file's rows entirely."""
     if p.startswith("file:"):
+        from urllib.parse import unquote
+
         p = p[5:]
         while p.startswith("//"):
             p = p[1:]
+        p = unquote(p)
     return os.path.realpath(p)
 
 

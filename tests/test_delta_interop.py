@@ -1090,3 +1090,22 @@ def test_generated_column_values_materialized(spark, root):
     assert "dbl" in raw.columns
     r = raw.select("id", "dbl").first()
     assert r.dbl == r.id * 2.5 * 2.0
+
+
+def test_space_partition_stats_and_dv(spark, root):
+    """Percent-encoding regression (round 6): add-action stats must
+    attach for space-valued partitions and the DV writer must resolve
+    hit files (encoded-URI keyed lookup used to KeyError)."""
+    df = (
+        spark.range(40)
+        .withColumn("seg", F.when(F.col("id") % 2 == 0, "A B").otherwise("C D"))
+        .withColumn("val", F.col("id") * 1.5)
+        .repartition(2)
+    )
+    t = DeltaTable.create(spark, root, df, partition_by=("seg",))
+    stats = [json.loads(a["stats"]) for a in t.files() if a.get("stats")]
+    assert stats and sum(s["numRecords"] for s in stats) == 40, stats
+    v = t.delete_where_dv("id < 10")
+    assert v is not None
+    assert t.snapshot().count() == 30
+    assert {r.id for r in t.snapshot().select("id").collect()} == set(range(10, 40))

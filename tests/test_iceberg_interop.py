@@ -1348,3 +1348,34 @@ def test_rewrite_zorder_clusters_and_prunes_both_columns(spark, root):
         assert got == sum(1 for _, a, _b in rows if a <= 99)
     with pytest.raises(ValueError, match="unknown clustering curve"):
         t.rewrite_data_files(zorder_by=("a", "b"), curve="peano")
+
+
+def test_space_partition_record_counts_and_deletes(spark, root):
+    """Percent-encoding regression (round 6): input_file_name /
+    _metadata.file_path return ENCODED URIs, so partition values with
+    spaces used to land record_count=0 in manifests (stats map keyed by
+    the encoded form, looked up by the raw form) and position deletes
+    stored encoded paths. Manifest bookkeeping must be truthful and
+    deletes must apply for 'A B'-style partition values."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(40)
+        .withColumn("seg", F.when(F.col("id") % 2 == 0, "A B").otherwise("C D"))
+        .withColumn("val", F.col("id") * 1.5)
+        .repartition(2)
+    )
+    t = IcebergTable.create(spark, root, df, partition_by=("seg",))
+    parts = {
+        r["partition"]: r["record_count"]
+        for r in t.inspect("partitions").collect()
+    }
+    assert sum(parts.values()) == 40, parts
+    assert all(v > 0 for v in parts.values()), parts
+    # file bounds attached → stats pruning works on the space partition
+    files = t.inspect("files").collect()
+    assert all(f["record_count"] > 0 for f in files)
+    # position delete on rows inside a space-valued partition
+    t.delete_where("id < 10")
+    assert t.snapshot().count() == 30
+    assert {r.id for r in t.snapshot().select("id").collect()} == set(range(10, 40))

@@ -1356,3 +1356,27 @@ def test_hilbert_prunes_at_least_as_tight_as_z_on_average(spark, tmp_path):
             len(t.snapshot(where=box).inputFiles()) for box in boxes
         )
     assert reads["hilbert"] <= reads["z"] + 2, reads
+
+
+def test_space_partition_stats_and_dv(spark, tmp_path):
+    """Percent-encoding regression (round 6): stats/bloom/numRecords must
+    attach for partition dirs with spaces, and DV deletes must resolve
+    the touched files (the encoded-URI lookup used to KeyError)."""
+    from pyspark.sql import functions as F
+
+    from projectdatalake_spark.sources.txlog import TxTable
+
+    df = (
+        spark.range(40)
+        .withColumn("seg", F.when(F.col("id") % 2 == 0, "A B").otherwise("C D"))
+        .withColumn("val", F.col("id") * 1.5)
+        .repartition(2)
+    )
+    t = TxTable.create(spark, str(tmp_path / "t"), df, partition_by=("seg",))
+    adds = t._active_files()
+    assert adds and all(a.get("numRecords", 0) > 0 for a in adds), adds
+    assert any(a.get("stats") for a in adds)
+    v = t.delete_where_dv("id < 10")
+    assert v is not None
+    assert t.snapshot().count() == 30
+    assert {r.id for r in t.snapshot().select("id").collect()} == set(range(10, 40))
