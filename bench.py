@@ -176,6 +176,10 @@ EXTENDED = [
     "intervals_merge_overlaps",
     "join_null_safe",
     "graph_degree_histogram",
+    "basket_lift_pairs",
+    "agg_mode_per_group",
+    "anomaly_mad_robust",
+    "orders_backlog_running",
 ]
 
 # Apply-only rungs measure STEADY-STATE cost: their fit-once index builds

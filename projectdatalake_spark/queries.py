@@ -11414,3 +11414,250 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("degree"))
     )
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+# =========================================================================
+# Round-6 Wave E: market-basket lift, mode aggregate, robust MAD
+# anomalies, running order backlog.
+# =========================================================================
+
+
+@query(
+    "basket_lift_pairs",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders
+          FROM op),
+    pc AS (
+      SELECT l_partkey, CAST(count(*) AS DOUBLE) AS n_p
+      FROM op GROUP BY l_partkey
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS support_ab
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    )
+    SELECT p.part_a, p.part_b, p.support_ab,
+           round(p.support_ab * n.n_orders / (ca.n_p * cb.n_p), 6) AS lift,
+           round(p.support_ab / ca.n_p, 6) AS confidence
+    FROM pairs p
+    JOIN pc ca ON ca.l_partkey = p.part_a
+    JOIN pc cb ON cb.l_partkey = p.part_b
+    CROSS JOIN n
+    """,
+)
+def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: support / confidence / lift for
+    part pairs co-purchased in one order (lift > 1 = genuinely
+    associated, the recommender bootstrap). The pair join is quadratic
+    WITHIN an order only — basket sizes are bounded (TPC-H ≤ 7 items),
+    so candidate volume is Σ basket² ≈ linear in orders, the same
+    bounded-block argument the dedup ladder uses. Part counts broadcast
+    (part-dimension-sized); all inputs are integer counts, so the
+    lift/confidence doubles are engine-exact before the 6dp round.
+    HAVING support ≥ 2 bounds the output to repeat pairs."""
+    op = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = op.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("n_orders")
+    )
+    pc = op.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("double").alias("n_p")
+    )
+    a = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, ["l_orderkey"])
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support_ab"))
+        .filter(F.col("support_ab") >= 2)
+    )
+    return (
+        pairs.join(
+            F.broadcast(pc.select(F.col("l_partkey").alias("part_a"),
+                                  F.col("n_p").alias("n_a"))), "part_a"
+        )
+        .join(
+            F.broadcast(pc.select(F.col("l_partkey").alias("part_b"),
+                                  F.col("n_p").alias("n_b"))), "part_b"
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a", "part_b", "support_ab",
+            F.round(
+                F.col("support_ab") * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("lift"),
+            F.round(F.col("support_ab") / F.col("n_a"), 6).alias("confidence"),
+        )
+    )
+
+
+@query(
+    "agg_mode_per_group",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ),
+    r AS (
+      SELECT o_orderstatus, o_orderpriority, n,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY n DESC, o_orderpriority) AS rk
+      FROM c
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS mode_count
+    FROM r WHERE rk = 1
+    """,
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE aggregate (most frequent value per group) with a
+    DETERMINISTIC tie-break (count desc, value asc) — built-in mode()
+    is tie-nondeterministic across engines, so the portable form is the
+    count-then-rank rewrite: one hash aggregate to (group, value)
+    grain, one per-group top-1 window (WindowGroupLimit pushes the
+    rank below the shuffle). Two shuffles on the group key, linear."""
+    c = _t(spark, sf_dir, "orders").groupBy(
+        "o_orderstatus", "o_orderpriority"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), "o_orderpriority"
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_count"),
+        )
+    )
+
+
+@query(
+    "anomaly_mad_robust",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events GROUP BY event_type, d
+    ),
+    med AS (
+      SELECT event_type, median(x) AS med FROM daily GROUP BY event_type
+    ),
+    dev AS (
+      SELECT d.event_type, d.d, d.x, m.med, abs(d.x - m.med) AS adev
+      FROM daily d JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_type, any_value(dev.med) AS med,
+           any_value(mad.mad) AS mad,
+           CAST(count(*) FILTER (
+             WHERE dev.adev > 3 * 1.4826 * mad.mad
+           ) AS BIGINT) AS n_outliers
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY dev.event_type
+    """,
+)
+def anomaly_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST anomaly detection via median absolute deviation — the
+    z-score siblings (anomaly_rolling_zscore) break when the baseline
+    itself contains outliers (mean and stddev are both polluted); MAD
+    with the 1.4826 normal-consistency constant is the standard robust
+    scale estimate. Daily counts are integers, so every median is a
+    dyadic rational (k or k.5) and |x − med| likewise — the medians and
+    the 3·1.4826·MAD threshold compare bitwise-identically across
+    engines, no rounding needed. Two grouped medians + one join, all
+    keyed by series — linear, and exact medians per SERIES are
+    calendar-bounded (swap for approx_percentile when series length
+    itself explodes)."""
+    daily = _t(spark, sf_dir, "events").groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    med = daily.groupBy("event_type").agg(F.median("x").alias("med"))
+    dev = daily.join(med, "event_type").withColumn(
+        "adev", F.abs(F.col("x") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("med").alias("med"),
+            F.any_value("mad").alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("adev") > 3 * 1.4826 * F.col("mad"), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+    )
+
+
+@query(
+    "orders_backlog_running",
+    oracle="""
+    WITH ordered AS (
+      SELECT o.o_orderdate AS d, CAST(count(*) AS BIGINT) AS n_ordered
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1
+    ),
+    shipped AS (
+      SELECT l_shipdate AS d, CAST(count(*) AS BIGINT) AS n_shipped
+      FROM lineitem GROUP BY 1
+    ),
+    spine AS (
+      SELECT d, coalesce(o.n_ordered, 0) AS n_ordered,
+             coalesce(s.n_shipped, 0) AS n_shipped
+      FROM ordered o FULL OUTER JOIN shipped s USING (d)
+    )
+    SELECT d, n_ordered, n_shipped,
+           CAST(sum(n_ordered - n_shipped) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS backlog
+    FROM spine
+    """,
+)
+def orders_backlog_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running ORDER BACKLOG — lines ordered minus lines shipped,
+    accumulated over the calendar: the inventory-balance pattern every
+    operational dashboard runs (receivables aging, queue depth, WIP).
+    Two daily aggregates, one full-outer day alignment, one running-sum
+    window over a CALENDAR-sized frame (the window input is days, not
+    rows — metadata work at any fact-table scale). Integer flows, so
+    the balance is exact."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    ordered = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_ordered"))
+    )
+    shipped = li.groupBy(F.col("l_shipdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_shipped")
+    )
+    spine = (
+        ordered.join(shipped, ["d"], "full_outer")
+        .select(
+            "d",
+            F.coalesce("n_ordered", F.lit(0)).alias("n_ordered"),
+            F.coalesce("n_shipped", F.lit(0)).alias("n_shipped"),
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return spine.select(
+        "d", "n_ordered", "n_shipped",
+        F.sum(F.col("n_ordered") - F.col("n_shipped")).over(w)
+        .cast("long").alias("backlog"),
+    )
