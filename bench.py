@@ -180,6 +180,12 @@ EXTENDED = [
     "agg_mode_per_group",
     "anomaly_mad_robust",
     "orders_backlog_running",
+    "stream_backfill_bounded_batches",
+    "txlog_incremental_distinct_cdc",
+    "txlog_incremental_topk_cdc",
+    "sql_grouping_id",
+    "ann_range_search_seeded",
+    "embedding_label_centroids",
 ]
 
 # Apply-only rungs measure STEADY-STATE cost: their fit-once index builds

@@ -11661,3 +11661,324 @@ def orders_backlog_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n_ordered") - F.col("n_shipped")).over(w)
         .cast("long").alias("backlog"),
     )
+
+
+# =========================================================================
+# Round-6 Wave F: bounded-batch backfill, incremental distinct / top-k
+# view maintenance, GROUPING_ID, seeded range search, label centroids.
+# =========================================================================
+
+
+@query(
+    "stream_backfill_bounded_batches",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_backfill_bounded_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED-BATCH BACKFILL: replay a whole table through Structured
+    Streaming in MANY micro-batches (the source is re-laid-out as 16
+    files, maxFilesPerTrigger=2 → 8 commits), exactly-once into a
+    TxTable — the production pattern for backfilling a stream pipeline
+    over historical data without one giant batch (bounded memory,
+    resumable at any batch boundary via the checkpoint). The final
+    snapshot must equal the batch aggregate: a replayed or dropped
+    micro-batch breaks the hash. This is the multi-batch proof the
+    single-batch availableNow sinks can't give — the idempotent
+    (checkpoint, batch_id) commit guard is exercised 8 times.
+
+    100 TB: maxFilesPerTrigger is THE knob that turns a backfill into
+    bounded work units; each commit is one txlog version, so progress
+    is durable and observable in the table history."""
+    import tempfile
+
+    from projectdatalake_spark.sources.txlog import TxTable, append_stream
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+    src = tempfile.mkdtemp(prefix="backfill_src_")
+    ev.repartition(16).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    root = tempfile.mkdtemp(prefix="backfill_tbl_")
+    table = TxTable.create(spark, root, spark.createDataFrame([], stream.schema))
+    ckpt = tempfile.mkdtemp(prefix="backfill_ckpt_")
+    q = append_stream(stream, table, ckpt)
+    q.awaitTermination(600)
+    assert table.latest_version() >= 8, (
+        f"expected >=8 micro-batch commits, got {table.latest_version()}"
+    )
+    return table.snapshot().groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("value")).alias("total_value"),
+    )
+
+
+@query(
+    "txlog_incremental_distinct_cdc",
+    oracle="""
+    SELECT CAST(CAST(min_ts AS DATE) AS DATE) AS d,
+           CAST(count(*) AS BIGINT) AS new_users
+    FROM (
+      SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS min_ts
+      FROM events GROUP BY user_id
+    ) GROUP BY 1
+    """,
+)
+def txlog_incremental_distinct_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL DISTINCT-COUNT maintenance from a change feed — the
+    materialized-view algebra for COUNT(DISTINCT): keep a FIRST-SEEN
+    table (user → first day); each append batch anti-joins the seen set
+    and contributes only genuinely-new users. Three append batches land
+    on a txlog table, the deltas come from changes() after each commit,
+    and the maintained first-seen state must aggregate to the full
+    recompute. 100 TB: refresh cost is O(batch × seen-probe) — with the
+    seen table bucketed by user the probe is co-partitioned — versus a
+    full re-scan per refresh; this is why growth dashboards are
+    maintainable at all. The seen table IS win_cumulative_distinct's
+    input, maintained instead of recomputed."""
+    import tempfile
+
+    from projectdatalake_spark.sources.txlog import TxTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").alias("ts")
+    )
+    third = ev.count() // 3
+    b1 = ev.filter(F.col("event_id") % 3 == 0)
+    b2 = ev.filter(F.col("event_id") % 3 == 1)
+    b3 = ev.filter(F.col("event_id") % 3 == 2)
+    root = tempfile.mkdtemp(prefix="inc_distinct_") + "/t"
+    t = TxTable.create(spark, root, b1)
+    # seen state from the initial load
+    seen = b1.groupBy("user_id").agg(F.min("ts").alias("min_ts"))
+    for batch in (b2, b3):
+        v0 = t.latest_version()
+        t.append(batch)
+        delta = t.changes(v0).drop("_commit_version", "_change_type")
+        d_firsts = delta.groupBy("user_id").agg(F.min("ts").alias("min_ts"))
+        # users already seen keep their earlier first-day; merge = union +
+        # min re-aggregate (associative — order of batches cannot matter)
+        seen = (
+            seen.unionByName(d_firsts)
+            .groupBy("user_id")
+            .agg(F.min("min_ts").alias("min_ts"))
+        )
+    return seen.groupBy(
+        F.to_date("min_ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("new_users"))
+
+
+@query(
+    "txlog_incremental_topk_cdc",
+    oracle="""
+    WITH sums AS (
+      SELECT user_id,
+             CAST(sum(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS total
+      FROM events GROUP BY user_id
+    ),
+    r AS (
+      SELECT user_id, total,
+             row_number() OVER (ORDER BY total DESC, user_id) AS rk
+      FROM sums
+    )
+    SELECT user_id, total, CAST(rk AS INT) AS rk FROM r WHERE rk <= 10
+    """,
+)
+def txlog_incremental_topk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL TOP-K maintenance: the per-user value sums are
+    maintained as a key-grain aggregate table from the change feed
+    (delta sums merge by addition — DECIMAL, so merge order cannot
+    wobble the hash), and top-10 is a window over the MAINTAINED
+    aggregate, never the fact table. Two refreshes after the initial
+    load; result must equal the full recompute. The general lesson:
+    top-k itself is not incrementally maintainable (an unseen key can
+    enter from below), but aggregate-then-rank is — the aggregate table
+    is key-grain (small), so the rank is cheap every refresh. 100 TB:
+    refresh cost tracks the batch; the rank costs |keys| log |keys|,
+    independent of fact volume."""
+    import tempfile
+
+    from projectdatalake_spark.sources.txlog import TxTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.col("value").cast("decimal(27,2)").alias("value"),
+    )
+    b1 = ev.filter(F.col("event_id") % 3 == 0)
+    b2 = ev.filter(F.col("event_id") % 3 == 1)
+    b3 = ev.filter(F.col("event_id") % 3 == 2)
+    root = tempfile.mkdtemp(prefix="inc_topk_") + "/t"
+    t = TxTable.create(spark, root, b1)
+    sums = b1.groupBy("user_id").agg(F.sum("value").alias("total"))
+    for batch in (b2, b3):
+        v0 = t.latest_version()
+        t.append(batch)
+        delta = t.changes(v0).drop("_commit_version", "_change_type")
+        d_sums = delta.groupBy("user_id").agg(F.sum("value").alias("total"))
+        sums = (
+            sums.unionByName(d_sums)
+            .groupBy("user_id")
+            .agg(F.sum("total").alias("total"))
+        )
+    w = Window.orderBy(F.col("total").desc(), "user_id")
+    return (
+        sums.select("user_id", F.col("total").cast("double").alias("total"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("user_id", "total", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+@query(
+    "sql_grouping_id",
+    oracle="""
+    SELECT coalesce(o_orderstatus, '(all)') AS status,
+           coalesce(o_orderpriority, '(all)') AS priority,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+                AS INT) AS gid,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def sql_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() disambiguation for ROLLUP levels: a NULL in a rollup
+    output is ambiguous (real NULL key vs subtotal row) — GROUPING()
+    is the standard's answer, and the gid column (grouping bits packed
+    big-endian, the GROUPING_ID convention) labels each aggregation
+    level machine-readably. The coalesce to '(all)' only works BECAUSE
+    gid separates it from a genuine '(all)' value. Same plan as any
+    rollup: one expand + one hash aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.grouping("o_orderstatus").cast("int") * 2
+                + F.grouping("o_orderpriority").cast("int")
+            ).alias("gid"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            F.col("gid").cast("int").alias("gid"),
+            "n",
+        )
+    )
+
+
+@query(
+    "ann_range_search_seeded",
+    oracle="""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 8)
+    ),
+    assigned AS (
+      SELECT e.vec_id AS neighbor_id, e.v AS c_vec,
+             (SELECT s.cell FROM seeds s
+              ORDER BY list_dot_product(e.v, s.c)
+                       / sqrt(list_dot_product(s.c, s.c)) DESC, s.cell
+              LIMIT 1) AS cell
+      FROM emb e
+    ),
+    probes AS (
+      SELECT q.vec_id AS query_id, q.v AS q_vec, s.cell
+      FROM emb q,
+           LATERAL (SELECT cell FROM seeds s
+                    ORDER BY list_dot_product(q.v, s.c)
+                             / sqrt(list_dot_product(s.c, s.c)) DESC, s.cell
+                    LIMIT 3) s
+      WHERE q.vec_id < 5
+    )
+    SELECT p.query_id, a.neighbor_id,
+           ROUND(list_dot_product(p.q_vec, a.c_vec)
+             / (sqrt(list_dot_product(p.q_vec, p.q_vec))
+                * sqrt(list_dot_product(a.c_vec, a.c_vec))), 6) AS cosine
+    FROM probes p JOIN assigned a USING (cell)
+    WHERE a.neighbor_id <> p.query_id
+      AND list_dot_product(p.q_vec, a.c_vec)
+          / (sqrt(list_dot_product(p.q_vec, p.q_vec))
+             * sqrt(list_dot_product(a.c_vec, a.c_vec))) >= 0.2
+    """,
+)
+def ann_range_search_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE similarity search (all neighbors with cosine ≥ τ, not
+    top-k) over the seeded IVF cells — the retrieval shape dedup and
+    recall-oriented RAG use, where the RESULT SIZE is data-dependent
+    and top-k would silently truncate. Probing is the same deterministic
+    3-of-8-cells rule as ann_topk_ivf_seeded, so the oracle replays the
+    probe exactly (this rung pins the probe+threshold machinery; the
+    trained rungs share it). The threshold pushes INTO the candidate
+    join as a predicate — no window, no rank: at 100 TB this is
+    strictly cheaper than top-k (no per-query sort), bounded by the
+    probed cells' volume."""
+    from pyspark.sql import Window as _W
+
+    from projectdatalake_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    full = S.topk_neighbors_ivf_seeded(
+        emb, emb.filter(F.col("vec_id") < 5), k=1_000_000, n_cells=8,
+        n_probe=3,
+    )
+    return (
+        full.filter(F.col("cosine") >= 0.2)
+        .select(
+            "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine")
+        )
+        .orderBy("query_id", "neighbor_id")
+    )
+
+
+@query(
+    "embedding_label_centroids",
+    oracle="""
+    WITH emb AS (
+      SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    el AS (
+      SELECT label, i AS pos, v[i] AS x
+      FROM emb, UNNEST(generate_series(1, len(v))) AS t(i)
+    ),
+    cent AS (
+      SELECT label, pos, avg(x) AS c FROM el GROUP BY label, pos
+    )
+    SELECT label, CAST(count(DISTINCT pos) AS INT) AS dim,
+           ROUND(sum(c * c), 4) AS centroid_sq_norm
+    FROM cent GROUP BY label
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding CENTROIDS — the class-prototype primitive
+    (nearest-centroid classification, semantic drift monitoring,
+    SemDeDup's own cells). Element-wise mean via posexplode + one hash
+    aggregate keyed (label, pos) — the scale-correct layout: no
+    array-length-wide aggregate expressions (the round-5 PCA lesson),
+    no collect. Reported as the centroid's squared norm (position-
+    summed AFTER the mean, 4dp — the per-(label,pos) avg is the only
+    order-sensitive float, ~1e-15 wobble vs the 1e-4 round). 100 TB:
+    one shuffle of (label, pos, partial-sum) pairs, mergeable
+    map-side."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    el = emb.select("label", F.posexplode("v").alias("pos0", "x")).select(
+        "label", (F.col("pos0") + 1).alias("pos"), "x"
+    )
+    cent = el.groupBy("label", "pos").agg(F.avg("x").alias("c"))
+    return cent.groupBy("label").agg(
+        F.countDistinct("pos").cast("int").alias("dim"),
+        F.round(F.sum(F.col("c") * F.col("c")), 4).alias("centroid_sq_norm"),
+    )

@@ -124,6 +124,56 @@ def main() -> None:
     out["aqp_10x"] = timed(aqp(o10))
     out["perrow_ratio_aqp"] = round(out["aqp_10x"] / 10 / out["aqp_1x"], 3)
 
+    # round-6 wave: corpus-wide dup 5-grams + bigram LM — the two ops
+    # whose frequency tables grow WITH the corpus (the axis that could
+    # go quadratic if the gram join ever became a self-join)
+    def dup_ngrams(docs_df):
+        toks = F.split(F.lower(F.col("text")), " ")
+        grams_expr = F.when(
+            F.size(toks) >= 5,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 4),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        g = docs_df.select("doc_id", F.explode(grams_expr).alias("gram"))
+        gc = g.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+        dup = F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+        return (
+            g.join(gc, "gram")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_grams"), dup.alias("dup_grams"))
+        )
+
+    def bigram_lp(docs_df):
+        toks = F.split(F.lower(F.col("text")), " ")
+        bigrams = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        )
+        b = docs_df.select("doc_id", F.explode(bigrams).alias("bg"))
+        freq = b.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
+        total = freq.agg(F.sum("cnt").alias("n"))
+        return (
+            b.join(freq, "bg")
+            .crossJoin(F.broadcast(total))
+            .groupBy("doc_id")
+            .agg(F.avg(F.log(F.col("cnt") / F.col("n"))).alias("lp"))
+        )
+
+    out["dupgrams_1x"] = timed(dup_ngrams(docs))
+    out["dupgrams_10x"] = timed(dup_ngrams(docs10))
+    out["perdoc_ratio_dupgrams"] = round(
+        out["dupgrams_10x"] / 10 / out["dupgrams_1x"], 3
+    )
+    out["bigram_1x"] = timed(bigram_lp(docs))
+    out["bigram_10x"] = timed(bigram_lp(docs10))
+    out["perdoc_ratio_bigram"] = round(
+        out["bigram_10x"] / 10 / out["bigram_1x"], 3
+    )
+
     print(json.dumps(out))
     spark.stop()
 
