@@ -186,6 +186,9 @@ EXTENDED = [
     "sql_grouping_id",
     "ann_range_search_seeded",
     "embedding_label_centroids",
+    "ts_seasonal_naive_mase",
+    "agg_contribution_pareto",
+    "path_trigram_top",
 ]
 
 # Apply-only rungs measure STEADY-STATE cost: their fit-once index builds

@@ -11982,3 +11982,194 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("pos").cast("int").alias("dim"),
         F.round(F.sum(F.col("c") * F.col("c")), 4).alias("centroid_sq_norm"),
     )
+
+
+# =========================================================================
+# Round-6 Wave G (closing): seasonal-naive baseline with MASE,
+# contribution/Pareto analysis, top event path trigrams.
+# =========================================================================
+
+
+@query(
+    "ts_seasonal_naive_mase",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events GROUP BY event_type, d
+    ),
+    lagged AS (
+      SELECT event_type, d, x,
+             lag(x, 7) OVER (PARTITION BY event_type ORDER BY d) AS x_s,
+             lag(x, 1) OVER (PARTITION BY event_type ORDER BY d) AS x_1
+      FROM daily
+    )
+    SELECT event_type,
+           CAST(count(*) FILTER (WHERE x_s IS NOT NULL) AS BIGINT)
+             AS n_scored,
+           round(avg(abs(x - x_s)) FILTER (WHERE x_s IS NOT NULL), 4)
+             AS mae_seasonal,
+           round(avg(abs(x - x_1)) FILTER (WHERE x_1 IS NOT NULL), 4)
+             AS mae_naive
+    FROM lagged GROUP BY event_type
+    """,
+)
+def ts_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL-NAIVE forecast baseline (x̂_t = x_{t-7}) scored
+    in-sample against the 1-step naive — the denominator of the MASE
+    metric every serious forecast eval uses (a model that can't beat
+    seasonal-naive shouldn't ship; Holt's forecast query gets its
+    honesty benchmark here). Two LAG windows per series + one aggregate;
+    input values are integer counts so the absolute errors are exact,
+    and avg's order wobble (~1e-15) is absorbed by the 4dp round. The
+    FILTER clause scores only rows where the lag exists — warmup rows
+    excluded identically on both engines."""
+    daily = _t(spark, sf_dir, "events").groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type", "d", "x",
+        F.lag("x", 7).over(w).alias("x_s"),
+        F.lag("x", 1).over(w).alias("x_1"),
+    )
+    return lagged.groupBy("event_type").agg(
+        F.count(F.col("x_s")).alias("n_scored"),
+        F.round(
+            F.avg(F.when(F.col("x_s").isNotNull(),
+                         F.abs(F.col("x") - F.col("x_s")))), 4
+        ).alias("mae_seasonal"),
+        F.round(
+            F.avg(F.when(F.col("x_1").isNotNull(),
+                         F.abs(F.col("x") - F.col("x_1")))), 4
+        ).alias("mae_naive"),
+    )
+
+
+@query(
+    "agg_contribution_pareto",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_brand,
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(27,2)))
+                  AS DECIMAL(27,2)) AS revenue
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand
+    ),
+    tot AS (SELECT sum(revenue) AS t FROM rev),
+    ranked AS (
+      SELECT p_brand, revenue,
+             sum(revenue) OVER (ORDER BY revenue DESC, p_brand
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_rev
+      FROM rev
+    )
+    SELECT p_brand, CAST(revenue AS DOUBLE) AS revenue,
+           round(CAST(revenue AS DOUBLE) / CAST(tot.t AS DOUBLE), 6)
+             AS share,
+           round(CAST(cum_rev AS DOUBLE) / CAST(tot.t AS DOUBLE), 6)
+             AS cum_share,
+           CAST(CASE WHEN CAST(cum_rev AS DOUBLE) / CAST(tot.t AS DOUBLE)
+                     <= 0.8 THEN 1 ELSE 0 END AS INT) AS in_top80
+    FROM ranked CROSS JOIN tot
+    """,
+)
+def agg_contribution_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTRIBUTION / PARETO analysis — per-brand revenue share,
+    cumulative share in descending order, and the 80/20 membership
+    flag: the concentration question every revenue/risk review asks.
+    The cumulative sum runs in exact DECIMAL (order-pinned by the
+    (revenue DESC, brand) sort — the ROWS frame is deterministic
+    because the tie-break is total), doubles appear only in the final
+    share ratios, computed in the same order on both engines. One
+    broadcast-dim join, one brand-grain aggregate, one window over the
+    BRAND-sized frame — the window input is dimension-sized regardless
+    of fact volume."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(27,2)")).alias(
+                "revenue"
+            )
+        )
+    )
+    tot = rev.agg(F.sum("revenue").alias("t"))
+    w = Window.orderBy(F.col("revenue").desc(), "p_brand").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = rev.withColumn("cum_rev", F.sum("revenue").over(w))
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "p_brand",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.round(
+            F.col("revenue").cast("double") / F.col("t").cast("double"), 6
+        ).alias("share"),
+        F.round(
+            F.col("cum_rev").cast("double") / F.col("t").cast("double"), 6
+        ).alias("cum_share"),
+        F.when(
+            F.col("cum_rev").cast("double") / F.col("t").cast("double")
+            <= 0.8,
+            1,
+        ).otherwise(0).cast("int").alias("in_top80"),
+    )
+
+
+@query(
+    "path_trigram_top",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    ),
+    paths AS (
+      SELECT event_type || ' > ' || e2 || ' > ' || e3 AS path,
+             count(*) AS n
+      FROM ordered WHERE e3 IS NOT NULL
+      GROUP BY 1
+    ),
+    r AS (
+      SELECT path, CAST(n AS BIGINT) AS n,
+             row_number() OVER (ORDER BY n DESC, path) AS rk
+      FROM paths
+    )
+    SELECT path, n, CAST(rk AS INT) AS rk FROM r WHERE rk <= 15
+    """,
+)
+def path_trigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP EVENT PATHS (3-step sequences per user timeline) — the
+    user-journey mining query behind funnel DISCOVERY (funnels test a
+    known path; this finds the paths worth testing). Two LEAD windows
+    over the deterministic (ts, event_id) per-user order make each row
+    a path instance; one hash aggregate counts them; top-15 with a
+    deterministic tie-break. The window partitions by user (bounded
+    history each), the aggregate shuffles path strings — linear, and
+    the result is vocabulary-bounded. Extending to k-grams is one more
+    LEAD per step, same plan shape."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    paths = (
+        ordered.filter(F.col("e3").isNotNull())
+        .groupBy(
+            F.concat_ws(" > ", "event_type", "e2", "e3").alias("path")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wr = Window.orderBy(F.col("n").desc(), "path")
+    return (
+        paths.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 15)
+        .select("path", "n", F.col("rk").cast("int").alias("rk"))
+    )
