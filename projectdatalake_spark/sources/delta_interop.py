@@ -1349,6 +1349,7 @@ class DeltaTable:
     def overwrite(self, df: DataFrame) -> int:
         state = self._state()
         self._refuse_mapped(state["metaData"], "overwrite")
+        df = self._apply_generated(df, state["metaData"])
         self._enforce_constraints(df, state["metaData"])
         pcols = tuple(state["metaData"].get("partitionColumns", []))
         adds = self._stage(df, pcols)
@@ -1395,6 +1396,8 @@ class DeltaTable:
             raise DeltaProtocolError(
                 "replacement rows fall outside the replaced partitions"
             )
+        df = self._apply_generated(df, meta)
+        self._enforce_constraints(df, meta)
         victims = [
             p
             for p, a in state["adds"].items()
@@ -1457,6 +1460,7 @@ class DeltaTable:
         self._refuse_mapped(meta, "merge_upsert")
         if txn is not None and state["txns"].get(txn[0], -1) >= txn[1]:
             return -1  # already applied (idempotent replay)
+        updates = self._apply_generated(updates, meta)
         self._enforce_constraints(updates, meta)
         schema = StructType.fromJson(json.loads(meta["schemaString"]))
         pcols = list(meta.get("partitionColumns", []))

@@ -1109,3 +1109,42 @@ def test_space_partition_stats_and_dv(spark, root):
     assert v is not None
     assert t.snapshot().count() == 30
     assert {r.id for r in t.snapshot().select("id").collect()} == set(range(10, 40))
+
+
+def test_generated_columns_all_write_paths(spark, root):
+    """The generated-column contract must hold on EVERY write path, not
+    just append: overwrite and merge recompute omitted columns, and
+    replace_where both recomputes generated values and enforces CHECK
+    constraints (it previously enforced neither — a writer could smuggle
+    constraint-violating rows through a partition replace)."""
+    t = DeltaTable.create(
+        spark, root, _df(spark, 0, 30), partition_by=("seg",),
+        generated={"dbl": "val * 2.0"},
+    )
+    # overwrite without the generated column: recomputed
+    t.overwrite(_df(spark, 0, 20))
+    got = {r.id: r.dbl for r in t.snapshot().collect()}
+    assert len(got) == 20 and all(got[i] == i * 2.5 * 2.0 for i in got)
+    # merge without the generated column: recomputed for inserts+updates
+    upd = _df(spark, 10, 25).withColumn("val", F.col("id") * 10.0)
+    t.merge_upsert(upd, keys=["id"])
+    got = {r.id: (r.val, r.dbl) for r in t.snapshot().collect()}
+    assert len(got) == 25
+    assert got[12] == (120.0, 240.0) and got[24] == (240.0, 480.0)
+    assert got[5] == (12.5, 25.0)  # untouched row keeps original values
+    # replace_where recomputes the generated column for the new rows
+    seg0 = _df(spark, 30, 36, seg_mod=1).withColumn("seg", F.lit(0))
+    t.replace_where(seg0, {"seg": 0})
+    rows = {r.id: r.dbl for r in t.snapshot().filter("seg = 0").collect()}
+    assert set(rows) == set(range(30, 36))
+    assert all(rows[i] == i * 2.5 * 2.0 for i in rows)
+    # replace_where now enforces CHECK constraints too
+    t2 = DeltaTable.create(
+        spark, root + "_ck", _df(spark, 0, 30), partition_by=("seg",)
+    )
+    t2.add_constraint("val_pos", "val >= 0")
+    bad = _df(spark, 40, 45, seg_mod=1).withColumn("seg", F.lit(0)).withColumn(
+        "val", F.lit(-5.0)
+    )
+    with pytest.raises(DeltaProtocolError, match="CHECK constraint"):
+        t2.replace_where(bad, {"seg": 0})
