@@ -189,6 +189,7 @@ EXTENDED = [
     "ts_seasonal_naive_mase",
     "agg_contribution_pareto",
     "path_trigram_top",
+    "txlog_generated_column",
 ]
 
 # Apply-only rungs measure STEADY-STATE cost: their fit-once index builds

@@ -12173,3 +12173,49 @@ def path_trigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 15)
         .select("path", "n", F.col("rk").cast("int").alias("rk"))
     )
+
+
+@query(
+    "txlog_generated_column",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def txlog_generated_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """txlog GENERATED COLUMNS — the native-format half of the
+    delta_generated_column parity pair (same lifecycle, same oracle):
+    declared at create, recomputed on appends that omit them, enforced
+    on EVERY write path through the single _commit_write funnel (merge
+    updates get them pre-union; UPDATE on a source column recomputes;
+    direct SET on a generated column is refused), state folded through
+    checkpoints so the declaration survives log-retention pruning.
+    Proving both formats against one oracle pins that the two metadata
+    layers carry the same invariant."""
+    import tempfile
+
+    from projectdatalake_spark.sources.txlog import TxTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    root = tempfile.mkdtemp(prefix="tx_gen_") + "/t"
+    t = TxTable.create(
+        spark, root,
+        o.filter(F.col("o_orderkey") % 2 == 0).repartition(4),
+        generated={"o_year": "year(o_orderdate)"},
+    )
+    t.append(o.filter(F.col("o_orderkey") % 2 == 1).repartition(4))
+    try:
+        t.append(o.limit(50).withColumn("o_year", F.lit(1900)))
+        raise AssertionError("wrong generated values must be refused")
+    except ValueError:
+        pass
+    return (
+        t.snapshot()
+        .groupBy(F.col("o_year").cast("int").alias("o_year"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
+    )

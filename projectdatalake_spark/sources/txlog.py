@@ -434,6 +434,7 @@ class TxTable:
             "cluster": None,
             "mapping": {},
             "constraints": {},
+            "generated": {},
             "schema": {},
         }
 
@@ -483,6 +484,8 @@ class TxTable:
                 state["constraints"][c["constraint"]["name"]] = c["constraint"]["check"]
             elif op == "drop_constraint":
                 state["constraints"].pop(c["constraint"]["name"], None)
+            if "generated" in c:
+                state["generated"] = dict(c["generated"])
         return state
 
     def _state(self, version: int | None = None) -> dict:
@@ -504,6 +507,7 @@ class TxTable:
             state["specs_seen"] = [list(s) for s in state["specs_seen"]]
             state["mapping"] = dict(state["mapping"])
             state["constraints"] = dict(state["constraints"])
+            state["generated"] = dict(state.get("generated", {}))
             state["schema"] = dict(state["schema"])
             commits = [
                 c for c in self.history() if c["version"] > ck["version"]
@@ -678,6 +682,12 @@ class TxTable:
             if old in check:
                 raise ValueError(
                     f"cannot rename {old!r}: referenced by CHECK constraint {name!r}"
+                )
+        for col, expr in self._state().get("generated", {}).items():
+            if old == col or old in expr:
+                raise ValueError(
+                    f"cannot rename {old!r}: part of generated column "
+                    f"{col!r} = ({expr})"
                 )
         return self._publish(
             "rename_column", adds=[], removes=[], rename={"old": old, "new": new}
@@ -948,6 +958,7 @@ class TxTable:
         cluster_by: tuple[str, ...] = (),
         cluster_target_files: int = 48,
         cluster_max_rows: int | None = None,
+        generated: dict[str, str] | None = None,
     ) -> "TxTable":
         """Create the table with ``df`` as version 0. ``bloom_by`` opts
         columns into per-file bloom filters (high-cardinality equality
@@ -968,11 +979,58 @@ class TxTable:
         # exists to read the settings back from — seed them on the instance
         table._pending_bloom = tuple(bloom_by)
         table._pending_cluster = cluster
+        gen = dict(generated or {})
+        for col, expr in gen.items():
+            # GENERATED columns (the Delta-parity contract, see
+            # delta_interop.DeltaTable.create): the creation frame omits
+            # them; they are computed here, MATERIALIZED into the files,
+            # and every later write recomputes or validates them
+            if col in df.columns:
+                raise ValueError(
+                    f"generated column {col!r} must not be in the CREATE "
+                    f"frame — it is computed from ({expr})"
+                )
+            from pyspark.sql import functions as F
+
+            df = df.withColumn(col, F.expr(expr))
         table._commit_write(
             df, op="create", partition_by=partition_by, removes=[],
             bloom_by=list(bloom_by), cluster=cluster,
+            **({"generated": gen} if gen else {}),
         )
         return table
+
+    def generated_columns(self) -> dict[str, str]:
+        """{column: generation expression} in force (state-folded; survives
+        log-retention pruning through the checkpoint, like constraints)."""
+        return dict(self._state().get("generated", {}))
+
+    def _apply_generated(self, df: DataFrame) -> DataFrame:
+        """Writer-side generated-column contract on EVERY write path
+        (single funnel: _commit_write): absent columns are COMPUTED (cast
+        to the declared type), present columns are VALIDATED against the
+        expression with a short-circuit probe."""
+        gen = self._state().get("generated", {})
+        if not gen:
+            return df
+        from pyspark.sql import functions as F
+
+        known = self.table_schema()
+        mapping = self.column_mapping()
+        for col, expr in gen.items():
+            typ = known.get(mapping.get(col, col), "double")
+            if col not in df.columns:
+                df = df.withColumn(col, F.expr(expr).cast(typ))
+            elif (
+                df.filter(f"NOT ({col} <=> CAST(({expr}) AS {typ}))")
+                .limit(1)
+                .count()
+            ):
+                raise ValueError(
+                    f"rows contradict generated column {col!r} = ({expr}) "
+                    f"— write refused"
+                )
+        return df
 
     def _partition_by(self) -> tuple[str, ...]:
         """The CURRENT partition spec: the creation spec unless a later
@@ -1349,6 +1407,7 @@ class TxTable:
         # the operation takes (append/overwrite/replace_where/merge)
         extra = {**self.__dict__.pop("_txn_extra_pending", {}), **extra}
         if op != "create":
+            df = self._apply_generated(df)
             self._validate_write(df)
             df = self._to_physical(df)  # files always store physical names
         cluster = (
@@ -1598,6 +1657,10 @@ class TxTable:
         like every table format's merge planning."""
         from pyspark.sql import functions as F
 
+        # generated columns land on the UPDATES side before any union —
+        # a later union with surviving rows would fill them as NULL and
+        # the commit-time validation would (rightly) refuse the write
+        updates = self._apply_generated(updates)
         fields = self._partition_fields()
         if not fields:
             merged = updates.unionByName(
@@ -1683,7 +1746,9 @@ class TxTable:
         from pyspark.sql import functions as F
 
         is_del = F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
-        ups = changes.filter(~is_del).drop(delete_col)
+        # upsert rows get generated columns BEFORE the union (see
+        # merge_upsert); delete rows only contribute keys
+        ups = self._apply_generated(changes.filter(~is_del).drop(delete_col))
         all_keys = changes.select(*keys)
         fields = self._partition_fields()
         if not fields:
@@ -1837,6 +1902,13 @@ class TxTable:
         unknown = sorted(set(set_exprs) - set(snap.columns))
         if unknown:
             raise ValueError(f"UPDATE SET targets unknown columns: {unknown}")
+        gen = self._state().get("generated", {})
+        direct = sorted(set(set_exprs) & set(gen))
+        if direct:
+            raise ValueError(
+                f"cannot UPDATE generated columns directly: {direct} — "
+                f"update their source columns instead"
+            )
         cond = F.coalesce(F.expr(condition), F.lit(False))
 
         def rewrite(df: DataFrame) -> DataFrame:
@@ -1851,7 +1923,11 @@ class TxTable:
                     )
                 else:
                     cols.append(F.col(c))
-            return df.select(*cols)
+            out = df.select(*cols)
+            # a SET on a source column stales derived values: drop every
+            # generated column so the commit funnel recomputes them fresh
+            # (always correct; costs only the rewritten partitions)
+            return out.drop(*gen.keys()) if gen else out
 
         fields = self._partition_fields()
         part_srcs = {src for _, _, src, _ in fields}

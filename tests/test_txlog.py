@@ -1380,3 +1380,65 @@ def test_space_partition_stats_and_dv(spark, tmp_path):
     assert v is not None
     assert t.snapshot().count() == 30
     assert {r.id for r in t.snapshot().select("id").collect()} == set(range(10, 40))
+
+
+def test_generated_columns_lifecycle(spark, tmp_path):
+    """txlog GENERATED columns (Delta-parity, single _commit_write
+    funnel): computed+materialized at create, recomputed on every write
+    path that omits them (append, overwrite, merge), contradicting
+    writes refused, state survives checkpoint + log pruning, rename of
+    source or generated column refused."""
+    from pyspark.sql import functions as F
+
+    from projectdatalake_spark.sources.txlog import TxTable
+
+    def df(lo, hi):
+        return (
+            spark.range(lo, hi)
+            .withColumn("seg", (F.col("id") % 3).cast("int"))
+            .withColumn("val", F.col("id") * 2.5)
+            .repartition(2)
+        )
+
+    t = TxTable.create(
+        spark, str(tmp_path / "t"), df(0, 30), generated={"dbl": "val * 2.0"}
+    )
+    assert t.generated_columns() == {"dbl": "val * 2.0"}
+    got = {r.id: r.dbl for r in t.snapshot().collect()}
+    assert len(got) == 30 and all(got[i] == i * 2.5 * 2.0 for i in got)
+
+    # append omitting the column: computed
+    t.append(df(30, 40))
+    got = {r.id: r.dbl for r in t.snapshot().collect()}
+    assert len(got) == 40 and got[35] == 35 * 2.5 * 2.0
+
+    # contradicting append refused atomically
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="generated column"):
+        t.append(df(40, 45).withColumn("dbl", F.lit(-1.0)))
+    assert t.snapshot().count() == 40
+
+    # merge omitting the column: computed for inserts and updates
+    upd = df(35, 42).withColumn("val", F.col("id") * 10.0)
+    t.merge_upsert(upd, keys=["id"])
+    got = {r.id: (r.val, r.dbl) for r in t.snapshot().collect()}
+    assert len(got) == 42 and got[41] == (410.0, 820.0)
+
+    # survives checkpoint + retention pruning of the creation commit
+    t.checkpoint()
+    t.prune_log(retain_versions=1)
+    fresh = TxTable(spark, str(tmp_path / "t"))
+    assert fresh.generated_columns() == {"dbl": "val * 2.0"}
+    with _pytest.raises(ValueError, match="generated"):
+        fresh.rename_column("val", "price")
+    with _pytest.raises(ValueError, match="generated"):
+        fresh.rename_column("dbl", "twice")
+
+    # UPDATE on a source column recomputes the generated value; direct
+    # SET on a generated column is refused
+    fresh.update_where("id = 3", {"val": "100.0"})
+    row = fresh.snapshot().filter("id = 3").first()
+    assert (row.val, row.dbl) == (100.0, 200.0)
+    with _pytest.raises(ValueError, match="generated columns directly"):
+        fresh.update_where("id = 4", {"dbl": "0.0"})
