@@ -12219,3 +12219,76 @@ def txlog_generated_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_year").cast("int").alias("o_year"))
         .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
     )
+
+
+@query(
+    "iceberg_rewrite_pos_deletes",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(price AS DECIMAL(27,2))) AS DOUBLE) AS total
+    FROM (
+        SELECT o_orderstatus, o_totalprice AS price FROM orders
+        WHERE o_orderstatus <> 'P'
+          AND NOT (o_orderkey % 10 = 7) AND NOT (o_orderkey % 10 = 3)
+        UNION ALL
+        SELECT o_orderstatus, o_totalprice * 2 AS price FROM orders
+        WHERE o_orderstatus = 'P' AND o_orderkey % 100 = 1
+    )
+    GROUP BY o_orderstatus
+    """,
+)
+def iceberg_rewrite_pos_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rewrite_position_deletes (Iceberg's maintenance procedure of the
+    same name): two MOR deletes leave two position-delete pair files; a
+    dynamic overwrite of the 'P' partition then strands every pair aimed
+    at its replaced files (overwrites carry delete manifests along).
+    The rewrite compacts the survivors into ONE sorted pair file and
+    drops the dangling pairs — asserted on the manifest entries — and
+    the post-rewrite snapshot must hash-equal SQL applying both delete
+    predicates outside 'P' plus the overwrite inside it. Reference:
+    /root/reference etl.py has no table format; this is north-star
+    lakehouse surface built from the public Iceberg spec.
+
+    100 TB: every MOR scan anti-joins ALL live pair files; delete-heavy
+    ingest accretes thousands of them. This action is O(delete bytes),
+    touches zero data files, and resets the scan's delete-side read
+    amplification to one file."""
+    import tempfile
+
+    from projectdatalake_spark.sources.iceberg_interop import IcebergTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_rpd_")
+    t = IcebergTable.create(
+        spark, root, o.repartition(6), partition_by=("o_orderstatus",)
+    )
+    t.delete_where("o_orderkey % 10 = 7")
+    t.delete_where("o_orderkey % 10 = 3")
+    t.overwrite_partitions(
+        o.filter(
+            (F.col("o_orderstatus") == "P") & (F.col("o_orderkey") % 100 == 1)
+        )
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .repartition(2)
+    )
+    pairs_before = sum(
+        e["data_file"]["record_count"]
+        for e in t._entries_for_snapshot(t.metadata(), None)[1]
+        if e["data_file"]["content"] == 1
+    )
+    assert t.rewrite_position_deletes() is not None
+    dels = t._entries_for_snapshot(t.metadata(), None)[1]
+    pos = [e for e in dels if e["data_file"]["content"] == 1]
+    assert len(pos) == 1, "pair files must compact to one"
+    assert (
+        sum(e["data_file"]["record_count"] for e in pos) < pairs_before
+    ), "dangling pairs aimed at the overwritten partition must drop"
+    return (
+        t.snapshot()
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
+    )

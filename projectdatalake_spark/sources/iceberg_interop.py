@@ -1864,6 +1864,279 @@ class IcebergTable:
             files, meta=meta, replace=True, operation="replace"
         )
 
+    def rewrite_position_deletes(self, target_files: int = 1) -> int | None:
+        """Iceberg's ``rewrite_position_deletes`` maintenance action
+        (public spec / Spark procedure of the same name): compact every
+        live position-delete file into ``target_files`` sorted pair
+        files and DROP DANGLING pairs — deletes whose target data file
+        left the live set (dynamic overwrites and partition-scoped
+        rewrites carry delete manifests along, turning their pairs into
+        dead weight every scan still reads). Data files are untouched;
+        equality-delete files ride through with their original sequence
+        numbers pinned. Commits a replace-shaped snapshot (refuses to
+        land over a moved tip, like every rewrite here); returns the new
+        snapshot id, or None when the table holds no position deletes.
+
+        100 TB: every MOR scan anti-joins ALL live position-delete
+        files; a delete-heavy ingest accretes thousands of small pair
+        files — each one a parquet footer open per scan, forever. This
+        action costs O(delete bytes) (pairs are (path, pos) — KBs per
+        million rows), never touches data, and resets the scan's
+        delete-side read amplification to ``target_files``."""
+        meta = self.metadata()
+        data_entries, delete_entries = self._entries_for_snapshot(meta, None)
+        pos_entries = [
+            e for e in delete_entries if e["data_file"].get("content") != 2
+        ]
+        if not pos_entries:
+            return None
+        old_paths = [e["data_file"]["file_path"] for e in pos_entries]
+        n_before = sum(e["data_file"]["record_count"] for e in pos_entries)
+        # live data-file set is metadata-scale (already driver-resident);
+        # dangling pairs drop via a broadcast semi join, never a collect
+        # of the pair files themselves
+        live_df = self.spark.createDataFrame(
+            [(e["data_file"]["file_path"],) for e in data_entries],
+            "file_path string",
+        )
+        pairs = (
+            self.spark.read.schema("file_path string, pos long")
+            .parquet(*old_paths)
+            .select(_file_path_raw("file_path").alias("file_path"), "pos")
+            .join(F.broadcast(live_df), on="file_path", how="left_semi")
+            .distinct()
+        )
+        stage = f"{self.root}/data/{uuid.uuid4().hex}-rewritten-deletes"
+        (
+            pairs.repartition(max(1, int(target_files)))
+            # spec: position deletes sorted by (file_path, pos)
+            .sortWithinPartitions("file_path", "pos")
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        fs = self._fs()
+        del_files = []
+        it = fs.listFiles(self._path(stage), True)
+        while it.hasNext():
+            status = it.next()
+            p = status.getPath()
+            if p.getName().endswith(".parquet"):
+                del_files.append((p.toUri().getPath(), status.getLen()))
+        counts = {
+            _atomic.uri_to_path(r["__file"]): r["count"]
+            for r in self.spark.read.parquet(*[f for f, _ in del_files])
+            .withColumn("__file", F.input_file_name())
+            .groupBy("__file")
+            .count()
+            .collect()
+        }
+        n_after = sum(counts.values())
+        sid = uuid.uuid4().int % (1 << 62)
+        del_spec = self._unpartitioned_spec(meta)
+        new_files = [
+            {
+                "content": 1,  # POSITION_DELETES
+                "file_path": path,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": counts.get(path, 0),
+                "file_size_in_bytes": size,
+            }
+            for path, size in del_files
+            if counts.get(path, 0) > 0
+        ]
+        new_manifest_row = None
+        if new_files:
+            manifest_path, manifest_len = self._write_delete_manifest(
+                del_spec, [], new_files, sid
+            )
+            new_manifest_row = {
+                "manifest_path": manifest_path,
+                "manifest_length": manifest_len,
+                "partition_spec_id": del_spec["spec-id"],
+                "content": 1,
+                "added_snapshot_id": sid,
+                "added_files_count": len(new_files),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": n_after,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "partitions": None,
+            }
+        else:
+            fs.delete(self._path(stage), True)
+        base_sid = meta.get("current-snapshot-id")
+        replaced = set(old_paths)
+        # single-attempt commit: the rewritten pair set was computed
+        # against the base tip, so ANY racer (before or during the write)
+        # invalidates it — refuse and make the caller recompute, the same
+        # contract as rewrite_data_files' replace commit
+        v = self.current_metadata_version()
+        meta = self.metadata(version=v)
+        cur_sid = meta.get("current-snapshot-id")
+        if cur_sid != base_sid:
+            raise IcebergCommitConflict(
+                f"rewrite_position_deletes base snapshot moved "
+                f"({base_sid} → {cur_sid}) at {self.root} — recompute"
+            )
+        seq = meta["last-sequence-number"] + 1
+        cur_snap = next(
+            s for s in meta["snapshots"] if s["snapshot-id"] == cur_sid
+        )
+        _, prior = read_container(
+            self._read_bytes(cur_snap["manifest-list"])
+        )
+        kept: list[dict] = []
+        for m in prior:
+            if m.get("content", 0) == 0:
+                kept.append(m)  # data manifests untouched
+                continue
+            _, rows = read_container(self._read_bytes(m["manifest_path"]))
+            live_rows = [
+                e
+                for e in rows
+                if e["status"] in (0, 1)
+                and e["data_file"]["file_path"] not in replaced
+            ]
+            if not live_rows:
+                continue  # manifest held only replaced position deletes
+            if len(live_rows) == len(rows):
+                kept.append(m)  # pure equality manifest — ride through
+                continue
+            # mixed manifest: rewrite the survivors with their
+            # effective sequence numbers pinned (EXISTING entries)
+            spec_of = next(
+                s
+                for s in meta["partition-specs"]
+                if s["spec-id"] == m.get("partition_spec_id", 0)
+            )
+            pf = [
+                (p["pname"], p["result_type"])
+                for p in _spec_part_fields(meta, spec_of)
+            ]
+            entry_schema = _manifest_entry_schema(
+                _partition_record_schema(pf)
+            )
+            pinned = [
+                {
+                    "status": 0,
+                    "snapshot_id": e.get("snapshot_id"),
+                    "sequence_number": (
+                        e.get("sequence_number")
+                        if e.get("sequence_number") is not None
+                        else m["sequence_number"]
+                    ),
+                    "file_sequence_number": e.get("file_sequence_number"),
+                    "data_file": e["data_file"],
+                }
+                for e in live_rows
+            ]
+            mp = f"{self.root}/metadata/{uuid.uuid4().hex}-m1.avro"
+            mb = write_container(
+                entry_schema,
+                pinned,
+                extra_meta={
+                    "partition-spec": json.dumps(spec_of["fields"]).encode(),
+                    "partition-spec-id": str(spec_of["spec-id"]).encode(),
+                    "format-version": b"2",
+                    "content": b"deletes",
+                },
+            )
+            self._write_bytes(mp, mb, exclusive=True)
+            kept.append(
+                {
+                    "manifest_path": mp,
+                    "manifest_length": len(mb),
+                    "partition_spec_id": spec_of["spec-id"],
+                    "content": 1,
+                    "sequence_number": seq,
+                    "min_sequence_number": min(
+                        p["sequence_number"] for p in pinned
+                    ),
+                    "added_snapshot_id": sid,
+                    "added_files_count": 0,
+                    "existing_files_count": len(pinned),
+                    "deleted_files_count": 0,
+                    "added_rows_count": 0,
+                    "existing_rows_count": sum(
+                        p["data_file"]["record_count"] for p in pinned
+                    ),
+                    "deleted_rows_count": 0,
+                    "partitions": None,
+                }
+            )
+        rows_out = kept + (
+            [
+                {
+                    **new_manifest_row,
+                    "sequence_number": seq,
+                    "min_sequence_number": seq,
+                }
+            ]
+            if new_manifest_row is not None
+            else []
+        )
+        mlist_path = (
+            f"{self.root}/metadata/snap-{sid}-1-{uuid.uuid4().hex}.avro"
+        )
+        mlist_bytes = write_container(
+            _manifest_list_schema(),
+            rows_out,
+            extra_meta={
+                "snapshot-id": str(sid).encode(),
+                "sequence-number": str(seq).encode(),
+                "format-version": b"2",
+            },
+        )
+        self._write_bytes(mlist_path, mlist_bytes, exclusive=True)
+        now = int(time.time() * 1000)
+        snap = {
+            "snapshot-id": sid,
+            "parent-snapshot-id": cur_sid,
+            "sequence-number": seq,
+            "timestamp-ms": now,
+            "manifest-list": mlist_path,
+            "summary": {
+                "operation": "replace",
+                "rewritten-delete-files": str(len(pos_entries)),
+                "added-position-delete-files": str(len(new_files)),
+                "added-position-deletes": str(n_after),
+                "removed-dangling-position-deletes": str(
+                    max(0, n_before - n_after)
+                ),
+            },
+            "schema-id": meta["current-schema-id"],
+        }
+        new_meta = dict(meta)
+        new_meta["last-sequence-number"] = seq
+        new_meta["last-updated-ms"] = now
+        new_meta["current-snapshot-id"] = sid
+        new_meta["refs"] = {
+            **(meta.get("refs") or {}),
+            "main": {"snapshot-id": sid, "type": "branch"},
+        }
+        new_meta["snapshots"] = meta["snapshots"] + [snap]
+        new_meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+            {"timestamp-ms": now, "snapshot-id": sid}
+        ]
+        if new_manifest_row is not None and del_spec["spec-id"] not in {
+            s["spec-id"] for s in meta["partition-specs"]
+        }:
+            new_meta["partition-specs"] = meta["partition-specs"] + [
+                del_spec
+            ]
+        try:
+            self._write_metadata(v + 1, new_meta)
+            return sid
+        except IcebergCommitConflict:
+            # replace semantics: a racer landed mid-write — the pair
+            # set is stale, surface instead of a blind retry
+            raise IcebergCommitConflict(
+                f"rewrite_position_deletes lost a race at {self.root} "
+                f"— recompute against the new tip"
+            )
+
     def overwrite_partitions(self, df: DataFrame) -> int:
         """DYNAMIC PARTITION OVERWRITE: replace exactly the partitions
         the incoming frame touches, atomically, in one snapshot — the

@@ -748,6 +748,148 @@ def test_rewrite_data_files_folds_deletes(spark, root):
     assert e.rewrite_data_files() is None
 
 
+def test_rewrite_position_deletes_compacts(spark, root):
+    """Delete-file compaction: N position-delete files become one sorted
+    pair file; the visible rows are bit-identical, data files untouched,
+    prior snapshots still apply the OLD delete files on time travel."""
+    t = IcebergTable.create(spark, root, _df(spark, 0, 400))
+    t.delete_where("id % 10 = 7")
+    t.delete_where("id % 10 = 3")
+    before = t.snapshot()
+    n = before.count()
+    assert n == 320
+    data_before = sorted(
+        e["data_file"]["file_path"]
+        for e in t._entries_for_snapshot(t.metadata(), None)[0]
+    )
+    pos_before = [
+        e
+        for e in t._entries_for_snapshot(t.metadata(), None)[1]
+        if e["data_file"]["content"] == 1
+    ]
+    assert len(pos_before) >= 2
+    sid_prior = t.current_snapshot_id()
+    sid = t.rewrite_position_deletes()
+    assert sid is not None
+    meta = t.metadata()
+    data_after, dels = t._entries_for_snapshot(meta, None)
+    pos_after = [e for e in dels if e["data_file"]["content"] == 1]
+    assert len(pos_after) == 1  # compacted
+    assert sorted(
+        e["data_file"]["file_path"] for e in data_after
+    ) == data_before  # zero data files rewritten
+    assert sum(e["data_file"]["record_count"] for e in pos_after) == 80
+    after = t.snapshot()
+    assert after.count() == n and after.exceptAll(before).count() == 0
+    snap = meta["snapshots"][-1]
+    assert snap["summary"]["operation"] == "replace"
+    assert snap["summary"]["added-position-delete-files"] == "1"
+    # the pair file itself is spec-shaped: sorted (file_path, pos)
+    rows = (
+        spark.read.parquet(pos_after[0]["data_file"]["file_path"])
+        .collect()
+    )
+    assert [r.asDict() for r in rows] == sorted(
+        (r.asDict() for r in rows), key=lambda d: (d["file_path"], d["pos"])
+    )
+    # time travel to the pre-rewrite snapshot still reads via old deletes
+    assert t.snapshot(snapshot_id=sid_prior).count() == n
+    # fresh reader agrees
+    assert IcebergTable(spark, root).snapshot().count() == n
+    # idempotent second pass over a single file still commits (re-sorts);
+    # a table with no position deletes is a no-op
+    t2 = IcebergTable.create(spark, root + "_2", _df(spark, 0, 10))
+    assert t2.rewrite_position_deletes() is None
+
+
+def test_rewrite_position_deletes_drops_dangling(spark, root):
+    """Dynamic overwrite carries delete manifests along, so pairs aimed
+    at the replaced files become dangling; the rewrite drops exactly
+    those and reports the count in the snapshot summary."""
+    t = IcebergTable.create(
+        spark, root, _df(spark, 0, 300), partition_by=("seg",)
+    )
+    t.delete_where("id % 10 = 7")  # 30 pairs across seg 0/1/2
+    fix = (
+        spark.range(1000, 1050)
+        .withColumn("seg", F.lit(1).cast("int"))
+        .withColumn("val", F.col("id") * 1.0)
+    )
+    t.overwrite_partitions(fix.repartition(1))  # seg=1 files replaced
+    n = t.snapshot().count()
+    # seg 0/2: 200 rows - 20 deleted; seg 1: 50 fresh rows
+    assert n == 230
+    pairs_before = sum(
+        e["data_file"]["record_count"]
+        for e in t._entries_for_snapshot(t.metadata(), None)[1]
+        if e["data_file"]["content"] == 1
+    )
+    assert pairs_before == 30
+    t.rewrite_position_deletes()
+    meta = t.metadata()
+    pos_after = [
+        e
+        for e in t._entries_for_snapshot(meta, None)[1]
+        if e["data_file"]["content"] == 1
+    ]
+    assert sum(e["data_file"]["record_count"] for e in pos_after) == 20
+    summary = meta["snapshots"][-1]["summary"]
+    assert summary["removed-dangling-position-deletes"] == "10"
+    assert t.snapshot().count() == n
+    # all-dangling: overwrite the remaining partitions too, rewrite must
+    # retire every position delete without adding a new file
+    t.overwrite_partitions(
+        spark.range(2000, 2010)
+        .withColumn("seg", F.lit(0).cast("int"))
+        .withColumn("val", F.lit(0.0))
+        .unionByName(
+            spark.range(3000, 3010)
+            .withColumn("seg", F.lit(2).cast("int"))
+            .withColumn("val", F.lit(0.0))
+        )
+        .repartition(1)
+    )
+    n2 = t.snapshot().count()
+    assert t.rewrite_position_deletes() is not None
+    dels = t._entries_for_snapshot(t.metadata(), None)[1]
+    assert [e for e in dels if e["data_file"]["content"] == 1] == []
+    assert t.snapshot().count() == n2
+
+
+def test_rewrite_position_deletes_equality_rides_through(spark, root):
+    """Equality-delete files are NOT compacted by this action: they ride
+    through with their original sequence numbers pinned, so the
+    reinsert-survives ordering semantics are preserved across the
+    rewrite."""
+    t = IcebergTable.create(spark, root, _df(spark, 0, 100))
+    t.delete_equality(spark.range(0, 10).select("id"))
+    # eq-only table: nothing to rewrite
+    assert t.rewrite_position_deletes() is None
+    t.append(
+        spark.range(0, 5)  # reinsert half the eq-deleted keys
+        .withColumn("seg", F.lit(5).cast("int"))
+        .withColumn("val", F.lit(1.0))
+    )
+    t.delete_where("id >= 90")
+    assert t.snapshot().count() == 85  # 100 - 10 eq + 5 reinserted - 10 pos
+    eq_before = [
+        (e["data_file"]["file_path"], e["_seq"])
+        for e in t._entries_for_snapshot(t.metadata(), None)[1]
+        if e["data_file"]["content"] == 2
+    ]
+    assert t.rewrite_position_deletes() is not None
+    dels = t._entries_for_snapshot(t.metadata(), None)[1]
+    eq_after = [
+        (e["data_file"]["file_path"], e["_seq"])
+        for e in dels
+        if e["data_file"]["content"] == 2
+    ]
+    # same files, same effective sequence numbers → same ordering result
+    assert sorted(eq_after) == sorted(eq_before)
+    assert t.snapshot().count() == 85
+    assert t.snapshot().filter("id < 5").count() == 5  # reinserts survive
+
+
 def test_partition_spec_evolution(spark, root):
     """update_spec: O(metadata) repartitioning — old files stay under
     their spec era, reads interpret each file's tuple under ITS spec
