@@ -59,12 +59,55 @@ _LAST_CHECKPOINT = "_last_checkpoint"
 # deletionVectors: roaring-bitmap DVs (sources/roaring.py — serialization
 # cross-validated against org.roaringbitmap, the library delta-spark uses).
 # columnMapping: name/id-mode reads (physical-name resolution + rename).
-_SUPPORTED_READER_FEATURES = {"timestampNtz", "deletionVectors", "columnMapping"}
+_SUPPORTED_READER_FEATURES = {
+    "timestampNtz", "deletionVectors", "columnMapping", "v2Checkpoint",
+}
+_SIDECAR_DIR = "_sidecars"
 
 _SIMPLE_TYPES = {
     "byte", "short", "integer", "long", "float", "double", "boolean",
     "string", "date", "timestamp", "timestamp_ntz",
 }
+
+# checkpoint action structs (spec: one action per parquet row, one struct
+# column per action type, absent actions null) — shared by the classic
+# single-file checkpoint and the V2 top-level + sidecar files
+_CKPT_ADD_T = (
+    "struct<path:string,partitionValues:map<string,string>,size:bigint,"
+    "modificationTime:bigint,dataChange:boolean,stats:string,"
+    "tags:map<string,string>,"
+    "deletionVector:struct<storageType:string,pathOrInlineDv:string,"
+    "offset:int,sizeInBytes:int,cardinality:bigint>>"
+)
+_CKPT_META_T = (
+    "struct<id:string,name:string,description:string,"
+    "format:struct<provider:string,options:map<string,string>>,"
+    "schemaString:string,partitionColumns:array<string>,"
+    "configuration:map<string,string>,createdTime:bigint>"
+)
+# feature arrays included: a checkpoint of a feature table (DVs, column
+# mapping, v2Checkpoint itself) must not silently drop its protocol
+_CKPT_PROTO_T = (
+    "struct<minReaderVersion:int,minWriterVersion:int,"
+    "readerFeatures:array<string>,writerFeatures:array<string>>"
+)
+_CKPT_TXN_T = "struct<appId:string,version:bigint,lastUpdated:bigint>"
+_CKPT_REMOVE_T = "struct<path:string,deletionTimestamp:bigint,dataChange:boolean>"
+_CKPT_META_CM_T = "struct<version:bigint,tags:map<string,string>>"
+_CKPT_SIDECAR_T = (
+    "struct<path:string,sizeInBytes:bigint,modificationTime:bigint,"
+    "tags:map<string,string>>"
+)
+# legacy protocol versions imply feature sets (spec appendix: upgrading to
+# the table-features protocol must enumerate what the old version granted)
+_LEGACY_WRITER_FEATURES = {
+    2: {"appendOnly", "invariants"},
+    3: {"checkConstraints"},
+    4: {"changeDataFeed", "generatedColumns"},
+    5: {"columnMapping"},
+    6: {"identityColumns"},
+}
+_LEGACY_READER_FEATURES = {2: {"columnMapping"}}
 
 
 class DeltaProtocolError(Exception):
@@ -246,7 +289,7 @@ class DeltaTable:
         log_path = self._path(f"{self.root}/{_LOG}")
         if not fs.exists(log_path):
             return [], []
-        commits, checkpoints = [], []
+        commits, checkpoints = [], set()
         for status in fs.listStatus(log_path):
             name = status.getPath().getName()
             if name.endswith(".json") and name[:-5].isdigit():
@@ -254,7 +297,12 @@ class DeltaTable:
             elif name.endswith(".checkpoint.parquet"):
                 stem = name[: -len(".checkpoint.parquet")]
                 if stem.isdigit():
-                    checkpoints.append(int(stem))
+                    checkpoints.add(int(stem))
+            elif ".checkpoint." in name and name.endswith(".parquet"):
+                # uuid-named V2 checkpoint: <version>.checkpoint.<uuid>.parquet
+                stem = name.split(".checkpoint.", 1)[0]
+                if stem.isdigit():
+                    checkpoints.add(int(stem))
         return sorted(commits), sorted(checkpoints)
 
     def latest_version(self) -> int:
@@ -298,16 +346,56 @@ class DeltaTable:
 
     def _checkpoint_actions(self, version: int) -> list[dict]:
         """Parquet checkpoint → action dicts (spec: one action per row,
-        struct column per action type, absent actions null)."""
-        path = f"{self.root}/{_LOG}/{version:020d}.checkpoint.parquet"
-        rows = self.spark.read.parquet(path).collect()
+        struct column per action type, absent actions null). Resolves
+        both checkpoint shapes at ``version``: the classic single file
+        ``<v>.checkpoint.parquet`` and the uuid-named V2 form
+        ``<v>.checkpoint.<uuid>.parquet`` whose add/remove actions live
+        in SIDECAR parquet files under ``_delta_log/_sidecars/`` (one
+        ``sidecar`` action per file). When both exist the V2 one wins —
+        it is the shape later writers maintain."""
+        fs = self._fs()
+        prefix = f"{version:020d}.checkpoint."
+        cands: list[tuple[int, str]] = []
+        for status in fs.listStatus(self._path(f"{self.root}/{_LOG}")):
+            name = status.getPath().getName()
+            if name == f"{prefix}parquet":
+                cands.append((0, name))
+            elif name.startswith(prefix) and name.endswith(".parquet"):
+                cands.append((1, name))
+        if not cands:
+            raise FileNotFoundError(
+                f"no checkpoint at version {version} under {self.root}"
+            )
+        name = max(cands)[1]
+        rows = self.spark.read.parquet(f"{self.root}/{_LOG}/{name}").collect()
         actions: list[dict] = []
+        sidecars: list[str] = []
         for r in rows:
             d = r.asDict(recursive=True)
             for kind in ("protocol", "metaData", "add", "remove", "txn"):
                 a = d.get(kind)
                 if a is not None:
                     actions.append({kind: {k: v for k, v in a.items() if v is not None}})
+            cm = d.get("checkpointMetadata")
+            if cm is not None and cm.get("version") not in (None, version):
+                raise DeltaProtocolError(
+                    f"checkpoint {name} carries checkpointMetadata.version="
+                    f"{cm.get('version')} — corrupt checkpoint"
+                )
+            sc = d.get("sidecar")
+            if sc is not None and sc.get("path"):
+                sidecars.append(sc["path"])
+        for rel in sidecars:
+            # spec: sidecar paths are relative to _delta_log/_sidecars/
+            sp = f"{self.root}/{_LOG}/{_SIDECAR_DIR}/{rel}"
+            for r in self.spark.read.parquet(sp).collect():
+                d = r.asDict(recursive=True)
+                for kind in ("add", "remove"):
+                    a = d.get(kind)
+                    if a is not None:
+                        actions.append(
+                            {kind: {k: v for k, v in a.items() if v is not None}}
+                        )
         return actions
 
     @staticmethod
@@ -1959,25 +2047,9 @@ class DeltaTable:
             rows.append({"add": add})
         for app, tv in state["txns"].items():
             rows.append({"txn": {"appId": app, "version": tv}})
-        add_t = (
-            "struct<path:string,partitionValues:map<string,string>,size:bigint,"
-            "modificationTime:bigint,dataChange:boolean,stats:string,"
-            "tags:map<string,string>,"
-            "deletionVector:struct<storageType:string,pathOrInlineDv:string,"
-            "offset:int,sizeInBytes:int,cardinality:bigint>>"
-        )
-        meta_t = (
-            "struct<id:string,name:string,description:string,"
-            "format:struct<provider:string,options:map<string,string>>,"
-            "schemaString:string,partitionColumns:array<string>,"
-            "configuration:map<string,string>,createdTime:bigint>"
-        )
-        proto_t = "struct<minReaderVersion:int,minWriterVersion:int>"
-        txn_t = "struct<appId:string,version:bigint,lastUpdated:bigint>"
-        remove_t = "struct<path:string,deletionTimestamp:bigint,dataChange:boolean>"
         schema_ddl = (
-            f"txn {txn_t}, add {add_t}, remove {remove_t}, "
-            f"metaData {meta_t}, protocol {proto_t}"
+            f"txn {_CKPT_TXN_T}, add {_CKPT_ADD_T}, remove {_CKPT_REMOVE_T}, "
+            f"metaData {_CKPT_META_T}, protocol {_CKPT_PROTO_T}"
         )
         norm_rows = [
             {
@@ -2005,6 +2077,147 @@ class DeltaTable:
         self._write_text(
             f"{self.root}/{_LOG}/{_LAST_CHECKPOINT}",
             json.dumps({"version": v, "size": len(norm_rows)}),
+            exclusive=False,  # spec: _last_checkpoint is overwritten in place
+        )
+        return v
+
+    def checkpoint_v2(self, sidecar_files: int = 2) -> int:
+        """V2 CHECKPOINT with SIDECARS (Delta ``v2Checkpoint`` table
+        feature): the non-file actions — protocol, metaData, txn — plus a
+        ``checkpointMetadata`` action and one ``sidecar`` action per
+        sidecar file land in a uuid-named top-level checkpoint
+        ``<v>.checkpoint.<uuid>.parquet``; the add actions are sharded
+        across ``sidecar_files`` parquet files under
+        ``_delta_log/_sidecars/``. Readers start replay at the checkpoint
+        exactly as with the classic shape; commits at or before it become
+        prunable. If the table's protocol does not yet carry the feature,
+        a protocol-upgrade commit lands first (minReaderVersion 3 /
+        minWriterVersion 7, reader+writer features += v2Checkpoint, with
+        the old versions' implied legacy features enumerated, per spec).
+        Returns the checkpointed version.
+
+        100 TB: a classic checkpoint is ONE parquet file proportional to
+        the table's entire file count — on a million-file table every
+        checkpoint serializes that state through one writer task, and
+        every cold read re-scans it from one file. Sidecars shard the
+        file state so checkpoint writes parallelize across the cluster
+        and cold-start readers fan sidecar scans out."""
+        state = self._state()
+        proto = state["protocol"] or {"minReaderVersion": 1, "minWriterVersion": 2}
+        feats = set(proto.get("readerFeatures") or [])
+        if proto.get("minReaderVersion", 1) < 3 or "v2Checkpoint" not in feats:
+            for attempt in range(20):
+                if attempt > 0:
+                    state = self._state()
+                    proto = state["protocol"] or {
+                        "minReaderVersion": 1, "minWriterVersion": 2,
+                    }
+                    feats = set(proto.get("readerFeatures") or [])
+                    if (
+                        proto.get("minReaderVersion", 1) >= 3
+                        and "v2Checkpoint" in feats
+                    ):
+                        break  # a racer upgraded for us
+                mrv = proto.get("minReaderVersion", 1)
+                mwv = proto.get("minWriterVersion", 2)
+                rf = set(feats)
+                wf = set(proto.get("writerFeatures") or [])
+                if mrv < 3:  # enumerate what the legacy version implied
+                    for lv, fs_ in _LEGACY_READER_FEATURES.items():
+                        if mrv >= lv:
+                            rf |= fs_
+                if mwv < 7:
+                    for lv, fs_ in _LEGACY_WRITER_FEATURES.items():
+                        if mwv >= lv:
+                            wf |= fs_
+                actions = [
+                    {"commitInfo": self._commit_info(
+                        "UPGRADE PROTOCOL", {"feature": "v2Checkpoint"}
+                    )},
+                    {"protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": sorted(rf | {"v2Checkpoint"}),
+                        "writerFeatures": sorted(wf | {"v2Checkpoint"}),
+                    }},
+                ]
+                try:
+                    self._publish(state["version"] + 1, actions)
+                    state = self._state()
+                    break
+                except DeltaCommitConflict:
+                    continue
+            else:
+                raise DeltaCommitConflict(
+                    f"v2Checkpoint upgrade lost 20 races at {self.root}"
+                )
+        v = state["version"]
+        fs = self._fs()
+        adds = list(state["adds"].values())
+        sidecar_actions: list[dict] = []
+        if adds:
+            side_schema = f"add {_CKPT_ADD_T}, remove {_CKPT_REMOVE_T}"
+            side_df = self.spark.createDataFrame(
+                [{"add": a, "remove": None} for a in adds], schema=side_schema
+            )
+            n_side = max(1, min(int(sidecar_files), len(adds)))
+            tmp = f"{self.root}/_staging/ckpt_v2_{uuid.uuid4().hex}"
+            side_df.repartition(n_side).write.mode("overwrite").parquet(tmp)
+            fs.mkdirs(self._path(f"{self.root}/{_LOG}/{_SIDECAR_DIR}"))
+            for status in fs.listStatus(self._path(tmp)):
+                p = status.getPath()
+                if not p.getName().endswith(".parquet"):
+                    continue
+                rel = f"{uuid.uuid4().hex}.parquet"
+                dest = self._path(f"{self.root}/{_LOG}/{_SIDECAR_DIR}/{rel}")
+                if not fs.rename(p, dest):
+                    raise IOError(f"sidecar move failed for version {v}")
+                st = fs.getFileStatus(dest)
+                sidecar_actions.append(
+                    {
+                        "path": rel,  # spec: relative to _delta_log/_sidecars/
+                        "sizeInBytes": st.getLen(),
+                        "modificationTime": st.getModificationTime(),
+                        "tags": None,
+                    }
+                )
+            fs.delete(self._path(tmp), True)
+        top_schema = (
+            f"txn {_CKPT_TXN_T}, add {_CKPT_ADD_T}, remove {_CKPT_REMOVE_T}, "
+            f"metaData {_CKPT_META_T}, protocol {_CKPT_PROTO_T}, "
+            f"checkpointMetadata {_CKPT_META_CM_T}, sidecar {_CKPT_SIDECAR_T}"
+        )
+        blank = {
+            "txn": None, "add": None, "remove": None, "metaData": None,
+            "protocol": None, "checkpointMetadata": None, "sidecar": None,
+        }
+        top_rows = [
+            {**blank, "checkpointMetadata": {"version": v, "tags": None}},
+            {**blank, "protocol": state["protocol"]},
+            {**blank, "metaData": state["metaData"]},
+        ]
+        top_rows += [
+            {**blank, "txn": {"appId": a, "version": t, "lastUpdated": None}}
+            for a, t in state["txns"].items()
+        ]
+        top_rows += [{**blank, "sidecar": s} for s in sidecar_actions]
+        top_df = self.spark.createDataFrame(top_rows, schema=top_schema)
+        tmp = f"{self.root}/_staging/ckpt_v2_top_{uuid.uuid4().hex}"
+        top_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = None
+        for status in fs.listStatus(self._path(tmp)):
+            if status.getPath().getName().endswith(".parquet"):
+                part = status.getPath()
+                break
+        dest = self._path(
+            f"{self.root}/{_LOG}/{v:020d}.checkpoint.{uuid.uuid4().hex}.parquet"
+        )
+        if part is None or not fs.rename(part, dest):
+            raise IOError(f"v2 checkpoint move failed for version {v}")
+        fs.delete(self._path(tmp), True)
+        self._write_text(
+            f"{self.root}/{_LOG}/{_LAST_CHECKPOINT}",
+            json.dumps({"version": v, "size": len(top_rows) + len(adds)}),
             exclusive=False,  # spec: _last_checkpoint is overwritten in place
         )
         return v

@@ -130,6 +130,85 @@ def test_checkpoint_replay_and_log_pruning(spark, root):
         DeltaTable(spark, root).snapshot(version=1)
 
 
+def test_checkpoint_v2_sidecars_roundtrip(spark, root):
+    """V2 checkpoint: uuid-named top-level file carries protocol /
+    metaData / txn / checkpointMetadata / sidecar actions; the add
+    actions shard across parquet sidecars under _delta_log/_sidecars/;
+    a fresh reader replays purely from it after log pruning."""
+    t = DeltaTable.create(spark, root, _df(spark, 0, 20))
+    for i in range(3):
+        t.append(_df(spark, 100 + i * 10, 110 + i * 10))
+    t.append(_df(spark, 400, 405), txn=("job", 1))
+    n = t.snapshot().count()
+    v = t.checkpoint_v2(sidecar_files=2)
+    log = f"{root}/_delta_log"
+    tops = [
+        f
+        for f in os.listdir(log)
+        if f.startswith(f"{v:020d}.checkpoint.") and f.endswith(".parquet")
+        and f != f"{v:020d}.checkpoint.parquet"
+    ]
+    assert len(tops) == 1  # uuid-named V2 top-level
+    sidecars = [
+        f for f in os.listdir(f"{log}/_sidecars") if f.endswith(".parquet")
+    ]
+    assert len(sidecars) == 2
+    top = spark.read.parquet(f"{log}/{tops[0]}")
+    top_rows = [r.asDict(recursive=True) for r in top.collect()]
+    assert [r["checkpointMetadata"]["version"] for r in top_rows
+            if r["checkpointMetadata"]] == [v]
+    assert all(r["add"] is None for r in top_rows)  # adds live in sidecars
+    assert sorted(
+        r["sidecar"]["path"] for r in top_rows if r["sidecar"]
+    ) == sorted(sidecars)
+    # protocol upgrade commit landed first and enumerated legacy features
+    proto = next(r["protocol"] for r in top_rows if r["protocol"])
+    assert proto["minReaderVersion"] == 3 and proto["minWriterVersion"] == 7
+    assert "v2Checkpoint" in proto["readerFeatures"]
+    assert {"v2Checkpoint", "appendOnly", "invariants"} <= set(
+        proto["writerFeatures"]
+    )
+    last = json.loads(open(f"{log}/_last_checkpoint").read())
+    assert last["version"] == v
+    # prune the JSON log: a fresh reader reconstructs from the V2 tree
+    assert t.prune_log() > 0
+    t2 = DeltaTable(spark, root)
+    assert t2.snapshot().count() == n
+    assert all(a.get("stats") for a in t2.files())
+    assert t2.txn_version("job") == 1  # txn actions survive in the top file
+    # post-checkpoint commits replay on top
+    t2.append(_df(spark, 500, 505))
+    assert DeltaTable(spark, root).snapshot().count() == n + 5
+
+
+def test_checkpoint_v2_on_feature_table_and_classic_preserves_features(
+    spark, root
+):
+    """Two regressions pinned: (1) a CLASSIC checkpoint of a feature
+    table (DVs) must not drop readerFeatures from its protocol row;
+    (2) checkpoint_v2 on an already-upgraded table adds v2Checkpoint to
+    the EXISTING feature set instead of clobbering it."""
+    t = DeltaTable.create(spark, root, _df(spark, 0, 60))
+    t.delete_where_dv("id % 3 = 0")  # upgrades to (3,7)+deletionVectors
+    n = t.snapshot().count()
+    t.checkpoint()  # classic shape
+    t.prune_log()
+    t2 = DeltaTable(spark, root)
+    proto = t2._state()["protocol"]
+    assert "deletionVectors" in (proto.get("readerFeatures") or [])
+    assert t2.snapshot().count() == n  # DVs still applied post-replay
+    v = t2.checkpoint_v2(sidecar_files=1)
+    t2.prune_log()
+    t3 = DeltaTable(spark, root)
+    proto3 = t3._state()["protocol"]
+    assert {"deletionVectors", "v2Checkpoint"} <= set(proto3["readerFeatures"])
+    assert t3.snapshot().count() == n
+    # when classic and V2 coexist at one version, the V2 file is resolved
+    t3.checkpoint()  # classic at the same tip version as a later v2
+    t3.checkpoint_v2(sidecar_files=1)
+    assert DeltaTable(spark, root).snapshot().count() == n
+
+
 def test_stats_file_skipping(spark, root):
     df = spark.range(0, 1000).withColumn("val", F.col("id") * 1.0)
     t = DeltaTable.create(spark, root, df.repartitionByRange(10, "id"))
