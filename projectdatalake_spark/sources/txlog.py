@@ -2349,6 +2349,133 @@ class TxTable:
             partition_by=list(pcols),
         )
 
+    def recluster(self, max_groups: int | None = None) -> int | None:
+        """LIQUID-STYLE INCREMENTAL RECLUSTERING (the shape of Delta's
+        liquid-clustering OPTIMIZE): rewrite ONLY the files whose
+        cluster-key ranges OVERLAP other files' — plus files missing
+        stats on the key, whose range is unknown — and leave every
+        already-disjoint file untouched. Per hive partition, the logged
+        min/max intervals of the leading cluster column are swept into
+        overlap components; components of ≥2 files are range-shuffled on
+        the full cluster key and swapped in ONE commit guarded by the
+        same unchanged-files precondition as ``optimize`` (losing a race
+        abandons, never resurrects). ``max_groups`` caps the pass to the
+        worst components — bounded maintenance windows. Returns the
+        commit version, or None when the layout is already converged.
+
+        Convergence: rewritten components come out of repartitionByRange
+        with disjoint intervals (boundary-touching intervals count as
+        disjoint — a shared single key value is not worth a rewrite), so
+        a second pass over unchanged data returns None.
+
+        100 TB: a full OPTIMIZE cluster rewrite is O(table) every run —
+        unpayable recurring cost. Steady-state ingest only degrades the
+        layout where new batches LAND; this touches exactly those
+        overlap pockets, so recurring cost tracks ingest, not table
+        size. The one-shot clustered rewrite (optimize sort_by/zorder)
+        stays the bootstrap; this is the maintenance loop."""
+        from functools import cmp_to_key
+
+        spec = self._cluster_spec()
+        if not spec or not spec.get("by"):
+            raise ValueError(
+                "recluster needs a clustering spec — create(cluster_by=...) "
+                "or set_clustering() first"
+            )
+        c0 = spec["by"][0]
+        actives = self._active_files()
+        by_part: dict[tuple, list[dict]] = {}
+        for a in actives:
+            by_part.setdefault(tuple(sorted(a["partition"].items())), []).append(a)
+
+        def cmp_lo(x, y):  # None = unbounded-below sorts first
+            lx, ly = x[0], y[0]
+            if lx is None or ly is None:
+                return (lx is not None) - (ly is not None)
+            return -1 if lx < ly else (1 if lx > ly else 0)
+
+        groups: list[list[dict]] = []
+        for files in by_part.values():
+            ivs = []
+            for a in files:
+                s = (a.get("stats") or {}).get(c0) or {}
+                ivs.append((s.get("min"), s.get("max"), a))
+            ivs.sort(key=cmp_to_key(cmp_lo))
+            comp: list[dict] = []
+            cur_hi = None  # only meaningful while comp is non-empty
+            for lo, hi, a in ivs:
+                # strict overlap: touching at one boundary key is disjoint
+                # enough (guarantees convergence after one pass)
+                overlaps = bool(comp) and (
+                    cur_hi is None or lo is None or lo < cur_hi
+                )
+                if overlaps:
+                    comp.append(a)
+                    if cur_hi is not None and hi is not None:
+                        cur_hi = max(cur_hi, hi)
+                    elif hi is None:
+                        cur_hi = None  # unbounded-above swallows the rest
+                else:
+                    if len(comp) >= 2:
+                        groups.append(comp)
+                    comp, cur_hi = [a], hi
+            if len(comp) >= 2:
+                groups.append(comp)
+        if not groups:
+            return None
+        groups.sort(key=len, reverse=True)  # worst pockets first
+        if max_groups is not None:
+            groups = groups[: max(1, int(max_groups))]
+        doomed_adds = [a for comp in groups for a in comp]
+        removes = sorted(a["path"] for a in doomed_adds)
+        by_base: dict[str, list[dict]] = {}
+        for a in doomed_adds:
+            by_base.setdefault(a.get("base", self.root), []).append(a)
+        scoped = None
+        for base, group in by_base.items():
+            df = self._read_group(base, [a["path"] for a in group])
+            scoped = (
+                df
+                if scoped is None
+                else scoped.unionByName(df, allowMissingColumns=True)
+            )
+        # pending deletion vectors must fold into the rewrite or the new
+        # files would resurrect the masked rows (same rule as optimize)
+        removed_set = set(removes)
+        dvs = [
+            dv
+            for dv in self._active_dvs()
+            if any(f in removed_set for f in dv["files"])
+        ]
+        planned_dvs = {dv["path"] for dv in dvs}
+        if dvs:
+            scoped = self._apply_dv_mask(scoped, dvs)
+        # incremental output sizing: the pass rewrites a FRACTION of the
+        # table, so it gets that fraction of the table's file target
+        target = int(spec.get("files", 48))
+        n_out = max(1, round(target * len(doomed_adds) / max(1, len(actives))))
+        sub_spec = {"by": list(spec["by"]), "files": n_out}
+        if spec.get("max_rows"):
+            sub_spec["max_rows"] = spec["max_rows"]
+        pcols = self._partition_by()
+        adds = self._stage(scoped, pcols, cluster=sub_spec)
+
+        def unchanged() -> bool:
+            current = {a["path"] for a in self._active_files()}
+            if not all(p in current for p in removes):
+                return False
+            now_dvs = {
+                dv["path"]
+                for dv in self._active_dvs()
+                if any(f in removed_set for f in dv["files"])
+            }
+            return now_dvs == planned_dvs
+
+        return self._publish(
+            "recluster", adds, removes=removes, precondition=unchanged,
+            partition_by=list(pcols),
+        )
+
     def vacuum(self, retain_versions: int = 0) -> list[str]:
         """Delete data files unreachable from the last ``retain_versions+1``
         snapshots — staged-but-never-committed orphans and removed files

@@ -1442,3 +1442,90 @@ def test_generated_columns_lifecycle(spark, tmp_path):
     assert (row.val, row.dbl) == (100.0, 200.0)
     with _pytest.raises(ValueError, match="generated columns directly"):
         fresh.update_where("id = 4", {"dbl": "0.0"})
+
+
+def test_recluster_incremental_touches_only_overlap_pockets(spark, tmp_path):
+    """Liquid-style maintenance: three clustered batches — two covering
+    the same key range (overlapping file intervals), one in a disjoint
+    range — recluster rewrites ONLY the overlapping pocket, keeps the
+    disjoint files byte-identical, preserves rows exactly, and a second
+    pass over unchanged data converges to a no-op."""
+    import random
+
+    rng = random.Random(7)
+    a = [(i, rng.randrange(0, 5_000)) for i in range(1500)]
+    b = [(10_000 + i, rng.randrange(20_000, 30_000)) for i in range(1500)]
+    c = [(20_000 + i, rng.randrange(0, 5_000)) for i in range(1500)]
+    mk = lambda rows: spark.createDataFrame(rows, ["id", "v"]).repartition(4)
+    t = TxTable.create(
+        spark, str(tmp_path / "rc"), mk(a),
+        cluster_by=("v",), cluster_target_files=4,
+    )
+    t.append(mk(b))  # disjoint pocket: must survive untouched
+    t.append(mk(c))  # same range as batch a: overlap pocket
+    before = t._active_files()
+    b_paths = {f["path"] for f in before if f["stats"]["v"]["min"] >= 20_000}
+    overlap_paths = {f["path"] for f in before} - b_paths
+    assert len(b_paths) >= 2 and len(overlap_paths) >= 4
+    v = t.recluster()
+    assert v is not None
+    after = t._active_files()
+    after_paths = {f["path"] for f in after}
+    assert b_paths <= after_paths  # disjoint files NOT rewritten
+    assert not (overlap_paths & after_paths)  # overlap pocket all replaced
+    assert {(r.id, r.v) for r in t.snapshot().collect()} == set(a) | set(b) | set(c)
+    # rewritten layout is disjoint: strict-overlap sweep finds nothing
+    assert t.recluster() is None
+    # and interval reads prune to the pocket
+    pruned = t.snapshot(where={"v": (0, 500)})
+    assert len(pruned.inputFiles()) < len(after)
+    # history op recorded; time travel to the pre-recluster version works
+    assert t.history()[-1]["op"] == "recluster"
+    assert t.snapshot(version=v - 1).count() == 4500
+
+
+def test_recluster_requires_spec_and_handles_missing_stats(spark, tmp_path):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 10), (2, 20)], ["id", "v"])
+    t0 = TxTable.create(spark, str(tmp_path / "nospec"), df)
+    with _pytest.raises(ValueError):
+        t0.recluster()
+    # a file with no stats on the key has unknown range → always rewritten
+    t = TxTable.create(
+        spark, str(tmp_path / "ms"), df, cluster_by=("v",),
+        cluster_target_files=2,
+    )
+    t.append(spark.createDataFrame([(3, 15), (4, 25)], ["id", "v"]))
+    adds = t._active_files()
+    # forge a stats-less add via a raw commit edit (simulates an old
+    # writer): drop stats from one file's add action and re-commit
+    victim = adds[0]
+    stripped = {k: v for k, v in victim.items() if k != "stats"}
+    t._publish(
+        "overwrite_meta_test", [stripped], removes=[victim["path"]],
+    )
+    assert t.recluster() is not None
+    assert t.snapshot().count() == 4
+    assert t.recluster() is None
+
+
+def test_recluster_folds_pending_dvs(spark, tmp_path):
+    """A deletion vector on a doomed file must fold into the rewrite —
+    masked rows stay gone after reclustering."""
+    rows1 = [(i, i % 100) for i in range(500)]
+    rows2 = [(1000 + i, i % 100) for i in range(500)]  # same v range: overlap
+    t = TxTable.create(
+        spark, str(tmp_path / "dv"),
+        spark.createDataFrame(rows1, ["id", "v"]).repartition(2),
+        cluster_by=("v",), cluster_target_files=2,
+    )
+    t.append(spark.createDataFrame(rows2, ["id", "v"]).repartition(2))
+    t.delete_where_dv("v = 7")
+    n = t.snapshot().count()
+    assert n == 990
+    assert t.recluster() is not None
+    assert t.snapshot().count() == n
+    assert t.snapshot().filter("v = 7").count() == 0
+    # post-rewrite the DVs are gone from the live state
+    assert t._active_dvs() == []
