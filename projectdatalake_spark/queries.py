@@ -12292,3 +12292,437 @@ def iceberg_rewrite_pos_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
     )
+
+
+@query(
+    "delta_checkpoint_v2_sidecars",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE NOT (o_orderkey % 10 = 7)
+    GROUP BY o_orderstatus
+    """,
+)
+def delta_checkpoint_v2_sidecars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2 CHECKPOINT with sidecars (Delta ``v2Checkpoint`` table
+    feature): four commits plus a deletion-vector delete build a feature
+    table; ``checkpoint_v2`` upgrades the protocol (reader+writer
+    features enumerated per spec), shards the add actions across two
+    parquet sidecar files under ``_delta_log/_sidecars/``, and anchors a
+    uuid-named top-level checkpoint; the JSON log is then PRUNED and a
+    fresh reader must reconstruct the snapshot — DVs still applied —
+    purely from the V2 tree. delta_checkpoint_read is the classic
+    single-file twin of this query against the same kind of oracle.
+
+    100 TB: a classic checkpoint serializes the entire file state
+    through one writer task and one reader scan; sidecars shard it so
+    checkpointing a million-file table parallelizes both sides."""
+    import tempfile
+
+    from projectdatalake_spark.sources.delta_interop import DeltaTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    root = tempfile.mkdtemp(prefix="delta_ckpt_v2_")
+    t = DeltaTable.create(
+        spark, root, o.filter(F.col("o_orderkey") % 4 == 0).repartition(4)
+    )
+    for k in (1, 2, 3):
+        t.append(o.filter(F.col("o_orderkey") % 4 == k).repartition(4))
+    t.delete_where_dv("o_orderkey % 10 = 7")  # feature table (DVs live)
+    t.checkpoint_v2(sidecar_files=2)
+    t.prune_log()
+    import os as _os
+
+    side_dir = f"{root}/_delta_log/_sidecars"
+    assert (
+        len([f for f in _os.listdir(side_dir) if f.endswith(".parquet")]) == 2
+    ), "adds must shard across two sidecar files"
+    fresh = DeltaTable(spark, root)  # no writer memos: V2-tree-only replay
+    proto = fresh._state()["protocol"]
+    assert {"v2Checkpoint", "deletionVectors"} <= set(proto["readerFeatures"])
+    return (
+        fresh.snapshot()
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
+    )
+
+
+@query(
+    "txlog_recluster_incremental",
+    oracle="""
+    SELECT o_custkey, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_custkey BETWEEN 11 AND 60
+    GROUP BY o_custkey
+    """,
+)
+def txlog_recluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Liquid-style INCREMENTAL reclustering: two clustered write batches
+    cover the same o_custkey domain, so their file intervals interleave
+    and interval reads touch ~every file; ``recluster()`` sweeps the
+    logged min/max intervals, rewrites ONLY the overlapping components
+    in one precondition-guarded commit, and converges (second pass is a
+    no-op, asserted). The interval read after maintenance must equal the
+    oracle's plain BETWEEN filter.
+
+    100 TB: full OPTIMIZE re-sorts are O(table) every run; steady-state
+    ingest only degrades layout where new batches land, and this touches
+    exactly those pockets — recurring maintenance cost tracks ingest
+    rate, not table size (the premise of Delta's liquid clustering,
+    re-expressed over this log format)."""
+    import tempfile
+
+    from projectdatalake_spark.sources.txlog import TxTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    root = tempfile.mkdtemp(prefix="txlog_rc_") + "/t"
+    t = TxTable.create(
+        spark, root, o.filter(F.col("o_orderkey") % 2 == 0),
+        cluster_by=("o_custkey",), cluster_target_files=8,
+    )
+    t.append(o.filter(F.col("o_orderkey") % 2 == 1))  # same key domain
+    n_before = len(t._active_files())
+    assert t.recluster() is not None
+    assert t.recluster() is None, "second pass over unchanged data must no-op"
+    pruned = t.snapshot(where={"o_custkey": (11, 60)})
+    assert len(pruned.inputFiles()) < n_before
+    return (
+        pruned.filter(F.col("o_custkey").between(11, 60))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
+    )
+
+
+# =========================================================================
+# Round-6 Wave H: growth/finance analytics (YoY, OHLC, Gini, Benford,
+# chi-square independence), behavioral entropy, embedding outliers —
+# engine-added analytics surface past SURVEY §2 with DuckDB oracles.
+# =========================================================================
+
+
+@query(
+    "yoy_growth_monthly",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS y,
+             CAST(month(o_orderdate) AS INT) AS mo,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT y, mo, rev,
+           lag(rev) OVER (PARTITION BY mo ORDER BY y) AS rev_prev_year,
+           ROUND(rev / lag(rev) OVER (PARTITION BY mo ORDER BY y) - 1.0, 4)
+               AS yoy
+    FROM m
+    """,
+)
+def yoy_growth_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth per calendar month: monthly revenue joined
+    to the SAME month one year earlier via a lag window partitioned by
+    month-of-year — the seasonality-aware growth comparison (January vs
+    last January, not January vs December). Revenue accumulates in
+    DECIMAL (order-independent), the ratio is derived from two exact
+    doubles then rounded.
+
+    100 TB: one partial-aggregated shuffle to (year, month) grain —
+    thousands of rows regardless of fact size — then a 12-partition
+    window. The window never sees fact rows."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+    ).agg(dsum(F.col("o_totalprice")).alias("rev"))
+    w = Window.partitionBy("mo").orderBy("y")
+    prev = F.lag("rev").over(w)
+    return m.select(
+        "y", "mo", "rev",
+        prev.alias("rev_prev_year"),
+        F.round(F.col("rev") / prev - 1.0, 4).alias("yoy"),
+    )
+
+
+@query(
+    "ohlc_monthly_orders",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS y,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           first(o_totalprice ORDER BY o_orderdate, o_orderkey) AS open,
+           max(o_totalprice) AS high,
+           min(o_totalprice) AS low,
+           last(o_totalprice ORDER BY o_orderdate, o_orderkey) AS close,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def ohlc_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick aggregation (open/high/low/close) of order
+    prices per calendar month — the time-series downsampling shape every
+    financial rollup uses. Open/close are ORDERED aggregates; the order
+    key (o_orderdate, o_orderkey) is made total by the unique tie-break
+    so both engines pick the same row. Spark side: min_by/max_by on a
+    struct ordering key — one hash aggregate, NO window, no sort of the
+    fact table.
+
+    100 TB: min_by/max_by carry one candidate row per group through
+    map-side partials — the whole OHLC computes in a single shuffle at
+    (year, month) grain."""
+    o = _t(spark, sf_dir, "orders")
+    ordk = F.struct(F.col("o_orderdate"), F.col("o_orderkey"))
+    return o.groupBy(
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+    ).agg(
+        F.min_by("o_totalprice", ordk).alias("open"),
+        F.max("o_totalprice").alias("high"),
+        F.min("o_totalprice").alias("low"),
+        F.max_by("o_totalprice", ordk).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "chi_square_status_priority",
+    oracle="""
+    WITH obs AS (
+      SELECT o_orderstatus AS s, o_orderpriority AS p,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    rt AS (SELECT s, sum(n) AS rn FROM obs GROUP BY s),
+    ct AS (SELECT p, sum(n) AS cn FROM obs GROUP BY p),
+    t AS (SELECT sum(n) AS tot FROM obs)
+    SELECT ROUND(sum((n - rn * cn / tot) * (n - rn * cn / tot)
+                     / (rn * cn / tot)), 4) AS chi2,
+           CAST((count(DISTINCT s) - 1) * (count(DISTINCT p) - 1) AS INT)
+               AS dof,
+           CAST(count(*) AS INT) AS n_cells
+    FROM obs JOIN rt USING (s) JOIN ct USING (p) CROSS JOIN t
+    """,
+)
+def chi_square_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between two categorical columns
+    (order status × priority): observed vs expected cell counts from the
+    marginals — the canonical "are these features correlated" screen a
+    feature-selection pass runs over every categorical pair. All inputs
+    are exact integer counts; the statistic folds ~15 cells, rounded.
+
+    100 TB: the contingency table is one partial-aggregated shuffle at
+    (status, priority) grain (15 rows); marginals and the statistic are
+    broadcast-size arithmetic after that. Never materializes fact rows."""
+    o = _t(spark, sf_dir, "orders")
+    obs = o.groupBy(
+        F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    rt = obs.groupBy("s").agg(F.sum("n").alias("rn"))
+    ct = obs.groupBy("p").agg(F.sum("n").alias("cn"))
+    t = obs.agg(F.sum("n").alias("tot"))
+    j = obs.join(F.broadcast(rt), "s").join(F.broadcast(ct), "p").crossJoin(
+        F.broadcast(t)
+    )
+    e = F.col("rn") * F.col("cn") / F.col("tot")
+    return j.agg(
+        F.round(F.sum((F.col("n") - e) * (F.col("n") - e) / e), 4).alias("chi2"),
+        (
+            (F.countDistinct("s") - 1) * (F.countDistinct("p") - 1)
+        ).cast("int").alias("dof"),
+        F.count(F.lit(1)).cast("int").alias("n_cells"),
+    )
+
+
+@query(
+    "gini_customer_revenue",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT rev,
+             row_number() OVER (ORDER BY rev, o_custkey) AS i
+      FROM r
+    )
+    SELECT ROUND(2.0 * sum(i * rev) / (count(*) * sum(rev))
+                 - (count(*) + 1.0) / count(*), 4) AS gini,
+           CAST(count(*) AS INT) AS n_customers
+    FROM ranked
+    """,
+)
+def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI COEFFICIENT of revenue concentration across customers — the
+    standard inequality measure (0 = uniform, →1 = one whale), via the
+    rank formulation G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over revenue sorted
+    ascending (ties broken by custkey so both engines rank identically).
+
+    100 TB: revenue-per-customer is one partial-aggregated shuffle; the
+    rank is a single global sort of CUSTOMER-grain rows (not facts).
+    For a key grain too large even for that, the histogram/quantile
+    approximation of G is the escape hatch — this is the exact rung."""
+    o = _t(spark, sf_dir, "orders")
+    r = o.groupBy("o_custkey").agg(dsum(F.col("o_totalprice")).alias("rev"))
+    w = Window.orderBy("rev", "o_custkey")
+    ranked = r.select("rev", F.row_number().over(w).alias("i"))
+    n = F.count(F.lit(1))
+    return ranked.agg(
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("rev")) / (n * F.sum("rev"))
+            - (n + 1.0) / n,
+            4,
+        ).alias("gini"),
+        n.cast("int").alias("n_customers"),
+    )
+
+
+@query(
+    "benford_first_digit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+                                   AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+                 AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+    t AS (SELECT sum(n) AS tot FROM c)
+    SELECT digit, n,
+           ROUND(n / tot, 4) AS obs_freq,
+           ROUND(log10(1.0 + 1.0 / digit), 4) AS benford_freq
+    FROM c CROSS JOIN t
+    """,
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD'S LAW screen: leading-digit distribution of order amounts
+    vs the log10(1+1/d) expectation — the classic anomaly/fraud signal
+    for any monetary column. The leading digit is extracted through
+    integer-cents STRING form (round(x*100) is exact for 2dp money;
+    float log10-of-value extraction would disagree across engines at
+    power-of-ten boundaries, the cross-engine trap this dodges).
+
+    100 TB: map-side projection to a single digit column, one 9-row
+    aggregate. Nothing else moves."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    c = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = c.agg(F.sum("n").alias("tot"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit", "n",
+        F.round(F.col("n") / F.col("tot"), 4).alias("obs_freq"),
+        F.round(F.log10(1.0 + 1.0 / F.col("digit")), 4).alias("benford_freq"),
+    )
+
+
+@query(
+    "event_entropy_per_user",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    pd AS (
+      SELECT user_id,
+             list_sort(list({'et': event_type, 'n': n})) AS arr,
+             CAST(sum(n) AS DOUBLE) AS tot
+      FROM c GROUP BY user_id
+    )
+    SELECT user_id, CAST(tot AS BIGINT) AS n_events,
+           CAST(len(arr) AS INT) AS n_types,
+           round(0.0 - list_reduce(
+               list_prepend(
+                   CAST(0.0 AS DOUBLE),
+                   list_transform(arr, s -> (s.n / tot) * ln(s.n / tot))),
+               (acc, x) -> acc + x), 4) AS entropy
+    FROM pd
+    """,
+)
+def event_entropy_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user BEHAVIORAL ENTROPY over event types — the engagement-
+    diversity feature (0 = single-action bots, high = diverse usage)
+    that churn and abuse models consume. Float discipline follows
+    text_char_entropy: the entropy terms fold in SORTED event-type
+    order on both engines (sort_array of structs / list_sort), so the
+    double accumulation is order-pinned, then rounded.
+
+    100 TB: one (user, type) partial-aggregated shuffle, then a user-
+    grain array fold — per-user arrays are ≤ the event-type vocabulary,
+    constant-size. No window, no explode back."""
+    e = _t(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    pd_ = c.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("event_type").alias("et"), F.col("n")))
+        ).alias("arr"),
+        F.sum("n").alias("tot"),
+    )
+    term = lambda s: (s["n"] / F.col("tot")) * F.log(s["n"] / F.col("tot"))
+    return pd_.select(
+        "user_id",
+        F.col("tot").cast("bigint").alias("n_events"),
+        F.size("arr").cast("int").alias("n_types"),
+        F.round(
+            -F.aggregate(
+                "arr", F.lit(0.0).cast("double"), lambda acc, s: acc + term(s)
+            ),
+            4,
+        ).alias("entropy"),
+    )
+
+
+@query(
+    "embedding_outlier_centroid",
+    oracle="""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    el AS (
+      SELECT vec_id, i AS pos, v[i] AS x
+      FROM emb, UNNEST(generate_series(1, len(v))) AS t(i)
+    ),
+    cent AS (SELECT pos, avg(x) AS c FROM el GROUP BY pos)
+    SELECT vec_id,
+           ROUND(sum((x - c) * (x - c)), 4) AS sq_dist
+    FROM el JOIN cent USING (pos)
+    GROUP BY vec_id
+    """,
+)
+def embedding_outlier_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space OUTLIER score: squared distance of every vector
+    to the corpus centroid — the cheap global screen for mis-embedded /
+    off-distribution rows a curation pass runs before clustering.
+    Layout per the round-5 PCA lesson: posexplode to (vec, pos, x), the
+    centroid is a 64-row broadcast aggregate, distances re-aggregate at
+    vec grain — no array-length-wide Catalyst expressions, no collect.
+    The per-(pos) avg is the only cross-row float (~1e-15 wobble vs the
+    1e-4 round).
+
+    100 TB: two partial-aggregated shuffles (pos grain: 64 rows; vec
+    grain: one row per vector) and a broadcast join of a KB-sized
+    centroid. Scales linearly in vectors regardless of dimension."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    el = emb.select(
+        "vec_id", F.posexplode("v").alias("pos0", "x")
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "x")
+    cent = el.groupBy("pos").agg(F.avg("x").alias("c"))
+    d = F.col("x") - F.col("c")
+    return (
+        el.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id")
+        .agg(F.round(F.sum(d * d), 4).alias("sq_dist"))
+    )
