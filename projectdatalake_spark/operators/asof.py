@@ -44,13 +44,37 @@ def asof_join(
     Ties on ``right_ts`` break by the right row with the highest sort order
     of all its columns — callers wanting a specific tiebreak should ensure
     ``right_ts`` is unique per by-key.
+
+    direction='nearest' picks the right row minimizing |right_ts −
+    left_ts| in either direction (equidistant pairs prefer the EARLIER
+    right row — backward, matching pandas merge_asof). It drops the
+    range predicate, so the per-key join is a full per-key product
+    before the window; right-sized for dimension-sized right sides —
+    use asof_join_grouped (merge_asof does 'nearest' natively, linear)
+    when both sides are large.
     """
+
+    def _as_num(name: str, df_: DataFrame):
+        dtype = dict(df_.dtypes).get(name, "")
+        c = F.col(name)
+        if dtype.startswith("timestamp"):
+            # ntz and tz both shift identically under the session TZ, so
+            # the DIFFERENCE used for distance is TZ-independent
+            return F.unix_micros(c.cast("timestamp")).cast("double")
+        if dtype == "date":
+            return F.unix_date(c).cast("double")
+        return c.cast("double")
+
     if direction == "backward":
         range_cond = F.col(right_ts) <= F.col(left_ts)
         order = [F.col(right_ts).desc_nulls_last()]
     elif direction == "forward":
         range_cond = F.col(right_ts) >= F.col(left_ts)
         order = [F.col(right_ts).asc_nulls_last()]
+    elif direction == "nearest":
+        range_cond = F.lit(True)
+        dist = F.abs(_as_num(left_ts, left) - _as_num(right_ts, right))
+        order = [dist.asc_nulls_last(), F.col(right_ts).asc_nulls_last()]
     else:
         raise ValueError(f"unknown direction: {direction}")
 

@@ -12726,3 +12726,343 @@ def embedding_outlier_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.round(F.sum(d * d), 4).alias("sq_dist"))
     )
+
+
+# =========================================================================
+# Round-6 Wave I: nearest as-of join, corpus statistics (Zipf slope,
+# hapax ratio, tokenizer fertility), time-series diagnostics
+# (autocorrelation, mean-shift changepoint).
+# =========================================================================
+
+
+@query(
+    "asof_join_nearest",
+    oracle="""
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+           o_orderkey AS nearest_orderkey, o_orderdate AS nearest_orderdate
+    FROM (
+        SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+               row_number() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY abs(epoch_us(CAST(e.ts AS TIMESTAMP))
+                                - epoch_us(o.o_orderdate)) ASC,
+                            o.o_orderdate ASC, o.o_orderkey DESC
+               ) AS rn
+        FROM events e
+        LEFT JOIN orders o ON o.o_custkey = e.user_id
+    ) WHERE rn = 1
+    """,
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, direction='nearest': each event picks the user's order
+    CLOSEST in time in either direction — equidistant pairs prefer the
+    earlier order (backward, pandas merge_asof's convention), date ties
+    break by highest orderkey. Completes the operator's direction
+    triple (backward r1, forward via the same window, nearest here).
+    Distance compares epoch micros, so the session timezone cancels.
+
+    100 TB: this window form pays the per-key product (right side is a
+    per-user order list — dimension-sized); asof_join_grouped passes
+    'nearest' straight to merge_asof for the both-sides-large case."""
+    from projectdatalake_spark.operators import asof
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    joined = ev.join(
+        orders, F.col("o_custkey") == F.col("user_id"), "left"
+    )
+    dist = F.abs(
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        dist.asc_nulls_last(),
+        F.col("o_orderdate").asc_nulls_last(),
+        F.col("o_orderkey").desc(),
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id", "user_id", "ts",
+            F.col("o_orderkey").alias("nearest_orderkey"),
+            F.col("o_orderdate").alias("nearest_orderdate"),
+        )
+    )
+
+
+@query(
+    "zipf_slope_tokens",
+    oracle=r"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM documents
+    ),
+    freq AS (
+      SELECT tok, CAST(count(*) AS DOUBLE) AS f
+      FROM toks WHERE tok <> '' GROUP BY tok
+    ),
+    ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS r FROM freq
+    )
+    SELECT ROUND(regr_slope(ln(f), ln(r)), 4) AS zipf_slope,
+           ROUND(regr_r2(ln(f), ln(r)), 4) AS r2,
+           CAST(count(*) AS BIGINT) AS n_head_types
+    FROM ranked WHERE r <= 1000
+    """,
+)
+def zipf_slope_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF EXPONENT of the corpus: OLS slope of ln(frequency) on
+    ln(rank) over the 1000 most frequent tokens — natural language sits
+    near −1; far-off corpora signal boilerplate floods, spam, or
+    tokenizer damage, so this is a standing corpus-health gauge in a
+    training-data pipeline. Rank ties break lexicographically so both
+    engines rank identically; the fit uses the head only (the Zipf
+    regime, and a fixed-size float reduction).
+
+    100 TB: token frequency is one partial-aggregated shuffle; the
+    head-1000 rank is a top-k (WindowGroupLimit-class), and the
+    regression folds 1000 rows. Nothing full-corpus past the first
+    aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("f"))
+    w = Window.orderBy(F.col("f").desc(), "tok")
+    ranked = freq.select("f", F.row_number().over(w).alias("r")).filter(
+        F.col("r") <= 1000
+    )
+    lf, lr = F.log(F.col("f")), F.log(F.col("r"))
+    return ranked.agg(
+        F.round(F.regr_slope(lf, lr), 4).alias("zipf_slope"),
+        F.round(F.regr_r2(lf, lr), 4).alias("r2"),
+        F.count(F.lit(1)).alias("n_head_types"),
+    )
+
+
+@query(
+    "text_hapax_ratio",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM documents
+    ),
+    freq AS (
+      SELECT source, tok, count(*) AS n
+      FROM toks WHERE tok <> '' GROUP BY source, tok
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           ROUND(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS hapax_ratio,
+           ROUND(count(*) / CAST(sum(n) AS DOUBLE), 4) AS type_token_ratio
+    FROM freq GROUP BY source
+    """,
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAPAX LEGOMENA ratio and type/token ratio per source — lexical-
+    diversity fingerprints (low TTR = template/boilerplate floods; a
+    collapsing hapax share = the same pages over and over) that corpus
+    curation tracks per ingest source alongside [[source_reputation]].
+    All inputs are exact integer counts; only the final ratios divide.
+
+    100 TB: one (source, token) partial-aggregated shuffle, then a
+    source-grain rollup — the vocabulary table is the only intermediate
+    and it partial-aggregates map-side."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    freq = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n"))
+    hapax = F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+    return freq.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("n").alias("n_tokens"),
+        hapax.alias("n_hapax"),
+        F.round(hapax / F.count(F.lit(1)).cast("double"), 4).alias("hapax_ratio"),
+        F.round(
+            F.count(F.lit(1)) / F.sum("n").cast("double"), 4
+        ).alias("type_token_ratio"),
+    )
+
+
+@query(
+    "tokenizer_fertility_by_lang",
+    oracle=rf"""
+    WITH per_doc AS (
+      SELECT lang,
+             CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS DOUBLE)
+                 AS n_bpe,
+             CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE)
+                 AS n_ws
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+           CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
+           ROUND(sum(n_bpe) / sum(n_ws), 4) AS fertility,
+           ROUND(avg(n_bpe / n_ws), 4) AS avg_doc_fertility
+    FROM per_doc GROUP BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER FERTILITY per language: BPE-ish tokens per whitespace
+    word — the compression-quality metric multilingual pipelines watch
+    (high fertility = the tokenizer fragments that language, inflating
+    training cost per word and starving it of effective context).
+    Corpus fertility divides two exact integer sums; the per-doc mean
+    is the only cross-row float fold (4dp round).
+
+    100 TB: both token counts are codegen'd per-row expressions (no
+    explode — length of the extraction arrays); one lang-grain
+    aggregate moves."""
+    d = _t(spark, sf_dir, "documents")
+    n_bpe = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0)
+    ).cast("double")
+    n_ws = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).cast("double")
+    per_doc = d.select("lang", n_bpe.alias("n_bpe"), n_ws.alias("n_ws"))
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bpe").cast("bigint").alias("bpe_tokens"),
+        F.sum("n_ws").cast("bigint").alias("ws_tokens"),
+        F.round(F.sum("n_bpe") / F.sum("n_ws"), 4).alias("fertility"),
+        F.round(F.avg(F.col("n_bpe") / F.col("n_ws")), 4).alias(
+            "avg_doc_fertility"
+        ),
+    )
+
+
+@query(
+    "ts_autocorr_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events GROUP BY event_type, d
+    ),
+    l AS (
+      SELECT event_type, x,
+             lag(x, 1) OVER (PARTITION BY event_type ORDER BY d) AS x1,
+             lag(x, 7) OVER (PARTITION BY event_type ORDER BY d) AS x7
+      FROM daily
+    )
+    SELECT event_type,
+           ROUND(corr(x, x1), 4) AS ac_lag1,
+           ROUND(corr(x, x7), 4) AS ac_lag7,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM l GROUP BY event_type
+    """,
+)
+def ts_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTOCORRELATION diagnostics of the daily event series: lag-1
+    (momentum) and lag-7 (weekly seasonality) Pearson correlation per
+    event type — the two numbers that decide whether the seasonal-naive
+    baseline ([[ts_seasonal_naive_mase]]) is even the right baseline.
+    corr() null-pair semantics (lag head rows drop out) match across
+    engines — the discipline agg_corr_stats established.
+
+    100 TB: the series lives at (type, day) grain — thousands of rows —
+    after one partial-aggregated shuffle; windows and corr never see
+    fact rows."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    l_ = daily.select(
+        "event_type", "x",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", 7).over(w).alias("x7"),
+    )
+    return l_.groupBy("event_type").agg(
+        F.round(F.corr("x", "x1"), 4).alias("ac_lag1"),
+        F.round(F.corr("x", "x7"), 4).alias("ac_lag7"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+
+
+@query(
+    "ts_changepoint_meanshift",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events GROUP BY event_type, d
+    ),
+    w AS (
+      SELECT event_type, d,
+             sum(x) OVER (PARTITION BY event_type ORDER BY d) AS cs,
+             row_number() OVER (PARTITION BY event_type ORDER BY d) AS i,
+             sum(x) OVER (PARTITION BY event_type) AS tot,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+    ),
+    scored AS (
+      SELECT event_type, d,
+             ROUND(abs(cs / i - (tot - cs) / (n - i)), 4) AS gap
+      FROM w WHERE i < n
+    )
+    SELECT event_type, d AS changepoint_d, gap
+    FROM (
+      SELECT event_type, d, gap,
+             row_number() OVER (
+                 PARTITION BY event_type ORDER BY gap DESC, d
+             ) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def ts_changepoint_meanshift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEAN-SHIFT CHANGEPOINT per event type: the split date maximizing
+    |prefix mean − suffix mean| of the daily series — the scan statistic
+    a monitoring stack uses to date a level shift (deploys, incidents,
+    bot onsets). Window-only formulation: prefix sums are an ORDERED
+    running sum (order-pinned floats over exact integer counts — no
+    unordered accumulation anywhere), suffix means derive from the
+    total, the argmax tie-breaks on the earlier date.
+
+    100 TB: the series is (type, day) grain after one shuffle; the scan
+    statistic is two window passes over thousands of rows. The per-day
+    counts stay exact in doubles, so both engines score identically
+    BEFORE the round — the round only pins the ranking key."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    wo = Window.partitionBy("event_type").orderBy("d")
+    wp = Window.partitionBy("event_type")
+    scored = (
+        daily.select(
+            "event_type", "d",
+            F.sum("x").over(wo).alias("cs"),
+            F.row_number().over(wo).alias("i"),
+            F.sum("x").over(wp).alias("tot"),
+            F.count(F.lit(1)).over(wp).alias("n"),
+        )
+        .filter(F.col("i") < F.col("n"))
+        .select(
+            "event_type", "d",
+            F.round(
+                F.abs(
+                    F.col("cs") / F.col("i")
+                    - (F.col("tot") - F.col("cs")) / (F.col("n") - F.col("i"))
+                ),
+                4,
+            ).alias("gap"),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.col("gap").desc(), "d")
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("d").alias("changepoint_d"), "gap")
+    )

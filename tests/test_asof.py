@@ -111,3 +111,59 @@ def test_interval_point_join_left_keeps_unmatched(spark):
     )
     got = {(r.pid, r.iid) for r in out.collect()}
     assert got == {(10, 1), (11, None)}
+
+
+def test_asof_nearest_semantics(spark):
+    left, right = _fixtures(spark)
+    out = asof.asof_join(
+        left, right, "t", "rt", "uid", "ruid", ["eid"], direction="nearest"
+    )
+    got = {r.eid: r.state for r in out.collect()}
+    # eid1 t=100 → rt=90 (d=10 beats d=100); eid2 t=205 → rt=200 (d=5);
+    # eid3 t=50 → rt=90 (nearest FORWARD — backward alone finds nothing);
+    # eid4 t=300 → rt=300 (d=0); eid5 uid=3 → no right rows at all
+    assert got == {1: "a", 2: "b", 3: "a", 4: "c", 5: None}
+    # equidistant tie prefers the EARLIER right row (backward, the
+    # merge_asof convention): t=145 sits exactly between rt=90 and rt=200
+    tie = spark.createDataFrame([(6, 1, 145)], ["eid", "uid", "t"])
+    got6 = asof.asof_join(
+        tie, right, "t", "rt", "uid", "ruid", ["eid"], direction="nearest"
+    ).collect()[0]
+    assert got6.state == "a" and got6.rt == 90
+
+
+def test_asof_nearest_grouped_matches_declarative(spark):
+    left, right = _fixtures(spark)
+    a = asof.asof_join(
+        left, right, "t", "rt", "uid", "ruid", ["eid"], direction="nearest"
+    )
+    b = asof.asof_join_grouped(
+        left, right, "t", "rt", "uid", "ruid", direction="nearest"
+    )
+    cols = ["eid", "uid", "t", "rt", "state"]
+    sa = sorted(tuple(r) for r in a.select(*cols).collect())
+    sb = sorted(tuple(r) for r in b.select(*cols).collect())
+    assert sa == sb
+
+
+def test_asof_nearest_timestamp_tz_independent(spark):
+    """Distance compares epoch micros, so the session timezone cancels
+    for timestamp_ntz inputs."""
+    left = spark.createDataFrame(
+        [(1, 1, "2024-03-10 12:00:00")], ["eid", "uid", "t"]
+    ).select("eid", "uid", F.col("t").cast("timestamp_ntz").alias("t"))
+    right = spark.createDataFrame(
+        [(1, "2024-03-10 10:00:00", "x"), (1, "2024-03-10 13:30:00", "y")],
+        ["ruid", "rt", "state"],
+    ).select("ruid", F.col("rt").cast("timestamp_ntz").alias("rt"), "state")
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "Asia/Tokyo", "America/Los_Angeles"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            out = asof.asof_join(
+                left, right, "t", "rt", "uid", "ruid", ["eid"],
+                direction="nearest",
+            ).collect()
+            assert out[0].state == "y", tz  # 1.5h beats 2h in every TZ
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
