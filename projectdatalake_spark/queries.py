@@ -13066,3 +13066,149 @@ def ts_changepoint_meanshift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_type", F.col("d").alias("changepoint_d"), "gap")
     )
+
+
+@query(
+    "iceberg_rewrite_manifests",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE NOT (o_orderkey % 10 = 7)
+    GROUP BY o_orderstatus
+    """,
+)
+def iceberg_rewrite_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rewrite_manifests (Iceberg's metadata-compaction procedure): five
+    append commits leave five data manifests — five Avro opens per scan
+    plan, the append-heavy table's creeping planning tax; the rewrite
+    consolidates them into ONE manifest of EXISTING entries with
+    sequence numbers pinned (a position delete rides through untouched,
+    proving delete manifests are out of scope), without moving a byte of
+    data. Asserted: manifest count 5 → 1, identical file set, and the
+    snapshot hash-equals SQL with the delete applied.
+
+    100 TB: scan planning is O(#manifests) driver-side; a table taking
+    a commit a minute accretes 1440 manifests a day. This is the
+    cheapest maintenance action in the book — pure metadata."""
+    import tempfile
+
+    from projectdatalake_spark.sources.avro_codec import read_container
+    from projectdatalake_spark.sources.iceberg_interop import IcebergTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_rm_")
+    t = IcebergTable.create(
+        spark, root, o.filter(F.col("o_orderkey") % 5 == 0).repartition(2)
+    )
+    for k in (1, 2, 3, 4):
+        t.append(o.filter(F.col("o_orderkey") % 5 == k).repartition(2))
+    t.delete_where("o_orderkey % 10 = 7")
+
+    def n_data_manifests() -> int:
+        meta = t.metadata()
+        cur = next(
+            s for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        _, rows = read_container(t._read_bytes(cur["manifest-list"]))
+        return len([m for m in rows if m.get("content", 0) == 0])
+
+    assert n_data_manifests() == 5
+    files_before = sorted(
+        e["data_file"]["file_path"]
+        for e in t._entries_for_snapshot(t.metadata(), None)[0]
+    )
+    assert t.rewrite_manifests() is not None
+    assert n_data_manifests() == 1, "five append manifests must become one"
+    files_after = sorted(
+        e["data_file"]["file_path"]
+        for e in t._entries_for_snapshot(t.metadata(), None)[0]
+    )
+    assert files_after == files_before, "metadata-only: zero data movement"
+    return (
+        t.snapshot()
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
+    )
+
+
+@query(
+    "stream_fanout_two_sinks",
+    oracle="""
+    SELECT 'delta' AS sink, event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'txlog' AS sink, event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_fanout_two_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-SINK EXACTLY-ONCE FANOUT: one stream (8 files,
+    maxFilesPerTrigger=2 → 4 micro-batches) lands in a TxTable AND a
+    Delta table from a single foreachBatch, each sink fenced on its own
+    (app_id, batch_id) idempotence ledger — no cross-sink coordination,
+    no two-phase commit; a replay no-ops where it already landed and
+    completes where it did not. The query then SIMULATES the dangerous
+    crash-replay (re-applies batch 0 to both sinks by hand) and asserts
+    neither table moved. Both tables must hash-equal the source
+    aggregate, labeled per sink.
+
+    100 TB: the batch frame persists across sinks, so the source is
+    read once per batch, not once per sink — at N sinks that is the
+    difference between 1x and Nx ingest reads."""
+    import tempfile
+
+    from projectdatalake_spark.sources.delta_interop import DeltaTable
+    from projectdatalake_spark.sources.txlog import TxTable
+    from projectdatalake_spark.streaming.fanout import fanout_stream
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+    src = tempfile.mkdtemp(prefix="fanout_src_")
+    ev.repartition(8).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    tx_root = tempfile.mkdtemp(prefix="fanout_tx_") + "/t"
+    dl_root = tempfile.mkdtemp(prefix="fanout_dl_") + "/t"
+    ckpt = tempfile.mkdtemp(prefix="fanout_ckpt_")
+    tx = TxTable.create(spark, tx_root, spark.createDataFrame([], stream.schema))
+    dl = DeltaTable.create(
+        spark, dl_root, spark.createDataFrame([], stream.schema)
+    )
+    sinks = [
+        lambda df, bid: tx.append_once(df, ckpt, bid),
+        lambda df, bid: dl.append(df, txn=(ckpt, bid)),
+    ]
+    q = fanout_stream(stream, sinks, ckpt)
+    q.awaitTermination(600)
+    assert tx.latest_version() >= 4 and dl.latest_version() >= 4
+    # the dangerous case, by hand: a crash-replayed batch re-applies to
+    # BOTH sinks; each one's ledger must no-op it
+    vt, vd = tx.latest_version(), dl.latest_version()
+    replay = spark.createDataFrame(
+        [(999_999_999, "replayed", 1.0)], stream.schema
+    )
+    for sink in sinks:
+        sink(replay, 0)
+    assert tx.latest_version() == vt and dl.latest_version() == vd, (
+        "replayed batch id must be fenced by both sinks"
+    )
+    agg = lambda df, name: (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("total_value")
+        )
+        .select(F.lit(name).alias("sink"), "event_type", "n", "total_value")
+    )
+    return agg(dl.snapshot(), "delta").unionByName(agg(tx.snapshot(), "txlog"))

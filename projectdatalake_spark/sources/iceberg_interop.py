@@ -1864,6 +1864,170 @@ class IcebergTable:
             files, meta=meta, replace=True, operation="replace"
         )
 
+    def rewrite_manifests(self) -> int | None:
+        """Iceberg's ``rewrite_manifests`` maintenance action: consolidate
+        the current snapshot's DATA manifests into ONE manifest per spec
+        era (entries carried as EXISTING with their original sequence
+        numbers pinned), leaving data files AND delete manifests
+        untouched — a pure metadata rewrite. Small frequent appends each
+        add a manifest; scan planning reads every one of them, so a
+        1000-append table pays 1000 Avro opens per query plan. Returns
+        the new snapshot id, or None when already consolidated.
+
+        100 TB: manifests are the scan-planning fan-out; planning cost
+        is O(#manifests) driver-side file opens. Consolidation resets it
+        to O(#spec eras) without moving a byte of data — the cheapest
+        maintenance win on an append-heavy table."""
+        meta = self.metadata()
+        sid_cur = meta.get("current-snapshot-id")
+        if sid_cur is None or sid_cur == -1:
+            return None
+        cur_snap = next(
+            s for s in meta["snapshots"] if s["snapshot-id"] == sid_cur
+        )
+        _, prior = read_container(self._read_bytes(cur_snap["manifest-list"]))
+        data_manifests = [m for m in prior if m.get("content", 0) == 0]
+        delete_manifests = [m for m in prior if m.get("content", 0) == 1]
+        specs_present = {m.get("partition_spec_id", 0) for m in data_manifests}
+        if len(data_manifests) <= len(specs_present):
+            return None  # one manifest per era already
+        sid = uuid.uuid4().int % (1 << 62)
+        # group live entries by spec era, pin their effective sequences
+        by_spec: dict[int, list[dict]] = {}
+        for m in data_manifests:
+            _, rows = read_container(self._read_bytes(m["manifest_path"]))
+            for e in rows:
+                if e["status"] not in (0, 1):
+                    continue
+                seq = (
+                    e.get("sequence_number")
+                    if e.get("sequence_number") is not None
+                    else m["sequence_number"]
+                )
+                by_spec.setdefault(m.get("partition_spec_id", 0), []).append(
+                    {
+                        "status": 0,  # EXISTING: carried, not added
+                        "snapshot_id": e.get("snapshot_id"),
+                        "sequence_number": seq,
+                        "file_sequence_number": e.get("file_sequence_number"),
+                        "data_file": e["data_file"],
+                    }
+                )
+        new_rows = []
+        for spec_id, entries in sorted(by_spec.items()):
+            spec_of = next(
+                s for s in meta["partition-specs"] if s["spec-id"] == spec_id
+            )
+            pf = [
+                (p["pname"], p["result_type"])
+                for p in _spec_part_fields(meta, spec_of)
+            ]
+            entry_schema = _manifest_entry_schema(_partition_record_schema(pf))
+            mp = f"{self.root}/metadata/{uuid.uuid4().hex}-m0.avro"
+            mb = write_container(
+                entry_schema,
+                entries,
+                extra_meta={
+                    "schema": json.dumps(
+                        next(
+                            s
+                            for s in meta["schemas"]
+                            if s["schema-id"] == meta["current-schema-id"]
+                        )
+                    ).encode(),
+                    "partition-spec": json.dumps(spec_of["fields"]).encode(),
+                    "partition-spec-id": str(spec_of["spec-id"]).encode(),
+                    "format-version": b"2",
+                    "content": b"data",
+                },
+            )
+            self._write_bytes(mp, mb, exclusive=True)
+            new_rows.append(
+                {
+                    "manifest_path": mp,
+                    "manifest_length": len(mb),
+                    "partition_spec_id": spec_id,
+                    "content": 0,
+                    # stamped with the commit seq below
+                    "added_snapshot_id": sid,
+                    "added_files_count": 0,
+                    "existing_files_count": len(entries),
+                    "deleted_files_count": 0,
+                    "added_rows_count": 0,
+                    "existing_rows_count": sum(
+                        e["data_file"]["record_count"] for e in entries
+                    ),
+                    "deleted_rows_count": 0,
+                    "partitions": None,
+                    "_min_seq": min(
+                        e["sequence_number"] for e in entries
+                    ) if entries else None,
+                }
+            )
+        base_sid = sid_cur
+        v = self.current_metadata_version()
+        meta = self.metadata(version=v)
+        if meta.get("current-snapshot-id") != base_sid:
+            raise IcebergCommitConflict(
+                f"rewrite_manifests base snapshot moved at {self.root} — "
+                f"recompute"
+            )
+        seq = meta["last-sequence-number"] + 1
+        rows_out = [
+            {
+                **{k: v2 for k, v2 in r.items() if k != "_min_seq"},
+                "sequence_number": seq,
+                "min_sequence_number": (
+                    r["_min_seq"] if r["_min_seq"] is not None else seq
+                ),
+            }
+            for r in new_rows
+        ] + delete_manifests
+        mlist_path = f"{self.root}/metadata/snap-{sid}-1-{uuid.uuid4().hex}.avro"
+        mlist_bytes = write_container(
+            _manifest_list_schema(),
+            rows_out,
+            extra_meta={
+                "snapshot-id": str(sid).encode(),
+                "sequence-number": str(seq).encode(),
+                "format-version": b"2",
+            },
+        )
+        self._write_bytes(mlist_path, mlist_bytes, exclusive=True)
+        now = int(time.time() * 1000)
+        snap = {
+            "snapshot-id": sid,
+            "parent-snapshot-id": base_sid,
+            "sequence-number": seq,
+            "timestamp-ms": now,
+            "manifest-list": mlist_path,
+            "summary": {
+                "operation": "replace",
+                "manifests-replaced": str(len(data_manifests)),
+                "manifests-created": str(len(new_rows)),
+            },
+            "schema-id": meta["current-schema-id"],
+        }
+        new_meta = dict(meta)
+        new_meta["last-sequence-number"] = seq
+        new_meta["last-updated-ms"] = now
+        new_meta["current-snapshot-id"] = sid
+        new_meta["refs"] = {
+            **(meta.get("refs") or {}),
+            "main": {"snapshot-id": sid, "type": "branch"},
+        }
+        new_meta["snapshots"] = meta["snapshots"] + [snap]
+        new_meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+            {"timestamp-ms": now, "snapshot-id": sid}
+        ]
+        try:
+            self._write_metadata(v + 1, new_meta)
+            return sid
+        except IcebergCommitConflict:
+            raise IcebergCommitConflict(
+                f"rewrite_manifests lost a race at {self.root} — recompute"
+            )
+
     def rewrite_position_deletes(self, target_files: int = 1) -> int | None:
         """Iceberg's ``rewrite_position_deletes`` maintenance action
         (public spec / Spark procedure of the same name): compact every

@@ -1521,3 +1521,57 @@ def test_space_partition_record_counts_and_deletes(spark, root):
     t.delete_where("id < 10")
     assert t.snapshot().count() == 30
     assert {r.id for r in t.snapshot().select("id").collect()} == set(range(10, 40))
+
+
+def test_rewrite_manifests_consolidates_metadata_only(spark, root):
+    """Pure metadata rewrite: N append manifests become one per spec
+    era; data file paths, rows, pruning, equality-delete ordering and
+    time travel are all unchanged."""
+    t = IcebergTable.create(
+        spark, root, _df(spark, 0, 100), partition_by=("seg",)
+    )
+    for i in range(4):
+        t.append(_df(spark, 100 + i * 50, 150 + i * 50))
+    t.delete_equality(spark.range(0, 5).select("id"))
+    t.delete_where("id >= 290")
+    n = t.snapshot().count()
+    meta = t.metadata()
+    cur = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, prior = read_container(t._read_bytes(cur["manifest-list"]))
+    assert len([m for m in prior if m.get("content", 0) == 0]) == 5
+    data_before = sorted(
+        e["data_file"]["file_path"]
+        for e in t._entries_for_snapshot(meta, None)[0]
+    )
+    seqs_before = sorted(
+        (e["data_file"]["file_path"], e["_seq"])
+        for e in t._entries_for_snapshot(meta, None)[0]
+    )
+    sid_prior = t.current_snapshot_id()
+    assert t.rewrite_manifests() is not None
+    meta2 = t.metadata()
+    cur2 = next(
+        s for s in meta2["snapshots"]
+        if s["snapshot-id"] == meta2["current-snapshot-id"]
+    )
+    _, after = read_container(t._read_bytes(cur2["manifest-list"]))
+    assert len([m for m in after if m.get("content", 0) == 0]) == 1
+    assert len([m for m in after if m.get("content", 0) == 1]) == 2  # kept
+    entries2, _ = t._entries_for_snapshot(meta2, None)
+    assert sorted(e["data_file"]["file_path"] for e in entries2) == data_before
+    # sequence numbers pinned → equality-delete ordering preserved
+    assert sorted((e["data_file"]["file_path"], e["_seq"]) for e in entries2) \
+        == seqs_before
+    assert t.snapshot().count() == n
+    # pruning still works off the consolidated manifest
+    assert t.snapshot(where_eq={"seg": [1]}).count() < n
+    assert t.snapshot(snapshot_id=sid_prior).count() == n  # time travel
+    assert IcebergTable(spark, root).snapshot().count() == n
+    # converged: second pass is a no-op
+    assert t.rewrite_manifests() is None
+    # empty table: no-op
+    e = IcebergTable.create_empty(spark, root + "_e", _df(spark, 0, 1).schema)
+    assert e.rewrite_manifests() is None

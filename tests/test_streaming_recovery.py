@@ -124,3 +124,58 @@ def test_restart_from_checkpoint_matches_batch(spark, tmp_path, split_events_dir
     must_emit = batch.filter(F.col("w_start") <= F.lit(cutoff))
     assert must_emit.exceptAll(streamed).count() == 0
     assert streamed.count() >= must_emit.count() > 0
+
+
+def test_fanout_partial_failure_completes_lagging_sink(spark, tmp_path):
+    """The two-sink crash: sink 1 commits a batch, sink 2 raises before
+    committing it, the query dies. On restart the checkpoint replays the
+    batch; sink 1's (app_id, batch_id) ledger no-ops the duplicate while
+    sink 2 completes — both tables converge to the source with no
+    double-count and no gap, with zero cross-sink coordination."""
+    from projectdatalake_spark.sources.delta_interop import DeltaTable
+    from projectdatalake_spark.sources.txlog import TxTable
+    from projectdatalake_spark.streaming.fanout import fanout_stream
+
+    src = str(tmp_path / "src")
+    spark.range(0, 400).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 5).cast("string").alias("event_type"),
+        (F.col("id") * 1.0).alias("value"),
+    ).repartition(8).write.mode("overwrite").parquet(src)
+    schema = "event_id long, event_type string, value double"
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+
+    tx = TxTable.create(
+        spark, str(tmp_path / "tx"), spark.createDataFrame([], schema)
+    )
+    dl = DeltaTable.create(
+        spark, str(tmp_path / "dl"), spark.createDataFrame([], schema)
+    )
+    ckpt = str(tmp_path / "ckpt")
+    boom = {"armed": True}
+
+    def delta_sink(df, bid):
+        if boom["armed"] and bid == 1:
+            raise RuntimeError("injected crash AFTER txlog committed batch 1")
+        dl.append(df, txn=(ckpt, bid))
+
+    sinks = [lambda df, bid: tx.append_once(df, ckpt, bid), delta_sink]
+    q = fanout_stream(stream(), sinks, ckpt)
+    with pytest.raises(Exception):
+        q.awaitTermination(600)  # the injected crash kills the query
+    tx_mid = tx.latest_version()
+    assert tx_mid >= 1 and dl.latest_version() < tx_mid  # sinks diverged
+    boom["armed"] = False
+    q2 = fanout_stream(stream(), sinks, ckpt)  # same checkpoint: resume
+    q2.awaitTermination(600)
+    n_tx = tx.snapshot().count()
+    n_dl = dl.snapshot().count()
+    assert n_tx == n_dl == 400, (n_tx, n_dl)
+    # txlog did NOT double-apply the replayed batch
+    assert tx.snapshot().select("event_id").distinct().count() == 400
