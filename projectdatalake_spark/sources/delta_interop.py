@@ -904,6 +904,7 @@ class DeltaTable:
         name: str | None = None,
         bloom_by: tuple[str, ...] = (),
         generated: dict[str, str] | None = None,
+        defaults: dict[str, str] | None = None,
     ) -> "DeltaTable":
         """``generated={col: sql_expr}`` declares GENERATED columns
         (protocol "Generated Columns": the expression is stored as
@@ -929,11 +930,27 @@ class DeltaTable:
                     f"frame — it is computed from ({expr})"
                 )
             df = df.withColumn(col, F.expr(expr))
+        dfl = dict(defaults or {})
+        for col, expr in dfl.items():
+            # column DEFAULTs (protocol writer feature allowColumnDefaults,
+            # spec: the SQL expression is stored in the field metadata as
+            # CURRENT_DEFAULT): a real, caller-writable column — the
+            # default fills it only when a write OMITS it. Absent from the
+            # create frame = computed now.
+            if col in gen:
+                raise DeltaProtocolError(
+                    f"column {col!r} cannot be both generated and defaulted"
+                )
+            if col not in df.columns:
+                df = df.withColumn(col, F.expr(expr))
         schema_json = json.loads(df.schema.json())
         for f in schema_json["fields"]:
             if f["name"] in gen:
                 f.setdefault("metadata", {})
                 f["metadata"]["delta.generationExpression"] = gen[f["name"]]
+            if f["name"] in dfl:
+                f.setdefault("metadata", {})
+                f["metadata"]["CURRENT_DEFAULT"] = dfl[f["name"]]
         adds = t._stage(df, tuple(partition_by))
         meta = {
             "id": str(uuid.uuid4()),
@@ -946,14 +963,56 @@ class DeltaTable:
         if name:
             meta["name"] = name
         writer_v = 4 if gen else 2
+        if dfl:
+            # writer-only table feature: minWriterVersion 7 enumerates
+            # writerFeatures (legacy-implied included); readers untouched
+            wf = set()
+            for lv, fs_ in _LEGACY_WRITER_FEATURES.items():
+                if writer_v >= lv:
+                    wf |= fs_
+            proto = {
+                "minReaderVersion": 1,
+                "minWriterVersion": 7,
+                "writerFeatures": sorted(wf | {"allowColumnDefaults"}),
+            }
+        else:
+            proto = {"minReaderVersion": 1, "minWriterVersion": writer_v}
         actions = [
             {"commitInfo": t._commit_info("CREATE TABLE AS SELECT")},
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": writer_v}},
+            {"protocol": proto},
             {"metaData": meta},
             *({"add": a} for a in adds),
         ]
         t._publish(0, actions)
         return t
+
+    @staticmethod
+    def _defaults_of(meta: dict) -> dict[str, str]:
+        out = {}
+        for f in json.loads(meta["schemaString"])["fields"]:
+            d = (f.get("metadata") or {}).get("CURRENT_DEFAULT")
+            if d is not None:
+                out[f["name"]] = d
+        return out
+
+    def column_defaults(self) -> dict[str, str]:
+        return self._defaults_of(self._state()["metaData"])
+
+    def _apply_defaults(self, df: DataFrame, meta: dict) -> DataFrame:
+        """INSERT-time DEFAULT contract (allowColumnDefaults): a declared
+        column the incoming frame OMITS is filled from its CURRENT_DEFAULT
+        expression (cast to the declared type); a present column passes
+        through untouched — explicit NULLs stay NULL (DEFAULT is not
+        NOT NULL)."""
+        dfl = self._defaults_of(meta)
+        if not dfl:
+            return df
+        schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        typ = {f.name: f.dataType for f in schema.fields}
+        for col, expr in dfl.items():
+            if col not in df.columns:
+                df = df.withColumn(col, F.expr(expr).cast(typ[col]))
+        return df
 
     @staticmethod
     def _generated_of(meta: dict) -> dict[str, str]:
@@ -1359,6 +1418,7 @@ class DeltaTable:
         )
         if phys_of and cm_mode != "name":
             self._refuse_mapped(meta, "append")
+        df = self._apply_defaults(df, meta)
         df = self._apply_generated(df, meta)
         cur_schema = StructType.fromJson(json.loads(meta["schemaString"]))
         known = {f.name for f in cur_schema.fields}
@@ -1437,6 +1497,7 @@ class DeltaTable:
     def overwrite(self, df: DataFrame) -> int:
         state = self._state()
         self._refuse_mapped(state["metaData"], "overwrite")
+        df = self._apply_defaults(df, state["metaData"])
         df = self._apply_generated(df, state["metaData"])
         self._enforce_constraints(df, state["metaData"])
         pcols = tuple(state["metaData"].get("partitionColumns", []))
@@ -1484,6 +1545,7 @@ class DeltaTable:
             raise DeltaProtocolError(
                 "replacement rows fall outside the replaced partitions"
             )
+        df = self._apply_defaults(df, meta)
         df = self._apply_generated(df, meta)
         self._enforce_constraints(df, meta)
         victims = [
@@ -1548,6 +1610,7 @@ class DeltaTable:
         self._refuse_mapped(meta, "merge_upsert")
         if txn is not None and state["txns"].get(txn[0], -1) >= txn[1]:
             return -1  # already applied (idempotent replay)
+        updates = self._apply_defaults(updates, meta)
         updates = self._apply_generated(updates, meta)
         self._enforce_constraints(updates, meta)
         schema = StructType.fromJson(json.loads(meta["schemaString"]))

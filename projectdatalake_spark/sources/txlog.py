@@ -435,6 +435,7 @@ class TxTable:
             "mapping": {},
             "constraints": {},
             "generated": {},
+            "defaults": {},
             "schema": {},
         }
 
@@ -486,6 +487,8 @@ class TxTable:
                 state["constraints"].pop(c["constraint"]["name"], None)
             if "generated" in c:
                 state["generated"] = dict(c["generated"])
+            if "defaults" in c:
+                state["defaults"] = dict(c["defaults"])
         return state
 
     def _state(self, version: int | None = None) -> dict:
@@ -959,6 +962,7 @@ class TxTable:
         cluster_target_files: int = 48,
         cluster_max_rows: int | None = None,
         generated: dict[str, str] | None = None,
+        defaults: dict[str, str] | None = None,
     ) -> "TxTable":
         """Create the table with ``df`` as version 0. ``bloom_by`` opts
         columns into per-file bloom filters (high-cardinality equality
@@ -993,10 +997,25 @@ class TxTable:
             from pyspark.sql import functions as F
 
             df = df.withColumn(col, F.expr(expr))
+        dfl = dict(defaults or {})
+        for col, expr in dfl.items():
+            # column DEFAULTs (the Delta allowColumnDefaults parity
+            # contract): unlike generated columns the column is a real,
+            # caller-writable one — the default only fills it when a
+            # write OMITS it. Absent from the create frame = computed now.
+            if col in gen:
+                raise ValueError(
+                    f"column {col!r} cannot be both generated and defaulted"
+                )
+            if col not in df.columns:
+                from pyspark.sql import functions as F
+
+                df = df.withColumn(col, F.expr(expr))
         table._commit_write(
             df, op="create", partition_by=partition_by, removes=[],
             bloom_by=list(bloom_by), cluster=cluster,
             **({"generated": gen} if gen else {}),
+            **({"defaults": dfl} if dfl else {}),
         )
         return table
 
@@ -1030,6 +1049,42 @@ class TxTable:
                     f"rows contradict generated column {col!r} = ({expr}) "
                     f"— write refused"
                 )
+        return df
+
+    def column_defaults(self) -> dict[str, str]:
+        """{column: default expression} in force (state-folded; survives
+        log-retention pruning through the checkpoint, like generated)."""
+        return dict(self._state().get("defaults", {}))
+
+    def set_column_default(self, col: str, expr: str | None) -> int:
+        """Metadata-only commit setting (or, with ``expr=None``, dropping)
+        a column DEFAULT — the ALTER TABLE ... SET DEFAULT analog.
+        Existing rows are untouched; only later writes that omit the
+        column see it."""
+        cur = dict(self._state().get("defaults", {}))
+        if expr is None:
+            cur.pop(col, None)
+        else:
+            cur[col] = expr
+        return self._publish("set_default", adds=[], removes=[], defaults=cur)
+
+    def _apply_defaults(self, df: DataFrame) -> DataFrame:
+        """INSERT-time DEFAULT contract on every write funnelled through
+        _commit_write: a declared column the incoming frame OMITS is
+        filled from its expression (cast to the declared type); a present
+        column passes through untouched — explicit NULLs stay NULL
+        (DEFAULT is not NOT NULL)."""
+        dfl = self._state().get("defaults", {})
+        if not dfl:
+            return df
+        from pyspark.sql import functions as F
+
+        known = self.table_schema()
+        mapping = self.column_mapping()
+        for col, expr in dfl.items():
+            if col not in df.columns:
+                typ = known.get(mapping.get(col, col), "double")
+                df = df.withColumn(col, F.expr(expr).cast(typ))
         return df
 
     def _partition_by(self) -> tuple[str, ...]:
@@ -1407,6 +1462,7 @@ class TxTable:
         # the operation takes (append/overwrite/replace_where/merge)
         extra = {**self.__dict__.pop("_txn_extra_pending", {}), **extra}
         if op != "create":
+            df = self._apply_defaults(df)
             df = self._apply_generated(df)
             self._validate_write(df)
             df = self._to_physical(df)  # files always store physical names

@@ -1227,3 +1227,45 @@ def test_generated_columns_all_write_paths(spark, root):
     )
     with pytest.raises(DeltaProtocolError, match="CHECK constraint"):
         t2.replace_where(bad, {"seg": 0})
+
+
+def test_column_defaults_fill_only_when_omitted(spark, root):
+    """allowColumnDefaults: CURRENT_DEFAULT in the field metadata fills a
+    column only when a write omits it; supplied values (including NULL)
+    pass through; the protocol carries the writer feature at mwv 7."""
+    base = spark.range(0, 20).withColumn("val", F.col("id") * 1.0)
+    t = DeltaTable.create(
+        spark, root, base, defaults={"tag": "'seed'"}
+    )
+    assert t.column_defaults() == {"tag": "'seed'"}
+    proto = t._state()["protocol"]
+    assert proto["minWriterVersion"] == 7
+    assert "allowColumnDefaults" in proto["writerFeatures"]
+    assert t.snapshot().filter("tag = 'seed'").count() == 20  # create fill
+    t.append(spark.range(20, 30).withColumn("val", F.lit(0.0)))  # omitted
+    t.append(
+        spark.range(30, 35)
+        .withColumn("val", F.lit(0.0))
+        .withColumn("tag", F.lit("late"))  # supplied: kept
+    )
+    t.append(
+        spark.range(35, 40)
+        .withColumn("val", F.lit(0.0))
+        .withColumn("tag", F.lit(None).cast("string"))  # explicit NULL kept
+    )
+    got = {r.tag: r.n for r in
+           t.snapshot().groupBy("tag").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == {"seed": 30, "late": 5, None: 5}
+    # survives checkpoint + log pruning (metadata rides the schemaString)
+    t.checkpoint_v2(sidecar_files=1)
+    t.prune_log()
+    t2 = DeltaTable(spark, root)
+    assert t2.column_defaults() == {"tag": "'seed'"}
+    t2.append(spark.range(40, 45).withColumn("val", F.lit(0.0)))
+    assert t2.snapshot().filter("tag = 'seed'").count() == 35
+    # a column cannot be both generated and defaulted
+    with pytest.raises(DeltaProtocolError):
+        DeltaTable.create(
+            spark, root + "_x", base,
+            generated={"g": "id + 1"}, defaults={"g": "0"},
+        )

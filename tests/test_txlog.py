@@ -1529,3 +1529,43 @@ def test_recluster_folds_pending_dvs(spark, tmp_path):
     assert t.snapshot().filter("v = 7").count() == 0
     # post-rewrite the DVs are gone from the live state
     assert t._active_dvs() == []
+
+
+def test_column_defaults_lifecycle(spark, tmp_path):
+    """Column DEFAULTs (Delta allowColumnDefaults parity): filled only
+    when a write omits the column, ALTER-able via set_column_default,
+    folded through checkpoints so log pruning keeps the declaration."""
+    base = spark.range(0, 20).withColumn("val", F.col("id") * 1.0)
+    t = TxTable.create(
+        spark, str(tmp_path / "d"), base, defaults={"tag": "'seed'"}
+    )
+    assert t.column_defaults() == {"tag": "'seed'"}
+    assert t.snapshot().filter("tag = 'seed'").count() == 20
+    t.append(spark.range(20, 30).withColumn("val", F.lit(0.0)))
+    t.append(
+        spark.range(30, 35)
+        .withColumn("val", F.lit(0.0))
+        .withColumn("tag", F.lit("late"))
+    )
+    got = {r.tag: r.n for r in
+           t.snapshot().groupBy("tag").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == {"seed": 30, "late": 5}
+    # ALTER: change the default; only later omitting writes see it
+    t.set_column_default("tag", "'v2'")
+    t.append(spark.range(35, 40).withColumn("val", F.lit(0.0)))
+    assert t.snapshot().filter("tag = 'v2'").count() == 5
+    assert t.snapshot().filter("tag = 'seed'").count() == 30
+    # drop: later omitting writes get NULL
+    t.set_column_default("tag", None)
+    t.append(spark.range(40, 45).withColumn("val", F.lit(0.0)))
+    assert t.snapshot().filter("tag IS NULL").count() == 5
+    # survives checkpoint + a fresh reader
+    t.checkpoint()
+    t2 = TxTable(spark, str(tmp_path / "d"))
+    assert t2.column_defaults() == {}
+    # generated/defaulted conflict refused
+    with pytest.raises(ValueError):
+        TxTable.create(
+            spark, str(tmp_path / "x"), base,
+            generated={"g": "id + 1"}, defaults={"g": "0"},
+        )
