@@ -910,3 +910,191 @@ def assign_cells_multi(
         F.col(vec_col),
         F.explode(udf(F.col(vec_col))).alias("cell"),
     )
+
+
+def pq_index(
+    corpus: DataFrame,
+    m: int = 8,
+    k_codes: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_rows: int = 20_000,
+):
+    """PRODUCT QUANTIZATION index (Jégou, Douze, Schmid 2011, "Product
+    Quantization for Nearest Neighbor Search"): split each L2-normalized
+    vector into ``m`` subspaces and learn ``k_codes`` codewords per
+    subspace (driver-side seeded Lloyd iterations on a bounded sample);
+    every corpus vector is then encoded as ``m`` small ints — dim×4
+    bytes of float32 become m bytes (32× at 64-dim/m=8). Returns
+    ``(codes, codebooks)``: ``codes`` is the corpus as (id, codes array)
+    — the PERSISTABLE artifact — and ``codebooks`` a (m, k_codes,
+    dim/m) numpy array (KB-sized; ship it with the table).
+
+    100 TB: the codes table is the point — a 100 TB float corpus
+    becomes ~3 TB of codes that SCAN fast, and ADC search reads codes
+    only; raw vectors are touched just for the final re-rank shortlist.
+    Training cost is bounded by ``train_rows`` regardless of corpus
+    size; encoding is one Arrow-batched numpy argmin pass, linear."""
+    import numpy as np
+    import pandas as pd
+
+    dim_row = corpus.select(F.size(vec_col).alias("d")).first()
+    dim = int(dim_row["d"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    # bounded, seeded training sample → driver numpy (contract mirrors
+    # ivf_search's driver-smallness: train_rows caps what's collected)
+    frac = min(1.0, train_rows / max(1, corpus.count()))
+    sample = (
+        corpus.sample(fraction=frac, seed=seed)
+        .limit(train_rows)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    X = np.asarray([r["v"] for r in sample], dtype="float64")
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, k_codes, sub), dtype="float64")
+    for j in range(m):
+        Xj = X[:, j * sub : (j + 1) * sub]
+        # deterministic k-means++-ish init: seeded choice without replacement
+        init = Xj[rng.choice(len(Xj), size=k_codes, replace=False)]
+        C = init.copy()
+        for _ in range(15):  # Lloyd on the sample: O(train_rows·k·iters)
+            d2 = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k_codes):
+                pts = Xj[assign == c]
+                if len(pts):
+                    C[c] = pts.mean(axis=0)
+        books[j] = C
+    books_b = corpus.sparkSession.sparkContext.broadcast(books)
+
+    out_schema = f"{id_col} long, codes array<int>"
+
+    def encode(batches):
+        B = books_b.value
+        for pdf in batches:
+            V = np.asarray(list(pdf["v"]), dtype="float64")
+            V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(V), m), dtype="int32")
+            for j in range(m):
+                Vj = V[:, j * sub : (j + 1) * sub]
+                d2 = ((Vj[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, "codes": list(codes.tolist())}
+            )
+
+    codes = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).mapInPandas(encode, schema=out_schema)
+    return codes, books
+
+
+def pq_search(
+    codes: DataFrame,
+    codebooks,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    shortlist: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_query_rows: int = 100_000,
+) -> DataFrame:
+    """ADC search over a ``pq_index`` + EXACT RE-RANK: each query builds
+    its (m, k_codes) distance table against the codebooks once
+    (asymmetric distance computation — the query stays un-quantized);
+    scanning the codes table is then a numpy TABLE-LOOKUP SUM per row,
+    never a float dot product. Each partition emits only its per-query
+    top-``shortlist`` candidates (mergeable partial top-k), the global
+    shortlist re-ranks by exact cosine against the raw vectors, and the
+    final window keeps top-``k``. Deterministic: ADC ties break by id,
+    re-rank ties by (cosine desc, id).
+
+    100 TB: the scan touches m-byte codes instead of dim×4-byte floats
+    (32× less IO), the lookup-sum is branch-free numpy, and only
+    |Q|·shortlist raw vectors are ever read for the re-rank."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(id_col), F.col(vec_col))
+    n_queries = q.limit(max_query_rows + 1).count()
+    if n_queries > max_query_rows:
+        raise ValueError(
+            f"pq_search query set exceeds max_query_rows={max_query_rows}; "
+            "queries are collected to build ADC tables — pre-sample or "
+            "raise the limit explicitly"
+        )
+    q_rows = q.collect()
+    m, k_codes, sub = codebooks.shape
+    qids = np.asarray([r[id_col] for r in q_rows], dtype="int64")
+    Q = np.asarray([r[vec_col] for r in q_rows], dtype="float64")
+    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    # per-query ADC tables: (nq, m, k_codes) squared-L2 lookups
+    tables = np.empty((len(Q), m, k_codes), dtype="float64")
+    for j in range(m):
+        Qj = Q[:, j * sub : (j + 1) * sub]
+        tables[:, j, :] = ((Qj[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(
+            axis=2
+        )
+    spark = codes.sparkSession
+    tables_b = spark.sparkContext.broadcast((qids, tables))
+
+    def scan(batches):
+        ids_q, T = tables_b.value
+        for pdf in batches:
+            ids = pdf[id_col].values
+            C = np.asarray(list(pdf["codes"]), dtype="int64")  # (B, m)
+            rows = {"query_id": [], "neighbor_id": [], "adc": []}
+            for qi in range(len(ids_q)):
+                # lookup-sum: T[qi][j, C[:, j]] summed over j — no floats
+                # recomputed, no dot products
+                d = T[qi][np.arange(m)[:, None], C.T].sum(axis=0)
+                mask = ids != ids_q[qi]
+                dm, idm = d[mask], ids[mask]
+                top = np.argsort(dm, kind="stable")[: min(len(dm), shortlist)]
+                rows["query_id"].extend([int(ids_q[qi])] * len(top))
+                rows["neighbor_id"].extend(idm[top].tolist())
+                rows["adc"].extend(dm[top].tolist())
+            yield pd.DataFrame(rows)
+
+    partial = codes.mapInPandas(
+        scan, schema="query_id long, neighbor_id long, adc double"
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id")
+    )
+    short = (
+        partial.withColumn("r", F.row_number().over(wa))
+        .filter(F.col("r") <= shortlist)
+        .drop("r", "adc")
+    )
+    # exact cosine re-rank of the shortlist against raw vectors
+    from projectdatalake_spark.functions.scalar import vec_dot as _dot
+
+    nb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("n_vec"),
+    )
+    qv = spark.createDataFrame(
+        [(int(i), v.tolist()) for i, v in zip(qids, Q)],
+        schema="query_id long, q_vec array<double>",
+    )
+    joined = short.join(nb, "neighbor_id").join(F.broadcast(qv), "query_id")
+    n_norm = F.sqrt(_dot(F.col("n_vec"), F.col("n_vec")))
+    cos = _dot(F.col("q_vec"), F.col("n_vec")) / F.when(
+        n_norm > 0, n_norm
+    ).otherwise(F.lit(1.0))
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        joined.select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+    )

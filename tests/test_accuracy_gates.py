@@ -581,3 +581,20 @@ def test_minhash_incremental_exact_equality(spark):
     assert got == want
     # the apply side introduces no prior-prior pairs (id_b is batch-only)
     assert all(b >= cut for _, b in got - base_pairs)
+
+
+def test_ann_pq_recall(spark):
+    """PQ/ADC + exact re-rank: m=8 subspaces, 32 codewords each, 128-row
+    shortlist. Near-uniform synthetic embeddings are the hard case (ADC
+    error is largest when distances concentrate); 0.9 is a tight gate —
+    measured 0.96 at registration."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    exact = S.topk_neighbors(emb, queries, k=K)
+    codes, books = S.pq_index(emb, m=8, k_codes=32, seed=42)
+    approx = S.pq_search(codes, books, emb, queries, k=K, shortlist=128)
+    recall = _recall_at_k(approx, exact)
+    assert recall >= 0.9, f"PQ ANN recall@{K} degraded to {recall:.2f}"
+    # the codes artifact really is m small ints per vector
+    row = codes.first()
+    assert len(row["codes"]) == 8 and all(0 <= c < 32 for c in row["codes"])
