@@ -1098,3 +1098,146 @@ def pq_search(
         .withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivfpq_index(
+    corpus: DataFrame,
+    n_cells: int = 32,
+    m: int = 8,
+    k_codes: int = 32,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_fraction: float | None = None,
+):
+    """IVF-PQ composite index — the layout production ANN systems
+    (FAISS IVFPQ) run at corpus scale: the IVF coarse quantizer decides
+    WHICH rows a query reads (cell partition pruning), PQ codes decide
+    HOW MUCH is read per row (m bytes instead of dim×4). Returns
+    ``(cells_codes, centers, codebooks)`` where ``cells_codes`` is the
+    corpus as (id, cell, codes) — persist it partitioned by ``cell``
+    and a probe touches only its n_probe partitions of m-byte codes.
+
+    100 TB: a 100 TB float corpus becomes ~3 TB of codes, of which a
+    12/32-probe query plans ~37% of partitions — the two reductions
+    COMPOUND (≈ 0.37 × 1/32 of the raw bytes per query)."""
+    assigned, centers = ivf_index(
+        corpus, n_cells=n_cells, seed=seed, id_col=id_col, vec_col=vec_col,
+        train_fraction=train_fraction,
+    )
+    codes, books = pq_index(
+        corpus, m=m, k_codes=k_codes, seed=seed, id_col=id_col,
+        vec_col=vec_col,
+    )
+    cells_codes = assigned.select(
+        F.col("neighbor_id").alias(id_col), "cell"
+    ).join(codes, id_col)
+    return cells_codes, centers, books
+
+
+def ivfpq_search(
+    cells_codes: DataFrame,
+    centers,
+    codebooks,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_probe: int = 12,
+    shortlist: int = 128,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_query_rows: int = 100_000,
+) -> DataFrame:
+    """Search an ``ivfpq_index``: each query probes its ``n_probe``
+    nearest cells (IVF pruning), scans ONLY those cells' PQ codes with
+    ADC lookup-sums, keeps a per-partition partial top-``shortlist``,
+    and re-ranks the global shortlist by exact cosine against raw
+    vectors. Deterministic tie-breaks throughout (distance, then id)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(id_col), F.col(vec_col))
+    n_queries = q.limit(max_query_rows + 1).count()
+    if n_queries > max_query_rows:
+        raise ValueError(
+            f"ivfpq_search query set exceeds max_query_rows={max_query_rows}"
+        )
+    q_rows = q.collect()
+    m, k_codes, sub = codebooks.shape
+    qids, qvecs, probes = [], [], []
+    for r in q_rows:
+        qv = np.asarray(r[vec_col], dtype="float64")
+        qn = np.linalg.norm(qv)
+        u = qv / (qn if qn > 0 else 1.0)
+        qids.append(int(r[id_col]))
+        qvecs.append(u)
+        d2 = ((centers - u) ** 2).sum(axis=1)
+        probes.append([int(c) for c in np.argsort(d2)[:n_probe]])
+    Q = np.stack(qvecs)
+    tables = np.empty((len(Q), m, k_codes), dtype="float64")
+    for j in range(m):
+        Qj = Q[:, j * sub : (j + 1) * sub]
+        tables[:, j, :] = ((Qj[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(
+            axis=2
+        )
+    spark = cells_codes.sparkSession
+    probe_df = spark.createDataFrame(
+        [(qid, c) for qid, ps in zip(qids, probes) for c in ps],
+        schema="query_id long, cell int",
+    )
+    tables_b = spark.sparkContext.broadcast(
+        {qid: tables[i] for i, qid in enumerate(qids)}
+    )
+    cand = cells_codes.join(F.broadcast(probe_df), "cell").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+
+    def scan(batches):
+        T = tables_b.value
+        for pdf in batches:
+            out = {"query_id": [], "neighbor_id": [], "adc": []}
+            for qid, grp in pdf.groupby("query_id", sort=False):
+                C = np.asarray(list(grp["codes"]), dtype="int64")
+                d = T[qid][np.arange(m)[:, None], C.T].sum(axis=0)
+                ids = grp[id_col].values
+                top = np.argsort(d, kind="stable")[: min(len(d), shortlist)]
+                out["query_id"].extend([int(qid)] * len(top))
+                out["neighbor_id"].extend(ids[top].tolist())
+                out["adc"].extend(d[top].tolist())
+            yield pd.DataFrame(out)
+
+    partial = cand.mapInPandas(
+        scan, schema="query_id long, neighbor_id long, adc double"
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id")
+    )
+    short = (
+        partial.withColumn("r", F.row_number().over(wa))
+        .filter(F.col("r") <= shortlist)
+        .drop("r", "adc")
+    )
+    from projectdatalake_spark.functions.scalar import vec_dot as _dot
+
+    nb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("n_vec"),
+    )
+    qv_df = spark.createDataFrame(
+        [(qid, Q[i].tolist()) for i, qid in enumerate(qids)],
+        schema="query_id long, q_vec array<double>",
+    )
+    joined = short.join(nb, "neighbor_id").join(F.broadcast(qv_df), "query_id")
+    n_norm = F.sqrt(_dot(F.col("n_vec"), F.col("n_vec")))
+    cos = _dot(F.col("q_vec"), F.col("n_vec")) / F.when(
+        n_norm > 0, n_norm
+    ).otherwise(F.lit(1.0))
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        joined.select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+    )

@@ -13298,3 +13298,130 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5)
     codes, books = S.pq_index(emb, m=8, k_codes=32, seed=42)
     return S.pq_search(codes, books, emb, queries, k=10, shortlist=128)
+
+
+@query("ann_topk_ivfpq")  # quantized ADC over probed cells → rows-only
+def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via the IVF-PQ COMPOSITE (the FAISS-IVFPQ layout real
+    corpus-scale systems run): the IVF coarse quantizer prunes WHICH
+    rows a query reads (persist the codes partitioned by cell → probes
+    partition-prune), PQ codes shrink WHAT is read per row (m bytes vs
+    dim x 4) — the reductions compound to ~probe_fraction / 32 of the
+    raw bytes per query. ADC lookup-sum scan over probed cells only,
+    per-partition partial shortlists, exact-cosine re-rank. recall@10
+    >= 0.9 gated in tests/test_accuracy_gates.py (0.955 measured —
+    compounded losses against the near-uniform hard case). Rows-only."""
+    from projectdatalake_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cc, centers, books = S.ivfpq_index(emb, n_cells=32, m=8, k_codes=32, seed=42)
+    return S.ivfpq_search(
+        cc, centers, books, emb, queries, k=10, n_probe=16, shortlist=192
+    )
+
+
+@query(
+    "dup_invoice_pairs",
+    oracle="""
+    SELECT a.o_orderkey AS k1, b.o_orderkey AS k2,
+           a.o_custkey AS custkey,
+           CAST(date_diff('day', CAST(a.o_orderdate AS TIMESTAMP),
+                          CAST(b.o_orderdate AS TIMESTAMP)) AS INT)
+               AS days_apart,
+           ROUND(abs(a.o_totalprice - b.o_totalprice)
+                 / greatest(a.o_totalprice, b.o_totalprice), 4)
+               AS amount_gap
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND b.o_orderdate >= a.o_orderdate
+     AND b.o_orderdate <= a.o_orderdate + INTERVAL 3 DAY
+    WHERE abs(a.o_totalprice - b.o_totalprice)
+          / greatest(a.o_totalprice, b.o_totalprice) <= 0.25
+    """,
+)
+def dup_invoice_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUPLICATE-PAYMENT detection: order pairs from the same customer
+    within 3 days at suspiciously similar amounts (relative gap <= 25%)
+    — the accounts-payable audit shape (double-submitted invoices,
+    retry-storm orders). The self-join is EQUALITY-blocked on the
+    customer key; the date window and amount-ratio are residual
+    predicates inside each block, never join conditions; pairs
+    canonicalize as k1 < k2 so each duplicate reports once. The ratio is
+    derived from two exact doubles then rounded for the report column
+    (the FILTER uses the unrounded value on both engines).
+
+    100 TB: customer blocking keeps block sizes at orders-per-customer
+    (tens), so candidate pairs stay ~linear in orders — the same
+    blocked-self-join discipline as the fuzzy-ER operator; a time-bucket
+    key joins the block key when per-key history is unbounded."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    a = o.toDF("k1", "custkey", "amt1", "d1")
+    b = o.toDF("k2", "custkey", "amt2", "d2")
+    gap = F.abs(F.col("amt1") - F.col("amt2")) / F.greatest("amt1", "amt2")
+    return (
+        a.join(b, "custkey")
+        .filter(
+            (F.col("k1") < F.col("k2"))
+            & (F.col("d2") >= F.col("d1"))
+            & (F.col("d2") <= F.col("d1") + F.expr("INTERVAL 3 DAYS"))
+            & (gap <= 0.25)
+        )
+        .select(
+            "k1", "k2", "custkey",
+            F.datediff(F.col("d2"), F.col("d1")).cast("int").alias("days_apart"),
+            F.round(gap, 4).alias("amount_gap"),
+        )
+    )
+
+
+@query(
+    "customer_ltv_cohort",
+    oracle="""
+    WITH first_order AS (
+      SELECT o_custkey,
+             min(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)))
+                 AS cohort_m
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(f.cohort_m AS DATE) AS cohort_month,
+           CAST((year(o.o_orderdate) - year(f.cohort_m)) * 12
+                + (month(o.o_orderdate) - month(f.cohort_m)) AS INT)
+               AS months_since_first,
+           CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS active_customers,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
+               AS revenue
+    FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def customer_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIFETIME-VALUE COHORT matrix: customers grouped by first-order
+    month, revenue and active counts tracked by months-since-first — the
+    monetized twin of [[retention_cohorts]] (that one counts presence;
+    this one sums money, which is what LTV models consume). First-touch
+    is a min() aggregate (never a per-user sort), the cohort join
+    shuffles customer-grain rows only.
+
+    100 TB: first_order is one partial-aggregated shuffle to customer
+    grain; the fact join is key-colocated with the month math as
+    codegen'd projections. The matrix itself is thousands of cells."""
+    o = _t(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_m")
+    )
+    j = o.join(first, "o_custkey")
+    months = (
+        (F.year("o_orderdate") - F.year("cohort_m")) * 12
+        + (F.month("o_orderdate") - F.month("cohort_m"))
+    ).cast("int")
+    return j.groupBy(
+        F.col("cohort_m").cast("date").alias("cohort_month"),
+        months.alias("months_since_first"),
+    ).agg(
+        F.countDistinct("o_custkey").alias("active_customers"),
+        dsum(F.col("o_totalprice")).alias("revenue"),
+    )
