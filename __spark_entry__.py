@@ -40,6 +40,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # (iceberg merge/stream-upsert/zorder, recursive rollup, KMV, SCD2 PIT,
 # char entropy, BM25, Holt, AQP, CDC join-view) front-rank, followed by
 # this round's additions; the rest of the window re-proves backlist rows.
+# Round-6 continuation: ~24 more oracle-backed queries registered AFTER
+# the earlier round-6 wave, so they rank behind it within the unproven
+# group (registration order within rank) — whatever misses this round's
+# 50-slot window front-ranks round 7. All were verify_local-proven at
+# sf0.001 AND sf0.01 at registration time.
 _R1_DRIVER_VERIFIED = frozenset(
     {
         "q1_pricing_summary", "scan_project", "project_rename",

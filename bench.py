@@ -190,6 +190,30 @@ EXTENDED = [
     "agg_contribution_pareto",
     "path_trigram_top",
     "txlog_generated_column",
+    # round 6 continuation
+    "iceberg_rewrite_pos_deletes",
+    "iceberg_rewrite_manifests",
+    "delta_checkpoint_v2_sidecars",
+    "txlog_recluster_incremental",
+    "column_defaults_two_formats",
+    "stream_fanout_two_sinks",
+    "yoy_growth_monthly",
+    "ohlc_monthly_orders",
+    "chi_square_status_priority",
+    "gini_customer_revenue",
+    "benford_first_digit",
+    "event_entropy_per_user",
+    "embedding_outlier_centroid",
+    "asof_join_nearest",
+    "zipf_slope_tokens",
+    "text_hapax_ratio",
+    "tokenizer_fertility_by_lang",
+    "ts_autocorr_daily",
+    "ts_changepoint_meanshift",
+    "ann_topk_pq",
+    "ann_topk_ivfpq",
+    "dup_invoice_pairs",
+    "customer_ltv_cohort",
 ]
 
 # Apply-only rungs measure STEADY-STATE cost: their fit-once index builds

@@ -13425,3 +13425,83 @@ def customer_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_custkey").alias("active_customers"),
         dsum(F.col("o_totalprice")).alias("revenue"),
     )
+
+
+@query(
+    "dq_quarantine_split",
+    oracle="""
+    SELECT dest, reason, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total
+    FROM (
+      SELECT CASE
+               WHEN NOT (o_totalprice > 25000.0) THEN 'quarantine'
+               WHEN NOT (o_orderstatus IN ('O', 'F')) THEN 'quarantine'
+               WHEN o_custkey IS NULL THEN 'quarantine'
+               ELSE 'main'
+             END AS dest,
+             CASE
+               WHEN NOT (o_totalprice > 25000.0) THEN 'min_price'
+               WHEN NOT (o_orderstatus IN ('O', 'F')) THEN 'valid_status'
+               WHEN o_custkey IS NULL THEN 'custkey_not_null'
+               ELSE 'ok'
+             END AS reason,
+             o_totalprice
+      FROM orders
+    )
+    GROUP BY dest, reason
+    """,
+)
+def dq_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUARANTINE SPLIT — the enforcement half of the data-quality gate
+    ([[validate_rules]] is the measurement half): one pass routes every
+    row to the MAIN table or the QUARANTINE table with its first broken
+    rule as the reason (rule order fixed, so routing is deterministic),
+    both written transactionally. Nothing is dropped: main + quarantine
+    partitions the source exactly, which is what the oracle hash pins.
+
+    100 TB: the source is persisted across the two filtered writes (one
+    scan, not one per destination — the fanout discipline); rule checks
+    are codegen'd predicates. Quarantine carries the reason column so
+    replay-after-fix is a partition-scoped read, not a re-validation."""
+    import tempfile
+
+    from projectdatalake_spark.sources.txlog import TxTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    reason = (
+        F.when(~(F.col("o_totalprice") > 25000.0), F.lit("min_price"))
+        .when(
+            ~F.col("o_orderstatus").isin("O", "F"), F.lit("valid_status")
+        )
+        .when(F.col("o_custkey").isNull(), F.lit("custkey_not_null"))
+        .otherwise(F.lit("ok"))
+    )
+    tagged = o.withColumn("reason", reason).persist()
+    try:
+        main = TxTable.create(
+            spark,
+            tempfile.mkdtemp(prefix="dq_main_") + "/t",
+            tagged.filter(F.col("reason") == "ok").drop("reason"),
+        )
+        quar = TxTable.create(
+            spark,
+            tempfile.mkdtemp(prefix="dq_quar_") + "/t",
+            tagged.filter(F.col("reason") != "ok"),
+            partition_by=("reason",),
+        )
+        agg = lambda df, dest, rcol: (
+            df.groupBy(rcol.alias("reason"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                dsum(F.col("o_totalprice")).alias("total"),
+            )
+            .select(F.lit(dest).alias("dest"), "reason", "n", "total")
+        )
+        return agg(main.snapshot(), "main", F.lit("ok")).unionByName(
+            agg(quar.snapshot(), "quarantine", F.col("reason"))
+        )
+    finally:
+        tagged.unpersist()
