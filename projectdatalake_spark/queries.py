@@ -13505,3 +13505,60 @@ def dq_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         tagged.unpersist()
+
+
+@query(
+    "delta_recluster_incremental",
+    oracle="""
+    SELECT o_custkey, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_custkey BETWEEN 11 AND 60
+    GROUP BY o_custkey
+    """,
+)
+def delta_recluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta LIQUID-STYLE incremental reclustering — the format-parity
+    twin of [[txlog_recluster_incremental]] against the same oracle:
+    clustering columns declared via a delta.clustering domainMetadata
+    action (domainMetadata + clustering writer features), two clustered
+    batches over the same key domain interleave file intervals, and
+    ``recluster()`` sweeps the per-file stats, rewrites ONLY the
+    overlapping components as a dataChange=false commit, and converges
+    (second pass no-ops, asserted). The stats-pruned interval read must
+    equal the oracle's plain BETWEEN filter.
+
+    100 TB: same claim as the txlog twin — recurring maintenance cost
+    tracks ingest, not table size — now carried by the Delta log's
+    domain metadata so external writers see the declaration."""
+    import tempfile
+
+    from projectdatalake_spark.sources.delta_interop import DeltaTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    root = tempfile.mkdtemp(prefix="delta_rc_") + "/t"
+    even = (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .repartitionByRange(8, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+    )
+    odd = (
+        o.filter(F.col("o_orderkey") % 2 == 1)
+        .repartitionByRange(8, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+    )
+    t = DeltaTable.create(spark, root, even)
+    t.set_clustering(("o_custkey",))
+    t.append(odd)  # same key domain: intervals interleave
+    n_before = t.num_files()
+    assert t.recluster(target_files=8) is not None
+    assert t.recluster(target_files=8) is None, "second pass must no-op"
+    pruned = t.snapshot(where={"o_custkey": (11, 60)})
+    return (
+        pruned.filter(F.col("o_custkey").between(11, 60))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
+    )

@@ -92,6 +92,7 @@ _CKPT_PROTO_T = (
     "readerFeatures:array<string>,writerFeatures:array<string>>"
 )
 _CKPT_TXN_T = "struct<appId:string,version:bigint,lastUpdated:bigint>"
+_CKPT_DOMAIN_T = "struct<domain:string,configuration:string,removed:boolean>"
 _CKPT_REMOVE_T = "struct<path:string,deletionTimestamp:bigint,dataChange:boolean>"
 _CKPT_META_CM_T = "struct<version:bigint,tags:map<string,string>>"
 _CKPT_SIDECAR_T = (
@@ -372,7 +373,8 @@ class DeltaTable:
         sidecars: list[str] = []
         for r in rows:
             d = r.asDict(recursive=True)
-            for kind in ("protocol", "metaData", "add", "remove", "txn"):
+            for kind in ("protocol", "metaData", "add", "remove", "txn",
+                         "domainMetadata"):
                 a = d.get(kind)
                 if a is not None:
                     actions.append({kind: {k: v for k, v in a.items() if v is not None}})
@@ -400,7 +402,10 @@ class DeltaTable:
 
     @staticmethod
     def _empty_state() -> dict:
-        return {"protocol": None, "metaData": None, "adds": {}, "txns": {}}
+        return {
+            "protocol": None, "metaData": None, "adds": {}, "txns": {},
+            "domains": {},
+        }
 
     @staticmethod
     def _fold(state: dict, actions: list[dict]) -> dict:
@@ -417,6 +422,14 @@ class DeltaTable:
             elif "txn" in a:
                 t = a["txn"]
                 state["txns"][t["appId"]] = t["version"]
+            elif "domainMetadata" in a:
+                # spec "Domain Metadata": string config per named domain,
+                # tombstoned by removed=true
+                d = a["domainMetadata"]
+                if d.get("removed"):
+                    state["domains"].pop(d["domain"], None)
+                else:
+                    state["domains"][d["domain"]] = d.get("configuration")
         return state
 
     def _state(self, version: int | None = None) -> dict:
@@ -2095,6 +2108,184 @@ class DeltaTable:
         self._publish(v, actions)
         return v
 
+    # --- liquid-style clustering ------------------------------------------
+
+    _CLUSTER_DOMAIN = "delta.clustering"
+
+    def set_clustering(self, cols: tuple[str, ...]) -> int:
+        """Declare clustering columns via a ``domainMetadata`` action on
+        the ``delta.clustering`` domain (the liquid-clustering metadata
+        shape) and advance the protocol to carry the ``domainMetadata``
+        + ``clustering`` writer features. Metadata-only: existing files
+        keep their layout; ``recluster()`` is the maintenance loop that
+        converges it. Empty ``cols`` tombstones the domain."""
+        state = self._state()
+        proto = state["protocol"] or {"minReaderVersion": 1, "minWriterVersion": 2}
+        actions: list[dict] = [
+            {"commitInfo": self._commit_info(
+                "CLUSTER BY", {"columns": json.dumps(list(cols))}
+            )}
+        ]
+        wf = set(proto.get("writerFeatures") or [])
+        if proto.get("minWriterVersion", 2) < 7 or not (
+            {"domainMetadata", "clustering"} <= wf
+        ):
+            mwv = proto.get("minWriterVersion", 2)
+            if mwv < 7:
+                for lv, fs_ in _LEGACY_WRITER_FEATURES.items():
+                    if mwv >= lv:
+                        wf |= fs_
+            actions.append(
+                {"protocol": {
+                    **proto,
+                    "minWriterVersion": 7,
+                    "writerFeatures": sorted(
+                        wf | {"domainMetadata", "clustering"}
+                    ),
+                }}
+            )
+        if cols:
+            actions.append(
+                {"domainMetadata": {
+                    "domain": self._CLUSTER_DOMAIN,
+                    "configuration": json.dumps(
+                        {"clusteringColumns": [[c] for c in cols]}
+                    ),
+                    "removed": False,
+                }}
+            )
+        else:
+            actions.append(
+                {"domainMetadata": {
+                    "domain": self._CLUSTER_DOMAIN,
+                    "configuration": None,
+                    "removed": True,
+                }}
+            )
+        v = state["version"] + 1
+        self._publish(v, actions)
+        return v
+
+    def cluster_columns(self) -> tuple[str, ...]:
+        cfg = self._state()["domains"].get(self._CLUSTER_DOMAIN)
+        if not cfg:
+            return ()
+        return tuple(c[0] for c in json.loads(cfg)["clusteringColumns"])
+
+    def recluster(
+        self, target_files: int = 8, max_groups: int | None = None
+    ) -> int | None:
+        """LIQUID-STYLE INCREMENTAL RECLUSTERING for Delta — the same
+        interval sweep as txlog's ``recluster`` (the two formats share
+        the algorithm, each over its own stats encoding): per partition,
+        the per-file minValues/maxValues of the LEADING clustering
+        column are swept into strict-overlap components; components of
+        ≥2 files (plus files missing stats) are re-read THROUGH their
+        deletion vectors, range-shuffled on the full clustering key,
+        and swapped in one dataChange=false commit. Boundary-touching
+        intervals count as disjoint, so a second pass over unchanged
+        data returns None.
+
+        100 TB: a full OPTIMIZE ZORDER is O(table) per run; this
+        touches only the pockets fresh ingest degraded — recurring
+        maintenance cost tracks ingest, not table size."""
+        from functools import cmp_to_key
+
+        ccols = self.cluster_columns()
+        if not ccols:
+            raise DeltaProtocolError(
+                "recluster needs clustering columns — set_clustering() first"
+            )
+        state = self._state()
+        self._check_readable(state)
+        meta = state["metaData"]
+        self._refuse_mapped(meta, "recluster")
+        schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        pcols = list(meta.get("partitionColumns", []))
+        data_schema = StructType(
+            [f for f in schema.fields if f.name not in pcols]
+        )
+        ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
+        c0 = ccols[0]
+        by_part: dict[tuple, list[dict]] = {}
+        for a in state["adds"].values():
+            pv = a.get("partitionValues", {})
+            by_part.setdefault(
+                tuple((c, pv.get(c)) for c in pcols), []
+            ).append(a)
+
+        def cmp_lo(x, y):  # None = unbounded-below sorts first
+            lx, ly = x[0], y[0]
+            if lx is None or ly is None:
+                return (lx is not None) - (ly is not None)
+            return -1 if lx < ly else (1 if lx > ly else 0)
+
+        groups: list[tuple[tuple, list[dict]]] = []
+        for key, files in by_part.items():
+            ivs = []
+            for a in files:
+                s = self._parse_stats(a) or {}
+                lo = (s.get("minValues") or {}).get(c0)
+                hi = (s.get("maxValues") or {}).get(c0)
+                ivs.append((lo, hi, a))
+            ivs.sort(key=cmp_to_key(cmp_lo))
+            comp: list[dict] = []
+            cur_hi = None
+            for lo, hi, a in ivs:
+                overlaps = bool(comp) and (
+                    cur_hi is None or lo is None or lo < cur_hi
+                )
+                if overlaps:
+                    comp.append(a)
+                    if cur_hi is not None and hi is not None:
+                        cur_hi = max(cur_hi, hi)
+                    elif hi is None:
+                        cur_hi = None
+                else:
+                    if len(comp) >= 2:
+                        groups.append((key, comp))
+                    comp, cur_hi = [a], hi
+            if len(comp) >= 2:
+                groups.append((key, comp))
+        if not groups:
+            return None
+        groups.sort(key=lambda g: len(g[1]), reverse=True)
+        if max_groups is not None:
+            groups = groups[: max(1, int(max_groups))]
+        now = int(time.time() * 1000)
+        actions: list[dict] = [
+            {"commitInfo": self._commit_info(
+                "RECLUSTER", {"clusterBy": json.dumps(list(ccols))}
+            )}
+        ]
+        n_live = len(state["adds"])
+        for key, group in groups:
+            paths = [self._abs_data_path(a["path"]) for a in group]
+            df = self.spark.read.schema(data_schema).parquet(*paths)
+            dv_adds = [a for a in group if a.get("deletionVector")]
+            if dv_adds:
+                df = self._apply_dvs(df, dv_adds)
+            for col, sval in key:
+                df = df.withColumn(col, _partition_literal(sval, ptypes[col]))
+            n_out = max(1, round(target_files * len(group) / max(1, n_live)))
+            compacted = df.repartitionByRange(
+                n_out, *[F.col(c) for c in ccols]
+            ).sortWithinPartitions(*ccols)
+            new_adds = self._stage(compacted, tuple(pcols))
+            for a in group:
+                actions.append(
+                    {"remove": {
+                        "path": a["path"],
+                        "deletionTimestamp": now,
+                        "dataChange": False,
+                    }}
+                )
+            for a in new_adds:
+                actions.append({"add": {**a, "dataChange": False}})
+        v = state["version"] + 1
+        self._publish(v, actions)
+        return v
+
     # --- checkpoint -------------------------------------------------------
 
     def checkpoint(self) -> int:
@@ -2110,9 +2301,14 @@ class DeltaTable:
             rows.append({"add": add})
         for app, tv in state["txns"].items():
             rows.append({"txn": {"appId": app, "version": tv}})
+        for dom, cfg in state.get("domains", {}).items():
+            rows.append({"domainMetadata": {
+                "domain": dom, "configuration": cfg, "removed": False,
+            }})
         schema_ddl = (
             f"txn {_CKPT_TXN_T}, add {_CKPT_ADD_T}, remove {_CKPT_REMOVE_T}, "
-            f"metaData {_CKPT_META_T}, protocol {_CKPT_PROTO_T}"
+            f"metaData {_CKPT_META_T}, protocol {_CKPT_PROTO_T}, "
+            f"domainMetadata {_CKPT_DOMAIN_T}"
         )
         norm_rows = [
             {
@@ -2121,6 +2317,7 @@ class DeltaTable:
                 "remove": None,
                 "metaData": r.get("metaData"),
                 "protocol": r.get("protocol"),
+                "domainMetadata": r.get("domainMetadata"),
             }
             for r in rows
         ]
@@ -2248,11 +2445,13 @@ class DeltaTable:
         top_schema = (
             f"txn {_CKPT_TXN_T}, add {_CKPT_ADD_T}, remove {_CKPT_REMOVE_T}, "
             f"metaData {_CKPT_META_T}, protocol {_CKPT_PROTO_T}, "
-            f"checkpointMetadata {_CKPT_META_CM_T}, sidecar {_CKPT_SIDECAR_T}"
+            f"checkpointMetadata {_CKPT_META_CM_T}, sidecar {_CKPT_SIDECAR_T}, "
+            f"domainMetadata {_CKPT_DOMAIN_T}"
         )
         blank = {
             "txn": None, "add": None, "remove": None, "metaData": None,
             "protocol": None, "checkpointMetadata": None, "sidecar": None,
+            "domainMetadata": None,
         }
         top_rows = [
             {**blank, "checkpointMetadata": {"version": v, "tags": None}},
@@ -2262,6 +2461,12 @@ class DeltaTable:
         top_rows += [
             {**blank, "txn": {"appId": a, "version": t, "lastUpdated": None}}
             for a, t in state["txns"].items()
+        ]
+        top_rows += [
+            {**blank, "domainMetadata": {
+                "domain": dom, "configuration": cfg, "removed": False,
+            }}
+            for dom, cfg in state.get("domains", {}).items()
         ]
         top_rows += [{**blank, "sidecar": s} for s in sidecar_actions]
         top_df = self.spark.createDataFrame(top_rows, schema=top_schema)

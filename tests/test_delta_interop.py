@@ -1269,3 +1269,63 @@ def test_column_defaults_fill_only_when_omitted(spark, root):
             spark, root + "_x", base,
             generated={"g": "id + 1"}, defaults={"g": "0"},
         )
+
+
+def test_domain_metadata_and_liquid_recluster(spark, root):
+    """domainMetadata actions fold through state and BOTH checkpoint
+    shapes; the delta.clustering domain drives an incremental recluster
+    that rewrites only overlapping-stats file pockets (dataChange=false)
+    and converges in one pass."""
+    import random
+
+    rng = random.Random(3)
+    a = [(i, rng.randrange(0, 5_000)) for i in range(1200)]
+    b = [(10_000 + i, rng.randrange(20_000, 30_000)) for i in range(1200)]
+    c = [(20_000 + i, rng.randrange(0, 5_000)) for i in range(1200)]
+    mk = lambda rows: spark.createDataFrame(rows, ["id", "v"])
+    t = DeltaTable.create(
+        spark, root,
+        mk(a).repartitionByRange(4, "v").sortWithinPartitions("v"),
+    )
+    with pytest.raises(DeltaProtocolError):
+        t.recluster()  # no clustering declared yet
+    t.set_clustering(("v",))
+    assert t.cluster_columns() == ("v",)
+    proto = t._state()["protocol"]
+    assert {"domainMetadata", "clustering"} <= set(proto["writerFeatures"])
+    # disjoint pocket + an overlapping ingest batch
+    t.append(mk(b).repartitionByRange(4, "v").sortWithinPartitions("v"))
+    t.append(mk(c).repartitionByRange(4, "v").sortWithinPartitions("v"))
+    before = t.files()
+    b_paths = {
+        f["path"] for f in before
+        if json.loads(f["stats"])["minValues"]["v"] >= 20_000
+    }
+    assert len(b_paths) >= 2
+    v = t.recluster()
+    assert v is not None
+    after_paths = {f["path"] for f in t.files()}
+    assert b_paths <= after_paths  # disjoint pocket untouched
+    rows = {(r.id, r.v) for r in t.snapshot().collect()}
+    assert rows == set(a) | set(b) | set(c)
+    assert t.recluster() is None  # converged
+    # the rewrite commit is dataChange=false end to end (CDF-silent)
+    acts = t._commit_actions(v)
+    assert all(
+        a["add"]["dataChange"] is False for a in acts if "add" in a
+    ) and all(
+        a["remove"]["dataChange"] is False for a in acts if "remove" in a
+    )
+    # domain + clustering survive BOTH checkpoint shapes and log pruning
+    t.checkpoint()
+    t.prune_log()
+    t2 = DeltaTable(spark, root)
+    assert t2.cluster_columns() == ("v",)
+    t2.checkpoint_v2(sidecar_files=1)
+    t2.prune_log()
+    t3 = DeltaTable(spark, root)
+    assert t3.cluster_columns() == ("v",)
+    assert {(r.id, r.v) for r in t3.snapshot().collect()} == rows
+    # tombstone: empty cols removes the domain
+    t3.set_clustering(())
+    assert DeltaTable(spark, root).cluster_columns() == ()
