@@ -13562,3 +13562,43 @@ def delta_recluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
     )
+
+
+@query("mm_image_dhash_dedup")  # real image decode not SQL-expressible → rows-only
+def mm_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE NEAR-DUP DETECTION — the multimodal rung of the dedup
+    ladder: REAL 24-bit BMP payloads (gradient patterns; the same
+    pattern rendered at 3 resolutions per group) are full-pixel decoded
+    (pure numpy), perceptually hashed (64-bit dHash: area-exact block
+    means + horizontal gradient signs — resolution-invariant by
+    construction), and paired by 4x16-band Hamming join, pigeonhole-
+    EXACT at distance <= 3 (equality vs brute force gated in
+    tests/test_streaming_multimodal.py). Deterministic end to end;
+    driver records rows-only.
+
+    100 TB: hashing is one Arrow-batched pass emitting 8 bytes/image;
+    the pair join shuffles 4 band rows per image and never touches
+    payload bytes again — the byte-level twin of MinHash's shape."""
+    from projectdatalake_spark.operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").limit(120)
+    sizes = ((48, 36), (96, 72), (192, 144))
+
+    def make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                w, h = sizes[int(did) % 3]
+                rows.append(
+                    (int(did), bytearray(
+                        MM.encode_bmp_gradient(w, h, seed=int(did) % 25)
+                    ))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(make, schema="doc_id long, payload binary")
+    hashes = MM.image_dhash(payloads)
+    pairs = MM.dhash_dup_pairs(hashes, max_hamming=3)
+    return pairs.orderBy("id1", "id2")

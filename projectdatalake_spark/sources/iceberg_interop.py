@@ -326,6 +326,40 @@ def _decode_bound(data: bytes, ice_type: str):
 _DATE_TRANSFORMS = ("year", "month", "day", "hour")
 
 
+def _partition_summaries(
+    entries: list[dict], part_fields: list[tuple[str, str]]
+) -> list[dict] | None:
+    """Manifest-list ``partitions`` field summaries (spec field_summary):
+    per partition field, contains_null + encoded [lower, upper] bounds
+    over the manifest's entries — what lets scan planning skip a whole
+    manifest before opening its Avro."""
+    if not part_fields:
+        return None
+    out = []
+    for pname, rtype in part_fields:
+        vals = [
+            (e["data_file"].get("partition") or {}).get(pname)
+            for e in entries
+        ]
+        nn = [v for v in vals if v is not None]
+        lo = hi = None
+        if nn:
+            try:
+                lo = _encode_bound(min(nn), rtype)
+                hi = _encode_bound(max(nn), rtype)
+            except Exception:
+                lo = hi = None  # unencodable type: no bounds, never skip
+        out.append(
+            {
+                "contains_null": any(v is None for v in vals),
+                "contains_nan": False,
+                "lower_bound": lo,
+                "upper_bound": hi,
+            }
+        )
+    return out
+
+
 def _parse_partition_by(
     entries: tuple[str, ...], by_name: dict[str, dict]
 ) -> list[dict]:
@@ -748,11 +782,14 @@ class IcebergTable:
     # --- read -------------------------------------------------------------
 
     def _entries_for_snapshot(
-        self, meta: dict, snapshot_id: int | None
+        self, meta: dict, snapshot_id: int | None, skip_manifest=None
     ) -> tuple[list[dict], list[dict]]:
         """(data entries, position-delete entries) alive at the snapshot.
         Manifest content 0 = data, 1 = deletes (v2); anything else is a
-        future format → refuse loudly."""
+        future format → refuse loudly. ``skip_manifest(m) -> bool`` (data
+        manifests only) lets planning drop a manifest on its
+        manifest-list partition summaries WITHOUT opening its Avro —
+        delete manifests are always read."""
         sid = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
         if sid is None or sid == -1:
             return [], []
@@ -770,6 +807,8 @@ class IcebergTable:
                 raise IcebergProtocolError(
                     f"manifest content {content} not supported by this reader"
                 )
+            if content == 0 and skip_manifest is not None and skip_manifest(m):
+                continue
             _, rows = read_container(self._read_bytes(m["manifest_path"]))
             for e in rows:
                 if e["status"] in (0, 1):  # EXISTING / ADDED
@@ -1036,6 +1075,87 @@ class IcebergTable:
             f"delete_files, snapshots, history, refs, partitions"
         )
 
+    @staticmethod
+    def _preds_by_spec(
+        meta: dict, pf_by_spec: dict, where_eq: dict
+    ) -> dict[int, list[tuple[str, set]]]:
+        """Equality predicates mapped into partition space per spec era.
+        Keys may be SOURCE columns (values transformed — bucket/truncate/
+        date transforms prune equality exactly) or partition FIELD names
+        (pre-transformed values compared directly); a file is prunable
+        only by the fields ITS spec actually partitioned on."""
+        preds_by_spec: dict[int, list[tuple[str, set]]] = {}
+        for spec_id, era_pf in pf_by_spec.items():
+            tuple_preds: list[tuple[str, set]] = []
+            for col, allowed in where_eq.items():
+                vals = (
+                    list(allowed)
+                    if isinstance(allowed, (list, tuple, set))
+                    else [allowed]
+                )
+                for p in era_pf:
+                    if p["pname"] == col:
+                        tuple_preds.append((p["pname"], set(vals)))
+                    elif p["source"] == col:
+                        tuple_preds.append(
+                            (
+                                p["pname"],
+                                {
+                                    _transform_py(p["transform"], v, p["src_type"])
+                                    for v in vals
+                                },
+                            )
+                        )
+            preds_by_spec[spec_id] = tuple_preds
+        return preds_by_spec
+
+    @staticmethod
+    def _summary_skipper(pf_by_spec: dict, preds_by_spec: dict):
+        """Manifest-level pruning predicate over the manifest-list
+        ``partitions`` field summaries: skip a DATA manifest when some
+        predicate field's allowed values all fall outside the manifest's
+        [lower, upper] partition bounds (and it holds no nulls the
+        predicate accepts). Planning never opens the skipped manifest's
+        Avro — at a commit-per-minute append rate that is the difference
+        between O(#manifests) and O(#matching-manifests) plan cost.
+        Missing summaries, missing bounds, or any decode doubt keep the
+        manifest (never skip on ignorance)."""
+
+        def skip(m: dict) -> bool:
+            parts = m.get("partitions")
+            if not parts:
+                return False
+            spec_id = m.get("partition_spec_id", 0)
+            era_pf = pf_by_spec.get(spec_id, [])
+            by_name = {p["pname"]: i for i, p in enumerate(era_pf)}
+            for pname, allowed in preds_by_spec.get(spec_id, []):
+                i = by_name.get(pname)
+                if i is None or i >= len(parts):
+                    continue
+                s = parts[i] or {}
+                if None in allowed and s.get("contains_null"):
+                    continue
+                rtype = era_pf[i]["result_type"]
+                try:
+                    lo = _decode_bound(s.get("lower_bound"), rtype) \
+                        if s.get("lower_bound") is not None else None
+                    hi = _decode_bound(s.get("upper_bound"), rtype) \
+                        if s.get("upper_bound") is not None else None
+                    non_null = [v for v in allowed if v is not None]
+                    if not non_null:
+                        if not s.get("contains_null"):
+                            return True
+                        continue
+                    if lo is not None and hi is not None and all(
+                        v < lo or v > hi for v in non_null
+                    ) and not (None in allowed and s.get("contains_null")):
+                        return True
+                except Exception:
+                    continue  # doubt → keep
+            return False
+
+        return skip
+
     def snapshot(
         self,
         snapshot_id: int | None = None,
@@ -1064,7 +1184,6 @@ class IcebergTable:
             if snapshot_id is not None:
                 raise ValueError("pass snapshot_id or ref, not both")
             snapshot_id = self._resolve_ref(meta, ref)
-        entries, delete_entries = self._entries_for_snapshot(meta, snapshot_id)
         # spec ERAS: after partition-spec evolution, files from different
         # eras coexist in one snapshot; each entry's partition tuple is
         # interpreted under ITS manifest's spec id
@@ -1072,36 +1191,15 @@ class IcebergTable:
             s["spec-id"]: _spec_part_fields(meta, s)
             for s in meta["partition-specs"]
         }
+        skip_manifest = None
         if where_eq:
-            # Predicate keys may be SOURCE columns (values are transformed
-            # into partition space — bucket/truncate/date transforms prune
-            # equality predicates exactly) or partition FIELD names
-            # (pre-transformed values compared directly). Computed per
-            # spec era: a file is prunable only by the fields ITS spec
-            # actually partitioned on.
-            preds_by_spec: dict[int, list[tuple[str, set]]] = {}
-            for spec_id, era_pf in pf_by_spec.items():
-                tuple_preds: list[tuple[str, set]] = []
-                for col, allowed in where_eq.items():
-                    vals = (
-                        list(allowed)
-                        if isinstance(allowed, (list, tuple, set))
-                        else [allowed]
-                    )
-                    for p in era_pf:
-                        if p["pname"] == col:
-                            tuple_preds.append((p["pname"], set(vals)))
-                        elif p["source"] == col:
-                            tuple_preds.append(
-                                (
-                                    p["pname"],
-                                    {
-                                        _transform_py(p["transform"], v, p["src_type"])
-                                        for v in vals
-                                    },
-                                )
-                            )
-                preds_by_spec[spec_id] = tuple_preds
+            preds_for_skip = self._preds_by_spec(meta, pf_by_spec, where_eq)
+            skip_manifest = self._summary_skipper(pf_by_spec, preds_for_skip)
+        entries, delete_entries = self._entries_for_snapshot(
+            meta, snapshot_id, skip_manifest=skip_manifest
+        )
+        if where_eq:
+            preds_by_spec = preds_for_skip
 
             def keep(e):
                 part = e["data_file"].get("partition", {}) or {}
@@ -1958,7 +2056,7 @@ class IcebergTable:
                         e["data_file"]["record_count"] for e in entries
                     ),
                     "deleted_rows_count": 0,
-                    "partitions": None,
+                    "partitions": _partition_summaries(entries, pf),
                     "_min_seq": min(
                         e["sequence_number"] for e in entries
                     ) if entries else None,
@@ -2560,7 +2658,9 @@ class IcebergTable:
                 "added_rows_count": added_rows,
                 "existing_rows_count": existing_rows,
                 "deleted_rows_count": 0,
-                "partitions": None,
+                # spec field_summary list: planning can skip this whole
+                # manifest on partition bounds without opening it
+                "partitions": _partition_summaries(entries, part_fields),
             }
             prior = []
             cur_sid = meta.get("current-snapshot-id")

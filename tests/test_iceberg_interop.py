@@ -1575,3 +1575,69 @@ def test_rewrite_manifests_consolidates_metadata_only(spark, root):
     # empty table: no-op
     e = IcebergTable.create_empty(spark, root + "_e", _df(spark, 0, 1).schema)
     assert e.rewrite_manifests() is None
+
+
+def test_manifest_list_partition_summaries_prune_planning(spark, root):
+    """The manifest list's `partitions` field summaries let planning skip
+    whole manifests without opening their Avro: four seg-disjoint append
+    manifests, a seg-pruned snapshot must open exactly the one whose
+    bounds cover the predicate (plus the manifest list itself), and the
+    result is identical to the unpruned filter."""
+    t = IcebergTable.create(
+        spark,
+        root,
+        _df(spark, 0, 50).withColumn("seg", F.lit(0).cast("int")),
+        partition_by=("seg",),
+    )
+    for s in (1, 2, 3):
+        t.append(
+            _df(spark, 100 * s, 100 * s + 50)
+            .withColumn("seg", F.lit(s).cast("int"))
+        )
+    meta = t.metadata()
+    cur = next(
+        x for x in meta["snapshots"]
+        if x["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, mrows = read_container(t._read_bytes(cur["manifest-list"]))
+    assert len(mrows) == 4
+    for m in mrows:
+        s = m["partitions"][0]
+        assert s["lower_bound"] == s["upper_bound"]  # seg-disjoint batches
+        assert s["contains_null"] is False
+    opened = []
+    real = t._read_bytes
+
+    def counting(p):
+        opened.append(p)
+        return real(p)
+
+    t._read_bytes = counting
+    try:
+        got = t.snapshot(where_eq={"seg": [2]})
+        assert got.count() == 50
+        assert got.filter("seg = 2").count() == 50
+        manifests_opened = [p for p in opened if p.endswith("-m0.avro")]
+        assert len(manifests_opened) == 1, manifests_opened
+    finally:
+        t._read_bytes = real
+    # no predicate: all four open, full count
+    assert t.snapshot().count() == 200
+    # delete manifests are never summary-skipped: a global position
+    # delete still applies under partition pruning
+    t.delete_where("id % 10 = 0")
+    assert t.snapshot(where_eq={"seg": [2]}).filter("id % 10 = 0").count() == 0
+    # rewrite_manifests consolidates to ONE manifest whose summary spans
+    # all segs — pruning keeps it (and results stay exact)
+    t.rewrite_manifests()
+    meta2 = t.metadata()
+    cur2 = next(
+        x for x in meta2["snapshots"]
+        if x["snapshot-id"] == meta2["current-snapshot-id"]
+    )
+    _, mrows2 = read_container(t._read_bytes(cur2["manifest-list"]))
+    data_rows = [m for m in mrows2 if m.get("content", 0) == 0]
+    assert len(data_rows) == 1
+    s = data_rows[0]["partitions"][0]
+    assert s["lower_bound"] != s["upper_bound"]  # spans seg 0..3
+    assert t.snapshot(where_eq={"seg": [2]}).count() == 45

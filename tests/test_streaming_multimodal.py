@@ -137,3 +137,74 @@ def test_wav_parser_edges(spark):
     df = spark.createDataFrame([(1, bytearray(b"not audio"))], ["doc_id", "payload"])
     row = MM.decode_audio_meta(df).first()
     assert row.n_bytes == 9 and row.sample_rate is None and row.rms_amplitude is None
+
+
+def test_dhash_resolution_invariance_and_decode():
+    """The perceptual contract: the SAME gradient pattern rendered at
+    different resolutions hashes within a few bits; different patterns
+    land far apart. Full-pixel decode round-trips both codecs."""
+    import numpy as np
+
+    from projectdatalake_spark.operators.multimodal import (
+        _decode_pixels,
+        _dhash64,
+        encode_bmp_gradient,
+        encode_ppm,
+    )
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    h_by_size = {}
+    for w, h in ((64, 48), (128, 96), (32, 24)):
+        dec = _decode_pixels(encode_bmp_gradient(w, h, seed=5))
+        assert dec is not None and dec[0] == w and dec[1] == h
+        assert dec[2].shape == (h, w, 3)
+        h_by_size[(w, h)] = _dhash64(dec[2])
+    vals = list(h_by_size.values())
+    assert ham(vals[0], vals[1]) <= 3 and ham(vals[0], vals[2]) <= 3
+    other = _dhash64(_decode_pixels(encode_bmp_gradient(64, 48, seed=11))[2])
+    assert ham(vals[0], other) > 3  # different pattern past the dedup radius
+    # PPM full-pixel decode: flat color → known array
+    w, h, px = _decode_pixels(encode_ppm(6, 4, 200))
+    assert (w, h) == (6, 4) and px.shape == (4, 6, 3) and int(px.max()) == 200
+    assert _decode_pixels(b"\x00\x01garbage") is None
+
+
+def test_dhash_banded_pairs_exact_vs_brute(spark):
+    """4x16 banding is pigeonhole-EXACT at hamming <= 3: the banded join
+    finds exactly the brute-force pair set; the unsound threshold is
+    refused."""
+    import itertools
+
+    import pytest as _pytest
+
+    from projectdatalake_spark.operators import multimodal as MM2
+
+    rows = [
+        # 3 rendering sizes x 10 patterns → near-dup groups of 3
+        (100 * s + i, bytearray(MM2.encode_bmp_gradient(w, hh, seed=s)))
+        for s in range(10)
+        for i, (w, hh) in enumerate(((48, 36), (96, 72), (192, 144)))
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    hashes = MM2.image_dhash(df).persist()
+    assert hashes.filter("decoded").count() == 30
+    got = {
+        (r.id1, r.id2)
+        for r in MM2.dhash_dup_pairs(hashes, max_hamming=3).collect()
+    }
+    hv = {r.doc_id: r.dhash for r in hashes.collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    brute = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(hv), 2)
+        if ham(hv[a], hv[b]) <= 3
+    }
+    assert got == brute and len(brute) >= 10  # groups actually formed
+    with _pytest.raises(ValueError):
+        MM2.dhash_dup_pairs(hashes, max_hamming=4)
+    hashes.unpersist()
