@@ -540,3 +540,165 @@ def dhash_dup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
     return cand.select(
         "id1", "id2", ham.cast("int").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+# --- audio fingerprinting: the audio rung of the dedup ladder --------------
+
+
+def encode_wav_tones(
+    n_samples: int, sample_rate: int, freqs: tuple[float, ...], amplitude: int
+) -> bytes:
+    """16-bit PCM WAV of a SUM OF SINES — tonal content for the spectral
+    fingerprint (the flat square-wave fixture has energy everywhere and
+    fingerprints uselessly). Deterministic pure-numpy synthesis."""
+    import struct
+
+    import numpy as np
+
+    t = np.arange(n_samples, dtype=np.float64) / sample_rate
+    sig = np.zeros_like(t)
+    for f in freqs:
+        sig += np.sin(2 * np.pi * f * t)
+    if freqs:
+        sig = sig / len(freqs)
+    data = (sig * amplitude).astype("<i2").tobytes()
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate,
+        sample_rate * 2, 2, 16,
+    )
+    header = struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+    return header + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
+def _wav_samples(buf: bytes):
+    """(sample_rate, mono float64 samples) via the real RIFF walk, or
+    None. Multi-channel audio mixes down by mean."""
+    import struct
+
+    import numpy as np
+
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        return None
+    pos, rate, channels = 12, None, None
+    while pos + 8 <= len(buf):
+        cid, size = struct.unpack_from("<4sI", buf, pos)
+        body = pos + 8
+        if cid == b"fmt " and size >= 16:
+            fmt_tag, channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", buf, body
+            )
+            if fmt_tag != 1 or bits != 16:
+                return None
+        elif cid == b"data" and rate:
+            count = min(size, len(buf) - body) // 2
+            px = np.frombuffer(buf, dtype="<i2", count=count, offset=body)
+            n = count // channels * channels
+            mono = px[:n].astype(np.float64).reshape(-1, channels).mean(axis=1)
+            return rate, mono
+        pos = body + size + (size & 1)
+    return None
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    frame: int = 1024,
+    hop: int = 512,
+    n_bands: int = 8,
+) -> DataFrame:
+    """Spectral LANDMARK fingerprint (a constellation-style reduction of
+    the Shazam idea, numpy rFFT only): Hann-windowed frames → magnitude
+    spectrum → the peak bin in each of ``n_bands`` equal spectral bands
+    → the document's fingerprint is the DISTINCT set of (band, peak-bin)
+    landmarks. Amplitude-invariant by construction (argmax ignores
+    global scale) and robust to appended silence (silent frames add ~no
+    landmarks above the noise gate). Emits (id, sr, n_frames, landmarks
+    array<int>); non-WAV payloads yield an empty landmark set.
+
+    100 TB: one Arrow-batched pass emitting a few dozen ints per clip;
+    matching is an inverted-index join on landmark values — payload
+    bytes are never touched again."""
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, buf in zip(pdf[id_col], pdf[payload_col]):
+                parsed = _wav_samples(bytes(buf))
+                if parsed is None:
+                    out.append((int(doc_id), 0, 0, []))
+                    continue
+                rate, x = parsed
+                if len(x) < frame:
+                    x = np.pad(x, (0, frame - len(x)))
+                win = np.hanning(frame)
+                counts: dict[int, int] = {}
+                n_frames = 0
+                peak_all = max(1e-9, float(np.abs(x).max()))
+                for s in range(0, len(x) - frame + 1, hop):
+                    seg = x[s : s + frame]
+                    if float(np.abs(seg).max()) < 0.01 * peak_all:
+                        continue  # silence gate: padding adds no marks
+                    n_frames += 1
+                    mag = np.abs(np.fft.rfft(seg * win))
+                    nb = len(mag) // n_bands
+                    frame_peak = float(mag.max())
+                    for b in range(n_bands):
+                        lo, hi = b * nb, (b + 1) * nb
+                        band = mag[lo:hi]
+                        # significance gate: a band holding only
+                        # quantization noise has an unstable argmax —
+                        # only REAL spectral peaks become landmarks
+                        if float(band.max()) < 0.05 * frame_peak:
+                            continue
+                        m = b * 4096 + int(band.argmax())
+                        counts[m] = counts.get(m, 0) + 1
+                # stability gate: landmarks seen in one lone frame are
+                # transients (tone/silence boundary leakage) — keep the
+                # peaks the clip actually SUSTAINS
+                floor = max(1, int(0.25 * n_frames))
+                marks = {m for m, c in counts.items() if c >= floor}
+                out.append(
+                    (int(doc_id), int(rate), n_frames, sorted(marks))
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "sample_rate", "n_frames", "landmarks"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel,
+        schema=(
+            "doc_id long, sample_rate int, n_frames int, landmarks array<int>"
+        ),
+    )
+
+
+def audio_dup_pairs(fps: DataFrame, min_jaccard: float = 0.6) -> DataFrame:
+    """Near-duplicate audio pairs by landmark-set Jaccard, as an
+    INVERTED-INDEX join: explode landmarks, equality-join on the
+    landmark value, count shared marks per pair, Jaccard from the two
+    set sizes. No all-pairs comparison anywhere; clips sharing zero
+    landmarks never meet."""
+    sized = fps.select(
+        "doc_id", F.size("landmarks").alias("n_marks"), "landmarks"
+    ).filter(F.col("n_marks") > 0)
+    inv = sized.select(
+        "doc_id", "n_marks", F.explode("landmarks").alias("mark")
+    )
+    a = inv.toDF("id1", "n1", "mark")
+    b = inv.toDF("id2", "n2", "mark")
+    shared = (
+        a.join(b, "mark")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2", "n1", "n2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared"))
+    return shared.select(
+        "id1", "id2",
+        F.round(jac, 4).alias("jaccard"),
+        F.col("shared").cast("int").alias("shared"),
+    ).filter(jac >= min_jaccard)

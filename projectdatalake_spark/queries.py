@@ -13668,3 +13668,94 @@ def format_convert_full_circle(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_extendedprice")).alias("total"),
         )
     )
+
+
+@query("agg_hll_sketch")  # DataSketches binary sketches → rows-only + gate
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog DISTINCT-COUNT SKETCHES via Spark's native DataSketches
+    functions (hll_sketch_agg / hll_union_agg / hll_sketch_estimate) —
+    the third member of the sketch shelf next to the hand-built KMV and
+    CMS: per-event-type user sketches, a UNION of two disjoint half-
+    sketches (mergeability is THE 100 TB property: partial sketches
+    combine across partitions, days, and tables without rescanning), and
+    the estimate from the union must agree with the estimate over the
+    whole — pinned exactly here, and the estimate-vs-exact relative
+    error is gated <= 5% in tests/test_aggregates_windows.py. Driver
+    records rows-only (binary sketches are not SQL-replayable).
+
+    100 TB: COUNT(DISTINCT) is a full shuffle of the key universe; a
+    12-bit HLL is 2-4 KB per group, mergeable map-side, and the daily
+    rollup becomes a union of stored sketches, never a rescan."""
+    e = _t(spark, sf_dir, "events")
+    whole = e.groupBy("event_type").agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(12))
+        ).alias("est_whole"),
+        F.countDistinct("user_id").alias("exact"),
+    )
+    halves = (
+        e.withColumn("half", (F.col("event_id") % 2).cast("int"))
+        .groupBy("event_type", "half")
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    )
+    unioned = halves.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_union")
+    )
+    out = whole.join(unioned, "event_type").select(
+        "event_type", "exact", "est_whole", "est_union",
+        F.round(
+            F.abs(F.col("est_whole") - F.col("exact")) / F.col("exact"), 4
+        ).alias("rel_err"),
+    )
+    return out.orderBy("event_type")
+
+
+@query("mm_audio_fingerprint_dedup")  # FFT landmarks not SQL-expressible → rows-only
+def mm_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO NEAR-DUP DETECTION — the audio rung of the multimodal dedup
+    ladder (image rung: [[mm_image_dhash_dedup]]): real 16-bit PCM WAV
+    clips (sums of sines; per group the SAME tone set at two amplitudes
+    plus a silence-padded cut) are spectrally fingerprinted
+    (Hann-windowed numpy rFFT, per-band peak landmarks, significance +
+    stability gates so quantization noise and boundary leakage add no
+    marks) and paired by landmark-set Jaccard as an INVERTED-INDEX join
+    — clips sharing zero landmarks never meet. Amplitude- and
+    padding-invariance gated in tests/test_streaming_multimodal.py.
+    Deterministic end to end; driver records rows-only.
+
+    100 TB: fingerprinting is one Arrow pass emitting dozens of ints per
+    clip; matching shuffles landmark rows, never audio bytes."""
+    from projectdatalake_spark.operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").limit(90)
+    sr = 8000
+
+    def make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g = did % 30  # 30 tone groups x 3 variants
+                freqs = (300.0 + 37.0 * g, 900.0 + 53.0 * g, 2100.0 + 29.0 * g)
+                variant = did % 3
+                amp = 12000 if variant != 1 else 4000
+                n = sr * 2 if variant != 2 else sr * 2 + sr // 2
+                buf = MM.encode_wav_tones(sr * 2, sr, freqs, amp)
+                if variant == 2:  # append silence: same clip, longer file
+                    import struct
+
+                    body = buf[44:] + b"\x00\x00" * (sr // 2)
+                    buf = (
+                        struct.pack("<4sI4s", b"RIFF", 36 + len(body), b"WAVE")
+                        + buf[12:36]
+                        + struct.pack("<4sI", b"data", len(body))
+                        + body
+                    )
+                rows.append((did, bytearray(buf)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(make, schema="doc_id long, payload binary")
+    fps = MM.audio_fingerprint(payloads)
+    return MM.audio_dup_pairs(fps, min_jaccard=0.6).orderBy("id1", "id2")

@@ -246,3 +246,30 @@ def test_kmv_sketch_partition_invariant_and_accurate(spark):
     assert n_seen == 128 and list(sketch) == sorted(sketch)
     est = 127.0 * 2147483646.0 / sketch[-1]
     assert abs(est - 2000) / 2000 < 0.30  # 3.4 sigma at k=128
+
+
+def test_hll_sketch_union_and_error(spark):
+    """DataSketches HLL: sketch-of-union == union-of-sketches EXACTLY
+    (mergeability — the property that lets 100 TB rollups combine stored
+    partials instead of rescanning), and the estimate lands within 2% of
+    exact at 200k distinct (lgK=12 → ~1.6% stderr)."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(0, 400_000)
+        .select(
+            (F.col("id") % 200_000).alias("k"),
+            (F.col("id") % 2).cast("int").alias("half"),
+        )
+    )
+    whole = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("k", F.lit(12))).alias("w")
+    ).collect()[0]["w"]
+    unioned = (
+        df.groupBy("half")
+        .agg(F.hll_sketch_agg("k", F.lit(12)).alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("u"))
+        .collect()[0]["u"]
+    )
+    assert unioned == whole
+    assert abs(whole - 200_000) / 200_000 <= 0.02, whole

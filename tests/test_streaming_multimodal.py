@@ -208,3 +208,50 @@ def test_dhash_banded_pairs_exact_vs_brute(spark):
     with _pytest.raises(ValueError):
         MM2.dhash_dup_pairs(hashes, max_hamming=4)
     hashes.unpersist()
+
+
+def test_audio_fingerprint_invariances(spark):
+    """The perceptual contract for audio: amplitude scaling and appended
+    silence leave the landmark set (nearly) unchanged; different tone
+    sets land far apart. Matching is an inverted-index join."""
+    from projectdatalake_spark.operators import multimodal as MM3
+
+    sr = 8000
+    base = MM3.encode_wav_tones(sr * 2, sr, (440.0, 1200.0, 2500.0), 12000)
+    quiet = MM3.encode_wav_tones(sr * 2, sr, (440.0, 1200.0, 2500.0), 3000)
+    padded = base + b""  # same clip
+    import struct
+
+    # appended silence: extend the data chunk with zeros (rebuild RIFF)
+    silence = b"\x00\x00" * (sr // 2)
+    body = base[44:] + silence
+    fmt = base[12:36]
+    padded = (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(body), b"WAVE")
+        + fmt
+        + struct.pack("<4sI", b"data", len(body))
+        + body
+    )
+    other = MM3.encode_wav_tones(sr * 2, sr, (700.0, 1800.0, 3300.0), 12000)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(base)),
+            (2, bytearray(quiet)),
+            (3, bytearray(padded)),
+            (4, bytearray(other)),
+            (5, bytearray(b"not audio at all")),
+        ],
+        "doc_id long, payload binary",
+    )
+    fps = MM3.audio_fingerprint(df).persist()
+    rows = {r.doc_id: r for r in fps.collect()}
+    assert rows[5].landmarks == [] and rows[5].n_frames == 0
+    assert rows[1].landmarks == rows[2].landmarks  # amplitude-invariant
+    pairs = {
+        (r.id1, r.id2): r.jaccard
+        for r in MM3.audio_dup_pairs(fps, min_jaccard=0.6).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 0.6  # silence-padded
+    assert (1, 4) not in pairs and (2, 4) not in pairs  # different tones
+    fps.unpersist()
