@@ -207,3 +207,47 @@ def pagerank(
             ranks = ranks.localCheckpoint(eager=True)
     links.unpersist()
     return ranks
+
+
+def kcore(edges: DataFrame, k: int, max_iterations: int = 50) -> DataFrame:
+    """k-CORE decomposition by iterative peeling: repeatedly remove
+    nodes with degree < k (and their edges) until the fixpoint — what
+    remains is the maximal subgraph where EVERY node keeps >= k
+    neighbors, the standard cohesion filter (spam/bot rings, dense
+    community seeds, fraud cliques survive; tendrils fall away).
+    Returns (node, core_degree) for k-core members.
+
+    Scale shape: each round is one degree aggregate + two semi joins on
+    the node key (the weak set is usually tiny after round 1 and
+    broadcasts); lineage truncates with an eager localCheckpoint every
+    third round, the CC/PageRank loop guard. Rounds needed = the
+    graph's degeneracy peel depth, not its size; ``max_iterations``
+    bounds pathological chains. Exactness vs naive peeling is gated in
+    tests/test_accuracy_gates.py."""
+    directed = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    live = directed.localCheckpoint(eager=True)
+    for i in range(max_iterations):
+        deg = live.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        weak = deg.filter(F.col("d") < k).select("src").persist()
+        n_weak = weak.count()  # scalar loop condition, not data
+        if n_weak == 0:
+            weak.unpersist()
+            return deg.select(
+                F.col("src").alias("node"), F.col("d").cast("int").alias("core_degree")
+            )
+        live = (
+            live.join(F.broadcast(weak), "src", "left_anti")
+            .join(
+                F.broadcast(weak.withColumnRenamed("src", "dst")),
+                "dst",
+                "left_anti",
+            )
+        )
+        if (i + 1) % 3 == 0:
+            live = live.localCheckpoint(eager=True)
+        weak.unpersist()
+    raise RuntimeError(
+        f"k-core peeling did not converge in {max_iterations} rounds"
+    )

@@ -13759,3 +13759,25 @@ def mm_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = docs.mapInPandas(make, schema="doc_id long, payload binary")
     fps = MM.audio_fingerprint(payloads)
     return MM.audio_dup_pairs(fps, min_jaccard=0.6).orderBy("id1", "id2")
+
+
+@query("graph_kcore")  # iterative fixpoint not SQL-expressible → rows-only
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-CORE of the co-purchase graph (k=4): iterative peeling to the
+    fixpoint — the cohesion filter that keeps densely co-bought part
+    clusters and drops tendrils; the seed step for community mining and
+    fraud-ring triage. Each round is one degree aggregate + two
+    broadcast anti joins; rounds = peel depth, not graph size; exactness
+    vs the textbook sequential peel is gated in
+    tests/test_accuracy_gates.py::test_kcore_matches_naive_peeling.
+    Driver records rows-only (the peel loop is an iterative fixpoint —
+    no single SQL statement replays it).
+
+    100 TB: degree aggregates partial map-side; the weak set shrinks
+    geometrically after round one and broadcasts. The loop's driver
+    involvement is one scalar count per round."""
+    from projectdatalake_spark.operators import graph as G
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = G.copurchase_edges(li)
+    return G.kcore(edges, k=4).orderBy("node")

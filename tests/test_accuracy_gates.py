@@ -614,3 +614,33 @@ def test_ann_ivfpq_recall(spark):
     )
     recall = _recall_at_k(approx, exact)
     assert recall >= 0.9, f"IVF-PQ recall@{K} degraded to {recall:.2f}"
+
+
+def test_kcore_matches_naive_peeling(spark):
+    """Distributed peeling == the textbook sequential algorithm, node for
+    node and degree for degree, on the co-purchase graph."""
+    from projectdatalake_spark.operators import graph as G
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    edges = G.copurchase_edges(li)
+    pairs = [(r.u, r.v) for r in edges.collect()]
+    for k in (2, 4):
+        got = {
+            (r.node, r.core_degree)
+            for r in G.kcore(edges, k=k).collect()
+        }
+        adj: dict[int, set[int]] = {}
+        for u, v in pairs:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        changed = True
+        while changed:
+            changed = False
+            for n in list(adj):
+                if len(adj[n]) < k:
+                    for m in adj.pop(n):
+                        adj[m].discard(n)
+                    changed = True
+        want = {(n, len(ns)) for n, ns in adj.items()}
+        assert got == want, f"k={k}"
+        assert got, f"fixture should have a non-empty {k}-core"
