@@ -113,3 +113,63 @@ def scd2_apply(
     return all_rows.withColumn(
         "effective_to", F.lead(effective_col).over(w)
     ).withColumn("is_current", F.col("effective_to").isNull())
+
+
+def scd2_apply_incremental(
+    table,
+    updates: DataFrame,
+    keys: list[str],
+    ts_col: str = "effective_from",
+    end_col: str = "effective_to",
+    current_col: str = "is_current",
+) -> int:
+    """ONE transactional SCD2 maintenance batch against a STORED history
+    table (txlog/Delta — anything exposing ``snapshot()`` +
+    ``merge_upsert``): the batch's keys get their CURRENT version closed
+    (``end_col`` = the update's ``ts_col``, ``current_col`` = false) and
+    a fresh open version appended — both through one merge commit on the
+    composite (keys + ``ts_col``) identity, so readers see the old or
+    the new history atomically, never a half-closed row.
+
+    Contract: ``updates`` carries the key columns, the new attribute
+    values, and ``ts_col``; each update's ``ts_col`` must be LATER than
+    the key's current version (asserted — an out-of-order feed needs the
+    batch-rebuild ``scd2_apply`` instead). Unknown keys simply insert.
+
+    100 TB: only the batch's keys move — the close-out frame is
+    current-rows semi-joined to the batch, the merge rewrites only files
+    holding matched rows (stats/bloom-pruned by the table), history for
+    untouched keys is never read. The batch-rebuild form is O(history);
+    this is O(batch)."""
+    cur = table.snapshot().filter(F.col(current_col))
+    upd = updates
+    j = cur.alias("c").join(upd.alias("u"), keys, "inner")
+    bad = j.filter(
+        F.col(f"u.{ts_col}") <= F.col(f"c.{ts_col}")
+    ).limit(1).count()
+    if bad:
+        raise ValueError(
+            "SCD2 incremental apply requires strictly advancing "
+            f"{ts_col} per key — out-of-order feeds need the batch "
+            "rebuild (scd2_apply)"
+        )
+    attr_cols = [
+        c for c in cur.columns if c not in {*keys, ts_col, end_col, current_col}
+    ]
+    closed = j.select(
+        *[F.col(f"c.{k}") for k in keys],
+        *[F.col(f"c.{a}").alias(a) for a in attr_cols],
+        F.col(f"c.{ts_col}").alias(ts_col),
+        F.col(f"u.{ts_col}").alias(end_col),
+        F.lit(False).alias(current_col),
+    )
+    fresh = upd.select(
+        *[F.col(k) for k in keys],
+        *[F.col(a).alias(a) for a in attr_cols],
+        F.col(ts_col).alias(ts_col),
+        F.lit(None).cast("timestamp_ntz").alias(end_col),
+        F.lit(True).alias(current_col),
+    )
+    return table.merge_upsert(
+        closed.unionByName(fresh), keys=[*keys, ts_col]
+    )
