@@ -214,6 +214,14 @@ EXTENDED = [
     "ann_topk_ivfpq",
     "dup_invoice_pairs",
     "customer_ltv_cohort",
+    "delta_recluster_incremental",
+    "format_convert_full_circle",
+    "dq_quarantine_split",
+    "agg_hll_sketch",
+    "graph_kcore",
+    "scd2_incremental_apply",
+    "mm_image_dhash_dedup",
+    "mm_audio_fingerprint_dedup",
 ]
 
 # Apply-only rungs measure STEADY-STATE cost: their fit-once index builds
