@@ -13862,3 +13862,77 @@ def scd2_incremental_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.snapshot().select(
         "c_custkey", "c_acctbal", "effective_from", "effective_to", "is_current"
     )
+
+
+@query(
+    "delta_cdf_to_txlog_replica",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE NOT (o_orderkey % 9 = 4)
+    GROUP BY o_orderstatus
+    """,
+)
+def delta_cdf_to_txlog_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-FORMAT CDC REPLICATION: a txlog REPLICA is maintained from
+    a Delta source's change data feed — the polyglot-lakehouse pattern
+    (one engine writes Delta, a downstream system consumes txlog) that
+    needs no full-copy refresh. Each maintenance round reads
+    ``changes(lo, hi)``, nets the feed to one row per key (latest
+    commit wins; an update's same-commit delete+insert nets to the
+    insert), and applies it through ONE atomic ``apply_changes`` commit
+    (upserts + deletes together). Two rounds replay create+append then
+    a DV delete; the replica must hash-equal the source's final state.
+
+    100 TB: replication cost is O(changed keys) per round — the CDF
+    synthesizes from commit diffs (no table scan) and apply_changes
+    rewrites only touched partitions. The full-refresh alternative
+    re-copies the table per round."""
+    import tempfile
+
+    from projectdatalake_spark.sources.delta_interop import DeltaTable
+    from projectdatalake_spark.sources.txlog import TxTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    src = DeltaTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="cdf_src_") + "/t",
+        o.filter(F.col("o_orderkey") % 2 == 0).repartition(4),
+    )
+    src.append(o.filter(F.col("o_orderkey") % 2 == 1).repartition(4))  # v1
+    src.delete_where_dv("o_orderkey % 9 = 4")                          # v2
+    replica = TxTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="cdf_replica_") + "/t",
+        spark.createDataFrame([], o.schema),
+    )
+
+    def sync(lo: int, hi: int) -> None:
+        ch = src.changes(lo, hi)
+        w = Window.partitionBy("o_orderkey").orderBy(
+            F.col("_commit_version").desc(), F.col("_change_type").desc()
+        )
+        net = (
+            ch.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "o_orderkey", "o_orderstatus", "o_totalprice",
+                (F.col("_change_type") == "delete").alias("_deleted"),
+            )
+        )
+        replica.apply_changes(net, keys=["o_orderkey"])
+
+    sync(0, 1)   # round 1: create + append
+    sync(2, 2)   # round 2: the DV delete — O(deleted keys), not a refresh
+    n_src = src.snapshot().count()
+    assert replica.snapshot().count() == n_src, "replica must converge"
+    return (
+        replica.snapshot()
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
+    )

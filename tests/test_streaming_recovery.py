@@ -179,3 +179,51 @@ def test_fanout_partial_failure_completes_lagging_sink(spark, tmp_path):
     assert n_tx == n_dl == 400, (n_tx, n_dl)
     # txlog did NOT double-apply the replayed batch
     assert tx.snapshot().select("event_id").distinct().count() == 400
+
+
+def test_fanout_three_formats_all_fenced(spark, tmp_path):
+    """The fanout is format-agnostic: txlog + Delta + Iceberg sinks from
+    one foreachBatch, each on its own idempotence ledger (append_once /
+    txn action / snapshot-summary ledger); a hand-replayed batch id
+    no-ops on all three."""
+    from projectdatalake_spark.sources.delta_interop import DeltaTable
+    from projectdatalake_spark.sources.iceberg_interop import IcebergTable
+    from projectdatalake_spark.sources.txlog import TxTable
+    from projectdatalake_spark.streaming.fanout import fanout_stream
+
+    src = str(tmp_path / "src")
+    spark.range(0, 300).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 4).cast("string").alias("event_type"),
+        (F.col("id") * 1.0).alias("value"),
+    ).repartition(6).write.mode("overwrite").parquet(src)
+    schema = "event_id long, event_type string, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    empty = spark.createDataFrame([], schema)
+    tx = TxTable.create(spark, str(tmp_path / "tx"), empty)
+    dl = DeltaTable.create(spark, str(tmp_path / "dl"), empty)
+    ice = IcebergTable.create_empty(spark, str(tmp_path / "ice"), empty.schema)
+    ckpt = str(tmp_path / "ckpt")
+    sinks = [
+        lambda df, bid: tx.append_once(df, ckpt, bid),
+        lambda df, bid: dl.append(df, txn=(ckpt, bid)),
+        lambda df, bid: ice.append_once(df, ckpt, bid),
+    ]
+    q = fanout_stream(stream, sinks, ckpt)
+    q.awaitTermination(600)
+    counts = (
+        tx.snapshot().count(), dl.snapshot().count(), ice.snapshot().count()
+    )
+    assert counts == (300, 300, 300), counts
+    snap_ice = ice.current_snapshot_id()
+    vt, vd = tx.latest_version(), dl.latest_version()
+    replay = spark.createDataFrame([(9_999, "x", 0.0)], schema)
+    for sink in sinks:
+        sink(replay, 0)
+    assert tx.latest_version() == vt
+    assert dl.latest_version() == vd
+    assert ice.current_snapshot_id() == snap_ice
