@@ -222,6 +222,8 @@ EXTENDED = [
     "scd2_incremental_apply",
     "mm_image_dhash_dedup",
     "mm_audio_fingerprint_dedup",
+    "delta_cdf_to_txlog_replica",
+    "dau_wau_stickiness",
 ]
 
 # Apply-only rungs measure STEADY-STATE cost: their fit-once index builds

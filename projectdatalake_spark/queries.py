@@ -13936,3 +13936,58 @@ def delta_cdf_to_txlog_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
     )
+
+
+@query(
+    "dau_wau_stickiness",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, user_id
+      FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM du),
+    dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY d),
+    wau AS (
+      SELECT days.d, CAST(count(DISTINCT du.user_id) AS BIGINT) AS wau
+      FROM days JOIN du
+        ON du.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+      GROUP BY days.d
+    )
+    SELECT d, dau, wau,
+           ROUND(dau / CAST(wau AS DOUBLE), 4) AS stickiness
+    FROM dau JOIN wau USING (d)
+    """,
+)
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU STICKINESS per day — the engagement ratio every product
+    dashboard leads with (how much of the weekly audience shows up
+    daily). WAU needs a trailing-window COUNT(DISTINCT), which window
+    frames cannot express — the scale-correct layout joins the DISTINCT
+    (day, user) grain against the day spine over a 7-day range: the
+    fan-out is x7 on DAY-USER grain (already deduplicated), never on
+    raw events.
+
+    100 TB: raw events reduce to (day, user) in one partial-aggregated
+    shuffle; everything after runs on that grain (days x users-per-week
+    rows). The range join's left side is the day spine — hundreds of
+    rows, broadcast."""
+    e = _t(spark, sf_dir, "events")
+    du = e.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = du.select("d").distinct()
+    dau = du.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    wau = (
+        F.broadcast(days.withColumnRenamed("d", "spine_d"))
+        .join(
+            du.withColumnRenamed("d", "u_d"),
+            (F.col("u_d") >= F.date_sub(F.col("spine_d"), 6))
+            & (F.col("u_d") <= F.col("spine_d")),
+        )
+        .groupBy(F.col("spine_d").alias("d"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return dau.join(wau, "d").select(
+        "d", "dau", "wau",
+        F.round(F.col("dau") / F.col("wau").cast("double"), 4).alias(
+            "stickiness"
+        ),
+    )
