@@ -36,15 +36,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # front-ranked, zero overlap). Queries already verified by a previous
 # round's driver run are pushed to the back; everything not yet
 # driver-proven comes first so each round's file covers new ground.
-# Round 6: no pin set — the 11 oracle-backed queries never yet sampled
-# (iceberg merge/stream-upsert/zorder, recursive rollup, KMV, SCD2 PIT,
-# char entropy, BM25, Holt, AQP, CDC join-view) front-rank, followed by
-# this round's additions; the rest of the window re-proves backlist rows.
-# Round-6 continuation: ~24 more oracle-backed queries registered AFTER
-# the earlier round-6 wave, so they rank behind it within the unproven
-# group (registration order within rank) — whatever misses this round's
-# 50-slot window front-ranks round 7. All were verify_local-proven at
-# sf0.001 AND sf0.01 at registration time.
+# Round 7: the 20 round-6-continuation queries that missed r6's 50-slot
+# window (asof_join_nearest, dau_wau_stickiness, scd2_incremental_apply,
+# format_convert_full_circle, zipf_slope_tokens, ...) front-rank, followed
+# by this round's new registrations; the rest of the window re-proves
+# backlist rows. All were verify_local-proven at sf0.001 AND sf0.01.
 _R1_DRIVER_VERIFIED = frozenset(
     {
         "q1_pricing_summary", "scan_project", "project_rename",
@@ -175,12 +171,43 @@ _R5_DRIVER_VERIFIED = frozenset(
     }
 )
 
+# Hash-green in CORRECTNESS_r06.json (50/50 fully green, zero err) —
+# includes all 11 queries round 5 flagged as never driver-sampled.
+_R6_DRIVER_VERIFIED = frozenset(
+    {
+        "agg_contribution_pareto", "agg_kmv_sketch", "agg_mode_per_group",
+        "agg_weighted_median", "ann_range_search_seeded",
+        "ann_topk_ivf_seeded", "anomaly_mad_robust", "aqp_sampled_aggregate",
+        "attribution_last_touch", "basket_lift_pairs",
+        "chi_square_status_priority", "corpus_dup_ngrams",
+        "curriculum_quality_phases", "customer_rfm_segments",
+        "delta_checkpoint_v2_sidecars", "delta_generated_column",
+        "embedding_label_centroids", "gini_customer_revenue",
+        "graph_degree_histogram", "iceberg_branch_tag",
+        "iceberg_merge_upsert", "iceberg_partitions_meta",
+        "iceberg_rewrite_pos_deletes", "iceberg_stream_upsert_sink",
+        "iceberg_zorder_rewrite", "intervals_merge_overlaps",
+        "join_null_safe", "mixture_temperature_sample",
+        "ohlc_monthly_orders", "orders_backlog_running", "path_trigram_top",
+        "rolling_corr_pairs", "scd2_point_in_time_join", "sql_grouping_id",
+        "sql_recursive_rollup", "streaks_gaps_islands",
+        "stream_backfill_bounded_batches", "text_bigram_logprob",
+        "text_bm25_topk", "text_char_entropy", "ts_holt_forecast",
+        "ts_seasonal_naive_mase", "txlog_check_constraint",
+        "txlog_generated_column", "txlog_incremental_distinct_cdc",
+        "txlog_incremental_join_cdc", "txlog_incremental_topk_cdc",
+        "txlog_recluster_incremental", "win_cumulative_distinct",
+        "yoy_growth_monthly",
+    }
+)
+
 _DRIVER_VERIFIED = (
     _R1_DRIVER_VERIFIED
     | _R2_DRIVER_VERIFIED
     | _R3_DRIVER_VERIFIED
     | _R4_DRIVER_VERIFIED
     | _R5_DRIVER_VERIFIED
+    | _R6_DRIVER_VERIFIED
 )
 
 
