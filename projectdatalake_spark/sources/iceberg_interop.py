@@ -477,6 +477,44 @@ def _file_path_raw(col):
     )
 
 
+def _normalize_stored_delete_paths(spark, deletes_df, live_paths, pos_col="pos"):
+    """Stored position-delete ``file_path`` values, normalized to the RAW
+    manifest form for comparison against the data side; returns a
+    (``file_path``, ``pos_col``) frame.
+
+    ``delete_where`` writes them ALREADY in raw form (spec: the value must
+    equal the manifest entry), so the stored value is compared VERBATIM
+    (scheme stripped only, never decoded): a raw path whose hive-escaped
+    partition dir contains %XX (':' → %3A, '%' → %25, '#' → %23 — e.g.
+    timestamp-valued partitions) would decode a SECOND time and silently
+    stop matching — deleted rows would resurrect on read and
+    rewrite_position_deletes would drop their pairs as dangling. Only the
+    ``_metadata.file_path`` (URI) side is ever decoded, per
+    atomic.uri_to_path's invariant.
+
+    Legacy rows written in percent-ENCODED URI form (external writers that
+    encode) fall back to the decoded form ONLY when the verbatim form
+    matches no live data file: ``live_paths`` is the snapshot's
+    manifest-form data path list — metadata-scale, already driver-resident
+    at every call site, joined as a broadcast."""
+    live_df = spark.createDataFrame(
+        [(p,) for p in sorted(set(live_paths))], "__lp string"
+    )
+    verbatim = F.regexp_replace(F.col("file_path"), "^file:", "")
+    return (
+        deletes_df.select(verbatim.alias("__fpv"), F.col(pos_col))
+        .join(F.broadcast(live_df), F.col("__fpv") == F.col("__lp"), "left")
+        .select(
+            F.when(F.col("__lp").isNotNull(), F.col("__fpv"))
+            .otherwise(
+                F.url_decode(F.regexp_replace(F.col("__fpv"), r"\+", "%2B"))
+            )
+            .alias("file_path"),
+            pos_col,
+        )
+    )
+
+
 def _ntz_epoch_micros(col):
     """Naive-UTC epoch micros of a TIMESTAMP_NTZ column, computed purely
     from its (timezone-free) wall-clock fields — a cast to TIMESTAMP would
@@ -1284,15 +1322,16 @@ class IcebergTable:
             # applied as a distributed anti-join on the parquet metadata
             # row index — merge-on-read, no data rewritten, executor-side
             del_paths = [e["data_file"]["file_path"] for e in pos_entries]
-            # delete files record RAW manifest-form paths (spec); older
-            # encoded-form rows decode to the same raw path either way
-            deletes_df = (
-                self.spark.read.schema("file_path string, pos long")
-                .parquet(*del_paths)
-                .select(
-                    _file_path_raw("file_path").alias("__fp"),
-                    F.col("pos").alias("__ri"),
-                )
+            # delete files record RAW manifest-form paths (spec) — compared
+            # verbatim; only encoded-form legacy rows fall back to a decode
+            deletes_df = _normalize_stored_delete_paths(
+                self.spark,
+                self.spark.read.schema("file_path string, pos long").parquet(
+                    *del_paths
+                ),
+                [p for ps in groups.values() for p in ps],
+            ).select(
+                F.col("file_path").alias("__fp"), F.col("pos").alias("__ri")
             )
         frames = []
         for (spec_id, key, seq), paths in groups.items():
@@ -2157,14 +2196,18 @@ class IcebergTable:
         # live data-file set is metadata-scale (already driver-resident);
         # dangling pairs drop via a broadcast semi join, never a collect
         # of the pair files themselves
+        live_paths = [e["data_file"]["file_path"] for e in data_entries]
         live_df = self.spark.createDataFrame(
-            [(e["data_file"]["file_path"],) for e in data_entries],
-            "file_path string",
+            [(p,) for p in live_paths], "file_path string"
         )
         pairs = (
-            self.spark.read.schema("file_path string, pos long")
-            .parquet(*old_paths)
-            .select(_file_path_raw("file_path").alias("file_path"), "pos")
+            _normalize_stored_delete_paths(
+                self.spark,
+                self.spark.read.schema("file_path string, pos long").parquet(
+                    *old_paths
+                ),
+                live_paths,
+            )
             .join(F.broadcast(live_df), on="file_path", how="left_semi")
             .distinct()
         )

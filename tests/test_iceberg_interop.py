@@ -1523,6 +1523,44 @@ def test_space_partition_record_counts_and_deletes(spark, root):
     assert {r.id for r in t.snapshot().select("id").collect()} == set(range(10, 40))
 
 
+def test_escaped_partition_position_deletes_survive(spark, root):
+    """Double-decode regression (round 7): delete files store RAW
+    manifest-form paths, and a raw path whose hive-escaped partition dir
+    itself contains %XX (':' → %3A, '%' → %25 — timestamp- or
+    percent-valued partitions) must be compared VERBATIM on read; an
+    unconditional second url_decode turns %3A back into ':' and the MOR
+    anti-join silently resurrects deleted rows, while
+    rewrite_position_deletes drops the live pairs as dangling."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(40)
+        .withColumn(
+            "seg",
+            F.when(F.col("id") % 2 == 0, "t=08:30").otherwise("pct 50%"),
+        )
+        .withColumn("val", F.col("id") * 1.5)
+        .repartition(2)
+    )
+    t = IcebergTable.create(spark, root, df, partition_by=("seg",))
+    t.delete_where("id < 10")
+    assert t.snapshot().count() == 30
+    assert {r.id for r in t.snapshot().select("id").collect()} == set(
+        range(10, 40)
+    )
+    # compaction of the pair files must keep them (they are NOT dangling)
+    assert t.rewrite_position_deletes(target_files=1) is not None
+    assert t.snapshot().count() == 30
+    assert {r.id for r in t.snapshot().select("id").collect()} == set(
+        range(10, 40)
+    )
+    # a second delete over the rewritten pairs still composes
+    t.delete_where("id >= 35")
+    assert {r.id for r in t.snapshot().select("id").collect()} == set(
+        range(10, 35)
+    )
+
+
 def test_rewrite_manifests_consolidates_metadata_only(spark, root):
     """Pure metadata rewrite: N append manifests become one per spec
     era; data file paths, rows, pruning, equality-delete ordering and
