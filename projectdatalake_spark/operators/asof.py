@@ -57,10 +57,23 @@ def asof_join(
     def _as_num(name: str, df_: DataFrame):
         dtype = dict(df_.dtypes).get(name, "")
         c = F.col(name)
+        if dtype == "timestamp_ntz":
+            # epoch micros from the WALL-CLOCK fields: a cast through the
+            # session TZ would shift two ntz values straddling a DST
+            # transition by different offsets, skewing |distance| by up
+            # to an hour and picking the wrong nearest row
+            day = F.datediff(
+                F.to_date(c), F.lit("1970-01-01").cast("date")
+            ).cast("long")
+            sec = F.date_part(F.lit("SECOND"), c)  # µs-fraction decimal
+            return (
+                day * F.lit(86_400_000_000)
+                + F.hour(c).cast("long") * F.lit(3_600_000_000)
+                + F.minute(c).cast("long") * F.lit(60_000_000)
+                + (sec * F.lit(1_000_000)).cast("long")
+            ).cast("double")
         if dtype.startswith("timestamp"):
-            # ntz and tz both shift identically under the session TZ, so
-            # the DIFFERENCE used for distance is TZ-independent
-            return F.unix_micros(c.cast("timestamp")).cast("double")
+            return F.unix_micros(c).cast("double")
         if dtype == "date":
             return F.unix_date(c).cast("double")
         return c.cast("double")

@@ -133,8 +133,13 @@ def scd2_apply_incremental(
 
     Contract: ``updates`` carries the key columns, the new attribute
     values, and ``ts_col``; each update's ``ts_col`` must be LATER than
-    the key's current version (asserted — an out-of-order feed needs the
-    batch-rebuild ``scd2_apply`` instead). Unknown keys simply insert.
+    the key's current version, and the batch holds AT MOST ONE row per
+    key (both asserted — two same-key updates would each close the same
+    current row, landing two closed rows under one (keys, ts) merge
+    identity and two open ``is_current`` rows). An out-of-order or
+    multi-version feed needs the batch-rebuild ``scd2_apply``, or fold
+    the batch to its latest row per key first. Unknown keys simply
+    insert.
 
     100 TB: only the batch's keys move — the close-out frame is
     current-rows semi-joined to the batch, the merge rewrites only files
@@ -143,6 +148,17 @@ def scd2_apply_incremental(
     this is O(batch)."""
     cur = table.snapshot().filter(F.col(current_col))
     upd = updates
+    # O(batch) guard: a multi-version batch would silently corrupt history
+    dup = (
+        upd.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1).limit(1).count()
+    )
+    if dup:
+        raise ValueError(
+            "SCD2 incremental apply requires at most one update per key "
+            "per batch — fold the batch to its latest row per key, or "
+            "use the batch rebuild (scd2_apply)"
+        )
     j = cur.alias("c").join(upd.alias("u"), keys, "inner")
     bad = j.filter(
         F.col(f"u.{ts_col}") <= F.col(f"c.{ts_col}")

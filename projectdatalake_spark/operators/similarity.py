@@ -1057,7 +1057,11 @@ def pq_search(
                 d = T[qi][np.arange(m)[:, None], C.T].sum(axis=0)
                 mask = ids != ids_q[qi]
                 dm, idm = d[mask], ids[mask]
-                top = np.argsort(dm, kind="stable")[: min(len(dm), shortlist)]
+                # (adc, neighbor_id) lexsort: the per-partition cut must
+                # break equal-ADC ties exactly like the global window —
+                # distance-only argsort keeps boundary ties by partition
+                # row order, varying results with data layout
+                top = np.lexsort((idm, dm))[: min(len(dm), shortlist)]
                 rows["query_id"].extend([int(ids_q[qi])] * len(top))
                 rows["neighbor_id"].extend(idm[top].tolist())
                 rows["adc"].extend(dm[top].tolist())
@@ -1201,7 +1205,9 @@ def ivfpq_search(
                 C = np.asarray(list(grp["codes"]), dtype="int64")
                 d = T[qid][np.arange(m)[:, None], C.T].sum(axis=0)
                 ids = grp[id_col].values
-                top = np.argsort(d, kind="stable")[: min(len(d), shortlist)]
+                # (adc, neighbor_id) lexsort — same tie-break as the
+                # global shortlist window (see pq_search.scan)
+                top = np.lexsort((ids, d))[: min(len(d), shortlist)]
                 out["query_id"].extend([int(qid)] * len(top))
                 out["neighbor_id"].extend(ids[top].tolist())
                 out["adc"].extend(d[top].tolist())

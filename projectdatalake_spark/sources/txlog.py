@@ -1713,10 +1713,12 @@ class TxTable:
         like every table format's merge planning."""
         from pyspark.sql import functions as F
 
-        # generated columns land on the UPDATES side before any union —
-        # a later union with surviving rows would fill them as NULL and
-        # the commit-time validation would (rightly) refuse the write
-        updates = self._apply_generated(updates)
+        # generated AND defaulted columns land on the UPDATES side before
+        # any union — after unionByName(allowMissingColumns) the column
+        # exists (NULL-filled on the updates rows) so _commit_write's
+        # _apply_defaults would skip it, landing NULL where Delta's
+        # merge_upsert lands the default
+        updates = self._apply_defaults(self._apply_generated(updates))
         fields = self._partition_fields()
         if not fields:
             merged = updates.unionByName(
@@ -1802,9 +1804,11 @@ class TxTable:
         from pyspark.sql import functions as F
 
         is_del = F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
-        # upsert rows get generated columns BEFORE the union (see
-        # merge_upsert); delete rows only contribute keys
-        ups = self._apply_generated(changes.filter(~is_del).drop(delete_col))
+        # upsert rows get generated and defaulted columns BEFORE the union
+        # (see merge_upsert); delete rows only contribute keys
+        ups = self._apply_defaults(
+            self._apply_generated(changes.filter(~is_del).drop(delete_col))
+        )
         all_keys = changes.select(*keys)
         fields = self._partition_fields()
         if not fields:

@@ -167,3 +167,29 @@ def test_asof_nearest_timestamp_tz_independent(spark):
             assert out[0].state == "y", tz  # 1.5h beats 2h in every TZ
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_asof_nearest_ntz_across_dst_transition(spark):
+    """timestamp_ntz distances must come from wall-clock fields, not a
+    cast through the session timezone: 2024-03-10 02:00 doesn't exist in
+    America/Los_Angeles, so a cast shifts values on opposite sides of the
+    gap by different offsets — here it would shrink the 2.5h-away
+    candidate to 1.5h and beat the true 2.25h nearest."""
+    left = spark.createDataFrame(
+        [(1, 1, "2024-03-10 03:30:00")], ["eid", "uid", "t"]
+    ).select("eid", "uid", F.col("t").cast("timestamp_ntz").alias("t"))
+    right = spark.createDataFrame(
+        [(1, "2024-03-10 01:00:00", "x"), (1, "2024-03-10 05:45:00", "y")],
+        ["ruid", "rt", "state"],
+    ).select("ruid", F.col("rt").cast("timestamp_ntz").alias("rt"), "state")
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/Los_Angeles", "Europe/Berlin"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            out = asof.asof_join(
+                left, right, "t", "rt", "uid", "ruid", ["eid"],
+                direction="nearest",
+            ).collect()
+            assert out[0].state == "y", tz  # 2.25h wall beats 2.5h wall
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

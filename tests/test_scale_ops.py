@@ -108,6 +108,37 @@ def test_scd2_intervals(spark):
     assert out[(2, "free")] == (None, True)
 
 
+def test_scd2_incremental_refuses_multi_update_batch(spark, tmp_path):
+    """Two same-key rows in one batch would each close the same current
+    version — two closed rows under one (key, ts) merge identity and two
+    open is_current rows. The guard must refuse the batch up front."""
+    import datetime as dt
+
+    import pytest
+
+    from projectdatalake_spark.operators.merge import scd2_apply_incremental
+    from projectdatalake_spark.sources.txlog import TxTable
+
+    dim = spark.createDataFrame(
+        [(1, "free"), (2, "free")], ["user_id", "level"]
+    ).select(
+        "user_id", "level",
+        F.lit("2024-01-01").cast("timestamp_ntz").alias("effective_from"),
+        F.lit(None).cast("timestamp_ntz").alias("effective_to"),
+        F.lit(True).alias("is_current"),
+    )
+    t = TxTable.create(spark, str(tmp_path / "d"), dim)
+    batch = spark.createDataFrame(
+        [(1, "paid", dt.datetime(2024, 2, 1)),
+         (1, "pro", dt.datetime(2024, 3, 1))],
+        ["user_id", "level", "effective_from"],
+    ).withColumn("effective_from", F.col("effective_from").cast("timestamp_ntz"))
+    with pytest.raises(ValueError, match="one update per key"):
+        scd2_apply_incremental(t, batch, keys=["user_id"])
+    # table untouched: guard fired before any commit
+    assert t.snapshot().filter("is_current").count() == 2
+
+
 def test_merge_upsert_idempotent(spark):
     from projectdatalake_spark.operators.merge import merge_upsert
 

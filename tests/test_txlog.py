@@ -1569,3 +1569,30 @@ def test_column_defaults_lifecycle(spark, tmp_path):
             spark, str(tmp_path / "x"), base,
             generated={"g": "id + 1"}, defaults={"g": "0"},
         )
+
+
+def test_column_defaults_fill_on_merge_and_cdc(spark, tmp_path):
+    """Merge rows that OMIT a defaulted column get the default, exactly
+    like append (Delta merge_upsert parity): the defaults must land on the
+    updates side BEFORE the union with surviving rows — after
+    unionByName(allowMissingColumns) the column exists NULL-filled and the
+    commit-time fill would skip it."""
+    base = spark.range(0, 10).withColumn("val", F.col("id") * 1.0)
+    t = TxTable.create(
+        spark, str(tmp_path / "d"), base, defaults={"tag": "'seed'"}
+    )
+    # merge_upsert: 5 updated keys + 2 inserts, no tag column supplied
+    ups = spark.range(5, 17).withColumn("val", F.lit(9.0))
+    t.merge_upsert(ups, keys=["id"])
+    got = {r.tag: r.n for r in
+           t.snapshot().groupBy("tag").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == {"seed": 17}, got
+    # apply_cdc upserts omit the column too
+    cdc = (
+        spark.range(15, 20)
+        .withColumn("val", F.lit(1.0))
+        .withColumn("__del", F.lit(False))
+    )
+    t.apply_changes(cdc, keys=["id"], delete_col="__del")
+    assert t.snapshot().filter("tag IS NULL").count() == 0
+    assert t.snapshot().filter("tag = 'seed'").count() == 20
