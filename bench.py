@@ -231,6 +231,15 @@ EXTENDED = [
 # per-batch cost the 100 TB amortization claim is about — not the fit.
 WARM_FIRST = {"semantic_dedup_apply_only", "dedup_minhash_apply"}
 
+# Plan-pinned, cache-light queries re-timed at the very END of the run:
+# if the machine drifted mid-sweep (BASELINE.md's twice-documented
+# environment contention — same tree measured 19.2→10.95 s with zero code
+# change), the end-of-run canary reads >DRIFT_TAINT× its own start-of-run
+# median and the emitted JSON carries env_factor + tainted=true, so an
+# inflated extended table can never be committed unflagged again.
+CANARIES = ["q1_pricing_summary", "multi_join_snowflake", "tpch_q3_shipping"]
+DRIFT_TAINT = 1.2
+
 HEADLINE = [
     # relational / analytic core
     "q1_pricing_summary",
@@ -293,10 +302,27 @@ def main() -> None:
         if n in WARM_FIRST:
             qs[n](spark, sf_dir).write.format("noop").mode("overwrite").save()
         extended[n] = _timed_once(qs[n], spark, sf_dir)
+    probe = scale_probe(spark, sf_dir)
+    # end-of-sweep drift canaries: median-of-REPS on the same plan-pinned
+    # queries the headline already measured at the START of the run
+    drift = 0.0
+    for n in CANARIES:
+        if n not in per_query or per_query[n] <= 0:
+            continue
+        times = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            qs[n](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times.append(time.perf_counter() - t0)
+        drift = max(drift, statistics.median(times) / per_query[n])
+    env_factor = round(drift, 3)
+    tainted = env_factor > DRIFT_TAINT
+    record["env_factor"] = env_factor
+    record["tainted"] = tainted
     detail = {
         **record,
         "extended": extended,
-        "scale_probe": scale_probe(spark, sf_dir),
+        "scale_probe": probe,
     }
     # The driver keeps only a ~2000-char TAIL of stdout (r4/r5 verdicts:
     # `parsed: null` whenever the one line outgrew the capture). So stdout
@@ -306,7 +332,9 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     for fname, payload in (
         ("BENCH_HEADLINE.json", {"headline": total, "unit": "sec", "sf": sf,
-                                 "queries": per_query}),
+                                 "queries": per_query,
+                                 "env_factor": env_factor,
+                                 "tainted": tainted}),
         ("BENCH_DETAIL.json", detail),
     ):
         try:

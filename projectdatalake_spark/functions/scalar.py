@@ -25,9 +25,13 @@ def epoch_millis_to_ts(col: Column) -> Column:
     """Epoch milliseconds → timestamp preserving fractional seconds.
 
     Exactly the reference's ``(ts/1000).cast(TimestampType())`` semantics
-    (F1, reference etl.py:92): division keeps the millisecond fraction.
-    """
-    return F.timestamp_millis(col.cast("long"))
+    (F1, reference etl.py:92): division keeps the fraction, so a DOUBLE
+    input carrying fractional milliseconds (1234.56 → 1.23456 s) lands as
+    microseconds rather than truncating at the millisecond (precision is
+    the double mantissa — exact through epoch µs ≈ year 2255). Integer-ms
+    inputs (the reference's data) are bit-identical either way
+    (oracle-proven)."""
+    return F.timestamp_micros((col.cast("double") * 1000).cast("long"))
 
 
 def epoch_ms(col: Column) -> Column:

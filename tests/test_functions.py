@@ -23,6 +23,14 @@ def test_epoch_millis_preserves_fraction(spark):
     assert out.ts.microsecond == 123000
 
 
+def test_epoch_millis_keeps_sub_millisecond_fraction(spark):
+    # division semantics on a DOUBLE input: 1234.5 ms lands as 1.2345 s,
+    # not truncated to the whole millisecond
+    df = spark.createDataFrame([(1704067200123.5,)], ["ms"])
+    out = df.select(epoch_millis_to_ts(F.col("ms")).alias("ts")).first()
+    assert out.ts.microsecond == 123500
+
+
 def test_calendar_year_not_week_year(spark):
     # F7 documented deviation: Dec 30 2023 belongs to ISO week-year 2024;
     # the engine uses calendar year (the reference author's evident intent)
