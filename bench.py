@@ -224,6 +224,8 @@ EXTENDED = [
     "mm_audio_fingerprint_dedup",
     "delta_cdf_to_txlog_replica",
     "dau_wau_stickiness",
+    # round 7
+    "ann_topk_pq_seeded",
 ]
 
 # Apply-only rungs measure STEADY-STATE cost: their fit-once index builds

@@ -477,6 +477,128 @@ def topk_neighbors_ivf_seeded(
     )
 
 
+def topk_neighbors_pq_seeded(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    m: int = 4,
+    k_codes: int = 8,
+    shortlist: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ/ADC search with SEED-INITIALIZED codebooks (Lloyd iteration 0:
+    codebook ``j`` is subspace ``j`` of the ``k_codes`` lowest-id corpus
+    vectors), fully declarative — encode (per-subspace argmin), ADC
+    lookup-sum, shortlist cut and exact re-rank are all Catalyst
+    expressions over literal codeword arrays, which makes this the PQ
+    rung a SQL oracle can replay value-for-value (the trained
+    ``pq_index`` rung is rows-only because Lloyd isn't SQL-expressible;
+    this rung pins the SEARCH machinery both share — the
+    ``ann_topk_ivf_seeded`` pattern).
+
+    Float discipline (queries.py header): every distance is the same
+    expression in the same order on both engines —
+    ``(dot(x,x) − 2·dot(x,c)) + dot(c,c)`` per subspace, subspace terms
+    summed left-to-right — so shortlist ORDER matches bitwise and only
+    the final cosine is rounded (6dp) for output. Ties break (adc,
+    neighbor_id) and (cosine DESC, neighbor_id); encode ties break
+    toward the lowest codeword index.
+
+    100 TB: the plan is the PQ plan — encode is a scan-stage expression
+    (no shuffle, no Python), queries broadcast onto the codes, the only
+    shuffle is the per-query shortlist/top-k window; swapping literal
+    seeds for trained codebooks changes only the constants."""
+    import operator
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    dim = int(corpus.select(F.size(vec_col).alias("d")).first()["d"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    seeds = (
+        corpus.orderBy(id_col).limit(k_codes).select(id_col, vec_col).collect()
+    )
+    # books[j][c] = subspace j of seed c (raw values — ADC ordering only;
+    # the exact re-rank normalizes)
+    books = [
+        [
+            [float(x) for x in r[vec_col]][j * sub : (j + 1) * sub]
+            for r in seeds
+        ]
+        for j in range(m)
+    ]
+    v = F.col(vec_col).cast("array<double>")
+
+    def lit_arr(xs):
+        return F.array(*[F.lit(x) for x in xs])
+
+    def d2(xj, cw):
+        # EXACT oracle mirror: (dot(x,x) - 2*dot(x,c)) + dot(c,c)
+        return (
+            vec_dot(xj, xj) - F.lit(2.0) * vec_dot(xj, cw)
+        ) + vec_dot(cw, cw)
+
+    def code_expr(j):
+        xj = F.slice(v, j * sub + 1, sub)
+        scores = F.array(
+            *[
+                F.struct(
+                    d2(xj, lit_arr(books[j][c])).alias("d"),
+                    F.lit(c).alias("c"),
+                )
+                for c in range(k_codes)
+            ]
+        )
+        return F.element_at(F.array_sort(scores), 1)["c"]
+
+    encoded = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        v.alias("c_vec"),
+        *[code_expr(j).alias(f"code{j}") for j in range(m)],
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), v.alias("q_vec")
+    )
+    adc = reduce(
+        operator.add,
+        [
+            d2(
+                F.slice(F.col("q_vec"), j * sub + 1, sub),
+                F.element_at(
+                    F.array(*[lit_arr(b) for b in books[j]]),
+                    F.col(f"code{j}") + 1,
+                ),
+            )
+            for j in range(m)
+        ],
+    )
+    scored = (
+        encoded.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "c_vec", "q_vec", adc.alias("adc"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id")
+    )
+    short = scored.withColumn("r", F.row_number().over(ws)).filter(
+        F.col("r") <= shortlist
+    )
+    cos = vec_dot(F.col("q_vec"), F.col("c_vec")) / (
+        F.sqrt(vec_dot(F.col("q_vec"), F.col("q_vec")))
+        * F.sqrt(vec_dot(F.col("c_vec"), F.col("c_vec")))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        short.select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embed_features_arrow(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
@@ -912,6 +1034,30 @@ def assign_cells_multi(
     )
 
 
+def _train_pq_books(X, m: int, k_codes: int, sub: int, seed: int):
+    """Seeded Lloyd per subspace over a driver-resident training sample:
+    O(train_rows·k_codes·iters) — bounded by the sample, never the
+    corpus. Deterministic (seeded init, fixed 15 iterations)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, k_codes, sub), dtype="float64")
+    for j in range(m):
+        Xj = X[:, j * sub : (j + 1) * sub]
+        # deterministic k-means++-ish init: seeded choice without replacement
+        init = Xj[rng.choice(len(Xj), size=k_codes, replace=False)]
+        C = init.copy()
+        for _ in range(15):
+            d2 = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k_codes):
+                pts = Xj[assign == c]
+                if len(pts):
+                    C[c] = pts.mean(axis=0)
+        books[j] = C
+    return books
+
+
 def pq_index(
     corpus: DataFrame,
     m: int = 8,
@@ -955,21 +1101,7 @@ def pq_index(
     )
     X = np.asarray([r["v"] for r in sample], dtype="float64")
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    rng = np.random.RandomState(seed)
-    books = np.empty((m, k_codes, sub), dtype="float64")
-    for j in range(m):
-        Xj = X[:, j * sub : (j + 1) * sub]
-        # deterministic k-means++-ish init: seeded choice without replacement
-        init = Xj[rng.choice(len(Xj), size=k_codes, replace=False)]
-        C = init.copy()
-        for _ in range(15):  # Lloyd on the sample: O(train_rows·k·iters)
-            d2 = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for c in range(k_codes):
-                pts = Xj[assign == c]
-                if len(pts):
-                    C[c] = pts.mean(axis=0)
-        books[j] = C
+    books = _train_pq_books(X, m, k_codes, sub, seed)
     books_b = corpus.sparkSession.sparkContext.broadcast(books)
 
     out_schema = f"{id_col} long, codes array<int>"
@@ -1113,6 +1245,8 @@ def ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_fraction: float | None = None,
+    residual: bool = True,
+    train_rows: int = 20_000,
 ):
     """IVF-PQ composite index — the layout production ANN systems
     (FAISS IVFPQ) run at corpus scale: the IVF coarse quantizer decides
@@ -1122,20 +1256,83 @@ def ivfpq_index(
     corpus as (id, cell, codes) — persist it partitioned by ``cell``
     and a probe touches only its n_probe partitions of m-byte codes.
 
+    ``residual=True`` (the full FAISS IVFPQ form) quantizes
+    ``r = unit(v) − centroid(cell)`` instead of the raw vector: every
+    cell's residual cloud is centered at the origin, so the m×k_codes
+    codewords only have to cover the WITHIN-cell spread instead of the
+    whole sphere — tighter codes wherever the coarse quantizer is tight.
+    The matching ``ivfpq_search(residual=True)`` builds its ADC table per
+    (query, probed cell) against ``q − centroid(cell)``; pass the flag
+    identically on both sides (a mismatch raises nothing but scores
+    garbage — the index is codes, the flag is how to read them).
+
     100 TB: a 100 TB float corpus becomes ~3 TB of codes, of which a
     12/32-probe query plans ~37% of partitions — the two reductions
-    COMPOUND (≈ 0.37 × 1/32 of the raw bytes per query)."""
+    COMPOUND (≈ 0.37 × 1/32 of the raw bytes per query). Residual
+    training stays bounded by ``train_rows``; encoding adds one
+    broadcast-lookup subtraction per row to the same Arrow-batched
+    argmin pass."""
+    import numpy as np
+    import pandas as pd
+
     assigned, centers = ivf_index(
         corpus, n_cells=n_cells, seed=seed, id_col=id_col, vec_col=vec_col,
         train_fraction=train_fraction,
     )
-    codes, books = pq_index(
-        corpus, m=m, k_codes=k_codes, seed=seed, id_col=id_col,
-        vec_col=vec_col,
+    if not residual:
+        codes, books = pq_index(
+            corpus, m=m, k_codes=k_codes, seed=seed, id_col=id_col,
+            vec_col=vec_col,
+        )
+        cells_codes = assigned.select(
+            F.col("neighbor_id").alias(id_col), "cell"
+        ).join(codes, id_col)
+        return cells_codes, centers, books
+
+    dim = centers.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    with_cell = assigned.select(
+        F.col("neighbor_id").alias(id_col),
+        F.col("c_vec").alias("v"),
+        "cell",
     )
-    cells_codes = assigned.select(
-        F.col("neighbor_id").alias(id_col), "cell"
-    ).join(codes, id_col)
+    # bounded seeded residual sample → driver training (same contract as
+    # pq_index: train_rows caps what is ever collected)
+    frac = min(1.0, train_rows / max(1, corpus.count()))
+    sample = (
+        with_cell.sample(fraction=frac, seed=seed).limit(train_rows).collect()
+    )
+    V = np.asarray([r["v"] for r in sample], dtype="float64")
+    V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    R = V - centers[np.asarray([r["cell"] for r in sample], dtype="int64")]
+    books = _train_pq_books(R, m, k_codes, sub, seed)
+    sc = corpus.sparkSession.sparkContext
+    state_b = sc.broadcast((centers, books))
+
+    def encode(batches):
+        C_, B = state_b.value
+        for pdf in batches:
+            V = np.asarray(list(pdf["v"]), dtype="float64")
+            V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            R = V - C_[pdf["cell"].values.astype("int64")]
+            codes = np.empty((len(V), m), dtype="int32")
+            for j in range(m):
+                Rj = R[:, j * sub : (j + 1) * sub]
+                d2 = ((Rj[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "cell": pdf["cell"].values,
+                    "codes": list(codes.tolist()),
+                }
+            )
+
+    cells_codes = with_cell.mapInPandas(
+        encode, schema=f"{id_col} long, cell int, codes array<int>"
+    )
     return cells_codes, centers, books
 
 
@@ -1151,12 +1348,19 @@ def ivfpq_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_query_rows: int = 100_000,
+    residual: bool = True,
 ) -> DataFrame:
     """Search an ``ivfpq_index``: each query probes its ``n_probe``
     nearest cells (IVF pruning), scans ONLY those cells' PQ codes with
     ADC lookup-sums, keeps a per-partition partial top-``shortlist``,
     and re-ranks the global shortlist by exact cosine against raw
-    vectors. Deterministic tie-breaks throughout (distance, then id)."""
+    vectors. Deterministic tie-breaks throughout (distance, then id).
+
+    ``residual=True`` matches ``ivfpq_index(residual=True)``: the ADC
+    table is built per (query, probed cell) against ``q −
+    centroid(cell)`` — m·k_codes·(dim/m) flops per pair, trivially
+    amortized over the cell's rows — so codes quantizing within-cell
+    residuals score correctly."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window
@@ -1179,36 +1383,41 @@ def ivfpq_search(
         d2 = ((centers - u) ** 2).sum(axis=1)
         probes.append([int(c) for c in np.argsort(d2)[:n_probe]])
     Q = np.stack(qvecs)
-    tables = np.empty((len(Q), m, k_codes), dtype="float64")
-    for j in range(m):
-        Qj = Q[:, j * sub : (j + 1) * sub]
-        tables[:, j, :] = ((Qj[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(
-            axis=2
-        )
     spark = cells_codes.sparkSession
     probe_df = spark.createDataFrame(
         [(qid, c) for qid, ps in zip(qids, probes) for c in ps],
         schema="query_id long, cell int",
     )
-    tables_b = spark.sparkContext.broadcast(
-        {qid: tables[i] for i, qid in enumerate(qids)}
+    qmap = {qid: Q[i] for i, qid in enumerate(qids)}
+    state_b = spark.sparkContext.broadcast(
+        (qmap, centers if residual else None, codebooks)
     )
     cand = cells_codes.join(F.broadcast(probe_df), "cell").filter(
         F.col(id_col) != F.col("query_id")
     )
 
     def scan(batches):
-        T = tables_b.value
+        QM, C_, B = state_b.value
+        jj = np.arange(m)[:, None]
         for pdf in batches:
             out = {"query_id": [], "neighbor_id": [], "adc": []}
-            for qid, grp in pdf.groupby("query_id", sort=False):
+            for key, grp in pdf.groupby(["query_id", "cell"], sort=False):
+                qid, cell = int(key[0]), int(key[1])
+                # per-(query, cell) ADC table: residual form subtracts the
+                # probed cell's centroid from the query first
+                qr = QM[qid] - C_[cell] if C_ is not None else QM[qid]
+                T = np.empty((m, k_codes), dtype="float64")
+                for j in range(m):
+                    T[j] = (
+                        (qr[j * sub : (j + 1) * sub][None, :] - B[j]) ** 2
+                    ).sum(axis=1)
                 C = np.asarray(list(grp["codes"]), dtype="int64")
-                d = T[qid][np.arange(m)[:, None], C.T].sum(axis=0)
+                d = T[jj, C.T].sum(axis=0)
                 ids = grp[id_col].values
                 # (adc, neighbor_id) lexsort — same tie-break as the
                 # global shortlist window (see pq_search.scan)
                 top = np.lexsort((ids, d))[: min(len(d), shortlist)]
-                out["query_id"].extend([int(qid)] * len(top))
+                out["query_id"].extend([qid] * len(top))
                 out["neighbor_id"].extend(ids[top].tolist())
                 out["adc"].extend(d[top].tolist())
             yield pd.DataFrame(out)

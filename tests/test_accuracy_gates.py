@@ -604,7 +604,11 @@ def test_ann_ivfpq_recall(spark):
     """IVF-PQ composite: both approximations COMPOUND their losses (cell
     truncation x ADC error), so the gate pins the composed configuration
     (16/32 probes, 192-row shortlist) — measured 0.955 at registration
-    on the near-uniform corpus, the hard case for both rungs."""
+    on the near-uniform corpus, the hard case for both rungs. Round 7
+    switched the default to RESIDUAL encoding (codes quantize
+    v − centroid(cell), the full FAISS form): measured 0.93 == the raw
+    form on this corpus (uniform data has no tight cells for residuals
+    to exploit) — the gate pins that the composed loss never drops."""
     emb = load_table(spark, SF_SMOKE, "embeddings")
     queries = emb.filter(F.col("vec_id") % 25 == 0)
     exact = S.topk_neighbors(emb, queries, k=K)
