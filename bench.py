@@ -226,6 +226,7 @@ EXTENDED = [
     "dau_wau_stickiness",
     # round 7
     "ann_topk_pq_seeded",
+    "mm_audio_constellation_dedup",
 ]
 
 # Apply-only rungs measure STEADY-STATE cost: their fit-once index builds

@@ -676,6 +676,177 @@ def audio_fingerprint(
     )
 
 
+def encode_wav_melody(
+    sample_rate: int,
+    segments: list[tuple[tuple[float, ...], int]],
+    amplitude: int = 12000,
+) -> bytes:
+    """16-bit PCM WAV of CONSECUTIVE tone segments — time-VARYING
+    spectral content, which constellation pair-hashes need (a steady
+    tone has the same peaks in every frame, so every anchor-target pair
+    degenerates to one hash; a melody gives each time step a distinct
+    frequency transition). ``segments`` is ``[(freqs, n_samples), ...]``;
+    ``((), n)`` inserts silence. Deterministic pure-numpy synthesis."""
+    import struct
+
+    import numpy as np
+
+    parts = []
+    for freqs, n in segments:
+        t = np.arange(n, dtype=np.float64) / sample_rate
+        sig = np.zeros_like(t)
+        for f in freqs:
+            sig += np.sin(2 * np.pi * f * t)
+        if freqs:
+            sig = sig / len(freqs)
+        parts.append(sig)
+    sig = np.concatenate(parts) if parts else np.zeros(0)
+    data = (sig * amplitude).astype("<i2").tobytes()
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate,
+        sample_rate * 2, 2, 16,
+    )
+    header = struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+    return header + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
+def audio_constellation(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    frame: int = 1024,
+    hop: int = 512,
+    n_bands: int = 8,
+    max_dt: int = 32,
+    fan_out: int = 5,
+) -> DataFrame:
+    """CONSTELLATION fingerprint (the Shazam anchor-target form, Wang
+    2003 "An Industrial-Strength Audio Search Algorithm"): per-frame
+    spectral peaks (per-band argmax, significance-gated like
+    ``audio_fingerprint``) become a time-frequency point cloud; each
+    anchor peak pairs with up to ``fan_out`` later peaks within
+    ``max_dt`` frames, and the HASH packs (f_anchor, f_target, dt) —
+    time-OFFSET-invariant by construction, which is what makes matching
+    shift-robust: a clip cut seconds into the original still shares its
+    pair hashes, only their anchor TIMES shift, and the voting join
+    recovers that constant offset. Per-frame landmark Jaccard
+    (``audio_dup_pairs``) cannot do this — its marks carry no relative
+    timing. Emits one row per (clip, hash, anchor_frame).
+
+    100 TB: one Arrow-batched pass emitting O(peaks·fan_out) ints per
+    clip; matching is an equality join on the hash value — audio bytes
+    are never touched again, and hashes (20 bits of freq pair + 8 bits
+    of dt) spread uniformly for the shuffle."""
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids_out, hashes_out, ts_out = [], [], []
+            for doc_id, buf in zip(pdf[id_col], pdf[payload_col]):
+                parsed = _wav_samples(bytes(buf))
+                if parsed is None:
+                    continue
+                _rate, x = parsed
+                if len(x) < frame:
+                    x = np.pad(x, (0, frame - len(x)))
+                win = np.hanning(frame)
+                peak_all = max(1e-9, float(np.abs(x).max()))
+                peaks: list[tuple[int, int]] = []  # (frame_idx, global bin)
+                for s in range(0, len(x) - frame + 1, hop):
+                    seg = x[s : s + frame]
+                    if float(np.abs(seg).max()) < 0.01 * peak_all:
+                        continue  # silence adds no peaks; t keeps ticking
+                    t = s // hop
+                    mag = np.abs(np.fft.rfft(seg * win))
+                    nb = len(mag) // n_bands
+                    frame_peak = float(mag.max())
+                    for b in range(n_bands):
+                        band = mag[b * nb : (b + 1) * nb]
+                        # significance gate: quantization-noise bands have
+                        # an unstable argmax — no real peak, no point
+                        if float(band.max()) < 0.05 * frame_peak:
+                            continue
+                        peaks.append((t, b * nb + int(band.argmax())))
+                # anchor→target pairing within the target zone, capped
+                # fan-out; peaks are (t, f)-sorted so the pairing (and
+                # the hash set) is deterministic
+                peaks.sort()
+                did = int(doc_id)
+                for i, (t1, f1) in enumerate(peaks):
+                    paired = 0
+                    for t2, f2 in peaks[i + 1 :]:
+                        dt = t2 - t1
+                        if dt < 1:
+                            continue  # same frame: no time transition
+                        if dt > max_dt or paired >= fan_out:
+                            break
+                        h = (f1 << 18) | (f2 << 8) | dt
+                        ids_out.append(did)
+                        hashes_out.append(h)
+                        ts_out.append(t1)
+                        paired += 1
+            yield pd.DataFrame(
+                {"doc_id": ids_out, "hash": hashes_out, "t": ts_out}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, schema="doc_id long, hash long, t int"
+    )
+
+
+def audio_constellation_dup_pairs(
+    prints: DataFrame, min_votes: int = 20
+) -> DataFrame:
+    """Shift-robust audio duplicate pairs by TIME-OFFSET VOTING over
+    constellation hashes: equality-join on the hash (inverted index —
+    clips sharing no hash never meet), then each matching hash votes for
+    offset = t_anchor1 − t_anchor2; a true duplicate — even one shifted
+    by seconds — concentrates its votes at ONE offset, while chance
+    hash collisions scatter across offsets. Emits (id1, id2, offset,
+    votes) for the winning offset of every pair clearing ``min_votes``
+    (ties break toward the smallest |offset|, then offset —
+    deterministic).
+
+    Votes count DISTINCT hashes, not occurrences: a sustained chord
+    emits the same (f1, f2, dt) hash in every one of its frames, and
+    occurrence-votes would let a single repeated hash fake a
+    concentration (measured: a REVERSED melody — same chords, different
+    order — collected 58 same-offset occurrence-votes from one note's
+    repeats). Each (clip, hash) is reduced to its FIRST anchor time
+    before the join; a true duplicate still aligns every distinct hash
+    at the one true offset, while repeats contribute exactly one vote.
+
+    100 TB: two shuffles on hash/pair — never all-pairs, never audio
+    bytes; the vote histogram is a count over (pair, offset) grain."""
+    from pyspark.sql import Window
+
+    firsts = prints.groupBy("doc_id", "hash").agg(F.min("t").alias("t"))
+    a = firsts.toDF("id1", "hash", "t1")
+    b = firsts.toDF("id2", "hash", "t2")
+    votes = (
+        a.join(b, "hash")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy(
+            "id1", "id2", (F.col("t1") - F.col("t2")).alias("offset")
+        )
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("id1", "id2").orderBy(
+        F.col("votes").desc(), F.abs(F.col("offset")), F.col("offset")
+    )
+    return (
+        votes.withColumn("r", F.row_number().over(w))
+        .filter((F.col("r") == 1) & (F.col("votes") >= min_votes))
+        .select(
+            "id1", "id2",
+            F.col("offset").cast("int").alias("offset"),
+            F.col("votes").cast("int").alias("votes"),
+        )
+    )
+
+
 def audio_dup_pairs(fps: DataFrame, min_jaccard: float = 0.6) -> DataFrame:
     """Near-duplicate audio pairs by landmark-set Jaccard, as an
     INVERTED-INDEX join: explode landmarks, equality-join on the

@@ -14109,3 +14109,63 @@ def ann_topk_pq_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cosine", 6).alias("cosine"),
         F.col("rank").cast("int").alias("rank"),
     ).orderBy("query_id", "rank")
+
+
+@query("mm_audio_constellation_dedup")  # FFT pair hashes not SQL-expressible → rows-only
+def mm_audio_constellation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHIFT-ROBUST audio dedup via CONSTELLATION fingerprints (Wang
+    2003's anchor-target form — the upgrade over the per-frame landmark
+    rung [[mm_audio_fingerprint_dedup]], whose time-free marks can
+    neither match a clip cut seconds into the original nor fingerprint
+    time-varying content at all): per-frame spectral peaks pair into
+    (f_anchor, f_target, dt) hashes — time-offset-invariant — and
+    matching clips concentrate their votes at ONE anchor-time offset,
+    recovered exactly. 30 melody groups x 3 variants (base, 1s-shifted,
+    quiet); exactly the within-group pairs must surface, each at its
+    known offset, zero cross-group pairs — the exactness is gated in
+    tests/test_streaming_multimodal.py (including the reversed-melody
+    negative: same tone inventory, different order, no pair).
+    Deterministic end to end; driver records rows-only.
+
+    100 TB: fingerprinting is one Arrow pass; matching is two shuffles
+    on (hash) and (pair, offset) grain — never all-pairs, never audio
+    bytes. Votes count DISTINCT hashes so sustained chords cannot fake
+    a concentration."""
+    from projectdatalake_spark.operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").limit(90)
+    sr = 8000
+    seg = sr // 4
+
+    def make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                # group = did%30, variant = did//30: NOT did%3, which is
+                # fully determined by did%30 (gcd(30,3)=3 — that scheme
+                # collapses every group to three copies of one variant).
+                # Each group's 8-note melody moves inside its OWN 120 Hz
+                # band (14 Hz note steps, ~1.8 FFT bins at sr/frame=7.8),
+                # so no two groups can ever share a peak bin — cross-group
+                # hash collisions are impossible by construction, not by
+                # vote threshold.
+                g = did % 30
+                mel = [((300.0 + 120.0 * g + 14.0 * i,), seg) for i in range(8)]
+                variant = (did // 30) % 3
+                if variant == 0:
+                    buf = MM.encode_wav_melody(sr, mel, 12000)
+                elif variant == 1:  # 1 s prepended silence: time-shifted dup
+                    buf = MM.encode_wav_melody(sr, [((), sr)] + mel, 12000)
+                else:  # quiet twin
+                    buf = MM.encode_wav_melody(sr, mel, 4000)
+                rows.append((did, bytearray(buf)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(make, schema="doc_id long, payload binary")
+    prints = MM.audio_constellation(payloads)
+    return MM.audio_constellation_dup_pairs(prints, min_votes=20).orderBy(
+        "id1", "id2"
+    )

@@ -255,3 +255,62 @@ def test_audio_fingerprint_invariances(spark):
     assert (1, 3) in pairs and pairs[(1, 3)] >= 0.6  # silence-padded
     assert (1, 4) not in pairs and (2, 4) not in pairs  # different tones
     fps.unpersist()
+
+
+def test_audio_constellation_shift_robust_and_order_sensitive(spark):
+    """The constellation upgrade's two contracts over per-frame landmark
+    Jaccard: (a) SHIFT-ROBUST — a clip cut/padded seconds into the
+    original still matches, and the vote histogram recovers the exact
+    frame offset; (b) ORDER-SENSITIVE — a clip with the SAME tone
+    inventory in reverse order (which landmark Jaccard falsely calls a
+    duplicate, its marks carry no timing) gets NO concentrated offset
+    and must not pair."""
+    from projectdatalake_spark.operators import multimodal as MM3
+
+    sr = 8000
+    seg = sr // 4
+    mel = [((440.0 + 60 * i, 1400.0 + 90 * i), seg) for i in range(8)]
+    base = MM3.encode_wav_melody(sr, mel, 12000)
+    shifted = MM3.encode_wav_melody(sr, [((), sr)] + mel, 12000)
+    quiet = MM3.encode_wav_melody(sr, mel, 4000)
+    reversed_ = MM3.encode_wav_melody(sr, list(reversed(mel)), 12000)
+    other = MM3.encode_wav_melody(
+        sr, [((523.0 + 71 * i, 1600.0 + 83 * i), seg) for i in range(8)], 12000
+    )
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(base)),
+            (2, bytearray(shifted)),
+            (3, bytearray(other)),
+            (4, bytearray(quiet)),
+            (5, bytearray(reversed_)),
+            (6, bytearray(b"not audio")),
+        ],
+        "doc_id long, payload binary",
+    )
+    prints = MM3.audio_constellation(df).persist()
+    assert prints.filter("doc_id = 6").count() == 0  # non-WAV: no prints
+    got = {
+        (r.id1, r.id2): (r.offset, r.votes)
+        for r in MM3.audio_constellation_dup_pairs(prints, min_votes=20).collect()
+    }
+    # shift-robust: 1s of prepended silence = 15.625 hop frames; the
+    # silence gate rounds the first sounding frame to 16
+    assert got[(1, 2)][0] == -16 and got[(1, 2)][1] >= 100
+    # amplitude-invariant at zero offset, every hash voting
+    assert got[(1, 4)][0] == 0
+    # transitive consistency: shifted vs quiet at the same +16
+    assert got[(2, 4)][0] == 16
+    # order-sensitive: the reversed melody must NOT pair with anything
+    assert not any(5 in p for p in got)
+    # different melody: no pair at all
+    assert not any(3 in p for p in got)
+    # ...while the per-frame landmark rung cannot fingerprint
+    # time-varying content AT ALL: its stability gate (mark must sustain
+    # >=25% of frames) drops every melody note (~13% each) — zero marks,
+    # zero pairs. The constellation rung is what extends audio dedup
+    # beyond steady-tone clips.
+    fps = MM3.audio_fingerprint(df)
+    marks = {r.doc_id: len(r.landmarks) for r in fps.collect()}
+    assert marks[1] == 0 and marks[5] == 0
+    prints.unpersist()
