@@ -227,6 +227,8 @@ EXTENDED = [
     # round 7
     "ann_topk_pq_seeded",
     "mm_audio_constellation_dedup",
+    "iceberg_puffin_ndv_stats",
+    "iceberg_ndv_informed_join",
 ]
 
 # Apply-only rungs measure STEADY-STATE cost: their fit-once index builds

@@ -14169,3 +14169,96 @@ def mm_audio_constellation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.audio_constellation_dup_pairs(prints, min_votes=20).orderBy(
         "id1", "id2"
     )
+
+
+@query(
+    "iceberg_puffin_ndv_stats",
+    oracle="""
+    SELECT 'c_custkey' AS col_name, count(DISTINCT c_custkey) AS ndv FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment', count(DISTINCT c_mktsegment) FROM customer
+    UNION ALL
+    SELECT 'c_nationkey', count(DISTINCT c_nationkey) FROM customer
+    ORDER BY col_name
+    """,
+)
+def iceberg_puffin_ndv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PUFFIN STATISTICS FILES (Iceberg puffin-spec.md): `write_stats`
+    lands a PFA1 container with one apache-datasketches-theta-v1 blob
+    per column (KMV sketch, MurmurHash3-x64-128 seed 9001, DataSketches
+    compact-ordered layout) and registers it under table metadata's
+    `statistics`; `ndv()` reads the blob's ndv property without opening
+    data files. With distinct counts ≤ k the sketch is in EXACT mode, so
+    the NDVs are hash-checkable against COUNT(DISTINCT) — the oracle
+    proves the whole pipeline (distributed per-partition min-k hash
+    pass → global top-k merge → serialize → puffin footer → metadata
+    registration → property read-back) loses nothing.
+
+    100 TB: the sketch build is one linear pass per column with k+1
+    longs reaching the driver; consumers (see
+    [[iceberg_ndv_informed_join]]) then plan joins from O(metadata)."""
+    import tempfile
+
+    from projectdatalake_spark.sources.iceberg_interop import IcebergTable
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    root = tempfile.mkdtemp(prefix="puffin_") + "/t"
+    t = IcebergTable.create(spark, root, c.repartition(4))
+    t.write_stats(["c_custkey", "c_mktsegment", "c_nationkey"], k=4096)
+    return (
+        t.inspect("statistics")
+        .select(F.col("column").alias("col_name"), "ndv")
+        .orderBy("col_name")
+    )
+
+
+@query(
+    "iceberg_ndv_informed_join",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def iceberg_ndv_informed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDV-INFORMED JOIN — the first CBO-style consumer of puffin table
+    stats: the dim (customer as an Iceberg table with registered stats)
+    joins the fact (orders) through `ndv_semi_reduce_join`, which
+    injects a broadcast left-semi fact reduction on the dim's DISTINCT
+    keys because NDV(c_custkey) × 16 B clears the broadcast budget —
+    a decision row counts alone cannot make (plan-asserted with
+    autoBroadcastJoinThreshold=-1 in tests/test_iceberg_interop.py).
+    The reduction is semantically a no-op for inner joins, so the
+    aggregate hash-matches the plain SQL join.
+
+    100 TB: IN-filter/bloom pushdown shape — fact rows matching no dim
+    key are dropped BEFORE the join shuffle, from O(metadata) stats."""
+    import tempfile
+
+    from projectdatalake_spark.sources.iceberg_interop import (
+        IcebergTable,
+        ndv_semi_reduce_join,
+    )
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    root = tempfile.mkdtemp(prefix="ndvjoin_") + "/t"
+    t = IcebergTable.create(spark, root, c.repartition(4))
+    t.write_stats(["o_custkey"], k=65536)
+    joined = ndv_semi_reduce_join(o, t, "o_custkey")
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -694,6 +694,69 @@ def _transform_py(transform: str, value, src_type: str):
     raise IcebergProtocolError(f"unknown partition transform {transform!r}")
 
 
+def _column_theta_sketch(df: DataFrame, col: str, k: int):
+    """Distributed KMV/theta sketch of one column: each partition hashes
+    its DISTINCT values (Arrow-batched; per-unique python hash — uniques,
+    not rows, bound the loop) and keeps its k+1 smallest; a global k+1
+    top-k merges the partials. Only k+1 longs reach the driver regardless
+    of table size."""
+    import pandas as pd
+
+    from projectdatalake_spark.sources import puffin as _puffin
+
+    def partial(batches):
+        best: set[int] = set()
+        for pdf in batches:
+            for v in pdf[col].dropna().unique():
+                if hasattr(v, "item") and not isinstance(v, (str, bytes)):
+                    v = v.item()
+                best.add(_puffin.theta_hash(v))
+        yield pd.DataFrame({"h": sorted(best)[: k + 1]})
+
+    partials = df.select(col).mapInPandas(partial, schema="h long")
+    top = partials.distinct().orderBy("h").limit(k + 1).collect()
+    return _puffin.ThetaSketch(k, [r["h"] for r in top])
+
+
+def ndv_semi_reduce_join(
+    fact: DataFrame,
+    dim_table: "IcebergTable",
+    key: str,
+    how: str = "inner",
+    key_bytes: int = 16,
+    max_broadcast_bytes: int = 8 << 20,
+) -> DataFrame:
+    """NDV-informed SEMI-JOIN REDUCTION — the first CBO-style consumer of
+    puffin table stats: when the dim's registered NDV(key) says its
+    DISTINCT-KEY set fits a broadcast (``ndv × key_bytes ≤
+    max_broadcast_bytes``), the fact side is pre-filtered by a broadcast
+    left-semi join on those keys before the main join. Row counts alone
+    can never make this call: a dim over the broadcast threshold plans as
+    a shuffle join and nothing prunes the fact scan — but a low NDV means
+    the key set itself is tiny even when the table is not, and the semi
+    filter drops every fact row the join would discard BEFORE the
+    shuffle. Semantically a no-op (inner/semi joins discard those rows
+    anyway); plan-asserted in tests/test_iceberg_interop.py.
+
+    100 TB: this is the shape engines call IN-filter / bloom pushdown —
+    the dominant cost in a fact-dim join is shuffling fact rows that
+    match nothing; NDV is the statistic that licenses removing them
+    cheaply."""
+    if how not in ("inner", "left_semi", "semi"):
+        raise ValueError(
+            "semi reduction only preserves semantics for inner/semi joins"
+        )
+    dim = dim_table.snapshot()
+    nd = dim_table.ndv(key)
+    if nd is not None and nd * key_bytes <= max_broadcast_bytes:
+        fact = fact.join(
+            F.broadcast(dim.select(key).distinct()), key, "left_semi"
+        )
+    if how in ("left_semi", "semi"):
+        return fact.join(dim.select(key).distinct(), key, "left_semi")
+    return fact.join(dim, key, how)
+
+
 class IcebergTable:
     """An Iceberg v2 table under ``root`` (filesystem-catalog layout:
     ``metadata/`` + ``version-hint.text``)."""
@@ -1028,6 +1091,119 @@ class IcebergTable:
         self._commit_refs(mutate)
         return snapshot_id
 
+    # --- puffin statistics files (spec: puffin-spec.md) --------------------
+
+    def write_stats(self, columns: list[str], k: int = 4096) -> str:
+        """Write a PUFFIN statistics file with one
+        ``apache-datasketches-theta-v1`` NDV blob per column for the
+        CURRENT snapshot, and register it under table metadata's
+        ``statistics`` list (Iceberg spec §Table Statistics) — the input
+        a CBO consumes without scanning data (see
+        ``ndv_semi_reduce_join``). Replaces any prior stats entry for the
+        same snapshot; returns the stats file path.
+
+        100 TB: the sketch build is ONE linear pass per column — each
+        partition keeps its k smallest distinct hashes (Arrow-batched),
+        a k-row global top-k merges them, and only k+1 longs ever reach
+        the driver. KMV/theta error ~1/sqrt(k) (~1.6% at k=4096)."""
+        from projectdatalake_spark.sources import puffin as _puffin
+
+        meta = self.metadata()
+        sid = meta.get("current-snapshot-id")
+        if sid is None or sid == -1:
+            raise IcebergProtocolError("cannot write stats for an empty table")
+        snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == sid)
+        seq = int(snap.get("sequence-number", 0))
+        field_ids = {
+            f["name"]: f["id"]
+            for s in meta["schemas"]
+            if s["schema-id"] == meta["current-schema-id"]
+            for f in s["fields"]
+        }
+        df = self.snapshot()
+        blobs = []
+        for col in columns:
+            if col not in field_ids:
+                raise ValueError(f"unknown column {col!r}")
+            sk = _column_theta_sketch(df, col, k)
+            blobs.append(
+                (
+                    {
+                        "type": _puffin.THETA_BLOB_TYPE,
+                        "fields": [field_ids[col]],
+                        "snapshot-id": sid,
+                        "sequence-number": seq,
+                        # `column` rides as a property in the file footer
+                        # AND the metadata copy, so both resolve names
+                        # without a schema lookup
+                        "properties": {
+                            "ndv": str(int(round(sk.estimate()))),
+                            "column": col,
+                        },
+                    },
+                    sk.to_bytes(),
+                )
+            )
+        data, footer_size = _puffin.write_puffin(
+            blobs, {"created-by": "projectdatalake-spark"}
+        )
+        path = f"{self.root}/metadata/{sid}-{uuid.uuid4().hex}.stats"
+        self._write_bytes(path, data, exclusive=True)
+        entry = {
+            "snapshot-id": sid,
+            "statistics-path": path,
+            "file-size-in-bytes": len(data),
+            "file-footer-size-in-bytes": footer_size,
+            "blob-metadata": [
+                {**m, "length": len(payload)} for m, payload in blobs
+            ],
+        }
+
+        def mutate(md):
+            md["statistics"] = [
+                s
+                for s in md.get("statistics", [])
+                if s["snapshot-id"] != sid
+            ] + [entry]
+
+        self._commit_refs(mutate)
+        return path
+
+    def ndv(self, column: str, snapshot_id: int | None = None) -> int | None:
+        """NDV of ``column`` from the snapshot's registered puffin stats
+        (the blob's ``ndv`` property — what engines read), or None when
+        no stats file covers that snapshot/column. O(metadata): the
+        puffin payload is never opened here."""
+        meta = self.metadata()
+        sid = snapshot_id or meta.get("current-snapshot-id")
+        for s in meta.get("statistics", []):
+            if s["snapshot-id"] != sid:
+                continue
+            for bm in s.get("blob-metadata", []):
+                props = bm.get("properties", {})
+                if props.get("column") == column and "ndv" in props:
+                    return int(props["ndv"])
+        return None
+
+    def read_stats_sketch(self, column: str, snapshot_id: int | None = None):
+        """Deserialize the column's theta sketch from the puffin payload
+        (for UNIONS across tables/snapshots — the mergeable path); None
+        when absent."""
+        from projectdatalake_spark.sources import puffin as _puffin
+
+        meta = self.metadata()
+        sid = snapshot_id or meta.get("current-snapshot-id")
+        for s in meta.get("statistics", []):
+            if s["snapshot-id"] != sid:
+                continue
+            blobs, _props = _puffin.read_puffin(
+                self._read_bytes(s["statistics-path"])
+            )
+            for bm, payload in blobs:
+                if bm.get("properties", {}).get("column") == column:
+                    return _puffin.ThetaSketch.from_bytes(payload)
+        return None
+
     def inspect(self, kind: str) -> DataFrame:
         """Metadata TABLES (Iceberg's ``table$files`` family) — the
         table's own metadata as queryable DataFrames, no data files
@@ -1108,9 +1284,29 @@ class IcebergTable:
                 "partition string, file_count long, record_count long, "
                 "total_size_bytes long",
             )
+        if kind == "statistics":
+            rows = [
+                (
+                    int(s["snapshot-id"]),
+                    s["statistics-path"],
+                    int(s["file-size-in-bytes"]),
+                    bm.get("properties", {}).get("column"),
+                    bm["type"],
+                    int(bm.get("properties", {}).get("ndv", -1)),
+                    int(bm["length"]),
+                )
+                for s in meta.get("statistics", [])
+                for bm in s.get("blob-metadata", [])
+            ]
+            return spark.createDataFrame(
+                rows,
+                "snapshot_id long, statistics_path string, "
+                "file_size_in_bytes long, column string, blob_type string, "
+                "ndv long, blob_length long",
+            )
         raise ValueError(
             f"unknown metadata table {kind!r} — one of files, "
-            f"delete_files, snapshots, history, refs, partitions"
+            f"delete_files, snapshots, history, refs, partitions, statistics"
         )
 
     @staticmethod

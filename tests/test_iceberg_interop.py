@@ -1679,3 +1679,96 @@ def test_manifest_list_partition_summaries_prune_planning(spark, root):
     s = data_rows[0]["partitions"][0]
     assert s["lower_bound"] != s["upper_bound"]  # spans seg 0..3
     assert t.snapshot(where_eq={"seg": [2]}).count() == 45
+
+
+def test_puffin_stats_roundtrip_and_ndv(spark, root):
+    """Puffin stats lifecycle (spec: puffin-spec.md): write_stats lands a
+    PFA1 container with one theta blob per column, registers it under
+    metadata's `statistics`, ndv() reads the blob property, the sketch
+    payload deserializes to the same estimate, and inspect('statistics')
+    surfaces the entries. A new snapshot's stats REPLACE the old entry
+    for that snapshot only."""
+    from projectdatalake_spark.sources import puffin as P
+
+    df = (
+        spark.range(0, 5000)
+        .withColumn("k", (F.col("id") % 40).cast("long"))
+        .withColumn("val", F.col("id") * 1.5)
+        .repartition(4)
+    )
+    t = IcebergTable.create(spark, root, df)
+    path = t.write_stats(["k", "id"], k=1024)
+    # raw container parses: magics, footer JSON, blob payloads
+    raw = open(path, "rb").read()
+    assert raw[:4] == b"PFA1" and raw[-4:] == b"PFA1"
+    blobs, props = P.read_puffin(raw)
+    assert {b[0]["type"] for b in blobs} == {P.THETA_BLOB_TYPE}
+    # ndv: exact-mode for 40 distinct keys; estimation-mode for 5000 ids
+    assert t.ndv("k") == 40
+    assert abs(t.ndv("id") - 5000) / 5000 < 0.05
+    sk = t.read_stats_sketch("id")
+    assert int(round(sk.estimate())) == t.ndv("id")
+    # field ids recorded, snapshot pinned
+    meta = t.metadata()
+    ent = meta["statistics"][0]
+    assert ent["snapshot-id"] == t.current_snapshot_id()
+    assert ent["file-footer-size-in-bytes"] > 0
+    ins = {r.column: r.ndv for r in t.inspect("statistics").collect()}
+    assert ins == {"k": 40, "id": t.ndv("id")}
+    # stats for a NEW snapshot coexist; rewriting the same snapshot replaces
+    t.append(
+        spark.range(5000, 6000)
+        .withColumn("k", F.lit(99).cast("long"))
+        .withColumn("val", F.col("id") * 1.5)
+    )
+    t.write_stats(["k"], k=1024)
+    assert t.ndv("k") == 41
+    assert len(t.metadata()["statistics"]) == 2
+    t.write_stats(["k"], k=1024)  # same snapshot again → replaced, not added
+    assert len(t.metadata()["statistics"]) == 2
+
+
+def test_ndv_semi_reduce_join_plan_and_semantics(spark, root):
+    """The CBO consumer: with autoBroadcastJoinThreshold disabled (row
+    counts alone never broadcast anything), the NDV-informed join still
+    injects a broadcast left-semi fact reduction because the registered
+    NDV says the dim's distinct-key set is tiny — and the result equals
+    the plain join exactly."""
+    from projectdatalake_spark.sources.iceberg_interop import (
+        ndv_semi_reduce_join,
+    )
+
+    dim_df = (
+        spark.range(0, 20000)
+        .withColumn("k", (F.col("id") % 50).cast("long"))
+        .withColumn("attr", F.concat(F.lit("a"), F.col("id")))
+        .drop("id")
+        .repartition(4)
+    )
+    t = IcebergTable.create(spark, root, dim_df)
+    t.write_stats(["k"], k=1024)
+    assert t.ndv("k") == 50
+    fact = spark.range(0, 2000).withColumn(
+        "k", (F.col("id") % 200).cast("long")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plain = fact.join(t.snapshot(), "k", "inner")
+        informed = ndv_semi_reduce_join(fact, t, "k")
+        plan_plain = plain._jdf.queryExecution().executedPlan().toString()
+        plan_inf = informed._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan_plain  # rowcounts: no bcast
+        assert "BroadcastHashJoin" in plan_inf  # NDV licenses the semi
+        assert plan_inf.count("SortMergeJoin") >= 1  # main join unchanged
+        assert informed.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # an un-stats'd key refuses nothing but reduces nothing
+    t2 = IcebergTable.create(
+        spark, root + "_nostats", dim_df
+    )
+    out = ndv_semi_reduce_join(fact, t2, "k")
+    assert out.count() == plain.count()
+    with pytest.raises(ValueError, match="inner/semi"):
+        ndv_semi_reduce_join(fact, t, "k", how="left")
