@@ -229,6 +229,7 @@ EXTENDED = [
     "mm_audio_constellation_dedup",
     "iceberg_puffin_ndv_stats",
     "iceberg_ndv_informed_join",
+    "txlog_optimize_lease_split",
 ]
 
 # Apply-only rungs measure STEADY-STATE cost: their fit-once index builds

@@ -14262,3 +14262,68 @@ def iceberg_ndv_informed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "txlog_optimize_lease_split",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def txlog_optimize_lease_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-WRITER OPTIMIZE with the LEASE protocol: two optimizers run
+    against the same small-file table — the first finds a live claim on
+    two partitions (a concurrent peer mid-run) and compacts only the
+    rest; the peer then finishes its own claim. The work is PARTITIONED
+    instead of one optimizer losing its whole rewrite to the
+    publish-time precondition ([[txlog_optimize_compact]] is the
+    single-writer baseline). Claim overlaps resolve by earlier claim
+    version; leases release atomically with the optimize commit and
+    expire by TTL if a holder crashes. Reads through the final snapshot
+    must equal the oracle over the raw source — the whole lifecycle is
+    layout-only. File-count collapse, work partitioning, expiry and the
+    threaded race are asserted in tests/test_txlog.py.
+
+    100 TB: compaction fleets run one optimizer per partition bucket;
+    the lease commit is O(metadata) and the losing side skips, never
+    rewrites-then-discards terabytes."""
+    import json as _json
+    import tempfile
+
+    from projectdatalake_spark.sources.txlog import TxTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.col("o_totalprice").cast("double")
+    )
+    root = tempfile.mkdtemp(prefix="txlog_lease_")
+    quarters = [o.filter(F.col("o_orderkey") % 4 == i) for i in range(4)]
+    table = TxTable.create(
+        spark, root, quarters[0], partition_by=("o_orderpriority",)
+    )
+    for q in quarters[1:]:
+        table.append(q)
+    # peer "B" claims two priority partitions (concurrent optimizer
+    # mid-run), so optimizer "A" compacts only the other three
+    claimed = ["1-URGENT", "3-MEDIUM"]
+    table._publish(
+        "optimize_lease", [], [],
+        lease={
+            "holder": "B",
+            "partitions": [
+                _json.dumps([["o_orderpriority", p]]) for p in claimed
+            ],
+            "ttl_ms": 600_000,
+        },
+    )
+    vA = table.optimize(min_files=2, lease_ttl_ms=600_000, holder="A")
+    vB = table.optimize(min_files=2, lease_ttl_ms=600_000, holder="B")
+    assert vA is not None and vB is not None and vB > vA
+    assert table._active_leases() == []
+    return (
+        table.snapshot()
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
+    )

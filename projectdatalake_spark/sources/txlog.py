@@ -437,6 +437,7 @@ class TxTable:
             "generated": {},
             "defaults": {},
             "schema": {},
+            "leases": {},
         }
 
     @staticmethod
@@ -489,6 +490,13 @@ class TxTable:
                 state["generated"] = dict(c["generated"])
             if "defaults" in c:
                 state["defaults"] = dict(c["defaults"])
+            if op == "optimize_lease":
+                lease = dict(c["lease"])
+                lease["version"] = c["version"]
+                lease["ts"] = c.get("ts", 0)
+                state.setdefault("leases", {})[lease["holder"]] = lease
+            if "release_lease" in c:
+                state.setdefault("leases", {}).pop(c["release_lease"], None)
         return state
 
     def _state(self, version: int | None = None) -> dict:
@@ -512,6 +520,9 @@ class TxTable:
             state["constraints"] = dict(state["constraints"])
             state["generated"] = dict(state.get("generated", {}))
             state["schema"] = dict(state["schema"])
+            state["leases"] = {
+                k: dict(v) for k, v in state.get("leases", {}).items()
+            }
             commits = [
                 c for c in self.history() if c["version"] > ck["version"]
             ]
@@ -2296,6 +2307,19 @@ class TxTable:
 
         return zorder_column(df, cols, bits)
 
+    def _active_leases(self) -> list[dict]:
+        """Unexpired OPTIMIZE leases from the metadata fold. Expiry is
+        judged lazily at read time (commit ts + ttl_ms) — a crashed
+        optimizer's claim evaporates without any cleanup commit."""
+        now = time.time()
+        out = []
+        for lease in self._state().get("leases", {}).values():
+            ttl = lease.get("ttl_ms")
+            if ttl is not None and (now - lease.get("ts", 0)) * 1000 > ttl:
+                continue
+            out.append(lease)
+        return out
+
     def optimize(
         self,
         min_files: int = 2,
@@ -2303,6 +2327,8 @@ class TxTable:
         target_files: int = 4,
         zorder_by: tuple[str, ...] = (),
         curve: str = "z",
+        lease_ttl_ms: int | None = None,
+        holder: str | None = None,
     ) -> int | None:
         """Transactional small-file compaction (OPTIMIZE): partitions
         holding ≥ ``min_files`` files are rewritten into one file each and
@@ -2324,7 +2350,19 @@ class TxTable:
         partitions' file sets are unchanged at publish time — losing a
         race to ANY concurrent write of those partitions abandons the
         compaction (returns None) rather than resurrecting replaced data.
-        """
+
+        ``lease_ttl_ms`` turns on the MULTI-WRITER LEASE protocol: before
+        rewriting anything, the optimizer commits an ``optimize_lease``
+        claim on its target partitions. A concurrent optimizer skips
+        partitions under another holder's unexpired lease and works the
+        remainder — two optimizers PARTITION the compaction instead of
+        one losing its whole rewrite to the publish-time precondition.
+        Claim races resolve deterministically (earlier claim version
+        wins the overlap); the winning optimize commit releases its
+        lease atomically, an abandon releases it with a metadata-only
+        commit, and a crashed holder's claim expires by TTL with no
+        cleanup. Without the flag behavior is unchanged (no extra
+        commits)."""
         pcols = self._partition_by()
         by_part: dict[tuple, list[dict]] = {}
         for a in self._active_files():
@@ -2333,6 +2371,50 @@ class TxTable:
         doomed = {k: v for k, v in by_part.items() if len(v) >= min_files}
         if not doomed:
             return None
+        holder_id = holder or uuid.uuid4().hex
+        extra_publish: dict = {}
+        if lease_ttl_ms is not None:
+
+            def _key_json(k: tuple) -> str:
+                return json.dumps([list(kv) for kv in k])
+
+            others = [
+                l for l in self._active_leases() if l["holder"] != holder_id
+            ]
+            taken = {p for l in others for p in l.get("partitions", [])}
+            doomed = {
+                k: v for k, v in doomed.items() if _key_json(k) not in taken
+            }
+            if not doomed:
+                return None
+            claim_v = self._publish(
+                "optimize_lease",
+                [],
+                [],
+                lease={
+                    "holder": holder_id,
+                    "partitions": sorted(_key_json(k) for k in doomed),
+                    "ttl_ms": int(lease_ttl_ms),
+                },
+            )
+            # two claims may have raced onto overlapping partitions: the
+            # EARLIER claim version wins each overlap — both sides apply
+            # the same rule against the same log, so the split is agreed
+            lost = {
+                p
+                for l in self._active_leases()
+                if l["holder"] != holder_id and l["version"] < claim_v
+                for p in l.get("partitions", [])
+            }
+            doomed = {
+                k: v for k, v in doomed.items() if _key_json(k) not in lost
+            }
+            if not doomed:
+                self._publish(
+                    "release_lease", [], [], release_lease=holder_id
+                )
+                return None
+            extra_publish["release_lease"] = holder_id
         doomed_adds = [a for files in doomed.values() for a in files]
         removes = sorted(a["path"] for a in doomed_adds)
         groups: dict[str, list[dict]] = {}
@@ -2404,10 +2486,15 @@ class TxTable:
             }
             return now_dvs == planned_dvs
 
-        return self._publish(
+        out = self._publish(
             "optimize", adds, removes=removes, precondition=unchanged,
-            partition_by=list(pcols),
+            partition_by=list(pcols), **extra_publish,
         )
+        if out is None and "release_lease" in extra_publish:
+            # abandoned to the precondition: free the claim immediately so
+            # peers need not wait out the TTL
+            self._publish("release_lease", [], [], release_lease=holder_id)
+        return out
 
     def recluster(self, max_groups: int | None = None) -> int | None:
         """LIQUID-STYLE INCREMENTAL RECLUSTERING (the shape of Delta's

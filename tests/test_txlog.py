@@ -1596,3 +1596,112 @@ def test_column_defaults_fill_on_merge_and_cdc(spark, tmp_path):
     t.apply_changes(cdc, keys=["id"], delete_col="__del")
     assert t.snapshot().filter("tag IS NULL").count() == 0
     assert t.snapshot().filter("tag = 'seed'").count() == 20
+
+
+def test_optimize_lease_partitions_the_work(spark, tmp_path):
+    """Multi-writer OPTIMIZE leases: a partition claimed by another live
+    holder is skipped, the remainder is compacted, and the second
+    optimizer finishes its own claim — two optimizers PARTITION the
+    compaction instead of one abandoning wholesale. Leases release with
+    the optimize commit; expired claims stop blocking without cleanup."""
+    import time as _time
+
+    rows = [(i, seg, i) for seg in ("A", "B") for i in range(4)]
+    t = TxTable.create(
+        spark,
+        str(tmp_path / "t"),
+        _mkdf(spark, rows[:1]),
+        partition_by=("seg",),
+    )
+    for r in rows[1:]:
+        t.append(_mkdf(spark, [r]))
+    before = {(r.id, r.seg, r.val) for r in t.snapshot().collect()}
+    files_a = [a for a in t._active_files() if a["partition"]["seg"] == "A"]
+    files_b = [a for a in t._active_files() if a["partition"]["seg"] == "B"]
+    assert len(files_a) >= 4 and len(files_b) >= 4
+
+    # optimizer B (concurrent, mid-run): holds a live claim on seg=B
+    t._publish(
+        "optimize_lease", [], [],
+        lease={
+            "holder": "B",
+            "partitions": [json.dumps([["seg", "B"]])],
+            "ttl_ms": 60_000,
+        },
+    )
+    # optimizer A: skips B's claim, compacts seg=A only
+    vA = t.optimize(lease_ttl_ms=60_000, holder="A")
+    assert vA is not None
+    a_after = [a for a in t._active_files() if a["partition"]["seg"] == "A"]
+    b_after = [a for a in t._active_files() if a["partition"]["seg"] == "B"]
+    assert len(a_after) == 1 and len(b_after) >= 4  # B untouched by A
+    # A's lease released by its own optimize commit; B's still live
+    assert {l["holder"] for l in t._active_leases()} == {"B"}
+    # optimizer B completes: compacts exactly its claim
+    vB = t.optimize(lease_ttl_ms=60_000, holder="B")
+    assert vB is not None and vB > vA
+    assert len([a for a in t._active_files()
+                if a["partition"]["seg"] == "B"]) == 1
+    assert t._active_leases() == []  # all released
+    assert {(r.id, r.seg, r.val) for r in t.snapshot().collect()} == before
+
+    # expiry: a crashed holder's stale claim stops blocking via TTL alone
+    for i in range(4, 8):
+        t.append(_mkdf(spark, [(i, "A", i)]))
+    t._publish(
+        "optimize_lease", [], [],
+        lease={
+            "holder": "crashed",
+            "partitions": [json.dumps([["seg", "A"]])],
+            "ttl_ms": 1,
+        },
+    )
+    _time.sleep(0.05)
+    assert t.optimize(lease_ttl_ms=60_000, holder="A2") is not None
+    assert len([a for a in t._active_files()
+                if a["partition"]["seg"] == "A"]) == 1
+
+
+def test_racing_optimizers_stress_no_lost_commits(spark, tmp_path):
+    """Two optimizers racing over 6 small-file partitions: the claim
+    protocol splits the work (earlier claim version wins overlaps), both
+    make progress, zero commits are lost, and the final snapshot equals
+    the initial rows exactly — the iceberg racing-suite pattern."""
+    import threading
+
+    segs = [f"s{i}" for i in range(6)]
+    rows = [(i * 10 + j, seg, j) for i, seg in enumerate(segs) for j in range(3)]
+    t0 = TxTable.create(
+        spark,
+        str(tmp_path / "r"),
+        _mkdf(spark, rows[:1]),
+        partition_by=("seg",),
+    )
+    for r in rows[1:]:
+        t0.append(_mkdf(spark, [r]))
+    before = {(r.id, r.seg, r.val) for r in t0.snapshot().collect()}
+    results: dict[str, int | None] = {}
+
+    def run(name: str) -> None:
+        t = TxTable(spark, str(tmp_path / "r"))
+        results[name] = t.optimize(lease_ttl_ms=60_000, holder=name)
+
+    th = [threading.Thread(target=run, args=(n,)) for n in ("opt1", "opt2")]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    t = TxTable(spark, str(tmp_path / "r"))
+    # no partition was left half-done or double-compacted wrongly: every
+    # partition collapsed to one file and rows are intact
+    got = {(r.id, r.seg, r.val) for r in t.snapshot().collect()}
+    assert got == before
+    by_seg: dict[str, int] = {}
+    for a in t._active_files():
+        by_seg[a["partition"]["seg"]] = by_seg.get(a["partition"]["seg"], 0) + 1
+    assert all(v == 1 for v in by_seg.values()), by_seg
+    # both optimizers either compacted something or cleanly ceded ALL
+    # their partitions to the other's earlier claim — never an abandon
+    # that left work undone
+    assert any(v is not None for v in results.values()), results
+    assert t._active_leases() == []
