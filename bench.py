@@ -230,6 +230,11 @@ EXTENDED = [
     "iceberg_puffin_ndv_stats",
     "iceberg_ndv_informed_join",
     "txlog_optimize_lease_split",
+    "bloom_reduce_join",
+    "ks_test_two_sample",
+    "psi_price_drift",
+    "ts_stl_weekly",
+    "event_audience_overlap",
 ]
 
 # Apply-only rungs measure STEADY-STATE cost: their fit-once index builds

@@ -269,3 +269,129 @@ def kmv_sketches(
             F.size(F.array_sort(F.collect_set(hash_col))), F.lit(k)
         ).alias("n_seen"),
     )
+
+
+# --- bloom filter (membership pushdown for join reduction) ------------------
+
+
+def bloom_build(df: DataFrame, col: str, m_bits: int = 1 << 20, k: int = 5):
+    """Build a BLOOM FILTER over ``df[col]`` — constant memory regardless
+    of NDV, the membership structure engines push into join probes when
+    the key set outgrows an IN-filter (the NDV-semi-join's complement:
+    that one broadcasts exact distinct keys, this one broadcasts m/8
+    bytes whatever the cardinality).
+
+    Split of labor: hashing runs JVM-SIDE as two ``xxhash64`` Catalyst
+    expressions (seeds 0x5ee0 / 0xb100), so Python never sees a raw
+    value; each partition then ORs its k double-hashed positions
+    (``(h1 + i·h2) mod m``, Kirsch-Mitzenmacher) into a numpy bitmap and
+    emits ONE m/8-byte row — the driver ORs the partials (bounded:
+    partitions × m/8 bytes). Returns (bitmap bytes, m_bits, k).
+
+    100 TB: one linear scan, one bitmap per partition over the wire; the
+    filter itself broadcasts to every probe task afterwards."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    hashed = df.select(
+        F.xxhash64(F.col(col), F.lit(0x5EE0)).alias("h1"),
+        F.xxhash64(F.col(col), F.lit(0xB100)).alias("h2"),
+    )
+
+    def partial(batches):
+        bits = np.zeros(m_bits // 8, dtype=np.uint8)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            h1 = pdf["h1"].values.astype(np.uint64)
+            h2 = pdf["h2"].values.astype(np.uint64)
+            for i in range(k):
+                pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+                np.bitwise_or.at(
+                    bits, (pos >> np.uint64(3)).astype(np.int64),
+                    (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)),
+                )
+        if seen:
+            yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    parts = hashed.mapInPandas(partial, schema="bits binary").collect()
+    import numpy as _np
+
+    merged = _np.zeros(m_bits // 8, dtype=_np.uint8)
+    for r in parts:
+        merged |= _np.frombuffer(r["bits"], dtype=_np.uint8)
+    return merged.tobytes(), m_bits, k
+
+
+def bloom_might_contain(
+    df: DataFrame, col: str, bloom: tuple, keep_col: str | None = None
+) -> DataFrame:
+    """Filter ``df`` to rows whose ``col`` MIGHT be in the bloom filter
+    (no false negatives — an inner/semi join downstream is unaffected;
+    false positives just ride through to the join). Same JVM-side
+    xxhash64 pair as ``bloom_build``; the Python boundary is one
+    Arrow-batched numpy gather over the broadcast bitmap."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    bits_bytes, m_bits, k = bloom
+    sc = df.sparkSession.sparkContext
+    bits_b = sc.broadcast(np.frombuffer(bits_bytes, dtype=np.uint8))
+
+    def probe(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        bits = bits_b.value
+        a = h1.values.astype(np.uint64)
+        b = h2.values.astype(np.uint64)
+        ok = np.ones(len(a), dtype=bool)
+        for i in range(k):
+            pos = (a + np.uint64(i) * b) % np.uint64(m_bits)
+            byte = bits[(pos >> np.uint64(3)).astype(np.int64)]
+            ok &= (byte >> (pos & np.uint64(7)).astype(np.uint8)) & 1 > 0
+        return pd.Series(ok)
+
+    probe.__annotations__ = {
+        "h1": pd.Series, "h2": pd.Series, "return": pd.Series
+    }
+    mc = pandas_udf(probe, "boolean")
+    out = df.withColumn(
+        "__bloom_ok",
+        mc(
+            F.xxhash64(F.col(col), F.lit(0x5EE0)),
+            F.xxhash64(F.col(col), F.lit(0xB100)),
+        ),
+    )
+    if keep_col:
+        return out.withColumnRenamed("__bloom_ok", keep_col)
+    return out.filter(F.col("__bloom_ok")).drop("__bloom_ok")
+
+
+def bloom_semi_reduce_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "inner",
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """BLOOM-REDUCED JOIN: build a bloom over the dim's keys, drop fact
+    rows that cannot match BEFORE the join shuffle, then join. The
+    big-corpus complement of ``iceberg_interop.ndv_semi_reduce_join`` —
+    exact IN-filters stop scaling when the dim's distinct-key set
+    outgrows a broadcast, a bloom is m/8 bytes at ANY cardinality and
+    trades that for a bounded false-positive ride-through (≈ (1 −
+    e^{−kn/m})^k; FPs are discarded by the join itself, so inner/semi
+    results are EXACTLY the plain join's)."""
+    if how not in ("inner", "left_semi", "semi"):
+        raise ValueError(
+            "bloom reduction only preserves semantics for inner/semi joins"
+        )
+    bloom = bloom_build(dim.select(key), key, m_bits=m_bits, k=k)
+    reduced = bloom_might_contain(fact, key, bloom)
+    if how in ("left_semi", "semi"):
+        return reduced.join(dim.select(key).distinct(), key, "left_semi")
+    return reduced.join(dim, key, how)

@@ -14327,3 +14327,388 @@ def txlog_optimize_lease_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
     )
+
+
+@query(
+    "bloom_reduce_join",
+    oracle="""
+    SELECT p_type, count(*) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) AS total
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size <= 5
+    GROUP BY p_type
+    ORDER BY p_type
+    """,
+)
+def bloom_reduce_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-REDUCED JOIN — the big-NDV complement of
+    [[iceberg_ndv_informed_join]]'s exact IN-filter: a bloom filter over
+    the (filtered) dim keys drops fact rows that cannot match BEFORE the
+    join shuffle. Hashing runs JVM-side (two xxhash64 expressions); the
+    Python boundary is one Arrow-batched numpy bitmap gather; the filter
+    is m/8 bytes at ANY dim cardinality. No false negatives by
+    construction and false positives are discarded by the join itself,
+    so the aggregate hash-matches the plain SQL join exactly —
+    FP-tolerance is part of the contract, not a tolerance in the gate.
+    FPR bound + undersized-filter behavior gated in
+    tests/test_aggregates_windows.py.
+
+    100 TB: this is runtime-filter/bloom pushdown — the dominant cost of
+    a selective fact-dim join is shuffling fact rows that match nothing,
+    and the bloom removes them for constant broadcast bytes."""
+    from projectdatalake_spark.operators.aggregates import (
+        bloom_semi_reduce_join,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"),
+        F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 5).select(
+        "p_partkey", "p_type"
+    )
+    joined = bloom_semi_reduce_join(li, p, "p_partkey")
+    return (
+        joined.groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("l_extendedprice")).alias("total"),
+        )
+        .orderBy("p_type")
+    )
+
+
+@query(
+    "ks_test_two_sample",
+    oracle="""
+    WITH s AS (
+      SELECT floor(o_totalprice / 100) AS vb,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS i1,
+             CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS i2
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    per_bin AS (
+      SELECT vb, sum(i1) AS a, sum(i2) AS b FROM s GROUP BY vb
+    ),
+    tot AS (SELECT sum(a) AS n1, sum(b) AS n2 FROM per_bin),
+    ecdf AS (
+      SELECT vb,
+             sum(a) OVER (ORDER BY vb) AS c1,
+             sum(b) OVER (ORDER BY vb) AS c2
+      FROM per_bin
+    )
+    SELECT CAST(t.n1 AS BIGINT) AS n1, CAST(t.n2 AS BIGINT) AS n2,
+           round(max(abs(CAST(e.c1 AS DOUBLE) / t.n1
+                         - CAST(e.c2 AS DOUBLE) / t.n2)), 6) AS d_stat,
+           round(1.358 * sqrt((t.n1 + t.n2) / (CAST(t.n1 AS DOUBLE) * t.n2)),
+                 6) AS crit_05,
+           max(abs(CAST(e.c1 AS DOUBLE) / t.n1 - CAST(e.c2 AS DOUBLE) / t.n2))
+             > 1.358 * sqrt((t.n1 + t.n2) / (CAST(t.n1 AS DOUBLE) * t.n2))
+             AS reject_05
+    FROM ecdf e, tot t
+    GROUP BY t.n1, t.n2
+    """,
+)
+def ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-SAMPLE KOLMOGOROV-SMIRNOV drift test — the distribution-shift
+    monitor every data pipeline wants between yesterday's and today's
+    feed (here: urgent vs low-priority order totals). D = max |ECDF₁ −
+    ECDF₂| over a BINNED value grid (floor(v/100): the grid caps the
+    global-window row count at #bins regardless of data size — the
+    scale-correct ECDF layout; exact-value KS just means a finer grid),
+    with the asymptotic 5%% critical value 1.358·√((n1+n2)/(n1·n2)).
+    Cumulative counts are integers, so the only floats are the final
+    divisions — same expression order both engines, hash-exact at 6dp.
+
+    100 TB: one partial-aggregated shuffle to bin grain, then a window
+    over #bins rows; the binned ECDF never materializes raw values."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    s = o.select(
+        F.floor(F.col("o_totalprice").cast("double") / 100).alias("vb"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("i1"),
+        F.when(F.col("o_orderpriority") == "5-LOW", 1).otherwise(0).alias("i2"),
+    )
+    per_bin = s.groupBy("vb").agg(
+        F.sum("i1").alias("a"), F.sum("i2").alias("b")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("vb").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = per_bin.select(
+        "vb",
+        F.sum("a").over(w).alias("c1"),
+        F.sum("b").over(w).alias("c2"),
+    )
+    tot = per_bin.agg(
+        F.sum("a").alias("n1"), F.sum("b").alias("n2")
+    )
+    j = ecdf.crossJoin(F.broadcast(tot))
+    d = F.abs(
+        F.col("c1").cast("double") / F.col("n1")
+        - F.col("c2").cast("double") / F.col("n2")
+    )
+    crit = F.lit(1.358) * F.sqrt(
+        (F.col("n1") + F.col("n2"))
+        / (F.col("n1").cast("double") * F.col("n2"))
+    )
+    return j.groupBy("n1", "n2").agg(
+        F.round(F.max(d), 6).alias("d_stat"),
+        F.round(F.max(crit), 6).alias("crit_05"),
+        (F.max(d) > F.max(crit)).alias("reject_05"),
+    ).select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        "d_stat", "crit_05", "reject_05",
+    )
+
+
+@query(
+    "psi_price_drift",
+    oracle="""
+    WITH s AS (
+      SELECT floor(o_totalprice / 25000) AS bin,
+             CASE WHEN CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1998-01-01'
+                  THEN 1 ELSE 0 END AS i1,
+             CASE WHEN CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1998-01-01'
+                  THEN 1 ELSE 0 END AS i2
+      FROM orders
+    ),
+    per_bin AS (
+      SELECT bin, sum(i1) AS a, sum(i2) AS b FROM s GROUP BY bin
+    ),
+    tot AS (SELECT sum(a) AS n1, sum(b) AS n2 FROM per_bin),
+    terms AS (
+      SELECT p.bin,
+             (CAST(p.b AS DOUBLE) / t.n2 - CAST(p.a AS DOUBLE) / t.n1)
+             * ln((CAST(p.b AS DOUBLE) / t.n2)
+                  / (CAST(p.a AS DOUBLE) / t.n1)) AS term,
+             t.n1 AS n1, t.n2 AS n2
+      FROM per_bin p, tot t
+      WHERE p.a > 0 AND p.b > 0
+    )
+    SELECT CAST(max(n1) AS BIGINT) AS n_before,
+           CAST(max(n2) AS BIGINT) AS n_after,
+           CAST(count(*) AS INT) AS bins_used,
+           round(list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(list_sort(list({'b': bin, 't': term})),
+                                  s -> s.t)),
+               (acc, x) -> acc + x), 4) AS psi
+    FROM terms
+    """,
+)
+def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POPULATION STABILITY INDEX between two order periods — the other
+    standard drift score (credit-risk lineage): fixed-width price bins,
+    PSI = Σ (p₂−p₁)·ln(p₂/p₁) over bins populated in BOTH periods
+    (a bin empty on either side is reported via bins_used, not folded
+    with an arbitrary epsilon). Float discipline: each bin's term is the
+    same expression on both engines and the cross-bin sum is folded in
+    SORTED bin order (array_sort + aggregate / list_sort + list_reduce
+    with a 0.0 init — the [[text_char_entropy]] pattern), so the double
+    sum is order-pinned; 4dp round absorbs libm's last-ulp ln drift.
+
+    100 TB: two partial-aggregated shuffles (bin grain, then one fold
+    over #bins terms). Bins are fixed-width so the grid never depends on
+    data order — the production form derives cut points from the
+    BEFORE period only, which fixed-width satisfies trivially."""
+    o = _t(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    s = o.select(
+        F.floor(F.col("o_totalprice").cast("double") / 25000).alias("bin"),
+        F.when(F.col("o_orderdate") < cut, 1).otherwise(0).alias("i1"),
+        F.when(F.col("o_orderdate") >= cut, 1).otherwise(0).alias("i2"),
+    )
+    per_bin = s.groupBy("bin").agg(
+        F.sum("i1").alias("a"), F.sum("i2").alias("b")
+    )
+    tot = per_bin.agg(F.sum("a").alias("n1"), F.sum("b").alias("n2"))
+    p1 = F.col("a").cast("double") / F.col("n1")
+    p2 = F.col("b").cast("double") / F.col("n2")
+    terms = (
+        per_bin.crossJoin(F.broadcast(tot))
+        .filter((F.col("a") > 0) & (F.col("b") > 0))
+        .select(
+            "bin", "n1", "n2",
+            ((p2 - p1) * F.log(p2 / p1)).alias("term"),
+        )
+    )
+    return terms.groupBy().agg(
+        F.max("n1").cast("long").alias("n_before"),
+        F.max("n2").cast("long").alias("n_after"),
+        F.count(F.lit(1)).cast("int").alias("bins_used"),
+        F.round(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("bin").alias("b"),
+                                            F.col("term").alias("t")))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["t"],
+            ),
+            4,
+        ).alias("psi"),
+    )
+
+
+@query(
+    "ts_stl_weekly",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS d,
+             sum(CAST(o_totalprice AS DECIMAL(27,2))) AS rev_dec
+      FROM orders GROUP BY 1
+    ),
+    tr AS (
+      SELECT d, CAST(rev_dec AS DOUBLE) AS rev,
+             CAST(sum(rev_dec) OVER w AS DOUBLE) / 7.0 AS trend,
+             count(*) OVER w AS cnt,
+             dayofweek(d) + 1 AS dow
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+      SELECT d, rev, trend, dow, rev - trend AS detr FROM tr WHERE cnt = 7
+    ),
+    seas AS (
+      SELECT dow,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(list_sort(list({'d': d, 'x': detr})),
+                                s -> s.x)),
+                 (acc, x) -> acc + x) / count(*) AS seasonal
+      FROM det GROUP BY dow
+    )
+    SELECT det.d AS d, round(rev, 2) AS revenue, round(trend, 4) AS trend,
+           round(seasonal, 4) AS seasonal,
+           round(detr - seasonal, 4) AS resid
+    FROM det JOIN seas USING (dow)
+    ORDER BY d
+    """,
+)
+def ts_stl_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-STYLE WEEKLY DECOMPOSITION of daily order revenue into trend
+    + weekday seasonal + residual — the classic-decomposition workhorse
+    behind anomaly baselines and forecast features ([[ts_holt_forecast]]
+    is the forecasting sibling). Trend: centered 7-row moving average
+    with the SUM carried in DECIMAL through the window (order-exact),
+    cast to double only for the one division; edge rows without a full
+    frame are excluded, not padded. Seasonal: per-weekday mean of the
+    detrended series, folded in SORTED date order on both engines (the
+    [[text_char_entropy]] order-pin pattern). Frames are over OBSERVED
+    days — gapfill first (win_gapfill_locf / spine_calendar) when the
+    calendar must be dense.
+
+    100 TB: everything happens on the DAILY grain after one partial
+    -aggregated shuffle; the global window is #days rows and the
+    seasonal fold is 7 groups."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.to_date("o_orderdate").alias("d")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(27,2)")).alias("rev_dec")
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d",
+        F.col("rev_dec").cast("double").alias("rev"),
+        (F.sum("rev_dec").over(w).cast("double") / 7.0).alias("trend"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+        F.dayofweek("d").alias("dow"),
+    )
+    det = tr.filter(F.col("cnt") == 7).select(
+        "d", "rev", "trend", "dow", (F.col("rev") - F.col("trend")).alias("detr")
+    )
+    seas = det.groupBy("dow").agg(
+        (
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("d"), F.col("detr").alias("x")))
+                ),
+                F.lit(0.0),
+                lambda acc, s: acc + s["x"],
+            )
+            / F.count(F.lit(1))
+        ).alias("seasonal")
+    )
+    return (
+        det.join(F.broadcast(seas), "dow")
+        .select(
+            "d",
+            F.round("rev", 2).alias("revenue"),
+            F.round("trend", 4).alias("trend"),
+            F.round("seasonal", 4).alias("seasonal"),
+            F.round(F.col("detr") - F.col("seasonal"), 4).alias("resid"),
+        )
+        .orderBy("d")
+    )
+
+
+@query(
+    "event_audience_overlap",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ),
+    sizes AS (
+      SELECT event_type, count(*) AS sz FROM du GROUP BY event_type
+    ),
+    shared AS (
+      SELECT a.event_type AS et1, b.event_type AS et2, count(*) AS both_n
+      FROM du a JOIN du b ON a.user_id = b.user_id
+      WHERE a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT et1, et2, CAST(s1.sz AS BIGINT) AS n1, CAST(s2.sz AS BIGINT) AS n2,
+           CAST(both_n AS BIGINT) AS shared,
+           round(CAST(both_n AS DOUBLE) / (s1.sz + s2.sz - both_n), 4)
+             AS jaccard
+    FROM shared
+    JOIN sizes s1 ON s1.event_type = et1
+    JOIN sizes s2 ON s2.event_type = et2
+    ORDER BY et1, et2
+    """,
+)
+def event_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIENCE OVERLAP between event types — pairwise Jaccard of user
+    sets, the cross-feature cannibalization / funnel-adjacency readout.
+    Scale-correct layout: the only join is an INVERTED-INDEX self-join
+    on user_id over the deduplicated (event_type, user) grain — types
+    sharing no user never meet, and nothing is ever all-pairs on raw
+    events. Set sizes broadcast onto the pair counts.
+
+    100 TB: raw events reduce to the distinct grain in one partial
+    -aggregated shuffle; the self-join fan-out is (types-per-user
+    choose 2), bounded by the type vocabulary, not event volume."""
+    e = _t(spark, sf_dir, "events")
+    du = e.select("event_type", "user_id").distinct()
+    sizes = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("sz"))
+    a = du.toDF("et1", "user_id")
+    b = du.toDF("et2", "user_id")
+    shared = (
+        a.join(b, "user_id")
+        .filter(F.col("et1") < F.col("et2"))
+        .groupBy("et1", "et2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    s1 = sizes.toDF("et1", "n1")
+    s2 = sizes.toDF("et2", "n2")
+    jac = F.col("shared").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("shared")
+    )
+    return (
+        shared.join(F.broadcast(s1), "et1")
+        .join(F.broadcast(s2), "et2")
+        .select(
+            "et1", "et2",
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            F.col("shared").cast("long").alias("shared"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .orderBy("et1", "et2")
+    )

@@ -273,3 +273,45 @@ def test_hll_sketch_union_and_error(spark):
     )
     assert unioned == whole
     assert abs(whole - 200_000) / 200_000 <= 0.02, whole
+
+
+def test_bloom_filter_no_false_negatives_and_fpr_bound(spark):
+    """Bloom membership contract: every true key passes (no false
+    negatives — join semantics depend on it); the false-positive rate of
+    an UNDERSIZED filter stays within ~3x the analytic (1 - e^{-kn/m})^k
+    bound; and the bloom-reduced inner join equals the plain join row
+    for row."""
+    import math
+
+    from projectdatalake_spark.operators import aggregates as A
+
+    dim = spark.range(0, 2000).select((F.col("id") * 7).alias("k"))
+    fact = spark.range(0, 40000).select(
+        (F.col("id") % 30000).alias("k"), F.col("id").alias("v")
+    )
+    # well-sized filter: reduction is near-exact
+    bloom = A.bloom_build(dim, "k", m_bits=1 << 20, k=5)
+    red = A.bloom_might_contain(fact, "k", bloom)
+    true_n = fact.join(dim.distinct(), "k", "left_semi").count()
+    assert red.count() >= true_n  # no false negatives, structurally
+    # reduced inner join == plain inner join, exactly
+    got = sorted(map(tuple, A.bloom_semi_reduce_join(fact, dim, "k").collect()))
+    want = sorted(map(tuple, fact.join(dim, "k", "inner").collect()))
+    assert got == want
+    # undersized filter: measured FPR within 3x of theory
+    m, kk, n = 1 << 14, 3, 2000
+    small = A.bloom_build(dim, "k", m_bits=m, k=kk)
+    red2 = A.bloom_might_contain(fact, "k", small)
+    n_fact = fact.count()
+    fp = red2.count() - true_n
+    fpr = fp / (n_fact - true_n)
+    theory = (1 - math.exp(-kk * n / m)) ** kk
+    assert fpr <= 3 * theory + 0.01, (fpr, theory)
+    # still zero false negatives even undersized
+    missed = (
+        fact.join(dim.distinct(), "k", "left_semi")
+        .exceptAll(A.bloom_might_contain(fact, "k", small)
+                   .join(dim.distinct(), "k", "left_semi"))
+        .count()
+    )
+    assert missed == 0
