@@ -235,6 +235,7 @@ EXTENDED = [
     "psi_price_drift",
     "ts_stl_weekly",
     "event_audience_overlap",
+    "mm_video_framehash_dedup",
 ]
 
 # Apply-only rungs measure STEADY-STATE cost: their fit-once index builds

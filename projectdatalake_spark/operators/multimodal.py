@@ -820,6 +820,18 @@ def audio_constellation_dup_pairs(
 
     100 TB: two shuffles on hash/pair — never all-pairs, never audio
     bytes; the vote histogram is a count over (pair, offset) grain."""
+    return offset_vote_pairs(prints, min_votes)
+
+
+def offset_vote_pairs(prints: DataFrame, min_votes: int) -> DataFrame:
+    """Generic TIME-OFFSET VOTING matcher over (doc_id, hash, t) prints —
+    the machinery both the audio constellation and the video frame-hash
+    rungs share: equality-join on hash (inverted index), vote for
+    ``t1 − t2`` per matching hash, keep each pair's winning offset when
+    its DISTINCT-hash votes clear ``min_votes`` (each (doc, hash) is
+    reduced to its first t before the join — repeats of one hash cannot
+    fake a concentration). Ties break toward the smallest |offset|,
+    then offset."""
     from pyspark.sql import Window
 
     firsts = prints.groupBy("doc_id", "hash").agg(F.min("t").alias("t"))
@@ -832,6 +844,138 @@ def audio_constellation_dup_pairs(
             "id1", "id2", (F.col("t1") - F.col("t2")).alias("offset")
         )
         .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("id1", "id2").orderBy(
+        F.col("votes").desc(), F.abs(F.col("offset")), F.col("offset")
+    )
+    return (
+        votes.withColumn("r", F.row_number().over(w))
+        .filter((F.col("r") == 1) & (F.col("votes") >= min_votes))
+        .select(
+            "id1", "id2",
+            F.col("offset").cast("int").alias("offset"),
+            F.col("votes").cast("int").alias("votes"),
+        )
+    )
+
+
+# --- video fingerprinting: the video rung of the dedup ladder --------------
+
+
+def encode_video_frames(frames: list[bytes]) -> bytes:
+    """Minimal deterministic frame-sequence container ("VSEQ"): magic +
+    u32 frame count + per-frame (u32 length + image bytes). A stand-in
+    for real video codecs (absent in this container — the decode seam is
+    the same shape either way: bytes → per-frame pixel arrays)."""
+    import struct
+
+    out = bytearray(b"VSEQ")
+    out += struct.pack("<I", len(frames))
+    for f in frames:
+        out += struct.pack("<I", len(f))
+        out += f
+    return bytes(out)
+
+
+def _iter_video_frames(buf: bytes):
+    import struct
+
+    if buf[:4] != b"VSEQ" or len(buf) < 8:
+        return
+    (n,) = struct.unpack_from("<I", buf, 4)
+    pos = 8
+    for _ in range(n):
+        if pos + 4 > len(buf):
+            return
+        (ln,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        if pos + ln > len(buf):
+            return
+        yield buf[pos : pos + ln]
+        pos += ln
+
+
+def video_frame_hashes(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-frame 64-bit dHash of a VSEQ video payload → (doc_id, hash,
+    t) prints for ``offset_vote_pairs`` — the VIDEO rung of the dedup
+    ladder (image rung: ``image_dhash``; audio rung:
+    ``audio_constellation``). dHash is resolution-invariant (area-exact
+    block means), so a re-rendered copy at a different resolution still
+    matches frame for frame; a clip CUT k frames into the original
+    matches at offset k via the voting join. Non-VSEQ payloads emit no
+    prints.
+
+    100 TB: one Arrow pass, 8 bytes per frame out; matching joins hash
+    prints, never video bytes."""
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, hashes, ts = [], [], []
+            for doc_id, buf in zip(pdf[id_col], pdf[payload_col]):
+                for t, frame in enumerate(_iter_video_frames(bytes(buf))):
+                    dec = _decode_pixels(frame)
+                    if dec is None:
+                        continue
+                    _w, _h, px = dec
+                    ids.append(int(doc_id))
+                    hashes.append(_dhash64(px))
+                    ts.append(t)
+            yield pd.DataFrame({"doc_id": ids, "hash": hashes, "t": ts})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, schema="doc_id long, hash long, t int"
+    )
+
+
+def video_dup_pairs(
+    prints: DataFrame, max_hamming: int = 3, min_votes: int = 8
+) -> DataFrame:
+    """Shift-robust video duplicate pairs: banded-Hamming frame-hash
+    matching + time-offset voting. Frame dHashes of a re-rendered copy
+    (other resolution / mild re-encode) differ by a few BITS, not zero,
+    so the join key is the 4×16-bit band split (pigeonhole: hamming ≤ 3
+    guarantees ≥ 1 exact band — EXACT recall at d ≤ max_hamming ≤ 3,
+    same guarantee as ``dhash_dup_pairs``); candidates then filter on
+    true Hamming and vote for ``t1 − t2``. Votes count DISTINCT left
+    hashes per (pair, offset) — a frame hash repeated across a static
+    scene contributes one vote, like the audio rung's first-occurrence
+    rule. A clip cut k frames in matches at offset k; a reversed clip
+    (same frame SET) scatters one vote per scene and stays under
+    ``min_votes``."""
+    from pyspark.sql import Window
+
+    if max_hamming > 3:
+        raise ValueError(
+            "4x16-band pigeonhole guarantees recall only for hamming <= 3"
+        )
+    firsts = prints.groupBy("doc_id", "hash").agg(F.min("t").alias("t"))
+    banded = None
+    for band in range(4):
+        bv = F.shiftrightunsigned(F.col("hash"), band * 16).bitwiseAND(
+            F.lit(0xFFFF)
+        )
+        piece = firsts.select(
+            "doc_id", "hash", "t",
+            F.lit(band).alias("band"), bv.alias("band_val"),
+        )
+        banded = piece if banded is None else banded.unionByName(piece)
+    a = banded.toDF("id1", "h1", "t1", "band", "band_val")
+    b = banded.toDF("id2", "h2", "t2", "band", "band_val")
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "h1", "h2", "t1", "t2")
+        .dropDuplicates(["id1", "id2", "h1", "h2", "t1", "t2"])
+    )
+    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    votes = (
+        cand.filter(ham <= max_hamming)
+        .groupBy("id1", "id2", (F.col("t1") - F.col("t2")).alias("offset"))
+        .agg(F.countDistinct("h1").alias("votes"))
     )
     w = Window.partitionBy("id1", "id2").orderBy(
         F.col("votes").desc(), F.abs(F.col("offset")), F.col("offset")

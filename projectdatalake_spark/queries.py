@@ -14712,3 +14712,47 @@ def event_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("et1", "et2")
     )
+
+
+@query("mm_video_framehash_dedup")  # perceptual hashes not SQL-expressible → rows-only
+def mm_video_framehash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHIFT- AND RESOLUTION-ROBUST video dedup — the VIDEO rung
+    completing the multimodal ladder (image: [[mm_image_dhash_dedup]],
+    audio: [[mm_audio_constellation_dedup]]): per-frame 64-bit dHashes
+    (area-exact block means — resolution-invariant) matched by
+    banded-Hamming join (4×16 pigeonhole, EXACT at d≤3) with
+    time-offset voting counting DISTINCT frame hashes. 30 clip groups ×
+    3 variants (base, cut 4 frames in, re-rendered at another
+    resolution): exactly the within-group pairs must surface at their
+    known offsets (4 / 0 / −4), zero cross-group; the reversed-clip
+    negative (same frame SET, scattered votes) is gated in
+    tests/test_streaming_multimodal.py. Rows-only (driver).
+
+    100 TB: one Arrow pass emits 8 bytes per frame; matching joins hash
+    prints (banded), never video bytes — the same two-shuffle shape as
+    the audio rung."""
+    from projectdatalake_spark.operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").limit(90)
+
+    def make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g = did % 30
+                variant = (did // 30) % 3  # NOT did%3 (gcd trap, see audio)
+                skip = 4 if variant == 1 else 0
+                res = 48 if variant == 2 else 32
+                frames = [
+                    MM.encode_bmp_gradient(res, res, 1000 * g + i // 2)
+                    for i in range(skip, 20)
+                ]
+                rows.append((did, bytearray(MM.encode_video_frames(frames))))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(make, schema="doc_id long, payload binary")
+    prints = MM.video_frame_hashes(payloads)
+    return MM.video_dup_pairs(prints, min_votes=6).orderBy("id1", "id2")

@@ -314,3 +314,52 @@ def test_audio_constellation_shift_robust_and_order_sensitive(spark):
     marks = {r.doc_id: len(r.landmarks) for r in fps.collect()}
     assert marks[1] == 0 and marks[5] == 0
     prints.unpersist()
+
+
+def test_video_framehash_shift_and_resolution_robust(spark):
+    """The video rung's contracts: (a) a clip CUT 4 frames into the
+    original matches at exactly offset 4; (b) a re-render at a DIFFERENT
+    resolution matches at offset 0 (dHash block means are area-exact, so
+    only a few bits flip — recovered by the banded-Hamming join, which
+    is pigeonhole-EXACT at d<=3); (c) a reversed clip (same frame SET —
+    a set-based matcher would false-positive) scatters one vote per
+    scene and never pairs; (d) a different clip and a non-video payload
+    produce nothing."""
+    from projectdatalake_spark.operators import multimodal as MM3
+
+    def clip(base, n_frames=30, res=40, skip=0, reverse=False):
+        frames = [
+            MM3.encode_bmp_gradient(res, res, base + i // 2)
+            for i in range(skip, n_frames)
+        ]
+        if reverse:
+            frames = list(reversed(frames))
+        return MM3.encode_video_frames(frames)
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(clip(100))),
+            (2, bytearray(clip(100, skip=4))),
+            (3, bytearray(clip(500))),
+            (4, bytearray(clip(100, res=64))),
+            (5, bytearray(clip(100, reverse=True))),
+            (6, bytearray(b"not a video")),
+        ],
+        "doc_id long, payload binary",
+    )
+    prints = MM3.video_frame_hashes(df).persist()
+    assert prints.filter("doc_id = 6").count() == 0
+    got = {
+        (r.id1, r.id2): (r.offset, r.votes)
+        for r in MM3.video_dup_pairs(prints, min_votes=8).collect()
+    }
+    assert got[(1, 2)][0] == 4 and got[(1, 2)][1] >= 10
+    assert got[(1, 4)][0] == 0
+    assert got[(2, 4)][0] == -4
+    assert not any(3 in p or 5 in p for p in got)
+    # the guarantee boundary is explicit
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        MM3.video_dup_pairs(prints, max_hamming=4)
+    prints.unpersist()
