@@ -236,6 +236,8 @@ EXTENDED = [
     "ts_stl_weekly",
     "event_audience_overlap",
     "mm_video_framehash_dedup",
+    "geo_radius_pairs",
+    "geo_knn_join",
 ]
 
 # Apply-only rungs measure STEADY-STATE cost: their fit-once index builds

@@ -14756,3 +14756,103 @@ def mm_video_framehash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = docs.mapInPandas(make, schema="doc_id long, payload binary")
     prints = MM.video_frame_hashes(payloads)
     return MM.video_dup_pairs(prints, min_votes=6).orderBy("id1", "id2")
+
+
+@query(
+    "geo_radius_pairs",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             CAST(c_custkey * 37 % 1000 AS DOUBLE) / 10.0 AS x,
+             CAST(c_custkey * 91 % 1000 AS DOUBLE) / 10.0 AS y
+      FROM customer
+    )
+    SELECT a.id AS id1, b.id AS id2,
+           round(sqrt((a.x - b.x) * (a.x - b.x)
+                      + (a.y - b.y) * (a.y - b.y)), 6) AS dist
+    FROM pts a JOIN pts b ON a.id < b.id
+    WHERE sqrt((a.x - b.x) * (a.x - b.x)
+               + (a.y - b.y) * (a.y - b.y)) <= 4.0
+    ORDER BY id1, id2
+    """,
+)
+def geo_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPATIAL RADIUS SELF-JOIN via grid bucketing (operators/spatial.py
+    — the GeoSpark/Sedona layout): snap to cells of side = radius,
+    explode one side to its 3×3 neighborhood, equi-join on cell id,
+    residual distance filter. Exact recall by the covering argument
+    (neighbors within r live in adjacent cells when cell ≥ r) and each
+    pair meets exactly once — which is precisely what the oracle proves:
+    DuckDB BRUTE-FORCES the full O(n²) pair space and the grid join must
+    hash-match it row for row. Points derive deterministically from
+    customer keys (integer modular arithmetic — exact on both engines).
+
+    100 TB: the only shuffle is the cell-id equi-join; per-cell work is
+    density-bounded, never O(n²) in the dataset. The oracle's cross
+    join is the scale anti-pattern this operator exists to avoid."""
+    from projectdatalake_spark.operators.spatial import grid_radius_join
+
+    pts = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 37 % 1000).cast("double") / 10.0).alias("x"),
+        ((F.col("c_custkey") * 91 % 1000).cast("double") / 10.0).alias("y"),
+    )
+    out = grid_radius_join(pts, radius=4.0)
+    return out.select(
+        "id1", "id2", F.round("dist", 6).alias("dist")
+    ).orderBy("id1", "id2")
+
+
+@query(
+    "geo_knn_join",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             CAST(c_custkey * 37 % 1000 AS DOUBLE) / 10.0 AS x,
+             CAST(c_custkey * 91 % 1000 AS DOUBLE) / 10.0 AS y
+      FROM customer
+    ),
+    q AS (SELECT * FROM pts WHERE id % 100 = 0),
+    scored AS (
+      SELECT q.id AS id1, p.id AS id2,
+             sqrt((q.x - p.x) * (q.x - p.x)
+                  + (q.y - p.y) * (q.y - p.y)) AS dist,
+             row_number() OVER (
+               PARTITION BY q.id
+               ORDER BY sqrt((q.x - p.x) * (q.x - p.x)
+                             + (q.y - p.y) * (q.y - p.y)) ASC, p.id
+             ) AS rank
+      FROM q JOIN pts p ON p.id <> q.id
+    )
+    SELECT id1, id2, round(dist, 6) AS dist, CAST(rank AS INT) AS rank
+    FROM scored WHERE rank <= 5
+    ORDER BY id1, rank
+    """,
+)
+def geo_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPATIAL kNN JOIN by EXPANDING GRID RINGS ([[geo_radius_pairs]] is
+    the radius sibling): candidates come from the query's (2R+1)² cell
+    neighborhood, and a neighbor only COUNTS while dist ≤ R·cell — the
+    covered-radius guarantee that nothing in ring R+1 could still beat
+    it; unresolved queries re-run at doubled R (log-bounded attempts).
+    The oracle brute-forces true kNN over all points per query with the
+    same (dist, id) tie-break, so the ring search must hash-match exact
+    kNN row for row — the guarantee, proven, not asserted.
+
+    100 TB: each attempt is one cell-grain equi-join; queries resolve
+    at small R wherever density suffices and only stragglers pay bigger
+    neighborhoods. The oracle's per-query full scan is the brute
+    baseline this replaces."""
+    from projectdatalake_spark.operators.spatial import grid_knn_join
+
+    pts = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 37 % 1000).cast("double") / 10.0).alias("x"),
+        ((F.col("c_custkey") * 91 % 1000).cast("double") / 10.0).alias("y"),
+    )
+    q = pts.filter(F.col("id") % 100 == 0)
+    out = grid_knn_join(pts, q, k=5, cell=2.0)
+    return out.select(
+        "id1", "id2", F.round("dist", 6).alias("dist"),
+        F.col("rank").cast("int").alias("rank"),
+    ).orderBy("id1", "rank")

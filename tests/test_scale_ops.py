@@ -149,3 +149,71 @@ def test_merge_upsert_idempotent(spark):
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect())) == [
         (1, "a"), (2, "B"), (3, "C"),
     ]
+
+
+def test_grid_radius_join_equals_brute_force(spark):
+    """The covering guarantee, proven against brute force on an
+    adversarial layout: clustered points (cell-boundary straddlers),
+    exact-duplicate points (dist 0), and isolated ones. Every pair
+    within r found exactly once; nothing beyond r."""
+    import itertools
+    import math
+
+    from projectdatalake_spark.operators.spatial import grid_radius_join
+
+    pts = [
+        # cluster straddling a cell boundary at x=1.0 (r=1.0 cells)
+        (1, 0.95, 0.5), (2, 1.05, 0.5), (3, 0.95, 1.45),
+        # exact duplicates
+        (4, 7.0, 7.0), (5, 7.0, 7.0),
+        # chain with spacing just under/over r
+        (6, 3.0, 0.0), (7, 3.99, 0.0), (8, 5.01, 0.0),
+        # isolated
+        (9, 20.0, 20.0),
+    ]
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    got = {
+        (r.id1, r.id2): round(r.dist, 9)
+        for r in grid_radius_join(df, radius=1.0).collect()
+    }
+    want = {}
+    for (i1, x1, y1), (i2, x2, y2) in itertools.combinations(pts, 2):
+        d = math.sqrt((x1 - x2) ** 2 + (y1 - y2) ** 2)
+        if d <= 1.0:
+            want[(min(i1, i2), max(i1, i2))] = round(d, 9)
+    assert got == want and (4, 5) in got and got[(4, 5)] == 0.0
+
+
+def test_grid_knn_ring_expansion_matches_brute(spark):
+    """kNN by expanding rings == brute-force kNN even when the first
+    ring cannot prove k neighbors (a far-out query forces R to double);
+    ties break (dist, id) on both paths."""
+    import math
+
+    from projectdatalake_spark.operators.spatial import grid_knn_join
+
+    pts = [(i, float(i % 10), float(i // 10)) for i in range(100)]
+    pts.append((1000, 50.0, 50.0))  # isolated: rings must expand far
+    pts.append((1001, 52.0, 50.0))
+    pts.append((1002, 50.0, 52.5))
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    qs = df.filter("id in (0, 55, 1000)")
+    # query 1000's 3rd-nearest sits ~58 cells away: max_rings=8 cannot
+    # PROVE k neighbors, so it must surface with no rows (loudly absent,
+    # never silently wrong) ...
+    small = grid_knn_join(df, qs, k=3, cell=1.0, max_rings=8)
+    assert small.filter("id1 = 1000").count() == 0
+    assert small.filter("id1 in (0, 55)").count() == 6
+    # ... and enough rings resolves it exactly
+    got = {
+        (r.id1, r.rank): (r.id2, round(r.dist, 9))
+        for r in grid_knn_join(df, qs, k=3, cell=1.0, max_rings=64).collect()
+    }
+    for qid, qx, qy in [(0, 0.0, 0.0), (55, 5.0, 5.0), (1000, 50.0, 50.0)]:
+        cand = sorted(
+            (math.sqrt((qx - x) ** 2 + (qy - y) ** 2), i)
+            for i, x, y in pts
+            if i != qid
+        )
+        for rank, (d, i) in enumerate(cand[:3], start=1):
+            assert got[(qid, rank)] == (i, round(d, 9)), (qid, rank)
