@@ -238,6 +238,7 @@ EXTENDED = [
     "mm_video_framehash_dedup",
     "geo_radius_pairs",
     "geo_knn_join",
+    "txlog_ndv_informed_join",
 ]
 
 # Apply-only rungs measure STEADY-STATE cost: their fit-once index builds

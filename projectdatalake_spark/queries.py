@@ -14856,3 +14856,54 @@ def geo_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id1", "id2", F.round("dist", 6).alias("dist"),
         F.col("rank").cast("int").alias("rank"),
     ).orderBy("id1", "rank")
+
+
+@query(
+    "txlog_ndv_informed_join",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def txlog_ndv_informed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NDV-informed join consumed from a TXLOG table — proving the
+    stats consumer is FORMAT-AGNOSTIC: `TxTable.write_stats` commits the
+    same theta/KMV sketches (puffin.column_theta_sketch, base64 in a
+    metadata-only `set_stats` commit that folds through checkpoints),
+    `ndv()` reads them O(metadata) with STALENESS protection (any data
+    commit after the stats version returns None — consumers never
+    broadcast on outgrown numbers), and the duck-typed
+    `ndv_semi_reduce_join` injects the same broadcast left-semi fact
+    reduction as the Iceberg twin [[iceberg_ndv_informed_join]]. The
+    aggregate hash-matches the plain SQL join.
+
+    100 TB: one stats pass per maintenance window buys IN-filter
+    pushdown on every subsequent fact join, whatever the table format."""
+    import tempfile
+
+    from projectdatalake_spark.sources.iceberg_interop import (
+        ndv_semi_reduce_join,
+    )
+    from projectdatalake_spark.sources.txlog import TxTable
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    root = tempfile.mkdtemp(prefix="txndv_") + "/t"
+    t = TxTable.create(spark, root, c.repartition(4))
+    t.write_stats(["o_custkey"], k=65536)
+    joined = ndv_semi_reduce_join(o, t, "o_custkey")
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("c_mktsegment")
+    )

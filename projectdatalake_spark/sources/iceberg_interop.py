@@ -496,13 +496,37 @@ def _normalize_stored_delete_paths(spark, deletes_df, live_paths, pos_col="pos")
     encode) fall back to the decoded form ONLY when the verbatim form
     matches no live data file: ``live_paths`` is the snapshot's
     manifest-form data path list — metadata-scale, already driver-resident
-    at every call site, joined as a broadcast."""
+    at every call site, joined as a broadcast.
+
+    Two-phase for plan quality: the common case (every stored path
+    matches a live file verbatim — all tables this writer produced)
+    returns a PLAIN parquet-scan-shaped frame, so the downstream MOR
+    anti-join keeps its size-estimated BroadcastHashJoin; a
+    createDataFrame-joined frame would reset Catalyst's size stats and
+    degrade the anti-join to a double-shuffle SortMergeJoin (caught by
+    tools/plan_regress.py: Exchange 1 → 7). The legacy probe is one
+    bounded job over the DELETE files only — O(delete bytes), never the
+    data side."""
+    verbatim = F.regexp_replace(F.col("file_path"), "^file:", "")
+    verbatim_df = deletes_df.select(
+        verbatim.alias("file_path"), F.col(pos_col)
+    )
     live_df = spark.createDataFrame(
         [(p,) for p in sorted(set(live_paths))], "__lp string"
     )
-    verbatim = F.regexp_replace(F.col("file_path"), "^file:", "")
+    legacy = (
+        verbatim_df.join(
+            F.broadcast(live_df),
+            F.col("file_path") == F.col("__lp"),
+            "left_anti",
+        )
+        .limit(1)
+        .count()
+    )
+    if not legacy:
+        return verbatim_df
     return (
-        deletes_df.select(verbatim.alias("__fpv"), F.col(pos_col))
+        verbatim_df.select(F.col("file_path").alias("__fpv"), F.col(pos_col))
         .join(F.broadcast(live_df), F.col("__fpv") == F.col("__lp"), "left")
         .select(
             F.when(F.col("__lp").isNotNull(), F.col("__fpv"))
@@ -695,32 +719,17 @@ def _transform_py(transform: str, value, src_type: str):
 
 
 def _column_theta_sketch(df: DataFrame, col: str, k: int):
-    """Distributed KMV/theta sketch of one column: each partition hashes
-    its DISTINCT values (Arrow-batched; per-unique python hash — uniques,
-    not rows, bound the loop) and keeps its k+1 smallest; a global k+1
-    top-k merges the partials. Only k+1 longs reach the driver regardless
-    of table size."""
-    import pandas as pd
+    """Shared distributed KMV/theta sketch builder — see
+    puffin.column_theta_sketch (relocated there so txlog's stats commits
+    reuse it)."""
+    from projectdatalake_spark.sources.puffin import column_theta_sketch
 
-    from projectdatalake_spark.sources import puffin as _puffin
-
-    def partial(batches):
-        best: set[int] = set()
-        for pdf in batches:
-            for v in pdf[col].dropna().unique():
-                if hasattr(v, "item") and not isinstance(v, (str, bytes)):
-                    v = v.item()
-                best.add(_puffin.theta_hash(v))
-        yield pd.DataFrame({"h": sorted(best)[: k + 1]})
-
-    partials = df.select(col).mapInPandas(partial, schema="h long")
-    top = partials.distinct().orderBy("h").limit(k + 1).collect()
-    return _puffin.ThetaSketch(k, [r["h"] for r in top])
+    return column_theta_sketch(df, col, k)
 
 
 def ndv_semi_reduce_join(
     fact: DataFrame,
-    dim_table: "IcebergTable",
+    dim_table,  # duck-typed: anything exposing ndv(col) + snapshot()
     key: str,
     how: str = "inner",
     key_bytes: int = 16,

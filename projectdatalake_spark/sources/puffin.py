@@ -212,6 +212,30 @@ class ThetaSketch:
 # --- puffin container --------------------------------------------------------
 
 
+def column_theta_sketch(df, col: str, k: int) -> "ThetaSketch":
+    """Distributed KMV/theta sketch of one DataFrame column: each
+    partition hashes its DISTINCT values (Arrow-batched; per-unique
+    python hash — uniques, not rows, bound the loop) and keeps its k+1
+    smallest; a global k+1 top-k merges the partials. Only k+1 longs
+    reach the driver regardless of table size. Shared by the Iceberg
+    puffin writer and txlog's stats commits."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def partial(batches):
+        best: set[int] = set()
+        for pdf in batches:
+            for v in pdf[col].dropna().unique():
+                if hasattr(v, "item") and not isinstance(v, (str, bytes)):
+                    v = v.item()
+                best.add(theta_hash(v))
+        yield pd.DataFrame({"h": sorted(best)[: k + 1]})
+
+    partials = df.select(col).mapInPandas(partial, schema="h long")
+    top = partials.distinct().orderBy("h").limit(k + 1).collect()
+    return ThetaSketch(k, [r["h"] for r in top])
+
+
 def write_puffin(
     blobs: list[tuple[dict, bytes]], properties: dict | None = None
 ) -> tuple[bytes, int]:

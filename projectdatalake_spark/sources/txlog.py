@@ -438,6 +438,7 @@ class TxTable:
             "defaults": {},
             "schema": {},
             "leases": {},
+            "stats": {},
         }
 
     @staticmethod
@@ -497,6 +498,8 @@ class TxTable:
                 state.setdefault("leases", {})[lease["holder"]] = lease
             if "release_lease" in c:
                 state.setdefault("leases", {}).pop(c["release_lease"], None)
+            if op == "set_stats":
+                state.setdefault("stats", {}).update(c["stats"])
         return state
 
     def _state(self, version: int | None = None) -> dict:
@@ -522,6 +525,9 @@ class TxTable:
             state["schema"] = dict(state["schema"])
             state["leases"] = {
                 k: dict(v) for k, v in state.get("leases", {}).items()
+            }
+            state["stats"] = {
+                k: dict(v) for k, v in state.get("stats", {}).items()
             }
             commits = [
                 c for c in self.history() if c["version"] > ck["version"]
@@ -2306,6 +2312,66 @@ class TxTable:
         from projectdatalake_spark.functions.clustering import zorder_column
 
         return zorder_column(df, cols, bits)
+
+    def write_stats(self, columns: list[str], k: int = 4096) -> int:
+        """Column NDV statistics as a METADATA-ONLY commit (``set_stats``)
+        — txlog's twin of Iceberg's puffin stats files
+        (iceberg_interop.IcebergTable.write_stats), sharing the same
+        distributed theta/KMV sketch builder (puffin.column_theta_sketch)
+        and feeding the same duck-typed consumer
+        (``ndv_semi_reduce_join`` — any table exposing ``ndv()`` +
+        ``snapshot()`` qualifies). Each entry records the table VERSION
+        it describes; sketches serialize into the commit JSON (base64
+        DataSketches compact layout) so they fold through checkpoints
+        like every other metadata action and remain union-mergeable."""
+        import base64
+
+        from projectdatalake_spark.sources.puffin import column_theta_sketch
+
+        v = self.latest_version()
+        df = self.snapshot()
+        stats = {}
+        for col in columns:
+            if col not in df.columns:
+                raise ValueError(f"unknown column {col!r}")
+            sk = column_theta_sketch(df, col, k)
+            stats[col] = {
+                "ndv": int(round(sk.estimate())),
+                "sketch": base64.b64encode(sk.to_bytes()).decode("ascii"),
+                "version": v,
+            }
+        return self._publish("set_stats", [], [], stats=stats)
+
+    def ndv(self, column: str) -> int | None:
+        """NDV of ``column`` from the stats commit, or None when absent
+        OR STALE (any data-changing commit after the recorded version
+        invalidates it — a consumer must not broadcast on numbers the
+        table has outgrown; re-run write_stats after large ingests).
+        O(metadata)."""
+        ent = self._state().get("stats", {}).get(column)
+        if ent is None:
+            return None
+        data_changed = any(
+            (c.get("adds") or c.get("removes"))
+            and c["version"] > ent["version"]
+            for c in self.history()
+        )
+        if data_changed:
+            return None
+        return int(ent["ndv"])
+
+    def read_stats_sketch(self, column: str):
+        """Deserialize the column's theta sketch (mergeable path); None
+        when absent. Staleness is the CALLER's concern here — a stale
+        sketch still unions correctly with newer partials."""
+        import base64
+
+        from projectdatalake_spark.sources.puffin import ThetaSketch
+
+        ent = self._state().get("stats", {}).get(column)
+        if ent is None:
+            return None
+        return ThetaSketch.from_bytes(base64.b64decode(ent["sketch"]))
 
     def _active_leases(self) -> list[dict]:
         """Unexpired OPTIMIZE leases from the metadata fold. Expiry is

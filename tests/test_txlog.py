@@ -1705,3 +1705,49 @@ def test_racing_optimizers_stress_no_lost_commits(spark, tmp_path):
     # that left work undone
     assert any(v is not None for v in results.values()), results
     assert t._active_leases() == []
+
+
+def test_txlog_stats_ndv_and_staleness(spark, tmp_path):
+    """txlog column stats: exact NDV in exact mode, sketch round-trip
+    through the commit JSON and a checkpoint, STALENESS on data change
+    (a consumer must not broadcast on outgrown numbers), and the
+    duck-typed ndv_semi_reduce_join consumes a TxTable identically to an
+    IcebergTable."""
+    from projectdatalake_spark.sources.iceberg_interop import (
+        ndv_semi_reduce_join,
+    )
+
+    dim = (
+        spark.range(0, 5000)
+        .select(
+            (F.col("id") % 40).alias("k"),
+            F.concat(F.lit("v"), F.col("id")).alias("attr"),
+        )
+    )
+    t = TxTable.create(spark, str(tmp_path / "t"), dim)
+    t.write_stats(["k"], k=1024)
+    assert t.ndv("k") == 40
+    sk = t.read_stats_sketch("k")
+    assert int(round(sk.estimate())) == 40
+    # folds through a checkpoint + fresh reader
+    t.checkpoint()
+    t2 = TxTable(spark, str(tmp_path / "t"))
+    assert t2.ndv("k") == 40
+    # consumer: broadcast semi-reduction fires off the stats, results
+    # equal the plain join
+    fact = spark.range(0, 3000).select((F.col("id") % 200).alias("k"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        informed = ndv_semi_reduce_join(fact, t, "k")
+        plan = informed._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert informed.count() == fact.join(t.snapshot(), "k").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # staleness: a data commit after the stats invalidates ndv(), a
+    # metadata-only commit does not
+    t.append(dim.limit(10).withColumn("k", F.lit(99).cast("long")))
+    assert t.ndv("k") is None
+    t.write_stats(["k"], k=1024)
+    assert t.ndv("k") == 41
