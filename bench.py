@@ -239,6 +239,7 @@ EXTENDED = [
     "geo_radius_pairs",
     "geo_knn_join",
     "txlog_ndv_informed_join",
+    "delta_ndv_informed_join",
 ]
 
 # Apply-only rungs measure STEADY-STATE cost: their fit-once index builds

@@ -14907,3 +14907,49 @@ def txlog_ndv_informed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "delta_ndv_informed_join",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def delta_ndv_informed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NDV-informed join from a DELTA table — third format, same
+    consumer ([[iceberg_ndv_informed_join]], [[txlog_ndv_informed_join]]):
+    Delta carries the theta sketches in a `domainMetadata` action (the
+    spec's engine-scoped extension point, replaying through the log and
+    both checkpoint shapes), version-stamped with staleness protection;
+    `ndv_semi_reduce_join` is duck-typed and injects the same broadcast
+    left-semi fact reduction. The aggregate hash-matches the plain SQL
+    join — all three lakehouse formats now feed one CBO-ish consumer."""
+    import tempfile
+
+    from projectdatalake_spark.sources.delta_interop import DeltaTable
+    from projectdatalake_spark.sources.iceberg_interop import (
+        ndv_semi_reduce_join,
+    )
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    root = tempfile.mkdtemp(prefix="deltandv_") + "/t"
+    t = DeltaTable.create(spark, root, c.repartition(4))
+    t.write_stats(["o_custkey"], k=65536)
+    joined = ndv_semi_reduce_join(o, t, "o_custkey")
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -2108,6 +2108,117 @@ class DeltaTable:
         self._publish(v, actions)
         return v
 
+    # --- column NDV statistics (domainMetadata-carried) --------------------
+
+    _STATS_DOMAIN = "projectdatalake.columnStats"
+
+    def write_stats(self, columns: list[str], k: int = 4096) -> int:
+        """Column NDV statistics carried in a ``domainMetadata`` action —
+        Delta's twin of Iceberg's puffin files and txlog's ``set_stats``
+        commit (all three share puffin.column_theta_sketch and the
+        duck-typed ``ndv_semi_reduce_join`` consumer). Domain metadata is
+        the spec's extension point for exactly this: engine-scoped
+        configuration that replays through the log and both checkpoint
+        shapes. Entries are version-stamped; per-column upsert into the
+        existing domain config. Metadata-only commit."""
+        import base64
+
+        from projectdatalake_spark.sources.puffin import column_theta_sketch
+
+        state = self._state()
+        v_now = state["version"]
+        df = self.snapshot()
+        existing = json.loads(
+            state["domains"].get(self._STATS_DOMAIN) or "{}"
+        )
+        for col in columns:
+            if col not in df.columns:
+                raise ValueError(f"unknown column {col!r}")
+            sk = column_theta_sketch(df, col, k)
+            existing[col] = {
+                "ndv": int(round(sk.estimate())),
+                "sketch": base64.b64encode(sk.to_bytes()).decode("ascii"),
+                "version": v_now,
+            }
+        proto = state["protocol"] or {
+            "minReaderVersion": 1, "minWriterVersion": 2,
+        }
+        actions: list[dict] = [
+            {"commitInfo": self._commit_info(
+                "WRITE STATS", {"columns": json.dumps(list(columns))}
+            )}
+        ]
+        wf = set(proto.get("writerFeatures") or [])
+        if proto.get("minWriterVersion", 2) < 7 or "domainMetadata" not in wf:
+            mwv = proto.get("minWriterVersion", 2)
+            if mwv < 7:
+                for lv, fs_ in _LEGACY_WRITER_FEATURES.items():
+                    if mwv >= lv:
+                        wf |= fs_
+            actions.append(
+                {"protocol": {
+                    **proto,
+                    "minWriterVersion": 7,
+                    "writerFeatures": sorted(wf | {"domainMetadata"}),
+                }}
+            )
+        actions.append(
+            {"domainMetadata": {
+                "domain": self._STATS_DOMAIN,
+                "configuration": json.dumps(existing),
+                "removed": False,
+            }}
+        )
+        self._publish(v_now + 1, actions)
+        return v_now + 1
+
+    def ndv(self, column: str) -> int | None:
+        """NDV from the stats domain, STALENESS-protected: any commit
+        with add/remove actions after the recorded version — or a pruned
+        log that can't prove there was none — returns None, so consumers
+        never broadcast on numbers the table has outgrown."""
+        state = self._state()
+        cfg = state["domains"].get(self._STATS_DOMAIN)
+        if not cfg:
+            return None
+        ent = json.loads(cfg).get(column)
+        if ent is None:
+            return None
+        commits, _ = self._log_files()
+        later = [v for v in commits if v > ent["version"]]
+        # pruned history between stats version and the earliest commit we
+        # can still read → unverifiable → conservative None
+        if later and (min(later) > ent["version"] + 1) and (
+            ent["version"] + 1 not in commits
+        ):
+            covered = set(later)
+            if any(
+                v not in covered
+                for v in range(ent["version"] + 1, state["version"] + 1)
+            ):
+                return None
+        for v in later:
+            if any(
+                "add" in a or "remove" in a
+                for a in self._commit_actions(v)
+            ):
+                return None
+        return int(ent["ndv"])
+
+    def read_stats_sketch(self, column: str):
+        """Deserialize the column's theta sketch (mergeable path)."""
+        import base64
+
+        from projectdatalake_spark.sources.puffin import ThetaSketch
+
+        cfg = self._state()["domains"].get(self._STATS_DOMAIN)
+        if not cfg:
+            return None
+        ent = json.loads(cfg).get(column)
+        if ent is None:
+            return None
+        return ThetaSketch.from_bytes(base64.b64decode(ent["sketch"]))
+
     # --- liquid-style clustering ------------------------------------------
 
     _CLUSTER_DOMAIN = "delta.clustering"

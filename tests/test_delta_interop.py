@@ -1329,3 +1329,47 @@ def test_domain_metadata_and_liquid_recluster(spark, root):
     # tombstone: empty cols removes the domain
     t3.set_clustering(())
     assert DeltaTable(spark, root).cluster_columns() == ()
+
+
+def test_delta_stats_ndv_staleness_and_checkpoint(spark, root):
+    """Delta column stats via domainMetadata: exact NDV in exact mode,
+    survival through a checkpoint, staleness on any later add/remove
+    commit, and the duck-typed NDV-informed join consumer."""
+    from pyspark.sql import functions as F
+
+    from projectdatalake_spark.sources.iceberg_interop import (
+        ndv_semi_reduce_join,
+    )
+
+    dim = spark.range(0, 4000).select(
+        (F.col("id") % 30).alias("k"),
+        F.concat(F.lit("a"), F.col("id")).alias("attr"),
+    )
+    t = DeltaTable.create(spark, root, dim.repartition(4))
+    t.write_stats(["k"], k=1024)
+    assert t.ndv("k") == 30
+    assert int(round(t.read_stats_sketch("k").estimate())) == 30
+    # a metadata-only commit (another stats write) does NOT invalidate
+    t.write_stats(["attr"], k=1024)
+    assert t.ndv("k") == 30
+    assert abs(t.ndv("attr") - 4000) / 4000 < 0.05
+    # survives a checkpoint + fresh reader
+    t.checkpoint()
+    t2 = DeltaTable(spark, root)
+    assert t2.ndv("k") == 30
+    # consumer fires off the stats with broadcasts disabled by size
+    fact = spark.range(0, 2000).select((F.col("id") % 90).alias("k"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        informed = ndv_semi_reduce_join(fact, t2, "k")
+        plan = informed._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert informed.count() == fact.join(t2.snapshot(), "k").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # staleness: a data commit invalidates
+    t2.append(dim.limit(5).withColumn("k", F.lit(77).cast("long")))
+    assert t2.ndv("k") is None
+    t2.write_stats(["k"], k=1024)
+    assert t2.ndv("k") == 31
