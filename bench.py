@@ -240,6 +240,7 @@ EXTENDED = [
     "geo_knn_join",
     "txlog_ndv_informed_join",
     "delta_ndv_informed_join",
+    "stream_minhash_dedup_incremental",
 ]
 
 # Apply-only rungs measure STEADY-STATE cost: their fit-once index builds

@@ -451,18 +451,24 @@ def minhash_lsh_apply_batch(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    ordered: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """INCREMENTAL MinHash-LSH: near-dup pairs involving ONLY the new
     batch, against a frozen band index — per-batch cost tracks the
     batch (its band rows join the index's matching buckets), never the
-    corpus. Batch ids must exceed all indexed ids (append-only
-    contract, same as semantic_dedup_apply_batch).
+    corpus. With ``ordered=True`` (default) batch ids must exceed all
+    indexed ids (append-only contract, same as
+    semantic_dedup_apply_batch); ``ordered=False`` lifts that contract
+    for sources that deliver ids out of order (file streams batch by
+    discovery order, not id order — streaming.dedup_stream): candidates
+    take BOTH join directions and canonicalize to (least, greatest),
+    costing one extra shingle-side join key resolution, nothing more.
 
     Exactness: banding is deterministic per doc, so
     ``pairs(base) ∪ apply(batch).pairs == pairs(base ∪ batch)`` EXACTLY
-    — gated in tests/test_accuracy_gates.py. Returns ``(pairs,
-    batch_banded, batch_shingles)``; append the latter two to the index
-    for the next batch.
+    — gated in tests/test_accuracy_gates.py (both modes). Returns
+    ``(pairs, batch_banded, batch_shingles)``; append the latter two to
+    the index for the next batch.
 
     100 TB: the candidate join's right side is the BATCH's band rows;
     with the index stored bucketed by (band, bkey) the join prunes to
@@ -477,27 +483,37 @@ def minhash_lsh_apply_batch(
         F.col("bkey").alias("bkey_b"),
         F.col(id_col).alias("id_b"),
     )
-    candidates = (
-        all_banded.select(
-            "band", "bkey", F.col(id_col).alias("id_a")
-        )
-        .join(
-            right,
-            (F.col("band") == F.col("band_b"))
-            & (F.col("bkey") == F.col("bkey_b"))
-            & (F.col("id_a") < F.col("id_b")),
-        )
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
+    join_on = (
+        (F.col("band") == F.col("band_b"))
+        & (F.col("bkey") == F.col("bkey_b"))
     )
+    if ordered:
+        cand = (
+            all_banded.select("band", "bkey", F.col(id_col).alias("id_a"))
+            .join(right, join_on & (F.col("id_a") < F.col("id_b")))
+            .select("id_a", "id_b")
+        )
+    else:
+        both = (
+            all_banded.select("band", "bkey", F.col(id_col).alias("id_x"))
+            .join(right, join_on & (F.col("id_x") != F.col("id_b")))
+        )
+        cand = both.select(
+            F.least(F.col("id_x"), F.col("id_b")).alias("id_a"),
+            F.greatest(F.col("id_x"), F.col("id_b")).alias("id_b"),
+        )
+    candidates = cand.dropDuplicates(["id_a", "id_b"])
     all_sh = index_shingles.unionByName(b_sh)
+    sh_b_side = b_sh if ordered else all_sh
     pairs = (
         candidates.join(
             all_sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")),
             "id_a",
         )
         .join(
-            b_sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")),
+            sh_b_side.select(
+                F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")
+            ),
             "id_b",
         )
         .select(

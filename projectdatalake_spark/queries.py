@@ -14953,3 +14953,56 @@ def delta_ndv_informed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query("stream_minhash_dedup_incremental")  # xxhash family engine-side → rows-only
+def stream_minhash_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING NEAR-DUP DETECTION — dedup the INGEST, not the
+    warehouse: documents arrive as a file stream in multiple
+    micro-batches (file discovery order, NOT id order), each batch joins
+    its MinHash band rows against the index built by every prior batch,
+    appends its own rows to the index, and emits the verified pairs it
+    introduced (streaming/dedup_stream.py). The union of per-batch pair
+    sets EXACTLY equals the one-shot [[dedup_minhash_lsh]] over the
+    whole corpus — streaming changes WHEN pairs are discovered, never
+    WHICH (equality gated in tests/test_accuracy_gates.py). Replays are
+    idempotent: batch-id-stamped overwrites plus an index read that
+    filters out the crashed attempt's own rows. Driver records
+    rows-only (xxhash family).
+
+    100 TB: the recurring cost is each batch's band rows against
+    matching index buckets — the corpus is never rescanned; this is the
+    continuous-curation shape for a live training-data feed."""
+    import tempfile
+
+    from projectdatalake_spark.streaming.dedup_stream import (
+        minhash_dedup_stream,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="dedup_src_")
+    # interleave ids across 6 files so every batch carries small AND
+    # large ids (the ordered=False contract under test)
+    docs.withColumn("g", F.col("doc_id") % 6).repartition(6, "g").drop(
+        "g"
+    ).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    base = tempfile.mkdtemp(prefix="dedup_state_")
+    q = minhash_dedup_stream(
+        stream,
+        index_dir=f"{base}/idx",
+        pairs_dir=f"{base}/pairs",
+        checkpoint_dir=f"{base}/ckpt",
+        threshold=0.5,
+    )
+    q.awaitTermination(600)
+    return (
+        spark.read.option("basePath", f"{base}/pairs")
+        .parquet(f"{base}/pairs")
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,99 @@
+"""Streaming near-duplicate detection: a live corpus deduplicates
+against a GROWING MinHash-LSH index, one micro-batch at a time.
+
+The production shape for "dedup the ingest, not the warehouse": each
+micro-batch (a) joins its band rows against the frozen index built by
+every PRIOR batch (per-batch cost tracks the batch — the
+``minhash_lsh_apply_batch`` contract), (b) appends its own band/shingle
+rows to the index, and (c) emits the verified near-dup pairs it
+introduced. The union of per-batch pair sets EXACTLY equals the one-shot
+``minhash_lsh_pairs`` over the whole corpus (banding is deterministic
+per doc; gated in tests) — streaming changes WHEN pairs are discovered,
+never WHICH.
+
+Idempotence (foreachBatch is at-least-once per batch): every write lands
+in a ``batch_id=N`` subdirectory with mode=overwrite, so a replayed
+batch overwrites its own partial output byte-for-byte; the index read
+filters ``batch_id < current`` so a replay never sees its own crashed
+attempt's rows (which would double the shingle join and duplicate
+pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_BANDED_SCHEMA = "doc_id long, band int, bkey long"
+_SH_SCHEMA = "doc_id long, sh array<string>"
+
+
+def _read_indexed(spark, path: str, schema: str, before_batch: int) -> DataFrame:
+    """Index rows from batches strictly before ``before_batch`` (replay
+    safety), or an empty frame when nothing is indexed yet."""
+    try:
+        return (
+            spark.read.option("basePath", path)
+            .schema(schema + ", batch_id int")
+            .parquet(path)
+            .filter(F.col("batch_id") < before_batch)
+            .drop("batch_id")
+        )
+    except Exception:
+        return spark.createDataFrame([], schema)
+
+
+def minhash_dedup_stream(
+    docs_stream: DataFrame,
+    index_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    available_now: bool = True,
+):
+    """Start the streaming dedup query over a (doc_id, text) stream.
+    Pairs land under ``pairs_dir/batch_id=N``; the index accumulates
+    under ``index_dir/{banded,shingles}/batch_id=N``. ``ordered=False``
+    apply mode: file sources batch by discovery order, not doc id, so
+    a later batch may carry smaller ids — both join directions are
+    taken and pairs canonicalize to (least, greatest).
+
+    100 TB: the recurring cost is the batch's band rows joined against
+    matching index buckets (store the index bucketed by (band, bkey)
+    on a real deployment) — the corpus is never rescanned."""
+    from projectdatalake_spark.operators.dedup import minhash_lsh_apply_batch
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            banded = _read_indexed(
+                spark, f"{index_dir}/banded", _BANDED_SCHEMA, batch_id
+            )
+            shingles = _read_indexed(
+                spark, f"{index_dir}/shingles", _SH_SCHEMA, batch_id
+            )
+            pairs, b_banded, b_sh = minhash_lsh_apply_batch(
+                banded, shingles, batch_df, threshold,
+                num_hashes=num_hashes, bands=bands, ordered=False,
+            )
+            # batch-id-stamped overwrites: replays rewrite their own dirs
+            pairs.write.mode("overwrite").parquet(
+                f"{pairs_dir}/batch_id={batch_id}"
+            )
+            b_banded.write.mode("overwrite").parquet(
+                f"{index_dir}/banded/batch_id={batch_id}"
+            )
+            b_sh.write.mode("overwrite").parquet(
+                f"{index_dir}/shingles/batch_id={batch_id}"
+            )
+        finally:
+            batch_df.unpersist()
+
+    writer = docs_stream.writeStream.foreachBatch(commit_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

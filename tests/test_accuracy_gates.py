@@ -648,3 +648,54 @@ def test_kcore_matches_naive_peeling(spark):
         want = {(n, len(ns)) for n, ns in adj.items()}
         assert got == want, f"k={k}"
         assert got, f"fixture should have a non-empty {k}-core"
+
+
+def test_streaming_minhash_dedup_equals_one_shot(spark, tmp_path):
+    """The streaming dedup contract: pairs accumulated across N
+    micro-batches (file order, NOT id order — batches carry interleaved
+    ids, exercising the ordered=False both-directions join) EXACTLY
+    equal the one-shot minhash_lsh_pairs over the whole corpus.
+    Streaming changes when pairs are found, never which."""
+    from projectdatalake_spark.streaming.dedup_stream import (
+        minhash_dedup_stream,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    want = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert len(want) >= 10  # the corpus actually has near-dups
+    # lay out 6 files with ids INTERLEAVED across files (mod-6 split):
+    # every batch contains both small and large ids
+    src = str(tmp_path / "src")
+    docs.withColumn("g", F.col("doc_id") % 6).repartition(6, "g").drop(
+        "g"
+    ).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = minhash_dedup_stream(
+        stream,
+        index_dir=str(tmp_path / "idx"),
+        pairs_dir=str(tmp_path / "pairs"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        threshold=0.5,
+    )
+    q.awaitTermination(600)
+    got_df = spark.read.option("basePath", str(tmp_path / "pairs")).parquet(
+        str(tmp_path / "pairs")
+    )
+    got = {(r.id_a, r.id_b) for r in got_df.collect()}
+    assert got == want
+    # every pair discovered exactly once (no cross-batch re-discovery)
+    assert got_df.count() == len(want)
+    # and the index really accumulated across >=2 batches
+    nb = (
+        spark.read.option("basePath", str(tmp_path / "idx") + "/banded")
+        .parquet(str(tmp_path / "idx") + "/banded")
+        .select("batch_id").distinct().count()
+    )
+    assert nb >= 2
