@@ -15006,3 +15006,114 @@ def stream_minhash_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFr
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "survival_kaplan_meier",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             date_diff('day', CAST(min(CAST(o_orderdate AS TIMESTAMP)) AS DATE),
+                              CAST(max(CAST(o_orderdate AS TIMESTAMP)) AS DATE))
+               AS d,
+             CASE WHEN max(CAST(o_orderdate AS TIMESTAMP))
+                       < (SELECT max(CAST(o_orderdate AS TIMESTAMP))
+                          FROM orders) - INTERVAL 365 DAY
+                  THEN 1 ELSE 0 END AS e
+      FROM orders GROUP BY o_custkey
+    ),
+    grain AS (
+      SELECT d, sum(e) AS de, count(*) AS ct FROM per_cust GROUP BY d
+    ),
+    at_risk AS (
+      SELECT d, de, sum(ct) OVER (ORDER BY d DESC) AS n_risk FROM grain
+    ),
+    ev AS (
+      SELECT d, de, n_risk,
+             1.0 - CAST(de AS DOUBLE) / n_risk AS f
+      FROM at_risk WHERE de > 0
+    ),
+    arr AS (SELECT list({'d': d, 'de': de, 'n': n_risk, 'f': f} ORDER BY d) AS a FROM ev),
+    expanded AS (
+      SELECT a[i].d AS d, a[i].de AS de, a[i].n AS n_risk,
+             list_reduce(
+               list_prepend(CAST(1.0 AS DOUBLE),
+                 list_transform(list_slice(a, 1, i), s -> s.f)),
+               (acc, x) -> acc * x) AS s
+      FROM arr, unnest(generate_series(1, len(a))) AS t(i)
+    )
+    SELECT CAST(d AS INT) AS d, CAST(de AS BIGINT) AS churned,
+           CAST(n_risk AS BIGINT) AS at_risk, round(s, 6) AS survival
+    FROM expanded ORDER BY d
+    """,
+)
+def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER SURVIVAL CURVE of customer engagement — the
+    right-censoring-aware churn analysis ([[retention_cohorts]] is the
+    uncensored sibling): duration = days between a customer's first and
+    last order, churned when the last order predates the study end by a
+    year, everyone else right-censored. S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ)
+    with at-risk nᵢ = subjects whose duration ≥ tᵢ (one descending
+    cumulative sum — censored subjects leave the risk set without a
+    factor, which is the entire point of KM over naive retention).
+    Float discipline: each factor is the same expression both engines;
+    the running PRODUCT is a prefix fold over the SORTED event-time
+    array (aggregate-over-slice / list_reduce-over-list_slice with a
+    1.0 init) — order-pinned, O(T²) multiplies on the EVENT-TIME grain
+    only (hundreds of rows), never the subject grain.
+
+    100 TB: subjects reduce to (duration, event) in one shuffle; the
+    curve lives on the time grain from there."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_ts"),
+        F.max("o_orderdate").alias("last_ts"),
+    )
+    end = o.agg(F.max("o_orderdate").alias("end_ts"))
+    pc = per_cust.crossJoin(F.broadcast(end)).select(
+        F.datediff(F.to_date("last_ts"), F.to_date("first_ts")).alias("d"),
+        F.when(
+            F.col("last_ts") < F.col("end_ts") - F.expr("INTERVAL 365 DAYS"),
+            1,
+        ).otherwise(0).alias("e"),
+    )
+    grain = pc.groupBy("d").agg(
+        F.sum("e").alias("de"), F.count(F.lit(1)).alias("ct")
+    )
+    w = Window.orderBy(F.col("d").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ev = (
+        grain.select("d", "de", F.sum("ct").over(w).alias("n_risk"))
+        .filter(F.col("de") > 0)
+        .select(
+            "d", "de", "n_risk",
+            (F.lit(1.0) - F.col("de").cast("double") / F.col("n_risk")).alias("f"),
+        )
+    )
+    arr = ev.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct("d", "de", F.col("n_risk").alias("n"), "f"))
+        ).alias("a")
+    )
+    expanded = arr.select(
+        F.posexplode("a").alias("i0", "s")
+    ).select(
+        F.col("s.d").cast("int").alias("d"),
+        F.col("s.de").cast("long").alias("churned"),
+        F.col("s.n").cast("long").alias("at_risk"),
+        F.col("i0").alias("i0"),
+    )
+    # prefix product re-derived per row from the same sorted array
+    joined = expanded.crossJoin(F.broadcast(arr))
+    s = F.aggregate(
+        F.slice(F.col("a"), 1, F.col("i0") + 1),
+        F.lit(1.0),
+        lambda acc, x: acc * x["f"],
+    )
+    return (
+        joined.select("d", "churned", "at_risk", F.round(s, 6).alias("survival"))
+        .orderBy("d")
+    )
