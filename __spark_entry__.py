@@ -36,11 +36,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # front-ranked, zero overlap). Queries already verified by a previous
 # round's driver run are pushed to the back; everything not yet
 # driver-proven comes first so each round's file covers new ground.
-# Round 7: the 20 round-6-continuation queries that missed r6's 50-slot
-# window (asof_join_nearest, dau_wau_stickiness, scd2_incremental_apply,
-# format_convert_full_circle, zipf_slope_tokens, ...) front-rank, followed
-# by this round's new registrations; the rest of the window re-proves
-# backlist rows. All were verify_local-proven at sf0.001 AND sf0.01.
+# Round 8: the ledger is CLOSED (326/326 oracle-backed queries carry a
+# driver hash-proof after r7). New round-8 registrations front-rank; the
+# remaining slots rotate the STALEST proofs (r1-vintage greens first).
+# All new queries were verify_local-proven at sf0.001 AND sf0.01.
 _R1_DRIVER_VERIFIED = frozenset(
     {
         "q1_pricing_summary", "scan_project", "project_rename",
@@ -201,32 +200,78 @@ _R6_DRIVER_VERIFIED = frozenset(
     }
 )
 
-_DRIVER_VERIFIED = (
-    _R1_DRIVER_VERIFIED
-    | _R2_DRIVER_VERIFIED
-    | _R3_DRIVER_VERIFIED
-    | _R4_DRIVER_VERIFIED
-    | _R5_DRIVER_VERIFIED
-    | _R6_DRIVER_VERIFIED
+# Hash-green in CORRECTNESS_r07.json (50/50 fully green, zero err) —
+# closes the ledger: every oracle-backed query now has a driver row.
+_R7_DRIVER_VERIFIED = frozenset(
+    {
+        "benford_first_digit", "event_entropy_per_user",
+        "embedding_outlier_centroid", "asof_join_nearest",
+        "zipf_slope_tokens", "text_hapax_ratio",
+        "tokenizer_fertility_by_lang", "ts_autocorr_daily",
+        "ts_changepoint_meanshift", "iceberg_rewrite_manifests",
+        "stream_fanout_two_sinks", "column_defaults_two_formats",
+        "dup_invoice_pairs", "customer_ltv_cohort", "dq_quarantine_split",
+        "delta_recluster_incremental", "format_convert_full_circle",
+        "scd2_incremental_apply", "delta_cdf_to_txlog_replica",
+        "dau_wau_stickiness", "ann_topk_pq_seeded",
+        "iceberg_puffin_ndv_stats", "iceberg_ndv_informed_join",
+        "txlog_optimize_lease_split", "bloom_reduce_join",
+        "ks_test_two_sample", "psi_price_drift", "ts_stl_weekly",
+        "event_audience_overlap", "geo_radius_pairs", "geo_knn_join",
+        "txlog_ndv_informed_join", "delta_ndv_informed_join",
+        "survival_kaplan_meier", "q1_pricing_summary", "scan_project",
+        "project_rename", "filter_events_eq", "filter_pred_complex",
+        "derive_columns", "dedup_distinct_pairs", "dedup_full_rows",
+        "dedup_conditional_prefer", "dedup_conditional_reference",
+        "join_inner_orders_customer", "join_left_nulls",
+        "join_semi_customers_with_orders", "join_anti_customers_no_orders",
+        "join_theta_self", "time_parts",
+    }
 )
+
+_VERIFIED_BY_ROUND = (
+    _R1_DRIVER_VERIFIED,
+    _R2_DRIVER_VERIFIED,
+    _R3_DRIVER_VERIFIED,
+    _R4_DRIVER_VERIFIED,
+    _R5_DRIVER_VERIFIED,
+    _R6_DRIVER_VERIFIED,
+    _R7_DRIVER_VERIFIED,
+)
+
+_DRIVER_VERIFIED = frozenset().union(*_VERIFIED_BY_ROUND)
+
+# Round of the FRESHEST driver proof per query (1-based). With the ledger
+# closed (every oracle query proven at least once), the window's job turns
+# to proof rotation: re-prove the stalest greens first so fixture drift
+# can't hide behind a 6-round-old row.
+_LATEST_PROOF_ROUND = {
+    name: rnd
+    for rnd, names in enumerate(_VERIFIED_BY_ROUND, start=1)
+    for name in names
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Ordered least-proven-first (see ``_R1_DRIVER_VERIFIED``) so a driver
-    that samples a prefix checks the queries with no prior driver row.
+    Ordered least-proven-first: never-driver-proven oracle queries lead
+    (there are none while the ledger stays closed — new registrations
+    re-open the front), then proven oracle queries STALEST-proof-first
+    (round-1-vintage greens like the TPC-H family re-prove before last
+    round's), then rows-only entries (their accuracy lives in pytest
+    gates; a driver slot would only record `err: no_oracle`).
     """
-    def rank(name: str) -> int:
-        # hash-checkable unproven queries first; then already-proven oracle
-        # queries (a fresh driver row re-proves them); rows-only entries
-        # last — a driver slot gains nothing over their pytest accuracy
-        # gates (it would just record `err: no_oracle`).
+    def rank(name: str) -> tuple[int, int]:
         if name in Q.ORACLES:
-            return 0 if name not in _DRIVER_VERIFIED else 1
-        return 2
+            proved = _LATEST_PROOF_ROUND.get(name)
+            if proved is None:
+                return (0, 0)
+            return (1, proved)
+        return (2, 0)
 
-    ordered = sorted(Q.QUERIES, key=lambda n: (rank(n), list(Q.QUERIES).index(n)))
+    order_index = {n: i for i, n in enumerate(Q.QUERIES)}
+    ordered = sorted(Q.QUERIES, key=lambda n: (*rank(n), order_index[n]))
     return {n: Q.QUERIES[n] for n in ordered}
 
 

@@ -241,6 +241,7 @@ EXTENDED = [
     "txlog_ndv_informed_join",
     "delta_ndv_informed_join",
     "stream_minhash_dedup_incremental",
+    "survival_kaplan_meier",
 ]
 
 # Apply-only rungs measure STEADY-STATE cost: their fit-once index builds
