@@ -294,6 +294,11 @@ def bloom_build(df: DataFrame, col: str, m_bits: int = 1 << 20, k: int = 5):
     import pandas as pd
     from pyspark.sql import functions as F
 
+    # positions index bytes as pos >> 3 for pos < m_bits, so the bitmap
+    # needs ceil(m_bits/8) bytes; a non-multiple-of-8 m_bits would index
+    # one byte past an m_bits//8 array for some keys — round up instead
+    m_bits = (m_bits + 7) & ~7
+
     hashed = df.select(
         F.xxhash64(F.col(col), F.lit(0x5EE0)).alias("h1"),
         F.xxhash64(F.col(col), F.lit(0xB100)).alias("h2"),

@@ -737,6 +737,20 @@ def audio_constellation(
     clip; matching is an equality join on the hash value — audio bytes
     are never touched again, and hashes (20 bits of freq pair + 8 bits
     of dt) spread uniformly for the shuffle."""
+    # the packed hash (f1 << 18) | (f2 << 8) | dt gives dt 8 bits and
+    # each frequency bin 10 — parameters outside those widths would
+    # silently bleed fields into each other (colliding hashes, spurious
+    # offset votes), so refuse loudly instead
+    n_bins = frame // 2 + 1
+    if max_dt > 255:
+        raise ValueError(
+            f"max_dt={max_dt} overflows the 8-bit dt field (max 255)"
+        )
+    if n_bins > 1024:
+        raise ValueError(
+            f"frame={frame} yields {n_bins} FFT bins; the 10-bit "
+            "frequency fields cap at 1024 (frame <= 2046)"
+        )
 
     def kernel(batches):
         import numpy as np

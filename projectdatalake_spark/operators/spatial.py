@@ -90,22 +90,39 @@ def grid_knn_join(
     id_col: str = "id",
     x_col: str = "x",
     y_col: str = "y",
+    max_query_rows: int = 1_000_000,
 ) -> DataFrame:
     """k nearest neighbors of each query point among ``points`` by
     EXPANDING GRID RINGS: candidates come from the query's (2R+1)²
     neighborhood at the smallest ring count R whose GUARANTEED-covered
     radius (R·cell) can hold k neighbors for every query; correctness is
     enforced per-row — a neighbor counts only while ``dist ≤ R·cell``
-    (anything beyond could be beaten by a point in ring R+1), and
-    queries that cannot prove k neighbors within ``max_rings`` surface
-    with fewer rows rather than silently wrong ones. Deterministic ties:
-    (dist, id2). Returns (id1, id2, dist, rank).
+    (anything beyond could be beaten by a point in ring R+1). Queries
+    that cannot prove k neighbors within ``max_rings`` are WHOLLY ABSENT
+    from the result (no rows at all — partial neighbors found at the
+    last R are discarded, not emitted): callers detect under-coverage by
+    a missing id1, never by a short row count, and raise ``max_rings``
+    or ``cell`` to cover. Deterministic ties: (dist, id2). Returns
+    (id1, id2, dist, rank).
 
     The ring expansion is DRIVER-side doubling (R = 1, 2, 4, ...): each
     attempt is one equi-join at cell grain; unresolved queries re-run at
     the next R (geometrically few attempts; at most log₂(max_rings)+1
-    joins)."""
+    joins). The solved/remaining bookkeeping broadcasts id sets at the
+    QUERY grain, so the query side must stay bounded — ``max_query_rows``
+    turns a contract breach into a loud error instead of a broadcast OOM
+    (the ivf_search guard pattern)."""
     from pyspark.sql import Window
+
+    n_queries = queries.limit(max_query_rows + 1).count()
+    if n_queries > max_query_rows:
+        raise ValueError(
+            f"grid_knn_join query set exceeds max_query_rows="
+            f"{max_query_rows}; solved/remaining id sets broadcast at "
+            "query grain — pass a larger max_query_rows only if "
+            "executors can hold the id set, or partition the query set "
+            "into bounded chunks"
+        )
 
     base = points.select(
         F.col(id_col).alias("id2"),

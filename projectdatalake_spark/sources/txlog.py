@@ -2351,10 +2351,24 @@ class TxTable:
         ent = self._state().get("stats", {}).get(column)
         if ent is None:
             return None
+        commits = self.history()
+        latest = commits[-1]["version"] if commits else -1
+        surviving = {c["version"] for c in commits}
+        # prune_log may have deleted commit JSONs between the stats version
+        # and the checkpoint; a pruned commit could have changed data, so
+        # an incomplete view of (stats_version, latest] is unverifiable →
+        # conservative None (the Delta twin's pruned-log fallback,
+        # delta_interop.DeltaTable.ndv).
+        if any(
+            v not in surviving for v in range(ent["version"] + 1, latest + 1)
+        ):
+            return None
         data_changed = any(
-            (c.get("adds") or c.get("removes"))
-            and c["version"] > ent["version"]
-            for c in self.history()
+            c["version"] > ent["version"]
+            # dv-carrying commits (delete_dv: adds=[] removes=[]) change
+            # data too — the mask alters every downstream read.
+            and (c.get("adds") or c.get("removes") or "dv" in c)
+            for c in commits
         )
         if data_changed:
             return None

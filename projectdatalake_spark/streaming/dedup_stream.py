@@ -29,17 +29,25 @@ _SH_SCHEMA = "doc_id long, sh array<string>"
 
 def _read_indexed(spark, path: str, schema: str, before_batch: int) -> DataFrame:
     """Index rows from batches strictly before ``before_batch`` (replay
-    safety), or an empty frame when nothing is indexed yet."""
-    try:
-        return (
-            spark.read.option("basePath", path)
-            .schema(schema + ", batch_id int")
-            .parquet(path)
-            .filter(F.col("batch_id") < before_batch)
-            .drop("batch_id")
-        )
-    except Exception:
+    safety), or an empty frame when nothing is indexed yet.
+
+    Only a MISSING path means "nothing indexed" — any other read failure
+    (corruption, transient IO) must propagate so the micro-batch fails
+    and retries; swallowing it would silently drop every cross-batch
+    pair this batch owes, and the batch-id watermark means those pairs
+    would never be re-derived."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
         return spark.createDataFrame([], schema)
+    return (
+        spark.read.option("basePath", path)
+        .schema(schema + ", batch_id int")
+        .parquet(path)
+        .filter(F.col("batch_id") < before_batch)
+        .drop("batch_id")
+    )
 
 
 def minhash_dedup_stream(

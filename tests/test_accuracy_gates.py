@@ -699,3 +699,24 @@ def test_streaming_minhash_dedup_equals_one_shot(spark, tmp_path):
         .select("batch_id").distinct().count()
     )
     assert nb >= 2
+
+
+def test_stream_dedup_index_read_errors_propagate(spark, tmp_path):
+    """Only a MISSING index path may read as 'nothing indexed yet'; a
+    corrupt index file must raise so the micro-batch retries — silently
+    returning empty would drop that batch's cross-batch pairs forever
+    (the batch-id watermark never re-derives them)."""
+    import pytest
+
+    from projectdatalake_spark.streaming.dedup_stream import (
+        _BANDED_SCHEMA,
+        _read_indexed,
+    )
+
+    missing = str(tmp_path / "does-not-exist")
+    assert _read_indexed(spark, missing, _BANDED_SCHEMA, 5).count() == 0
+    corrupt_dir = tmp_path / "idx" / "batch_id=0"
+    corrupt_dir.mkdir(parents=True)
+    (corrupt_dir / "part-0.parquet").write_bytes(b"PAR1 this is not parquet")
+    with pytest.raises(Exception):
+        _read_indexed(spark, str(tmp_path / "idx"), _BANDED_SCHEMA, 5).count()

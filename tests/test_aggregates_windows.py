@@ -315,3 +315,24 @@ def test_bloom_filter_no_false_negatives_and_fpr_bound(spark):
         .count()
     )
     assert missed == 0
+
+
+def test_bloom_m_bits_rounds_up_to_byte_boundary(spark):
+    """m_bits not divisible by 8 used to index one byte past the bitmap
+    for some keys (pos >> 3 on an m_bits//8 array); bloom_build now
+    rounds m_bits up to the byte boundary and carries the rounded value
+    in the filter tuple so probe and build agree."""
+    from projectdatalake_spark.operators import aggregates as A
+
+    dim = spark.range(0, 500).select((F.col("id") * 3).alias("k"))
+    fact = spark.range(0, 4000).select((F.col("id") % 2000).alias("k"))
+    bloom = A.bloom_build(dim, "k", m_bits=(1 << 14) + 3, k=3)
+    assert bloom[1] % 8 == 0 and bloom[1] >= (1 << 14) + 3
+    true_n = fact.join(dim.distinct(), "k", "left_semi").count()
+    red = A.bloom_might_contain(fact, "k", bloom)
+    missed = (
+        fact.join(dim.distinct(), "k", "left_semi")
+        .exceptAll(red.join(dim.distinct(), "k", "left_semi"))
+        .count()
+    )
+    assert missed == 0 and red.count() >= true_n

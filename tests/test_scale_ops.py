@@ -217,3 +217,22 @@ def test_grid_knn_ring_expansion_matches_brute(spark):
         )
         for rank, (d, i) in enumerate(cand[:3], start=1):
             assert got[(qid, rank)] == (i, round(d, 9)), (qid, rank)
+
+
+def test_grid_knn_query_broadcast_guard(spark):
+    """Solved/remaining ids broadcast at query grain, so an oversized
+    query set must fail LOUDLY before any join runs (the ivf_search
+    max_query_rows pattern), not OOM an executor."""
+    import pytest
+
+    from projectdatalake_spark.operators.spatial import grid_knn_join
+
+    df = spark.createDataFrame(
+        [(i, float(i), 0.0) for i in range(20)], "id long, x double, y double"
+    )
+    with pytest.raises(ValueError, match="max_query_rows"):
+        grid_knn_join(df, df, k=3, cell=1.0, max_query_rows=5)
+    # at or under the bound: unchanged behavior
+    got = grid_knn_join(df, df.filter("id < 3"), k=2, cell=1.0,
+                        max_query_rows=3)
+    assert got.count() == 6

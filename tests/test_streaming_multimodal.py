@@ -363,3 +363,21 @@ def test_video_framehash_shift_and_resolution_robust(spark):
     with _pytest.raises(ValueError):
         MM3.video_dup_pairs(prints, max_hamming=4)
     prints.unpersist()
+
+
+def test_audio_constellation_rejects_field_overflow_params(spark):
+    """The packed pair hash gives dt 8 bits and each frequency bin 10;
+    parameters outside those widths must error at entry, not silently
+    bleed fields into colliding hashes."""
+    import pytest
+
+    from projectdatalake_spark.operators import multimodal as MM3
+
+    df = spark.createDataFrame([(1, bytearray(b""))],
+                               "doc_id long, payload binary")
+    with pytest.raises(ValueError, match="max_dt"):
+        MM3.audio_constellation(df, max_dt=256)
+    with pytest.raises(ValueError, match="bins"):
+        MM3.audio_constellation(df, frame=4096)
+    # boundary values are fine
+    MM3.audio_constellation(df, max_dt=255, frame=2046)

@@ -1751,3 +1751,20 @@ def test_txlog_stats_ndv_and_staleness(spark, tmp_path):
     assert t.ndv("k") is None
     t.write_stats(["k"], k=1024)
     assert t.ndv("k") == 41
+    # a dv-carrying commit (delete_where_dv: adds=[] removes=[]) changes
+    # data too — the mask alters every downstream read, so it must
+    # invalidate just like an add/remove commit
+    assert t.delete_where_dv("k = 99") is not None
+    assert t.ndv("k") is None
+    t.write_stats(["k"], k=1024)
+    assert t.ndv("k") == 40
+    # pruned history between the stats version and the tip: commits we
+    # can no longer read could have changed data → unverifiable →
+    # conservative None (mirrors DeltaTable.ndv's pruned-log fallback)
+    t.append(dim.limit(5))          # data commit AFTER the stats
+    t.write_stats(["attr"], k=1024)  # unrelated later commit
+    t.checkpoint()
+    assert t.ndv("k") is None       # visible data commit → stale
+    t.prune_log(retain_versions=0)  # the invalidating commit vanishes
+    t3 = TxTable(spark, str(tmp_path / "t"))
+    assert t3.ndv("k") is None      # pruned gap must NOT read as fresh
