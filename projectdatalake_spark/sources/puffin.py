@@ -215,21 +215,38 @@ class ThetaSketch:
 def column_theta_sketch(df, col: str, k: int) -> "ThetaSketch":
     """Distributed KMV/theta sketch of one DataFrame column: each
     partition hashes its DISTINCT values (Arrow-batched; per-unique
-    python hash — uniques, not rows, bound the loop) and keeps its k+1
-    smallest; a global k+1 top-k merges the partials. Only k+1 longs
-    reach the driver regardless of table size. Shared by the Iceberg
-    puffin writer and txlog's stats commits."""
+    python hash — uniques, not rows, bound the hash count) and keeps its
+    k+1 smallest in a BOUNDED max-heap (O(k) memory however many uniques
+    the partition holds — a unique-key column must not pin every row's
+    hash in Python); a global k+1 top-k merges the partials. Only k+1
+    longs reach the driver regardless of table size. Shared by the
+    Iceberg puffin writer and txlog's stats commits. (The murmur hash
+    itself is spec-forced — MurmurHash3-x64-128 seed 9001 per the
+    DataSketches vectors — so hashing stays Python-side.)"""
+    import heapq
+
     import pandas as pd
     from pyspark.sql import functions as F
 
     def partial(batches):
-        best: set[int] = set()
+        cap = k + 1
+        heap: list[int] = []  # k+1 smallest, as a max-heap via negation
+        members: set[int] = set()  # heap contents, for O(1) dedup
         for pdf in batches:
             for v in pdf[col].dropna().unique():
                 if hasattr(v, "item") and not isinstance(v, (str, bytes)):
                     v = v.item()
-                best.add(theta_hash(v))
-        yield pd.DataFrame({"h": sorted(best)[: k + 1]})
+                h = theta_hash(v)
+                if h in members:
+                    continue
+                if len(heap) < cap:
+                    heapq.heappush(heap, -h)
+                    members.add(h)
+                elif h < -heap[0]:
+                    evicted = -heapq.heappushpop(heap, -h)
+                    members.discard(evicted)
+                    members.add(h)
+        yield pd.DataFrame({"h": sorted(members)})
 
     partials = df.select(col).mapInPandas(partial, schema="h long")
     top = partials.distinct().orderBy("h").limit(k + 1).collect()

@@ -1728,6 +1728,30 @@ def test_puffin_stats_roundtrip_and_ndv(spark, root):
     assert len(t.metadata()["statistics"]) == 2
 
 
+def test_theta_sketch_bounded_heap_matches_brute_force(spark):
+    """column_theta_sketch keeps only k+1 hashes per partition (bounded
+    max-heap) — on a HIGH-NDV column (every value unique, the worst case
+    the old uniques-set held entirely in memory) the sketch must still
+    byte-equal the brute-force k+1-smallest-hashes-of-all-values form,
+    and the estimate must stay within KMV error."""
+    from projectdatalake_spark.sources.puffin import (
+        ThetaSketch,
+        column_theta_sketch,
+        theta_hash,
+    )
+
+    n, k = 50_000, 64
+    df = (
+        spark.range(0, n)
+        .select(F.concat(F.lit("u"), F.col("id")).alias("u"))
+        .repartition(8)
+    )
+    sk = column_theta_sketch(df, "u", k)
+    want = sorted(theta_hash(f"u{i}") for i in range(n))[: k + 1]
+    assert sk.to_bytes() == ThetaSketch(k, want).to_bytes()
+    assert abs(sk.estimate() - n) / n < 4 / (k ** 0.5)
+
+
 def test_ndv_semi_reduce_join_plan_and_semantics(spark, root):
     """The CBO consumer: with autoBroadcastJoinThreshold disabled (row
     counts alone never broadcast anything), the NDV-informed join still
