@@ -452,6 +452,7 @@ def minhash_lsh_apply_batch(
     id_col: str = "doc_id",
     n: int = 3,
     ordered: bool = True,
+    precomputed: tuple[DataFrame, DataFrame] | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """INCREMENTAL MinHash-LSH: near-dup pairs involving ONLY the new
     batch, against a frozen band index — per-batch cost tracks the
@@ -473,10 +474,21 @@ def minhash_lsh_apply_batch(
     100 TB: the candidate join's right side is the BATCH's band rows;
     with the index stored bucketed by (band, bkey) the join prunes to
     touched buckets, and verification joins batch shingles (small)
-    against only candidate ids from the index."""
-    b_banded, b_sh = minhash_band_index(
-        batch, num_hashes, bands, text_col, id_col, n
-    )
+    against only candidate ids from the index.
+
+    ``precomputed``: the batch's own ``(banded, shingles)`` when the
+    caller already derived them (streaming.dedup_stream computes the
+    batch's band rows FIRST to learn which index buckets to read, so
+    recomputing here would double the minhash pass). MUST equal
+    ``minhash_band_index(batch, ...)``'s output — the caller passing a
+    pruned index is only exact because candidates require (band, bkey)
+    equality, hence equal bucket."""
+    if precomputed is not None:
+        b_banded, b_sh = precomputed
+    else:
+        b_banded, b_sh = minhash_band_index(
+            batch, num_hashes, bands, text_col, id_col, n
+        )
     all_banded = index_banded.unionByName(b_banded)
     right = b_banded.select(
         F.col("band").alias("band_b"),

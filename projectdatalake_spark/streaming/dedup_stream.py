@@ -25,11 +25,30 @@ from pyspark.sql import DataFrame, functions as F
 
 _BANDED_SCHEMA = "doc_id long, band int, bkey long"
 _SH_SCHEMA = "doc_id long, sh array<string>"
+# banded-index directory buckets: batch_id=N/bq=M, bq = pmod(xxhash64(
+# band, bkey), _N_BUCKETS). A batch's candidate join needs only the
+# buckets its own band rows hash into, so the index read partition-prunes
+# to those directories — at 100 TB raise the bucket count so each stays
+# executor-sized; the pruning mechanics are identical.
+_N_BUCKETS = 16
 
 
-def _read_indexed(spark, path: str, schema: str, before_batch: int) -> DataFrame:
+def _bucket_of(band, bkey):
+    return F.pmod(F.xxhash64(band, bkey), F.lit(_N_BUCKETS)).cast("int")
+
+
+def _read_indexed(
+    spark,
+    path: str,
+    schema: str,
+    before_batch: int,
+    buckets: list[int] | None = None,
+) -> DataFrame:
     """Index rows from batches strictly before ``before_batch`` (replay
-    safety), or an empty frame when nothing is indexed yet.
+    safety), or an empty frame when nothing is indexed yet. ``buckets``
+    (banded index only) prunes the scan to the given ``bq`` partition
+    directories — candidates require (band, bkey) equality, hence equal
+    bucket, so the pruning is exact.
 
     Only a MISSING path means "nothing indexed" — any other read failure
     (corruption, transient IO) must propagate so the micro-batch fails
@@ -41,13 +60,18 @@ def _read_indexed(spark, path: str, schema: str, before_batch: int) -> DataFrame
     fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
     if not fs.exists(hpath):
         return spark.createDataFrame([], schema)
-    return (
+    read_schema = schema + ", batch_id int"
+    if buckets is not None:
+        read_schema += ", bq int"
+    df = (
         spark.read.option("basePath", path)
-        .schema(schema + ", batch_id int")
+        .schema(read_schema)
         .parquet(path)
         .filter(F.col("batch_id") < before_batch)
-        .drop("batch_id")
     )
+    if buckets is not None:
+        df = df.filter(F.col("bq").isin(buckets)).drop("bq")
+    return df.drop("batch_id")
 
 
 def minhash_dedup_stream(
@@ -62,35 +86,58 @@ def minhash_dedup_stream(
 ):
     """Start the streaming dedup query over a (doc_id, text) stream.
     Pairs land under ``pairs_dir/batch_id=N``; the index accumulates
-    under ``index_dir/{banded,shingles}/batch_id=N``. ``ordered=False``
+    under ``index_dir/banded/batch_id=N/bq=M`` (bucketed — see 100 TB
+    note) and ``index_dir/shingles/batch_id=N``. ``ordered=False``
     apply mode: file sources batch by discovery order, not doc id, so
     a later batch may carry smaller ids — both join directions are
     taken and pairs canonicalize to (least, greatest).
 
     100 TB: the recurring cost is the batch's band rows joined against
-    matching index buckets (store the index bucketed by (band, bkey)
-    on a real deployment) — the corpus is never rescanned."""
-    from projectdatalake_spark.operators.dedup import minhash_lsh_apply_batch
+    ONLY the index buckets they hash into — the banded index lives
+    bucketed on disk (``batch_id=N/bq=M``) and each micro-batch first
+    derives its own band rows, collects the ≤ ``_N_BUCKETS`` touched
+    bucket ids (metadata-grain), and partition-prunes the index scan to
+    those directories (plan-asserted in tests). The shingle index is
+    read unpruned by necessity: verification joins resolve CANDIDATE ids,
+    which may live in any bucket. The corpus is never rescanned."""
+    from projectdatalake_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_lsh_apply_batch,
+    )
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df = batch_df.persist()
+        b_banded = b_sh = None
         try:
+            # batch band rows FIRST: their bucket set drives index pruning
+            b_banded, b_sh = minhash_band_index(
+                batch_df, num_hashes, bands
+            )
+            b_banded = b_banded.withColumn(
+                "bq", _bucket_of(F.col("band"), F.col("bkey"))
+            ).persist()
+            b_sh = b_sh.persist()
+            touched = sorted(
+                r.bq for r in b_banded.select("bq").distinct().collect()
+            )
             banded = _read_indexed(
-                spark, f"{index_dir}/banded", _BANDED_SCHEMA, batch_id
+                spark, f"{index_dir}/banded", _BANDED_SCHEMA, batch_id,
+                buckets=touched,
             )
             shingles = _read_indexed(
                 spark, f"{index_dir}/shingles", _SH_SCHEMA, batch_id
             )
-            pairs, b_banded, b_sh = minhash_lsh_apply_batch(
+            pairs, _, _ = minhash_lsh_apply_batch(
                 banded, shingles, batch_df, threshold,
                 num_hashes=num_hashes, bands=bands, ordered=False,
+                precomputed=(b_banded.drop("bq"), b_sh),
             )
             # batch-id-stamped overwrites: replays rewrite their own dirs
             pairs.write.mode("overwrite").parquet(
                 f"{pairs_dir}/batch_id={batch_id}"
             )
-            b_banded.write.mode("overwrite").parquet(
+            b_banded.write.partitionBy("bq").mode("overwrite").parquet(
                 f"{index_dir}/banded/batch_id={batch_id}"
             )
             b_sh.write.mode("overwrite").parquet(
@@ -98,6 +145,9 @@ def minhash_dedup_stream(
             )
         finally:
             batch_df.unpersist()
+            for cached in (b_banded, b_sh):
+                if cached is not None:
+                    cached.unpersist()
 
     writer = docs_stream.writeStream.foreachBatch(commit_batch).option(
         "checkpointLocation", checkpoint_dir
