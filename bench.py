@@ -242,6 +242,7 @@ EXTENDED = [
     "delta_ndv_informed_join",
     "stream_minhash_dedup_incremental",
     "survival_kaplan_meier",
+    "star_ndv_join_ordering",
 ]
 
 # Apply-only rungs measure STEADY-STATE cost: their fit-once index builds

@@ -15117,3 +15117,76 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.select("d", "churned", "at_risk", F.round(s, 6).alias("survival"))
         .orderBy("d")
     )
+
+
+@query(
+    "star_ndv_join_ordering",
+    oracle="""
+    SELECT p_brand, count(*) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) AS total
+    FROM lineitem
+    JOIN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 10 = 0) s
+      ON l_suppkey = s_suppkey
+    JOIN (SELECT p_partkey, p_brand FROM part WHERE p_size <= 10) p
+      ON l_partkey = p_partkey
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def star_ndv_join_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDV-INFORMED STAR-JOIN ORDERING — the second CBO-style stats
+    consumer ([[iceberg_ndv_informed_join]] is the single-join first):
+    lineitem joins TWO filtered dims, both registered as Iceberg tables
+    with puffin NDV stats, through `ndv_informed_star_join`. The dims
+    are passed WORST-FIRST (part: ~20% key selectivity, then supplier:
+    ~10%); the planner flips them from stored NDVs — supplier
+    semi-reduces and joins first so the part join runs over the
+    already-10%-reduced fact — and broadcasts both (ndv × key_bytes
+    under budget). Catalyst without CBO stats keeps syntactic order;
+    the flip is plan-asserted in tests/test_iceberg_interop.py. Inner
+    joins commute, so the aggregate hash-matches the fixed-order SQL.
+
+    100 TB: join order is THE lever on a star — shuffling the fact at
+    full width vs at 10% width differ by ~2x total bytes; NDV stats
+    make the choice O(metadata) with zero data read."""
+    import tempfile
+
+    from projectdatalake_spark.sources.iceberg_interop import (
+        IcebergTable,
+        ndv_informed_star_join,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_extendedprice"
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 10 == 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    prt = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 10)
+        .select(F.col("p_partkey").alias("l_partkey"), "p_brand")
+    )
+    base = tempfile.mkdtemp(prefix="starndv_")
+    fact_t = IcebergTable.create(spark, base + "/fact", li.repartition(4))
+    fact_t.write_stats(["l_suppkey", "l_partkey"], k=65536)
+    s_t = IcebergTable.create(spark, base + "/supp", supp)
+    s_t.write_stats(["l_suppkey"], k=65536)
+    p_t = IcebergTable.create(spark, base + "/part", prt)
+    p_t.write_stats(["l_partkey"], k=65536)
+    joined = ndv_informed_star_join(
+        fact_t.snapshot(), fact_t,
+        [(p_t, "l_partkey"), (s_t, "l_suppkey")],  # deliberately worst-first
+    )
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(27,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("p_brand")
+    )

@@ -766,6 +766,73 @@ def ndv_semi_reduce_join(
     return fact.join(dim, key, how)
 
 
+def ndv_informed_star_join(
+    fact: DataFrame,
+    fact_stats,  # duck-typed: ndv(col) — the fact table's stats source
+    dims: list[tuple],  # [(dim_table, key)], dim_table: ndv(col)+snapshot()
+    key_bytes: int = 16,
+    max_broadcast_bytes: int = 8 << 20,
+    assume_unique_keys: bool = True,
+) -> DataFrame:
+    """NDV-informed MULTI-JOIN PLANNING over a star — the second
+    CBO-style stats consumer: given a fact and several inner-join dims,
+    stored NDVs (puffin / txlog set_stats / Delta domainMetadata — any
+    table exposing ``ndv()``) pick BOTH the join ORDER and the physical
+    strategy per dim, decisions Catalyst cannot make without CBO
+    statistics (it keeps the user's syntactic join order and, with row
+    counts unknown or over threshold, shuffles everything):
+
+    - estimated selectivity of the dim-``key`` inner join is
+      ``min(1, ndv_dim(key) / ndv_fact(key))`` — under uniformity, the
+      fraction of fact rows whose key survives. Joins apply ASCENDING
+      (most reducing first) so every later, more expensive join sees the
+      smallest possible fact side. Unknown NDVs rank last at 1.0.
+    - a dim whose ``ndv × key_bytes`` clears the broadcast budget gets
+      the ``ndv_semi_reduce_join`` treatment: broadcast left-semi fact
+      reduction on its distinct keys, then a broadcast hash join —
+      a LARGE dim with a LOW-NDV key still qualifies (row counts alone
+      would shuffle it). Others join plain (shuffle, but over the
+      already-reduced fact).
+    - ``assume_unique_keys`` (the standard star contract: dim keys are
+      primary keys, so NDV == row count and NDV licensing the key-set
+      broadcast licenses the dim broadcast too) additionally broadcasts
+      the dim itself. Pass False for dims with duplicate keys — the
+      semi-reduction still broadcasts (its size IS the NDV), but the
+      main join stays a shuffle because NDV says nothing about the
+      dim's row count then.
+
+    Inner joins commute, so reordering is semantically a no-op —
+    oracle-proven by `star_ndv_join_ordering`; the order/strategy choices
+    are plan-asserted in tests/test_iceberg_interop.py.
+
+    100 TB: join order is THE lever on a star — shuffling the fact once
+    at full width and once at 10% width differ by ~2× of total bytes;
+    stats make the choice O(metadata)."""
+    ranked = []
+    for pos, (dim_table, key) in enumerate(dims):
+        nd_dim = dim_table.ndv(key)
+        nd_fact = fact_stats.ndv(key) if fact_stats is not None else None
+        if nd_dim is None or nd_fact is None or nd_fact == 0:
+            sel = 1.0  # unverifiable → assume no reduction, rank last
+        else:
+            sel = min(1.0, nd_dim / nd_fact)
+        ranked.append((sel, pos, dim_table, key, nd_dim))
+    ranked.sort(key=lambda t: (t[0], t[1]))  # pos: deterministic ties
+    out = fact
+    for sel, _pos, dim_table, key, nd_dim in ranked:
+        dim = dim_table.snapshot()
+        if nd_dim is not None and nd_dim * key_bytes <= max_broadcast_bytes:
+            out = out.join(
+                F.broadcast(dim.select(key).distinct()), key, "left_semi"
+            )
+            out = out.join(
+                F.broadcast(dim) if assume_unique_keys else dim, key, "inner"
+            )
+        else:
+            out = out.join(dim, key, "inner")
+    return out
+
+
 class IcebergTable:
     """An Iceberg v2 table under ``root`` (filesystem-catalog layout:
     ``metadata/`` + ``version-hint.text``)."""

@@ -1796,3 +1796,80 @@ def test_ndv_semi_reduce_join_plan_and_semantics(spark, root):
     assert out.count() == plain.count()
     with pytest.raises(ValueError, match="inner/semi"):
         ndv_semi_reduce_join(fact, t, "k", how="left")
+
+
+def test_ndv_informed_star_join_order_and_strategy(spark, root):
+    """The second CBO consumer — multi-join PLANNING from stored NDVs on
+    a crafted skew: dim_a is LOW-selectivity (ndv 500 of the fact's 1000
+    ka keys), dim_b HIGH-selectivity (ndv 50 of 1000 kb keys). Passed
+    worst-first, the informed plan must (a) flip the order so dim_b
+    joins FIRST (deepest in the physical tree — every later join sees
+    the reduced fact), (b) broadcast both (NDV x key_bytes under
+    budget) where Catalyst with autoBroadcastJoinThreshold=-1
+    sort-merges everything in syntactic order, and (c) equal the plain
+    fixed-order join exactly (inner joins commute)."""
+    from projectdatalake_spark.sources.iceberg_interop import (
+        ndv_informed_star_join,
+    )
+
+    fact_df = (
+        spark.range(0, 20000)
+        .select(
+            (F.col("id") % 1000).alias("ka"),
+            ((F.col("id") * 7) % 1000).alias("kb"),
+            F.col("id").alias("v"),
+        )
+        .repartition(4)
+    )
+    dim_a_df = spark.range(0, 500).select(
+        F.col("id").alias("ka"), F.concat(F.lit("a"), F.col("id")).alias("attr_a")
+    )
+    dim_b_df = spark.range(0, 50).select(
+        F.col("id").alias("kb"), F.concat(F.lit("b"), F.col("id")).alias("attr_b")
+    )
+    fact_t = IcebergTable.create(spark, root + "/fact", fact_df)
+    fact_t.write_stats(["ka", "kb"], k=4096)
+    a_t = IcebergTable.create(spark, root + "/dima", dim_a_df)
+    a_t.write_stats(["ka"], k=4096)
+    b_t = IcebergTable.create(spark, root + "/dimb", dim_b_df)
+    b_t.write_stats(["kb"], k=4096)
+    assert (fact_t.ndv("ka"), fact_t.ndv("kb")) == (1000, 1000)
+    assert (a_t.ndv("ka"), b_t.ndv("kb")) == (500, 50)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # Catalyst default on the same worst-first order: syntactic order
+        # kept (ka joins first/deepest), all SortMergeJoin
+        naive = (
+            fact_t.snapshot()
+            .join(a_t.snapshot(), "ka", "inner")
+            .join(b_t.snapshot(), "kb", "inner")
+        )
+        plan_naive = naive._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan_naive
+        # topmost (= last-executed) join prints first: kb before ka
+        assert plan_naive.index("SortMergeJoin [kb") < plan_naive.index(
+            "SortMergeJoin [ka"
+        ), plan_naive
+        informed = ndv_informed_star_join(
+            fact_t.snapshot(), fact_t, [(a_t, "ka"), (b_t, "kb")]
+        )
+        plan = informed._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan, plan  # both dims broadcast
+        # flipped: kb joins DEEPEST (prints last) despite being listed last
+        assert plan.index("BroadcastHashJoin [ka") < plan.index(
+            "BroadcastHashJoin [kb"
+        ), plan
+        got = sorted(map(tuple, informed.select("v", "attr_a", "attr_b").collect()))
+        want = sorted(map(tuple, naive.select("v", "attr_a", "attr_b").collect()))
+        assert got == want and len(got) > 0
+        # non-unique dim keys: semi-reduction still broadcasts, the main
+        # join must NOT broadcast the dim (NDV says nothing about rows)
+        shuffled = ndv_informed_star_join(
+            fact_t.snapshot(), fact_t, [(b_t, "kb")], assume_unique_keys=False
+        )
+        plan_nu = shuffled._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan_nu and "SortMergeJoin" in plan_nu
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
