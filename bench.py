@@ -243,6 +243,7 @@ EXTENDED = [
     "stream_minhash_dedup_incremental",
     "survival_kaplan_meier",
     "star_ndv_join_ordering",
+    "semantic_dedup_seeded",
 ]
 
 # Apply-only rungs measure STEADY-STATE cost: their fit-once index builds

@@ -823,6 +823,78 @@ def semantic_dedup_with_centers(
     return embeddings.join(dropped, on=id_col, how="left_anti")
 
 
+def semantic_dedup_seeded(
+    embeddings: DataFrame,
+    threshold: float = 0.6,
+    n_cells: int = 8,
+    n_assign: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup with SEED-INITIALIZED centers (KMeans init iteration 0:
+    the ``n_cells`` lowest-id vectors) — the ORACLE-BACKED rung of the
+    semantic dedup ladder, the same trick that made
+    ``topk_neighbors_ivf_seeded``/PQ hash-provable: with literal centers
+    every step (soft cell assignment, within-cell cosine pairs, the
+    smaller-id survivor rule) is a Catalyst expression a SQL engine can
+    replay value-for-value; no KMeans sits in the loop. Semantics match
+    ``semantic_dedup_with_centers`` EXACTLY for the same centers
+    (equality-gated in tests) — swapping literal seeds for trained
+    centers changes only the center constants, so this rung pins the
+    dedup machinery the trained rungs share.
+
+    Assignment ties break toward the LOWEST cell id (the IVF-seeded
+    convention: sort (score, -cell) ascending, take the last
+    ``n_assign``), mirrored in SQL as ORDER BY score DESC, cell ASC.
+
+    100 TB: identical plan shape to the trained form — assignment is a
+    scan-stage expression over literal KB-sized centers (no shuffle),
+    the pair join is confined to cells, survivors are one left_anti."""
+    seeds = (
+        embeddings.orderBy(id_col).limit(n_cells).select(id_col, vec_col)
+        .collect()
+    )
+    centers = [[float(x) for x in r[vec_col]] for r in seeds]
+    c_lits = [F.array(*[F.lit(x) for x in c]) for c in centers]
+    v = F.col(vec_col).cast("array<double>")
+    scores = F.array(
+        *[
+            F.struct(
+                (vec_dot(v, c) / F.sqrt(vec_dot(c, c))).alias("s"),
+                F.lit(-i).alias("neg"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(c_lits)
+        ]
+    )
+    top_cells = F.transform(
+        F.slice(F.array_sort(scores), -n_assign, n_assign),
+        lambda x: x["cell"],
+    )
+    assigned = embeddings.select(
+        F.col(id_col), v.alias("__v"), F.explode(top_cells).alias("cell")
+    ).withColumn("__norm", F.sqrt(vec_dot(F.col("__v"), F.col("__v"))))
+    left = assigned.select(
+        F.col(id_col).alias("id_a"), F.col("__v").alias("v_a"),
+        F.col("__norm").alias("norm_a"), "cell",
+    )
+    right = assigned.select(
+        F.col(id_col).alias("id_b"), F.col("__v").alias("v_b"),
+        F.col("__norm").alias("norm_b"), "cell",
+    )
+    cos = vec_dot(F.col("v_a"), F.col("v_b")) / (
+        F.col("norm_a") * F.col("norm_b")
+    )
+    dropped = (
+        left.join(right, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return embeddings.join(dropped, on=id_col, how="left_anti")
+
+
 def semantic_dedup_apply_batch(
     assigned: DataFrame,
     centers,

@@ -15190,3 +15190,58 @@ def star_ndv_join_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@query(
+    "semantic_dedup_seeded",
+    oracle="""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 8)
+    ),
+    assigned AS (
+      SELECT e.vec_id, e.v, s.cell
+      FROM emb e,
+           LATERAL (SELECT cell FROM seeds s
+                    ORDER BY list_dot_product(e.v, s.c)
+                             / sqrt(list_dot_product(s.c, s.c)) DESC, s.cell
+                    LIMIT 2) s
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id AS vid
+      FROM assigned a JOIN assigned b USING (cell)
+      WHERE a.vec_id < b.vec_id
+        AND list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+    )
+    SELECT e.vec_id FROM emb e
+    WHERE e.vec_id NOT IN (SELECT vid FROM dropped)
+    ORDER BY e.vec_id
+    """,
+)
+def semantic_dedup_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-BACKED SemDeDup (the seeded-centroid twin of
+    [[semantic_dedup_survivors]], round-7 verdict item 6): centers are
+    the 8 lowest-id vectors (KMeans init iteration 0) as LITERAL arrays,
+    so soft assignment (2 nearest cells, ties to the lowest cell id),
+    within-cell cosine pairs, and the smaller-id survivor rule are all
+    Catalyst expressions DuckDB replays value-for-value — the dedup
+    machinery the trained rung shares, hash-proven instead of
+    recall-gated. Survivor ids are exact integers: no float reaches the
+    output, the threshold comparison runs on identical IEEE doubles
+    (same fold order both engines — the [[ann_topk_ivf_seeded]]
+    precedent).
+
+    100 TB: same plan as the trained form — scan-stage assignment over
+    literal KB centers, cell-confined pair join, one left_anti."""
+    from projectdatalake_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    surv = S.semantic_dedup_seeded(
+        emb, threshold=0.35, n_cells=8, n_assign=2
+    )
+    return surv.select("vec_id").orderBy("vec_id")

@@ -755,3 +755,31 @@ def test_stream_dedup_index_read_errors_propagate(spark, tmp_path):
     (corrupt_dir / "part-0.parquet").write_bytes(b"PAR1 this is not parquet")
     with pytest.raises(Exception):
         _read_indexed(spark, str(tmp_path / "idx"), _BANDED_SCHEMA, 5).count()
+
+
+def test_semantic_dedup_seeded_equals_with_centers(spark):
+    """The seeded (oracle-backed) SemDeDup rung shares the trained rung's
+    machinery: with the SAME centers (the 8 lowest-id vectors, handed to
+    semantic_dedup_with_centers as a plain matrix), survivors must be
+    IDENTICAL — the literal-center form changes only how centers are
+    expressed, never the dedup semantics."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    seeds = emb.orderBy("vec_id").limit(8).select("embedding").collect()
+    centers = np.array([[float(x) for x in r.embedding] for r in seeds])
+
+    got = {
+        r.vec_id
+        for r in S.semantic_dedup_seeded(
+            emb, threshold=0.35, n_cells=8, n_assign=2
+        ).select("vec_id").collect()
+    }
+    want = {
+        r.vec_id
+        for r in S.semantic_dedup_with_centers(
+            emb, centers, threshold=0.35, n_assign=2
+        ).select("vec_id").collect()
+    }
+    assert got == want and 0 < len(got) < emb.count()
