@@ -37,7 +37,9 @@ def grid_radius_join(
     100 TB: the left side fans out ×9 on the CELL GRAIN and the join is
     a plain equi shuffle on cell id; per-cell work is quadratic only in
     that cell's occupancy (density-bounded, like every spatial index),
-    never in the dataset. Skewed hotspots salt like any other hot key.
+    never in the dataset. Skewed hotspots salt like any other hot key —
+    ``grid_radius_join_salted`` is that claim as code (targeted hot-cell
+    salting, equality- and distribution-gated).
     """
     cell_x = F.floor(F.col(x_col) / F.lit(radius))
     cell_y = F.floor(F.col(y_col) / F.lit(radius))
@@ -75,6 +77,107 @@ def grid_radius_join(
     )
     return (
         neigh.join(right, ["__cx", "__cy"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", dist.alias("dist"))
+        .filter(F.col("dist") <= F.lit(radius))
+    )
+
+
+def grid_radius_join_salted(
+    points: DataFrame,
+    radius: float,
+    n_salt: int = 8,
+    hot_threshold: int = 1000,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """``grid_radius_join`` with HOT-CELL SALTING — the proof of the
+    plain form's "skewed hotspots salt like any other hot key" claim:
+    cells whose occupancy exceeds ``hot_threshold`` (a real-world
+    downtown in a city-scale radius join) would otherwise send their
+    entire quadratic pair workload to ONE reducer; here the right side
+    of each hot cell splits into ``n_salt`` deterministic salt groups
+    (``xxhash64(id) mod n_salt``) and the left neighborhood rows
+    replicate across all of them, so the join key becomes
+    (cx, cy, salt) and the hot cell's work spreads over ``n_salt``
+    tasks. Cold cells keep salt 0 on both sides — no extra fan-out
+    where there is no skew (targeted salting, the manual twin of AQE's
+    skew-join split). Each pair still meets exactly once: the right
+    row's (cell, salt) is a single key, and the left row visits every
+    salt of that cell. Result EXACTLY equals ``grid_radius_join``
+    (equality + distribution gates in tests/test_scale_ops.py).
+
+    100 TB: occupancy counting is one cell-grain aggregate (tiny,
+    broadcast back); the ×n_salt replication applies ONLY to rows whose
+    neighborhood touches a hot cell, bounded by n_salt × hot share."""
+    cell_x = F.floor(F.col(x_col) / F.lit(radius))
+    cell_y = F.floor(F.col(y_col) / F.lit(radius))
+    base = points.select(
+        F.col(id_col), F.col(x_col).alias("__x"), F.col(y_col).alias("__y"),
+        cell_x.alias("__cx"), cell_y.alias("__cy"),
+    )
+    hot = (
+        base.groupBy("__cx", "__cy")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > hot_threshold)
+        .select("__cx", "__cy", F.lit(True).alias("__hot"))
+    )
+    right = (
+        base.select(
+            F.col(id_col).alias("id2"),
+            F.col("__x").alias("x2"), F.col("__y").alias("y2"),
+            "__cx", "__cy",
+        )
+        .join(F.broadcast(hot), ["__cx", "__cy"], "left")
+        .withColumn(
+            "__salt",
+            F.when(
+                F.col("__hot").isNotNull(),
+                F.pmod(F.xxhash64(F.col("id2")), F.lit(n_salt)).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("__hot")
+    )
+    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    neigh = (
+        base.select(
+            F.col(id_col).alias("id1"),
+            F.col("__x").alias("x1"), F.col("__y").alias("y1"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            (F.col("__cx") + F.lit(dx)).alias("cx"),
+                            (F.col("__cy") + F.lit(dy)).alias("cy"),
+                        )
+                        for dx, dy in offsets
+                    ]
+                )
+            ).alias("c"),
+        )
+        .select(
+            "id1", "x1", "y1",
+            F.col("c.cx").alias("__cx"), F.col("c.cy").alias("__cy"),
+        )
+        .join(F.broadcast(hot), ["__cx", "__cy"], "left")
+        .withColumn(
+            "__salts",
+            F.when(
+                F.col("__hot").isNotNull(),
+                F.sequence(F.lit(0), F.lit(n_salt - 1)),
+            ).otherwise(F.array(F.lit(0))),
+        )
+        .withColumn("__salt", F.explode("__salts"))
+        .withColumn("__salt", F.col("__salt").cast("int"))
+        .drop("__hot", "__salts")
+    )
+    dist = F.sqrt(
+        (F.col("x1") - F.col("x2")) * (F.col("x1") - F.col("x2"))
+        + (F.col("y1") - F.col("y2")) * (F.col("y1") - F.col("y2"))
+    )
+    return (
+        neigh.join(right, ["__cx", "__cy", "__salt"])
         .filter(F.col("id1") < F.col("id2"))
         .select("id1", "id2", dist.alias("dist"))
         .filter(F.col("dist") <= F.lit(radius))

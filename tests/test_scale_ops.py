@@ -236,3 +236,56 @@ def test_grid_knn_query_broadcast_guard(spark):
     got = grid_knn_join(df, df.filter("id < 3"), k=2, cell=1.0,
                         max_query_rows=3)
     assert got.count() == 6
+
+
+def test_grid_radius_join_salted_hotspot(spark):
+    """The skew proof for the grid join's 'hotspots salt like any other
+    hot key' claim: 80% of points land in ONE cell. The salted variant
+    must (a) equal brute force and the unsalted form EXACTLY, (b) carry
+    the salt in the join key (plan), and (c) actually split the hot
+    cell's right side across all n_salt groups with no group holding
+    more than a fair share — while cold cells stay unreplicated."""
+    import random
+
+    from projectdatalake_spark.operators.spatial import (
+        grid_radius_join,
+        grid_radius_join_salted,
+    )
+
+    rng = random.Random(7)
+    pts = [(i, rng.random(), rng.random()) for i in range(800)]  # hot cell
+    pts += [
+        (800 + i, 5.0 + 20.0 * rng.random(), 5.0 + 20.0 * rng.random())
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(pts, "id long, x double, y double").repartition(8)
+    n_salt, hot_threshold = 8, 100
+    salted = grid_radius_join_salted(
+        df, radius=1.0, n_salt=n_salt, hot_threshold=hot_threshold
+    )
+    got = {(r.id1, r.id2) for r in salted.collect()}
+    want_brute = {
+        (a[0], b[0])
+        for i, a in enumerate(pts)
+        for b in pts[i + 1 :]
+        if (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2 <= 1.0
+    }
+    assert got == want_brute and len(got) > 100_000
+    plain = {(r.id1, r.id2) for r in grid_radius_join(df, radius=1.0).collect()}
+    assert got == plain
+    # plan: the equi-join key includes the salt
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan, plan
+    # distribution: the hot cell's right side spreads over ALL salt
+    # groups, each within 2x of the fair share; cold cells keep salt 0
+    cell = F.floor(F.col("x") / F.lit(1.0))
+    hot_ids = df.filter((cell == 0) & (F.floor(F.col("y")) == 0))
+    groups = (
+        hot_ids.select(
+            F.pmod(F.xxhash64(F.col("id")), F.lit(n_salt)).cast("int").alias("s")
+        )
+        .groupBy("s").count().collect()
+    )
+    assert len(groups) == n_salt
+    fair = 800 / n_salt
+    assert max(r["count"] for r in groups) <= 2 * fair
