@@ -244,6 +244,10 @@ EXTENDED = [
     "survival_kaplan_meier",
     "star_ndv_join_ordering",
     "semantic_dedup_seeded",
+    "graph_bfs_distances",
+    "ts_theil_sen_trend",
+    "sketch_intersection_ndv",
+    "ts_cross_corr_leadlag",
 ]
 
 # Apply-only rungs measure STEADY-STATE cost: their fit-once index builds

@@ -251,3 +251,51 @@ def kcore(edges: DataFrame, k: int, max_iterations: int = 50) -> DataFrame:
     raise RuntimeError(
         f"k-core peeling did not converge in {max_iterations} rounds"
     )
+
+
+def bfs_distances(
+    edges: DataFrame, source: int, max_hops: int = 5
+) -> DataFrame:
+    """Unweighted shortest-path distances from ``source`` by
+    LEVEL-SYNCHRONOUS BFS (the Pregel/GraphX frontier form): each round
+    joins the current frontier against the adjacency list, anti-joins
+    out already-visited nodes, and stamps the hop count — a node's
+    recorded distance is minimal by construction (it is found at the
+    first level that reaches it). Returns (node, dist) for every node
+    within ``max_hops`` of the source, source included at dist 0.
+
+    Hash-provable: distances are exact integers and the algorithm is
+    deterministic, so a SQL engine can replay it with a recursive CTE
+    (UNION-deduped) + MIN(dist) — the oracle for `graph_bfs_distances`,
+    the engine's one driver-proven ITERATIVE query.
+
+    Scale shape: each level is ONE equi-join on the frontier key + one
+    anti-join against the visited set (both shuffle on node id); rounds
+    = graph diameter capped by ``max_hops``, never graph size. The
+    frontier localCheckpoints eagerly each level — the CC/k-core loop
+    guard — so plans stay flat however deep the graph."""
+    adj = (
+        edges.select(F.col("u").alias("s"), F.col("v").alias("d"))
+        .unionAll(edges.select(F.col("v").alias("s"), F.col("u").alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(int(source), 0)], "node long, dist int"
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(adj, frontier["node"] == adj["s"])
+            .select(F.col("d").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .select("node", F.lit(hop).cast("int").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return dist

@@ -15245,3 +15245,256 @@ def semantic_dedup_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, threshold=0.35, n_cells=8, n_assign=2
     )
     return surv.select("vec_id").orderBy("vec_id")
+
+
+@query(
+    "graph_bfs_distances",
+    oracle="""
+    WITH RECURSIVE und AS (
+      SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    src AS (SELECT min(l_partkey) AS v FROM lineitem),
+    bfs AS (
+      SELECT (SELECT v FROM src) AS node, 0 AS dist
+      UNION
+      SELECT e.d AS node, b.dist + 1 AS dist
+      FROM bfs b JOIN und e ON e.s = b.node
+      WHERE b.dist < 3
+    )
+    SELECT node, CAST(min(dist) AS INT) AS dist
+    FROM bfs GROUP BY node ORDER BY node
+    """,
+)
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS SHORTEST-PATH DISTANCES over the co-purchase graph (parts
+    adjacent when they share an order), from the lowest part id — the
+    engine's first driver-proven ITERATIVE query: the level-synchronous
+    frontier loop (operators/graph.bfs_distances) replays in DuckDB as a
+    UNION-deduped recursive CTE + MIN(dist), and distances are exact
+    integers, so the hash gate covers an algorithm class (fixpoint
+    iteration) the one-shot queries cannot.
+
+    100 TB: each level is one frontier equi-join + one visited
+    anti-join, both shuffling on node id; rounds track graph DIAMETER
+    (co-purchase graphs are shallow — hop 3 saturates), never node
+    count; frontiers localCheckpoint so plans stay flat."""
+    from projectdatalake_spark.operators import graph as G
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = G.copurchase_edges(li)
+    source = li.agg(F.min("l_partkey")).collect()[0][0]
+    return (
+        G.bfs_distances(edges, int(source), max_hops=3)
+        .select("node", F.col("dist").cast("int").alias("dist"))
+        .orderBy("node")
+    )
+
+
+@query(
+    "ts_theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS c
+      FROM orders GROUP BY 1
+    ),
+    slopes AS (
+      SELECT (b.c - a.c) / CAST(datediff('day', a.d, b.d) AS DOUBLE) AS slope,
+             a.d AS d1, b.d AS d2
+      FROM daily a JOIN daily b ON a.d < b.d
+    ),
+    ranked AS (
+      SELECT slope,
+             row_number() OVER (ORDER BY slope, d1, d2) AS r,
+             count(*) OVER () AS n
+      FROM slopes
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs, ROUND(slope, 9) AS sen_slope
+    FROM ranked WHERE r = (n + 1) // 2
+    """,
+)
+def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL-SEN ROBUST TREND of the daily order-count series: the
+    median of all pairwise slopes (Sen 1968) — outlier days move OLS by
+    their magnitude, the pairwise-slope median only by their count
+    (breakdown point 29%). Determinism: slopes are int-difference /
+    int-daycount divisions (bitwise identical both engines); the median
+    is the LOWER median by rank (n+1)//2 with (slope, d1, d2)
+    tie-breaks — a pure selection, no averaging of middle elements
+    (the float-fold discipline from queries.py's header).
+
+    100 TB: rows reduce to the DAY grain first (one shuffle); the
+    O(days²) pair space (~3M at 7 years) is a self-join on the tiny
+    aggregated frame, embarrassingly parallel; the single global median
+    runs on the pair grain via one window."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.to_date("o_orderdate").alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    a = daily.select(F.col("d").alias("d1"), F.col("c").alias("c1"))
+    b = daily.select(F.col("d").alias("d2"), F.col("c").alias("c2"))
+    slopes = (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .select(
+            (
+                (F.col("c2") - F.col("c1"))
+                / F.datediff("d2", "d1").cast("double")
+            ).alias("slope"),
+            "d1", "d2",
+        )
+    )
+    w = Window.orderBy("slope", "d1", "d2")
+    ranked = slopes.select(
+        "slope",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    return ranked.filter(
+        F.col("r") == F.floor((F.col("n") + 1) / 2)
+    ).select(
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round("slope", 9).alias("sen_slope"),
+    )
+
+
+@query(
+    "sketch_intersection_ndv",
+    oracle="""
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderdate < TIMESTAMP '1995-01-01'),
+         b AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1995-01-01')
+    SELECT
+      (SELECT count(*) FROM a) AS ndv_early,
+      (SELECT count(*) FROM b) AS ndv_late,
+      (SELECT count(*) FROM (SELECT o_custkey FROM a
+                             INTERSECT SELECT o_custkey FROM b)) AS ndv_both
+    """,
+)
+def sketch_intersection_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THETA-SKETCH INTERSECTION (the DataSketches a-n-b family): the
+    distinct customer sets of the pre-1995 and 1995+ order eras are
+    sketched INDEPENDENTLY (two linear passes, k+1 longs each to the
+    driver) and intersected sketch-side — set algebra on summaries, no
+    re-scan, the question "how many customers span both eras" answered
+    from O(k) state. With both sketches in exact mode the intersection
+    is an exact distinct-set intersection, so all three NDVs hash-match
+    COUNT(DISTINCT)/INTERSECT ground truth; at estimation scale the
+    same code path degrades to the |common|/theta estimator.
+
+    100 TB: the mergeable-summary pattern — per-era (or per-partition)
+    sketches build once, and every pairwise overlap question afterwards
+    is driver-side set algebra instead of a distinct-join."""
+    from projectdatalake_spark.sources.puffin import column_theta_sketch
+
+    o = _t(spark, sf_dir, "orders")
+    early = o.filter(F.col("o_orderdate") < "1995-01-01").select("o_custkey")
+    late = o.filter(F.col("o_orderdate") >= "1995-01-01").select("o_custkey")
+    sk_a = column_theta_sketch(early, "o_custkey", k=16384)
+    sk_b = column_theta_sketch(late, "o_custkey", k=16384)
+    both = sk_a.intersect(sk_b)
+    return spark.createDataFrame(
+        [(
+            int(round(sk_a.estimate())),
+            int(round(sk_b.estimate())),
+            int(round(both.estimate())),
+        )],
+        "ndv_early long, ndv_late long, ndv_both long",
+    )
+
+
+@query(
+    "ts_cross_corr_leadlag",
+    oracle="""
+    WITH x AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events WHERE event_type = 'click' GROUP BY d
+    ),
+    y AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY d
+    ),
+    lags AS (SELECT CAST(range AS INT) AS lag FROM range(-7, 8)),
+    j AS (
+      SELECT l.lag, x.x, y.y
+      FROM lags l
+      JOIN x ON TRUE
+      JOIN y ON y.d = x.d + CAST(l.lag AS INT)
+    ),
+    s AS (
+      SELECT lag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM j GROUP BY lag
+    )
+    SELECT lag, CAST(n AS BIGINT) AS n_days,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN round(
+                  (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                     * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                  6)
+           END AS xcorr
+    FROM s ORDER BY lag
+    """,
+)
+def ts_cross_corr_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-CORRELATION LEAD-LAG SCAN between two daily event series
+    (clicks vs purchases): corr(x_d, y_{d+lag}) for lag ∈ [-7, 7] — the
+    "does one series lead the other, and by how much" diagnostic
+    (the argmax lag is the lead estimate). Float discipline: both
+    series are integer daily counts, all five sufficient statistics
+    accumulate EXACTLY as integer sums per lag, and the only doubles
+    are the final Pearson formula + round(6) — the
+    [[rolling_corr_pairs]] recipe on the lag grain.
+
+    100 TB: events reduce to the day grain first; the lag fan-out is a
+    15-row broadcast cross join; each lag's stats are one integer
+    aggregate — cost is O(days × lags), independent of event count."""
+    ev = _t(spark, sf_dir, "events")
+    x = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    y = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    lags = spark.range(-7, 8).select(F.col("id").cast("int").alias("lag"))
+    xl = x.crossJoin(F.broadcast(lags)).select(
+        "lag", F.expr("date_add(d, lag)").alias("dy"), "x"
+    )
+    j = xl.join(y.withColumnRenamed("d", "dy"), "dy")
+    s = j.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n").cast("double") * F.col("sxy") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy")
+    vx = F.col("n").cast("double") * F.col("sxx") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx")
+    vy = F.col("n").cast("double") * F.col("syy") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy")
+    return s.select(
+        "lag",
+        F.col("n").cast("long").alias("n_days"),
+        F.when(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+            & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0),
+            F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6),
+        ).alias("xcorr"),
+    ).orderBy("lag")

@@ -169,6 +169,21 @@ class ThetaSketch:
             min(self.k, other.k), self.hashes + other.hashes, theta
         )
 
+    def intersect(self, other: "ThetaSketch") -> "ThetaSketch":
+        """Theta-sketch set INTERSECTION (the DataSketches a-n-b family's
+        other half): theta = min of the two, retained = the common
+        hashes below it. In exact mode (both thetas at max) this is an
+        exact distinct-set intersection — hash-provable against
+        COUNT(DISTINCT ... INTERSECT ...); in estimation mode the usual
+        theta estimator |common|/theta applies."""
+        theta = min(self.theta, other.theta)
+        common = set(self.hashes) & set(other.hashes)
+        out = ThetaSketch.__new__(ThetaSketch)
+        out.k = min(self.k, other.k)
+        out.theta = theta
+        out.hashes = sorted(h for h in common if h < theta)
+        return out
+
     # --- serialization (DataSketches compact layout) -----------------------
 
     def to_bytes(self) -> bytes:

@@ -1873,3 +1873,22 @@ def test_ndv_informed_star_join_order_and_strategy(spark, root):
         assert "BroadcastHashJoin" in plan_nu and "SortMergeJoin" in plan_nu
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_theta_sketch_intersection_estimation_mode(spark):
+    """intersect() beyond exact mode: two overlapping 30k-unique columns
+    sketched at k=256 must estimate their 10k-row overlap within KMV
+    error (|common below min-theta| / theta), and exact-mode
+    intersection is exactly the set intersection."""
+    from projectdatalake_spark.sources.puffin import column_theta_sketch
+
+    a = spark.range(0, 30_000).select(F.col("id").alias("u"))
+    b = spark.range(20_000, 50_000).select(F.col("id").alias("u"))
+    k = 256
+    sk = column_theta_sketch(a, "u", k).intersect(column_theta_sketch(b, "u", k))
+    est = sk.estimate()
+    assert abs(est - 10_000) / 10_000 < 0.35, est  # 2 sketches, small k
+    # exact mode: tiny sets intersect exactly
+    sa = column_theta_sketch(spark.range(0, 100), "id", 1024)
+    sb = column_theta_sketch(spark.range(60, 200), "id", 1024)
+    assert sa.intersect(sb).estimate() == 40.0
