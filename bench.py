@@ -248,6 +248,7 @@ EXTENDED = [
     "ts_theil_sen_trend",
     "sketch_intersection_ndv",
     "ts_cross_corr_leadlag",
+    "stream_left_outer_join",
 ]
 
 # Apply-only rungs measure STEADY-STATE cost: their fit-once index builds

@@ -15498,3 +15498,73 @@ def ts_cross_corr_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6),
         ).alias("xcorr"),
     ).orderBy("lag")
+
+
+@query(
+    "stream_left_outer_join",
+    oracle="""
+    WITH cutoff AS (
+      SELECT least(
+        (SELECT max(CAST(ts AS TIMESTAMP)) FROM events
+          WHERE event_type = 'click'),
+        (SELECT max(CAST(ts AS TIMESTAMP)) FROM events
+          WHERE event_type = 'purchase')
+      ) - INTERVAL 3 HOURS - INTERVAL 1 SECOND AS t
+    )
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id,
+           CAST(c.ts AS TIMESTAMP) AS click_ts,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           p.value AS purchase_value
+    FROM events c LEFT JOIN events p
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase'
+     AND CAST(p.ts AS TIMESTAMP) >  CAST(c.ts AS TIMESTAMP)
+     AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click'
+      AND CAST(c.ts AS TIMESTAMP) < (SELECT t FROM cutoff)
+    """,
+)
+def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join driven to completion — the
+    conversion question [[stream_stream_join]] cannot ask: which clicks
+    converted to NOTHING within the hour. Unmatched clicks emit
+    null-purchase rows only when the watermark PROVES no future purchase
+    can match (that proof is what keeps outer-join state bounded — the
+    row leaves the store at emission). Equality with the batch LEFT JOIN
+    is therefore region-qualified: both sides clip to clicks older than
+    the final watermark minus the horizon — and the final watermark is
+    the MIN across both sides (each side watermarks its own max event
+    time − 2h), so the cutoff is least(max click ts, max purchase ts)
+    − 3h, less a 1 s guard for the watermark's ms truncation. The tail's
+    verdicts are simply not yet due; Spark's end-of-stream no-data batch
+    flushes the final evictions before the query stops.
+
+    100 TB: state per side ≈ rows inside (watermark + horizon) exactly
+    as the inner form; the outer semantics add eviction-time emission,
+    not state."""
+    from projectdatalake_spark import streaming as ST
+    from projectdatalake_spark.streaming.events import (
+        stream_stream_interval_join_left,
+    )
+
+    stream = ST.read_events_stream(spark, sf_dir)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    joined = stream_stream_interval_join_left(clicks, purchases)
+    out = ST.run_available_now(joined, output_mode="append", state_partitions=8)
+    ev = _t(spark, sf_dir, "events")
+    cutoff = ev.agg(
+        (
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            )
+            - F.expr("INTERVAL 3 HOURS")
+            - F.expr("INTERVAL 1 SECOND")
+        ).alias("t")
+    )
+    return out.join(
+        F.broadcast(cutoff), F.col("click_ts") < F.col("t")
+    ).drop("t")

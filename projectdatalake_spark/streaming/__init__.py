@@ -8,5 +8,6 @@ from projectdatalake_spark.streaming.events import (  # noqa: F401
     session_window_agg,
     sliding_window_agg,
     stream_stream_interval_join,
+    stream_stream_interval_join_left,
     tumbling_window_agg,
 )

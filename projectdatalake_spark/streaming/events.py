@@ -232,3 +232,59 @@ def stream_stream_interval_join(
         F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
         "purchase_value",
     )
+
+
+def stream_stream_interval_join_left(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the inner form plus the
+    unanswered question it cannot ask: which clicks converted to NOTHING
+    within the horizon. An unmatched click is emitted (null purchase
+    columns) only once the watermark proves no future purchase can still
+    match it, which is the semantics that makes outer streaming joins
+    state-bounded: the row leaves the state store at emission.
+
+    The bounded-replay contract is therefore REGION-qualified: rows
+    whose click_ts lies within (watermark + horizon) of the stream's
+    end may still be awaiting a match when the query stops, so equality
+    with the batch LEFT JOIN holds exactly on clicks older than that
+    tail — callers comparing against batch truth must clip both sides
+    (the `stream_left_outer_join` oracle does).
+
+    100 TB: identical state bound to the inner form — per side ≈ rows
+    inside (watermark + horizon); the outer semantics add no state,
+    only the eviction-time null emission."""
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+        "leftOuter",
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        "purchase_value",
+    )
