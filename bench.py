@@ -249,6 +249,7 @@ EXTENDED = [
     "sketch_intersection_ndv",
     "ts_cross_corr_leadlag",
     "stream_left_outer_join",
+    "delta_row_tracking",
 ]
 
 # Apply-only rungs measure STEADY-STATE cost: their fit-once index builds

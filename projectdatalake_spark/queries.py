@@ -15568,3 +15568,79 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.join(
         F.broadcast(cutoff), F.col("click_ts") < F.col("t")
     ).drop("t")
+
+
+@query(
+    "delta_row_tracking",
+    oracle="""
+    WITH b1 AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    b2 AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 3 = 1
+    ),
+    ids AS (
+      SELECT o_orderkey, o_orderpriority, price,
+             row_number() OVER (ORDER BY o_orderkey) - 1 AS row_id,
+             CAST(1 AS BIGINT) AS row_commit_version
+      FROM b1
+      UNION ALL
+      SELECT o_orderkey, o_orderpriority, price,
+             (SELECT count(*) FROM b1)
+               + row_number() OVER (ORDER BY o_orderkey) - 1,
+             CAST(2 AS BIGINT)
+      FROM b2
+    )
+    SELECT o_orderkey, CAST(row_id AS BIGINT) AS row_id,
+           row_commit_version, price
+    FROM ids
+    WHERE o_orderpriority <> '1-URGENT'
+    ORDER BY row_id
+    """,
+)
+def delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELTA ROW TRACKING (PROTOCOL.md "Row Tracking"): enabling
+    BACKFILLS baseRowId/defaultRowCommitVersion onto the live adds
+    (dataChange=false re-commit, path order, numRecords stats) and seeds
+    the delta.rowTracking rowIdHighWaterMark domain; a later append
+    allocates fresh ids above the mark in the SAME commit that advances
+    it; a merge-on-read DV DELETE then removes rows WITHOUT moving any
+    survivor's id — the position-based fresh-id rule (row_id =
+    baseRowId + _metadata.row_index) is exactly what makes ids stable
+    under masking. The oracle replays the allocation arithmetic
+    (row_number per sorted single-file batch, offset by the first
+    batch's count) and the delete, then both engines must agree on
+    every (key, row_id, commit_version) triple.
+
+    100 TB: id materialization is one O(#files) broadcast map join on
+    the scan — no shuffle; allocation is O(metadata) per commit."""
+    import tempfile
+
+    from projectdatalake_spark.sources.delta_interop import DeltaTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    b1 = (
+        o.filter(F.col("o_orderkey") % 3 == 0)
+        .coalesce(1).sortWithinPartitions("o_orderkey")
+    )
+    b2 = (
+        o.filter(F.col("o_orderkey") % 3 == 1)
+        .coalesce(1).sortWithinPartitions("o_orderkey")
+    )
+    root = tempfile.mkdtemp(prefix="rowtrack_") + "/t"
+    t = DeltaTable.create(spark, root, b1)      # v0
+    t.enable_row_tracking()                      # v1: backfill, dcv=1
+    t.append(b2)                                 # v2: fresh ids above hwm
+    t.delete_where_dv("o_orderpriority = '1-URGENT'")  # v3: ids stable
+    return (
+        t.snapshot_with_row_ids()
+        .select("o_orderkey", "row_id", "row_commit_version", "price")
+        .orderBy("row_id")
+    )

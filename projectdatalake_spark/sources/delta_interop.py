@@ -77,7 +77,9 @@ _CKPT_ADD_T = (
     "modificationTime:bigint,dataChange:boolean,stats:string,"
     "tags:map<string,string>,"
     "deletionVector:struct<storageType:string,pathOrInlineDv:string,"
-    "offset:int,sizeInBytes:int,cardinality:bigint>>"
+    "offset:int,sizeInBytes:int,cardinality:bigint>,"
+    # row tracking (spec add fields; null when the feature is off)
+    "baseRowId:bigint,defaultRowCommitVersion:bigint>"
 )
 _CKPT_META_T = (
     "struct<id:string,name:string,description:string,"
@@ -1498,8 +1500,17 @@ class DeltaTable:
             if txn is not None:
                 actions.append({"txn": {"appId": txn[0], "version": txn[1],
                                         "lastUpdated": int(time.time() * 1000)}})
+            if self.row_tracking_enabled(state):
+                # allocate baseRowIds against a FRESH state so the
+                # high-water mark and the target version come from the
+                # same log read — a racer landing on v makes _publish
+                # conflict and the retry re-allocates against its mark
+                state_now = self._state()
+                v = state_now["version"] + 1
+                actions.extend(self._row_tracking_actions(adds, state_now, v))
+            else:
+                v = self.latest_version() + 1
             actions.extend({"add": a} for a in adds)
-            v = self.latest_version() + 1
             try:
                 self._publish(v, actions)
                 return v
@@ -1509,6 +1520,7 @@ class DeltaTable:
 
     def overwrite(self, df: DataFrame) -> int:
         state = self._state()
+        self._refuse_row_tracking_rewrite("overwrite")
         self._refuse_mapped(state["metaData"], "overwrite")
         df = self._apply_defaults(df, state["metaData"])
         df = self._apply_generated(df, state["metaData"])
@@ -1535,6 +1547,7 @@ class DeltaTable:
         idempotent-rerun primitive (a failed job re-runs without doubling
         rows, untouched partitions keep their add actions byte-identical).
         ``partition_values`` maps partition column → allowed value(s)."""
+        self._refuse_row_tracking_rewrite("replace_where")
         state = self._state()
         self._refuse_mapped(state["metaData"], "replace_where")
         meta = state["metaData"]
@@ -1618,6 +1631,7 @@ class DeltaTable:
         tip surfaces as DeltaCommitConflict (recompute and retry), never
         a silent drop of either side's rows. A pure-insert merge (no
         matches) degrades to blind-append semantics and may auto-retry."""
+        self._refuse_row_tracking_rewrite("merge_upsert")
         state = self._state()
         meta = state["metaData"]
         self._refuse_mapped(meta, "merge_upsert")
@@ -2025,6 +2039,7 @@ class DeltaTable:
         clustered column at once — multi-column file skipping from one
         layout. ``target_files`` bounds the rewrite's output count per
         partition group."""
+        self._refuse_row_tracking_rewrite("optimize")
         state = self._state()
         self._check_readable(state)
         meta = state["metaData"]
@@ -2223,6 +2238,186 @@ class DeltaTable:
 
     _CLUSTER_DOMAIN = "delta.clustering"
 
+    _ROW_TRACKING_DOMAIN = "delta.rowTracking"
+
+    def row_tracking_enabled(self, state: dict | None = None) -> bool:
+        state = state or self._state()
+        cfg = (state["metaData"] or {}).get("configuration") or {}
+        return cfg.get("delta.enableRowTracking") == "true"
+
+    def _row_id_high_water_mark(self, state: dict) -> int:
+        cfg = state["domains"].get(self._ROW_TRACKING_DOMAIN)
+        if not cfg:
+            return -1
+        return int(json.loads(cfg).get("rowIdHighWaterMark", -1))
+
+    def enable_row_tracking(self) -> int:
+        """ROW TRACKING (Delta PROTOCOL.md "Row Tracking"): every add
+        action carries ``baseRowId`` + ``defaultRowCommitVersion``, and a
+        row's FRESH id is baseRowId + its physical position in the file —
+        position-based, so merge-on-read DV deletes never move surviving
+        ids. The ``delta.rowTracking`` domain records the
+        ``rowIdHighWaterMark`` (highest id ever allocated) that each
+        allocating commit must advance.
+
+        Enabling BACKFILLS the live table: one commit re-adds every
+        active file (dataChange=false) with fresh baseRowIds assigned in
+        path order from the files' numRecords stats, upgrades the
+        protocol (writerFeatures += rowTracking/domainMetadata), sets
+        ``delta.enableRowTracking`` and seeds the high-water mark.
+
+        Scope (loud, not silent): after enabling, appends and DV deletes
+        allocate/preserve ids; file-REWRITING ops (optimize, recluster,
+        overwrite, replace_where, merge) refuse — preserving ids across
+        a rewrite needs the materialized-row-id column this writer does
+        not emit yet."""
+        state = self._state()
+        if self.row_tracking_enabled(state):
+            return self.latest_version()
+        proto = state["protocol"] or {"minReaderVersion": 1, "minWriterVersion": 2}
+        wf = set(proto.get("writerFeatures") or [])
+        mwv = proto.get("minWriterVersion", 2)
+        if mwv < 7:
+            # upgrading to table features must enumerate legacy-implied ones
+            for lv, fs_ in _LEGACY_WRITER_FEATURES.items():
+                if mwv >= lv:
+                    wf |= fs_
+        proto = {
+            "minReaderVersion": proto.get("minReaderVersion", 1),
+            "minWriterVersion": 7,
+            "writerFeatures": sorted(wf | {"rowTracking", "domainMetadata"}),
+        }
+        meta = dict(state["metaData"])
+        meta["configuration"] = {
+            **(meta.get("configuration") or {}),
+            "delta.enableRowTracking": "true",
+        }
+        hwm = -1
+        readds = []
+        for path in sorted(state["adds"]):
+            add = dict(state["adds"][path])
+            st = self._parse_stats(add)
+            if st is None or "numRecords" not in st:
+                raise DeltaProtocolError(
+                    f"row tracking backfill needs numRecords stats on "
+                    f"{path} — rewrite the file with a stats-attaching "
+                    "writer first"
+                )
+            add["baseRowId"] = hwm + 1
+            add["defaultRowCommitVersion"] = self.latest_version() + 1
+            add["dataChange"] = False
+            hwm += int(st["numRecords"])
+            readds.append(add)
+        actions: list[dict] = [
+            {"commitInfo": self._commit_info("ENABLE ROW TRACKING")},
+            {"protocol": proto},
+            {"metaData": meta},
+            {"domainMetadata": {
+                "domain": self._ROW_TRACKING_DOMAIN,
+                "configuration": json.dumps({"rowIdHighWaterMark": hwm}),
+                "removed": False,
+            }},
+            *({"add": a} for a in readds),
+        ]
+        v = self.latest_version() + 1
+        self._publish(v, actions)
+        return v
+
+    def _row_tracking_actions(
+        self, adds: list[dict], state: dict, commit_version: int
+    ) -> list[dict]:
+        """Allocate baseRowIds for ``adds`` (mutated in place, path
+        order) and return the high-water-mark domain action the same
+        commit must carry. No-op (empty list) when tracking is off."""
+        if not self.row_tracking_enabled(state):
+            return []
+        hwm = self._row_id_high_water_mark(state)
+        for add in sorted(adds, key=lambda a: a["path"]):
+            st = self._parse_stats(add)
+            if st is None or "numRecords" not in st:
+                raise DeltaProtocolError(
+                    "row-tracked append needs numRecords stats per file"
+                )
+            add["baseRowId"] = hwm + 1
+            add["defaultRowCommitVersion"] = commit_version
+            hwm += int(st["numRecords"])
+        return [
+            {"domainMetadata": {
+                "domain": self._ROW_TRACKING_DOMAIN,
+                "configuration": json.dumps({"rowIdHighWaterMark": hwm}),
+                "removed": False,
+            }}
+        ]
+
+    def _refuse_row_tracking_rewrite(self, op: str) -> None:
+        if self.row_tracking_enabled():
+            raise DeltaProtocolError(
+                f"{op} on a row-tracked table would reassign row ids — "
+                "this writer does not materialize row ids into rewritten "
+                "files yet; disable row tracking or skip the rewrite"
+            )
+
+    def snapshot_with_row_ids(self) -> DataFrame:
+        """The table plus ``row_id`` and ``row_commit_version`` metadata
+        columns: row_id = the file's baseRowId + ``_metadata.row_index``
+        (the spec's fresh-row-id rule), joined from an O(#files)
+        broadcast map — one scan, no per-file plan branches. DV-masked
+        rows drop but survivors keep their ids (position-based).
+        Unpartitioned, unmapped tables only (loud otherwise)."""
+        state = self._state()
+        self._check_readable(state)
+        meta = state["metaData"]
+        if not self.row_tracking_enabled(state):
+            raise DeltaProtocolError("row tracking is not enabled")
+        if meta.get("partitionColumns") or self._column_mapping(meta):
+            raise DeltaProtocolError(
+                "snapshot_with_row_ids supports unpartitioned, unmapped "
+                "tables only in this implementation"
+            )
+        adds = list(state["adds"].values())
+        schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        if not adds:
+            return self.spark.createDataFrame(
+                [], StructType(list(schema.fields)),
+            ).withColumn("row_id", F.lit(None).cast("long")).withColumn(
+                "row_commit_version", F.lit(None).cast("long")
+            )
+        base_map = self.spark.createDataFrame(
+            [
+                (
+                    self._abs_data_path(a["path"]),
+                    int(a["baseRowId"]),
+                    int(a["defaultRowCommitVersion"]),
+                )
+                for a in adds
+            ],
+            "__fp string, __base long, __dcv long",
+        )
+        paths = [self._abs_data_path(a["path"]) for a in adds]
+        df = (
+            self.spark.read.schema(schema).parquet(*paths)
+            .withColumn("__fp", _file_path_raw(F.col("_metadata.file_path")))
+            .withColumn("__ri", F.col("_metadata.row_index"))
+            .join(F.broadcast(base_map), "__fp")
+            .withColumn("row_id", F.col("__base") + F.col("__ri"))
+            .withColumn("row_commit_version", F.col("__dcv"))
+        )
+        dv_adds = [a for a in adds if a.get("deletionVector")]
+        if dv_adds:
+            pairs = []
+            for a in dv_adds:
+                p = self._abs_data_path(a["path"])
+                for ri in self._dv_deleted_rows(a["deletionVector"]):
+                    pairs.append((p, ri))
+            if pairs:
+                deleted = self.spark.createDataFrame(
+                    pairs, "__fp string, __ri long"
+                )
+                df = df.join(
+                    F.broadcast(deleted), on=["__fp", "__ri"], how="left_anti"
+                )
+        return df.drop("__fp", "__ri", "__base", "__dcv")
+
     def set_clustering(self, cols: tuple[str, ...]) -> int:
         """Declare clustering columns via a ``domainMetadata`` action on
         the ``delta.clustering`` domain (the liquid-clustering metadata
@@ -2300,6 +2495,7 @@ class DeltaTable:
         100 TB: a full OPTIMIZE ZORDER is O(table) per run; this
         touches only the pockets fresh ingest degraded — recurring
         maintenance cost tracks ingest, not table size."""
+        self._refuse_row_tracking_rewrite("recluster")
         from functools import cmp_to_key
 
         ccols = self.cluster_columns()

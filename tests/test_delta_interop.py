@@ -1373,3 +1373,67 @@ def test_delta_stats_ndv_staleness_and_checkpoint(spark, root):
     assert t2.ndv("k") is None
     t2.write_stats(["k"], k=1024)
     assert t2.ndv("k") == 31
+
+
+def test_row_tracking_protocol_and_stability(spark, root):
+    """Row tracking lifecycle: enable backfills baseRowId +
+    defaultRowCommitVersion in path order with the protocol upgraded and
+    the high-water-mark domain seeded; appends allocate ABOVE the mark
+    and advance it in the same commit; ids fold through a checkpoint; a
+    DV delete leaves survivor ids untouched; and every file-rewriting op
+    refuses loudly (this writer does not materialize ids into rewritten
+    files)."""
+    import pytest
+
+    from projectdatalake_spark.sources.delta_interop import (
+        DeltaProtocolError,
+        DeltaTable,
+    )
+
+    df = (
+        spark.range(0, 100)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .coalesce(1).sortWithinPartitions("k")
+    )
+    t = DeltaTable.create(spark, root, df)
+    t.enable_row_tracking()
+    st = t._state()
+    proto = st["protocol"]
+    assert proto["minWriterVersion"] == 7
+    assert {"rowTracking", "domainMetadata"} <= set(proto["writerFeatures"])
+    assert t._row_id_high_water_mark(st) == 99
+    adds = list(st["adds"].values())
+    assert all("baseRowId" in a for a in adds)
+    # enable is idempotent
+    v_before = t.latest_version()
+    t.enable_row_tracking()
+    assert t.latest_version() == v_before
+    # append allocates above the mark, same-commit advance
+    t.append(
+        spark.range(100, 150)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .coalesce(1).sortWithinPartitions("k")
+    )
+    st = t._state()
+    assert t._row_id_high_water_mark(st) == 149
+    ids = {r.k: r.row_id for r in t.snapshot_with_row_ids().collect()}
+    assert ids == {k: k for k in range(150)}  # sorted fixtures: id == k
+    before = dict(ids)
+    # DV delete: survivors keep ids (position-based)
+    t.delete_where_dv("k % 10 = 3")
+    after = {r.k: r.row_id for r in t.snapshot_with_row_ids().collect()}
+    assert after == {k: v for k, v in before.items() if k % 10 != 3}
+    # ids fold through a checkpoint + fresh reader
+    t.checkpoint()
+    t2 = DeltaTable(spark, root)
+    assert t2._row_id_high_water_mark(t2._state()) == 149
+    assert {r.k: r.row_id for r in t2.snapshot_with_row_ids().collect()} == after
+    # rewrites refuse
+    for op in (
+        lambda: t.optimize(),
+        lambda: t.recluster(),
+        lambda: t.overwrite(df),
+        lambda: t.merge_upsert(df.limit(1), ["k"]),
+    ):
+        with pytest.raises(DeltaProtocolError, match="row-tracked"):
+            op()
