@@ -250,6 +250,7 @@ EXTENDED = [
     "ts_cross_corr_leadlag",
     "stream_left_outer_join",
     "delta_row_tracking",
+    "iceberg_row_lineage",
 ]
 
 # Apply-only rungs measure STEADY-STATE cost: their fit-once index builds

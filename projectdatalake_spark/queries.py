@@ -15644,3 +15644,75 @@ def delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "row_id", "row_commit_version", "price")
         .orderBy("row_id")
     )
+
+
+@query(
+    "iceberg_row_lineage",
+    oracle="""
+    WITH b1 AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    b2 AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 3 = 1
+    ),
+    ids AS (
+      SELECT o_orderkey, o_orderpriority, price,
+             row_number() OVER (ORDER BY o_orderkey) - 1 AS row_id
+      FROM b1
+      UNION ALL
+      SELECT o_orderkey, o_orderpriority, price,
+             (SELECT count(*) FROM b1)
+               + row_number() OVER (ORDER BY o_orderkey) - 1
+      FROM b2
+    )
+    SELECT o_orderkey, CAST(row_id AS BIGINT) AS row_id, price
+    FROM ids
+    WHERE o_orderpriority <> '1-URGENT'
+    ORDER BY row_id
+    """,
+)
+def iceberg_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICEBERG V3 ROW LINEAGE — the format twin of
+    [[delta_row_tracking]], same lifecycle, INHERITANCE-based
+    allocation: enable backfills first_row_id onto the manifest LIST
+    (data manifests untouched — the manifest-list entry is the
+    inheritance base, field 520), appends allocate above next-row-id in
+    the commit that advances it, _row_id = file first_row_id +
+    _metadata.row_index, and a POSITION DELETE removes rows without
+    moving any survivor's id. The oracle replays the identical
+    allocation arithmetic; both formats' row-id surfaces are now proven
+    by the same SQL shape — the cross-format parity pattern the NDV
+    stats consumer established.
+
+    100 TB: backfill is O(#manifests) metadata; id materialization one
+    O(#files) broadcast map join; allocation O(1) per commit."""
+    import tempfile
+
+    from projectdatalake_spark.sources.iceberg_interop import IcebergTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    b1 = (
+        o.filter(F.col("o_orderkey") % 3 == 0)
+        .coalesce(1).sortWithinPartitions("o_orderkey")
+    )
+    b2 = (
+        o.filter(F.col("o_orderkey") % 3 == 1)
+        .coalesce(1).sortWithinPartitions("o_orderkey")
+    )
+    root = tempfile.mkdtemp(prefix="rowlineage_") + "/t"
+    t = IcebergTable.create(spark, root, b1)
+    t.enable_row_lineage()
+    t.append(b2)
+    t.delete_where("o_orderpriority = '1-URGENT'")
+    return (
+        t.snapshot_with_row_ids()
+        .select("o_orderkey", F.col("_row_id").alias("row_id"), "price")
+        .orderBy("row_id")
+    )

@@ -128,6 +128,10 @@ def _manifest_list_schema() -> dict:
             req("added_rows_count", "long", 512),
             req("existing_rows_count", "long", 513),
             req("deleted_rows_count", "long", 514),
+            # v3 row lineage: the first row id assigned to this manifest's
+            # added data files (spec: data files with a null first_row_id
+            # inherit by accumulating record_count in entry order)
+            opt("first_row_id", "long", 520),
             opt(
                 "partitions",
                 {
@@ -242,6 +246,15 @@ def _manifest_entry_schema(part_schema: dict) -> dict:
                             ],
                             "default": None,
                             "field-id": 135,
+                        },
+                        # v3 row lineage: explicit assignment (carried
+                        # EXISTING files keep theirs); null = inherit from
+                        # the manifest's first_row_id by accumulation
+                        {
+                            "name": "first_row_id",
+                            "type": ["null", "long"],
+                            "default": None,
+                            "field-id": 142,
                         },
                     ],
                 },
@@ -2152,6 +2165,201 @@ class IcebergTable:
             summary_props={"app-id": app_id, "batch-id": batch_id},
         )
 
+    def row_lineage_enabled(self, meta: dict | None = None) -> bool:
+        meta = meta or self.metadata()
+        return bool(meta.get("row-lineage"))
+
+    def enable_row_lineage(self) -> int:
+        """ICEBERG V3 ROW LINEAGE (spec "Row Lineage") — the format twin
+        of Delta row tracking, built on INHERITANCE instead of per-file
+        stamps: table metadata carries ``next-row-id``, each snapshot a
+        ``first-row-id``, each manifest-list entry a ``first_row_id``
+        (field 520), and a data file with a null ``first_row_id`` (field
+        142) inherits it by accumulating record_count in manifest entry
+        order — so the immutable data manifest never needs to know the
+        allocation; the manifest LIST (rebuilt per commit attempt
+        anyway) carries it. A row's _row_id = file first_row_id +
+        position: stable under position deletes by construction.
+
+        Enabling BACKFILLS via one metadata commit: the current manifest
+        list is re-written with first_row_id stamped per data manifest
+        (list order, spans = added+existing rows), ``next-row-id``
+        seeded — zero data files touched, O(#manifests).
+
+        Scope (loud): appends and position deletes work; replace-shaped
+        commits (compaction/overwrite/rewrites) and rewrite_manifests
+        refuse — carrying EXISTING files' ids through a rewrite needs
+        the explicit per-file stamp this writer does not emit yet."""
+        for _ in range(20):
+            v = self.current_metadata_version()
+            meta = self.metadata(version=v)
+            if meta.get("row-lineage"):
+                return v
+            now = int(time.time() * 1000)
+            new_meta = dict(meta)
+            new_meta["row-lineage"] = True
+            new_meta["last-updated-ms"] = now
+            cur_sid = meta.get("current-snapshot-id")
+            if cur_sid is None or cur_sid == -1:
+                new_meta["next-row-id"] = 0
+                try:
+                    self._write_metadata(v + 1, new_meta)
+                    return v + 1
+                except IcebergCommitConflict:
+                    continue
+            cur_snap = next(
+                s for s in meta["snapshots"] if s["snapshot-id"] == cur_sid
+            )
+            _, manifests = read_container(
+                self._read_bytes(cur_snap["manifest-list"])
+            )
+            running = 0
+            stamped = []
+            for m in manifests:
+                m = dict(m)
+                if m.get("content", 0) == 0 and m.get("first_row_id") is None:
+                    m["first_row_id"] = running
+                    running += int(m.get("added_rows_count", 0)) + int(
+                        m.get("existing_rows_count", 0)
+                    )
+                stamped.append(m)
+            sid = uuid.uuid4().int % (1 << 62)
+            seq = meta["last-sequence-number"] + 1
+            mlist_path = (
+                f"{self.root}/metadata/snap-{sid}-1-{uuid.uuid4().hex}.avro"
+            )
+            self._write_bytes(
+                mlist_path,
+                write_container(
+                    _manifest_list_schema(),
+                    stamped,
+                    extra_meta={
+                        "snapshot-id": str(sid).encode(),
+                        "sequence-number": str(seq).encode(),
+                        "format-version": b"2",
+                    },
+                ),
+                exclusive=True,
+            )
+            snap = {
+                "snapshot-id": sid,
+                "parent-snapshot-id": cur_sid,
+                "sequence-number": seq,
+                "timestamp-ms": now,
+                "manifest-list": mlist_path,
+                "first-row-id": 0,
+                "summary": {"operation": "enable-row-lineage"},
+                "schema-id": meta["current-schema-id"],
+            }
+            new_meta["last-sequence-number"] = seq
+            new_meta["snapshots"] = meta["snapshots"] + [snap]
+            new_meta["current-snapshot-id"] = sid
+            refs = dict(meta.get("refs") or {})
+            refs["main"] = {"snapshot-id": sid, "type": "branch"}
+            new_meta["refs"] = refs
+            new_meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+                {"timestamp-ms": now, "snapshot-id": sid}
+            ]
+            new_meta["next-row-id"] = running
+            try:
+                self._write_metadata(v + 1, new_meta)
+                return v + 1
+            except IcebergCommitConflict:
+                continue
+        raise IcebergCommitConflict(
+            f"enable_row_lineage lost 20 races at {self.root}"
+        )
+
+    def snapshot_with_row_ids(self) -> DataFrame:
+        """The table plus ``_row_id``: file first_row_id (explicit, or
+        inherited by record_count accumulation in manifest entry order
+        from the manifest-list entry's first_row_id) + the parquet
+        ``_metadata.row_index`` — one scan plus an O(#files) broadcast
+        map join. Position deletes mask rows without moving survivor
+        ids; equality deletes refuse (their masking is value-based, the
+        id map stays valid but this reader keeps the scope tight).
+        Unpartitioned tables only (loud otherwise)."""
+        meta = self.metadata()
+        if not meta.get("row-lineage"):
+            raise IcebergProtocolError("row lineage is not enabled")
+        spec = self._current_spec(meta)
+        if spec["fields"]:
+            raise IcebergProtocolError(
+                "snapshot_with_row_ids supports unpartitioned tables only "
+                "in this implementation"
+            )
+        cur_sid = meta.get("current-snapshot-id")
+        schema = self._spark_schema(meta)
+        if cur_sid is None or cur_sid == -1:
+            return self.spark.createDataFrame([], schema).withColumn(
+                "_row_id", F.lit(None).cast("long")
+            )
+        cur_snap = next(
+            s for s in meta["snapshots"] if s["snapshot-id"] == cur_sid
+        )
+        _, manifests = read_container(self._read_bytes(cur_snap["manifest-list"]))
+        base_of: dict[str, int] = {}
+        pos_delete_paths: list[str] = []
+        for m in manifests:
+            content = m.get("content", 0)
+            _, rows = read_container(self._read_bytes(m["manifest_path"]))
+            if content == 1:
+                for e in rows:
+                    if e["status"] not in (0, 1):
+                        continue
+                    if e["data_file"].get("content") == 2:
+                        raise IcebergProtocolError(
+                            "snapshot_with_row_ids does not apply equality "
+                            "deletes — compact them first"
+                        )
+                    pos_delete_paths.append(e["data_file"]["file_path"])
+                continue
+            base = m.get("first_row_id")
+            if base is None:
+                raise IcebergProtocolError(
+                    f"manifest {m['manifest_path']} predates row lineage "
+                    "and carries no first_row_id — re-run enable_row_lineage"
+                )
+            running = int(base)
+            for e in rows:
+                if e["status"] == 2:
+                    raise IcebergProtocolError(
+                        "DELETED manifest entries not supported by this "
+                        "row-lineage reader"
+                    )
+                dfile = e["data_file"]
+                fri = dfile.get("first_row_id")
+                if fri is None:
+                    fri = running
+                    running += int(dfile["record_count"])
+                base_of[dfile["file_path"]] = int(fri)
+        if not base_of:
+            return self.spark.createDataFrame([], schema).withColumn(
+                "_row_id", F.lit(None).cast("long")
+            )
+        base_map = self.spark.createDataFrame(
+            [(p, b) for p, b in base_of.items()], "__fp string, __base long"
+        )
+        df = (
+            self.spark.read.schema(schema).parquet(*base_of)
+            .withColumn("__fp", _file_path_raw(F.col("_metadata.file_path")))
+            .withColumn("__ri", F.col("_metadata.row_index"))
+            .join(F.broadcast(base_map), "__fp")
+            .withColumn("_row_id", F.col("__base") + F.col("__ri"))
+        )
+        if pos_delete_paths:
+            deletes_df = _normalize_stored_delete_paths(
+                self.spark,
+                self.spark.read.schema("file_path string, pos long").parquet(
+                    *pos_delete_paths
+                ),
+                list(base_of),
+            ).select(
+                F.col("file_path").alias("__fp"), F.col("pos").alias("__ri")
+            )
+            df = df.join(deletes_df, on=["__fp", "__ri"], how="left_anti")
+        return df.drop("__fp", "__ri", "__base")
+
     def set_sort_order(self, cols: tuple[str, ...]) -> int:
         """Declare the table SORT ORDER (spec "Sort Orders"): a new
         sort-order entry (identity transforms, asc, nulls-first) becomes
@@ -2288,6 +2496,12 @@ class IcebergTable:
         to O(#spec eras) without moving a byte of data — the cheapest
         maintenance win on an append-heavy table."""
         meta = self.metadata()
+        if meta.get("row-lineage"):
+            raise IcebergProtocolError(
+                "rewrite_manifests on a row-lineage table would drop the "
+                "per-manifest first_row_id inheritance base — carry "
+                "per-file first_row_id stamps first (not implemented)"
+            )
         sid_cur = meta.get("current-snapshot-id")
         if sid_cur is None or sid_cur == -1:
             return None
@@ -2856,6 +3070,14 @@ class IcebergTable:
         the caller pre-wrote manifests that must carry it."""
         if meta is None:
             meta = self.metadata()
+        if meta.get("row-lineage") and (replace or any(
+            f.get("status", 1) == 0 for f in files
+        )):
+            raise IcebergProtocolError(
+                "replace-shaped commits on a row-lineage table would "
+                "reassign carried files' row ids — this writer does not "
+                "stamp per-file first_row_id through rewrites yet"
+            )
         spec = self._current_spec(meta)
         part_fields = [
             (p["pname"], p["result_type"]) for p in _spec_part_fields(meta, spec)
@@ -2977,6 +3199,13 @@ class IcebergTable:
                 # manifest on partition bounds without opening it
                 "partitions": _partition_summaries(entries, part_fields),
             }
+            lineage = bool(meta.get("row-lineage"))
+            if lineage:
+                # allocate this manifest's row-id span from the CURRENT
+                # next-row-id (same per-attempt meta the version targets —
+                # a racer forces a version conflict and re-allocation);
+                # data files inherit by record_count accumulation
+                new_manifest["first_row_id"] = int(meta.get("next-row-id", 0))
             prior = []
             cur_sid = meta.get("current-snapshot-id")
             if branch is not None:
@@ -3051,6 +3280,11 @@ class IcebergTable:
             if cur_sid is not None and cur_sid != -1:
                 snap["parent-snapshot-id"] = cur_sid
             new_meta = dict(meta)
+            if lineage:
+                snap["first-row-id"] = int(meta.get("next-row-id", 0))
+                new_meta["next-row-id"] = (
+                    int(meta.get("next-row-id", 0)) + added_rows
+                )
             new_meta["last-sequence-number"] = seq
             new_meta["last-updated-ms"] = now
             new_meta["snapshots"] = meta["snapshots"] + [snap]

@@ -1892,3 +1892,40 @@ def test_theta_sketch_intersection_estimation_mode(spark):
     sa = column_theta_sketch(spark.range(0, 100), "id", 1024)
     sb = column_theta_sketch(spark.range(60, 200), "id", 1024)
     assert sa.intersect(sb).estimate() == 40.0
+
+
+def test_row_lineage_inheritance_and_stability(spark, root):
+    """Iceberg v3 row lineage: enable backfills first_row_id onto the
+    manifest LIST (inheritance base — no data manifest rewritten) and
+    seeds next-row-id; appends allocate above it in the same commit;
+    ids = first_row_id + row_index survive position deletes untouched;
+    replace-shaped commits and rewrite_manifests refuse."""
+    import pytest
+
+    df = (
+        spark.range(0, 100)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .coalesce(1).sortWithinPartitions("k")
+    )
+    t = IcebergTable.create(spark, root, df)
+    t.enable_row_lineage()
+    meta = t.metadata()
+    assert meta["row-lineage"] is True and meta["next-row-id"] == 100
+    v_before = t.current_metadata_version()
+    t.enable_row_lineage()  # idempotent
+    assert t.current_metadata_version() == v_before
+    t.append(
+        spark.range(100, 150)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .coalesce(1).sortWithinPartitions("k")
+    )
+    assert t.metadata()["next-row-id"] == 150
+    ids = {r.k: r._row_id for r in t.snapshot_with_row_ids().collect()}
+    assert ids == {k: k for k in range(150)}
+    t.delete_where("k % 10 = 3")  # position deletes: ids stable
+    after = {r.k: r._row_id for r in t.snapshot_with_row_ids().collect()}
+    assert after == {k: k for k in range(150) if k % 10 != 3}
+    with pytest.raises(IcebergProtocolError, match="row.lineage|row-lineage"):
+        t.rewrite_data_files()
+    with pytest.raises(IcebergProtocolError, match="row.lineage|row-lineage"):
+        t.rewrite_manifests()
