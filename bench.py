@@ -251,6 +251,7 @@ EXTENDED = [
     "stream_left_outer_join",
     "delta_row_tracking",
     "iceberg_row_lineage",
+    "txlog_row_tracking",
 ]
 
 # Apply-only rungs measure STEADY-STATE cost: their fit-once index builds

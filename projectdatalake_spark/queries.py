@@ -15716,3 +15716,73 @@ def iceberg_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", F.col("_row_id").alias("row_id"), "price")
         .orderBy("row_id")
     )
+
+
+@query(
+    "txlog_row_tracking",
+    oracle="""
+    WITH b1 AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    b2 AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 3 = 1
+    ),
+    ids AS (
+      SELECT o_orderkey, o_orderpriority, price,
+             row_number() OVER (ORDER BY o_orderkey) - 1 AS row_id
+      FROM b1
+      UNION ALL
+      SELECT o_orderkey, o_orderpriority, price,
+             (SELECT count(*) FROM b1)
+               + row_number() OVER (ORDER BY o_orderkey) - 1
+      FROM b2
+    )
+    SELECT o_orderkey, CAST(row_id AS BIGINT) AS row_id, price
+    FROM ids
+    WHERE o_orderpriority <> '1-URGENT'
+    ORDER BY row_id
+    """,
+)
+def txlog_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """txlog ROW TRACKING — the THIRD format running the same row-id
+    lifecycle ([[delta_row_tracking]], [[iceberg_row_lineage]]), in
+    txlog's native channel: per-commit `row_tracking` keys carry each
+    commit's file bases + the advanced high-water mark and MERGE in the
+    state fold (commits stay O(their own files)); enable is a
+    metadata-only backfill (no adds — CDF and NDV staleness untouched);
+    ids = base + position survive the deletion-vector mask. All three
+    formats now hash-prove their row-id surface with the SAME oracle —
+    the cross-format parity pattern.
+
+    100 TB: allocation O(metadata) per commit; materialization one
+    O(#files) broadcast map join; the mask join is O(deleted rows)."""
+    import tempfile
+
+    from projectdatalake_spark.sources.txlog import TxTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    b1 = (
+        o.filter(F.col("o_orderkey") % 3 == 0)
+        .coalesce(1).sortWithinPartitions("o_orderkey")
+    )
+    b2 = (
+        o.filter(F.col("o_orderkey") % 3 == 1)
+        .coalesce(1).sortWithinPartitions("o_orderkey")
+    )
+    root = tempfile.mkdtemp(prefix="txrowtrack_") + "/t"
+    t = TxTable.create(spark, root, b1)
+    t.enable_row_tracking()
+    t.append(b2)
+    t.delete_where_dv("o_orderpriority = '1-URGENT'")
+    return (
+        t.snapshot_with_row_ids()
+        .select("o_orderkey", "row_id", "price")
+        .orderBy("row_id")
+    )

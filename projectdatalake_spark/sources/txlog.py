@@ -500,6 +500,17 @@ class TxTable:
                 state.setdefault("leases", {}).pop(c["release_lease"], None)
             if op == "set_stats":
                 state.setdefault("stats", {}).update(c["stats"])
+            if "row_tracking" in c:
+                rt = state.setdefault(
+                    "row_tracking", {"enabled": False, "hwm": -1, "base": {}}
+                )
+                inc = c["row_tracking"]
+                rt["enabled"] = inc.get("enabled", rt["enabled"])
+                rt["hwm"] = inc.get("hwm", rt["hwm"])
+                # commits carry only THEIR files' bases; the fold merges
+                # (stale entries for removed files are inert — readers
+                # map active files only)
+                rt["base"].update(inc.get("base", {}))
         return state
 
     def _state(self, version: int | None = None) -> dict:
@@ -529,6 +540,11 @@ class TxTable:
             state["stats"] = {
                 k: dict(v) for k, v in state.get("stats", {}).items()
             }
+            if "row_tracking" in state:
+                state["row_tracking"] = {
+                    **state["row_tracking"],
+                    "base": dict(state["row_tracking"].get("base", {})),
+                }
             commits = [
                 c for c in self.history() if c["version"] > ck["version"]
             ]
@@ -1411,13 +1427,29 @@ class TxTable:
                 a["bloom"] = blooms
 
     def _publish(
-        self, op: str, adds: list[dict], removes: list[str], precondition=None, **extra
+        self, op: str, adds: list[dict], removes: list[str], precondition=None,
+        extra_fn=None, **extra
     ) -> int | None:
         """Retry loop around the exclusive-create commit. ``precondition``
         (if given) is re-evaluated against the log tip on every attempt —
         returning False abandons the commit (returns None); this is how a
         replayed idempotent append stays a no-op even when it loses a
-        version race to the original."""
+        version race to the original. ``extra_fn(version)`` (if given)
+        computes per-attempt commit keys against the state at
+        ``version - 1`` — the row-tracking allocator's seam: the
+        high-water mark and the target version come from the same fold,
+        so a racer landing on the version forces a conflict and a
+        re-allocation, never a silent id collision."""
+        _ROW_SAFE_OPS = ("append", "create", "enable_row_tracking", "delete_dv")
+        if op not in _ROW_SAFE_OPS and (adds or removes):
+            rt = self._state().get("row_tracking") or {}
+            if rt.get("enabled"):
+                raise ValueError(
+                    f"{op} on a row-tracked table would move or reassign "
+                    "row ids — this writer only allocates on append and "
+                    "masks via delete_where_dv; disable row tracking to "
+                    "rewrite"
+                )
         while True:
             if precondition is not None and not precondition():
                 return None
@@ -1429,6 +1461,7 @@ class TxTable:
                 "adds": adds,
                 "removes": removes,
                 **extra,
+                **(extra_fn(version) if extra_fn is not None else {}),
             }
             try:
                 self._write_text_exclusive(
@@ -1488,9 +1521,34 @@ class TxTable:
         )
         adds = self._stage(df, partition_by, cluster=cluster)
         schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        extra_fn = None
+        if op == "append" and (
+            (self._state().get("row_tracking") or {}).get("enabled")
+        ):
+            extra_fn = lambda version: self._allocate_row_ids(adds, version)
         return self._publish(
-            op, adds, removes, partition_by=list(partition_by), schema=schema, **extra
+            op, adds, removes, partition_by=list(partition_by), schema=schema,
+            extra_fn=extra_fn, **extra
         )
+
+    def _allocate_row_ids(self, adds: list[dict], version: int) -> dict:
+        """Per-attempt row-id allocation for an append landing at
+        ``version``: bases start above the high-water mark folded at
+        ``version - 1`` (path order), and the commit carries only its
+        own files' bases plus the advanced mark."""
+        rt = self._state(version - 1).get("row_tracking") or {}
+        hwm = int(rt.get("hwm", -1))
+        base: dict[str, int] = {}
+        for a in sorted(adds, key=lambda a: a["path"]):
+            n = a.get("numRecords")
+            if n is None:
+                raise ValueError(
+                    f"row-tracked append needs numRecords stats on "
+                    f"{a['path']}"
+                )
+            base[a["path"]] = hwm + 1
+            hwm += int(n)
+        return {"row_tracking": {"enabled": True, "hwm": hwm, "base": base}}
 
     # --- schema enforcement & constraints ---------------------------------
 
@@ -2373,6 +2431,133 @@ class TxTable:
         if data_changed:
             return None
         return int(ent["ndv"])
+
+    def row_tracking_enabled(self) -> bool:
+        return bool((self._state().get("row_tracking") or {}).get("enabled"))
+
+    def enable_row_tracking(self) -> int:
+        """ROW TRACKING for txlog — the third format's twin of Delta
+        row tracking / Iceberg v3 row lineage, in txlog's native
+        metadata channel: each allocating commit carries a
+        ``row_tracking`` key with its files' base ids plus the advanced
+        high-water mark; the state fold MERGES bases across commits, so
+        a commit stays O(its own files). A row's id = its file's base +
+        physical position — stable under ``delete_where_dv`` masks by
+        construction. Enabling is a METADATA-ONLY commit (no adds — it
+        neither invalidates NDV staleness nor pollutes the change feed)
+        that backfills bases for every active file in path order from
+        their numRecords stats.
+
+        Scope (loud, central): once enabled, ``_publish`` refuses any
+        file-moving commit except append/delete_dv — rewrites would
+        reassign ids without a materialized-id column."""
+        if self.row_tracking_enabled():
+            return self.latest_version()
+
+        def extra_fn(version: int) -> dict:
+            hwm = -1
+            base: dict[str, int] = {}
+            for a in sorted(
+                self._active_files(version - 1), key=lambda a: a["path"]
+            ):
+                n = a.get("numRecords")
+                if n is None:
+                    raise ValueError(
+                        f"row tracking backfill needs numRecords stats on "
+                        f"{a['path']} — rewrite with a stats-attaching "
+                        "writer first"
+                    )
+                base[a["path"]] = hwm + 1
+                hwm += int(n)
+            return {
+                "row_tracking": {"enabled": True, "hwm": hwm, "base": base}
+            }
+
+        return self._publish(
+            "enable_row_tracking", adds=[], removes=[], extra_fn=extra_fn
+        )
+
+    def snapshot_with_row_ids(self) -> DataFrame:
+        """The table plus ``row_id`` = file base (O(#files) broadcast
+        map) + ``_metadata.row_index``; DV-masked rows drop, survivors
+        keep their ids (position-based). Unpartitioned, unmapped tables
+        only (loud otherwise) — the same scope as the Delta/Iceberg
+        twins."""
+        from pyspark.sql import functions as F
+
+        from projectdatalake_spark.sources import atomic as _atomic
+
+        state = self._state()
+        rt = state.get("row_tracking") or {}
+        if not rt.get("enabled"):
+            raise ValueError("row tracking is not enabled")
+        if self._partition_by() or any(
+            k != v for k, v in state["mapping"].items()
+        ):
+            raise ValueError(
+                "snapshot_with_row_ids supports unpartitioned, unmapped "
+                "tables only in this implementation"
+            )
+        active = self._active_files()
+        base_rows = []
+        for a in active:
+            b = rt["base"].get(a["path"])
+            if b is None:
+                raise ValueError(
+                    f"active file {a['path']} has no row-id base — "
+                    "re-run enable_row_tracking"
+                )
+            base_rows.append(
+                (_atomic.strip_file_scheme(self._data_path(a)), int(b))
+            )
+        if not base_rows:
+            return self.snapshot().withColumn(
+                "row_id", F.lit(None).cast("long")
+            )
+        base_map = self.spark.createDataFrame(
+            base_rows, "__fp string, __base long"
+        )
+        df = (
+            self.spark.read.parquet(*[p for p, _b in base_rows])
+            # the same URI→raw pairing _attach_stats proved: decode the
+            # _metadata URI side only, never the listing side
+            .withColumn(
+                "__fp",
+                F.url_decode(
+                    F.regexp_replace(
+                        F.regexp_replace(
+                            F.col("_metadata.file_path"), "^file:", ""
+                        ),
+                        r"\+", "%2B",
+                    )
+                ),
+            )
+            .withColumn("__ri", F.col("_metadata.row_index"))
+            # DV masks record the URI form verbatim (captured from a
+            # scan's _metadata.file_path at delete time) — keep it
+            # undecoded for that comparison
+            .withColumn("__fpu", F.col("_metadata.file_path"))
+        )
+        dvs = self._active_dvs()
+        if dvs:
+            mask = (
+                self.spark.read.parquet(
+                    *[self._resolve(dv["path"]) for dv in dvs]
+                )
+                .select("file_path", "row_index")
+                .dropDuplicates()
+            )
+            df = df.join(
+                F.broadcast(mask),
+                (df["__fpu"] == mask["file_path"])
+                & (df["__ri"] == mask["row_index"]),
+                "left_anti",
+            )
+        return (
+            df.join(F.broadcast(base_map), "__fp")
+            .withColumn("row_id", F.col("__base") + F.col("__ri"))
+            .drop("__fp", "__fpu", "__ri", "__base")
+        )
 
     def read_stats_sketch(self, column: str):
         """Deserialize the column's theta sketch (mergeable path); None

@@ -1768,3 +1768,52 @@ def test_txlog_stats_ndv_and_staleness(spark, tmp_path):
     t.prune_log(retain_versions=0)  # the invalidating commit vanishes
     t3 = TxTable(spark, str(tmp_path / "t"))
     assert t3.ndv("k") is None      # pruned gap must NOT read as fresh
+
+
+def test_txlog_row_tracking_lifecycle(spark, tmp_path):
+    """txlog row tracking — the third format's twin (Delta baseRowId /
+    Iceberg v3 first_row_id): metadata-only enable backfills per-file
+    bases and the high-water mark; appends allocate above the mark in
+    the commit that advances it; ids = base + row position survive
+    delete_where_dv masks and the checkpoint state fold; any other
+    file-moving commit refuses centrally in _publish."""
+    import pytest
+
+    df = (
+        spark.range(0, 100)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .coalesce(1).sortWithinPartitions("k")
+    )
+    t = TxTable.create(spark, str(tmp_path / "t"), df)
+    v0 = t.latest_version()
+    t.enable_row_tracking()
+    rt = t._state()["row_tracking"]
+    assert rt["enabled"] and rt["hwm"] == 99
+    # metadata-only: the enable commit carries no adds/removes (it must
+    # not read as a data change to CDF or the NDV staleness guard)
+    enable_commit = t.history()[-1]
+    assert enable_commit["adds"] == [] and enable_commit["removes"] == []
+    t.enable_row_tracking()  # idempotent
+    assert t.latest_version() == v0 + 1
+    t.append(
+        spark.range(100, 150)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .coalesce(1).sortWithinPartitions("k")
+    )
+    assert t._state()["row_tracking"]["hwm"] == 149
+    ids = {r.k: r.row_id for r in t.snapshot_with_row_ids().collect()}
+    assert ids == {k: k for k in range(150)}
+    t.delete_where_dv("k % 10 = 3")
+    after = {r.k: r.row_id for r in t.snapshot_with_row_ids().collect()}
+    assert after == {k: k for k in range(150) if k % 10 != 3}
+    # folds through a checkpoint + fresh reader
+    t.checkpoint()
+    t2 = TxTable(spark, str(tmp_path / "t"))
+    assert {r.k: r.row_id for r in t2.snapshot_with_row_ids().collect()} == after
+    # rewrites refuse centrally
+    with pytest.raises(ValueError, match="row-tracked"):
+        t.overwrite(df)
+    with pytest.raises(ValueError, match="row-tracked"):
+        t.optimize(min_files=1)
+    with pytest.raises(ValueError, match="row-tracked"):
+        t.merge_upsert(df.limit(1), ["k"])
