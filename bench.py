@@ -252,6 +252,7 @@ EXTENDED = [
     "delta_row_tracking",
     "iceberg_row_lineage",
     "txlog_row_tracking",
+    "row_id_incremental_scan",
 ]
 
 # Apply-only rungs measure STEADY-STATE cost: their fit-once index builds

@@ -15786,3 +15786,64 @@ def txlog_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "row_id", "price")
         .orderBy("row_id")
     )
+
+
+@query(
+    "row_id_incremental_scan",
+    oracle="""
+    WITH b1 AS (
+      SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    b2 AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 3 = 1
+    )
+    SELECT o_orderkey,
+           (SELECT count(*) FROM b1)
+             + row_number() OVER (ORDER BY o_orderkey) - 1 AS row_id,
+           price
+    FROM b2
+    ORDER BY row_id
+    """,
+)
+def row_id_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE ROW-ID CONSUMER — incremental downstream processing WITHOUT a
+    change feed: a job that finished at row-id watermark W re-reads the
+    row-tracked table ([[txlog_row_tracking]]; the Delta/Iceberg twins
+    share the parameter) with ``min_row_id=W`` and the scan PRUNES every
+    file whose id range [base, base+numRecords) sits below W — ids are
+    monotone per file under the append-only contract, so this is exact
+    file-level skipping from O(metadata), the row-id twin of stats-based
+    data skipping (file-grain pruning pytest-asserted). Here W = batch
+    1's row count, so exactly batch 2 comes back and the oracle replays
+    it as the offset row_number.
+
+    100 TB: the recurring consumer cost tracks NEW data only — old
+    batches are never opened, not even their footers."""
+    import tempfile
+
+    from projectdatalake_spark.sources.txlog import TxTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    b1 = (
+        o.filter(F.col("o_orderkey") % 3 == 0)
+        .coalesce(1).sortWithinPartitions("o_orderkey")
+    )
+    b2 = (
+        o.filter(F.col("o_orderkey") % 3 == 1)
+        .coalesce(1).sortWithinPartitions("o_orderkey")
+    )
+    root = tempfile.mkdtemp(prefix="rowidinc_") + "/t"
+    t = TxTable.create(spark, root, b1)
+    t.enable_row_tracking()
+    watermark = t._state()["row_tracking"]["hwm"] + 1
+    t.append(b2)
+    return (
+        t.snapshot_with_row_ids(min_row_id=watermark)
+        .select("o_orderkey", "row_id", "price")
+        .orderBy("row_id")
+    )

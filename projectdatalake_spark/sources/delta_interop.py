@@ -2357,13 +2357,19 @@ class DeltaTable:
                 "files yet; disable row tracking or skip the rewrite"
             )
 
-    def snapshot_with_row_ids(self) -> DataFrame:
+    def snapshot_with_row_ids(self, min_row_id: int | None = None) -> DataFrame:
         """The table plus ``row_id`` and ``row_commit_version`` metadata
         columns: row_id = the file's baseRowId + ``_metadata.row_index``
         (the spec's fresh-row-id rule), joined from an O(#files)
         broadcast map — one scan, no per-file plan branches. DV-masked
         rows drop but survivors keep their ids (position-based).
-        Unpartitioned, unmapped tables only (loud otherwise)."""
+        Unpartitioned, unmapped tables only (loud otherwise).
+
+        ``min_row_id``: incremental-consumer watermark — files whose id
+        range [baseRowId, baseRowId + numRecords) falls wholly below it
+        are skipped unopened (exact file-level skipping, append-only ids
+        are monotone per file), plus a residual filter for the straddling
+        file. The txlog/Iceberg twins share the semantics."""
         state = self._state()
         self._check_readable(state)
         meta = state["metaData"]
@@ -2375,6 +2381,16 @@ class DeltaTable:
                 "tables only in this implementation"
             )
         adds = list(state["adds"].values())
+        if min_row_id is not None:
+            def above(a: dict) -> bool:
+                st = self._parse_stats(a)
+                if st is None or "numRecords" not in st:
+                    return True  # unknown count: conservatively keep
+                return (
+                    int(a["baseRowId"]) + int(st["numRecords"]) - 1
+                    >= min_row_id
+                )
+            adds = [a for a in adds if above(a)]
         schema = StructType.fromJson(json.loads(meta["schemaString"]))
         if not adds:
             return self.spark.createDataFrame(
@@ -2416,7 +2432,10 @@ class DeltaTable:
                 df = df.join(
                     F.broadcast(deleted), on=["__fp", "__ri"], how="left_anti"
                 )
-        return df.drop("__fp", "__ri", "__base", "__dcv")
+        df = df.drop("__fp", "__ri", "__base", "__dcv")
+        if min_row_id is not None:
+            df = df.filter(F.col("row_id") >= F.lit(int(min_row_id)))
+        return df
 
     def set_clustering(self, cols: tuple[str, ...]) -> int:
         """Declare clustering columns via a ``domainMetadata`` action on

@@ -2270,7 +2270,7 @@ class IcebergTable:
             f"enable_row_lineage lost 20 races at {self.root}"
         )
 
-    def snapshot_with_row_ids(self) -> DataFrame:
+    def snapshot_with_row_ids(self, min_row_id: int | None = None) -> DataFrame:
         """The table plus ``_row_id``: file first_row_id (explicit, or
         inherited by record_count accumulation in manifest entry order
         from the manifest-list entry's first_row_id) + the parquet
@@ -2278,7 +2278,12 @@ class IcebergTable:
         map join. Position deletes mask rows without moving survivor
         ids; equality deletes refuse (their masking is value-based, the
         id map stays valid but this reader keeps the scope tight).
-        Unpartitioned tables only (loud otherwise)."""
+        Unpartitioned tables only (loud otherwise).
+
+        ``min_row_id``: incremental-consumer watermark — files whose id
+        range [first_row_id, first_row_id + record_count) falls wholly
+        below it skip unopened, plus a residual filter on the straddling
+        file (same semantics as the Delta/txlog twins)."""
         meta = self.metadata()
         if not meta.get("row-lineage"):
             raise IcebergProtocolError("row lineage is not enabled")
@@ -2332,6 +2337,11 @@ class IcebergTable:
                 if fri is None:
                     fri = running
                     running += int(dfile["record_count"])
+                if (
+                    min_row_id is not None
+                    and int(fri) + int(dfile["record_count"]) - 1 < min_row_id
+                ):
+                    continue  # whole file below the watermark
                 base_of[dfile["file_path"]] = int(fri)
         if not base_of:
             return self.spark.createDataFrame([], schema).withColumn(
@@ -2358,7 +2368,10 @@ class IcebergTable:
                 F.col("file_path").alias("__fp"), F.col("pos").alias("__ri")
             )
             df = df.join(deletes_df, on=["__fp", "__ri"], how="left_anti")
-        return df.drop("__fp", "__ri", "__base")
+        df = df.drop("__fp", "__ri", "__base")
+        if min_row_id is not None:
+            df = df.filter(F.col("_row_id") >= F.lit(int(min_row_id)))
+        return df
 
     def set_sort_order(self, cols: tuple[str, ...]) -> int:
         """Declare the table SORT ORDER (spec "Sort Orders"): a new

@@ -2477,12 +2477,20 @@ class TxTable:
             "enable_row_tracking", adds=[], removes=[], extra_fn=extra_fn
         )
 
-    def snapshot_with_row_ids(self) -> DataFrame:
+    def snapshot_with_row_ids(self, min_row_id: int | None = None) -> DataFrame:
         """The table plus ``row_id`` = file base (O(#files) broadcast
         map) + ``_metadata.row_index``; DV-masked rows drop, survivors
         keep their ids (position-based). Unpartitioned, unmapped tables
         only (loud otherwise) — the same scope as the Delta/Iceberg
-        twins."""
+        twins.
+
+        ``min_row_id`` is the INCREMENTAL-CONSUMER path: a downstream
+        job tracking a row-id watermark passes last_seen + 1 and the
+        scan PRUNES every file whose entire id range [base, base +
+        numRecords) falls below it — append-only ids are monotone per
+        file, so this is exact file-level skipping from O(metadata), no
+        change feed needed (the row-id twin of stats-based data
+        skipping; plan-asserted in tests)."""
         from pyspark.sql import functions as F
 
         from projectdatalake_spark.sources import atomic as _atomic
@@ -2507,13 +2515,19 @@ class TxTable:
                     f"active file {a['path']} has no row-id base — "
                     "re-run enable_row_tracking"
                 )
+            if (
+                min_row_id is not None
+                and a.get("numRecords") is not None
+                and int(b) + int(a["numRecords"]) - 1 < min_row_id
+            ):
+                continue  # whole file below the watermark: skip unopened
             base_rows.append(
                 (_atomic.strip_file_scheme(self._data_path(a)), int(b))
             )
         if not base_rows:
             return self.snapshot().withColumn(
                 "row_id", F.lit(None).cast("long")
-            )
+            ).limit(0)
         base_map = self.spark.createDataFrame(
             base_rows, "__fp string, __base long"
         )
@@ -2553,11 +2567,15 @@ class TxTable:
                 & (df["__ri"] == mask["row_index"]),
                 "left_anti",
             )
-        return (
+        out = (
             df.join(F.broadcast(base_map), "__fp")
             .withColumn("row_id", F.col("__base") + F.col("__ri"))
             .drop("__fp", "__fpu", "__ri", "__base")
         )
+        if min_row_id is not None:
+            # residual: the first surviving file may straddle the mark
+            out = out.filter(F.col("row_id") >= F.lit(int(min_row_id)))
+        return out
 
     def read_stats_sketch(self, column: str):
         """Deserialize the column's theta sketch (mergeable path); None

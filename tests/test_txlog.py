@@ -1817,3 +1817,33 @@ def test_txlog_row_tracking_lifecycle(spark, tmp_path):
         t.optimize(min_files=1)
     with pytest.raises(ValueError, match="row-tracked"):
         t.merge_upsert(df.limit(1), ["k"])
+
+
+def test_row_id_watermark_scan_prunes_files(spark, tmp_path):
+    """The row-id CONSUMER: a downstream job passing min_row_id must
+    (a) read exactly the rows above its watermark, and (b) open ONLY the
+    files whose id range crosses it — append-only ids are monotone per
+    file, so old batches skip unopened (file-level skipping from
+    O(metadata), no change feed). Proven on the file grain via
+    _metadata.file_path."""
+    def batch(lo, hi):
+        return (
+            spark.range(lo, hi)
+            .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+            .coalesce(1).sortWithinPartitions("k")
+        )
+
+    t = TxTable.create(spark, str(tmp_path / "t"), batch(0, 100))
+    t.enable_row_tracking()
+    t.append(batch(100, 200))
+    t.append(batch(200, 300))
+    inc = t.snapshot_with_row_ids(min_row_id=150)
+    got = {r.k: r.row_id for r in inc.collect()}
+    assert got == {k: k for k in range(150, 300)}
+    # file grain: the pruned plan's relation holds only the two files
+    # whose id range crosses the watermark — batch 1 (ids 0-99) is not
+    # in the scan at all
+    assert len(t.snapshot_with_row_ids().inputFiles()) == 3
+    assert len(inc.inputFiles()) == 2
+    # watermark above everything: zero files, zero rows
+    assert t.snapshot_with_row_ids(min_row_id=1000).count() == 0
