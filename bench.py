@@ -253,6 +253,9 @@ EXTENDED = [
     "iceberg_row_lineage",
     "txlog_row_tracking",
     "row_id_incremental_scan",
+    "event_pattern_match",
+    "iceberg_readable_metrics",
+    "mm_image_phash_dedup",
 ]
 
 # Apply-only rungs measure STEADY-STATE cost: their fit-once index builds

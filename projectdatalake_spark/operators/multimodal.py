@@ -454,6 +454,86 @@ def _dhash64(px, grid: int = 8) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
+def _phash64(px, size: int = 32, grid: int = 8) -> int:
+    """64-bit PERCEPTUAL HASH (the classic pHash recipe): grayscale →
+    exact area-downsample to ``size``² (prefix sums, like _dhash64) →
+    2-D DCT-II (orthonormal matrix form, pure numpy) → keep the
+    low-frequency ``grid``² corner → threshold each AC coefficient
+    against the MEDIAN of the 63 AC terms (DC dropped). The median
+    threshold makes the hash EXACTLY invariant under positive contrast
+    scaling (DCT is linear: scaling multiplies every coefficient, so
+    every comparison against the median is unchanged) — the property
+    dHash's gradient signs only approximate; low frequencies make it
+    resolution-robust."""
+    import numpy as np
+
+    g = px.astype(np.float64).mean(axis=2)
+    h, w = g.shape
+    ys = (np.linspace(0, h, size + 1)).astype(np.int64)
+    xs = (np.linspace(0, w, size + 1)).astype(np.int64)
+    P = np.zeros((h + 1, w + 1), dtype=np.float64)
+    P[1:, 1:] = g.cumsum(axis=0).cumsum(axis=1)
+    cells = np.empty((size, size), dtype=np.float64)
+    for i in range(size):
+        for j in range(size):
+            y0, y1, x0, x1 = ys[i], ys[i + 1], xs[j], xs[j + 1]
+            area = max(1, (y1 - y0) * (x1 - x0))
+            cells[i, j] = (
+                P[y1, x1] - P[y0, x1] - P[y1, x0] + P[y0, x0]
+            ) / area
+    n = size
+    k = np.arange(n)
+    D = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    dct = D @ cells @ D.T
+    low = dct[:grid, :grid].flatten()[1:]  # drop DC
+    med = np.median(low)
+    bits = low > med
+    v = 0
+    for b in bits:  # 63 bits; top bit stays 0
+        v = (v << 1) | int(b)
+    return v
+
+
+def image_phash(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-image 64-bit pHash (DCT low-frequency signs, _phash64) over
+    the real decoders — the frequency-domain rung of the image ladder
+    next to [[image_dhash]]'s gradient rung: exactly contrast-scale
+    invariant and resolution-robust; unsupported payloads get the same
+    deterministic byte-hash fallback. Downstream banded Hamming dedup
+    reuses ``dhash_dup_pairs`` (pass hash_col='phash').
+
+    100 TB: 8 bytes per image, one Arrow-batched pass; joins run on the
+    hash table, never payloads."""
+
+    def kernel(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, buf in zip(pdf[id_col], pdf[payload_col]):
+                buf = bytes(buf)
+                dec = _decode_pixels(buf)
+                if dec is None:
+                    hv = int.from_bytes(
+                        hashlib.md5(buf).digest()[:8], "big", signed=True
+                    )
+                    out.append((doc_id, hv & 0x7FFFFFFFFFFFFFFF, False))
+                else:
+                    _w, _h, px = dec
+                    out.append((doc_id, _phash64(px), True))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "phash", "decoded"]
+            ).astype({"phash": "int64"})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, schema="doc_id long, phash long, decoded boolean"
+    )
+
+
 def image_dhash(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -496,7 +576,9 @@ def image_dhash(
     )
 
 
-def dhash_dup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+def dhash_dup_pairs(
+    hashes: DataFrame, max_hamming: int = 3, hash_col: str = "dhash"
+) -> DataFrame:
     """Near-duplicate image pairs by dHash Hamming distance, BANDED: the
     64-bit hash splits into 4 x 16-bit bands; pairs within
     ``max_hamming`` <= 3 must agree exactly on >= 1 band (pigeonhole:
@@ -518,9 +600,9 @@ def dhash_dup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
         bands.append(
             hashes.select(
                 F.col("doc_id"),
-                F.col("dhash"),
+                F.col(hash_col).alias("__h"),
                 F.lit(i).alias("band"),
-                F.shiftrightunsigned(F.col("dhash"), i * 16)
+                F.shiftrightunsigned(F.col(hash_col), i * 16)
                 .bitwiseAND(F.lit(0xFFFF))
                 .alias("band_val"),
             )

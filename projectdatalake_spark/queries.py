@@ -15847,3 +15847,166 @@ def row_id_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "row_id", "price")
         .orderBy("row_id")
     )
+
+
+@query(
+    "event_pattern_match",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_ns(ts) AS tsn, event_id,
+             CASE event_type WHEN 'click' THEN 'c' WHEN 'view' THEN 'v'
+                  WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                  ELSE 'e' END AS code
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, string_agg(code, '' ORDER BY tsn, event_id) AS s
+      FROM e GROUP BY user_id
+    )
+    SELECT user_id, CAST(length(s) AS INT) AS n_events,
+           CAST(len(regexp_extract_all(s, 'cv*p')) AS BIGINT) AS n_funnels
+    FROM seq ORDER BY user_id
+    """,
+)
+def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE PATTERN MATCHING over event streams — the
+    MATCH_RECOGNIZE emulation (Spark has no native MATCH_RECOGNIZE;
+    the standard distributed encoding is: order each key's events, fold
+    event types into a code STRING, run the pattern as a regex): here
+    the funnel `click (view)* purchase` counted per user with
+    non-overlapping scan semantics, identical in Java and RE2 regex for
+    this pattern class. The per-user sequence is an order-pinned
+    array_sort over (ts, event_id) structs — the deterministic-fold
+    discipline — so both engines build the identical string.
+
+    100 TB: one shuffle to the user grain; sequences are per-user-sized
+    (bounded); the regex runs codegen'd per row — no joins, no window
+    over the event grain."""
+    ev = _t(spark, sf_dir, "events")
+    code = (
+        F.when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+    )
+    seq = (
+        ev.select(
+            "user_id", F.col("ts_ns").alias("tsn"), "event_id",
+            code.alias("code"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("tsn", "event_id", "code"))
+                    ),
+                    lambda x: x["code"],
+                ),
+                "",
+            ).alias("s")
+        )
+    )
+    return seq.select(
+        "user_id",
+        F.length("s").cast("int").alias("n_events"),
+        F.regexp_count(F.col("s"), F.lit("cv*p")).cast("long").alias("n_funnels"),
+    ).orderBy("user_id")
+
+
+@query(
+    "iceberg_readable_metrics",
+    oracle="""
+    WITH b1 AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0),
+         b2 AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 1)
+    SELECT CAST(1 AS BIGINT) AS sequence_number, 'o_orderkey' AS col_name,
+           CAST(min(o_orderkey) AS VARCHAR) AS lower,
+           CAST(max(o_orderkey) AS VARCHAR) AS upper
+    FROM b1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'o_orderkey',
+           CAST(min(o_orderkey) AS VARCHAR), CAST(max(o_orderkey) AS VARCHAR)
+    FROM b2
+    ORDER BY sequence_number
+    """,
+)
+def iceberg_readable_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """READABLE METRICS metadata table (Iceberg's
+    files$readable_metrics): per-file lower/upper bounds decoded from
+    the spec's Appendix-D single-value binary back to readable values —
+    the auditable face of stats-based file skipping, and a full
+    encode→manifest→decode round-trip proof: each sorted single-file
+    batch's decoded bounds must equal SQL min/max over that batch
+    exactly. O(metadata): no data file is opened.
+
+    100 TB: this is how partition skew, stale stats, and skip
+    efficiency get audited on a production table — manifest-only."""
+    import tempfile
+
+    from projectdatalake_spark.sources.iceberg_interop import IcebergTable
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    b1 = o.filter(F.col("o_orderkey") % 3 == 0).coalesce(1)
+    b2 = o.filter(F.col("o_orderkey") % 3 == 1).coalesce(1)
+    root = tempfile.mkdtemp(prefix="readmetrics_") + "/t"
+    t = IcebergTable.create(spark, root, b1)
+    t.append(b2)
+    return (
+        t.inspect("metrics")
+        .filter(F.col("column") == "o_orderkey")
+        .select(
+            "sequence_number",
+            F.col("column").alias("col_name"),
+            "lower", "upper",
+        )
+        .orderBy("sequence_number")
+    )
+
+
+@query("mm_image_phash_dedup")  # DCT float hashing engine-side → rows-only
+def mm_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pHash IMAGE DEDUP — the frequency-domain rung next to
+    [[mm_image_dhash_dedup]]'s gradient rung: per-group non-separable
+    patterns (seeded numpy, rendered as P6 PPM) appear as an original,
+    an EXACT-contrast-halved twin, and a 2x pixel-replicated twin; the
+    DCT median-threshold hash is bit-identical across all three
+    (linearity + exact block means — both invariances pytest-pinned),
+    so the banded Hamming join pairs every group exactly and nothing
+    across groups. Deterministic; driver records rows-only.
+
+    100 TB: same shape as the dHash rung — one Arrow pass to 8
+    bytes/image, band-bucket joins, payloads never touched again."""
+    from projectdatalake_spark.operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").limit(90)
+
+    def make(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g = did % 30
+                rng = np.random.default_rng(1000 + g)
+                base = (rng.integers(0, 128, size=(64, 64, 3)) * 2).astype(
+                    "uint8"
+                )
+                variant = (did // 30) % 3
+                if variant == 1:
+                    px = (base // 2).astype("uint8")  # exact contrast half
+                elif variant == 2:
+                    px = np.repeat(np.repeat(base, 2, axis=0), 2, axis=1)
+                else:
+                    px = base
+                h, w, _ = px.shape
+                buf = b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+                rows.append((did, bytearray(buf)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(make, schema="doc_id long, payload binary")
+    hashes = MM.image_phash(payloads)
+    pairs = MM.dhash_dup_pairs(hashes, max_hamming=3, hash_col="phash")
+    return pairs.orderBy("id1", "id2")

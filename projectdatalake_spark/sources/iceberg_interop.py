@@ -1324,6 +1324,58 @@ class IcebergTable:
                 "record_count long, file_size_in_bytes long, "
                 "sequence_number long, spec_id int",
             )
+        if kind == "metrics":
+            # readable_metrics parity (Iceberg's files$readable_metrics):
+            # per-file lower/upper bounds DECODED from the spec's
+            # Appendix-D single-value binary back to readable values —
+            # the human-auditable face of stats-based file skipping.
+            # Values surface as strings so one frame covers all types.
+            entries, _ = self._entries_for_snapshot(meta, None)
+            ice_fields = next(
+                s
+                for s in meta["schemas"]
+                if s["schema-id"] == meta["current-schema-id"]
+            )["fields"]
+            rows = []
+            for e in entries:
+                dfile = e["data_file"]
+                lowers = {
+                    kv["key"]: kv["value"]
+                    for kv in (dfile.get("lower_bounds") or [])
+                }
+                uppers = {
+                    kv["key"]: kv["value"]
+                    for kv in (dfile.get("upper_bounds") or [])
+                }
+                for f in ice_fields:
+                    if not isinstance(f["type"], str):
+                        continue
+                    lo = (
+                        _decode_bound(lowers[f["id"]], f["type"])
+                        if f["id"] in lowers
+                        else None
+                    )
+                    hi = (
+                        _decode_bound(uppers[f["id"]], f["type"])
+                        if f["id"] in uppers
+                        else None
+                    )
+                    if lo is None and hi is None:
+                        continue
+                    rows.append(
+                        (
+                            dfile["file_path"],
+                            int(e["_seq"]),
+                            f["name"],
+                            None if lo is None else str(lo),
+                            None if hi is None else str(hi),
+                        )
+                    )
+            return spark.createDataFrame(
+                rows,
+                "file_path string, sequence_number long, column string, "
+                "lower string, upper string",
+            )
         if kind == "snapshots":
             rows = [
                 (

@@ -381,3 +381,53 @@ def test_audio_constellation_rejects_field_overflow_params(spark):
         MM3.audio_constellation(df, frame=4096)
     # boundary values are fine
     MM3.audio_constellation(df, max_dt=255, frame=2046)
+
+
+def test_image_phash_invariances(spark):
+    """pHash contracts the dHash rung cannot make: (a) EXACT invariance
+    under contrast scaling (DCT is linear; pixel values are even ints
+    halved exactly in float64, so every coefficient-vs-median comparison
+    is unchanged bit for bit), (b) EXACT invariance under 2x pixel
+    replication (block means recover the identical 32x32 grid), and (c)
+    a different pattern lands far away in Hamming space; dup pairing
+    reuses the banded join via hash_col."""
+    import numpy as np
+
+    from projectdatalake_spark.operators import multimodal as MM3
+
+    def ppm(px):
+        h, w, _ = px.shape
+        return b"P6\n%d %d\n255\n" % (w, h) + px.astype("uint8").tobytes()
+
+    rng = np.random.default_rng(11)
+    # non-separable even-valued pattern (separable gradients degenerate
+    # the DCT to one row/column — the dHash lesson applies here too)
+    base = (rng.integers(0, 128, size=(64, 64, 3)) * 2).astype("uint8")
+    half = (base // 2).astype("uint8")          # exact contrast halving
+    up2 = np.repeat(np.repeat(base, 2, axis=0), 2, axis=1)  # 128x128
+    other = (rng.integers(0, 128, size=(64, 64, 3)) * 2).astype("uint8")
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(ppm(base))),
+            (2, bytearray(ppm(half))),
+            (3, bytearray(ppm(up2))),
+            (4, bytearray(ppm(other))),
+            (5, bytearray(b"not an image")),
+        ],
+        "doc_id long, payload binary",
+    )
+    hashes = MM3.image_phash(df)
+    hv = {r.doc_id: (r.phash, r.decoded) for r in hashes.collect()}
+    assert hv[1][1] and not hv[5][1]
+    assert hv[1][0] == hv[2][0]  # exact under contrast scale
+    assert hv[1][0] == hv[3][0]  # exact under 2x replication
+    d14 = bin((hv[1][0] ^ hv[4][0]) & ((1 << 64) - 1)).count("1")
+    assert d14 > 10, d14
+    pairs = {
+        (r.id1, r.id2)
+        for r in MM3.dhash_dup_pairs(
+            hashes, max_hamming=3, hash_col="phash"
+        ).collect()
+    }
+    assert {(1, 2), (1, 3), (2, 3)} <= pairs
+    assert not any(4 in p or 5 in p for p in pairs)
