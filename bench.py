@@ -256,6 +256,7 @@ EXTENDED = [
     "event_pattern_match",
     "iceberg_readable_metrics",
     "mm_image_phash_dedup",
+    "win_rolling_median",
 ]
 
 # Apply-only rungs measure STEADY-STATE cost: their fit-once index builds

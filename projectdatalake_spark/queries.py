@@ -16010,3 +16010,55 @@ def mm_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = MM.image_phash(payloads)
     pairs = MM.dhash_dup_pairs(hashes, max_hamming=3, hash_col="phash")
     return pairs.orderBy("id1", "id2")
+
+
+@query(
+    "win_rolling_median",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS c
+      FROM orders GROUP BY 1
+    ),
+    framed AS (
+      SELECT d, c,
+             list_sort(list(c) OVER (ORDER BY d
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win
+      FROM daily
+    )
+    SELECT d, CAST(c AS BIGINT) AS c,
+           CAST(CASE WHEN len(win) % 2 = 1
+                THEN CAST(win[(len(win) + 1) // 2] AS DOUBLE)
+                ELSE (CAST(win[len(win) // 2] AS DOUBLE)
+                      + CAST(win[len(win) // 2 + 1] AS DOUBLE)) / 2
+           END AS DOUBLE) AS med7
+    FROM framed ORDER BY d
+    """,
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROLLING MEDIAN (7-day trailing) of the daily order counts —
+    the robust moving-average (one outlier day cannot move it, unlike
+    the mean the EWMA/MASE queries smooth with). Spark has no median
+    window function; the exact distributed form is collect_list over
+    the frame → array_sort → middle SELECTION (avg of the two middles
+    for even frames: integer counts, so the .5 halves are exact in
+    float64 — no accumulation-order hazard). Frame sizes are bounded
+    (≤7), so the per-row array work is O(frame log frame), codegen'd.
+
+    100 TB: rows reduce to the day grain first; the window shuffles the
+    tiny daily frame once; frames never exceed 7 elements."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    framed = daily.withColumn("win", F.array_sort(F.collect_list("c").over(w)))
+    n = F.size("win")
+    lo = F.element_at("win", ((n + 1) / 2).cast("int")).cast("double")
+    mid1 = F.element_at("win", (n / 2).cast("int")).cast("double")
+    mid2 = F.element_at("win", (n / 2 + 1).cast("int")).cast("double")
+    med = F.when(n % 2 == 1, lo).otherwise((mid1 + mid2) / 2)
+    return framed.select(
+        "d", F.col("c").cast("long").alias("c"), med.alias("med7")
+    ).orderBy("d")
