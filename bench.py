@@ -257,6 +257,7 @@ EXTENDED = [
     "iceberg_readable_metrics",
     "mm_image_phash_dedup",
     "win_rolling_median",
+    "ann_topk_lsh_seeded",
 ]
 
 # Apply-only rungs measure STEADY-STATE cost: their fit-once index builds

@@ -135,6 +135,77 @@ def bucket_signature(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def topk_neighbors_lsh_seeded(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH search with SEED hyperplanes — the oracle-backed rung pinning
+    the random-hyperplane machinery ``topk_neighbors_lsh`` trains
+    randomly (the ivf_seeded/pq_seeded pattern, applied to the last
+    unproven ANN family): planes are the ``n_planes`` lowest-id corpus
+    vectors as LITERAL arrays, a vector's bucket is its sign-bit code
+    (dot(v, plane) > 0 → bit set), queries MULTIPROBE their own bucket
+    plus every Hamming-1 neighbor (bit flips), and candidates re-rank by
+    exact cosine with (cosine DESC, neighbor_id) ties. Every step is a
+    Catalyst expression a SQL engine replays value-for-value. Each
+    corpus row owns exactly ONE code, so a (query, neighbor) pair meets
+    through at most one probe — no dedup needed.
+
+    100 TB: the per-row code is a scan-stage expression; the probe side
+    explodes ×(n_planes+1) on the QUERY grain only; the candidate join
+    is an equality join on the code."""
+    from pyspark.sql import Window
+
+    seeds = (
+        corpus.orderBy(id_col).limit(n_planes).select(id_col, vec_col)
+        .collect()
+    )
+    planes = [[float(x) for x in r[vec_col]] for r in seeds]
+    p_lits = [F.array(*[F.lit(x) for x in p]) for p in planes]
+    v = F.col(vec_col).cast("array<double>")
+    code = None
+    for i, p in enumerate(p_lits):
+        bit = F.when(vec_dot(v, p) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        code = bit if code is None else code + bit
+    code = code.cast("long")
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        v.alias("c_vec"),
+        code.alias("bucket"),
+    ).withColumn("c_norm", F.sqrt(vec_dot(F.col("c_vec"), F.col("c_vec"))))
+    probe_codes = F.array(
+        F.col("code"),
+        *[F.col("code").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+    )
+    probes = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            v.alias("q_vec"),
+            code.alias("code"),
+        )
+        .withColumn("pc", F.explode(probe_codes))
+        .withColumn("q_norm", F.sqrt(vec_dot(F.col("q_vec"), F.col("q_vec"))))
+    )
+    cos = vec_dot(F.col("q_vec"), F.col("c_vec")) / (
+        F.col("q_norm") * F.col("c_norm")
+    )
+    scored = (
+        probes.join(assigned, F.col("pc") == F.col("bucket"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def topk_neighbors_lsh(
     corpus: DataFrame,
     queries: DataFrame,

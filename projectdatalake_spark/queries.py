@@ -16064,3 +16064,73 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return framed.select(
         "d", F.col("c").cast("long").alias("c"), med.alias("med7")
     ).orderBy("d")
+
+
+@query(
+    "ann_topk_lsh_seeded",
+    oracle="""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    planes AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, v AS p
+      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 4)
+    ),
+    codes AS (
+      SELECT e.vec_id, e.v,
+             (SELECT CAST(sum(CASE WHEN list_dot_product(e.v, pl.p) > 0
+                                   THEN 1 << pl.i ELSE 0 END) AS BIGINT)
+              FROM planes pl) AS code
+      FROM emb e
+    ),
+    probes AS (
+      SELECT c.vec_id AS query_id, c.v AS q_vec, x.pc
+      FROM codes c,
+           unnest([c.code, xor(c.code, 1), xor(c.code, 2),
+                   xor(c.code, 4), xor(c.code, 8)]) AS x(pc)
+      WHERE c.vec_id < 5
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             list_dot_product(p.q_vec, a.v)
+             / (sqrt(list_dot_product(p.q_vec, p.q_vec))
+                * sqrt(list_dot_product(a.v, a.v))) AS cos
+      FROM probes p JOIN codes a ON a.code = p.pc
+      WHERE a.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def ann_topk_lsh_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-BACKED LSH rung — the last ANN family without a
+    hash-proof ([[ann_topk_ivf_seeded]]/[[ann_topk_pq_seeded]] pinned
+    IVF and PQ): seed hyperplanes (the 4 lowest-id vectors as literal
+    arrays), sign-bit bucket codes, Hamming-1 MULTIPROBE on the query
+    side, exact-cosine re-rank — every step replayed by DuckDB
+    value-for-value. Each corpus row owns one code, so a pair meets
+    through at most one probe: no dedup, no tie hazards beyond the
+    shared (cosine DESC, neighbor_id) order. The trained rung
+    (ann_topk_lsh) keeps its recall gate; this rung proves its
+    machinery.
+
+    100 TB: codes are scan-stage expressions; only queries fan out
+    ×(planes+1); the candidate join is code equality."""
+    from projectdatalake_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.topk_neighbors_lsh_seeded(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_planes=4
+    )
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    ).orderBy("query_id", "rank")
