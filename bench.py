@@ -258,6 +258,7 @@ EXTENDED = [
     "mm_image_phash_dedup",
     "win_rolling_median",
     "ann_topk_lsh_seeded",
+    "bpe_train_merges",
 ]
 
 # Apply-only rungs measure STEADY-STATE cost: their fit-once index builds

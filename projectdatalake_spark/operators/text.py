@@ -357,3 +357,85 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "rank", F.round("score", 4).alias("score"))
     )
+
+
+def bpe_train_merges(
+    docs: DataFrame,
+    n_merges: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> list[tuple[int, str, str, int]]:
+    """TRAIN BPE MERGES over a corpus (Sennrich et al. 2016, the
+    tokenizer-training step every LLM data pipeline runs before
+    anything tokenizes): reduce the corpus to its DISTINCT-WORD table
+    with counts (the classic trick — iterations run on the vocabulary
+    grain, never the corpus grain), represent each word as a symbol
+    array (chars + a `</w>` end marker), then ``n_merges`` times: count
+    weighted adjacent symbol pairs (one distributed aggregate), pick
+    the argmax pair with (count DESC, left, right) tie-break —
+    deterministic across runs — broadcast it, and merge its occurrences
+    LEFT-TO-RIGHT, NON-OVERLAPPING in every word (a Catalyst aggregate
+    fold; 'aaa' under (a,a) yields ['aa','a'], the reference
+    semantics). Returns [(step, left, right, pair_count)].
+
+    Exactness: equality-gated against a pure-Python reference BPE on
+    the same word counts (tests/test_accuracy_gates.py).
+
+    100 TB: the corpus is touched ONCE (word counting); each merge
+    iteration is one pair-count aggregate + one map-only transform over
+    the distinct-word table (≪ corpus; Zipf makes it tiny relative to
+    tokens); plans localCheckpoint every iteration so lineage stays
+    flat. The argmax reaching the driver is one row per iteration."""
+    words = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.concat(
+                F.split(F.col("w"), ""), F.array(F.lit("</w>"))
+            ).alias("syms"),
+            "cnt",
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        pairs = (
+            words.select(
+                F.posexplode(F.slice("syms", 1, F.size("syms") - 1)).alias(
+                    "i", "a"
+                ),
+                F.col("syms"),
+                F.col("cnt"),
+            )
+            .select(
+                F.col("a"),
+                F.element_at("syms", F.col("i") + 2).alias("b"),
+                F.col("cnt"),
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("cnt").alias("n"))
+        )
+        top = pairs.orderBy(F.col("n").desc(), "a", "b").limit(1).collect()
+        if not top:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        merges.append((step, a, b, n))
+        ab = a + b
+        merged = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (s == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(ab))
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        words = words.select(merged.alias("syms"), "cnt").localCheckpoint(
+            eager=True
+        )
+    return merges

@@ -16134,3 +16134,27 @@ def ann_topk_lsh_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cosine", 6).alias("cosine"),
         F.col("rank").cast("int").alias("rank"),
     ).orderBy("query_id", "rank")
+
+
+@query("bpe_train_merges")  # iterative argmax loop not SQL-replayable → rows-only
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TOKENIZER TRAINING (Sennrich 2016) over the documents corpus
+    — the step every LLM data pipeline runs before anything tokenizes:
+    12 merge iterations on the DISTINCT-WORD table (corpus touched
+    once; iterations run on the vocabulary grain), deterministic
+    (count DESC, left, right) argmax per step, greedy left-to-right
+    non-overlapping merge via a Catalyst fold. Exact-equality gate vs a
+    pure-Python reference BPE in tests/test_accuracy_gates.py; driver
+    records rows-only (the loop's per-step argmax isn't one SQL
+    statement).
+
+    100 TB: one corpus pass for word counts; each iteration is one
+    pair-count aggregate + one map-only array fold over the Zipf-small
+    vocab table, lineage checkpointed per step."""
+    from projectdatalake_spark.operators.text import bpe_train_merges as train
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = train(docs, n_merges=12)
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, pair_count long"
+    ).orderBy("step")

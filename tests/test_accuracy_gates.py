@@ -783,3 +783,53 @@ def test_semantic_dedup_seeded_equals_with_centers(spark):
         ).select("vec_id").collect()
     }
     assert got == want and 0 < len(got) < emb.count()
+
+
+def test_bpe_train_merges_equals_reference(spark):
+    """Distributed BPE training == a pure-Python reference BPE run on
+    the SAME word counts (shared tokenization, so the gate isolates the
+    iteration logic): identical merge sequence, counts, and greedy
+    left-to-right non-overlapping merge semantics ('aaa' under (a,a)
+    → ['aa','a'])."""
+    from collections import Counter
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    wc = {
+        r.w: r.cnt
+        for r in docs.select(F.explode(TX.tokens(F.col("text"))).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+
+    def ref(word_counts, n):
+        words = {tuple(list(w) + ["</w>"]): c for w, c in word_counts.items()}
+        out = []
+        for step in range(1, n + 1):
+            pc = Counter()
+            for syms, c in words.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += c
+            if not pc:
+                break
+            (a, b), cnt = sorted(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )[0]
+            out.append((step, a, b, cnt))
+            merged = {}
+            for syms, c in words.items():
+                new = []
+                for s in syms:
+                    if new and new[-1] == a and s == b:
+                        new[-1] = a + b
+                    else:
+                        new.append(s)
+                key = tuple(new)
+                merged[key] = merged.get(key, 0) + c
+            words = merged
+        return out
+
+    got = TX.bpe_train_merges(docs, n_merges=10)
+    want = ref(wc, 10)
+    assert got == want and len(got) == 10
