@@ -259,6 +259,7 @@ EXTENDED = [
     "win_rolling_median",
     "ann_topk_lsh_seeded",
     "bpe_train_merges",
+    "txlog_row_tracking_optimize",
 ]
 
 # Apply-only rungs measure STEADY-STATE cost: their fit-once index builds

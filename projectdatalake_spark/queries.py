@@ -16158,3 +16158,76 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "step int, left string, right string, pair_count long"
     ).orderBy("step")
+
+
+@query(
+    "txlog_row_tracking_optimize",
+    oracle="""
+    WITH b1 AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    b2 AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 3 = 1
+    ),
+    ids AS (
+      SELECT o_orderkey, o_orderpriority, price,
+             row_number() OVER (ORDER BY o_orderkey) - 1 AS row_id
+      FROM b1
+      UNION ALL
+      SELECT o_orderkey, o_orderpriority, price,
+             (SELECT count(*) FROM b1)
+               + row_number() OVER (ORDER BY o_orderkey) - 1
+      FROM b2
+    )
+    SELECT o_orderkey, CAST(row_id AS BIGINT) AS row_id, price
+    FROM ids
+    WHERE o_orderpriority <> '1-URGENT'
+    ORDER BY row_id
+    """,
+)
+def txlog_row_tracking_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW IDS THROUGH COMPACTION — the materialized-id half of row
+    tracking ([[txlog_row_tracking]] stops where rewrites refuse):
+    OPTIMIZE under row tracking rewrites the DV-masked two-batch table
+    into one file carrying each row's id as a physical `_row_id` column
+    (compaction interleaves sources, so base+position can no longer
+    express the ids — the column is the only carrier, the formats'
+    materializedRowIdColumnName mechanism). The oracle is IDENTICAL to
+    the pre-optimize query's: compaction must change the id of nothing,
+    and the hash gate proves it row for row. Normal snapshot() never
+    sees the column (explicit read schemas).
+
+    100 TB: the rewrite's id scan is the same broadcast-map join as the
+    reader; rewritten files' `_row_id` write-time stats keep the
+    min_row_id watermark consumer pruning them."""
+    import tempfile
+
+    from projectdatalake_spark.sources.txlog import TxTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    b1 = (
+        o.filter(F.col("o_orderkey") % 3 == 0)
+        .coalesce(1).sortWithinPartitions("o_orderkey")
+    )
+    b2 = (
+        o.filter(F.col("o_orderkey") % 3 == 1)
+        .coalesce(1).sortWithinPartitions("o_orderkey")
+    )
+    root = tempfile.mkdtemp(prefix="txrtopt_") + "/t"
+    t = TxTable.create(spark, root, b1)
+    t.enable_row_tracking()
+    t.append(b2)
+    t.delete_where_dv("o_orderpriority = '1-URGENT'")
+    assert t.optimize(min_files=2) is not None
+    return (
+        t.snapshot_with_row_ids()
+        .select("o_orderkey", "row_id", "price")
+        .orderBy("row_id")
+    )

@@ -511,6 +511,14 @@ class TxTable:
                 # (stale entries for removed files are inert — readers
                 # map active files only)
                 rt["base"].update(inc.get("base", {}))
+                if inc.get("materialized"):
+                    # files whose rows carry a physical _row_id column
+                    # (an OPTIMIZE rewrite under row tracking) — no base
+                    # entry; readers select the column instead
+                    rt["materialized"] = sorted(
+                        set(rt.get("materialized", []))
+                        | set(inc["materialized"])
+                    )
         return state
 
     def _state(self, version: int | None = None) -> dict:
@@ -544,6 +552,9 @@ class TxTable:
                 state["row_tracking"] = {
                     **state["row_tracking"],
                     "base": dict(state["row_tracking"].get("base", {})),
+                    "materialized": list(
+                        state["row_tracking"].get("materialized", [])
+                    ),
                 }
             commits = [
                 c for c in self.history() if c["version"] > ck["version"]
@@ -1441,7 +1452,14 @@ class TxTable:
         so a racer landing on the version forces a conflict and a
         re-allocation, never a silent id collision."""
         _ROW_SAFE_OPS = ("append", "create", "enable_row_tracking", "delete_dv")
-        if op not in _ROW_SAFE_OPS and (adds or removes):
+        if (
+            op not in _ROW_SAFE_OPS
+            and (adds or removes)
+            # a rewrite that MATERIALIZES ids into its output files (the
+            # optimize path) declares so in its row_tracking payload and
+            # is id-preserving by construction
+            and not (extra.get("row_tracking") or {}).get("materialized")
+        ):
             rt = self._state().get("row_tracking") or {}
             if rt.get("enabled"):
                 raise ValueError(
@@ -2507,8 +2525,25 @@ class TxTable:
                 "tables only in this implementation"
             )
         active = self._active_files()
+        mat_set = set(rt.get("materialized", []))
         base_rows = []
+        mat_paths = []
         for a in active:
+            if a["path"] in mat_set:
+                # OPTIMIZE-rewritten file: ids live in the physical
+                # `_row_id` column; prune via its write-time stats
+                st = (a.get("stats") or {}).get("_row_id")
+                if (
+                    min_row_id is not None
+                    and st is not None
+                    and st.get("max") is not None
+                    and int(st["max"]) < min_row_id
+                ):
+                    continue
+                mat_paths.append(
+                    _atomic.strip_file_scheme(self._data_path(a))
+                )
+                continue
             b = rt["base"].get(a["path"])
             if b is None:
                 raise ValueError(
@@ -2524,36 +2559,46 @@ class TxTable:
             base_rows.append(
                 (_atomic.strip_file_scheme(self._data_path(a)), int(b))
             )
-        if not base_rows:
+        if not base_rows and not mat_paths:
             return self.snapshot().withColumn(
                 "row_id", F.lit(None).cast("long")
             ).limit(0)
-        base_map = self.spark.createDataFrame(
-            base_rows, "__fp string, __base long"
-        )
-        df = (
-            self.spark.read.parquet(*[p for p, _b in base_rows])
+        tag = lambda df: df.withColumn(
+            "__ri", F.col("_metadata.row_index")
+        ).withColumn("__fpu", F.col("_metadata.file_path"))
+        out = None
+        if base_rows:
+            base_map = self.spark.createDataFrame(
+                base_rows, "__fp string, __base long"
+            )
+            df = tag(self.spark.read.parquet(*[p for p, _b in base_rows]))
             # the same URI→raw pairing _attach_stats proved: decode the
             # _metadata URI side only, never the listing side
-            .withColumn(
+            df = df.withColumn(
                 "__fp",
                 F.url_decode(
                     F.regexp_replace(
-                        F.regexp_replace(
-                            F.col("_metadata.file_path"), "^file:", ""
-                        ),
+                        F.regexp_replace(F.col("__fpu"), "^file:", ""),
                         r"\+", "%2B",
                     )
                 ),
             )
-            .withColumn("__ri", F.col("_metadata.row_index"))
-            # DV masks record the URI form verbatim (captured from a
-            # scan's _metadata.file_path at delete time) — keep it
-            # undecoded for that comparison
-            .withColumn("__fpu", F.col("_metadata.file_path"))
-        )
+            out = (
+                df.join(F.broadcast(base_map), "__fp")
+                .withColumn("row_id", F.col("__base") + F.col("__ri"))
+                .drop("__fp", "__base")
+            )
+        if mat_paths:
+            mdf = tag(
+                self.spark.read.schema(
+                    self._physical_read_schema() + ", `_row_id` bigint"
+                ).parquet(*mat_paths)
+            ).withColumn("row_id", F.col("_row_id")).drop("_row_id")
+            out = mdf if out is None else out.unionByName(mdf)
         dvs = self._active_dvs()
         if dvs:
+            # DV masks record the URI form verbatim (captured from a
+            # scan's _metadata.file_path at delete time)
             mask = (
                 self.spark.read.parquet(
                     *[self._resolve(dv["path"]) for dv in dvs]
@@ -2561,17 +2606,13 @@ class TxTable:
                 .select("file_path", "row_index")
                 .dropDuplicates()
             )
-            df = df.join(
+            out = out.join(
                 F.broadcast(mask),
-                (df["__fpu"] == mask["file_path"])
-                & (df["__ri"] == mask["row_index"]),
+                (out["__fpu"] == mask["file_path"])
+                & (out["__ri"] == mask["row_index"]),
                 "left_anti",
             )
-        out = (
-            df.join(F.broadcast(base_map), "__fp")
-            .withColumn("row_id", F.col("__base") + F.col("__ri"))
-            .drop("__fp", "__fpu", "__ri", "__base")
-        )
+        out = out.drop("__fpu", "__ri")
         if min_row_id is not None:
             # residual: the first surviving file may straddle the mark
             out = out.filter(F.col("row_id") >= F.lit(int(min_row_id)))
@@ -2601,6 +2642,75 @@ class TxTable:
             if ttl is not None and (now - lease.get("ts", 0)) * 1000 > ttl:
                 continue
             out.append(lease)
+        return out
+
+    def _scan_with_row_ids(self, groups: dict, rt: dict) -> DataFrame:
+        """Scan of the given {base: [adds]} file groups carrying each
+        row's id as ``_row_id`` plus (``__fpu``, ``__ri``) DV-mask tags:
+        files already MATERIALIZED select their physical column;
+        base-mapped files compute base + row_index through a broadcast
+        map (the same URI→raw pairing as snapshot_with_row_ids). The
+        optimize() rewrite consumes this so ids survive the file move."""
+        mat_set = set(rt.get("materialized", []))
+        phys = self._physical_read_schema()
+        mat_frames = []
+        plain_frames = []
+        base_rows = []
+        for base, group in groups.items():
+            mat = [a["path"] for a in group if a["path"] in mat_set]
+            plain = [a for a in group if a["path"] not in mat_set]
+            if mat:
+                mat_frames.append(
+                    self.spark.read.option("basePath", base)
+                    .schema(phys + ", `_row_id` bigint")
+                    .parquet(*[f"{base}/{p}" for p in mat])
+                    .withColumn("__fpu", F.col("_metadata.file_path"))
+                    .withColumn("__ri", F.col("_metadata.row_index"))
+                )
+            if plain:
+                for a in plain:
+                    b = rt.get("base", {}).get(a["path"])
+                    if b is None:
+                        raise ValueError(
+                            f"active file {a['path']} has no row-id base "
+                            "— re-run enable_row_tracking"
+                        )
+                    base_rows.append(
+                        (
+                            _atomic.strip_file_scheme(f"{base}/{a['path']}"),
+                            int(b),
+                        )
+                    )
+                plain_frames.append(
+                    self._read_group(base, [a["path"] for a in plain])
+                    .withColumn("__fpu", F.col("_metadata.file_path"))
+                    .withColumn("__ri", F.col("_metadata.row_index"))
+                )
+        out = None
+        if plain_frames:
+            pf = plain_frames[0]
+            for f2 in plain_frames[1:]:
+                pf = pf.unionByName(f2, allowMissingColumns=True)
+            base_map = self.spark.createDataFrame(
+                base_rows, "__fp string, __base long"
+            )
+            decoded = F.url_decode(
+                F.regexp_replace(
+                    F.regexp_replace(F.col("__fpu"), "^file:", ""),
+                    r"\+", "%2B",
+                )
+            )
+            pf = (
+                pf.withColumn("__fp", decoded)
+                .join(F.broadcast(base_map), "__fp")
+                .withColumn("_row_id", F.col("__base") + F.col("__ri"))
+                .drop("__fp", "__base")
+            )
+            out = pf
+        for mf in mat_frames:
+            out = mf if out is None else out.unionByName(
+                mf, allowMissingColumns=True
+            )
         return out
 
     def optimize(
@@ -2703,19 +2813,46 @@ class TxTable:
         groups: dict[str, list[dict]] = {}
         for a in doomed_adds:
             groups.setdefault(a.get("base", self.root), []).append(a)
-        scoped = None
-        for base, group in groups.items():
-            df = self._read_group(base, [a["path"] for a in group])
-            scoped = df if scoped is None else scoped.unionByName(df, allowMissingColumns=True)
-        # pending deletion vectors must be materialized into the rewrite,
-        # or the compacted files would resurrect the masked rows
+        rt = self._state().get("row_tracking") or {}
+        rt_on = bool(rt.get("enabled"))
         removed_set = set(removes)
         dvs = [
             dv for dv in self._active_dvs() if any(f in removed_set for f in dv["files"])
         ]
         planned_dvs = {dv["path"] for dv in dvs}
-        if dvs:
-            scoped = self._apply_dv_mask(scoped, dvs)
+        if rt_on:
+            # ROW-TRACKED rewrite: ids must survive the file move, so the
+            # rewrite MATERIALIZES each row's id as a physical `_row_id`
+            # column (invisible to normal reads — explicit schemas never
+            # select it; snapshot_with_row_ids prefers it where present).
+            # Compaction interleaves source files, so base+position can
+            # no longer express the ids — the column is the only carrier,
+            # exactly why the formats define a materialized-id column.
+            scoped = self._scan_with_row_ids(groups, rt)
+            if dvs:
+                mask = (
+                    self.spark.read.parquet(
+                        *[self._resolve(dv["path"]) for dv in dvs]
+                    )
+                    .select("file_path", "row_index")
+                    .dropDuplicates()
+                )
+                scoped = scoped.join(
+                    F.broadcast(mask),
+                    (scoped["__fpu"] == mask["file_path"])
+                    & (scoped["__ri"] == mask["row_index"]),
+                    "left_anti",
+                )
+            scoped = scoped.drop("__fpu", "__ri")
+        else:
+            scoped = None
+            for base, group in groups.items():
+                df = self._read_group(base, [a["path"] for a in group])
+                scoped = df if scoped is None else scoped.unionByName(df, allowMissingColumns=True)
+            # pending deletion vectors must be materialized into the
+            # rewrite, or the compacted files would resurrect masked rows
+            if dvs:
+                scoped = self._apply_dv_mask(scoped, dvs)
         if zorder_by:
             if sort_by:
                 raise ValueError("pass sort_by OR zorder_by, not both")
@@ -2755,6 +2892,15 @@ class TxTable:
         else:
             compacted = scoped.coalesce(1)
         adds = self._stage(compacted, pcols)
+        if rt_on:
+            # the rewrite carries ids IN-COLUMN: declare every output
+            # file materialized (this is also what licenses the commit
+            # past the _publish row-tracking guard); hwm unchanged —
+            # no new ids were allocated
+            extra_publish["row_tracking"] = {
+                "enabled": True,
+                "materialized": sorted(a["path"] for a in adds),
+            }
 
         def unchanged() -> bool:
             current = {a["path"] for a in self._active_files()}

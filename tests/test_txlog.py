@@ -1810,11 +1810,10 @@ def test_txlog_row_tracking_lifecycle(spark, tmp_path):
     t.checkpoint()
     t2 = TxTable(spark, str(tmp_path / "t"))
     assert {r.k: r.row_id for r in t2.snapshot_with_row_ids().collect()} == after
-    # rewrites refuse centrally
+    # id-reassigning rewrites refuse centrally (optimize is the one
+    # EXCEPTION — it materializes ids in-column, tested separately)
     with pytest.raises(ValueError, match="row-tracked"):
         t.overwrite(df)
-    with pytest.raises(ValueError, match="row-tracked"):
-        t.optimize(min_files=1)
     with pytest.raises(ValueError, match="row-tracked"):
         t.merge_upsert(df.limit(1), ["k"])
 
@@ -1847,3 +1846,57 @@ def test_row_id_watermark_scan_prunes_files(spark, tmp_path):
     assert len(inc.inputFiles()) == 2
     # watermark above everything: zero files, zero rows
     assert t.snapshot_with_row_ids(min_row_id=1000).count() == 0
+
+
+def test_txlog_optimize_materializes_row_ids(spark, tmp_path):
+    """OPTIMIZE under row tracking: the rewrite carries each row's id
+    as a physical `_row_id` column (compaction interleaves source
+    files, so base+position can no longer express the ids — the column
+    is the only carrier). Contract: the (key → row_id) map is IDENTICAL
+    before and after compaction, DV masks fold in, normal snapshot()
+    never sees the extra column, later appends still allocate above the
+    untouched high-water mark, mixed materialized+base reads work, and
+    the materialized set folds through checkpoints. The min_row_id
+    consumer keeps pruning via the rewritten files' _row_id stats."""
+    def batch(lo, hi):
+        return (
+            spark.range(lo, hi)
+            .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+            .coalesce(1).sortWithinPartitions("k")
+        )
+
+    t = TxTable.create(spark, str(tmp_path / "t"), batch(0, 60))
+    t.enable_row_tracking()
+    t.append(batch(60, 120))
+    t.append(batch(120, 180))
+    t.delete_where_dv("k % 7 = 1")
+    before = {r.k: r.row_id for r in t.snapshot_with_row_ids().collect()}
+    assert t.optimize(min_files=2) is not None
+    rt = t._state()["row_tracking"]
+    assert rt["materialized"] and rt["hwm"] == 179
+    after = {r.k: r.row_id for r in t.snapshot_with_row_ids().collect()}
+    assert after == before  # ids survived the file move exactly
+    # normal reads never see the physical column
+    assert "_row_id" not in t.snapshot().columns
+    # later appends allocate above the untouched mark (mixed read)
+    t.append(batch(180, 200))
+    mixed = {r.k: r.row_id for r in t.snapshot_with_row_ids().collect()}
+    assert mixed == {**before, **{k: k for k in range(180, 200)}}
+    # checkpoint fold carries the materialized set
+    t.checkpoint()
+    t2 = TxTable(spark, str(tmp_path / "t"))
+    assert set(t2._state()["row_tracking"]["materialized"]) == set(
+        rt["materialized"]
+    )
+    assert {
+        r.k: r.row_id for r in t2.snapshot_with_row_ids().collect()
+    } == mixed
+    # watermark pruning via the rewritten file's _row_id stats: asking
+    # for ids >= 180 must not open the compacted (0-179) file
+    inc = t2.snapshot_with_row_ids(min_row_id=180)
+    assert {r.k for r in inc.collect()} == set(range(180, 200))
+    data_files = [
+        f for f in inc.inputFiles()
+        if "/_dv/" not in f and "/_txlog/" not in f
+    ]
+    assert len(data_files) == 1, data_files  # only the batch-4 file opened
