@@ -260,6 +260,7 @@ EXTENDED = [
     "ann_topk_lsh_seeded",
     "bpe_train_merges",
     "txlog_row_tracking_optimize",
+    "delta_row_tracking_optimize",
 ]
 
 # Apply-only rungs measure STEADY-STATE cost: their fit-once index builds

@@ -16231,3 +16231,76 @@ def txlog_row_tracking_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "row_id", "price")
         .orderBy("row_id")
     )
+
+
+@query(
+    "delta_row_tracking_optimize",
+    oracle="""
+    WITH b1 AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    b2 AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 3 = 1
+    ),
+    ids AS (
+      SELECT o_orderkey, o_orderpriority, price,
+             row_number() OVER (ORDER BY o_orderkey) - 1 AS row_id
+      FROM b1
+      UNION ALL
+      SELECT o_orderkey, o_orderpriority, price,
+             (SELECT count(*) FROM b1)
+               + row_number() OVER (ORDER BY o_orderkey) - 1
+      FROM b2
+    )
+    SELECT o_orderkey, CAST(row_id AS BIGINT) AS row_id, price
+    FROM ids
+    WHERE o_orderpriority <> '1-URGENT'
+    ORDER BY row_id
+    """,
+)
+def delta_row_tracking_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW IDS THROUGH DELTA OPTIMIZE — the materialized-column
+    mechanism PROTOCOL.md names via
+    delta.rowTracking.materializedRowIdColumnName, the twin of
+    [[txlog_row_tracking_optimize]]: compacting the DV-masked two-batch
+    table writes each row's id into the physical `_row_id` column while
+    the rewritten add burns FRESH baseRowIds (the high-water mark
+    advances) that readers override by coalesce(materialized, base +
+    position). The oracle is IDENTICAL to [[delta_row_tracking]]'s —
+    the rewrite must change the id of nothing, hash-proven row for row.
+
+    100 TB: the rewrite's id scan is one broadcast-map join; the
+    min_row_id watermark consumer prunes rewritten files on the
+    column's write-time stats (fresh baseRowId ranges say nothing
+    about content ids — the stats do)."""
+    import tempfile
+
+    from projectdatalake_spark.sources.delta_interop import DeltaTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    b1 = (
+        o.filter(F.col("o_orderkey") % 3 == 0)
+        .coalesce(1).sortWithinPartitions("o_orderkey")
+    )
+    b2 = (
+        o.filter(F.col("o_orderkey") % 3 == 1)
+        .coalesce(1).sortWithinPartitions("o_orderkey")
+    )
+    root = tempfile.mkdtemp(prefix="dltrtopt_") + "/t"
+    t = DeltaTable.create(spark, root, b1)
+    t.enable_row_tracking()
+    t.append(b2)
+    t.delete_where_dv("o_orderpriority = '1-URGENT'")
+    assert t.optimize() is not None
+    return (
+        t.snapshot_with_row_ids()
+        .select("o_orderkey", "row_id", "price")
+        .orderBy("row_id")
+    )

@@ -2039,10 +2039,16 @@ class DeltaTable:
         clustered column at once — multi-column file skipping from one
         layout. ``target_files`` bounds the rewrite's output count per
         partition group."""
-        self._refuse_row_tracking_rewrite("optimize")
         state = self._state()
         self._check_readable(state)
         meta = state["metaData"]
+        rt_on = self.row_tracking_enabled(state)
+        if rt_on and (
+            meta.get("partitionColumns") or self._column_mapping(meta)
+        ):
+            # id materialization below shares snapshot_with_row_ids'
+            # unpartitioned/unmapped scope — outside it, refuse loudly
+            self._refuse_row_tracking_rewrite("optimize")
         self._refuse_mapped(meta, "optimize")
         schema = StructType.fromJson(json.loads(meta["schemaString"]))
         pcols = list(meta.get("partitionColumns", []))
@@ -2075,12 +2081,71 @@ class DeltaTable:
         actions: list[dict] = [
             {"commitInfo": self._commit_info("OPTIMIZE", op_params)}
         ]
+        all_new_adds: list[dict] = []
         for key, group in todo.items():
             paths = [self._abs_data_path(a["path"]) for a in group]
-            df = self.spark.read.schema(data_schema).parquet(*paths)
-            dv_adds = [a for a in group if a.get("deletionVector")]
-            if dv_adds:
-                df = self._apply_dvs(df, dv_adds)
+            if rt_on:
+                # rewrite WITH ids: each row's id rides a physical
+                # `_row_id` column in the new files (compaction
+                # interleaves sources — base+position can no longer
+                # express the ids; the spec's materialized-column
+                # mechanism). Files from a PRIOR optimize already carry
+                # the column (read explicitly; missing → null),
+                # everything else derives base + row_index.
+                from pyspark.sql.types import LongType, StructField
+
+                read_schema = StructType(
+                    list(data_schema.fields)
+                    + [StructField("_row_id", LongType(), True)]
+                )
+                df = (
+                    self.spark.read.schema(read_schema).parquet(*paths)
+                    .withColumn(
+                        "__fp", _file_path_raw(F.col("_metadata.file_path"))
+                    )
+                    .withColumn("__ri", F.col("_metadata.row_index"))
+                )
+                base_map = self.spark.createDataFrame(
+                    [
+                        (
+                            self._abs_data_path(a["path"]),
+                            int(a["baseRowId"]),
+                        )
+                        for a in group
+                    ],
+                    "__fp string, __base long",
+                )
+                df = (
+                    df.join(F.broadcast(base_map), "__fp")
+                    .withColumn(
+                        "_row_id",
+                        F.coalesce(
+                            F.col("_row_id"), F.col("__base") + F.col("__ri")
+                        ),
+                    )
+                    .drop("__base")
+                )
+                dv_adds = [a for a in group if a.get("deletionVector")]
+                pairs = []
+                for a in dv_adds:
+                    p = self._abs_data_path(a["path"])
+                    for ri in self._dv_deleted_rows(a["deletionVector"]):
+                        pairs.append((p, ri))
+                if pairs:
+                    deleted = self.spark.createDataFrame(
+                        pairs, "__fp string, __ri long"
+                    )
+                    df = df.join(
+                        F.broadcast(deleted),
+                        on=["__fp", "__ri"],
+                        how="left_anti",
+                    )
+                df = df.drop("__fp", "__ri")
+            else:
+                df = self.spark.read.schema(data_schema).parquet(*paths)
+                dv_adds = [a for a in group if a.get("deletionVector")]
+                if dv_adds:
+                    df = self._apply_dvs(df, dv_adds)
             for col, sval in key:
                 df = df.withColumn(col, _partition_literal(sval, ptypes[col]))
             if zorder_by:
@@ -2107,6 +2172,7 @@ class DeltaTable:
             else:
                 compacted = df.coalesce(target_files_per_partition)
             new_adds = self._stage(compacted, tuple(pcols))
+            all_new_adds.extend(new_adds)
             for a in group:
                 actions.append(
                     {
@@ -2117,9 +2183,19 @@ class DeltaTable:
                         }
                     }
                 )
-            for a in new_adds:
-                actions.append({"add": {**a, "dataChange": False}})
         v = state["version"] + 1
+        if rt_on:
+            # spec shape: rewritten adds burn FRESH baseRowIds (the mark
+            # advances) while their rows' materialized column overrides —
+            # readers coalesce(materialized, base + position). Allocate
+            # BEFORE the add actions are built: the allocator stamps the
+            # add dicts in place.
+            actions.extend(
+                self._row_tracking_actions(all_new_adds, state, v)
+            )
+        actions.extend(
+            {"add": {**a, "dataChange": False}} for a in all_new_adds
+        )
         self._publish(v, actions)
         return v
 
@@ -2291,6 +2367,10 @@ class DeltaTable:
         meta["configuration"] = {
             **(meta.get("configuration") or {}),
             "delta.enableRowTracking": "true",
+            # spec: the physical column rewrites materialize row ids
+            # into (rows with a non-null value there own it; null falls
+            # back to baseRowId + position)
+            "delta.rowTracking.materializedRowIdColumnName": "_row_id",
         }
         hwm = -1
         readds = []
@@ -2386,6 +2466,12 @@ class DeltaTable:
                 st = self._parse_stats(a)
                 if st is None or "numRecords" not in st:
                     return True  # unknown count: conservatively keep
+                # MATERIALIZED files (an optimize rewrite) hold arbitrary
+                # id mixtures — their baseRowId is fresh and says nothing
+                # about content; prune on the column's write-time max
+                mat_max = (st.get("maxValues") or {}).get("_row_id")
+                if mat_max is not None:
+                    return int(mat_max) >= min_row_id
                 return (
                     int(a["baseRowId"]) + int(st["numRecords"]) - 1
                     >= min_row_id
@@ -2410,13 +2496,26 @@ class DeltaTable:
             "__fp string, __base long, __dcv long",
         )
         paths = [self._abs_data_path(a["path"]) for a in adds]
+        from pyspark.sql.types import LongType, StructField
+
+        # one scan covers plain AND optimize-materialized files: the
+        # explicit schema reads `_row_id` where present and null where
+        # absent, and the coalesce applies the spec's precedence
+        # (materialized value wins; null → baseRowId + position)
+        read_schema = StructType(
+            list(schema.fields) + [StructField("_row_id", LongType(), True)]
+        )
         df = (
-            self.spark.read.schema(schema).parquet(*paths)
+            self.spark.read.schema(read_schema).parquet(*paths)
             .withColumn("__fp", _file_path_raw(F.col("_metadata.file_path")))
             .withColumn("__ri", F.col("_metadata.row_index"))
             .join(F.broadcast(base_map), "__fp")
-            .withColumn("row_id", F.col("__base") + F.col("__ri"))
+            .withColumn(
+                "row_id",
+                F.coalesce(F.col("_row_id"), F.col("__base") + F.col("__ri")),
+            )
             .withColumn("row_commit_version", F.col("__dcv"))
+            .drop("_row_id")
         )
         dv_adds = [a for a in adds if a.get("deletionVector")]
         if dv_adds:

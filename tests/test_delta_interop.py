@@ -1428,12 +1428,62 @@ def test_row_tracking_protocol_and_stability(spark, root):
     t2 = DeltaTable(spark, root)
     assert t2._row_id_high_water_mark(t2._state()) == 149
     assert {r.k: r.row_id for r in t2.snapshot_with_row_ids().collect()} == after
-    # rewrites refuse
+    # id-reassigning rewrites refuse (optimize is the exception — it
+    # materializes ids in-column, tested separately)
     for op in (
-        lambda: t.optimize(),
         lambda: t.recluster(),
         lambda: t.overwrite(df),
         lambda: t.merge_upsert(df.limit(1), ["k"]),
     ):
         with pytest.raises(DeltaProtocolError, match="row-tracked"):
             op()
+
+
+def test_delta_optimize_materializes_row_ids(spark, root):
+    """OPTIMIZE under row tracking (the spec's materialized-column
+    mechanism, config delta.rowTracking.materializedRowIdColumnName):
+    the rewrite carries each row's id in a physical `_row_id` column
+    while the new adds burn FRESH baseRowIds (the mark advances) that
+    readers override via coalesce(materialized, base + position).
+    Contract: the (key → row_id) map is identical before and after,
+    DV masks fold in, normal snapshot() never sees the column, later
+    appends allocate above the advanced mark, and the min_row_id
+    consumer prunes rewritten files on the column's write-time stats."""
+    from projectdatalake_spark.sources.delta_interop import DeltaTable
+
+    def batch(lo, hi):
+        return (
+            spark.range(lo, hi)
+            .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+            .coalesce(1).sortWithinPartitions("k")
+        )
+
+    t = DeltaTable.create(spark, root, batch(0, 60))
+    t.enable_row_tracking()
+    t.append(batch(60, 120))
+    t.append(batch(120, 180))
+    t.delete_where_dv("k % 7 = 1")
+    before = {r.k: r.row_id for r in t.snapshot_with_row_ids().collect()}
+    hwm_before = t._row_id_high_water_mark(t._state())
+    assert t.optimize() is not None
+    after = {r.k: r.row_id for r in t.snapshot_with_row_ids().collect()}
+    assert after == before  # ids survived the rewrite exactly
+    st = t._state()
+    # fresh baseRowIds burned: the mark advanced past the rewrite
+    assert t._row_id_high_water_mark(st) > hwm_before
+    assert all("baseRowId" in a for a in st["adds"].values())
+    assert "_row_id" not in t.snapshot().columns
+    t.append(batch(180, 200))
+    mixed = {r.k: r.row_id for r in t.snapshot_with_row_ids().collect()}
+    hwm = t._row_id_high_water_mark(t._state())
+    assert mixed == {
+        **before, **{k: hwm - 199 + k for k in range(180, 200)}
+    }
+    # watermark pruning: content ids >= the last batch's first id must
+    # not open the compacted file (its fresh baseRowId range is HIGHER
+    # than its content ids — pruning must use the _row_id column stats)
+    first_new = hwm - 19
+    inc = t.snapshot_with_row_ids(min_row_id=first_new)
+    assert {r.k for r in inc.collect()} == set(range(180, 200))
+    data_files = [f for f in inc.inputFiles() if "/_delta_log/" not in f]
+    assert len(data_files) == 1, data_files
