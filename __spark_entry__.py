@@ -36,9 +36,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # front-ranked, zero overlap). Queries already verified by a previous
 # round's driver run are pushed to the back; everything not yet
 # driver-proven comes first so each round's file covers new ground.
-# Round 8: the ledger is CLOSED (326/326 oracle-backed queries carry a
-# driver hash-proof after r7). New round-8 registrations front-rank; the
-# remaining slots rotate the STALEST proofs (r1-vintage greens first).
+# Round 9: the ledger stays CLOSED (343/343 oracle-backed queries carry a
+# driver hash-proof after r8). New round-9 registrations front-rank; the
+# remaining slots rotate the STALEST proofs (r2-vintage greens first:
+# the txlog core family, mm_*, stream_dedup_watermark).
 # All new queries were verify_local-proven at sf0.001 AND sf0.01.
 _R1_DRIVER_VERIFIED = frozenset(
     {
@@ -56,11 +57,14 @@ _R1_DRIVER_VERIFIED = frozenset(
         "set_except_all", "sort_limit_topk", "tpch_q3_shipping",
         "asof_join_events_orders", "sessionize_events", "star_fact_enrich",
         "text_token_stats", "text_quality", "text_langid", "text_fingerprint",
-        "text_simhash", "dedup_exact_docs", "dedup_jaccard_pairs",
-        "dedup_minhash_lsh", "neardup_cosine_pairs", "ann_topk_bruteforce",
-        "ann_topk_lsh",
+        "dedup_exact_docs", "dedup_jaccard_pairs",
+        "neardup_cosine_pairs", "ann_topk_bruteforce",
     }
 )
+# (agg_approx_distinct, text_simhash, dedup_minhash_lsh, ann_topk_lsh were
+# listed here through round 8 but their r1 rows were actually
+# `err: no_oracle` — they are rows-only queries, never driver-verified;
+# dropped per the round-8 verdict so the set's name tells the truth.)
 
 # Hash-green in CORRECTNESS_r02.json. The two r02 rows that errored
 # (agg_collect_sorted, quantize_embeddings — array cells broke the driver's
@@ -229,6 +233,33 @@ _R7_DRIVER_VERIFIED = frozenset(
     }
 )
 
+# Hash-green in CORRECTNESS_r08.json (50/50 fully green, zero err) —
+# 17 round-8 registrations + 33 stalest-proof rotations (r1-vintage).
+_R8_DRIVER_VERIFIED = frozenset(
+    {
+        "star_ndv_join_ordering", "semantic_dedup_seeded",
+        "graph_bfs_distances", "ts_theil_sen_trend",
+        "sketch_intersection_ndv", "ts_cross_corr_leadlag",
+        "stream_left_outer_join", "delta_row_tracking",
+        "iceberg_row_lineage", "txlog_row_tracking",
+        "row_id_incremental_scan", "event_pattern_match",
+        "iceberg_readable_metrics", "win_rolling_median",
+        "ann_topk_lsh_seeded", "txlog_row_tracking_optimize",
+        "delta_row_tracking_optimize", "epoch_roundtrip",
+        "json_extract_props", "string_functions", "multi_join_snowflake",
+        "agg_stats_by_group", "agg_having", "agg_rollup", "agg_cube",
+        "agg_grouping_sets", "agg_pivot", "win_topk_per_group",
+        "win_running_sum", "win_lag_delta", "win_rank_dense",
+        "set_union_all", "set_intersect", "set_except_all",
+        "sort_limit_topk", "tpch_q3_shipping", "asof_join_events_orders",
+        "sessionize_events", "star_fact_enrich", "text_token_stats",
+        "text_quality", "text_langid", "text_fingerprint",
+        "dedup_exact_docs", "dedup_jaccard_pairs", "neardup_cosine_pairs",
+        "ann_topk_bruteforce", "stream_tumbling_agg", "stream_sliding_agg",
+        "stream_dedup_keys",
+    }
+)
+
 _VERIFIED_BY_ROUND = (
     _R1_DRIVER_VERIFIED,
     _R2_DRIVER_VERIFIED,
@@ -237,6 +268,7 @@ _VERIFIED_BY_ROUND = (
     _R5_DRIVER_VERIFIED,
     _R6_DRIVER_VERIFIED,
     _R7_DRIVER_VERIFIED,
+    _R8_DRIVER_VERIFIED,
 )
 
 _DRIVER_VERIFIED = frozenset().union(*_VERIFIED_BY_ROUND)
