@@ -14972,7 +14972,14 @@ def stream_minhash_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFr
 
     100 TB: the recurring cost is each batch's band rows against
     matching index buckets — the corpus is never rescanned; this is the
-    continuous-curation shape for a live training-data feed."""
+    continuous-curation shape for a live training-data feed. The index
+    is MAINTAINED, not just grown: every ``compact_every`` batches the
+    stamped batch dirs below the watermark fold into one consolidated
+    base per index (watermark-guarded, crash-safe — see
+    streaming/dedup_stream.py), so the live file count is bounded over
+    the stream's whole lifetime instead of growing one directory per
+    batch forever (exercised here with compact_every=2; bound + replay
+    fences pytest-gated)."""
     import tempfile
 
     from projectdatalake_spark.streaming.dedup_stream import (
@@ -14998,6 +15005,7 @@ def stream_minhash_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFr
         pairs_dir=f"{base}/pairs",
         checkpoint_dir=f"{base}/ckpt",
         threshold=0.5,
+        compact_every=2,
     )
     q.awaitTermination(600)
     return (

@@ -17,11 +17,28 @@ batch overwrites its own partial output byte-for-byte; the index read
 filters ``batch_id < current`` so a replay never sees its own crashed
 attempt's rows (which would double the shingle join and duplicate
 pairs).
+
+Index maintenance (the long-lived-stream story): without compaction the
+index grows one directory per batch forever — bucket pruning bounds
+BYTES read but every pruned read still lists across all ``batch_id``
+dirs, so a month-long stream degrades on listing alone. Every
+``compact_every`` batches the index folds all batches below a watermark
+W into ONE consolidated base per index (``banded_base/w=W`` partitioned
+by ``bq``; ``shingles_base/w=W``) and garbage-collects the folded batch
+dirs, so the live file count is bounded by
+``buckets + compact_every × per-batch files`` regardless of stream age.
+Replay safety is the watermark: a base is visible only once its
+``_SUCCESS`` marker exists (a compaction that dies mid-write is
+invisible and redone), readers take the newest committed base with
+``w <= before_batch`` and then ONLY batch dirs with ``batch_id >= w``,
+so a crash between base-write and GC (both dirs present) never
+double-counts; a full replay of the compacting batch finds the
+committed base and skips straight to GC (idempotent deletes).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 _BANDED_SCHEMA = "doc_id long, band int, bkey long"
 _SH_SCHEMA = "doc_id long, sh array<string>"
@@ -37,41 +54,172 @@ def _bucket_of(band, bkey):
     return F.pmod(F.xxhash64(band, bkey), F.lit(_N_BUCKETS)).cast("int")
 
 
+def _fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
+def _base_root(path: str) -> str:
+    # sibling of the batch root, so partition discovery over the batch
+    # dirs never mixes `batch_id=` and `w=` layouts in one listing
+    return path.rstrip("/") + "_base"
+
+
+def _latest_base(
+    spark: SparkSession, base_root: str, max_w: int
+) -> tuple[int, str] | None:
+    """Newest COMMITTED consolidated base ``(w, dir)`` with ``w <= max_w``,
+    or None. Committed = Spark's ``_SUCCESS`` marker present at the base
+    dir root — a compaction that crashed mid-write leaves no marker, is
+    invisible to every reader, and is simply redone (its sources are only
+    deleted AFTER a successful write)."""
+    fs, hroot, jvm = _fs(spark, base_root)
+    if not fs.exists(hroot):
+        return None
+    best: tuple[int, str] | None = None
+    for st in fs.listStatus(hroot):
+        name = st.getPath().getName()
+        if not name.startswith("w="):
+            continue
+        try:
+            w = int(name[2:])
+        except ValueError:
+            continue
+        if w > max_w:
+            continue
+        marker = jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+        if not fs.exists(marker):
+            continue
+        if best is None or w > best[0]:
+            best = (w, str(st.getPath()))
+    return best
+
+
 def _read_indexed(
     spark,
     path: str,
     schema: str,
     before_batch: int,
     buckets: list[int] | None = None,
+    base_max_w: int | None = None,
 ) -> DataFrame:
     """Index rows from batches strictly before ``before_batch`` (replay
-    safety), or an empty frame when nothing is indexed yet. ``buckets``
-    (banded index only) prunes the scan to the given ``bq`` partition
-    directories — candidates require (band, bkey) equality, hence equal
-    bucket, so the pruning is exact.
+    safety), or an empty frame when nothing is indexed yet: the newest
+    committed consolidated base with ``w <= before_batch`` (it holds
+    exactly the rows of batches ``< w``) unioned with the batch dirs in
+    ``[w, before_batch)``. The ``batch_id >= w`` fence makes a
+    crash-window leftover (batch dirs already folded into the base but
+    not yet GC'd) read exactly once. ``buckets`` (banded index only)
+    prunes BOTH scans to the given ``bq`` partition directories —
+    candidates require (band, bkey) equality, hence equal bucket, so the
+    pruning is exact.
 
     Only a MISSING path means "nothing indexed" — any other read failure
     (corruption, transient IO) must propagate so the micro-batch fails
     and retries; swallowing it would silently drop every cross-batch
     pair this batch owes, and the batch-id watermark means those pairs
-    would never be re-derived."""
-    jvm = spark.sparkContext._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    if not fs.exists(hpath):
-        return spark.createDataFrame([], schema)
-    read_schema = schema + ", batch_id int"
-    if buckets is not None:
-        read_schema += ", bq int"
-    df = (
-        spark.read.option("basePath", path)
-        .schema(read_schema)
-        .parquet(path)
-        .filter(F.col("batch_id") < before_batch)
+    would never be re-derived. ``base_max_w`` (compaction-internal)
+    caps which base may serve as source so a compaction never reads the
+    very base dir it is about to overwrite."""
+    base = _latest_base(
+        spark,
+        _base_root(path),
+        before_batch if base_max_w is None else base_max_w,
     )
-    if buckets is not None:
-        df = df.filter(F.col("bq").isin(buckets)).drop("bq")
-    return df.drop("batch_id")
+    w0 = base[0] if base is not None else 0
+    parts: list[DataFrame] = []
+    if base is not None:
+        read_schema = schema + (", bq int" if buckets is not None else "")
+        bdf = (
+            spark.read.option("basePath", base[1])
+            .schema(read_schema)
+            .parquet(base[1])
+        )
+        if buckets is not None:
+            bdf = bdf.filter(F.col("bq").isin(buckets)).drop("bq")
+        parts.append(bdf)
+    fs, hpath, _ = _fs(spark, path)
+    if fs.exists(hpath):
+        read_schema = schema + ", batch_id int"
+        if buckets is not None:
+            read_schema += ", bq int"
+        df = (
+            spark.read.option("basePath", path)
+            .schema(read_schema)
+            .parquet(path)
+            .filter(
+                (F.col("batch_id") >= w0)
+                & (F.col("batch_id") < before_batch)
+            )
+        )
+        if buckets is not None:
+            df = df.filter(F.col("bq").isin(buckets)).drop("bq")
+        parts.append(df.drop("batch_id"))
+    if not parts:
+        return spark.createDataFrame([], schema)
+    out = parts[0]
+    for extra in parts[1:]:
+        out = out.unionByName(extra)
+    return out
+
+
+def _gc_below(spark: SparkSession, root: str, prefix: str, below: int) -> None:
+    """Delete ``{root}/{prefix}K`` dirs with K < below (idempotent)."""
+    fs, hroot, _ = _fs(spark, root)
+    if not fs.exists(hroot):
+        return
+    for st in fs.listStatus(hroot):
+        name = st.getPath().getName()
+        if not name.startswith(prefix):
+            continue
+        try:
+            k = int(name[len(prefix):])
+        except ValueError:
+            continue
+        if k < below:
+            fs.delete(st.getPath(), True)
+
+
+def _compact_index(
+    spark: SparkSession, path: str, schema: str, watermark: int, bucketed: bool
+) -> None:
+    """Fold every batch dir with ``batch_id < watermark`` (plus the
+    previous consolidated base, if any) into one new base stamped
+    ``w=watermark``, then garbage-collect the folded inputs. Safe at
+    every crash point: the new base is invisible until its ``_SUCCESS``
+    lands (sources untouched until then, so a mid-write death redoes
+    from intact inputs); once committed, a replayed trigger finds it and
+    skips straight to the idempotent GC; a crash between commit and GC
+    leaves both base and folded dirs on disk, which readers de-overlap
+    via the ``batch_id >= w`` fence.
+
+    100 TB: compaction cost is one read+write of rows already on disk,
+    amortized over ``compact_every`` batches; the banded base lands one
+    file per ``bq`` bucket (hash-repartitioned, so pruning keeps working
+    against the base), the shingle base in ``_N_BUCKETS`` doc-hashed
+    files. Raise ``_N_BUCKETS`` with corpus size so each stays
+    executor-sized."""
+    base_root = _base_root(path)
+    target = f"{base_root}/w={watermark}"
+    fs, _, jvm = _fs(spark, path)
+    committed = fs.exists(jvm.org.apache.hadoop.fs.Path(target, "_SUCCESS"))
+    if not committed:
+        merged = _read_indexed(
+            spark, path, schema, watermark, base_max_w=watermark - 1
+        )
+        if bucketed:
+            merged = merged.withColumn(
+                "bq", _bucket_of(F.col("band"), F.col("bkey"))
+            ).repartition(_N_BUCKETS, "bq")
+            merged.write.partitionBy("bq").mode("overwrite").parquet(target)
+        else:
+            merged.repartition(_N_BUCKETS, "doc_id").write.mode(
+                "overwrite"
+            ).parquet(target)
+    _gc_below(spark, path, "batch_id=", watermark)
+    _gc_below(spark, base_root, "w=", watermark)
 
 
 def minhash_dedup_stream(
@@ -83,22 +231,28 @@ def minhash_dedup_stream(
     num_hashes: int = 32,
     bands: int = 8,
     available_now: bool = True,
+    compact_every: int | None = 16,
 ):
     """Start the streaming dedup query over a (doc_id, text) stream.
     Pairs land under ``pairs_dir/batch_id=N``; the index accumulates
     under ``index_dir/banded/batch_id=N/bq=M`` (bucketed — see 100 TB
-    note) and ``index_dir/shingles/batch_id=N``. ``ordered=False``
-    apply mode: file sources batch by discovery order, not doc id, so
-    a later batch may carry smaller ids — both join directions are
-    taken and pairs canonicalize to (least, greatest).
+    note) and ``index_dir/shingles/batch_id=N``, and every
+    ``compact_every`` batches folds into ``index_dir/banded_base/w=W`` /
+    ``index_dir/shingles_base/w=W`` so the live file count stays bounded
+    over the stream's whole lifetime (module docstring has the crash
+    matrix). ``ordered=False`` apply mode: file sources batch by
+    discovery order, not doc id, so a later batch may carry smaller ids
+    — both join directions are taken and pairs canonicalize to
+    (least, greatest).
 
     100 TB: the recurring cost is the batch's band rows joined against
     ONLY the index buckets they hash into — the banded index lives
-    bucketed on disk (``batch_id=N/bq=M``) and each micro-batch first
-    derives its own band rows, collects the ≤ ``_N_BUCKETS`` touched
-    bucket ids (metadata-grain), and partition-prunes the index scan to
-    those directories (plan-asserted in tests). The shingle index is
-    read unpruned by necessity: verification joins resolve CANDIDATE ids,
+    bucketed on disk (``batch_id=N/bq=M``, and the consolidated base
+    keeps the same ``bq`` dirs) and each micro-batch first derives its
+    own band rows, collects the ≤ ``_N_BUCKETS`` touched bucket ids
+    (metadata-grain), and partition-prunes the index scan to those
+    directories (plan-asserted in tests). The shingle index is read
+    unpruned by necessity: verification joins resolve CANDIDATE ids,
     which may live in any bucket. The corpus is never rescanned."""
     from projectdatalake_spark.operators.dedup import (
         minhash_band_index,
@@ -137,12 +291,27 @@ def minhash_dedup_stream(
             pairs.write.mode("overwrite").parquet(
                 f"{pairs_dir}/batch_id={batch_id}"
             )
-            b_banded.write.partitionBy("bq").mode("overwrite").parquet(
+            # hash-repartition on bq before the bucketed write: one file
+            # per bucket per batch (otherwise every task writes into
+            # every bucket dir and the file count is tasks × buckets)
+            b_banded.repartition(_N_BUCKETS, "bq").write.partitionBy(
+                "bq"
+            ).mode("overwrite").parquet(
                 f"{index_dir}/banded/batch_id={batch_id}"
             )
             b_sh.write.mode("overwrite").parquet(
                 f"{index_dir}/shingles/batch_id={batch_id}"
             )
+            if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+                # fold strictly-prior batches; this batch's fresh dirs stay
+                _compact_index(
+                    spark, f"{index_dir}/banded", _BANDED_SCHEMA,
+                    batch_id, bucketed=True,
+                )
+                _compact_index(
+                    spark, f"{index_dir}/shingles", _SH_SCHEMA,
+                    batch_id, bucketed=False,
+                )
         finally:
             batch_df.unpersist()
             for cached in (b_banded, b_sh):

@@ -757,6 +757,165 @@ def test_stream_dedup_index_read_errors_propagate(spark, tmp_path):
         _read_indexed(spark, str(tmp_path / "idx"), _BANDED_SCHEMA, 5).count()
 
 
+def test_stream_dedup_index_compaction(spark, tmp_path):
+    """The long-lived-stream maintenance rung: with compact_every=2 over
+    6 single-file micro-batches, the index folds batches below the
+    watermark into ONE consolidated base per index, garbage-collects the
+    folded batch dirs, and keeps every existing contract intact —
+    (a) pair union still EXACTLY equals the one-shot result, (b) the
+    live file count is bounded (base buckets + at most compact_every
+    stamped batches), (c) the bucket-pruned read partition-filters both
+    the base and the surviving batch dirs, (d) the combined read returns
+    exactly the rows an uncompacted index would, (e) an UNCOMMITTED base
+    (no _SUCCESS — a compaction that died mid-write) is invisible."""
+    import os
+
+    from projectdatalake_spark.streaming.dedup_stream import (
+        _BANDED_SCHEMA,
+        _N_BUCKETS,
+        _read_indexed,
+        minhash_dedup_stream,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    want = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    src = str(tmp_path / "src")
+    docs.withColumn("g", F.col("doc_id") % 6).repartition(6, "g").drop(
+        "g"
+    ).write.mode("overwrite").parquet(src)
+
+    def run(tag: str, compact_every):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        base = str(tmp_path / tag)
+        q = minhash_dedup_stream(
+            stream,
+            index_dir=f"{base}/idx",
+            pairs_dir=f"{base}/pairs",
+            checkpoint_dir=f"{base}/ckpt",
+            threshold=0.5,
+            compact_every=compact_every,
+        )
+        q.awaitTermination(600)
+        return base
+
+    compacted = run("compacted", 2)
+    plain = run("plain", None)
+
+    # (a) equality gate unchanged under compaction
+    got = {
+        (r.id_a, r.id_b)
+        for r in spark.read.option("basePath", f"{compacted}/pairs")
+        .parquet(f"{compacted}/pairs")
+        .collect()
+    }
+    assert got == want
+
+    # with compactions at every even batch, the last watermark W is the
+    # largest even batch id ≤ last; only batch dirs in [W, last] survive
+    banded = f"{compacted}/idx/banded"
+    last = max(
+        int(d.split("=")[1]) for d in os.listdir(f"{compacted}/pairs")
+    )
+    assert last >= 4, last  # enough micro-batches to compact twice
+    W = last - (last % 2)
+    survivors = [f"batch_id={b}" for b in range(W, last + 1)]
+    assert sorted(os.listdir(banded)) == survivors
+    assert sorted(os.listdir(f"{banded}_base")) == [f"w={W}"]
+    assert os.path.exists(f"{banded}_base/w={W}/_SUCCESS")
+    assert sorted(os.listdir(f"{compacted}/idx/shingles")) == survivors
+
+    # (b) bounded file count: base ≤ 1 file per bucket, plus ≤
+    # compact_every stamped batches of ≤ _N_BUCKETS files each — the
+    # bound holds at ANY stream age, not just 6 batches
+    def data_files(root):
+        return [
+            os.path.join(d, f)
+            for d, _, fs in os.walk(root)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+
+    n_base = len(data_files(f"{banded}_base"))
+    n_batches = len(data_files(banded))
+    assert n_base <= _N_BUCKETS, n_base
+    assert n_batches <= 2 * _N_BUCKETS, n_batches
+
+    # (d) combined read == uncompacted read, row-for-row
+    def rows(path, before):
+        return sorted(
+            map(tuple, _read_indexed(spark, path, _BANDED_SCHEMA, before).collect())
+        )
+
+    assert rows(banded, 6) == rows(f"{plain}/idx/banded", 6)
+    assert rows(banded, 5) == rows(f"{plain}/idx/banded", 5)
+
+    # (c) bucket pruning still partition-filters BOTH scans and touches
+    # only requested bucket dirs (base and stamped alike)
+    all_bq = {
+        r.bq
+        for r in spark.read.option("basePath", f"{banded}_base/w={W}")
+        .parquet(f"{banded}_base/w={W}")
+        .select("bq")
+        .distinct()
+        .collect()
+    }
+    subset = sorted(all_bq)[:2]
+    pruned = _read_indexed(spark, banded, _BANDED_SCHEMA, 6, buckets=subset)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    bq_pruned_scans = _re.findall(
+        r"PartitionFilters: \[[^\]]*bq#\d+ IN \(", plan
+    )
+    assert len(bq_pruned_scans) >= 2, plan
+    # the base scan touches only the requested bucket dirs (_metadata
+    # can't project through the union, so check the scan directly —
+    # identical read shape to the union's base leg)
+    touched_dirs = {
+        r.fp.rsplit("/", 2)[-2]
+        for r in spark.read.option("basePath", f"{banded}_base/w={W}")
+        .parquet(f"{banded}_base/w={W}")
+        .filter(F.col("bq").isin(subset))
+        .select(F.col("_metadata.file_path").alias("fp"))
+        .distinct()
+        .collect()
+    }
+    assert touched_dirs == {f"bq={b}" for b in subset}, touched_dirs
+    want_rows = len(rows(banded, 6))
+    unpruned_in_subset = [
+        r
+        for r in _read_indexed(spark, banded, _BANDED_SCHEMA, 6).withColumn(
+            "bq", F.pmod(F.xxhash64("band", "bkey"), F.lit(_N_BUCKETS)).cast("int")
+        ).collect()
+        if r.bq in subset
+    ]
+    assert pruned.count() == len(unpruned_in_subset)
+
+    # (e) a base without _SUCCESS is invisible to readers
+    os.remove(f"{banded}_base/w={W}/_SUCCESS")
+    fenced = rows(banded, 6)
+    # without the marker the base vanishes AND the already-GC'd batch
+    # dirs are gone, so the read sees only batches 4..5
+    assert len(fenced) < want_rows
+    got_batches = {
+        r.batch_id
+        for r in spark.read.option("basePath", banded)
+        .schema(_BANDED_SCHEMA + ", batch_id int, bq int")
+        .parquet(banded)
+        .select("batch_id")
+        .distinct()
+        .collect()
+    }
+    assert got_batches == set(range(W, last + 1))
+
+
 def test_semantic_dedup_seeded_equals_with_centers(spark):
     """The seeded (oracle-backed) SemDeDup rung shares the trained rung's
     machinery: with the SAME centers (the 8 lowest-id vectors, handed to
