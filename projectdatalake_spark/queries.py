@@ -15402,11 +15402,26 @@ def sketch_intersection_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
     is driver-side set algebra instead of a distinct-join."""
     from projectdatalake_spark.sources.puffin import column_theta_sketch
 
+    from projectdatalake_spark.sources.puffin import _MAX_THETA
+
     o = _t(spark, sf_dir, "orders")
     early = o.filter(F.col("o_orderdate") < "1995-01-01").select("o_custkey")
     late = o.filter(F.col("o_orderdate") >= "1995-01-01").select("o_custkey")
     sk_a = column_theta_sketch(early, "o_custkey", k=16384)
     sk_b = column_theta_sketch(late, "o_custkey", k=16384)
+    # this query's oracle is COUNT(DISTINCT)/INTERSECT ground truth —
+    # valid ONLY while both sketches stay exact (per-era NDV ≤ k). A
+    # scale bump past that must fail HERE with a sizing instruction,
+    # not as a spurious estimator-vs-exact hash red in the driver gate.
+    for era, sk in (("early", sk_a), ("late", sk_b)):
+        if sk.theta < _MAX_THETA:
+            raise ValueError(
+                f"sketch_intersection_ndv: the {era}-era sketch left "
+                f"exact mode (ndv > k=16384) — raise k above the per-era "
+                "distinct o_custkey count for this scale factor, or gate "
+                "the query rows-only (estimates cannot hash-match the "
+                "exact oracle)"
+            )
     both = sk_a.intersect(sk_b)
     return spark.createDataFrame(
         [(

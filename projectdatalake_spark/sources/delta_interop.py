@@ -1856,6 +1856,20 @@ class DeltaTable:
             {"protocol": state["protocol"]
              or {"minReaderVersion": 1, "minWriterVersion": 2}},
             {"metaData": new_meta},
+            # domains travel with the clone — above all delta.rowTracking:
+            # the cloned files keep their baseRowIds, so WITHOUT the
+            # rowIdHighWaterMark the clone's first append would allocate
+            # from 0 and collide with the cloned ids (duplicate row_id
+            # values in snapshot_with_row_ids). NDV-stats and clustering
+            # domains describe the same files and carry for the same
+            # reason Delta's CLONE copies table properties.
+            *(
+                {"domainMetadata": {
+                    "domain": dom, "configuration": cfg, "removed": False,
+                }}
+                for dom, cfg in sorted(state["domains"].items())
+                if cfg is not None
+            ),
             *({"add": a} for a in adds),
         ]
         clone._publish(0, actions)
@@ -2372,6 +2386,11 @@ class DeltaTable:
             # back to baseRowId + position)
             "delta.rowTracking.materializedRowIdColumnName": "_row_id",
         }
+        # one target version for the whole backfill: every re-add's
+        # defaultRowCommitVersion and the publish target must agree — a
+        # per-add latest_version() call both costs a log listing per file
+        # and lets a racer landing mid-loop skew later adds' stamps
+        v = state["version"] + 1
         hwm = -1
         readds = []
         for path in sorted(state["adds"]):
@@ -2384,7 +2403,7 @@ class DeltaTable:
                     "writer first"
                 )
             add["baseRowId"] = hwm + 1
-            add["defaultRowCommitVersion"] = self.latest_version() + 1
+            add["defaultRowCommitVersion"] = v
             add["dataChange"] = False
             hwm += int(st["numRecords"])
             readds.append(add)
@@ -2399,7 +2418,6 @@ class DeltaTable:
             }},
             *({"add": a} for a in readds),
         ]
-        v = self.latest_version() + 1
         self._publish(v, actions)
         return v
 

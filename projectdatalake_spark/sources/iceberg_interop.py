@@ -2238,6 +2238,17 @@ class IcebergTable:
         (list order, spans = added+existing rows), ``next-row-id``
         seeded — zero data files touched, O(#manifests).
 
+        DEVIATION (recorded in table properties as
+        ``row-lineage.v2-embedded``): the spec ties row lineage to
+        format-version 3, but this writer keeps declaring v2 in table
+        metadata and manifest lists — stamping "3" while emitting
+        otherwise-v2 structures (no v3 manifest schemas, no deletion
+        vectors) would be a LIE to external v3 readers, whereas under v2
+        external readers simply ignore the unknown lineage fields
+        (Avro/JSON unknown-field semantics) and this implementation
+        stays self-consistent. The property makes the deviation visible
+        in the metadata itself, not just in this docstring.
+
         Scope (loud): appends and position deletes work; replace-shaped
         commits (compaction/overwrite/rewrites) and rewrite_manifests
         refuse — carrying EXISTING files' ids through a rewrite needs
@@ -2250,6 +2261,12 @@ class IcebergTable:
             now = int(time.time() * 1000)
             new_meta = dict(meta)
             new_meta["row-lineage"] = True
+            new_meta["properties"] = {
+                **(meta.get("properties") or {}),
+                # see docstring: lineage fields embedded under a v2
+                # declaration, visible to any metadata auditor
+                "row-lineage.v2-embedded": "true",
+            }
             new_meta["last-updated-ms"] = now
             cur_sid = meta.get("current-snapshot-id")
             if cur_sid is None or cur_sid == -1:

@@ -1452,26 +1452,31 @@ class TxTable:
         so a racer landing on the version forces a conflict and a
         re-allocation, never a silent id collision."""
         _ROW_SAFE_OPS = ("append", "create", "enable_row_tracking", "delete_dv")
-        if (
+        # a rewrite that MATERIALIZES ids into its output files (the
+        # optimize path) declares so in its row_tracking payload and
+        # is id-preserving by construction
+        guard_rewrites = (
             op not in _ROW_SAFE_OPS
             and (adds or removes)
-            # a rewrite that MATERIALIZES ids into its output files (the
-            # optimize path) declares so in its row_tracking payload and
-            # is id-preserving by construction
             and not (extra.get("row_tracking") or {}).get("materialized")
-        ):
-            rt = self._state().get("row_tracking") or {}
-            if rt.get("enabled"):
-                raise ValueError(
-                    f"{op} on a row-tracked table would move or reassign "
-                    "row ids — this writer only allocates on append and "
-                    "masks via delete_where_dv; disable row tracking to "
-                    "rewrite"
-                )
+        )
         while True:
             if precondition is not None and not precondition():
                 return None
             version = self.latest_version() + 1
+            if guard_rewrites:
+                # re-evaluated PER ATTEMPT against the attempt's own base
+                # version: a concurrent enable_row_tracking that wins the
+                # version race must fail the retried rewrite too, or it
+                # would land id-moving file changes on a now-tracked table
+                rt = self._state(version - 1).get("row_tracking") or {}
+                if rt.get("enabled"):
+                    raise ValueError(
+                        f"{op} on a row-tracked table would move or "
+                        "reassign row ids — this writer only allocates on "
+                        "append and masks via delete_where_dv; disable row "
+                        "tracking to rewrite"
+                    )
             commit = {
                 "version": version,
                 "op": op,
@@ -1539,10 +1544,13 @@ class TxTable:
         )
         adds = self._stage(df, partition_by, cluster=cluster)
         schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        # UNCONDITIONAL for appends: enablement is re-derived per publish
+        # attempt from _state(version - 1), so an enable_row_tracking that
+        # wins a version race against this append still gets its files
+        # allocated on the retry (a once-before-the-loop check would
+        # commit them baseless, permanently breaking snapshot_with_row_ids)
         extra_fn = None
-        if op == "append" and (
-            (self._state().get("row_tracking") or {}).get("enabled")
-        ):
+        if op == "append":
             extra_fn = lambda version: self._allocate_row_ids(adds, version)
         return self._publish(
             op, adds, removes, partition_by=list(partition_by), schema=schema,
@@ -1553,8 +1561,12 @@ class TxTable:
         """Per-attempt row-id allocation for an append landing at
         ``version``: bases start above the high-water mark folded at
         ``version - 1`` (path order), and the commit carries only its
-        own files' bases plus the advanced mark."""
+        own files' bases plus the advanced mark. No-op ({}) when row
+        tracking is off at ``version - 1`` — enablement is decided HERE,
+        per attempt, never once before the retry loop."""
         rt = self._state(version - 1).get("row_tracking") or {}
+        if not rt.get("enabled"):
+            return {}
         hwm = int(rt.get("hwm", -1))
         base: dict[str, int] = {}
         for a in sorted(adds, key=lambda a: a["path"]):

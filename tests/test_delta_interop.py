@@ -1029,6 +1029,35 @@ def test_shallow_clone_independent_evolution(spark, root):
     assert DeltaTable(spark, root).snapshot().filter("id = 8").count() == 1
 
 
+def test_shallow_clone_carries_row_tracking_domain(spark, root):
+    """Cloning a row-tracked table must carry the delta.rowTracking
+    domainMetadata: the cloned adds keep their baseRowIds, so a clone
+    whose rowIdHighWaterMark reset to -1 would allocate its first
+    append from 0 and DUPLICATE the cloned ids in
+    snapshot_with_row_ids."""
+    df = (
+        spark.range(0, 100)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .coalesce(1).sortWithinPartitions("k")
+    )
+    t = DeltaTable.create(spark, root, df)
+    t.enable_row_tracking()
+    c = t.shallow_clone(root + "_clone")
+    # the domain traveled: the clone's high-water mark is the source's
+    assert c._row_id_high_water_mark(c._state()) == 99
+    c.append(
+        spark.range(100, 150)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .coalesce(1).sortWithinPartitions("k")
+    )
+    rows = c.snapshot_with_row_ids().collect()
+    ids = [r.row_id for r in rows]
+    assert len(ids) == len(set(ids)) == 150  # no collision
+    assert {r.k: r.row_id for r in rows} == {k: k for k in range(150)}
+    # source mark untouched by the clone's allocation
+    assert t._row_id_high_water_mark(t._state()) == 99
+
+
 def test_optimize_zorder_multi_column_skipping(spark, root):
     """OPTIMIZE ZORDER BY: after Z-clustering on (x, y), file-level
     stats prune narrow predicates on EITHER column — the multi-column

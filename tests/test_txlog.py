@@ -1818,6 +1818,55 @@ def test_txlog_row_tracking_lifecycle(spark, tmp_path):
         t.merge_upsert(df.limit(1), ["k"])
 
 
+def test_row_tracking_enablement_race(spark, tmp_path):
+    """Enablement is decided PER publish attempt, not once before the
+    retry loop: when a concurrent enable_row_tracking wins the version
+    race against an append, the retried append must allocate baseRowIds
+    (a stale once-read decision would commit its files baseless —
+    enable_row_tracking is a no-op when already enabled, so
+    snapshot_with_row_ids would fail for those files FOREVER). The same
+    per-attempt read must flip the rewrite guard: an overwrite that
+    loses the race to enablement refuses on retry."""
+    def batch(lo, hi):
+        return (
+            spark.range(lo, hi)
+            .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+            .coalesce(1).sortWithinPartitions("k")
+        )
+
+    def race_enable(t):
+        """Patch t so its NEXT commit attempt loses the version race to
+        a concurrent enable_row_tracking from a second handle."""
+        orig = t._write_text_exclusive
+        fired = {"done": False}
+
+        def hijack(p, text):
+            if not fired["done"]:
+                fired["done"] = True
+                TxTable(spark, t.root).enable_row_tracking()
+            return orig(p, text)
+
+        t._write_text_exclusive = hijack
+        return fired
+
+    root1 = str(tmp_path / "t1")
+    t = TxTable.create(spark, root1, batch(0, 100))
+    fired = race_enable(t)
+    t.append(batch(100, 150))
+    assert fired["done"]  # the race actually happened
+    del t._write_text_exclusive  # unshadow the class method
+    st = t._state()
+    assert st["row_tracking"]["enabled"] and st["row_tracking"]["hwm"] == 149
+    ids = {r.k: r.row_id for r in t.snapshot_with_row_ids().collect()}
+    assert ids == {k: k for k in range(150)}
+    # rewrite guard: an overwrite losing the same race refuses on retry
+    root2 = str(tmp_path / "t2")
+    t2 = TxTable.create(spark, root2, batch(0, 100))
+    race_enable(t2)
+    with pytest.raises(ValueError, match="row-tracked"):
+        t2.overwrite(batch(0, 50))
+
+
 def test_row_id_watermark_scan_prunes_files(spark, tmp_path):
     """The row-id CONSUMER: a downstream job passing min_row_id must
     (a) read exactly the rows above its watermark, and (b) open ONLY the
