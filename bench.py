@@ -251,6 +251,8 @@ EXTENDED = [
     "stream_left_outer_join",
     "delta_row_tracking",
     "iceberg_row_lineage",
+    "iceberg_row_lineage_rewrite",
+    "sketch_kll_quantiles",
     "txlog_row_tracking",
     "row_id_incremental_scan",
     "event_pattern_match",

@@ -10,9 +10,10 @@ shuffles only one partial row per (task, group), not the input.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, functions as F
 
 
 def aggregate(
@@ -400,3 +401,163 @@ def bloom_semi_reduce_join(
     if how in ("left_semi", "semi"):
         return reduced.join(dim.select(key).distinct(), key, "left_semi")
     return reduced.join(dim, key, how)
+
+
+# --- KLL quantile sketch (mergeable rank/quantile summaries) -----------------
+
+
+class KLLSketch:
+    """KLL quantile sketch (Karnin–Lang–Liberty 2016, the DataSketches
+    quantiles family): a stack of compactors where an item at level i
+    represents 2^i input rows; when a level overflows, it sorts and
+    promotes every other item to the next level. O(k·log(n/k)) retained
+    items give ε ≈ O(1/k) normalized rank error at ANY n — the quantile
+    member of the mergeable-sketch shelf (CMS/KMV/HLL/theta), same
+    contract: per-shard sketches build in one pass and MERGE without
+    revisiting rows.
+
+    EXACT MODE (the hash-provable rung, the theta precedent): until the
+    first compaction (n ≤ k) every input survives at level 0 with
+    weight 1, so ``quantile_disc`` reproduces percentile_disc exactly.
+    ``is_exact`` reports which regime the sketch is in; size k above
+    the grain's row count when an exact oracle gate rides on it.
+
+    Compaction uses a deterministic alternating selector instead of a
+    coin flip — reproducible across runs and engines; the classic
+    randomized guarantee becomes an empirical error gate
+    (tests/test_accuracy_gates.py pins rank error and merge parity).
+    """
+
+    _CAP_RATIO = 2.0 / 3.0
+
+    def __init__(self, k: int = 200):
+        if k < 8:
+            raise ValueError("KLL k must be ≥ 8")
+        self.k = k
+        self.compactors: list[list[float]] = [[]]
+        self.n = 0
+        self._coin = 0
+
+    # -- capacity & compaction -------------------------------------------
+    def _capacity(self, level: int) -> int:
+        # top level gets k, each level below shrinks by 2/3 (min 2)
+        depth = len(self.compactors)
+        return max(2, int(self.k * (self._CAP_RATIO ** (depth - 1 - level))))
+
+    @property
+    def num_retained(self) -> int:
+        return sum(len(c) for c in self.compactors)
+
+    def is_exact(self) -> bool:
+        return len(self.compactors) == 1
+
+    def _compress(self) -> None:
+        while True:
+            total_cap = sum(
+                self._capacity(i) for i in range(len(self.compactors))
+            )
+            if self.num_retained < total_cap:
+                return
+            for i, c in enumerate(self.compactors):
+                if len(c) >= self._capacity(i):
+                    if i + 1 == len(self.compactors):
+                        self.compactors.append([])
+                    c.sort()
+                    # deterministic alternating selector (see class doc)
+                    self._coin ^= 1
+                    self.compactors[i + 1].extend(c[self._coin :: 2])
+                    self.compactors[i] = []
+                    break
+
+    # -- build ------------------------------------------------------------
+    def update(self, value: float) -> None:
+        self.compactors[0].append(float(value))
+        self.n += 1
+        self._compress()
+
+    def update_many(self, values) -> None:
+        self.compactors[0].extend(float(v) for v in values)
+        self.n += len(values)
+        self._compress()
+
+    def merge(self, other: "KLLSketch") -> "KLLSketch":
+        """Union: concatenate per-level item lists, then compress — the
+        mergeable-partial operation (weights are level-determined, so
+        concatenation is exact; compression re-establishes capacity)."""
+        out = KLLSketch(min(self.k, other.k))
+        depth = max(len(self.compactors), len(other.compactors))
+        out.compactors = [
+            list(self.compactors[i] if i < len(self.compactors) else [])
+            + list(other.compactors[i] if i < len(other.compactors) else [])
+            for i in range(depth)
+        ]
+        out.n = self.n + other.n
+        out._compress()
+        return out
+
+    # -- query --------------------------------------------------------------
+    def _weighted(self) -> list[tuple[float, int]]:
+        items: list[tuple[float, int]] = []
+        for level, c in enumerate(self.compactors):
+            w = 1 << level
+            items.extend((v, w) for v in c)
+        items.sort(key=lambda t: t[0])
+        return items
+
+    def quantile_disc(self, q: float) -> float:
+        """percentile_disc semantics: the smallest retained value whose
+        cumulative weight reaches ceil(q·n) (1-based). Exact while
+        ``is_exact``; ±ε·n ranks otherwise."""
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile fraction out of range: {q}")
+        if self.n == 0:
+            raise ValueError("empty sketch")
+        target = max(1, math.ceil(q * self.n))
+        cum = 0
+        items = self._weighted()
+        for v, w in items:
+            cum += w
+            if cum >= target:
+                return v
+        return items[-1][0]
+
+    def rank(self, value: float) -> int:
+        """Estimated number of input rows ≤ value."""
+        return sum(w for v, w in self._weighted() if v <= value)
+
+
+def column_kll_sketch(df: DataFrame, col: str, k: int = 200) -> KLLSketch:
+    """One-pass distributed KLL over ``df[col]``: each partition reduces
+    its rows to ONE bounded sketch (mapInPandas — O(k·log(n/k)) state
+    per task), partials travel as (level, value) rows — a sketch's
+    entire state — and the driver merges ≤ #partitions sketches. The
+    same two-level shape every sketch on this shelf uses: bounded task
+    state, tiny mergeable partials, never a value-universe shuffle.
+    Nulls are skipped (SQL aggregate semantics)."""
+    import pandas as pd
+
+    def partials(batches):
+        sk = KLLSketch(k)
+        for pdf in batches:
+            vals = pdf[col].dropna()
+            if len(vals):
+                sk.update_many(vals.to_numpy())
+        rows = [
+            (level, v)
+            for level, c in enumerate(sk.compactors)
+            for v in c
+        ]
+        if rows:
+            yield pd.DataFrame(rows, columns=["level", "value"])
+
+    parts = df.select(F.col(col).cast("double").alias(col)).mapInPandas(
+        partials, schema="level int, value double"
+    )
+    out = KLLSketch(k)
+    for r in parts.collect():  # ≤ partitions × O(k log(n/k)) rows
+        while len(out.compactors) <= r.level:
+            out.compactors.append([])
+        out.compactors[r.level].append(r.value)
+        out.n += 1 << r.level
+    out._compress()
+    return out

@@ -16327,3 +16327,146 @@ def delta_row_tracking_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "row_id", "price")
         .orderBy("row_id")
     )
+
+
+@query(
+    "iceberg_row_lineage_rewrite",
+    oracle="""
+    WITH b1 AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    b2 AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 3 = 1
+    ),
+    ids AS (
+      SELECT o_orderkey, o_orderpriority, price,
+             row_number() OVER (ORDER BY o_orderkey) - 1 AS row_id
+      FROM b1
+      UNION ALL
+      SELECT o_orderkey, o_orderpriority, price,
+             (SELECT count(*) FROM b1)
+               + row_number() OVER (ORDER BY o_orderkey) - 1
+      FROM b2
+    )
+    SELECT o_orderkey, CAST(row_id AS BIGINT) AS row_id, price
+    FROM ids
+    WHERE o_orderpriority <> '1-URGENT'
+    ORDER BY row_id
+    """,
+)
+def iceberg_row_lineage_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW IDS THROUGH ICEBERG REWRITES — the LAST of the three formats
+    to carry ids across a rewrite, closing the refusal the
+    [[delta_row_tracking_optimize]] / [[txlog_row_tracking_optimize]]
+    twins left open: ``rewrite_manifests`` stamps each carried file's
+    resolved first_row_id explicitly (field 142) before dropping its
+    source manifest's inheritance base, and ``rewrite_data_files``
+    MATERIALIZES every row's ``_row_id`` into the compacted files
+    (reserved field id — the v3 spec's rewrite rule) while the replace
+    snapshot burns fresh inherited ids the column overrides. The oracle
+    is IDENTICAL to [[iceberg_row_lineage]]'s — two rewrites later, the
+    id of NOTHING has changed, hash-proven row for row.
+
+    100 TB: the rewrite's id source is one broadcast-map-join scan; the
+    min_row_id watermark consumer prunes rewritten files on the
+    materialized column's per-file upper bound (their fresh inherited
+    ranges say nothing about content ids — the bounds do)."""
+    import tempfile
+
+    from projectdatalake_spark.sources.iceberg_interop import IcebergTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    b1 = (
+        o.filter(F.col("o_orderkey") % 3 == 0)
+        .coalesce(1).sortWithinPartitions("o_orderkey")
+    )
+    b2 = (
+        o.filter(F.col("o_orderkey") % 3 == 1)
+        .coalesce(1).sortWithinPartitions("o_orderkey")
+    )
+    root = tempfile.mkdtemp(prefix="icerlrw_") + "/t"
+    t = IcebergTable.create(spark, root, b1)
+    t.enable_row_lineage()
+    t.append(b2)
+    t.delete_where("o_orderpriority = '1-URGENT'")
+    assert t.rewrite_manifests() is not None  # explicit per-file stamps
+    assert t.rewrite_data_files(target_files=2) is not None  # materialize
+    return (
+        t.snapshot_with_row_ids()
+        .select("o_orderkey", F.col("_row_id").alias("row_id"), "price")
+        .orderBy("row_id")
+    )
+
+
+@query(
+    "sketch_kll_quantiles",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS d, count(*) AS n_orders
+      FROM orders GROUP BY o_orderdate
+    ),
+    ranked AS (
+      SELECT n_orders,
+             row_number() OVER (ORDER BY n_orders) AS rn,
+             count(*) OVER () AS n
+      FROM daily
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_days,
+           CAST(max(CASE WHEN rn = GREATEST(1, CAST(ceil(0.25 * n) AS BIGINT))
+                         THEN n_orders END) AS BIGINT) AS q25,
+           CAST(max(CASE WHEN rn = GREATEST(1, CAST(ceil(0.50 * n) AS BIGINT))
+                         THEN n_orders END) AS BIGINT) AS q50,
+           CAST(max(CASE WHEN rn = GREATEST(1, CAST(ceil(0.75 * n) AS BIGINT))
+                         THEN n_orders END) AS BIGINT) AS q75,
+           CAST(max(CASE WHEN rn = GREATEST(1, CAST(ceil(0.90 * n) AS BIGINT))
+                         THEN n_orders END) AS BIGINT) AS q90
+    FROM ranked
+    """,
+)
+def sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL QUANTILE SKETCH (Karnin–Lang–Liberty 2016 — the DataSketches
+    quantiles family) completing the mergeable-sketch shelf
+    (CMS/KMV/HLL/theta + now quantiles): the daily-order-count series is
+    sketched in one distributed pass (per-partition bounded compactors,
+    (level, value) partials, driver merge — operators/aggregates.py
+    column_kll_sketch) and quantiles read from O(k·log(n/k)) state. The
+    theta precedent for provability: on the CALENDAR grain (~2.4k days,
+    volume-invariant) the sketch never compacts, so quantile_disc is an
+    EXACT rank selection and hash-matches the window-rank oracle; at
+    estimation scale the same code path degrades to ±O(1/k)·n ranks
+    (error + union-equals-whole property-gated in
+    tests/test_accuracy_gates.py). Exactness is ASSERTED, not hoped —
+    a grain explosion fails loudly with a sizing instruction.
+
+    100 TB: per-shard sketches build once and MERGE without revisiting
+    rows — every later quantile/rank question is driver-side algebra on
+    O(k) state, the same reason the NDV sketches earn their place."""
+    from projectdatalake_spark.operators.aggregates import column_kll_sketch
+
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderdate")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    sk = column_kll_sketch(daily, "n_orders", k=8192)
+    if not sk.is_exact():
+        raise ValueError(
+            "sketch_kll_quantiles: the sketch left exact mode (days > "
+            "k=8192) — the calendar grain exploded; raise k above the "
+            "day count or gate the query rows-only (estimates cannot "
+            "hash-match the exact rank oracle)"
+        )
+    q25, q50, q75, q90 = (
+        int(sk.quantile_disc(q)) for q in (0.25, 0.50, 0.75, 0.90)
+    )
+    return spark.createDataFrame(
+        [(sk.n, q25, q50, q75, q90)],
+        "n_days long, q25 long, q50 long, q75 long, q90 long",
+    )

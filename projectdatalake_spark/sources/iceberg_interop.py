@@ -338,6 +338,13 @@ def _decode_bound(data: bytes, ice_type: str):
 
 _DATE_TRANSFORMS = ("year", "month", "day", "hour")
 
+# Iceberg v3 reserved field id for the materialized `_row_id` metadata
+# column (spec "Reserved Field IDs" / "Row Lineage": rewrites preserve
+# lineage by writing _row_id explicitly into the new data files; rows
+# with a null value fall back to first_row_id + position)
+_ROW_ID_FIELD_ID = 2147483546
+_ROW_ID_COL = "_row_id"
+
 
 def _partition_summaries(
     entries: list[dict], part_fields: list[tuple[str, str]]
@@ -1975,17 +1982,23 @@ class IcebergTable:
             )
         return out
 
-    def _with_field_ids(self, df: DataFrame, meta: dict) -> DataFrame:
+    def _with_field_ids(
+        self, df: DataFrame, meta: dict, extra_fields: dict | None = None
+    ) -> DataFrame:
         """Project ``df`` onto the CURRENT schema with parquet field-id
         metadata attached (ids end up in the parquet files — the hook
         id-based schema evolution resolves against). Schema columns the
         frame lacks (post-add_column appends of old-shape data) are
-        backfilled as typed nulls."""
+        backfilled as typed nulls. ``extra_fields`` (name → (field_id,
+        ice_type)) admits RESERVED metadata columns outside the table
+        schema — the row-lineage rewrite's materialized ``_row_id``."""
+        extra_fields = extra_fields or {}
         spark_schema = self._spark_schema(meta)
         ice = next(
             s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
         )
-        unknown = [c for c in df.columns if c not in {f["name"] for f in ice["fields"]}]
+        known = {f["name"] for f in ice["fields"]} | set(extra_fields)
+        unknown = [c for c in df.columns if c not in known]
         if unknown:
             raise IcebergProtocolError(
                 f"columns not in table schema: {unknown} (evolve the schema "
@@ -1999,6 +2012,10 @@ class IcebergTable:
                 else F.lit(None).cast(sf.dataType)
             )
             cols.append(src.alias(f["name"], metadata={"parquet.field.id": f["id"]}))
+        for name, (fid, _t) in extra_fields.items():
+            cols.append(
+                F.col(name).alias(name, metadata={"parquet.field.id": fid})
+            )
         return df.select(*cols)
 
     def update_spec(self, partition_by: tuple[str, ...]) -> int:
@@ -2249,10 +2266,13 @@ class IcebergTable:
         stays self-consistent. The property makes the deviation visible
         in the metadata itself, not just in this docstring.
 
-        Scope (loud): appends and position deletes work; replace-shaped
-        commits (compaction/overwrite/rewrites) and rewrite_manifests
-        refuse — carrying EXISTING files' ids through a rewrite needs
-        the explicit per-file stamp this writer does not emit yet."""
+        Scope (loud): appends and position deletes allocate/preserve;
+        ``rewrite_data_files`` preserves by MATERIALIZING ``_row_id``
+        into the rewritten files (reserved field id, spec rule) and
+        ``rewrite_manifests`` by stamping each carried file's resolved
+        first_row_id explicitly (field 142); other replace-shaped
+        commits (dynamic overwrite, merge) still refuse — their carried
+        files would silently re-base."""
         for _ in range(20):
             v = self.current_metadata_version()
             meta = self.metadata(version=v)
@@ -2406,11 +2426,27 @@ class IcebergTable:
                 if fri is None:
                     fri = running
                     running += int(dfile["record_count"])
-                if (
-                    min_row_id is not None
-                    and int(fri) + int(dfile["record_count"]) - 1 < min_row_id
-                ):
-                    continue  # whole file below the watermark
+                if min_row_id is not None:
+                    # a rewritten file's ids live in its materialized
+                    # _row_id column — its inherited range says nothing
+                    # about content ids; prune on the column's write-time
+                    # upper bound instead (reserved field id)
+                    ub = {
+                        b["key"]: b["value"]
+                        for b in (dfile.get("upper_bounds") or [])
+                    }
+                    mat_max = (
+                        _decode_bound(ub[_ROW_ID_FIELD_ID], "long")
+                        if _ROW_ID_FIELD_ID in ub
+                        else None
+                    )
+                    hi = (
+                        int(mat_max)
+                        if mat_max is not None
+                        else int(fri) + int(dfile["record_count"]) - 1
+                    )
+                    if hi < min_row_id:
+                        continue  # whole file below the watermark
                 base_of[dfile["file_path"]] = int(fri)
         if not base_of:
             return self.spark.createDataFrame([], schema).withColumn(
@@ -2419,12 +2455,26 @@ class IcebergTable:
         base_map = self.spark.createDataFrame(
             [(p, b) for p, b in base_of.items()], "__fp string, __base long"
         )
+        # one scan covers plain AND rewrite-materialized files: the
+        # explicit schema reads `_row_id` where present and null where
+        # the column does not exist, then the spec's precedence applies
+        # (materialized value wins; null → first_row_id + position)
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        read_schema = StructType(
+            list(schema.fields) + [StructField(_ROW_ID_COL, LongType(), True)]
+        )
         df = (
-            self.spark.read.schema(schema).parquet(*base_of)
+            self.spark.read.schema(read_schema).parquet(*base_of)
             .withColumn("__fp", _file_path_raw(F.col("_metadata.file_path")))
             .withColumn("__ri", F.col("_metadata.row_index"))
             .join(F.broadcast(base_map), "__fp")
-            .withColumn("_row_id", F.col("__base") + F.col("__ri"))
+            .withColumn(
+                "_row_id",
+                F.coalesce(
+                    F.col(_ROW_ID_COL), F.col("__base") + F.col("__ri")
+                ),
+            )
         )
         if pos_delete_paths:
             deletes_df = _normalize_stored_delete_paths(
@@ -2525,12 +2575,33 @@ class IcebergTable:
         the rewrite range-partitions + sorts on those columns into
         ``target_files`` files (default: the session's parallelism), so
         each compacted file has tight disjoint bounds — write-side
-        completion of the column-bounds skipping ladder."""
+        completion of the column-bounds skipping ladder.
+
+        Under ROW LINEAGE the rewrite is id-preserving: each row's
+        ``_row_id`` is materialized into the new files (reserved field
+        id; per-file max recorded in upper_bounds so the watermark
+        consumer keeps pruning rewritten files), overriding the fresh
+        inherited ids the replace snapshot burns — compaction changes
+        the id of NOTHING (the same contract as the Delta/txlog OPTIMIZE
+        twins, oracle-gated)."""
         meta = self.metadata()
         entries, _ = self._entries_for_snapshot(meta, None)
         if not entries:
             return None
-        df = self.snapshot()
+        lineage = bool(meta.get("row-lineage"))
+        extra_fields = None
+        if lineage:
+            # v3 rule: a rewrite preserves lineage by MATERIALIZING each
+            # row's _row_id (reserved field id) into the new files — the
+            # fresh inherited ids the rewritten files burn are overridden
+            # row-for-row, so compaction changes the id of NOTHING.
+            # snapshot_with_row_ids supplies ids + position-delete masking
+            # (and refuses equality deletes / partitioned tables — this
+            # writer's lineage scope, inherited here loudly).
+            df = self.snapshot_with_row_ids()
+            extra_fields = {_ROW_ID_COL: (_ROW_ID_FIELD_ID, "long")}
+        else:
+            df = self.snapshot()
         sort_cols = self._default_sort_cols(meta)
         if zorder_by:
             # multi-dimensional clustering at rewrite time — Iceberg's
@@ -2558,9 +2629,10 @@ class IcebergTable:
             df = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(
                 *sort_cols
             )
-        files = self._prepare_files(df, meta)
+        files = self._prepare_files(df, meta, extra_fields=extra_fields)
         return self.append_files(
-            files, meta=meta, replace=True, operation="replace"
+            files, meta=meta, replace=True, operation="replace",
+            materialized_row_ids=lineage,
         )
 
     def rewrite_manifests(self) -> int | None:
@@ -2576,14 +2648,14 @@ class IcebergTable:
         100 TB: manifests are the scan-planning fan-out; planning cost
         is O(#manifests) driver-side file opens. Consolidation resets it
         to O(#spec eras) without moving a byte of data — the cheapest
-        maintenance win on an append-heavy table."""
+        maintenance win on an append-heavy table.
+
+        Under ROW LINEAGE each carried file's resolved first_row_id is
+        stamped explicitly (field 142) before its source manifest's
+        inheritance base is dropped — ids survive consolidation
+        untouched."""
         meta = self.metadata()
-        if meta.get("row-lineage"):
-            raise IcebergProtocolError(
-                "rewrite_manifests on a row-lineage table would drop the "
-                "per-manifest first_row_id inheritance base — carry "
-                "per-file first_row_id stamps first (not implemented)"
-            )
+        lineage = bool(meta.get("row-lineage"))
         sid_cur = meta.get("current-snapshot-id")
         if sid_cur is None or sid_cur == -1:
             return None
@@ -2601,6 +2673,14 @@ class IcebergTable:
         by_spec: dict[int, list[dict]] = {}
         for m in data_manifests:
             _, rows = read_container(self._read_bytes(m["manifest_path"]))
+            if lineage:
+                if m.get("first_row_id") is None:
+                    raise IcebergProtocolError(
+                        f"manifest {m['manifest_path']} predates row "
+                        "lineage and carries no first_row_id — re-run "
+                        "enable_row_lineage"
+                    )
+                running = int(m["first_row_id"])
             for e in rows:
                 if e["status"] not in (0, 1):
                     continue
@@ -2609,13 +2689,23 @@ class IcebergTable:
                     if e.get("sequence_number") is not None
                     else m["sequence_number"]
                 )
+                dfile = e["data_file"]
+                if lineage:
+                    # consolidation drops the per-manifest inheritance
+                    # base, so each carried file gets its RESOLVED id
+                    # stamped explicitly (field 142) — the spec's rule
+                    # for carrying EXISTING files between manifests
+                    dfile = dict(dfile)
+                    if dfile.get("first_row_id") is None:
+                        dfile["first_row_id"] = running
+                        running += int(dfile["record_count"])
                 by_spec.setdefault(m.get("partition_spec_id", 0), []).append(
                     {
                         "status": 0,  # EXISTING: carried, not added
                         "snapshot_id": e.get("snapshot_id"),
                         "sequence_number": seq,
                         "file_sequence_number": e.get("file_sequence_number"),
-                        "data_file": e["data_file"],
+                        "data_file": dfile,
                     }
                 )
         new_rows = []
@@ -2667,6 +2757,14 @@ class IcebergTable:
                     "_min_seq": min(
                         e["sequence_number"] for e in entries
                     ) if entries else None,
+                    # lineage: every carried file is explicitly stamped,
+                    # so this base is never consumed — present for spec
+                    # shape (manifests in a lineage table carry one)
+                    **(
+                        {"first_row_id": int(meta.get("next-row-id", 0))}
+                        if lineage
+                        else {}
+                    ),
                 }
             )
         base_sid = sid_cur
@@ -2713,6 +2811,8 @@ class IcebergTable:
             },
             "schema-id": meta["current-schema-id"],
         }
+        if lineage:
+            snap["first-row-id"] = int(meta.get("next-row-id", 0))
         new_meta = dict(meta)
         new_meta["last-sequence-number"] = seq
         new_meta["last-updated-ms"] = now
@@ -3061,10 +3161,15 @@ class IcebergTable:
             carry_deletes=True,
         )
 
-    def _prepare_files(self, df: DataFrame, meta: dict) -> list[dict]:
+    def _prepare_files(
+        self, df: DataFrame, meta: dict, extra_fields: dict | None = None
+    ) -> list[dict]:
         """Stage ``df`` as data files under the current spec and return
         append_files-shaped descriptors (path, size, TYPED partition
-        tuple, record count, column bounds)."""
+        tuple, record count, column bounds). ``extra_fields`` (name →
+        (field_id, ice_type)) stages reserved metadata columns WITH
+        bounds — the rewrite path's materialized ``_row_id`` needs its
+        per-file max in upper_bounds for watermark pruning."""
         spec = self._current_spec(meta)
         pf = _spec_part_fields(meta, spec)
         pcols = tuple(p["pname"] for p in pf)
@@ -3089,7 +3194,11 @@ class IcebergTable:
             and f["name"] not in identity_sources
             and f["type"] in boundable
         }
-        df = self._with_field_ids(df, meta)
+        for name, (fid, itype) in (extra_fields or {}).items():
+            fid_of[name] = fid
+            if itype in boundable:
+                bound_types[name] = itype
+        df = self._with_field_ids(df, meta, extra_fields=extra_fields)
         for p in pf:
             if p["transform"] != "identity":
                 df = df.withColumn(
@@ -3133,6 +3242,7 @@ class IcebergTable:
         extra_manifests: list[dict] | None = None,
         ensure_spec: dict | None = None,
         sid: int | None = None,
+        materialized_row_ids: bool = False,
     ) -> int:
         """Commit an append snapshot over PRE-EXISTING parquet files — the
         zero-copy path (cross-format converts, in-place migration). Each
@@ -3155,11 +3265,21 @@ class IcebergTable:
         if meta.get("row-lineage") and (replace or any(
             f.get("status", 1) == 0 for f in files
         )):
-            raise IcebergProtocolError(
-                "replace-shaped commits on a row-lineage table would "
-                "reassign carried files' row ids — this writer does not "
-                "stamp per-file first_row_id through rewrites yet"
-            )
+            # a replace whose files ALL carry materialized _row_id
+            # columns (rewrite_data_files' lineage path) is id-preserving
+            # by construction: the fresh inherited ids its files burn are
+            # overridden row-for-row by the materialized column
+            if not (
+                materialized_row_ids
+                and replace
+                and all(f.get("status", 1) == 1 for f in files)
+            ):
+                raise IcebergProtocolError(
+                    "replace-shaped commits on a row-lineage table would "
+                    "reassign carried files' row ids — only "
+                    "rewrite_data_files (which materializes _row_id into "
+                    "every rewritten file) may replace under lineage"
+                )
         spec = self._current_spec(meta)
         part_fields = [
             (p["pname"], p["result_type"]) for p in _spec_part_fields(meta, spec)

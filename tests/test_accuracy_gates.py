@@ -992,3 +992,65 @@ def test_bpe_train_merges_equals_reference(spark):
     got = TX.bpe_train_merges(docs, n_merges=10)
     want = ref(wc, 10)
     assert got == want and len(got) == 10
+
+
+def test_kll_sketch_exact_mode_and_rank_error(spark):
+    """The quantile member of the sketch shelf: (a) exact mode (n ≤ k)
+    reproduces percentile_disc exactly; (b) estimation mode normalized
+    rank error stays under 1% at k=200 (theory: O(1/k)); (c) union of
+    per-shard sketches == sketch-of-whole — exact-mode multiset
+    equality, estimation-mode same error envelope (mergeability is WHY
+    sketches matter at 100 TB)."""
+    import math
+
+    import numpy as np
+
+    from projectdatalake_spark.operators.aggregates import (
+        KLLSketch,
+        column_kll_sketch,
+    )
+
+    # (a) exact mode == percentile_disc, including the distributed build
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    daily = li.groupBy("l_shipdate").agg(F.count(F.lit(1)).alias("n"))
+    rows = sorted(r.n for r in daily.collect())
+    sk = column_kll_sketch(daily, "n", k=len(rows) + 10)
+    assert sk.is_exact() and sk.n == len(rows)
+    for q in (0.1, 0.25, 0.5, 0.75, 0.9, 1.0):
+        want = rows[max(1, math.ceil(q * len(rows))) - 1]
+        assert sk.quantile_disc(q) == want, q
+
+    # (b) estimation-mode rank error
+    rng = np.random.default_rng(7)
+    data = rng.normal(size=100_000)
+    whole = KLLSketch(k=200)
+    whole.update_many(data)
+    assert not whole.is_exact()
+    srt = np.sort(data)
+
+    def max_rank_err(sketch):
+        errs = []
+        for q in np.linspace(0.01, 0.99, 25):
+            est = sketch.quantile_disc(float(q))
+            true_rank = np.searchsorted(srt, est, side="right")
+            errs.append(abs(true_rank - q * len(data)) / len(data))
+        return max(errs)
+
+    assert max_rank_err(whole) <= 0.01
+
+    # (c) mergeability: exact-mode multiset equality...
+    a, b = KLLSketch(k=1024), KLLSketch(k=1024)
+    a.update_many(range(300))
+    b.update_many(range(300, 500))
+    m = a.merge(b)
+    assert m.is_exact() and m.n == 500
+    assert sorted(m.compactors[0]) == [float(v) for v in range(500)]
+    # ...and estimation-mode union stays in the envelope
+    shards = [KLLSketch(k=200) for _ in range(8)]
+    for i, s in enumerate(shards):
+        s.update_many(data[i::8])
+    merged = shards[0]
+    for s in shards[1:]:
+        merged = s.merge(merged)
+    assert merged.n == len(data)
+    assert max_rank_err(merged) <= 0.015

@@ -1925,7 +1925,72 @@ def test_row_lineage_inheritance_and_stability(spark, root):
     t.delete_where("k % 10 = 3")  # position deletes: ids stable
     after = {r.k: r._row_id for r in t.snapshot_with_row_ids().collect()}
     assert after == {k: k for k in range(150) if k % 10 != 3}
-    with pytest.raises(IcebergProtocolError, match="row.lineage|row-lineage"):
-        t.rewrite_data_files()
-    with pytest.raises(IcebergProtocolError, match="row.lineage|row-lineage"):
-        t.rewrite_manifests()
+    # overwrite stays refused: its carried files would silently re-base
+    with pytest.raises(IcebergProtocolError, match="lineage"):
+        t.overwrite_partitions(df)
+
+
+def test_row_lineage_rewrites_preserve_ids(spark, root):
+    """The v3 rewrite rule: rewrite_data_files MATERIALIZES _row_id into
+    the new files (fresh inherited ids burn; the column overrides), and
+    rewrite_manifests stamps each carried file's resolved first_row_id
+    explicitly — both change the id of NOTHING. The watermark consumer
+    prunes rewritten files on the materialized column's upper bound."""
+    def batch(lo, hi):
+        return (
+            spark.range(lo, hi)
+            .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+            .coalesce(1).sortWithinPartitions("k")
+        )
+
+    t = IcebergTable.create(spark, root, batch(0, 100))
+    t.enable_row_lineage()
+    t.append(batch(100, 200))
+    t.append(batch(200, 300))
+    t.delete_where("k % 10 = 3")
+    want = {k: k for k in range(300) if k % 10 != 3}
+    assert {r.k: r._row_id for r in t.snapshot_with_row_ids().collect()} == want
+
+    # manifest consolidation first: ids stable, per-file stamps explicit
+    assert t.rewrite_manifests() is not None
+    assert {r.k: r._row_id for r in t.snapshot_with_row_ids().collect()} == want
+
+    # compaction: one materialized file replaces the set; ids stable
+    next_before = t.metadata()["next-row-id"]
+    assert t.rewrite_data_files(target_files=1) is not None
+    assert t.metadata()["next-row-id"] > next_before  # fresh ids burned
+    got = {r.k: r._row_id for r in t.snapshot_with_row_ids().collect()}
+    assert got == want
+    # the normal read is untouched by the extra physical column
+    assert t.snapshot().columns == ["k", "v"]
+    assert t.snapshot().count() == len(want)
+
+    # watermark pruning works THROUGH the rewrite (ids now live in the
+    # materialized column; inherited ranges say nothing)
+    inc = t.snapshot_with_row_ids(min_row_id=150)
+    assert {r.k: r._row_id for r in inc.collect()} == {
+        k: v for k, v in want.items() if v >= 150
+    }
+    # a second append allocates ABOVE the burned ids; a watermark above
+    # the rewritten file's max CONTENT id (299) skips it UNOPENED via
+    # the materialized column's upper bound
+    alloc = t.metadata()["next-row-id"]
+    assert alloc > 300  # the rewrite burned fresh ids
+    t.append(batch(300, 350))
+    new_ids = {k: alloc + (k - 300) for k in range(300, 350)}
+    inc2 = t.snapshot_with_row_ids(min_row_id=300)
+    assert {r.k: r._row_id for r in inc2.collect()} == new_ids
+    assert len(inc2.inputFiles()) == 1  # only the new batch's file
+
+    # position deletes keep working on materialized files (ids stable)
+    t.delete_where("k = 5")
+    final = {r.k: r._row_id for r in t.snapshot_with_row_ids().collect()}
+    want2 = {
+        k: v for k, v in {**want, **new_ids}.items() if k != 5
+    }
+    assert final == want2
+    # and a SECOND rewrite re-materializes ids that came from the column
+    assert t.rewrite_data_files(target_files=1) is not None
+    assert {
+        r.k: r._row_id for r in t.snapshot_with_row_ids().collect()
+    } == want2
