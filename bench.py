@@ -253,6 +253,7 @@ EXTENDED = [
     "iceberg_row_lineage",
     "iceberg_row_lineage_rewrite",
     "sketch_kll_quantiles",
+    "star_ndv_outer_join",
     "txlog_row_tracking",
     "row_id_incremental_scan",
     "event_pattern_match",

@@ -15337,13 +15337,30 @@ def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated frame, embarrassingly parallel; the single global median
     window runs on the pair grain — CALENDAR-bounded (distinct days²,
     invariant to row volume: 100 TB of orders over the same 7 years
-    still yields ~2.9M pairs), the documented bounded-grain exception."""
+    still yields ~2.9M pairs), the documented bounded-grain exception.
+    The bound is GUARDED, not hoped: past ``_TS_MAX_DAYS`` days (≈13M
+    pairs at 10 years, where the single-partition median window becomes
+    the pinch) the query refuses loudly with the fix (pre-filter the
+    window, or rebuild the median as a two-pass bucketed selection —
+    the rolling_with_halo trick) instead of silently single-threading
+    a multi-decade backfill."""
     from pyspark.sql import Window
+
+    _TS_MAX_DAYS = 3700  # ~10 years of daily grain ⇒ ~6.8M pairs
 
     o = _t(spark, sf_dir, "orders")
     daily = o.groupBy(
         F.to_date("o_orderdate").alias("d")
     ).agg(F.count(F.lit(1)).alias("c"))
+    n_days = daily.count()
+    if n_days > _TS_MAX_DAYS:
+        raise ValueError(
+            f"ts_theil_sen_trend: {n_days} distinct days > {_TS_MAX_DAYS} "
+            f"— the global median window would single-partition "
+            f"~{n_days * (n_days - 1) // 2:,} slope pairs; restrict the "
+            "date range, or switch the median to a two-pass bucketed "
+            "rank selection before raising the cap"
+        )
     a = daily.select(F.col("d").alias("d1"), F.col("c").alias("c1"))
     b = daily.select(F.col("d").alias("d2"), F.col("c").alias("c2"))
     slopes = (
@@ -16469,4 +16486,80 @@ def sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(sk.n, q25, q50, q75, q90)],
         "n_days long, q25 long, q50 long, q75 long, q90 long",
+    )
+
+
+@query(
+    "star_ndv_outer_join",
+    oracle="""
+    SELECT coalesce(p.p_brand, '(none)') AS brand, count(*) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) AS total
+    FROM lineitem
+    JOIN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 10 = 0) s
+      ON l_suppkey = s_suppkey
+    LEFT JOIN (SELECT p_partkey, p_brand FROM part WHERE p_size <= 10) p
+      ON l_partkey = p_partkey
+    GROUP BY brand
+    ORDER BY brand
+    """,
+)
+def star_ndv_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDV STAR PLANNER, OUTER VARIANT — join TYPE changes which
+    CBO rewrites are SOUND, and the planner must refuse the unsound
+    ones ([[star_ndv_join_ordering]] is the all-inner base): the part
+    dim joins LEFT-OUTER (enrichment — unmatched lineitems survive
+    null-extended), so its key-set semi-reduction is REFUSED (it would
+    drop exactly those rows) and it ranks AFTER the reducing tier; the
+    supplier dim joins inner and still gets the full semi-reduce +
+    broadcast treatment. Refusal and ordering are plan-asserted in
+    tests/test_iceberg_interop.py; this oracle hash-proves the
+    semantics survive the reorder — null-extended groups included.
+
+    100 TB: outer dims are common in enrichment stars (not every fact
+    row has a dimension row); a planner that semi-reduces them corrupts
+    results, one that shuffles everything wastes the stats — refusing
+    ONLY the unsound rewrite keeps both properties."""
+    import tempfile
+
+    from projectdatalake_spark.sources.iceberg_interop import (
+        IcebergTable,
+        ndv_informed_star_join,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_extendedprice"
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 10 == 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    prt = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 10)
+        .select(F.col("p_partkey").alias("l_partkey"), "p_brand")
+    )
+    base = tempfile.mkdtemp(prefix="starndvo_")
+    fact_t = IcebergTable.create(spark, base + "/fact", li.repartition(4))
+    fact_t.write_stats(["l_suppkey", "l_partkey"], k=65536)
+    s_t = IcebergTable.create(spark, base + "/supp", supp)
+    s_t.write_stats(["l_suppkey"], k=65536)
+    p_t = IcebergTable.create(spark, base + "/part", prt)
+    p_t.write_stats(["l_partkey"], k=65536)
+    joined = ndv_informed_star_join(
+        fact_t.snapshot(), fact_t,
+        # left dim listed FIRST: the planner must still run it last
+        [(p_t, "l_partkey", "left"), (s_t, "l_suppkey")],
+    )
+    return (
+        joined.groupBy(
+            F.coalesce(F.col("p_brand"), F.lit("(none)")).alias("brand")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(27,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("brand")
     )

@@ -789,7 +789,7 @@ def ndv_semi_reduce_join(
 def ndv_informed_star_join(
     fact: DataFrame,
     fact_stats,  # duck-typed: ndv(col) — the fact table's stats source
-    dims: list[tuple],  # [(dim_table, key)], dim_table: ndv(col)+snapshot()
+    dims: list[tuple],  # [(dim_table, key[, how])], how ∈ inner|left|left_semi
     key_bytes: int = 16,
     max_broadcast_bytes: int = 8 << 20,
     assume_unique_keys: bool = True,
@@ -821,27 +821,71 @@ def ndv_informed_star_join(
       main join stays a shuffle because NDV says nothing about the
       dim's row count then.
 
+    OUTER/SEMI variants (per-dim ``how``, default inner): join TYPE
+    changes which rewrites are SOUND, and the planner refuses the
+    unsound ones instead of applying them blindly —
+
+    - ``left`` (left-outer enrichment): the fact keeps every row, so
+      the key-set SEMI-REDUCTION IS REFUSED for that dim (it would drop
+      exactly the null-extended rows the outer join exists to keep);
+      the dim itself still broadcasts when unique keys + NDV budget
+      allow (broadcasting the BUILD side of a left-outer join is sound
+      — only the probe/fact side may not be). Left joins never reduce
+      the fact, so they rank AFTER every reducing join regardless of
+      NDV: they run over the smallest fact the inner/semi tier leaves.
+    - ``left_semi``: the reduction IS the join — one broadcast (budget
+      permitting) key-set semi, ranked with the inner tier.
+    - joins on distinct fact keys with disjoint dim columns commute
+      across these types (a left join only APPENDS columns; inner/semi
+      only FILTER rows), so the reorder stays semantics-free — the
+      outer variant is oracle-proven by `star_ndv_outer_join`.
+
     Inner joins commute, so reordering is semantically a no-op —
     oracle-proven by `star_ndv_join_ordering`; the order/strategy choices
-    are plan-asserted in tests/test_iceberg_interop.py.
+    (including the refused outer reduction) are plan-asserted in
+    tests/test_iceberg_interop.py.
 
     100 TB: join order is THE lever on a star — shuffling the fact once
     at full width and once at 10% width differ by ~2× of total bytes;
     stats make the choice O(metadata)."""
+    _HOWS = {"inner", "left", "left_semi"}
     ranked = []
-    for pos, (dim_table, key) in enumerate(dims):
+    for pos, d in enumerate(dims):
+        dim_table, key, how = d if len(d) == 3 else (*d, "inner")
+        how = {"left_outer": "left", "semi": "left_semi"}.get(how, how)
+        if how not in _HOWS:
+            raise ValueError(
+                f"ndv_informed_star_join: unsupported join type {how!r} "
+                f"(supported: {sorted(_HOWS)})"
+            )
         nd_dim = dim_table.ndv(key)
         nd_fact = fact_stats.ndv(key) if fact_stats is not None else None
         if nd_dim is None or nd_fact is None or nd_fact == 0:
             sel = 1.0  # unverifiable → assume no reduction, rank last
         else:
             sel = min(1.0, nd_dim / nd_fact)
-        ranked.append((sel, pos, dim_table, key, nd_dim))
-    ranked.sort(key=lambda t: (t[0], t[1]))  # pos: deterministic ties
+        # tier 0: fact-reducing joins, ascending selectivity; tier 1:
+        # left-outer enrichments (never reduce — always after)
+        tier = 1 if how == "left" else 0
+        ranked.append((tier, sel, pos, dim_table, key, how, nd_dim))
+    ranked.sort(key=lambda t: (t[0], t[1], t[2]))  # pos: deterministic ties
     out = fact
-    for sel, _pos, dim_table, key, nd_dim in ranked:
+    for _tier, sel, _pos, dim_table, key, how, nd_dim in ranked:
         dim = dim_table.snapshot()
-        if nd_dim is not None and nd_dim * key_bytes <= max_broadcast_bytes:
+        fits = nd_dim is not None and nd_dim * key_bytes <= max_broadcast_bytes
+        if how == "left":
+            # NO semi-reduction (unsound — see docstring); broadcast the
+            # dim when the unique-key contract makes NDV its row count
+            out = out.join(
+                F.broadcast(dim) if (fits and assume_unique_keys) else dim,
+                key, "left",
+            )
+        elif how == "left_semi":
+            keys = dim.select(key).distinct()
+            out = out.join(
+                F.broadcast(keys) if fits else keys, key, "left_semi"
+            )
+        elif fits:
             out = out.join(
                 F.broadcast(dim.select(key).distinct()), key, "left_semi"
             )

@@ -1054,3 +1054,26 @@ def test_kll_sketch_exact_mode_and_rank_error(spark):
         merged = s.merge(merged)
     assert merged.n == len(data)
     assert max_rank_err(merged) <= 0.015
+
+
+def test_theil_sen_span_guard(spark, monkeypatch):
+    """The calendar-bounded pair grid is GUARDED: past _TS_MAX_DAYS the
+    query must refuse with a sizing instruction, never silently
+    single-partition a multi-decade backfill's slope pairs."""
+    import pytest
+
+    from projectdatalake_spark import queries as Q
+
+    wide = spark.range(0, 5000).select(
+        F.date_add(F.lit("1990-01-01").cast("date"), F.col("id").cast("int"))
+        .cast("string")
+        .alias("o_orderdate")
+    )
+    orig = Q._t
+
+    def fake_t(s, sf_dir, name):
+        return wide if name == "orders" else orig(s, sf_dir, name)
+
+    monkeypatch.setattr(Q, "_t", fake_t)
+    with pytest.raises(ValueError, match="distinct days"):
+        Q.QUERIES["ts_theil_sen_trend"](spark, SF_SMOKE).collect()

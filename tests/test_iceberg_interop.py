@@ -1871,6 +1871,56 @@ def test_ndv_informed_star_join_order_and_strategy(spark, root):
         )
         plan_nu = shuffled._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan_nu and "SortMergeJoin" in plan_nu
+
+        # LEFT-OUTER dim: the planner must REFUSE the key-set
+        # semi-reduction (it would drop the null-extended fact rows),
+        # keep the left join's fact side complete, rank the left join
+        # AFTER the reducing inner tier, and still broadcast the dim
+        outer = ndv_informed_star_join(
+            fact_t.snapshot(), fact_t,
+            [(a_t, "ka", "left"), (b_t, "kb", "inner")],
+        )
+        plan_o = outer._jdf.queryExecution().executedPlan().toString()
+        # exactly ONE semi (dim_b's reduction) — none for the left dim
+        assert plan_o.count("LeftSemi") == 1 and "[kb" in plan_o[
+            plan_o.index("LeftSemi") - 40 : plan_o.index("LeftSemi")
+        ], plan_o
+        # the left join ranks LAST (topmost in the tree → prints first)
+        assert "LeftOuter" in plan_o.split("LeftSemi")[0], plan_o
+        assert "SortMergeJoin" not in plan_o, plan_o  # dims broadcast
+        got_o = sorted(
+            map(tuple, outer.select("v", "attr_a", "attr_b").collect())
+        )
+        want_o = sorted(
+            map(
+                tuple,
+                fact_t.snapshot()
+                .join(b_t.snapshot(), "kb", "inner")
+                .join(a_t.snapshot(), "ka", "left")
+                .select("v", "attr_a", "attr_b")
+                .collect(),
+            )
+        )
+        assert got_o == want_o and len(got_o) > 0
+        # null-extended rows actually present (the semantics the refused
+        # reduction would have destroyed)
+        assert any(t[1] is None for t in got_o)
+
+        # left_semi dim: the reduction IS the join — one broadcast semi
+        semi = ndv_informed_star_join(
+            fact_t.snapshot(), fact_t, [(b_t, "kb", "left_semi")]
+        )
+        plan_s = semi._jdf.queryExecution().executedPlan().toString()
+        assert plan_s.count("LeftSemi") == 1 and "BroadcastHashJoin" in plan_s
+        assert semi.count() == fact_t.snapshot().join(
+            b_t.snapshot().select("kb").distinct(), "kb", "left_semi"
+        ).count() > 0
+        import pytest
+
+        with pytest.raises(ValueError, match="unsupported join type"):
+            ndv_informed_star_join(
+                fact_t.snapshot(), fact_t, [(a_t, "ka", "full")]
+            )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
