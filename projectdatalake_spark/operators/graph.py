@@ -161,7 +161,10 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
 
 
 def pagerank(
-    edges: DataFrame, damping: float = 0.85, iterations: int = 10
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 10,
+    order_pinned: bool = False,
 ) -> DataFrame:
     """PageRank over the undirected graph (each edge walks both ways),
     uniform teleport, fixed iteration count — returns (node, rank).
@@ -173,6 +176,15 @@ def pagerank(
     eager localCheckpoint every third round — the same guard the
     connected-components loop uses against plan blowup. No dangling-node
     term: an undirected graph has outdeg ≥ 1 everywhere.
+
+    ``order_pinned``: fold each node's incoming contributions in src
+    order (sorted-struct left fold) instead of F.sum — bitwise-
+    reproducible across engines (fixed iterations of IEEE ops in a
+    fixed order), which is what lets the driver replay N iterations in
+    DuckDB and hash-match (the queries.py float-fold discipline). The
+    per-node fold list is DEGREE-bounded, so the pinned form keeps the
+    distributed shape; the default F.sum form stays the production path
+    (map-side partials, no per-node arrays).
 
     Accuracy gate: tests/test_accuracy_gates.py::test_pagerank_matches_
     power_iteration (exact-formula numpy reference).
@@ -191,17 +203,26 @@ def pagerank(
             ranks.withColumnRenamed("node", "src"), "src"
         ).select(
             F.col("dst").alias("node"),
+            F.col("src"),
             (F.col("rank") / F.col("outdeg")).alias("c"),
         )
-        ranks = (
-            contribs.groupBy("node")
-            .agg(F.sum("c").alias("m"))
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / n) + F.lit(damping) * F.col("m")
-                ).alias("rank"),
+        if order_pinned:
+            merged = contribs.groupBy("node").agg(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("src"), F.col("c")))
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["c"],
+                ).alias("m")
             )
+        else:
+            merged = contribs.groupBy("node").agg(F.sum("c").alias("m"))
+        ranks = merged.select(
+            "node",
+            (
+                F.lit((1.0 - damping) / n) + F.lit(damping) * F.col("m")
+            ).alias("rank"),
         )
         if (i + 1) % 3 == 0:
             ranks = ranks.localCheckpoint(eager=True)

@@ -7147,19 +7147,71 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.clustering_coefficients(G.copurchase_edges(li))
 
 
-@query("graph_pagerank")  # iterative fixpoint → rows-only; numpy-gated
+def _pagerank_oracle(iterations: int = 10) -> str:
+    """Unrolled damped power iteration in DuckDB — fixed iteration
+    count, every per-node contribution fold in src order (list ORDER BY
+    + left list_reduce), every literal CAST to DOUBLE so decimal
+    parsing can't shift an IEEE op: the exact sequence of doubles the
+    order-pinned Spark form computes, hence bitwise-identical ranks."""
+    steps = ",".join(
+        f"""
+    r{k} AS (
+      SELECT l.dst AS node,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+             + CAST(0.85 AS DOUBLE) * list_reduce(
+                 list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(
+                     list({{'s': l.src, 'c': p.rank / l.outdeg}} ORDER BY l.src),
+                     x -> x.c)),
+                 (acc, x) -> acc + x) AS rank
+      FROM links l JOIN r{k - 1} p ON p.node = l.src
+      GROUP BY l.dst
+    )"""
+        for k in range(1, iterations + 1)
+    )
+    return f"""
+    WITH und AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS (SELECT src, count(*) AS outdeg FROM und GROUP BY src),
+    links AS (SELECT u.src, u.dst, d.outdeg FROM und u JOIN deg d USING (src)),
+    nn AS (SELECT count(*) AS n FROM deg),
+    r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
+           FROM deg),{steps}
+    SELECT node, round(rank, 12) AS rank FROM r{iterations} ORDER BY node
+    """
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle(10))
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the co-purchase graph (operators/graph.py): 10
     damped power-iteration rounds as one hash join + one aggregate each,
     static persisted link table, localCheckpoint lineage truncation —
-    the iterative-algorithm pattern beside connected components. Not
-    SQL-expressible (fixpoint), so rows-only; exact-formula agreement
-    with an independent numpy power iteration is gated in
-    tests/test_accuracy_gates.py::test_pagerank_matches_power_iteration."""
+    the iterative-algorithm pattern beside connected components.
+    PROMOTED from rows-only (round 9, the BFS trick's float sequel):
+    fixed-iteration damped power iteration is deterministic linear
+    algebra, so with every per-node contribution fold pinned to src
+    order (operators/graph.py order_pinned — degree-bounded sorted-
+    struct left fold) the 10-iteration rank vector is a fixed sequence
+    of IEEE doubles and DuckDB's unrolled replay hash-matches it
+    bitwise (rounded 12dp at the output boundary only). The unpinned
+    F.sum production form stays numpy-gated in
+    tests/test_accuracy_gates.py::test_pagerank_matches_power_iteration.
+
+    100 TB: each iteration is one hash join + one aggregate on the node
+    key; the pinned fold's per-node list is DEGREE-bounded (co-purchase
+    degree, not node count), so the provable form keeps the
+    distributed shape."""
     from projectdatalake_spark.operators import graph as G
 
     li = _t(spark, sf_dir, "lineitem")
-    return G.pagerank(G.copurchase_edges(li))
+    return (
+        G.pagerank(G.copurchase_edges(li), order_pinned=True)
+        .select("node", F.round("rank", 12).alias("rank"))
+        .orderBy("node")
+    )
 
 
 @query("graph_triangle_estimate")  # hash-coin sampling is engine-side → rows-only
