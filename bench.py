@@ -254,6 +254,8 @@ EXTENDED = [
     "iceberg_row_lineage_rewrite",
     "sketch_kll_quantiles",
     "star_ndv_outer_join",
+    "delta_uniform_export",
+    "graph_pagerank",
     "txlog_row_tracking",
     "row_id_incremental_scan",
     "event_pattern_match",

@@ -16615,3 +16615,85 @@ def star_ndv_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+@query(
+    "delta_uniform_export",
+    oracle="""
+    WITH b1 AS (
+      SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    b2 AS (
+      SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_orderkey % 3 = 1
+    ),
+    v0 AS (
+      SELECT 0 AS ver, o_orderpriority, count(*) AS n,
+             CAST(sum(price) AS DOUBLE) AS total
+      FROM b1 GROUP BY o_orderpriority
+    ),
+    v1 AS (
+      SELECT 1 AS ver, o_orderpriority, count(*) AS n,
+             CAST(sum(price) AS DOUBLE) AS total
+      FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+      GROUP BY o_orderpriority
+    )
+    SELECT CAST(ver AS INT) AS ver, o_orderpriority, n, total
+    FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1)
+    ORDER BY ver, o_orderpriority
+    """,
+)
+def delta_uniform_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELTA UNIFORM — Universal Format, live: Delta stays the ONLY
+    writer while ``uniform_export`` (sources/format_convert.py)
+    maintains Iceberg metadata over the SAME data files inside the
+    Delta root (``metadata/`` beside ``_delta_log/``), one REPLACE
+    snapshot per synced Delta commit, ``uniform.delta-version`` stamped
+    in each snapshot summary. This query writes two Delta versions,
+    syncs after each, then reads BOTH states through the EXPORTED
+    Iceberg metadata (snapshot-id time travel for the first, current
+    for the second) — external Iceberg readers tracking a live Delta
+    table, hash-proven at two successive versions. Zero-copy, no-op
+    re-sync, DV + schema-drift refusals gated in
+    tests/test_format_convert.py::test_uniform_export_live_sync.
+
+    100 TB: each sync is O(#files) metadata (stats map add.stats →
+    manifest bounds, so Iceberg-side pruning still works); the data —
+    the 100 TB part — never moves or duplicates."""
+    import tempfile
+
+    from projectdatalake_spark.sources.delta_interop import DeltaTable
+    from projectdatalake_spark.sources.format_convert import uniform_export
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    b1 = o.filter(F.col("o_orderkey") % 3 == 0)
+    b2 = o.filter(F.col("o_orderkey") % 3 == 1)
+    root = tempfile.mkdtemp(prefix="uniform_") + "/t"
+    d = DeltaTable.create(spark, root, b1.repartition(2))
+    t, sid0 = uniform_export(d)
+    d.append(b2.repartition(2))
+    t, sid1 = uniform_export(d)
+    assert sid0 is not None and sid1 is not None and sid0 != sid1
+
+    def agg(df, ver):
+        return (
+            df.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("price").cast("double").alias("total"),
+            )
+            .select(
+                F.lit(ver).cast("int").alias("ver"),
+                "o_orderpriority", "n", "total",
+            )
+        )
+
+    return (
+        agg(t.snapshot(snapshot_id=sid0), 0)
+        .unionByName(agg(t.snapshot(), 1))
+        .orderBy("ver", "o_orderpriority")
+    )

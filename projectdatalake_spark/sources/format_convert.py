@@ -40,11 +40,7 @@ from projectdatalake_spark.sources.iceberg_interop import (
 )
 
 
-def convert_delta_to_iceberg(delta: DeltaTable, dest_root: str) -> IcebergTable:
-    """Publish an Iceberg v2 table whose single snapshot references the
-    Delta table's CURRENT data files in place (absolute paths)."""
-    state = delta._state()
-    delta._check_readable(state)
+def _refuse_unconvertible_delta(delta: DeltaTable, state: dict) -> None:
     meta = state["metaData"]
     if delta._column_mapping(meta):
         raise DeltaProtocolError(
@@ -56,6 +52,15 @@ def convert_delta_to_iceberg(delta: DeltaTable, dest_root: str) -> IcebergTable:
             "active deletion vectors — run optimize() to materialize them "
             "before converting (Iceberg would resurrect masked rows)"
         )
+
+
+def convert_delta_to_iceberg(delta: DeltaTable, dest_root: str) -> IcebergTable:
+    """Publish an Iceberg v2 table whose single snapshot references the
+    Delta table's CURRENT data files in place (absolute paths)."""
+    state = delta._state()
+    delta._check_readable(state)
+    meta = state["metaData"]
+    _refuse_unconvertible_delta(delta, state)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     pcols = tuple(meta.get("partitionColumns", []))
     # foreign (Delta-written) files carry no parquet field ids → the
@@ -67,6 +72,18 @@ def convert_delta_to_iceberg(delta: DeltaTable, dest_root: str) -> IcebergTable:
         pcols,
         properties={"projectdatalake.fieldIdsInFiles": "false"},
     )
+    files = _delta_adds_as_iceberg_files(delta, state, t, pcols)
+    t.append_files(files)
+    return t
+
+
+def _delta_adds_as_iceberg_files(
+    delta: DeltaTable, state: dict, t: IcebergTable, pcols: tuple
+) -> list[dict]:
+    """append_files-shaped descriptors for the Delta state's live adds:
+    absolute paths, typed partition tuples, stats mapped add.stats →
+    manifest bounds — the shared metadata bridge under the one-shot
+    convert AND the UniForm live export."""
     ice_meta = t.metadata()
     ice_fields = next(
         s for s in ice_meta["schemas"] if s["schema-id"] == ice_meta["current-schema-id"]
@@ -111,8 +128,83 @@ def convert_delta_to_iceberg(delta: DeltaTable, dest_root: str) -> IcebergTable:
                 "upper_bounds": upper or None,
             }
         )
-    t.append_files(files)
-    return t
+    return files
+
+
+def uniform_export(
+    delta: DeltaTable, ice_root: str | None = None
+) -> tuple[IcebergTable, int | None]:
+    """DELTA UNIFORM SHAPE (Delta's Universal Format): Delta stays the
+    ONLY writer; call this after commits to (re)generate Iceberg
+    metadata over the SAME data files, so external Iceberg readers track
+    a live Delta table — zero copy, O(#files) metadata per sync. By
+    default the Iceberg metadata lives INSIDE the Delta root
+    (``metadata/`` beside ``_delta_log/``), exactly UniForm's layout.
+
+    Every sync commits one Iceberg REPLACE snapshot holding the Delta
+    tip's full live file set, stamped ``uniform.delta-version`` in the
+    snapshot summary; prior snapshots stay time-travelable, so Iceberg
+    snapshot N and Delta version it mirrors read IDENTICALLY (the
+    oracle contract in `delta_uniform_export`). A sync at an already-
+    exported version is a no-op (returns (table, None)) — safe to call
+    unconditionally after every commit.
+
+    Honesty rules (same as the one-shot convert): refuses under active
+    deletion vectors or column mapping; refuses if the Delta schema
+    drifted from the exported Iceberg schema (drop the metadata dir and
+    re-export to re-baseline)."""
+    state = delta._state()
+    delta._check_readable(state)
+    _refuse_unconvertible_delta(delta, state)
+    meta = state["metaData"]
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    pcols = tuple(meta.get("partitionColumns", []))
+    root = (ice_root or delta.root).rstrip("/")
+    v = state["version"]
+    t = IcebergTable(delta.spark, root)
+    fs = t._fs()
+    fresh = not fs.exists(t._path(f"{root}/metadata/version-hint.text"))
+    if fresh:
+        t = IcebergTable.create_empty(
+            delta.spark,
+            root,
+            schema,
+            pcols,
+            properties={
+                "projectdatalake.fieldIdsInFiles": "false",
+                "uniform.source-format": "delta",
+            },
+        )
+    else:
+        ice_meta = t.metadata()
+        ice_fields = next(
+            s
+            for s in ice_meta["schemas"]
+            if s["schema-id"] == ice_meta["current-schema-id"]
+        )["fields"]
+        want = [(f.name,) for f in schema.fields]
+        have = [(f["name"],) for f in ice_fields]
+        if want != have:
+            raise IcebergProtocolError(
+                "uniform_export: the Delta schema drifted from the "
+                "exported Iceberg schema — remove the Iceberg metadata "
+                "directory and re-export to re-baseline"
+            )
+        cur_sid = ice_meta.get("current-snapshot-id")
+        if cur_sid is not None and cur_sid != -1:
+            cur = next(
+                s for s in ice_meta["snapshots"] if s["snapshot-id"] == cur_sid
+            )
+            if cur.get("summary", {}).get("uniform.delta-version") == str(v):
+                return t, None  # tip already exported
+    files = _delta_adds_as_iceberg_files(delta, state, t, pcols)
+    sid = t.append_files(
+        files,
+        replace=not fresh,
+        operation="append" if fresh else "replace",
+        summary_props={"uniform.delta-version": v},
+    )
+    return t, sid
 
 
 def convert_iceberg_to_delta(ice: IcebergTable, dest_root: str) -> DeltaTable:

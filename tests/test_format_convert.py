@@ -241,3 +241,72 @@ def test_iceberg_to_txlog_zero_copy_and_fallback(spark, tmp_path):
         t2._data_path(a).startswith(str(tmp_path / "t2"))
         for a in t2._active_files()
     )
+
+
+def test_uniform_export_live_sync(spark, tmp_path):
+    """UniForm shape: Delta is the only writer; each sync commits one
+    Iceberg REPLACE snapshot over the same files inside the Delta root
+    (metadata/ beside _delta_log/). Gates: per-version reads agree
+    (both current AND time-traveled), zero data copied, no-op at an
+    already-exported tip, DV + schema-drift refusals."""
+    from projectdatalake_spark.sources.format_convert import uniform_export
+
+    root = str(tmp_path / "t")
+    d = DeltaTable.create(spark, root, _df(spark))
+    t, sid0 = uniform_export(d)
+    assert sid0 is not None
+    assert os.path.exists(f"{root}/metadata/version-hint.text")
+    assert _no_data_files(root) is False  # delta's own data lives here
+    # no SECOND copy: every iceberg-referenced file is a delta file
+    def _paths(df):
+        return {
+            os.path.realpath(p.replace("file://", "").replace("file:", ""))
+            for p in df.inputFiles()
+        }
+
+    assert _paths(t.snapshot()) <= _paths(d.snapshot())
+
+    def rows(df):
+        return sorted(map(tuple, df.select("id", "seg", "val").collect()))
+
+    assert rows(t.snapshot()) == rows(d.snapshot())
+    v_first = d.latest_version()
+    # no-op sync at the exported tip
+    t, again = uniform_export(d)
+    assert again is None
+
+    # delta evolves; sync again → a NEW iceberg snapshot, and the OLD
+    # one still time-travels to the old delta version
+    d.append(
+        spark.range(100, 140)
+        .withColumn("seg", (F.col("id") % 3).cast("int"))
+        .withColumn("val", F.col("id") * 1.5)
+    )
+    t, sid1 = uniform_export(d)
+    assert sid1 is not None and sid1 != sid0
+    assert rows(t.snapshot()) == rows(d.snapshot())
+    assert rows(t.snapshot(snapshot_id=sid0)) == rows(d.snapshot(version=v_first))
+    # summary carries the mirrored delta version
+    summaries = {
+        s["snapshot-id"]: s["summary"].get("uniform.delta-version")
+        for s in t.metadata()["snapshots"]
+    }
+    assert summaries[sid1] == str(d.latest_version())
+
+    # refusals: DVs active → loud; schema drift → loud
+    d.delete_where_dv("id = 7")
+    with pytest.raises(DeltaProtocolError, match="deletion vectors"):
+        uniform_export(d)
+    d.optimize()
+    t, sid2 = uniform_export(d)
+    assert sid2 is not None
+    assert rows(t.snapshot()) == rows(d.snapshot())
+    d.append(
+        spark.range(500, 510)
+        .withColumn("seg", (F.col("id") % 3).cast("int"))
+        .withColumn("val", F.col("id") * 1.5)
+        .withColumn("extra", F.lit(1)),
+        merge_schema=True,
+    )
+    with pytest.raises(IcebergProtocolError, match="drifted"):
+        uniform_export(d)
