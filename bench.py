@@ -256,6 +256,7 @@ EXTENDED = [
     "star_ndv_outer_join",
     "delta_uniform_export",
     "graph_pagerank",
+    "sketch_difference_ndv",
     "txlog_row_tracking",
     "row_id_incremental_scan",
     "event_pattern_match",

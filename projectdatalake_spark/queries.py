@@ -13818,17 +13818,67 @@ def mm_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.audio_dup_pairs(fps, min_jaccard=0.6).orderBy("id1", "id2")
 
 
-@query("graph_kcore")  # iterative fixpoint not SQL-expressible → rows-only
+_KCORE_UNROLL = 12
+
+
+def _kcore_oracle(rounds: int = _KCORE_UNROLL) -> str:
+    """Unrolled k-core peel in DuckDB: each round drops sub-k-degree
+    nodes' edges; once the Spark loop converges in R ≤ rounds peels,
+    every further unrolled round is idempotent, so the fixpoints agree
+    (the graph_pagerank/graph_bfs fixpoint-replay trick on a
+    DATA-DEPENDENT round count, guarded by kcore's max_iterations).
+    MATERIALIZED CTEs: each round evaluates once instead of re-reading
+    the parquet per back-reference (fd-bounded at any unroll depth)."""
+    steps = ",".join(
+        f"""
+    w{r - 1} AS MATERIALIZED (
+      SELECT s FROM (SELECT s, count(*) AS dg FROM live{r - 1} GROUP BY s)
+      WHERE dg < (SELECT k FROM kk)),
+    live{r} AS MATERIALIZED (
+      SELECT l.s, l.d FROM live{r - 1} l
+      WHERE l.s NOT IN (SELECT s FROM w{r - 1})
+        AND l.d NOT IN (SELECT s FROM w{r - 1}))"""
+        for r in range(1, rounds + 1)
+    )
+    return f"""
+    WITH und AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    deg0 AS MATERIALIZED (SELECT s, count(*) AS dg FROM und GROUP BY s),
+    kk AS MATERIALIZED (
+      SELECT dg AS k FROM (
+        SELECT s, dg, row_number() OVER (ORDER BY dg, s) AS rn,
+               count(*) OVER () AS n
+        FROM deg0)
+      WHERE rn = CAST(floor(0.05 * n) AS BIGINT) + 1
+    ),
+    live0 AS MATERIALIZED (SELECT s, d FROM und),{steps}
+    SELECT s AS node, CAST(count(*) AS INT) AS core_degree
+    FROM live{rounds} GROUP BY s ORDER BY node
+    """
+
+
+@query("graph_kcore", oracle=_kcore_oracle())
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-CORE of the co-purchase graph (k=4): iterative peeling to the
+    """K-CORE of the co-purchase graph: iterative peeling to the
     fixpoint — the cohesion filter that keeps densely co-bought part
     clusters and drops tendrils; the seed step for community mining and
     fraud-ring triage. Each round is one degree aggregate + two
     broadcast anti joins; rounds = peel depth, not graph size; exactness
     vs the textbook sequential peel is gated in
     tests/test_accuracy_gates.py::test_kcore_matches_naive_peeling.
-    Driver records rows-only (the peel loop is an iterative fixpoint —
-    no single SQL statement replays it).
+
+    PROMOTED from rows-only (round 9): k is DATA-DERIVED as the exact
+    5th-percentile degree (int rank selection, identical both engines)
+    so the peel actually FIRES at every scale factor (a fixed k=4 never
+    peeled this dense corpus — the synthetic-fixture trap) while the
+    core stays nonempty; the oracle unrolls {_KCORE_UNROLL} idempotent
+    peel rounds and ``max_iterations={_KCORE_UNROLL}`` makes Spark FAIL
+    LOUDLY if real convergence ever needs more — the unroll bound can
+    never silently diverge from the fixpoint. Outputs are ints: no
+    float hashing anywhere.
 
     100 TB: degree aggregates partial map-side; the weak set shrinks
     geometrically after round one and broadcasts. The loop's driver
@@ -13837,7 +13887,14 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     edges = G.copurchase_edges(li)
-    return G.kcore(edges, k=4).orderBy("node")
+    directed = edges.select(F.col("u").alias("src")).unionAll(
+        edges.select(F.col("v").alias("src"))
+    )
+    degs = directed.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    n = degs.count()
+    rank = int(0.05 * n) + 1
+    k = int(degs.orderBy("d", "src").limit(rank).collect()[-1]["d"])
+    return G.kcore(edges, k=k, max_iterations=_KCORE_UNROLL).orderBy("node")
 
 
 @query(
@@ -16696,4 +16753,60 @@ def delta_uniform_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg(t.snapshot(snapshot_id=sid0), 0)
         .unionByName(agg(t.snapshot(), 1))
         .orderBy("ver", "o_orderpriority")
+    )
+
+
+@query(
+    "sketch_difference_ndv",
+    oracle="""
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderdate < TIMESTAMP '1995-01-01'),
+         b AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1995-01-01')
+    SELECT
+      (SELECT count(*) FROM (SELECT o_custkey FROM a
+                             EXCEPT SELECT o_custkey FROM b))
+        AS ndv_only_early,
+      (SELECT count(*) FROM (SELECT o_custkey FROM b
+                             EXCEPT SELECT o_custkey FROM a))
+        AS ndv_only_late
+    """,
+)
+def sketch_difference_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THETA-SKETCH DIFFERENCE (DataSketches A-not-B — the third of the
+    set-algebra trio beside [[sketch_intersection_ndv]]): customers who
+    ordered ONLY before 1995 and ONLY after, answered from the SAME two
+    per-era sketches as the intersection query — build once, every
+    churn/retention set question afterwards is O(k) driver algebra, no
+    re-scan. Exact mode ⇒ the difference is an exact distinct-set
+    EXCEPT (hash-proven); estimation degradation property-gated in
+    tests/test_iceberg_interop.py. Exactness asserted loudly (theta
+    guard precedent).
+
+    100 TB: churned-users / new-users questions are A-not-B over
+    per-period sketches — this is the sketch the warehouse answers them
+    with instead of two distinct anti-joins."""
+    from projectdatalake_spark.sources.puffin import (
+        _MAX_THETA,
+        column_theta_sketch,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    early = o.filter(F.col("o_orderdate") < "1995-01-01").select("o_custkey")
+    late = o.filter(F.col("o_orderdate") >= "1995-01-01").select("o_custkey")
+    sk_a = column_theta_sketch(early, "o_custkey", k=16384)
+    sk_b = column_theta_sketch(late, "o_custkey", k=16384)
+    for era, sk in (("early", sk_a), ("late", sk_b)):
+        if sk.theta < _MAX_THETA:
+            raise ValueError(
+                f"sketch_difference_ndv: the {era}-era sketch left exact "
+                "mode (ndv > k=16384) — raise k above the per-era "
+                "distinct o_custkey count, or gate rows-only"
+            )
+    return spark.createDataFrame(
+        [(
+            int(round(sk_a.a_not_b(sk_b).estimate())),
+            int(round(sk_b.a_not_b(sk_a).estimate())),
+        )],
+        "ndv_only_early long, ndv_only_late long",
     )

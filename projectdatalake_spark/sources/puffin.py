@@ -184,6 +184,24 @@ class ThetaSketch:
         out.hashes = sorted(h for h in common if h < theta)
         return out
 
+    def a_not_b(self, other: "ThetaSketch") -> "ThetaSketch":
+        """Theta-sketch set DIFFERENCE — DataSketches' actual "A-not-B"
+        operation, the third of the set-algebra trio (union/intersect/
+        difference): theta = min of the two (the region where BOTH
+        sketches are authoritative), retained = A's hashes below it that
+        B does not hold. Exact mode ⇒ exact distinct-set difference
+        (hash-provable against EXCEPT); estimation mode ⇒ the standard
+        |A\\B below theta| / theta estimator."""
+        theta = min(self.theta, other.theta)
+        drop = set(other.hashes)
+        out = ThetaSketch.__new__(ThetaSketch)
+        out.k = self.k
+        out.theta = theta
+        out.hashes = sorted(
+            h for h in self.hashes if h < theta and h not in drop
+        )
+        return out
+
     # --- serialization (DataSketches compact layout) -----------------------
 
     def to_bytes(self) -> bytes:

@@ -2044,3 +2044,26 @@ def test_row_lineage_rewrites_preserve_ids(spark, root):
     assert {
         r.k: r._row_id for r in t.snapshot_with_row_ids().collect()
     } == want2
+
+
+def test_theta_sketch_a_not_b_estimation_mode(spark):
+    """a_not_b() beyond exact mode: two overlapping 30k-unique columns
+    at k=256 must estimate the 20k-row one-sided differences within KMV
+    error; exact mode is exactly the set difference (both directions)."""
+    from projectdatalake_spark.sources.puffin import column_theta_sketch
+
+    a = spark.range(0, 30_000).select(F.col("id").alias("u"))
+    b = spark.range(20_000, 50_000).select(F.col("id").alias("u"))
+    k = 256
+    sk_a = column_theta_sketch(a, "u", k)
+    sk_b = column_theta_sketch(b, "u", k)
+    est_ab = sk_a.a_not_b(sk_b).estimate()
+    est_ba = sk_b.a_not_b(sk_a).estimate()
+    assert abs(est_ab - 20_000) / 20_000 < 0.35, est_ab
+    assert abs(est_ba - 20_000) / 20_000 < 0.35, est_ba
+    # exact mode, both directions + empty difference
+    sa = column_theta_sketch(spark.range(0, 100), "id", 1024)
+    sb = column_theta_sketch(spark.range(60, 200), "id", 1024)
+    assert sa.a_not_b(sb).estimate() == 60.0  # 0..59
+    assert sb.a_not_b(sa).estimate() == 100.0  # 100..199
+    assert sa.a_not_b(sa).estimate() == 0.0
