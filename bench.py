@@ -257,6 +257,9 @@ EXTENDED = [
     "delta_uniform_export",
     "graph_pagerank",
     "sketch_difference_ndv",
+    "sketch_kll_grouped",
+    "stream_full_outer_join",
+    "row_id_incremental_dedup",
     "txlog_row_tracking",
     "row_id_incremental_scan",
     "event_pattern_match",

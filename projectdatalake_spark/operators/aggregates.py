@@ -561,3 +561,78 @@ def column_kll_sketch(df: DataFrame, col: str, k: int = 200) -> KLLSketch:
         out.n += 1 << r.level
     out._compress()
     return out
+
+
+def grouped_kll_quantiles(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    qs: Sequence[float],
+    k: int = 200,
+    require_exact: bool = False,
+) -> DataFrame:
+    """Per-key KLL quantiles as a DataFrame op (the grouped sibling of
+    ``column_kll_sketch``, shaped like kmv_sketches): each partition
+    reduces its rows to one bounded sketch PER KEY it holds (mapInPandas
+    — O(keys-in-task · k·log(n/k)) state), partials travel as
+    (key, level, value) rows, and ONE applyInPandas per key merges ≤
+    partitions sketches and reads the quantiles — the value universe
+    never shuffles, only sketch state does. Returns one row per key:
+    (key, q_25, q_50, ... — columns named from ``qs``).
+
+    ``require_exact``: raise unless EVERY key's sketch stayed exact
+    (n ≤ k) — the oracle-gating switch; estimation-mode accuracy is the
+    column form's property gate (same compactor code)."""
+    import pandas as pd
+
+    def partials(batches):
+        acc: dict = {}
+        for pdf in batches:
+            pdf = pdf.dropna(subset=[val_col])
+            for kk, grp in pdf.groupby(key_col, sort=False)[val_col]:
+                sk = acc.get(kk)
+                if sk is None:
+                    sk = acc[kk] = KLLSketch(k)
+                sk.update_many(grp.to_numpy())
+        rows = [
+            (kk, level, v)
+            for kk, sk in acc.items()
+            for level, c in enumerate(sk.compactors)
+            for v in c
+        ]
+        if rows:
+            yield pd.DataFrame(rows, columns=[key_col, "level", "value"])
+
+    parts = df.select(
+        F.col(key_col), F.col(val_col).cast("double").alias(val_col)
+    ).mapInPandas(partials, schema=f"{key_col} string, level int, value double")
+
+    qcols = [f"q_{str(q).replace('.', '_')}" for q in qs]
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = KLLSketch(k)
+        sk.compactors = [
+            [] for _ in range(int(pdf["level"].max()) + 1)
+        ]
+        for level, v in zip(pdf["level"], pdf["value"]):
+            sk.compactors[int(level)].append(float(v))
+        sk.n = int((pdf["level"].map(lambda l: 1 << int(l))).sum())
+        sk._compress()
+        if require_exact and not sk.is_exact():
+            raise ValueError(
+                f"grouped_kll_quantiles: key {pdf[key_col].iloc[0]!r} left "
+                f"exact mode (n={sk.n} > k={k}) — raise k or drop "
+                "require_exact"
+            )
+        return pd.DataFrame(
+            [
+                [pdf[key_col].iloc[0]]
+                + [sk.quantile_disc(q) for q in qs]
+            ],
+            columns=[key_col] + qcols,
+        )
+
+    out_schema = f"{key_col} string, " + ", ".join(
+        f"{c} double" for c in qcols
+    )
+    return parts.groupBy(key_col).applyInPandas(finish, schema=out_schema)

@@ -16810,3 +16810,218 @@ def sketch_difference_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )],
         "ndv_only_early long, ndv_only_late long",
     )
+
+
+@query(
+    "sketch_kll_grouped",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority AS pri, o_orderdate AS d, count(*) AS c
+      FROM orders GROUP BY pri, d
+    ),
+    ranked AS (
+      SELECT pri, c, row_number() OVER (PARTITION BY pri ORDER BY c) AS rn,
+             count(*) OVER (PARTITION BY pri) AS n
+      FROM daily
+    )
+    SELECT pri AS o_orderpriority,
+           CAST(max(CASE WHEN rn = GREATEST(1, CAST(ceil(0.25 * n) AS BIGINT))
+                         THEN c END) AS DOUBLE) AS q_0_25,
+           CAST(max(CASE WHEN rn = GREATEST(1, CAST(ceil(0.5 * n) AS BIGINT))
+                         THEN c END) AS DOUBLE) AS q_0_5,
+           CAST(max(CASE WHEN rn = GREATEST(1, CAST(ceil(0.9 * n) AS BIGINT))
+                         THEN c END) AS DOUBLE) AS q_0_9
+    FROM ranked GROUP BY pri ORDER BY pri
+    """,
+)
+def sketch_kll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-KEY KLL QUANTILES as a DataFrame op — the grouped sibling of
+    [[sketch_kll_quantiles]] (one sketch per key, kmv_sketches' shape):
+    per-partition per-key compactors (mapInPandas, bounded state),
+    (key, level, value) partials, one applyInPandas merge per key — the
+    value universe never shuffles, only sketch state. The per-priority
+    daily-order-count grain is calendar-bounded, so every key's sketch
+    stays EXACT (require_exact=True fails loudly otherwise) and the
+    per-key quantile_disc hash-matches the partitioned window-rank
+    oracle; estimation accuracy rides the column form's property gate
+    (same compactor code).
+
+    100 TB: this is "p50/p90/p99 latency per service" at warehouse
+    scale — per-shard per-key sketches, mergeable partials, one small
+    per-key finish; no percentile ever sees the raw value universe."""
+    from projectdatalake_spark.operators.aggregates import (
+        grouped_kll_quantiles,
+    )
+
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority"), F.col("o_orderdate")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return grouped_kll_quantiles(
+        daily, "o_orderpriority", "c", qs=(0.25, 0.5, 0.9), k=8192,
+        require_exact=True,
+    ).orderBy("o_orderpriority")
+
+
+@query(
+    "stream_full_outer_join",
+    oracle="""
+    WITH cutoff AS (
+      SELECT least(
+        (SELECT max(CAST(ts AS TIMESTAMP)) FROM events
+          WHERE event_type = 'click'),
+        (SELECT max(CAST(ts AS TIMESTAMP)) FROM events
+          WHERE event_type = 'purchase')
+      ) - INTERVAL 3 HOURS - INTERVAL 1 SECOND AS t
+    ),
+    c AS (
+      SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT event_id AS purchase_id, user_id AS p_user_id,
+             CAST(ts AS TIMESTAMP) AS purchase_ts, value AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT click_id, purchase_id,
+           coalesce(user_id, p_user_id) AS user_id,
+           click_ts, purchase_ts, purchase_value
+    FROM c FULL JOIN p
+      ON c.user_id = p.p_user_id
+     AND p.purchase_ts >  c.click_ts
+     AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+    WHERE (click_ts IS NULL OR click_ts < (SELECT t FROM cutoff))
+      AND (purchase_ts IS NULL OR purchase_ts < (SELECT t FROM cutoff))
+    """,
+)
+def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream join driven to completion — the
+    remaining outer variant beside [[stream_left_outer_join]]: clicks
+    that converted to NOTHING and purchases NO click preceded within
+    the hour, in one query. Each unmatched side emits only when the
+    watermark proves no partner can still arrive (state leaves the
+    store at emission — bounded on BOTH sides). Equality with the
+    batch FULL JOIN is region-qualified on BOTH sides: every present
+    timestamp must be older than the final min-watermark cutoff
+    (least of both sides' max ts − 3h, 1 s guard); the tail's verdicts
+    are simply not yet due.
+
+    100 TB: the abandoned-cart AND unattributed-revenue questions in
+    one pass; state per side ≈ rows inside (watermark + horizon),
+    identical to the inner form."""
+    from projectdatalake_spark import streaming as ST
+    from projectdatalake_spark.streaming.events import (
+        stream_stream_interval_join_full,
+    )
+
+    stream = ST.read_events_stream(spark, sf_dir)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    joined = stream_stream_interval_join_full(clicks, purchases)
+    out = ST.run_available_now(joined, output_mode="append", state_partitions=8)
+    ev = _t(spark, sf_dir, "events")
+    cutoff = ev.agg(
+        (
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            )
+            - F.expr("INTERVAL 3 HOURS")
+            - F.expr("INTERVAL 1 SECOND")
+        ).alias("t")
+    )
+    return out.join(
+        F.broadcast(cutoff),
+        (F.col("click_ts").isNull() | (F.col("click_ts") < F.col("t")))
+        & (F.col("purchase_ts").isNull() | (F.col("purchase_ts") < F.col("t"))),
+    ).drop("t")
+
+
+@query(
+    "row_id_incremental_dedup",
+    oracle="""
+    WITH b1 AS (
+      SELECT l_orderkey, l_linenumber,
+             row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS row_id
+      FROM lineitem WHERE l_linenumber % 2 = 1
+    ),
+    n1 AS (SELECT count(*) AS n FROM b1),
+    b2 AS (
+      SELECT l_orderkey, l_linenumber,
+             n1.n + row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1
+               AS row_id
+      FROM lineitem CROSS JOIN n1 WHERE l_linenumber % 2 = 0
+    ),
+    allr AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+    s1 AS (SELECT l_orderkey, min(row_id) AS row_id FROM b1 GROUP BY l_orderkey),
+    s2 AS (
+      SELECT l_orderkey, min(row_id) AS row_id FROM b2
+      WHERE l_orderkey NOT IN (SELECT l_orderkey FROM b1)
+      GROUP BY l_orderkey
+    ),
+    s AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+    SELECT a.l_orderkey, CAST(a.l_linenumber AS INT) AS l_linenumber,
+           CAST(a.row_id AS BIGINT) AS row_id
+    FROM allr a JOIN s ON a.row_id = s.row_id
+    ORDER BY a.row_id
+    """,
+)
+def row_id_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-ID WATERMARK × INCREMENTAL DEDUP — the round-8 row-id
+    lifecycle CONSUMED by the curation machinery, no change feed
+    anywhere: keep the FIRST occurrence per key (here l_orderkey — a
+    corpus where dups actually fire within AND across batches) as a
+    live dedup index. Batch 2 lands as a plain append; the incremental
+    job reads ONLY rows above its row-id watermark
+    (snapshot_with_row_ids(min_row_id=W) — old files skip UNOPENED,
+    file-grain-asserted in tests/test_txlog.py), anti-joins the prior
+    survivor keys, and min-row_id-selects within the new slice. The
+    union equals the one-shot first-per-key dedup, hash-proven (ids are
+    ints — no float hashing).
+
+    100 TB: the continuous-ingest dedup shape when CDC is unavailable
+    or too heavy — per-increment cost tracks the increment (watermark
+    file pruning), the survivor index is key-grain, and row ids give
+    the deterministic, replay-stable "first" that arrival order
+    cannot."""
+    import tempfile
+
+    from projectdatalake_spark.sources.txlog import TxTable
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    b1 = (
+        li.filter(F.col("l_linenumber") % 2 == 1)
+        .coalesce(1).sortWithinPartitions("l_orderkey", "l_linenumber")
+    )
+    b2 = (
+        li.filter(F.col("l_linenumber") % 2 == 0)
+        .coalesce(1).sortWithinPartitions("l_orderkey", "l_linenumber")
+    )
+    root = tempfile.mkdtemp(prefix="ridincdd_") + "/t"
+    t = TxTable.create(spark, root, b1)
+    t.enable_row_tracking()
+    snap1 = t.snapshot_with_row_ids()
+    surv1 = snap1.groupBy("l_orderkey").agg(F.min("row_id").alias("row_id"))
+    watermark = int(t._state()["row_tracking"]["hwm"]) + 1
+    t.append(b2)
+    # the incremental slice: ONLY rows above the watermark are read
+    inc = t.snapshot_with_row_ids(min_row_id=watermark)
+    surv2 = (
+        inc.join(surv1.select("l_orderkey"), "l_orderkey", "left_anti")
+        .groupBy("l_orderkey")
+        .agg(F.min("row_id").alias("row_id"))
+    )
+    survivors = surv1.unionByName(surv2)
+    full = t.snapshot_with_row_ids().select(
+        "l_orderkey", "l_linenumber", "row_id"
+    )
+    return (
+        full.join(survivors.select("row_id"), "row_id", "left_semi")
+        .select("l_orderkey", F.col("l_linenumber").cast("int"), "row_id")
+        .orderBy("row_id")
+    )

@@ -288,3 +288,60 @@ def stream_stream_interval_join_left(
         F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
         "purchase_value",
     )
+
+
+def stream_stream_interval_join_full(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """FULL OUTER stream-stream interval join — both unanswered
+    questions at once: clicks that converted to nothing (null purchase
+    columns) AND purchases no click preceded within the horizon (null
+    click columns). Each unmatched row is emitted only once the
+    watermark proves no future partner can match, so state stays
+    bounded exactly as the inner/left forms: a row leaves the store at
+    emission.
+
+    Bounded-replay contract, BOTH-side region-qualified: equality with
+    the batch FULL JOIN holds on rows whose present timestamps are all
+    older than the final cutoff (each side's verdict near the stream's
+    end is not yet due) — callers clip each side's ts where present
+    (`stream_full_outer_join`'s oracle predicate).
+
+    100 TB: same per-side state bound as the inner form — rows inside
+    (watermark + horizon); outer semantics add eviction-time emission
+    on both sides, not state."""
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+        "fullOuter",
+    ).select(
+        "click_id",
+        "purchase_id",
+        # user_id from whichever side is present (full outer: one may be null)
+        F.coalesce(F.col("user_id"), F.col("p_user_id")).alias("user_id"),
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        "purchase_value",
+    )

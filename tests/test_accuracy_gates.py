@@ -1077,3 +1077,42 @@ def test_theil_sen_span_guard(spark, monkeypatch):
     monkeypatch.setattr(Q, "_t", fake_t)
     with pytest.raises(ValueError, match="distinct days"):
         Q.QUERIES["ts_theil_sen_trend"](spark, SF_SMOKE).collect()
+
+
+def test_grouped_kll_estimation_and_exact_guard(spark):
+    """The grouped KLL form: (a) estimation mode stays in the same rank
+    error envelope as the column form (shared compactors), per key;
+    (b) require_exact fires loudly on an overflowing key."""
+    import numpy as np
+    import pytest
+
+    from projectdatalake_spark.operators.aggregates import (
+        grouped_kll_quantiles,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (f"g{g}", float(v))
+        for g in range(3)
+        for v in rng.normal(loc=g, size=30_000)
+    ]
+    df = spark.createDataFrame(rows, "grp string, x double").repartition(8)
+    got = {
+        r.grp: (r.q_0_25, r.q_0_5, r.q_0_9)
+        for r in grouped_kll_quantiles(
+            df, "grp", "x", qs=(0.25, 0.5, 0.9), k=200
+        ).collect()
+    }
+    per_group = {}
+    for g, v in rows:
+        per_group.setdefault(g, []).append(v)
+    for g, vals in per_group.items():
+        srt = np.sort(vals)
+        for q, est in zip((0.25, 0.5, 0.9), got[g]):
+            true_rank = np.searchsorted(srt, est, side="right")
+            err = abs(true_rank - q * len(vals)) / len(vals)
+            assert err <= 0.015, (g, q, err)
+    with pytest.raises(Exception, match="exact mode"):
+        grouped_kll_quantiles(
+            df, "grp", "x", qs=(0.5,), k=200, require_exact=True
+        ).collect()
