@@ -260,6 +260,7 @@ EXTENDED = [
     "sketch_kll_grouped",
     "stream_full_outer_join",
     "row_id_incremental_dedup",
+    "bpe_encode_tokens",
     "txlog_row_tracking",
     "row_id_incremental_scan",
     "event_pattern_match",

@@ -439,3 +439,72 @@ def bpe_train_merges(
             eager=True
         )
     return merges
+
+
+def bpe_apply_merges(syms: Column, merges) -> Column:
+    """Apply an ordered BPE merge list to a symbol-array column — each
+    merge is the SAME left-to-right, non-overlapping Catalyst fold the
+    trainer uses ('aaa' under (a,a) → ['aa','a']), so train and encode
+    share semantics by construction."""
+    def one_merge(a: str, b: str):
+        ab = a + b
+
+        def fold(acc, s):
+            return F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (s == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(ab))
+                ),
+            ).otherwise(F.concat(acc, F.array(s)))
+
+        return fold
+
+    for _step, a, b, _n in merges:
+        syms = F.aggregate(
+            syms, F.array().cast("array<string>"), one_merge(a, b)
+        )
+    return syms
+
+
+def bpe_encode_tokens(
+    docs: DataFrame,
+    merges,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ENCODE a corpus under a trained BPE merge list — the apply half
+    of [[bpe_train_merges]], and the token-count every packing/budget
+    stage downstream actually needs: per document, the number of BPE
+    tokens (and word count) under the trained vocabulary.
+
+    Scale shape (the trainer's trick, reused): the merges are applied
+    ONCE per DISTINCT word (vocabulary grain — Zipf makes it ≪ corpus),
+    entirely JVM-side (Catalyst array folds, no Python in the path),
+    then token counts join back to the corpus on the word and aggregate
+    per document. The corpus is touched twice (word explode + join),
+    the merge loop never.
+
+    Exactness: equality-gated against a pure-Python reference encoder
+    in tests/test_accuracy_gates.py (same gate family as training)."""
+    words = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w")
+    ).filter(F.length("w") > 0)
+    vocab = words.select("w").distinct().select(
+        "w",
+        F.concat(F.split(F.col("w"), ""), F.array(F.lit("</w>"))).alias(
+            "syms"
+        ),
+    )
+    encoded = vocab.select(
+        "w", F.size(bpe_apply_merges(F.col("syms"), merges)).alias("w_tokens")
+    )
+    return (
+        words.join(encoded, "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("w_tokens").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+    )

@@ -17025,3 +17025,26 @@ def row_id_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", F.col("l_linenumber").cast("int"), "row_id")
         .orderBy("row_id")
     )
+
+
+@query("bpe_encode_tokens")  # trained merges are corpus-derived → rows-only
+def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE — the apply half of [[bpe_train_merges]], closing the
+    tokenizer loop (train → encode → count) every packing/budget stage
+    downstream consumes: merges trained on the corpus (12 steps), then
+    per-document token counts under that vocabulary. The merge loop
+    runs on the DISTINCT-WORD grain only (Zipf ≪ corpus), entirely
+    JVM-side (Catalyst array folds — no Python in the encode path), and
+    token counts join back to the corpus on the word. Rows-only (the
+    trained merges are corpus-derived state); exact equality with a
+    pure-Python encoder over the same merges is gated in
+    tests/test_accuracy_gates.py::test_bpe_encode_equals_reference.
+
+    100 TB: corpus touched twice (word explode + join), the iterative
+    part never; this is why BPE training AND encoding stay tractable on
+    a web-scale corpus."""
+    from projectdatalake_spark.operators import text as TX
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = TX.bpe_train_merges(docs, n_merges=12)
+    return TX.bpe_encode_tokens(docs, merges).orderBy("doc_id")

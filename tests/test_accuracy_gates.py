@@ -1116,3 +1116,42 @@ def test_grouped_kll_estimation_and_exact_guard(spark):
         grouped_kll_quantiles(
             df, "grp", "x", qs=(0.5,), k=200, require_exact=True
         ).collect()
+
+
+def test_bpe_encode_equals_reference(spark):
+    """The encode half shares the trainer's merge semantics: per-doc
+    token counts under trained merges == a pure-Python encoder applying
+    the same merge list greedily left-to-right per word."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    merges = TX.bpe_train_merges(docs, n_merges=10)
+    got = {
+        r.doc_id: (r.n_tokens, r.n_words)
+        for r in TX.bpe_encode_tokens(docs, merges).collect()
+    }
+
+    def encode_word(w):
+        syms = list(w) + ["</w>"]
+        for _step, a, b, _n in merges:
+            new = []
+            for s in syms:
+                if new and new[-1] == a and s == b:
+                    new[-1] = a + b
+                else:
+                    new.append(s)
+            syms = new
+        return len(syms)
+
+    rows = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("w")
+    ).filter(F.length("w") > 0).collect()
+    want: dict = {}
+    for r in rows:
+        t, n = want.get(r.doc_id, (0, 0))
+        want[r.doc_id] = (t + encode_word(r.w), n + 1)
+    assert got == want and len(got) > 100
+    # merges actually compress: fewer tokens than raw chars+markers
+    raw = {r.doc_id for r in rows}
+    assert all(
+        got[d][0] < sum(len(r.w) + 1 for r in rows if r.doc_id == d)
+        for d in list(raw)[:5]
+    )
