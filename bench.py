@@ -261,6 +261,7 @@ EXTENDED = [
     "stream_full_outer_join",
     "row_id_incremental_dedup",
     "bpe_encode_tokens",
+    "iceberg_delete_vector",
     "txlog_row_tracking",
     "row_id_incremental_scan",
     "event_pattern_match",

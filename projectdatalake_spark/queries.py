@@ -17048,3 +17048,57 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     merges = TX.bpe_train_merges(docs, n_merges=12)
     return TX.bpe_encode_tokens(docs, merges).orderBy("doc_id")
+
+
+@query(
+    "iceberg_delete_vector",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE NOT (o_orderkey % 10 = 7) AND NOT (o_orderkey % 100 = 4)
+    GROUP BY o_orderstatus
+    """,
+)
+def iceberg_delete_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via ICEBERG V3 DELETION VECTORS — the format
+    twin of [[delta_delete_dv]] and the v3 upgrade over
+    [[iceberg_position_delete]]: positions compress into one
+    portable-roaring64 blob per masked data file inside ONE puffin file
+    (framed length + D1D33964 magic + vector + CRC-32, every read
+    CRC-checked), the delete manifest addressing each blob by
+    referenced_data_file + content_offset/size — O(1) delete files per
+    commit, and scan planning knows exactly which data file each DV
+    masks without opening anything. Two DV commits here prove vectors
+    ACCUMULATE (reader unions them, semantically the spec's maintained
+    current DV — deviation recorded in table properties); the masked
+    read is the same row_index anti-join as the v2 path, hash-matched
+    against SQL with both predicates inverted. Maintenance composes:
+    rewrite_position_deletes folds DVs into sorted pairs,
+    rewrite_data_files materializes them (both pytest-gated).
+
+    100 TB: the delete-heavy ingest writes ONE puffin per commit instead
+    of per-partition pair files, and deleted positions never exist
+    driver-side — bitmaps build executor-side, only compressed blobs
+    travel."""
+    import tempfile
+
+    from projectdatalake_spark.sources.iceberg_interop import IcebergTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    root = tempfile.mkdtemp(prefix="ice_dv_") + "/t"
+    t = IcebergTable.create(spark, root, o.repartition(4))
+    t.delete_where_dv("o_orderkey % 10 = 7")
+    t.delete_where_dv("o_orderkey % 100 = 4")  # vectors accumulate
+    return (
+        t.snapshot()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("o_totalprice")).alias("total"),
+        )
+    )

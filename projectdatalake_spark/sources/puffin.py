@@ -333,3 +333,52 @@ def read_puffin(data: bytes) -> tuple[list[tuple[dict, bytes]], dict]:
         for b in fm.get("blobs", [])
     ]
     return blobs, fm.get("properties", {})
+
+
+# --- deletion-vector blobs (Iceberg v3 "deletion-vector-v1") -----------------
+
+_DV_MAGIC = bytes((0xD1, 0xD3, 0x39, 0x64))
+DV_BLOB_TYPE = "deletion-vector-v1"
+
+
+def dv_blob_payload(positions) -> bytes:
+    """Frame a deletion vector per the v3 spec's deletion-vector-v1
+    blob: 4-byte big-endian length of (magic + vector), the magic
+    ``D1 D3 39 64``, the vector as a PORTABLE 64-bit roaring bitmap
+    (roaring.serialize_roaring64_portable), then a big-endian CRC-32 of
+    (magic + vector)."""
+    import struct as _struct
+    import zlib
+
+    from projectdatalake_spark.sources.roaring import (
+        serialize_roaring64_portable,
+    )
+
+    body = _DV_MAGIC + serialize_roaring64_portable(positions)
+    return (
+        _struct.pack(">i", len(body))
+        + body
+        + _struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+    )
+
+
+def dv_blob_positions(payload: bytes) -> set[int]:
+    """Parse a deletion-vector-v1 blob payload → deleted row positions.
+    Validates the length prefix, magic, and CRC (a truncated or
+    corrupted vector must fail loudly — silently reading fewer deletes
+    RESURRECTS rows)."""
+    import struct as _struct
+    import zlib
+
+    from projectdatalake_spark.sources.roaring import (
+        deserialize_roaring64_portable,
+    )
+
+    (n,) = _struct.unpack_from(">i", payload, 0)
+    body = payload[4 : 4 + n]
+    if len(body) != n or body[:4] != _DV_MAGIC:
+        raise ValueError("deletion-vector blob: bad length or magic")
+    (crc,) = _struct.unpack_from(">I", payload, 4 + n)
+    if crc != (zlib.crc32(body) & 0xFFFFFFFF):
+        raise ValueError("deletion-vector blob: CRC mismatch")
+    return deserialize_roaring64_portable(body, 4)

@@ -189,3 +189,39 @@ def z85_decode(text: str) -> bytes:
             word = word * 85 + _Z85_INDEX[c]
         out += struct.pack(">I", word)
     return bytes(out)
+
+
+# --- portable 64-bit roaring (Iceberg v3 deletion-vector payload) -----------
+
+
+def serialize_roaring64_portable(values) -> bytes:
+    """Portable 64-bit roaring serialization (the official Roaring64
+    interchange format Iceberg v3 deletion vectors carry): LE uint64
+    count of 32-bit buckets, then per bucket its uint32 high key + the
+    bucket's portable 32-bit roaring bitmap. Differs from Delta's
+    RoaringBitmapArray (serialize_rba) only in framing — both split
+    values into (high 32, low 32) buckets."""
+    buckets: dict[int, list[int]] = {}
+    for v in sorted(set(values)):
+        if not 0 <= v < (1 << 64):
+            raise ValueError(f"not a uint64: {v}")
+        buckets.setdefault(v >> 32, []).append(v & 0xFFFFFFFF)
+    out = bytearray(struct.pack("<Q", len(buckets)))
+    for hi in sorted(buckets):
+        out += struct.pack("<I", hi)
+        out += serialize_roaring32(buckets[hi])
+    return bytes(out)
+
+
+def deserialize_roaring64_portable(data: bytes, base: int = 0) -> set[int]:
+    """Parse a portable 64-bit roaring bitmap starting at ``base``."""
+    (n_buckets,) = struct.unpack_from("<Q", data, base)
+    pos = base + 8
+    out: set[int] = set()
+    for _ in range(n_buckets):
+        (hi,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        vals, used = deserialize_roaring32(data, pos)
+        pos += used
+        out.update((hi << 32) | v for v in vals)
+    return out

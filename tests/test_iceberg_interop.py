@@ -2067,3 +2067,86 @@ def test_theta_sketch_a_not_b_estimation_mode(spark):
     assert sa.a_not_b(sb).estimate() == 60.0  # 0..59
     assert sb.a_not_b(sa).estimate() == 100.0  # 100..199
     assert sa.a_not_b(sa).estimate() == 0.0
+
+
+def test_deletion_vectors_v3_lifecycle(spark, root):
+    """Iceberg v3 deletion vectors: positions compress into ONE puffin
+    file per delete commit (one deletion-vector-v1 blob per masked data
+    file, addressed by referenced_data_file + content_offset/size),
+    readers union DVs with v2 position deletes, maintenance composes
+    (consolidation + compaction), row lineage survives DV masking, and
+    a corrupted blob fails LOUDLY instead of resurrecting rows."""
+    import os
+
+    from projectdatalake_spark.sources.puffin import (
+        dv_blob_positions,
+        read_puffin,
+    )
+
+    def batch(lo, hi):
+        return (
+            spark.range(lo, hi)
+            .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+            .coalesce(1).sortWithinPartitions("k")
+        )
+
+    t = IcebergTable.create(spark, root, batch(0, 100))
+    t.append(batch(100, 200))
+    t.append(batch(200, 300))
+    assert t.delete_where_dv("k % 10 = 3") is not None
+    want = {k for k in range(300) if k % 10 != 3}
+    assert {r.k for r in t.snapshot().collect()} == want
+    # the delete commit wrote exactly ONE puffin, one blob per data file
+    puffins = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(root)
+        for f in fs
+        if f.endswith(".puffin")
+    ]
+    assert len(puffins) == 1
+    blobs, props = read_puffin(open(puffins[0], "rb").read())
+    assert len(blobs) == 3  # 3 data files masked
+    for meta_b, payload in blobs:
+        assert meta_b["type"] == "deletion-vector-v1"
+        n = int(meta_b["properties"]["cardinality"])
+        positions = dv_blob_positions(payload)
+        assert len(positions) == n == 10  # 10 masked per 100-row file
+    # v2-embedded deviation recorded in table properties
+    assert t.metadata()["properties"]["deletion-vectors.v2-embedded"] == "true"
+
+    # DVs accumulate across commits; v2 position deletes coexist
+    assert t.delete_where_dv("k = 5") is not None
+    assert t.delete_where("k = 6") is not None
+    want -= {5, 6}
+    assert {r.k for r in t.snapshot().collect()} == want
+
+    # consolidation folds DV + v2 pairs into sorted pair parquet
+    assert t.rewrite_position_deletes(target_files=1) is not None
+    assert {r.k for r in t.snapshot().collect()} == want
+    # compaction materializes the MOR state
+    assert t.rewrite_data_files(target_files=1) is not None
+    assert t.snapshot().count() == len(want)
+
+    # row lineage + DV masking: survivor ids untouched
+    t2 = IcebergTable.create(spark, root + "_rl", batch(0, 100))
+    t2.enable_row_lineage()
+    t2.delete_where_dv("k % 7 = 0")
+    got = {r.k: r._row_id for r in t2.snapshot_with_row_ids().collect()}
+    assert got == {k: k for k in range(100) if k % 7 != 0}
+
+    # corruption: flipping a payload byte must raise (CRC), not resurrect
+    t3 = IcebergTable.create(spark, root + "_bad", batch(0, 50))
+    t3.delete_where_dv("k < 5")
+    bad = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(root + "_bad")
+        for f in fs
+        if f.endswith(".puffin")
+    ][0]
+    raw = bytearray(open(bad, "rb").read())
+    raw[10] ^= 0xFF
+    open(bad, "wb").write(bytes(raw))
+    import pytest
+
+    with pytest.raises(Exception, match="CRC|magic|length"):
+        t3.snapshot().count()
