@@ -17102,3 +17102,202 @@ def iceberg_delete_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("o_totalprice")).alias("total"),
         )
     )
+
+
+@query(
+    "delta_type_widening",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(ok) AS BIGINT) AS sum_ok,
+           CAST(sum(CAST(price AS DECIMAL(27,2))) AS DOUBLE) AS price
+    FROM (
+      SELECT o_orderstatus,
+             CAST(CAST(o_orderkey AS INTEGER) AS BIGINT) AS ok,
+             CAST(CAST(FLOOR(o_totalprice) AS REAL) AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderstatus, CAST(o_orderkey + 6000000000 AS BIGINT) AS ok,
+             CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    GROUP BY o_orderstatus
+    """,
+)
+def delta_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPE WIDENING through the Delta protocol's ``typeWidening`` table
+    feature (delta_interop.widen_column) — the format twin of
+    [[txlog_widen_schema]]: the table is created NARROW (int key, float
+    price), two metadata-only commits widen int→long and float→double
+    (schema field gains the spec's ``delta.typeChanges`` history, the
+    protocol advances to reader+writer feature ``typeWidening``, NO file
+    is rewritten), then wide rows that need the headroom land (keys past
+    2^31). One snapshot reads int32/float32 pages and int64/float64
+    pages together by declaring the wide schema — Spark 4's parquet
+    readers promote narrow pages natively. The oracle recomputes both
+    eras with explicit casts; float-era prices are FLOORED first (whole
+    dollars < 2^24 are exact in float32 — fractional cents at
+    o_totalprice's magnitude are not, and their half-ulp decimal
+    rounding is engine-dependent), the widened era keeps full cents.
+
+    100 TB: widening a petabyte table is two JSON commits — the
+    alternative (rewrite every file to the wide type) is exactly what
+    the feature exists to avoid."""
+    import tempfile
+
+    from projectdatalake_spark.sources.delta_interop import DeltaTable
+
+    o = _t(spark, sf_dir, "orders")
+    narrow = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").cast("int").alias("ok"),
+        "o_orderstatus",
+        F.floor("o_totalprice").cast("float").alias("price"),
+    )
+    root = tempfile.mkdtemp(prefix="delta_widen_")
+    t = DeltaTable.create(
+        spark, root, narrow.repartition(4), partition_by=("o_orderstatus",)
+    )
+    t.widen_column("ok", "bigint")
+    t.widen_column("price", "double")
+    wide = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        (F.col("o_orderkey") + F.lit(6000000000)).cast("bigint").alias("ok"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    t.append(wide.repartition(4))
+    return (
+        t.snapshot()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("ok").alias("sum_ok"),
+            dsum(F.col("price")).alias("price"),
+        )
+    )
+
+
+@query(
+    "delta_time_travel_ict",
+    oracle="""
+    WITH v0 AS (
+        SELECT o_orderstatus, count(*) AS n
+        FROM orders WHERE o_orderdate < TIMESTAMP '1996-07-01'
+        GROUP BY o_orderstatus
+    ), v2 AS (
+        SELECT o_orderstatus, count(*) AS n
+        FROM orders GROUP BY o_orderstatus
+    )
+    SELECT 0 AS era, * FROM v0 UNION ALL SELECT 1 AS era, * FROM v2
+    """,
+)
+def delta_time_travel_ict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel resolved through IN-COMMIT TIMESTAMPS (the Delta
+    ``inCommitTimestamp`` writer feature, delta_interop.
+    enable_in_commit_timestamps): after enablement every commitInfo —
+    always the first action — carries a MONOTONIC timestamp floored at
+    previous + 1, and ``version_at`` resolves against that in-commit
+    clock instead of file mtimes (which backfills and copies rewrite —
+    the spec's whole motivation). The query enables ICT between two
+    appends, reads both ICTs back from history, and proves boundary
+    resolution: ``version_at(ict_enable)`` and ``version_at(ict_append
+    - 1)`` both land on the enablement snapshot (same rows as v0),
+    ``version_at(ict_append)`` on the full table — asserted in-line,
+    then both snapshots aggregated for the hash gate.
+
+    100 TB: timestamp resolution is a metadata walk (one commitInfo per
+    version, checkpoint-bounded); no data file is touched until the
+    resolved snapshot is scanned."""
+    import tempfile
+
+    from projectdatalake_spark.sources.delta_interop import DeltaTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate"
+    )
+    cut = F.lit("1996-07-01").cast("timestamp_ntz")
+    root = tempfile.mkdtemp(prefix="delta_ict_")
+    t = DeltaTable.create(
+        spark, root, o.filter(F.col("o_orderdate") < cut).repartition(4)
+    )
+    v_on = t.enable_in_commit_timestamps()
+    v2 = t.append(o.filter(F.col("o_orderdate") >= cut).repartition(4))
+    hist = {h["version"]: h for h in t.history()}
+    ict_on = hist[v_on]["inCommitTimestamp"]
+    ict_2 = hist[v2]["inCommitTimestamp"]
+    assert ict_2 > ict_on
+    assert t.version_at(ict_on) == v_on
+    assert t.version_at(ict_2 - 1) == v_on  # ICT boundary, not mtime
+    assert t.version_at(ict_2) == v2
+
+    def agg(df: DataFrame, era: int) -> DataFrame:
+        return (
+            df.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(era).alias("era"), "o_orderstatus", "n")
+        )
+
+    return agg(t.snapshot(version=t.version_at(ict_on)), 0).unionByName(
+        agg(t.snapshot(version=t.version_at(ict_2)), 1)
+    )
+
+
+@query(
+    "delta_identity_column",
+    oracle="""
+    WITH e0 AS (
+      SELECT c_custkey, c_mktsegment,
+             100 + 3 * (row_number()
+               OVER (ORDER BY c_mktsegment, c_custkey) - 1) AS rid
+      FROM customer WHERE c_custkey % 2 = 0
+    ),
+    n0 AS (SELECT count(*) AS n FROM e0),
+    e1 AS (
+      SELECT c_custkey, c_mktsegment,
+             100 + 3 * (SELECT n FROM n0) + 3 * (row_number()
+               OVER (ORDER BY c_mktsegment, c_custkey) - 1) AS rid
+      FROM customer WHERE c_custkey % 2 = 1
+    )
+    SELECT c_custkey, c_mktsegment, CAST(rid AS BIGINT) AS rid FROM e0
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, CAST(rid AS BIGINT) AS rid FROM e1
+    ORDER BY c_custkey
+    """,
+)
+def delta_identity_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTITY COLUMNS through the Delta protocol (the
+    minWriterVersion-6 ``identityColumns`` table feature,
+    delta_interop._apply_identity): ``delta.identity.start/step/
+    highWaterMark`` live in the field's schema metadata, frames OMITTING
+    the column get ``start + k·step`` values allocated above the mark,
+    each allocating commit advances the mark in ITS OWN metaData action,
+    and explicit values are refused (GENERATED ALWAYS). Allocation
+    numbers rows with the two-shuffle group-offset scheme
+    (operators/relational.deterministic_id — SURVEY §2.5 F9's
+    distributed surrogate-id machinery, no global-window funnel), so the
+    id sequence across the create + one append is a pure function of
+    (segment, custkey) order and DuckDB replays it with row_number
+    arithmetic. Race safety (a concurrent allocator moves the mark →
+    retry re-allocates and re-stages) is pytest-gated.
+
+    100 TB: ids cost two shuffles per write batch (group ranks +
+    driver-small offset table) and one metaData action per commit — no
+    global coordination beyond the commit itself."""
+    import tempfile
+
+    from projectdatalake_spark.sources.delta_interop import DeltaTable
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    policy = {"partition_by": ["c_mktsegment"], "order_by": ["c_custkey"]}
+    root = tempfile.mkdtemp(prefix="delta_ident_")
+    t = DeltaTable.create(
+        spark, root,
+        c.filter(F.col("c_custkey") % 2 == 0).repartition(4),
+        identity={"rid": {"start": 100, "step": 3, **policy}},
+    )
+    t.append(
+        c.filter(F.col("c_custkey") % 2 == 1).repartition(4),
+        identity_order={"rid": policy},
+    )
+    return t.snapshot().orderBy("c_custkey")
+
+
+# seeded BPE merge list (plausible English merges, later entries consume

@@ -61,6 +61,10 @@ _LAST_CHECKPOINT = "_last_checkpoint"
 # columnMapping: name/id-mode reads (physical-name resolution + rename).
 _SUPPORTED_READER_FEATURES = {
     "timestampNtz", "deletionVectors", "columnMapping", "v2Checkpoint",
+    # typeWidening: reads declare the WIDE schema and Spark 4's parquet
+    # readers promote narrow pages natively (same machinery txlog.py's
+    # widen_column proves) — nothing extra to do at scan time.
+    "typeWidening",
 }
 _SIDECAR_DIR = "_sidecars"
 
@@ -225,6 +229,44 @@ def _bloom_prune_merge(spark, cand, key_frame, bcols, schema):
         if not cand:
             break
     return cand
+
+
+def _allocate_identity(
+    df: DataFrame,
+    col: str,
+    base: int,
+    step: int,
+    partition_by,
+    order_by,
+) -> tuple[DataFrame, int | None]:
+    """Materialize identity values ``base + step·(rank−1)`` into ``df``
+    and return (df, high water mark). Ranks come from the deterministic
+    two-shuffle group-offset numbering (operators/relational.
+    deterministic_id) — no global-window funnel, stable across runs.
+    The caller's allocation policy (partition_by + order_by, unique
+    within a group) is REQUIRED: the spec lets identity values be any
+    step arithmetic, but a non-deterministic allocation makes reruns
+    unverifiable, so this writer demands an order."""
+    from projectdatalake_spark.operators.relational import deterministic_id
+
+    if not order_by or not partition_by:
+        raise DeltaProtocolError(
+            f"identity column {col!r} needs an allocation policy — pass "
+            f"partition_by + order_by (unique within each group) so ids "
+            f"are deterministic"
+        )
+    n = df.count()  # the high-water mark needs the row count anyway
+    if n == 0:
+        return df.withColumn(col, F.lit(None).cast("long")), None
+    out = (
+        deterministic_id(df, list(partition_by), list(order_by), out="__idrank")
+        .withColumn(
+            col,
+            (F.lit(base) + F.lit(step) * (F.col("__idrank") - 1)).cast("long"),
+        )
+        .drop("__idrank")
+    )
+    return out, base + step * (n - 1)
 
 
 def _partition_literal(value: str | None, dtype):
@@ -473,12 +515,19 @@ class DeltaTable:
 
     def version_at(self, ts_millis: int) -> int:
         """Newest version committed at or before ``ts_millis`` — Delta's
-        ``timestampAsOf`` resolution (commitInfo timestamps; file mtime
-        fallback when a foreign writer omitted commitInfo). Raises if the
+        ``timestampAsOf`` resolution. When the ``inCommitTimestamp``
+        writer feature is active a version's authoritative timestamp is
+        the monotonic ``inCommitTimestamp`` INSIDE its commitInfo (spec
+        "In-Commit Timestamps": filesystem mtimes are unreliable — copies
+        and backfills rewrite them); pre-enablement versions keep the old
+        resolution (commitInfo wall-clock timestamp, file mtime fallback
+        for foreign writers that omitted commitInfo). The sequence stays
+        monotonic across the boundary because the enablement commit's ICT
+        is floored at prev commitInfo timestamp + 1. Raises if the
         timestamp predates the table."""
         best = None
         for h in self.history():
-            t = h.get("timestamp")
+            t = h.get("inCommitTimestamp", h.get("timestamp"))
             if t is None:
                 fs = self._fs()
                 t = fs.getFileStatus(
@@ -920,6 +969,7 @@ class DeltaTable:
         bloom_by: tuple[str, ...] = (),
         generated: dict[str, str] | None = None,
         defaults: dict[str, str] | None = None,
+        identity: dict[str, dict] | None = None,
     ) -> "DeltaTable":
         """``generated={col: sql_expr}`` declares GENERATED columns
         (protocol "Generated Columns": the expression is stored as
@@ -929,7 +979,23 @@ class DeltaTable:
         the data files (Delta stores generated values physically; readers
         never re-derive), and every later append either recomputes them
         or has its caller-supplied values validated against the
-        expression (writer contract)."""
+        expression (writer contract).
+
+        ``identity={col: {"start": 1, "step": 1, "order_by": [...],
+        "partition_by": [...]}}`` declares IDENTITY columns (protocol
+        "Identity Columns", the minWriterVersion-6 table feature):
+        ``delta.identity.start`` / ``delta.identity.step`` /
+        ``delta.identity.highWaterMark`` live in the field's schema
+        metadata, the writer allocates ``start + k·step`` values for
+        frames that omit the column, and each allocating commit advances
+        the high-water mark in the SAME commit's metaData. The
+        ``order_by``/``partition_by`` keys are this writer's ALLOCATION
+        policy, not spec metadata: ids number rows deterministically via
+        the two-shuffle group-offset scheme (operators/relational.
+        deterministic_id — no global-window funnel), so identical input
+        gets identical ids across runs/engines. Explicit caller-supplied
+        values are refused (GENERATED ALWAYS semantics;
+        ``delta.identity.allowExplicitInsert`` stays false)."""
         t = cls(spark, root)
         if t.exists():
             raise DeltaCommitConflict(f"Delta table already exists at {root}")
@@ -958,6 +1024,31 @@ class DeltaTable:
                 )
             if col not in df.columns:
                 df = df.withColumn(col, F.expr(expr))
+        idy = dict(identity or {})
+        id_meta: dict[str, dict] = {}
+        for col, spec in idy.items():
+            if col in df.columns or col in gen or col in dfl:
+                raise DeltaProtocolError(
+                    f"identity column {col!r} must not be in the CREATE "
+                    f"frame or doubly declared — it is GENERATED ALWAYS"
+                )
+            start = int(spec.get("start", 1))
+            step = int(spec.get("step", 1))
+            if step <= 0:
+                raise DeltaProtocolError(
+                    "identity step must be positive (this writer's scope)"
+                )
+            df, hwm = _allocate_identity(
+                df, col, start, step,
+                spec.get("partition_by"), spec.get("order_by"),
+            )
+            id_meta[col] = {
+                "delta.identity.start": start,
+                "delta.identity.step": step,
+                "delta.identity.allowExplicitInsert": False,
+            }
+            if hwm is not None:
+                id_meta[col]["delta.identity.highWaterMark"] = hwm
         schema_json = json.loads(df.schema.json())
         for f in schema_json["fields"]:
             if f["name"] in gen:
@@ -966,6 +1057,9 @@ class DeltaTable:
             if f["name"] in dfl:
                 f.setdefault("metadata", {})
                 f["metadata"]["CURRENT_DEFAULT"] = dfl[f["name"]]
+            if f["name"] in id_meta:
+                f.setdefault("metadata", {})
+                f["metadata"].update(id_meta[f["name"]])
         adds = t._stage(df, tuple(partition_by))
         meta = {
             "id": str(uuid.uuid4()),
@@ -978,17 +1072,21 @@ class DeltaTable:
         if name:
             meta["name"] = name
         writer_v = 4 if gen else 2
-        if dfl:
-            # writer-only table feature: minWriterVersion 7 enumerates
+        if dfl or idy:
+            # writer-only table features: minWriterVersion 7 enumerates
             # writerFeatures (legacy-implied included); readers untouched
             wf = set()
             for lv, fs_ in _LEGACY_WRITER_FEATURES.items():
                 if writer_v >= lv:
                     wf |= fs_
+            if dfl:
+                wf |= {"allowColumnDefaults"}
+            if idy:
+                wf |= {"identityColumns"}
             proto = {
                 "minReaderVersion": 1,
                 "minWriterVersion": 7,
-                "writerFeatures": sorted(wf | {"allowColumnDefaults"}),
+                "writerFeatures": sorted(wf),
             }
         else:
             proto = {"minReaderVersion": 1, "minWriterVersion": writer_v}
@@ -1000,6 +1098,37 @@ class DeltaTable:
         ]
         t._publish(0, actions)
         return t
+
+    @staticmethod
+    def _identity_of(meta: dict) -> dict[str, dict]:
+        """Identity columns from schema field metadata (spec "Identity
+        Columns"): {col: {start, step, hwm (None until first
+        allocation), allow_explicit}}."""
+        out = {}
+        for f in json.loads(meta["schemaString"])["fields"]:
+            md = f.get("metadata") or {}
+            if "delta.identity.start" in md:
+                hwm = md.get("delta.identity.highWaterMark")
+                out[f["name"]] = {
+                    "start": int(md["delta.identity.start"]),
+                    "step": int(md["delta.identity.step"]),
+                    "hwm": None if hwm is None else int(hwm),
+                    "allow_explicit": bool(
+                        md.get("delta.identity.allowExplicitInsert", False)
+                    ),
+                }
+        return out
+
+    def identity_columns(self) -> dict[str, dict]:
+        return self._identity_of(self._state()["metaData"])
+
+    def _refuse_identity_rewrite(self, meta: dict, op: str) -> None:
+        if self._identity_of(meta):
+            raise DeltaProtocolError(
+                f"{op} on a table with identity columns is not supported "
+                f"by this writer — row-replacing ops would need insert/"
+                f"update discrimination to allocate correctly"
+            )
 
     @staticmethod
     def _defaults_of(meta: dict) -> dict[str, str]:
@@ -1068,6 +1197,64 @@ class DeltaTable:
                     f"— write refused"
                 )
         return df
+
+    def _apply_identity(
+        self, df: DataFrame, meta: dict, identity_order: dict | None
+    ) -> tuple[DataFrame, dict | None, dict, dict]:
+        """Identity-column write contract: a frame OMITTING an identity
+        column gets values allocated above the high-water mark (and the
+        commit must carry the advanced mark — returned as a metaData
+        action); a frame SUPPLYING one is refused while
+        allowExplicitInsert is false (GENERATED ALWAYS). Returns
+        (df, metaData action or None, mark snapshot used, new marks) —
+        the snapshot lets append's retry loop detect a racer's
+        allocation and re-stage."""
+        idy = self._identity_of(meta)
+        if not idy:
+            return df, None, {}, {}
+        if self._column_mapping(meta):
+            raise DeltaProtocolError(
+                "identity allocation on a column-mapped table is not "
+                "supported by this writer"
+            )
+        used: dict[str, int | None] = {}
+        new_hwm: dict[str, int] = {}
+        for col, spec in idy.items():
+            if col in df.columns:
+                if not spec["allow_explicit"]:
+                    raise DeltaProtocolError(
+                        f"identity column {col!r} is GENERATED ALWAYS — "
+                        f"explicit values are refused"
+                    )
+                used[col] = spec["hwm"]
+                continue
+            pol = (identity_order or {}).get(col) or {}
+            base = (
+                spec["start"]
+                if spec["hwm"] is None
+                else spec["hwm"] + spec["step"]
+            )
+            df, hwm = _allocate_identity(
+                df, col, base, spec["step"],
+                pol.get("partition_by"), pol.get("order_by"),
+            )
+            used[col] = spec["hwm"]
+            if hwm is not None:
+                new_hwm[col] = hwm
+        return df, self._identity_meta_action(meta, new_hwm), used, new_hwm
+
+    @staticmethod
+    def _identity_meta_action(meta: dict, new_hwm: dict) -> dict | None:
+        if not new_hwm:
+            return None
+        schema_json = json.loads(meta["schemaString"])
+        for f in schema_json["fields"]:
+            if f["name"] in new_hwm:
+                f.setdefault("metadata", {})
+                f["metadata"]["delta.identity.highWaterMark"] = new_hwm[
+                    f["name"]
+                ]
+        return {"metaData": {**meta, "schemaString": json.dumps(schema_json)}}
 
     def _commit_info(self, op: str, params: dict | None = None) -> dict:
         return {
@@ -1223,7 +1410,123 @@ class DeltaTable:
                     {f"{_BLOOM_TAG_PREFIX}{c}": h for c, h in blooms.items()}
                 )
 
+    def _ict_prev(self, version: int) -> tuple[bool, int | None]:
+        """(was ICT active at ``version - 1``, that commit's authoritative
+        timestamp). One small JSON read — the previous commit's commitInfo
+        carries the answer by induction (every post-enablement commit
+        stamps ``inCommitTimestamp``). If the previous commit file was
+        pruned past a checkpoint (commitInfo is not checkpointed), fall
+        back to the table configuration at that version."""
+        if version <= 0:
+            return (False, None)
+        try:
+            acts = self._commit_actions(version - 1)
+        except Exception:
+            conf = (self._state(version - 1)["metaData"] or {}).get(
+                "configuration"
+            ) or {}
+            return (conf.get("delta.enableInCommitTimestamps") == "true", None)
+        ci = next((a["commitInfo"] for a in acts if "commitInfo" in a), {})
+        if "inCommitTimestamp" in ci:
+            return (True, int(ci["inCommitTimestamp"]))
+        return (False, ci.get("timestamp"))
+
+    def _stamp_in_commit_timestamp(
+        self, version: int, actions: list[dict]
+    ) -> list[dict]:
+        """Spec "In-Commit Timestamps" (writer feature
+        ``inCommitTimestamp``): when the feature is active, every commit's
+        commitInfo — which MUST be the first action — carries a MONOTONIC
+        ``inCommitTimestamp`` = max(wall clock, previous commit's
+        timestamp + 1). Stamping lives here at the single publish choke
+        point so every operation (append, merge, optimize, restore, …)
+        and every conflict RETRY re-derives the timestamp against the
+        version it actually lands on."""
+        enables = any(
+            ((a.get("metaData") or {}).get("configuration") or {}).get(
+                "delta.enableInCommitTimestamps"
+            ) == "true"
+            for a in actions
+        )
+        if not enables and version == 0:
+            return actions
+        prev_on, prev_ts = self._ict_prev(version)
+        if not (enables or prev_on):
+            return actions
+        ict = max(int(time.time() * 1000), (prev_ts or 0) + 1)
+        out = list(actions)
+        idx = next((i for i, a in enumerate(out) if "commitInfo" in a), None)
+        if idx is None:
+            ci_action = {"commitInfo": self._commit_info("COMMIT")}
+        else:
+            ci_action = {"commitInfo": dict(out.pop(idx)["commitInfo"])}
+        ci_action["commitInfo"]["inCommitTimestamp"] = ict
+        out.insert(0, ci_action)
+        if enables and not prev_on and version > 0:
+            # the post-creation enablement commit records WHERE the ICT
+            # clock starts (spec: enablement version + timestamp table
+            # properties let timestamp queries route pre/post-enablement
+            # versions to the right resolution)
+            for i, a in enumerate(out):
+                meta = a.get("metaData")
+                if meta and (meta.get("configuration") or {}).get(
+                    "delta.enableInCommitTimestamps"
+                ) == "true":
+                    conf = dict(meta["configuration"])
+                    conf.setdefault(
+                        "delta.inCommitTimestampEnablementVersion", str(version)
+                    )
+                    conf.setdefault(
+                        "delta.inCommitTimestampEnablementTimestamp", str(ict)
+                    )
+                    out[i] = {"metaData": {**meta, "configuration": conf}}
+        return out
+
+    def enable_in_commit_timestamps(self) -> int:
+        """Turn on the ``inCommitTimestamp`` writer feature (writer-only:
+        readers are untouched — the timestamp is extra commitInfo data).
+        From this commit on, ``version_at`` resolves against the
+        monotonic in-commit clock instead of file mtimes."""
+        for attempt in range(20):
+            state = self._state()
+            meta = state["metaData"]
+            conf = dict(meta.get("configuration") or {})
+            if conf.get("delta.enableInCommitTimestamps") == "true":
+                return state["version"]
+            proto = state["protocol"] or {
+                "minReaderVersion": 1, "minWriterVersion": 2
+            }
+            wf = set(proto.get("writerFeatures") or [])
+            mwv = proto.get("minWriterVersion", 2)
+            if mwv < 7:
+                for lv, fs_ in _LEGACY_WRITER_FEATURES.items():
+                    if mwv >= lv:
+                        wf |= fs_
+            actions: list[dict] = [
+                {"commitInfo": self._commit_info("ENABLE IN-COMMIT TIMESTAMPS")},
+                {"protocol": {
+                    "minReaderVersion": proto.get("minReaderVersion", 1),
+                    "minWriterVersion": 7,
+                    "writerFeatures": sorted(wf | {"inCommitTimestamp"}),
+                }},
+                {"metaData": {
+                    **meta,
+                    "configuration": {
+                        **conf, "delta.enableInCommitTimestamps": "true",
+                    },
+                }},
+            ]
+            try:
+                self._publish(state["version"] + 1, actions)
+                return state["version"] + 1
+            except DeltaCommitConflict:
+                continue
+        raise DeltaCommitConflict(
+            f"enable_in_commit_timestamps lost 20 races at {self.root}"
+        )
+
     def _publish(self, version: int, actions: list[dict]) -> None:
+        actions = self._stamp_in_commit_timestamp(version, actions)
         text = "\n".join(json.dumps(a, separators=(",", ":")) for a in actions) + "\n"
         fs = self._fs()
         fs.mkdirs(self._path(f"{self.root}/{_LOG}"))
@@ -1406,11 +1709,117 @@ class DeltaTable:
                 continue
         raise DeltaCommitConflict(f"rename lost 20 races at {self.root}")
 
+    # Delta primitive names, widest-last (spec "Type Widening" allowed
+    # changes; the integer-family chain and float→double are the subset
+    # whose parquet page promotion Spark 4's readers perform natively —
+    # the same proven matrix as txlog.py's _WIDEN_FAMILIES, in Delta's
+    # schemaString spelling).
+    _WIDEN_FAMILIES = (("byte", "short", "integer", "long"), ("float", "double"))
+
+    def widen_column(self, column: str, to_type: str) -> int:
+        """Metadata-only type widening — the Delta ``typeWidening`` table
+        feature (PROTOCOL.md "Type Widening"): the schema field's type is
+        replaced by the wider type and the change is recorded under the
+        field's ``delta.typeChanges`` metadata key
+        (``{fromType, toType, tableVersion}`` per spec), with the
+        protocol advanced to carry ``typeWidening`` as BOTH a reader and
+        writer feature (readers must promote narrow parquet pages — this
+        engine's snapshot already declares the wide read schema, which is
+        all Spark 4 needs). NO data file is rewritten; files written
+        before the change keep their narrow physical pages forever.
+
+        ``to_type`` takes either Delta (``integer``/``long``/``byte``/
+        ``short``) or Spark (``int``/``bigint``/``tinyint``/``smallint``)
+        spellings. Partition columns are refused (their values live as
+        strings in partitionValues and directory names — widening them is
+        a no-op this writer won't pretend to perform as a feature
+        commit). Same semantics as txlog.widen_column (txlog.py:1596);
+        the reference (etl.py) has no schema evolution at all."""
+        spark_to_delta = {
+            "tinyint": "byte", "smallint": "short", "int": "integer",
+            "bigint": "long",
+        }
+        to_type = spark_to_delta.get(to_type, to_type)
+        for attempt in range(20):
+            state = self._state()
+            meta = state["metaData"]
+            schema_json = json.loads(meta["schemaString"])
+            field = next(
+                (f for f in schema_json["fields"] if f["name"] == column), None
+            )
+            if field is None:
+                raise KeyError(column)
+            if column in (meta.get("partitionColumns") or []):
+                raise DeltaProtocolError(
+                    f"{column!r} is a partition column — its values are "
+                    f"stored as strings in partitionValues; widening is "
+                    f"refused"
+                )
+            cur = field["type"]
+            fam = next(
+                (f for f in self._WIDEN_FAMILIES if cur in f and to_type in f),
+                None,
+            )
+            if fam is None or fam.index(cur) >= fam.index(to_type):
+                raise DeltaProtocolError(
+                    f"widen_column: {cur} → {to_type} is not a supported "
+                    f"widening (families: {self._WIDEN_FAMILIES})"
+                )
+            v = state["version"] + 1
+            field["type"] = to_type
+            md = dict(field.get("metadata") or {})
+            md["delta.typeChanges"] = list(md.get("delta.typeChanges") or []) + [
+                {"fromType": cur, "toType": to_type, "tableVersion": v}
+            ]
+            field["metadata"] = md
+            proto = state["protocol"] or {
+                "minReaderVersion": 1, "minWriterVersion": 2
+            }
+            wf = set(proto.get("writerFeatures") or [])
+            rf = set(proto.get("readerFeatures") or [])
+            mwv = proto.get("minWriterVersion", 2)
+            if mwv < 7:
+                for lv, fs_ in _LEGACY_WRITER_FEATURES.items():
+                    if mwv >= lv:
+                        wf |= fs_
+            mrv = proto.get("minReaderVersion", 1)
+            if mrv < 3:
+                for lv, fs_ in _LEGACY_READER_FEATURES.items():
+                    if mrv >= lv:
+                        rf |= fs_
+            actions: list[dict] = [
+                {"commitInfo": self._commit_info(
+                    "WIDEN COLUMN",
+                    {"column": column, "from": cur, "to": to_type},
+                )},
+                {"protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": sorted(rf | {"typeWidening"}),
+                    "writerFeatures": sorted(wf | {"typeWidening"}),
+                }},
+                {"metaData": {
+                    **meta,
+                    "schemaString": json.dumps(schema_json),
+                    "configuration": {
+                        **(meta.get("configuration") or {}),
+                        "delta.enableTypeWidening": "true",
+                    },
+                }},
+            ]
+            try:
+                self._publish(v, actions)
+                return v
+            except DeltaCommitConflict:
+                continue
+        raise DeltaCommitConflict(f"widen lost 20 races at {self.root}")
+
     def append(
         self,
         df: DataFrame,
         txn: tuple[str, int] | None = None,
         merge_schema: bool = False,
+        identity_order: dict[str, dict] | None = None,
     ) -> int:
         """Blind append — conflict-free by definition, so a lost race just
         retries against the new log tip (Delta's append concurrency rule).
@@ -1435,9 +1844,18 @@ class DeltaTable:
             self._refuse_mapped(meta, "append")
         df = self._apply_defaults(df, meta)
         df = self._apply_generated(df, meta)
+        df_pre_identity = df
+        df, id_meta_action, id_hwm_used, id_new_hwm = self._apply_identity(
+            df, meta, identity_order
+        )
         cur_schema = StructType.fromJson(json.loads(meta["schemaString"]))
         known = {f.name for f in cur_schema.fields}
         new_fields = [f for f in df.schema.fields if f.name not in known]
+        if new_fields and id_meta_action is not None:
+            raise DeltaProtocolError(
+                "schema merge and identity allocation in one commit is "
+                "not supported (a commit carries ONE metaData action)"
+            )
         new_meta_action = None
         if new_fields:
             if phys_of:
@@ -1492,11 +1910,35 @@ class DeltaTable:
                     new_meta_action = {
                         "metaData": {**meta, "schemaString": merged.json()}
                     }
+                if id_meta_action is not None:
+                    # per-attempt identity re-evaluation (the txlog
+                    # row-tracking lesson): a racer that allocated ids
+                    # moved the high-water mark — our staged values
+                    # would collide, so re-allocate and RE-STAGE;
+                    # otherwise just re-stamp the action against the
+                    # racer's metaData (constraints etc. may have moved)
+                    cur_ids = self._identity_of(meta)
+                    if any(
+                        cur_ids[c]["hwm"] != id_hwm_used[c]
+                        for c in id_hwm_used
+                    ):
+                        df, id_meta_action, id_hwm_used, id_new_hwm = (
+                            self._apply_identity(
+                                df_pre_identity, meta, identity_order
+                            )
+                        )
+                        adds = self._stage(df, pcols)
+                    else:
+                        id_meta_action = self._identity_meta_action(
+                            meta, id_new_hwm
+                        )
             actions: list[dict] = [
                 {"commitInfo": self._commit_info("WRITE", {"mode": "Append"})}
             ]
             if new_meta_action is not None:
                 actions.append(new_meta_action)
+            if id_meta_action is not None:
+                actions.append(id_meta_action)
             if txn is not None:
                 actions.append({"txn": {"appId": txn[0], "version": txn[1],
                                         "lastUpdated": int(time.time() * 1000)}})
@@ -1522,6 +1964,7 @@ class DeltaTable:
         state = self._state()
         self._refuse_row_tracking_rewrite("overwrite")
         self._refuse_mapped(state["metaData"], "overwrite")
+        self._refuse_identity_rewrite(state["metaData"], "overwrite")
         df = self._apply_defaults(df, state["metaData"])
         df = self._apply_generated(df, state["metaData"])
         self._enforce_constraints(df, state["metaData"])
@@ -1550,6 +1993,7 @@ class DeltaTable:
         self._refuse_row_tracking_rewrite("replace_where")
         state = self._state()
         self._refuse_mapped(state["metaData"], "replace_where")
+        self._refuse_identity_rewrite(state["metaData"], "replace_where")
         meta = state["metaData"]
         pcols = tuple(meta.get("partitionColumns", []))
         bad = [c for c in partition_values if c not in pcols]
@@ -1635,6 +2079,7 @@ class DeltaTable:
         state = self._state()
         meta = state["metaData"]
         self._refuse_mapped(meta, "merge_upsert")
+        self._refuse_identity_rewrite(meta, "merge_upsert")
         if txn is not None and state["txns"].get(txn[0], -1) >= txn[1]:
             return -1  # already applied (idempotent replay)
         updates = self._apply_defaults(updates, meta)

@@ -1516,3 +1516,238 @@ def test_delta_optimize_materializes_row_ids(spark, root):
     assert {r.k for r in inc.collect()} == set(range(180, 200))
     data_files = [f for f in inc.inputFiles() if "/_delta_log/" not in f]
     assert len(data_files) == 1, data_files
+
+
+# --- type widening (typeWidening table feature) -------------------------
+
+
+def _narrow_df(spark, n=50):
+    return spark.range(0, n).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") % 3).cast("int").alias("seg"),
+        F.col("id").cast("float").alias("v"),
+    )
+
+
+def test_widen_column_reads_both_eras(spark, root):
+    t = DeltaTable.create(spark, root, _narrow_df(spark), partition_by=("seg",))
+    t.widen_column("k", "bigint")  # Spark spelling accepted
+    t.widen_column("v", "double")
+    wide = spark.range(0, 10).select(
+        (F.col("id") + 5_000_000_000).alias("k"),
+        (F.col("id") % 3).cast("int").alias("seg"),
+        (F.col("id") + 0.25).alias("v"),
+    )
+    t.append(wide)
+    got = t.snapshot()
+    types = {f.name: f.dataType.simpleString() for f in got.schema.fields}
+    assert types["k"] == "bigint" and types["v"] == "double"
+    assert got.count() == 60
+    assert got.agg(F.max("k")).collect()[0][0] == 5_000_000_009
+    # narrow-era pages promoted, values intact
+    old = got.filter(F.col("k") < 100)
+    assert old.count() == 50
+    assert old.agg(F.sum("k")).collect()[0][0] == sum(range(50))
+
+
+def test_widen_records_type_changes_and_protocol(spark, root):
+    byte_df = spark.range(0, 20).select(
+        F.col("id").cast("tinyint").alias("k"), F.col("id").alias("x")
+    )
+    t = DeltaTable.create(spark, root, byte_df)
+    v1 = t.widen_column("k", "smallint")
+    v2 = t.widen_column("k", "integer")  # Delta spelling accepted
+    st = t._state()
+    field = next(
+        f for f in json.loads(st["metaData"]["schemaString"])["fields"]
+        if f["name"] == "k"
+    )
+    assert field["type"] == "integer"
+    assert field["metadata"]["delta.typeChanges"] == [
+        {"fromType": "byte", "toType": "short", "tableVersion": v1},
+        {"fromType": "short", "toType": "integer", "tableVersion": v2},
+    ]
+    proto = st["protocol"]
+    assert proto["minReaderVersion"] == 3 and proto["minWriterVersion"] == 7
+    assert "typeWidening" in proto["readerFeatures"]
+    assert "typeWidening" in proto["writerFeatures"]
+    cfg = st["metaData"]["configuration"]
+    assert cfg["delta.enableTypeWidening"] == "true"
+    # a fresh reader accepts the feature table it just demanded
+    assert DeltaTable(spark, t.root).snapshot().count() == 20
+
+
+def test_widen_refusals(spark, root):
+    t = DeltaTable.create(spark, root, _narrow_df(spark), partition_by=("seg",))
+    with pytest.raises(DeltaProtocolError):
+        t.widen_column("v", "float")  # same type
+    with pytest.raises(DeltaProtocolError):
+        t.widen_column("v", "int")  # cross-family
+    with pytest.raises(DeltaProtocolError):
+        t.widen_column("seg", "bigint")  # partition column
+    with pytest.raises(KeyError):
+        t.widen_column("nope", "bigint")
+    t.widen_column("k", "bigint")
+    with pytest.raises(DeltaProtocolError):
+        t.widen_column("k", "int")  # narrowing back
+
+
+def test_widen_survives_checkpoint(spark, root):
+    t = DeltaTable.create(spark, root, _narrow_df(spark))
+    t.widen_column("k", "long")
+    t.checkpoint()
+    t.append(
+        spark.range(0, 5).select(
+            (F.col("id") + 6_000_000_000).alias("k"),
+            (F.col("id") % 3).cast("int").alias("seg"),
+            (F.col("id") * 1.0).cast("float").alias("v"),
+        )
+    )
+    fresh = DeltaTable(spark, root)
+    got = fresh.snapshot()
+    assert got.schema["k"].dataType.simpleString() == "bigint"
+    assert got.count() == 55
+    assert got.agg(F.max("k")).collect()[0][0] == 6_000_000_004
+
+
+# --- in-commit timestamps (inCommitTimestamp writer feature) -------------
+
+
+def test_ict_monotonic_under_clock_skew(spark, root, monkeypatch):
+    import projectdatalake_spark.sources.delta_interop as D
+
+    t = DeltaTable.create(spark, root, _df(spark, 0, 30))
+    v_on = t.enable_in_commit_timestamps()
+    # collapse the wall clock: file mtimes / commitInfo wall timestamps
+    # become useless, the in-commit clock must still advance
+    monkeypatch.setattr(D.time, "time", lambda: 0.001)
+    t.append(_df(spark, 30, 40))
+    t.append(_df(spark, 40, 50))
+    hist = {h["version"]: h for h in t.history()}
+    assert "inCommitTimestamp" not in hist[0]
+    icts = [hist[v]["inCommitTimestamp"] for v in sorted(hist) if v >= v_on]
+    assert len(icts) == 3
+    assert all(b > a for a, b in zip(icts, icts[1:]))
+    # post-enablement: commitInfo is the FIRST action of the commit
+    log = os.path.join(root, "_delta_log")
+    lines = [
+        json.loads(x)
+        for x in open(f"{log}/{t.latest_version():020d}.json")
+        if x.strip()
+    ]
+    assert next(iter(lines[0])) == "commitInfo"
+    assert lines[0]["commitInfo"]["inCommitTimestamp"] == icts[-1]
+    # writer-only feature: readers untouched
+    proto = t._state()["protocol"]
+    assert "inCommitTimestamp" in proto["writerFeatures"]
+    assert proto.get("minReaderVersion", 1) == 1
+
+
+def test_ict_version_at_and_enablement_props(spark, root, monkeypatch):
+    import projectdatalake_spark.sources.delta_interop as D
+
+    t = DeltaTable.create(spark, root, _df(spark, 0, 30))
+    ts0 = t.history()[0]["timestamp"]
+    v_on = t.enable_in_commit_timestamps()
+    monkeypatch.setattr(D.time, "time", lambda: 0.001)
+    v2 = t.append(_df(spark, 30, 40))
+    hist = {h["version"]: h for h in t.history()}
+    ict_on, ict2 = hist[v_on]["inCommitTimestamp"], hist[v2]["inCommitTimestamp"]
+    assert ict2 == ict_on + 1  # floored at prev + 1, not the dead clock
+    assert t.version_at(ts0) == 0
+    assert t.version_at(ict_on) == v_on
+    assert t.version_at(ict2 - 1) == v_on
+    assert t.version_at(ict2) == v2
+    cfg = t._state()["metaData"]["configuration"]
+    assert cfg["delta.inCommitTimestampEnablementVersion"] == str(v_on)
+    assert cfg["delta.inCommitTimestampEnablementTimestamp"] == str(ict_on)
+    # idempotent re-enable: no new commit
+    assert t.enable_in_commit_timestamps() == t.latest_version()
+
+
+# --- identity columns (identityColumns writer feature) -------------------
+
+
+def _seg_df(spark, lo, hi):
+    return (
+        spark.range(lo, hi)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("int").alias("seg"),
+        )
+        .repartition(4)
+    )
+
+
+_ID_POLICY = {"rid": {"partition_by": ["seg"], "order_by": ["k"]}}
+
+
+def test_identity_allocation_and_hwm(spark, root):
+    t = DeltaTable.create(
+        spark, root, _seg_df(spark, 0, 30),
+        identity={"rid": {"start": 10, "step": 2,
+                          "partition_by": ["seg"], "order_by": ["k"]}},
+    )
+    got = {r.k: r.rid for r in t.snapshot().collect()}
+    # ids follow start + step·(rank-1) in (seg, k) order, dense
+    order = sorted(range(30), key=lambda k: (k % 3, k))
+    assert got == {k: 10 + 2 * i for i, k in enumerate(order)}
+    ids = t.identity_columns()["rid"]
+    assert ids == {"start": 10, "step": 2, "hwm": 10 + 2 * 29,
+                   "allow_explicit": False}
+    proto = t._state()["protocol"]
+    assert "identityColumns" in proto["writerFeatures"]
+    # second allocation continues above the mark in the same commit's meta
+    t.append(_seg_df(spark, 30, 40), identity_order=_ID_POLICY)
+    got2 = {r.k: r.rid for r in t.snapshot().collect()}
+    assert {v for k, v in got2.items() if k < 30} == set(got.values())
+    new_ids = sorted(v for k, v in got2.items() if k >= 30)
+    assert new_ids == [10 + 2 * 29 + 2 * (i + 1) for i in range(10)]
+    assert t.identity_columns()["rid"]["hwm"] == 10 + 2 * 39
+    assert len(set(got2.values())) == 40  # all unique
+
+
+def test_identity_refusals(spark, root):
+    t = DeltaTable.create(
+        spark, root, _seg_df(spark, 0, 10),
+        identity={"rid": {"start": 1, "step": 1,
+                          "partition_by": ["seg"], "order_by": ["k"]}},
+    )
+    with pytest.raises(DeltaProtocolError):  # GENERATED ALWAYS
+        t.append(_seg_df(spark, 10, 12).withColumn("rid", F.lit(999)))
+    with pytest.raises(DeltaProtocolError):  # no allocation policy
+        t.append(_seg_df(spark, 10, 12))
+    with pytest.raises(DeltaProtocolError):
+        t.overwrite(_seg_df(spark, 0, 5))
+    with pytest.raises(DeltaProtocolError):
+        t.merge_upsert(
+            _seg_df(spark, 0, 2).withColumn("rid", F.lit(1).cast("long")),
+            keys=["k"],
+        )
+
+
+def test_identity_race_reallocates(spark, root, monkeypatch):
+    """A racer landing an allocating commit between our staging and
+    publish moves the high-water mark; the retry must re-allocate above
+    the racer's mark (no duplicate ids)."""
+    t = DeltaTable.create(
+        spark, root, _seg_df(spark, 0, 10),
+        identity={"rid": {"start": 1, "step": 1,
+                          "partition_by": ["seg"], "order_by": ["k"]}},
+    )
+    racer = DeltaTable(spark, root)
+    real_publish = DeltaTable._publish
+    fired = {"done": False}
+
+    def racing_publish(self, version, actions):
+        if self is t and not fired["done"]:
+            fired["done"] = True
+            racer.append(_seg_df(spark, 100, 105), identity_order=_ID_POLICY)
+        return real_publish(self, version, actions)
+
+    monkeypatch.setattr(DeltaTable, "_publish", racing_publish)
+    t.append(_seg_df(spark, 10, 15), identity_order=_ID_POLICY)
+    rows = t.snapshot().collect()
+    ids = [r.rid for r in rows]
+    assert len(ids) == len(set(ids)) == 20
+    assert t.identity_columns()["rid"]["hwm"] == 20
