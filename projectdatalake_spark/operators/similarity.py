@@ -1110,6 +1110,77 @@ def pca_fit(
     return components, mean, evals[order]
 
 
+def power_iteration_top_component(
+    df: DataFrame,
+    iterations: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ORDER-PINNED power iteration for the dominant eigenvector of the
+    UNCENTERED second-moment matrix M = Σ x·xᵀ — the hash-provable rung
+    beside ``pca_fit`` (whose LAPACK ``eigh`` no SQL engine replays).
+    Every float fold is pinned: M's per-(i,j) products fold in row-id
+    order (the graph.pagerank sorted-struct left fold), each mat-vec
+    folds over j ascending, the norm over i ascending — a fixed
+    sequence of IEEE doubles any engine reproduces exactly, so a fixed
+    iteration count hash-matches an unrolled DuckDB replay bitwise
+    (rounded at the output boundary only).
+
+    Scale shape: the O(n·d²) work — assembling M — is one distributed
+    pass (explode + self-join on the row id, d²-group fold); the
+    iteration itself is d×d DRIVER-side algebra on collected KB-state,
+    exactly like ``pca_fit``'s eigh. Per-group fold lists are
+    row-count-bounded at the (i,j) grain; past exact-oracle scale the
+    production path is pca_fit (map-side numpy partials, no shuffle of
+    per-row products)."""
+    import math
+
+    flat = df.select(
+        F.col(id_col).alias("k"), F.posexplode(F.col(vec_col)).alias("i", "xf")
+    ).select("k", "i", F.col("xf").cast("double").alias("x"))
+    prods = (
+        flat.alias("a")
+        .join(flat.alias("b"), F.col("a.k") == F.col("b.k"))
+        .select(
+            F.col("a.k").alias("k"),
+            F.col("a.i").alias("i"),
+            F.col("b.i").alias("j"),
+            (F.col("a.x") * F.col("b.x")).alias("p"),
+        )
+    )
+    m_rows = (
+        prods.groupBy("i", "j")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("k", "p"))),
+                F.lit(0.0),
+                lambda acc, t: acc + t["p"],
+            ).alias("val")
+        )
+        .collect()
+    )
+    d = 1 + max(r.i for r in m_rows)
+    mat = [[0.0] * d for _ in range(d)]
+    for r in m_rows:
+        mat[r.i][r.j] = r.val
+    v = [1.0 / math.sqrt(float(d))] * d
+    for _ in range(iterations):
+        w = []
+        for i in range(d):
+            acc = 0.0
+            for j in range(d):
+                acc = acc + mat[i][j] * v[j]
+            w.append(acc)
+        nrm = 0.0
+        for i in range(d):
+            nrm = nrm + w[i] * w[i]
+        s = math.sqrt(nrm)
+        v = [wi / s for wi in w]
+    return df.sparkSession.createDataFrame(
+        [(i, v[i]) for i in range(d)], "dim int, weight double"
+    )
+
+
 def pca_project(
     df: DataFrame,
     components,

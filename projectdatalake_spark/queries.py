@@ -17301,3 +17301,343 @@ def delta_identity_column(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # seeded BPE merge list (plausible English merges, later entries consume
+
+@query(
+    "graph_connected_components",
+    oracle="""
+    WITH RECURSIVE li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 48
+    ),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    reach AS (
+      SELECT u AS node, u AS lbl FROM e
+      UNION
+      SELECT e.u AS node, r.lbl FROM reach r JOIN e ON e.v = r.node
+    )
+    SELECT node, min(lbl) AS component_id
+    FROM reach GROUP BY node ORDER BY node
+    """,
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONNECTED COMPONENTS over the high-quantity co-purchase graph
+    (parts adjacent when an order carries ≥48 units of both — the sparse
+    slice keeps the fixture MULTI-component: ~246 clusters at sf0.01,
+    not one giant blob), labels = min node id reachable. The Spark side
+    is the dedup ladder's min-label propagation
+    (operators/dedup.connected_components — the machinery that already
+    turns near-dup pairs into clusters), converging in O(component
+    diameter) rounds with a change-count stop; DuckDB replays the SAME
+    fixpoint as a transitive-closure recursive CTE + MIN — the third
+    member of the fixpoint-proof family ([[graph_bfs_distances]],
+    [[graph_kcore]]). Labels are exact integers: the hash gate covers
+    every node's final cluster assignment.
+
+    100 TB: each round is one edge-key shuffle; closure size never
+    materializes on the Spark side (labels stay node-grain, the |comp|²
+    blowup exists only in the small-scale oracle). Near-dup cluster
+    graphs are shallow; diameter-heavy graphs would swap in the
+    big-star/small-star variant documented on the operator."""
+    from projectdatalake_spark.operators import dedup as D
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
+    li = li.select("l_orderkey", "l_partkey")
+    pairs = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("id_a"),
+            F.col("b.l_partkey").alias("id_b"),
+        )
+        .distinct()
+    )
+    nodes = (
+        pairs.select(F.col("id_a").alias("node"))
+        .unionByName(pairs.select(F.col("id_b").alias("node")))
+        .distinct()
+    )
+    return (
+        D.connected_components(
+            pairs, nodes, id_col="node", a_col="id_a", b_col="id_b"
+        )
+        .select("node", F.col("cluster_id").alias("component_id"))
+        .orderBy("node")
+    )
+
+
+@query(
+    "kll_clustered_write",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT datediff('day', DATE '1970-01-01',
+                               CAST(o_orderdate AS DATE)) AS d
+      FROM orders
+    ),
+    ranked AS (
+      SELECT d, row_number() OVER (ORDER BY d) AS rn, count(*) OVER () AS n
+      FROM days
+    ),
+    b AS (
+      SELECT
+        max(CASE WHEN rn = GREATEST(1, CAST(ceil(0.25 * n) AS BIGINT))
+                 THEN d END) AS b1,
+        max(CASE WHEN rn = GREATEST(1, CAST(ceil(0.50 * n) AS BIGINT))
+                 THEN d END) AS b2,
+        max(CASE WHEN rn = GREATEST(1, CAST(ceil(0.75 * n) AS BIGINT))
+                 THEN d END) AS b3
+      FROM ranked
+    )
+    SELECT CASE WHEN od <= b1 THEN 0 WHEN od <= b2 THEN 1
+                WHEN od <= b3 THEN 2 ELSE 3 END AS bucket,
+           count(*) AS n,
+           CAST(min(od) AS BIGINT) AS lo_day,
+           CAST(max(od) AS BIGINT) AS hi_day,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total
+    FROM (
+      SELECT datediff('day', DATE '1970-01-01',
+                      CAST(o_orderdate AS DATE)) AS od, o_totalprice
+      FROM orders
+    ), b
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def kll_clustered_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKETCH-DRIVEN RANGE CLUSTERING — the third stats CONSUMER (after
+    the two NDV-informed join planners): quartile boundaries for a
+    range-clustered write come from the mergeable KLL sketch instead of
+    Spark's ``repartitionByRange`` SAMPLING pass, making the layout
+    DETERMINISTIC (sampling boundaries change run to run — a re-cluster
+    of identical data would rewrite files for nothing) and FREE when
+    sketches already exist from stats collection. Boundaries are the
+    day-grain quartiles ([[sketch_kll_quantiles]]'s calendar grain —
+    volume-invariant, so exact mode survives ANY scale factor); rows
+    bucket through a literal CASE, land hive-partitioned by bucket, and
+    the read-back proves partition pruning in-line (one bucket's filter
+    scans only that bucket's files). The hash gate covers the full
+    clustering profile: per-bucket row counts, day ranges, and revenue.
+
+    100 TB: one sketch pass (bounded per-task state, tiny partials) +
+    one clustered write; no sampling job, no second scan, and identical
+    input produces byte-identical layout — the property incremental
+    recluster audits depend on."""
+    import tempfile
+
+    from projectdatalake_spark.operators.aggregates import column_kll_sketch
+    from projectdatalake_spark.sources.writers import write_partitioned
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.unix_date(F.col("o_orderdate").cast("date")).alias("od"),
+        "o_totalprice",
+    )
+    days = o.select("od").distinct()
+    sk = column_kll_sketch(days, "od", k=8192)
+    if not sk.is_exact():
+        raise ValueError(
+            "kll_clustered_write: the day-grain sketch left exact mode "
+            "(days > k=8192) — raise k above the calendar span; sampled "
+            "boundaries cannot hash-match the exact rank oracle"
+        )
+    b1, b2, b3 = (int(sk.quantile_disc(q)) for q in (0.25, 0.50, 0.75))
+    assert b1 < b2 < b3
+    bucket = (
+        F.when(F.col("od") <= b1, 0)
+        .when(F.col("od") <= b2, 1)
+        .when(F.col("od") <= b3, 2)
+        .otherwise(3)
+    )
+    clustered = o.withColumn("bucket", bucket).repartition(4, "bucket")
+    root = tempfile.mkdtemp(prefix="kll_cluster_")
+    write_partitioned(clustered, root, ["bucket"])
+    back = spark.read.option("basePath", root).parquet(root)
+    pruned = back.filter(F.col("bucket") == 2)
+    files = [
+        r[0] for r in pruned.select(F.input_file_name()).distinct().collect()
+    ]
+    assert files and all("bucket=2" in f for f in files), files
+    return (
+        back.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("od").cast("long").alias("lo_day"),
+            F.max("od").cast("long").alias("hi_day"),
+            dsum(F.col("o_totalprice")).alias("total"),
+        )
+        .select(F.col("bucket").cast("int").alias("bucket"),
+                "n", "lo_day", "hi_day", "total")
+        .orderBy("bucket")
+    )
+
+
+def _power_iteration_oracle(iterations: int = 6) -> str:
+    """Unrolled order-pinned power iteration in DuckDB (the
+    _pagerank_oracle float discipline, MATERIALIZED per step so the
+    chain evaluates once): second-moment matrix from row-id-ordered
+    folds, then per-iteration mat-vec (fold over j), norm (fold over
+    i), normalize — bitwise the sequence the Spark operator computes."""
+
+    def fold(list_expr: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"{list_expr}), (acc, x) -> acc + x)"
+        )
+
+    steps = ""
+    prev = "v0"
+    for k in range(1, iterations + 1):
+        mv = fold(
+            "list_transform(list({'j': m.j, 'c': m.val * v.x} "
+            "ORDER BY m.j), t -> t.c)"
+        )
+        nm = fold(
+            "list_transform(list({'i': i, 'c': w * w} ORDER BY i), "
+            "t -> t.c)"
+        )
+        steps += f""",
+    w{k} AS MATERIALIZED (
+      SELECT m.i AS i, {mv} AS w
+      FROM m JOIN {prev} v ON v.i = m.j
+      GROUP BY m.i
+    ),
+    n{k} AS MATERIALIZED (SELECT {nm} AS nrm FROM w{k}),
+    v{k} AS MATERIALIZED (
+      SELECT i, w / sqrt((SELECT nrm FROM n{k})) AS x FROM w{k}
+    )"""
+        prev = f"v{k}"
+    mfold = fold(
+        "list_transform(list({'k': a.vec_id, 'c': a.x * b.x} "
+        "ORDER BY a.vec_id), t -> t.c)"
+    )
+    return f"""
+    WITH flat AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    m AS MATERIALIZED (
+      SELECT a.i AS i, b.i AS j, {mfold} AS val
+      FROM flat a JOIN flat b USING (vec_id)
+      GROUP BY a.i, b.i
+    ),
+    dd AS (SELECT count(DISTINCT i) AS nd FROM m),
+    v0 AS MATERIALIZED (
+      SELECT DISTINCT i,
+             CAST(1.0 AS DOUBLE)
+               / sqrt(CAST((SELECT nd FROM dd) AS DOUBLE)) AS x
+      FROM m
+    ){steps}
+    SELECT i AS dim, round(x, 12) AS weight FROM v{iterations} ORDER BY dim
+    """
+
+
+@query("pca_power_iteration", oracle=_power_iteration_oracle(6))
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOMINANT PRINCIPAL DIRECTION by order-pinned power iteration —
+    the PCA family's hash-proof rung (the [[graph_pagerank]] float
+    sequel, promoting the last major rows-only family to an oracle):
+    [[pca_embeddings]]'s LAPACK eigh is unreplayable in SQL, but a
+    FIXED number of power-iteration steps over the uncentered
+    second-moment matrix is deterministic linear algebra once every
+    fold is order-pinned (operators/similarity.
+    power_iteration_top_component) — M assembles from row-id-ordered
+    folds in one distributed pass, six mat-vec/normalize rounds run on
+    the collected d×d state, and DuckDB's unrolled replay matches
+    bitwise (12dp rounding at the output boundary only). Convergence
+    to the true eigenvector is separately numpy-gated in
+    tests/test_accuracy_gates.py.
+
+    100 TB: the corpus-sized work is M's assembly (one pass, d² fold
+    groups); iterations never touch data again — same split as
+    pca_fit, with the pinned fold costing one per-(i,j) sort the
+    provable rung accepts."""
+    from projectdatalake_spark.operators.similarity import (
+        power_iteration_top_component,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        power_iteration_top_component(emb, iterations=6)
+        .select("dim", F.round("weight", 12).alias("weight"))
+        .orderBy("dim")
+    )
+
+# earlier merged symbols) — LITERALS shared by the Spark fold and the
+# DuckDB replace chain, the [[ann_topk_lsh_seeded]] seeded-rung pattern
+_BPE_SEED_MERGES = [
+    (1, "e", "</w>", 0), (2, "t", "h", 0), (3, "th", "e</w>", 0),
+    (4, "s", "</w>", 0), (5, "i", "n", 0), (6, "a", "n", 0),
+    (7, "r", "e", 0), (8, "in", "g", 0), (9, "ing", "</w>", 0),
+    (10, "o", "u", 0),
+]
+
+
+def _bpe_encode_seeded_oracle() -> str:
+    """Replay the Catalyst merge fold as a chained string replace: every
+    symbol rides fully delimited as (sym), so one replace of (a)(b) →
+    (ab) is exactly one left-to-right non-overlapping merge pass —
+    'aaa' under (a,a) gives (aa)(a), the fold's reference semantics."""
+    enc = "regexp_replace(w, '(.)', '(\\1)', 'g') || '(</w>)'"
+    for _s, a, b, _n in _BPE_SEED_MERGES:
+        enc = f"replace({enc}, '({a})({b})', '({a}{b})')"
+    return rf"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      FROM documents
+    ),
+    clean AS (
+      SELECT doc_id, w FROM words WHERE regexp_matches(w, '^[a-z]+$')
+    ),
+    enc AS (
+      SELECT doc_id,
+             length({enc}) - length(replace({enc}, '(', '')) AS w_tokens
+      FROM clean
+    )
+    SELECT doc_id, CAST(sum(w_tokens) AS BIGINT) AS n_tokens,
+           count(*) AS n_words
+    FROM enc GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@query("bpe_encode_seeded", oracle=_bpe_encode_seeded_oracle())
+def bpe_encode_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING under a SEEDED merge list — the hash-proof rung of
+    the tokenizer family ([[bpe_encode_tokens]] applies TRAINED merges,
+    equality-gated in pytest; here the merge list is literal, so the
+    entire encode machinery — char splitting, the left-to-right
+    non-overlapping Catalyst merge fold (operators/text.
+    bpe_apply_merges), vocabulary-grain application, corpus join-back —
+    is replayed value-for-value by DuckDB as a delimiter-wrapped
+    replace chain). Words are restricted to ^[a-z]+$ on both sides so
+    the (sym) delimiters cannot collide with token text.
+
+    100 TB: identical to the production encode — merges fold once per
+    DISTINCT word (Zipf ≪ corpus), JVM-side only, one join back to the
+    corpus grain."""
+    from projectdatalake_spark.operators.text import bpe_apply_merges, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    ).filter(F.col("w").rlike("^[a-z]+$"))
+    vocab = words.select("w").distinct().select(
+        "w",
+        F.concat(F.split(F.col("w"), ""), F.array(F.lit("</w>"))).alias("syms"),
+    )
+    encoded = vocab.select(
+        "w",
+        F.size(bpe_apply_merges(F.col("syms"), _BPE_SEED_MERGES)).alias(
+            "w_tokens"
+        ),
+    )
+    return (
+        words.join(encoded, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("w_tokens").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+        .orderBy("doc_id")
+    )

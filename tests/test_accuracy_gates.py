@@ -1155,3 +1155,29 @@ def test_bpe_encode_equals_reference(spark):
         got[d][0] < sum(len(r.w) + 1 for r in rows if r.doc_id == d)
         for d in list(raw)[:5]
     )
+
+
+def test_power_iteration_converges_to_eigh(spark):
+    """Power-iteration gate: the order-pinned top-component rung
+    (operators/similarity.power_iteration_top_component) must converge
+    to numpy's dominant eigenvector of the same uncentered second-moment
+    matrix — run long (250 rounds: the sf0.001 eigengap is ~0.93, so
+    error ~0.93^t) and compare |cosine| ≈ 1 (sign is convention-free
+    in an eigenvector)."""
+    import numpy as np
+
+    from projectdatalake_spark.operators.similarity import (
+        power_iteration_top_component,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    got = power_iteration_top_component(emb, iterations=250).collect()
+    v = np.array([r.weight for r in sorted(got, key=lambda r: r.dim)])
+
+    rows = emb.select("vec_id", "embedding").collect()
+    mat = np.stack([np.asarray(r.embedding, dtype="float64") for r in rows])
+    second = mat.T @ mat
+    evals, evecs = np.linalg.eigh(second)
+    top = evecs[:, int(np.argmax(evals))]
+    assert abs(float(np.dot(v, top))) > 1.0 - 1e-9
+    assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-12
