@@ -17641,3 +17641,68 @@ def bpe_encode_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "iceberg_type_promotion",
+    oracle="""
+    SELECT p_brand, count(*) AS n,
+           CAST(sum(pk) AS BIGINT) AS sum_pk,
+           CAST(sum(CAST(price AS DECIMAL(27,2))) AS DOUBLE) AS price
+    FROM (
+      SELECT p_brand,
+             CAST(CAST(p_partkey AS INTEGER) AS BIGINT) AS pk,
+             CAST(CAST(p_retailprice AS REAL) AS DOUBLE) AS price
+      FROM part WHERE p_partkey % 2 = 0
+      UNION ALL
+      SELECT p_brand, CAST(p_partkey + 7000000000 AS BIGINT) AS pk,
+             CAST(p_retailprice AS DOUBLE) AS price
+      FROM part WHERE p_partkey % 2 = 1
+    )
+    GROUP BY p_brand
+    """,
+)
+def iceberg_type_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPE PROMOTION through Iceberg's id-based schema evolution (spec
+    "Schema Evolution": int→long and float→double are valid v2 updates;
+    iceberg_interop.promote_column) — completing the type-widening story
+    in ALL THREE formats ([[txlog_widen_schema]],
+    [[delta_type_widening]]): a new schema version keeps every FIELD ID
+    and widens only the type, existing files keep narrow pages (the
+    declared wide read schema promotes them), and old manifests' 4-byte
+    bounds stay valid for scan pruning through the length-aware decode
+    (pytest-gated with a cross-era bounds-pruned read). Float-era
+    retail prices round-trip float32 exactly at part's ≤5-digit
+    magnitude, so the REAL-routed oracle hash-matches without flooring.
+
+    100 TB: promotion is ONE metadata.json commit; no data file, no
+    manifest is rewritten."""
+    import tempfile
+
+    from projectdatalake_spark.sources.iceberg_interop import IcebergTable
+
+    p = _t(spark, sf_dir, "part")
+    narrow = p.filter(F.col("p_partkey") % 2 == 0).select(
+        F.col("p_partkey").cast("int").alias("pk"),
+        "p_brand",
+        F.col("p_retailprice").cast("float").alias("price"),
+    )
+    root = tempfile.mkdtemp(prefix="ice_promote_") + "/t"
+    t = IcebergTable.create(spark, root, narrow.repartition(4))
+    t.promote_column("pk", "long")
+    t.promote_column("price", "double")
+    wide = p.filter(F.col("p_partkey") % 2 == 1).select(
+        (F.col("p_partkey") + F.lit(7000000000)).cast("bigint").alias("pk"),
+        "p_brand",
+        F.col("p_retailprice").cast("double").alias("price"),
+    )
+    t.append(wide.repartition(4))
+    return (
+        t.snapshot()
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("pk").alias("sum_pk"),
+            dsum(F.col("price")).alias("price"),
+        )
+    )

@@ -340,14 +340,14 @@ def _decode_bound(data: bytes, ice_type: str):
 
     if data is None:
         return None
-    if ice_type == "int":
-        return _struct.unpack("<i", data)[0]
-    if ice_type == "long":
-        return _struct.unpack("<q", data)[0]
-    if ice_type == "float":
-        return _struct.unpack("<f", data)[0]
-    if ice_type == "double":
-        return _struct.unpack("<d", data)[0]
+    # int/long and float/double decode LENGTH-aware: after a type
+    # promotion (int->long, float->double) old manifests still carry
+    # 4-byte bounds under the narrow type they were written at — the
+    # spec's id-based evolution keeps them valid, readers promote
+    if ice_type in ("int", "long"):
+        return _struct.unpack("<i" if len(data) == 4 else "<q", data)[0]
+    if ice_type in ("float", "double"):
+        return _struct.unpack("<f" if len(data) == 4 else "<d", data)[0]
     if ice_type == "boolean":
         return data == b"\x01"
     if ice_type == "string":
@@ -2192,6 +2192,48 @@ class IcebergTable:
             {"id": fid, "name": name, "required": False, "type": ice_type}
         ]
         return self._commit_schema(meta, new_fields, last_column_id=fid, version=v)
+
+    # spec "Schema Evolution": the only allowed primitive promotions
+    # this writer performs (decimal precision widening would also be
+    # legal; unimplemented)
+    _PROMOTIONS = {("int", "long"), ("float", "double")}
+
+    def promote_column(self, name: str, to_type: str) -> int:
+        """Metadata-only TYPE PROMOTION (spec "Schema Evolution":
+        int→long, float→double are valid v2 schema updates): a new
+        schema version keeps the FIELD ID and widens only the type —
+        existing data files keep their narrow pages (Spark's parquet
+        readers promote them under the declared wide schema, the same
+        machinery as txlog/Delta type widening), and old manifests'
+        4-byte bounds stay valid through the length-aware decode in
+        _decode_bound. Partition source columns are refused (their
+        transform results and serialized partition values are typed)."""
+        v = self.current_metadata_version()
+        meta = self.metadata(version=v)
+        for s in meta["partition-specs"]:
+            if name in {p["source"] for p in _spec_part_fields(meta, s)}:
+                raise IcebergProtocolError(
+                    f"{name!r} is a partition source column (in a current "
+                    f"or historical spec) — promotion would retype its "
+                    f"serialized partition values"
+                )
+        ice = next(
+            s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+        )
+        field = next((f for f in ice["fields"] if f["name"] == name), None)
+        if field is None:
+            raise KeyError(name)
+        if (field["type"], to_type) not in self._PROMOTIONS:
+            raise IcebergProtocolError(
+                f"promote_column: {field['type']} → {to_type} is not a "
+                f"valid Iceberg primitive promotion "
+                f"(allowed: {sorted(self._PROMOTIONS)})"
+            )
+        new_fields = [
+            {**f, "type": to_type} if f["name"] == name else dict(f)
+            for f in ice["fields"]
+        ]
+        return self._commit_schema(meta, new_fields, version=v)
 
     def drop_column(self, name: str) -> int:
         """Metadata-only drop: the field leaves the current schema (its id

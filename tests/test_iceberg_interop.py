@@ -2150,3 +2150,47 @@ def test_deletion_vectors_v3_lifecycle(spark, root):
 
     with pytest.raises(Exception, match="CRC|magic|length"):
         t3.snapshot().count()
+
+
+def test_promote_column_reads_both_eras_and_prunes(spark, tmp_path):
+    from projectdatalake_spark.sources.iceberg_interop import (
+        IcebergProtocolError,
+        IcebergTable,
+    )
+
+    narrow = spark.range(0, 50).select(
+        F.col("id").cast("int").alias("k"),
+        F.col("id").cast("float").alias("v"),
+        (F.col("id") % 3).cast("int").alias("seg"),
+    )
+    t = IcebergTable.create(spark, str(tmp_path / "t"), narrow.repartition(4))
+    t.promote_column("k", "long")
+    t.promote_column("v", "double")
+    wide = spark.range(0, 10).select(
+        (F.col("id") + 7_000_000_000).alias("k"),
+        (F.col("id") + 0.25).alias("v"),
+        (F.col("id") % 3).cast("int").alias("seg"),
+    )
+    t.append(wide.repartition(2))
+    got = t.snapshot()
+    types = {f.name: f.dataType.simpleString() for f in got.schema.fields}
+    assert types["k"] == "bigint" and types["v"] == "double"
+    assert got.count() == 60
+    assert got.agg(F.max("k")).collect()[0][0] == 7_000_000_009
+    assert got.filter(F.col("k") < 100).count() == 50
+    # bounds pruning still decodes OLD 4-byte int bounds and NEW 8-byte
+    # ones under the promoted field id
+    pruned = t.snapshot(where={"k": (7_000_000_000, 7_100_000_000)})
+    assert pruned.count() == 10
+    # refusals: narrowing, cross-family, partition source, unknown
+    with pytest.raises(IcebergProtocolError):
+        t.promote_column("k", "int")
+    with pytest.raises(IcebergProtocolError):
+        t.promote_column("v", "long")
+    with pytest.raises(KeyError):
+        t.promote_column("nope", "long")
+    p = IcebergTable.create(
+        spark, str(tmp_path / "p"), narrow, partition_by=("seg",)
+    )
+    with pytest.raises(IcebergProtocolError):
+        p.promote_column("seg", "long")
