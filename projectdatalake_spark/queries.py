@@ -17706,3 +17706,146 @@ def iceberg_type_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("price")).alias("price"),
         )
     )
+
+
+# seeded MMR query vector: single-decimal literals both engines parse to
+# identical doubles
+_MMR_Q = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+_MMR_POOL, _MMR_K = 16, 5
+
+
+def _mmr_seeded_oracle() -> str:
+    """Unrolled greedy MMR in DuckDB: pinned cosine folds (element order
+    of list_zip IS dim order — no ORDER BY needed), candidate pool by
+    (rel DESC, id), then K MATERIALIZED argmax steps of
+    0.7·rel − 0.3·max-sim-to-selected with id tie-break."""
+    qlit = "[" + ", ".join(str(v) for v in _MMR_Q) + "]"
+
+    def fold(expr: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"{expr}), (acc, x) -> acc + x)"
+        )
+
+    dot_qv = fold(
+        f"list_transform(list_zip(v, {qlit}), t -> t[1] * t[2])"
+    )
+    sq = fold("list_transform(v, t -> t * t)")
+    qnorm = fold(f"list_transform({qlit}::DOUBLE[], t -> t * t)")
+    dot_ab = fold(
+        "list_transform(list_zip(a.v, b.v), t -> t[1] * t[2])"
+    )
+    steps, final = "", ["SELECT rank, vec_id, round(score, 12) AS score FROM s1"]
+    for k in range(2, _MMR_K + 1):
+        steps += f""",
+    s{k} AS MATERIALIZED (
+      SELECT c.vec_id,
+             CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE) * (
+               SELECT max(p.sim) FROM pair p
+               WHERE p.ca = c.vec_id
+                 AND p.cb IN (SELECT vec_id FROM sel{k - 1})
+             ) AS score, {k} AS rank
+      FROM cand c
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{k - 1})
+      ORDER BY score DESC, vec_id LIMIT 1
+    ),
+    sel{k} AS MATERIALIZED (
+      SELECT vec_id FROM sel{k - 1} UNION ALL SELECT vec_id FROM s{k}
+    )"""
+        final.append(f"SELECT rank, vec_id, round(score, 12) AS score FROM s{k}")
+    return f"""
+    WITH scored AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             {dot_qv.replace('v,', 'CAST(embedding AS DOUBLE[]),')}
+               / (sqrt({sq.replace('(v,', '(CAST(embedding AS DOUBLE[]),')})
+                  * sqrt({qnorm})) AS rel,
+             sqrt({sq.replace('(v,', '(CAST(embedding AS DOUBLE[]),')}) AS nrm
+      FROM embeddings
+    ),
+    cand AS MATERIALIZED (
+      SELECT vec_id, v, rel, nrm FROM scored
+      ORDER BY rel DESC, vec_id LIMIT {_MMR_POOL}
+    ),
+    pair AS MATERIALIZED (
+      SELECT a.vec_id AS ca, b.vec_id AS cb,
+             {dot_ab} / (a.nrm * b.nrm) AS sim
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ),
+    s1 AS MATERIALIZED (
+      SELECT vec_id, rel AS score, 1 AS rank FROM cand
+      ORDER BY rel DESC, vec_id LIMIT 1
+    ),
+    sel1 AS MATERIALIZED (SELECT vec_id FROM s1){steps}
+    {" UNION ALL ".join(final)} ORDER BY rank
+    """
+
+
+@query("ann_mmr_rerank_seeded", oracle=_mmr_seeded_oracle())
+def ann_mmr_rerank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR RE-RANKING under a SEEDED literal query vector — the
+    diversity family's hash-proof rung ([[ann_mmr_rerank]] is the
+    applyInPandas production form, recall-gated in pytest): relevance is
+    a pinned cosine fold against literal q (zip order IS dim order, so
+    both engines fold the same IEEE sequence), the top-16 pool selects
+    on bitwise-equal scores with id tie-break, and the greedy
+    0.7·rel − 0.3·max-redundancy loop runs k=5 steps whose every float
+    is reproducible — DuckDB replays the whole rerank with unrolled
+    argmax CTEs and matches to the last bit (12dp at the boundary).
+
+    100 TB: relevance scoring + pool selection are the distributed part
+    (one scan + TakeOrdered); the greedy loop touches 16 collected rows
+    — exactly the production operator's split, minus its per-query
+    parallelism."""
+    import math
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _MMR_Q
+    qlit = F.array(*[F.lit(v) for v in q])
+    v = F.col("embedding").cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(v, qlit, lambda a, b: a * b), F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sq = F.aggregate(
+        F.transform(v, lambda t: t * t), F.lit(0.0), lambda acc, x: acc + x
+    )
+    qn = 0.0
+    for x in q:
+        qn = qn + x * x
+    qnorm = math.sqrt(qn)
+    scored = emb.select(
+        "vec_id", v.alias("v"),
+        (dot / (F.sqrt(sq) * F.lit(qnorm))).alias("rel"),
+        F.sqrt(sq).alias("nrm"),
+    )
+    pool = scored.orderBy(F.desc("rel"), "vec_id").limit(_MMR_POOL).collect()
+    ids = [r.vec_id for r in pool]
+    rel = {r.vec_id: r.rel for r in pool}
+    vec = {r.vec_id: list(r.v) for r in pool}
+    nrm = {r.vec_id: r.nrm for r in pool}
+
+    def sim(a: int, b: int) -> float:
+        acc = 0.0
+        for xa, xb in zip(vec[a], vec[b]):
+            acc = acc + xa * xb
+        return acc / (nrm[a] * nrm[b])
+
+    picks = [(1, ids[0], rel[ids[0]])]  # pool is (rel DESC, id)-sorted
+    selected = [ids[0]]
+    for rank in range(2, _MMR_K + 1):
+        best = None
+        for c in ids:
+            if c in selected:
+                continue
+            red = max(sim(c, s) for s in selected)
+            score = 0.7 * rel[c] - 0.3 * red
+            if best is None or score > best[1] or (
+                score == best[1] and c < best[0]
+            ):
+                best = (c, score)
+        picks.append((rank, best[0], best[1]))
+        selected.append(best[0])
+    return spark.createDataFrame(
+        [(r, i, s) for r, i, s in picks],
+        "rank int, vec_id long, score double",
+    ).select("rank", "vec_id", F.round("score", 12).alias("score"))
