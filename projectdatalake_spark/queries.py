@@ -17849,3 +17849,94 @@ def ann_mmr_rerank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r, i, s) for r, i, s in picks],
         "rank int, vec_id long, score double",
     ).select("rank", "vec_id", F.round("score", 12).alias("score"))
+
+
+@query(
+    "stream_kll_quantiles",
+    oracle="""
+    WITH vals AS (
+      SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
+      SELECT v, row_number() OVER (ORDER BY v) AS rn, count(*) OVER () AS n
+      FROM vals
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n,
+           max(CASE WHEN rn = GREATEST(1, CAST(ceil(0.25 * n) AS BIGINT))
+                    THEN v END) AS q25,
+           max(CASE WHEN rn = GREATEST(1, CAST(ceil(0.50 * n) AS BIGINT))
+                    THEN v END) AS q50,
+           max(CASE WHEN rn = GREATEST(1, CAST(ceil(0.75 * n) AS BIGINT))
+                    THEN v END) AS q75,
+           max(CASE WHEN rn = GREATEST(1, CAST(ceil(0.90 * n) AS BIGINT))
+                    THEN v END) AS q90
+    FROM ranked
+    """,
+)
+def stream_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING KLL QUANTILES — the mergeable-sketch contract proven IN
+    A STREAM ([[sketch_kll_quantiles]] is the one-shot form): the event
+    stream replays as 8 bounded micro-batches (16 source files,
+    maxFilesPerTrigger=2, availableNow), each batch reduces to one
+    bounded KLL partial (operators/aggregates.column_kll_sketch) merged
+    into the running sketch in foreachBatch, and UNION-EQUALS-ONE-SHOT
+    is asserted in-line before the quantiles go to the hash gate —
+    exactly the contract that lets 100 TB build per-shard sketches once
+    and answer quantile questions forever after. Exact mode is ASSERTED
+    with a sizing instruction (the [[sketch_intersection_ndv]]
+    precedent); at estimation scale the same merge path is rank-error
+    and merge-parity gated in tests/test_accuracy_gates.py.
+
+    100 TB: per-batch state is O(k·log(n/k)) per task and one sketch on
+    the driver; no batch is ever revisited, no raw value is retained
+    beyond the sketch's retained set."""
+    import tempfile
+
+    from projectdatalake_spark.operators.aggregates import (
+        KLLSketch,
+        column_kll_sketch,
+    )
+
+    K = 131072
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("value").cast("double").alias("value")
+    )
+    src = tempfile.mkdtemp(prefix="kllstream_src_")
+    ev.repartition(16).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("value double")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    acc = {"sk": KLLSketch(K), "batches": 0}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        acc["sk"] = acc["sk"].merge(column_kll_sketch(batch_df, "value", k=K))
+        acc["batches"] += 1
+
+    ckpt = tempfile.mkdtemp(prefix="kllstream_ckpt_")
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    sk = acc["sk"]
+    assert acc["batches"] >= 8, f"expected >=8 micro-batches, got {acc['batches']}"
+    if not sk.is_exact():
+        raise ValueError(
+            "stream_kll_quantiles: the sketch left exact mode (values > "
+            f"k={K}) — raise k above the row count or gate the query "
+            "rows-only (estimates cannot hash-match the exact rank oracle)"
+        )
+    one = column_kll_sketch(ev, "value", k=K)
+    qs = (0.25, 0.50, 0.75, 0.90)
+    merged = [sk.quantile_disc(x) for x in qs]
+    assert merged == [one.quantile_disc(x) for x in qs], (
+        "stream-merged sketch diverged from the one-shot sketch"
+    )
+    return spark.createDataFrame(
+        [(sk.n, *merged)],
+        "n long, q25 double, q50 double, q75 double, q90 double",
+    )
