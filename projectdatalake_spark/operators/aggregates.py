@@ -526,6 +526,40 @@ class KLLSketch:
         return sum(w for v, w in self._weighted() if v <= value)
 
 
+    # -- serialization (engine blob format "graft-kll-v1": magic, k, n,
+    # level count, then per level an item count + float64 items; little-
+    # endian throughout — NOT the Apache DataSketches KLL binary layout,
+    # which this engine does not claim to implement) --------------------
+    def to_bytes(self) -> bytes:
+        import struct as _struct
+
+        out = [b"KLL1", _struct.pack("<IQI", self.k, self.n, len(self.compactors))]
+        for c in self.compactors:
+            out.append(_struct.pack("<I", len(c)))
+            out.append(_struct.pack(f"<{len(c)}d", *c))
+        return b"".join(out)
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "KLLSketch":
+        import struct as _struct
+
+        if data[:4] != b"KLL1":
+            raise ValueError("not a graft-kll-v1 payload")
+        k, n, levels = _struct.unpack_from("<IQI", data, 4)
+        sk = cls(k)
+        sk.n = n
+        sk.compactors = []
+        off = 4 + 16
+        for _ in range(levels):
+            (cnt,) = _struct.unpack_from("<I", data, off)
+            off += 4
+            sk.compactors.append(
+                list(_struct.unpack_from(f"<{cnt}d", data, off))
+            )
+            off += 8 * cnt
+        return sk
+
+
 def column_kll_sketch(df: DataFrame, col: str, k: int = 200) -> KLLSketch:
     """One-pass distributed KLL over ``df[col]``: each partition reduces
     its rows to ONE bounded sketch (mapInPandas — O(k·log(n/k)) state

@@ -17940,3 +17940,96 @@ def stream_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(sk.n, *merged)],
         "n long, q25 double, q50 double, q75 double, q90 double",
     )
+
+
+@query(
+    "iceberg_puffin_kll",
+    oracle="""
+    WITH daily AS (
+      SELECT datediff('day', DATE '1970-01-01',
+                      CAST(o_orderdate AS DATE)) AS od, count(*) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    r0 AS (
+      SELECT n_orders AS v, row_number() OVER (ORDER BY n_orders) AS rn,
+             count(*) OVER () AS n
+      FROM daily WHERE od < 9678
+    ),
+    r1 AS (
+      SELECT n_orders AS v, row_number() OVER (ORDER BY n_orders) AS rn,
+             count(*) OVER () AS n
+      FROM daily
+    ),
+    q0 AS (
+      SELECT 0 AS era, CAST(max(n) AS BIGINT) AS n_days,
+             CAST(max(CASE WHEN rn = GREATEST(1, CAST(ceil(0.25 * n) AS BIGINT))
+                           THEN v END) AS BIGINT) AS q25,
+             CAST(max(CASE WHEN rn = GREATEST(1, CAST(ceil(0.50 * n) AS BIGINT))
+                           THEN v END) AS BIGINT) AS q50,
+             CAST(max(CASE WHEN rn = GREATEST(1, CAST(ceil(0.75 * n) AS BIGINT))
+                           THEN v END) AS BIGINT) AS q75
+      FROM r0
+    ),
+    q1 AS (
+      SELECT 1 AS era, CAST(max(n) AS BIGINT) AS n_days,
+             CAST(max(CASE WHEN rn = GREATEST(1, CAST(ceil(0.25 * n) AS BIGINT))
+                           THEN v END) AS BIGINT) AS q25,
+             CAST(max(CASE WHEN rn = GREATEST(1, CAST(ceil(0.50 * n) AS BIGINT))
+                           THEN v END) AS BIGINT) AS q50,
+             CAST(max(CASE WHEN rn = GREATEST(1, CAST(ceil(0.75 * n) AS BIGINT))
+                           THEN v END) AS BIGINT) AS q75
+      FROM r1
+    )
+    SELECT * FROM q0 UNION ALL SELECT * FROM q1 ORDER BY era
+    """,
+)
+def iceberg_puffin_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL QUANTILE SKETCHES IN PUFFIN STATISTICS FILES — the quantile
+    member of the cross-format stats shelf ([[iceberg_puffin_ndv_stats]]
+    carries theta NDV blobs; iceberg_interop.write_quantile_stats now
+    carries ``graft-kll-v1`` quantile blobs, honestly named since the
+    Apache DataSketches KLL binary layout is not implemented): stats are
+    written at TWO snapshots of a daily-rollup table, the OLD snapshot's
+    sketch stays readable after the table moves on (time-traveled
+    quantiles, zero scan), and both read-back sketches answer exact-mode
+    rank selections the SQL oracle replays. Exactness is asserted with a
+    sizing message; the calendar grain keeps it volume-invariant.
+
+    100 TB: the sketch builds in the same one-pass bounded-state shape
+    as every shelf member; every quantile question afterwards — range
+    boundaries for clustering, percentile dashboards, drift checks — is
+    a metadata read."""
+    import tempfile
+
+    from projectdatalake_spark.sources.iceberg_interop import IcebergTable
+
+    CUT = 9678  # epoch day of 1996-07-01
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .select(F.unix_date(F.col("o_orderdate").cast("date")).alias("od"))
+        .groupBy("od")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    root = tempfile.mkdtemp(prefix="ice_kll_") + "/t"
+    t = IcebergTable.create(
+        spark, root, daily.filter(F.col("od") < CUT).repartition(2)
+    )
+    sid1 = t.metadata()["current-snapshot-id"]
+    t.write_quantile_stats("n_orders", k=8192)
+    t.append(daily.filter(F.col("od") >= CUT).repartition(2))
+    t.write_quantile_stats("n_orders", k=8192)
+    sk1 = t.read_quantile_sketch("n_orders", snapshot_id=sid1)
+    sk2 = t.read_quantile_sketch("n_orders")
+    for sk in (sk1, sk2):
+        if sk is None or not sk.is_exact():
+            raise ValueError(
+                "iceberg_puffin_kll: sketch missing or out of exact mode "
+                "(days > k=8192) — raise k above the calendar span"
+            )
+    rows = [
+        (era, sk.n, *(int(sk.quantile_disc(x)) for x in (0.25, 0.50, 0.75)))
+        for era, sk in ((0, sk1), (1, sk2))
+    ]
+    return spark.createDataFrame(
+        rows, "era int, n_days long, q25 long, q50 long, q75 long"
+    )

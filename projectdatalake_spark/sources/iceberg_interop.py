@@ -1362,8 +1362,112 @@ class IcebergTable:
                 self._read_bytes(s["statistics-path"])
             )
             for bm, payload in blobs:
-                if bm.get("properties", {}).get("column") == column:
+                if (
+                    bm.get("type") == _puffin.THETA_BLOB_TYPE
+                    and bm.get("properties", {}).get("column") == column
+                ):
                     return _puffin.ThetaSketch.from_bytes(payload)
+        return None
+
+    _KLL_BLOB_TYPE = "graft-kll-v1"
+
+    def write_quantile_stats(self, column: str, k: int = 8192) -> str:
+        """Write a PUFFIN statistics file carrying a mergeable KLL
+        QUANTILE sketch for ``column`` at the current snapshot and
+        register it under metadata ``statistics`` — the quantile member
+        of the stats shelf beside write_stats' theta NDV blobs. The blob
+        type is the engine's own ``graft-kll-v1`` (magic + compactor
+        levels as float64; operators/aggregates.KLLSketch.to_bytes) —
+        honest naming: the Apache DataSketches KLL binary layout is NOT
+        implemented, so the blob does not masquerade as
+        ``apache-datasketches-kll``. Replaces any prior stats entry for
+        the snapshot (one stats file per snapshot, the same contract as
+        write_stats).
+
+        100 TB: one linear pass builds bounded per-task compactors;
+        every later quantile/range-boundary question is metadata-only
+        (see kll_clustered_write for the consumer shape)."""
+        from projectdatalake_spark.operators.aggregates import (
+            column_kll_sketch,
+        )
+        from projectdatalake_spark.sources import puffin as _puffin
+
+        meta = self.metadata()
+        sid = meta.get("current-snapshot-id")
+        if sid is None or sid == -1:
+            raise IcebergProtocolError("cannot write stats for an empty table")
+        snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == sid)
+        field_ids = {
+            f["name"]: f["id"]
+            for s in meta["schemas"]
+            if s["schema-id"] == meta["current-schema-id"]
+            for f in s["fields"]
+        }
+        if column not in field_ids:
+            raise ValueError(f"unknown column {column!r}")
+        sk = column_kll_sketch(self.snapshot(), column, k=k)
+        blobs = [
+            (
+                {
+                    "type": self._KLL_BLOB_TYPE,
+                    "fields": [field_ids[column]],
+                    "snapshot-id": sid,
+                    "sequence-number": int(snap.get("sequence-number", 0)),
+                    "properties": {
+                        "column": column,
+                        "n": str(sk.n),
+                        "exact": str(sk.is_exact()).lower(),
+                    },
+                },
+                sk.to_bytes(),
+            )
+        ]
+        data, footer_size = _puffin.write_puffin(
+            blobs, {"created-by": "projectdatalake-spark"}
+        )
+        path = f"{self.root}/metadata/{sid}-{uuid.uuid4().hex}.stats"
+        self._write_bytes(path, data, exclusive=True)
+        entry = {
+            "snapshot-id": sid,
+            "statistics-path": path,
+            "file-size-in-bytes": len(data),
+            "file-footer-size-in-bytes": footer_size,
+            "blob-metadata": [
+                {**m, "length": len(payload)} for m, payload in blobs
+            ],
+        }
+
+        def mutate(md):
+            md["statistics"] = [
+                s
+                for s in md.get("statistics", [])
+                if s["snapshot-id"] != sid
+            ] + [entry]
+
+        self._commit_refs(mutate)
+        return path
+
+    def read_quantile_sketch(self, column: str, snapshot_id: int | None = None):
+        """Deserialize the column's KLL sketch from the snapshot's puffin
+        stats (old snapshots' stats entries stay readable — time-traveled
+        quantiles without a scan); None when absent."""
+        from projectdatalake_spark.operators.aggregates import KLLSketch
+        from projectdatalake_spark.sources import puffin as _puffin
+
+        meta = self.metadata()
+        sid = snapshot_id or meta.get("current-snapshot-id")
+        for s in meta.get("statistics", []):
+            if s["snapshot-id"] != sid:
+                continue
+            blobs, _props = _puffin.read_puffin(
+                self._read_bytes(s["statistics-path"])
+            )
+            for bm, payload in blobs:
+                if (
+                    bm.get("type") == self._KLL_BLOB_TYPE
+                    and bm.get("properties", {}).get("column") == column
+                ):
+                    return KLLSketch.from_bytes(payload)
         return None
 
     def inspect(self, kind: str) -> DataFrame:

@@ -2194,3 +2194,30 @@ def test_promote_column_reads_both_eras_and_prunes(spark, tmp_path):
     )
     with pytest.raises(IcebergProtocolError):
         p.promote_column("seg", "long")
+
+
+def test_kll_puffin_roundtrip_and_type_guard(spark, tmp_path):
+    from projectdatalake_spark.operators.aggregates import KLLSketch
+    from projectdatalake_spark.sources.iceberg_interop import IcebergTable
+
+    sk = KLLSketch(64)
+    sk.update_many(range(5000))  # past exact mode: multi-level state
+    back = KLLSketch.from_bytes(sk.to_bytes())
+    assert back.k == sk.k and back.n == sk.n
+    assert back.compactors == sk.compactors
+    assert back.quantile_disc(0.5) == sk.quantile_disc(0.5)
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    t = IcebergTable.create(spark, str(tmp_path / "t"), df)
+    # a KLL-only stats file must not feed the THETA reader (type guard),
+    # and vice versa — each reader resolves by blob type, not column name
+    t.write_quantile_stats("v", k=512)
+    assert t.read_stats_sketch("v") is None
+    got = t.read_quantile_sketch("v")
+    assert got is not None and got.n == 100
+    assert got.quantile_disc(0.5) == 3.0
+    t.write_stats(["v"], k=512)  # replaces the snapshot's stats entry
+    assert t.read_quantile_sketch("v") is None
+    assert t.read_stats_sketch("v") is not None
