@@ -18033,3 +18033,90 @@ def iceberg_puffin_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "era int, n_days long, q25 long, q50 long, q75 long"
     )
+
+
+@query(
+    "quantile_stats_three_formats",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS d, count(*) AS n_orders
+      FROM orders GROUP BY o_orderdate
+    ),
+    ranked AS (
+      SELECT n_orders AS v, row_number() OVER (ORDER BY n_orders) AS rn,
+             count(*) OVER () AS n
+      FROM daily
+    ),
+    q AS (
+      SELECT CAST(max(n) AS BIGINT) AS n_days,
+             CAST(max(CASE WHEN rn = GREATEST(1, CAST(ceil(0.25 * n) AS BIGINT))
+                           THEN v END) AS BIGINT) AS q25,
+             CAST(max(CASE WHEN rn = GREATEST(1, CAST(ceil(0.50 * n) AS BIGINT))
+                           THEN v END) AS BIGINT) AS q50,
+             CAST(max(CASE WHEN rn = GREATEST(1, CAST(ceil(0.75 * n) AS BIGINT))
+                           THEN v END) AS BIGINT) AS q75,
+             CAST(max(CASE WHEN rn = GREATEST(1, CAST(ceil(0.90 * n) AS BIGINT))
+                           THEN v END) AS BIGINT) AS q90
+      FROM ranked
+    )
+    SELECT fmt, n_days, q25, q50, q75, q90
+    FROM q, (SELECT unnest(['delta', 'iceberg', 'txlog']) AS fmt)
+    ORDER BY fmt
+    """,
+)
+def quantile_stats_three_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE STATS IN ALL THREE FORMATS — one daily rollup lands in a
+    Delta table, an Iceberg table, and a txlog table; each format
+    carries the SAME mergeable KLL sketch through its own native stats
+    channel (Delta: a graft.quantileStats domainMetadata domain —
+    delta_interop.write_quantile_stats; Iceberg: a graft-kll-v1 puffin
+    blob — [[iceberg_puffin_kll]]; txlog: a namespaced set_stats entry —
+    txlog.write_quantile_stats), and the three read-back sketches answer
+    identical exact-mode rank selections. The cross-format twin
+    discipline that already covers NDV ([[delta_ndv_informed_join]] /
+    [[txlog_ndv_informed_join]] / [[iceberg_ndv_informed_join]]) now
+    covers quantiles.
+
+    100 TB: stats live in metadata in every format — a federated
+    lakehouse answers percentile questions across all three without
+    scanning any of them."""
+    import tempfile
+
+    from projectdatalake_spark.sources.delta_interop import DeltaTable
+    from projectdatalake_spark.sources.iceberg_interop import IcebergTable
+    from projectdatalake_spark.sources.txlog import TxTable
+
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderdate")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    ).repartition(4)
+    base = tempfile.mkdtemp(prefix="qstats3_")
+    dt = DeltaTable.create(spark, base + "/delta", daily)
+    it = IcebergTable.create(spark, base + "/iceberg/t", daily)
+    tt = TxTable.create(spark, base + "/txlog", daily)
+    dt.write_quantile_stats("n_orders", k=8192)
+    it.write_quantile_stats("n_orders", k=8192)
+    tt.write_quantile_stats("n_orders", k=8192)
+    sketches = {
+        "delta": dt.read_quantile_sketch("n_orders"),
+        "iceberg": it.read_quantile_sketch("n_orders"),
+        "txlog": tt.read_quantile_sketch("n_orders"),
+    }
+    rows = []
+    for fmt in sorted(sketches):
+        sk = sketches[fmt]
+        if sk is None or not sk.is_exact():
+            raise ValueError(
+                f"quantile_stats_three_formats[{fmt}]: sketch missing or "
+                f"out of exact mode (days > k=8192) — raise k above the "
+                f"calendar span"
+            )
+        rows.append(
+            (fmt, sk.n)
+            + tuple(int(sk.quantile_disc(x)) for x in (0.25, 0.50, 0.75, 0.90))
+        )
+    assert len({r[1:] for r in rows}) == 1  # three channels, one answer
+    return spark.createDataFrame(
+        rows, "fmt string, n_days long, q25 long, q50 long, q75 long, q90 long"
+    )

@@ -2755,6 +2755,82 @@ class DeltaTable:
                 return None
         return int(ent["ndv"])
 
+    _QSTATS_DOMAIN = "graft.quantileStats"
+
+    def write_quantile_stats(self, column: str, k: int = 8192) -> int:
+        """Mergeable KLL QUANTILE sketch in its own domainMetadata domain
+        — Delta's twin of Iceberg's graft-kll-v1 puffin blobs and
+        txlog's namespaced set_stats entries (one shared sketch builder,
+        operators/aggregates.column_kll_sketch). A separate domain keeps
+        quantile state out of the NDV consumers' staleness logic."""
+        import base64
+
+        from projectdatalake_spark.operators.aggregates import (
+            column_kll_sketch,
+        )
+
+        state = self._state()
+        v_now = state["version"]
+        df = self.snapshot()
+        if column not in df.columns:
+            raise ValueError(f"unknown column {column!r}")
+        sk = column_kll_sketch(df, column, k=k)
+        existing = json.loads(
+            state["domains"].get(self._QSTATS_DOMAIN) or "{}"
+        )
+        existing[column] = {
+            "n": sk.n,
+            "exact": sk.is_exact(),
+            "sketch": base64.b64encode(sk.to_bytes()).decode("ascii"),
+            "version": v_now,
+        }
+        proto = state["protocol"] or {
+            "minReaderVersion": 1, "minWriterVersion": 2,
+        }
+        actions: list[dict] = [
+            {"commitInfo": self._commit_info(
+                "WRITE QUANTILE STATS", {"column": column}
+            )}
+        ]
+        wf = set(proto.get("writerFeatures") or [])
+        if proto.get("minWriterVersion", 2) < 7 or "domainMetadata" not in wf:
+            mwv = proto.get("minWriterVersion", 2)
+            if mwv < 7:
+                for lv, fs_ in _LEGACY_WRITER_FEATURES.items():
+                    if mwv >= lv:
+                        wf |= fs_
+            actions.append(
+                {"protocol": {
+                    **proto,
+                    "minWriterVersion": 7,
+                    "writerFeatures": sorted(wf | {"domainMetadata"}),
+                }}
+            )
+        actions.append(
+            {"domainMetadata": {
+                "domain": self._QSTATS_DOMAIN,
+                "configuration": json.dumps(existing),
+                "removed": False,
+            }}
+        )
+        self._publish(v_now + 1, actions)
+        return v_now + 1
+
+    def read_quantile_sketch(self, column: str):
+        """Deserialize the column's KLL sketch from the quantile-stats
+        domain; None when absent."""
+        import base64
+
+        from projectdatalake_spark.operators.aggregates import KLLSketch
+
+        cfg = self._state()["domains"].get(self._QSTATS_DOMAIN)
+        if not cfg:
+            return None
+        ent = json.loads(cfg).get(column)
+        if ent is None:
+            return None
+        return KLLSketch.from_bytes(base64.b64decode(ent["sketch"]))
+
     def read_stats_sketch(self, column: str):
         """Deserialize the column's theta sketch (mergeable path)."""
         import base64

@@ -2430,6 +2430,56 @@ class TxTable:
             }
         return self._publish("set_stats", [], [], stats=stats)
 
+    # quantile stats ride in the SAME set_stats map under a namespaced
+    # key (a column name can never collide with the prefix), so they fold
+    # through checkpoints with zero new machinery
+    _KLL_STATS_PREFIX = "__kll__:"
+
+    def write_quantile_stats(self, column: str, k: int = 8192) -> int:
+        """Mergeable KLL QUANTILE sketch as a metadata-only commit —
+        txlog's twin of Iceberg's graft-kll-v1 puffin blobs
+        (iceberg_interop.write_quantile_stats) and the quantile member
+        of the shared stats shelf. Serialized state is the engine's
+        KLL binary (operators/aggregates.KLLSketch.to_bytes), base64 in
+        the commit JSON like the theta entries."""
+        import base64
+
+        from projectdatalake_spark.operators.aggregates import (
+            column_kll_sketch,
+        )
+
+        df = self.snapshot()
+        if column not in df.columns:
+            raise ValueError(f"unknown column {column!r}")
+        v = self.latest_version()
+        sk = column_kll_sketch(df, column, k=k)
+        return self._publish(
+            "set_stats", [], [],
+            stats={
+                self._KLL_STATS_PREFIX + column: {
+                    "n": sk.n,
+                    "exact": sk.is_exact(),
+                    "sketch": base64.b64encode(sk.to_bytes()).decode("ascii"),
+                    "version": v,
+                }
+            },
+        )
+
+    def read_quantile_sketch(self, column: str):
+        """Deserialize the column's KLL sketch (mergeable path); None
+        when absent. Staleness is the caller's concern, as with
+        read_stats_sketch."""
+        import base64
+
+        from projectdatalake_spark.operators.aggregates import KLLSketch
+
+        ent = self._state().get("stats", {}).get(
+            self._KLL_STATS_PREFIX + column
+        )
+        if ent is None:
+            return None
+        return KLLSketch.from_bytes(base64.b64decode(ent["sketch"]))
+
     def ndv(self, column: str) -> int | None:
         """NDV of ``column`` from the stats commit, or None when absent
         OR STALE (any data-changing commit after the recorded version
