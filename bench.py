@@ -272,6 +272,19 @@ EXTENDED = [
     "bpe_train_merges",
     "txlog_row_tracking_optimize",
     "delta_row_tracking_optimize",
+    # round-9 second-session additions
+    "delta_type_widening",
+    "delta_time_travel_ict",
+    "delta_identity_column",
+    "graph_connected_components",
+    "kll_clustered_write",
+    "pca_power_iteration",
+    "bpe_encode_seeded",
+    "iceberg_type_promotion",
+    "ann_mmr_rerank_seeded",
+    "stream_kll_quantiles",
+    "iceberg_puffin_kll",
+    "quantile_stats_three_formats",
 ]
 
 # Apply-only rungs measure STEADY-STATE cost: their fit-once index builds
