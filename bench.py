@@ -285,6 +285,8 @@ EXTENDED = [
     "stream_kll_quantiles",
     "iceberg_puffin_kll",
     "quantile_stats_three_formats",
+    "iceberg_partition_stats",
+    "delta_log_compaction",
 ]
 
 # Apply-only rungs measure STEADY-STATE cost: their fit-once index builds

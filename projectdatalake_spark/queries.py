@@ -18120,3 +18120,109 @@ def quantile_stats_three_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "fmt string, n_days long, q25 long, q50 long, q75 long, q90 long"
     )
+
+
+@query(
+    "iceberg_partition_stats",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS data_record_count,
+           CAST(2 AS BIGINT) AS data_file_count
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def iceberg_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION STATISTICS FILES (Iceberg spec §Partition Statistics,
+    iceberg_interop.write_partition_stats): one parquet row per
+    partition — spec field ids 1-5, partition struct keyed by the
+    spec's partition-field ids — computed ENTIRELY from manifest
+    entries (zero data files opened) and registered under metadata's
+    ``partition-statistics`` list. The fixture writes two appends, each
+    repartitioned onto the partition column so every partition gets
+    exactly ONE file per append; the read-back stats therefore carry a
+    deterministic file count (2) beside the record counts the oracle
+    recomputes.
+
+    100 TB: partition-level planning (skew detection, small-file
+    audits, per-partition cost estimates) becomes a metadata read —
+    the rollup is O(partitions) built from manifests, never a scan."""
+    import tempfile
+
+    from projectdatalake_spark.sources.iceberg_interop import IcebergTable
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    first = o.filter(F.col("o_orderkey") % 2 == 0).repartition(
+        F.col("o_orderstatus")
+    )
+    second = o.filter(F.col("o_orderkey") % 2 == 1).repartition(
+        F.col("o_orderstatus")
+    )
+    root = tempfile.mkdtemp(prefix="ice_pstats_") + "/t"
+    t = IcebergTable.create(spark, root, first, partition_by=("o_orderstatus",))
+    t.append(second)
+    t.write_partition_stats()
+    stats = t.read_partition_stats()
+    assert stats is not None
+    return stats.select(
+        F.col("partition.o_orderstatus").alias("o_orderstatus"),
+        "data_record_count",
+        "data_file_count",
+    ).orderBy("o_orderstatus")
+
+
+@query(
+    "delta_log_compaction",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE NOT (o_orderkey % 10 = 7 AND o_orderkey % 4 <> 3)
+    GROUP BY o_orderstatus
+    """,
+)
+def delta_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG COMPACTION FILES (Delta spec "Log Compaction Files",
+    delta_interop.compact_log): the reconciled actions of a commit
+    range land in ``<start>.<end>.compact.json`` — latest metaData/
+    protocol, net add/remove per path (DV re-adds carried), latest txn
+    per appId, no commitInfo — and the reader PREFERS the compaction
+    over re-reading the range. The query proves the stronger property:
+    after the per-commit JSONs inside the compacted range are DELETED
+    (a metadata cleanup), a fresh reader still reconstructs the exact
+    table — including the deletion-vector mask committed mid-range
+    (group-3 rows joined after the DV cut, so the oracle's predicate is
+    era-dependent, which the hash gate would catch if replay lost any
+    range boundary).
+
+    100 TB: a streaming sink lands thousands of tiny commits between
+    checkpoints; compaction keeps cold-start replay O(ranges) and lets
+    log retention drop the per-commit files early."""
+    import tempfile
+
+    from projectdatalake_spark.sources.delta_interop import DeltaTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    root = tempfile.mkdtemp(prefix="delta_compactlog_")
+    t = DeltaTable.create(
+        spark, root, o.filter(F.col("o_orderkey") % 4 == 0).repartition(4)
+    )                                                            # v0
+    t.append(o.filter(F.col("o_orderkey") % 4 == 1).repartition(4))  # v1
+    t.append(o.filter(F.col("o_orderkey") % 4 == 2).repartition(4))  # v2
+    t.delete_where_dv("o_orderkey % 10 = 7")                         # v3
+    t.append(o.filter(F.col("o_orderkey") % 4 == 3).repartition(4))  # v4
+    t.compact_log(1, 3)
+    fs = t._fs()
+    for v in range(1, 4):  # metadata cleanup inside the compacted range
+        assert fs.delete(t._path(f"{root}/_delta_log/{v:020d}.json"), False)
+    fresh = DeltaTable(spark, root)
+    return (
+        fresh.snapshot()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("o_totalprice")).alias("total"),
+        )
+    )

@@ -350,6 +350,22 @@ class DeltaTable:
                     checkpoints.add(int(stem))
         return sorted(commits), sorted(checkpoints)
 
+    def _compaction_files(self) -> list[tuple[int, int]]:
+        """Sorted [(start, end)] of log compaction files
+        ``<start>.<end>.compact.json`` (spec "Log Compaction Files")."""
+        fs = self._fs()
+        log_path = self._path(f"{self.root}/{_LOG}")
+        if not fs.exists(log_path):
+            return []
+        out = []
+        for status in fs.listStatus(log_path):
+            name = status.getPath().getName()
+            if name.endswith(".compact.json"):
+                parts = name[: -len(".compact.json")].split(".")
+                if len(parts) == 2 and all(p.isdigit() for p in parts):
+                    out.append((int(parts[0]), int(parts[1])))
+        return sorted(out)
+
     def latest_version(self) -> int:
         commits, checkpoints = self._log_files()
         if not commits and not checkpoints:
@@ -491,15 +507,104 @@ class DeltaTable:
             state = self._fold(state, self._checkpoint_actions(ckpt))
             start = ckpt + 1
         have = set(commits)
-        for v in range(start, tip + 1):
+        # log compaction files (spec "Log Compaction Files"): at each
+        # position, a compaction starting exactly here whose end fits the
+        # walk replaces reading its whole range — fewer metadata reads on
+        # intact logs, and the ONLY road when a cleaned-up log kept the
+        # compaction but dropped the per-commit JSONs
+        compactions: dict[int, int] = {}
+        for cs, ce in self._compaction_files():
+            if cs <= ce <= tip:
+                compactions[cs] = max(compactions.get(cs, cs - 1), ce)
+        v = start
+        while v <= tip:
+            ce = compactions.get(v)
+            if ce is not None:
+                state = self._fold(state, self._compaction_actions(v, ce))
+                v = ce + 1
+                continue
             if v not in have:
                 raise FileNotFoundError(
                     f"Delta log version {v} missing (pruned past the last "
-                    f"checkpoint?) — cannot reconstruct version {tip}"
+                    f"checkpoint, and no compaction starts there?) — "
+                    f"cannot reconstruct version {tip}"
                 )
             state = self._fold(state, self._commit_actions(v))
+            v += 1
         state["version"] = tip
         return state
+
+    def _compaction_actions(self, start: int, end: int) -> list[dict]:
+        text = self._read_text(
+            f"{self.root}/{_LOG}/{start:020d}.{end:020d}.compact.json"
+        )
+        return [json.loads(line) for line in text.splitlines() if line.strip()]
+
+    def compact_log(self, start: int, end: int) -> str:
+        """Write a LOG COMPACTION file (spec "Log Compaction Files"):
+        ``<start>.<end>.compact.json`` carrying the RECONCILED actions of
+        the commit range — latest protocol/metaData, per-path net
+        add/remove (a within-range add-then-remove leaves only the
+        tombstone, vacuum semantics preserved), latest txn per appId,
+        latest domainMetadata per domain, commitInfo dropped (per spec:
+        compactions carry no commit-level info). Readers prefer the
+        compaction over re-reading the range, and a metadata cleanup may
+        drop the per-commit JSONs inside a compacted range without
+        breaking replay — the tail-read optimization checkpoints give
+        whole prefixes, at range grain.
+
+        100 TB: a high-frequency writer (streaming sink, trickle CDC)
+        accumulates thousands of tiny commits between checkpoints;
+        compaction keeps cold-start replay O(ranges), not O(commits)."""
+        commits, _ = self._log_files()
+        have = set(commits)
+        if not 0 <= start < end:
+            raise ValueError(f"invalid compaction range [{start}, {end}]")
+        missing = [v for v in range(start, end + 1) if v not in have]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot compact [{start}, {end}]: versions {missing} "
+                f"missing from the log"
+            )
+        proto = meta = None
+        adds: dict[str, dict] = {}
+        removes: dict[str, dict] = {}
+        txns: dict[str, dict] = {}
+        domains: dict[str, dict] = {}
+        for v in range(start, end + 1):
+            for a in self._commit_actions(v):
+                if "add" in a:
+                    p = a["add"]["path"]
+                    adds[p] = a["add"]
+                    removes.pop(p, None)
+                elif "remove" in a:
+                    p = a["remove"]["path"]
+                    adds.pop(p, None)
+                    removes[p] = a["remove"]
+                elif "protocol" in a:
+                    proto = a["protocol"]
+                elif "metaData" in a:
+                    meta = a["metaData"]
+                elif "txn" in a:
+                    txns[a["txn"]["appId"]] = a["txn"]
+                elif "domainMetadata" in a:
+                    domains[a["domainMetadata"]["domain"]] = a["domainMetadata"]
+        actions: list[dict] = []
+        if proto is not None:
+            actions.append({"protocol": proto})
+        if meta is not None:
+            actions.append({"metaData": meta})
+        actions.extend({"txn": t} for _, t in sorted(txns.items()))
+        actions.extend({"domainMetadata": d} for _, d in sorted(domains.items()))
+        actions.extend({"remove": r} for _, r in sorted(removes.items()))
+        actions.extend({"add": a} for _, a in sorted(adds.items()))
+        text = (
+            "\n".join(json.dumps(a, separators=(",", ":")) for a in actions)
+            + "\n"
+        )
+        rel = f"{_LOG}/{start:020d}.{end:020d}.compact.json"
+        self._write_text(f"{self.root}/{rel}", text, exclusive=True)
+        return f"{self.root}/{rel}"
 
     def history(self) -> list[dict]:
         """commitInfo per version (informational, like DESCRIBE HISTORY)."""

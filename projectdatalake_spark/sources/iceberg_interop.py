@@ -1470,6 +1470,122 @@ class IcebergTable:
                     return KLLSketch.from_bytes(payload)
         return None
 
+    def write_partition_stats(self) -> str:
+        """PARTITION STATISTICS file (spec §Partition Statistics): one
+        parquet row per partition of the CURRENT snapshot — spec field
+        ids 1-5 (partition struct keyed by the spec's partition-field
+        ids, spec_id, data_record_count, data_file_count,
+        total_data_file_size_in_bytes; the optional delete-count fields
+        are omitted, which the spec allows) — registered under table
+        metadata's ``partition-statistics`` list. Computed ENTIRELY from
+        manifest entries (no data file opened) and written driver-side
+        via pyarrow: the rollup is O(partitions), metadata-sized — a
+        table with driver-hostile partition cardinality would build the
+        same rows with one Spark aggregate over inspect("files").
+        Identity transforms only (a unified multi-spec tuple is not
+        implemented — refused loudly)."""
+        import io
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        meta = self.metadata()
+        sid = meta.get("current-snapshot-id")
+        if sid is None or sid == -1:
+            raise IcebergProtocolError(
+                "cannot write partition stats for an empty table"
+            )
+        spec = self._current_spec(meta)
+        resolved = _spec_part_fields(meta, spec)
+        if any(p["transform"] != "identity" for p in resolved):
+            raise IcebergProtocolError(
+                "partition stats: only identity transforms are supported "
+                "by this writer"
+            )
+        entries, _ = self._entries_for_snapshot(meta, None)
+        agg: dict[tuple, list[int]] = {}
+        for e in entries:
+            part = e["data_file"].get("partition") or {}
+            key = tuple(part.get(p["pname"]) for p in resolved)
+            a = agg.setdefault(key, [0, 0, 0])
+            a[0] += int(e["data_file"]["record_count"])
+            a[1] += 1
+            a[2] += int(e["data_file"]["file_size_in_bytes"])
+        _PA = {
+            "string": pa.string(), "int": pa.int32(), "long": pa.int64(),
+            "float": pa.float32(), "double": pa.float64(),
+            "boolean": pa.bool_(), "date": pa.date32(),
+        }
+
+        def fid(n: int) -> dict:
+            return {b"PARQUET:field_id": str(n).encode()}
+
+        part_fields = [
+            pa.field(
+                p["pname"],
+                _PA.get(p["result_type"], pa.string()),
+                metadata=fid(sf["field-id"]),
+            )
+            for p, sf in zip(resolved, spec["fields"])
+        ]
+        schema = pa.schema(
+            [
+                pa.field("partition", pa.struct(part_fields), metadata=fid(1)),
+                pa.field("spec_id", pa.int32(), metadata=fid(2)),
+                pa.field("data_record_count", pa.int64(), metadata=fid(3)),
+                pa.field("data_file_count", pa.int64(), metadata=fid(4)),
+                pa.field(
+                    "total_data_file_size_in_bytes", pa.int64(),
+                    metadata=fid(5),
+                ),
+            ]
+        )
+        keys = sorted(agg, key=lambda k: tuple(str(x) for x in k))
+        tbl = pa.Table.from_pydict(
+            {
+                "partition": [
+                    {p["pname"]: v for p, v in zip(resolved, k)} for k in keys
+                ],
+                "spec_id": [int(spec["spec-id"])] * len(keys),
+                "data_record_count": [agg[k][0] for k in keys],
+                "data_file_count": [agg[k][1] for k in keys],
+                "total_data_file_size_in_bytes": [agg[k][2] for k in keys],
+            },
+            schema=schema,
+        )
+        buf = io.BytesIO()
+        pq.write_table(tbl, buf)
+        data = buf.getvalue()
+        path = f"{self.root}/metadata/partition-stats-{sid}-{uuid.uuid4().hex}.parquet"
+        self._write_bytes(path, data, exclusive=True)
+        entry = {
+            "snapshot-id": sid,
+            "statistics-path": path,
+            "file-size-in-bytes": len(data),
+        }
+
+        def mutate(md):
+            md["partition-statistics"] = [
+                s
+                for s in md.get("partition-statistics", [])
+                if s["snapshot-id"] != sid
+            ] + [entry]
+
+        self._commit_refs(mutate)
+        return path
+
+    def read_partition_stats(
+        self, snapshot_id: int | None = None
+    ) -> DataFrame | None:
+        """The registered partition-statistics file as a DataFrame; None
+        when no stats cover the snapshot."""
+        meta = self.metadata()
+        sid = snapshot_id or meta.get("current-snapshot-id")
+        for s in meta.get("partition-statistics", []):
+            if s["snapshot-id"] == sid:
+                return self.spark.read.parquet(s["statistics-path"])
+        return None
+
     def inspect(self, kind: str) -> DataFrame:
         """Metadata TABLES (Iceberg's ``table$files`` family) — the
         table's own metadata as queryable DataFrames, no data files

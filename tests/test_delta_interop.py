@@ -1751,3 +1751,65 @@ def test_identity_race_reallocates(spark, root, monkeypatch):
     ids = [r.rid for r in rows]
     assert len(ids) == len(set(ids)) == 20
     assert t.identity_columns()["rid"]["hwm"] == 20
+
+
+# --- log compaction files -------------------------------------------------
+
+
+def test_log_compaction_reconciles_and_survives_pruning(spark, root):
+    t = DeltaTable.create(spark, root, _df(spark, 0, 30))          # v0
+    t.append(_df(spark, 30, 60))                                   # v1
+    t.append(_df(spark, 60, 90))                                   # v2
+    t.delete_where_dv("id % 10 = 3")                               # v3 (DV)
+    t.append(_df(spark, 90, 100), txn=("app", 5))                  # v4
+    path = t.compact_log(1, 3)
+    lines = [json.loads(x) for x in open(path.replace("file:", "")) if x.strip()]
+    kinds = [next(iter(a)) for a in lines]
+    assert "commitInfo" not in kinds  # spec: compactions carry none
+    assert {"add", "protocol"} <= set(kinds)  # DV commit upgraded the proto
+    # reconciliation: the DV'd adds appear ONCE, with their vector
+    dv_adds = [
+        a["add"] for a in lines
+        if "add" in a and a["add"].get("deletionVector")
+    ]
+    assert dv_adds
+    before = {r.id for r in t.snapshot().collect()}
+    assert len(before) == 91  # 100 ids minus the 9 DV-deleted
+    # a cleanup drops the per-commit JSONs inside the compacted range:
+    # replay must route through the compaction file
+    fs = t._fs()
+    for v in range(1, 4):
+        assert fs.delete(t._path(f"{root}/_delta_log/{v:020d}.json"), False)
+    fresh = DeltaTable(spark, root)
+    after = {r.id for r in fresh.snapshot().collect()}
+    assert after == before
+    assert fresh.txn_version("app") == 5
+    # the compaction's END boundary replays (DV applied, last append absent)
+    assert fresh.snapshot(version=3).count() == 81
+    # a version strictly INSIDE the pruned range is gone
+    with pytest.raises(FileNotFoundError):
+        fresh._state(2)
+    # refusals: missing versions, degenerate range
+    with pytest.raises(FileNotFoundError):
+        fresh.compact_log(2, 3)
+    with pytest.raises(ValueError):
+        fresh.compact_log(4, 4)
+
+
+def test_log_compaction_preferred_on_intact_logs(spark, root, monkeypatch):
+    t = DeltaTable.create(spark, root, _df(spark, 0, 20))
+    for lo in range(20, 100, 20):
+        t.append(_df(spark, lo, lo + 20))
+    t.compact_log(1, 3)
+    reads: list[int] = []
+    real = DeltaTable._commit_actions
+
+    def counting(self, version):
+        reads.append(version)
+        return real(self, version)
+
+    monkeypatch.setattr(DeltaTable, "_commit_actions", counting)
+    fresh = DeltaTable(spark, root)
+    assert fresh.snapshot().count() == 100
+    # versions 1-3 were served by the compaction, never read individually
+    assert not ({1, 2, 3} & set(reads)), reads

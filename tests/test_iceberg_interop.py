@@ -2221,3 +2221,47 @@ def test_kll_puffin_roundtrip_and_type_guard(spark, tmp_path):
     t.write_stats(["v"], k=512)  # replaces the snapshot's stats entry
     assert t.read_quantile_sketch("v") is None
     assert t.read_stats_sketch("v") is not None
+
+
+def test_partition_stats_file_shape(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from projectdatalake_spark.sources.iceberg_interop import (
+        IcebergProtocolError,
+        IcebergTable,
+    )
+
+    df = spark.range(0, 60).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("int").alias("seg")
+    )
+    t = IcebergTable.create(
+        spark, str(tmp_path / "t"), df.repartition(F.col("seg")),
+        partition_by=("seg",),
+    )
+    path = t.write_partition_stats()
+    # spec field ids 1-5 stamped in the parquet schema; partition struct
+    # fields keyed by the spec's partition-field ids (1000+)
+    sch = pq.read_schema(path)
+    fid = {f.name: f.metadata[b"PARQUET:field_id"] for f in sch}
+    assert fid["partition"] == b"1" and fid["spec_id"] == b"2"
+    assert fid["data_record_count"] == b"3"
+    part_struct = sch.field("partition").type
+    assert part_struct.field(0).metadata[b"PARQUET:field_id"] == b"1000"
+    # registered + readable; one row per partition, 20 records each
+    got = {
+        r["partition"]["seg"]: (r["data_record_count"], r["data_file_count"])
+        for r in t.read_partition_stats().collect()
+    }
+    assert got == {0: (20, 1), 1: (20, 1), 2: (20, 1)}
+    # stale snapshot: stats cover only the snapshot they were written at
+    t.append(df.repartition(F.col("seg")))
+    assert t.read_partition_stats() is None  # new snapshot, no stats yet
+    t.write_partition_stats()
+    got2 = t.read_partition_stats().collect()
+    assert all(r["data_file_count"] == 2 for r in got2)
+    # non-identity transforms refused
+    b = IcebergTable.create(
+        spark, str(tmp_path / "b"), df, partition_by=("bucket(4, k)",)
+    )
+    with pytest.raises(IcebergProtocolError):
+        b.write_partition_stats()
