@@ -287,6 +287,7 @@ EXTENDED = [
     "quantile_stats_three_formats",
     "iceberg_partition_stats",
     "delta_log_compaction",
+    "delta_identity_merge",
 ]
 
 # Apply-only rungs measure STEADY-STATE cost: their fit-once index builds

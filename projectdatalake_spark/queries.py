@@ -18226,3 +18226,69 @@ def delta_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("o_totalprice")).alias("total"),
         )
     )
+
+
+@query(
+    "delta_identity_merge",
+    oracle="""
+    WITH e0 AS (
+      SELECT c_custkey, c_mktsegment,
+             100 + 3 * (row_number()
+               OVER (ORDER BY c_mktsegment, c_custkey) - 1) AS rid
+      FROM customer WHERE c_custkey % 2 = 0
+    ),
+    n0 AS (SELECT count(*) AS n FROM e0),
+    ins AS (
+      SELECT c_custkey, c_mktsegment,
+             100 + 3 * (SELECT n FROM n0) + 3 * (row_number()
+               OVER (ORDER BY c_mktsegment, c_custkey) - 1) AS rid
+      FROM customer WHERE c_custkey % 4 = 1
+    )
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 4 = 0 THEN 'UPDATED'
+                ELSE c_mktsegment END AS c_mktsegment,
+           CAST(rid AS BIGINT) AS rid
+    FROM e0
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, CAST(rid AS BIGINT) AS rid FROM ins
+    ORDER BY c_custkey
+    """,
+)
+def delta_identity_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTITY COLUMNS THROUGH MERGE — the insert/update discrimination
+    [[delta_identity_column]]'s append-only form doesn't need: one
+    upsert batch mixes matched rows (whose segment is rewritten —
+    they INHERIT their existing ids through the touch probe) and
+    never-seen keys (the insert branch — fresh ids allocated above the
+    high-water mark, advanced in the SAME commit's metaData). Duplicate
+    update keys are refused (two updates inheriting one row's id would
+    mint duplicates — pytest-gated with the race and policy tests).
+    The oracle replays both halves: matched keys keep the create-time
+    row_number arithmetic, inserts continue it in the allocation
+    policy's (segment, custkey) order.
+
+    100 TB: identity adds one key-grain aggregate to the touch probe
+    (min id per matched key) and the usual two-shuffle allocation for
+    the insert branch — the merge's touched-file pruning contract is
+    unchanged."""
+    import tempfile
+
+    from projectdatalake_spark.sources.delta_interop import DeltaTable
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    policy = {"partition_by": ["c_mktsegment"], "order_by": ["c_custkey"]}
+    root = tempfile.mkdtemp(prefix="delta_identmerge_")
+    t = DeltaTable.create(
+        spark, root,
+        c.filter(F.col("c_custkey") % 2 == 0).repartition(4),
+        identity={"rid": {"start": 100, "step": 3, **policy}},
+    )
+    upd = c.filter(F.col("c_custkey") % 4 == 0).withColumn(
+        "c_mktsegment", F.lit("UPDATED")
+    )
+    ins = c.filter(F.col("c_custkey") % 4 == 1)
+    t.merge_upsert(
+        upd.unionByName(ins), keys=["c_custkey"],
+        identity_order={"rid": policy},
+    )
+    return t.snapshot().orderBy("c_custkey")

@@ -1231,8 +1231,9 @@ class DeltaTable:
         if self._identity_of(meta):
             raise DeltaProtocolError(
                 f"{op} on a table with identity columns is not supported "
-                f"by this writer — row-replacing ops would need insert/"
-                f"update discrimination to allocate correctly"
+                f"by this writer — a whole/partition replace would restart "
+                f"or drop id continuity (merge_upsert DOES discriminate "
+                f"inserts and allocates correctly)"
             )
 
     @staticmethod
@@ -2155,6 +2156,7 @@ class DeltaTable:
         updates: DataFrame,
         keys: list[str],
         txn: tuple[str, int] | None = None,
+        identity_order: dict[str, dict] | None = None,
     ) -> int:
         """MERGE (upsert) THROUGH THE DELTA LOG: update rows whose key
         matches, insert the rest — committed as remove+add actions in one
@@ -2184,7 +2186,6 @@ class DeltaTable:
         state = self._state()
         meta = state["metaData"]
         self._refuse_mapped(meta, "merge_upsert")
-        self._refuse_identity_rewrite(meta, "merge_upsert")
         if txn is not None and state["txns"].get(txn[0], -1) >= txn[1]:
             return -1  # already applied (idempotent replay)
         updates = self._apply_defaults(updates, meta)
@@ -2193,7 +2194,26 @@ class DeltaTable:
         schema = StructType.fromJson(json.loads(meta["schemaString"]))
         pcols = list(meta.get("partitionColumns", []))
         cols = [f.name for f in schema.fields]
-        missing = [c for c in cols if c not in updates.columns]
+        # identity-column MERGE contract: the updates frame OMITS identity
+        # columns (GENERATED ALWAYS) — MATCHED rows INHERIT their existing
+        # ids through the touch probe, insert-branch rows get fresh ids
+        # allocated above the high-water mark (advanced in this commit's
+        # metaData). Duplicate update keys are refused: two updates
+        # inheriting one row's id would mint duplicate identity values.
+        idy = self._identity_of(meta)
+        for c in idy:
+            if c in updates.columns and not idy[c]["allow_explicit"]:
+                raise DeltaProtocolError(
+                    f"identity column {c!r} is GENERATED ALWAYS — merge "
+                    f"updates must omit it"
+                )
+            if c in keys:
+                raise DeltaProtocolError(
+                    f"identity column {c!r} cannot be a merge key"
+                )
+        missing = [
+            c for c in cols if c not in updates.columns and c not in idy
+        ]
         if missing:
             raise DeltaProtocolError(
                 f"merge updates missing table columns {missing}"
@@ -2201,7 +2221,7 @@ class DeltaTable:
         bad = [k for k in keys if k not in cols]
         if bad:
             raise DeltaProtocolError(f"merge keys not in table schema: {bad}")
-        updates = updates.select(*cols)
+        updates = updates.select(*[c for c in cols if c not in idy])
         # file-level key-range prune (one tiny agg over the updates, which
         # doubles as the empty-updates no-op check)
         data_keys = [k for k in keys if k not in pcols]
@@ -2219,6 +2239,11 @@ class DeltaTable:
         ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
         data_schema = StructType([f for f in schema.fields if f.name not in pcols])
         key_frame = updates.select(*keys).distinct()
+        if idy and key_frame.count() != int(rng["__n"]):
+            raise DeltaProtocolError(
+                "merge with identity columns requires unique update keys "
+                "— duplicate keys would inherit one row's id twice"
+            )
         # bloom-augmented candidate prune (bounds the probe's key-column
         # scan when file key ranges overlap; see _bloom_prune_merge)
         bcols = [k for k in data_keys if k in self._bloom_cols_of(meta)]
@@ -2257,8 +2282,12 @@ class DeltaTable:
             return out
 
         touched: list[tuple[str, dict]] = []
+        matched_map = None
         if cand:
-            probe = _grouped_read([a for _, a in cand], keys, with_path=True)
+            probe_cols = keys + sorted(idy)
+            probe = _grouped_read(
+                [a for _, a in cand], probe_cols, with_path=True
+            )
             hit_paths = {
                 r["__mpath"]
                 for r in probe.join(key_frame, keys, "left_semi")
@@ -2271,6 +2300,14 @@ class DeltaTable:
                 for p, a in cand
                 if self._abs_data_path(a["path"]) in hit_paths
             ]
+            if idy and touched:
+                # key → existing identity values (min per key for the
+                # duplicate-key tables merge otherwise tolerates)
+                matched_map = (
+                    probe.join(key_frame, keys, "inner")
+                    .groupBy(*keys)
+                    .agg(*[F.min(c).alias(c) for c in sorted(idy)])
+                )
         txn_actions = (
             []
             if txn is None
@@ -2279,18 +2316,38 @@ class DeltaTable:
         )
         if not touched:
             # pure insert — blind-append concurrency semantics
-            adds = self._stage(updates, tuple(pcols))
-            actions = [
-                {"commitInfo": self._commit_info("MERGE", {"matched": "0"})},
-                *txn_actions,
-                *({"add": a} for a in adds),
-            ]
-            for _ in range(20):
-                if txn is not None and self._state()["txns"].get(
-                    txn[0], -1
-                ) >= txn[1]:
+            ins = updates
+            id_meta_action = None
+            id_hwm_used: dict = {}
+            if idy:
+                ins, id_meta_action, id_hwm_used, _ = self._apply_identity(
+                    updates, meta, identity_order
+                )
+            adds = self._stage(ins, tuple(pcols))
+            for attempt in range(20):
+                cur = self._state()
+                if txn is not None and cur["txns"].get(txn[0], -1) >= txn[1]:
                     return -1  # racer (a replay twin) already applied it
-                v = self.latest_version() + 1
+                if idy and attempt > 0:
+                    cur_ids = self._identity_of(cur["metaData"])
+                    if any(
+                        cur_ids[c]["hwm"] != id_hwm_used[c]
+                        for c in id_hwm_used
+                    ):
+                        # a racer allocated: re-allocate above ITS mark
+                        ins, id_meta_action, id_hwm_used, _ = (
+                            self._apply_identity(
+                                updates, cur["metaData"], identity_order
+                            )
+                        )
+                        adds = self._stage(ins, tuple(pcols))
+                actions = [
+                    {"commitInfo": self._commit_info("MERGE", {"matched": "0"})},
+                    *txn_actions,
+                    *([id_meta_action] if id_meta_action else []),
+                    *({"add": a} for a in adds),
+                ]
+                v = cur["version"] + 1
                 try:
                     self._publish(v, actions)
                     return v
@@ -2300,7 +2357,20 @@ class DeltaTable:
         survivors = _grouped_read(
             [a for _, a in touched], cols, with_path=False
         ).join(key_frame, keys, "left_anti")
-        merged = updates.unionByName(survivors)
+        id_meta_action = None
+        if idy:
+            updated = updates.join(matched_map, keys, "inner").select(*cols)
+            inserts = updates.join(
+                matched_map.select(*keys), keys, "left_anti"
+            )
+            inserts, id_meta_action, _, _ = self._apply_identity(
+                inserts, meta, identity_order
+            )
+            merged = updated.unionByName(inserts.select(*cols)).unionByName(
+                survivors
+            )
+        else:
+            merged = updates.unionByName(survivors)
         adds = self._stage(merged, tuple(pcols))
         now = int(time.time() * 1000)
         actions = [
@@ -2310,6 +2380,7 @@ class DeltaTable:
                 )
             },
             *txn_actions,
+            *([id_meta_action] if id_meta_action else []),
             *(
                 {"remove": {"path": p, "deletionTimestamp": now, "dataChange": True}}
                 for p, _ in touched

@@ -1813,3 +1813,41 @@ def test_log_compaction_preferred_on_intact_logs(spark, root, monkeypatch):
     assert fresh.snapshot().count() == 100
     # versions 1-3 were served by the compaction, never read individually
     assert not ({1, 2, 3} & set(reads)), reads
+
+
+def test_identity_merge_inherits_and_allocates(spark, root):
+    t = DeltaTable.create(
+        spark, root, _seg_df(spark, 0, 30),
+        identity={"rid": {"start": 1, "step": 1,
+                          "partition_by": ["seg"], "order_by": ["k"]}},
+    )
+    before = {r.k: r.rid for r in t.snapshot().collect()}
+    upd = spark.createDataFrame(
+        [(0, 9), (2, 9), (4, 9), (100, 1), (101, 2)], "k long, seg int"
+    )
+    t.merge_upsert(upd, keys=["k"], identity_order=_ID_POLICY)
+    rows = {r.k: (r.rid, r.seg) for r in t.snapshot().collect()}
+    assert len(rows) == 32
+    # matched rows INHERITED their ids (seg rewritten to 9)
+    for k in (0, 2, 4):
+        assert rows[k] == (before[k], 9)
+    # untouched rows untouched
+    assert rows[7][0] == before[7]
+    # inserts allocated above the mark in (seg, k) policy order:
+    # k=100 (seg 1) before k=101 (seg 2)
+    assert rows[100][0] == 31 and rows[101][0] == 32
+    assert t.identity_columns()["rid"]["hwm"] == 32
+    assert len({v[0] for v in rows.values()}) == 32  # all unique
+    # pure-insert merge continues the sequence
+    t.merge_upsert(
+        spark.createDataFrame([(200, 0), (201, 0)], "k long, seg int"),
+        keys=["k"], identity_order=_ID_POLICY,
+    )
+    rows2 = {r.k: r.rid for r in t.snapshot().collect()}
+    assert sorted((rows2[200], rows2[201])) == [33, 34]
+    # duplicate update keys refused (they would inherit one id twice)
+    with pytest.raises(DeltaProtocolError):
+        t.merge_upsert(
+            spark.createDataFrame([(0, 1), (0, 2)], "k long, seg int"),
+            keys=["k"], identity_order=_ID_POLICY,
+        )
