@@ -36,10 +36,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # front-ranked, zero overlap). Queries already verified by a previous
 # round's driver run are pushed to the back; everything not yet
 # driver-proven comes first so each round's file covers new ground.
-# Round 9: the ledger stays CLOSED (343/343 oracle-backed queries carry a
-# driver hash-proof after r8). New round-9 registrations front-rank; the
-# remaining slots rotate the STALEST proofs (r2-vintage greens first:
-# the txlog core family, mm_*, stream_dedup_watermark).
+# Round 10: the ledger stays CLOSED (369/369 oracle-backed queries carry a
+# driver hash-proof after r9, per the round-9 verdict's independent
+# re-parse). New round-10 registrations front-rank; the remaining slots
+# rotate the STALEST proofs (r3-vintage greens next: the delta core
+# family, per the round-9 rotation prescription).
 # All new queries were verify_local-proven at sf0.001 AND sf0.01.
 _R1_DRIVER_VERIFIED = frozenset(
     {
@@ -260,6 +261,35 @@ _R8_DRIVER_VERIFIED = frozenset(
     }
 )
 
+# Hash-green in CORRECTNESS_r09.json (50/50 fully green, zero err) —
+# 26 round-9 registrations + 24 stalest-proof rotations (r2-vintage).
+_R9_DRIVER_VERIFIED = frozenset(
+    {
+        "graph_pagerank", "graph_kcore", "graph_connected_components",
+        "iceberg_row_lineage_rewrite", "sketch_kll_quantiles",
+        "sketch_kll_grouped", "stream_kll_quantiles",
+        "quantile_stats_three_formats", "iceberg_puffin_kll",
+        "kll_clustered_write", "star_ndv_outer_join",
+        "delta_uniform_export", "sketch_difference_ndv",
+        "delta_identity_column", "delta_identity_merge",
+        "delta_log_compaction", "delta_time_travel_ict",
+        "delta_type_widening", "iceberg_delete_vector",
+        "iceberg_partition_stats", "iceberg_type_promotion",
+        "pca_power_iteration", "bpe_encode_seeded", "ann_mmr_rerank_seeded",
+        "row_id_incremental_dedup", "stream_full_outer_join",
+        # stalest-proof rotations (r2-vintage)
+        "agg_median_stats", "agg_ordered_first_last",
+        "conditional_expressions", "correlated_min_price",
+        "date_functions", "distinct_users_daily", "explode_array",
+        "from_json_struct", "join_cross_small", "join_full_outer",
+        "mm_binary_meta", "mm_chunking", "mm_decode_features",
+        "pandas_udf_scoring", "scalar_subquery_above_avg",
+        "session_window_agg", "skew_salted_groupby", "skew_salted_join",
+        "sql_frontend", "stream_stateful_totals", "string_advanced",
+        "tpch_q18_large_orders", "unpivot_metrics", "win_range_frame",
+    }
+)
+
 _VERIFIED_BY_ROUND = (
     _R1_DRIVER_VERIFIED,
     _R2_DRIVER_VERIFIED,
@@ -269,6 +299,7 @@ _VERIFIED_BY_ROUND = (
     _R6_DRIVER_VERIFIED,
     _R7_DRIVER_VERIFIED,
     _R8_DRIVER_VERIFIED,
+    _R9_DRIVER_VERIFIED,
 )
 
 _DRIVER_VERIFIED = frozenset().union(*_VERIFIED_BY_ROUND)
