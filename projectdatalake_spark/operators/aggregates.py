@@ -527,9 +527,13 @@ class KLLSketch:
 
 
     # -- serialization (engine blob format "graft-kll-v1": magic, k, n,
-    # level count, then per level an item count + float64 items; little-
-    # endian throughout — NOT the Apache DataSketches KLL binary layout,
-    # which this engine does not claim to implement) --------------------
+    # level count, then per level an item count + float64 items, then one
+    # trailing byte carrying the alternating-selector phase (_coin) so a
+    # RESUMED sketch compacts bitwise-identically to the live original —
+    # without it a deserialized sketch restarts the selector and diverges
+    # from its twin on the next compaction; little-endian throughout —
+    # NOT the Apache DataSketches KLL binary layout, which this engine
+    # does not claim to implement) --------------------------------------
     def to_bytes(self) -> bytes:
         import struct as _struct
 
@@ -537,6 +541,7 @@ class KLLSketch:
         for c in self.compactors:
             out.append(_struct.pack("<I", len(c)))
             out.append(_struct.pack(f"<{len(c)}d", *c))
+        out.append(_struct.pack("<B", self._coin & 1))
         return b"".join(out)
 
     @classmethod
@@ -557,6 +562,10 @@ class KLLSketch:
                 list(_struct.unpack_from(f"<{cnt}d", data, off))
             )
             off += 8 * cnt
+        # selector phase (absent in pre-round-10 blobs: default 0, the
+        # constructor's phase — those blobs never carried one)
+        if off < len(data):
+            (sk._coin,) = _struct.unpack_from("<B", data, off)
         return sk
 
 

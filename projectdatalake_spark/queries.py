@@ -18292,3 +18292,79 @@ def delta_identity_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         identity_order={"rid": policy},
     )
     return t.snapshot().orderBy("c_custkey")
+
+
+@query(
+    "iceberg_partition_stats_unified",
+    oracle="""
+    WITH era0 AS (
+      SELECT o_orderstatus, CAST(NULL AS INTEGER) AS od_year,
+             CAST(0 AS INTEGER) AS spec_id,
+             count(*) AS data_record_count,
+             CAST(1 AS BIGINT) AS data_file_count
+      FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY o_orderstatus
+    ), era1 AS (
+      SELECT CAST(NULL AS VARCHAR) AS o_orderstatus,
+             CAST(year(o_orderdate) - 1970 AS INTEGER) AS od_year,
+             CAST(1 AS INTEGER) AS spec_id,
+             count(*) AS data_record_count,
+             CAST(1 AS BIGINT) AS data_file_count
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      GROUP BY od_year
+    )
+    SELECT * FROM era0 UNION ALL SELECT * FROM era1
+    """,
+)
+def iceberg_partition_stats_unified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIFIED MULTI-SPEC PARTITION STATISTICS (Iceberg spec §Partition
+    Statistics, the spec-evolved case [[iceberg_partition_stats]]'s
+    single-spec form refused until round 10): the partition struct is
+    the UNION of every spec's fields keyed by table-wide partition
+    field id, each manifest entry grouped under the spec IT was written
+    with — era-0 files (identity on o_orderstatus) fill only the status
+    slot, era-1 files (``year(o_orderdate)``, a NON-identity transform,
+    also newly in scope) fill only the year slot with the transform's
+    months-free years-since-1970 ordinal, and every row is stamped with
+    its OWN era's spec_id. The oracle replays both eras in SQL — a
+    current-spec-keyed rollup (the pre-fix bug) would collapse era-0
+    rows onto a null year tuple under spec 1 and hash-mismatch.
+
+    100 TB: spec evolution is how petabyte tables repartition; stats
+    that silently misgroup the old era would corrupt every skew /
+    small-file audit that reads them.
+
+    Reference parity: the reference (etl.py:1-191) has no lakehouse
+    layer; this extends the engine's own §2.10 Iceberg surface."""
+    import tempfile
+
+    from projectdatalake_spark.sources.iceberg_interop import IcebergTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate"
+    )
+    cut = F.lit("1997-01-01").cast("timestamp_ntz")
+    root = tempfile.mkdtemp(prefix="ice_pstats_uni_") + "/t"
+    t = IcebergTable.create(
+        spark, root,
+        o.filter(F.col("o_orderdate") < cut).repartition(
+            F.col("o_orderstatus")
+        ),
+        partition_by=("o_orderstatus",),
+    )
+    t.update_spec(("year(o_orderdate)",))
+    t.append(
+        o.filter(F.col("o_orderdate") >= cut).repartition(
+            F.year("o_orderdate")
+        )
+    )
+    t.write_partition_stats()
+    stats = t.read_partition_stats()
+    assert stats is not None
+    return stats.select(
+        F.col("partition.o_orderstatus").alias("o_orderstatus"),
+        F.col("partition.o_orderdate_year").cast("int").alias("od_year"),
+        F.col("spec_id").cast("int").alias("spec_id"),
+        "data_record_count",
+        "data_file_count",
+    )

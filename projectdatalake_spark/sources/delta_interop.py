@@ -131,6 +131,12 @@ class DeltaCommitConflict(Exception):
 # two formats share one probe machinery.
 _BLOOM_CONF_KEY = "graft.bloomFilterColumns"
 _BLOOM_TAG_PREFIX = "graft.bloom."
+# Engine-owned metadata domain (spec "Domain Metadata"): a log compaction
+# records the compacted range's last inCommitTimestamp here, because the
+# spec drops commitInfo from compaction files — without it a cleanup that
+# prunes the per-commit JSONs loses the ICT monotonic floor (see
+# compact_log / _ict_prev).
+_ICT_DOMAIN = "graft.ict"
 # merge prune collects each bloom key column's distinct update values
 # driver-side; beyond this the column's bloom test is skipped (the trickle-
 # CDC case the bloom exists for has far fewer keys than this)
@@ -367,14 +373,21 @@ class DeltaTable:
         return sorted(out)
 
     def latest_version(self) -> int:
+        # compaction ends count: after a cleanup prunes per-commit JSONs
+        # the compaction may be the only witness of the true tip — a
+        # writer that missed it would re-mint a version the compaction
+        # covers, and replay (which PREFERS compactions) would silently
+        # shadow the new commit (round-10 fix, pinned by
+        # test_ict_floor_survives_log_compaction_pruning)
         commits, checkpoints = self._log_files()
-        if not commits and not checkpoints:
+        comp_ends = [ce for _, ce in self._compaction_files()]
+        if not commits and not checkpoints and not comp_ends:
             raise FileNotFoundError(f"not a Delta table: {self.root}")
-        return max(commits + checkpoints)
+        return max(commits + checkpoints + comp_ends)
 
     def exists(self) -> bool:
         commits, checkpoints = self._log_files()
-        return bool(commits or checkpoints)
+        return bool(commits or checkpoints or self._compaction_files())
 
     # --- replay -----------------------------------------------------------
 
@@ -494,9 +507,9 @@ class DeltaTable:
 
     def _state(self, version: int | None = None) -> dict:
         commits, checkpoints = self._log_files()
-        if not commits and not checkpoints:
+        if not commits and not checkpoints and not self._compaction_files():
             raise FileNotFoundError(f"not a Delta table: {self.root}")
-        tip = max(commits + checkpoints) if version is None else version
+        tip = self.latest_version() if version is None else version
         state = self._empty_state()
         # replay from the newest checkpoint ≤ tip (O(tail) replay; also the
         # only path when older JSON commits have been pruned)
@@ -571,6 +584,7 @@ class DeltaTable:
         removes: dict[str, dict] = {}
         txns: dict[str, dict] = {}
         domains: dict[str, dict] = {}
+        last_ict: tuple[int, int] | None = None  # (version, ict)
         for v in range(start, end + 1):
             for a in self._commit_actions(v):
                 if "add" in a:
@@ -589,6 +603,25 @@ class DeltaTable:
                     txns[a["txn"]["appId"]] = a["txn"]
                 elif "domainMetadata" in a:
                     domains[a["domainMetadata"]["domain"]] = a["domainMetadata"]
+                elif "commitInfo" in a and "inCommitTimestamp" in a["commitInfo"]:
+                    last_ict = (v, int(a["commitInfo"]["inCommitTimestamp"]))
+        if last_ict is not None:
+            # carry the range's LAST in-commit timestamp in an engine-owned
+            # domain: commitInfo is dropped per spec, so once a cleanup
+            # deletes the per-commit JSONs the ICT monotonic floor would
+            # otherwise be unrecoverable inside the range — the next
+            # commit's _ict_prev would floor at wall clock and could
+            # regress under clock skew (round-10 fix; delta-spark keeps
+            # the analogous high-water marks in domains too)
+            domains[_ICT_DOMAIN] = {
+                "domain": _ICT_DOMAIN,
+                "configuration": json.dumps(
+                    {"version": last_ict[0],
+                     "lastInCommitTimestamp": last_ict[1]},
+                    separators=(",", ":"),
+                ),
+                "removed": False,
+            }
         actions: list[dict] = []
         if proto is not None:
             actions.append({"protocol": proto})
@@ -629,7 +662,12 @@ class DeltaTable:
         for foreign writers that omitted commitInfo). The sequence stays
         monotonic across the boundary because the enablement commit's ICT
         is floored at prev commitInfo timestamp + 1. Raises if the
-        timestamp predates the table."""
+        timestamp predates the table, and — round-10 fix — if it lands
+        INSIDE a pruned range (per-commit JSONs cleaned up over a
+        compaction or checkpoint carry no commitInfo, so the true
+        in-range resolution is unrecoverable; delta-spark likewise fails
+        time travel past cleaned logs — a silent answer here would be
+        the PRE-range version, off by up to the whole range)."""
         best = None
         for h in self.history():
             t = h.get("inCommitTimestamp", h.get("timestamp"))
@@ -643,6 +681,22 @@ class DeltaTable:
         if best is None:
             raise ValueError(
                 f"timestamp {ts_millis} predates the table's first commit"
+            )
+        # gap guard: history() only sees versions whose JSON survives. If
+        # the NEXT version after the resolved one was pruned, ts_millis
+        # sits before the next SURVIVING commit's timestamp (else that
+        # commit would have resolved) — i.e. inside the pruned gap, where
+        # the true answer may be any of the cleaned-away versions.
+        surviving = set(self._log_files()[0])
+        nxt = best + 1
+        if nxt <= self.latest_version() and nxt not in surviving:
+            raise ValueError(
+                f"timestamp {ts_millis} falls inside a cleaned-up log "
+                f"range after version {best}: the per-commit files that "
+                f"would resolve it were pruned (compaction/checkpoint "
+                f"replay keeps the DATA readable, but commit timestamps "
+                f"are not reconstructible) — time travel by version, or "
+                f"use a timestamp at or after the next surviving commit"
             )
         return best
 
@@ -1521,21 +1575,58 @@ class DeltaTable:
         timestamp). One small JSON read — the previous commit's commitInfo
         carries the answer by induction (every post-enablement commit
         stamps ``inCommitTimestamp``). If the previous commit file was
-        pruned past a checkpoint (commitInfo is not checkpointed), fall
-        back to the table configuration at that version."""
+        pruned (cleanup over a compacted range, or past a checkpoint —
+        commitInfo lives in neither), the monotonic floor is RECOVERED
+        from surviving evidence instead of silently dropping to None
+        (which would floor the next ICT at wall clock and let it regress
+        under clock skew): the newest surviving commitInfo, the
+        ``graft.ict`` domain a compaction carries for its pruned range,
+        and the enablement-timestamp table property — max of all three
+        (round-10 fix)."""
         if version <= 0:
             return (False, None)
+        # a pruned file is a deterministic absence — skip _commit_actions'
+        # torn-write retry loop (40 × backoff) with one exists() probe
+        prev = self._path(f"{self.root}/{_LOG}/{version - 1:020d}.json")
+        if not self._fs().exists(prev):
+            return self._ict_recover(version - 1)
         try:
             acts = self._commit_actions(version - 1)
         except Exception:
-            conf = (self._state(version - 1)["metaData"] or {}).get(
-                "configuration"
-            ) or {}
-            return (conf.get("delta.enableInCommitTimestamps") == "true", None)
+            return self._ict_recover(version - 1)
         ci = next((a["commitInfo"] for a in acts if "commitInfo" in a), {})
         if "inCommitTimestamp" in ci:
             return (True, int(ci["inCommitTimestamp"]))
         return (False, ci.get("timestamp"))
+
+    def _ict_recover(self, upto: int) -> tuple[bool, int | None]:
+        """ICT floor for a pruned log tip: (enabled at ``upto``, the best
+        recoverable floor ≤ the true last ICT). Every source is a valid
+        floor — commits are monotonic — so max() can only tighten it."""
+        state = self._state(upto)
+        conf = (state["metaData"] or {}).get("configuration") or {}
+        if conf.get("delta.enableInCommitTimestamps") != "true":
+            return (False, None)
+        floors: list[int] = []
+        commits, _ = self._log_files()
+        for v in sorted((c for c in commits if c <= upto), reverse=True):
+            try:
+                acts = self._commit_actions(v)
+            except Exception:
+                continue
+            ci = next(
+                (a["commitInfo"] for a in acts if "commitInfo" in a), {}
+            )
+            if "inCommitTimestamp" in ci:
+                floors.append(int(ci["inCommitTimestamp"]))
+            break  # older survivors only have older (looser) floors
+        dom = state["domains"].get(_ICT_DOMAIN)
+        if dom:
+            floors.append(int(json.loads(dom)["lastInCommitTimestamp"]))
+        et = conf.get("delta.inCommitTimestampEnablementTimestamp")
+        if et is not None:
+            floors.append(int(et))
+        return (True, max(floors) if floors else None)
 
     def _stamp_in_commit_timestamp(
         self, version: int, actions: list[dict]

@@ -1472,18 +1472,27 @@ class IcebergTable:
 
     def write_partition_stats(self) -> str:
         """PARTITION STATISTICS file (spec §Partition Statistics): one
-        parquet row per partition of the CURRENT snapshot — spec field
-        ids 1-5 (partition struct keyed by the spec's partition-field
-        ids, spec_id, data_record_count, data_file_count,
+        parquet row per (spec_id, partition) of the CURRENT snapshot —
+        spec field ids 1-5 (partition struct with the UNIFIED partition
+        type: every partition field that appears in ANY of the table's
+        specs, deduplicated by table-wide partition-field id and sorted
+        by that id ascending, the spec's rule for spec-evolved tables;
+        then spec_id, data_record_count, data_file_count,
         total_data_file_size_in_bytes; the optional delete-count fields
         are omitted, which the spec allows) — registered under table
-        metadata's ``partition-statistics`` list. Computed ENTIRELY from
-        manifest entries (no data file opened) and written driver-side
-        via pyarrow: the rollup is O(partitions), metadata-sized — a
-        table with driver-hostile partition cardinality would build the
-        same rows with one Spark aggregate over inspect("files").
-        Identity transforms only (a unified multi-spec tuple is not
-        implemented — refused loudly)."""
+        metadata's ``partition-statistics`` list. Each manifest entry's
+        tuple is interpreted under the spec IT was written with (name
+        lookup per era; positions absent from that era are null) and
+        stamped with that entry's spec_id — never the current spec's,
+        which on a spec-evolved table would silently misgroup old-era
+        files. Non-identity transforms are supported directly: the
+        manifest tuple already stores the TRANSFORMED value (bucket
+        ordinal, months-since-epoch, truncated prefix), typed by the
+        transform's result type. Computed ENTIRELY from manifest
+        entries (no data file opened) and written driver-side via
+        pyarrow: the rollup is O(partitions), metadata-sized — a table
+        with driver-hostile partition cardinality would build the same
+        rows with one Spark aggregate over inspect("files")."""
         import io
 
         import pyarrow as pa
@@ -1495,18 +1504,34 @@ class IcebergTable:
             raise IcebergProtocolError(
                 "cannot write partition stats for an empty table"
             )
-        spec = self._current_spec(meta)
-        resolved = _spec_part_fields(meta, spec)
-        if any(p["transform"] != "identity" for p in resolved):
-            raise IcebergProtocolError(
-                "partition stats: only identity transforms are supported "
-                "by this writer"
-            )
+        # UNIFIED partition type: union of every spec's fields, keyed by
+        # the table-wide partition-field id (update_spec never reuses
+        # ids; a field shared across specs keeps one id). Name/type for
+        # a shared id come from the LATEST spec carrying it (spec rule).
+        specs = sorted(meta["partition-specs"], key=lambda s: s["spec-id"])
+        unified: dict[int, dict] = {}
+        names_by_spec: dict[int, dict[int, str]] = {}
+        for s in specs:
+            resolved = _spec_part_fields(meta, s)
+            names_by_spec[int(s["spec-id"])] = {
+                int(sf["field-id"]): sf["name"] for sf in s["fields"]
+            }
+            for p, sf in zip(resolved, s["fields"]):
+                unified[int(sf["field-id"])] = {
+                    "pname": p["pname"],
+                    "result_type": p["result_type"],
+                }
+        fids = sorted(unified)
         entries, _ = self._entries_for_snapshot(meta, None)
+        # group by (spec_id, unified tuple) — Iceberg's PartitionMap key
         agg: dict[tuple, list[int]] = {}
         for e in entries:
             part = e["data_file"].get("partition") or {}
-            key = tuple(part.get(p["pname"]) for p in resolved)
+            spec_id = int(e["_spec_id"])
+            names = names_by_spec[spec_id]
+            key = (spec_id,) + tuple(
+                part.get(names[f]) if f in names else None for f in fids
+            )
             a = agg.setdefault(key, [0, 0, 0])
             a[0] += int(e["data_file"]["record_count"])
             a[1] += 1
@@ -1522,11 +1547,11 @@ class IcebergTable:
 
         part_fields = [
             pa.field(
-                p["pname"],
-                _PA.get(p["result_type"], pa.string()),
-                metadata=fid(sf["field-id"]),
+                unified[f]["pname"],
+                _PA.get(unified[f]["result_type"], pa.string()),
+                metadata=fid(f),
             )
-            for p, sf in zip(resolved, spec["fields"])
+            for f in fids
         ]
         schema = pa.schema(
             [
@@ -1544,9 +1569,10 @@ class IcebergTable:
         tbl = pa.Table.from_pydict(
             {
                 "partition": [
-                    {p["pname"]: v for p, v in zip(resolved, k)} for k in keys
+                    {unified[f]["pname"]: v for f, v in zip(fids, k[1:])}
+                    for k in keys
                 ],
-                "spec_id": [int(spec["spec-id"])] * len(keys),
+                "spec_id": [k[0] for k in keys],
                 "data_record_count": [agg[k][0] for k in keys],
                 "data_file_count": [agg[k][1] for k in keys],
                 "total_data_file_size_in_bytes": [agg[k][2] for k in keys],

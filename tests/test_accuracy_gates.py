@@ -1181,3 +1181,34 @@ def test_power_iteration_converges_to_eigh(spark):
     top = evecs[:, int(np.argmax(evals))]
     assert abs(float(np.dot(v, top))) > 1.0 - 1e-9
     assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-12
+
+def test_kll_resume_bitwise_determinism():
+    """A round-tripped sketch that receives FURTHER updates stays bitwise
+    equal to the live original — requires the alternating-selector phase
+    (_coin) to ride in the graft-kll-v1 blob (round-10 fix): without it a
+    resumed sketch restarts the selector and diverges on its next
+    compaction. Pre-round-10 blobs (no trailing byte) still parse, with
+    the constructor's phase."""
+    import numpy as np
+
+    from projectdatalake_spark.operators.aggregates import KLLSketch
+
+    rng = np.random.default_rng(11)
+    data = rng.normal(size=20_000)
+    live = KLLSketch(k=64)
+    live.update_many(data[:10_000])
+    assert not live.is_exact()
+    # park the selector at phase 1 so a reset-to-0 bug cannot hide
+    i = 0
+    while live._coin != 1:
+        live.update(float(data[i]))
+        i += 1
+    resumed = KLLSketch.from_bytes(live.to_bytes())
+    assert resumed._coin == live._coin == 1
+    live.update_many(data[10_000:])
+    resumed.update_many(data[10_000:])
+    assert live.to_bytes() == resumed.to_bytes()
+    # back-compat: a phase-less (pre-round-10) blob parses with phase 0
+    legacy = KLLSketch.from_bytes(live.to_bytes()[:-1])
+    assert legacy._coin == 0 and legacy.n == live.n
+    assert legacy.compactors == live.compactors

@@ -1851,3 +1851,41 @@ def test_identity_merge_inherits_and_allocates(spark, root):
             spark.createDataFrame([(0, 1), (0, 2)], "k long, seg int"),
             keys=["k"], identity_order=_ID_POLICY,
         )
+
+
+def test_ict_floor_survives_log_compaction_pruning(spark, root, monkeypatch):
+    """Round-10: (a) compact_log carries the range's last inCommitTimestamp
+    in the engine-owned graft.ict domain (commitInfo is dropped per spec),
+    so after a cleanup prunes the per-commit JSONs the NEXT commit recovers
+    the monotonic floor — under a dead wall clock its ICT must still land
+    exactly one above the pruned range's last; (b) version_at REFUSES a
+    timestamp inside the pruned gap instead of silently resolving to the
+    pre-gap version (delta-spark likewise fails time travel past cleaned
+    logs)."""
+    import projectdatalake_spark.sources.delta_interop as D
+
+    t = DeltaTable.create(spark, root, _df(spark, 0, 30))   # v0
+    t.enable_in_commit_timestamps()                          # v1
+    t.append(_df(spark, 30, 40))                             # v2
+    t.append(_df(spark, 40, 50))                             # v3
+    hist = {h["version"]: h for h in t.history()}
+    ts0 = hist[0]["timestamp"]
+    ict3 = hist[3]["inCommitTimestamp"]
+    t.compact_log(1, 3)
+    fs = t._fs()
+    for v in range(1, 4):
+        assert fs.delete(t._path(f"{root}/_delta_log/{v:020d}.json"), False)
+    # clock skew: the wall clock collapses below every pruned ICT
+    monkeypatch.setattr(D.time, "time", lambda: 0.001)
+    fresh = DeltaTable(spark, root)
+    fresh.append(_df(spark, 50, 60))                         # v4
+    h4 = {h["version"]: h for h in fresh.history()}[4]
+    assert h4["inCommitTimestamp"] == ict3 + 1  # domain floor, not wall clock
+    # monotonic through ANOTHER post-prune commit (floor now from v4's JSON)
+    fresh.append(_df(spark, 60, 70))                         # v5
+    h5 = {h["version"]: h for h in fresh.history()}[5]
+    assert h5["inCommitTimestamp"] == ict3 + 2
+    # version_at: tip resolves, inside the pruned gap refuses loudly
+    assert fresh.version_at(h5["inCommitTimestamp"]) == 5
+    with pytest.raises(ValueError, match="cleaned-up log range"):
+        fresh.version_at(ts0)
