@@ -18368,3 +18368,88 @@ def iceberg_partition_stats_unified(spark: SparkSession, sf_dir: str) -> DataFra
         "data_record_count",
         "data_file_count",
     )
+
+
+@query(
+    "decimal_widening_three_formats",
+    oracle="""
+    WITH era AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(25,2))
+             AS price
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                  + CAST('99999999999.99' AS DECIMAL(13,2))
+                  AS DECIMAL(25,2)) AS price
+      FROM orders WHERE o_orderkey % 2 = 1
+    ), agg AS (
+      SELECT count(*) AS n,
+             CAST(sum(price) AS VARCHAR) AS total,
+             CAST(min(price) AS VARCHAR) AS mn,
+             CAST(max(price) AS VARCHAR) AS mx
+      FROM era
+    )
+    SELECT 'delta' AS fmt, n, total, mn, mx FROM agg
+    UNION ALL SELECT 'iceberg', n, total, mn, mx FROM agg
+    UNION ALL SELECT 'txlog', n, total, mn, mx FROM agg
+    """,
+)
+def decimal_widening_three_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECIMAL PRECISION WIDENING in all three formats — the largest
+    declared type-system refusal through round 9, now closed: each
+    table is created with ``price decimal(12,2)`` (narrow era), widened
+    METADATA-ONLY to ``decimal(25,2)`` (Delta ``widen_column`` under
+    the typeWidening feature's decimal rule p+k1,s+k2 with k1 ≥ k2 ≥ 0;
+    Iceberg ``promote_column`` under the spec's precision-only
+    decimal(P,S) → decimal(P',S) rule; txlog ``widen_column`` through
+    the same fold), then appended a wide era whose values OVERFLOW
+    decimal(12,2) — so a reader that failed to promote the narrow
+    pages, or a widener that rewrote anything, would break the exact
+    string-rendered sum/min/max the oracle replays (no double
+    rounding anywhere: totals compare as decimal strings).
+
+    100 TB: financial schemas widen decimal(p,s) constantly; the whole
+    point is ZERO data files touched — one metadata commit per format.
+
+    Reference parity: the reference (etl.py:1-191) has no schema
+    evolution; this extends the engine's own §2.10 lakehouse surface."""
+    import tempfile
+
+    from projectdatalake_spark.sources.delta_interop import DeltaTable
+    from projectdatalake_spark.sources.iceberg_interop import IcebergTable
+    from projectdatalake_spark.sources.txlog import TxTable
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    narrow = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price")
+    )
+    wide = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        (
+            F.col("o_totalprice").cast("decimal(12,2)")
+            + F.lit("99999999999.99").cast("decimal(13,2)")
+        ).cast("decimal(25,2)").alias("price")
+    )
+
+    def agg(df: DataFrame, fmt: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("price").cast("string").alias("total"),
+            F.min("price").cast("string").alias("mn"),
+            F.max("price").cast("string").alias("mx"),
+        ).select(F.lit(fmt).alias("fmt"), "n", "total", "mn", "mx")
+
+    base = tempfile.mkdtemp(prefix="dec_widen_")
+    dt = DeltaTable.create(spark, base + "/delta", narrow.repartition(4))
+    dt.widen_column("price", "decimal(25,2)")
+    dt.append(wide.repartition(4))
+    it = IcebergTable.create(spark, base + "/ice/t", narrow.repartition(4))
+    it.promote_column("price", "decimal(25, 2)")
+    it.append(wide.repartition(4))
+    tt = TxTable.create(spark, base + "/txlog", narrow.repartition(4))
+    tt.widen_column("price", "decimal(25,2)")
+    tt.append(wide.repartition(4))
+    return (
+        agg(dt.snapshot(), "delta")
+        .unionByName(agg(it.snapshot(), "iceberg"))
+        .unionByName(agg(tt.snapshot(), "txlog"))
+    )

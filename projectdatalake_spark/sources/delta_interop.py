@@ -42,6 +42,7 @@ lakehouse semantics.
 from __future__ import annotations
 
 import json
+import re
 import time
 import urllib.parse
 import uuid
@@ -166,6 +167,12 @@ def _file_path_raw(col):
             F.regexp_replace(col, "^file:", ""), r"\+", "%2B"
         )
     )
+
+
+def _decimal_params_d(t: str) -> tuple[int, int] | None:
+    """(precision, scale) when ``t`` spells a decimal, else None."""
+    m = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", t.strip())
+    return (int(m.group(1)), int(m.group(2))) if m else None
 
 
 def _stats_scalar(v):
@@ -1957,10 +1964,26 @@ class DeltaTable:
                 (f for f in self._WIDEN_FAMILIES if cur in f and to_type in f),
                 None,
             )
-            if fam is None or fam.index(cur) >= fam.index(to_type):
+            dec_ok = False
+            if fam is None:
+                # PROTOCOL.md Type Widening, the decimal rule:
+                # decimal(p,s) → decimal(p+k1, s+k2) with k1 ≥ k2 ≥ 0 —
+                # integer headroom (p−s) never shrinks, every stored
+                # value still fits (round 10; refused through round 9)
+                da = _decimal_params_d(cur) if isinstance(cur, str) else None
+                db = _decimal_params_d(to_type)
+                dec_ok = (
+                    da is not None and db is not None
+                    and db[0] - da[0] >= db[1] - da[1] >= 0
+                    and (da != db) and db[0] <= 38
+                )
+            if not dec_ok and (
+                fam is None or fam.index(cur) >= fam.index(to_type)
+            ):
                 raise DeltaProtocolError(
                     f"widen_column: {cur} → {to_type} is not a supported "
-                    f"widening (families: {self._WIDEN_FAMILIES})"
+                    f"widening (families: {self._WIDEN_FAMILIES}; decimals "
+                    f"widen to p+k1,s+k2 with k1 ≥ k2 ≥ 0, p ≤ 38)"
                 )
             v = state["version"] + 1
             field["type"] = to_type

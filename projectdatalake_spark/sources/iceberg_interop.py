@@ -302,15 +302,40 @@ def _bounds_map_schema(rec_name: str, key_id: int, value_id: int) -> dict:
     }
 
 
+def _decimal_params_i(t: str) -> tuple[int, int] | None:
+    """(precision, scale) when the Iceberg type string spells a decimal
+    (``decimal(P, S)``, space-tolerant), else None."""
+    import re
+
+    m = re.fullmatch(r"decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)", t.strip())
+    return (int(m.group(1)), int(m.group(2))) if m else None
+
+
 def _encode_bound(value, ice_type: str) -> bytes | None:
     """Iceberg single-value binary serialization (spec Appendix D):
     little-endian fixed-width numerics, UTF-8 strings, date as LE int
-    days. Types outside this set return None (bound omitted)."""
+    days, decimal as the unscaled value in minimal-length two's-
+    complement BIG-endian bytes. Types outside this set return None
+    (bound omitted)."""
     import datetime
     import struct as _struct
 
     if value is None:
         return None
+    dec = _decimal_params_i(ice_type) if ice_type.startswith("decimal") else None
+    if dec is not None:
+        import decimal as _dec
+
+        # minimal two's-complement length keeps the encoding precision-
+        # independent: promote_column(decimal(P,S) → decimal(P',S))
+        # leaves every stored bound byte-valid (length-aware decode)
+        unscaled = int(
+            _dec.Decimal(value).scaleb(dec[1]).to_integral_value(
+                rounding=_dec.ROUND_HALF_EVEN
+            )
+        )
+        nbytes = max(1, (unscaled.bit_length() + 8) // 8)
+        return unscaled.to_bytes(nbytes, "big", signed=True)
     if ice_type == "int":
         return _struct.pack("<i", int(value))
     if ice_type == "long":
@@ -352,6 +377,16 @@ def _decode_bound(data: bytes, ice_type: str):
         return data == b"\x01"
     if ice_type == "string":
         return data.decode("utf-8")
+    dec = _decimal_params_i(ice_type) if ice_type.startswith("decimal") else None
+    if dec is not None:
+        import decimal as _dec
+
+        # length-aware by construction (minimal two's-complement): bounds
+        # written under decimal(P,S) stay valid after promotion to
+        # decimal(P',S) — same scale, same unscaled integer
+        return _dec.Decimal(
+            int.from_bytes(data, "big", signed=True)
+        ).scaleb(-dec[1])
     return None
 
 
@@ -2439,9 +2474,10 @@ class IcebergTable:
         ]
         return self._commit_schema(meta, new_fields, last_column_id=fid, version=v)
 
-    # spec "Schema Evolution": the only allowed primitive promotions
-    # this writer performs (decimal precision widening would also be
-    # legal; unimplemented)
+    # spec "Schema Evolution": the allowed primitive promotions — the
+    # fixed pairs below plus decimal(P,S) → decimal(P',S) with P' > P
+    # (precision-only, SAME scale — the spec's decimal rule; checked in
+    # promote_column via _decimal_params_i since it's parameterized)
     _PROMOTIONS = {("int", "long"), ("float", "double")}
 
     def promote_column(self, name: str, to_type: str) -> int:
@@ -2469,11 +2505,24 @@ class IcebergTable:
         field = next((f for f in ice["fields"] if f["name"] == name), None)
         if field is None:
             raise KeyError(name)
-        if (field["type"], to_type) not in self._PROMOTIONS:
+        ok = (field["type"], to_type) in self._PROMOTIONS
+        if not ok and isinstance(field["type"], str):
+            # decimal(P,S) → decimal(P',S), P' > P (precision-only — the
+            # spec keeps the SCALE, which is also what keeps old
+            # manifests' unscaled-int bounds valid: the stored bytes
+            # decode to the same value under either precision)
+            da = _decimal_params_i(field["type"])
+            db = _decimal_params_i(to_type)
+            ok = (
+                da is not None and db is not None
+                and da[1] == db[1] and db[0] > da[0] and db[0] <= 38
+            )
+        if not ok:
             raise IcebergProtocolError(
                 f"promote_column: {field['type']} → {to_type} is not a "
-                f"valid Iceberg primitive promotion "
-                f"(allowed: {sorted(self._PROMOTIONS)})"
+                f"valid Iceberg primitive promotion (allowed: "
+                f"{sorted(self._PROMOTIONS)} and decimal(P,S) → "
+                f"decimal(P',S) with P' > P ≤ 38)"
             )
         new_fields = [
             {**f, "type": to_type} if f["name"] == name else dict(f)
@@ -3526,12 +3575,19 @@ class IcebergTable:
             "int", "long", "float", "double", "string", "boolean",
             "date", "timestamp", "timestamptz",
         }
+
+        def _can_bound(t: str) -> bool:
+            # decimals bound via Appendix D's unscaled two's-complement
+            # bytes (round 10) — minimal-length, so precision promotion
+            # never invalidates them
+            return t in boundable or _decimal_params_i(t) is not None
+
         bound_types = {
             f["name"]: f["type"]
             for f in ice_fields
             if isinstance(f["type"], str)
             and f["name"] not in identity_sources
-            and f["type"] in boundable
+            and _can_bound(f["type"])
         }
         for name, (fid, itype) in (extra_fields or {}).items():
             fid_of[name] = fid

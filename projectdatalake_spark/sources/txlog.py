@@ -212,11 +212,29 @@ def _widen_rank(t: str) -> tuple[int, int] | None:
     return None
 
 
+def _decimal_params(t: str) -> tuple[int, int] | None:
+    """(precision, scale) when ``t`` spells a decimal, else None."""
+    import re
+
+    m = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", t.strip())
+    return (int(m.group(1)), int(m.group(2))) if m else None
+
+
 def _widens_to(frm: str, to: str) -> bool:
     """True when a value/file of type ``frm`` may be read/written where
-    ``to`` is declared (same family, equal or wider)."""
+    ``to`` is declared (same family, equal or wider). Decimals widen per
+    the Delta type-widening rule: decimal(p,s) → decimal(p+k1, s+k2)
+    with k1 ≥ k2 ≥ 0 — integer headroom (p−s) never shrinks, so every
+    stored value still fits, and Spark's parquet readers rescale narrow
+    pages under the declared wide schema natively (round-10; the
+    engine's largest declared type-system refusal until then)."""
     a, b = _widen_rank(frm), _widen_rank(to)
-    return a is not None and b is not None and a[0] == b[0] and a[1] <= b[1]
+    if a is not None and b is not None:
+        return a[0] == b[0] and a[1] <= b[1]
+    da, db = _decimal_params(frm), _decimal_params(to)
+    if da is not None and db is not None:
+        return db[0] - da[0] >= db[1] - da[1] >= 0 and db[0] <= 38
+    return False
 
 
 # Bloom sizing: 8192 bits / 2 hash functions → FPR ≈ (1-e^(-2n/8192))²,
@@ -1610,7 +1628,8 @@ class TxTable:
         if not _widens_to(cur, to_type):
             raise ValueError(
                 f"widen_column: {cur} → {to_type} is not a supported "
-                f"widening (families: {_WIDEN_FAMILIES})"
+                f"widening (families: {_WIDEN_FAMILIES}; decimals widen "
+                f"to p+k1,s+k2 with k1 ≥ k2 ≥ 0, p ≤ 38)"
             )
         return self._publish(
             "widen_column", adds=[], removes=[],

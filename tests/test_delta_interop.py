@@ -1889,3 +1889,44 @@ def test_ict_floor_survives_log_compaction_pruning(spark, root, monkeypatch):
     assert fresh.version_at(h5["inCommitTimestamp"]) == 5
     with pytest.raises(ValueError, match="cleaned-up log range"):
         fresh.version_at(ts0)
+
+
+def test_widen_decimal_records_type_changes(spark, root):
+    """Round-10: the typeWidening decimal rule — decimal(p,s) →
+    decimal(p+k1, s+k2), k1 ≥ k2 ≥ 0 — widens metadata-only, records
+    delta.typeChanges, and reads overflow-of-narrow values next to
+    promoted narrow pages."""
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [(1, Decimal("123.45")), (2, Decimal("67.89"))],
+        "id int, price decimal(12,2)",
+    )
+    t = DeltaTable.create(spark, root, df)
+    v = t.widen_column("price", "decimal(25,2)")
+    t.append(
+        spark.createDataFrame(
+            [(3, Decimal("99999999999999999999999.99"))],
+            "id int, price decimal(25,2)",
+        )
+    )
+    got = t.snapshot()
+    assert dict(got.dtypes)["price"] == "decimal(25,2)"
+    vals = {r.id: str(r.price) for r in got.collect()}
+    assert vals == {
+        1: "123.45", 2: "67.89", 3: "99999999999999999999999.99"
+    }
+    schema_json = json.loads(t._state()["metaData"]["schemaString"])
+    fld = next(f for f in schema_json["fields"] if f["name"] == "price")
+    changes = fld["metadata"]["delta.typeChanges"]
+    assert changes == [
+        {"fromType": "decimal(12,2)", "toType": "decimal(25,2)",
+         "tableVersion": v}
+    ]
+    proto = t._state()["protocol"]
+    assert "typeWidening" in proto["readerFeatures"]
+    # refusals: same type, k1 < k2, scale shrink, p > 38
+    for bad in ("decimal(25,2)", "decimal(26,4)", "decimal(30,1)",
+                "decimal(40,2)"):
+        with pytest.raises(DeltaProtocolError):
+            t.widen_column("price", bad)

@@ -2259,9 +2259,60 @@ def test_partition_stats_file_shape(spark, tmp_path):
     t.write_partition_stats()
     got2 = t.read_partition_stats().collect()
     assert all(r["data_file_count"] == 2 for r in got2)
-    # non-identity transforms refused
+    # non-identity transforms: the manifest tuple stores the TRANSFORMED
+    # value (bucket ordinal), and the stats roll up per ordinal —
+    # supported since round 10 (previously refused)
     b = IcebergTable.create(
         spark, str(tmp_path / "b"), df, partition_by=("bucket(4, k)",)
     )
+    b.write_partition_stats()
+    brows = b.read_partition_stats().collect()
+    assert sum(r["data_record_count"] for r in brows) == 60
+    assert all(0 <= r["partition"]["k_bucket"] < 4 for r in brows)
+    assert all(r["spec_id"] == 0 for r in brows)
+
+
+def test_promote_decimal_precision_reads_and_prunes(spark, tmp_path):
+    """Round-10: the spec's decimal rule — decimal(P,S) → decimal(P',S),
+    P' > P, SAME scale — promotes metadata-only; old manifests' minimal-
+    length two's-complement decimal bounds stay byte-valid through the
+    promotion (same scale ⇒ same unscaled integers), so range pruning
+    keeps skipping narrow-era files."""
+    from decimal import Decimal
+
+    from projectdatalake_spark.sources.iceberg_interop import (
+        IcebergProtocolError,
+        IcebergTable,
+    )
+
+    narrow = spark.range(0, 50).select(
+        F.col("id").alias("k"),
+        (F.col("id").cast("decimal(10,2)") + F.lit("0.25").cast("decimal(3,2)"))
+        .cast("decimal(12,2)").alias("price"),
+    )
+    t = IcebergTable.create(spark, str(tmp_path / "t"), narrow.repartition(4))
+    t.promote_column("price", "decimal(25, 2)")
+    wide = spark.range(0, 10).select(
+        (F.col("id") + 100).alias("k"),
+        (F.col("id").cast("decimal(25,2)")
+         + F.lit("99999999999.99").cast("decimal(13,2)"))
+        .cast("decimal(25,2)").alias("price"),
+    )
+    t.append(wide.repartition(2))
+    got = t.snapshot()
+    assert dict(got.dtypes)["price"] == "decimal(25,2)"
+    assert got.count() == 60
+    assert str(got.agg(F.max("price")).collect()[0][0]) == "100000000008.99"
+    # pruning on the DECIMAL column: narrow-era bounds (written at
+    # decimal(12,2)) must still skip those files under the wide type
+    hi = t.snapshot(where={"price": (Decimal("99999999999.00"), None)})
+    assert hi.count() == 10
+    lo = t.snapshot(where={"price": (None, Decimal("1000.00"))})
+    assert lo.count() == 50
+    # refusals: scale change, precision shrink, p > 38
     with pytest.raises(IcebergProtocolError):
-        b.write_partition_stats()
+        t.promote_column("price", "decimal(30, 4)")
+    with pytest.raises(IcebergProtocolError):
+        t.promote_column("price", "decimal(12, 2)")
+    with pytest.raises(IcebergProtocolError):
+        t.promote_column("price", "decimal(40, 2)")

@@ -1949,3 +1949,44 @@ def test_txlog_optimize_materializes_row_ids(spark, tmp_path):
         if "/_dv/" not in f and "/_txlog/" not in f
     ]
     assert len(data_files) == 1, data_files  # only the batch-4 file opened
+
+
+def test_widen_decimal_precision_and_scale(spark, tmp_path):
+    """Round-10: decimal(p,s) widens to decimal(p+k1, s+k2) with
+    k1 ≥ k2 ≥ 0 (integer headroom never shrinks). Old narrow pages
+    promote under the declared wide read schema, a narrow-typed batch
+    stays a legal write after widening, and the illegal shapes refuse."""
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [(1, Decimal("123.45"))], "id int, price decimal(12,2)"
+    )
+    t = TxTable.create(spark, str(tmp_path / "wd"), df)
+    t.widen_column("price", "decimal(20,4)")  # k1=8 ≥ k2=2
+    t.append(
+        spark.createDataFrame(
+            [(2, Decimal("99999999999999.1234"))],
+            "id int, price decimal(20,4)",
+        )
+    )
+    # narrow batches remain legal writes (store narrow, read wide)
+    t.append(
+        spark.createDataFrame(
+            [(3, Decimal("7.89"))], "id int, price decimal(12,2)"
+        )
+    )
+    snap = t.snapshot()
+    assert dict(snap.dtypes)["price"] == "decimal(20,4)"
+    got = {r.id: str(r.price) for r in snap.collect()}
+    assert got == {
+        1: "123.4500", 2: "99999999999999.1234", 3: "7.8900"
+    }
+    # refusals: scale shrink, k1 < k2, precision past 38, cross-family
+    with pytest.raises(ValueError, match="not a supported widening"):
+        t.widen_column("price", "decimal(25,3)")  # scale shrink
+    with pytest.raises(ValueError, match="not a supported widening"):
+        t.widen_column("price", "decimal(21,6)")  # k1=1 < k2=2
+    with pytest.raises(ValueError, match="not a supported widening"):
+        t.widen_column("price", "decimal(40,4)")  # p > 38
+    with pytest.raises(ValueError, match="not a supported widening"):
+        t.widen_column("id", "decimal(12,2)")  # cross-family
