@@ -24,6 +24,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+# Cap on the per-node sorted fold array the order-pinned pagerank proof
+# rung materializes (one struct per incoming contribution): ~100k structs
+# ≈ tens of MB in one aggregation buffer — past it the provable form
+# refuses with a sizing instruction rather than risking a single-task OOM
+# on a hub node. The production F.sum path is unaffected.
+_PINNED_MAX_DEGREE = 100_000
+
 
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     """Undirected distinct edge set (u < v): parts sharing an order are
@@ -193,6 +200,23 @@ def pagerank(
         F.col("u").alias("src"), F.col("v").alias("dst")
     ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
     outdeg = directed.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    if order_pinned:
+        # the pinned fold materializes ONE sorted struct array per node,
+        # sized by that node's in-degree — bounded by the hub, not
+        # globally. Past _PINNED_MAX_DEGREE a hub's array becomes a
+        # single-task memory spike, so the provable form refuses loudly
+        # with the fix (the Theil-Sen guard discipline) instead of
+        # OOMing; the production F.sum form has no such limit.
+        hub = outdeg.agg(F.max("outdeg")).collect()[0][0] or 0
+        if hub > _PINNED_MAX_DEGREE:
+            raise ValueError(
+                f"pagerank(order_pinned=True): hub degree {hub:,} > "
+                f"{_PINNED_MAX_DEGREE:,} — the per-node sorted fold "
+                f"array would single-task that hub's contributions; "
+                f"use the default F.sum form (order_pinned=False), or "
+                f"split hub folds into degree-bounded chunks before "
+                f"raising the cap"
+            )
     links = directed.join(outdeg, "src").persist()
     n = outdeg.count()  # scalar cardinality, not data, on the driver
     ranks = outdeg.select(

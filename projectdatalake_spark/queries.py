@@ -13738,7 +13738,9 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the estimate from the union must agree with the estimate over the
     whole — pinned exactly here, and the estimate-vs-exact relative
     error is gated <= 5% in tests/test_aggregates_windows.py. Driver
-    records rows-only (binary sketches are not SQL-replayable).
+    records rows-only (binary sketches are not SQL-replayable); the
+    family's ORACLE lives in [[sketch_hll_registers_seeded]], which
+    replays the full register pipeline bitwise in SQL (round 10).
 
     100 TB: COUNT(DISTINCT) is a full shuffle of the key universe; a
     12-bit HLL is 2-4 KB per group, mergeable map-side, and the daily
@@ -18452,4 +18454,120 @@ def decimal_widening_three_formats(spark: SparkSession, sf_dir: str) -> DataFram
         agg(dt.snapshot(), "delta")
         .unionByName(agg(it.snapshot(), "iceberg"))
         .unionByName(agg(tt.snapshot(), "txlog"))
+    )
+
+
+@query(
+    "sketch_hll_registers_seeded",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             (user_id * 2654435761) % 4294967296 AS hv
+      FROM events
+    ), b AS (
+      SELECT event_type, hv % 64 AS bucket, hv // 64 AS w FROM h
+    ), r AS (
+      SELECT event_type, bucket,
+             max(CASE WHEN w = 0 THEN 27
+                      ELSE 27 - length(bin(w)) END) AS rho
+      FROM b GROUP BY event_type, bucket
+    ), folded AS (
+      SELECT event_type,
+             count(*) AS n_buckets,
+             sum(bucket * rho) AS reg_sum,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(
+                   list({'b': bucket, 'r': rho} ORDER BY bucket),
+                   x -> pow(CAST(2.0 AS DOUBLE), -x.r))),
+               (acc, x) -> acc + x) AS s_hit
+      FROM r GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_buckets AS INT) AS n_buckets,
+           CAST(reg_sum AS BIGINT) AS reg_sum,
+           round(CASE WHEN raw <= CAST(160.0 AS DOUBLE) AND n_buckets < 64
+                      THEN CAST(64.0 AS DOUBLE)
+                           * ln(CAST(64.0 AS DOUBLE)
+                                / CAST(64 - n_buckets AS DOUBLE))
+                      ELSE raw END, 10) AS est
+    FROM (
+      SELECT event_type, n_buckets, reg_sum,
+             CAST(0.709 AS DOUBLE) * CAST(4096.0 AS DOUBLE)
+             / (s_hit + (64 - n_buckets) * CAST(1.0 AS DOUBLE)) AS raw
+      FROM folded
+    )
+    """,
+)
+def sketch_hll_registers_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEEDED-REGISTER HLL PROOF RUNG — the oracle the HLL family lacked
+    ([[agg_hll_sketch]] rides Spark's DataSketches binaries, not SQL-
+    replayable; rows-only + error-gated): the full register pipeline —
+    hash → bucket/rho split → per-bucket max register → harmonic-mean
+    estimate — built from engine-replayable pieces. The hash is a
+    seeded Knuth multiplicative map (exact BIGINT math in both
+    engines), rho comes from bin()-length (both engines render minimal
+    binary), registers are integers (max is order-free), and the one
+    float reduction — Σ 2^-rho over the 64 registers — is an order-
+    PINNED fold in bucket order (the [[graph_pagerank]] float-fold
+    discipline), so the alpha·m²/S estimate is the same IEEE double
+    bitwise. reg_sum is an integer register checksum; any register
+    drift anywhere breaks the hash.
+
+    100 TB: this IS the HLL shape that matters at scale — 64 integer
+    registers per group, mergeable by per-bucket max, COUNT(DISTINCT)
+    without shuffling the key universe. The production family keeps
+    Spark's 12-bit DataSketches form; this rung proves the machinery.
+
+    Reference parity: the reference (etl.py:1-191) has no sketches;
+    engine-added §2.10 surface."""
+    e = _t(spark, sf_dir, "events")
+    h = e.select(
+        "event_type",
+        ((F.col("user_id") * F.lit(2654435761)) % F.lit(4294967296))
+        .alias("hv"),
+    )
+    b = h.select(
+        "event_type",
+        (F.col("hv") % 64).alias("bucket"),
+        F.shiftright("hv", 6).alias("w"),
+    )
+    r = b.groupBy("event_type", "bucket").agg(
+        F.max(
+            F.when(F.col("w") == 0, F.lit(27)).otherwise(
+                F.lit(27) - F.length(F.bin("w"))
+            )
+        ).alias("rho")
+    )
+    folded = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("int").alias("n_buckets"),
+        F.sum(F.col("bucket") * F.col("rho")).cast("long").alias("reg_sum"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("bucket"), F.col("rho")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + F.pow(F.lit(2.0), -x["rho"]),
+        ).alias("s_hit"),
+    )
+    raw = folded.withColumn(
+        "raw",
+        F.lit(0.709) * F.lit(4096.0)
+        / (F.col("s_hit") + (F.lit(64) - F.col("n_buckets")) * F.lit(1.0)),
+    )
+    # the standard small-range correction: below 2.5·m with empty
+    # registers, LINEAR COUNTING (m·ln(m/V), V = empty buckets) replaces
+    # the raw harmonic estimate — same CASE on both sides of the oracle
+    return raw.select(
+        "event_type",
+        "n_buckets",
+        "reg_sum",
+        F.round(
+            F.when(
+                (F.col("raw") <= F.lit(160.0)) & (F.col("n_buckets") < 64),
+                F.lit(64.0)
+                * F.log(F.lit(64.0) / (F.lit(64) - F.col("n_buckets")).cast("double")),
+            ).otherwise(F.col("raw")),
+            10,
+        ).alias("est"),
     )

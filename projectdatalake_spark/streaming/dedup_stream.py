@@ -222,6 +222,41 @@ def _compact_index(
     _gc_below(spark, base_root, "w=", watermark)
 
 
+def _kll_should_compact(
+    spark: SparkSession,
+    banded_root: str,
+    small_bytes: int,
+    min_files: int,
+) -> bool:
+    """STATS-DRIVEN compaction decision (round 10, the [[stream_kll_
+    quantiles]] machinery applied to index maintenance): sketch the
+    LIVE banded-index file sizes — a recursive fs LISTING, metadata
+    only, bounded because compaction itself bounds the live count —
+    into a KLL quantile sketch and trigger when the MEDIAN file size
+    sits at or below ``small_bytes`` with at least ``min_files`` live
+    files. Small-file degradation is the actual failure mode a
+    schedule can only approximate: a bursty stream degrades faster
+    than its batch count, a sparse one slower. The sketch is exact
+    below k (file counts here are bounded ≪ k) and mergeable above —
+    the same shelf contract every other stats consumer rides."""
+    from projectdatalake_spark.operators.aggregates import KLLSketch
+
+    fs, hroot, _ = _fs(spark, banded_root)
+    if not fs.exists(hroot):
+        return False
+    sizes: list[int] = []
+    it = fs.listFiles(hroot, True)
+    while it.hasNext():
+        st = it.next()
+        if st.getPath().getName().endswith(".parquet"):
+            sizes.append(st.getLen())
+    if len(sizes) < min_files:
+        return False
+    sk = KLLSketch(k=max(8, 2 * len(sizes)))  # exact mode at this grain
+    sk.update_many(sizes)
+    return sk.quantile_disc(0.5) <= small_bytes
+
+
 def minhash_dedup_stream(
     docs_stream: DataFrame,
     index_dir: str,
@@ -232,6 +267,7 @@ def minhash_dedup_stream(
     bands: int = 8,
     available_now: bool = True,
     compact_every: int | None = 16,
+    compact_stats: dict | None = None,
 ):
     """Start the streaming dedup query over a (doc_id, text) stream.
     Pairs land under ``pairs_dir/batch_id=N``; the index accumulates
@@ -244,6 +280,15 @@ def minhash_dedup_stream(
     discovery order, not doc id, so a later batch may carry smaller ids
     — both join directions are taken and pairs canonicalize to
     (least, greatest).
+
+    ``compact_stats`` (round 10) switches maintenance from the fixed
+    ``compact_every`` schedule to a STATS-DRIVEN policy: each trigger
+    sketches the live banded file sizes (KLL over an fs listing) and
+    compacts when the median falls to ``small_bytes`` with at least
+    ``min_files`` live files — degradation-triggered, so a bursty
+    stream compacts when it actually needs to and a sparse one never
+    pays for a schedule it doesn't fill. Keys: ``small_bytes``
+    (default 1 MiB), ``min_files`` (default 2×buckets).
 
     100 TB: the recurring cost is the batch's band rows joined against
     ONLY the index buckets they hash into — the banded index lives
@@ -302,7 +347,25 @@ def minhash_dedup_stream(
             b_sh.write.mode("overwrite").parquet(
                 f"{index_dir}/shingles/batch_id={batch_id}"
             )
-            if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            if compact_stats is not None:
+                # stats-driven policy REPLACES the schedule: compact when
+                # the live banded file-size median degrades (KLL over an
+                # fs listing — see _kll_should_compact)
+                do_compact = batch_id > 0 and _kll_should_compact(
+                    spark,
+                    f"{index_dir}/banded",
+                    small_bytes=compact_stats.get("small_bytes", 1 << 20),
+                    min_files=compact_stats.get(
+                        "min_files", 2 * _N_BUCKETS
+                    ),
+                )
+            else:
+                do_compact = bool(
+                    compact_every
+                    and batch_id > 0
+                    and batch_id % compact_every == 0
+                )
+            if do_compact:
                 # fold strictly-prior batches; this batch's fresh dirs stay
                 _compact_index(
                     spark, f"{index_dir}/banded", _BANDED_SCHEMA,

@@ -1212,3 +1212,117 @@ def test_kll_resume_bitwise_determinism():
     legacy = KLLSketch.from_bytes(live.to_bytes()[:-1])
     assert legacy._coin == 0 and legacy.n == live.n
     assert legacy.compactors == live.compactors
+
+def test_pagerank_pinned_hub_degree_guard(spark, monkeypatch):
+    """The order-pinned pagerank proof rung is hub-degree-GUARDED: past
+    _PINNED_MAX_DEGREE the per-node sorted fold array would single-task
+    a hub's contributions, so it must refuse with a sizing instruction
+    (the Theil-Sen guard discipline); the production F.sum form keeps
+    working on the same graph."""
+    import pytest
+
+    from projectdatalake_spark.operators import graph as G
+
+    star = spark.range(1, 25).select(
+        F.lit(0).alias("u"), F.col("id").alias("v")
+    )
+    monkeypatch.setattr(G, "_PINNED_MAX_DEGREE", 10)
+    with pytest.raises(ValueError, match="hub degree"):
+        G.pagerank(star, iterations=2, order_pinned=True).collect()
+    # the production form is unaffected by the guard
+    assert G.pagerank(star, iterations=2).count() == 25
+
+def test_hll_seeded_registers_estimate_accuracy(spark):
+    """The seeded-register HLL rung's estimate must land inside the
+    m=64 error envelope (σ ≈ 1.04/√64 = 13%) against exact NDV —
+    the rung proves replayability; this gates that it still estimates."""
+    from projectdatalake_spark import queries as Q
+
+    est = {
+        r.event_type: r.est
+        for r in Q.QUERIES["sketch_hll_registers_seeded"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for et, n in exact.items():
+        assert abs(est[et] - n) / n <= 0.4, (et, est[et], n)
+
+def test_stream_dedup_stats_driven_compaction(spark, tmp_path):
+    """Round-10: the compact_stats policy replaces the fixed schedule —
+    (a) with an aggressive small-file threshold the index compacts as
+    soon as min_files tiny live files accumulate (base committed, folded
+    dirs GC'd, pair union still exact); (b) with a 1-byte threshold the
+    median never 'degrades' and NO compaction ever runs."""
+    import os
+
+    from projectdatalake_spark.streaming.dedup_stream import (
+        minhash_dedup_stream,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    want = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    src = str(tmp_path / "src")
+    docs.withColumn("g", F.col("doc_id") % 6).repartition(6, "g").drop(
+        "g"
+    ).write.mode("overwrite").parquet(src)
+
+    def run(tag: str, stats: dict) -> str:
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        base = str(tmp_path / tag)
+        q = minhash_dedup_stream(
+            stream,
+            index_dir=f"{base}/idx",
+            pairs_dir=f"{base}/pairs",
+            checkpoint_dir=f"{base}/ckpt",
+            threshold=0.5,
+            compact_every=None,
+            compact_stats=stats,
+        )
+        q.awaitTermination(600)
+        return base
+
+    # (a) everything at SF_SMOKE is a small file → triggers at min_files
+    hot = run("hot", {"small_bytes": 10 << 20, "min_files": 8})
+    got = {
+        (r.id_a, r.id_b)
+        for r in spark.read.option("basePath", f"{hot}/pairs")
+        .parquet(f"{hot}/pairs")
+        .collect()
+    }
+    assert got == want
+    bases = os.listdir(f"{hot}/idx/banded_base")
+    assert bases and all(b.startswith("w=") for b in bases)
+    # folded batch dirs are GC'd below the newest watermark
+    w = max(int(b.split("=")[1]) for b in bases)
+    live_batches = [
+        int(d.split("=")[1])
+        for d in os.listdir(f"{hot}/idx/banded")
+        if d.startswith("batch_id=")
+    ]
+    assert all(b >= w for b in live_batches)
+
+    # (b) a median that never reaches 1 byte → no compaction at all
+    cold = run("cold", {"small_bytes": 1, "min_files": 8})
+    assert not os.path.exists(f"{cold}/idx/banded_base")
+    got_cold = {
+        (r.id_a, r.id_b)
+        for r in spark.read.option("basePath", f"{cold}/pairs")
+        .parquet(f"{cold}/pairs")
+        .collect()
+    }
+    assert got_cold == want
