@@ -8,10 +8,12 @@ escape-hatch a 100 TB lakehouse needs when the table format loses the
 argument but the data shouldn't move.
 
 Honesty rules (checked, not assumed):
-- Delta → Iceberg refuses while deletion vectors are active (Iceberg
-  readers would resurrect masked rows) — run ``DeltaTable.optimize()``
-  first to materialize them; column-mapped tables are refused (physical
-  names in files would leak).
+- The one-shot Delta → Iceberg convert refuses while deletion vectors
+  are active (Iceberg readers would resurrect masked rows) — run
+  ``DeltaTable.optimize()`` first to materialize them. The LIVE export
+  (``uniform_export``) instead TRANSLATES them to Iceberg v3 deletion
+  vectors in the same snapshot (round 10). Column-mapped tables are
+  refused everywhere (physical names in files would leak).
 - Iceberg → Delta refuses while position deletes are active (Delta adds
   cannot carry them) and for non-identity partition transforms.
 - Record counts come from existing metadata (Delta add.stats numRecords,
@@ -40,17 +42,22 @@ from projectdatalake_spark.sources.iceberg_interop import (
 )
 
 
-def _refuse_unconvertible_delta(delta: DeltaTable, state: dict) -> None:
+def _refuse_unconvertible_delta(
+    delta: DeltaTable, state: dict, allow_dvs: bool = False
+) -> None:
     meta = state["metaData"]
     if delta._column_mapping(meta):
         raise DeltaProtocolError(
             "cannot convert a column-mapped Delta table zero-copy "
             "(data files carry physical names)"
         )
-    if any(a.get("deletionVector") for a in state["adds"].values()):
+    if not allow_dvs and any(
+        a.get("deletionVector") for a in state["adds"].values()
+    ):
         raise DeltaProtocolError(
             "active deletion vectors — run optimize() to materialize them "
-            "before converting (Iceberg would resurrect masked rows)"
+            "before converting (Iceberg would resurrect masked rows); the "
+            "live UniForm export translates them instead (uniform_export)"
         )
 
 
@@ -131,6 +138,83 @@ def _delta_adds_as_iceberg_files(
     return files
 
 
+def _delta_dvs_as_iceberg_dv_files(
+    delta: DeltaTable, state: dict, t: IcebergTable, sid: int, seq_hint: int
+) -> tuple[list[dict], int]:
+    """Translate the Delta state's LIVE deletion vectors into Iceberg v3
+    deletion-vector entries over the same data files: each masked add's
+    roaring bitmap decodes to row positions and re-encodes as a Puffin
+    ``deletion-vector-v1`` blob (portable roaring64 framing — the format
+    delete_where_dv writes natively), one content=1 entry per masked
+    file with ``referenced_data_file`` + blob addressing. Returns
+    (delete-file dicts, total masked rows).
+
+    Scale posture: translation is O(deleted rows) per masked file on
+    the driver (decode + re-encode of one bitmap at a time — DVs are
+    per-file and bitmap-compressed, the same grain delete_where_dv's
+    executor build emits); a mapInPandas re-encode is the upgrade path
+    if a single file's vector ever outgrows the driver."""
+    from projectdatalake_spark.sources.puffin import (
+        DV_BLOB_TYPE,
+        dv_blob_payload,
+        read_puffin,
+        write_puffin,
+    )
+
+    masked = sorted(
+        (delta._abs_data_path(a["path"]), a["deletionVector"])
+        for a in state["adds"].values()
+        if a.get("deletionVector")
+    )
+    if not masked:
+        return [], 0
+    blobs = []
+    for fp, dv in masked:
+        positions = sorted(delta._dv_deleted_rows(dv))
+        blobs.append((fp, dv_blob_payload(positions), len(positions)))
+    puffin_bytes, _fsz = write_puffin(
+        [
+            (
+                {
+                    "type": DV_BLOB_TYPE,
+                    "fields": [],
+                    "snapshot-id": sid,
+                    "sequence-number": seq_hint,
+                    "properties": {
+                        "referenced-data-file": fp,
+                        "cardinality": str(card),
+                    },
+                },
+                payload,
+            )
+            for fp, payload, card in blobs
+        ],
+        properties={"created-by": "projectdatalake-spark uniform dv export"},
+    )
+    puffin_path = f"{t.root}/metadata/{uuid.uuid4().hex}-uniform-deletes.puffin"
+    t._write_bytes(puffin_path, puffin_bytes, exclusive=True)
+    written, _ = read_puffin(puffin_bytes)
+    offsets = {
+        b["properties"]["referenced-data-file"]: (b["offset"], b["length"])
+        for b, _payload in written
+    }
+    files = [
+        {
+            "content": 1,  # POSITION_DELETES (DV flavor)
+            "file_path": puffin_path,
+            "file_format": "PUFFIN",
+            "partition": {},
+            "record_count": card,
+            "file_size_in_bytes": len(puffin_bytes),
+            "referenced_data_file": fp,
+            "content_offset": offsets[fp][0],
+            "content_size_in_bytes": offsets[fp][1],
+        }
+        for fp, _payload, card in blobs
+    ]
+    return files, sum(card for _fp, _payload, card in blobs)
+
+
 def uniform_export(
     delta: DeltaTable, ice_root: str | None = None
 ) -> tuple[IcebergTable, int | None]:
@@ -149,13 +233,19 @@ def uniform_export(
     exported version is a no-op (returns (table, None)) — safe to call
     unconditionally after every commit.
 
-    Honesty rules (same as the one-shot convert): refuses under active
-    deletion vectors or column mapping; refuses if the Delta schema
-    drifted from the exported Iceberg schema (drop the metadata dir and
-    re-export to re-baseline)."""
+    Deletion vectors (round 10 — previously a refusal): a sync under
+    live Delta DVs TRANSLATES each masked file's roaring bitmap into an
+    Iceberg v3 deletion vector (Puffin ``deletion-vector-v1`` blob,
+    content=1 entry with ``referenced_data_file``) riding in the SAME
+    replace snapshot, so external Iceberg readers see exactly the
+    masked table — and because every sync is a full-state replacement
+    (prior delete manifests are dropped with the prior data manifests),
+    a later Delta optimize() that materializes the DVs simply exports
+    clean. Column mapping stays refused, as does a drifted schema
+    (drop the metadata dir and re-export to re-baseline)."""
     state = delta._state()
     delta._check_readable(state)
-    _refuse_unconvertible_delta(delta, state)
+    _refuse_unconvertible_delta(delta, state, allow_dvs=True)
     meta = state["metaData"]
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     pcols = tuple(meta.get("partitionColumns", []))
@@ -198,11 +288,45 @@ def uniform_export(
             if cur.get("summary", {}).get("uniform.delta-version") == str(v):
                 return t, None  # tip already exported
     files = _delta_adds_as_iceberg_files(delta, state, t, pcols)
+    ice_meta = t.metadata()
+    sid = uuid.uuid4().int % (1 << 62)
+    dv_files, n_dv = _delta_dvs_as_iceberg_dv_files(
+        delta, state, t, sid, ice_meta["last-sequence-number"] + 1
+    )
+    extra_manifests = None
+    ensure_spec = None
+    summary = {"uniform.delta-version": v}
+    if dv_files:
+        ensure_spec = IcebergTable._unpartitioned_spec(ice_meta)
+        del_path, del_len = t._write_delete_manifest(
+            ensure_spec, [], dv_files, sid
+        )
+        extra_manifests = [
+            {
+                "manifest_path": del_path,
+                "manifest_length": del_len,
+                "partition_spec_id": ensure_spec["spec-id"],
+                "content": 1,
+                "added_files_count": len(dv_files),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": n_dv,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "partitions": None,
+            }
+        ]
+        summary["added-dvs"] = str(len(dv_files))
+        summary["added-position-deletes"] = str(n_dv)
     sid = t.append_files(
         files,
+        meta=ice_meta,
         replace=not fresh,
         operation="append" if fresh else "replace",
-        summary_props={"uniform.delta-version": v},
+        summary_props=summary,
+        extra_manifests=extra_manifests,
+        ensure_spec=ensure_spec,
+        sid=sid,
     )
     return t, sid
 

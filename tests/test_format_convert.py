@@ -293,14 +293,19 @@ def test_uniform_export_live_sync(spark, tmp_path):
     }
     assert summaries[sid1] == str(d.latest_version())
 
-    # refusals: DVs active → loud; schema drift → loud
+    # DVs active: translated (round 10 — the pre-r10 refusal), masked
+    # reads agree through the exported metadata
     d.delete_where_dv("id = 7")
-    with pytest.raises(DeltaProtocolError, match="deletion vectors"):
-        uniform_export(d)
-    d.optimize()
+    t, sid_dv = uniform_export(d)
+    assert sid_dv is not None
+    assert rows(t.snapshot()) == rows(d.snapshot())
+    assert t.inspect("delete_files").count() > 0
+    d.optimize()  # materializes the DVs into owned files
     t, sid2 = uniform_export(d)
     assert sid2 is not None
     assert rows(t.snapshot()) == rows(d.snapshot())
+    # a full-state replacement: the DV entries do NOT linger post-optimize
+    assert t.inspect("delete_files").count() == 0
     d.append(
         spark.range(500, 510)
         .withColumn("seg", (F.col("id") % 3).cast("int"))
@@ -310,3 +315,68 @@ def test_uniform_export_live_sync(spark, tmp_path):
     )
     with pytest.raises(IcebergProtocolError, match="drifted"):
         uniform_export(d)
+
+
+def test_uniform_dv_translation_details(spark, tmp_path):
+    """Round-10 DV decision (translate, don't refuse) — the metadata-
+    level gates: (a) the sync under live DVs writes ONE puffin with a
+    deletion-vector-v1 blob per masked file, content=1 entries carrying
+    referenced_data_file + blob addressing; (b) blob payloads decode to
+    exactly the Delta-side masked positions; (c) rows appended AFTER the
+    delete escape the mask (DVs bind to files); (d) the one-shot convert
+    still refuses under DVs."""
+    from projectdatalake_spark.sources.format_convert import (
+        convert_delta_to_iceberg,
+        uniform_export,
+    )
+    from projectdatalake_spark.sources.puffin import (
+        dv_blob_positions,
+        read_puffin,
+    )
+
+    root = str(tmp_path / "t")
+    d = DeltaTable.create(spark, root, _df(spark))
+    d.delete_where_dv("id % 7 = 3")
+    t, sid = uniform_export(d)
+    assert sid is not None
+    dels = t.inspect("delete_files").collect()
+    assert dels and all(r.content == 1 for r in dels)
+    # every masked Delta add has exactly one DV entry, same puffin file
+    masked_adds = [
+        d._abs_data_path(a["path"])
+        for a in d._state()["adds"].values()
+        if a.get("deletionVector")
+    ]
+    assert len(dels) == len(masked_adds)
+    puffins = {r.file_path for r in dels}
+    assert len(puffins) == 1
+    blobs, _props = read_puffin(
+        open(next(iter(puffins)).replace("file:", ""), "rb").read()
+    )
+    by_file = {
+        b["properties"]["referenced-data-file"]: payload
+        for b, payload in blobs
+    }
+    assert sorted(by_file) == sorted(masked_adds)
+    for a in d._state()["adds"].values():
+        dv = a.get("deletionVector")
+        if not dv:
+            continue
+        want = sorted(d._dv_deleted_rows(dv))
+        got = sorted(dv_blob_positions(by_file[d._abs_data_path(a["path"])]))
+        assert got == want
+    # (c) post-delete appends escape the mask
+    d.append(
+        spark.range(700, 710)
+        .withColumn("seg", (F.col("id") % 3).cast("int"))
+        .withColumn("val", F.col("id") * 1.5)
+    )
+    t, _ = uniform_export(d)
+    ids = {r.id for r in t.snapshot().collect()}
+    assert {x for x in range(700, 710)} <= ids
+    assert ids == {r.id for r in d.snapshot().collect()}
+    # (d) the one-shot convert keeps its refusal
+    with pytest.raises(DeltaProtocolError, match="deletion vectors"):
+        convert_delta_to_iceberg(
+            d, str(tmp_path / "x")
+        )
