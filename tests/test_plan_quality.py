@@ -147,3 +147,67 @@ def test_cbo_reorders_joins_from_stats(spark):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
         spark.conf.set("spark.sql.cbo.enabled", "false")
         spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+
+
+# Queries whose optimized plans carry a GLOBAL (partition-less) window,
+# each audited to a provably bounded grain — day/bin grids, top-k heads,
+# distinct-segment frames — where a single-partition window is the
+# correct, bounded plan (documented in each query's docstring). Pinned
+# name → count so a future unbounded global window cannot hide inside
+# the "WindowExec: No Partition Defined" log noise (round-10 hygiene):
+# any NEW site, or a new window at an existing site, fails this gate
+# and must be either partitioned or audited onto this list.
+GLOBAL_WINDOWS_OK = {
+    "agg_contribution_pareto": 1,
+    "curriculum_quality_phases": 1,
+    "customer_rfm_segments": 3,
+    "gini_customer_revenue": 1,
+    "ks_test_two_sample": 1,
+    "orders_backlog_running": 1,
+    "pareto_frontier": 1,
+    "path_trigram_top": 1,
+    "survival_kaplan_meier": 2,
+    "ts_stl_weekly": 2,
+    "ts_theil_sen_trend": 2,
+    "txlog_incremental_topk_cdc": 1,
+    "win_cumulative_distinct": 1,
+    "win_rolling_median": 1,
+    "zipf_slope_tokens": 1,
+}
+
+
+def _count_global_windows(df) -> int:
+    """Global-window count from the OPTIMIZED logical plan (py4j walk:
+    Window nodes with an empty partitionSpec) — the mechanical form of
+    the 'No Partition Defined' warning."""
+
+    def walk(jnode) -> int:
+        n = 0
+        if (
+            jnode.getClass().getSimpleName() == "Window"
+            and jnode.partitionSpec().isEmpty()
+        ):
+            n += 1
+        ch = jnode.children()
+        for i in range(ch.size()):
+            n += walk(ch.apply(i))
+        return n
+
+    return walk(df._jdf.queryExecution().optimizedPlan())
+
+
+def test_global_windows_allowlisted(spark, sf_dir):
+    got = {}
+    for name, fn in entry_mod.queries().items():
+        if name in SKIP:
+            continue
+        n = _count_global_windows(fn(spark, sf_dir))
+        if n:
+            got[name] = n
+    assert got == GLOBAL_WINDOWS_OK, (
+        "global (partition-less) windows drifted from the audited "
+        f"allowlist — new: { {k: v for k, v in got.items() if GLOBAL_WINDOWS_OK.get(k) != v} }, "
+        f"gone: { {k: v for k, v in GLOBAL_WINDOWS_OK.items() if got.get(k) != v} }; "
+        "partition the window or audit the bounded grain into "
+        "GLOBAL_WINDOWS_OK"
+    )
