@@ -18670,3 +18670,67 @@ def uniform_dv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(agg(t.snapshot(snapshot_id=sid2), 2))
         .unionByName(agg(t.snapshot(snapshot_id=sid3), 3))
     )
+
+
+@query(
+    "delta_identity_evolution",
+    oracle="""
+    WITH e0 AS (
+      SELECT c_custkey, c_mktsegment, CAST(NULL AS VARCHAR) AS note,
+             1000 - 3 * (row_number()
+               OVER (ORDER BY c_mktsegment, c_custkey) - 1) AS rid
+      FROM customer WHERE c_custkey % 2 = 0
+    ), n0 AS (SELECT count(*) AS n FROM e0),
+    ins AS (
+      SELECT c_custkey, c_mktsegment, 'late' AS note,
+             1000 - 3 * (SELECT n FROM n0) - 3 * (row_number()
+               OVER (ORDER BY c_mktsegment, c_custkey) - 1) AS rid
+      FROM customer WHERE c_custkey % 4 = 1
+    )
+    SELECT c_custkey, c_mktsegment, note, CAST(rid AS BIGINT) AS rid
+    FROM e0
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, note, CAST(rid AS BIGINT) AS rid
+    FROM ins
+    """,
+)
+def delta_identity_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTITY EDGE SURFACE closed in round 10 — two refusals become
+    features in one lifecycle: (a) a NEGATIVE step (-3) descends from
+    start, the spec's high-water mark acting as the step-direction
+    extreme (the minimum) that every later allocation continues below;
+    (b) the second append BOTH adds a new nullable column
+    (merge_schema) AND allocates identity values — previously refused
+    because a commit carries one metaData action, now FUSED into one
+    action holding the merged schema with the advanced mark. The
+    oracle replays both halves with the allocation policy's
+    (segment, custkey) row_number arithmetic, continued across the
+    fused commit — any drift in the descending sequence or the fusion
+    breaks the hash. [[delta_identity_merge]] is the merge rung;
+    [[delta_identity_column]] the append-only base.
+
+    100 TB: schema evolution and identity allocation co-occur
+    constantly on landing tables (late columns arrive WITH new rows);
+    forcing two commits doubles the conflict window for zero benefit.
+
+    Reference parity: the reference (etl.py:1-191) has no identity
+    surface; engine-added §2.10 lakehouse depth."""
+    import tempfile
+
+    from projectdatalake_spark.sources.delta_interop import DeltaTable
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    policy = {"partition_by": ["c_mktsegment"], "order_by": ["c_custkey"]}
+    root = tempfile.mkdtemp(prefix="delta_identevo_")
+    t = DeltaTable.create(
+        spark, root,
+        c.filter(F.col("c_custkey") % 2 == 0).repartition(4),
+        identity={"rid": {"start": 1000, "step": -3, **policy}},
+    )
+    late = (
+        c.filter(F.col("c_custkey") % 4 == 1)
+        .withColumn("note", F.lit("late"))
+        .repartition(4)
+    )
+    t.append(late, merge_schema=True, identity_order={"rid": policy})
+    return t.snapshot().select("c_custkey", "c_mktsegment", "note", "rid")

@@ -253,7 +253,10 @@ def _allocate_identity(
     order_by,
 ) -> tuple[DataFrame, int | None]:
     """Materialize identity values ``base + step·(rank−1)`` into ``df``
-    and return (df, high water mark). Ranks come from the deterministic
+    and return (df, high water mark) — for a NEGATIVE step the returned
+    mark is the step-direction extreme (the minimum), which is exactly
+    what the spec's highWaterMark tracks: the next allocation starts at
+    mark + step regardless of sign. Ranks come from the deterministic
     two-shuffle group-offset numbering (operators/relational.
     deterministic_id) — no global-window funnel, stable across runs.
     The caller's allocation policy (partition_by + order_by, unique
@@ -1200,9 +1203,11 @@ class DeltaTable:
                 )
             start = int(spec.get("start", 1))
             step = int(spec.get("step", 1))
-            if step <= 0:
+            if step == 0:
                 raise DeltaProtocolError(
-                    "identity step must be positive (this writer's scope)"
+                    "identity step must be nonzero (spec: any nonzero "
+                    "step; a negative step descends and the high-water "
+                    "mark becomes the low-water mark)"
                 )
             df, hwm = _allocate_identity(
                 df, col, start, step,
@@ -1379,11 +1384,13 @@ class DeltaTable:
         idy = self._identity_of(meta)
         if not idy:
             return df, None, {}, {}
-        if self._column_mapping(meta):
-            raise DeltaProtocolError(
-                "identity allocation on a column-mapped table is not "
-                "supported by this writer"
-            )
+        # column-mapped tables (round 10, previously refused): allocation
+        # happens on the LOGICAL frame; append's physical staging renames
+        # the allocated column with every other declared column, and the
+        # high-water metaData action matches schemaString fields by
+        # logical name — mapping keys ride along untouched. Only
+        # name-mode tables reach here: append refuses id-mode writes
+        # outright and merge_upsert refuses all mapped writes.
         used: dict[str, int | None] = {}
         new_hwm: dict[str, int] = {}
         for col, spec in idy.items():
@@ -2071,11 +2078,11 @@ class DeltaTable:
         cur_schema = StructType.fromJson(json.loads(meta["schemaString"]))
         known = {f.name for f in cur_schema.fields}
         new_fields = [f for f in df.schema.fields if f.name not in known]
-        if new_fields and id_meta_action is not None:
-            raise DeltaProtocolError(
-                "schema merge and identity allocation in one commit is "
-                "not supported (a commit carries ONE metaData action)"
-            )
+        # schema merge + identity allocation in ONE commit (round 10,
+        # previously refused): both mutations edit the schemaString, so
+        # they FUSE into the single metaData action a commit may carry —
+        # see the action build below (_identity_meta_action stamps the
+        # advanced mark into the MERGED schema)
         new_meta_action = None
         if new_fields:
             if phys_of:
@@ -2155,9 +2162,17 @@ class DeltaTable:
             actions: list[dict] = [
                 {"commitInfo": self._commit_info("WRITE", {"mode": "Append"})}
             ]
-            if new_meta_action is not None:
+            if new_meta_action is not None and id_meta_action is not None:
+                # fuse: ONE metaData action carrying BOTH the additive
+                # columns and the advanced identity high-water mark
+                actions.append(
+                    self._identity_meta_action(
+                        new_meta_action["metaData"], id_new_hwm
+                    )
+                )
+            elif new_meta_action is not None:
                 actions.append(new_meta_action)
-            if id_meta_action is not None:
+            elif id_meta_action is not None:
                 actions.append(id_meta_action)
             if txn is not None:
                 actions.append({"txn": {"appId": txn[0], "version": txn[1],

@@ -1930,3 +1930,89 @@ def test_widen_decimal_records_type_changes(spark, root):
                 "decimal(40,2)"):
         with pytest.raises(DeltaProtocolError):
             t.widen_column("price", bad)
+
+
+def test_identity_negative_step(spark, root):
+    """Round-10 (previously refused): a NEGATIVE identity step descends —
+    the high-water mark is the step-direction extreme (the minimum) and
+    every later allocation continues below it; zero step still refuses."""
+    t = DeltaTable.create(
+        spark, root, _seg_df(spark, 0, 10),
+        identity={"rid": {"start": 100, "step": -5,
+                          "partition_by": ["seg"], "order_by": ["k"]}},
+    )
+    rows = {r.k: r.rid for r in t.snapshot().collect()}
+    assert sorted(rows.values(), reverse=True) == list(range(100, 54, -5))
+    assert t.identity_columns()["rid"]["hwm"] == 55
+    t.append(_seg_df(spark, 10, 13), identity_order=_ID_POLICY)
+    rows2 = {r.k: r.rid for r in t.snapshot().collect()}
+    assert len(set(rows2.values())) == 13
+    assert sorted(set(rows2.values()) - set(rows.values()), reverse=True) == [
+        50, 45, 40
+    ]
+    assert t.identity_columns()["rid"]["hwm"] == 40
+    with pytest.raises(DeltaProtocolError, match="nonzero"):
+        DeltaTable.create(
+            spark, root + "_z", _seg_df(spark, 0, 5),
+            identity={"rid": {"start": 1, "step": 0,
+                              "partition_by": ["seg"], "order_by": ["k"]}},
+        )
+
+
+def test_identity_with_schema_merge_one_commit(spark, root):
+    """Round-10 (previously refused): an append that BOTH adds a new
+    nullable column (merge_schema) and allocates identity values fuses
+    the two schema mutations into ONE metaData action — the commit
+    carries the merged schema WITH the advanced high-water mark."""
+    t = DeltaTable.create(
+        spark, root, _seg_df(spark, 0, 10),
+        identity={"rid": {"start": 1, "step": 1,
+                          "partition_by": ["seg"], "order_by": ["k"]}},
+    )
+    widened = _seg_df(spark, 10, 15).withColumn("note", F.lit("late"))
+    t.append(widened, merge_schema=True, identity_order=_ID_POLICY)
+    snap = t.snapshot()
+    assert "note" in snap.columns
+    rows = {r.k: (r.rid, r.note) for r in snap.collect()}
+    assert len(rows) == 15
+    assert {v[0] for v in rows.values()} == set(range(1, 16))
+    assert all(rows[k][1] is None for k in range(0, 10))
+    assert all(rows[k][1] == "late" for k in range(10, 15))
+    assert t.identity_columns()["rid"]["hwm"] == 15
+    # the commit carried exactly ONE metaData action with both mutations
+    v = t.latest_version()
+    acts = t._commit_actions(v)
+    metas = [a["metaData"] for a in acts if "metaData" in a]
+    assert len(metas) == 1
+    sj = json.loads(metas[0]["schemaString"])
+    names = [f["name"] for f in sj["fields"]]
+    assert "note" in names
+    rid_md = next(f for f in sj["fields"] if f["name"] == "rid")["metadata"]
+    assert rid_md["delta.identity.highWaterMark"] == 15
+
+
+def test_identity_on_name_mapped_table(spark, root):
+    """Round-10 (previously refused): identity allocation composes with
+    name-mode column mapping — a rename flips the table to physical-name
+    staging, and later appends still allocate above the mark, stamp the
+    hwm by LOGICAL name, and read back under the renamed schema."""
+    t = DeltaTable.create(
+        spark, root, _seg_df(spark, 0, 10),
+        identity={"rid": {"start": 1, "step": 1,
+                          "partition_by": ["seg"], "order_by": ["k"]}},
+    )
+    t.rename_column("k", "key")
+    assert t._column_mapping(t._state()["metaData"])  # mapping active
+    t.append(
+        spark.range(10, 14)
+        .select(F.col("id").alias("key"),
+                (F.col("id") % 3).cast("int").alias("seg"))
+        .repartition(2),
+        identity_order={"rid": {"partition_by": ["seg"],
+                                "order_by": ["key"]}},
+    )
+    snap = t.snapshot()
+    rows = {r.key: r.rid for r in snap.collect()}
+    assert len(rows) == 14 and len(set(rows.values())) == 14
+    assert set(rows.values()) == set(range(1, 15))
+    assert t.identity_columns()["rid"]["hwm"] == 14
