@@ -1170,7 +1170,9 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprints (Hamming-comparable) via the
     aggregation-barrier table form; xxhash64 family is not reproducible in
-    ANSI SQL, so the driver records rows-only."""
+    ANSI SQL, so the driver records rows-only. The family's ORACLE lives
+    in [[text_simhash_seeded]] (round 10), which replays the whole
+    vote/sign pipeline over an engine-shared md5-derived hash."""
     from projectdatalake_spark.operators import text as TX
 
     return TX.simhash_table(_t(spark, sf_dir, "documents"))
@@ -18734,3 +18736,87 @@ def delta_identity_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.append(late, merge_schema=True, identity_order={"rid": policy})
     return t.snapshot().select("c_custkey", "c_mktsegment", "note", "rid")
+
+
+@query(
+    "text_simhash_seeded",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+             CAST('0x' || substring(md5(w), 1, 15) AS BIGINT) AS hv
+      FROM toks
+    ), votes AS (
+      SELECT doc_id, b,
+             sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h CROSS JOIN (SELECT unnest(range(16)) AS b)
+      GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0
+                         THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                AS INT) AS sim16
+    FROM votes GROUP BY doc_id
+    """,
+)
+def text_simhash_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEEDED SIMHASH PROOF RUNG — the oracle the SimHash family lacked
+    ([[text_simhash]] / [[dedup_simhash_pairs]] ride the production
+    xxhash64 form, engine-side only; rows-only + invariance-gated):
+    the full signature pipeline — tokenize, per-token hash, per-bit
+    ±1 votes weighted by term frequency, sign → bit — over a hash BOTH
+    engines compute bit-identically (md5's first 60 bits parsed as an
+    integer; the [[sketch_hll_registers_seeded]] seeded-hash
+    discipline). Everything after the hash is INTEGER math — votes are
+    exact sums, the signature an exact bit-OR — so the 16-bit
+    signatures hash-match with no float-fold ceremony. The production
+    operators keep the wider 64-bit xxhash64 form; this rung proves
+    the vote/sign machinery end to end.
+
+    100 TB: SimHash is the near-dup signature whose Hamming buckets
+    shard a corpus-scale self-join; a signature pipeline you can
+    replay in a second engine is a signature you can trust across
+    engine upgrades.
+
+    Reference parity: the reference (etl.py:1-191) has no dedup
+    surface; engine-added §2.10."""
+    from projectdatalake_spark.operators import text as TX
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("w")
+    )
+    h = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    )
+    votes = (
+        h.select(
+            "doc_id", "hv",
+            F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr("shiftright(hv, CAST(b AS INT)) & 1") == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            ).alias("v")
+        )
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("v") > 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("int")
+        .alias("sim16")
+    )

@@ -4007,6 +4007,24 @@ class IcebergTable:
                 for e in meta.get("snapshot-log", [])
                 if e["snapshot-id"] in keep_ids
             ]
+            # statistics files track their snapshot (spec: writers must
+            # drop entries for expired snapshots — round-10 fix): retire
+            # the puffin/parquet stats of every expired snapshot, both
+            # the metadata entries and the files themselves; a stale
+            # entry would keep answering ndv()/read_quantile_sketch()
+            # for a snapshot whose time travel correctly raises
+            for key, path_key in (
+                ("statistics", "statistics-path"),
+                ("partition-statistics", "statistics-path"),
+            ):
+                kept_stats = []
+                for s in meta.get(key, []):
+                    if s["snapshot-id"] in keep_ids:
+                        kept_stats.append(s)
+                    else:
+                        victims.add(s[path_key])
+                if key in meta or kept_stats:
+                    new_meta[key] = kept_stats
             new_meta["last-updated-ms"] = now
             try:
                 self._write_metadata(v + 1, new_meta)

@@ -2316,3 +2316,58 @@ def test_promote_decimal_precision_reads_and_prunes(spark, tmp_path):
         t.promote_column("price", "decimal(12, 2)")
     with pytest.raises(IcebergProtocolError):
         t.promote_column("price", "decimal(40, 2)")
+
+
+def test_expire_snapshots_retires_statistics(spark, tmp_path):
+    """Round-10 (spec: writers must drop statistics entries for expired
+    snapshots): expire removes the puffin/partition-stats ENTRIES of
+    expired snapshots from the metadata AND deletes their files; the
+    retained snapshot's stats survive untouched."""
+    import os
+
+    from projectdatalake_spark.sources.iceberg_interop import IcebergTable
+
+    df = spark.range(0, 60).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("int").alias("seg")
+    )
+    t = IcebergTable.create(
+        spark, str(tmp_path / "t"),
+        df.repartition(F.col("seg")), partition_by=("seg",),
+    )
+    t.write_stats(["k"])
+    t.write_quantile_stats("k")
+    t.write_partition_stats()
+    old_stats = [s["statistics-path"] for s in t.metadata()["statistics"]]
+    old_pstats = [
+        s["statistics-path"] for s in t.metadata()["partition-statistics"]
+    ]
+    assert old_stats and old_pstats
+    t.append(
+        spark.range(60, 90)
+        .select(F.col("id").alias("k"),
+                (F.col("id") % 3).cast("int").alias("seg"))
+        .repartition(F.col("seg"))
+    )
+    t.write_stats(["k"])
+    t.write_partition_stats()
+    keep_stats = {
+        s["statistics-path"] for s in t.metadata()["statistics"]
+    } - set(old_stats)
+    res = t.expire_snapshots(retain=1)
+    assert res["snapshots"] == 1
+    meta = t.metadata()
+    live_ids = {s["snapshot-id"] for s in meta["snapshots"]}
+    assert all(
+        s["snapshot-id"] in live_ids for s in meta.get("statistics", [])
+    )
+    assert all(
+        s["snapshot-id"] in live_ids
+        for s in meta.get("partition-statistics", [])
+    )
+    # the expired snapshot's stats FILES are gone; the kept one's remain
+    for p in old_stats + old_pstats:
+        assert not os.path.exists(p.replace("file:", "")), p
+    for p in keep_stats:
+        assert os.path.exists(p.replace("file:", "")), p
+    # the surviving stats still answer
+    assert t.ndv("k") is not None
