@@ -18820,3 +18820,72 @@ def text_simhash_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("sim16")
     )
+
+
+@query(
+    "iceberg_partition_stats_deletes",
+    oracle="""
+    WITH base AS (SELECT o_orderkey, o_orderstatus FROM orders),
+    d AS (
+      SELECT o_orderstatus, count(*) AS n
+      FROM base GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, CAST(0 AS INTEGER) AS spec_id,
+           n AS data_record_count,
+           CAST(0 AS BIGINT) AS pos_rows, CAST(0 AS BIGINT) AS pos_files,
+           CAST(0 AS BIGINT) AS eq_rows, CAST(0 AS BIGINT) AS eq_files
+    FROM d
+    UNION ALL
+    SELECT CAST(NULL AS VARCHAR), CAST(1 AS INTEGER), CAST(0 AS BIGINT),
+           (SELECT count(*) FROM base WHERE o_orderkey % 10 = 7),
+           (SELECT count(DISTINCT o_orderstatus) FROM base
+            WHERE o_orderkey % 10 = 7),
+           (SELECT count(DISTINCT o_orderkey) FROM base
+            WHERE o_orderkey % 100 = 11),
+           CAST(1 AS BIGINT)
+    """,
+)
+def iceberg_partition_stats_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION STATISTICS DELETE ROLLUPS (spec §Partition Statistics
+    optional field ids 6-9, omitted until round 10): when the snapshot
+    carries delete files the stats rows grow position_delete_record/
+    file counts (content=1 — parquet pairs AND v3 deletion vectors,
+    one per manifest entry) and equality_delete counts (content=2).
+    The fixture writes one file per o_orderstatus (identity spec 0),
+    masks the %10==7 keys with a v3 DV commit (one vector per touched
+    file) and equality-deletes the %100==11 keys (one delete file) —
+    both land under the FIELD-LESS global spec (spec 1), so the stats
+    carry three data rows plus one all-null-tuple global row whose
+    delete rollups the oracle recomputes. [[iceberg_partition_stats]]
+    is the data-only base; [[iceberg_partition_stats_unified]] the
+    spec-evolution rung.
+
+    100 TB: merge-on-read health (DV density, equality-delete debt per
+    partition — the compaction-scheduling signal) becomes a metadata
+    read instead of a scan."""
+    import tempfile
+
+    from projectdatalake_spark.sources.iceberg_interop import IcebergTable
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    root = tempfile.mkdtemp(prefix="ice_pstats_del_") + "/t"
+    t = IcebergTable.create(
+        spark, root, o.repartition(F.col("o_orderstatus")),
+        partition_by=("o_orderstatus",),
+    )
+    t.delete_where_dv("o_orderkey % 10 = 7")
+    t.delete_equality(
+        o.filter(F.col("o_orderkey") % 100 == 11).select("o_orderkey")
+    )
+    t.write_partition_stats()
+    stats = t.read_partition_stats()
+    assert stats is not None
+    return stats.select(
+        F.col("partition.o_orderstatus").alias("o_orderstatus"),
+        F.col("spec_id").cast("int").alias("spec_id"),
+        "data_record_count",
+        F.col("position_delete_record_count").alias("pos_rows"),
+        F.col("position_delete_file_count").alias("pos_files"),
+        F.col("equality_delete_record_count").alias("eq_rows"),
+        F.col("equality_delete_file_count").alias("eq_files"),
+    )

@@ -344,16 +344,29 @@ class DeltaTable:
 
     # --- log discovery ----------------------------------------------------
 
-    def _log_files(self) -> tuple[list[int], list[int]]:
-        """(sorted json commit versions, sorted checkpoint versions)."""
+    def _log_inventory(
+        self,
+    ) -> tuple[list[int], list[int], list[tuple[int, int]]]:
+        """ONE directory listing → (sorted json commit versions, sorted
+        checkpoint versions, sorted [(start, end)] compaction ranges).
+        latest_version/exists need all three kinds (round 10: compaction
+        ends witness the tip after a cleanup), and a second listStatus
+        per call would double the metadata round-trips on an object
+        store."""
         fs = self._fs()
         log_path = self._path(f"{self.root}/{_LOG}")
         if not fs.exists(log_path):
-            return [], []
-        commits, checkpoints = [], set()
+            return [], [], []
+        commits: list[int] = []
+        checkpoints: set[int] = set()
+        compactions: list[tuple[int, int]] = []
         for status in fs.listStatus(log_path):
             name = status.getPath().getName()
-            if name.endswith(".json") and name[:-5].isdigit():
+            if name.endswith(".compact.json"):
+                parts = name[: -len(".compact.json")].split(".")
+                if len(parts) == 2 and all(p.isdigit() for p in parts):
+                    compactions.append((int(parts[0]), int(parts[1])))
+            elif name.endswith(".json") and name[:-5].isdigit():
                 commits.append(int(name[:-5]))
             elif name.endswith(".checkpoint.parquet"):
                 stem = name[: -len(".checkpoint.parquet")]
@@ -364,23 +377,17 @@ class DeltaTable:
                 stem = name.split(".checkpoint.", 1)[0]
                 if stem.isdigit():
                     checkpoints.add(int(stem))
-        return sorted(commits), sorted(checkpoints)
+        return sorted(commits), sorted(checkpoints), sorted(compactions)
+
+    def _log_files(self) -> tuple[list[int], list[int]]:
+        """(sorted json commit versions, sorted checkpoint versions)."""
+        commits, checkpoints, _ = self._log_inventory()
+        return commits, checkpoints
 
     def _compaction_files(self) -> list[tuple[int, int]]:
         """Sorted [(start, end)] of log compaction files
         ``<start>.<end>.compact.json`` (spec "Log Compaction Files")."""
-        fs = self._fs()
-        log_path = self._path(f"{self.root}/{_LOG}")
-        if not fs.exists(log_path):
-            return []
-        out = []
-        for status in fs.listStatus(log_path):
-            name = status.getPath().getName()
-            if name.endswith(".compact.json"):
-                parts = name[: -len(".compact.json")].split(".")
-                if len(parts) == 2 and all(p.isdigit() for p in parts):
-                    out.append((int(parts[0]), int(parts[1])))
-        return sorted(out)
+        return self._log_inventory()[2]
 
     def latest_version(self) -> int:
         # compaction ends count: after a cleanup prunes per-commit JSONs
@@ -389,15 +396,15 @@ class DeltaTable:
         # covers, and replay (which PREFERS compactions) would silently
         # shadow the new commit (round-10 fix, pinned by
         # test_ict_floor_survives_log_compaction_pruning)
-        commits, checkpoints = self._log_files()
-        comp_ends = [ce for _, ce in self._compaction_files()]
+        commits, checkpoints, compactions = self._log_inventory()
+        comp_ends = [ce for _, ce in compactions]
         if not commits and not checkpoints and not comp_ends:
             raise FileNotFoundError(f"not a Delta table: {self.root}")
         return max(commits + checkpoints + comp_ends)
 
     def exists(self) -> bool:
-        commits, checkpoints = self._log_files()
-        return bool(commits or checkpoints or self._compaction_files())
+        commits, checkpoints, compactions = self._log_inventory()
+        return bool(commits or checkpoints or compactions)
 
     # --- replay -----------------------------------------------------------
 
@@ -516,10 +523,15 @@ class DeltaTable:
         return state
 
     def _state(self, version: int | None = None) -> dict:
-        commits, checkpoints = self._log_files()
-        if not commits and not checkpoints and not self._compaction_files():
+        commits, checkpoints, compactions = self._log_inventory()
+        comp_ends = [ce for _, ce in compactions]
+        if not commits and not checkpoints and not comp_ends:
             raise FileNotFoundError(f"not a Delta table: {self.root}")
-        tip = self.latest_version() if version is None else version
+        tip = (
+            max(commits + checkpoints + comp_ends)
+            if version is None
+            else version
+        )
         state = self._empty_state()
         # replay from the newest checkpoint ≤ tip (O(tail) replay; also the
         # only path when older JSON commits have been pruned)
@@ -535,13 +547,13 @@ class DeltaTable:
         # walk replaces reading its whole range — fewer metadata reads on
         # intact logs, and the ONLY road when a cleaned-up log kept the
         # compaction but dropped the per-commit JSONs
-        compactions: dict[int, int] = {}
-        for cs, ce in self._compaction_files():
+        comp_by_start: dict[int, int] = {}
+        for cs, ce in compactions:  # from the single _log_inventory read
             if cs <= ce <= tip:
-                compactions[cs] = max(compactions.get(cs, cs - 1), ce)
+                comp_by_start[cs] = max(comp_by_start.get(cs, cs - 1), ce)
         v = start
         while v <= tip:
-            ce = compactions.get(v)
+            ce = comp_by_start.get(v)
             if ce is not None:
                 state = self._fold(state, self._compaction_actions(v, ce))
                 v = ce + 1

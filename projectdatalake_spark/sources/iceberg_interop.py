@@ -1513,8 +1513,13 @@ class IcebergTable:
         specs, deduplicated by table-wide partition-field id and sorted
         by that id ascending, the spec's rule for spec-evolved tables;
         then spec_id, data_record_count, data_file_count,
-        total_data_file_size_in_bytes; the optional delete-count fields
-        are omitted, which the spec allows) — registered under table
+        total_data_file_size_in_bytes, and — when the snapshot carries
+        delete files — the optional delete rollups, spec field ids 6-9:
+        position_delete_record_count / _file_count (content=1, parquet
+        pairs AND v3 deletion vectors — each manifest entry counts as
+        one delete file) and equality_delete_record_count / _file_count
+        (content=2); global deletes written under the field-less spec
+        land on its all-null tuple row) — registered under table
         metadata's ``partition-statistics`` list. Each manifest entry's
         tuple is interpreted under the spec IT was written with (name
         lookup per era; positions absent from that era are null) and
@@ -1557,20 +1562,32 @@ class IcebergTable:
                     "result_type": p["result_type"],
                 }
         fids = sorted(unified)
-        entries, _ = self._entries_for_snapshot(meta, None)
+        entries, dels = self._entries_for_snapshot(meta, None)
         # group by (spec_id, unified tuple) — Iceberg's PartitionMap key
-        agg: dict[tuple, list[int]] = {}
-        for e in entries:
+
+        def key_of(e) -> tuple:
             part = e["data_file"].get("partition") or {}
             spec_id = int(e["_spec_id"])
-            names = names_by_spec[spec_id]
-            key = (spec_id,) + tuple(
+            names = names_by_spec.get(spec_id, {})
+            return (spec_id,) + tuple(
                 part.get(names[f]) if f in names else None for f in fids
             )
-            a = agg.setdefault(key, [0, 0, 0])
+
+        # [data_rows, data_files, data_bytes,
+        #  pos_del_rows, pos_del_files, eq_del_rows, eq_del_files]
+        agg: dict[tuple, list[int]] = {}
+        for e in entries:
+            a = agg.setdefault(key_of(e), [0] * 7)
             a[0] += int(e["data_file"]["record_count"])
             a[1] += 1
             a[2] += int(e["data_file"]["file_size_in_bytes"])
+        has_dels = False
+        for e in dels:
+            a = agg.setdefault(key_of(e), [0] * 7)
+            off = 5 if int(e["data_file"].get("content", 1)) == 2 else 3
+            a[off] += int(e["data_file"]["record_count"])
+            a[off + 1] += 1
+            has_dels = True
         _PA = {
             "string": pa.string(), "int": pa.int32(), "long": pa.int64(),
             "float": pa.float32(), "double": pa.float64(),
@@ -1588,32 +1605,53 @@ class IcebergTable:
             )
             for f in fids
         ]
-        schema = pa.schema(
-            [
-                pa.field("partition", pa.struct(part_fields), metadata=fid(1)),
-                pa.field("spec_id", pa.int32(), metadata=fid(2)),
-                pa.field("data_record_count", pa.int64(), metadata=fid(3)),
-                pa.field("data_file_count", pa.int64(), metadata=fid(4)),
+        schema_fields = [
+            pa.field("partition", pa.struct(part_fields), metadata=fid(1)),
+            pa.field("spec_id", pa.int32(), metadata=fid(2)),
+            pa.field("data_record_count", pa.int64(), metadata=fid(3)),
+            pa.field("data_file_count", pa.int64(), metadata=fid(4)),
+            pa.field(
+                "total_data_file_size_in_bytes", pa.int64(),
+                metadata=fid(5),
+            ),
+        ]
+        if has_dels:
+            schema_fields += [
                 pa.field(
-                    "total_data_file_size_in_bytes", pa.int64(),
-                    metadata=fid(5),
+                    "position_delete_record_count", pa.int64(),
+                    metadata=fid(6),
+                ),
+                pa.field(
+                    "position_delete_file_count", pa.int64(),
+                    metadata=fid(7),
+                ),
+                pa.field(
+                    "equality_delete_record_count", pa.int64(),
+                    metadata=fid(8),
+                ),
+                pa.field(
+                    "equality_delete_file_count", pa.int64(),
+                    metadata=fid(9),
                 ),
             ]
-        )
+        schema = pa.schema(schema_fields)
         keys = sorted(agg, key=lambda k: tuple(str(x) for x in k))
-        tbl = pa.Table.from_pydict(
-            {
-                "partition": [
-                    {unified[f]["pname"]: v for f, v in zip(fids, k[1:])}
-                    for k in keys
-                ],
-                "spec_id": [k[0] for k in keys],
-                "data_record_count": [agg[k][0] for k in keys],
-                "data_file_count": [agg[k][1] for k in keys],
-                "total_data_file_size_in_bytes": [agg[k][2] for k in keys],
-            },
-            schema=schema,
-        )
+        cols = {
+            "partition": [
+                {unified[f]["pname"]: v for f, v in zip(fids, k[1:])}
+                for k in keys
+            ],
+            "spec_id": [k[0] for k in keys],
+            "data_record_count": [agg[k][0] for k in keys],
+            "data_file_count": [agg[k][1] for k in keys],
+            "total_data_file_size_in_bytes": [agg[k][2] for k in keys],
+        }
+        if has_dels:
+            cols["position_delete_record_count"] = [agg[k][3] for k in keys]
+            cols["position_delete_file_count"] = [agg[k][4] for k in keys]
+            cols["equality_delete_record_count"] = [agg[k][5] for k in keys]
+            cols["equality_delete_file_count"] = [agg[k][6] for k in keys]
+        tbl = pa.Table.from_pydict(cols, schema=schema)
         buf = io.BytesIO()
         pq.write_table(tbl, buf)
         data = buf.getvalue()
