@@ -290,6 +290,38 @@ _R9_DRIVER_VERIFIED = frozenset(
     }
 )
 
+# Hash-green in CORRECTNESS_r10.json (50/50 fully green, zero err) —
+# 7 round-10 registrations + 43 stalest-proof rotations (r2/r3-vintage:
+# the txlog core family, agg_collect_sorted, the sql_* twins).
+_R10_DRIVER_VERIFIED = frozenset(
+    {
+        "decimal_widening_three_formats", "delta_identity_evolution",
+        "iceberg_partition_stats_deletes",
+        "iceberg_partition_stats_unified",
+        "sketch_hll_registers_seeded", "text_simhash_seeded",
+        "uniform_dv_roundtrip",
+        # stalest-proof rotations (r2/r3-vintage)
+        "agg_collect_sorted", "agg_filter_clause",
+        "agg_quantile_array", "array_higher_order",
+        "asof_join_grouped", "dedup_clusters", "map_functions",
+        "merge_partition_scoped", "merge_upsert_customers",
+        "mm_decode_real", "mm_resize", "null_handling",
+        "pack_token_budget", "profile_customer",
+        "quantize_embeddings", "scd2_customer_history",
+        "set_intersect_all", "split_assign_hash", "sql_lateral_topn",
+        "sql_pricing_summary", "sql_tpch_q3", "sql_win_rank_dense",
+        "stream_dedup_watermark", "stream_join_enrich",
+        "text_bpe_tokens", "tfidf_top_terms", "txlog_changes",
+        "txlog_data_skipping", "txlog_delete_dv",
+        "txlog_incremental_agg", "txlog_merge_upsert",
+        "txlog_partition_evolution", "txlog_rename_column",
+        "txlog_restore", "txlog_shallow_clone", "txlog_stream_sink",
+        "txlog_time_travel", "txlog_time_travel_ts", "txlog_update",
+        "txlog_update_dv", "txlog_zorder_skipping",
+        "vocab_token_stats", "win_distribution",
+    }
+)
+
 _VERIFIED_BY_ROUND = (
     _R1_DRIVER_VERIFIED,
     _R2_DRIVER_VERIFIED,
@@ -300,6 +332,7 @@ _VERIFIED_BY_ROUND = (
     _R7_DRIVER_VERIFIED,
     _R8_DRIVER_VERIFIED,
     _R9_DRIVER_VERIFIED,
+    _R10_DRIVER_VERIFIED,
 )
 
 _DRIVER_VERIFIED = frozenset().union(*_VERIFIED_BY_ROUND)

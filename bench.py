@@ -288,6 +288,14 @@ EXTENDED = [
     "iceberg_partition_stats",
     "delta_log_compaction",
     "delta_identity_merge",
+    # round 10
+    "iceberg_partition_stats_unified",
+    "iceberg_partition_stats_deletes",
+    "decimal_widening_three_formats",
+    "sketch_hll_registers_seeded",
+    "uniform_dv_roundtrip",
+    "delta_identity_evolution",
+    "text_simhash_seeded",
 ]
 
 # Apply-only rungs measure STEADY-STATE cost: their fit-once index builds
@@ -303,6 +311,21 @@ WARM_FIRST = {"semantic_dedup_apply_only", "dedup_minhash_apply"}
 # inflated extended table can never be committed unflagged again.
 CANARIES = ["q1_pricing_summary", "multi_join_snowflake", "tpch_q3_shipping"]
 DRIFT_TAINT = 1.2
+
+# Absolute canary reference: the canary queries' medians from the LAST
+# COMMITTED clean idle run (BENCH_local_r10_idle.json, 11.168 s total,
+# env_factor 0.958). The within-run drift canary above is blind to a run
+# that is UNIFORMLY loaded from the start (round-10's 14.881 s driver run
+# stamped env_factor 0.958/tainted:false because the contention drained by
+# run end). abs_factor = median over canaries of (this run's start-of-run
+# headline median ÷ this reference); >ABS_TAINT taints the run at launch.
+# Update these values whenever a new clean idle record is committed.
+ABS_REFERENCE = {
+    "q1_pricing_summary": 1.294,
+    "multi_join_snowflake": 0.637,
+    "tpch_q3_shipping": 0.778,
+}
+ABS_TAINT = 1.2
 
 HEADLINE = [
     # relational / analytic core
@@ -380,8 +403,14 @@ def main() -> None:
             times.append(time.perf_counter() - t0)
         drift = max(drift, statistics.median(times) / per_query[n])
     env_factor = round(drift, 3)
-    tainted = env_factor > DRIFT_TAINT
+    # absolute canary: the headline medians for the canary queries ARE the
+    # start-of-run measurements — compare against the committed clean idle
+    # reference so a uniformly loaded run self-taints even when the
+    # within-run drift ratio looks flat
+    abs_factor = compute_abs_factor(per_query, sf)
+    tainted = env_factor > DRIFT_TAINT or abs_factor > ABS_TAINT
     record["env_factor"] = env_factor
+    record["abs_factor"] = abs_factor
     record["tainted"] = tainted
     detail = {
         **record,
@@ -398,6 +427,7 @@ def main() -> None:
         ("BENCH_HEADLINE.json", {"headline": total, "unit": "sec", "sf": sf,
                                  "queries": per_query,
                                  "env_factor": env_factor,
+                                 "abs_factor": abs_factor,
                                  "tainted": tainted}),
         ("BENCH_DETAIL.json", detail),
     ):
@@ -408,6 +438,20 @@ def main() -> None:
             pass  # read-only checkout: stdout line is still the contract
     print(json.dumps(record))
     spark.stop()
+
+
+def compute_abs_factor(per_query: dict[str, float], sf: float) -> float:
+    """Median over canary queries of (this run's start-of-run headline
+    median ÷ the committed clean idle reference). Pure so the
+    self-tainting behavior is unit-testable without launching a bench;
+    0.0 (never taints) off-sf0.1 since the reference medians are sf0.1."""
+    ratios = [
+        per_query[n] / ABS_REFERENCE[n]
+        for n in CANARIES
+        if sf == 0.1
+        and n in per_query and n in ABS_REFERENCE and ABS_REFERENCE[n] > 0
+    ]
+    return round(statistics.median(ratios), 3) if ratios else 0.0
 
 
 def _timed_once(fn, spark, sf_dir: str) -> float:

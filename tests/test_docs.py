@@ -24,3 +24,26 @@ def test_readme_registry_counts_match_registry():
         f"README says {m.group(2)} oracle-backed; registry has "
         f"{len(Q.ORACLES)} — update the line in README.md"
     )
+
+
+def test_bench_abs_canary_self_taints_loaded_run():
+    """The absolute bench canary (round-10 verdict #4): a run whose
+    start-of-run canary medians are uniformly >1.2x the committed clean
+    idle reference must self-taint — the within-run drift ratio is blind
+    to uniform load that drains by run end (the 14.881 s r10 driver run
+    stamped env_factor 0.958 / tainted:false)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("bench", REPO / "bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    idle = dict(bench.ABS_REFERENCE)
+    assert bench.compute_abs_factor(idle, sf=0.1) == 1.0
+
+    loaded = {n: v * 1.5 for n, v in idle.items()}
+    af = bench.compute_abs_factor(loaded, sf=0.1)
+    assert af > bench.ABS_TAINT  # the r10 uniform-load case now taints
+
+    # off-sf0.1 the reference medians don't apply: never taints
+    assert bench.compute_abs_factor(loaded, sf=0.01) == 0.0
