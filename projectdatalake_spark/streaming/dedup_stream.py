@@ -104,6 +104,7 @@ def _read_indexed(
     before_batch: int,
     buckets: list[int] | None = None,
     base_max_w: int | None = None,
+    bucketed: bool | None = None,
 ) -> DataFrame:
     """Index rows from batches strictly before ``before_batch`` (replay
     safety), or an empty frame when nothing is indexed yet: the newest
@@ -122,7 +123,19 @@ def _read_indexed(
     pair this batch owes, and the batch-id watermark means those pairs
     would never be re-derived. ``base_max_w`` (compaction-internal)
     caps which base may serve as source so a compaction never reads the
-    very base dir it is about to overwrite."""
+    very base dir it is about to overwrite.
+
+    ``bucketed`` declares whether the PATH's on-disk layout carries the
+    ``bq`` partition directories, independently of whether this read
+    prunes on them (``buckets``). Both scans then declare ``bq int``
+    explicitly in their read schema and drop it before the union, so the
+    union schema is symmetric BY CONSTRUCTION — never assembled from
+    partition discovery, which the round-10 crash showed is layout-
+    dependent: an empty batch's ``partitionBy`` write creates no ``bq=``
+    dirs, so discovery appends the column on one side of the union and
+    not the other (NUM_COLUMNS_MISMATCH, stream death)."""
+    if bucketed is None:
+        bucketed = buckets is not None
     base = _latest_base(
         spark,
         _base_root(path),
@@ -131,19 +144,21 @@ def _read_indexed(
     w0 = base[0] if base is not None else 0
     parts: list[DataFrame] = []
     if base is not None:
-        read_schema = schema + (", bq int" if buckets is not None else "")
+        read_schema = schema + (", bq int" if bucketed else "")
         bdf = (
             spark.read.option("basePath", base[1])
             .schema(read_schema)
             .parquet(base[1])
         )
         if buckets is not None:
-            bdf = bdf.filter(F.col("bq").isin(buckets)).drop("bq")
+            bdf = bdf.filter(F.col("bq").isin(buckets))
+        if bucketed:
+            bdf = bdf.drop("bq")
         parts.append(bdf)
     fs, hpath, _ = _fs(spark, path)
     if fs.exists(hpath):
         read_schema = schema + ", batch_id int"
-        if buckets is not None:
+        if bucketed:
             read_schema += ", bq int"
         df = (
             spark.read.option("basePath", path)
@@ -155,7 +170,9 @@ def _read_indexed(
             )
         )
         if buckets is not None:
-            df = df.filter(F.col("bq").isin(buckets)).drop("bq")
+            df = df.filter(F.col("bq").isin(buckets))
+        if bucketed:
+            df = df.drop("bq")
         parts.append(df.drop("batch_id"))
     if not parts:
         return spark.createDataFrame([], schema)
@@ -207,8 +224,18 @@ def _compact_index(
     committed = fs.exists(jvm.org.apache.hadoop.fs.Path(target, "_SUCCESS"))
     if not committed:
         merged = _read_indexed(
-            spark, path, schema, watermark, base_max_w=watermark - 1
+            spark, path, schema, watermark, base_max_w=watermark - 1,
+            bucketed=bucketed,
         )
+        if merged.isEmpty():
+            # Nothing to fold (a quiet window, or an empty batch 0 under
+            # this container's racy file-source listing). Committing an
+            # empty base here is what killed the round-10 stream: the
+            # previous base + its watermark stay authoritative, and the
+            # folded-nothing batch dirs stay for the next compaction.
+            # Critically, the GC below must NOT run — `w= < watermark`
+            # would delete the still-live previous base.
+            return
         if bucketed:
             merged = merged.withColumn(
                 "bq", _bucket_of(F.col("band"), F.col("bkey"))
@@ -222,39 +249,47 @@ def _compact_index(
     _gc_below(spark, base_root, "w=", watermark)
 
 
-def _kll_should_compact(
+def _stats_should_compact(
     spark: SparkSession,
     banded_root: str,
     small_bytes: int,
     min_files: int,
+    exclude_batch: int | None = None,
 ) -> bool:
-    """STATS-DRIVEN compaction decision (round 10, the [[stream_kll_
-    quantiles]] machinery applied to index maintenance): sketch the
-    LIVE banded-index file sizes — a recursive fs LISTING, metadata
-    only, bounded because compaction itself bounds the live count —
-    into a KLL quantile sketch and trigger when the MEDIAN file size
-    sits at or below ``small_bytes`` with at least ``min_files`` live
-    files. Small-file degradation is the actual failure mode a
-    schedule can only approximate: a bursty stream degrades faster
-    than its batch count, a sparse one slower. The sketch is exact
-    below k (file counts here are bounded ≪ k) and mergeable above —
-    the same shelf contract every other stats consumer rides."""
-    from projectdatalake_spark.operators.aggregates import KLLSketch
+    """STATS-DRIVEN compaction decision (round 10): list the LIVE
+    banded-index file sizes — a recursive fs LISTING, metadata only,
+    bounded because compaction itself bounds the live count — and
+    trigger when the MEDIAN file size sits at or below ``small_bytes``
+    with at least ``min_files`` live files. Small-file degradation is
+    the actual failure mode a schedule can only approximate: a bursty
+    stream degrades faster than its batch count, a sparse one slower.
 
+    The median is taken directly from the collected sizes (the round-10
+    KLL sketch sized 2× the population was exact-mode machinery with no
+    approximation benefit — ADVICE r10; a genuinely streamed fixed-k
+    sketch is the upgrade path if the live count ever outgrows driver
+    memory, which compaction itself prevents). ``exclude_batch`` skips
+    the CURRENT batch's just-written dir so the trigger measures only
+    fold-eligible files — compaction folds strictly-prior batches, so
+    counting the fresh batch both inflated the signal and could trigger
+    a fold of nothing but older empties."""
     fs, hroot, _ = _fs(spark, banded_root)
     if not fs.exists(hroot):
         return False
+    skip = f"batch_id={exclude_batch}" if exclude_batch is not None else None
     sizes: list[int] = []
     it = fs.listFiles(hroot, True)
     while it.hasNext():
         st = it.next()
-        if st.getPath().getName().endswith(".parquet"):
-            sizes.append(st.getLen())
+        p = st.getPath()
+        if not p.getName().endswith(".parquet"):
+            continue
+        if skip is not None and f"/{skip}/" in str(p):
+            continue
+        sizes.append(st.getLen())
     if len(sizes) < min_files:
         return False
-    sk = KLLSketch(k=max(8, 2 * len(sizes)))  # exact mode at this grain
-    sk.update_many(sizes)
-    return sk.quantile_disc(0.5) <= small_bytes
+    return sorted(sizes)[len(sizes) // 2] <= small_bytes
 
 
 def minhash_dedup_stream(
@@ -283,12 +318,17 @@ def minhash_dedup_stream(
 
     ``compact_stats`` (round 10) switches maintenance from the fixed
     ``compact_every`` schedule to a STATS-DRIVEN policy: each trigger
-    sketches the live banded file sizes (KLL over an fs listing) and
-    compacts when the median falls to ``small_bytes`` with at least
-    ``min_files`` live files — degradation-triggered, so a bursty
-    stream compacts when it actually needs to and a sparse one never
-    pays for a schedule it doesn't fill. Keys: ``small_bytes``
-    (default 1 MiB), ``min_files`` (default 2×buckets).
+    lists the live banded file sizes (metadata only, current batch
+    excluded) and compacts when the median falls to ``small_bytes``
+    with at least ``min_files`` fold-eligible files —
+    degradation-triggered, so a bursty stream compacts when it
+    actually needs to and a sparse one never pays for a schedule it
+    doesn't fill. Keys: ``small_bytes`` (default 1 MiB), ``min_files``
+    (default 2×buckets). Empty micro-batches are first-class under
+    BOTH policies (round-10 crash): an empty batch writes no ``bq=``
+    dirs (index reads don't rely on partition discovery), and a
+    compaction window that folds only empties commits nothing — the
+    previous base and watermark stay authoritative.
 
     100 TB: the recurring cost is the batch's band rows joined against
     ONLY the index buckets they hash into — the banded index lives
@@ -349,15 +389,18 @@ def minhash_dedup_stream(
             )
             if compact_stats is not None:
                 # stats-driven policy REPLACES the schedule: compact when
-                # the live banded file-size median degrades (KLL over an
-                # fs listing — see _kll_should_compact)
-                do_compact = batch_id > 0 and _kll_should_compact(
+                # the live banded file-size median degrades (metadata
+                # listing — see _stats_should_compact); the current
+                # batch's fresh dir is excluded so only fold-eligible
+                # files feed the signal
+                do_compact = batch_id > 0 and _stats_should_compact(
                     spark,
                     f"{index_dir}/banded",
                     small_bytes=compact_stats.get("small_bytes", 1 << 20),
                     min_files=compact_stats.get(
                         "min_files", 2 * _N_BUCKETS
                     ),
+                    exclude_batch=batch_id,
                 )
             else:
                 do_compact = bool(

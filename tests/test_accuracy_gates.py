@@ -1255,12 +1255,45 @@ def test_hll_seeded_registers_estimate_accuracy(spark):
     for et, n in exact.items():
         assert abs(est[et] - n) / n <= 0.4, (et, est[et], n)
 
+def _seed_dedup_src(spark, tmp_path, docs, n_empty: int) -> str:
+    """Source dir for the streaming-dedup gates: the sf documents split
+    into 6 parquet files, PRECEDED by ``n_empty`` zero-row parquet files
+    whose mtimes are backdated so the file source (oldest-first) serves
+    them as batches 0..n_empty-1. This makes the round-10 empty-batch
+    crash DETERMINISTIC — the old gate inherited this container's racy
+    listing, where batch 0 was only SOMETIMES empty (flaked green)."""
+    import os
+    import shutil
+
+    src = str(tmp_path / "src")
+    docs.withColumn("g", F.col("doc_id") % 6).repartition(6, "g").drop(
+        "g"
+    ).write.mode("overwrite").parquet(src)
+    if n_empty:
+        stage = str(tmp_path / "empty_stage")
+        docs.limit(0).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(
+            f for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        now = os.path.getmtime(src)
+        for i in range(n_empty):
+            dst = os.path.join(src, f"zz_empty_{i}.parquet")
+            shutil.copy(os.path.join(stage, part), dst)
+            os.utime(dst, (now - 1000 + i, now - 1000 + i))
+    return src
+
+
 def test_stream_dedup_stats_driven_compaction(spark, tmp_path):
-    """Round-10: the compact_stats policy replaces the fixed schedule —
-    (a) with an aggressive small-file threshold the index compacts as
-    soon as min_files tiny live files accumulate (base committed, folded
-    dirs GC'd, pair union still exact); (b) with a 1-byte threshold the
-    median never 'degrades' and NO compaction ever runs."""
+    """Round-10 policy + the round-10 CRASH, now deterministic: batch 0
+    is FORCED empty (zero-row parquet served first) — (a) with an
+    aggressive small-file threshold the index compacts as soon as
+    min_files tiny fold-eligible files accumulate (base committed,
+    folded dirs — including the empty batch 0 — GC'd, pair union still
+    exact); (b) with a 1-byte threshold the median never 'degrades' and
+    NO compaction ever runs. Pre-fix, (a) died with
+    NUM_COLUMNS_MISMATCH: the empty batch's partitionBy write creates
+    no bq= dirs, an empty fold committed a bq-less base, and the next
+    union's discovered schemas diverged."""
     import os
 
     from projectdatalake_spark.streaming.dedup_stream import (
@@ -1272,10 +1305,7 @@ def test_stream_dedup_stats_driven_compaction(spark, tmp_path):
         (r.id_a, r.id_b)
         for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()
     }
-    src = str(tmp_path / "src")
-    docs.withColumn("g", F.col("doc_id") % 6).repartition(6, "g").drop(
-        "g"
-    ).write.mode("overwrite").parquet(src)
+    src = _seed_dedup_src(spark, tmp_path, docs, n_empty=1)
 
     def run(tag: str, stats: dict) -> str:
         stream = (
@@ -1294,6 +1324,7 @@ def test_stream_dedup_stats_driven_compaction(spark, tmp_path):
             compact_stats=stats,
         )
         q.awaitTermination(600)
+        assert q.exception() is None, q.exception()
         return base
 
     # (a) everything at SF_SMOKE is a small file → triggers at min_files
@@ -1326,3 +1357,101 @@ def test_stream_dedup_stats_driven_compaction(spark, tmp_path):
         .collect()
     }
     assert got_cold == want
+
+
+def test_stream_dedup_empty_compaction_window(spark, tmp_path):
+    """The schedule path's latent round-10 bug: a compaction window
+    containing ONLY empty batches (a quiet stream). Two forced-empty
+    batches lead; compact_every=2 fires at batch 2 with nothing to fold
+    — the fold must commit NO base (and must not GC the nonexistent
+    prior one), the stream must survive, and the later folds (batch 4/6,
+    now holding data) must commit normally with the pair union exact."""
+    import os
+
+    from projectdatalake_spark.streaming.dedup_stream import (
+        minhash_dedup_stream,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    want = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    src = _seed_dedup_src(spark, tmp_path, docs, n_empty=2)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    base = str(tmp_path / "sched")
+    q = minhash_dedup_stream(
+        stream,
+        index_dir=f"{base}/idx",
+        pairs_dir=f"{base}/pairs",
+        checkpoint_dir=f"{base}/ckpt",
+        threshold=0.5,
+        compact_every=2,
+    )
+    q.awaitTermination(600)
+    assert q.exception() is None, q.exception()
+    got = {
+        (r.id_a, r.id_b)
+        for r in spark.read.option("basePath", f"{base}/pairs")
+        .parquet(f"{base}/pairs")
+        .collect()
+    }
+    assert got == want
+    # 8 batches (2 empty + 6 data): the batch-2 fold (empties only)
+    # committed nothing; batch-4 and batch-6 folds committed and GC'd,
+    # so exactly w=6 survives — and no w=2 base was ever written
+    bases = sorted(os.listdir(f"{base}/idx/banded_base"))
+    assert bases == ["w=6"], bases
+    live_batches = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(f"{base}/idx/banded")
+        if d.startswith("batch_id=")
+    )
+    assert all(b >= 6 for b in live_batches), live_batches
+
+
+def test_read_indexed_schema_symmetric_with_bq_less_base(spark, tmp_path):
+    """Unit gate for the round-10 crash mechanism itself: a committed
+    consolidated base WITHOUT bq= partition dirs (what a pre-fix empty
+    fold left on disk) unioned with bucketed batch dirs. The read
+    schemas must be symmetric BY DECLARATION — pre-fix, the compaction
+    read (buckets=None) let partition discovery append bq on the batch
+    side only and unionByName threw NUM_COLUMNS_MISMATCH, killing the
+    stream."""
+    import os
+
+    from projectdatalake_spark.streaming.dedup_stream import (
+        _BANDED_SCHEMA,
+        _read_indexed,
+    )
+
+    path = str(tmp_path / "banded")
+    rows = [(i, i % 2, i * 10) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, band int, bkey long")
+    df = df.withColumn(
+        "bq", (F.col("doc_id") % 4).cast("int")
+    )
+    df.repartition(4, "bq").write.partitionBy("bq").parquet(
+        f"{path}/batch_id=1"
+    )
+    # a committed, EMPTY, bq-less base (pre-fix artifact): only _SUCCESS
+    base_dir = str(tmp_path / "banded_base" / "w=1")
+    os.makedirs(base_dir)
+    open(os.path.join(base_dir, "_SUCCESS"), "w").close()
+
+    # the compaction-shaped read (no pruning, bucketed layout)
+    merged = _read_indexed(
+        spark, path, _BANDED_SCHEMA, before_batch=2, bucketed=True
+    )
+    assert merged.columns == ["doc_id", "band", "bkey"]
+    assert merged.count() == 8
+    # the pruned batch-join read against the same crooked layout
+    pruned = _read_indexed(
+        spark, path, _BANDED_SCHEMA, before_batch=2, buckets=[0, 1]
+    )
+    assert pruned.columns == ["doc_id", "band", "bkey"]
+    assert pruned.count() == sum(1 for i in range(8) if i % 4 in (0, 1))
