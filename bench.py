@@ -296,6 +296,12 @@ EXTENDED = [
     "uniform_dv_roundtrip",
     "delta_identity_evolution",
     "text_simhash_seeded",
+    # round 11
+    "dedup_minhash_seeded",
+    "iceberg_partition_stats_full",
+    "iceberg_lineage_dynamic_overwrite",
+    "delta_id_mode_writes",
+    "delta_mapped_merge",
 ]
 
 # Apply-only rungs measure STEADY-STATE cost: their fit-once index builds

@@ -18889,3 +18889,518 @@ def iceberg_partition_stats_deletes(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("equality_delete_record_count").alias("eq_rows"),
         F.col("equality_delete_file_count").alias("eq_files"),
     )
+
+
+@query(
+    "dedup_minhash_seeded",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i)
+      WHERE len(ws) >= 3
+    ), h AS (
+      SELECT doc_id, s,
+             CAST('0x' || substring(md5(s), 1, 8) AS BIGINT)
+               % 2147483647 AS hv
+      FROM sh
+    ), perms AS (
+      SELECT * FROM (VALUES
+        (0, 1676943009, 603652521), (1, 1354243493, 1951270931),
+        (2, 741850315, 144938227), (3, 1940422101, 1016671909),
+        (4, 526584231, 1251086423), (5, 1112887999, 700901567),
+        (6, 846244317, 335022251), (7, 1777913837, 1873992761)
+      ) AS t(j, a, b)
+    ), sig AS (
+      SELECT doc_id, j, MIN((a * hv + b) % 2147483647) AS mh
+      FROM h CROSS JOIN perms GROUP BY doc_id, j
+    ), bands AS (
+      SELECT doc_id, j // 2 AS band,
+             MIN(CASE WHEN j % 2 = 0 THEN mh END) AS m0,
+             MIN(CASE WHEN j % 2 = 1 THEN mh END) AS m1
+      FROM sig GROUP BY doc_id, j // 2
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.band
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.m0 = y.m0 AND x.m1 = y.m1
+       AND x.doc_id < y.doc_id
+    ), pairs AS (
+      SELECT id_a, id_b, COUNT(*) AS n_bands FROM cand GROUP BY 1, 2
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+    ), inter AS (
+      SELECT p.id_a, p.id_b, p.n_bands, COUNT(*) AS inter
+      FROM pairs p
+      JOIN sh a ON a.doc_id = p.id_a
+      JOIN sh b ON b.doc_id = p.id_b AND b.s = a.s
+      GROUP BY 1, 2, 3
+    )
+    SELECT i.id_a, i.id_b, i.n_bands, i.inter,
+           sa.n + sb.n - i.inter AS uni
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    """,
+)
+def dedup_minhash_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEEDED MINHASH-LSH PROOF RUNG — the hash-proof the largest
+    rows-only family lacked (round-10 verdict #4: [[dedup_minhash_lsh]]
+    / [[dedup_minhash_apply]] / [[dedup_clusters_lsh]] /
+    [[stream_minhash_dedup_incremental]] all ride the production
+    xxhash64 form, engine-side only; accuracy lives in pytest
+    recall/precision gates). The ENTIRE pipeline — token 3-gram
+    shingles, per-shingle base hash, 8 seeded universal-hash
+    permutations ``(a_j·h + b_j) mod p`` (p = 2^31−1, literal a/b
+    constants), per-permutation min, 4-band × 2-row banding, band-key
+    candidate join, and exact-Jaccard verification — in arithmetic
+    BOTH engines compute bit-identically: the base hash is md5's
+    first 32 bits (the [[text_simhash_seeded]] /
+    [[sketch_hll_registers_seeded]] discipline), and everything after
+    is 64-bit-safe integer math (a·h < 2^62). Output per candidate
+    pair: matching-band count plus Jaccard as an integer
+    numerator/denominator — so even LSH FALSE POSITIVES (1-band
+    collisions with near-zero Jaccard) must reproduce exactly, which
+    is precisely what makes the banding machinery auditable.
+
+    The production family keeps xxhash64 (one JVM-side hash vs md5 +
+    conv per shingle — ~3× cheaper at corpus scale); this rung proves
+    shingling, permutation-min, banding, and verification end to end
+    against DuckDB.
+
+    100 TB: identical plan shape to [[dedup_minhash_lsh]] — candidates
+    come ONLY from band-key equality (shuffle on band key, never
+    all-pairs); the verification join touches candidate pairs' shingle
+    sets only.
+
+    Reference parity: the reference (etl.py:1-191) has no dedup
+    surface; engine-added §2.10."""
+    from projectdatalake_spark.operators import text as TX
+
+    P = 2147483647
+    PERMS = [
+        (0, 1676943009, 603652521), (1, 1354243493, 1951270931),
+        (2, 741850315, 144938227), (3, 1940422101, 1016671909),
+        (4, 526584231, 1251086423), (5, 1112887999, 700901567),
+        (6, 846244317, 335022251), (7, 1777913837, 1873992761),
+    ]
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("ws"))
+    sh = (
+        toks.filter(F.size("ws") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws)-3), i -> "
+                    "concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))"
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    h = sh.select(
+        "doc_id", "s",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("s").cast("binary")), 1, 8), 16, 10
+            ).cast("long")
+            % F.lit(P)
+        ).alias("hv"),
+    )
+    perms = spark.createDataFrame(PERMS, "j int, a long, b long")
+    sig = (
+        h.crossJoin(F.broadcast(perms))
+        .groupBy("doc_id", "j")
+        .agg(
+            F.min((F.col("a") * F.col("hv") + F.col("b")) % F.lit(P)).alias(
+                "mh"
+            )
+        )
+    )
+    bands = sig.groupBy(
+        "doc_id", (F.col("j") / 2).cast("int").alias("band")
+    ).agg(
+        F.min(F.when(F.col("j") % 2 == 0, F.col("mh"))).alias("m0"),
+        F.min(F.when(F.col("j") % 2 == 1, F.col("mh"))).alias("m1"),
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.m0") == F.col("y.m0"))
+            & (F.col("x.m1") == F.col("y.m1"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("id_a"),
+            F.col("y.doc_id").alias("id_b"),
+            F.col("x.band").alias("band"),
+        )
+        .distinct()
+    )
+    pairs = cand.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("n_bands")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        pairs.join(sh.alias("a"), F.col("a.doc_id") == F.col("id_a"))
+        .join(
+            sh.alias("b"),
+            (F.col("b.doc_id") == F.col("id_b"))
+            & (F.col("b.s") == F.col("a.s")),
+        )
+        .groupBy("id_a", "id_b", "n_bands")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("id_a"))
+        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("id_b"))
+        .select(
+            "id_a", "id_b", "n_bands", "inter",
+            (F.col("sa.n") + F.col("sb.n") - F.col("inter")).alias("uni"),
+        )
+    )
+
+
+@query(
+    "iceberg_partition_stats_full",
+    oracle="""
+    WITH base AS (SELECT o_orderkey, o_orderstatus FROM orders),
+    d AS (
+      SELECT o_orderstatus, count(*) AS n,
+             count(*) FILTER (WHERE o_orderkey % 10 = 7) AS killed
+      FROM base GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, CAST(0 AS INTEGER) AS spec_id,
+           n AS data_record_count, n - killed AS total_rc,
+           CAST(0 AS INTEGER) AS upd_ord, TRUE AS ts_ok
+    FROM d
+    UNION ALL
+    SELECT CAST(NULL AS VARCHAR), CAST(1 AS INTEGER), CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(1 AS INTEGER), TRUE
+    """,
+)
+def iceberg_partition_stats_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION STATISTICS — THE COMPLETE ROW (spec §Partition
+    Statistics optional fields 10-12, the round-10 builder note and
+    verdict item 5; [[iceberg_partition_stats_deletes]] carries fields
+    6-9): ``total_record_count`` is the spec's "accurate count after
+    applying deletes" — computable from METADATA alone exactly when
+    every live delete is a deletion vector, because a DV's
+    ``referenced_data_file`` resolves to the masked file's own
+    partition and its cardinality is exact; ``last_updated_at`` /
+    ``last_updated_snapshot_id`` resolve each partition's max
+    effective data-sequence entry against the snapshot log. The
+    fixture: one file per o_orderstatus (identity spec 0, the create
+    snapshot), then a DV commit masking the %10==7 keys (global spec
+    1). Every status row must read total = rows − masked ATTRIBUTED
+    BACK from the global delete row to the referenced files'
+    partitions, last-updated = the CREATE snapshot (ordinal 0 — the DV
+    commit adds no data file under spec 0); the all-null global row
+    reads total 0, last-updated = the DV snapshot (ordinal 1). The
+    wall-clock fields are oracle-proven structurally: ``upd_ord`` is
+    the snapshot's commit ordinal and ``ts_ok`` asserts
+    last_updated_at equals that snapshot's own timestamp-ms.
+
+    100 TB: "which partitions changed since snapshot S, and how many
+    rows REALLY live there" — the incremental-maintenance and
+    compaction-scheduling planner inputs — become one metadata-file
+    scan, zero data files opened.
+
+    Reference parity: engine-added §2 (table formats); the reference
+    (etl.py:1-191) has no table-format surface."""
+    import tempfile
+
+    from projectdatalake_spark.sources.iceberg_interop import IcebergTable
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    root = tempfile.mkdtemp(prefix="ice_pstats_full_") + "/t"
+    t = IcebergTable.create(
+        spark, root, o.repartition(F.col("o_orderstatus")),
+        partition_by=("o_orderstatus",),
+    )
+    t.delete_where_dv("o_orderkey % 10 = 7")
+    t.write_partition_stats()
+    stats = t.read_partition_stats()
+    assert stats is not None
+    snaps = sorted(
+        t.metadata().get("snapshots", []),
+        key=lambda s: s["sequence-number"],
+    )
+    ords = spark.createDataFrame(
+        [
+            (s["snapshot-id"], i, int(s["timestamp-ms"]))
+            for i, s in enumerate(snaps)
+        ],
+        "sid long, upd_ord int, sts long",
+    )
+    return stats.join(
+        F.broadcast(ords),
+        stats["last_updated_snapshot_id"] == ords["sid"],
+    ).select(
+        F.col("partition.o_orderstatus").alias("o_orderstatus"),
+        F.col("spec_id").cast("int").alias("spec_id"),
+        "data_record_count",
+        F.col("total_record_count").alias("total_rc"),
+        "upd_ord",
+        (F.col("last_updated_at") == F.col("sts")).alias("ts_ok"),
+    )
+
+
+@query(
+    "iceberg_lineage_dynamic_overwrite",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders
+    )
+    SELECT k, price, TRUE AS kept, FALSE AS fresh
+    FROM o WHERE k % 3 < 2 AND k >= 4000
+    UNION ALL
+    SELECT k, price, FALSE AS kept, TRUE AS fresh
+    FROM o WHERE k % 3 = 2 AND k < 4000
+    """,
+)
+def iceberg_lineage_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC OVERWRITE UNDER ROW LINEAGE (round 11 — previously a
+    declared refusal; verdict item 7): ``overwrite_partitions`` on a
+    row-lineage table now stamps each CARRIED file's resolved
+    first_row_id explicitly (field 142 — the ``rewrite_manifests``
+    carry rule, resolved via _entries_for_snapshot's inheritance
+    accumulation) and licenses the replace commit with
+    ``lineage_carried=True``: the id of nothing that survives changes.
+    Fixture: orders keyed %3∈{0,1} in a ``truncate(2000, o_orderkey)``
+    table (non-identity transform — data files keep every column, so
+    the lineage reader now supports it), lineage enabled, then a
+    dynamic overwrite with %3==2 rows below key 4000 — replacing
+    exactly the trunc∈{0,2000} partitions. The oracle is the
+    "changes the id of NOTHING" shape, allocation-order-independent:
+    every surviving old row's id is UNCHANGED (``kept``), every new
+    row's id is strictly above the pre-overwrite watermark
+    (``fresh``), proven per row against DuckDB's replay of the
+    replaced-partition arithmetic.
+
+    100 TB: idempotent backfills ("recompute day X") on a lineage
+    table no longer force a choice between incremental consumers
+    (stable ids) and partition overwrites — the carry is O(#carried
+    files) metadata, zero data movement beyond the new partitions.
+
+    Reference parity: engine-added §2 (table formats); the reference
+    (etl.py:1-191) has no table-format surface."""
+    import tempfile
+
+    from projectdatalake_spark.sources.iceberg_interop import IcebergTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    base = o.filter(F.col("k") % 3 < 2)
+    root = tempfile.mkdtemp(prefix="ice_lin_dynov_") + "/t"
+    t = IcebergTable.create(
+        spark, root, base, partition_by=("truncate(2000, k)",)
+    )
+    t.enable_row_lineage()
+    before = t.snapshot_with_row_ids().select(
+        F.col("k").alias("bk"), F.col("_row_id").alias("bid")
+    )
+    hwm = int(t.metadata()["next-row-id"])
+    t.overwrite_partitions(
+        o.filter((F.col("k") % 3 == 2) & (F.col("k") < 4000))
+    )
+    after = t.snapshot_with_row_ids()
+    return (
+        after.join(before, after["k"] == before["bk"], "left")
+        .select(
+            "k", "price",
+            F.coalesce(
+                F.col("_row_id") == F.col("bid"), F.lit(False)
+            ).alias("kept"),
+            (F.col("_row_id") >= F.lit(hwm)).alias("fresh"),
+        )
+    )
+
+
+@query(
+    "delta_id_mode_writes",
+    oracle="""
+    WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+    seeded AS (SELECT k, k * CAST(1.5 AS DOUBLE) AS v FROM k),
+    merged AS (
+      SELECT k, CASE WHEN k % 100 < 10 THEN CAST(0.0 AS DOUBLE) ELSE v
+                  END AS v
+      FROM seeded
+    )
+    SELECT CAST(k % 10 AS INT) AS g, count(*) AS n,
+           round(sum(v), 2) AS s
+    FROM merged GROUP BY 1
+    """,
+)
+def delta_id_mode_writes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID-MODE COLUMN-MAPPING WRITES (round 11 — previously a declared
+    refusal; verdict item 8): a FOREIGN-shaped id-mode Delta table
+    (physical names c1/c2, parquet field ids stamped in files,
+    ``delta.columnMapping.mode=id``) accepts engine appends and merges.
+    ``_physical_stage`` renames the logical frame to the frozen
+    physical names AND stamps each column's ``delta.columnMapping.id``
+    as the parquet field id, so engine-written files resolve under the
+    foreign writer's own id-based rule — both file generations read
+    through one seam. Fixture: half the orders keys seeded by the
+    "foreign" writer, the other half engine-appended, then a
+    pure-update MERGE zeroing the %100<10 keys (touched files rewrite
+    through the same id-stamped staging). Values are exact binary
+    fractions (k·1.5), so the grouped sums hash-match with no float
+    ceremony. [[delta_rename_mapping]] proves the name-mode read
+    base; [[delta_mapped_merge]] the rename-then-merge rung.
+
+    100 TB: id-mode is what delta-spark writes once a table has EVER
+    been renamed under the modern protocol — an engine that can read
+    but not write those tables is down for exactly the tables that
+    evolved.
+
+    Reference parity: engine-added §2 (table formats); the reference
+    (etl.py:1-191) has no table-format surface."""
+    import json
+    import os
+    import tempfile
+
+    from projectdatalake_spark.sources.delta_interop import DeltaTable
+
+    keys = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    ).distinct()
+    root = tempfile.mkdtemp(prefix="delta_idmode_") + "/t"
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    seed = keys.filter(F.col("k") % 2 == 0).select(
+        F.col("k").alias("c1", metadata={"parquet.field.id": 1}),
+        (F.col("k") * 1.5).alias("c2", metadata={"parquet.field.id": 2}),
+    )
+    seed.coalesce(2).write.parquet(root)
+    files = [f for f in os.listdir(root) if f.endswith(".parquet")]
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "c1"}},
+            {"name": "v", "type": "double", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "c2"}},
+        ],
+    }
+    os.makedirs(f"{root}/_delta_log")
+    with open(f"{root}/_delta_log/{0:020d}.json", "w") as fh:
+        fh.write(json.dumps(
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
+        ) + "\n")
+        fh.write(json.dumps({"metaData": {
+            "id": "m", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema), "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "id",
+                              "delta.columnMapping.maxColumnId": "2"},
+        }}) + "\n")
+        for rel in files:
+            fh.write(json.dumps({"add": {
+                "path": rel, "partitionValues": {}, "size": 1,
+                "modificationTime": 0, "dataChange": True}}) + "\n")
+    t = DeltaTable(spark, root)
+    t.append(
+        keys.filter(F.col("k") % 2 == 1).select(
+            "k", (F.col("k") * 1.5).alias("v")
+        )
+    )
+    t.merge_upsert(
+        keys.filter(F.col("k") % 100 < 10).select(
+            "k", F.lit(0.0).alias("v")
+        ),
+        keys=["k"],
+    )
+    return (
+        t.snapshot()
+        .groupBy((F.col("k") % 10).cast("int").alias("g"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("v"), 2).alias("s"),
+        )
+    )
+
+
+@query(
+    "delta_mapped_merge",
+    oracle="""
+    WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+    base AS (SELECT k, k * CAST(2.0 AS DOUBLE) AS amount,
+                    CAST(k % 5 AS INT) AS seg FROM k),
+    upd AS (SELECT k FROM k WHERE k % 7 = 0),
+    ins AS (
+      SELECT k + 10000000 AS k, CAST(-2.0 AS DOUBLE) AS amount,
+             CAST(k % 5 AS INT) AS seg
+      FROM k WHERE k % 500 = 0
+    ),
+    final AS (
+      SELECT b.k, CASE WHEN u.k IS NOT NULL THEN CAST(-1.0 AS DOUBLE)
+                       ELSE b.amount END AS amount, b.seg
+      FROM base b LEFT JOIN upd u ON b.k = u.k
+      UNION ALL SELECT k, amount, seg FROM ins
+    )
+    SELECT seg, count(*) AS n, round(sum(amount), 2) AS s
+    FROM final GROUP BY seg
+    """,
+)
+def delta_mapped_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE ON A RENAMED (NAME-MAPPED) TABLE (round 11 — previously
+    ``_refuse_mapped``; verdict item 8's second asymmetry): the engine
+    creates a partitioned table, renames a column (upgrading the
+    protocol to columnMapping name mode — the physical name freezes,
+    the logical one moves), then MERGES through the mapping: the touch
+    probe and survivor reads resolve data files by PHYSICAL name and
+    rename back, file-stats key pruning maps logical merge keys to
+    physical stats keys, and the rewrite stages physically so
+    pre-rename survivors and post-merge rewrites coexist under one
+    resolution rule. Matched keys (%7==0) update, new keys (+10^7 for
+    %500==0) insert, everything else must read back bit-identically
+    through the mapping — grouped exact-fraction sums, hash-proven.
+
+    100 TB: rename-then-merge is the first thing a CDC pipeline hits
+    after a schema-evolution migration; a merge that refuses on mapped
+    tables turns every rename into a full-table rewrite.
+
+    Reference parity: engine-added §2 (table formats); the reference
+    (etl.py:1-191) has no table-format surface."""
+    import tempfile
+
+    from projectdatalake_spark.sources.delta_interop import DeltaTable
+
+    keys = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    ).distinct()
+    base = keys.select(
+        "k", (F.col("k") * 2.0).alias("val"),
+        (F.col("k") % 5).cast("int").alias("seg"),
+    )
+    root = tempfile.mkdtemp(prefix="delta_mapmerge_") + "/t"
+    t = DeltaTable.create(spark, root, base, partition_by=("seg",))
+    t.rename_column("val", "amount")
+    updates = keys.filter(F.col("k") % 7 == 0).select(
+        "k", F.lit(-1.0).alias("amount"),
+        (F.col("k") % 5).cast("int").alias("seg"),
+    ).unionByName(
+        keys.filter(F.col("k") % 500 == 0).select(
+            (F.col("k") + 10_000_000).alias("k"),
+            F.lit(-2.0).alias("amount"),
+            (F.col("k") % 5).cast("int").alias("seg"),
+        )
+    )
+    t.merge_upsert(updates, keys=["k"])
+    return (
+        t.snapshot()
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("amount"), 2).alias("s"),
+        )
+    )

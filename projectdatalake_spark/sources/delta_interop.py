@@ -634,16 +634,38 @@ class DeltaTable:
             # otherwise be unrecoverable inside the range — the next
             # commit's _ict_prev would floor at wall clock and could
             # regress under clock skew (round-10 fix; delta-spark keeps
-            # the analogous high-water marks in domains too)
-            domains[_ICT_DOMAIN] = {
-                "domain": _ICT_DOMAIN,
-                "configuration": json.dumps(
-                    {"version": last_ict[0],
-                     "lastInCommitTimestamp": last_ict[1]},
-                    separators=(",", ":"),
-                ),
-                "removed": False,
-            }
+            # the analogous high-water marks in domains too).
+            #
+            # Only when the protocol in effect at `end` DECLARES the
+            # domainMetadata writer feature (ADVICE r11): ICT enablement
+            # alone adds just inCommitTimestamp, and synthesizing a
+            # domain action a non-domain protocol never licensed would
+            # make external replayers reject the compaction (or worse,
+            # accept an undeclared feature). Without the feature the
+            # floor is simply not carried — version_at_timestamp and
+            # _ict_prev already fall back to the surviving per-commit
+            # JSONs outside the range, and wall clock floors the rest.
+            #
+            # REPLAY DIVERGENCE (documented): a compaction-based replay
+            # of [start, end] surfaces this synthesized domain where a
+            # per-commit replay of the same range has none (commitInfo
+            # carried the timestamp instead); later checkpoints persist
+            # it. The domain is engine-owned bookkeeping (graft.ict) —
+            # state-equivalent for every data/metadata action.
+            eff_proto = proto
+            if eff_proto is None:
+                eff_proto = self._state(version=end).get("protocol") or {}
+            wf = set(eff_proto.get("writerFeatures") or [])
+            if "domainMetadata" in wf:
+                domains[_ICT_DOMAIN] = {
+                    "domain": _ICT_DOMAIN,
+                    "configuration": json.dumps(
+                        {"version": last_ict[0],
+                         "lastInCommitTimestamp": last_ict[1]},
+                        separators=(",", ":"),
+                    ),
+                    "removed": False,
+                }
         actions: list[dict] = []
         if proto is not None:
             actions.append({"protocol": proto})
@@ -701,6 +723,26 @@ class DeltaTable:
             if t <= ts_millis:
                 best = h["version"]
         if best is None:
+            # leading-gap guard (ADVICE r11): history() only sees
+            # surviving JSONs. When versions BEFORE the first surviving
+            # commit were pruned (compaction/checkpoint replay keeps the
+            # data readable), a timestamp older than every surviving
+            # commit may still POSTDATE the pruned table start — the
+            # true resolution is unrecoverable either way, but calling
+            # it "predates the table" would be a lie for any ts inside
+            # the leading pruned range.
+            surviving0 = self._log_files()[0]
+            if surviving0 and min(surviving0) > 0:
+                raise ValueError(
+                    f"timestamp {ts_millis} falls before the first "
+                    f"surviving commit (version {min(surviving0)}), and "
+                    f"versions 0..{min(surviving0) - 1} were cleaned up "
+                    f"— it may predate the table or land inside the "
+                    f"cleaned-up log range; commit timestamps there are "
+                    f"not reconstructible. Time travel by version, or "
+                    f"use a timestamp at or after the first surviving "
+                    f"commit"
+                )
             raise ValueError(
                 f"timestamp {ts_millis} predates the table's first commit"
             )
@@ -1709,7 +1751,14 @@ class DeltaTable:
         """Turn on the ``inCommitTimestamp`` writer feature (writer-only:
         readers are untouched — the timestamp is extra commitInfo data).
         From this commit on, ``version_at`` resolves against the
-        monotonic in-commit clock instead of file mtimes."""
+        monotonic in-commit clock instead of file mtimes.
+
+        Also declares ``domainMetadata``: this engine's ``compact_log``
+        preserves the ICT monotonic floor through compactions via the
+        engine-owned ``graft.ict`` domain (commitInfo is dropped per
+        spec), and a domain action is only licensed when the protocol
+        declares the feature (ADVICE r11) — enabling ICT without it
+        would silently lose the floor at the first compaction."""
         for attempt in range(20):
             state = self._state()
             meta = state["metaData"]
@@ -1730,7 +1779,11 @@ class DeltaTable:
                 {"protocol": {
                     "minReaderVersion": proto.get("minReaderVersion", 1),
                     "minWriterVersion": 7,
-                    "writerFeatures": sorted(wf | {"inCommitTimestamp"}),
+                    # domainMetadata licenses compact_log's graft.ict
+                    # floor-carry domain (see docstring)
+                    "writerFeatures": sorted(
+                        wf | {"inCommitTimestamp", "domainMetadata"}
+                    ),
                 }},
                 {"metaData": {
                     **meta,
@@ -1764,6 +1817,61 @@ class DeltaTable:
                 f"writer (reads are; writes would need physical-name "
                 f"staging)"
             )
+
+    def _physical_stage(
+        self, df: DataFrame, meta: dict, schema: StructType
+    ) -> tuple[DataFrame, tuple[str, ...]]:
+        """Logical frame → PHYSICAL write frame under column mapping
+        (round 11 closes the id-mode half): rename every column to its
+        frozen ``delta.columnMapping.physicalName``; in id mode
+        additionally stamp each column's mapping id as the parquet
+        field id (``parquet.field.id`` field metadata +
+        ``spark.sql.parquet.fieldId.write.enabled``), since id-mode
+        files resolve by id, not name. Returns the staged frame and
+        the PARTITION columns to stage by. Partition columns whose
+        physical name differs from the logical one are refused loudly:
+        this writer's hive staging and partitionValues keys would
+        diverge (the engine's own rename path freezes partition
+        physical names equal to their logical names, so only foreign
+        tables can hit this)."""
+        phys_of = self._column_mapping(meta)
+        pcols = tuple(meta.get("partitionColumns", []))
+        if not phys_of:
+            return df, pcols
+        bad = [c for c in pcols if phys_of.get(c, c) != c]
+        if bad:
+            raise DeltaProtocolError(
+                f"partition columns {bad} have divergent physical names "
+                f"— this writer stages hive layouts by physical name "
+                f"only when it matches the logical one"
+            )
+        cm_mode = (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+        cols = []
+        for f in schema.fields:
+            if f.name not in df.columns:
+                continue
+            pn = phys_of.get(f.name, f.name)
+            if cm_mode == "id":
+                fid = (f.metadata or {}).get("delta.columnMapping.id")
+                if fid is None:
+                    raise DeltaProtocolError(
+                        f"id-mode column {f.name!r} carries no "
+                        f"delta.columnMapping.id — cannot stage"
+                    )
+                cols.append(
+                    F.col(f.name).alias(
+                        pn, metadata={"parquet.field.id": int(fid)}
+                    )
+                )
+            else:
+                cols.append(F.col(f.name).alias(pn))
+        if cm_mode == "id":
+            self.spark.conf.set(
+                "spark.sql.parquet.fieldId.write.enabled", "true"
+            )
+        return df.select(*cols), pcols
 
     def add_constraint(self, name: str, expr: str) -> int:
         """CHECK constraint (Delta protocol ``checkConstraints`` writer
@@ -2068,19 +2176,16 @@ class DeltaTable:
         updated metaData whose schemaString appends them; old files read
         the additions as null. Without it, unknown columns are refused.
 
-        NAME-mapped tables append through PHYSICAL staging: the frame's
-        logical columns are renamed to their frozen physical names before
-        the write, so new files sit next to pre-rename files under one
-        resolution rule. (Schema merge on mapped tables would need fresh
-        mapping ids — still refused; id-mode tables likewise.)"""
+        COLUMN-MAPPED tables append through PHYSICAL staging
+        (``_physical_stage``): logical columns rename to their frozen
+        physical names, and — round 11, closing the id-mode refusal —
+        id-mode staging additionally stamps each column's mapping id as
+        the parquet field id, so new files resolve exactly like the
+        foreign writer's. (Schema merge on mapped tables would need
+        fresh mapping ids — still refused.)"""
         state = self._state()
         meta = state["metaData"]
         phys_of = self._column_mapping(meta)
-        cm_mode = (meta.get("configuration") or {}).get(
-            "delta.columnMapping.mode", "none"
-        )
-        if phys_of and cm_mode != "name":
-            self._refuse_mapped(meta, "append")
         df = self._apply_defaults(df, meta)
         df = self._apply_generated(df, meta)
         df_pre_identity = df
@@ -2115,15 +2220,7 @@ class DeltaTable:
         if txn is not None and state["txns"].get(txn[0], -1) >= txn[1]:
             return -1  # already applied (idempotent replay)
         self._enforce_constraints(df, meta)
-        stage_df = df
-        if phys_of:
-            stage_df = df.select(
-                *[
-                    F.col(f.name).alias(phys_of.get(f.name, f.name))
-                    for f in cur_schema.fields
-                    if f.name in df.columns
-                ]
-            )
+        stage_df, pcols = self._physical_stage(df, meta, cur_schema)
         adds = self._stage(stage_df, pcols)
         for attempt in range(20):
             if attempt > 0:
@@ -2326,7 +2423,17 @@ class DeltaTable:
         self._refuse_row_tracking_rewrite("merge_upsert")
         state = self._state()
         meta = state["metaData"]
-        self._refuse_mapped(meta, "merge_upsert")
+        # round 11 (was _refuse_mapped): column-mapped tables merge
+        # through the same PHYSICAL seam as append — the touch probe and
+        # survivor read resolve files by physical name (+ parquet field
+        # id in id mode) and rename back to logical, the rewrite stages
+        # through _physical_stage, and file-stats pruning keys map to
+        # physical names. Rename a column, then merge: both generations
+        # of files resolve under one rule.
+        phys_of = self._column_mapping(meta)
+        cm_mode = (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
         if txn is not None and state["txns"].get(txn[0], -1) >= txn[1]:
             return -1  # already applied (idempotent replay)
         updates = self._apply_defaults(updates, meta)
@@ -2375,10 +2482,32 @@ class DeltaTable:
         if rng["__n"] == 0:
             return -1  # nothing to merge
         if data_keys and cand:
-            where = {k: (rng[f"__lo_{k}"], rng[f"__hi_{k}"]) for k in data_keys}
+            # file stats are keyed by PHYSICAL names under column mapping
+            where = {
+                phys_of.get(k, k): (rng[f"__lo_{k}"], rng[f"__hi_{k}"])
+                for k in data_keys
+            }
             cand = [(p, a) for p, a in cand if self._stats_may_match(a, where)]
         ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
-        data_schema = StructType([f for f in schema.fields if f.name not in pcols])
+        from pyspark.sql.types import StructField as _SF
+
+        data_fields = []
+        for f in schema.fields:
+            if f.name in pcols:
+                continue
+            m = {}
+            if cm_mode == "id":
+                fid = (f.metadata or {}).get("delta.columnMapping.id")
+                if fid is not None:
+                    m = {"parquet.field.id": int(fid)}
+            data_fields.append(
+                _SF(phys_of.get(f.name, f.name), f.dataType, True, m)
+            )
+        data_schema = StructType(data_fields)
+        if cm_mode == "id":
+            self.spark.conf.set(
+                "spark.sql.parquet.fieldId.read.enabled", "true"
+            )
         key_frame = updates.select(*keys).distinct()
         if idy and key_frame.count() != int(rng["__n"]):
             raise DeltaProtocolError(
@@ -2396,9 +2525,10 @@ class DeltaTable:
         def _grouped_read(adds: list[dict], select_cols: list[str], with_path: bool):
             groups: dict[tuple, list[dict]] = {}
             for a in adds:
+                # partitionValues are keyed by PHYSICAL names under mapping
                 pv = a.get("partitionValues", {})
                 groups.setdefault(
-                    tuple((c, pv.get(c)) for c in pcols), []
+                    tuple((c, pv.get(phys_of.get(c, c))) for c in pcols), []
                 ).append(a)
             frames = []
             for gkey, group in groups.items():
@@ -2412,6 +2542,10 @@ class DeltaTable:
                 dv_adds = [a for a in group if a.get("deletionVector")]
                 if dv_adds:
                     df = self._apply_dvs(df, dv_adds)
+                # physical → logical rename before callers see the frame
+                for f in schema.fields:
+                    if f.name not in pcols and phys_of.get(f.name, f.name) != f.name:
+                        df = df.withColumnRenamed(phys_of[f.name], f.name)
                 for col, sval in gkey:
                     df = df.withColumn(col, _partition_literal(sval, ptypes[col]))
                 frames.append(
@@ -2464,7 +2598,8 @@ class DeltaTable:
                 ins, id_meta_action, id_hwm_used, _ = self._apply_identity(
                     updates, meta, identity_order
                 )
-            adds = self._stage(ins, tuple(pcols))
+            ins_stage, stage_pcols = self._physical_stage(ins, meta, schema)
+            adds = self._stage(ins_stage, stage_pcols)
             for attempt in range(20):
                 cur = self._state()
                 if txn is not None and cur["txns"].get(txn[0], -1) >= txn[1]:
@@ -2481,7 +2616,10 @@ class DeltaTable:
                                 updates, cur["metaData"], identity_order
                             )
                         )
-                        adds = self._stage(ins, tuple(pcols))
+                        ins_stage, stage_pcols = self._physical_stage(
+                            ins, cur["metaData"], schema
+                        )
+                        adds = self._stage(ins_stage, stage_pcols)
                 actions = [
                     {"commitInfo": self._commit_info("MERGE", {"matched": "0"})},
                     *txn_actions,
@@ -2512,7 +2650,8 @@ class DeltaTable:
             )
         else:
             merged = updates.unionByName(survivors)
-        adds = self._stage(merged, tuple(pcols))
+        merged_stage, stage_pcols = self._physical_stage(merged, meta, schema)
+        adds = self._stage(merged_stage, stage_pcols)
         now = int(time.time() * 1000)
         actions = [
             {

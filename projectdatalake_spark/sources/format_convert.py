@@ -36,6 +36,7 @@ from projectdatalake_spark.sources.delta_interop import (
     _quote_path,
 )
 from projectdatalake_spark.sources.iceberg_interop import (
+    IcebergCommitConflict,
     IcebergProtocolError,
     IcebergTable,
     _encode_bound,
@@ -215,6 +216,52 @@ def _delta_dvs_as_iceberg_dv_files(
     return files, sum(card for _fp, _payload, card in blobs)
 
 
+def _stamp_uniform_v3(t: IcebergTable) -> None:
+    """Once a sync translated Delta DVs into Iceberg v3 deletion-vector
+    delete files (PUFFIN, content=1 with ``referenced_data_file``), the
+    exported metadata must stop declaring format-version 2: a
+    spec-compliant v2 reader cannot decode PUFFIN position deletes, and
+    a LENIENT one could skip the unknown delete format and RESURRECT
+    masked rows — the exact hazard the pre-round-10 refusal guarded
+    against (ADVICE r10, medium). Declaring 3 makes both classes
+    behave: v3-capable readers decode the DVs; pre-v3 readers must
+    refuse a format-version above what they support (spec rule), so the
+    failure is loud, never silent row resurrection. The export tree is
+    fully engine-written, so the stamp contradicts no other writer, and
+    it persists across later DV-free syncs (append_files copies the
+    prior metadata forward) — v3 never downgrades.
+
+    DEVIATION (recorded as ``uniform.dv-v3-deletes``): v3 additionally
+    mandates row-lineage metadata (``next-row-id``, snapshot
+    ``first-row-id``) and ``format-version: 3`` in manifest/list Avro
+    headers; a zero-copy mirror of a Delta table cannot honestly
+    maintain lineage, and the Avro headers keep the engine-wide "2".
+    Both gaps read as loud missing-field/mismatch errors in a strict
+    v3 validator — never as wrong rows, which is the failure class
+    this stamp exists to close. Metadata-only commit, retried on
+    version conflicts."""
+    for _ in range(20):
+        v = t.current_metadata_version()
+        meta = t.metadata(version=v)
+        if meta.get("format-version") == 3:
+            return
+        new_meta = dict(meta)
+        new_meta["format-version"] = 3
+        new_meta["properties"] = {
+            **(meta.get("properties") or {}),
+            "uniform.dv-v3-deletes": "true",
+        }
+        new_meta["last-updated-ms"] = int(time.time() * 1000)
+        try:
+            t._write_metadata(v + 1, new_meta)
+            return
+        except IcebergCommitConflict:
+            continue
+    raise IcebergCommitConflict(
+        f"could not stamp format-version 3 on {t.root} after 20 attempts"
+    )
+
+
 def uniform_export(
     delta: DeltaTable, ice_root: str | None = None
 ) -> tuple[IcebergTable, int | None]:
@@ -241,8 +288,12 @@ def uniform_export(
     masked table — and because every sync is a full-state replacement
     (prior delete manifests are dropped with the prior data manifests),
     a later Delta optimize() that materializes the DVs simply exports
-    clean. Column mapping stays refused, as does a drifted schema
-    (drop the metadata dir and re-export to re-baseline)."""
+    clean. The first DV-carrying sync also stamps ``format-version: 3``
+    on the exported metadata (sticky; see ``_stamp_uniform_v3``) so a
+    pre-v3 reader refuses loudly instead of skipping the PUFFIN delete
+    files and resurrecting masked rows. Column mapping stays refused,
+    as does a drifted schema (drop the metadata dir and re-export to
+    re-baseline)."""
     state = delta._state()
     delta._check_readable(state)
     _refuse_unconvertible_delta(delta, state, allow_dvs=True)
@@ -328,6 +379,11 @@ def uniform_export(
         ensure_spec=ensure_spec,
         sid=sid,
     )
+    if dv_files:
+        # the snapshot above carries v3-only delete structures: declare
+        # v3 so external readers either decode them or refuse loudly
+        # (never silently resurrect masked rows) — see _stamp_uniform_v3
+        _stamp_uniform_v3(t)
     return t, sid
 
 

@@ -334,7 +334,17 @@ def _encode_bound(value, ice_type: str) -> bytes | None:
                 rounding=_dec.ROUND_HALF_EVEN
             )
         )
-        nbytes = max(1, (unscaled.bit_length() + 8) // 8)
+        # MINIMAL signed length (spec Appendix D: "minimum number of
+        # bytes"). A non-negative n needs bit_length+1 bits (leading
+        # sign 0); a negative n needs the smallest k with
+        # n >= -2^(8k-1), i.e. (n+1).bit_length()+1 bits — the +1 shift
+        # makes exact powers -2^(8k-1) (e.g. -128 → 0x80) land on k
+        # bytes instead of spilling a redundant 0xFF (ADVICE r11: the
+        # old ceil((bit_length+8)/8) emitted 0xFF80 for -128)
+        bl = unscaled.bit_length() if unscaled >= 0 else (
+            unscaled + 1
+        ).bit_length()
+        nbytes = bl // 8 + 1
         return unscaled.to_bytes(nbytes, "big", signed=True)
     if ice_type == "int":
         return _struct.pack("<i", int(value))
@@ -1097,6 +1107,7 @@ class IcebergTable:
         if snap is None:
             raise FileNotFoundError(f"snapshot {sid} not in table metadata")
         _, manifests = read_container(self._read_bytes(snap["manifest-list"]))
+        lineage = bool(meta.get("row-lineage"))
         data: list[dict] = []
         deletes: list[dict] = []
         for m in manifests:
@@ -1108,6 +1119,18 @@ class IcebergTable:
             if content == 0 and skip_manifest is not None and skip_manifest(m):
                 continue
             _, rows = read_container(self._read_bytes(m["manifest_path"]))
+            # row-lineage id resolution (round 11): a data file's
+            # first_row_id is its explicit field-142 stamp, else
+            # inherited from the manifest's base by record_count
+            # accumulation in entry order — the same rule
+            # snapshot_with_row_ids applies; carried into ``_fri`` so
+            # replace-shaped writers can re-stamp carried files
+            running = (
+                int(m["first_row_id"])
+                if lineage and content == 0
+                and m.get("first_row_id") is not None
+                else None
+            )
             for e in rows:
                 if e["status"] in (0, 1):  # EXISTING / ADDED
                     # effective DATA sequence number (spec inheritance:
@@ -1122,6 +1145,24 @@ class IcebergTable:
                     # pin their spec id; partition tuples only make sense
                     # against it after spec evolution)
                     e["_spec_id"] = m.get("partition_spec_id", 0)
+                    # the snapshot that ADDED this file (spec field 503:
+                    # a null entry snapshot_id inherits the manifest's
+                    # added_snapshot_id) — partition stats' last-updated
+                    # fields resolve against it
+                    e["_snap"] = (
+                        e.get("snapshot_id")
+                        if e.get("snapshot_id") is not None
+                        else m.get("added_snapshot_id")
+                    )
+                    if content == 0 and lineage:
+                        dfri = e["data_file"].get("first_row_id")
+                        if dfri is not None:
+                            e["_fri"] = int(dfri)
+                        elif running is not None:
+                            e["_fri"] = running
+                            running += int(e["data_file"]["record_count"])
+                        else:
+                            e["_fri"] = None
                     (deletes if content == 1 else data).append(e)
         return data, deletes
 
@@ -1519,7 +1560,19 @@ class IcebergTable:
         pairs AND v3 deletion vectors — each manifest entry counts as
         one delete file) and equality_delete_record_count / _file_count
         (content=2); global deletes written under the field-less spec
-        land on its all-null tuple row) — registered under table
+        land on its all-null tuple row; and — round 11 — the remaining
+        optional fields 10-12: ``total_record_count`` (the spec's
+        "accurate count after applying deletes" — computed by
+        attributing each deletion vector's cardinality to its
+        ``referenced_data_file``'s own partition, and NULLED table-wide
+        whenever any live delete cannot be attributed exactly from
+        metadata: equality deletes count predicates, not victims, and
+        multi-file parquet position deletes don't split per file),
+        ``last_updated_at`` / ``last_updated_snapshot_id`` (the max
+        effective data-sequence entry per partition — carried EXISTING
+        entries keep their original seq, so compaction carry-overs are
+        not "updates"; the timestamp resolves via the snapshot log and
+        nulls for expired snapshots)) — registered under table
         metadata's ``partition-statistics`` list. Each manifest entry's
         tuple is interpreted under the spec IT was written with (name
         lookup per era; positions absent from that era are null) and
@@ -1576,18 +1629,52 @@ class IcebergTable:
         # [data_rows, data_files, data_bytes,
         #  pos_del_rows, pos_del_files, eq_del_rows, eq_del_files]
         agg: dict[tuple, list[int]] = {}
+        # optional fields 10-12 (round 11): last-updated = the max
+        # EFFECTIVE data sequence number touching the partition (carried
+        # EXISTING entries pin their original seq, so a compaction
+        # carry-over is not an "update"), resolved to the adding
+        # snapshot; total_record_count = data rows minus delete rows
+        # ATTRIBUTED per partition — only deletion vectors carry
+        # referenced_data_file, which resolves to the masked file's own
+        # partition, so the subtraction is exact. Any delete the
+        # metadata cannot attribute exactly (equality deletes count
+        # predicates, not victims; multi-file parquet position deletes
+        # don't split per file) nulls field 10 table-wide rather than
+        # publish a wrong "accurate count" (the spec's word).
+        upd: dict[tuple, tuple[int, int]] = {}
+        dv_sub: dict[tuple, int] = {}
+        accurate = True
+
+        def touch(k: tuple, e: dict) -> None:
+            cand = (int(e["_seq"]), int(e.get("_snap") or 0))
+            if k not in upd or cand > upd[k]:
+                upd[k] = cand
+
+        fkey: dict[str, tuple] = {}
         for e in entries:
-            a = agg.setdefault(key_of(e), [0] * 7)
+            k = key_of(e)
+            a = agg.setdefault(k, [0] * 7)
             a[0] += int(e["data_file"]["record_count"])
             a[1] += 1
             a[2] += int(e["data_file"]["file_size_in_bytes"])
+            fkey[e["data_file"]["file_path"]] = k
+            touch(k, e)
         has_dels = False
         for e in dels:
-            a = agg.setdefault(key_of(e), [0] * 7)
+            k = key_of(e)
+            a = agg.setdefault(k, [0] * 7)
             off = 5 if int(e["data_file"].get("content", 1)) == 2 else 3
             a[off] += int(e["data_file"]["record_count"])
             a[off + 1] += 1
             has_dels = True
+            touch(k, e)
+            rdf = e["data_file"].get("referenced_data_file")
+            if off == 3 and rdf in fkey:
+                dv_sub[fkey[rdf]] = dv_sub.get(fkey[rdf], 0) + int(
+                    e["data_file"]["record_count"]
+                )
+            else:
+                accurate = False
         _PA = {
             "string": pa.string(), "int": pa.int32(), "long": pa.int64(),
             "float": pa.float32(), "double": pa.float64(),
@@ -1634,6 +1721,13 @@ class IcebergTable:
                     metadata=fid(9),
                 ),
             ]
+        schema_fields += [
+            pa.field("total_record_count", pa.int64(), metadata=fid(10)),
+            pa.field("last_updated_at", pa.int64(), metadata=fid(11)),
+            pa.field(
+                "last_updated_snapshot_id", pa.int64(), metadata=fid(12)
+            ),
+        ]
         schema = pa.schema(schema_fields)
         keys = sorted(agg, key=lambda k: tuple(str(x) for x in k))
         cols = {
@@ -1651,6 +1745,20 @@ class IcebergTable:
             cols["position_delete_file_count"] = [agg[k][4] for k in keys]
             cols["equality_delete_record_count"] = [agg[k][5] for k in keys]
             cols["equality_delete_file_count"] = [agg[k][6] for k in keys]
+        ts_by_snap = {
+            s["snapshot-id"]: int(s["timestamp-ms"])
+            for s in meta.get("snapshots", [])
+        }
+        cols["total_record_count"] = [
+            (agg[k][0] - dv_sub.get(k, 0)) if accurate else None
+            for k in keys
+        ]
+        cols["last_updated_at"] = [
+            ts_by_snap.get(upd[k][1]) for k in keys
+        ]
+        cols["last_updated_snapshot_id"] = [
+            upd[k][1] or None for k in keys
+        ]
         tbl = pa.Table.from_pydict(cols, schema=schema)
         buf = io.BytesIO()
         pq.write_table(tbl, buf)
@@ -2703,11 +2811,14 @@ class IcebergTable:
 
         Scope (loud): appends and position deletes allocate/preserve;
         ``rewrite_data_files`` preserves by MATERIALIZING ``_row_id``
-        into the rewritten files (reserved field id, spec rule) and
-        ``rewrite_manifests`` by stamping each carried file's resolved
-        first_row_id explicitly (field 142); other replace-shaped
-        commits (dynamic overwrite, merge) still refuse — their carried
-        files would silently re-base."""
+        into the rewritten files (reserved field id, spec rule);
+        ``rewrite_manifests`` AND ``overwrite_partitions`` (round 11 —
+        previously refused) preserve by stamping each carried file's
+        resolved first_row_id explicitly (field 142), so a dynamic
+        overwrite changes the id of nothing that survives; MERGE
+        (equality-delete MOR) commits only ADDED files and delete
+        manifests — ids never move, and the lineage READER refuses
+        until the equality deletes are compacted away."""
         for _ in range(20):
             v = self.current_metadata_version()
             meta = self.metadata(version=v)
@@ -2802,7 +2913,9 @@ class IcebergTable:
         map join. Position deletes mask rows without moving survivor
         ids; equality deletes refuse (their masking is value-based, the
         id map stays valid but this reader keeps the scope tight).
-        Unpartitioned tables only (loud otherwise).
+        Identity-partitioned tables refuse (their files drop the source
+        column); non-identity transforms read fine (round 11 — the
+        dynamic-overwrite-under-lineage consumer).
 
         ``min_row_id``: incremental-consumer watermark — files whose id
         range [first_row_id, first_row_id + record_count) falls wholly
@@ -2811,11 +2924,22 @@ class IcebergTable:
         meta = self.metadata()
         if not meta.get("row-lineage"):
             raise IcebergProtocolError("row lineage is not enabled")
-        spec = self._current_spec(meta)
-        if spec["fields"]:
+        # identity partitioning drops the source column from data files
+        # (restored from the tuple on normal reads); this direct-path
+        # reader would lose it. Non-identity transforms (bucket,
+        # truncate, date parts) keep every column IN the files, so
+        # partitioned lineage reads are fine there (round 11 — the
+        # dynamic-overwrite-under-lineage consumer). Checked across ALL
+        # specs: an older era's identity files have the same gap.
+        if any(
+            f["transform"] == "identity"
+            for s in meta.get("partition-specs", [])
+            for f in s["fields"]
+        ):
             raise IcebergProtocolError(
-                "snapshot_with_row_ids supports unpartitioned tables only "
-                "in this implementation"
+                "snapshot_with_row_ids does not support identity-"
+                "partitioned tables (identity files drop the source "
+                "column) — non-identity transforms are supported"
             )
         cur_sid = meta.get("current-snapshot-id")
         schema = self._spark_schema(meta)
@@ -3561,30 +3685,44 @@ class IcebergTable:
         touched = {
             tuple(sorted((f.get("partition") or {}).items())) for f in files
         }
+        lineage = bool(meta.get("row-lineage"))
         carried = []
         for e in entries:
             d = e["data_file"]
             part = dict(d.get("partition") or {})
             if tuple(sorted(part.items())) in touched:
                 continue
-            carried.append(
-                {
-                    "path": d["file_path"],
-                    "size": d["file_size_in_bytes"],
-                    "partition": part,
-                    "record_count": d["record_count"],
-                    "lower_bounds": d.get("lower_bounds"),
-                    "upper_bounds": d.get("upper_bounds"),
-                    "status": 0,
-                    "sequence_number": e["_seq"],
-                }
-            )
+            desc = {
+                "path": d["file_path"],
+                "size": d["file_size_in_bytes"],
+                "partition": part,
+                "record_count": d["record_count"],
+                "lower_bounds": d.get("lower_bounds"),
+                "upper_bounds": d.get("upper_bounds"),
+                "status": 0,
+                "sequence_number": e["_seq"],
+            }
+            if lineage:
+                # round 11 (was a refusal): carry each untouched file's
+                # RESOLVED first_row_id explicitly (field 142 — the
+                # rewrite_manifests rule), so the replace changes the id
+                # of NOTHING that survives; replaced rows retire their
+                # ids and the new files allocate fresh ones
+                if e.get("_fri") is None:
+                    raise IcebergProtocolError(
+                        f"carried file {d['file_path']} predates row "
+                        "lineage and its id base is unresolvable — "
+                        "re-run enable_row_lineage first"
+                    )
+                desc["first_row_id"] = int(e["_fri"])
+            carried.append(desc)
         return self.append_files(
             carried + files,
             meta=meta,
             replace=True,
             operation="overwrite",
             carry_deletes=True,
+            lineage_carried=lineage,
         )
 
     def _prepare_files(
@@ -3676,6 +3814,7 @@ class IcebergTable:
         ensure_spec: dict | None = None,
         sid: int | None = None,
         materialized_row_ids: bool = False,
+        lineage_carried: bool = False,
     ) -> int:
         """Commit an append snapshot over PRE-EXISTING parquet files — the
         zero-copy path (cross-format converts, in-place migration). Each
@@ -3702,16 +3841,33 @@ class IcebergTable:
             # columns (rewrite_data_files' lineage path) is id-preserving
             # by construction: the fresh inherited ids its files burn are
             # overridden row-for-row by the materialized column
-            if not (
+            mat_ok = (
                 materialized_row_ids
                 and replace
                 and all(f.get("status", 1) == 1 for f in files)
-            ):
+            )
+            # round 11 (was a refusal): a replace whose CARRIED files all
+            # arrive with their RESOLVED first_row_id stamped (field 142
+            # — the rewrite_manifests carry rule) reassigns the id of
+            # nothing: carried rows keep their explicit ids, replaced
+            # rows are deletions (ids retire, never move), and added
+            # rows allocate fresh ids from next-row-id. ``lineage_
+            # carried`` is the caller's explicit declaration that its
+            # stamps came from the source manifests' resolved ids —
+            # dynamic overwrite resolves them via _entries_for_snapshot.
+            carried_ok = lineage_carried and all(
+                f.get("first_row_id") is not None
+                for f in files
+                if f.get("status", 1) == 0
+            )
+            if not (mat_ok or carried_ok):
                 raise IcebergProtocolError(
                     "replace-shaped commits on a row-lineage table would "
-                    "reassign carried files' row ids — only "
-                    "rewrite_data_files (which materializes _row_id into "
-                    "every rewritten file) may replace under lineage"
+                    "reassign carried files' row ids — rewrite_data_files "
+                    "materializes _row_id into every rewritten file, and "
+                    "carry-through replaces (dynamic overwrite) must "
+                    "stamp each carried file's resolved first_row_id "
+                    "(field 142) and pass lineage_carried=True"
                 )
         spec = self._current_spec(meta)
         part_fields = [
@@ -3753,6 +3909,10 @@ class IcebergTable:
                         "file_size_in_bytes": f["size"],
                         "lower_bounds": f.get("lower_bounds"),
                         "upper_bounds": f.get("upper_bounds"),
+                        # explicit id carry (field 142) — carried files
+                        # under lineage arrive stamped; ADDED files stay
+                        # null and inherit from the manifest base
+                        "first_row_id": f.get("first_row_id"),
                     },
                 }
             )

@@ -2803,6 +2803,7 @@ class TxTable:
         curve: str = "z",
         lease_ttl_ms: int | None = None,
         holder: str | None = None,
+        stats_policy: dict | None = None,
     ) -> int | None:
         """Transactional small-file compaction (OPTIMIZE): partitions
         holding ≥ ``min_files`` files are rewritten into one file each and
@@ -2836,13 +2837,41 @@ class TxTable:
         lease atomically, an abandon releases it with a metadata-only
         commit, and a crashed holder's claim expires by TTL with no
         cleanup. Without the flag behavior is unchanged (no extra
-        commits)."""
+        commits).
+
+        ``stats_policy`` (round 11 — the streaming dedup index's
+        degradation trigger applied to the table format, per the
+        round-9/10 verdict sketch) switches partition SELECTION from
+        the raw file count to small-file degradation: a partition
+        compacts only when it holds at least ``min_files`` live files
+        (key ``min_files``, defaulting to the positional argument) AND
+        its MEDIAN live file size is at or below ``small_bytes``
+        (default 1 MiB). The decision reads ONLY the log's add-entry
+        sizes — metadata-grain, no filesystem listing — so a bursty
+        partition compacts when it actually degrades and a healthy
+        one is never rewritten on schedule. Fully lease-compatible:
+        selection runs first and the lease claim covers exactly the
+        degraded partitions."""
         pcols = self._partition_by()
         by_part: dict[tuple, list[dict]] = {}
         for a in self._active_files():
             key = tuple(sorted(a["partition"].items()))
             by_part.setdefault(key, []).append(a)
-        doomed = {k: v for k, v in by_part.items() if len(v) >= min_files}
+        if stats_policy is not None:
+            small = int(stats_policy.get("small_bytes", 1 << 20))
+            need = int(stats_policy.get("min_files", min_files))
+
+            def _degraded(files: list[dict]) -> bool:
+                if len(files) < need:
+                    return False
+                sizes = sorted(int(a.get("size") or 0) for a in files)
+                return sizes[len(sizes) // 2] <= small
+
+            doomed = {k: v for k, v in by_part.items() if _degraded(v)}
+        else:
+            doomed = {
+                k: v for k, v in by_part.items() if len(v) >= min_files
+            }
         if not doomed:
             return None
         holder_id = holder or uuid.uuid4().hex

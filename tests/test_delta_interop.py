@@ -1891,6 +1891,93 @@ def test_ict_floor_survives_log_compaction_pruning(spark, root, monkeypatch):
         fresh.version_at(ts0)
 
 
+def test_version_at_leading_pruned_gap(spark, root):
+    """ADVICE r11: when the cleanup pruned the log's HEAD (versions
+    0..k gone, replay via compaction), a timestamp older than every
+    surviving commit must raise the cleaned-up-log-range error — not
+    'predates the table's first commit', which is unknowable (the ts
+    may well postdate the pruned v0)."""
+    t = DeltaTable.create(spark, root, _df(spark, 0, 30))   # v0
+    t.enable_in_commit_timestamps()                          # v1
+    t.append(_df(spark, 30, 40))                             # v2
+    t.append(_df(spark, 40, 50))                             # v3
+    hist = {h["version"]: h for h in t.history()}
+    ts_v0 = hist[0]["timestamp"]
+    t.compact_log(0, 2)
+    fs = t._fs()
+    for v in range(0, 3):
+        assert fs.delete(t._path(f"{root}/_delta_log/{v:020d}.json"), False)
+    fresh = DeltaTable(spark, root)
+    assert fresh.snapshot().count() == 50  # replay through the compaction
+    # ts at pruned v0: POSTDATES the (pruned) table start — the old code
+    # misreported 'predates the first commit'
+    with pytest.raises(ValueError, match="cleaned-up log range"):
+        fresh.version_at(ts_v0)
+    # genuinely ancient ts: indistinguishable from the leading gap once
+    # v0's JSON is gone — same loud refusal, never a silent answer
+    with pytest.raises(ValueError, match="cleaned-up log range"):
+        fresh.version_at(1)
+    # the surviving tip still resolves
+    h3 = {h["version"]: h for h in fresh.history()}[3]
+    assert fresh.version_at(h3["inCommitTimestamp"]) == 3
+
+
+def test_ict_compaction_domain_requires_writer_feature(spark, root):
+    """ADVICE r11: compact_log may synthesize the graft.ict domain ONLY
+    when the protocol in effect at the range end declares the
+    domainMetadata writer feature. (a) the engine's own ICT enablement
+    now declares it (so its compactions stay licensed); (b) on an
+    ICT table whose protocol lacks the feature (external shape), the
+    compaction carries NO domain action — and replay through it still
+    works, just without the carried floor."""
+    t = DeltaTable.create(spark, root, _df(spark, 0, 30))   # v0
+    t.enable_in_commit_timestamps()                          # v1
+    wf = set(t._state()["protocol"]["writerFeatures"])
+    assert {"inCommitTimestamp", "domainMetadata"} <= wf
+
+    t.append(_df(spark, 30, 40))                             # v2
+    t.append(_df(spark, 40, 50))                             # v3
+    t.compact_log(1, 3)
+    acts = t._compaction_actions(1, 3)
+    assert any(
+        a.get("domainMetadata", {}).get("domain") == "graft.ict"
+        for a in acts
+    )
+
+    # external shape: ICT enabled but domainMetadata never declared —
+    # strip the feature from every protocol action in the log
+    root2 = root + "_nofeat"
+    t2 = DeltaTable.create(spark, root2, _df(spark, 0, 30))
+    t2.enable_in_commit_timestamps()
+    t2.append(_df(spark, 30, 40))
+    t2.append(_df(spark, 40, 50))
+    fs = t2._fs()
+    for v in range(0, 4):
+        p = f"{root2}/_delta_log/{v:020d}.json"
+        if not fs.exists(t2._path(p)):
+            continue
+        lines = t2._read_text(p).splitlines()
+        out = []
+        for ln in lines:
+            a = json.loads(ln)
+            if "protocol" in a and a["protocol"].get("writerFeatures"):
+                a["protocol"]["writerFeatures"] = sorted(
+                    set(a["protocol"]["writerFeatures"]) - {"domainMetadata"}
+                )
+            out.append(json.dumps(a, separators=(",", ":")))
+        fs.delete(t2._path(p), False)
+        t2._write_text(p, "\n".join(out) + "\n", exclusive=True)
+    t2 = DeltaTable(spark, root2)
+    t2.compact_log(1, 3)
+    acts2 = t2._compaction_actions(1, 3)
+    assert not any("domainMetadata" in a for a in acts2)
+    # replay through the compaction still reconstructs the table
+    for v in range(1, 4):
+        fs.delete(t2._path(f"{root2}/_delta_log/{v:020d}.json"), False)
+    fresh = DeltaTable(spark, root2)
+    assert fresh.snapshot().count() == 50
+
+
 def test_widen_decimal_records_type_changes(spark, root):
     """Round-10: the typeWidening decimal rule — decimal(p,s) →
     decimal(p+k1, s+k2), k1 ≥ k2 ≥ 0 — widens metadata-only, records
@@ -2016,3 +2103,130 @@ def test_identity_on_name_mapped_table(spark, root):
     assert len(rows) == 14 and len(set(rows.values())) == 14
     assert set(rows.values()) == set(range(1, 15))
     assert t.identity_columns()["rid"]["hwm"] == 14
+
+
+def _foreign_id_mode_table(spark, root, n=30):
+    """A foreign-writer-shaped id-mode table: physical column names c1/c2
+    with parquet field ids stamped in the files, schemaString mapping
+    logical k/v by delta.columnMapping.id."""
+    import os
+
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    phys = spark.range(0, n).select(
+        F.col("id").alias("c1", metadata={"parquet.field.id": 1}),
+        (F.col("id") * 1.5).alias("c2", metadata={"parquet.field.id": 2}),
+    )
+    phys.coalesce(1).write.mode("overwrite").parquet(root)
+    files = [f for f in os.listdir(root) if f.endswith(".parquet")]
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "c1"}},
+            {"name": "v", "type": "double", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "c2"}},
+        ],
+    }
+    os.makedirs(f"{root}/_delta_log")
+    with open(f"{root}/_delta_log/{0:020d}.json", "w") as fh:
+        fh.write(json.dumps(
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
+        ) + "\n")
+        fh.write(json.dumps({"metaData": {
+            "id": "m", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema), "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "id",
+                              "delta.columnMapping.maxColumnId": "2"},
+        }}) + "\n")
+        for rel in files:
+            fh.write(json.dumps({"add": {
+                "path": rel, "partitionValues": {}, "size": 1,
+                "modificationTime": 0, "dataChange": True}}) + "\n")
+    return DeltaTable(spark, root)
+
+
+def test_id_mode_append_and_merge(spark, root):
+    """Round-11 (was a declared refusal): id-mode column-mapped tables
+    accept appends and merges — staging renames to physical names AND
+    stamps each column's mapping id as the parquet field id, so
+    engine-written files resolve exactly like the foreign writer's
+    (id-based, names irrelevant)."""
+    import pyarrow.parquet as pq
+
+    t = _foreign_id_mode_table(spark, root, n=30)
+    assert t.snapshot().columns == ["k", "v"]
+
+    t.append(
+        spark.range(30, 40).select(
+            F.col("id").alias("k"), (F.col("id") * 1.5).alias("v")
+        )
+    )
+    s = t.snapshot()
+    assert s.count() == 40
+    assert s.agg(F.sum("v")).collect()[0][0] == sum(i * 1.5 for i in range(40))
+    # the engine-staged file physically carries the mapping field ids
+    new_adds = [
+        a for a in t.files()
+        if a["path"] not in {x["path"] for x in t.files(version=0)}
+    ]
+    assert new_adds
+    pf = pq.ParquetFile(t._abs_data_path(new_adds[0]["path"]).replace("file:", ""))
+    ids = {
+        pf.schema_arrow.field(i).name: (
+            pf.schema_arrow.field(i).metadata or {}
+        ).get(b"PARQUET:field_id")
+        for i in range(len(pf.schema_arrow.names))
+    }
+    assert ids == {"c1": b"1", "c2": b"2"}
+
+    # merge: matched keys rewrite, new keys insert, untouched resolve
+    t.merge_upsert(
+        spark.range(35, 45).select(
+            F.col("id").alias("k"), F.lit(0.0).alias("v")
+        ),
+        keys=["k"],
+    )
+    s2 = t.snapshot()
+    assert s2.count() == 45
+    assert s2.filter("k >= 35 and v = 0.0").count() == 10
+    assert s2.filter("k < 35 and v = k * 1.5").count() == 35
+
+
+def test_name_mode_merge_after_rename(spark, root):
+    """Round-11 (was _refuse_mapped): MERGE on a renamed (name-mapped)
+    table — the probe/survivor reads resolve by physical name and the
+    rewrite stages physically, so pre-rename and post-merge file
+    generations coexist under one resolution rule."""
+    df = spark.range(0, 50).select(
+        "id", (F.col("id") * 2.0).alias("val"),
+        (F.col("id") % 3).cast("int").alias("seg"),
+    )
+    t = DeltaTable.create(spark, root, df, partition_by=("seg",))
+    t.rename_column("val", "price")
+    cfg = t._state()["metaData"]["configuration"]
+    assert cfg["delta.columnMapping.mode"] == "name"
+    v = t.merge_upsert(
+        spark.range(40, 60).select(
+            "id", F.lit(-1.0).alias("price"),
+            (F.col("id") % 3).cast("int").alias("seg"),
+        ),
+        keys=["id"],
+    )
+    assert v is not None
+    s = t.snapshot()
+    assert s.count() == 60
+    assert s.filter("id >= 40 and price = -1.0").count() == 20
+    assert s.filter("id < 40 and price = id * 2.0").count() == 40
+    # physical staging: rewritten files carry the frozen physical name
+    # in their stats keys, not the logical one
+    phys = t._column_mapping(t._state()["metaData"])["price"]
+    assert phys != "price"
+    stats_keys = {
+        k
+        for a in t.files()
+        if a.get("stats")
+        for k in json.loads(a["stats"]).get("minValues", {})
+    }
+    assert phys in stats_keys and "price" not in stats_keys

@@ -293,6 +293,9 @@ def test_uniform_export_live_sync(spark, tmp_path):
     }
     assert summaries[sid1] == str(d.latest_version())
 
+    # pre-DV the export declares plain v2 (no stamp without need)
+    assert t.metadata().get("format-version") == 2
+
     # DVs active: translated (round 10 — the pre-r10 refusal), masked
     # reads agree through the exported metadata
     d.delete_where_dv("id = 7")
@@ -300,12 +303,21 @@ def test_uniform_export_live_sync(spark, tmp_path):
     assert sid_dv is not None
     assert rows(t.snapshot()) == rows(d.snapshot())
     assert t.inspect("delete_files").count() > 0
+    # the DV sync stamped format-version 3 (+ the deviation property):
+    # a pre-v3 reader must now refuse loudly instead of skipping the
+    # PUFFIN delete files and resurrecting the masked rows (ADVICE r10)
+    meta_v3 = t.metadata()
+    assert meta_v3.get("format-version") == 3
+    assert meta_v3["properties"].get("uniform.dv-v3-deletes") == "true"
     d.optimize()  # materializes the DVs into owned files
     t, sid2 = uniform_export(d)
     assert sid2 is not None
     assert rows(t.snapshot()) == rows(d.snapshot())
     # a full-state replacement: the DV entries do NOT linger post-optimize
     assert t.inspect("delete_files").count() == 0
+    # ...but the v3 declaration is STICKY: older DV-carrying snapshots
+    # stay time-travelable, so the table never downgrades to v2
+    assert t.metadata().get("format-version") == 3
     d.append(
         spark.range(500, 510)
         .withColumn("seg", (F.col("id") % 3).cast("int"))

@@ -1975,9 +1975,21 @@ def test_row_lineage_inheritance_and_stability(spark, root):
     t.delete_where("k % 10 = 3")  # position deletes: ids stable
     after = {r.k: r._row_id for r in t.snapshot_with_row_ids().collect()}
     assert after == {k: k for k in range(150) if k % 10 != 3}
-    # overwrite stays refused: its carried files would silently re-base
+    # round 11 (was a refusal): an unpartitioned dynamic overwrite is a
+    # FULL replace — no file survives, so nothing carries: every old id
+    # retires and the new rows allocate strictly above the old watermark
+    hwm = t.metadata()["next-row-id"]
+    t.overwrite_partitions(df)
+    fresh = {r.k: r._row_id for r in t.snapshot_with_row_ids().collect()}
+    assert set(fresh) == set(range(100))
+    assert all(rid >= hwm for rid in fresh.values())
+    # a raw replace WITHOUT resolved carried stamps still refuses
     with pytest.raises(IcebergProtocolError, match="lineage"):
-        t.overwrite_partitions(df)
+        t.append_files(
+            [{"path": "x.parquet", "size": 1, "partition": {},
+              "record_count": 1, "status": 0, "sequence_number": 1}],
+            replace=True,
+        )
 
 
 def test_row_lineage_rewrites_preserve_ids(spark, root):
@@ -2371,3 +2383,50 @@ def test_expire_snapshots_retires_statistics(spark, tmp_path):
         assert os.path.exists(p.replace("file:", "")), p
     # the surviving stats still answer
     assert t.ndv("k") is not None
+
+
+def test_encode_bound_decimal_minimal_twos_complement():
+    """ADVICE r11: Appendix D requires the MINIMUM byte count for
+    decimal bounds. Exact negative powers -2^(8k-1) must land on k
+    bytes (-128 → 0x80, not 0xFF80); positives whose top bit is set
+    need the leading sign byte (128 → 0x0080). Every encoding must
+    also decode back to the same value (length-aware decode)."""
+    from decimal import Decimal
+
+    from projectdatalake_spark.sources.iceberg_interop import (
+        _decode_bound,
+        _encode_bound,
+    )
+
+    cases = {
+        0: b"\x00",
+        1: b"\x01",
+        127: b"\x7f",
+        128: b"\x00\x80",
+        255: b"\x00\xff",
+        256: b"\x01\x00",
+        -1: b"\xff",
+        -127: b"\x81",
+        -128: b"\x80",          # the reported bug: was 0xFF80
+        -129: b"\xff\x7f",
+        -255: b"\xff\x01",
+        -256: b"\xff\x00",
+        -32768: b"\x80\x00",    # advisor's own formula got this wrong (3B)
+        32767: b"\x7f\xff",
+        32768: b"\x00\x80\x00",
+    }
+    for unscaled, want in cases.items():
+        v = Decimal(unscaled).scaleb(-2)  # e.g. -128 → Decimal('-1.28')
+        got = _encode_bound(v, "decimal(18,2)")
+        assert got == want, (unscaled, got.hex(), want.hex())
+        back = _decode_bound(got, "decimal(18,2)")
+        assert back == v, (unscaled, back)
+    # sweep: every length is minimal (re-encoding the decoded value
+    # never shrinks) across a dense range
+    for unscaled in range(-70000, 70000, 7):
+        v = Decimal(unscaled).scaleb(-2)
+        b = _encode_bound(v, "decimal(18,2)")
+        assert int.from_bytes(b, "big", signed=True) == unscaled
+        if len(b) > 1:
+            # dropping the leading byte must change the value
+            assert int.from_bytes(b[1:], "big", signed=True) != unscaled

@@ -1990,3 +1990,69 @@ def test_widen_decimal_precision_and_scale(spark, tmp_path):
         t.widen_column("price", "decimal(40,4)")  # p > 38
     with pytest.raises(ValueError, match="not a supported widening"):
         t.widen_column("id", "decimal(12,2)")  # cross-family
+
+
+def test_optimize_stats_policy_degradation_trigger(spark, tmp_path):
+    """Round-11 (verdict #6): stats-driven OPTIMIZE — partition
+    selection by small-file degradation (median live file size ≤
+    small_bytes with ≥ min_files files, read from the log's add sizes,
+    no fs listing) instead of raw count. Gates: triggers on the
+    degraded partition only (a same-count partition of BIG files is
+    healthy and untouched), no-ops when nothing is degraded, and
+    composes with the multi-writer lease protocol."""
+    t = TxTable.create(
+        spark, str(tmp_path / "t"),
+        _mkdf(spark, [(0, "A", 0)]), partition_by=("seg",),
+    )
+    for i in range(1, 4):           # A: 4 one-row files (tiny)
+        t.append(_mkdf(spark, [(i, "A", i)]))
+    for i in range(2):              # B: 2 tiny files (below min_files)
+        t.append(_mkdf(spark, [(100 + i, "B", i)]))
+    big = [(1000 * j + i, "C", i) for j in range(4) for i in range(5000)]
+    for j in range(4):              # C: 4 big files (healthy median)
+        t.append(_mkdf(spark, big[j * 5000:(j + 1) * 5000]).coalesce(1))
+    before = {(r.id, r.seg, r.val) for r in t.snapshot().collect()}
+    sizes_a = sorted(
+        a["size"] for a in t._active_files() if a["partition"]["seg"] == "A"
+    )
+    sizes_c = sorted(
+        a["size"] for a in t._active_files() if a["partition"]["seg"] == "C"
+    )
+    cut = (sizes_a[len(sizes_a) // 2] + sizes_c[len(sizes_c) // 2]) // 2
+    policy = {"small_bytes": cut, "min_files": 4}
+
+    # healthy: a 1-byte threshold never degrades → no-op, zero commits
+    v0 = t.latest_version()
+    assert t.optimize(stats_policy={"small_bytes": 1, "min_files": 4}) is None
+    assert t.latest_version() == v0
+
+    # lease-compatible: A claimed by another live holder → selection
+    # excludes it and nothing else is degraded → clean abandon
+    t._publish(
+        "optimize_lease", [], [],
+        lease={
+            "holder": "other",
+            "partitions": [json.dumps([["seg", "A"]])],
+            "ttl_ms": 60_000,
+        },
+    )
+    assert (
+        t.optimize(stats_policy=policy, lease_ttl_ms=60_000, holder="me")
+        is None
+    )
+    t._publish("release_lease", [], [], release_lease="other")
+
+    # degraded: A compacts (4 tiny files, median below the cut);
+    # B (too few files) and C (big median) untouched
+    v = t.optimize(stats_policy=policy, lease_ttl_ms=60_000, holder="me")
+    assert v is not None
+    per_seg = {}
+    for a in t._active_files():
+        per_seg.setdefault(a["partition"]["seg"], []).append(a)
+    assert len(per_seg["A"]) == 1
+    assert len(per_seg["B"]) == 2
+    assert len(per_seg["C"]) == 4
+    assert {(r.id, r.seg, r.val) for r in t.snapshot().collect()} == before
+    assert t._active_leases() == []
+    # converged: the same policy now finds nothing degraded
+    assert t.optimize(stats_policy=policy) is None
