@@ -302,6 +302,7 @@ EXTENDED = [
     "iceberg_lineage_dynamic_overwrite",
     "delta_id_mode_writes",
     "delta_mapped_merge",
+    "iceberg_lineage_merge",
 ]
 
 # Apply-only rungs measure STEADY-STATE cost: their fit-once index builds

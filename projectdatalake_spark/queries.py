@@ -19404,3 +19404,89 @@ def delta_mapped_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("amount"), 2).alias("s"),
         )
     )
+
+
+@query(
+    "iceberg_lineage_merge",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders
+    ),
+    base AS (SELECT k, price FROM o WHERE k % 3 < 2),
+    upd AS (SELECT k FROM o WHERE k % 5 = 0),
+    final AS (
+      SELECT b.k,
+             CASE WHEN u.k IS NOT NULL THEN CAST(-1.0 AS DOUBLE)
+                  ELSE b.price END AS price,
+             u.k IS NULL AS kept, u.k IS NOT NULL AS fresh
+      FROM base b LEFT JOIN upd u ON b.k = u.k
+      UNION ALL
+      SELECT o.k, CAST(-1.0 AS DOUBLE), FALSE, TRUE
+      FROM o JOIN upd u ON o.k = u.k
+      WHERE o.k % 3 = 2
+    )
+    SELECT k, price, kept, fresh FROM final
+    """,
+)
+def iceberg_lineage_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE ON A ROW-LINEAGE TABLE, READ END TO END (round 11 — the
+    second half of verdict item 7; [[iceberg_lineage_dynamic_overwrite]]
+    is the replace half): ``merge_upsert`` was never replace-shaped
+    (equality-delete MOR — one snapshot carries the key delete at seq N
+    plus the new data files at the same seq, ids never move), but the
+    lineage READER refused under live equality deletes. It now applies
+    them by the spec's strictly-smaller-seq rule — a masked row's id
+    retires, a survivor's id is untouched, and merge's same-snapshot
+    data files escape their own delete by seq equality. Fixture: keys
+    %3∈{0,1} created+appended under lineage, then one MERGE upserting
+    every %5==0 key (updates AND %3==2 inserts in one frame). Oracle:
+    the "changes the id of NOTHING" shape — untouched rows ``kept``
+    (id unchanged vs pre-merge), every merged generation ``fresh``
+    (id ≥ the pre-merge watermark), values replayed relationally.
+
+    100 TB: CDC-merge into a lineage table is the incremental-consumer
+    bread-and-butter — the merge itself stays O(|updates|)
+    merge-on-read, and downstream id-watermark consumers keep working
+    WITHOUT compacting the equality deletes away first.
+
+    Reference parity: engine-added §2 (table formats); the reference
+    (etl.py:1-191) has no table-format surface."""
+    import tempfile
+
+    from projectdatalake_spark.sources.iceberg_interop import IcebergTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    b1 = (
+        o.filter(F.col("k") % 3 == 0)
+        .coalesce(1).sortWithinPartitions("k")
+    )
+    b2 = (
+        o.filter(F.col("k") % 3 == 1)
+        .coalesce(1).sortWithinPartitions("k")
+    )
+    root = tempfile.mkdtemp(prefix="ice_lin_merge_") + "/t"
+    t = IcebergTable.create(spark, root, b1)
+    t.enable_row_lineage()
+    t.append(b2)
+    before = t.snapshot_with_row_ids().select(
+        F.col("k").alias("bk"), F.col("_row_id").alias("bid")
+    )
+    hwm = int(t.metadata()["next-row-id"])
+    t.merge_upsert(
+        o.filter(F.col("k") % 5 == 0).select(
+            "k", F.lit(-1.0).alias("price")
+        ),
+        keys=["k"],
+    )
+    after = t.snapshot_with_row_ids()
+    return after.join(before, after["k"] == before["bk"], "left").select(
+        "k", "price",
+        F.coalesce(F.col("_row_id") == F.col("bid"), F.lit(False)).alias(
+            "kept"
+        ),
+        (F.col("_row_id") >= F.lit(hwm)).alias("fresh"),
+    )

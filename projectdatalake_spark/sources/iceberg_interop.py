@@ -2817,8 +2817,9 @@ class IcebergTable:
         resolved first_row_id explicitly (field 142), so a dynamic
         overwrite changes the id of nothing that survives; MERGE
         (equality-delete MOR) commits only ADDED files and delete
-        manifests — ids never move, and the lineage READER refuses
-        until the equality deletes are compacted away."""
+        manifests — ids never move, and the lineage READER applies the
+        equality deletes by the strictly-smaller-seq rule (round 11),
+        so merged lineage tables read end to end."""
         for _ in range(20):
             v = self.current_metadata_version()
             meta = self.metadata(version=v)
@@ -2911,11 +2912,12 @@ class IcebergTable:
         from the manifest-list entry's first_row_id) + the parquet
         ``_metadata.row_index`` — one scan plus an O(#files) broadcast
         map join. Position deletes mask rows without moving survivor
-        ids; equality deletes refuse (their masking is value-based, the
-        id map stays valid but this reader keeps the scope tight).
-        Identity-partitioned tables refuse (their files drop the source
-        column); non-identity transforms read fine (round 11 — the
-        dynamic-overwrite-under-lineage consumer).
+        ids; equality deletes apply by the spec's strictly-smaller-seq
+        rule (round 11 — was a refusal: masking is value-based and
+        never moves survivor ids, so MERGED lineage tables read
+        directly). Identity-partitioned tables refuse (their files drop
+        the source column); non-identity transforms read fine (round 11
+        — the dynamic-overwrite-under-lineage consumer).
 
         ``min_row_id``: incremental-consumer watermark — files whose id
         range [first_row_id, first_row_id + record_count) falls wholly
@@ -2952,7 +2954,9 @@ class IcebergTable:
         )
         _, manifests = read_container(self._read_bytes(cur_snap["manifest-list"]))
         base_of: dict[str, int] = {}
+        seq_of: dict[str, int] = {}
         pos_entries: list[dict] = []
+        eq_entries: list[dict] = []
         for m in manifests:
             content = m.get("content", 0)
             _, rows = read_container(self._read_bytes(m["manifest_path"]))
@@ -2960,12 +2964,19 @@ class IcebergTable:
                 for e in rows:
                     if e["status"] not in (0, 1):
                         continue
+                    e["_seq"] = (
+                        e.get("sequence_number")
+                        if e.get("sequence_number") is not None
+                        else m["sequence_number"]
+                    )
                     if e["data_file"].get("content") == 2:
-                        raise IcebergProtocolError(
-                            "snapshot_with_row_ids does not apply equality "
-                            "deletes — compact them first"
-                        )
-                    pos_entries.append(e)
+                        # round 11 (was a refusal): equality deletes apply
+                        # by the spec's strictly-smaller seq rule — the id
+                        # map stays valid (masking never moves survivor
+                        # ids), so a MERGED lineage table reads directly
+                        eq_entries.append(e)
+                    else:
+                        pos_entries.append(e)
                 continue
             base = m.get("first_row_id")
             if base is None:
@@ -3007,12 +3018,18 @@ class IcebergTable:
                     if hi < min_row_id:
                         continue  # whole file below the watermark
                 base_of[dfile["file_path"]] = int(fri)
+                seq_of[dfile["file_path"]] = int(
+                    e.get("sequence_number")
+                    if e.get("sequence_number") is not None
+                    else m["sequence_number"]
+                )
         if not base_of:
             return self.spark.createDataFrame([], schema).withColumn(
                 "_row_id", F.lit(None).cast("long")
             )
         base_map = self.spark.createDataFrame(
-            [(p, b) for p, b in base_of.items()], "__fp string, __base long"
+            [(p, b, seq_of[p]) for p, b in base_of.items()],
+            "__fp string, __base long, __fseq long",
         )
         # one scan covers plain AND rewrite-materialized files: the
         # explicit schema reads `_row_id` where present and null where
@@ -3042,7 +3059,58 @@ class IcebergTable:
                 F.col("file_path").alias("__fp"), F.col("pos").alias("__ri")
             )
             df = df.join(deletes_df, on=["__fp", "__ri"], how="left_anti")
-        df = df.drop("__fp", "__ri", "__base")
+        if eq_entries:
+            # same application as the normal scan (snapshot): group the
+            # delete files by equality-id tuple, broadcast each group,
+            # anti-join on null-safe key equality AND data_seq < del_seq
+            # (rows re-appended after the delete keep their higher seq
+            # and survive — exactly why merge's same-snapshot data files
+            # escape their own delete)
+            fields_by_id = {
+                f["id"]: f
+                for f in next(
+                    s
+                    for s in meta["schemas"]
+                    if s["schema-id"] == meta["current-schema-id"]
+                )["fields"]
+            }
+            spark_type = {f.name: f.dataType for f in schema.fields}
+            by_ids: dict[tuple, list] = {}
+            for e in eq_entries:
+                ids_key = tuple(sorted(e["data_file"].get("equality_ids") or []))
+                if not ids_key:
+                    raise IcebergProtocolError(
+                        "equality delete file without equality_ids — "
+                        "cannot apply, rows would be resurrected"
+                    )
+                by_ids.setdefault(ids_key, []).append(e)
+            from pyspark.sql.types import StructField as _SF2
+
+            for ids_key, ents in by_ids.items():
+                unknown = [i for i in ids_key if i not in fields_by_id]
+                if unknown:
+                    raise IcebergProtocolError(
+                        f"equality_ids {unknown} not in current schema — "
+                        f"cannot apply equality deletes"
+                    )
+                cols = [fields_by_id[i]["name"] for i in ids_key]
+                key_schema = StructType(
+                    [_SF2(c, spark_type[c], True) for c in cols]
+                )
+                kf = None
+                for e in ents:
+                    one = self.spark.read.schema(key_schema).parquet(
+                        e["data_file"]["file_path"]
+                    ).withColumn("__del_seq", F.lit(e["_seq"]).cast("long"))
+                    kf = one if kf is None else kf.unionByName(one)
+                kf = kf.select(
+                    *[F.col(c).alias(f"__eq_{c}") for c in cols], "__del_seq"
+                )
+                cond = F.col("__fseq") < F.col("__del_seq")
+                for c in cols:
+                    cond = cond & F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
+                df = df.join(F.broadcast(kf), cond, "left_anti")
+        df = df.drop("__fp", "__ri", "__base", "__fseq")
         if min_row_id is not None:
             df = df.filter(F.col("_row_id") >= F.lit(int(min_row_id)))
         return df

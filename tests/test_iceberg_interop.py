@@ -2430,3 +2430,50 @@ def test_encode_bound_decimal_minimal_twos_complement():
         if len(b) > 1:
             # dropping the leading byte must change the value
             assert int.from_bytes(b[1:], "big", signed=True) != unscaled
+
+
+def test_lineage_reader_applies_equality_deletes(spark, root):
+    """Round-11 (was a refusal): snapshot_with_row_ids applies equality
+    deletes by the strictly-smaller-seq rule — a masked row's id
+    retires, survivors keep theirs untouched, and a row RE-APPENDED
+    after the delete (higher seq) survives its own key's older delete
+    with a fresh id."""
+    def batch(lo, hi):
+        return (
+            spark.range(lo, hi)
+            .select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("v"))
+            .coalesce(1).sortWithinPartitions("k")
+        )
+
+    t = IcebergTable.create(spark, root, batch(0, 100))
+    t.enable_row_lineage()
+    t.delete_equality(
+        spark.range(0, 100).filter("id % 10 = 3").select(
+            F.col("id").alias("k")
+        )
+    )
+    ids = {r.k: r._row_id for r in t.snapshot_with_row_ids().collect()}
+    assert ids == {k: k for k in range(100) if k % 10 != 3}
+    # re-append two previously-deleted keys: higher seq → they survive,
+    # with FRESH ids above the watermark; everything else untouched
+    hwm = t.metadata()["next-row-id"]
+    t.append(batch(3, 4).unionAll(batch(13, 14)).coalesce(1))
+    after = {r.k: r._row_id for r in t.snapshot_with_row_ids().collect()}
+    assert {k: v for k, v in after.items() if k not in (3, 13)} == ids
+    assert sorted(after[k] for k in (3, 13)) == [hwm, hwm + 1]
+    # merge: one snapshot = key delete + new generation at the same seq
+    t.merge_upsert(
+        spark.range(0, 100).filter("id % 10 = 7").select(
+            F.col("id").alias("k"), F.lit(-1.0).alias("v")
+        ),
+        keys=["k"],
+    )
+    merged = t.snapshot_with_row_ids()
+    rows = {r.k: (r.v, r._row_id) for r in merged.collect()}
+    for k, (v, rid) in rows.items():
+        if k % 10 == 7:
+            assert v == -1.0 and rid >= hwm + 2, (k, v, rid)
+        elif k in (3, 13):
+            assert rid == after[k]
+        elif k % 10 != 3:
+            assert v == k * 2.0 and rid == k, (k, v, rid)
