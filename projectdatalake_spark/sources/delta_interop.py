@@ -2808,10 +2808,36 @@ class DeltaTable:
         state = self._state()
         self._check_readable(state)
         meta = state["metaData"]
-        self._refuse_mapped(meta, "delete_where_dv")
+        # round 11 (was _refuse_mapped): column-mapped tables delete
+        # through the same PHYSICAL seam as merge — files read by
+        # physical name (+ parquet field id in id mode), rename back to
+        # logical BEFORE the predicate evaluates, and the DV binds to
+        # (file, row_index) which is mapping-agnostic by construction.
+        phys_of = self._column_mapping(meta)
+        cm_mode = (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
         schema = StructType.fromJson(json.loads(meta["schemaString"]))
         pcols = list(meta.get("partitionColumns", []))
-        data_schema = StructType([f for f in schema.fields if f.name not in pcols])
+        from pyspark.sql.types import StructField as _SF
+
+        data_fields = []
+        for f in schema.fields:
+            if f.name in pcols:
+                continue
+            m_ = {}
+            if cm_mode == "id":
+                fid = (f.metadata or {}).get("delta.columnMapping.id")
+                if fid is not None:
+                    m_ = {"parquet.field.id": int(fid)}
+            data_fields.append(
+                _SF(phys_of.get(f.name, f.name), f.dataType, True, m_)
+            )
+        data_schema = StructType(data_fields)
+        if cm_mode == "id":
+            self.spark.conf.set(
+                "spark.sql.parquet.fieldId.read.enabled", "true"
+            )
         ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
         adds = list(state["adds"].values())
         by_abs = {self._abs_data_path(a["path"]): a for a in adds}
@@ -2819,11 +2845,16 @@ class DeltaTable:
         groups: dict[tuple, list[dict]] = {}
         for a in adds:
             pv = a.get("partitionValues", {})
-            groups.setdefault(tuple((c, pv.get(c)) for c in pcols), []).append(a)
+            groups.setdefault(
+                tuple((c, pv.get(phys_of.get(c, c))) for c in pcols), []
+            ).append(a)
         hit_rows: list = []
         for key, group in groups.items():
             paths = [self._abs_data_path(a["path"]) for a in group]
             df = self.spark.read.schema(data_schema).parquet(*paths)
+            for f in schema.fields:
+                if f.name not in pcols and phys_of.get(f.name, f.name) != f.name:
+                    df = df.withColumnRenamed(phys_of[f.name], f.name)
             for col, sval in key:
                 df = df.withColumn(col, _partition_literal(sval, ptypes[col]))
             hit_rows.extend(

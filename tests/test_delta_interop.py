@@ -584,11 +584,19 @@ def test_column_mapping_name_mode_read(spark, root):
     assert s.agg(F.sum("val")).collect()[0][0] == sum(i * 2.0 for i in range(60))
     # partition pruning accepts the LOGICAL name, maps to physical keys
     assert t.snapshot(where_eq={"seg": [1]}).count() == 30
-    # writes on mapped tables are refused loudly
+    # a frame carrying PHYSICAL names is refused (unknown logical
+    # columns → would need fresh mapping ids)
     with pytest.raises(DeltaProtocolError, match="column-mapped"):
         t.append(df)
-    with pytest.raises(DeltaProtocolError, match="column-mapped"):
-        t.delete_where_dv("id = 1")
+    # round 11 (was a refusal): DV delete through the mapping — the
+    # predicate speaks LOGICAL names, the DV binds to (file, row_index)
+    assert t.delete_where_dv("id % 10 = 1") is not None
+    s2 = t.snapshot()
+    assert s2.count() == 54
+    assert s2.filter("id % 10 = 1").count() == 0
+    assert s2.agg(F.sum("val")).collect()[0][0] == sum(
+        i * 2.0 for i in range(60) if i % 10 != 1
+    )
 
 
 def test_replace_where_partition_scoped(spark, root):
@@ -2192,6 +2200,13 @@ def test_id_mode_append_and_merge(spark, root):
     assert s2.count() == 45
     assert s2.filter("k >= 35 and v = 0.0").count() == 10
     assert s2.filter("k < 35 and v = k * 1.5").count() == 35
+
+    # DV delete through id-mode resolution (round 11): predicate on
+    # logical names, files resolved by parquet field id
+    assert t.delete_where_dv("k % 9 = 4") is not None
+    s3 = t.snapshot()
+    assert s3.count() == 40
+    assert s3.filter("k % 9 = 4").count() == 0
 
 
 def test_name_mode_merge_after_rename(spark, root):
