@@ -322,6 +322,38 @@ _R10_DRIVER_VERIFIED = frozenset(
     }
 )
 
+# Hash-green in CORRECTNESS_r11.json (50/50 fully green, zero err) —
+# the 6 round-11 registrations front-ranked plus 44 stalest-proof
+# rotations (r3/r4-vintage: the txlog lifecycle family, TPC-H picks,
+# format round-trips, graph proof rungs).
+_R11_DRIVER_VERIFIED = frozenset(
+    {
+        "dedup_minhash_seeded", "iceberg_partition_stats_full",
+        "iceberg_lineage_dynamic_overwrite", "delta_id_mode_writes",
+        "delta_mapped_merge", "iceberg_lineage_merge",
+        # stalest-proof rotations
+        "spine_calendar", "validate_rules", "tpch_q5_local_volume",
+        "tpch_q10_returned", "tpch_q2_min_cost_supplier",
+        "tpch_q11_important_stock", "tpch_q20_part_promotion",
+        "txlog_optimize_compact", "txlog_vacuum_reclaim",
+        "txlog_checkpoint_read", "agg_regression_stats", "orc_roundtrip",
+        "llm_corpus_pipeline", "join_bucketed_colocated", "csv_roundtrip",
+        "resample_gapfill_hourly", "dedup_fuzzy_name_pairs",
+        "pyds_custom_source", "txlog_bloom_skipping",
+        "explode_ordinality", "win_nth_boundaries",
+        "txlog_cdf_stream_source", "variant_semistructured",
+        "agg_bitwise", "safe_arithmetic", "scan_provenance",
+        "interval_overlap_join", "tpch_q14_promo", "stream_stream_join",
+        "txlog_stream_upsert_sink", "txlog_incremental_agg_cdc",
+        "txlog_apply_changes", "txlog_widen_schema",
+        "pyds_jsonl_writer_roundtrip", "txlog_retention_lifecycle",
+        "txlog_clustered_write", "retention_cohorts", "event_transitions",
+        "pareto_frontier", "weighted_sample_priority", "mm_frame_sample",
+        "graph_triangle_counts", "graph_clustering_coefficient",
+        "arrow_embed_features",
+    }
+)
+
 _VERIFIED_BY_ROUND = (
     _R1_DRIVER_VERIFIED,
     _R2_DRIVER_VERIFIED,
@@ -333,6 +365,7 @@ _VERIFIED_BY_ROUND = (
     _R8_DRIVER_VERIFIED,
     _R9_DRIVER_VERIFIED,
     _R10_DRIVER_VERIFIED,
+    _R11_DRIVER_VERIFIED,
 )
 
 _DRIVER_VERIFIED = frozenset().union(*_VERIFIED_BY_ROUND)

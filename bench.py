@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import statistics
 import sys
 import time
@@ -319,19 +320,63 @@ WARM_FIRST = {"semantic_dedup_apply_only", "dedup_minhash_apply"}
 CANARIES = ["q1_pricing_summary", "multi_join_snowflake", "tpch_q3_shipping"]
 DRIFT_TAINT = 1.2
 
-# Absolute canary reference: the canary queries' medians from the LAST
-# COMMITTED clean idle run (BENCH_local_r10_idle.json, 11.168 s total,
-# env_factor 0.958). The within-run drift canary above is blind to a run
-# that is UNIFORMLY loaded from the start (round-10's 14.881 s driver run
-# stamped env_factor 0.958/tainted:false because the contention drained by
-# run end). abs_factor = median over canaries of (this run's start-of-run
-# headline median ÷ this reference); >ABS_TAINT taints the run at launch.
-# Update these values whenever a new clean idle record is committed.
-ABS_REFERENCE = {
+# Absolute canary reference. The within-run drift canary above is blind
+# to a run that is UNIFORMLY loaded from the start (round-10's 14.881 s
+# driver run stamped env_factor 0.958/tainted:false because the
+# contention drained by run end). abs_factor = median over canaries of
+# (this run's start-of-run headline median ÷ this reference); >ABS_TAINT
+# taints the run at launch.
+#
+# DERIVED, not hard-coded (ADVICE r12): the reference is the per-canary
+# MEDIAN over the most recent ≤3 committed untainted idle records
+# (BENCH_local_r*_idle.json) — so a new clean idle record rebaselines
+# the yardstick in the same commit that records it (no manual sync to
+# forget), and a persistent environment shift (the documented 1.1-1.3×
+# oscillation, BASELINE.md rounds 2/6/10/11) converges into the
+# reference over a few rounds instead of pushing honest idle runs over
+# the taint line. A one-off loaded run still reads >ABS_TAINT× against
+# the recent-median and taints. The hard floor (r10's fastest-known run)
+# stays visible in the committed records and BASELINE.md — abs_factor
+# measures "honest for THIS machine as it currently runs", not
+# "all-time best". Off this machine the derived values still reflect
+# the recording host; a much slower host self-taints at launch, which
+# is the conservative failure (flagged, not silently trusted).
+_ABS_SEED = {  # fallback when no committed idle record parses
     "q1_pricing_summary": 1.294,
     "multi_join_snowflake": 0.637,
     "tpch_q3_shipping": 0.778,
 }
+
+
+def _derive_abs_reference(here: str | None = None) -> dict[str, float]:
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
+    recs = []
+    for fname in os.listdir(here):
+        m = re.fullmatch(r"BENCH_local_r(\d+)[a-z]?_idle\.json", fname)
+        if not m:
+            continue
+        try:
+            with open(os.path.join(here, fname)) as f:
+                d = json.load(f)
+        except (OSError, ValueError):
+            continue
+        q = d.get("queries") or {}
+        if (
+            d.get("sf") == 0.1
+            and d.get("tainted") is not True
+            and all(n in q and q[n] > 0 for n in CANARIES)
+        ):
+            recs.append((int(m.group(1)), {n: float(q[n]) for n in CANARIES}))
+    recs = [q for _r, q in sorted(recs, key=lambda t: t[0])[-3:]]
+    if not recs:
+        return dict(_ABS_SEED)
+    return {
+        n: round(statistics.median([q[n] for q in recs]), 3) for n in CANARIES
+    }
+
+
+ABS_REFERENCE = _derive_abs_reference()
 ABS_TAINT = 1.2
 
 HEADLINE = [

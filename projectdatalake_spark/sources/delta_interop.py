@@ -41,6 +41,7 @@ lakehouse semantics.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import re
 import time
@@ -167,6 +168,29 @@ def _file_path_raw(col):
             F.regexp_replace(col, "^file:", ""), r"\+", "%2B"
         )
     )
+
+
+@contextlib.contextmanager
+def _scoped_confs(spark: SparkSession, confs: dict):
+    """Set session confs for the duration of a block, restoring the
+    prior EFFECTIVE values on exit. The parquet field-id confs are
+    consulted by Spark at ACTION time, not at plan-construction time,
+    so the block must enclose the action (write/collect) — and a conf
+    set without restore would leak id-based parquet resolution
+    semantics into every later read/write on the shared session
+    (ADVICE r11, delta_interop fieldId leak)."""
+    saved = []
+    for k, v in confs.items():
+        saved.append((k, spark.conf.get(k, None)))
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, prior in saved:
+            if prior is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, prior)
 
 
 def _decimal_params_d(t: str) -> tuple[int, int] | None:
@@ -731,17 +755,43 @@ class DeltaTable:
             # true resolution is unrecoverable either way, but calling
             # it "predates the table" would be a lie for any ts inside
             # the leading pruned range.
-            surviving0 = self._log_files()[0]
-            if surviving0 and min(surviving0) > 0:
+            # "first surviving" must consider EVERY witness of pruned
+            # history, not just JSON commits: when all per-commit JSONs
+            # were cleaned and only a checkpoint / compaction survives
+            # (ADVICE r11), the pruned range is 0..checkpoint-version —
+            # falling through to "predates the table" would be the same
+            # lie the guard exists to avoid.
+            commits_l, checkpoints, compactions = self._log_inventory()
+            commits = set(commits_l)
+            pruned_end = -1  # highest LEADING version whose commitInfo is gone
+            if 0 not in commits:
+                # version 0's JSON is gone: the table's true start
+                # timestamp is unrecoverable. Every surviving witness
+                # bounds the leading pruned range from below.
+                if commits:
+                    pruned_end = min(commits) - 1
+                for cv in checkpoints:
+                    if cv not in commits:
+                        pruned_end = max(pruned_end, cv)
+                for cs, ce in compactions:
+                    # a compact file witnesses versions cs..ce existed;
+                    # any of them whose per-commit JSON is gone lost its
+                    # commitInfo (the compact file merges actions but
+                    # carries no per-version timestamps)
+                    missing = [
+                        v for v in range(cs, ce + 1) if v not in commits
+                    ]
+                    if missing:
+                        pruned_end = max(pruned_end, max(missing))
+            if pruned_end >= 0:
                 raise ValueError(
                     f"timestamp {ts_millis} falls before the first "
-                    f"surviving commit (version {min(surviving0)}), and "
-                    f"versions 0..{min(surviving0) - 1} were cleaned up "
-                    f"— it may predate the table or land inside the "
-                    f"cleaned-up log range; commit timestamps there are "
-                    f"not reconstructible. Time travel by version, or "
-                    f"use a timestamp at or after the first surviving "
-                    f"commit"
+                    f"surviving per-commit file, and versions "
+                    f"0..{pruned_end} were cleaned up — it may predate "
+                    f"the table or land inside the cleaned-up log range; "
+                    f"commit timestamps there are not reconstructible. "
+                    f"Time travel by version, or use a timestamp at or "
+                    f"after the first surviving commit"
                 )
             raise ValueError(
                 f"timestamp {ts_millis} predates the table's first commit"
@@ -925,8 +975,6 @@ class DeltaTable:
                 StructField(phys_of.get(f.name, f.name), f.dataType, True, m)
             )
         data_schema = StructType(data_fields)
-        if cm_mode == "id":
-            self.spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
         # hive fast path: one scan for the whole (pruned) file set
         def _hive_rel(a: dict) -> bool:
@@ -958,10 +1006,12 @@ class DeltaTable:
         frames = []
         for key, group in groups.items():
             paths = [self._abs_data_path(a["path"]) for a in group]
-            df = self.spark.read.schema(data_schema).parquet(*paths)
             dv_adds = [a for a in group if a.get("deletionVector")]
+            df = self._read_physical(
+                paths, data_schema, cm_mode, with_meta=bool(dv_adds)
+            )
             if dv_adds:
-                df = self._apply_dvs(df, dv_adds)
+                df = self._apply_dvs(df, dv_adds, has_meta=True)
             # physical → logical rename
             for f in schema.fields:
                 if f.name not in pcols and phys_of.get(f.name, f.name) != f.name:
@@ -1033,18 +1083,135 @@ class DeltaTable:
             raise DeltaProtocolError(f"bad DV magic {magic}")
         return deserialize_rba(data[4:])
 
-    def _apply_dvs(self, df: DataFrame, dv_adds: list[dict]) -> DataFrame:
+    def _read_physical(
+        self,
+        paths: list[str],
+        data_schema: StructType,
+        cm_mode: str,
+        with_meta: bool = False,
+    ) -> DataFrame:
+        """Scan physical data files under column mapping WITHOUT touching
+        session confs.
+
+        name mode (and unmapped): files carry no field ids; resolution is
+        strictly by physical name — a plain explicit-schema scan.
+
+        id mode: the spec resolves columns by parquet field id. Instead
+        of enabling ``spark.sql.parquet.fieldId.read.enabled`` on the
+        shared session (the conf is consulted at ACTION time, so it
+        cannot be scoped around a lazily-returned frame and would leak
+        id-based resolution into every later session read — ADVICE r11),
+        resolve the ids HERE: probe each file's parquet footer
+        (driver-side pyarrow, O(#files) METADATA — the same budget as
+        the add-stats loops), map field id → that file's column name,
+        scan by the file's own names, and alias to the expected physical
+        names in one projection. Files group by footer signature so the
+        common case (uniform engine-written files) stays ONE scan; a
+        field id absent from a file (written before the column was
+        added) reads as a typed NULL, matching by-id resolution
+        semantics. Handles foreign files whose column names differ
+        arbitrarily from the table's physicalName mapping — including
+        name swaps, since the alias projection is simultaneous.
+
+        ``with_meta=True`` materializes ``__fp`` (raw decoded file path)
+        and ``__ri`` (row index) from ``_metadata`` INSIDE the scan
+        projection — callers needing row identity must ask here, because
+        the hidden ``_metadata`` struct does not survive the id-mode
+        projection."""
+        from pyspark.sql.types import StructField
+
+        def _with_meta_cols(df: DataFrame) -> DataFrame:
+            return df.withColumn(
+                "__fp", _file_path_raw(F.col("_metadata.file_path"))
+            ).withColumn("__ri", F.col("_metadata.row_index"))
+
+        if cm_mode != "id":
+            df = self.spark.read.schema(data_schema).parquet(*paths)
+            return _with_meta_cols(df) if with_meta else df
+        import pyarrow.parquet as pq
+
+        expected = []  # (field_id | None, physical_name, dtype)
+        for f in data_schema.fields:
+            fid = (f.metadata or {}).get("parquet.field.id")
+            expected.append(
+                (None if fid is None else int(fid), f.name, f.dataType)
+            )
+
+        def _local(p: str) -> str:
+            if p.startswith("file://"):
+                return urllib.parse.unquote(urllib.parse.urlparse(p).path)
+            return p
+
+        groups: dict[tuple, list[str]] = {}
+        for p in paths:
+            lp = _local(p)
+            if "://" in lp:
+                raise DeltaProtocolError(
+                    f"id-mode read of {p!r}: field-id resolution probes "
+                    f"parquet footers driver-side; non-file object-store "
+                    f"schemes need a pyarrow filesystem (not available "
+                    f"in this environment)"
+                )
+            by_id: dict[int, str] = {}
+            names = set()
+            for fld in pq.read_schema(lp):
+                names.add(fld.name)
+                v = (fld.metadata or {}).get(b"PARQUET:field_id")
+                if v is not None:
+                    by_id[int(v)] = fld.name
+            # a field with no declared id resolves by physical name when
+            # the file happens to carry it (the spec's pre-mapping files)
+            sig = tuple(
+                by_id.get(fid)
+                if fid is not None
+                else (phys if phys in names else None)
+                for fid, phys, _t in expected
+            )
+            groups.setdefault(sig, []).append(p)
+        frames = []
+        for sig, ps in groups.items():
+            read_fields = [
+                StructField(fname, dtype, True)
+                for (fid, phys, dtype), fname in zip(expected, sig)
+                if fname is not None
+            ]
+            df = self.spark.read.schema(StructType(read_fields)).parquet(*ps)
+            sel = [
+                (
+                    F.lit(None).cast(dtype).alias(phys)
+                    if fname is None
+                    else df[fname].alias(phys)
+                )
+                for (fid, phys, dtype), fname in zip(expected, sig)
+            ]
+            if with_meta:
+                sel.append(
+                    _file_path_raw(F.col("_metadata.file_path")).alias("__fp")
+                )
+                sel.append(F.col("_metadata.row_index").alias("__ri"))
+            frames.append(df.select(*sel))
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    def _apply_dvs(
+        self, df: DataFrame, dv_adds: list[dict], has_meta: bool = False
+    ) -> DataFrame:
         """Filter DV-masked rows: anti-join on (file, row_index) using the
         parquet metadata columns — O(deleted rows) state, executed as a
-        distributed join (the merge-on-read read path)."""
+        distributed join (the merge-on-read read path). ``has_meta=True``
+        when the frame already carries ``__fp``/``__ri`` (the id-mode
+        ``_read_physical`` projection, where ``_metadata`` is gone)."""
         pairs = []
         for a in dv_adds:
             path = self._abs_data_path(a["path"])
             for ri in self._dv_deleted_rows(a["deletionVector"]):
                 pairs.append((path, ri))
-        df = df.withColumn(
-            "__fp", _file_path_raw(F.col("_metadata.file_path"))
-        ).withColumn("__ri", F.col("_metadata.row_index"))
+        if not has_meta:
+            df = df.withColumn(
+                "__fp", _file_path_raw(F.col("_metadata.file_path"))
+            ).withColumn("__ri", F.col("_metadata.row_index"))
         if pairs:
             deleted = self.spark.createDataFrame(pairs, "__fp string, __ri long")
             df = df.join(
@@ -1503,7 +1670,23 @@ class DeltaTable:
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(stage_dir)
+        # id-mode staged frames carry parquet.field.id field metadata
+        # (_physical_stage); the write conf that makes Spark stamp those
+        # ids into the files is scoped to THIS action only — it is
+        # consulted at write time, so enclosing the action suffices and
+        # nothing leaks into later session reads/writes (ADVICE r11)
+        field_ids = any(
+            (f.metadata or {}).get("parquet.field.id") is not None
+            for f in df.schema.fields
+        )
+        if field_ids:
+            with _scoped_confs(
+                self.spark,
+                {"spark.sql.parquet.fieldId.write.enabled": "true"},
+            ):
+                writer.parquet(stage_dir)
+        else:
+            writer.parquet(stage_dir)
         fs = self._fs()
         stage_path = self._path(stage_dir)
         staged = []
@@ -1825,9 +2008,9 @@ class DeltaTable:
         (round 11 closes the id-mode half): rename every column to its
         frozen ``delta.columnMapping.physicalName``; in id mode
         additionally stamp each column's mapping id as the parquet
-        field id (``parquet.field.id`` field metadata +
-        ``spark.sql.parquet.fieldId.write.enabled``), since id-mode
-        files resolve by id, not name. Returns the staged frame and
+        field id (``parquet.field.id`` field metadata; ``_stage`` scopes
+        the matching write conf around its own write action), since
+        id-mode files resolve by id, not name. Returns the staged frame and
         the PARTITION columns to stage by. Partition columns whose
         physical name differs from the logical one are refused loudly:
         this writer's hive staging and partitionValues keys would
@@ -1867,10 +2050,11 @@ class DeltaTable:
                 )
             else:
                 cols.append(F.col(f.name).alias(pn))
-        if cm_mode == "id":
-            self.spark.conf.set(
-                "spark.sql.parquet.fieldId.write.enabled", "true"
-            )
+        # NOTE: no session conf here — ``_stage`` detects the
+        # parquet.field.id metadata on the staged frame and scopes
+        # ``spark.sql.parquet.fieldId.write.enabled`` around its own
+        # write action (ADVICE r11: a conf set here leaked id-based
+        # parquet resolution into the rest of the shared session)
         return df.select(*cols), pcols
 
     def add_constraint(self, name: str, expr: str) -> int:
@@ -2504,10 +2688,6 @@ class DeltaTable:
                 _SF(phys_of.get(f.name, f.name), f.dataType, True, m)
             )
         data_schema = StructType(data_fields)
-        if cm_mode == "id":
-            self.spark.conf.set(
-                "spark.sql.parquet.fieldId.read.enabled", "true"
-            )
         key_frame = updates.select(*keys).distinct()
         if idy and key_frame.count() != int(rng["__n"]):
             raise DeltaProtocolError(
@@ -2532,16 +2712,19 @@ class DeltaTable:
                 ).append(a)
             frames = []
             for gkey, group in groups.items():
-                df = self.spark.read.schema(data_schema).parquet(
-                    *[self._abs_data_path(a["path"]) for a in group]
+                dv_adds = [a for a in group if a.get("deletionVector")]
+                df = self._read_physical(
+                    [self._abs_data_path(a["path"]) for a in group],
+                    data_schema,
+                    cm_mode,
+                    with_meta=with_path or bool(dv_adds),
                 )
                 if with_path:
-                    df = df.withColumn(
-                        "__mpath", _file_path_raw(F.col("_metadata.file_path"))
-                    )
-                dv_adds = [a for a in group if a.get("deletionVector")]
+                    df = df.withColumn("__mpath", F.col("__fp"))
                 if dv_adds:
-                    df = self._apply_dvs(df, dv_adds)
+                    df = self._apply_dvs(df, dv_adds, has_meta=True)
+                elif with_path:
+                    df = df.drop("__fp", "__ri")
                 # physical → logical rename before callers see the frame
                 for f in schema.fields:
                     if f.name not in pcols and phys_of.get(f.name, f.name) != f.name:
@@ -2834,10 +3017,6 @@ class DeltaTable:
                 _SF(phys_of.get(f.name, f.name), f.dataType, True, m_)
             )
         data_schema = StructType(data_fields)
-        if cm_mode == "id":
-            self.spark.conf.set(
-                "spark.sql.parquet.fieldId.read.enabled", "true"
-            )
         ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
         adds = list(state["adds"].values())
         by_abs = {self._abs_data_path(a["path"]): a for a in adds}
@@ -2851,7 +3030,10 @@ class DeltaTable:
         hit_rows: list = []
         for key, group in groups.items():
             paths = [self._abs_data_path(a["path"]) for a in group]
-            df = self.spark.read.schema(data_schema).parquet(*paths)
+            # __fp/__ri come pre-materialized from the scan projection
+            # (raw decoded paths — by_abs keys are raw, so space-valued
+            # partitions compare equal without driver-side decoding)
+            df = self._read_physical(paths, data_schema, cm_mode, with_meta=True)
             for f in schema.fields:
                 if f.name not in pcols and phys_of.get(f.name, f.name) != f.name:
                     df = df.withColumnRenamed(phys_of[f.name], f.name)
@@ -2859,23 +3041,14 @@ class DeltaTable:
                 df = df.withColumn(col, _partition_literal(sval, ptypes[col]))
             hit_rows.extend(
                 df.filter(condition)
-                .select(
-                    F.regexp_replace(
-                        F.col("_metadata.file_path"), "^file:", ""
-                    ).alias("fp"),
-                    F.col("_metadata.row_index").alias("ri"),
-                )
+                .select(F.col("__fp").alias("fp"), F.col("__ri").alias("ri"))
                 .collect()
             )
         if not hit_rows:
             return None
         new_by_file: dict[str, set[int]] = {}
         for r in hit_rows:
-            # _metadata.file_path is a percent-encoded URI; by_abs keys
-            # are raw paths — decode or space-valued partitions KeyError
-            new_by_file.setdefault(_atomic.uri_to_path(r["fp"]), set()).add(
-                r["ri"]
-            )
+            new_by_file.setdefault(r["fp"], set()).add(r["ri"])
         now = int(time.time() * 1000)
         actions: list[dict] = [
             {"commitInfo": self._commit_info("DELETE", {"predicate": condition})}

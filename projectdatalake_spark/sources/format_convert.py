@@ -216,8 +216,13 @@ def _delta_dvs_as_iceberg_dv_files(
     return files, sum(card for _fp, _payload, card in blobs)
 
 
-def _stamp_uniform_v3(t: IcebergTable) -> None:
-    """Once a sync translated Delta DVs into Iceberg v3 deletion-vector
+def _stamp_uniform_v3(new_meta: dict) -> None:
+    """Metadata mutator folding the format-version-3 declaration into
+    the SAME commit as a DV-carrying sync (``append_files``'s
+    ``meta_mutator`` seam — ADVICE r11 closed the two-commit window
+    where v2-declared metadata referenced PUFFIN delete files).
+
+    Once a sync translated Delta DVs into Iceberg v3 deletion-vector
     delete files (PUFFIN, content=1 with ``referenced_data_file``), the
     exported metadata must stop declaring format-version 2: a
     spec-compliant v2 reader cannot decode PUFFIN position deletes, and
@@ -229,7 +234,10 @@ def _stamp_uniform_v3(t: IcebergTable) -> None:
     failure is loud, never silent row resurrection. The export tree is
     fully engine-written, so the stamp contradicts no other writer, and
     it persists across later DV-free syncs (append_files copies the
-    prior metadata forward) — v3 never downgrades.
+    prior metadata forward) — v3 never downgrades. Because the mutator
+    runs inside every commit attempt on the attempt's own rebuilt
+    metadata, no committed version can declare v2 while referencing the
+    DV delete files, crash or race notwithstanding.
 
     DEVIATION (recorded as ``uniform.dv-v3-deletes``): v3 additionally
     mandates row-lineage metadata (``next-row-id``, snapshot
@@ -238,28 +246,12 @@ def _stamp_uniform_v3(t: IcebergTable) -> None:
     maintain lineage, and the Avro headers keep the engine-wide "2".
     Both gaps read as loud missing-field/mismatch errors in a strict
     v3 validator — never as wrong rows, which is the failure class
-    this stamp exists to close. Metadata-only commit, retried on
-    version conflicts."""
-    for _ in range(20):
-        v = t.current_metadata_version()
-        meta = t.metadata(version=v)
-        if meta.get("format-version") == 3:
-            return
-        new_meta = dict(meta)
-        new_meta["format-version"] = 3
-        new_meta["properties"] = {
-            **(meta.get("properties") or {}),
-            "uniform.dv-v3-deletes": "true",
-        }
-        new_meta["last-updated-ms"] = int(time.time() * 1000)
-        try:
-            t._write_metadata(v + 1, new_meta)
-            return
-        except IcebergCommitConflict:
-            continue
-    raise IcebergCommitConflict(
-        f"could not stamp format-version 3 on {t.root} after 20 attempts"
-    )
+    this stamp exists to close."""
+    new_meta["format-version"] = 3
+    new_meta["properties"] = {
+        **(new_meta.get("properties") or {}),
+        "uniform.dv-v3-deletes": "true",
+    }
 
 
 def uniform_export(
@@ -378,12 +370,11 @@ def uniform_export(
         extra_manifests=extra_manifests,
         ensure_spec=ensure_spec,
         sid=sid,
+        # the snapshot carries v3-only delete structures: declare v3 IN
+        # THE SAME metadata commit so no observable version pairs a v2
+        # declaration with PUFFIN delete files — see _stamp_uniform_v3
+        meta_mutator=_stamp_uniform_v3 if dv_files else None,
     )
-    if dv_files:
-        # the snapshot above carries v3-only delete structures: declare
-        # v3 so external readers either decode them or refuse loudly
-        # (never silently resurrect masked rows) — see _stamp_uniform_v3
-        _stamp_uniform_v3(t)
     return t, sid
 
 

@@ -1641,12 +1641,21 @@ class IcebergTable:
         # predicates, not victims; multi-file parquet position deletes
         # don't split per file) nulls field 10 table-wide rather than
         # publish a wrong "accurate count" (the spec's word).
-        upd: dict[tuple, tuple[int, int]] = {}
+        upd: dict[tuple, tuple[int, int, int]] = {}
         dv_sub: dict[tuple, int] = {}
         accurate = True
+        # equal effective seqs (e.g. carried EXISTING entries from
+        # different snapshots pinning the same original seq) tie-break
+        # on COMMIT ORDER — the snapshot's position in the snapshots
+        # list — never on the raw random snapshot id (ADVICE r11)
+        snap_ord = {
+            int(s["snapshot-id"]): i
+            for i, s in enumerate(meta.get("snapshots", []))
+        }
 
         def touch(k: tuple, e: dict) -> None:
-            cand = (int(e["_seq"]), int(e.get("_snap") or 0))
+            snap = int(e.get("_snap") or 0)
+            cand = (int(e["_seq"]), snap_ord.get(snap, -1), snap)
             if k not in upd or cand > upd[k]:
                 upd[k] = cand
 
@@ -1754,10 +1763,10 @@ class IcebergTable:
             for k in keys
         ]
         cols["last_updated_at"] = [
-            ts_by_snap.get(upd[k][1]) for k in keys
+            ts_by_snap.get(upd[k][2]) for k in keys
         ]
         cols["last_updated_snapshot_id"] = [
-            upd[k][1] or None for k in keys
+            upd[k][2] or None for k in keys
         ]
         tbl = pa.Table.from_pydict(cols, schema=schema)
         buf = io.BytesIO()
@@ -3883,6 +3892,7 @@ class IcebergTable:
         sid: int | None = None,
         materialized_row_ids: bool = False,
         lineage_carried: bool = False,
+        meta_mutator=None,
     ) -> int:
         """Commit an append snapshot over PRE-EXISTING parquet files — the
         zero-copy path (cross-format converts, in-place migration). Each
@@ -3899,7 +3909,16 @@ class IcebergTable:
         attempt so they share the data manifest's seq. ``ensure_spec``
         registers a spec (e.g. the unpartitioned global-delete spec) in
         the table metadata if absent. ``sid`` pins the snapshot id when
-        the caller pre-wrote manifests that must carry it."""
+        the caller pre-wrote manifests that must carry it.
+
+        ``meta_mutator`` (callable ``dict -> None``) runs on the new
+        metadata dict inside EVERY commit attempt, just before the
+        version write — the seam for declarations that must land in the
+        SAME metadata commit as the snapshot (e.g. uniform_export's
+        format-version-3 stamp on a DV-carrying sync: a separate
+        follow-up commit would leave a window where v2-declared
+        metadata references PUFFIN deletion vectors, exactly the silent
+        row-resurrection hazard the stamp closes — ADVICE r11)."""
         if meta is None:
             meta = self.metadata()
         if meta.get("row-lineage") and (replace or any(
@@ -4192,6 +4211,8 @@ class IcebergTable:
                         f"spec id {ensure_spec['spec-id']} claimed by a "
                         f"racing spec evolution at {self.root} — restage"
                     )
+            if meta_mutator is not None:
+                meta_mutator(new_meta)
             try:
                 self._write_metadata(v + 1, new_meta)
                 return sid

@@ -1930,6 +1930,28 @@ def test_version_at_leading_pruned_gap(spark, root):
     assert fresh.version_at(h3["inCommitTimestamp"]) == 3
 
 
+def test_version_at_checkpoint_only_survivors(spark, root):
+    """ADVICE r11 follow-up: when EVERY per-commit JSON is pruned and
+    only the checkpoint survives, the leading-gap guard derived its
+    boundary from JSON commits alone — surviving0 was empty and the
+    code fell through to the misleading 'predates the table's first
+    commit' error. The boundary must come from every witness of pruned
+    history (checkpoints, compaction ranges), not just JSONs."""
+    t = DeltaTable.create(spark, root, _df(spark, 0, 20))  # v0
+    t.append(_df(spark, 20, 30))                           # v1
+    t.append(_df(spark, 30, 40))                           # v2
+    t.checkpoint()                                          # at v2
+    t.prune_log()
+    fs = t._fs()
+    # prune_log keeps the checkpoint-version JSON; remove it too so the
+    # checkpoint is the ONLY surviving log file
+    fs.delete(t._path(f"{root}/_delta_log/{2:020d}.json"), False)
+    fresh = DeltaTable(spark, root)
+    assert fresh.snapshot().count() == 40  # replays from the checkpoint
+    with pytest.raises(ValueError, match="cleaned up"):
+        fresh.version_at(1)  # NOT 'predates the table's first commit'
+
+
 def test_ict_compaction_domain_requires_writer_feature(spark, root):
     """ADVICE r11: compact_log may synthesize the graft.ict domain ONLY
     when the protocol in effect at the range end declares the

@@ -47,3 +47,45 @@ def test_bench_abs_canary_self_taints_loaded_run():
 
     # off-sf0.1 the reference medians don't apply: never taints
     assert bench.compute_abs_factor(loaded, sf=0.01) == 0.0
+
+    # ADVICE r12: the reference is DERIVED from committed idle records
+    # (rolling per-canary median of the most recent ≤3 untainted ones),
+    # not hard-coded — a new clean idle record rebaselines it in the
+    # same commit that records it
+    assert bench._derive_abs_reference() == bench.ABS_REFERENCE
+    assert all(v > 0 for v in bench.ABS_REFERENCE.values())
+
+
+def test_abs_reference_rebaselines_from_new_records(tmp_path):
+    """A freshly committed idle record ENTERS the rolling window and
+    shifts the derived reference (the round-11 failure mode: a
+    hand-maintained constant drifted from the committed records until
+    honest idle runs risked a false taint); tainted records and other
+    scale factors stay excluded; an empty dir falls back to the seed."""
+    import importlib.util
+    import json as _json
+
+    spec = importlib.util.spec_from_file_location("bench", REPO / "bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    def rec(r, scale, tainted=None, suffix=""):
+        q = {n: scale for n in bench.CANARIES}
+        d = {"sf": 0.1, "queries": q}
+        if tainted is not None:
+            d["tainted"] = tainted
+        (tmp_path / f"BENCH_local_r{r}{suffix}_idle.json").write_text(
+            _json.dumps(d)
+        )
+
+    assert bench._derive_abs_reference(str(tmp_path)) == bench._ABS_SEED
+    rec(1, 1.0)
+    rec(2, 2.0)
+    rec(3, 3.0)
+    got = bench._derive_abs_reference(str(tmp_path))
+    assert all(v == 2.0 for v in got.values())  # median of window
+    rec(4, 4.0)  # new record: window slides to r2..r4
+    got = bench._derive_abs_reference(str(tmp_path))
+    assert all(v == 3.0 for v in got.values())
+    rec(5, 50.0, tainted=True)  # tainted: excluded
+    assert bench._derive_abs_reference(str(tmp_path)) == got

@@ -299,6 +299,7 @@ def test_uniform_export_live_sync(spark, tmp_path):
     # DVs active: translated (round 10 — the pre-r10 refusal), masked
     # reads agree through the exported metadata
     d.delete_where_dv("id = 7")
+    v_pre_dv = t.current_metadata_version()
     t, sid_dv = uniform_export(d)
     assert sid_dv is not None
     assert rows(t.snapshot()) == rows(d.snapshot())
@@ -309,6 +310,10 @@ def test_uniform_export_live_sync(spark, tmp_path):
     meta_v3 = t.metadata()
     assert meta_v3.get("format-version") == 3
     assert meta_v3["properties"].get("uniform.dv-v3-deletes") == "true"
+    # ...and ATOMICALLY: one metadata commit, so no observable version
+    # ever pairs a v2 declaration with PUFFIN delete files (ADVICE r11
+    # closed the two-commit crash/read window)
+    assert t.current_metadata_version() == v_pre_dv + 1
     d.optimize()  # materializes the DVs into owned files
     t, sid2 = uniform_export(d)
     assert sid2 is not None
