@@ -304,6 +304,11 @@ EXTENDED = [
     "delta_id_mode_writes",
     "delta_mapped_merge",
     "iceberg_lineage_merge",
+    # round 12
+    "ann_topk_ivfpq_seeded",
+    "delta_mapped_schema_merge",
+    "iceberg_lineage_identity_partitioned",
+    "delta_foreign_partition_mapping",
 ]
 
 # Apply-only rungs measure STEADY-STATE cost: their fit-once index builds

@@ -437,6 +437,12 @@ class KLLSketch:
         self.compactors: list[list[float]] = [[]]
         self.n = 0
         self._coin = 0
+        # exact stream extremes (round 12): compaction discards retained
+        # items, so min/max of the RETAINED set drift from the stream's —
+        # tracked separately, exactly like the DataSketches family, and
+        # required for the official-layout export to carry true bounds
+        self._min: float | None = None
+        self._max: float | None = None
 
     # -- capacity & compaction -------------------------------------------
     def _capacity(self, level: int) -> int:
@@ -465,19 +471,39 @@ class KLLSketch:
                     c.sort()
                     # deterministic alternating selector (see class doc)
                     self._coin ^= 1
-                    self.compactors[i + 1].extend(c[self._coin :: 2])
-                    self.compactors[i] = []
+                    # WEIGHT-PRESERVING compaction (round 12): only an
+                    # EVEN count may promote (half the items at double
+                    # weight = the same total); an odd level keeps its
+                    # smallest item in place — the classic KLL rule.
+                    # Restores the invariant Σ len(level)·2^level == n,
+                    # which makes the distributed builders' driver-side
+                    # reconstruction of n from retained weights EXACT
+                    # (it drifted ±1 per odd compaction before).
+                    odd = len(c) % 2
+                    self.compactors[i + 1].extend(c[odd + self._coin :: 2])
+                    self.compactors[i] = c[:odd]
                     break
 
     # -- build ------------------------------------------------------------
+    def _track(self, value: float) -> None:
+        if self._min is None or value < self._min:
+            self._min = value
+        if self._max is None or value > self._max:
+            self._max = value
+
     def update(self, value: float) -> None:
-        self.compactors[0].append(float(value))
+        value = float(value)
+        self.compactors[0].append(value)
         self.n += 1
+        self._track(value)
         self._compress()
 
     def update_many(self, values) -> None:
-        self.compactors[0].extend(float(v) for v in values)
-        self.n += len(values)
+        vals = [float(v) for v in values]
+        self.compactors[0].extend(vals)
+        self.n += len(vals)
+        for v in vals:
+            self._track(v)
         self._compress()
 
     def merge(self, other: "KLLSketch") -> "KLLSketch":
@@ -492,8 +518,27 @@ class KLLSketch:
             for i in range(depth)
         ]
         out.n = self.n + other.n
+        mins = [m for m in (self._min, other._min) if m is not None]
+        maxs = [m for m in (self._max, other._max) if m is not None]
+        out._min = min(mins) if mins else None
+        out._max = max(maxs) if maxs else None
         out._compress()
         return out
+
+    @property
+    def min_value(self) -> float | None:
+        """Exact stream minimum (None when empty). Pre-round-12 blobs
+        restored without the tracked tail fall back to the retained
+        minimum — approximately right, flagged in from_bytes."""
+        if self._min is None and self.n:
+            return min(v for c in self.compactors for v in c)
+        return self._min
+
+    @property
+    def max_value(self) -> float | None:
+        if self._max is None and self.n:
+            return max(v for c in self.compactors for v in c)
+        return self._max
 
     # -- query --------------------------------------------------------------
     def _weighted(self) -> list[tuple[float, int]]:
@@ -542,6 +587,12 @@ class KLLSketch:
             out.append(_struct.pack("<I", len(c)))
             out.append(_struct.pack(f"<{len(c)}d", *c))
         out.append(_struct.pack("<B", self._coin & 1))
+        if self.n:
+            # round-12 tail: the exact stream extremes (compaction can
+            # discard the retained min/max) — optional for back-compat
+            out.append(
+                _struct.pack("<dd", self.min_value, self.max_value)
+            )
         return b"".join(out)
 
     @classmethod
@@ -566,6 +617,150 @@ class KLLSketch:
         # constructor's phase — those blobs never carried one)
         if off < len(data):
             (sk._coin,) = _struct.unpack_from("<B", data, off)
+            off += 1
+        if off + 16 <= len(data):
+            sk._min, sk._max = _struct.unpack_from("<dd", data, off)
+        # pre-round-12 blobs: extremes degrade to the retained set's
+        # (the min_value/max_value properties derive them on demand)
+        return sk
+
+    # -- Apache DataSketches KLL binary layout (round 12 — the last
+    # sketch-interop refusal). The COMPACT serialized form of
+    # org.apache.datasketches.kll.KllDoublesSketch (datasketches-java
+    # 6.x, cross-validated byte-for-byte against the copy Spark bundles
+    # — tests/test_accuracy_gates.py::test_kll_datasketches_layout):
+    #   byte 0  preamble ints (2 empty/single, 5 full)
+    #   byte 1  serial version (1 full/empty, 2 single-item)
+    #   byte 2  family id (15 = KLL)
+    #   byte 3  flags (1 EMPTY, 2 LEVEL_ZERO_SORTED, 4 SINGLE_ITEM)
+    #   bytes 4-5  k (uint16 LE);  byte 6  m (8);  byte 7  unused
+    # full form continues:
+    #   bytes 8-15  n (uint64);  16-17  minK;  18  numLevels;  19 unused
+    #   numLevels × uint32  level offsets into the FULL item array
+    #     (capacity per their (k·(2/3)^depth rounded, floor m) formula;
+    #     free space below levels[0]; retained = capacity − levels[0])
+    #   min item, max item (float64)
+    #   the retained items, level 0 first; level 0 in REVERSE insertion
+    #   order (their array fills top-down), levels ≥ 1 sorted ----------
+
+    @staticmethod
+    def _ds_int_cap_aux(k: int, depth: int) -> int:
+        # KllHelper.intCapAux: rounded k·(2/3)^depth via exact integer
+        # arithmetic, halved-depth recursion past 30 to bound the shift
+        def aux_aux(kk: int, d: int) -> int:
+            tmp = (kk << (d + 1)) // (3 ** d)
+            return (tmp + 1) >> 1
+
+        if depth <= 30:
+            return aux_aux(k, depth)
+        half = depth // 2
+        return KLLSketch._ds_int_cap_aux(aux_aux(k, half), depth - half)
+
+    @staticmethod
+    def _ds_total_capacity(k: int, m: int, num_levels: int) -> int:
+        return sum(
+            max(m, KLLSketch._ds_int_cap_aux(k, num_levels - lvl - 1))
+            for lvl in range(num_levels)
+        )
+
+    _DS_FAMILY_KLL = 15
+    _DS_M = 8
+
+    def to_datasketches_bytes(self) -> bytes:
+        """Serialize as an Apache DataSketches ``KllDoublesSketch``
+        compact image — external DataSketches readers (java/cpp/python)
+        heapify it directly. Lossy ONLY in the selector phase (_coin),
+        which the official layout has no slot for; the graft blob keeps
+        it, so resumed-compaction determinism rides the graft twin."""
+        import struct as _struct
+
+        if self.n == 0:
+            return _struct.pack(
+                "<BBBBHBB", 2, 1, self._DS_FAMILY_KLL, 1, self.k, self._DS_M, 0
+            )
+        if self.n == 1:
+            (item,) = [v for c in self.compactors for v in c]
+            return _struct.pack(
+                "<BBBBHBB", 2, 2, self._DS_FAMILY_KLL, 4, self.k, self._DS_M, 0
+            ) + _struct.pack("<d", item)
+        num_levels = len(self.compactors)
+        cap = self._ds_total_capacity(self.k, self._DS_M, num_levels)
+        retained = self.num_retained
+        if retained > cap:
+            # the engine's compactors (min level cap 2 vs their 8) can
+            # transiently hold more than the official capacity — a state
+            # the official offsets cannot express; normalize by
+            # compacting a copy down (never raises: compression strictly
+            # reduces retained)
+            twin = KLLSketch(self.k)
+            twin.compactors = [list(c) for c in self.compactors]
+            twin.n, twin._coin = self.n, self._coin
+            twin._min, twin._max = self._min, self._max
+            twin._compress()
+            return twin.to_datasketches_bytes()
+        head = _struct.pack(
+            "<BBBBHBB", 5, 1, self._DS_FAMILY_KLL, 0, self.k, self._DS_M, 0
+        )
+        body = [
+            head,
+            _struct.pack("<QHBB", self.n, self.k, num_levels, 0),
+        ]
+        off = cap - retained
+        for c in self.compactors:
+            body.append(_struct.pack("<I", off))
+            off += len(c)
+        body.append(_struct.pack("<dd", self.min_value, self.max_value))
+        body.append(
+            _struct.pack(
+                f"<{len(self.compactors[0])}d", *reversed(self.compactors[0])
+            )
+        )
+        for c in self.compactors[1:]:
+            body.append(_struct.pack(f"<{len(c)}d", *sorted(c)))
+        return b"".join(body)
+
+    @classmethod
+    def from_datasketches_bytes(cls, data: bytes) -> "KLLSketch":
+        """Parse an Apache DataSketches ``KllDoublesSketch`` compact
+        image (the inverse of ``to_datasketches_bytes``; also reads
+        images produced by the official library)."""
+        import struct as _struct
+
+        pre_ints, ser_ver, family, flags, k, m, _u = _struct.unpack_from(
+            "<BBBBHBB", data, 0
+        )
+        if family != cls._DS_FAMILY_KLL:
+            raise ValueError(f"not a KLL sketch image (family {family})")
+        if m != cls._DS_M:
+            raise ValueError(f"unsupported KLL m={m} (expected {cls._DS_M})")
+        sk = cls(k)
+        if flags & 1:  # EMPTY
+            return sk
+        if flags & 4:  # SINGLE_ITEM
+            (item,) = _struct.unpack_from("<d", data, 8)
+            sk.update(item)
+            return sk
+        n, min_k, num_levels, _u2 = _struct.unpack_from("<QHBB", data, 8)
+        offs = list(
+            _struct.unpack_from(f"<{num_levels}I", data, 20)
+        )
+        pos = 20 + 4 * num_levels
+        mn, mx = _struct.unpack_from("<dd", data, pos)
+        pos += 16
+        n_items = (len(data) - pos) // 8
+        items = list(_struct.unpack_from(f"<{n_items}d", data, pos))
+        bounds = offs + [offs[0] + n_items]
+        sk.n = int(n)
+        sk.k = int(min_k)  # error guarantees follow the smallest k merged
+        sk._min, sk._max = mn, mx
+        sk.compactors = [
+            items[bounds[i] - offs[0] : bounds[i + 1] - offs[0]]
+            for i in range(num_levels)
+        ]
+        # the image stores level 0 in reverse insertion order (their
+        # array fills top-down); restore insertion order so export
+        # re-reverses to the identical bytes (round-trip stability)
+        sk.compactors[0] = list(reversed(sk.compactors[0]))
         return sk
 
 

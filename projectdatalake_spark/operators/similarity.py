@@ -670,6 +670,160 @@ def topk_neighbors_pq_seeded(
     )
 
 
+def topk_neighbors_ivfpq_seeded(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_cells: int = 8,
+    n_probe: int = 3,
+    m: int = 4,
+    k_codes: int = 8,
+    shortlist: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF-PQ COMPOSITE with seed-initialized centers AND codebooks
+    (round 12 — the last ANN family without an oracle hash-proof): the
+    ``topk_neighbors_ivf_seeded`` × ``topk_neighbors_pq_seeded``
+    composition. The coarse quantizer restricts WHICH candidates a
+    query scores (per-row cell argmax over literal centers; each query
+    probes its ``n_probe`` best cells), the PQ ADC over literal
+    codebooks orders them into a shortlist, and the exact-cosine
+    re-rank finishes — every step a Catalyst expression DuckDB replays
+    value-for-value.
+
+    DEVIATION from the trained composite (``ivfpq_index``, which
+    encodes RESIDUALS v − centroid per Jégou 2011): the seeded rung
+    quantizes the RAW vector, because the rung's job is to hash-pin the
+    composite's SEARCH machinery (probe pruning × ADC shortlist ×
+    re-rank) — the residual algebra is already accuracy-gated in the
+    trained rows-only rung, and a raw-vector ADC keeps the oracle
+    expression identical to the proven ``ann_topk_pq_seeded`` form.
+
+    Float discipline: distances are ``(dot(x,x) − 2·dot(x,c)) +
+    dot(c,c)`` per subspace, summed left-to-right; cell scores are
+    cosine-to-center; ties break (cell ASC), (adc, neighbor_id),
+    (cosine DESC, neighbor_id) — all mirrored in the SQL oracle, so
+    shortlist ORDER matches bitwise and only the output cosine rounds.
+
+    100 TB: the plan IS the production IVF-PQ plan — cell argmax and PQ
+    encode are scan-stage expressions (no shuffle, no Python), probes
+    broadcast, candidates are cut to probed cells BEFORE any scoring,
+    and the only shuffles are the two per-query windows. Swapping
+    literal seeds for trained centers/codebooks changes only constants."""
+    import operator
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    dim = int(corpus.select(F.size(vec_col).alias("d")).first()["d"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    seeds = (
+        corpus.orderBy(id_col)
+        .limit(max(n_cells, k_codes))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    centers = [[float(x) for x in r[vec_col]] for r in seeds[:n_cells]]
+    books = [
+        [
+            [float(x) for x in r[vec_col]][j * sub : (j + 1) * sub]
+            for r in seeds[:k_codes]
+        ]
+        for j in range(m)
+    ]
+    v = F.col(vec_col).cast("array<double>")
+
+    def lit_arr(xs):
+        return F.array(*[F.lit(x) for x in xs])
+
+    c_lits = [lit_arr(c) for c in centers]
+
+    def cell_scores() -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    (vec_dot(v, c) / F.sqrt(vec_dot(c, c))).alias("s"),
+                    F.lit(-i).alias("neg"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, c in enumerate(c_lits)
+            ]
+        )
+
+    def d2(xj, cw):
+        return (
+            vec_dot(xj, xj) - F.lit(2.0) * vec_dot(xj, cw)
+        ) + vec_dot(cw, cw)
+
+    def code_expr(j):
+        xj = F.slice(v, j * sub + 1, sub)
+        scores = F.array(
+            *[
+                F.struct(
+                    d2(xj, lit_arr(books[j][c])).alias("d"),
+                    F.lit(c).alias("c"),
+                )
+                for c in range(k_codes)
+            ]
+        )
+        return F.element_at(F.array_sort(scores), 1)["c"]
+
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        v.alias("c_vec"),
+        F.element_at(F.array_sort(cell_scores()), -1)["cell"].alias("cell"),
+        *[code_expr(j).alias(f"code{j}") for j in range(m)],
+    )
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        v.alias("q_vec"),
+        F.slice(F.array_sort(cell_scores()), -n_probe, n_probe).alias("p"),
+    ).select(
+        "query_id",
+        "q_vec",
+        F.explode(F.transform(F.col("p"), lambda s: s["cell"])).alias("cell"),
+    )
+    adc = reduce(
+        operator.add,
+        [
+            d2(
+                F.slice(F.col("q_vec"), j * sub + 1, sub),
+                F.element_at(
+                    F.array(*[lit_arr(b) for b in books[j]]),
+                    F.col(f"code{j}") + 1,
+                ),
+            )
+            for j in range(m)
+        ],
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "c_vec", "q_vec", adc.alias("adc"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id")
+    )
+    short = scored.withColumn("r", F.row_number().over(ws)).filter(
+        F.col("r") <= shortlist
+    )
+    cos = vec_dot(F.col("q_vec"), F.col("c_vec")) / (
+        F.sqrt(vec_dot(F.col("q_vec"), F.col("q_vec")))
+        * F.sqrt(vec_dot(F.col("c_vec"), F.col("c_vec")))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        short.select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embed_features_arrow(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

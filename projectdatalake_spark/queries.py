@@ -19274,12 +19274,19 @@ def delta_id_mode_writes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("k")
     ).distinct()
     root = tempfile.mkdtemp(prefix="delta_idmode_") + "/t"
+    prior = spark.conf.get("spark.sql.parquet.fieldId.write.enabled", None)
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    seed = keys.filter(F.col("k") % 2 == 0).select(
-        F.col("k").alias("c1", metadata={"parquet.field.id": 1}),
-        (F.col("k") * 1.5).alias("c2", metadata={"parquet.field.id": 2}),
-    )
-    seed.coalesce(2).write.parquet(root)
+    try:
+        seed = keys.filter(F.col("k") % 2 == 0).select(
+            F.col("k").alias("c1", metadata={"parquet.field.id": 1}),
+            (F.col("k") * 1.5).alias("c2", metadata={"parquet.field.id": 2}),
+        )
+        seed.coalesce(2).write.parquet(root)
+    finally:  # scoped: don't leak id-resolution semantics (ADVICE r11)
+        if prior is None:
+            spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
+        else:
+            spark.conf.set("spark.sql.parquet.fieldId.write.enabled", prior)
     files = [f for f in os.listdir(root) if f.endswith(".parquet")]
     schema = {
         "type": "struct",
@@ -19489,4 +19496,387 @@ def iceberg_lineage_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept"
         ),
         (F.col("_row_id") >= F.lit(hwm)).alias("fresh"),
+    )
+
+
+# =========================================================================
+# Wave 12 (round 12): the IVF-PQ seeded hash-proof rung, mapped schema
+# merge, identity-partitioned lineage reads, divergent partition
+# physical names — the round-11 verdict's refusal burn-down.
+# =========================================================================
+
+
+@query(
+    "ann_topk_ivfpq_seeded",
+    oracle="""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 8)
+    ),
+    assigned AS (
+      SELECT e.vec_id AS neighbor_id, e.v AS c_vec,
+        (SELECT s.cell FROM seeds s
+         ORDER BY list_dot_product(e.v, s.c)
+                  / sqrt(list_dot_product(s.c, s.c)) DESC, s.cell
+         LIMIT 1) AS cell,
+        (SELECT s.cell FROM seeds s ORDER BY
+          (list_dot_product(list_slice(e.v,1,16), list_slice(e.v,1,16))
+           - 2*list_dot_product(list_slice(e.v,1,16), list_slice(s.c,1,16)))
+          + list_dot_product(list_slice(s.c,1,16), list_slice(s.c,1,16))
+          ASC, s.cell ASC LIMIT 1) AS c0,
+        (SELECT s.cell FROM seeds s ORDER BY
+          (list_dot_product(list_slice(e.v,17,32), list_slice(e.v,17,32))
+           - 2*list_dot_product(list_slice(e.v,17,32), list_slice(s.c,17,32)))
+          + list_dot_product(list_slice(s.c,17,32), list_slice(s.c,17,32))
+          ASC, s.cell ASC LIMIT 1) AS c1,
+        (SELECT s.cell FROM seeds s ORDER BY
+          (list_dot_product(list_slice(e.v,33,48), list_slice(e.v,33,48))
+           - 2*list_dot_product(list_slice(e.v,33,48), list_slice(s.c,33,48)))
+          + list_dot_product(list_slice(s.c,33,48), list_slice(s.c,33,48))
+          ASC, s.cell ASC LIMIT 1) AS c2,
+        (SELECT s.cell FROM seeds s ORDER BY
+          (list_dot_product(list_slice(e.v,49,64), list_slice(e.v,49,64))
+           - 2*list_dot_product(list_slice(e.v,49,64), list_slice(s.c,49,64)))
+          + list_dot_product(list_slice(s.c,49,64), list_slice(s.c,49,64))
+          ASC, s.cell ASC LIMIT 1) AS c3
+      FROM emb e
+    ),
+    probes AS (
+      SELECT q.vec_id AS query_id, q.v AS q_vec, s.cell
+      FROM emb q,
+           LATERAL (SELECT cell FROM seeds s
+                    ORDER BY list_dot_product(q.v, s.c)
+                             / sqrt(list_dot_product(s.c, s.c)) DESC, s.cell
+                    LIMIT 3) s
+      WHERE q.vec_id < 5
+    ),
+    scored AS (
+      SELECT p.query_id, a.neighbor_id, a.c_vec, p.q_vec,
+        ((list_dot_product(list_slice(p.q_vec,1,16), list_slice(p.q_vec,1,16))
+          - 2*list_dot_product(list_slice(p.q_vec,1,16), list_slice(s0.c,1,16)))
+         + list_dot_product(list_slice(s0.c,1,16), list_slice(s0.c,1,16)))
+        + ((list_dot_product(list_slice(p.q_vec,17,32), list_slice(p.q_vec,17,32))
+          - 2*list_dot_product(list_slice(p.q_vec,17,32), list_slice(s1.c,17,32)))
+         + list_dot_product(list_slice(s1.c,17,32), list_slice(s1.c,17,32)))
+        + ((list_dot_product(list_slice(p.q_vec,33,48), list_slice(p.q_vec,33,48))
+          - 2*list_dot_product(list_slice(p.q_vec,33,48), list_slice(s2.c,33,48)))
+         + list_dot_product(list_slice(s2.c,33,48), list_slice(s2.c,33,48)))
+        + ((list_dot_product(list_slice(p.q_vec,49,64), list_slice(p.q_vec,49,64))
+          - 2*list_dot_product(list_slice(p.q_vec,49,64), list_slice(s3.c,49,64)))
+         + list_dot_product(list_slice(s3.c,49,64), list_slice(s3.c,49,64)))
+        AS adc
+      FROM probes p
+      JOIN assigned a USING (cell)
+      JOIN seeds s0 ON s0.cell = a.c0
+      JOIN seeds s1 ON s1.cell = a.c1
+      JOIN seeds s2 ON s2.cell = a.c2
+      JOIN seeds s3 ON s3.cell = a.c3
+      WHERE a.neighbor_id <> p.query_id
+    ),
+    short AS (
+      SELECT query_id, neighbor_id, c_vec, q_vec,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc ASC, neighbor_id) AS r
+      FROM scored
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             list_dot_product(q_vec, c_vec)
+             / (sqrt(list_dot_product(q_vec, q_vec))
+                * sqrt(list_dot_product(c_vec, c_vec))) AS cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY
+               list_dot_product(q_vec, c_vec)
+               / (sqrt(list_dot_product(q_vec, q_vec))
+                  * sqrt(list_dot_product(c_vec, c_vec))) DESC,
+               neighbor_id) AS rank
+      FROM short WHERE r <= 64
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def ann_topk_ivfpq_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ORACLE-BACKED IVF-PQ rung (round 12 — the LAST ANN family
+    without a hash-proof; verdict item 4): the
+    [[ann_topk_ivf_seeded]] × [[ann_topk_pq_seeded]] composition with
+    seed-initialized centers AND codebooks. The coarse quantizer
+    restricts WHICH candidates each query scores (cell argmax over
+    literal centers, 3-of-8 probes), the PQ ADC over literal codebooks
+    orders them into a 64-shortlist, the exact-cosine re-rank finishes
+    — every step a Catalyst expression DuckDB replays value-for-value
+    (same fold order, same (d², neighbor) / (cos DESC, neighbor) ties),
+    so the shortlist ORDER matches bitwise and only the output cosine
+    rounds (6dp). The trained composite ([[ann_topk_ivfpq]], residual
+    codes per Jégou 2011) stays rows-only behind its recall gate; this
+    rung hash-pins the probe-prune × ADC × re-rank machinery both
+    share — the seeded rung quantizes RAW vectors precisely so its ADC
+    expression is the already-proven pq_seeded form.
+
+    100 TB: the plan IS the production IVF-PQ plan — argmax/encode are
+    scan-stage expressions, probes broadcast, candidates cut to probed
+    cells BEFORE scoring, two per-query windows are the only shuffles."""
+    from projectdatalake_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.topk_neighbors_ivfpq_seeded(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_cells=8, n_probe=3,
+        m=4, k_codes=8, shortlist=64,
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    ).orderBy("query_id", "rank")
+
+
+@query(
+    "delta_mapped_schema_merge",
+    oracle="""
+    WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+    base AS (SELECT k, k * CAST(2.0 AS DOUBLE) AS amount FROM k),
+    app AS (
+      SELECT k + 10000000 AS k, CAST(-2.0 AS DOUBLE) AS amount,
+             CAST(k % 3 AS INT) AS grade
+      FROM k WHERE k % 100 = 0
+    ),
+    final AS (
+      SELECT k, amount, CAST(NULL AS INT) AS grade FROM base
+      UNION ALL SELECT k, amount, grade FROM app
+    )
+    SELECT grade, count(*) AS n, round(sum(amount), 2) AS s
+    FROM final GROUP BY grade
+    """,
+)
+def delta_mapped_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA MERGE ON A COLUMN-MAPPED TABLE (round 12 — previously a
+    declared refusal; verdict item 2): the engine creates a table,
+    renames a column (upgrading to columnMapping name mode), then
+    appends a frame carrying a NEW column with ``merge_schema=True``.
+    The appended column mints a FRESH mapping id strictly above
+    ``delta.columnMapping.maxColumnId`` and a fresh ``col-<uuid>``
+    physical name (the delta-spark convention), and the commit advances
+    maxColumnId in the SAME metaData action — ids never reused, so
+    pre-evolution files read the addition as null. The minted column
+    then RENAMES metadata-only (tag → grade) to prove it is a
+    first-class mapped citizen. Grouped exact-fraction sums with the
+    null group hash-pin old-file null semantics, new-file values, and
+    the rename in one shape.
+
+    100 TB: rename-then-add-column is the steady state of any evolving
+    lakehouse schema; a writer that refuses mergeSchema on mapped
+    tables forces a full rewrite for every additive evolution after the
+    first rename.
+
+    Reference parity: engine-added §2 (table formats); the reference
+    (etl.py:1-191) has no table-format surface."""
+    import tempfile
+
+    from projectdatalake_spark.sources.delta_interop import DeltaTable
+
+    keys = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    ).distinct()
+    base = keys.select("k", (F.col("k") * 2.0).alias("val"))
+    root = tempfile.mkdtemp(prefix="delta_mapmerge_schema_") + "/t"
+    t = DeltaTable.create(spark, root, base)
+    t.rename_column("val", "amount")  # upgrades to name mapping
+    t.append(
+        keys.filter(F.col("k") % 100 == 0).select(
+            (F.col("k") + 10_000_000).alias("k"),
+            F.lit(-2.0).alias("amount"),
+            (F.col("k") % 3).cast("int").alias("tag"),
+        ),
+        merge_schema=True,
+    )
+    t.rename_column("tag", "grade")  # the minted column renames freely
+    return (
+        t.snapshot()
+        .groupBy("grade")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("amount"), 2).alias("s"),
+        )
+    )
+
+
+@query(
+    "iceberg_lineage_identity_partitioned",
+    oracle="""
+    WITH o AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+    base AS (
+      SELECT k, CAST(k % 4 AS INT) AS seg, k * CAST(1.5 AS DOUBLE) AS v,
+             FALSE AS fresh
+      FROM o WHERE k % 3 < 2
+    ),
+    app AS (
+      SELECT k, CAST(k % 4 AS INT) AS seg, k * CAST(1.5 AS DOUBLE) AS v,
+             TRUE AS fresh
+      FROM o WHERE k % 3 = 2
+    )
+    SELECT k, seg, v, fresh FROM base
+    UNION ALL SELECT k, seg, v, fresh FROM app
+    """,
+)
+def iceberg_lineage_identity_partitioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IDENTITY-PARTITIONED ROW-LINEAGE READS (round 12 — previously a
+    declared refusal; verdict item 3): identity partitioning DROPS the
+    source column from data files (the spec stores it once in the
+    partition tuple); the direct-path lineage reader
+    (``snapshot_with_row_ids``) now restores it per file from the
+    tuple, riding the SAME O(#files) broadcast map as the row-id base —
+    one scan, one broadcast join, no per-partition plan branches.
+    Fixture: keys %3∈{0,1} created under an identity ``seg`` spec,
+    lineage enabled (ids backfill 0..n-1), keys %3==2 appended; the
+    output returns every row's restored ``seg`` plus ``fresh`` =
+    (_row_id ≥ the pre-append watermark) — so the hash pins BOTH the
+    restored constants and the id allocation in one shape.
+
+    100 TB: identity partitioning is the default layout for every
+    date/tenant-partitioned lakehouse table — a lineage reader that
+    refuses it covers only the exotic tables.
+
+    Reference parity: engine-added §2 (table formats); the reference
+    (etl.py:1-191) has no table-format surface."""
+    import tempfile
+
+    from projectdatalake_spark.sources.iceberg_interop import IcebergTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    ).distinct()
+    mk = lambda df: df.select(
+        "k",
+        (F.col("k") % 4).cast("int").alias("seg"),
+        (F.col("k") * 1.5).alias("v"),
+    )
+    root = tempfile.mkdtemp(prefix="ice_lin_ident_") + "/t"
+    t = IcebergTable.create(
+        spark, root, mk(o.filter(F.col("k") % 3 < 2)), partition_by=("seg",)
+    )
+    t.enable_row_lineage()
+    hwm = int(t.metadata()["next-row-id"])
+    t.append(mk(o.filter(F.col("k") % 3 == 2)))
+    return t.snapshot_with_row_ids().select(
+        "k", "seg", "v", (F.col("_row_id") >= F.lit(hwm)).alias("fresh")
+    )
+
+
+@query(
+    "delta_foreign_partition_mapping",
+    oracle="""
+    WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+    all_rows AS (
+      SELECT k, k * CAST(1.5 AS DOUBLE) AS v, CAST(k % 4 AS INT) AS seg
+      FROM k
+    ),
+    kept AS (SELECT * FROM all_rows WHERE k % 50 <> 3)
+    SELECT seg, count(*) AS n, round(sum(v), 2) AS s
+    FROM kept GROUP BY seg
+    """,
+)
+def delta_foreign_partition_mapping(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DIVERGENT PARTITION PHYSICAL NAMES on a foreign id-mode table
+    (round 12 — the last mapped-write refusal; verdict item 8): the
+    "foreign" writer lays the table out with partition directories
+    ``p1=<val>`` while the LOGICAL partition column is ``seg``
+    (physicalName p1, mapping id 3). Engine appends now stage the hive
+    layout by PHYSICAL name — new directory segments and
+    partitionValues keys match the foreign writer's — and a DV delete
+    afterwards proves both file generations resolve (by parquet field
+    id) and prune (by physical partitionValues key) under one rule.
+    Grouped exact-fraction sums BY THE LOGICAL NAME hash-pin the whole
+    logical↔physical seam.
+
+    100 TB: foreign tables renamed their partition column exactly once
+    somewhere in their history; a writer that refuses them turns every
+    such table read-only.
+
+    Reference parity: engine-added §2 (table formats); the reference
+    (etl.py:1-191) has no table-format surface."""
+    import json as _json
+    import os
+    import tempfile
+
+    from projectdatalake_spark.sources.delta_interop import DeltaTable
+
+    keys = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    ).distinct()
+    root = tempfile.mkdtemp(prefix="delta_fpart_") + "/t"
+    prior = spark.conf.get("spark.sql.parquet.fieldId.write.enabled", None)
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    try:
+        seed = keys.filter(F.col("k") % 2 == 0).select(
+            F.col("k").alias("c1", metadata={"parquet.field.id": 1}),
+            (F.col("k") * 1.5).alias("c2", metadata={"parquet.field.id": 2}),
+            (F.col("k") % 4).cast("int").alias("p1"),
+        )
+        seed.coalesce(1).write.partitionBy("p1").parquet(root)
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
+        else:
+            spark.conf.set("spark.sql.parquet.fieldId.write.enabled", prior)
+    rels = []
+    for d in os.listdir(root):
+        if not d.startswith("p1="):
+            continue
+        for fn in os.listdir(f"{root}/{d}"):
+            if fn.endswith(".parquet"):
+                rels.append((f"{d}/{fn}", d.split("=", 1)[1]))
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "c1"}},
+            {"name": "v", "type": "double", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "c2"}},
+            {"name": "seg", "type": "integer", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 3,
+                          "delta.columnMapping.physicalName": "p1"}},
+        ],
+    }
+    os.makedirs(f"{root}/_delta_log")
+    with open(f"{root}/_delta_log/{0:020d}.json", "w") as fh:
+        fh.write(_json.dumps(
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
+        ) + "\n")
+        fh.write(_json.dumps({"metaData": {
+            "id": "m", "format": {"provider": "parquet", "options": {}},
+            "schemaString": _json.dumps(schema),
+            "partitionColumns": ["seg"],
+            "configuration": {"delta.columnMapping.mode": "id",
+                              "delta.columnMapping.maxColumnId": "3"},
+        }}) + "\n")
+        for rel, pv in rels:
+            fh.write(_json.dumps({"add": {
+                "path": rel, "partitionValues": {"p1": pv}, "size": 1,
+                "modificationTime": 0, "dataChange": True}}) + "\n")
+    t = DeltaTable(spark, root)
+    t.append(
+        keys.filter(F.col("k") % 2 == 1).select(
+            "k",
+            (F.col("k") * 1.5).alias("v"),
+            (F.col("k") % 4).cast("int").alias("seg"),
+        )
+    )
+    t.delete_where_dv("k % 50 = 3")
+    return (
+        t.snapshot()
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("v"), 2).alias("s"),
+        )
     )

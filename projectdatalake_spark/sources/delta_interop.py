@@ -2011,23 +2011,21 @@ class DeltaTable:
         field id (``parquet.field.id`` field metadata; ``_stage`` scopes
         the matching write conf around its own write action), since
         id-mode files resolve by id, not name. Returns the staged frame and
-        the PARTITION columns to stage by. Partition columns whose
-        physical name differs from the logical one are refused loudly:
-        this writer's hive staging and partitionValues keys would
-        diverge (the engine's own rename path freezes partition
-        physical names equal to their logical names, so only foreign
-        tables can hit this)."""
+        the PARTITION columns to stage by — PHYSICAL names (round 12,
+        was a refusal for foreign tables whose partition physical names
+        diverge from the logical ones): the staged frame's partition
+        columns are renamed like every other column, the hive directory
+        segments and the parsed partitionValues keys therefore carry
+        the physical name — exactly what mapped readers expect
+        (``partitionValues`` are keyed by physical name under column
+        mapping, and every read path already resolves them through
+        ``phys_of``). The engine's own rename path freezes partition
+        physical names equal to their logical names, so this matters
+        only for foreign tables."""
         phys_of = self._column_mapping(meta)
         pcols = tuple(meta.get("partitionColumns", []))
         if not phys_of:
             return df, pcols
-        bad = [c for c in pcols if phys_of.get(c, c) != c]
-        if bad:
-            raise DeltaProtocolError(
-                f"partition columns {bad} have divergent physical names "
-                f"— this writer stages hive layouts by physical name "
-                f"only when it matches the logical one"
-            )
         cm_mode = (meta.get("configuration") or {}).get(
             "delta.columnMapping.mode", "none"
         )
@@ -2055,7 +2053,7 @@ class DeltaTable:
         # ``spark.sql.parquet.fieldId.write.enabled`` around its own
         # write action (ADVICE r11: a conf set here leaked id-based
         # parquet resolution into the rest of the shared session)
-        return df.select(*cols), pcols
+        return df.select(*cols), tuple(phys_of.get(c, c) for c in pcols)
 
     def add_constraint(self, name: str, expr: str) -> int:
         """CHECK constraint (Delta protocol ``checkConstraints`` writer
@@ -2137,6 +2135,64 @@ class DeltaTable:
             except DeltaCommitConflict:
                 continue
         raise DeltaCommitConflict(f"constraint lost 20 races at {self.root}")
+
+    def _merge_schema_action(
+        self, meta: dict, cur_schema: StructType, new_fields: list
+    ) -> tuple[dict, StructType]:
+        """metaData action appending ``new_fields`` to the table schema,
+        plus the merged StructType to stage against.
+
+        On a COLUMN-MAPPED table (round 12 — previously refused) every
+        appended column mints a FRESH mapping id strictly above
+        ``delta.columnMapping.maxColumnId`` (and above any id already in
+        the schema, for foreign tables whose config lags) and a fresh
+        uuid physical name (the delta-spark ``col-<uuid>`` convention),
+        and the action's configuration advances maxColumnId in the SAME
+        commit. Ids are never reused, so pre-evolution files — which
+        lack the new physical column — read the addition as null, and
+        foreign readers resolve the new files by the minted id (id
+        mode) or physical name (name mode)."""
+        from pyspark.sql.types import StructField
+
+        cfg = dict(meta.get("configuration") or {})
+        mode = cfg.get("delta.columnMapping.mode", "none")
+        if mode in (None, "none"):
+            merged = StructType(list(cur_schema.fields) + list(new_fields))
+            return {"metaData": {**meta, "schemaString": merged.json()}}, merged
+        schema_json = json.loads(meta["schemaString"])
+        existing_ids = [
+            int((f.get("metadata") or {}).get("delta.columnMapping.id", 0))
+            for f in schema_json["fields"]
+        ]
+        next_id = max(
+            [int(cfg.get("delta.columnMapping.maxColumnId", 0))] + existing_ids
+        )
+        out_fields = list(cur_schema.fields)
+        for f in new_fields:
+            next_id += 1
+            out_fields.append(
+                StructField(
+                    f.name,
+                    f.dataType,
+                    True,
+                    {
+                        "delta.columnMapping.id": next_id,
+                        "delta.columnMapping.physicalName": f"col-{uuid.uuid4()}",
+                    },
+                )
+            )
+        merged = StructType(out_fields)
+        cfg["delta.columnMapping.maxColumnId"] = str(next_id)
+        return (
+            {
+                "metaData": {
+                    **meta,
+                    "schemaString": merged.json(),
+                    "configuration": cfg,
+                }
+            },
+            merged,
+        )
 
     def _enforce_constraints(self, df: DataFrame, meta: dict) -> None:
         """Writer-side CHECK enforcement (the protocol's contract for
@@ -2365,8 +2421,10 @@ class DeltaTable:
         physical names, and — round 11, closing the id-mode refusal —
         id-mode staging additionally stamps each column's mapping id as
         the parquet field id, so new files resolve exactly like the
-        foreign writer's. (Schema merge on mapped tables would need
-        fresh mapping ids — still refused.)"""
+        foreign writer's. Schema merge on mapped tables (round 12 —
+        previously refused) mints fresh mapping ids / physical names for
+        the appended columns and advances maxColumnId in the same
+        commit; see ``_merge_schema_action``."""
         state = self._state()
         meta = state["metaData"]
         phys_of = self._column_mapping(meta)
@@ -2385,26 +2443,25 @@ class DeltaTable:
         # see the action build below (_identity_meta_action stamps the
         # advanced mark into the MERGED schema)
         new_meta_action = None
+        stage_meta, stage_schema = meta, cur_schema
         if new_fields:
-            if phys_of:
-                raise DeltaProtocolError(
-                    "mergeSchema on a column-mapped table needs fresh "
-                    "mapping ids — not supported by this writer"
-                )
             if not merge_schema:
                 raise DeltaProtocolError(
                     f"columns {[f.name for f in new_fields]} not in the table "
                     f"schema — pass merge_schema=True for additive evolution"
                 )
-            merged = StructType(list(cur_schema.fields) + list(new_fields))
-            new_meta_action = {
-                "metaData": {**meta, "schemaString": merged.json()}
-            }
+            new_meta_action, merged = self._merge_schema_action(
+                meta, cur_schema, new_fields
+            )
+            # stage against the MERGED metadata so mapped tables stage
+            # the new columns under their freshly minted physical
+            # names/ids (unmapped tables: identical to staging cur)
+            stage_meta, stage_schema = new_meta_action["metaData"], merged
         pcols = tuple(state["metaData"].get("partitionColumns", []))
         if txn is not None and state["txns"].get(txn[0], -1) >= txn[1]:
             return -1  # already applied (idempotent replay)
         self._enforce_constraints(df, meta)
-        stage_df, pcols = self._physical_stage(df, meta, cur_schema)
+        stage_df, pcols = self._physical_stage(df, stage_meta, stage_schema)
         adds = self._stage(stage_df, pcols)
         for attempt in range(20):
             if attempt > 0:
@@ -2424,12 +2481,21 @@ class DeltaTable:
                     still_new = [
                         f for f in df.schema.fields if f.name not in known
                     ]
-                    merged = StructType(
-                        list(cur_schema.fields) + list(still_new)
+                    new_meta_action, merged = self._merge_schema_action(
+                        meta, cur_schema, still_new
                     )
-                    new_meta_action = {
-                        "metaData": {**meta, "schemaString": merged.json()}
-                    }
+                    if self._column_mapping(meta):
+                        # mapped: the racer may have minted mapping ids /
+                        # physical names that overlap or supersede the
+                        # ones our staged files carry (even for the SAME
+                        # logical columns) — re-stage under the re-minted
+                        # metadata. First-attempt staged files already
+                        # moved into the table root stay unreferenced
+                        # (vacuum-able), never mis-resolved.
+                        stage_df, stage_pcols = self._physical_stage(
+                            df, new_meta_action["metaData"], merged
+                        )
+                        adds = self._stage(stage_df, stage_pcols)
                 if id_meta_action is not None:
                     # per-attempt identity re-evaluation (the txlog
                     # row-tracking lesson): a racer that allocated ids

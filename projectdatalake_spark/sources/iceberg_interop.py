@@ -1446,19 +1446,25 @@ class IcebergTable:
         return None
 
     _KLL_BLOB_TYPE = "graft-kll-v1"
+    _KLL_DS_BLOB_TYPE = "apache-datasketches-kll-v1"
 
     def write_quantile_stats(self, column: str, k: int = 8192) -> str:
         """Write a PUFFIN statistics file carrying a mergeable KLL
         QUANTILE sketch for ``column`` at the current snapshot and
         register it under metadata ``statistics`` — the quantile member
-        of the stats shelf beside write_stats' theta NDV blobs. The blob
-        type is the engine's own ``graft-kll-v1`` (magic + compactor
-        levels as float64; operators/aggregates.KLLSketch.to_bytes) —
-        honest naming: the Apache DataSketches KLL binary layout is NOT
-        implemented, so the blob does not masquerade as
-        ``apache-datasketches-kll``. Replaces any prior stats entry for
-        the snapshot (one stats file per snapshot, the same contract as
-        write_stats).
+        of the stats shelf beside write_stats' theta NDV blobs. TWO
+        blobs per column (round 12 closed the last sketch-interop
+        refusal): ``apache-datasketches-kll-v1`` carries the OFFICIAL
+        Apache DataSketches KllDoublesSketch compact image (byte-level
+        cross-validated against the datasketches-java copy Spark
+        bundles — tests/test_accuracy_gates.py::
+        test_kll_datasketches_layout), so external DataSketches readers
+        heapify it directly; ``graft-kll-v1`` (magic + compactor levels
+        as float64; operators/aggregates.KLLSketch.to_bytes) rides
+        beside it carrying the alternating-selector phase the official
+        layout has no slot for, which resumed-compaction determinism
+        needs. Replaces any prior stats entry for the snapshot (one
+        stats file per snapshot, the same contract as write_stats).
 
         100 TB: one linear pass builds bounded per-task compactors;
         every later quantile/range-boundary question is metadata-only
@@ -1482,13 +1488,16 @@ class IcebergTable:
         if column not in field_ids:
             raise ValueError(f"unknown column {column!r}")
         sk = column_kll_sketch(self.snapshot(), column, k=k)
+        common = {
+            "fields": [field_ids[column]],
+            "snapshot-id": sid,
+            "sequence-number": int(snap.get("sequence-number", 0)),
+        }
         blobs = [
             (
                 {
                     "type": self._KLL_BLOB_TYPE,
-                    "fields": [field_ids[column]],
-                    "snapshot-id": sid,
-                    "sequence-number": int(snap.get("sequence-number", 0)),
+                    **common,
                     "properties": {
                         "column": column,
                         "n": str(sk.n),
@@ -1496,7 +1505,19 @@ class IcebergTable:
                     },
                 },
                 sk.to_bytes(),
-            )
+            ),
+            (
+                {
+                    "type": self._KLL_DS_BLOB_TYPE,
+                    **common,
+                    "properties": {
+                        "column": column,
+                        "item-type": "double",
+                        "n": str(sk.n),
+                    },
+                },
+                sk.to_datasketches_bytes(),
+            ),
         ]
         data, footer_size = _puffin.write_puffin(
             blobs, {"created-by": "projectdatalake-spark"}
@@ -1538,12 +1559,19 @@ class IcebergTable:
             blobs, _props = _puffin.read_puffin(
                 self._read_bytes(s["statistics-path"])
             )
+            ds_payload = None
             for bm, payload in blobs:
-                if (
-                    bm.get("type") == self._KLL_BLOB_TYPE
-                    and bm.get("properties", {}).get("column") == column
-                ):
+                if bm.get("properties", {}).get("column") != column:
+                    continue
+                if bm.get("type") == self._KLL_BLOB_TYPE:
+                    # full-fidelity engine blob (selector phase) wins
                     return KLLSketch.from_bytes(payload)
+                if bm.get("type") == self._KLL_DS_BLOB_TYPE:
+                    ds_payload = payload
+            if ds_payload is not None:
+                # a foreign stats file carrying only the official
+                # DataSketches image (round 12) still answers quantiles
+                return KLLSketch.from_datasketches_bytes(ds_payload)
         return None
 
     def write_partition_stats(self) -> str:
@@ -2924,9 +2952,13 @@ class IcebergTable:
         ids; equality deletes apply by the spec's strictly-smaller-seq
         rule (round 11 — was a refusal: masking is value-based and
         never moves survivor ids, so MERGED lineage tables read
-        directly). Identity-partitioned tables refuse (their files drop
-        the source column); non-identity transforms read fine (round 11
-        — the dynamic-overwrite-under-lineage consumer).
+        directly). Identity-partitioned tables (round 12 — was a
+        refusal) restore the source column from each file's partition
+        tuple, the spec's own read rule: the per-file constant rides the
+        SAME O(#files) broadcast map the row-id base uses, coalesced
+        over the scan's null (a file from a non-identity era carries the
+        column physically and its map value is null, so coalesce is
+        exact for mixed spec eras).
 
         ``min_row_id``: incremental-consumer watermark — files whose id
         range [first_row_id, first_row_id + record_count) falls wholly
@@ -2935,23 +2967,18 @@ class IcebergTable:
         meta = self.metadata()
         if not meta.get("row-lineage"):
             raise IcebergProtocolError("row lineage is not enabled")
-        # identity partitioning drops the source column from data files
-        # (restored from the tuple on normal reads); this direct-path
-        # reader would lose it. Non-identity transforms (bucket,
-        # truncate, date parts) keep every column IN the files, so
-        # partitioned lineage reads are fine there (round 11 — the
-        # dynamic-overwrite-under-lineage consumer). Checked across ALL
-        # specs: an older era's identity files have the same gap.
-        if any(
-            f["transform"] == "identity"
-            for s in meta.get("partition-specs", [])
-            for f in s["fields"]
-        ):
-            raise IcebergProtocolError(
-                "snapshot_with_row_ids does not support identity-"
-                "partitioned tables (identity files drop the source "
-                "column) — non-identity transforms are supported"
-            )
+        # identity partitioning drops the source column from data files;
+        # per spec era, the pnames to restore as per-file constants
+        # (round 12 — the reader previously refused identity specs)
+        specs_by_id = {s["spec-id"]: s for s in meta.get("partition-specs", [])}
+        ident_by_spec = {
+            sid: [
+                p["pname"]
+                for p in _spec_part_fields(meta, s)
+                if p["transform"] == "identity"
+            ]
+            for sid, s in specs_by_id.items()
+        }
         cur_sid = meta.get("current-snapshot-id")
         schema = self._spark_schema(meta)
         if cur_sid is None or cur_sid == -1:
@@ -2964,10 +2991,12 @@ class IcebergTable:
         _, manifests = read_container(self._read_bytes(cur_snap["manifest-list"]))
         base_of: dict[str, int] = {}
         seq_of: dict[str, int] = {}
+        ident_of: dict[str, dict] = {}  # file → {pname: constant}
         pos_entries: list[dict] = []
         eq_entries: list[dict] = []
         for m in manifests:
             content = m.get("content", 0)
+            m_ident = ident_by_spec.get(m.get("partition_spec_id", 0), [])
             _, rows = read_container(self._read_bytes(m["manifest_path"]))
             if content == 1:
                 for e in rows:
@@ -3032,20 +3061,51 @@ class IcebergTable:
                     if e.get("sequence_number") is not None
                     else m["sequence_number"]
                 )
+                if m_ident:
+                    part = dfile.get("partition") or {}
+                    ident_of[dfile["file_path"]] = {
+                        c: part.get(c) for c in m_ident
+                    }
         if not base_of:
             return self.spark.createDataFrame([], schema).withColumn(
                 "_row_id", F.lit(None).cast("long")
             )
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        # identity columns present in the CURRENT schema whose constants
+        # ride the broadcast map (ordered by schema position)
+        ident_union = {c for vals in ident_of.values() for c in vals}
+        ident_cols = [f for f in schema.fields if f.name in ident_union]
+        map_schema = StructType(
+            [
+                StructField("__fp", StringType(), False),
+                StructField("__base", LongType(), False),
+                StructField("__fseq", LongType(), False),
+            ]
+            + [
+                StructField(f"__pv_{f.name}", f.dataType, True)
+                for f in ident_cols
+            ]
+        )
         base_map = self.spark.createDataFrame(
-            [(p, b, seq_of[p]) for p, b in base_of.items()],
-            "__fp string, __base long, __fseq long",
+            [
+                tuple(
+                    [p, b, seq_of[p]]
+                    + [ident_of.get(p, {}).get(f.name) for f in ident_cols]
+                )
+                for p, b in base_of.items()
+            ],
+            map_schema,
         )
         # one scan covers plain AND rewrite-materialized files: the
         # explicit schema reads `_row_id` where present and null where
         # the column does not exist, then the spec's precedence applies
         # (materialized value wins; null → first_row_id + position)
-        from pyspark.sql.types import LongType, StructField, StructType
-
         read_schema = StructType(
             list(schema.fields) + [StructField(_ROW_ID_COL, LongType(), True)]
         )
@@ -3061,6 +3121,14 @@ class IcebergTable:
                 ),
             )
         )
+        for f in ident_cols:
+            # identity-era files: the column is absent from the file
+            # (reads null) and the map carries the tuple constant;
+            # non-identity-era files: physical value, null map entry —
+            # coalesce restores exactly either way
+            df = df.withColumn(
+                f.name, F.coalesce(F.col(f.name), F.col(f"__pv_{f.name}"))
+            ).drop(f"__pv_{f.name}")
         if pos_entries:
             deletes_df = self._pos_delete_pairs_df(
                 pos_entries, list(base_of)

@@ -209,14 +209,19 @@ class ThetaSketch:
         sh = _seed_hash(_SEED)
         if not self.hashes and self.theta >= _MAX_THETA:
             return struct.pack("<BBBBBBH", 1, 3, 3, 0, 0, flags | 0b100, sh)
+        # bytes 12-15 carry the sampling probability p = 1.0f (this
+        # engine never samples) — round 12: writing the real value makes
+        # exact-mode images BYTE-IDENTICAL to datasketches-java's
+        # compact().toByteArray() for the same inputs (cross-validated
+        # in tests/test_accuracy_gates.py::test_theta_datasketches_interop)
         if self.theta >= _MAX_THETA:  # exact mode: 2 preamble longs
             head = struct.pack(
-                "<BBBBBBHiI", 2, 3, 3, 0, 0, flags, sh, len(self.hashes), 0
+                "<BBBBBBHif", 2, 3, 3, 0, 0, flags, sh, len(self.hashes), 1.0
             )
         else:  # estimation mode: 3 preamble longs (retained, theta)
             head = struct.pack(
-                "<BBBBBBHiIq",
-                3, 3, 3, 0, 0, flags, sh, len(self.hashes), 0, self.theta,
+                "<BBBBBBHifq",
+                3, 3, 3, 0, 0, flags, sh, len(self.hashes), 1.0, self.theta,
             )
         return head + b"".join(struct.pack("<q", h) for h in self.hashes)
 

@@ -1208,10 +1208,142 @@ def test_kll_resume_bitwise_determinism():
     live.update_many(data[10_000:])
     resumed.update_many(data[10_000:])
     assert live.to_bytes() == resumed.to_bytes()
-    # back-compat: a phase-less (pre-round-10) blob parses with phase 0
-    legacy = KLLSketch.from_bytes(live.to_bytes()[:-1])
+    # back-compat: a phase-less (pre-round-10) blob — no trailing phase
+    # byte, no round-12 min/max tail — parses with phase 0 and derives
+    # extremes from the retained set
+    legacy = KLLSketch.from_bytes(live.to_bytes()[:-17])
     assert legacy._coin == 0 and legacy.n == live.n
     assert legacy.compactors == live.compactors
+    assert legacy.min_value == min(v for c in legacy.compactors for v in c)
+    # a round-10-era blob (phase byte, no extremes tail) keeps its phase
+    mid = KLLSketch.from_bytes(live.to_bytes()[:-16])
+    assert mid._coin == live._coin and mid.compactors == live.compactors
+
+
+def test_kll_datasketches_layout(spark):
+    """Round 12 (the last sketch-interop refusal): the engine reads and
+    writes the OFFICIAL Apache DataSketches KllDoublesSketch compact
+    image, cross-validated against the real library (the
+    datasketches-java copy Spark bundles) — the roaring/Avro
+    byte-vector precedent. (a) exact-mode images are BYTE-IDENTICAL to
+    the library's for the same update sequence (empty, single-item and
+    full forms); (b) a compacted engine sketch heapifies in the
+    library with identical n/k/retained/extremes and EXACTLY equal
+    inclusive ranks (same retained multiset); (c) a library image
+    parses into the engine with exactly matching ranks; (d) the
+    round-trip through the engine is byte-stable."""
+    from projectdatalake_spark.operators.aggregates import KLLSketch
+
+    jvm = spark.sparkContext._jvm
+    KDS = jvm.org.apache.datasketches.kll.KllDoublesSketch
+    Memory = jvm.org.apache.datasketches.memory.Memory
+
+    # (a) byte identity in exact mode + degenerate forms
+    vals = [3.5] + [float((i * 13) % 97) for i in range(150)]
+    ours, theirs = KLLSketch(200), KDS.newHeapInstance(200)
+    for v in vals:
+        ours.update(v)
+        theirs.update(v)
+    assert ours.to_datasketches_bytes() == bytes(theirs.toByteArray())
+    assert (
+        KLLSketch(200).to_datasketches_bytes()
+        == bytes(KDS.newHeapInstance(200).toByteArray())
+    )
+    one_o, one_t = KLLSketch(200), KDS.newHeapInstance(200)
+    one_o.update(42.0)
+    one_t.update(42.0)
+    assert one_o.to_datasketches_bytes() == bytes(one_t.toByteArray())
+
+    # (b) compacted engine sketch → official heapify
+    sk = KLLSketch(20)
+    sk.update_many([float((i * 37) % 1000) for i in range(5000)])
+    assert not sk.is_exact()
+    img = sk.to_datasketches_bytes()
+    h = KDS.heapify(Memory.wrap(bytearray(img)))
+    assert h.getN() == sk.n and h.getK() == sk.k
+    assert h.getNumRetained() == sk.num_retained
+    assert h.getMinItem() == sk.min_value
+    assert h.getMaxItem() == sk.max_value
+    # INCLUSIVE ranks over the same retained multiset — equal up to the
+    # library's min/max-injection: its sorted view splices the tracked
+    # extremes in at weight 1 (deducting 1 from a neighboring retained
+    # item), so any probe's rank can differ by at most 1 item weight
+    # from the retained-only rank. That injection is exactly why the
+    # layout carries exact extremes.
+    for v in [0.0, 123.0, 456.5, 998.0, 999.0]:
+        assert abs(h.getRank(v) - sk.rank(v) / sk.n) <= 1.0 / sk.n
+    # ...and at the exact minimum (discarded from the retained set by
+    # compaction) the injected extreme pins rank(min) to exactly 1/n
+    assert h.getRank(sk.min_value) == 1.0 / sk.n
+
+    # (c) official image → engine parser
+    t2 = KDS.newHeapInstance(16)
+    for i in range(3000):
+        t2.update(float((i * 17) % 500))
+    img2 = bytes(t2.toByteArray())
+    ours2 = KLLSketch.from_datasketches_bytes(img2)
+    assert ours2.n == t2.getN()
+    assert ours2.num_retained == t2.getNumRetained()
+    assert ours2.min_value == t2.getMinItem()
+    assert ours2.max_value == t2.getMaxItem()
+    for v in [0.0, 100.5, 250.0, 499.0]:
+        assert abs(ours2.rank(v) / ours2.n - t2.getRank(v)) <= 1.0 / ours2.n
+
+    # (d) round-trip byte stability
+    assert (
+        KLLSketch.from_datasketches_bytes(img2).to_datasketches_bytes()
+        == img2
+    )
+    assert (
+        KLLSketch.from_datasketches_bytes(img).to_datasketches_bytes() == img
+    )
+
+def test_theta_datasketches_interop(spark):
+    """Round 12: the puffin theta blobs cross-validate against the REAL
+    Apache DataSketches library (the datasketches-java copy Spark
+    bundles) — retiring the round-7 portability caveat ("no
+    datasketches wheel/jar in-sandbox"). Exact-mode images are
+    BYTE-IDENTICAL to compact().toByteArray() for the same input
+    strings (same murmur3 hashing, same seed hash, same ordered-compact
+    layout incl. the p=1.0f field); estimation-mode images wrap in the
+    library with the exact same estimate; library images parse into the
+    engine with the exact same estimate. (Estimation-mode byte identity
+    is NOT expected: their UpdateSketch reaches its final theta through
+    hash-table decay, ours through (k+1)-th-smallest KMV — both valid
+    theta sketches, different retained sets.)"""
+    from projectdatalake_spark.sources import puffin as P
+
+    jvm = spark.sparkContext._jvm
+    Memory = jvm.org.apache.datasketches.memory.Memory
+    Sketches = jvm.org.apache.datasketches.theta.Sketches
+
+    # (a) exact-mode byte identity over the same input strings
+    b = jvm.org.apache.datasketches.theta.UpdateSketch.builder().build()
+    for i in range(1000):
+        b.update(str(i))
+    ours = P.ThetaSketch(
+        4096, [P.theta_hash(str(i).encode()) for i in range(1000)]
+    )
+    assert ours.to_bytes() == bytes(b.compact().toByteArray())
+
+    # (b) estimation-mode engine blob wraps in the library, estimates
+    # match to the last bit (same retained set + theta → same math)
+    ours2 = P.ThetaSketch(
+        4096, [P.theta_hash(str(i).encode()) for i in range(100_000)]
+    )
+    h = Sketches.wrapSketch(Memory.wrap(bytearray(ours2.to_bytes())))
+    assert h.getEstimate() == ours2.estimate()
+    assert h.getRetainedEntries() == len(ours2.hashes)
+
+    # (c) library blob parses into the engine, estimates match exactly
+    b2 = jvm.org.apache.datasketches.theta.UpdateSketch.builder().build()
+    for i in range(50_000):
+        b2.update(str(i))
+    comp = b2.compact()
+    back = P.ThetaSketch.from_bytes(bytes(comp.toByteArray()))
+    assert back.estimate() == comp.getEstimate()
+    assert len(back.hashes) == comp.getRetainedEntries()
+
 
 def test_pagerank_pinned_hub_degree_guard(spark, monkeypatch):
     """The order-pinned pagerank proof rung is hub-degree-GUARDED: past

@@ -584,9 +584,12 @@ def test_column_mapping_name_mode_read(spark, root):
     assert s.agg(F.sum("val")).collect()[0][0] == sum(i * 2.0 for i in range(60))
     # partition pruning accepts the LOGICAL name, maps to physical keys
     assert t.snapshot(where_eq={"seg": [1]}).count() == 30
-    # a frame carrying PHYSICAL names is refused (unknown logical
-    # columns → would need fresh mapping ids)
-    with pytest.raises(DeltaProtocolError, match="column-mapped"):
+    # a frame carrying PHYSICAL names is refused: appends speak LOGICAL
+    # names, so physical names read as unknown columns (round 12: no
+    # longer a blanket mapped-table refusal — with merge_schema=True
+    # they would mint as NEW logical columns, which is why the default
+    # refusal matters)
+    with pytest.raises(DeltaProtocolError, match="merge_schema"):
         t.append(df)
     # round 11 (was a refusal): DV delete through the mapping — the
     # predicate speaks LOGICAL names, the DV binds to (file, row_index)
@@ -777,14 +780,23 @@ def test_append_after_rename_physical_staging(spark, root):
     # a second rename reuses the frozen physical names (no re-upgrade)
     t.rename_column("amount", "price")
     assert t.snapshot().filter("price IS NOT NULL").count() == 70
-    # mergeSchema on a mapped table needs fresh ids — refused
-    with pytest.raises(DeltaProtocolError, match="mapping ids"):
+    # mergeSchema on a mapped table mints fresh ids (round 12 — was a
+    # refusal; full coverage in test_merge_schema_on_mapped_tables)
+    t.append(
+        spark.range(0, 1)
+        .withColumn("seg", F.lit(0).cast("int"))
+        .withColumn("price", F.lit(0.0))
+        .withColumn("extra", F.lit(1)),
+        merge_schema=True,
+    )
+    assert t.snapshot().filter("extra = 1").count() == 1
+    # ...but without merge_schema=True unknown columns stay refused
+    with pytest.raises(DeltaProtocolError, match="merge_schema"):
         t.append(
-            spark.range(0, 1)
+            spark.range(1, 2)
             .withColumn("seg", F.lit(0).cast("int"))
             .withColumn("price", F.lit(0.0))
-            .withColumn("extra", F.lit(1)),
-            merge_schema=True,
+            .withColumn("surprise", F.lit(1))
         )
 
 
@@ -2141,12 +2153,19 @@ def _foreign_id_mode_table(spark, root, n=30):
     logical k/v by delta.columnMapping.id."""
     import os
 
+    prior = spark.conf.get("spark.sql.parquet.fieldId.write.enabled", None)
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    phys = spark.range(0, n).select(
-        F.col("id").alias("c1", metadata={"parquet.field.id": 1}),
-        (F.col("id") * 1.5).alias("c2", metadata={"parquet.field.id": 2}),
-    )
-    phys.coalesce(1).write.mode("overwrite").parquet(root)
+    try:
+        phys = spark.range(0, n).select(
+            F.col("id").alias("c1", metadata={"parquet.field.id": 1}),
+            (F.col("id") * 1.5).alias("c2", metadata={"parquet.field.id": 2}),
+        )
+        phys.coalesce(1).write.mode("overwrite").parquet(root)
+    finally:  # don't leak id-resolution semantics into other tests
+        if prior is None:
+            spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
+        else:
+            spark.conf.set("spark.sql.parquet.fieldId.write.enabled", prior)
     files = [f for f in os.listdir(root) if f.endswith(".parquet")]
     schema = {
         "type": "struct",
@@ -2229,6 +2248,191 @@ def test_id_mode_append_and_merge(spark, root):
     s3 = t.snapshot()
     assert s3.count() == 40
     assert s3.filter("k % 9 = 4").count() == 0
+
+
+def _foreign_id_mode_partitioned_table(spark, root, n=30):
+    """Foreign-writer-shaped id-mode PARTITIONED table whose partition
+    column's physical name (p1) diverges from the logical one (seg):
+    hive dirs and partitionValues keys use the PHYSICAL name."""
+    import os
+
+    prior = spark.conf.get("spark.sql.parquet.fieldId.write.enabled", None)
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    try:
+        phys = spark.range(0, n).select(
+            F.col("id").alias("c1", metadata={"parquet.field.id": 1}),
+            (F.col("id") * 1.5).alias("c2", metadata={"parquet.field.id": 2}),
+            (F.col("id") % 3).cast("int").alias("p1"),
+        )
+        phys.coalesce(1).write.mode("overwrite").partitionBy("p1").parquet(root)
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
+        else:
+            spark.conf.set("spark.sql.parquet.fieldId.write.enabled", prior)
+    rels = []
+    for d in os.listdir(root):
+        if not d.startswith("p1="):
+            continue
+        for fn in os.listdir(f"{root}/{d}"):
+            if fn.endswith(".parquet"):
+                rels.append((f"{d}/{fn}", d.split("=", 1)[1]))
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "c1"}},
+            {"name": "v", "type": "double", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "c2"}},
+            {"name": "seg", "type": "integer", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 3,
+                          "delta.columnMapping.physicalName": "p1"}},
+        ],
+    }
+    os.makedirs(f"{root}/_delta_log")
+    with open(f"{root}/_delta_log/{0:020d}.json", "w") as fh:
+        fh.write(json.dumps(
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
+        ) + "\n")
+        fh.write(json.dumps({"metaData": {
+            "id": "m", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": ["seg"],
+            "configuration": {"delta.columnMapping.mode": "id",
+                              "delta.columnMapping.maxColumnId": "3"},
+        }}) + "\n")
+        for rel, pv in rels:
+            fh.write(json.dumps({"add": {
+                "path": rel, "partitionValues": {"p1": pv}, "size": 1,
+                "modificationTime": 0, "dataChange": True}}) + "\n")
+    return DeltaTable(spark, root)
+
+
+def test_id_mode_divergent_partition_physical_name(spark, root):
+    """Round 12 (was a refusal in _physical_stage): appends to a
+    foreign id-mode table whose PARTITION column's physical name
+    diverges from the logical one stage the hive layout by PHYSICAL
+    name — new directory segments and partitionValues keys match the
+    foreign writer's — and reads resolve both file generations under
+    one rule."""
+    import os
+
+    t = _foreign_id_mode_partitioned_table(spark, root, n=30)
+    s0 = t.snapshot()
+    assert set(s0.columns) == {"k", "v", "seg"}
+    assert s0.count() == 30
+    assert s0.filter("seg = k % 3").count() == 30
+
+    t.append(
+        spark.range(30, 45).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 1.5).alias("v"),
+            (F.col("id") % 3).cast("int").alias("seg"),
+        )
+    )
+    s = t.snapshot()
+    assert s.count() == 45
+    assert s.filter("seg = k % 3").count() == 45
+    assert s.agg(F.sum("v")).collect()[0][0] == sum(i * 1.5 for i in range(45))
+    # the engine-written adds carry PHYSICAL hive segments and
+    # partitionValues keys, exactly like the foreign writer's
+    new_adds = [
+        a for a in t.files()
+        if a["path"] not in {x["path"] for x in t.files(version=0)}
+    ]
+    assert new_adds
+    for a in new_adds:
+        assert a["path"].startswith("p1=")
+        assert set(a["partitionValues"]) == {"p1"}
+    assert not any(
+        d.startswith("seg=") for d in os.listdir(root) if "=" in d
+    )
+    # partition-pruned read through the divergent mapping
+    assert t.snapshot(where_eq={"seg": [1]}).count() == s.filter(
+        "seg = 1"
+    ).count()
+    # DV delete across both generations resolves files by field id
+    assert t.delete_where_dv("k % 5 = 2") is not None
+    s2 = t.snapshot()
+    assert s2.count() == 45 - len([k for k in range(45) if k % 5 == 2])
+    assert s2.filter("k % 5 = 2").count() == 0
+
+
+def test_merge_schema_on_mapped_tables(spark, root):
+    """Round 12 (was a declared refusal): merge_schema on column-mapped
+    tables mints FRESH mapping ids + uuid physical names for appended
+    columns and advances delta.columnMapping.maxColumnId in the same
+    commit — old files read the addition as null, id-mode files carry
+    the minted parquet field id, and renames of the new column stay
+    metadata-only."""
+    import pyarrow.parquet as pq
+
+    # name mode via rename upgrade
+    df = spark.range(0, 20).select("id", (F.col("id") * 2.0).alias("val"))
+    t = DeltaTable.create(spark, root + "_n", df)
+    t.rename_column("val", "price")
+    t.append(
+        spark.range(20, 30).select(
+            "id", (F.col("id") * 2.0).alias("price"), F.lit(7).alias("extra")
+        ),
+        merge_schema=True,
+    )
+    s = t.snapshot()
+    assert set(s.columns) == {"id", "price", "extra"}
+    assert s.count() == 30
+    assert s.filter("id < 20 and extra is null").count() == 20
+    assert s.filter("id >= 20 and extra = 7").count() == 10
+    meta = t._state()["metaData"]
+    extra_f = next(
+        f for f in json.loads(meta["schemaString"])["fields"]
+        if f["name"] == "extra"
+    )
+    assert extra_f["metadata"]["delta.columnMapping.id"] == 3
+    assert extra_f["metadata"]["delta.columnMapping.physicalName"].startswith(
+        "col-"
+    )
+    assert meta["configuration"]["delta.columnMapping.maxColumnId"] == "3"
+    t.rename_column("extra", "bonus")  # the minted column renames freely
+    assert t.snapshot().filter("bonus = 7").count() == 10
+
+    # id mode: the appended column's minted id is STAMPED into new files
+    t2 = _foreign_id_mode_table(spark, root + "_i", n=10)
+    t2.append(
+        spark.range(10, 15).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 1.5).alias("v"),
+            F.lit("x").alias("tag"),
+        ),
+        merge_schema=True,
+    )
+    s2 = t2.snapshot()
+    assert s2.count() == 15
+    assert s2.filter("k < 10 and tag is null").count() == 10
+    assert s2.filter("k >= 10 and tag = 'x'").count() == 5
+    meta2 = t2._state()["metaData"]
+    tag_f = next(
+        f for f in json.loads(meta2["schemaString"])["fields"]
+        if f["name"] == "tag"
+    )
+    assert tag_f["metadata"]["delta.columnMapping.id"] == 3
+    assert meta2["configuration"]["delta.columnMapping.maxColumnId"] == "3"
+    phys_tag = tag_f["metadata"]["delta.columnMapping.physicalName"]
+    new_adds = [
+        a for a in t2.files()
+        if a["path"] not in {x["path"] for x in t2.files(version=0)}
+    ]
+    assert new_adds
+    pf = pq.ParquetFile(t2._abs_data_path(new_adds[0]["path"]))
+    ids = {
+        pf.schema_arrow.field(i).name: (
+            pf.schema_arrow.field(i).metadata or {}
+        ).get(b"PARQUET:field_id")
+        for i in range(len(pf.schema_arrow.names))
+    }
+    assert ids[phys_tag] == b"3"
+    assert ids["c1"] == b"1" and ids["c2"] == b"2"
 
 
 def test_name_mode_merge_after_rename(spark, root):

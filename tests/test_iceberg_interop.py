@@ -1992,6 +1992,71 @@ def test_row_lineage_inheritance_and_stability(spark, root):
         )
 
 
+def test_row_lineage_identity_partitioned_reads(spark, root):
+    """Round 12 (was a declared refusal): identity-partitioned lineage
+    tables read end to end. Identity files DROP the source column; the
+    direct-path reader restores it from each file's partition tuple via
+    the same O(#files) broadcast map the row-id base rides. Mixed spec
+    eras: pre-identity files keep the column physically and must NOT be
+    clobbered by their (null) map constant — coalesce semantics."""
+    df0 = spark.range(0, 40).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("seg"),
+        (F.col("id") * 2.0).alias("v"),
+    ).coalesce(1).sortWithinPartitions("k")
+    t = IcebergTable.create(spark, root, df0)  # unpartitioned era
+    t.enable_row_lineage()
+    t.update_spec(("seg",))  # identity era for future writes
+    t.append(
+        spark.range(40, 60).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).cast("int").alias("seg"),
+            (F.col("id") * 2.0).alias("v"),
+        ).coalesce(1).sortWithinPartitions("k")
+    )
+    rows = t.snapshot_with_row_ids().collect()
+    assert {r.k: r.seg for r in rows} == {k: k % 4 for k in range(60)}
+    assert {r.k: r.v for r in rows} == {k: k * 2.0 for k in range(60)}
+    # lineage semantics undisturbed by the restoration: the pre-spec
+    # era keeps k==id; the identity era's 4 per-partition files split
+    # ids 40..59 among them (inheritance accumulates per file)
+    ids = {r.k: r._row_id for r in rows}
+    assert {k: ids[k] for k in range(40)} == {k: k for k in range(40)}
+    assert sorted(ids[k] for k in range(40, 60)) == list(range(40, 60))
+    # position deletes over restored constants: surviving ids stay put
+    t.delete_where("k % 10 = 7")
+    after = t.snapshot_with_row_ids().collect()
+    assert {r.k: r._row_id for r in after} == {
+        k: v for k, v in ids.items() if k % 10 != 7
+    }
+    assert all(r.seg == r.k % 4 for r in after)
+    # purely-identity-from-creation table (every file lacks the column)
+    t2 = IcebergTable.create(
+        spark,
+        root + "_pure",
+        df0,
+        partition_by=("seg",),
+    )
+    t2.enable_row_lineage()
+    t2.append(
+        spark.range(40, 50).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).cast("int").alias("seg"),
+            (F.col("id") * 2.0).alias("v"),
+        ).coalesce(1).sortWithinPartitions("k")
+    )
+    rows2 = t2.snapshot_with_row_ids().collect()
+    assert {r.k: r.seg for r in rows2} == {k: k % 4 for k in range(50)}
+    assert sorted(r._row_id for r in rows2) == list(range(50))
+    # the incremental watermark consumer sees restored constants too
+    hwm = 40
+    inc = t2.snapshot_with_row_ids(min_row_id=hwm).filter(
+        F.col("_row_id") >= hwm
+    )
+    got = {r.k: r.seg for r in inc.collect()}
+    assert set(got.values()) <= {0, 1, 2, 3} and len(got) == 10
+
+
 def test_row_lineage_rewrites_preserve_ids(spark, root):
     """The v3 rewrite rule: rewrite_data_files MATERIALIZES _row_id into
     the new files (fresh inherited ids burn; the column overrides), and
@@ -2233,6 +2298,68 @@ def test_kll_puffin_roundtrip_and_type_guard(spark, tmp_path):
     t.write_stats(["v"], k=512)  # replaces the snapshot's stats entry
     assert t.read_quantile_sketch("v") is None
     assert t.read_stats_sketch("v") is not None
+
+
+def test_kll_puffin_official_datasketches_blob(spark, tmp_path):
+    """Round 12 (the last sketch-interop refusal): write_quantile_stats
+    writes an ``apache-datasketches-kll-v1`` blob beside the graft one
+    — the official KllDoublesSketch compact image, which the REAL
+    library (the datasketches-java copy Spark bundles) heapifies
+    directly with matching n/extremes; a stats file carrying ONLY the
+    official blob still answers the engine's quantile reads."""
+    from projectdatalake_spark.sources import puffin as _puffin
+    from projectdatalake_spark.sources.iceberg_interop import IcebergTable
+
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    t = IcebergTable.create(spark, str(tmp_path / "t"), df)
+    t.write_quantile_stats("v", k=64)
+    entry = t.metadata()["statistics"][0]
+    blobs, _props = _puffin.read_puffin(
+        t._read_bytes(entry["statistics-path"])
+    )
+    by_type = {bm["type"]: payload for bm, payload in blobs}
+    assert set(by_type) == {"graft-kll-v1", "apache-datasketches-kll-v1"}
+    img = by_type["apache-datasketches-kll-v1"]
+    jvm = spark.sparkContext._jvm
+    KDS = jvm.org.apache.datasketches.kll.KllDoublesSketch
+    Memory = jvm.org.apache.datasketches.memory.Memory
+    h = KDS.heapify(Memory.wrap(bytearray(img)))
+    assert h.getN() == 3000
+    assert h.getMinItem() == 0.0 and h.getMaxItem() == 96.0
+    # a foreign stats file carrying ONLY the official blob still reads
+    ds_only = [
+        (bm, payload)
+        for bm, payload in blobs
+        if bm["type"] == "apache-datasketches-kll-v1"
+    ]
+    data, footer = _puffin.write_puffin(ds_only, {})
+    import os
+
+    path = f"{t.root}/metadata/foreign-{os.getpid()}.stats"
+    t._write_bytes(path, data, exclusive=True)
+
+    def mutate(md):
+        md["statistics"] = [
+            {
+                "snapshot-id": entry["snapshot-id"],
+                "statistics-path": path,
+                "file-size-in-bytes": len(data),
+                "file-footer-size-in-bytes": footer,
+                "blob-metadata": [
+                    {**bm, "length": len(p)} for bm, p in ds_only
+                ],
+            }
+        ]
+
+    t._commit_refs(mutate)  # generic optimistic metadata mutation
+    got = t.read_quantile_sketch("v")
+    assert got is not None and got.n == 3000
+    assert got.min_value == 0.0 and got.max_value == 96.0
+    # compacted sketch: the median answers within the k=64 rank-error
+    # band (the exactness gates live in the exact-mode rungs)
+    assert abs(got.quantile_disc(0.5) - 48.0) <= 4.0
 
 
 def test_partition_stats_file_shape(spark, tmp_path):
