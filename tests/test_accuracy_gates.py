@@ -1344,6 +1344,33 @@ def test_theta_datasketches_interop(spark):
     assert back.estimate() == comp.getEstimate()
     assert len(back.hashes) == comp.getRetainedEntries()
 
+    # (d) SET-OPERATION parity: union / intersection / A-not-B over the
+    # engine's blobs, run through the library's own SetOperation,
+    # produce the estimates the engine computes — to the last bit
+    # (same theta rules over the same retained sets)
+    SetOp = jvm.org.apache.datasketches.theta.SetOperation
+    A = P.ThetaSketch(
+        4096, [P.theta_hash(str(i).encode()) for i in range(60_000)]
+    )
+    B = P.ThetaSketch(
+        4096,
+        [P.theta_hash(str(i).encode()) for i in range(40_000, 120_000)],
+    )
+    wa = Sketches.wrapSketch(Memory.wrap(bytearray(A.to_bytes())))
+    wb = Sketches.wrapSketch(Memory.wrap(bytearray(B.to_bytes())))
+    u = SetOp.builder().buildUnion()
+    u.union(wa)
+    u.union(wb)
+    assert u.getResult().getEstimate() == A.union(B).estimate()
+    it = SetOp.builder().buildIntersection()
+    it.intersect(wa)
+    it.intersect(wb)
+    assert it.getResult().getEstimate() == A.intersect(B).estimate()
+    assert (
+        SetOp.builder().buildANotB().aNotB(wa, wb).getEstimate()
+        == A.a_not_b(B).estimate()
+    )
+
 
 def test_pagerank_pinned_hub_degree_guard(spark, monkeypatch):
     """The order-pinned pagerank proof rung is hub-degree-GUARDED: past
