@@ -67,21 +67,66 @@ def json_get(col: Column, field: str) -> Column:
 
 
 # --- vectors (engine-added; embeddings) ------------------------------------
-# All pure Catalyst higher-order functions: zip_with + aggregate run inside
-# whole-stage codegen, no Python worker. Elements are cast to double BEFORE
-# multiplication so accumulation is double-precision end to end.
+# All JVM-side Catalyst expressions, no Python worker. Elements are cast to
+# double BEFORE multiplication so accumulation is double-precision end to
+# end. NOTE (round 12): higher-order functions (ZipWith/ArrayAggregate) are
+# CodegenFallback — interpreted per element, one allocated zipped array per
+# call, and their presence vetoes whole-stage codegen for the WHOLE
+# enclosing operator — hence the unrolled fixed-dim forms below.
 
 
-def vec_dot(a: Column, b: Column) -> Column:
+def _vec_dot_fold(a: Column, b: Column) -> Column:
     return F.aggregate(
-        F.zip_with(
-            a.cast("array<double>"),
-            b.cast("array<double>"),
-            lambda x, y: x * y,
-        ),
+        F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def vec_dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Dot product of two float vectors, accumulating left-to-right in
+    double (the fold 0.0 + a0*b0 + a1*b1 + ...).
+
+    Without ``dim``: the generic higher-order fold — correct for any
+    lengths, but ZipWith/ArrayAggregate are CodegenFallback, so ANY
+    operator containing it loses whole-stage codegen (the veto is
+    structural: one fallback expression de-compiles the whole Filter/
+    Project). With ``dim=d``: the same fold unrolled into plain
+    GetArrayItem arithmetic — identical IEEE op order, stays inside
+    codegen — null-gated on both arrays being exactly ``d`` long.
+    Callers pass ``dim`` only where the corpus dimension is known
+    (literal centers, probed schema); for every d-length input the two
+    forms are bitwise identical, and non-d rows yield NULL (the fold
+    also yields NULL for every length mismatch except the both-longer-
+    than-d case, which a fixed-dim corpus never produces)."""
+    ad = a.cast("array<double>")
+    bd = b.cast("array<double>")
+    if dim is None or dim <= 0:
+        return _vec_dot_fold(ad, bd)
+    acc = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + F.get(ad, i) * F.get(bd, i)
+    return F.when((F.size(ad) == dim) & (F.size(bd) == dim), acc)
+
+
+def vec_dots_literal(a: Column, centers: list[list[float]]) -> list[Column]:
+    """One unrolled dot product per literal center, sharing the per-index
+    ``get(a, i)`` subexpressions across centers (built once, reused —
+    both the Python construction cost and codegen's subexpression
+    elimination benefit). Same null-gate contract as ``vec_dot(dim=d)``."""
+    if not centers:
+        return []
+    d = len(centers[0])
+    ad = a.cast("array<double>")
+    gets = [F.get(ad, i) for i in range(d)]
+    size_ok = F.size(ad) == d
+    out = []
+    for c in centers:
+        acc = F.lit(0.0)
+        for i in range(d):
+            acc = acc + gets[i] * F.lit(float(c[i]))
+        out.append(F.when(size_ok, acc))
+    return out
 
 
 def l2_norm(a: Column) -> Column:

@@ -23,6 +23,23 @@ Two rungs, the engine's usual ladder shape:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def _ckpt(df: DataFrame) -> DataFrame:
+    """Eager lineage-truncating checkpoint in SERIALIZED storage.
+
+    Used by the k-core peel loop ONLY: its live edge table is re-read
+    every round (peel depth ~15 rounds at sf0.1), and the default
+    deserialized store costs ~137 B/row for a 16-byte (src, dst) edge —
+    a 191 MB blob re-read per round for a 22 MB edge set (profile in
+    OPTIMIZATION_r12.md §3). Serialized storage trades one encode at
+    checkpoint time for a ~6x smaller read every round; measured NET
+    LOSS for the one-shot consumers (triangles, BFS), which keep the
+    default deserialized checkpoint."""
+    return df.localCheckpoint(
+        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
 
 # Cap on the per-node sorted fold array the order-pinned pagerank proof
 # rung materializes (one struct per incoming contribution): ~100k structs
@@ -196,29 +213,45 @@ def pagerank(
     Accuracy gate: tests/test_accuracy_gates.py::test_pagerank_matches_
     power_iteration (exact-formula numpy reference).
     """
+    from pyspark.sql import Window
+
     directed = edges.select(
         F.col("u").alias("src"), F.col("v").alias("dst")
-    ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
-    outdeg = directed.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    if order_pinned:
-        # the pinned fold materializes ONE sorted struct array per node,
-        # sized by that node's in-degree — bounded by the hub, not
-        # globally. Past _PINNED_MAX_DEGREE a hub's array becomes a
-        # single-task memory spike, so the provable form refuses loudly
-        # with the fix (the Theil-Sen guard discipline) instead of
-        # OOMing; the production F.sum form has no such limit.
-        hub = outdeg.agg(F.max("outdeg")).collect()[0][0] or 0
-        if hub > _PINNED_MAX_DEGREE:
-            raise ValueError(
-                f"pagerank(order_pinned=True): hub degree {hub:,} > "
-                f"{_PINNED_MAX_DEGREE:,} — the per-node sorted fold "
-                f"array would single-task that hub's contributions; "
-                f"use the default F.sum form (order_pinned=False), or "
-                f"split hub folds into degree-bounded chunks before "
-                f"raising the cap"
-            )
-    links = directed.join(outdeg, "src").persist()
-    n = outdeg.count()  # scalar cardinality, not data, on the driver
+    ).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    ).localCheckpoint(eager=True)  # copurchase pipeline runs ONCE, not per consumer
+    outdeg = (
+        directed.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    )
+    # ONE driver probe for hub degree + node count (was two jobs, each
+    # recomputing the whole co-purchase edge pipeline from scratch)
+    stats = outdeg.agg(
+        F.max("outdeg").alias("hub"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    hub, n = stats["hub"] or 0, stats["n"]
+    if order_pinned and hub > _PINNED_MAX_DEGREE:
+        # the pinned fold streams ONE sorted run per node, sized by that
+        # node's in-degree — bounded by the hub, not globally. Past
+        # _PINNED_MAX_DEGREE a hub's run becomes a single-task window
+        # spike, so the provable form refuses loudly with the fix (the
+        # Theil-Sen guard discipline) instead of OOMing; the production
+        # F.sum form has no such limit.
+        raise ValueError(
+            f"pagerank(order_pinned=True): hub degree {hub:,} > "
+            f"{_PINNED_MAX_DEGREE:,} — the per-node src-ordered fold "
+            f"would single-task that hub's contributions; "
+            f"use the default F.sum form (order_pinned=False), or "
+            f"split hub folds into degree-bounded chunks before "
+            f"raising the cap"
+        )
+    # links is the static loop table: partition it by the join key ONCE
+    # so each of the `iterations` joins reuses the cached layout and only
+    # the (node, rank) vector — not the edge table — moves per round
+    # (spark_optimization_guide §2.4: establish the partitioning once).
+    npart = edges.sparkSession.sparkContext.defaultParallelism
+    links = (
+        directed.join(outdeg, "src").repartition(npart, "src").persist()
+    )
     ranks = outdeg.select(
         F.col("src").alias("node"), F.lit(1.0 / n).alias("rank")
     )
@@ -231,14 +264,23 @@ def pagerank(
             (F.col("rank") / F.col("outdeg")).alias("c"),
         )
         if order_pinned:
-            merged = contribs.groupBy("node").agg(
-                F.aggregate(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("src"), F.col("c")))
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x["c"],
-                ).alias("m")
+            # src-ascending left fold per node, as a running-sum window:
+            # an UnboundedPreceding sum frame accumulates row-by-row in
+            # sort order — the same IEEE add sequence as the previous
+            # sorted-struct aggregate() fold, but through the JVM window
+            # processor instead of an interpreted per-element lambda
+            # (ArrayAggregate is CodegenFallback). The trailing + 0.0
+            # reproduces the fold's 0.0 seed exactly (it differs only in
+            # the sign of an all-zero sum, which the seed normalizes).
+            w = (
+                Window.partitionBy("node")
+                .orderBy("src")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            merged = (
+                contribs.withColumn("run", F.sum("c").over(w))
+                .groupBy("node")
+                .agg((F.max_by(F.col("run"), F.col("src")) + F.lit(0.0)).alias("m"))
             )
         else:
             merged = contribs.groupBy("node").agg(F.sum("c").alias("m"))
@@ -251,6 +293,7 @@ def pagerank(
         if (i + 1) % 3 == 0:
             ranks = ranks.localCheckpoint(eager=True)
     links.unpersist()
+    outdeg.unpersist()
     return ranks
 
 
@@ -272,7 +315,7 @@ def kcore(edges: DataFrame, k: int, max_iterations: int = 50) -> DataFrame:
     directed = edges.select(
         F.col("u").alias("src"), F.col("v").alias("dst")
     ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
-    live = directed.localCheckpoint(eager=True)
+    live = _ckpt(directed)
     for i in range(max_iterations):
         deg = live.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
         weak = deg.filter(F.col("d") < k).select("src").persist()
@@ -291,7 +334,7 @@ def kcore(edges: DataFrame, k: int, max_iterations: int = 50) -> DataFrame:
             )
         )
         if (i + 1) % 3 == 0:
-            live = live.localCheckpoint(eager=True)
+            live = _ckpt(live)
         weak.unpersist()
     raise RuntimeError(
         f"k-core peeling did not converge in {max_iterations} rounds"

@@ -23,7 +23,19 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from projectdatalake_spark.functions.scalar import vec_dot
+from projectdatalake_spark.functions.scalar import vec_dot, vec_dots_literal
+
+
+def _py_fold_norm(c: list) -> float:
+    """sqrt of the left-fold self-dot of a Python float vector — the exact
+    IEEE double sequence the Catalyst fold sqrt(0.0 + c0*c0 + c1*c1 + ...)
+    produces, so literal centers can carry their norm as ONE constant."""
+    import math
+
+    acc = 0.0
+    for x in c:
+        acc = acc + x * x
+    return math.sqrt(acc)
 
 
 def cosine_pairs(
@@ -1080,25 +1092,38 @@ def semantic_dedup_seeded(
         .collect()
     )
     centers = [[float(x) for x in r[vec_col]] for r in seeds]
-    c_lits = [F.array(*[F.lit(x) for x in c]) for c in centers]
+    dim = len(centers[0]) if centers else 0
     v = F.col(vec_col).cast("array<double>")
+    # center self-norms are constants: fold them in Python (same IEEE op
+    # order as the Catalyst fold — 0.0 + c0*c0 + c1*c1 ... then sqrt —
+    # so the scores are bitwise unchanged) instead of re-evaluating an
+    # interpreted 64-element fold per ROW per center
+    c_norms = [_py_fold_norm(c) for c in centers]
+    dots = vec_dots_literal(v, centers)
     scores = F.array(
         *[
             F.struct(
-                (vec_dot(v, c) / F.sqrt(vec_dot(c, c))).alias("s"),
+                (dots[i] / F.lit(c_norms[i])).alias("s"),
                 F.lit(-i).alias("neg"),
                 F.lit(i).alias("cell"),
             )
-            for i, c in enumerate(c_lits)
+            for i in range(len(centers))
         ]
     )
     top_cells = F.transform(
         F.slice(F.array_sort(scores), -n_assign, n_assign),
         lambda x: x["cell"],
     )
-    assigned = embeddings.select(
+    # the 1-file embeddings scan would otherwise single-task the whole
+    # cell-confined pair join below (the dominant stage of this query —
+    # OPTIMIZATION_r12.md §2); spread it the way cosine_pairs does
+    emb_slim = embeddings.select(F.col(id_col), F.col(vec_col))
+    target = embeddings.sparkSession.sparkContext.defaultParallelism
+    if emb_slim.rdd.getNumPartitions() < target:
+        emb_slim = emb_slim.repartition(target)
+    assigned = emb_slim.select(
         F.col(id_col), v.alias("__v"), F.explode(top_cells).alias("cell")
-    ).withColumn("__norm", F.sqrt(vec_dot(F.col("__v"), F.col("__v"))))
+    ).withColumn("__norm", F.sqrt(vec_dot(F.col("__v"), F.col("__v"), dim=dim)))
     left = assigned.select(
         F.col(id_col).alias("id_a"), F.col("__v").alias("v_a"),
         F.col("__norm").alias("norm_a"), "cell",

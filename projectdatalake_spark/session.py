@@ -36,6 +36,12 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Push MIN/MAX/COUNT aggregates into the parquet footer scan.
     "spark.sql.parquet.aggregatePushdown": "true",
+    # PySpark 4's per-call user-frame capture (error enrichment) walks the
+    # Python stack on EVERY DataFrame API call — pure driver-side overhead
+    # (~0.3-0.5 s per lifecycle query of inspect.currentframe chains,
+    # measured via cProfile in OPTIMIZATION_r12.md §1). Error messages
+    # lose the user line number, nothing else.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
 
 
@@ -53,6 +59,15 @@ def prepare(spark: SparkSession) -> SparkSession:
             spark.conf.set(key, value)
         except Exception:  # pragma: no cover - static conf on some builds
             pass
+    # pyspark caches the dataFrameDebugging flag module-globally on first
+    # use; a driver-owned session may have primed it True before handing
+    # us the session, so sync the cache with the conf we just set.
+    try:  # pragma: no cover - private attr may move between releases
+        from pyspark.errors import utils as _errors_utils
+
+        _errors_utils._enable_debugging_cache = False
+    except Exception:
+        pass
     try:
         if spark.conf.get("spark.sql.shuffle.partitions") == "200":
             spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
