@@ -25,25 +25,48 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+def _bucket_rank(dbl: Column, bounds: list[float], lo: int, hi: int) -> Column:
+    """rank(v) = |{b in bounds : b <= v}| as a BALANCED when-tree — a
+    binary search in log2(len) codegen'd comparisons. The previous form,
+    size(filter(literal_array, b -> b <= v)), is a CodegenFallback
+    higher-order function: ~255 interpreted element evaluations per row
+    per clustering column, ON THE FULL WRITE PATH of every Z-order/
+    Hilbert rewrite (and twice — range-partition sampling re-evaluates
+    it). Spark orders NaN above every value in comparisons, so NaN lands
+    in the top bin on both forms; NULL is handled by the caller."""
+    if lo >= hi:
+        return F.lit(lo)
+    mid = (lo + hi) // 2
+    return (
+        F.when(dbl < F.lit(float(bounds[mid])), _bucket_rank(dbl, bounds, lo, mid))
+        .otherwise(_bucket_rank(dbl, bounds, mid + 1, hi))
+    )
+
+
 def quantile_ranks(
     df: DataFrame, cols: tuple[str, ...], bits: int = 8
 ) -> list[Column]:
-    """Per-column quantile bin rank in [0, 2^bits): one approxQuantile
-    driver pass per column (no global sort), NULLs → bin 0."""
+    """Per-column quantile bin rank in [0, 2^bits): ONE approxQuantile
+    driver pass for ALL columns (was one full scan per column), NULLs →
+    bin 0."""
     n_bins = (1 << bits) - 1
     probs = [i / n_bins for i in range(1, n_bins)]
+    names = [f"__q_{i}" for i in range(len(cols))]
+    qs_all = df.select(
+        *[F.col(c).cast("double").alias(n) for c, n in zip(cols, names)]
+    ).approxQuantile(names, probs, 0.01)
     rank_cols = []
-    for c in cols:
+    for c, qs in zip(cols, qs_all):
         dbl = F.col(c).cast("double")
-        qs = df.select(dbl.alias("v")).na.drop().approxQuantile("v", probs, 0.01)
         # strictly increasing boundary list (ties collapse bins)
         bounds = sorted(set(qs))
         if not bounds:  # empty / all-NULL column: single bin
             rank_cols.append(F.lit(0).cast("bigint"))
             continue
-        blit = F.array(*[F.lit(float(b)) for b in bounds])
-        rank = F.size(F.filter(blit, lambda b: b <= dbl))
-        rank_cols.append(F.coalesce(rank, F.lit(0)).cast("bigint"))
+        rank = _bucket_rank(dbl, bounds, 0, len(bounds))
+        rank_cols.append(
+            F.when(dbl.isNull(), F.lit(0)).otherwise(rank).cast("bigint")
+        )
     return rank_cols
 
 

@@ -1327,15 +1327,24 @@ def power_iteration_top_component(
             (F.col("a.x") * F.col("b.x")).alias("p"),
         )
     )
+    # k-ascending left fold per (i, j) cell as a running-sum window — an
+    # UnboundedPreceding frame accumulates row-by-row in sort order, the
+    # same IEEE add sequence as the previous collect_list → array_sort →
+    # aggregate() fold (which is CodegenFallback: interpreted per element,
+    # plus an n-row struct array per cell). The trailing + 0.0 reproduces
+    # the fold's 0.0 seed (differs only in the sign of an all-zero sum).
+    # Same transform as graph.pagerank's order-pinned fold this round.
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("i", "j")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     m_rows = (
-        prods.groupBy("i", "j")
-        .agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("k", "p"))),
-                F.lit(0.0),
-                lambda acc, t: acc + t["p"],
-            ).alias("val")
-        )
+        prods.withColumn("run", F.sum("p").over(w))
+        .groupBy("i", "j")
+        .agg((F.max_by(F.col("run"), F.col("k")) + F.lit(0.0)).alias("val"))
         .collect()
     )
     d = 1 + max(r.i for r in m_rows)
