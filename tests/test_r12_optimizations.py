@@ -1,0 +1,123 @@
+"""Round-12 optimization equivalence gates.
+
+Each optimization this round replaced an interpreted expression with a
+codegen-friendly form that must be BITWISE identical (the oracle hash gate
+tolerates zero drift). These tests pin the equivalences directly, so a
+future change to the fast paths cannot silently diverge from the folds
+they replaced:
+
+1. unrolled vec_dot(dim=d) / vec_dots_literal  ==  the zip_with+aggregate
+   left fold, on the real embeddings corpus (incl. the null-gate contract);
+2. the running-sum-window fold (pagerank / pca M-assembly transform)  ==
+   the sorted-struct aggregate() left fold, per group;
+3. the _bucket_rank binary-search when-tree  ==  size(filter(bounds <= v)),
+   over nulls, NaN, infinities, exact boundary hits and random values.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Window, functions as F
+
+from projectdatalake_spark.functions.clustering import _bucket_rank
+from projectdatalake_spark.functions.scalar import (
+    _vec_dot_fold,
+    vec_dot,
+    vec_dots_literal,
+)
+
+
+def test_vec_dot_unrolled_matches_fold_bitwise(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").head()[0])
+    a = emb.select((F.col("vec_id") % 10).alias("k"), F.col("embedding").alias("ea"))
+    b = emb.select((F.col("vec_id") % 10).alias("k"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, "k")
+    va, vb = F.col("ea").cast("array<double>"), F.col("eb").cast("array<double>")
+    bad = pairs.select(
+        _vec_dot_fold(va, vb).alias("fold"),
+        vec_dot(F.col("ea"), F.col("eb"), dim=dim).alias("unrolled"),
+    ).filter("fold <> unrolled OR (fold IS NULL) <> (unrolled IS NULL)")
+    assert bad.count() == 0
+
+
+def test_vec_dots_literal_matches_fold_bitwise(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centers = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(4).collect()
+    ]
+    v = F.col("embedding").cast("array<double>")
+    dots = vec_dots_literal(v, centers)
+    folds = [
+        _vec_dot_fold(v, F.array(*[F.lit(float(x)) for x in c])) for c in centers
+    ]
+    cond = " OR ".join(f"d{i} <> f{i}" for i in range(len(centers)))
+    bad = emb.select(
+        *[d.alias(f"d{i}") for i, d in enumerate(dots)],
+        *[f.alias(f"f{i}") for i, f in enumerate(folds)],
+    ).filter(cond)
+    assert bad.count() == 0
+
+
+def test_window_running_sum_matches_sorted_struct_fold(spark):
+    # adversarial doubles: wildly mixed magnitudes so any re-association
+    # of the adds WOULD change the result — the window must not re-associate
+    random.seed(12)
+    rows = []
+    for g in range(40):
+        for k in range(50):
+            rows.append((g, k, random.uniform(-1, 1) * 10 ** random.randint(-12, 12)))
+    df = spark.createDataFrame(rows, "g int, k int, p double")
+    folded = df.groupBy("g").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("k", "p"))),
+            F.lit(0.0),
+            lambda acc, t: acc + t["p"],
+        ).alias("m")
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    windowed = (
+        df.withColumn("run", F.sum("p").over(w))
+        .groupBy("g")
+        .agg((F.max_by(F.col("run"), F.col("k")) + F.lit(0.0)).alias("m"))
+    )
+    a = {r["g"]: r["m"] for r in folded.collect()}
+    b = {r["g"]: r["m"] for r in windowed.collect()}
+    assert a.keys() == b.keys()
+    for g in a:
+        # bitwise: repr distinguishes every double incl. -0.0
+        assert repr(a[g]) == repr(b[g]), (g, a[g], b[g])
+
+
+def test_bucket_rank_matches_hof_filter(spark):
+    random.seed(7)
+    bounds = sorted({round(random.uniform(-100, 100), 3) for _ in range(255)})
+    vals = (
+        [None, float("nan"), float("inf"), float("-inf"), -1e308, 1e308, 0.0, -0.0]
+        + bounds[:40]
+        + [b + 1e-9 for b in bounds[:20]]
+        + [random.uniform(-150, 150) for _ in range(2000)]
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    dbl = F.col("v").cast("double")
+    blit = F.array(*[F.lit(float(b)) for b in bounds])
+    old = F.coalesce(
+        F.size(F.filter(blit, lambda b: b <= dbl)), F.lit(0)
+    ).cast("bigint")
+    new = (
+        F.when(dbl.isNull(), F.lit(0))
+        .otherwise(_bucket_rank(dbl, bounds, 0, len(bounds)))
+        .cast("bigint")
+    )
+    bad = df.select(old.alias("o"), new.alias("n")).filter(
+        "o <> n OR (o IS NULL) <> (n IS NULL)"
+    )
+    assert bad.count() == 0
+    assert math.isfinite(float(len(bounds)))  # sanity: bounds non-degenerate
