@@ -37,7 +37,6 @@ def main() -> None:
     for r in range(reps):
         sc = spark.sparkContext
         t0 = time.perf_counter()
-        first_job = sc._jsc.sc().dagScheduler().nextJobId().get() if False else None
         sc.setJobDescription(f"{name} rep{r}")
         t_build0 = time.perf_counter()
         df = fn(spark, sf_dir)
