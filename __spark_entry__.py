@@ -354,6 +354,35 @@ _R11_DRIVER_VERIFIED = frozenset(
     }
 )
 
+# Hash-green in CORRECTNESS_r12.json (50/50 fully green, zero err) —
+# the 4 round-12 registrations front-ranked plus 46 stalest-proof
+# rotations (r4/r5-vintage: the delta/iceberg lifecycle core).
+_R12_DRIVER_VERIFIED = frozenset(
+    {
+        "agg_corr_stats", "agg_histogram_bins", "agg_winsorized_stats",
+        "ann_topk_ivfpq_seeded", "dedup_containment_pairs",
+        "dedup_incremental_exact", "delta_cdf_changes",
+        "delta_check_constraint", "delta_checkpoint_read",
+        "delta_convert_in_place", "delta_delete_dv",
+        "delta_foreign_partition_mapping", "delta_mapped_schema_merge",
+        "delta_optimize_lifecycle", "delta_rename_mapping",
+        "delta_roundtrip", "delta_schema_merge", "delta_stream_cdf",
+        "delta_time_travel", "delta_txlog_export", "delta_vacuum_lifecycle",
+        "format_convert_loop", "iceberg_bucket_transform",
+        "iceberg_compaction", "iceberg_dynamic_overwrite",
+        "iceberg_equality_delete", "iceberg_expire_lifecycle",
+        "iceberg_lineage_identity_partitioned", "iceberg_month_transform",
+        "iceberg_partition_pruning", "iceberg_position_delete",
+        "iceberg_rollback", "iceberg_roundtrip", "iceberg_schema_evolution",
+        "iceberg_spec_evolution", "iceberg_stats_skipping",
+        "iceberg_stream_cdf", "iceberg_stream_sink", "iceberg_time_travel",
+        "iceberg_wap_publish", "mm_audio_meta", "range_join_bucketed",
+        "stratified_split_exact", "text_heavy_hitters",
+        "text_kl_divergence", "tpch_q13_custdist", "tpch_q15_top_supplier",
+        "tpch_q17_small_qty", "tpch_q6_forecast", "udtf_chunk_windows",
+    }
+)
+
 _VERIFIED_BY_ROUND = (
     _R1_DRIVER_VERIFIED,
     _R2_DRIVER_VERIFIED,
@@ -366,6 +395,7 @@ _VERIFIED_BY_ROUND = (
     _R9_DRIVER_VERIFIED,
     _R10_DRIVER_VERIFIED,
     _R11_DRIVER_VERIFIED,
+    _R12_DRIVER_VERIFIED,
 )
 
 _DRIVER_VERIFIED = frozenset().union(*_VERIFIED_BY_ROUND)

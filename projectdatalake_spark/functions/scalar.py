@@ -117,6 +117,11 @@ def vec_dots_literal(a: Column, centers: list[list[float]]) -> list[Column]:
     if not centers:
         return []
     d = len(centers[0])
+    if not all(len(c) == d for c in centers):
+        raise ValueError(
+            "vec_dots_literal: all centers must share one dimension "
+            f"(got lengths {sorted({len(c) for c in centers})})"
+        )
     ad = a.cast("array<double>")
     gets = [F.get(ad, i) for i in range(d)]
     size_ok = F.size(ad) == d

@@ -210,6 +210,19 @@ def pagerank(
     distributed shape; the default F.sum form stays the production path
     (map-side partials, no per-node arrays).
 
+    SIMPLE-GRAPH CONTRACT (order_pinned only): ``edges`` must carry no
+    duplicate (u, v) rows. The running-sum fold resolves each node's
+    total as ``max_by(run, src)``, which is only well-defined when src
+    is unique per node — a multi-edge would make the pick among tied
+    src rows unspecified and the intra-tie add order diverge from the
+    sorted-struct fold. Deliberately NOT enforced with a distinct here
+    (it would add a full edge shuffle per call to pay for input this
+    operator's callers already guarantee — copurchase_edges ends in
+    .distinct()); callers with possibly-multi-edge input must
+    de-duplicate first or use order_pinned=False, whose F.sum is
+    order-free. The uniqueness contract is pinned in
+    tests/test_r12_optimizations.py.
+
     Accuracy gate: tests/test_accuracy_gates.py::test_pagerank_matches_
     power_iteration (exact-formula numpy reference).
     """

@@ -1334,6 +1334,11 @@ def power_iteration_top_component(
     # plus an n-row struct array per cell). The trailing + 0.0 reproduces
     # the fold's 0.0 seed (differs only in the sign of an all-zero sum).
     # Same transform as graph.pagerank's order-pinned fold this round.
+    # UNIQUE-KEY CONTRACT: max_by(run, k) equals the sorted fold only
+    # because k is unique within each (i, j) group — guaranteed here by
+    # construction (posexplode emits one (k, i) row per vector element,
+    # so the self-join yields exactly one (k, i, j) row per cell).
+    # Pinned in tests/test_r12_optimizations.py.
     from pyspark.sql import Window
 
     w = (

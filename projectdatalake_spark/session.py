@@ -61,11 +61,18 @@ def prepare(spark: SparkSession) -> SparkSession:
             pass
     # pyspark caches the dataFrameDebugging flag module-globally on first
     # use; a driver-owned session may have primed it True before handing
-    # us the session, so sync the cache with the conf we just set.
+    # us the session, so sync the cache with the conf we just set — but
+    # ONLY after reading the conf back as 'false' (ADVICE r12: never force
+    # the process-wide private cache off when the conf.set above failed or
+    # a co-hosted session legitimately runs with debugging on).
     try:  # pragma: no cover - private attr may move between releases
-        from pyspark.errors import utils as _errors_utils
+        if (
+            spark.conf.get("spark.python.sql.dataFrameDebugging.enabled")
+            == "false"
+        ):
+            from pyspark.errors import utils as _errors_utils
 
-        _errors_utils._enable_debugging_cache = False
+            _errors_utils._enable_debugging_cache = False
     except Exception:
         pass
     try:

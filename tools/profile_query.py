@@ -47,13 +47,15 @@ def main() -> None:
         print(f"\n=== rep {r}: wall {wall:.3f}s (df-build {t_build:.3f}s)")
 
     app_id = spark.sparkContext.applicationId
-    base = f"http://localhost:4099/api/v1/applications/{app_id}"
+    # uiWebUrl reflects the port Spark actually bound (4099 may have been
+    # taken, in which case Spark binds 4100+ — ADVICE r12)
+    ui = spark.sparkContext.uiWebUrl or "http://localhost:4099"
+    base = f"{ui}/api/v1/applications/{app_id}"
     jobs = json.load(urllib.request.urlopen(f"{base}/jobs"))
     jobs.sort(key=lambda j: j["jobId"])
     tot = 0.0
     print(f"{'job':>4} {'sec':>8}  {'stages':>6}  {'tasks':>6}  name")
     for j in jobs:
-        dur = (j.get("numCompletedTasks", 0), )
         from datetime import datetime
         st = datetime.strptime(j["submissionTime"], "%Y-%m-%dT%H:%M:%S.%fGMT")
         en = datetime.strptime(j["completionTime"], "%Y-%m-%dT%H:%M:%S.%fGMT")
