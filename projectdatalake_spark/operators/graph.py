@@ -23,23 +23,16 @@ Two rungs, the engine's usual ladder shape:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.storagelevel import StorageLevel
 
 
-def _ckpt(df: DataFrame) -> DataFrame:
-    """Eager lineage-truncating checkpoint in SERIALIZED storage.
-
-    Used by the k-core peel loop ONLY: its live edge table is re-read
-    every round (peel depth ~15 rounds at sf0.1), and the default
-    deserialized store costs ~137 B/row for a 16-byte (src, dst) edge —
-    a 191 MB blob re-read per round for a 22 MB edge set (profile in
-    OPTIMIZATION_r12.md §3). Serialized storage trades one encode at
-    checkpoint time for a ~6x smaller read every round; measured NET
-    LOSS for the one-shot consumers (triangles, BFS), which keep the
-    default deserialized checkpoint."""
-    return df.localCheckpoint(
-        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
-    )
+# r13 NOTE: the r12 serialized-storage checkpoint experiment for the
+# k-core loop was REVERTED after the clean-host A/B the r12 verdict asked
+# for (#4): on identical inputs, serialized MEMORY_AND_DISK read 17.9 s vs
+# 11.0 s for the default deserialized store (every-3 cadence, same rows).
+# The decode-per-read cost outweighed the smaller blob at every cadence
+# measured; k-core now checkpoints EVERY round (see kcore) in default
+# storage, which removes lineage recompute entirely (8.6 s in the same
+# A/B session — tools/ab evidence in OPTIMIZATION_r13.md §graph_kcore).
 
 # Cap on the per-node sorted fold array the order-pinned pagerank proof
 # rung materializes (one struct per incoming contribution): ~100k structs
@@ -320,15 +313,19 @@ def kcore(edges: DataFrame, k: int, max_iterations: int = 50) -> DataFrame:
 
     Scale shape: each round is one degree aggregate + two semi joins on
     the node key (the weak set is usually tiny after round 1 and
-    broadcasts); lineage truncates with an eager localCheckpoint every
-    third round, the CC/PageRank loop guard. Rounds needed = the
-    graph's degeneracy peel depth, not its size; ``max_iterations``
+    broadcasts); the live edge set checkpoints EVERY round (r13: the
+    measured optimum — each round's degree scan and the next round's
+    anti-joins then read materialized partitions instead of re-running
+    up to N rounds of anti-join lineage; every-3 cadence measured 1.7x
+    slower, every-5 3x slower, serialized storage slower at every
+    cadence — see OPTIMIZATION_r13.md §graph_kcore). Rounds needed =
+    the graph's degeneracy peel depth, not its size; ``max_iterations``
     bounds pathological chains. Exactness vs naive peeling is gated in
     tests/test_accuracy_gates.py."""
     directed = edges.select(
         F.col("u").alias("src"), F.col("v").alias("dst")
     ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
-    live = _ckpt(directed)
+    live = directed.localCheckpoint(eager=True)
     for i in range(max_iterations):
         deg = live.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
         weak = deg.filter(F.col("d") < k).select("src").persist()
@@ -345,9 +342,8 @@ def kcore(edges: DataFrame, k: int, max_iterations: int = 50) -> DataFrame:
                 "dst",
                 "left_anti",
             )
+            .localCheckpoint(eager=True)
         )
-        if (i + 1) % 3 == 0:
-            live = _ckpt(live)
         weak.unpersist()
     raise RuntimeError(
         f"k-core peeling did not converge in {max_iterations} rounds"

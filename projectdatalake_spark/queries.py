@@ -13887,17 +13887,32 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: degree aggregates partial map-side; the weak set shrinks
     geometrically after round one and broadcasts. The loop's driver
     involvement is one scalar count per round."""
+    from pyspark.sql import Window
+
     from projectdatalake_spark.operators import graph as G
 
     li = _t(spark, sf_dir, "lineitem")
-    edges = G.copurchase_edges(li)
+    # r13: the co-purchase pipeline (lineitem self-join + distinct) ran
+    # THREE times — the n probe, the k probe, and kcore's own directed
+    # build; checkpoint it once (the r12 pagerank fix, guide §1.2) and
+    # derive n AND the exact 5th-percentile degree in ONE job (the rank
+    # window runs over the tiny per-node degree table)
+    edges = G.copurchase_edges(li).localCheckpoint(eager=True)
     directed = edges.select(F.col("u").alias("src")).unionAll(
         edges.select(F.col("v").alias("src"))
     )
     degs = directed.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    n = degs.count()
-    rank = int(0.05 * n) + 1
-    k = int(degs.orderBy("d", "src").limit(rank).collect()[-1]["d"])
+    w = Window.orderBy("d", "src")
+    probe = (
+        degs.select(
+            "d",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        )
+        .filter(F.col("rn") == F.floor(0.05 * F.col("n")).cast("long") + 1)
+        .collect()[0]
+    )
+    k = int(probe["d"])
     return G.kcore(edges, k=k, max_iterations=_KCORE_UNROLL).orderBy("node")
 
 
@@ -15447,19 +15462,22 @@ def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: rows reduce to the DAY grain first (one shuffle); the
     O(days²) pair space (~3M at 7 years) is a self-join on the tiny
-    aggregated frame, embarrassingly parallel; the single global median
-    window runs on the pair grain — CALENDAR-bounded (distinct days²,
-    invariant to row volume: 100 TB of orders over the same 7 years
-    still yields ~2.9M pairs), the documented bounded-grain exception.
-    The bound is GUARDED, not hoped: past ``_TS_MAX_DAYS`` days (≈13M
-    pairs at 10 years, where the single-partition median window becomes
-    the pinch) the query refuses loudly with the fix (pre-filter the
-    window, or rebuild the median as a two-pass bucketed selection —
-    the rolling_with_halo trick) instead of silently single-threading
-    a multi-decade backfill."""
+    aggregated frame, embarrassingly parallel; the median is a TWO-PASS
+    BUCKETED RANK SELECTION (r13: replaces the single-partition global
+    window the r12 verdict flagged) — pass 1 buckets every slope by
+    value (width_bucket over the observed range, a parallel aggregate),
+    the driver walks the tiny bucket histogram to the bucket holding
+    global rank (n+1)//2, pass 2 ranks ONLY that bucket's ~n/2048 rows.
+    Selection by rank over value-contiguous buckets is exactly the
+    global (slope, d1, d2) order, so the picked slope is unchanged.
+    The pair space stays CALENDAR-bounded (distinct days², invariant to
+    row volume) and GUARDED: past ``_TS_MAX_DAYS`` days the O(days²)
+    pair materialization itself is the pinch and the query refuses
+    loudly instead of silently exploding a multi-decade backfill."""
     from pyspark.sql import Window
 
     _TS_MAX_DAYS = 3700  # ~10 years of daily grain ⇒ ~6.8M pairs
+    _TS_BUCKETS = 2048
 
     o = _t(spark, sf_dir, "orders")
     daily = o.groupBy(
@@ -15469,10 +15487,9 @@ def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n_days > _TS_MAX_DAYS:
         raise ValueError(
             f"ts_theil_sen_trend: {n_days} distinct days > {_TS_MAX_DAYS} "
-            f"— the global median window would single-partition "
-            f"~{n_days * (n_days - 1) // 2:,} slope pairs; restrict the "
-            "date range, or switch the median to a two-pass bucketed "
-            "rank selection before raising the cap"
+            f"— materializing ~{n_days * (n_days - 1) // 2:,} slope pairs "
+            "is past the O(days²) budget; restrict the date range before "
+            "raising the cap"
         )
     a = daily.select(F.col("d").alias("d1"), F.col("c").alias("c1"))
     b = daily.select(F.col("d").alias("d2"), F.col("c").alias("c2"))
@@ -15485,20 +15502,43 @@ def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("slope"),
             "d1", "d2",
         )
+        # pair table computed ONCE, read by both selection passes
+        .localCheckpoint(eager=True)
     )
+    rng = slopes.agg(
+        F.min("slope").alias("lo"), F.max("slope").alias("hi")
+    ).collect()[0]
+    lo, hi = rng["lo"], rng["hi"]
+    if lo is None or lo == hi:
+        # 0/1 distinct slope value: the median IS that value
+        n = slopes.count()
+        return spark.range(1).select(
+            F.lit(n).cast("long").alias("n_pairs"),
+            F.round(F.lit(lo).cast("double"), 9).alias("sen_slope"),
+        )
+    bucket = F.width_bucket(F.col("slope"), F.lit(lo), F.lit(hi), F.lit(_TS_BUCKETS))
+    hist = {
+        r["b"]: r["cnt"]
+        for r in slopes.groupBy(bucket.alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    n = sum(hist.values())
+    k = (n + 1) // 2
+    cum = 0
+    for target in sorted(hist):
+        if cum + hist[target] >= k:
+            break
+        cum += hist[target]
     w = Window.orderBy("slope", "d1", "d2")
-    ranked = slopes.select(
-        "slope",
-        F.row_number().over(w).alias("r"),
-        F.count(F.lit(1)).over(
-            Window.partitionBy()
-        ).alias("n"),
-    )
-    return ranked.filter(
-        F.col("r") == F.floor((F.col("n") + 1) / 2)
-    ).select(
-        F.col("n").cast("long").alias("n_pairs"),
-        F.round("slope", 9).alias("sen_slope"),
+    return (
+        slopes.filter(bucket == target)
+        .select("slope", F.row_number().over(w).alias("r"))
+        .filter(F.col("r") == k - cum)
+        .select(
+            F.lit(n).cast("long").alias("n_pairs"),
+            F.round("slope", 9).alias("sen_slope"),
+        )
     )
 
 

@@ -1741,22 +1741,91 @@ class DeltaTable:
 
     def _attach_stats(self, adds: list[dict], pcols: set) -> None:
         """Delta-format per-file stats (numRecords / minValues / maxValues /
-        nullCount) in one grouped aggregation over input_file_name — never a
-        per-file job (the write-time-stats pattern shared with txlog.py).
-        Columns opted in via ``bloom_by`` additionally get a per-file bloom
-        filter hex in add.tags (txlog's bit layout, see _BLOOM_TAG_PREFIX)."""
+        nullCount). Derived from the parquet FOOTERS instead of a full
+        Spark re-read of the data just written (guide §6; OPTIMIZATION_r13
+        lever #1) — per-type bitwise exactness is probed and pinned in
+        sources/footer_stats.py + tests/test_footer_stats.py. Columns the
+        footer cannot reproduce exactly (INT96 ltz timestamps, unexpected
+        missing stats) and every ``bloom_by`` column (per-file bloom hex in
+        add.tags needs Spark-xxhash64 parity, txlog's bit layout) run
+        through the original Spark aggregate RESTRICTED to those columns."""
         if not adds:
             return
+        from . import footer_stats as _fs
+
+        add_paths = [
+            _atomic.strip_file_scheme(self._abs_data_path(a["path"]))
+            for a in adds
+        ]
+        schema = _fs.arrow_schema_of(add_paths[0])
+        # same filter the old read-back-schema walk applied
+        cols = [
+            fld.name
+            for fld in schema
+            if fld.name not in pcols
+            and _fs.spark_type_name(fld.type) in _SIMPLE_TYPES
+        ]
+        bloom_cols = [c for c in self._bloom_cols() if c in set(cols)]
+        per_file = _fs.footer_file_stats(
+            self.spark, add_paths, want_cols=cols, with_nulls=True
+        )
+        untrusted: list[str] = []
+        for st in per_file.values():
+            untrusted += [c for c in st["untrusted"] if c not in untrusted]
+        spark_by_path, spark_blooms = (
+            self._attach_stats_spark(adds, untrusted, bloom_cols)
+            if untrusted or bloom_cols
+            else ({}, {})
+        )
+        for a, p in zip(adds, add_paths):
+            st = per_file.get(p)
+            if st is None or st["nrec"] == 0:
+                continue  # empty file: the old read-back attached nothing
+            fallback = spark_by_path.get(p) or {}
+            stats = {
+                "numRecords": st["nrec"],
+                "minValues": {},
+                "maxValues": {},
+                "nullCount": {},
+            }
+            for c in cols:
+                if c in st["untrusted"]:
+                    fb = fallback.get(c)
+                    if fb is None:
+                        continue
+                    mn, mx, nulls = fb
+                    if mn is not None:
+                        stats["minValues"][c] = _stats_scalar(mn)
+                    if mx is not None:
+                        stats["maxValues"][c] = _stats_scalar(mx)
+                    stats["nullCount"][c] = nulls
+                    continue
+                mn, mx = st["min"].get(c), st["max"].get(c)
+                if mn is not None:
+                    stats["minValues"][c] = _stats_scalar(mn)
+                if mx is not None:
+                    stats["maxValues"][c] = _stats_scalar(mx)
+                stats["nullCount"][c] = st["nulls"].get(c, 0)
+            a["stats"] = json.dumps(stats, separators=(",", ":"))
+            blooms = spark_blooms.get(p)
+            if blooms:
+                a.setdefault("tags", {}).update(
+                    {f"{_BLOOM_TAG_PREFIX}{c}": h for c, h in blooms.items()}
+                )
+
+    def _attach_stats_spark(
+        self, adds: list[dict], cols: list[str], bloom_cols: list[str]
+    ) -> tuple[dict, dict]:
+        """The original one-Spark-pass grouped stats aggregate, now the
+        RESTRICTED fallback for footer-untrusted and bloom columns.
+        Returns ({path: {col: (min, max, nulls)}}, {path: {col: hex}})."""
         from .txlog import _BLOOM_M, _BLOOM_SEEDS
 
         paths = [self._abs_data_path(a["path"]) for a in adds]
         df = self.spark.read.option("basePath", self.root).parquet(*paths)
-        cols = [
-            f.name
-            for f in df.schema.fields
-            if f.name not in pcols and f.dataType.typeName() in _SIMPLE_TYPES
-        ]
-        bloom_cols = [c for c in self._bloom_cols() if c in set(cols)]
+        present = set(df.columns)
+        cols = [c for c in cols if c in present]
+        bloom_cols = [c for c in bloom_cols if c in present]
         aggs = [F.count(F.lit(1)).alias("__n")]
         for c in cols:
             aggs.append(F.min(c).alias(f"min__{c}"))
@@ -1783,25 +1852,15 @@ class DeltaTable:
         # partition values would never match raw listing paths — stats
         # silently lost for e.g. 'priority=4-NOT SPECIFIED' dirs); the
         # filesystem side gets a plain scheme strip, never a decode
-        by_path = {}
+        by_path: dict[str, dict] = {}
         blooms_by_path: dict[str, dict] = {}
         for r in rows:
             d = r.asDict()
             fpath = _atomic.uri_to_path(d.pop("__file"))
-            stats = {
-                "numRecords": d["__n"],
-                "minValues": {},
-                "maxValues": {},
-                "nullCount": {},
+            by_path[fpath] = {
+                c: (d[f"min__{c}"], d[f"max__{c}"], d[f"nulls__{c}"] or 0)
+                for c in cols
             }
-            for c in cols:
-                mn, mx = d[f"min__{c}"], d[f"max__{c}"]
-                if mn is not None:
-                    stats["minValues"][c] = _stats_scalar(mn)
-                if mx is not None:
-                    stats["maxValues"][c] = _stats_scalar(mx)
-                stats["nullCount"][c] = d[f"nulls__{c}"] or 0
-            by_path[fpath] = stats
             blooms = {}
             for c in bloom_cols:
                 bits = 0
@@ -1811,15 +1870,7 @@ class DeltaTable:
                 if bits:
                     blooms[c] = f"{bits:x}"
             blooms_by_path[fpath] = blooms
-        for a in adds:
-            abs_p = _atomic.strip_file_scheme(self._abs_data_path(a["path"]))
-            if abs_p in by_path:
-                a["stats"] = json.dumps(by_path[abs_p], separators=(",", ":"))
-            blooms = blooms_by_path.get(abs_p)
-            if blooms:
-                a.setdefault("tags", {}).update(
-                    {f"{_BLOOM_TAG_PREFIX}{c}": h for c, h in blooms.items()}
-                )
+        return by_path, blooms_by_path
 
     def _ict_prev(self, version: int) -> tuple[bool, int | None]:
         """(was ICT active at ``version - 1``, that commit's authoritative
@@ -3399,7 +3450,7 @@ class DeltaTable:
         existing domain config. Metadata-only commit."""
         import base64
 
-        from projectdatalake_spark.sources.puffin import column_theta_sketch
+        from projectdatalake_spark.sources.puffin import column_theta_sketches
 
         state = self._state()
         v_now = state["version"]
@@ -3410,7 +3461,11 @@ class DeltaTable:
         for col in columns:
             if col not in df.columns:
                 raise ValueError(f"unknown column {col!r}")
-            sk = column_theta_sketch(df, col, k)
+        # ONE pass over the snapshot builds every column's sketch
+        # (was one full scan per column — OPTIMIZATION_r13, guide §1.2)
+        sketches = column_theta_sketches(df, list(columns), k)
+        for col in columns:
+            sk = sketches[col]
             existing[col] = {
                 "ndv": int(round(sk.estimate())),
                 "sketch": base64.b64encode(sk.to_bytes()).decode("ascii"),

@@ -1359,11 +1359,17 @@ class IcebergTable:
             for f in s["fields"]
         }
         df = self.snapshot()
-        blobs = []
         for col in columns:
             if col not in field_ids:
                 raise ValueError(f"unknown column {col!r}")
-            sk = _column_theta_sketch(df, col, k)
+        from projectdatalake_spark.sources.puffin import column_theta_sketches
+
+        # ONE pass over the snapshot builds every column's sketch
+        # (was one full scan per column — OPTIMIZATION_r13, guide §1.2)
+        sketches = column_theta_sketches(df, list(columns), k)
+        blobs = []
+        for col in columns:
+            sk = sketches[col]
             blobs.append(
                 (
                     {
@@ -2466,32 +2472,63 @@ class IcebergTable:
             c for c in (bound_types or {}) if c not in pcols and c in df.columns
         ]
         if files:
-            aggs = [F.count(F.lit(1)).alias("__n")]
-            for c in bcols:
-                aggs.append(F.min(c).alias(f"min__{c}"))
-                aggs.append(F.max(c).alias(f"max__{c}"))
-            # read the stage DIRECTORY, not N explicit paths: an explicit
-            # path list is validated path-by-path on the driver (~60 ms
-            # each — 5+ s for an 80-file hive write), while the directory
-            # is one recursive listing; the stage dir contains exactly the
-            # files just written, so the scans are identical
-            rows = (
-                self.spark.read.option("basePath", stage_dir)
-                .parquet(stage_dir)
-                .withColumn("__file", F.input_file_name())
-                .groupBy("__file")
-                .agg(*aggs)
-                .collect()
+            # record counts + per-file bounds from the parquet FOOTERS of
+            # the files just staged — no second read of the data (guide
+            # §6; OPTIMIZATION_r13 lever #1). Per-type bitwise exactness
+            # is probed and pinned in sources/footer_stats.py +
+            # tests/test_footer_stats.py; columns the footer cannot
+            # reproduce exactly (INT96 ltz timestamps) fall back to the
+            # original Spark aggregate RESTRICTED to those columns.
+            from . import footer_stats as _fs
+
+            add_paths = [p for p, _sz in files]
+            per_file = _fs.footer_file_stats(
+                self.spark, add_paths, want_cols=bcols
             )
-            for r in rows:
-                d = r.asDict()
-                # decode the input_file_name URI: partition values with
-                # spaces arrive percent-encoded and would never match the
-                # raw listing paths (record_count 0, bounds lost)
-                key = _atomic.uri_to_path(d["__file"])
-                counts[key] = d["__n"]
-                bounds_by_file[key] = {
-                    c: (d[f"min__{c}"], d[f"max__{c}"]) for c in bcols
+            untrusted: list[str] = []
+            for st in per_file.values():
+                untrusted += [c for c in st["untrusted"] if c not in untrusted]
+            fb_bounds: dict[str, dict] = {}
+            if untrusted:
+                aggs = [F.count(F.lit(1)).alias("__n")]
+                for c in untrusted:
+                    aggs.append(F.min(c).alias(f"min__{c}"))
+                    aggs.append(F.max(c).alias(f"max__{c}"))
+                # read the stage DIRECTORY, not N explicit paths: an
+                # explicit path list is validated path-by-path on the
+                # driver (~60 ms each — 5+ s for an 80-file hive write),
+                # while the directory is one recursive listing; the stage
+                # dir contains exactly the files just written
+                rows = (
+                    self.spark.read.option("basePath", stage_dir)
+                    .parquet(stage_dir)
+                    .withColumn("__file", F.input_file_name())
+                    .groupBy("__file")
+                    .agg(*aggs)
+                    .collect()
+                )
+                for r in rows:
+                    d = r.asDict()
+                    # decode the input_file_name URI: partition values
+                    # with spaces arrive percent-encoded and would never
+                    # match the raw listing paths (bounds lost)
+                    key = _atomic.uri_to_path(d["__file"])
+                    fb_bounds[key] = {
+                        c: (d[f"min__{c}"], d[f"max__{c}"]) for c in untrusted
+                    }
+            for path in add_paths:
+                st = per_file.get(path)
+                if st is None:
+                    continue
+                counts[path] = st["nrec"]
+                fb = fb_bounds.get(path, {})
+                bounds_by_file[path] = {
+                    c: (
+                        fb.get(c, (None, None))
+                        if c in st["untrusted"]
+                        else (st["min"].get(c), st["max"].get(c))
+                    )
+                    for c in bcols
                 }
         out = []
         for path, size in files:

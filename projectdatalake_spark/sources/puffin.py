@@ -291,6 +291,68 @@ def column_theta_sketch(df, col: str, k: int) -> "ThetaSketch":
     return ThetaSketch(k, [r["h"] for r in top])
 
 
+def column_theta_sketches(df, cols: list[str], k: int) -> dict:
+    """Multi-column KMV/theta sketches in ONE pass: one mapInPandas over
+    ``df.select(cols)`` keeps a bounded per-column heap (the exact
+    algorithm of ``column_theta_sketch``), and one windowed per-column
+    top-(k+1) replaces N separate full scans — the write_stats batching
+    of OPTIMIZATION_r13 (guide §1.2: fewer passes). Per column the
+    retained hash set is IDENTICAL to the single-column builder (gated
+    in tests/test_r13_optimizations.py); returns {col: ThetaSketch}."""
+    import heapq
+
+    import pandas as pd
+    from pyspark.sql import Window, functions as F
+
+    cols = list(cols)
+    if not cols:
+        return {}
+
+    def partial(batches):
+        cap = k + 1
+        heaps: dict[str, list[int]] = {c: [] for c in cols}
+        members: dict[str, set[int]] = {c: set() for c in cols}
+        for pdf in batches:
+            for c in cols:
+                heap, mem = heaps[c], members[c]
+                for v in pdf[c].dropna().unique():
+                    if hasattr(v, "item") and not isinstance(v, (str, bytes)):
+                        v = v.item()
+                    h = theta_hash(v)
+                    if h in mem:
+                        continue
+                    if len(heap) < cap:
+                        heapq.heappush(heap, -h)
+                        mem.add(h)
+                    elif h < -heap[0]:
+                        evicted = -heapq.heappushpop(heap, -h)
+                        mem.discard(evicted)
+                        mem.add(h)
+        frames = [
+            pd.DataFrame(
+                {
+                    "c": pd.array([i] * len(members[c]), dtype="int32"),
+                    "h": pd.array(sorted(members[c]), dtype="int64"),
+                }
+            )
+            for i, c in enumerate(cols)
+        ]
+        yield pd.concat(frames)
+
+    partials = df.select(*cols).mapInPandas(partial, schema="c int, h long")
+    w = Window.partitionBy("c").orderBy("h")
+    top = (
+        partials.dropDuplicates(["c", "h"])
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k + 1)
+        .collect()
+    )
+    by_idx: dict[int, list[int]] = {i: [] for i in range(len(cols))}
+    for r in top:
+        by_idx[r["c"]].append(r["h"])
+    return {c: ThetaSketch(k, sorted(by_idx[i])) for i, c in enumerate(cols)}
+
+
 def write_puffin(
     blobs: list[tuple[dict, bytes]], properties: dict | None = None
 ) -> tuple[bytes, int]:

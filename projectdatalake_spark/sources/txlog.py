@@ -1348,38 +1348,102 @@ class TxTable:
         return adds
 
     def _attach_stats(self, adds: list[dict]) -> None:
-        """Per-file min/max column stats in ONE Spark pass over the files
-        just written (write-time stats, the table-format way — never a
-        per-file job). Feeds snapshot(where=...) data skipping."""
+        """Per-file min/max column stats, value dictionaries and opt-in
+        bloom filters for the files just written. Derived from the
+        parquet FOOTERS (plus one pyarrow columnar read per dictionary
+        column) instead of a full Spark re-read of the data — the stats
+        are already sitting in the bytes just written (guide §6;
+        OPTIMIZATION_r13 lever #1). Per-type bitwise exactness is probed
+        and pinned in sources/footer_stats.py + tests/test_footer_stats
+        .py; any column the footer cannot reproduce exactly (INT96 ltz
+        timestamps, unexpected missing stats) and every bloom column
+        (Spark-xxhash64 parity) still runs through the original Spark
+        aggregate, RESTRICTED to those columns. Feeds
+        snapshot(where=...) data skipping."""
         if not adds:
             return
+        from . import footer_stats as _fs
+
+        add_paths = [
+            _atomic.strip_file_scheme(self._data_path(a)) for a in adds
+        ]
+        schema = _fs.arrow_schema_of(add_paths[0])
+        pcols = set().union(*(a["partition"].keys() for a in adds))
+        # same filter the old read-back-schema walk applied: non-partition
+        # primitives minus binary/array/map/struct
+        cols, dict_cols = [], []
+        dict_types = {"string", "integer", "long", "short", "byte", "boolean"}
+        for fld in schema:
+            tn = _fs.spark_type_name(fld.type)
+            if fld.name in pcols or tn is None:
+                continue
+            cols.append(fld.name)
+            if tn in dict_types:
+                dict_cols.append(fld.name)
+        if not cols:
+            return
+        bloom_cols = [c for c in self._bloom_by() if c in set(cols)]
+        per_file = _fs.footer_file_stats(
+            self.spark, add_paths, want_cols=cols, dict_cols=dict_cols
+        )
+        untrusted: list[str] = []
+        for st in per_file.values():
+            untrusted += [c for c in st["untrusted"] if c not in untrusted]
+        spark_by_path, spark_dicts, spark_blooms, _spark_nrec = (
+            self._attach_stats_spark(adds, untrusted, [], bloom_cols)
+            if untrusted or bloom_cols
+            else ({}, {}, {}, {})
+        )
+        for a, p in zip(adds, add_paths):
+            st = per_file.get(p)
+            if st is None or st["nrec"] == 0:
+                continue  # empty file: the old read-back attached nothing
+            a["numRecords"] = st["nrec"]
+            stats = {}
+            for c in cols:
+                if c in st["untrusted"]:
+                    sv = (spark_by_path.get(p) or {}).get(c)
+                    if sv:
+                        stats[c] = sv
+                    continue
+                mn = _stats_value(st["min"].get(c))
+                mx = _stats_value(st["max"].get(c))
+                if mn is not None or mx is not None:
+                    stats[c] = {"min": mn, "max": mx}
+            if stats:
+                a["stats"] = stats
+            dicts = {}
+            for c in dict_cols:
+                vals = st["dict"].get(c)
+                if vals is not None and 0 < len(vals) <= 64:
+                    dicts[c] = [_stats_value(v) for v in vals]
+            if dicts:
+                a["dict"] = dicts
+            blooms = spark_blooms.get(p)
+            if blooms:
+                a["bloom"] = blooms
+
+    def _attach_stats_spark(
+        self,
+        adds: list[dict],
+        cols: list[str],
+        dict_cols: list[str],
+        bloom_cols: list[str],
+    ) -> tuple[dict, dict, dict, dict]:
+        """The original ONE-Spark-pass grouped stats aggregate, now the
+        RESTRICTED fallback: runs only over the columns the footer path
+        could not serve (plus bloom columns, whose bit positions need
+        the same Spark xxhash64 expression the reader probes with).
+        Returns (stats, dicts, blooms, numRecords), each keyed by
+        stripped absolute file path."""
         from pyspark.sql import functions as F
 
         paths = [f"{self.root}/{a['path']}" for a in adds]
         df = self.spark.read.option("basePath", self.root).parquet(*paths)
-        pcols = set().union(*(a["partition"].keys() for a in adds))
-        cols = [
-            f.name
-            for f in df.schema.fields
-            if f.name not in pcols and f.dataType.typeName() not in ("binary", "array", "map", "struct")
-        ]
-        if not cols:
-            return
-        # low-cardinality columns also get a per-file value dictionary
-        # (capped at 64 distinct): exact equality skipping where min/max
-        # intervals are too loose — e.g. a status column whose values
-        # interleave across the whole range
-        dict_types = {"string", "integer", "long", "short", "byte", "boolean"}
-        dict_cols = [
-            f.name
-            for f in df.schema.fields
-            if f.name in set(cols) and f.dataType.typeName() in dict_types
-        ]
-        # opted-in high-cardinality columns get a per-file bloom filter:
-        # equality skipping beyond the dictionary's 64-distinct cap (e.g.
-        # point lookups on an id hash-scattered across files, where min/max
-        # spans everything and the dictionary overflowed)
-        bloom_cols = [c for c in self._bloom_by() if c in set(cols)]
+        present = set(df.columns)
+        cols = [c for c in cols if c in present]
+        dict_cols = [c for c in dict_cols if c in present]
+        bloom_cols = [c for c in bloom_cols if c in present]
         aggs = [F.count(F.lit(1)).alias("__nrec")]
         for c in cols:
             aggs.append(F.min(c).alias(f"min__{c}"))
@@ -1441,19 +1505,7 @@ class TxTable:
                 if bits:
                     blooms[c] = f"{bits:x}"
             blooms_by_path[fpath] = blooms
-        for a in adds:
-            abs_p = _atomic.strip_file_scheme(self._data_path(a))
-            if abs_p in nrec_by_path:
-                a["numRecords"] = nrec_by_path[abs_p]
-            stats = by_path.get(abs_p)
-            if stats:
-                a["stats"] = stats
-            dicts = dicts_by_path.get(abs_p)
-            if dicts:
-                a["dict"] = dicts
-            blooms = blooms_by_path.get(abs_p)
-            if blooms:
-                a["bloom"] = blooms
+        return by_path, dicts_by_path, blooms_by_path, nrec_by_path
 
     def _publish(
         self, op: str, adds: list[dict], removes: list[str], precondition=None,
@@ -2433,15 +2485,19 @@ class TxTable:
         like every other metadata action and remain union-mergeable."""
         import base64
 
-        from projectdatalake_spark.sources.puffin import column_theta_sketch
+        from projectdatalake_spark.sources.puffin import column_theta_sketches
 
         v = self.latest_version()
         df = self.snapshot()
-        stats = {}
         for col in columns:
             if col not in df.columns:
                 raise ValueError(f"unknown column {col!r}")
-            sk = column_theta_sketch(df, col, k)
+        # ONE pass over the snapshot builds every column's sketch
+        # (was one full scan per column — OPTIMIZATION_r13, guide §1.2)
+        sketches = column_theta_sketches(df, list(columns), k)
+        stats = {}
+        for col in columns:
+            sk = sketches[col]
             stats[col] = {
                 "ndv": int(round(sk.estimate())),
                 "sketch": base64.b64encode(sk.to_bytes()).decode("ascii"),

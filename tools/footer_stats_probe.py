@@ -64,6 +64,10 @@ def main() -> None:
         T.StructField("i64", T.LongType()),
     ])
     df = spark.createDataFrame(rows, schema).coalesce(1)
+    # timestamp_ntz twin (the working type of the corpus tables)
+    df = df.withColumn("tsn", F.col("ts").cast("timestamp_ntz"))
+    print("outputTimestampType:",
+          spark.conf.get("spark.sql.parquet.outputTimestampType"))
     df.write.mode("overwrite").parquet(out)
 
     # extra files: all-NaN column, all-null column
@@ -94,16 +98,22 @@ def main() -> None:
                 name = col.path_in_schema
                 smin, smax, snull = srow.get(f"min__{name}"), srow.get(f"max__{name}"), srow.get(f"null__{name}")
                 if st is None:
-                    print(f"  {name:>5}: NO STATS   | spark min={smin!r} max={smax!r} nulls={snull}")
+                    print(f"  {name:>5}: NO STATS (physical {col.physical_type}) | spark min={smin!r} max={smax!r} nulls={snull}")
                     continue
-                exact_attrs = {}
-                for attr in ("is_min_value_exact", "is_max_value_exact"):
-                    exact_attrs[attr] = getattr(st, attr, "n/a")
+                try:
+                    mn, mx = st.min, st.max
+                    desc = (
+                        f"min={mn!r} max={mx!r} "
+                        f"(types {type(mn).__name__}/{type(mx).__name__})"
+                    )
+                except Exception as e:
+                    desc = (
+                        f"logical-cast FAILED ({e}); raw min={st.min_raw!r} "
+                        f"max={st.max_raw!r} physical={col.physical_type}"
+                    )
                 print(
-                    f"  {name:>5}: has_min_max={st.has_min_max} "
-                    f"min={st.min!r} max={st.max!r} nulls={st.null_count} "
-                    f"(types {type(st.min).__name__}/{type(st.max).__name__}) "
-                    f"exact={exact_attrs} | spark min={smin!r} max={smax!r} nulls={snull}"
+                    f"  {name:>5}: has_min_max={st.has_min_max} {desc} "
+                    f"nulls={st.null_count} | spark min={smin!r} max={smax!r} nulls={snull}"
                 )
 
     print("\npyarrow version:", pa.__version__)
