@@ -128,7 +128,10 @@ def jaccard_pairs(
         .select(
             F.col(id_col),
             *[F.col(c) for c in block_cols],
-            F.transform("ord", lambda s: s["tok"]).alias("sh"),
+            # struct-field pluck via GetArrayStructFields (codegen) —
+            # the r12 CodegenFallback veto: a transform() lambda here
+            # de-compiled this whole Project (same element order either way)
+            F.col("ord").getField("tok").alias("sh"),
             F.size("ord").alias("sz"),
         )
         .persist()
@@ -566,10 +569,16 @@ def connected_components(
     variant; dedup clusters do not need it.
     """
     spark = pairs.sparkSession
+    # partition the static edge table by its per-round join key ONCE
+    # (guide §2.4, the pagerank links pattern): every round's
+    # edges⋈labels join then reuses the cached layout and only the small
+    # (node, label) vector reshuffles
+    npart = spark.sparkContext.defaultParallelism
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .dropDuplicates()
+        .repartition(npart, "dst")
         .persist()
     )
     labels = nodes.select(F.col(id_col), F.col(id_col).alias("cluster_id"))
@@ -637,7 +646,9 @@ def containment_pairs(
         .select(
             F.col(id_col),
             *[F.col(c) for c in block_cols],
-            F.transform("ord", lambda s: s["tok"]).alias("sh"),
+            # GetArrayStructFields pluck, not a transform() lambda — keeps
+            # this Project inside whole-stage codegen (r12 HOF veto)
+            F.col("ord").getField("tok").alias("sh"),
             F.size("ord").alias("sz"),
         )
         .persist()

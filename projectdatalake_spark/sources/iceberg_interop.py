@@ -2458,14 +2458,24 @@ class IcebergTable:
         if pcols:
             writer = writer.partitionBy(*pcols)
         writer.parquet(stage_dir)
-        fs = self._fs()
-        files = []
-        it = fs.listFiles(self._path(stage_dir), True)
-        while it.hasNext():
-            status = it.next()
-            p = status.getPath()
-            if p.getName().endswith(".parquet"):
-                files.append((p.toUri().getPath(), status.getLen()))
+        if _atomic.is_local_path(self.root):
+            # local fast path (r13): the Hadoop iterator costs one py4j
+            # roundtrip per staged file (guide §5 — driver time)
+            files = [
+                (p, size)
+                for p, size, _m in _atomic.list_local_files(
+                    _atomic.strip_file_scheme(stage_dir)
+                )
+            ]
+        else:
+            fs = self._fs()
+            files = []
+            it = fs.listFiles(self._path(stage_dir), True)
+            while it.hasNext():
+                status = it.next()
+                p = status.getPath()
+                if p.getName().endswith(".parquet"):
+                    files.append((p.toUri().getPath(), status.getLen()))
         counts: dict = {}
         bounds_by_file: dict[str, dict] = {}
         bcols = [

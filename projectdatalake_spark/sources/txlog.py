@@ -1320,30 +1320,48 @@ class TxTable:
         if part_names:
             writer = writer.partitionBy(*part_names)
         writer.parquet(stage_dir)
-        fs = self._fs()
-        stage_path = self._path(stage_dir)
         adds: list[dict] = []
-        it = fs.listFiles(stage_path, True)
-        staged = []
-        while it.hasNext():
-            status = it.next()
-            p = status.getPath()
-            if p.getName().endswith(".parquet"):
-                staged.append((p, status.getLen()))
-        stage_uri = stage_path.toUri().getPath()
-        for p, size in staged:
-            rel = p.toUri().getPath()[len(stage_uri) :].lstrip("/")
-            partition = {
-                seg.split("=", 1)[0]: seg.split("=", 1)[1]
-                for seg in rel.split("/")[:-1]
-                if "=" in seg
-            }
-            dest = self._path(f"{self.root}/{rel}")
-            fs.mkdirs(dest.getParent())
-            if not fs.rename(p, dest):
-                raise IOError(f"failed to move staged file {p} -> {dest}")
-            adds.append({"path": rel, "partition": partition, "size": size})
-        fs.delete(stage_path, True)
+        if _atomic.is_local_path(self.root):
+            # local fast path (r13): the Hadoop loop below costs one py4j
+            # roundtrip per file for listing and three more per rename —
+            # pure driver time on every commit (guide §5: the driver
+            # should do almost no work; cProfile in OPTIMIZATION_r13.md)
+            stage_uri = _atomic.strip_file_scheme(stage_dir)
+            root_uri = _atomic.strip_file_scheme(self.root)
+            for p, size, _mtime in _atomic.list_local_files(stage_uri):
+                rel = p[len(stage_uri):].lstrip("/")
+                partition = {
+                    seg.split("=", 1)[0]: seg.split("=", 1)[1]
+                    for seg in rel.split("/")[:-1]
+                    if "=" in seg
+                }
+                _atomic.move_local_file(p, f"{root_uri}/{rel}")
+                adds.append({"path": rel, "partition": partition, "size": size})
+            _atomic.delete_local_tree(stage_uri)
+        else:
+            fs = self._fs()
+            stage_path = self._path(stage_dir)
+            it = fs.listFiles(stage_path, True)
+            staged = []
+            while it.hasNext():
+                status = it.next()
+                p = status.getPath()
+                if p.getName().endswith(".parquet"):
+                    staged.append((p, status.getLen()))
+            stage_uri = stage_path.toUri().getPath()
+            for p, size in staged:
+                rel = p.toUri().getPath()[len(stage_uri) :].lstrip("/")
+                partition = {
+                    seg.split("=", 1)[0]: seg.split("=", 1)[1]
+                    for seg in rel.split("/")[:-1]
+                    if "=" in seg
+                }
+                dest = self._path(f"{self.root}/{rel}")
+                fs.mkdirs(dest.getParent())
+                if not fs.rename(p, dest):
+                    raise IOError(f"failed to move staged file {p} -> {dest}")
+                adds.append({"path": rel, "partition": partition, "size": size})
+            fs.delete(stage_path, True)
         self._attach_stats(adds)
         return adds
 

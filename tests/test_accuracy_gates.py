@@ -13,6 +13,8 @@ a regression in recall/error fails pytest instead of passing as "it runs":
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from projectdatalake_spark.operators import dedup as D
@@ -757,6 +759,7 @@ def test_stream_dedup_index_read_errors_propagate(spark, tmp_path):
         _read_indexed(spark, str(tmp_path / "idx"), _BANDED_SCHEMA, 5).count()
 
 
+@pytest.mark.slow  # >19 s stress gate; default (driver-budget) run skips it — `pytest -m ""` includes
 def test_stream_dedup_index_compaction(spark, tmp_path):
     """The long-lived-stream maintenance rung: with compact_every=2 over
     6 single-file micro-batches, the index folds batches below the
@@ -1442,6 +1445,7 @@ def _seed_dedup_src(spark, tmp_path, docs, n_empty: int) -> str:
     return src
 
 
+@pytest.mark.slow  # >19 s stress gate; default (driver-budget) run skips it — `pytest -m ""` includes
 def test_stream_dedup_stats_driven_compaction(spark, tmp_path):
     """Round-10 policy + the round-10 CRASH, now deterministic: batch 0
     is FORCED empty (zero-row parquet served first) — (a) with an

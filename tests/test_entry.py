@@ -12,11 +12,11 @@ def test_entry_smoke(spark):
     assert set(df.columns) >= {"l_returnflag", "l_linestatus", "sum_qty", "count_order"}
 
 
-def test_every_query_has_runnable_plan(spark, sf_dir):
-    qs = entry_mod.queries()
-    assert qs, "query registry is empty"
-    for name, fn in qs.items():
-        df = fn(spark, sf_dir)
+def test_every_query_has_runnable_plan(query_frames):
+    # frames built once per session (conftest.query_frames — r13: the
+    # four registry sweeps no longer rebuild all ~412 plans each)
+    assert query_frames, "query registry is empty"
+    for name, df in query_frames.items():
         # schema resolution + a cheap action on the smoke scale
         assert df.columns, name
         df.limit(1).collect()

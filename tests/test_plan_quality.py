@@ -23,19 +23,31 @@ SKIP = {"stream_tumbling_agg", "stream_sliding_agg", "stream_dedup_keys",
         "stream_stateful_totals"}
 
 
-def test_no_accidental_cartesian_products(spark, sf_dir):
-    for name, fn in entry_mod.queries().items():
-        if name in SKIP or name in CARTESIAN_OK:
+# The three registry-wide sweeps below share one session-scoped build of
+# every query's DataFrame (conftest.query_frames) — each used to rebuild
+# all ~412 frames itself, which made plan construction the single biggest
+# cost of the suite (r13; see OPTIMIZATION_r13.md §pytest).
+
+
+@pytest.fixture(scope="module")
+def query_plans(query_frames) -> dict:
+    """name → physical plan string, computed once for both plan sweeps."""
+    return {
+        name: physical_plan(df)
+        for name, df in query_frames.items()
+        if name not in SKIP
+    }
+
+
+def test_no_accidental_cartesian_products(query_plans):
+    for name, plan in query_plans.items():
+        if name in CARTESIAN_OK:
             continue
-        plan = physical_plan(fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
 
 
-def test_no_row_at_a_time_python_udfs(spark, sf_dir):
-    for name, fn in entry_mod.queries().items():
-        if name in SKIP:
-            continue
-        plan = physical_plan(fn(spark, sf_dir))
+def test_no_row_at_a_time_python_udfs(query_plans):
+    for name, plan in query_plans.items():
         # BatchEvalPython = pickled row-at-a-time UDF; ArrowEvalPython /
         # MapInPandas / FlatMapGroupsInPandas are the sanctioned paths
         assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time UDF"
@@ -168,7 +180,10 @@ GLOBAL_WINDOWS_OK = {
     "path_trigram_top": 1,
     "survival_kaplan_meier": 2,
     "ts_stl_weekly": 2,
-    "ts_theil_sen_trend": 2,
+    # r13: the global median window over ~2.9M pairs became a two-pass
+    # bucketed rank selection; the one remaining partition-less window
+    # ranks only the target bucket's ~n/2048 rows (bounded grain)
+    "ts_theil_sen_trend": 1,
     "txlog_incremental_topk_cdc": 1,
     "win_cumulative_distinct": 1,
     "win_rolling_median": 1,
@@ -196,12 +211,12 @@ def _count_global_windows(df) -> int:
     return walk(df._jdf.queryExecution().optimizedPlan())
 
 
-def test_global_windows_allowlisted(spark, sf_dir):
+def test_global_windows_allowlisted(query_frames):
     got = {}
-    for name, fn in entry_mod.queries().items():
+    for name, df in query_frames.items():
         if name in SKIP:
             continue
-        n = _count_global_windows(fn(spark, sf_dir))
+        n = _count_global_windows(df)
         if n:
             got[name] = n
     assert got == GLOBAL_WINDOWS_OK, (

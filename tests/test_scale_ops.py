@@ -184,6 +184,7 @@ def test_grid_radius_join_equals_brute_force(spark):
     assert got == want and (4, 5) in got and got[(4, 5)] == 0.0
 
 
+@pytest.mark.slow  # >19 s stress gate; default (driver-budget) run skips it — `pytest -m ""` includes
 def test_grid_knn_ring_expansion_matches_brute(spark):
     """kNN by expanding rings == brute-force kNN even when the first
     ring cannot prove k neighbors (a far-out query forces R to double);

@@ -3,6 +3,8 @@ including recall of the approximate (LSH) paths against exact baselines."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from projectdatalake_spark.operators import dedup as D, similarity as S, text as TX
@@ -104,6 +106,7 @@ def test_edit_distance_prefix_filter_equals_allpairs(spark):
     assert naive, "corpus should contain edit-distance pairs"
 
 
+@pytest.mark.slow  # >19 s stress gate; default (driver-budget) run skips it — `pytest -m ""` includes
 def test_edit_distance_pairs_short_strings(spark):
     """Sentinel path: strings shorter than q still pair correctly."""
     df = spark.createDataFrame(
@@ -163,6 +166,7 @@ def test_shingles_short_doc_empty(spark):
     assert got[2] == ["one two three", "two three four"]
 
 
+@pytest.mark.slow  # >19 s stress gate; default (driver-budget) run skips it — `pytest -m ""` includes
 def test_quality_features_ranges(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     feats = TX.with_text_features(docs)
